@@ -1,0 +1,101 @@
+"""Declared query registry.
+
+Every operator from SURVEY.md §2 registers here as a named query: a
+callable ``(spark, sf_dir) -> DataFrame`` plus (when SQL-expressible) a
+DuckDB oracle SQL string. ``__spark_entry__`` re-exports the registry to
+the driver.
+
+Determinism rules for oracle parity (driver hash-compares values):
+- Sums of doubles go through exact decimal arithmetic and back to double:
+  ``CAST(SUM(CAST(x AS DECIMAL(38,6))) AS DOUBLE)`` — order-independent,
+  bit-identical across engines.
+- Averages are expressed as exact-decimal-sum / count (double division of
+  identical operands), never engine-native AVG over doubles.
+- Every computed column is aliased identically in Spark and oracle SQL.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, SparkSession
+
+
+@dataclass
+class Declared:
+    fn: Callable[[SparkSession, str], DataFrame]
+    oracle: str | None
+
+
+REGISTRY: dict[str, Declared] = {}
+
+
+def query(name: str, oracle: str | None = None):
+    """Decorator registering a declared query (and optional DuckDB oracle)."""
+
+    def deco(fn):
+        if name in REGISTRY:
+            raise ValueError(f"duplicate query name: {name}")
+        REGISTRY[name] = Declared(fn, oracle)
+        return fn
+
+    return deco
+
+
+def sql_query(name: str, spark_sql: str, oracle: str | None = "same"):
+    """Register a query expressed as Spark SQL over the fixture views.
+
+    ``oracle="same"`` reuses the identical string for DuckDB (ANSI overlap);
+    pass a different string where dialects diverge, or None for rows-only.
+    """
+    from iceberg_metadata_pipeline_spark.session import load_tables
+
+    def fn(spark: SparkSession, sf_dir: str) -> DataFrame:
+        load_tables(spark, sf_dir)
+        return spark.sql(spark_sql)
+
+    fn.__name__ = f"q_{name}"
+    fn.__doc__ = spark_sql
+    REGISTRY[name] = Declared(fn, spark_sql if oracle == "same" else oracle)
+    return fn
+
+
+def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    _load_all()
+    return {k: d.fn for k, d in REGISTRY.items()}
+
+
+def all_oracles() -> dict[str, str]:
+    _load_all()
+    return {k: d.oracle for k, d in REGISTRY.items() if d.oracle is not None}
+
+
+_loaded = False
+
+
+def _load_all():
+    global _loaded
+    if _loaded:
+        return
+    # import for registration side effects
+    from iceberg_metadata_pipeline_spark.queries import (  # noqa: F401
+        aggregates,
+        joins,
+        relational,
+        scalar_funcs,
+        setops,
+        tpch,
+        windows,
+    )
+    from iceberg_metadata_pipeline_spark.llmops import (  # noqa: F401
+        dedup,
+        multimodal,
+        similarity,
+        text,
+    )
+    from iceberg_metadata_pipeline_spark.streaming import batch_windows  # noqa: F401
+    from iceberg_metadata_pipeline_spark.catalog import declared as catalog_declared  # noqa: F401
+    from iceberg_metadata_pipeline_spark.ingest import declared as ingest_declared  # noqa: F401
+
+    _loaded = True

@@ -1,0 +1,112 @@
+"""SparkSession factory with the reference deployment's tuning applied.
+
+The reference tunes a Spark 3.4.1 Thrift server via entrypoint-spark.sh
+(AQE on with 64 MB advisory coalescing and skew-join splitting, 64 MB scan
+splits, 64 MB broadcast threshold, vectorized Parquet with filter pushdown,
+ObjectHashAggregate disabled, UTC-pinned sessions). We replicate that conf
+set (SURVEY.md §4 / BASELINE.md), scaled to the local test envelope and
+overridable by env vars:
+
+- ``SPARK_GRAFT_CPUS``   — local[] thread count (default: all cores)
+- ``SPARK_GRAFT_SHUFFLE_PARTITIONS`` — default: thread count
+- ``SPARK_GRAFT_DRIVER_MEM`` — default 48g (local mode = driver-only JVM)
+
+At 1000-executor / 100 TB scale the same builder is used with ``master``
+pointed at the cluster manager; the scale-relevant confs (AQE, 64-128 MB
+partition targets, broadcast threshold, skew-join) are already what a large
+cluster wants — only shuffle partitions need raising (rule of thumb:
+total-input-bytes / 128 MB).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+
+def _env_int(name: str, default: int) -> int:
+    try:
+        return int(os.environ.get(name, "") or default)
+    except ValueError:
+        return default
+
+
+def get_spark(
+    app_name: str = "iceberg-metadata-pipeline-spark",
+    master: str | None = None,
+    extra_conf: dict[str, str] | None = None,
+) -> SparkSession:
+    """Build (or reuse) a SparkSession with the reference's tuning profile.
+
+    Conf lineage (reference file:line cited per row, SURVEY.md §4):
+      adaptive.enabled / coalescePartitions / skewJoin  — entrypoint-spark.sh:116-121
+      files.maxPartitionBytes=64m                       — entrypoint-spark.sh:32,124
+      autoBroadcastJoinThreshold=64m, 600s timeout      — entrypoint-spark.sh:38,130-131
+      parquet vectorized reader + filter pushdown       — entrypoint-spark.sh:126-127
+      useObjectHashAggregate=false                      — entrypoint-spark.sh:113
+      parallelPartitionDiscovery.parallelism=100        — entrypoint-spark.sh:39,125
+      network.timeout=600s, heartbeat=60s               — entrypoint-spark.sh:36-37,132-133
+    """
+    cpus = _env_int("SPARK_GRAFT_CPUS", os.cpu_count() or 2)
+    shuffle = _env_int("SPARK_GRAFT_SHUFFLE_PARTITIONS", cpus)
+    driver_mem = os.environ.get("SPARK_GRAFT_DRIVER_MEM", "48g")
+    if master is None:
+        master = f"local[{cpus}]"
+
+    builder = (
+        SparkSession.builder.appName(app_name)
+        .master(master)
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.shuffle.partitions", str(shuffle))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.advisoryPartitionSizeInBytes", "64m")
+        .config("spark.sql.adaptive.coalescePartitions.minPartitionSize", "16m")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.files.maxPartitionBytes", "67108864")
+        .config("spark.sql.autoBroadcastJoinThreshold", "67108864")
+        .config("spark.sql.broadcastTimeout", "600")
+        .config("spark.sql.parquet.enableVectorizedReader", "true")
+        .config("spark.sql.parquet.filterPushdown", "true")
+        .config("spark.sql.execution.useObjectHashAggregate", "false")
+        .config("spark.sql.sources.parallelPartitionDiscovery.parallelism", "100")
+        .config("spark.network.timeout", "600s")
+        .config("spark.executor.heartbeatInterval", "60s")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.driver.memory", driver_mem)
+        # fixture events.ts is TIMESTAMP(NANOS) parquet, which Spark refuses
+        # by default; read as long and normalize in load_tables()
+        .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+        .config("spark.ui.enabled", "false")
+        .config("spark.driver.extraJavaOptions", "-XX:+UseG1GC")
+    )
+    for k, v in (extra_conf or {}).items():
+        builder = builder.config(k, v)
+    spark = builder.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    return spark
+
+
+def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, "object"]:
+    """Register every fixture parquet under ``sf_dir`` as a temp view.
+
+    Returns {name: DataFrame}. Names match TESTDATA.md: region nation
+    customer supplier part orders lineitem events documents embeddings.
+    """
+    import glob
+
+    from pyspark.sql import functions as F
+    from pyspark.sql.types import LongType
+
+    out = {}
+    for path in sorted(glob.glob(os.path.join(sf_dir, "*.parquet"))):
+        name = os.path.splitext(os.path.basename(path))[0]
+        df = spark.read.parquet(path)
+        # nanosAsLong surfaces TIMESTAMP(NANOS) columns as epoch-nanos longs;
+        # restore timestamp semantics (fixture sub-µs components are zero)
+        if name == "events" and isinstance(df.schema["ts"].dataType, LongType):
+            df = df.withColumn("ts", F.timestamp_micros((F.col("ts") / 1000).cast("long")))
+        df.createOrReplaceTempView(name)
+        out[name] = df
+    return out
