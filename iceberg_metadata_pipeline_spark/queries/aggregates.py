@@ -1,1 +1,197 @@
-"""(placeholder — filled in as operators land)"""
+"""Aggregation surface (SURVEY.md §2.B aggregations).
+
+The reference's one non-default agg choice — ObjectHashAggregate disabled
+(entrypoint-spark.sh:113) — is replicated in the session factory; these
+queries then run on vectorized HashAggregateExec with partial (map-side)
+aggregation before the shuffle, which is what makes the shapes scale:
+shuffle volume is O(groups), not O(rows).
+
+Variance/stddev are declared via exact decimal sums of x and x² rather
+than engine-native accumulators (Welford vs two-pass differ across
+engines and partitionings) — deterministic by construction.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from iceberg_metadata_pipeline_spark.queries import query, sql_query
+from iceberg_metadata_pipeline_spark.session import load_tables
+
+sql_query(
+    "agg_groupby_having",
+    """
+SELECT l_suppkey, COUNT(*) AS n_lines,
+  CAST(SUM(CAST(l_quantity AS DECIMAL(38,6))) AS DOUBLE) AS total_qty
+FROM lineitem
+GROUP BY l_suppkey
+HAVING COUNT(*) > 50
+ORDER BY l_suppkey
+""",
+)
+
+sql_query(
+    "agg_count_distinct",
+    """
+SELECT o_orderstatus,
+       COUNT(DISTINCT o_custkey) AS n_customers,
+       COUNT(DISTINCT o_orderpriority) AS n_priorities,
+       COUNT(*) AS n_orders
+FROM orders
+GROUP BY o_orderstatus
+ORDER BY o_orderstatus
+""",
+)
+
+sql_query(
+    "agg_min_max_strings_ts",
+    """
+SELECT l_returnflag,
+       MIN(l_shipdate) AS first_ship, MAX(l_shipdate) AS last_ship,
+       MIN(l_linestatus) AS min_status, MAX(l_linestatus) AS max_status,
+       MIN(l_quantity) AS min_qty, MAX(l_quantity) AS max_qty
+FROM lineitem
+GROUP BY l_returnflag
+ORDER BY l_returnflag
+""",
+)
+
+# variance/stddev from exact sums: var_samp = (Σx² − (Σx)²/n) / (n−1)
+_VAR_SQL = """
+SELECT l_returnflag,
+  CAST( (sx2 - sx * sx / n) / (n - 1) AS DOUBLE) AS var_qty,
+  CAST( sqrt((sx2 - sx * sx / n) / (n - 1)) AS DOUBLE) AS stddev_qty
+FROM (
+  SELECT l_returnflag,
+    CAST(SUM(CAST(l_quantity AS DECIMAL(38,6))) AS DOUBLE) AS sx,
+    CAST(SUM(CAST(l_quantity * l_quantity AS DECIMAL(38,6))) AS DOUBLE) AS sx2,
+    COUNT(*) AS n
+  FROM lineitem GROUP BY l_returnflag
+) t
+ORDER BY l_returnflag
+"""
+sql_query("agg_variance_stddev", _VAR_SQL)
+
+sql_query(
+    "agg_rollup",
+    """
+SELECT l_returnflag, l_linestatus, COUNT(*) AS n,
+  CAST(SUM(CAST(l_extendedprice AS DECIMAL(38,6))) AS DOUBLE) AS total_price
+FROM lineitem
+GROUP BY ROLLUP (l_returnflag, l_linestatus)
+ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST
+""",
+)
+
+sql_query(
+    "agg_cube",
+    """
+SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n
+FROM orders
+GROUP BY CUBE (o_orderstatus, o_orderpriority)
+ORDER BY o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST
+""",
+)
+
+sql_query(
+    "agg_grouping_sets",
+    """
+SELECT o_orderstatus, o_orderpriority,
+       GROUPING(o_orderstatus) AS g_status,
+       GROUPING(o_orderpriority) AS g_prio,
+       COUNT(*) AS n
+FROM orders
+GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+ORDER BY o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST
+""",
+)
+
+sql_query(
+    "agg_filter_clause",
+    """
+SELECT l_returnflag,
+       COUNT(*) FILTER (WHERE l_quantity > 25) AS n_big,
+       COUNT(*) FILTER (WHERE l_discount = 0.0) AS n_nodisc,
+       COUNT(*) AS n
+FROM lineitem
+GROUP BY l_returnflag
+ORDER BY l_returnflag
+""",
+)
+
+sql_query(
+    "agg_array_collect_sorted",
+    # collect_list is unordered; sort the array for determinism
+    """
+SELECT n_regionkey, array_sort(collect_list(n_name)) AS nations
+FROM nation
+GROUP BY n_regionkey
+ORDER BY n_regionkey
+""",
+    oracle="""
+SELECT n_regionkey, list_sort(list(n_name)) AS nations
+FROM nation
+GROUP BY n_regionkey
+ORDER BY n_regionkey
+""",
+)
+
+
+@query(
+    "agg_pivot",
+    """
+SELECT l_returnflag,
+  CAST(SUM(CAST(l_quantity AS DECIMAL(38,6))) FILTER (WHERE l_linestatus = 'O') AS DOUBLE) AS O,
+  CAST(SUM(CAST(l_quantity AS DECIMAL(38,6))) FILTER (WHERE l_linestatus = 'F') AS DOUBLE) AS F
+FROM lineitem
+GROUP BY l_returnflag
+ORDER BY l_returnflag
+""",
+)
+def agg_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DataFrame .pivot() — wide-format aggregation; oracle uses FILTER."""
+    l = load_tables(spark, sf_dir)["lineitem"]
+    return (
+        l.groupBy("l_returnflag")
+        .pivot("l_linestatus", ["O", "F"])
+        .agg(F.sum(F.col("l_quantity").cast("decimal(38,6)")).cast("double"))
+        .orderBy("l_returnflag")
+    )
+
+
+@query("agg_approx_count_distinct", None)  # HLL sketches are engine-specific → rows-only
+def agg_approx_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """approx_count_distinct (HyperLogLog++): the 100 TB path for distinct
+    counts — fixed-size sketch per group, mergeable map-side, no shuffle of
+    raw values. Exactness is checked separately in tests against the true
+    distinct count (rsd tolerance)."""
+    l = load_tables(spark, sf_dir)["lineitem"]
+    return l.groupBy("l_returnflag").agg(
+        F.approx_count_distinct("l_orderkey", 0.02).alias("approx_orders"),
+        F.countDistinct("l_orderkey").alias("exact_orders"),
+    )
+
+
+@query("agg_percentile_approx", None)  # t-digest/GK sketches are engine-specific → rows-only
+def agg_percentile_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """approx_percentile: mergeable quantile sketch — the scale path for
+    medians/p99 over 100 TB (exact percentile would global-sort)."""
+    l = load_tables(spark, sf_dir)["lineitem"]
+    return l.groupBy("l_returnflag").agg(
+        F.percentile_approx("l_extendedprice", [0.5, 0.95, 0.99], 10000).alias("pcts"),
+        F.count(F.lit(1)).alias("n"),
+    )
+
+
+sql_query(
+    "agg_global_no_groups",
+    """
+SELECT COUNT(*) AS n_rows,
+       COUNT(DISTINCT l_orderkey) AS n_orders,
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(38,6))) AS DOUBLE) AS total,
+       MIN(l_shipdate) AS min_ship,
+       MAX(l_shipdate) AS max_ship
+FROM lineitem
+""",
+)

@@ -1,1 +1,251 @@
-"""(placeholder — filled in as operators land)"""
+"""Join surface — every strategy the reference deploys (SURVEY.md §2.B joins).
+
+The reference raises the broadcast threshold to 64 MB so dimension tables
+always broadcast (entrypoint-spark.sh:38,130) and leaves big-big joins to
+sort-merge with AQE skew splitting (:121). We declare one query per join
+shape; the DataFrame-API ones carry explicit strategy hints and tests
+assert the physical plan (BroadcastHashJoin vs SortMergeJoin).
+
+Scale notes (100 TB): fact-fact joins shuffle both sides on the key —
+at 1000 executors that is the dominant cost, so the declared plans keep
+dimension joins broadcast (zero shuffle) and fact-fact joins on the join
+key only after filters have reduced the input (filter-before-join is
+Catalyst-automatic via predicate pushdown).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from iceberg_metadata_pipeline_spark.queries import query, sql_query
+from iceberg_metadata_pipeline_spark.session import load_tables
+
+
+@query(
+    "join_broadcast_dim",
+    """
+SELECT n_name, COUNT(*) AS n_customers,
+  CAST(SUM(CAST(c_acctbal AS DECIMAL(38,6))) AS DOUBLE) AS total_bal
+FROM customer JOIN nation ON c_nationkey = n_nationkey
+GROUP BY n_name
+ORDER BY n_name
+""",
+)
+def join_broadcast_dim(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit broadcast-hash join of fact→small dim (no shuffle on dim)."""
+    t = load_tables(spark, sf_dir)
+    return (
+        t["customer"]
+        .join(F.broadcast(t["nation"]), F.col("c_nationkey") == F.col("n_nationkey"))
+        .groupBy("n_name")
+        .agg(
+            F.count(F.lit(1)).alias("n_customers"),
+            F.sum(F.col("c_acctbal").cast("decimal(38,6)")).cast("double").alias("total_bal"),
+        )
+        .orderBy("n_name")
+    )
+
+
+@query(
+    "join_sort_merge_bigbig",
+    """
+SELECT o_orderstatus, COUNT(*) AS n_items,
+  CAST(SUM(CAST(l_quantity AS DECIMAL(38,6))) AS DOUBLE) AS total_qty
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+GROUP BY o_orderstatus
+ORDER BY o_orderstatus
+""",
+)
+def join_sort_merge_bigbig(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fact-fact join forced to sort-merge (MERGE hint): both sides shuffle
+    on the join key; at scale this is the canonical co-partitioned join."""
+    t = load_tables(spark, sf_dir)
+    return (
+        t["lineitem"]
+        .hint("merge")
+        .join(t["orders"], F.col("l_orderkey") == F.col("o_orderkey"))
+        .groupBy("o_orderstatus")
+        .agg(
+            F.count(F.lit(1)).alias("n_items"),
+            F.sum(F.col("l_quantity").cast("decimal(38,6)")).cast("double").alias("total_qty"),
+        )
+        .orderBy("o_orderstatus")
+    )
+
+
+@query(
+    "join_shuffle_hash",
+    """
+SELECT p_brand, COUNT(*) AS n_lines
+FROM lineitem JOIN part ON l_partkey = p_partkey
+GROUP BY p_brand
+ORDER BY p_brand
+""",
+)
+def join_shuffle_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SHUFFLE_HASH-hinted join — avoids the sort at the cost of building a
+    hash map per partition; right choice when one side is modest but above
+    the broadcast threshold."""
+    t = load_tables(spark, sf_dir)
+    return (
+        t["lineitem"]
+        .join(t["part"].hint("shuffle_hash"), F.col("l_partkey") == F.col("p_partkey"))
+        .groupBy("p_brand")
+        .agg(F.count(F.lit(1)).alias("n_lines"))
+        .orderBy("p_brand")
+    )
+
+
+@query(
+    "join_left_outer",
+    """
+SELECT c_custkey, c_name, o_orderkey, o_totalprice
+FROM customer LEFT JOIN orders
+  ON c_custkey = o_custkey AND o_totalprice > 350000
+ORDER BY c_custkey, o_orderkey
+""",
+)
+def join_left_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left outer join with a join-side predicate (kept in the ON clause —
+    moving it to WHERE would change semantics to inner)."""
+    t = load_tables(spark, sf_dir)
+    return (
+        t["customer"]
+        .join(
+            t["orders"],
+            (F.col("c_custkey") == F.col("o_custkey")) & (F.col("o_totalprice") > 350000),
+            "left",
+        )
+        .select("c_custkey", "c_name", "o_orderkey", "o_totalprice")
+        .orderBy("c_custkey", "o_orderkey")
+    )
+
+
+sql_query(
+    "join_full_outer",
+    """
+SELECT s_suppkey, s_name, c.c_custkey, c.c_name
+FROM supplier s FULL OUTER JOIN customer c
+  ON s.s_nationkey = c.c_nationkey AND c.c_acctbal > 9990
+""",
+)
+
+
+@query(
+    "join_left_semi_exists",
+    """
+SELECT c_custkey, c_name FROM customer c
+WHERE EXISTS (SELECT 1 FROM orders o
+              WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 400000)
+""",
+)
+def join_left_semi_exists(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LEFT SEMI join ≡ EXISTS subquery (the oracle spells it as EXISTS)."""
+    t = load_tables(spark, sf_dir)
+    big = t["orders"].filter(F.col("o_totalprice") > 400000)
+    return (
+        t["customer"]
+        .join(big, F.col("c_custkey") == F.col("o_custkey"), "left_semi")
+        .select("c_custkey", "c_name")
+    )
+
+
+@query(
+    "join_left_anti_not_exists",
+    """
+SELECT c_custkey, c_name FROM customer c
+WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+""",
+)
+def join_left_anti_not_exists(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LEFT ANTI join ≡ NOT EXISTS (null-safe, unlike NOT IN with nulls)."""
+    t = load_tables(spark, sf_dir)
+    return (
+        t["customer"]
+        .join(t["orders"], F.col("c_custkey") == F.col("o_custkey"), "left_anti")
+        .select("c_custkey", "c_name")
+    )
+
+
+sql_query(
+    "join_cross",
+    """
+SELECT r_name, n_name
+FROM region CROSS JOIN nation
+ORDER BY r_name, n_name
+""",
+)
+
+
+@query(
+    "join_theta_range",
+    """
+SELECT s.s_suppkey, c.c_custkey
+FROM supplier s JOIN customer c
+  ON c.c_acctbal > s.s_acctbal AND c.c_acctbal <= s.s_acctbal + 50
+ORDER BY s_suppkey, c_custkey
+""",
+)
+def join_theta_range(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Non-equi (theta/range) join — Spark executes as BroadcastNestedLoop
+    when one side is small. At 100 TB scale this shape must be rewritten to
+    bucketed-equi-join + residual filter (see llmops.similarity for the
+    banded pattern); declared here in its direct form."""
+    t = load_tables(spark, sf_dir)
+    s, c = t["supplier"], t["customer"]
+    return (
+        s.join(
+            c,
+            (F.col("c_acctbal") > F.col("s_acctbal"))
+            & (F.col("c_acctbal") <= F.col("s_acctbal") + 50),
+        )
+        .select("s_suppkey", "c_custkey")
+        .orderBy("s_suppkey", "c_custkey")
+    )
+
+
+sql_query(
+    "join_self",
+    """
+SELECT a.n_name AS nation_a, b.n_name AS nation_b
+FROM nation a JOIN nation b
+  ON a.n_regionkey = b.n_regionkey AND a.n_nationkey < b.n_nationkey
+ORDER BY nation_a, nation_b
+""",
+)
+
+sql_query(
+    "join_multiway_snowflake",
+    """
+SELECT r_name, o_orderstatus, COUNT(*) AS n_orders
+FROM orders
+JOIN customer ON o_custkey = c_custkey
+JOIN nation   ON c_nationkey = n_nationkey
+JOIN region   ON n_regionkey = r_regionkey
+GROUP BY r_name, o_orderstatus
+ORDER BY r_name, o_orderstatus
+""",
+)
+
+sql_query(
+    "subquery_in_uncorrelated",
+    """
+SELECT o_orderkey, o_totalprice
+FROM orders
+WHERE o_custkey IN (SELECT c_custkey FROM customer WHERE c_mktsegment = 'AUTOMOBILE')
+  AND o_totalprice > 250000
+ORDER BY o_orderkey
+""",
+)
+
+sql_query(
+    "subquery_scalar_agg",
+    """
+SELECT o_orderkey, o_totalprice
+FROM orders
+WHERE o_totalprice > (SELECT CAST(SUM(CAST(o_totalprice AS DECIMAL(38,6))) AS DOUBLE)
+                             / COUNT(*) * 2.5 FROM orders)
+ORDER BY o_orderkey
+""",
+)

@@ -1,1 +1,280 @@
-"""(placeholder — filled in as operators land)"""
+"""Scalar-function families (SURVEY.md §2.B scalar functions).
+
+One declared query per family: string, date/time, math, conditional,
+array, map, JSON. Where Spark and DuckDB dialects diverge (function
+names, log base, JSON operators) the oracle SQL is written separately;
+semantics are what's compared.
+
+All functions here are JVM-side Catalyst expressions inside
+whole-stage codegen — no Python in the hot path.
+"""
+
+from __future__ import annotations
+
+from iceberg_metadata_pipeline_spark.queries import sql_query
+
+sql_query(
+    "fn_string_family",
+    """
+SELECT p_partkey,
+       concat(p_brand, ':', p_type) AS brand_type,
+       lower(p_name) AS name_lc,
+       upper(p_brand) AS brand_uc,
+       substr(p_name, 1, 5) AS name5,
+       length(p_name) AS name_len,
+       trim('  ' || p_brand || ' ') AS brand_trim,
+       replace(p_type, ' ', '_') AS type_us,
+       lpad(CAST(p_size AS STRING), 4, '0') AS size_pad,
+       split(p_name, ' ')[0] AS first_word,
+       regexp_extract(p_type, '^(\\\\w+)', 1) AS type_head,
+       contains(p_name, 'gold') AS has_gold,
+       startswith(p_type, 'SMALL') AS is_small,
+       reverse(p_brand) AS brand_rev
+FROM part
+ORDER BY p_partkey
+""",
+    oracle="""
+SELECT p_partkey,
+       concat(p_brand, ':', p_type) AS brand_type,
+       lower(p_name) AS name_lc,
+       upper(p_brand) AS brand_uc,
+       substr(p_name, 1, 5) AS name5,
+       length(p_name) AS name_len,
+       trim('  ' || p_brand || ' ') AS brand_trim,
+       replace(p_type, ' ', '_') AS type_us,
+       lpad(CAST(p_size AS VARCHAR), 4, '0') AS size_pad,
+       string_split(p_name, ' ')[1] AS first_word,
+       regexp_extract(p_type, '^(\\w+)', 1) AS type_head,
+       contains(p_name, 'gold') AS has_gold,
+       starts_with(p_type, 'SMALL') AS is_small,
+       reverse(p_brand) AS brand_rev
+FROM part
+ORDER BY p_partkey
+""",
+)
+
+sql_query(
+    "fn_datetime_family",
+    """
+SELECT o_orderkey,
+       year(o_orderdate) AS yr,
+       month(o_orderdate) AS mo,
+       day(o_orderdate) AS dom,
+       quarter(o_orderdate) AS qtr,
+       date_trunc('month', o_orderdate) AS month_start,
+       date_trunc('week', o_orderdate) AS week_start,
+       unix_timestamp(o_orderdate) AS epoch_s,
+       date_format(o_orderdate, 'yyyy-MM') AS ym,
+       o_orderdate + INTERVAL 30 DAYS AS due_date,
+       CAST(o_orderdate AS DATE) AS order_day,
+       datediff(TIMESTAMP '2002-01-01 00:00:00', o_orderdate) AS days_to_2002
+FROM orders
+ORDER BY o_orderkey
+""",
+    oracle="""
+SELECT o_orderkey,
+       year(o_orderdate) AS yr,
+       month(o_orderdate) AS mo,
+       day(o_orderdate) AS dom,
+       quarter(o_orderdate) AS qtr,
+       CAST(date_trunc('month', o_orderdate) AS TIMESTAMP) AS month_start,
+       CAST(date_trunc('week', o_orderdate) AS TIMESTAMP) AS week_start,
+       CAST(epoch(o_orderdate) AS BIGINT) AS epoch_s,
+       strftime(o_orderdate, '%Y-%m') AS ym,
+       o_orderdate + INTERVAL 30 DAY AS due_date,
+       CAST(o_orderdate AS DATE) AS order_day,
+       datediff('day', CAST(o_orderdate AS DATE), DATE '2002-01-01') AS days_to_2002
+FROM orders
+ORDER BY o_orderkey
+""",
+)
+
+sql_query(
+    "fn_math_family",
+    """
+SELECT l_orderkey, l_linenumber,
+       round(l_extendedprice / 7, 2) AS div_round,
+       abs(l_discount - 0.05) AS abs_diff,
+       l_quantity * l_quantity AS qty_sq,
+       round(ln(l_extendedprice), 9) AS log_price,
+       round(log10(l_extendedprice), 9) AS log10_price,
+       sqrt(l_quantity) AS qty_sqrt,
+       CAST(floor(l_extendedprice / 1000) AS BIGINT) AS price_k_floor,
+       CAST(ceil(l_extendedprice / 1000) AS BIGINT) AS price_k_ceil,
+       pmod(l_orderkey, 7) AS key_mod,
+       sign(l_discount - 0.05) AS disc_sign,
+       greatest(l_quantity, 25.0) AS qty_floor25,
+       least(l_quantity, 25.0) AS qty_cap25
+FROM lineitem
+ORDER BY l_orderkey, l_linenumber
+""",
+    oracle="""
+SELECT l_orderkey, l_linenumber,
+       round(l_extendedprice / 7, 2) AS div_round,
+       abs(l_discount - 0.05) AS abs_diff,
+       l_quantity * l_quantity AS qty_sq,
+       round(ln(l_extendedprice), 9) AS log_price,
+       round(log10(l_extendedprice), 9) AS log10_price,
+       sqrt(l_quantity) AS qty_sqrt,
+       CAST(floor(l_extendedprice / 1000) AS BIGINT) AS price_k_floor,
+       CAST(ceil(l_extendedprice / 1000) AS BIGINT) AS price_k_ceil,
+       CAST(l_orderkey % 7 AS BIGINT) AS key_mod,
+       CAST(sign(l_discount - 0.05) AS DOUBLE) AS disc_sign,
+       greatest(l_quantity, 25.0) AS qty_floor25,
+       least(l_quantity, 25.0) AS qty_cap25
+FROM lineitem
+ORDER BY l_orderkey, l_linenumber
+""",
+)
+
+sql_query(
+    "fn_conditional_family",
+    """
+SELECT c_custkey,
+       coalesce(NULLIF(c_mktsegment, 'BUILDING'), 'REDACTED') AS seg_masked,
+       nullif(c_nationkey, 0) AS natkey_nz,
+       nvl(NULLIF(c_name, c_name), 'anon') AS always_anon,
+       if(c_acctbal < 0, 'debt', 'credit') AS bal_class
+FROM customer
+ORDER BY c_custkey
+""",
+    oracle="""
+SELECT c_custkey,
+       coalesce(NULLIF(c_mktsegment, 'BUILDING'), 'REDACTED') AS seg_masked,
+       nullif(c_nationkey, 0) AS natkey_nz,
+       coalesce(NULLIF(c_name, c_name), 'anon') AS always_anon,
+       CASE WHEN c_acctbal < 0 THEN 'debt' ELSE 'credit' END AS bal_class
+FROM customer
+ORDER BY c_custkey
+""",
+)
+
+sql_query(
+    "fn_array_family",
+    """
+SELECT vec_id,
+       size(embedding) AS dim,
+       element_at(embedding, 1) AS first_elem,
+       element_at(embedding, -1) AS last_elem,
+       aggregate(CAST(slice(embedding, 1, 8) AS ARRAY<DOUBLE>),
+                 CAST(0 AS DOUBLE), (acc, x) -> acc + x) AS head8_sum,
+       array_contains(array(1, 2, 3), label) AS label_in_123,
+       size(array_distinct(array(label, label, 0))) AS n_distinct_small,
+       sort_array(array(label, 0, 9)) AS sorted_small
+FROM embeddings
+ORDER BY vec_id
+""",
+    oracle="""
+SELECT vec_id,
+       len(embedding) AS dim,
+       embedding[1] AS first_elem,
+       embedding[-1] AS last_elem,
+       list_reduce(list_transform(embedding[1:8], x -> CAST(x AS DOUBLE)),
+                   (acc, x) -> acc + x) AS head8_sum,
+       list_contains([1, 2, 3], label) AS label_in_123,
+       len(list_distinct([label, label, 0])) AS n_distinct_small,
+       list_sort([label, 0, 9]) AS sorted_small
+FROM embeddings
+ORDER BY vec_id
+""",
+)
+
+sql_query(
+    "fn_array_explode",
+    """
+SELECT doc_id, word, count(*) AS n
+FROM documents
+LATERAL VIEW explode(split(text, ' ')) t AS word
+WHERE doc_id < 20
+GROUP BY doc_id, word
+ORDER BY doc_id, word
+""",
+    oracle="""
+SELECT doc_id, word, count(*) AS n
+FROM documents, unnest(string_split(text, ' ')) AS t(word)
+WHERE doc_id < 20
+GROUP BY doc_id, word
+ORDER BY doc_id, word
+""",
+)
+
+sql_query(
+    "fn_map_family",
+    """
+SELECT o_orderkey,
+       element_at(map('status', o_orderstatus, 'prio', o_orderpriority), 'status') AS status_v,
+       element_at(map('status', o_orderstatus, 'prio', o_orderpriority), 'prio') AS prio_v,
+       size(map('a', 1, 'b', 2)) AS map_sz
+FROM orders
+ORDER BY o_orderkey
+""",
+    oracle="""
+SELECT o_orderkey,
+       MAP {'status': o_orderstatus, 'prio': o_orderpriority}['status'][1] AS status_v,
+       MAP {'status': o_orderstatus, 'prio': o_orderpriority}['prio'][1] AS prio_v,
+       cardinality(MAP {'a': 1, 'b': 2}) AS map_sz
+FROM orders
+ORDER BY o_orderkey
+""",
+)
+
+sql_query(
+    "fn_json_family",
+    # events.props is a JSON string like {"k": 42}
+    """
+SELECT event_id,
+       CAST(get_json_object(props, '$.k') AS BIGINT) AS k_extracted,
+       from_json(props, 'k BIGINT').k AS k_struct
+FROM events
+ORDER BY event_id
+""",
+    oracle="""
+SELECT event_id,
+       CAST(props->>'$.k' AS BIGINT) AS k_extracted,
+       CAST(props->>'$.k' AS BIGINT) AS k_struct
+FROM events
+ORDER BY event_id
+""",
+)
+
+sql_query(
+    "fn_struct_nested",
+    """
+SELECT o_orderkey,
+       named_struct('key', o_orderkey, 'price', o_totalprice).price AS s_price,
+       struct(o_orderstatus, o_orderpriority).o_orderstatus AS s_status
+FROM orders
+ORDER BY o_orderkey
+""",
+    oracle="""
+SELECT o_orderkey,
+       {'key': o_orderkey, 'price': o_totalprice}.price AS s_price,
+       {'o_orderstatus': o_orderstatus, 'o_orderpriority': o_orderpriority}.o_orderstatus AS s_status
+FROM orders
+ORDER BY o_orderkey
+""",
+)
+
+sql_query(
+    "fn_cast_family",
+    """
+SELECT l_orderkey,
+       CAST(l_quantity AS INT) AS qty_int,
+       CAST(l_extendedprice AS DECIMAL(18,2)) AS price_dec,
+       CAST(l_orderkey AS STRING) AS key_str,
+       CAST(CAST(l_shipdate AS DATE) AS STRING) AS ship_str,
+       try_cast(l_returnflag AS INT) AS flag_as_int
+FROM lineitem
+ORDER BY l_orderkey, l_linenumber
+""",
+    oracle="""
+SELECT l_orderkey,
+       CAST(l_quantity AS INT) AS qty_int,
+       CAST(l_extendedprice AS DECIMAL(18,2)) AS price_dec,
+       CAST(l_orderkey AS VARCHAR) AS key_str,
+       CAST(CAST(l_shipdate AS DATE) AS VARCHAR) AS ship_str,
+       try_cast(l_returnflag AS INT) AS flag_as_int
+FROM lineitem
+ORDER BY l_orderkey, l_linenumber
+""",
+)

@@ -1,1 +1,148 @@
-"""(placeholder — filled in as operators land)"""
+"""Window-function surface (SURVEY.md §2.B windows).
+
+Full ranking / analytic / frame-aggregate families the reference serves
+via Spark SQL. Every window ORDER BY includes a unique tiebreaker so
+results are total-ordered and oracle-deterministic.
+
+Scale notes (100 TB): a window shuffles once on partitionBy keys; frames
+are evaluated with a single sort per partition. Skewed partition keys are
+the hazard (one giant user swamping an executor) — the mitigation is
+either pre-aggregation before the window or AQE skew handling; a window
+with NO partitionBy (global sort) is flagged in tests as an anti-pattern
+at scale.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window as W
+
+from iceberg_metadata_pipeline_spark.queries import query, sql_query
+from iceberg_metadata_pipeline_spark.session import load_tables
+
+
+@query(
+    "window_topk_per_group",
+    """
+SELECT * FROM (
+  SELECT o_custkey, o_orderkey, o_totalprice,
+         ROW_NUMBER() OVER (PARTITION BY o_custkey
+                            ORDER BY o_totalprice DESC, o_orderkey) AS rn
+  FROM orders
+) t WHERE rn <= 3
+ORDER BY o_custkey, rn
+""",
+)
+def window_topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-K per group — the canonical pattern replacing per-group sorts;
+    at scale Spark pushes a per-partition top-K (WindowGroupLimit) before
+    the shuffle, so only K rows per group per partition move."""
+    o = load_tables(spark, sf_dir)["orders"]
+    w = W.partitionBy("o_custkey").orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
+    return (
+        o.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 3)
+        .select("o_custkey", "o_orderkey", "o_totalprice", "rn")
+        .orderBy("o_custkey", "rn")
+    )
+
+
+sql_query(
+    "window_rank_dense_ntile",
+    """
+SELECT c_custkey, c_mktsegment, c_acctbal,
+       RANK()       OVER (PARTITION BY c_mktsegment ORDER BY c_acctbal DESC, c_custkey) AS rnk,
+       DENSE_RANK() OVER (PARTITION BY c_mktsegment ORDER BY c_acctbal DESC, c_custkey) AS drnk,
+       NTILE(4)     OVER (PARTITION BY c_mktsegment ORDER BY c_acctbal DESC, c_custkey) AS quartile
+FROM customer
+ORDER BY c_mktsegment, rnk, c_custkey
+""",
+)
+
+sql_query(
+    "window_lag_lead",
+    """
+SELECT o_custkey, o_orderkey, o_orderdate,
+       LAG(o_orderdate)  OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) AS prev_date,
+       LEAD(o_orderdate) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) AS next_date,
+       LAG(o_totalprice, 1, 0.0) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) AS prev_price
+FROM orders
+ORDER BY o_custkey, o_orderdate, o_orderkey
+""",
+)
+
+
+@query(
+    "window_running_sum_rows",
+    """
+SELECT o_custkey, o_orderkey,
+  CAST(SUM(CAST(o_totalprice AS DECIMAL(38,6)))
+       OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS running_total
+FROM orders
+ORDER BY o_custkey, o_orderkey
+""",
+)
+def window_running_sum_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Running total with an explicit ROWS frame (decimal-accumulated)."""
+    o = load_tables(spark, sf_dir)["orders"]
+    w = (
+        W.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    return o.select(
+        "o_custkey",
+        "o_orderkey",
+        F.sum(F.col("o_totalprice").cast("decimal(38,6)")).over(w).cast("double").alias("running_total"),
+    ).orderBy("o_custkey", "o_orderkey")
+
+
+sql_query(
+    "window_sliding_frame",
+    """
+SELECT o_custkey, o_orderkey,
+  CAST(SUM(CAST(o_totalprice AS DECIMAL(38,6))) OVER w AS DOUBLE)
+    / COUNT(*) OVER w AS moving_avg3
+FROM orders
+WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+             ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)
+ORDER BY o_custkey, o_orderkey
+""",
+)
+
+sql_query(
+    "window_range_frame",
+    """
+SELECT c_mktsegment, c_custkey, c_acctbal,
+       COUNT(*) OVER (PARTITION BY c_mktsegment ORDER BY c_acctbal
+                      RANGE BETWEEN 500 PRECEDING AND CURRENT ROW) AS n_within_500
+FROM customer
+ORDER BY c_mktsegment, c_acctbal, c_custkey
+""",
+)
+
+sql_query(
+    "window_first_last_value",
+    """
+SELECT o_custkey, o_orderkey,
+       FIRST_VALUE(o_orderkey) OVER w AS first_order,
+       LAST_VALUE(o_orderkey)  OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                                     ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS last_order
+FROM orders
+WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+ORDER BY o_custkey, o_orderkey
+""",
+)
+
+sql_query(
+    "window_cume_percent",
+    """
+SELECT c_custkey, c_acctbal,
+       CUME_DIST()    OVER (ORDER BY c_acctbal, c_custkey) AS cd,
+       PERCENT_RANK() OVER (ORDER BY c_acctbal, c_custkey) AS pr
+FROM customer
+ORDER BY c_custkey
+""",
+)
