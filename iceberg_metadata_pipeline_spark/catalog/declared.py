@@ -1,1 +1,86 @@
-"""(placeholder — filled in as operators land)"""
+"""Declared queries for catalog/table operations (SURVEY.md §2.B
+metadata surface + §7.4): time travel, snapshot metadata tables,
+introspection. DuckDB cannot see our catalog metadata, so only the
+data-visible outcomes get SQL oracles; pure-metadata results are
+rows-only here and exhaustively asserted in tests/test_catalog.py.
+"""
+
+from __future__ import annotations
+
+import tempfile
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from iceberg_metadata_pipeline_spark.catalog.metacat import Catalog
+from iceberg_metadata_pipeline_spark.queries import query
+from iceberg_metadata_pipeline_spark.session import load_tables
+
+
+def _two_snapshot_table(spark: SparkSession, sf_dir: str):
+    """customer split into two append snapshots (even keys, then odd)."""
+    customer = load_tables(spark, sf_dir)["customer"]
+    catalog = Catalog(spark, tempfile.mkdtemp(prefix="warehouse-tt-"))
+    table = catalog.create_table("nyc", "customer_tt", customer.schema)
+    snap1 = table.append_dataframe(customer.filter(F.col("c_custkey") % 2 == 0))
+    snap2 = table.append_dataframe(customer.filter(F.col("c_custkey") % 2 == 1))
+    return table, snap1, snap2
+
+
+@query(
+    "catalog_time_travel",
+    """
+SELECT
+  COUNT(*) FILTER (WHERE c_custkey % 2 = 0) AS n_snap1,
+  COUNT(*) AS n_snap2,
+  CAST(SUM(CAST(c_acctbal AS DECIMAL(38,6))) FILTER (WHERE c_custkey % 2 = 0) AS DOUBLE) AS bal_snap1,
+  CAST(SUM(CAST(c_acctbal AS DECIMAL(38,6))) AS DOUBLE) AS bal_snap2
+FROM customer
+""",
+)
+def catalog_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """VERSION AS OF semantics: a scan pinned to snapshot 1 sees only the
+    first append; the current scan sees both. Oracle reconstructs both
+    states from the raw fixture."""
+    table, snap1, _snap2 = _two_snapshot_table(spark, sf_dir)
+    at1 = table.scan(snapshot_id=snap1).agg(
+        F.count(F.lit(1)).alias("n_snap1"),
+        F.sum(F.col("c_acctbal").cast("decimal(38,6)")).cast("double").alias("bal_snap1"),
+    )
+    at2 = table.scan().agg(
+        F.count(F.lit(1)).alias("n_snap2"),
+        F.sum(F.col("c_acctbal").cast("decimal(38,6)")).cast("double").alias("bal_snap2"),
+    )
+    return at1.crossJoin(at2).select("n_snap1", "n_snap2", "bal_snap1", "bal_snap2")
+
+
+@query("catalog_metadata_tables", None)  # metadata-only → rows-only check
+def catalog_metadata_tables(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The `t.snapshots` / `t.files` / `t.history` metadata-table surface
+    (SURVEY.md §2.B — the reference's 'metadata pipeline' query surface).
+    Returns the snapshots view of a two-commit table; schemas and
+    invariants are asserted in tests/test_catalog.py."""
+    table, _s1, _s2 = _two_snapshot_table(spark, sf_dir)
+    return table.snapshots_df().select(
+        "snapshot_id", "parent_snapshot_id", "operation", "n_files", "total_records"
+    )
+
+
+@query(
+    "catalog_file_prune_scan",
+    """
+SELECT COUNT(*) AS n,
+  CAST(SUM(CAST(c_acctbal AS DECIMAL(38,6))) AS DOUBLE) AS bal
+FROM customer WHERE c_custkey % 2 = 0
+""",
+)
+def catalog_file_prune_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Manifest-style file pruning: with even/odd keys in separate files, a
+    filter that excludes one file's [min,max] range must still return exact
+    results (pruning is transparent)."""
+    table, _s1, _s2 = _two_snapshot_table(spark, sf_dir)
+    df = table.scan(filter="c_custkey % 2 = 0")
+    return df.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("c_acctbal").cast("decimal(38,6)")).cast("double").alias("bal"),
+    )

@@ -1,0 +1,421 @@
+"""Parquet-backed snapshot catalog with Iceberg-style semantics.
+
+The reference registers raw parquet folders as Iceberg tables in a
+HadoopCatalog at file:///warehouse — metadata-only appends, data files
+never rewritten (ImportParquetFolders.java:102-117), one atomic commit
+per folder, snapshot history, and Spark-visible metadata tables.
+
+The Iceberg runtime jar is unavailable in this environment, so this module
+re-expresses the same semantics Spark-natively: a directory layout mirroring
+the Hadoop catalog (``<warehouse>/<namespace>/<table>/metadata/v{N}.metadata.json``
++ ``version-hint.text``), JSON table metadata with a snapshot log, and scans
+that reconstruct a DataFrame from the registered file list via
+``spark.read.schema(...).parquet(*files)``. Capabilities mapped:
+
+- metadata-only file registration  → ``Table.append_files``  (A10)
+- create-or-load idempotent ingest → ``Catalog.create_table`` (A9)
+- namespace ensure                 → ``Catalog.ensure_namespace`` (A7)
+- snapshot / time travel           → ``Table.scan(snapshot_id=, as_of_ms=)``
+- metadata tables                  → ``Table.snapshots_df/files_df/history_df``
+- drop with purge                  → ``Catalog.drop_table`` (A12)
+- compaction (rewrite_data_files)  → ``Table.rewrite_data_files``
+
+Scale notes (100 TB): the metadata JSON holds O(#files) entries — at
+100 TB / 256 MB files that is ~400k entries, fine for JSON on a driver;
+real Iceberg shards this into avro manifests for manifest-level pruning.
+Scans pass the full file list to the DataSource, and Spark still applies
+parquet row-group pruning per file; min/max file-level pruning is layered
+in ``Table.scan(filter=...)`` using the per-file column stats captured at
+registration (the same stats ImportParquetFolders registers via
+DataFiles.Builder.withMetrics).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+import uuid
+from dataclasses import dataclass, field
+from typing import Any
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+
+@dataclass
+class DataFileEntry:
+    path: str
+    record_count: int
+    file_size_bytes: int
+    format: str = "PARQUET"
+    # optional per-column min/max stats for file-level pruning
+    stats: dict[str, Any] = field(default_factory=dict)
+
+    def to_json(self) -> dict:
+        return {
+            "path": self.path,
+            "record_count": self.record_count,
+            "file_size_bytes": self.file_size_bytes,
+            "format": self.format,
+            "stats": self.stats,
+        }
+
+    @staticmethod
+    def from_json(d: dict) -> "DataFileEntry":
+        return DataFileEntry(
+            d["path"], d["record_count"], d["file_size_bytes"], d.get("format", "PARQUET"),
+            d.get("stats", {}),
+        )
+
+
+class Table:
+    """One catalog table: schema + snapshot log over immutable data files."""
+
+    def __init__(self, spark: SparkSession, location: str, meta: dict):
+        self.spark = spark
+        self.location = location
+        self.meta = meta
+
+    # -- metadata access ---------------------------------------------------
+    @property
+    def schema(self) -> T.StructType:
+        return T.StructType.fromJson(self.meta["schema"])
+
+    @property
+    def properties(self) -> dict:
+        return self.meta.setdefault("properties", {})
+
+    @property
+    def current_snapshot(self) -> dict | None:
+        sid = self.meta.get("current_snapshot_id")
+        if sid is None:
+            return None
+        return next(s for s in self.meta["snapshots"] if s["snapshot_id"] == sid)
+
+    def snapshot_files(self, snapshot_id: int | None = None, as_of_ms: int | None = None) -> list[DataFileEntry]:
+        snaps = self.meta["snapshots"]
+        if snapshot_id is not None:
+            snap = next((s for s in snaps if s["snapshot_id"] == snapshot_id), None)
+            if snap is None:
+                raise ValueError(f"no snapshot {snapshot_id}")
+        elif as_of_ms is not None:
+            eligible = [s for s in snaps if s["timestamp_ms"] <= as_of_ms]
+            if not eligible:
+                return []
+            snap = max(eligible, key=lambda s: s["timestamp_ms"])
+        else:
+            snap = self.current_snapshot
+            if snap is None:
+                return []
+        return [DataFileEntry.from_json(f) for f in snap["manifest"]]
+
+    # -- commits -----------------------------------------------------------
+    def _commit(self, operation: str, manifest: list[DataFileEntry]) -> int:
+        parent = self.meta.get("current_snapshot_id")
+        snapshot_id = int(uuid.uuid4().int % (1 << 62))
+        self.meta["snapshots"].append(
+            {
+                "snapshot_id": snapshot_id,
+                "parent_snapshot_id": parent,
+                "timestamp_ms": int(time.time() * 1000),
+                "operation": operation,
+                "manifest": [f.to_json() for f in manifest],
+            }
+        )
+        self.meta["current_snapshot_id"] = snapshot_id
+        _write_metadata(self.location, self.meta)
+        return snapshot_id
+
+    def append_files(self, files: list[DataFileEntry], dedupe: bool = True) -> int:
+        """Metadata-only append: one atomic commit registering data files
+        in place (zero data movement — ImportParquetFolders.java:102-117).
+
+        Unlike the reference (which re-appends on every run), re-registering
+        an already-present path is skipped when ``dedupe`` — re-running an
+        import is then a no-op rather than silent row duplication.
+        """
+        current = self.snapshot_files()
+        known = {f.path for f in current}
+        new = [f for f in files if not (dedupe and f.path in known)]
+        if not new:
+            return self.meta.get("current_snapshot_id") or self._commit("append", current)
+        return self._commit("append", current + new)
+
+    def append_dataframe(self, df: DataFrame) -> int:
+        """Write-and-register: materialize df as parquet under the table's
+        data dir, then commit (the df.writeTo(...).append() analogue)."""
+        data_dir = os.path.join(self.location, "data", uuid.uuid4().hex[:12])
+        df.write.mode("errorifexists").parquet(data_dir)
+        return self.append_files(scan_parquet_footers(data_dir), dedupe=False)
+
+    def rewrite_data_files(self, target_num_files: int = 1) -> int:
+        """Compaction: read current snapshot, rewrite as N files, commit a
+        'replace' snapshot (Iceberg rewrite_data_files; reference's offline
+        N→1 analogue is aggregate_parquet.py). Old files stay on disk owned
+        by older snapshots until expire_snapshots."""
+        df = self.scan()
+        data_dir = os.path.join(self.location, "data", "compact-" + uuid.uuid4().hex[:12])
+        df.coalesce(target_num_files).write.mode("errorifexists").parquet(data_dir)
+        return self._commit("replace", scan_parquet_footers(data_dir))
+
+    def expire_snapshots(self, keep_last: int = 1) -> list[str]:
+        """Drop all but the last N snapshots; return orphaned file paths
+        (files referenced only by expired snapshots)."""
+        snaps = sorted(self.meta["snapshots"], key=lambda s: s["timestamp_ms"])
+        keep, drop = snaps[-keep_last:], snaps[:-keep_last]
+        live = {f["path"] for s in keep for f in s["manifest"]}
+        orphaned = sorted(
+            {f["path"] for s in drop for f in s["manifest"]} - live
+        )
+        self.meta["snapshots"] = keep
+        _write_metadata(self.location, self.meta)
+        return orphaned
+
+    # -- reads -------------------------------------------------------------
+    def scan(
+        self,
+        snapshot_id: int | None = None,
+        as_of_ms: int | None = None,
+        filter: str | None = None,
+    ) -> DataFrame:
+        """Snapshot-isolated scan. File-level min/max pruning is applied for
+        simple ``col <op> literal`` filters before Spark ever lists the
+        files (the manifest-pruning analogue); the filter is also applied
+        to the DataFrame so Spark pushes it into row-group pruning."""
+        files = self.snapshot_files(snapshot_id, as_of_ms)
+        if filter is not None:
+            files = _prune_by_stats(files, filter)
+        if not files:
+            return self.spark.createDataFrame([], self.schema)
+        df = self.spark.read.schema(self.schema).parquet(*[f.path for f in files])
+        if filter is not None:
+            df = df.filter(filter)
+        return df
+
+    # -- metadata tables ---------------------------------------------------
+    def snapshots_df(self) -> DataFrame:
+        rows = [
+            (
+                s["snapshot_id"],
+                s["parent_snapshot_id"],
+                s["timestamp_ms"],
+                s["operation"],
+                len(s["manifest"]),
+                int(sum(f["record_count"] for f in s["manifest"])),
+            )
+            for s in self.meta["snapshots"]
+        ]
+        return self.spark.createDataFrame(
+            rows,
+            "snapshot_id long, parent_snapshot_id long, timestamp_ms long, "
+            "operation string, n_files int, total_records long",
+        )
+
+    def files_df(self) -> DataFrame:
+        rows = [
+            (f.path, f.record_count, f.file_size_bytes, f.format)
+            for f in self.snapshot_files()
+        ]
+        return self.spark.createDataFrame(
+            rows, "file_path string, record_count long, file_size_bytes long, file_format string"
+        )
+
+    def history_df(self) -> DataFrame:
+        cur = self.meta.get("current_snapshot_id")
+        rows = [
+            (s["timestamp_ms"], s["snapshot_id"], s["parent_snapshot_id"], s["snapshot_id"] == cur)
+            for s in self.meta["snapshots"]
+        ]
+        return self.spark.createDataFrame(
+            rows, "made_current_at long, snapshot_id long, parent_id long, is_current boolean"
+        )
+
+
+class Catalog:
+    """Hadoop-style warehouse-directory catalog (namespace/table/metadata)."""
+
+    def __init__(self, spark: SparkSession, warehouse: str):
+        self.spark = spark
+        self.warehouse = warehouse
+        os.makedirs(warehouse, exist_ok=True)
+
+    # -- namespaces (A7) ---------------------------------------------------
+    def ensure_namespace(self, namespace: str) -> None:
+        os.makedirs(os.path.join(self.warehouse, namespace), exist_ok=True)
+
+    def list_namespaces(self) -> list[str]:
+        return sorted(
+            d for d in os.listdir(self.warehouse)
+            if os.path.isdir(os.path.join(self.warehouse, d))
+        )
+
+    # -- tables ------------------------------------------------------------
+    def _table_location(self, namespace: str, name: str) -> str:
+        return os.path.join(self.warehouse, namespace, name)
+
+    def table_exists(self, namespace: str, name: str) -> bool:
+        return os.path.exists(
+            os.path.join(self._table_location(namespace, name), "metadata", "version-hint.text")
+        )
+
+    def create_table(
+        self,
+        namespace: str,
+        name: str,
+        schema: T.StructType,
+        properties: dict | None = None,
+        or_load: bool = True,
+    ) -> Table:
+        """Create-or-load (idempotent ingest, ImportParquetFolders.java:94-100).
+        Tables are unpartitioned, matching the reference (java:99)."""
+        self.ensure_namespace(namespace)
+        loc = self._table_location(namespace, name)
+        if self.table_exists(namespace, name):
+            if not or_load:
+                raise FileExistsError(f"table {namespace}.{name} exists")
+            return self.load_table(namespace, name)
+        meta = {
+            "format_version": 1,
+            "table_uuid": str(uuid.uuid4()),
+            "location": loc,
+            "schema": schema.jsonValue(),
+            "properties": properties or {},
+            "snapshots": [],
+            "current_snapshot_id": None,
+        }
+        _write_metadata(loc, meta, first=True)
+        return Table(self.spark, loc, meta)
+
+    def load_table(self, namespace: str, name: str) -> Table:
+        loc = self._table_location(namespace, name)
+        meta_dir = os.path.join(loc, "metadata")
+        with open(os.path.join(meta_dir, "version-hint.text")) as fh:
+            version = int(fh.read().strip())
+        with open(os.path.join(meta_dir, f"v{version}.metadata.json")) as fh:
+            meta = json.load(fh)
+        return Table(self.spark, loc, meta)
+
+    def drop_table(self, namespace: str, name: str, purge: bool = False) -> bool:
+        """DROP TABLE [PURGE] (A12). purge deletes data files owned by the
+        table (those under its location); externally-registered files are
+        never deleted — they were not copied in, so they are not ours."""
+        import shutil
+
+        loc = self._table_location(namespace, name)
+        if not os.path.exists(loc):
+            return False
+        if purge:
+            shutil.rmtree(loc)
+        else:
+            shutil.rmtree(os.path.join(loc, "metadata"), ignore_errors=True)
+            if not os.listdir(loc) if os.path.exists(loc) else False:
+                os.rmdir(loc)
+        return True
+
+    def list_tables(self, namespace: str) -> list[str]:
+        ns_dir = os.path.join(self.warehouse, namespace)
+        if not os.path.isdir(ns_dir):
+            return []
+        return sorted(
+            d
+            for d in os.listdir(ns_dir)
+            if os.path.exists(os.path.join(ns_dir, d, "metadata", "version-hint.text"))
+        )
+
+
+# -- helpers ----------------------------------------------------------------
+
+
+def _write_metadata(location: str, meta: dict, first: bool = False) -> None:
+    """Version-numbered metadata file + version hint, written via rename for
+    single-writer atomicity (the HadoopTableOperations commit protocol)."""
+    meta_dir = os.path.join(location, "metadata")
+    os.makedirs(meta_dir, exist_ok=True)
+    hint_path = os.path.join(meta_dir, "version-hint.text")
+    version = 1
+    if not first and os.path.exists(hint_path):
+        with open(hint_path) as fh:
+            version = int(fh.read().strip()) + 1
+    target = os.path.join(meta_dir, f"v{version}.metadata.json")
+    tmp = target + ".tmp"
+    with open(tmp, "w") as fh:
+        json.dump(meta, fh, indent=1)
+    os.rename(tmp, target)
+    tmp_hint = hint_path + ".tmp"
+    with open(tmp_hint, "w") as fh:
+        fh.write(str(version))
+    os.rename(tmp_hint, hint_path)
+
+
+def scan_parquet_footers(root: str) -> list[DataFileEntry]:
+    """Per-file footer metadata (rowcount/size + column min/max stats) —
+    the rowCount() footer read of ImportParquetFolders.java:141-146, plus
+    the column metrics Iceberg derives for manifest pruning."""
+    import pyarrow.parquet as pq
+
+    from iceberg_metadata_pipeline_spark.ingest.discover import find_parquet_files
+
+    entries = []
+    for path in find_parquet_files(root):
+        md = pq.ParquetFile(path).metadata
+        stats: dict[str, list] = {}
+        for rg in range(md.num_row_groups):
+            rgm = md.row_group(rg)
+            for ci in range(rgm.num_columns):
+                col = rgm.column(ci)
+                st = col.statistics
+                if st is None or not st.has_min_max:
+                    continue
+                cname = col.path_in_schema
+                mn, mx = st.min, st.max
+                if isinstance(mn, bytes) or isinstance(mx, bytes):
+                    continue  # binary stats not comparable portably
+                if hasattr(mn, "isoformat"):
+                    mn, mx = mn.isoformat(), mx.isoformat()
+                if cname in stats:
+                    stats[cname] = [min(stats[cname][0], mn), max(stats[cname][1], mx)]
+                else:
+                    stats[cname] = [mn, mx]
+        entries.append(
+            DataFileEntry(path, md.num_rows, os.path.getsize(path), "PARQUET", stats)
+        )
+    return entries
+
+
+_OPS = ["<=", ">=", "<", ">", "="]
+
+
+def _prune_by_stats(files: list[DataFileEntry], filter_expr: str) -> list[DataFileEntry]:
+    """Min/max file pruning for a single `col OP literal` conjunct. Anything
+    unparseable keeps all files (pruning is an optimization, never required
+    for correctness)."""
+    import re
+
+    m = re.match(r"^\s*(\w+)\s*(<=|>=|<|>|=)\s*('?)([\w.\- :]+)\3\s*$", filter_expr)
+    if not m:
+        return files
+    col, op, _, lit = m.groups()
+    out = []
+    for f in files:
+        st = f.stats.get(col)
+        if st is None:
+            out.append(f)
+            continue
+        mn, mx = st
+        try:
+            lit_v: Any = type(mn)(lit) if not isinstance(mn, str) else lit
+        except (TypeError, ValueError):
+            out.append(f)
+            continue
+        keep = {
+            "<": mn < lit_v,
+            "<=": mn <= lit_v,
+            ">": mx > lit_v,
+            ">=": mx >= lit_v,
+            "=": mn <= lit_v <= mx,
+        }[op]
+        if keep:
+            out.append(f)
+    return out

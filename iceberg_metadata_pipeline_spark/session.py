@@ -106,7 +106,7 @@ def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, "object"]:
         # nanosAsLong surfaces TIMESTAMP(NANOS) columns as epoch-nanos longs;
         # restore timestamp semantics (fixture sub-µs components are zero)
         if name == "events" and isinstance(df.schema["ts"].dataType, LongType):
-            df = df.withColumn("ts", F.timestamp_micros((F.col("ts") / 1000).cast("long")))
+            df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
         df.createOrReplaceTempView(name)
         out[name] = df
     return out

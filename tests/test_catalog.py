@@ -1,0 +1,155 @@
+"""Catalog/table-operation tests: idempotent ingest, snapshot isolation,
+metadata tables, time travel, expiry, fault isolation (SURVEY.md §2.A/§7.4)."""
+
+from __future__ import annotations
+
+import time
+
+import pytest
+from pyspark.sql import functions as F
+
+from iceberg_metadata_pipeline_spark.catalog.introspect import (
+    list_tables,
+    show_create_table,
+)
+from iceberg_metadata_pipeline_spark.catalog.metacat import Catalog
+from iceberg_metadata_pipeline_spark.ingest.register import (
+    import_data_root,
+    import_folder,
+    read_table,
+)
+
+
+@pytest.fixture()
+def catalog(spark, tmp_path):
+    return Catalog(spark, str(tmp_path / "warehouse"))
+
+
+def test_import_counters_end_to_end(spark, catalog, counters_dir):
+    report = import_data_root(spark, catalog, counters_dir)
+    assert [r.table for r in report.ok] == ["system_interface_counters"]  # lowercased
+    r = report.ok[0]
+    assert r.n_files == 3 and r.n_records == 1000
+
+    df = read_table(catalog, "nyc", "system_interface_counters")
+    assert dict(df.dtypes)["timestamp"] == "timestamp"  # sanitize property applied
+    assert df.count() == 1000
+
+    # namespaces: nyc + default both ensured (ImportParquetFolders.java:53-61)
+    assert set(catalog.list_namespaces()) >= {"nyc", "default"}
+    assert list_tables(catalog, "nyc") == ["system_interface_counters"]
+
+
+def test_reimport_is_idempotent(spark, catalog, counters_dir):
+    import_data_root(spark, catalog, counters_dir)
+    import_data_root(spark, catalog, counters_dir)  # re-run: no duplication
+    df = read_table(catalog, "nyc", "system_interface_counters")
+    assert df.count() == 1000
+    table = catalog.load_table("nyc", "system_interface_counters")
+    assert len(table.snapshot_files()) == 3
+
+
+def test_fault_isolation_and_empty_folders(spark, catalog, tmp_path):
+    root = tmp_path / "data"
+    (root / "good").mkdir(parents=True)
+    (root / "empty").mkdir()
+    (root / "bad").mkdir()
+    spark.range(10).write.parquet(str(root / "good" / "g"))
+    (root / "bad" / "corrupt.parquet").write_bytes(b"not parquet at all")
+
+    report = import_data_root(spark, catalog, str(root))
+    by_name = {r.table: r for r in report.results}
+    assert by_name["good"].ok and by_name["good"].n_records == 10
+    assert not by_name["bad"].ok and by_name["bad"].error  # isolated, not fatal
+    assert not by_name["empty"].ok and "skipped" in by_name["empty"].error
+    assert list_tables(catalog, "nyc") == ["good"]
+
+
+def test_snapshot_metadata_and_time_travel(spark, catalog):
+    df1 = spark.range(0, 100).select(F.col("id"), (F.col("id") * 2).alias("v"))
+    df2 = spark.range(100, 150).select(F.col("id"), (F.col("id") * 2).alias("v"))
+    t = catalog.create_table("nyc", "tt", df1.schema)
+    s1 = t.append_dataframe(df1)
+    t_ms_between = int(time.time() * 1000)
+    time.sleep(0.01)
+    s2 = t.append_dataframe(df2)
+
+    assert t.scan(snapshot_id=s1).count() == 100
+    assert t.scan().count() == 150
+    assert t.scan(as_of_ms=t_ms_between).count() == 100  # TIMESTAMP AS OF
+
+    snaps = t.snapshots_df().orderBy("timestamp_ms").collect()
+    assert [s["operation"] for s in snaps] == ["append", "append"]
+    assert snaps[1]["parent_snapshot_id"] == s1
+    assert snaps[-1]["snapshot_id"] == s2
+    assert snaps[-1]["total_records"] == 150
+
+    hist = t.history_df().collect()
+    assert sum(h["is_current"] for h in hist) == 1
+
+    files = t.files_df().collect()
+    assert all(f["record_count"] > 0 for f in files)
+    assert t.files_df().agg(F.sum("record_count")).first()[0] == 150
+
+
+def test_compaction_replace_snapshot(spark, catalog):
+    df = spark.range(1000).select("id", (F.col("id") % 7).alias("k"))
+    t = catalog.create_table("nyc", "cmp", df.schema)
+    t.append_dataframe(df.repartition(8))
+    assert len(t.snapshot_files()) == 8
+    t.rewrite_data_files(target_num_files=1)
+    assert len(t.snapshot_files()) == 1
+    assert t.scan().count() == 1000
+    ops = [s["operation"] for s in t.meta["snapshots"]]
+    assert ops[-1] == "replace"
+    # pre-compaction snapshot still readable (snapshot isolation)
+    first = t.meta["snapshots"][0]["snapshot_id"]
+    assert t.scan(snapshot_id=first).count() == 1000
+
+
+def test_expire_snapshots_orphans(spark, catalog):
+    df = spark.range(10)
+    t = catalog.create_table("nyc", "exp", df.schema)
+    t.append_dataframe(df)
+    old_files = {f.path for f in t.snapshot_files()}
+    t.rewrite_data_files(1)
+    orphaned = t.expire_snapshots(keep_last=1)
+    assert set(orphaned) == old_files  # replaced files now orphaned
+    assert len(t.meta["snapshots"]) == 1
+    assert t.scan().count() == 10
+
+
+def test_drop_purge_and_recreate(spark, catalog):
+    # A12 (src/archive/App.java:30-33): drop with purge, then recreate
+    df = spark.range(5)
+    t = catalog.create_table("nyc", "dp", df.schema)
+    t.append_dataframe(df)
+    assert catalog.drop_table("nyc", "dp", purge=True)
+    assert not catalog.table_exists("nyc", "dp")
+    t2 = catalog.create_table("nyc", "dp", df.schema, or_load=False)
+    assert t2.scan().count() == 0
+    assert not catalog.drop_table("nyc", "missing")
+
+
+def test_show_create_table(spark, catalog, counters_dir):
+    import_folder(spark, catalog, counters_dir + "/System_Interface_Counters")
+    ddl = show_create_table(catalog, "nyc", "system_interface_counters")
+    assert "CREATE TABLE nyc.system_interface_counters" in ddl
+    assert "timestamp DECIMAL(20,0)" in ddl
+    assert "'sanitize'='true'" in ddl
+
+
+def test_file_prune_by_stats(spark, catalog):
+    # two files with disjoint id ranges; filter must prune to one file but
+    # return exact results
+    t = catalog.create_table("nyc", "prune", spark.range(0).schema)
+    t.append_dataframe(spark.range(0, 100).coalesce(1))
+    t.append_dataframe(spark.range(1000, 1100).coalesce(1))
+    from iceberg_metadata_pipeline_spark.catalog.metacat import _prune_by_stats
+
+    files = t.snapshot_files()
+    assert len(_prune_by_stats(files, "id < 50")) == 1
+    assert len(_prune_by_stats(files, "id >= 1000")) == 1
+    assert len(_prune_by_stats(files, "some_garbage && filter")) == 2  # keep-all fallback
+    assert t.scan(filter="id < 50").count() == 50
+    assert t.scan(filter="id >= 1000").count() == 100

@@ -1,0 +1,88 @@
+"""Physical-plan assertions — the scale contract (SURVEY.md §4).
+
+Correctness says the answer is right; these say the *plan* is the one
+that survives 100 TB: filters pushed to parquet, projections pruned,
+dimensions broadcast, big-big joins sort-merge, top-k group-limited,
+whole-stage codegen covering the hot path.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+
+def plan_of(df) -> str:
+    return df._sc._jvm.PythonSQLUtils.explainString(df._jdf.queryExecution(), "formatted")
+
+
+@pytest.fixture(scope="module", autouse=True)
+def _load(spark, sf_dir):
+    from iceberg_metadata_pipeline_spark.session import load_tables
+
+    load_tables(spark, sf_dir)
+
+
+def test_filter_pushdown_and_column_pruning(spark, sf_dir):
+    from iceberg_metadata_pipeline_spark.queries.relational import (
+        project_prune_filter_pushdown,
+    )
+
+    plan = plan_of(project_prune_filter_pushdown(spark, sf_dir))
+    assert "PushedFilters: [IsNotNull(l_shipdate), LessThan(l_shipdate" in plan
+    # scan reads exactly the 3 referenced columns, not all 11
+    readschema = next(l for l in plan.splitlines() if "ReadSchema" in l)
+    assert "l_orderkey" in readschema and "l_shipdate" in readschema
+    assert "l_quantity" not in readschema and "l_partkey" not in readschema
+
+
+def test_dim_join_broadcasts(spark, sf_dir):
+    from iceberg_metadata_pipeline_spark.queries.tpch import q5_local_supplier_volume
+
+    plan = plan_of(q5_local_supplier_volume(spark, sf_dir))
+    assert "BroadcastHashJoin" in plan  # dims under 64 MB threshold broadcast
+
+
+def test_bigbig_join_sort_merges(spark, sf_dir):
+    from iceberg_metadata_pipeline_spark.queries.joins import join_sort_merge_bigbig
+
+    plan = plan_of(join_sort_merge_bigbig(spark, sf_dir))
+    assert "SortMergeJoin" in plan
+
+
+def test_topk_uses_group_limit(spark, sf_dir):
+    from iceberg_metadata_pipeline_spark.queries.windows import window_topk_per_group
+
+    plan = plan_of(window_topk_per_group(spark, sf_dir))
+    # rn <= 3 pushes a per-partition group limit below the shuffle
+    assert "WindowGroupLimit" in plan
+
+
+def test_q1_is_codegen_hash_agg(spark, sf_dir):
+    from iceberg_metadata_pipeline_spark.queries.tpch import q1_pricing_summary
+
+    df = q1_pricing_summary(spark, sf_dir)
+    df.collect()  # AQE: codegen spans appear in the executed final plan
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "*(" in plan  # whole-stage-codegen stage markers
+    assert "HashAggregate" in plan
+    assert "partial_sum" in plan  # map-side combine before the shuffle
+    assert "ObjectHashAggregate" not in plan  # entrypoint-spark.sh:113 parity
+
+
+def test_global_sort_limit_is_take_ordered(spark, sf_dir):
+    # ORDER BY + LIMIT must compile to TakeOrderedAndProject (per-partition
+    # top-k + merge), never a global sort of all rows
+    df = spark.sql(
+        "SELECT o_orderkey, o_totalprice FROM orders ORDER BY o_totalprice DESC LIMIT 15"
+    )
+    assert "TakeOrderedAndProject" in plan_of(df)
+
+
+def test_scalar_exprs_stay_jvm_side(spark, sf_dir):
+    # no BatchEvalPython/ArrowEvalPython in the declared relational surface
+    from iceberg_metadata_pipeline_spark.queries import REGISTRY, _load_all
+
+    _load_all()
+    for name in ("fn_string_family", "fn_math_family", "tpch_q1_pricing_summary"):
+        plan = plan_of(REGISTRY[name].fn(spark, sf_dir))
+        assert "EvalPython" not in plan, f"{name} fell off the JVM path"
