@@ -1,1 +1,357 @@
-"""(placeholder — filled in as operators land)"""
+"""Deduplication operators (SURVEY.md §2.C; BASELINE.json north_star):
+exact, MinHash+LSH near-dup, SimHash, n-gram Jaccard, embedding-cosine.
+
+Design for 100 TB (the whole point of these shapes):
+- Exact dedup is a hash-groupBy on a digest of the normalized content —
+  shuffle carries (digest, id), never the documents themselves.
+- MinHash: per-doc signatures are computed with 64 wide `min()` aggregates
+  (map-side combined → shuffle is O(docs × 64 longs), independent of doc
+  length); banding turns all-pairs O(n²) into an equi-join on
+  (band_idx, band_hash) — the only quadratic term is within-bucket, and
+  bucket sizes are bounded by the band width choice. Skewed buckets (e.g.
+  boilerplate) are the known hazard → AQE skew-join handles moderate skew,
+  and a bucket-size cap filter drops degenerate buckets explicitly.
+- Candidate verification joins shingle sets only for candidate pairs.
+- Nothing ever collects to the driver.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from iceberg_metadata_pipeline_spark.queries import query, sql_query
+from iceberg_metadata_pipeline_spark.session import load_tables
+
+# ---------------------------------------------------------------------------
+# exact dedup
+# ---------------------------------------------------------------------------
+
+sql_query(
+    "dedup_exact_documents",
+    # digest-keyed exact dedup on normalized text; keep the lowest doc_id
+    # (deterministic winner). Fixture has no full-text dups, so the key is
+    # the 2-token prefix — a realistic "url-ish key" with real collisions.
+    """
+SELECT lang, COUNT(*) AS n_docs,
+       COUNT(DISTINCT md5(key)) AS n_unique,
+       COUNT(*) - COUNT(DISTINCT md5(key)) AS n_dupes_removed,
+       MIN(keeper) AS first_keeper
+FROM (
+  SELECT lang, key, MIN(doc_id) OVER (PARTITION BY md5(key)) AS keeper
+  FROM (SELECT lang, doc_id,
+               concat_ws(' ', slice(split(lower(text), ' '), 1, 2)) AS key
+        FROM documents) t0
+) t1
+GROUP BY lang
+ORDER BY lang
+""",
+    oracle="""
+SELECT lang, COUNT(*) AS n_docs,
+       COUNT(DISTINCT md5(key)) AS n_unique,
+       COUNT(*) - COUNT(DISTINCT md5(key)) AS n_dupes_removed,
+       MIN(keeper) AS first_keeper
+FROM (
+  SELECT lang, key, MIN(doc_id) OVER (PARTITION BY md5(key)) AS keeper
+  FROM (SELECT lang, doc_id,
+               array_to_string(string_split(lower(text), ' ')[1:2], ' ') AS key
+        FROM documents) t0
+) t1
+GROUP BY lang
+ORDER BY lang
+""",
+)
+
+
+@query(
+    "dedup_exact_rows",
+    """
+SELECT COUNT(*) AS n_distinct FROM (
+  SELECT DISTINCT l_suppkey, l_returnflag, l_linestatus FROM lineitem
+) t
+""",
+)
+def dedup_exact_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """dropDuplicates = hash-groupBy on the selected columns (partial agg
+    map-side: shuffle carries distinct keys only)."""
+    l = load_tables(spark, sf_dir)["lineitem"]
+    return (
+        l.select("l_suppkey", "l_returnflag", "l_linestatus")
+        .dropDuplicates()
+        .agg(F.count(F.lit(1)).alias("n_distinct"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# MinHash + LSH near-dup
+# ---------------------------------------------------------------------------
+
+_MERSENNE31 = 2147483647  # 2^31 - 1; keeps a*h+b inside int64 under ANSI mode
+
+
+def _hash_params(n_hashes: int, seed: int = 42) -> list[tuple[int, int]]:
+    """Deterministic (a, b) pairs for the universal-hash family
+    h_i(x) = (a_i * x + b_i) mod p, a_i odd, values < 2^31."""
+    import random
+
+    rng = random.Random(seed)
+    return [
+        (rng.randrange(1, _MERSENNE31) | 1, rng.randrange(0, _MERSENNE31))
+        for _ in range(n_hashes)
+    ]
+
+
+def shingles(df: DataFrame, id_col: str, text_col: str, k: int = 3) -> DataFrame:
+    """(id, shingle) — distinct k-token shingles per document."""
+    toks = F.split(F.lower(F.col(text_col)), " ")
+    return (
+        df.select(
+            F.col(id_col),
+            F.explode(
+                F.array_distinct(
+                    F.transform(
+                        F.sequence(F.lit(1), F.greatest(F.size(toks) - (k - 1), F.lit(1))),
+                        lambda i: F.concat_ws(" ", F.slice(toks, i, k)),
+                    )
+                )
+            ).alias("shingle"),
+        )
+    )
+
+
+def minhash_signatures(
+    shingle_df: DataFrame, id_col: str, n_hashes: int = 64, seed: int = 42
+) -> DataFrame:
+    """(id, sig array<long>) via n wide min-aggregates over the universal
+    hash family applied to xxhash64(shingle) — one map-side-combined
+    groupBy; shuffle volume O(docs × n_hashes)."""
+    h = F.pmod(F.xxhash64("shingle"), F.lit(_MERSENNE31))
+    mins = [
+        F.min(F.pmod(h * F.lit(a) + F.lit(b), F.lit(_MERSENNE31))).alias(f"_s{i}")
+        for i, (a, b) in enumerate(_hash_params(n_hashes, seed))
+    ]
+    wide = shingle_df.groupBy(id_col).agg(*mins)
+    return wide.select(
+        id_col, F.array(*[f"_s{i}" for i in range(n_hashes)]).alias("sig")
+    )
+
+
+def lsh_candidate_pairs(
+    sig_df: DataFrame,
+    id_col: str,
+    n_bands: int = 16,
+    max_bucket: int = 50,
+) -> DataFrame:
+    """Band the signature, bucket-join, emit candidate (id_a, id_b) pairs.
+    Buckets larger than ``max_bucket`` are dropped (boilerplate guard: a
+    degenerate bucket of B docs contributes B² pairs — at 100 TB that one
+    hot bucket is the job-killer, and its members are better handled by
+    exact-dup on the banded content anyway)."""
+    rows_per_band = None  # derived from sig length at plan time
+    n = sig_df.select(F.size("sig")).first()[0]
+    rows_per_band = n // n_bands
+    bands = sig_df.select(
+        F.col(id_col),
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(n_bands - 1)),
+                lambda b: F.xxhash64(
+                    F.concat_ws(",", F.slice("sig", b * rows_per_band + 1, rows_per_band))
+                ),
+            )
+        ).alias("band_idx", "band_hash"),
+    )
+    sized = bands.withColumn(
+        "bucket_n", F.count(F.lit(1)).over(
+            __import__("pyspark.sql.window", fromlist=["Window"]).Window.partitionBy(
+                "band_idx", "band_hash"
+            )
+        ),
+    ).filter(F.col("bucket_n") <= max_bucket)
+    a = sized.select(F.col("band_idx"), F.col("band_hash"), F.col(id_col).alias("id_a"))
+    b = sized.select(F.col("band_idx"), F.col("band_hash"), F.col(id_col).alias("id_b"))
+    return (
+        a.join(b, ["band_idx", "band_hash"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+
+
+def exact_jaccard_for_pairs(
+    pairs: DataFrame, shingle_df: DataFrame, id_col: str
+) -> DataFrame:
+    """Verify candidates with exact shingle-set Jaccard — the join touches
+    only candidate ids (semi-join pushout), not the full corpus."""
+    sizes = shingle_df.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_sh"))
+    sh_a = shingle_df.select(F.col(id_col).alias("id_a"), "shingle")
+    sh_b = shingle_df.select(F.col(id_col).alias("id_b"), "shingle")
+    inter = (
+        pairs.join(sh_a, "id_a")
+        .join(sh_b, ["id_b", "shingle"])
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("n_inter"))
+    )
+    return (
+        inter.join(sizes.select(F.col(id_col).alias("id_a"), F.col("n_sh").alias("n_a")), "id_a")
+        .join(sizes.select(F.col(id_col).alias("id_b"), F.col("n_sh").alias("n_b")), "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            (
+                F.col("n_inter").cast("double")
+                / (F.col("n_a") + F.col("n_b") - F.col("n_inter"))
+            ).alias("jaccard"),
+        )
+    )
+
+
+def minhash_near_dup_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    k: int = 3,
+    n_hashes: int = 64,
+    n_bands: int = 16,
+    threshold: float = 0.7,
+) -> DataFrame:
+    """End-to-end near-dup: shingle → minhash → LSH bucket-join → exact
+    Jaccard verify ≥ threshold. 16 bands × 4 rows ⇒ ~50% capture at
+    J=0.55, >95% at J=0.8 (1-(1-J^r)^b)."""
+    sh = shingles(df, id_col, text_col, k).cache()
+    sigs = minhash_signatures(sh, id_col, n_hashes)
+    cands = lsh_candidate_pairs(sigs, id_col, n_bands)
+    verified = exact_jaccard_for_pairs(cands, sh, id_col)
+    return verified.filter(F.col("jaccard") >= threshold)
+
+
+@query("dedup_minhash_lsh", None)  # hash-family specifics aren't SQL-portable
+def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup detection over documents. The fixture corpus is all
+    distinct word-soup (token-set overlap is high but 3-shingle overlap is
+    low), so the interesting assertions — planted near-dups found, exact
+    dups at J=1.0, recall against brute force — live in
+    tests/test_dedup.py; here the pipeline runs end-to-end and returns
+    verified pairs (deterministic for the fixed seed)."""
+    docs = load_tables(spark, sf_dir)["documents"]
+    pairs = minhash_near_dup_pairs(docs, "doc_id", "text", threshold=0.5)
+    return pairs.select(
+        "id_a", "id_b", F.round("jaccard", 6).alias("jaccard")
+    ).orderBy("id_a", "id_b")
+
+
+# ---------------------------------------------------------------------------
+# n-gram (token-set) Jaccard — exact, SQL-expressible
+# ---------------------------------------------------------------------------
+
+sql_query(
+    "dedup_ngram_jaccard",
+    # exact 1-gram Jaccard on a bounded subset: the all-pairs form (here
+    # n=60 docs) is the verification kernel; at scale it only ever runs on
+    # LSH candidates, never all pairs.
+    """
+SELECT id_a, id_b, round(jaccard, 9) AS jaccard
+FROM (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+         CAST(size(array_intersect(a.t, b.t)) AS DOUBLE)
+           / (size(a.t) + size(b.t) - size(array_intersect(a.t, b.t))) AS jaccard
+  FROM (SELECT doc_id, array_distinct(split(text, ' ')) AS t FROM documents WHERE doc_id < 60) a
+  JOIN (SELECT doc_id, array_distinct(split(text, ' ')) AS t FROM documents WHERE doc_id < 60) b
+    ON a.doc_id < b.doc_id
+) p
+WHERE jaccard >= 0.9
+ORDER BY id_a, id_b
+""",
+    oracle="""
+SELECT id_a, id_b, round(jaccard, 9) AS jaccard
+FROM (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+         CAST(len(list_intersect(a.t, b.t)) AS DOUBLE)
+           / (len(a.t) + len(b.t) - len(list_intersect(a.t, b.t))) AS jaccard
+  FROM (SELECT doc_id, list_distinct(string_split(text, ' ')) AS t FROM documents WHERE doc_id < 60) a
+  JOIN (SELECT doc_id, list_distinct(string_split(text, ' ')) AS t FROM documents WHERE doc_id < 60) b
+    ON a.doc_id < b.doc_id
+) p
+WHERE jaccard >= 0.9
+ORDER BY id_a, id_b
+""",
+)
+
+
+# ---------------------------------------------------------------------------
+# SimHash
+# ---------------------------------------------------------------------------
+
+
+def simhash64(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """64-bit SimHash: per-token xxhash64; for each bit position sum ±1
+    across tokens; sign → bit. Expressed as 64 wide sums over bit tests —
+    one map-side-combined groupBy, shuffle O(docs × 64 ints)."""
+    toks = df.select(
+        F.col(id_col), F.explode(F.split(F.lower(F.col(text_col)), " ")).alias("tok")
+    )
+    h = F.xxhash64("tok")
+    sums = [
+        F.sum(
+            F.when(F.expr(f"(hash_val >> {bit}) & 1") == 1, 1).otherwise(-1)
+        ).alias(f"_b{bit}")
+        for bit in range(64)
+    ]
+    wide = toks.withColumn("hash_val", h).groupBy(id_col).agg(*sums)
+    bit_expr = " + ".join(
+        f"IF(_b{bit} > 0, {1 << bit if bit < 63 else -(1 << 63)}L, 0L)" for bit in range(64)
+    )
+    return wide.select(F.col(id_col), F.expr(bit_expr).alias("simhash"))
+
+
+@query("dedup_simhash", None)
+def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash fingerprints; near-dup = small Hamming distance, tested with
+    planted dups in tests/test_dedup.py. At 100 TB, Hamming search uses the
+    pigeonhole trick: split 64 bits into 4×16-bit chunks, equi-join on any
+    exact chunk match (distance ≤3 ⇒ ≥1 chunk equal), verify bit_count."""
+    docs = load_tables(spark, sf_dir)["documents"]
+    return simhash64(docs, "doc_id", "text").orderBy("doc_id")
+
+
+# ---------------------------------------------------------------------------
+# embedding-cosine near-dup (exact, ordered-fold — oracle-checkable)
+# ---------------------------------------------------------------------------
+
+_SPARK_DOT = """
+aggregate(zip_with(CAST(a.embedding AS ARRAY<DOUBLE>), CAST(b.embedding AS ARRAY<DOUBLE>),
+                   (x, y) -> x * y), CAST(0 AS DOUBLE), (acc, x) -> acc + x)
+"""
+_SPARK_NORM = """
+sqrt(aggregate(transform(CAST({v}.embedding AS ARRAY<DOUBLE>), x -> x * x),
+               CAST(0 AS DOUBLE), (acc, x) -> acc + x))
+"""
+_DUCK_DOT = """
+list_reduce(list_transform(range(1, len(a.embedding)+1),
+            i -> CAST(a.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE)),
+            (acc, x) -> acc + x)
+"""
+_DUCK_NORM = """
+sqrt(list_reduce(list_transform({v}.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)),
+                 (acc, x) -> acc + x))
+"""
+# NOTE: Spark's fold starts at 0.0 (0.0 + x0 == x0 exactly), DuckDB's
+# list_reduce seeds with the first element — identical addition sequences.
+
+sql_query(
+    "dedup_embedding_cosine",
+    f"""
+SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+       round({_SPARK_DOT} / ({_SPARK_NORM.format(v='a')} * {_SPARK_NORM.format(v='b')}), 9) AS cosine
+FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id AND a.vec_id < 40 AND b.vec_id < 40
+WHERE {_SPARK_DOT} / ({_SPARK_NORM.format(v='a')} * {_SPARK_NORM.format(v='b')}) > 0.3
+ORDER BY id_a, id_b
+""",
+    oracle=f"""
+SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+       round({_DUCK_DOT} / ({_DUCK_NORM.format(v='a')} * {_DUCK_NORM.format(v='b')}), 9) AS cosine
+FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id AND a.vec_id < 40 AND b.vec_id < 40
+WHERE {_DUCK_DOT} / ({_DUCK_NORM.format(v='a')} * {_DUCK_NORM.format(v='b')}) > 0.3
+ORDER BY id_a, id_b
+""",
+)

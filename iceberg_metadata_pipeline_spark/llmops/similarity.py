@@ -1,1 +1,264 @@
-"""(placeholder — filled in as operators land)"""
+"""Similarity search over the embeddings table (SURVEY.md §2.C).
+
+Three tiers, matching the 100 TB design ladder:
+
+1. **Brute-force cosine top-k** (the correctness baseline): query-set ⋈
+   corpus with the small query side broadcast — the corpus is scanned
+   once, never shuffled; per-query top-k via window group-limit. Exact,
+   oracle-checked (ordered-fold arithmetic matches DuckDB bit-for-bit).
+2. **Hyperplane-LSH bucketed** (the scale path): sign-bit sketch over R
+   random hyperplanes → bucket equi-join (+ multi-probe on Hamming-1
+   neighbors) → exact cosine only within buckets. Turns O(n·q) into
+   O(bucket² · buckets); recall tested against tier 1 in
+   tests/test_similarity.py.
+3. **Pandas-UDF kernel** (the vectorized escape hatch): the same cosine
+   as an Arrow-batched numpy matmul for when the scoring function
+   outgrows SQL expressions (real model embeddings, custom metrics).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window as W
+
+from iceberg_metadata_pipeline_spark.queries import query, sql_query
+from iceberg_metadata_pipeline_spark.session import load_tables
+
+# ---------------------------------------------------------------------------
+# tier 1: brute force (oracle-checked)
+# ---------------------------------------------------------------------------
+
+_SPARK_COS = """
+aggregate(zip_with(CAST(q.embedding AS ARRAY<DOUBLE>), CAST(c.embedding AS ARRAY<DOUBLE>),
+                   (x, y) -> x * y), CAST(0 AS DOUBLE), (acc, x) -> acc + x)
+/ (sqrt(aggregate(transform(CAST(q.embedding AS ARRAY<DOUBLE>), x -> x * x),
+                  CAST(0 AS DOUBLE), (acc, x) -> acc + x))
+ * sqrt(aggregate(transform(CAST(c.embedding AS ARRAY<DOUBLE>), x -> x * x),
+                  CAST(0 AS DOUBLE), (acc, x) -> acc + x)))
+"""
+_DUCK_COS = """
+list_reduce(list_transform(range(1, len(q.embedding)+1),
+            i -> CAST(q.embedding[i] AS DOUBLE) * CAST(c.embedding[i] AS DOUBLE)),
+            (acc, x) -> acc + x)
+/ (sqrt(list_reduce(list_transform(q.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)),
+                    (acc, x) -> acc + x))
+ * sqrt(list_reduce(list_transform(c.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)),
+                    (acc, x) -> acc + x)))
+"""
+
+sql_query(
+    "sim_cosine_topk_bruteforce",
+    f"""
+SELECT query_id, cand_id, round(cosine, 9) AS cosine, rn
+FROM (
+  SELECT q.vec_id AS query_id, c.vec_id AS cand_id,
+         {_SPARK_COS} AS cosine,
+         ROW_NUMBER() OVER (PARTITION BY q.vec_id
+                            ORDER BY {_SPARK_COS} DESC, c.vec_id) AS rn
+  FROM embeddings q JOIN embeddings c
+    ON q.vec_id < 5 AND c.vec_id <> q.vec_id
+) t
+WHERE rn <= 3
+ORDER BY query_id, rn
+""",
+    oracle=f"""
+SELECT query_id, cand_id, round(cosine, 9) AS cosine, rn
+FROM (
+  SELECT q.vec_id AS query_id, c.vec_id AS cand_id,
+         {_DUCK_COS} AS cosine,
+         ROW_NUMBER() OVER (PARTITION BY q.vec_id
+                            ORDER BY {_DUCK_COS} DESC, c.vec_id) AS rn
+  FROM embeddings q JOIN embeddings c
+    ON q.vec_id < 5 AND c.vec_id <> q.vec_id
+) t
+WHERE rn <= 3
+ORDER BY query_id, rn
+""",
+)
+
+
+def cosine_topk_bruteforce(
+    corpus: DataFrame, queries: DataFrame, k: int = 10
+) -> DataFrame:
+    """DataFrame-API form: broadcast the query set, scan the corpus once,
+    per-query top-k via window. At 1000 executors the corpus never moves;
+    only (query_id, cand_id, score) rows shuffle for the top-k, and the
+    rank filter enables WindowGroupLimit partial top-k before the shuffle."""
+    q = queries.select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").cast("array<double>").alias("qv"),
+    )
+    c = corpus.select(
+        F.col("vec_id").alias("cand_id"),
+        F.col("embedding").cast("array<double>").alias("cv"),
+    )
+    dot = F.aggregate(
+        F.zip_with("qv", "cv", lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x
+    )
+    norm = lambda col: F.sqrt(  # noqa: E731
+        F.aggregate(F.transform(col, lambda x: x * x), F.lit(0.0), lambda acc, x: acc + x)
+    )
+    scored = (
+        c.join(F.broadcast(q), F.col("query_id") != F.col("cand_id"))
+        .withColumn("cosine", dot / (norm(F.col("qv")) * norm(F.col("cv"))))
+        .select("query_id", "cand_id", "cosine")
+    )
+    w = W.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("cand_id"))
+    return scored.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") <= k)
+
+
+# ---------------------------------------------------------------------------
+# tier 2: hyperplane LSH (the scale path)
+# ---------------------------------------------------------------------------
+
+
+def _hyperplanes(dim: int, n_planes: int, seed: int = 7) -> list[list[float]]:
+    import random
+
+    rng = random.Random(seed)
+    return [[rng.gauss(0.0, 1.0) for _ in range(dim)] for _ in range(n_planes)]
+
+
+def lsh_bucket_ids(df: DataFrame, dim: int, n_planes: int = 12, seed: int = 7) -> DataFrame:
+    """Add a sign-bit bucket id: bit_r = (v · plane_r) >= 0. The planes are
+    a deterministic literal array, broadcast with the plan (a few KB)."""
+    planes = F.array(
+        *[
+            F.array(*[F.lit(x) for x in plane])
+            for plane in _hyperplanes(dim, n_planes, seed)
+        ]
+    )
+    v = F.col("embedding").cast("array<double>")
+    bits = F.transform(
+        planes,
+        lambda plane: F.when(
+            F.aggregate(
+                F.zip_with(v, plane, lambda x, p: x * p),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            )
+            >= 0,
+            F.lit(1),
+        ).otherwise(F.lit(0)),
+    )
+    bucket = F.aggregate(bits, F.lit(0), lambda acc, b: acc * 2 + b)
+    return df.withColumn("bucket", bucket)
+
+
+def cosine_topk_lsh(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    dim: int = 64,
+    n_planes: int = 6,
+    n_probes: int = 6,
+) -> DataFrame:
+    """ANN: bucket both sides, equi-join on bucket with multi-probe (the
+    query probes its own bucket plus Hamming-1 flips of the lowest
+    ``n_probes`` bits), exact cosine within candidates, top-k per query.
+
+    Scale shape: corpus bucketing is a map-only pass; the join is an
+    equi-join on a 2^n_planes-ary key (shuffle co-partitions both sides);
+    per-bucket population is ~n/2^planes — pick n_planes ≈
+    log2(corpus_size / target_bucket_size), so ~6 for the 500-row fixture
+    and ~22 for 10^9 vectors at 256-vector buckets. Recall/probe tradeoff
+    is tested against brute force."""
+    c = lsh_bucket_ids(corpus, dim, n_planes).select(
+        F.col("vec_id").alias("cand_id"),
+        F.col("embedding").cast("array<double>").alias("cv"),
+        "bucket",
+    )
+    q0 = lsh_bucket_ids(queries, dim, n_planes).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").cast("array<double>").alias("qv"),
+        "bucket",
+    )
+    probes = F.array_distinct(
+        F.array(
+            F.col("bucket"),
+            *[F.col("bucket").bitwiseXOR(F.lit(1 << i)) for i in range(n_probes)],
+        )
+    )
+    q = q0.withColumn("bucket", F.explode(probes))
+    dot = F.aggregate(
+        F.zip_with("qv", "cv", lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x
+    )
+    norm = lambda col: F.sqrt(  # noqa: E731
+        F.aggregate(F.transform(col, lambda x: x * x), F.lit(0.0), lambda acc, x: acc + x)
+    )
+    scored = (
+        q.join(c, "bucket")
+        .filter(F.col("query_id") != F.col("cand_id"))
+        .withColumn("cosine", dot / (norm(F.col("qv")) * norm(F.col("cv"))))
+        .select("query_id", "cand_id", "cosine")
+        .dropDuplicates(["query_id", "cand_id"])
+    )
+    w = W.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("cand_id"))
+    return scored.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") <= k)
+
+
+@query("sim_cosine_topk_lsh", None)  # ANN: approximate by design → rows-only
+def sim_cosine_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH ANN top-k for a 5-query set; recall vs brute force asserted in
+    tests/test_similarity.py."""
+    emb = load_tables(spark, sf_dir)["embeddings"]
+    return cosine_topk_lsh(
+        emb, emb.filter(F.col("vec_id") < 5), k=3
+    ).orderBy("query_id", "rn")
+
+
+# ---------------------------------------------------------------------------
+# tier 3: vectorized pandas-UDF kernel
+# ---------------------------------------------------------------------------
+
+
+@query("sim_cosine_topk_pandas", None)  # BLAS sum order ≠ fold order → rows-only
+def sim_cosine_topk_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Same brute-force top-k with the cosine kernel as an Arrow-batched
+    pandas UDF (numpy matmul against the broadcast query matrix) — the
+    pattern for scoring functions SQL can't express. Ids match tier 1
+    exactly (asserted in tests); scores differ only in float summation
+    order, which is why this is rows-only."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.types import ArrayType, DoubleType, LongType, StructField, StructType
+
+    emb = load_tables(spark, sf_dir)["embeddings"]
+    qrows = emb.filter(F.col("vec_id") < 5).select("vec_id", "embedding").collect()
+    q_ids = np.array([r["vec_id"] for r in qrows])
+    q_mat = np.array([r["embedding"] for r in qrows], dtype=np.float64)
+    q_mat /= np.linalg.norm(q_mat, axis=1, keepdims=True)
+    bc = spark.sparkContext.broadcast((q_ids, q_mat))
+
+    out_schema = StructType(
+        [
+            StructField("query_id", LongType()),
+            StructField("cand_id", LongType()),
+            StructField("cosine", DoubleType()),
+        ]
+    )
+
+    def score(batches):
+        ids, mat = bc.value
+        for pdf in batches:
+            cv = np.array(list(pdf["embedding"]), dtype=np.float64)
+            cv /= np.linalg.norm(cv, axis=1, keepdims=True)
+            sims = cv @ mat.T  # (batch, n_queries)
+            n = len(pdf)
+            yield pd.DataFrame(
+                {
+                    "query_id": np.repeat(ids, n),
+                    "cand_id": np.tile(pdf["vec_id"].to_numpy(), len(ids)),
+                    "cosine": sims.T.reshape(-1),
+                }
+            )
+
+    scored = emb.select("vec_id", "embedding").mapInPandas(score, out_schema)
+    w = W.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("cand_id"))
+    return (
+        scored.filter(F.col("query_id") != F.col("cand_id"))
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 3)
+        .orderBy("query_id", "rn")
+    )

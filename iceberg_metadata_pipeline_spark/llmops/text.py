@@ -1,1 +1,157 @@
-"""(placeholder — filled in as operators land)"""
+"""Text-analysis operators over the documents table (SURVEY.md §2.C;
+BASELINE.json north_star: token counting, quality scoring, language ID,
+document fingerprinting — the signals a 100 TB training-data pipeline
+computes per document before filtering).
+
+Everything here is pure Catalyst (split/filter/transform/aggregate higher-
+order functions — JVM-side, codegen'd); no Python in the row path. At
+100 TB these are embarrassingly parallel map-side projections: no shuffle
+at all except where a groupBy is explicit.
+"""
+
+from __future__ import annotations
+
+from iceberg_metadata_pipeline_spark.queries import sql_query
+
+# Whitespace tokens + a BPE-ish regex token count (letters / digits /
+# single punctuation — the classic pre-tokenizer split).
+sql_query(
+    "text_token_count",
+    """
+SELECT doc_id,
+       size(split(text, ' ')) AS n_tokens_ws,
+       regexp_count(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\\\s]') AS n_tokens_bpeish,
+       length(text) AS n_chars,
+       CAST(length(replace(text, ' ', '')) AS DOUBLE) / size(split(text, ' ')) AS avg_token_len
+FROM documents
+ORDER BY doc_id
+""",
+    oracle="""
+SELECT doc_id,
+       len(string_split(text, ' ')) AS n_tokens_ws,
+       len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]')) AS n_tokens_bpeish,
+       length(text) AS n_chars,
+       CAST(length(replace(text, ' ', '')) AS DOUBLE) / len(string_split(text, ' ')) AS avg_token_len
+FROM documents
+ORDER BY doc_id
+""",
+)
+
+_STOPWORDS = "'the','a','of','and','to','in','is','it','for','on'"
+
+sql_query(
+    "text_quality_signals",
+    f"""
+SELECT doc_id, lang, n_tokens, n_uniq, stop_hits,
+       CAST(n_uniq AS DOUBLE) / n_tokens AS uniq_ratio,
+       CAST(stop_hits AS DOUBLE) / n_tokens AS stop_ratio,
+       round(CAST(n_uniq AS DOUBLE) / n_tokens * 0.5
+         + CAST(stop_hits AS DOUBLE) / n_tokens * 0.3
+         + least(n_tokens / 400.0, 1.0) * 0.2, 12) AS quality_score
+FROM (
+  SELECT doc_id, lang,
+         size(split(text, ' ')) AS n_tokens,
+         size(array_distinct(split(text, ' '))) AS n_uniq,
+         size(filter(split(text, ' '), t -> t IN ({_STOPWORDS}))) AS stop_hits
+  FROM documents
+) s
+ORDER BY doc_id
+""",
+    oracle=f"""
+SELECT doc_id, lang, n_tokens, n_uniq, stop_hits,
+       CAST(n_uniq AS DOUBLE) / n_tokens AS uniq_ratio,
+       CAST(stop_hits AS DOUBLE) / n_tokens AS stop_ratio,
+       round(CAST(n_uniq AS DOUBLE) / n_tokens * 0.5
+         + CAST(stop_hits AS DOUBLE) / n_tokens * 0.3
+         + least(n_tokens / 400.0, 1.0) * 0.2, 12) AS quality_score
+FROM (
+  SELECT doc_id, lang,
+         len(string_split(text, ' ')) AS n_tokens,
+         len(list_distinct(string_split(text, ' '))) AS n_uniq,
+         len(list_filter(string_split(text, ' '), t -> t IN ({_STOPWORDS}))) AS stop_hits
+  FROM documents
+) s
+ORDER BY doc_id
+""",
+)
+
+# n-gram/stopword-profile language ID: score each candidate language by
+# stopword hits (+ CJK codepoint detection), argmax with deterministic
+# tie order. The fixture's texts share one vocabulary so the labels mostly
+# resolve to 'en' — the operator contract is the deterministic heuristic.
+_LANG_LISTS = {
+    "en": "'the','a','of','and','is'",
+    "de": "'der','die','das','und','ist'",
+    "es": "'el','la','de','y','es'",
+    "fr": "'le','la','et','les','est'",
+}
+_spark_hits = ", ".join(
+    f"size(filter(toks, t -> t IN ({words}))) AS {lang}_hits"
+    for lang, words in _LANG_LISTS.items()
+)
+_duck_hits = ", ".join(
+    f"len(list_filter(toks, t -> t IN ({words}))) AS {lang}_hits"
+    for lang, words in _LANG_LISTS.items()
+)
+_ARGMAX = """
+CASE WHEN cjk_hits > 0 THEN 'zh'
+     WHEN en_hits >= de_hits AND en_hits >= es_hits AND en_hits >= fr_hits THEN 'en'
+     WHEN de_hits >= es_hits AND de_hits >= fr_hits THEN 'de'
+     WHEN es_hits >= fr_hits THEN 'es'
+     ELSE 'fr' END
+"""
+
+sql_query(
+    "text_langid_heuristic",
+    f"""
+SELECT doc_id, lang AS labeled_lang, {_ARGMAX} AS detected_lang,
+       en_hits, de_hits, es_hits, fr_hits, cjk_hits
+FROM (
+  SELECT doc_id, lang, {_spark_hits},
+         regexp_count(text, '[\\\\x{{4e00}}-\\\\x{{9fff}}]') AS cjk_hits
+  FROM (SELECT doc_id, lang, text, split(text, ' ') AS toks FROM documents) t0
+) s
+ORDER BY doc_id
+""",
+    oracle=f"""
+SELECT doc_id, lang AS labeled_lang, {_ARGMAX} AS detected_lang,
+       en_hits, de_hits, es_hits, fr_hits, cjk_hits
+FROM (
+  SELECT doc_id, lang, {_duck_hits},
+         len(regexp_extract_all(text, '[\\x{{4e00}}-\\x{{9fff}}]')) AS cjk_hits
+  FROM (SELECT doc_id, lang, text, string_split(text, ' ') AS toks FROM documents) t0
+) s
+ORDER BY doc_id
+""",
+)
+
+# Document fingerprint: min-hash-of-shingles (rolling-hash style winnowing
+# fingerprint) — md5 over 3-token shingles, keep the minimum; identical
+# content → identical fingerprint regardless of row order or partitioning.
+sql_query(
+    "text_fingerprint_minshingle",
+    """
+SELECT doc_id, min(md5(shingle)) AS fingerprint, count(*) AS n_shingles
+FROM (
+  SELECT doc_id, s AS shingle
+  FROM (
+    SELECT doc_id,
+           transform(sequence(1, greatest(size(toks) - 2, 1)),
+                     i -> concat_ws(' ', slice(toks, i, 3))) AS shingles
+    FROM (SELECT doc_id, split(text, ' ') AS toks FROM documents) t0
+  ) t1 LATERAL VIEW explode(shingles) t2 AS s
+) t3
+GROUP BY doc_id
+ORDER BY doc_id
+""",
+    oracle="""
+SELECT doc_id, min(md5(shingle)) AS fingerprint, count(*) AS n_shingles
+FROM (
+  SELECT doc_id, unnest(list_transform(range(1, greatest(len(toks) - 2, 1) + 1),
+                        i -> array_to_string(toks[i:i+2], ' '))) AS shingle
+  FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM documents) t0
+) t1
+GROUP BY doc_id
+ORDER BY doc_id
+""",
+)

@@ -1,0 +1,159 @@
+"""Tier-C operator tests: planted near-dups for MinHash/SimHash, LSH
+recall vs brute force, multimodal decode plumbing (SURVEY.md §2.C)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import Row
+from pyspark.sql import functions as F
+
+
+@pytest.fixture(scope="module")
+def planted_docs(spark):
+    """10 base docs + near-dups of doc 0/1 (1-word edits) + an exact dup."""
+    import random
+
+    rng = random.Random(13)
+    vocab = "spark table row scan join filter agg window sort hash batch value".split()
+    base = [" ".join(rng.choice(vocab) for _ in range(80)) for _ in range(10)]
+    texts = list(base)
+    near0 = base[0].split()
+    near0[5] = "CHANGED"
+    texts.append(" ".join(near0))  # doc 10 ≈ doc 0
+    near1 = base[1].split()
+    near1[10] = "EDITED"
+    near1[40] = "ALSO"
+    texts.append(" ".join(near1))  # doc 11 ≈ doc 1
+    texts.append(base[2])  # doc 12 == doc 2 exactly
+    return spark.createDataFrame(
+        [Row(doc_id=i, text=t) for i, t in enumerate(texts)]
+    )
+
+
+def test_minhash_finds_planted_near_dups(planted_docs):
+    from iceberg_metadata_pipeline_spark.llmops.dedup import minhash_near_dup_pairs
+
+    pairs = {
+        (r["id_a"], r["id_b"]): r["jaccard"]
+        for r in minhash_near_dup_pairs(
+            planted_docs, "doc_id", "text", threshold=0.5
+        ).collect()
+    }
+    assert (0, 10) in pairs and pairs[(0, 10)] > 0.8
+    assert (1, 11) in pairs and pairs[(1, 11)] > 0.7
+    assert (2, 12) in pairs and pairs[(2, 12)] == 1.0  # exact dup: J = 1
+    # unrelated docs don't pair
+    assert (3, 4) not in pairs
+
+
+def test_minhash_signature_shape(planted_docs):
+    from iceberg_metadata_pipeline_spark.llmops.dedup import (
+        minhash_signatures,
+        shingles,
+    )
+
+    sigs = minhash_signatures(shingles(planted_docs, "doc_id", "text"), "doc_id")
+    rows = sigs.collect()
+    assert len(rows) == 13
+    assert all(len(r["sig"]) == 64 for r in rows)
+    by_id = {r["doc_id"]: r["sig"] for r in rows}
+    assert by_id[2] == by_id[12]  # identical text → identical signature
+    agree = sum(a == b for a, b in zip(by_id[0], by_id[10]))
+    assert agree > 40  # J≈0.9 → ~90% of minhashes agree
+
+
+def test_simhash_hamming_neighbors(planted_docs):
+    from iceberg_metadata_pipeline_spark.llmops.dedup import simhash64
+
+    fp = {r["doc_id"]: r["simhash"] for r in simhash64(planted_docs, "doc_id", "text").collect()}
+    ham = lambda a, b: bin((a ^ b) & 0xFFFFFFFFFFFFFFFF).count("1")  # noqa: E731
+    assert ham(fp[2], fp[12]) == 0  # exact dup
+    assert ham(fp[0], fp[10]) <= 12  # near dup: small distance
+    # near-dup is strictly closer than any unrelated doc (docs share one
+    # small vocabulary, so absolute distances between "unrelated" docs are
+    # legitimately moderate — the ordering is the contract)
+    unrelated = [ham(fp[0], fp[j]) for j in (3, 4, 5, 6, 7)]
+    assert ham(fp[0], fp[10]) < min(unrelated)
+
+
+def test_lsh_recall_vs_bruteforce_clustered(spark):
+    # hyperplane LSH exploits locality; uniform random vectors have none
+    # (every point is near-equidistant in 64-d, recall ≈ candidate fraction)
+    # so recall is asserted on a clustered corpus — the case ANN exists for
+    import random
+
+    from iceberg_metadata_pipeline_spark.llmops.similarity import (
+        cosine_topk_bruteforce,
+        cosine_topk_lsh,
+    )
+
+    rng = random.Random(5)
+    centers = [[rng.gauss(0, 1) for _ in range(64)] for _ in range(12)]
+    rows = []
+    for i in range(600):
+        c = centers[i % 12]
+        rows.append(Row(vec_id=i, embedding=[x + rng.gauss(0, 0.25) for x in c], label=i % 12))
+    emb = spark.createDataFrame(rows)
+    queries = emb.filter(F.col("vec_id") < 10)
+    exact = cosine_topk_bruteforce(emb, queries, k=5).collect()
+    approx = cosine_topk_lsh(emb, queries, k=5).collect()
+    exact_set = {(r["query_id"], r["cand_id"]) for r in exact}
+    approx_set = {(r["query_id"], r["cand_id"]) for r in approx}
+    recall = len(exact_set & approx_set) / len(exact_set)
+    assert recall >= 0.7, f"LSH recall {recall} too low on clustered data"
+
+
+def test_lsh_finds_planted_identical_vector(spark, tables):
+    from iceberg_metadata_pipeline_spark.llmops.similarity import cosine_topk_lsh
+
+    emb = tables["embeddings"]
+    clone = emb.filter(F.col("vec_id") == 3).select(
+        F.lit(999_999).cast("long").alias("vec_id"), "embedding", "label"
+    )
+    emb2 = emb.unionByName(clone)
+    res = cosine_topk_lsh(emb2, emb2.filter(F.col("vec_id") == 999_999), k=1).collect()
+    assert res and res[0]["cand_id"] == 3 and res[0]["cosine"] > 0.999999
+
+
+def test_pandas_topk_ids_match_sql_topk(spark, sf_dir):
+    from iceberg_metadata_pipeline_spark.queries import REGISTRY, _load_all
+
+    _load_all()
+    sql_rows = REGISTRY["sim_cosine_topk_bruteforce"].fn(spark, sf_dir).collect()
+    pd_rows = REGISTRY["sim_cosine_topk_pandas"].fn(spark, sf_dir).collect()
+    ids = lambda rows: [(r["query_id"], r["rn"], r["cand_id"]) for r in rows]  # noqa: E731
+    assert ids(sql_rows) == ids(pd_rows)  # BLAS vs fold: scores differ in
+    # ulps, ranking must not
+
+
+def test_multimodal_decode_deterministic_and_stub_boundary(spark, tables):
+    from iceberg_metadata_pipeline_spark.llmops.multimodal import (
+        decode_image_stub,
+        decode_media,
+        sample_frames,
+        to_multimodal,
+    )
+
+    mm = to_multimodal(tables["documents"].limit(50))
+    d1 = decode_media(mm).orderBy("doc_id").collect()
+    d2 = decode_media(mm.repartition(7)).orderBy("doc_id").collect()
+    assert [r["sha"] for r in d1] == [r["sha"] for r in d2]  # partition-invariant
+    assert all(16 <= r["width"] <= 255 and 1 <= r["n_channels"] <= 4 for r in d1)
+
+    frames = sample_frames(mm).groupBy("doc_id").count().collect()
+    assert all(r["count"] >= 1 for r in frames)
+
+    with pytest.raises(NotImplementedError):
+        decode_image_stub(b"bytes", real=True)  # the explicit codec seam
+
+
+def test_exact_dedup_keeps_lowest_id(spark, planted_docs):
+    from pyspark.sql.window import Window as W
+
+    keyed = planted_docs.select(
+        "doc_id", F.md5(F.lower(F.col("text"))).alias("k")
+    )
+    keeper = keyed.withColumn("keep", F.min("doc_id").over(W.partitionBy("k")))
+    survivors = keeper.filter(F.col("doc_id") == F.col("keep"))
+    assert survivors.count() == 12  # 13 docs, one exact dup removed
+    assert survivors.filter(F.col("doc_id") == 12).count() == 0  # 2 kept, 12 dropped
