@@ -84,3 +84,94 @@ def catalog_file_prune_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n"),
         F.sum(F.col("c_acctbal").cast("decimal(38,6)")).cast("double").alias("bal"),
     )
+
+
+@query(
+    "table_delete_where",
+    """
+SELECT o_orderstatus, COUNT(*) AS n,
+  CAST(SUM(CAST(o_totalprice AS DECIMAL(38,6))) AS DOUBLE) AS total
+FROM orders
+WHERE NOT (o_orderstatus = 'F' AND o_totalprice > 300000)
+GROUP BY o_orderstatus
+ORDER BY o_orderstatus
+""",
+)
+def table_delete_where(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Copy-on-write DELETE: scan after delete must equal the oracle's
+    NOT-filtered view of the raw data."""
+    orders = load_tables(spark, sf_dir)["orders"]
+    catalog = Catalog(spark, tempfile.mkdtemp(prefix="warehouse-del-"))
+    t = catalog.create_table("nyc", "orders_del", orders.schema)
+    t.append_dataframe(orders)
+    t.delete_where("o_orderstatus = 'F' AND o_totalprice > 300000")
+    return (
+        t.scan()
+        .groupBy("o_orderstatus")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("o_totalprice").cast("decimal(38,6)")).cast("double").alias("total"),
+        )
+        .orderBy("o_orderstatus")
+    )
+
+
+@query(
+    "table_update_set",
+    """
+SELECT CASE WHEN o_orderstatus = 'P' THEN '0-REPRIORITIZED' ELSE o_orderpriority END AS prio,
+       COUNT(*) AS n
+FROM orders
+GROUP BY prio
+ORDER BY prio
+""",
+)
+def table_update_set(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Copy-on-write UPDATE ... SET ... WHERE."""
+    orders = load_tables(spark, sf_dir)["orders"]
+    catalog = Catalog(spark, tempfile.mkdtemp(prefix="warehouse-upd-"))
+    t = catalog.create_table("nyc", "orders_upd", orders.schema)
+    t.append_dataframe(orders)
+    t.update_set("o_orderstatus = 'P'", {"o_orderpriority": "'0-REPRIORITIZED'"})
+    return (
+        t.scan()
+        .groupBy(F.col("o_orderpriority").alias("prio"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy("prio")
+    )
+
+
+@query(
+    "table_merge_upsert",
+    """
+SELECT c_mktsegment, COUNT(*) AS n,
+  CAST(SUM(CAST(CASE WHEN c_custkey % 2 = 0 THEN c_acctbal + 100 ELSE c_acctbal END
+                AS DECIMAL(38,6))) AS DOUBLE) AS total_bal
+FROM customer
+GROUP BY c_mktsegment
+ORDER BY c_mktsegment
+""",
+)
+def table_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MERGE INTO upsert: target holds even-key customers, source is the
+    full fixture; matched rows get acctbal+100, unmatched insert. Result
+    must equal the oracle's reconstruction (everyone present; even keys
+    bumped)."""
+    customer = load_tables(spark, sf_dir)["customer"]
+    catalog = Catalog(spark, tempfile.mkdtemp(prefix="warehouse-mrg-"))
+    t = catalog.create_table("nyc", "customer_mrg", customer.schema)
+    t.append_dataframe(customer.filter(F.col("c_custkey") % 2 == 0))
+    t.merge_into(
+        customer,
+        on=["c_custkey"],
+        when_matched_set={"c_acctbal": "c_acctbal + 100"},
+    )
+    return (
+        t.scan()
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("c_acctbal").cast("decimal(38,6)")).cast("double").alias("total_bal"),
+        )
+        .orderBy("c_mktsegment")
+    )

@@ -160,6 +160,94 @@ class Table:
         df.coalesce(target_num_files).write.mode("errorifexists").parquet(data_dir)
         return self._commit("replace", scan_parquet_footers(data_dir))
 
+    # -- row-level ops (copy-on-write, Iceberg MERGE/DELETE/UPDATE analogue) --
+    def _rewrite_with(self, transform, prune_filter: str | None, operation: str) -> int:
+        """Copy-on-write kernel: files whose stats can't match the predicate
+        are carried over untouched (metadata-only); affected files are read,
+        transformed, and rewritten; one atomic commit swaps the manifest.
+        At 100 TB this is why stats pruning matters: a DELETE touching one
+        day rewrites that day's files, not the table. (Merge-on-read —
+        delete files + positional merges at scan — is the alternative when
+        rewrite amplification dominates; not implemented here.)"""
+        files = self.snapshot_files()
+        if prune_filter is not None:
+            affected = {f.path for f in _prune_by_stats(files, prune_filter)}
+        else:
+            affected = {f.path for f in files}
+        carried = [f for f in files if f.path not in affected]
+        if not affected:
+            return self.meta["current_snapshot_id"]
+        src = self.spark.read.schema(self.schema).parquet(*sorted(affected))
+        out = transform(src)
+        data_dir = os.path.join(self.location, "data", f"{operation}-" + uuid.uuid4().hex[:12])
+        out.write.mode("errorifexists").parquet(data_dir)
+        return self._commit(operation, carried + scan_parquet_footers(data_dir))
+
+    def delete_where(self, condition: str) -> int:
+        """DELETE FROM t WHERE condition (copy-on-write)."""
+        return self._rewrite_with(
+            lambda df: df.filter(f"NOT ({condition})"), condition, "delete"
+        )
+
+    def update_set(self, condition: str, assignments: dict[str, str]) -> int:
+        """UPDATE t SET col = expr, ... WHERE condition (copy-on-write)."""
+
+        def transform(df: DataFrame) -> DataFrame:
+            cols = []
+            for f in df.schema.fields:
+                if f.name in assignments:
+                    cols.append(
+                        F.expr(
+                            f"CASE WHEN ({condition}) THEN ({assignments[f.name]}) "
+                            f"ELSE {f.name} END"
+                        ).cast(f.dataType).alias(f.name)
+                    )
+                else:
+                    cols.append(F.col(f.name))
+            return df.select(cols)
+
+        return self._rewrite_with(transform, condition, "update")
+
+    def merge_into(
+        self,
+        source: DataFrame,
+        on: list[str],
+        when_matched_set: dict[str, str] | None = None,
+        insert_not_matched: bool = True,
+    ) -> int:
+        """MERGE INTO target USING source ON keys — upsert semantics:
+        matched target rows get the SET assignments (expressions may
+        reference source columns as src_<name>); unmatched source rows are
+        inserted. Copy-on-write full-join rewrite — the same shuffle-on-key
+        plan Iceberg's copy-on-write MERGE produces."""
+
+        def transform(target: DataFrame) -> DataFrame:
+            src = source.select(
+                *[F.col(c).alias(f"src_{c}") for c in source.columns]
+            )
+            cond = [target[k] == src[f"src_{k}"] for k in on]
+            joined = target.join(src, cond, "full_outer")
+            matched = F.col(f"src_{on[0]}").isNotNull() & target[on[0]].isNotNull()
+            tgt_cols = []
+            for f in target.schema.fields:
+                if when_matched_set and f.name in when_matched_set:
+                    expr = F.when(matched, F.expr(when_matched_set[f.name])).otherwise(
+                        target[f.name]
+                    )
+                else:
+                    expr = target[f.name]
+                # unmatched-source inserts take the source value
+                expr = F.when(
+                    target[on[0]].isNull(), F.col(f"src_{f.name}")
+                ).otherwise(expr)
+                tgt_cols.append(expr.cast(f.dataType).alias(f.name))
+            out = joined.select(tgt_cols)
+            if not insert_not_matched:
+                out = joined.filter(target[on[0]].isNotNull()).select(tgt_cols)
+            return out
+
+        return self._rewrite_with(transform, None, "merge")
+
     def expire_snapshots(self, keep_last: int = 1) -> list[str]:
         """Drop all but the last N snapshots; return orphaned file paths
         (files referenced only by expired snapshots)."""

@@ -1,1 +1,149 @@
-"""(placeholder — filled in as operators land)"""
+"""Windowed event-time queries over the events table, in batch form
+(SURVEY.md §2.B streaming: the reference has no streaming at all — this
+surface comes from the north-star events model). Batch window() /
+session_window() semantics are DuckDB-checkable; the same shapes run as
+Structured Streaming in streaming/stream.py with watermarks, tested in
+tests/test_streaming.py.
+
+Scale notes: tumbling/sliding windows are groupBys on (bucket, keys) —
+partial-agg'd map-side, shuffle O(windows × keys). Session windows
+shuffle per key for the sort; skewed users are the hazard (same answer
+as windows.py: AQE + pre-filter).
+"""
+
+from __future__ import annotations
+
+from iceberg_metadata_pipeline_spark.queries import sql_query
+
+sql_query(
+    "stream_tumbling_window",
+    """
+SELECT window.start AS win_start, event_type, COUNT(*) AS n,
+  CAST(SUM(CAST(value AS DECIMAL(38,6))) AS DOUBLE) AS total_value
+FROM events
+GROUP BY window(ts, '1 hour'), event_type
+ORDER BY win_start, event_type
+""",
+    oracle="""
+SELECT time_bucket(INTERVAL '1 hour', CAST(ts AS TIMESTAMP)) AS win_start,
+       event_type, COUNT(*) AS n,
+       CAST(SUM(CAST(value AS DECIMAL(38,6))) AS DOUBLE) AS total_value
+FROM events
+GROUP BY 1, 2
+ORDER BY win_start, event_type
+""",
+)
+
+sql_query(
+    "stream_sliding_window",
+    """
+SELECT window.start AS win_start, COUNT(*) AS n,
+  CAST(SUM(CAST(value AS DECIMAL(38,6))) AS DOUBLE) AS total_value
+FROM events
+GROUP BY window(ts, '1 hour', '30 minutes')
+ORDER BY win_start
+""",
+    oracle="""
+SELECT win_start, COUNT(*) AS n,
+       CAST(SUM(CAST(value AS DECIMAL(38,6))) AS DOUBLE) AS total_value
+FROM (
+  SELECT time_bucket(INTERVAL '30 minutes', CAST(ts AS TIMESTAMP))
+           - to_minutes(30 * k) AS win_start,
+         CAST(ts AS TIMESTAMP) AS tsx, value
+  FROM events, unnest([0, 1]) AS u(k)
+) s
+WHERE tsx >= win_start AND tsx < win_start + INTERVAL '1 hour'
+GROUP BY win_start
+ORDER BY win_start
+""",
+)
+
+sql_query(
+    "stream_session_window",
+    # 5-minute-gap sessions per user; Spark's session_window vs the classic
+    # gaps-and-islands rewrite in DuckDB
+    """
+SELECT user_id, session_window.start AS session_start,
+       COUNT(*) AS n_events, MAX(ts) AS last_ts
+FROM events
+GROUP BY user_id, session_window(ts, '5 minutes')
+ORDER BY user_id, session_start
+""",
+    oracle="""
+SELECT user_id, MIN(tsx) AS session_start, COUNT(*) AS n_events,
+       MAX(tsx) AS last_ts
+FROM (
+  SELECT user_id, tsx,
+         SUM(new_sess) OVER (PARTITION BY user_id ORDER BY tsx, event_id
+                             ROWS UNBOUNDED PRECEDING) AS sess_id
+  FROM (
+    SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS tsx,
+           CASE WHEN CAST(ts AS TIMESTAMP)
+                     - lag(CAST(ts AS TIMESTAMP), 1, TIMESTAMP '1900-01-01')
+                       OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                     > INTERVAL '5 minutes'
+                THEN 1 ELSE 0 END AS new_sess
+    FROM events
+  ) a
+) b
+GROUP BY user_id, sess_id
+ORDER BY user_id, session_start
+""",
+)
+
+sql_query(
+    "stream_asof_lookup",
+    # as-of join shape: each 'click' sees the latest 'view' of the same
+    # user at-or-before it — the last(ignore nulls) running-window rewrite
+    # (Spark has no native as-of join; SURVEY.md §2.B joins table)
+    """
+SELECT event_id, user_id, ts, last_view_ts
+FROM (
+  SELECT event_id, user_id, ts, event_type,
+         MAX(CASE WHEN event_type = 'view' THEN ts END)
+           OVER (PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS last_view_ts
+  FROM events
+) t
+WHERE event_type = 'click'
+ORDER BY user_id, ts, event_id
+""",
+)
+
+sql_query(
+    "stream_dedup_keep_first",
+    # batch form of streaming dropDuplicates-with-watermark: keep the
+    # earliest event per (user_id, event_type)
+    """
+SELECT user_id, event_type, event_id, ts
+FROM (
+  SELECT user_id, event_type, event_id, ts,
+         ROW_NUMBER() OVER (PARTITION BY user_id, event_type
+                            ORDER BY ts, event_id) AS rn
+  FROM events
+) t
+WHERE rn = 1
+ORDER BY user_id, event_type
+""",
+)
+
+sql_query(
+    "stream_json_props_window",
+    # JSON extraction feeding a windowed aggregate (events.props)
+    """
+SELECT window.start AS win_start,
+       CAST(SUM(CAST(get_json_object(props, '$.k') AS BIGINT)) AS BIGINT) AS k_sum,
+       COUNT(*) AS n
+FROM events
+GROUP BY window(ts, '6 hours')
+ORDER BY win_start
+""",
+    oracle="""
+SELECT time_bucket(INTERVAL '6 hours', CAST(ts AS TIMESTAMP)) AS win_start,
+       CAST(SUM(CAST(props->>'$.k' AS BIGINT)) AS BIGINT) AS k_sum,
+       COUNT(*) AS n
+FROM events
+GROUP BY 1
+ORDER BY win_start
+""",
+)

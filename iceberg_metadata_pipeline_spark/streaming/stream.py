@@ -1,0 +1,119 @@
+"""Structured Streaming over the events model (SURVEY.md §7.5).
+
+The reference is batch-only (a Thrift server); the north-star events
+table demands streams. Shapes provided:
+
+- file-source stream of the events fixture (parquet dir → readStream)
+- tumbling-window aggregation with a watermark (late-data bound)
+- stateful dedup (dropDuplicates[WithinWatermark])
+- custom stateful operator via applyInPandasWithState (running per-user
+  counters — the applyInPandasWithState surface from the brief)
+- exactly-once-style sink via foreachBatch into a warehouse Table
+  (idempotent by epoch: the batch id is recorded as a snapshot property)
+
+Scale notes: a streaming job at 100 TB/day is the same shuffle graph as
+the batch shapes plus state stores; watermarks bound state size; the
+foreachBatch sink commits one snapshot per epoch so replays are
+detectable by epoch id.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+EVENTS_SCHEMA = T.StructType(
+    [
+        T.StructField("event_id", T.LongType()),
+        T.StructField("ts", T.LongType()),  # TIMESTAMP(NANOS) read via nanosAsLong
+        T.StructField("user_id", T.LongType()),
+        T.StructField("event_type", T.StringType()),
+        T.StructField("value", T.DoubleType()),
+        T.StructField("props", T.StringType()),
+    ]
+)
+
+
+def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """File-source stream of the events fixture (one-file-per-trigger so a
+    test drives deterministic micro-batches), ts normalized to timestamp."""
+    raw = (
+        spark.readStream.schema(EVENTS_SCHEMA)
+        .option("pathGlobFilter", "events.parquet")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(sf_dir)
+    )
+    return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+
+
+def windowed_counts(events: DataFrame, watermark: str = "10 minutes") -> DataFrame:
+    """Tumbling 1 h window with watermark: state for windows older than the
+    watermark is dropped, bounding memory on an unbounded stream."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", "1 hour"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("value").alias("total_value"))
+        .select(
+            F.col("window.start").alias("win_start"),
+            "event_type",
+            "n",
+            "total_value",
+        )
+    )
+
+
+def dedup_stream(events: DataFrame, watermark: str = "10 minutes") -> DataFrame:
+    """Stateful streaming dedup on (user_id, event_type); the watermark
+    bounds how long each key is remembered."""
+    return events.withWatermark("ts", watermark).dropDuplicates(
+        ["user_id", "event_type"]
+    )
+
+
+RUNNING_SCHEMA = "user_id long, n_events long, total_value double"
+STATE_SCHEMA = "n long, total double"
+
+
+def running_user_totals(events: DataFrame) -> DataFrame:
+    """Custom stateful operator (applyInPandasWithState): running per-user
+    event count/value-total maintained in the state store across
+    micro-batches."""
+    import pandas as pd
+
+    def update(key, pdfs, state):
+        n, total = state.get if state.exists else (0, 0.0)
+        for pdf in pdfs:
+            n += len(pdf)
+            total += float(pdf["value"].sum())
+        state.update((n, total))
+        yield pd.DataFrame(
+            {"user_id": [key[0]], "n_events": [n], "total_value": [total]}
+        )
+
+    return (
+        events.groupBy("user_id")
+        .applyInPandasWithState(
+            update, RUNNING_SCHEMA, STATE_SCHEMA, "update", "NoTimeout"
+        )
+    )
+
+
+def stream_to_table(stream_df: DataFrame, table, checkpoint_dir: str):
+    """foreachBatch sink into a warehouse Table: one snapshot per epoch,
+    epoch id stored so a replayed batch is detectable (exactly-once at the
+    table level, matching Iceberg's streaming-commit pattern)."""
+
+    def sink(batch_df: DataFrame, epoch_id: int) -> None:
+        committed = table.properties.get("last_committed_epoch")
+        if committed is not None and int(committed) >= epoch_id:
+            return  # replay of an already-committed epoch
+        table.append_dataframe(batch_df)
+        table.properties["last_committed_epoch"] = str(epoch_id)
+
+    return (
+        stream_df.writeStream.outputMode("append")
+        .option("checkpointLocation", checkpoint_dir)
+        .foreachBatch(sink)
+        .start()
+    )
