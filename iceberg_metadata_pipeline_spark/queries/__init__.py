@@ -86,6 +86,7 @@ def _load_all():
         scalar_funcs,
         setops,
         tpch,
+        tpch_full,
         windows,
     )
     from iceberg_metadata_pipeline_spark.llmops import (  # noqa: F401
