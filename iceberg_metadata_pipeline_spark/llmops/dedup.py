@@ -101,21 +101,27 @@ def _hash_params(n_hashes: int, seed: int = 42) -> list[tuple[int, int]]:
     ]
 
 
-def shingles(df: DataFrame, id_col: str, text_col: str, k: int = 3) -> DataFrame:
-    """(id, shingle) — distinct k-token shingles per document."""
+def shingle_arrays(df: DataFrame, id_col: str, text_col: str, k: int = 3) -> DataFrame:
+    """(id, shingles array<string>) — distinct k-token shingles per doc,
+    kept as one array row (no explode): the whole minhash pipeline then
+    runs as a pure map with zero shuffle until the LSH bucket join."""
     toks = F.split(F.lower(F.col(text_col)), " ")
-    return (
-        df.select(
-            F.col(id_col),
-            F.explode(
-                F.array_distinct(
-                    F.transform(
-                        F.sequence(F.lit(1), F.greatest(F.size(toks) - (k - 1), F.lit(1))),
-                        lambda i: F.concat_ws(" ", F.slice(toks, i, k)),
-                    )
-                )
-            ).alias("shingle"),
-        )
+    return df.select(
+        F.col(id_col),
+        F.array_distinct(
+            F.transform(
+                F.sequence(F.lit(1), F.greatest(F.size(toks) - (k - 1), F.lit(1))),
+                lambda i: F.concat_ws(" ", F.slice(toks, i, k)),
+            )
+        ).alias("shingles"),
+    )
+
+
+def shingles(df: DataFrame, id_col: str, text_col: str, k: int = 3) -> DataFrame:
+    """(id, shingle) — exploded row-per-shingle form (verification kernel
+    and shuffle-based signature variant)."""
+    return shingle_arrays(df, id_col, text_col, k).select(
+        F.col(id_col), F.explode("shingles").alias("shingle")
     )
 
 
@@ -136,19 +142,46 @@ def minhash_signatures(
     )
 
 
+def minhash_signatures_from_arrays(
+    sh_arr_df: DataFrame, id_col: str, n_hashes: int = 64, seed: int = 42
+) -> DataFrame:
+    """(id, sig array<long>) computed entirely within each row: hash the
+    shingle array once, then 64 ``array_min(transform(...))`` folds — a
+    pure narrow map, no explode and no shuffle at all. Same hash family as
+    :func:`minhash_signatures`, so signatures are bit-identical."""
+    hashed = sh_arr_df.withColumn(
+        "_h",
+        F.transform("shingles", lambda s: F.pmod(F.xxhash64(s), F.lit(_MERSENNE31))),
+    )
+    def perm(a: int, b: int):
+        return lambda x: F.pmod(x * F.lit(a) + F.lit(b), F.lit(_MERSENNE31))
+
+    sig = F.array(
+        *[
+            F.array_min(F.transform("_h", perm(a, b)))
+            for a, b in _hash_params(n_hashes, seed)
+        ]
+    )
+    return hashed.select(F.col(id_col), sig.alias("sig"))
+
+
 def lsh_candidate_pairs(
     sig_df: DataFrame,
     id_col: str,
     n_bands: int = 16,
     max_bucket: int = 50,
+    n_hashes: int | None = None,
 ) -> DataFrame:
     """Band the signature, bucket-join, emit candidate (id_a, id_b) pairs.
     Buckets larger than ``max_bucket`` are dropped (boilerplate guard: a
     degenerate bucket of B docs contributes B² pairs — at 100 TB that one
     hot bucket is the job-killer, and its members are better handled by
-    exact-dup on the banded content anyway)."""
-    rows_per_band = None  # derived from sig length at plan time
-    n = sig_df.select(F.size("sig")).first()[0]
+    exact-dup on the banded content anyway).
+
+    ``n_hashes`` must be passed by callers that know it: the fallback probe
+    is a driver action that executes the whole upstream signature job once
+    just to read one array length."""
+    n = n_hashes if n_hashes is not None else sig_df.select(F.size("sig")).first()[0]
     rows_per_band = n // n_bands
     bands = sig_df.select(
         F.col(id_col),
@@ -206,6 +239,29 @@ def exact_jaccard_for_pairs(
     )
 
 
+def jaccard_for_pairs_arrays(
+    pairs: DataFrame, sh_arr_df: DataFrame, id_col: str
+) -> DataFrame:
+    """Exact shingle-set Jaccard for candidate pairs via array_intersect on
+    the per-doc shingle arrays: two joins keyed on the candidate ids (tiny
+    side — broadcast/AQE territory), set math per pair, no explode."""
+    a = sh_arr_df.select(F.col(id_col).alias("id_a"), F.col("shingles").alias("_sh_a"))
+    b = sh_arr_df.select(F.col(id_col).alias("id_b"), F.col("shingles").alias("_sh_b"))
+    n_inter = F.size(F.array_intersect("_sh_a", "_sh_b"))
+    return (
+        pairs.join(a, "id_a")
+        .join(b, "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            (
+                n_inter.cast("double")
+                / (F.size("_sh_a") + F.size("_sh_b") - n_inter)
+            ).alias("jaccard"),
+        )
+    )
+
+
 def minhash_near_dup_pairs(
     df: DataFrame,
     id_col: str,
@@ -217,11 +273,16 @@ def minhash_near_dup_pairs(
 ) -> DataFrame:
     """End-to-end near-dup: shingle → minhash → LSH bucket-join → exact
     Jaccard verify ≥ threshold. 16 bands × 4 rows ⇒ ~50% capture at
-    J=0.55, >95% at J=0.8 (1-(1-J^r)^b)."""
-    sh = shingles(df, id_col, text_col, k).cache()
-    sigs = minhash_signatures(sh, id_col, n_hashes)
-    cands = lsh_candidate_pairs(sigs, id_col, n_bands)
-    verified = exact_jaccard_for_pairs(cands, sh, id_col)
+    J=0.55, >95% at J=0.8 (1-(1-J^r)^b).
+
+    Shuffle profile at 100 TB: signatures are a pure map (array-native, no
+    explode); the only shuffles are the LSH bucket join on
+    (band_idx, band_hash) and the candidate-id joins — both O(docs) rows,
+    never O(shingles)."""
+    sh = shingle_arrays(df, id_col, text_col, k).cache()
+    sigs = minhash_signatures_from_arrays(sh, id_col, n_hashes)
+    cands = lsh_candidate_pairs(sigs, id_col, n_bands, n_hashes=n_hashes)
+    verified = jaccard_for_pairs_arrays(cands, sh, id_col)
     return verified.filter(F.col("jaccard") >= threshold)
 
 
