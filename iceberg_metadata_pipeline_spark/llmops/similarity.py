@@ -209,6 +209,119 @@ def sim_cosine_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# tier 2b: IVF (inverted-file index via k-means coarse quantizer)
+# ---------------------------------------------------------------------------
+
+
+def _normalized(col) -> "F.Column":
+    v = col.cast("array<double>")
+    n = F.sqrt(
+        F.aggregate(F.transform(v, lambda x: x * x), F.lit(0.0), lambda acc, x: acc + x)
+    )
+    return F.transform(v, lambda x: x / n)
+
+
+def ivf_assignments(
+    corpus: DataFrame, nlist: int = 16, seed: int = 7
+) -> tuple[DataFrame, list[list[float]]]:
+    """Train a k-means coarse quantizer on the (L2-normalized) corpus and
+    return (corpus + ``list_id``, centroid vectors).
+
+    Spherical-ish IVF: normalizing first makes Euclidean k-means rank by
+    angle, matching the cosine metric of the search. Training is a Spark
+    ML job (sampled in practice at 100 TB — the quantizer only needs a few
+    million representative vectors); assignment is model.transform, a pure
+    JVM map. Centroids are nlist × dim floats — kilobytes — and ship as
+    plan literals for query-side probing."""
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    train = corpus.select(array_to_vector(_normalized(F.col("embedding"))).alias("features"))
+    model = KMeans(k=nlist, seed=seed, maxIter=20).fit(train)
+    assigned = model.transform(
+        corpus.withColumn("features", array_to_vector(_normalized(F.col("embedding"))))
+    ).withColumnRenamed("prediction", "list_id").drop("features")
+    centroids = [[float(x) for x in c] for c in model.clusterCenters()]
+    return assigned, centroids
+
+
+def cosine_topk_ivf(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    nlist: int = 16,
+    nprobe: int = 4,
+    seed: int = 7,
+) -> DataFrame:
+    """ANN via IVF: corpus vectors live in ``nlist`` inverted lists (their
+    nearest centroid); each query probes its ``nprobe`` nearest lists and
+    scores exact cosine only there.
+
+    Scale shape: one ML training job (sampled), one map to assign lists,
+    then an equi-join on list_id — the corpus shuffles once keyed by list,
+    queries explode ×nprobe. Expected candidates per query ≈
+    corpus × nprobe / nlist; tune nlist ≈ sqrt(corpus) and nprobe for the
+    recall target. Hot lists (cluster imbalance) are AQE-skew territory —
+    at extreme imbalance re-train with more lists or split lists by a
+    secondary hash."""
+    assigned, centroids = ivf_assignments(corpus, nlist, seed)
+    c = assigned.select(
+        F.col("vec_id").alias("cand_id"),
+        F.col("embedding").cast("array<double>").alias("cv"),
+        "list_id",
+    )
+    cent_lit = F.array(
+        *[F.array(*[F.lit(x) for x in cen]) for cen in centroids]
+    )
+    qv_n = _normalized(F.col("embedding"))
+    # (distance², list index) structs → sort → first nprobe list ids
+    dists = F.zip_with(
+        cent_lit,
+        F.sequence(F.lit(0), F.lit(len(centroids) - 1)),
+        lambda cen, idx: F.struct(
+            F.aggregate(
+                F.zip_with(qv_n, cen, lambda x, y: (x - y) * (x - y)),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            ).alias("d2"),
+            idx.alias("idx"),
+        ),
+    )
+    probe_ids = F.transform(
+        F.slice(F.array_sort(dists), 1, nprobe), lambda s: s.getField("idx")
+    )
+    q = queries.select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").cast("array<double>").alias("qv"),
+        F.explode(probe_ids).alias("list_id"),
+    )
+    dot = F.aggregate(
+        F.zip_with("qv", "cv", lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x
+    )
+    norm = lambda col: F.sqrt(  # noqa: E731
+        F.aggregate(F.transform(col, lambda x: x * x), F.lit(0.0), lambda acc, x: acc + x)
+    )
+    scored = (
+        q.join(c, "list_id")
+        .filter(F.col("query_id") != F.col("cand_id"))
+        .withColumn("cosine", dot / (norm(F.col("qv")) * norm(F.col("cv"))))
+        .select("query_id", "cand_id", "cosine")
+    )
+    w = W.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("cand_id"))
+    return scored.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") <= k)
+
+
+@query("sim_cosine_topk_ivf", None)  # ANN + ML training → rows-only
+def sim_cosine_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF ANN top-k for a 5-query set; recall vs brute force asserted in
+    tests/test_similarity.py."""
+    emb = load_tables(spark, sf_dir)["embeddings"]
+    return cosine_topk_ivf(
+        emb, emb.filter(F.col("vec_id") < 5), k=3, nlist=8, nprobe=3
+    ).orderBy("query_id", "rn")
+
+
+# ---------------------------------------------------------------------------
 # tier 3: vectorized pandas-UDF kernel
 # ---------------------------------------------------------------------------
 

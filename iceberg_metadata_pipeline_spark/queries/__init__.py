@@ -81,6 +81,7 @@ def _load_all():
     # import for registration side effects
     from iceberg_metadata_pipeline_spark.queries import (  # noqa: F401
         aggregates,
+        asof,
         joins,
         relational,
         scalar_funcs,

@@ -157,3 +157,30 @@ def test_exact_dedup_keeps_lowest_id(spark, planted_docs):
     survivors = keeper.filter(F.col("doc_id") == F.col("keep"))
     assert survivors.count() == 12  # 13 docs, one exact dup removed
     assert survivors.filter(F.col("doc_id") == 12).count() == 0  # 2 kept, 12 dropped
+
+
+def test_ivf_recall_vs_bruteforce_clustered(spark):
+    # IVF probes the nprobe nearest inverted lists; on a clustered corpus
+    # the true neighbors share the query's cluster, so recall should be
+    # near-perfect with nprobe covering adjacent lists
+    import random
+
+    from iceberg_metadata_pipeline_spark.llmops.similarity import (
+        cosine_topk_bruteforce,
+        cosine_topk_ivf,
+    )
+
+    rng = random.Random(11)
+    centers = [[rng.gauss(0, 1) for _ in range(64)] for _ in range(12)]
+    rows = []
+    for i in range(600):
+        c = centers[i % 12]
+        rows.append(Row(vec_id=i, embedding=[x + rng.gauss(0, 0.25) for x in c], label=i % 12))
+    emb = spark.createDataFrame(rows)
+    queries = emb.filter(F.col("vec_id") < 10)
+    exact = cosine_topk_bruteforce(emb, queries, k=5).collect()
+    approx = cosine_topk_ivf(emb, queries, k=5, nlist=12, nprobe=3).collect()
+    exact_set = {(r["query_id"], r["cand_id"]) for r in exact}
+    approx_set = {(r["query_id"], r["cand_id"]) for r in approx}
+    recall = len(exact_set & approx_set) / len(exact_set)
+    assert recall >= 0.8, f"IVF recall {recall} too low on clustered data"
