@@ -82,6 +82,7 @@ def _load_all():
     from iceberg_metadata_pipeline_spark.queries import (  # noqa: F401
         aggregates,
         asof,
+        extras,
         joins,
         relational,
         scalar_funcs,

@@ -1,0 +1,119 @@
+"""Remaining relational-surface corners (SURVEY.md §2.B scalar/agg
+families): unpivot (wide→long), explode_outer null semantics, exact
+median/percentiles, and seeded sampling.
+
+Scale notes: unpivot is a map-only row multiplier (×n_metrics) — no
+shuffle; explode_outer is explode with null preservation (map-only);
+exact median/percentile is a full sort per group — at 100 TB use
+approx_percentile (declared in aggregates.py) unless the group count is
+small; sample pushes a per-partition Bernoulli filter into the scan (no
+shuffle, no materialization of the rejected rows).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from iceberg_metadata_pipeline_spark.queries import query, sql_query
+from iceberg_metadata_pipeline_spark.session import load_tables
+
+
+@query(
+    "unpivot_stack",
+    """
+SELECT l_orderkey, l_linenumber, 'disc' AS metric, l_discount AS val
+FROM lineitem WHERE l_orderkey < 100
+UNION ALL
+SELECT l_orderkey, l_linenumber, 'price', l_extendedprice
+FROM lineitem WHERE l_orderkey < 100
+UNION ALL
+SELECT l_orderkey, l_linenumber, 'qty', l_quantity
+FROM lineitem WHERE l_orderkey < 100
+ORDER BY l_orderkey, l_linenumber, metric
+""",
+)
+def unpivot_stack(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wide→long via DataFrame.unpivot (SQL `stack`): map-only ×3 rows."""
+    l = load_tables(spark, sf_dir)["lineitem"]
+    return (
+        l.filter(F.col("l_orderkey") < 100)
+        .unpivot(
+            ["l_orderkey", "l_linenumber"],
+            [
+                F.col("l_discount").alias("disc"),
+                F.col("l_extendedprice").alias("price"),
+                F.col("l_quantity").alias("qty"),
+            ],
+            "metric",
+            "val",
+        )
+        .orderBy("l_orderkey", "l_linenumber", "metric")
+    )
+
+
+sql_query(
+    "fn_explode_outer",
+    # explode_outer preserves the parent row when the array is null/empty;
+    # DuckDB emulates by substituting [NULL] before unnest
+    """
+SELECT p_partkey, tok
+FROM (
+  SELECT p_partkey,
+         CASE WHEN p_size > 25 THEN CAST(NULL AS ARRAY<STRING>)
+              ELSE split(p_name, ' ') END AS toks
+  FROM part WHERE p_partkey < 300
+) t
+LATERAL VIEW OUTER explode(toks) AS tok
+ORDER BY p_partkey, tok
+""",
+    oracle="""
+SELECT p_partkey, unnest(CASE WHEN toks IS NULL OR len(toks) = 0
+                              THEN [CAST(NULL AS VARCHAR)] ELSE toks END) AS tok
+FROM (
+  SELECT p_partkey,
+         CASE WHEN p_size > 25 THEN CAST(NULL AS VARCHAR[])
+              ELSE string_split(p_name, ' ') END AS toks
+  FROM part WHERE p_partkey < 300
+) t
+ORDER BY p_partkey, tok
+""",
+)
+
+sql_query(
+    "agg_median_percentiles",
+    # exact median / quartiles (continuous interpolation) per group
+    """
+SELECT l_returnflag,
+       median(l_quantity) AS med_qty,
+       percentile(l_quantity, 0.25) AS q1_qty,
+       percentile(l_quantity, 0.75) AS q3_qty,
+       COUNT(*) AS n
+FROM lineitem
+GROUP BY l_returnflag
+ORDER BY l_returnflag
+""",
+    oracle="""
+SELECT l_returnflag,
+       median(l_quantity) AS med_qty,
+       quantile_cont(l_quantity, 0.25) AS q1_qty,
+       quantile_cont(l_quantity, 0.75) AS q3_qty,
+       COUNT(*) AS n
+FROM lineitem
+GROUP BY l_returnflag
+ORDER BY l_returnflag
+""",
+)
+
+
+@query("sample_bernoulli_seeded", None)  # engine RNGs differ → rows-only
+def sample_bernoulli_seeded(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seeded Bernoulli TABLESAMPLE: the filter evaluates per-row inside
+    the scan — no shuffle, rejected rows never materialize. Deterministic
+    for a fixed seed + input splits (rows-only: DuckDB's RNG ≠ Spark's)."""
+    l = load_tables(spark, sf_dir)["lineitem"]
+    s = l.sample(fraction=0.1, seed=42)
+    return s.agg(
+        F.count(F.lit(1)).alias("n_sampled"),
+        F.countDistinct("l_orderkey").alias("n_orders"),
+    )

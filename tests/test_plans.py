@@ -86,3 +86,64 @@ def test_scalar_exprs_stay_jvm_side(spark, sf_dir):
     for name in ("fn_string_family", "fn_math_family", "tpch_q1_pricing_summary"):
         plan = plan_of(REGISTRY[name].fn(spark, sf_dir))
         assert "EvalPython" not in plan, f"{name} fell off the JVM path"
+
+
+def test_correlated_subqueries_decorrelate(spark, sf_dir):
+    # q4's EXISTS must become a semi join, q17's per-part scalar aggregate
+    # an aggregate+join — never a per-row re-executed subquery
+    from iceberg_metadata_pipeline_spark.queries import REGISTRY, _load_all
+
+    _load_all()
+    q4 = plan_of(REGISTRY["tpch_q4_order_priority"].fn(spark, sf_dir))
+    assert "LeftSemi" in q4 or "ExistenceJoin" in q4
+    q17 = plan_of(REGISTRY["tpch_q17_small_quantity_revenue"].fn(spark, sf_dir))
+    assert "HashAggregate" in q17 and "Join" in q17
+
+    q21 = plan_of(REGISTRY["tpch_q21_waiting_supplier"].fn(spark, sf_dir))
+    assert "LeftSemi" in q21 and "LeftAnti" in q21
+
+
+def test_no_cartesian_products_in_declared_surface(spark, sf_dir):
+    # every declared join should be equi (hash/merge/broadcast-keyed) except
+    # the two intentional cross/theta shapes
+    from iceberg_metadata_pipeline_spark.queries import REGISTRY, _load_all
+
+    _load_all()
+    allowed_cartesian = {
+        "join_cross",
+        "join_theta_range",
+        "dedup_ngram_jaccard",       # bounded all-pairs verification kernel
+        "dedup_embedding_cosine",    # bounded all-pairs (<40 ids)
+        "sim_cosine_topk_bruteforce",  # scored scan: query side broadcast
+        "sim_cosine_topk_pandas",
+    }
+    for name, decl in REGISTRY.items():
+        if name in allowed_cartesian or name.startswith(("multimodal", "catalog", "table_", "ingest")):
+            continue
+        try:
+            plan = plan_of(decl.fn(spark, sf_dir))
+        except Exception:
+            continue  # non-plannable helpers handled by their own tests
+        assert "CartesianProduct" not in plan, f"{name} plans a cartesian product"
+
+
+def test_asof_join_is_single_shuffle_window(spark, sf_dir):
+    # the as-of composition must be union + one window, not a range join
+    from iceberg_metadata_pipeline_spark.queries import REGISTRY, _load_all
+
+    _load_all()
+    plan = plan_of(REGISTRY["join_asof_events"].fn(spark, sf_dir))
+    assert "Window" in plan
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
+
+
+def test_agg_pushes_partial_aggregation(spark, sf_dir):
+    # distinct-count and rollup still do map-side partial aggregation
+    from iceberg_metadata_pipeline_spark.queries import REGISTRY, _load_all
+
+    _load_all()
+    for name in ("agg_rollup", "agg_count_distinct"):
+        df = REGISTRY[name].fn(spark, sf_dir)
+        df.collect()
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert "partial" in plan.lower(), f"{name} lost map-side combine"
