@@ -73,12 +73,24 @@ class DataFileEntry:
 class Table:
     """One catalog table: schema + snapshot log over immutable data files."""
 
-    def __init__(self, spark: SparkSession, location: str, meta: dict):
+    def __init__(self, spark: SparkSession, location: str, meta: dict, version: int = 1):
         self.spark = spark
         self.location = location
         self.meta = meta
+        self.version = version  # metadata version this handle last read/wrote
 
     # -- metadata access ---------------------------------------------------
+    def refresh(self) -> "Table":
+        """Re-read the latest committed metadata from disk (after a lost
+        CAS, the basis for rebase-and-retry)."""
+        meta_dir = os.path.join(self.location, "metadata")
+        with open(os.path.join(meta_dir, "version-hint.text")) as fh:
+            version = int(fh.read().strip())
+        with open(os.path.join(meta_dir, f"v{version}.metadata.json")) as fh:
+            self.meta = json.load(fh)
+        self.version = version
+        return self
+
     @property
     def schema(self) -> T.StructType:
         return T.StructType.fromJson(self.meta["schema"])
@@ -125,7 +137,8 @@ class Table:
             }
         )
         self.meta["current_snapshot_id"] = snapshot_id
-        _write_metadata(self.location, self.meta)
+        _write_metadata(self.location, self.meta, self.version + 1)
+        self.version += 1
         return snapshot_id
 
     def append_files(self, files: list[DataFileEntry], dedupe: bool = True) -> int:
@@ -135,13 +148,26 @@ class Table:
         Unlike the reference (which re-appends on every run), re-registering
         an already-present path is skipped when ``dedupe`` — re-running an
         import is then a no-op rather than silent row duplication.
+
+        Appends rebase on commit conflict: an append is order-independent,
+        so losing the CAS just means re-reading the winner's manifest and
+        re-applying (Iceberg's retry semantics for AppendFiles). Rewrite
+        ops (delete/update/merge/compact) do NOT rebase — their manifests
+        were derived from the pre-commit snapshot — so they surface
+        CommitConflictError to the caller.
         """
-        current = self.snapshot_files()
-        known = {f.path for f in current}
-        new = [f for f in files if not (dedupe and f.path in known)]
-        if not new:
-            return self.meta.get("current_snapshot_id") or self._commit("append", current)
-        return self._commit("append", current + new)
+        for attempt in range(5):
+            current = self.snapshot_files()
+            known = {f.path for f in current}
+            new = [f for f in files if not (dedupe and f.path in known)]
+            if not new and self.meta.get("current_snapshot_id") is not None:
+                return self.meta["current_snapshot_id"]
+            try:
+                return self._commit("append", current + new)
+            except CommitConflictError:
+                if attempt == 4:
+                    raise
+                self.refresh()
 
     def append_dataframe(self, df: DataFrame) -> int:
         """Write-and-register: materialize df as parquet under the table's
@@ -258,7 +284,8 @@ class Table:
             {f["path"] for s in drop for f in s["manifest"]} - live
         )
         self.meta["snapshots"] = keep
-        _write_metadata(self.location, self.meta)
+        _write_metadata(self.location, self.meta, self.version + 1)
+        self.version += 1
         return orphaned
 
     # -- reads -------------------------------------------------------------
@@ -373,8 +400,8 @@ class Catalog:
             "snapshots": [],
             "current_snapshot_id": None,
         }
-        _write_metadata(loc, meta, first=True)
-        return Table(self.spark, loc, meta)
+        _write_metadata(loc, meta, version=1)
+        return Table(self.spark, loc, meta, version=1)
 
     def load_table(self, namespace: str, name: str) -> Table:
         loc = self._table_location(namespace, name)
@@ -383,7 +410,7 @@ class Catalog:
             version = int(fh.read().strip())
         with open(os.path.join(meta_dir, f"v{version}.metadata.json")) as fh:
             meta = json.load(fh)
-        return Table(self.spark, loc, meta)
+        return Table(self.spark, loc, meta, version=version)
 
     def drop_table(self, namespace: str, name: str, purge: bool = False) -> bool:
         """DROP TABLE [PURGE] (A12). purge deletes data files owned by the
@@ -416,21 +443,31 @@ class Catalog:
 # -- helpers ----------------------------------------------------------------
 
 
-def _write_metadata(location: str, meta: dict, first: bool = False) -> None:
-    """Version-numbered metadata file + version hint, written via rename for
-    single-writer atomicity (the HadoopTableOperations commit protocol)."""
+class CommitConflictError(RuntimeError):
+    """Another writer committed the next metadata version first (the
+    optimistic-concurrency CAS lost). Refresh and retry or surface."""
+
+
+def _write_metadata(location: str, meta: dict, version: int) -> None:
+    """Version-numbered metadata file + version hint (the
+    HadoopTableOperations commit protocol). ``version`` is the version the
+    writer is TRYING to claim — base-version-it-read + 1, never re-derived
+    from disk (a stale writer must collide, not silently win). The file is
+    created with O_EXCL — exclusive create is the compare-and-swap: of two
+    racing writers exactly one owns v(N+1), the other gets
+    CommitConflictError and must refresh + reapply."""
     meta_dir = os.path.join(location, "metadata")
     os.makedirs(meta_dir, exist_ok=True)
     hint_path = os.path.join(meta_dir, "version-hint.text")
-    version = 1
-    if not first and os.path.exists(hint_path):
-        with open(hint_path) as fh:
-            version = int(fh.read().strip()) + 1
     target = os.path.join(meta_dir, f"v{version}.metadata.json")
-    tmp = target + ".tmp"
-    with open(tmp, "w") as fh:
+    try:
+        fd = os.open(target, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+    except FileExistsError as e:
+        raise CommitConflictError(
+            f"metadata version v{version} already committed by another writer"
+        ) from e
+    with os.fdopen(fd, "w") as fh:
         json.dump(meta, fh, indent=1)
-    os.rename(tmp, target)
     tmp_hint = hint_path + ".tmp"
     with open(tmp_hint, "w") as fh:
         fh.write(str(version))

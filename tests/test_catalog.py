@@ -153,3 +153,26 @@ def test_file_prune_by_stats(spark, catalog):
     assert len(_prune_by_stats(files, "some_garbage && filter")) == 2  # keep-all fallback
     assert t.scan(filter="id < 50").count() == 50
     assert t.scan(filter="id >= 1000").count() == 100
+
+
+def test_concurrent_append_rebases_and_rewrite_conflicts(spark, catalog):
+    # two handles to one table = two optimistic writers. Appends must
+    # rebase-and-retry after losing the CAS; rewrite commits must surface
+    # the conflict (their manifest was derived from a stale snapshot).
+    from iceberg_metadata_pipeline_spark.catalog.metacat import CommitConflictError
+
+    df = spark.range(10).select(F.col("id").cast("long").alias("v"))
+    t1 = catalog.create_table("nyc", "race", df.schema)
+    t1.append_dataframe(df)
+    t2 = catalog.load_table("nyc", "race")
+
+    # writer 1 commits; writer 2 (stale) appends — must rebase, not clobber
+    t1.append_dataframe(df.withColumn("v", F.col("v") + 100))
+    t2.append_dataframe(df.withColumn("v", F.col("v") + 200))
+    merged = catalog.load_table("nyc", "race")
+    assert merged.scan().count() == 30  # all three appends survived
+
+    # stale rewrite loses: t1 is now behind merged state
+    with pytest.raises(CommitConflictError):
+        # force staleness: t1 still holds the metadata from before t2's commit
+        t1.delete_where("v >= 0")

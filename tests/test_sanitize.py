@@ -93,3 +93,60 @@ def test_rewrite_sink_refuses_overwrite(counters_df, tmp_path):
     reread = counters_df.sparkSession.read.parquet(out)
     assert dict(reread.dtypes)["timestamp"] == "timestamp"
     assert reread.count() == counters_df.count()
+
+
+# -- property-based checks of the sanitize rules (hypothesis) ----------------
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+_UINT64_MAX = (1 << 64) - 1
+
+
+@settings(max_examples=25, deadline=None, suppress_health_check=[HealthCheck.too_slow])
+@given(
+    name=st.sampled_from(["timestamp", "rx_bytes", "ts_named_other", "x"]),
+    precision=st.integers(min_value=1, max_value=38),
+    scale_zero=st.booleans(),
+)
+def test_schema_rule_is_name_and_type_driven(name, precision, scale_zero):
+    # pure-metadata property: only (name == 'timestamp') ∧ decimal(p>=18, s=0)
+    # becomes a timestamp; every other decimal passes through unchanged
+    from pyspark.sql import types as T
+
+    from iceberg_metadata_pipeline_spark.ingest.sanitize import sanitized_schema
+
+    scale = 0 if scale_zero else min(2, precision)
+    f = T.StructField(name, T.DecimalType(precision, scale))
+    out = sanitized_schema(T.StructType([f])).fields[0]
+    if name == "timestamp" and precision >= 18 and scale == 0:
+        assert isinstance(out.dataType, T.TimestampType)
+    else:
+        assert out.dataType == f.dataType
+
+
+@settings(max_examples=10, deadline=None, suppress_health_check=[HealthCheck.too_slow])
+@given(
+    micros=st.lists(
+        st.integers(min_value=0, max_value=4102444800_000_000),  # ≤ year 2100
+        min_size=1,
+        max_size=8,
+    )
+)
+def test_epoch_micros_roundtrip_property(spark, micros):
+    # decimal epoch-µs → timestamp must be exactly invertible (no precision
+    # loss anywhere in the supported range)
+    from pyspark.sql import functions as F
+    from pyspark.sql import types as T
+
+    from iceberg_metadata_pipeline_spark.ingest.sanitize import sanitize
+
+    df = spark.createDataFrame(
+        [(str(m),) for m in micros], schema="timestamp string"
+    ).select(F.col("timestamp").cast(T.DecimalType(20, 0)).alias("timestamp"))
+    out = sanitize(df)
+    assert isinstance(out.schema["timestamp"].dataType, T.TimestampType)
+    back = out.select(
+        F.unix_micros("timestamp").alias("us")
+    ).collect()
+    assert sorted(r["us"] for r in back) == sorted(micros)
