@@ -22,18 +22,26 @@ HEADLINE = [
     "tpch_q3_shipping_priority",
     "tpch_q5_local_supplier_volume",
     "tpch_q6_forecast_revenue",
+    "tpch_q9_product_profit",
     "tpch_q10_returned_items",
+    "tpch_q13_customer_distribution",
+    "tpch_q18_large_volume_customer",
+    "tpch_q21_waiting_supplier",
     "join_sort_merge_bigbig",
+    "join_asof_events",
     "agg_rollup",
     "agg_count_distinct",
+    "agg_median_percentiles",
     "window_topk_per_group",
     "fn_string_family",
+    "stream_session_window",
     "ingest_register_scan",
     # Tier-C LLM-data operators
     "dedup_exact_documents",
     "dedup_minhash_lsh",
     "text_quality_signals",
     "sim_cosine_topk_bruteforce",
+    "sim_cosine_topk_lsh",
 ]
 
 
