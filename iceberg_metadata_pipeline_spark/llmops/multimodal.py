@@ -110,6 +110,24 @@ def sample_frames(df: DataFrame, every_n_bytes: int = 64) -> DataFrame:
     return df.mapInPandas(run, "doc_id long, frame_idx int, frame_bytes int, frame_sha string")
 
 
+def resize_media(
+    df: DataFrame, max_w: int = 128, max_h: int = 128
+) -> DataFrame:
+    """Resize stage over decoded metadata: aspect-preserving fit into a
+    (max_w, max_h) box. The geometry is real (it is what a PIL thumbnail
+    call computes); producing resized pixel buffers is behind the same
+    decode seam as decode_image_stub. Runs as pure JVM expressions — a
+    resize *plan* is metadata math; only the pixel kernel needs Python."""
+    scale = F.least(
+        F.lit(float(max_w)) / F.col("width"),
+        F.lit(float(max_h)) / F.col("height"),
+        F.lit(1.0),
+    )
+    return df.withColumn("out_w", F.greatest(F.floor(F.col("width") * scale), F.lit(1))).withColumn(
+        "out_h", F.greatest(F.floor(F.col("height") * scale), F.lit(1))
+    )
+
+
 sql_query(
     "multimodal_binary_plumbing",
     # binary columns through the JVM expression path: encode→binary,
@@ -166,4 +184,22 @@ def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         frames.groupBy("doc_id")
         .agg(F.count(F.lit(1)).alias("n_frames"), F.max("frame_idx").alias("last_idx"))
         .orderBy("doc_id")
+    )
+
+
+@query("multimodal_resize_pipeline", None)
+def multimodal_resize_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """decode → resize(fit 128×128) → per-type geometry stats; asserts the
+    aspect-preserving fit shape end-to-end."""
+    docs = load_tables(spark, sf_dir)["documents"]
+    resized = resize_media(decode_media(to_multimodal(docs)))
+    return (
+        resized.groupBy("media_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.max("out_w").alias("max_w"),
+            F.max("out_h").alias("max_h"),
+            F.sum("out_w").alias("total_w"),
+        )
+        .orderBy("media_type")
     )

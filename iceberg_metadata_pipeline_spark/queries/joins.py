@@ -249,3 +249,15 @@ WHERE o_totalprice > (SELECT CAST(SUM(CAST(o_totalprice AS DECIMAL(38,6))) AS DO
 ORDER BY o_orderkey
 """,
 )
+
+sql_query(
+    "join_right_outer",
+    # customers without any 'P' order survive with null order columns
+    """
+SELECT c_custkey, c_mktsegment, o_orderkey, o_totalprice
+FROM (SELECT * FROM orders WHERE o_orderstatus = 'P') o
+RIGHT OUTER JOIN customer ON o_custkey = c_custkey
+ORDER BY c_custkey, o_orderkey NULLS FIRST
+LIMIT 500
+""",
+)

@@ -147,3 +147,43 @@ def test_agg_pushes_partial_aggregation(spark, sf_dir):
         df.collect()
         plan = df._jdf.queryExecution().executedPlan().toString()
         assert "partial" in plan.lower(), f"{name} lost map-side combine"
+
+
+def test_aqe_splits_skewed_join(spark, sf_dir):
+    # one hot key (80% of rows) against a uniform build side: AQE must
+    # mark the sort-merge join skew-handled instead of leaving one straggler
+    # partition. Thresholds are lowered to make the tiny fixture "skewed".
+    from pyspark.sql import functions as F
+
+    conf = spark.conf
+    saved = {
+        k: conf.get(k)
+        for k in (
+            "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
+            "spark.sql.adaptive.advisoryPartitionSizeInBytes",
+            "spark.sql.autoBroadcastJoinThreshold",
+        )
+    }
+    try:
+        conf.set("spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "64k")
+        conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "32k")
+        conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")  # force SMJ
+        # payload must be incompressible and referenced downstream — a
+        # constant-key partition of pruned rows compresses below any
+        # realistic skew threshold
+        left = spark.range(200_000).select(
+            F.when(F.col("id") % 5 != 0, F.lit(7)).otherwise(F.col("id")).alias("k"),
+            F.md5(F.col("id").cast("string")).alias("payload"),
+        )
+        right = spark.range(50_000).select(
+            (F.col("id") % 1000).alias("k"), F.col("id").alias("r_payload")
+        )
+        df = left.join(right, "k").agg(
+            F.count("payload").alias("n"), F.sum(F.length("payload")).alias("s")
+        )
+        df.collect()
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert "skew=true" in plan, "AQE did not split the skewed partition"
+    finally:
+        for k, v in saved.items():
+            conf.set(k, v)
