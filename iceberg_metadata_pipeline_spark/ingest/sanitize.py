@@ -117,3 +117,34 @@ def rewrite_sanitized(
         .option("compression", compression)
         .parquet(out_path)
     )
+
+
+def aggregate_folder(
+    spark,
+    in_dir: str,
+    out_dir: str,
+    sanitize_first: bool = True,
+    compression: str = "snappy",
+    row_group_bytes: int = 128 * 1024 * 1024,
+    target_files: int = 1,
+    overwrite: bool = False,
+) -> None:
+    """A5 parity (aggregate_parquet.py:103-154): N parquet files → 1 (or
+    ``target_files``), optional sanitize pass, selectable codec, row-group
+    sizing. The reference streams 250k-row batches into 250k-row row
+    groups; Spark's writer sizes row groups by bytes (parquet.block.size),
+    so the knob is expressed in bytes. At 100 TB this runs per
+    partition-range (many tasks), not coalesce(1) — the single-file form
+    mirrors the reference's one-output-file CLI."""
+    from iceberg_metadata_pipeline_spark.ingest.discover import read_parquet_recursive
+
+    df = read_parquet_recursive(spark, in_dir)
+    if sanitize_first:
+        df = sanitize(df)
+    (
+        df.coalesce(target_files)
+        .write.mode("overwrite" if overwrite else "errorifexists")
+        .option("compression", compression)
+        .option("parquet.block.size", str(row_group_bytes))
+        .parquet(out_dir)
+    )

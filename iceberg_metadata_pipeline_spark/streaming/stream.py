@@ -117,3 +117,38 @@ def stream_to_table(stream_df: DataFrame, table, checkpoint_dir: str):
         .foreachBatch(sink)
         .start()
     )
+
+
+def dedup_stream_within_watermark(
+    events: DataFrame, watermark: str = "10 minutes"
+) -> DataFrame:
+    """dropDuplicatesWithinWatermark: unlike dropDuplicates (which keys
+    state forever per value-combo until the watermark passes its event
+    time), this guarantees dedup only among events whose times fall within
+    the watermark delta of each other — the state for a key is dropped as
+    soon as the watermark passes it, which is the right contract for
+    at-least-once sources that only ever duplicate within a bounded
+    replay horizon."""
+    return events.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(
+        ["user_id", "event_type"]
+    )
+
+
+def session_window_stream(
+    events: DataFrame, gap: str = "5 minutes", watermark: str = "10 minutes"
+) -> DataFrame:
+    """Streaming session windows: sessions close when the watermark passes
+    last-event-time + gap; state per (user, open session) only. Matches the
+    batch stream_session_window query shape (same gap) so streaming output
+    can be checked against the batch/DuckDB answer."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy("user_id", F.session_window("ts", gap))
+        .agg(F.count(F.lit(1)).alias("n_events"), F.max("ts").alias("last_ts"))
+        .select(
+            "user_id",
+            F.col("session_window.start").alias("session_start"),
+            "n_events",
+            "last_ts",
+        )
+    )

@@ -150,3 +150,30 @@ def test_epoch_micros_roundtrip_property(spark, micros):
         F.unix_micros("timestamp").alias("us")
     ).collect()
     assert sorted(r["us"] for r in back) == sorted(micros)
+
+
+def test_aggregate_folder_n_to_one(spark, counters_df, tmp_path):
+    # A5: many files in → one sanitized file out, codec honored, no
+    # accidental overwrite (aggregate_parquet.py:103-154 semantics)
+    import glob
+
+    import pyarrow.parquet as pq
+    import pytest
+
+    from iceberg_metadata_pipeline_spark.ingest.sanitize import aggregate_folder
+
+    src = str(tmp_path / "many")
+    counters_df.repartition(4).write.parquet(src)
+    assert len(glob.glob(src + "/*.parquet")) == 4
+
+    out = str(tmp_path / "one")
+    aggregate_folder(spark, src, out, compression="zstd")
+    files = glob.glob(out + "/*.parquet")
+    assert len(files) == 1
+    meta = pq.ParquetFile(files[0])
+    assert meta.metadata.row_group(0).column(0).compression.lower() == "zstd"
+    # sanitize ran: the timestamp column is a real timestamp now
+    assert str(meta.schema_arrow.field("timestamp").type).startswith("timestamp")
+    with pytest.raises(Exception):
+        aggregate_folder(spark, src, out)  # refuses overwrite without flag
+    aggregate_folder(spark, src, out, overwrite=True)  # explicit flag ok

@@ -127,3 +127,52 @@ def test_foreachbatch_sink_epoch_idempotent(spark, sf_dir, events_stream, tmp_pa
 
     assert replay() is False
     assert table.scan().count() == before
+
+
+def test_session_window_stream_matches_batch(spark, sf_dir, events_stream, tables):
+    from iceberg_metadata_pipeline_spark.streaming.stream import session_window_stream
+
+    out = (
+        session_window_stream(events_stream)
+        .writeStream.format("memory")
+        .queryName("sess_out")
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    out.awaitTermination(120)
+    got = {
+        (r["user_id"], r["session_start"], r["n_events"])
+        for r in spark.sql("SELECT * FROM sess_out").collect()
+    }
+    batch = (
+        tables["events"]
+        .groupBy("user_id", F.session_window("ts", "5 minutes"))
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select("user_id", F.col("session_window.start").alias("session_start"), "n_events")
+        .collect()
+    )
+    want = {(r["user_id"], r["session_start"], r["n_events"]) for r in batch}
+    assert got == want
+
+
+def test_dedup_within_watermark_bounds_state(spark, events_stream, tables):
+    from iceberg_metadata_pipeline_spark.streaming.stream import (
+        dedup_stream_within_watermark,
+    )
+
+    out = (
+        dedup_stream_within_watermark(events_stream)
+        .writeStream.format("memory")
+        .queryName("dedupww_out")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    out.awaitTermination(120)
+    n = spark.sql("SELECT COUNT(*) c FROM dedupww_out").collect()[0]["c"]
+    n_keys = tables["events"].select("user_id", "event_type").distinct().count()
+    total = tables["events"].count()
+    # dedup happened (fewer than all rows) but the bounded-horizon contract
+    # may keep more than one event per key across distant sessions
+    assert n_keys <= n < total
