@@ -175,3 +175,58 @@ def table_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("c_mktsegment")
     )
+
+
+@query(
+    "catalog_partitioned_scan",
+    # oracle sees the same rows from the raw table — proving the
+    # partitioned write+pruned read is lossless and filter-correct
+    """
+SELECT CAST(year(o_orderdate) AS BIGINT) AS o_year, o_orderstatus,
+       COUNT(*) AS n,
+  CAST(SUM(CAST(o_totalprice AS DECIMAL(38,6))) AS DOUBLE) AS total
+FROM orders
+WHERE year(o_orderdate) IN (1996, 1997)
+GROUP BY o_year, o_orderstatus
+ORDER BY o_year, o_orderstatus
+""",
+)
+def catalog_partitioned_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hive-style partitioned layout (dt=year directories) + partition
+    pruning: the year filter eliminates whole directories before any IO —
+    at 100 TB this is the first and biggest pruning lever (a day-filter on
+    a date-partitioned table skips 99.9% of files by metadata alone).
+    Plan-level proof in tests/test_plans.py::test_partition_pruning."""
+    orders = load_tables(spark, sf_dir)["orders"]
+    loc = tempfile.mkdtemp(prefix="warehouse-part-") + "/orders_by_year"
+    (
+        orders.withColumn("o_year", F.year("o_orderdate").cast("bigint"))
+        .write.partitionBy("o_year")
+        .parquet(loc)
+    )
+    part = spark.read.parquet(loc)
+    return (
+        part.filter(F.col("o_year").isin(1996, 1997))
+        .groupBy("o_year", "o_orderstatus")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("o_totalprice").cast("decimal(38,6)")).cast("double").alias("total"),
+        )
+        .orderBy("o_year", "o_orderstatus")
+    )
+
+
+@query("catalog_introspection", None)  # session-catalog metadata → rows-only
+def catalog_introspection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A13-A15 as a query: SHOW TABLES over the registered fixture views
+    (the Superset/PyHive introspection path, pyhive_spark_patch.py:8-35),
+    one row per table with its column count from DESCRIBE."""
+    load_tables(spark, sf_dir)
+    tables = [r["viewName"] for r in spark.sql("SHOW VIEWS").collect()]
+    rows = []
+    for t in sorted(tables):
+        n_cols = spark.sql(f"DESCRIBE TABLE {t}").count()
+        rows.append((t, n_cols))
+    return spark.createDataFrame(rows, "table_name string, n_columns long").orderBy(
+        "table_name"
+    )

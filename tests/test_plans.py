@@ -187,3 +187,55 @@ def test_aqe_splits_skewed_join(spark, sf_dir):
     finally:
         for k, v in saved.items():
             conf.set(k, v)
+
+
+def test_partition_pruning(spark, sf_dir, tmp_path):
+    # a filter on the partition column must prune directories at plan time:
+    # the scan's partition count drops and the filter appears as a
+    # PartitionFilter, not a data filter
+    from pyspark.sql import functions as F
+
+    from iceberg_metadata_pipeline_spark.session import load_tables
+
+    orders = load_tables(spark, sf_dir)["orders"]
+    loc = str(tmp_path / "orders_by_year")
+    orders.withColumn("o_year", F.year("o_orderdate")).write.partitionBy(
+        "o_year"
+    ).parquet(loc)
+    part = spark.read.parquet(loc)
+    plan = plan_of(part.filter(F.col("o_year") == 1997).select("o_orderkey"))
+    assert "PartitionFilters: [isnotnull(o_year" in plan
+    assert "(o_year" in plan and "= 1997" in plan.replace("#", " ").replace(")", " )")
+    # pruned read: only the 1997 directory's files are listed
+    pruned = part.filter(F.col("o_year") == 1997).select("o_orderkey")
+    n_all = part.select("o_orderkey").rdd.getNumPartitions()
+    n_pruned = pruned.rdd.getNumPartitions()
+    assert n_pruned < n_all
+
+
+def test_bucketed_join_has_no_shuffle(spark, sf_dir, tmp_path):
+    # pre-bucketing both sides on the join key co-locates them: the join
+    # plan must contain zero Exchange operators (the 100 TB repeated-join
+    # pattern: pay the shuffle once at write time, never at read time)
+    from pyspark.sql import functions as F
+
+    from iceberg_metadata_pipeline_spark.session import load_tables
+
+    t = load_tables(spark, sf_dir)
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        t["orders"].write.bucketBy(8, "o_orderkey").sortBy("o_orderkey").mode(
+            "overwrite"
+        ).saveAsTable("orders_bkt")
+        t["lineitem"].withColumnRenamed("l_orderkey", "o_orderkey").write.bucketBy(
+            8, "o_orderkey"
+        ).sortBy("o_orderkey").mode("overwrite").saveAsTable("lineitem_bkt")
+        joined = spark.table("orders_bkt").join(spark.table("lineitem_bkt"), "o_orderkey")
+        plan = plan_of(joined.groupBy("o_orderstatus").count())
+        assert "SortMergeJoin" in plan
+        # the join key never shuffles: bucket layout already co-locates it
+        assert "Exchange hashpartitioning(o_orderkey" not in plan
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "67108864")
+        spark.sql("DROP TABLE IF EXISTS orders_bkt")
+        spark.sql("DROP TABLE IF EXISTS lineitem_bkt")
