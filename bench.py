@@ -64,6 +64,7 @@ def main() -> None:
 
     tables = load_tables(spark, sf_dir)
     tables["region"].count()
+    tables["lineitem"].count()  # biggest table: pays listing + footer reads
 
     timings: dict[str, float] = {}
     for name in HEADLINE:

@@ -73,6 +73,8 @@ def get_spark(
         .config("spark.sql.sources.parallelPartitionDiscovery.parallelism", "100")
         .config("spark.network.timeout", "600s")
         .config("spark.executor.heartbeatInterval", "60s")
+        # FAIR scheduling across concurrent clients (entrypoint-spark.sh:136)
+        .config("spark.scheduler.mode", "FAIR")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.driver.memory", driver_mem)
         # fixture events.ts is TIMESTAMP(NANOS) parquet, which Spark refuses

@@ -176,3 +176,17 @@ def test_concurrent_append_rebases_and_rewrite_conflicts(spark, catalog):
     with pytest.raises(CommitConflictError):
         # force staleness: t1 still holds the metadata from before t2's commit
         t1.delete_where("v >= 0")
+
+
+def test_incremental_result_delivery(spark, sf_dir):
+    # thriftServer.incrementalCollect=true parity (entrypoint-spark.sh:43):
+    # large results stream to the client as an iterator, never one driver
+    # materialization. toLocalIterator is that contract for our API.
+    from iceberg_metadata_pipeline_spark.session import load_tables
+
+    orders = load_tables(spark, sf_dir)["orders"]
+    it = orders.orderBy("o_orderkey").toLocalIterator()
+    first = next(it)
+    assert first["o_orderkey"] is not None
+    n = 1 + sum(1 for _ in it)
+    assert n == orders.count()
