@@ -155,3 +155,59 @@ GROUP BY doc_id
 ORDER BY doc_id
 """,
 )
+
+
+sql_query(
+    "text_tfidf_topterms",
+    # TF-IDF with a *linear* idf (tf × N/df): rational arithmetic over
+    # identical operands is bit-identical across engines, unlike ln()
+    # whose libm implementations differ in the last ulp (standard log-idf
+    # is a one-line swap in production). Top-3 terms per doc, term-ordered
+    # tiebreak.
+    """
+SELECT doc_id, term, tfidf, rn
+FROM (
+  SELECT doc_id, term, tfidf,
+         ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY tfidf DESC, term) AS rn
+  FROM (
+    SELECT t.doc_id, t.term,
+           CAST(t.tf AS DOUBLE)
+             * (CAST((SELECT COUNT(*) FROM documents) AS DOUBLE) / d.df) AS tfidf
+    FROM (SELECT doc_id, tok AS term, COUNT(*) AS tf
+          FROM (SELECT doc_id, explode(split(lower(text), ' ')) AS tok
+                FROM documents) x
+          GROUP BY doc_id, tok) t
+    JOIN (SELECT tok AS term, COUNT(DISTINCT doc_id) AS df
+          FROM (SELECT doc_id, explode(split(lower(text), ' ')) AS tok
+                FROM documents) y
+          GROUP BY tok) d
+      ON t.term = d.term
+  ) scored
+) ranked
+WHERE rn <= 3 AND doc_id < 50
+ORDER BY doc_id, rn
+""",
+    oracle="""
+SELECT doc_id, term, tfidf, rn
+FROM (
+  SELECT doc_id, term, tfidf,
+         ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY tfidf DESC, term) AS rn
+  FROM (
+    SELECT t.doc_id, t.term,
+           CAST(t.tf AS DOUBLE)
+             * (CAST((SELECT COUNT(*) FROM documents) AS DOUBLE) / d.df) AS tfidf
+    FROM (SELECT doc_id, tok AS term, COUNT(*) AS tf
+          FROM (SELECT doc_id, unnest(string_split(lower(text), ' ')) AS tok
+                FROM documents) x
+          GROUP BY doc_id, tok) t
+    JOIN (SELECT tok AS term, COUNT(DISTINCT doc_id) AS df
+          FROM (SELECT doc_id, unnest(string_split(lower(text), ' ')) AS tok
+                FROM documents) y
+          GROUP BY tok) d
+      ON t.term = d.term
+  ) scored
+) ranked
+WHERE rn <= 3 AND doc_id < 50
+ORDER BY doc_id, rn
+""",
+)

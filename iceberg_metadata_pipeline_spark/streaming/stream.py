@@ -152,3 +152,35 @@ def session_window_stream(
             "last_ts",
         )
     )
+
+
+def clicks_views_stream_join(
+    clicks: DataFrame,
+    views: DataFrame,
+    watermark: str = "10 minutes",
+    horizon_minutes: int = 60,
+) -> DataFrame:
+    """Stream-stream inner join: each click joins views of the same user
+    within the preceding ``horizon_minutes``. Both sides carry watermarks
+    and the join condition bounds event-time distance — together they let
+    Spark expire buffered state (a stream-stream join without both buffers
+    forever). State ≈ horizon × per-user view rate, independent of stream
+    length."""
+    c = clicks.select(
+        F.col("event_id").alias("click_id"),
+        F.col("user_id").alias("c_user"),
+        F.col("ts").alias("click_ts"),
+    ).withWatermark("click_ts", watermark)
+    v = views.select(
+        F.col("event_id").alias("view_id"),
+        F.col("user_id").alias("v_user"),
+        F.col("ts").alias("view_ts"),
+        F.col("value").alias("view_value"),
+    ).withWatermark("view_ts", watermark)
+    cond = F.expr(
+        f"""c_user = v_user AND view_ts <= click_ts
+            AND view_ts >= click_ts - INTERVAL {horizon_minutes} MINUTES"""
+    )
+    return c.join(v, cond, "inner").select(
+        "click_id", F.col("c_user").alias("user_id"), "click_ts", "view_id", "view_ts", "view_value"
+    )

@@ -176,3 +176,39 @@ def test_dedup_within_watermark_bounds_state(spark, events_stream, tables):
     # dedup happened (fewer than all rows) but the bounded-horizon contract
     # may keep more than one event per key across distant sessions
     assert n_keys <= n < total
+
+
+def test_stream_stream_join_matches_batch(spark, sf_dir, tables):
+    from iceberg_metadata_pipeline_spark.streaming.stream import (
+        clicks_views_stream_join,
+        read_events_stream,
+    )
+
+    clicks_s = read_events_stream(spark, sf_dir).filter(F.col("event_type") == "click")
+    views_s = read_events_stream(spark, sf_dir).filter(F.col("event_type") == "view")
+    out = (
+        clicks_views_stream_join(clicks_s, views_s)
+        .writeStream.format("memory")
+        .queryName("ssj_out")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    out.awaitTermination(120)
+    got = spark.sql("SELECT COUNT(*) c FROM ssj_out").collect()[0]["c"]
+
+    ev = tables["events"]
+    clicks_b = ev.filter(F.col("event_type") == "click").select(
+        F.col("event_id").alias("click_id"), F.col("user_id").alias("c_user"), F.col("ts").alias("click_ts")
+    )
+    views_b = ev.filter(F.col("event_type") == "view").select(
+        F.col("user_id").alias("v_user"), F.col("ts").alias("view_ts")
+    )
+    want = clicks_b.join(
+        views_b,
+        F.expr(
+            "c_user = v_user AND view_ts <= click_ts "
+            "AND view_ts >= click_ts - INTERVAL 60 MINUTES"
+        ),
+    ).count()
+    assert got == want and want > 0
