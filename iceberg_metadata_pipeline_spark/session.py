@@ -101,6 +101,15 @@ def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, "object"]:
     from pyspark.sql import functions as F
     from pyspark.sql.types import LongType
 
+    # events.parquet is TIMESTAMP(NANOS): unreadable unless nanosAsLong is
+    # set. The conf is runtime-settable, so harden here — the driver's
+    # correctness harness calls queries with ITS OWN SparkSession, which
+    # won't have gone through get_spark().
+    try:
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    except Exception:
+        pass  # locked-down conf: get_spark() sessions already set it
+
     out = {}
     for path in sorted(glob.glob(os.path.join(sf_dir, "*.parquet"))):
         name = os.path.splitext(os.path.basename(path))[0]
