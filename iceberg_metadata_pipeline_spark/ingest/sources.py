@@ -1,0 +1,91 @@
+"""Source/sink format coverage beyond Parquet (SURVEY.md §2.B scans row:
+the reference serves Parquet-backed Iceberg only, but its query surface —
+Spark SQL — reads/writes CSV, JSON, and ORC natively; entrypoint-spark.sh:73).
+
+Each round-trip query writes a fixture slice in the target format, reads
+it back, and aggregates; the DuckDB oracle computes the same aggregate
+from the raw parquet table — proving the format conversion is lossless
+for the carried types.
+
+Scale notes: CSV/JSON are row-oriented, schema-on-read, and ~5-10× the
+scan cost of Parquet (no column pruning, no row-group skipping, full
+string parsing) — at 100 TB they are ingest formats, converted to
+Parquet/Iceberg on first touch (the ingest module's job), never the
+serving layer. ORC is columnar with pushdown like Parquet; Spark treats
+the two interchangeably at plan level.
+"""
+
+from __future__ import annotations
+
+import tempfile
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from iceberg_metadata_pipeline_spark.queries import query
+from iceberg_metadata_pipeline_spark.session import load_tables
+
+_NATION_AGG_ORACLE = """
+SELECT n_regionkey, COUNT(*) AS n, MIN(n_name) AS first_name
+FROM nation
+GROUP BY n_regionkey
+ORDER BY n_regionkey
+"""
+
+
+def _nation_agg(df: DataFrame) -> DataFrame:
+    return (
+        df.groupBy("n_regionkey")
+        .agg(F.count(F.lit(1)).alias("n"), F.min("n_name").alias("first_name"))
+        .orderBy("n_regionkey")
+    )
+
+
+@query("source_csv_roundtrip", _NATION_AGG_ORACLE)
+def source_csv_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """parquet → CSV (header) → schema-on-read back → aggregate."""
+    nation = load_tables(spark, sf_dir)["nation"]
+    loc = tempfile.mkdtemp(prefix="src-csv-") + "/nation_csv"
+    nation.write.option("header", "true").csv(loc)
+    back = (
+        spark.read.option("header", "true")
+        .schema(nation.schema)
+        .csv(loc)
+    )
+    return _nation_agg(back)
+
+
+@query("source_json_roundtrip", _NATION_AGG_ORACLE)
+def source_json_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """parquet → JSON lines → schema'd read back → aggregate."""
+    nation = load_tables(spark, sf_dir)["nation"]
+    loc = tempfile.mkdtemp(prefix="src-json-") + "/nation_json"
+    nation.write.json(loc)
+    back = spark.read.schema(nation.schema).json(loc)
+    return _nation_agg(back)
+
+
+@query(
+    "source_orc_roundtrip",
+    """
+SELECT o_orderstatus, COUNT(*) AS n,
+  CAST(SUM(CAST(o_totalprice AS DECIMAL(38,6))) AS DOUBLE) AS total
+FROM orders
+GROUP BY o_orderstatus
+ORDER BY o_orderstatus
+""",
+)
+def source_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """parquet → ORC (columnar sibling; pushdown-capable) → aggregate."""
+    orders = load_tables(spark, sf_dir)["orders"]
+    loc = tempfile.mkdtemp(prefix="src-orc-") + "/orders_orc"
+    orders.write.orc(loc)
+    back = spark.read.orc(loc)
+    return (
+        back.groupBy("o_orderstatus")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("o_totalprice").cast("decimal(38,6)")).cast("double").alias("total"),
+        )
+        .orderBy("o_orderstatus")
+    )
