@@ -93,6 +93,7 @@ def _load_all():
     )
     from iceberg_metadata_pipeline_spark.llmops import (  # noqa: F401
         dedup,
+        forecast,
         multimodal,
         similarity,
         text,

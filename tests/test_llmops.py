@@ -184,3 +184,32 @@ def test_ivf_recall_vs_bruteforce_clustered(spark):
     approx_set = {(r["query_id"], r["cand_id"]) for r in approx}
     recall = len(exact_set & approx_set) / len(exact_set)
     assert recall >= 0.8, f"IVF recall {recall} too low on clustered data"
+
+
+def test_trend_fit_matches_duckdb_regression(spark, sf_dir):
+    # the applyInPandas closed-form fit must agree with DuckDB's
+    # regr_slope/regr_intercept on the same hourly series to 1e-9
+    import duckdb
+
+    from iceberg_metadata_pipeline_spark.llmops.forecast import (
+        fit_linear_trend_per_group,
+        hourly_event_values,
+    )
+    from iceberg_metadata_pipeline_spark.session import load_tables
+
+    events = load_tables(spark, sf_dir)["events"]
+    hourly = hourly_event_values(events).cache()
+    got = {
+        r["event_type"]: (r["slope"], r["intercept"])
+        for r in fit_linear_trend_per_group(hourly).collect()
+    }
+    pdf = hourly.toPandas()
+    con = duckdb.connect()
+    con.register("hourly", pdf)
+    want = con.execute(
+        "SELECT event_type, regr_slope(y, bucket_idx) s, regr_intercept(y, bucket_idx) i "
+        "FROM hourly GROUP BY event_type"
+    ).fetchall()
+    for et, s, i in want:
+        gs, gi = got[et]
+        assert abs(gs - s) < 1e-9 and abs(gi - i) < 1e-9, et
