@@ -261,3 +261,41 @@ ORDER BY c_custkey, o_orderkey NULLS FIRST
 LIMIT 500
 """,
 )
+
+sql_query(
+    "join_null_keys_semantics",
+    # SQL equi-joins never match NULL keys; rows with nulled keys drop out
+    # of the inner join but survive the left join with null right side
+    """
+SELECT
+  (SELECT COUNT(*) FROM
+    (SELECT nullif(c_nationkey, 3) AS k, c_custkey FROM customer) c
+    JOIN (SELECT n_nationkey, n_name FROM nation) n ON c.k = n.n_nationkey
+  ) AS inner_matches,
+  (SELECT COUNT(*) FROM
+    (SELECT nullif(c_nationkey, 3) AS k, c_custkey FROM customer) c
+    LEFT JOIN (SELECT n_nationkey, n_name FROM nation) n ON c.k = n.n_nationkey
+  ) AS left_rows,
+  (SELECT COUNT(*) FROM customer WHERE nullif(c_nationkey, 3) IS NULL) AS nulled_keys
+""",
+)
+
+sql_query(
+    "join_null_safe_equality",
+    # Spark's <=> (null-safe equal): NULL <=> NULL is true — the join that
+    # DOES match null keys; DuckDB spells it IS NOT DISTINCT FROM
+    """
+SELECT COUNT(*) AS n_pairs,
+       SUM(CASE WHEN a.k IS NULL THEN 1 ELSE 0 END) AS null_pairs
+FROM (SELECT nullif(c_nationkey, 3) AS k, c_custkey FROM customer WHERE c_custkey < 100) a
+JOIN (SELECT nullif(c_nationkey, 3) AS k, c_custkey FROM customer WHERE c_custkey < 100) b
+  ON a.k <=> b.k AND a.c_custkey < b.c_custkey
+""",
+    oracle="""
+SELECT COUNT(*) AS n_pairs,
+       SUM(CASE WHEN a.k IS NULL THEN 1 ELSE 0 END) AS null_pairs
+FROM (SELECT nullif(c_nationkey, 3) AS k, c_custkey FROM customer WHERE c_custkey < 100) a
+JOIN (SELECT nullif(c_nationkey, 3) AS k, c_custkey FROM customer WHERE c_custkey < 100) b
+  ON a.k IS NOT DISTINCT FROM b.k AND a.c_custkey < b.c_custkey
+""",
+)
