@@ -239,3 +239,44 @@ def test_bucketed_join_has_no_shuffle(spark, sf_dir, tmp_path):
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "67108864")
         spark.sql("DROP TABLE IF EXISTS orders_bkt")
         spark.sql("DROP TABLE IF EXISTS lineitem_bkt")
+
+
+def test_range_partitioned_sorted_write_enables_pruning(spark, sf_dir, tmp_path):
+    # the time-series layout: repartitionByRange + sortWithinPartitions on
+    # the filter column gives each output file a tight min/max band, so a
+    # date filter prunes most files by footer stats alone
+    import glob
+
+    import pyarrow.parquet as pq
+    from pyspark.sql import functions as F
+
+    from iceberg_metadata_pipeline_spark.session import load_tables
+
+    orders = load_tables(spark, sf_dir)["orders"]
+    loc = str(tmp_path / "orders_ranged")
+    (
+        orders.repartitionByRange(8, "o_orderdate")
+        .sortWithinPartitions("o_orderdate")
+        .write.parquet(loc)
+    )
+    files = sorted(glob.glob(loc + "/*.parquet"))
+    assert len(files) >= 8
+    # bands are disjoint-ish: collect per-file min/max of o_orderdate
+    bands = []
+    for f in files:
+        md = pq.ParquetFile(f).metadata
+        idx = next(
+            i for i in range(md.num_columns)
+            if md.row_group(0).column(i).path_in_schema == "o_orderdate"
+        )
+        stats = md.row_group(0).column(idx).statistics
+        bands.append((stats.min, stats.max))
+    bands.sort()
+    overlaps = sum(1 for (a, b), (c, d) in zip(bands, bands[1:]) if c < b)
+    assert overlaps == 0, f"range layout produced overlapping file bands: {bands}"
+    # and Spark's scan prunes: a one-band filter reads far fewer rows' files
+    part = spark.read.parquet(loc)
+    lo, hi = bands[0][0], bands[0][1]
+    pruned = part.filter(F.col("o_orderdate") <= F.lit(lo))
+    plan = plan_of(pruned)
+    assert "PushedFilters" in plan and "LessThanOrEqual(o_orderdate" in plan
