@@ -278,3 +278,32 @@ FROM lineitem
 ORDER BY l_orderkey, l_linenumber
 """,
 )
+
+
+sql_query(
+    "fn_bitwise_family",
+    """
+SELECT p_partkey,
+       p_size & 15 AS low_bits,
+       p_size | 64 AS with_flag,
+       CAST(p_size ^ 21 AS INT) AS xored,
+       shiftleft(p_size, 2) AS shl2,
+       shiftright(p_size, 1) AS shr1,
+       bit_count(p_size) AS popcount
+FROM part
+WHERE p_partkey < 200
+ORDER BY p_partkey
+""",
+    oracle="""
+SELECT p_partkey,
+       p_size & 15 AS low_bits,
+       p_size | 64 AS with_flag,
+       CAST(xor(p_size, 21) AS INT) AS xored,
+       p_size << 2 AS shl2,
+       p_size >> 1 AS shr1,
+       bit_count(p_size) AS popcount
+FROM part
+WHERE p_partkey < 200
+ORDER BY p_partkey
+""",
+)

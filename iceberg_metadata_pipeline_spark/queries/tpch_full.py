@@ -1,5 +1,9 @@
 """Remaining TPC-H query shapes (q2..q22), adapted to the fixture schema.
 
+These queries flow through the surface the reference deploys wholesale —
+all of Spark SQL via its Thrift server (entrypoint-spark.sh:73) with the
+tuning of SURVEY.md §4 — so "implementation" is declaration + proof.
+
 The fixture star schema (FIXTURES.md) is TPC-H-ish but drops `partsupp`,
 `l_commitdate`/`l_receiptdate`, comments and phones — so the queries here
 keep each original's *plan shape* (the thing Catalyst has to get right)
