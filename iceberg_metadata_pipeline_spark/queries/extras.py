@@ -117,3 +117,68 @@ def sample_bernoulli_seeded(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_sampled"),
         F.countDistinct("l_orderkey").alias("n_orders"),
     )
+
+
+sql_query(
+    "fn_vector_ops",
+    # element-wise vector arithmetic as higher-order functions — the
+    # building blocks every embedding operator composes from
+    """
+SELECT vec_id,
+       round(aggregate(zip_with(CAST(embedding AS ARRAY<DOUBLE>),
+                                CAST(embedding AS ARRAY<DOUBLE>),
+                                (x, y) -> x * y),
+                       CAST(0 AS DOUBLE), (acc, x) -> acc + x), 9) AS self_dot,
+       round(sqrt(aggregate(transform(CAST(embedding AS ARRAY<DOUBLE>), x -> x * x),
+                            CAST(0 AS DOUBLE), (acc, x) -> acc + x)), 9) AS l2_norm,
+       size(embedding) AS dim,
+       round(aggregate(transform(CAST(embedding AS ARRAY<DOUBLE>), x -> x * 2.5),
+                       CAST(0 AS DOUBLE), (acc, x) -> acc + x), 9) AS scaled_sum
+FROM embeddings
+WHERE vec_id < 50
+ORDER BY vec_id
+""",
+    oracle="""
+SELECT vec_id,
+       round(list_reduce(list_transform(range(1, len(embedding)+1),
+                 i -> CAST(embedding[i] AS DOUBLE) * CAST(embedding[i] AS DOUBLE)),
+                 (acc, x) -> acc + x), 9) AS self_dot,
+       round(sqrt(list_reduce(list_transform(embedding,
+                 x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)),
+                 (acc, x) -> acc + x)), 9) AS l2_norm,
+       len(embedding) AS dim,
+       round(list_reduce(list_transform(embedding, x -> CAST(x AS DOUBLE) * 2.5),
+                 (acc, x) -> acc + x), 9) AS scaled_sum
+FROM embeddings
+WHERE vec_id < 50
+ORDER BY vec_id
+""",
+)
+
+sql_query(
+    "window_following_frame",
+    # remaining-total frame: CURRENT ROW → UNBOUNDED FOLLOWING
+    """
+SELECT o_custkey, o_orderkey,
+  CAST(SUM(CAST(o_totalprice AS DECIMAL(38,6)))
+       OVER (PARTITION BY o_custkey ORDER BY o_orderkey
+             ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS DOUBLE)
+    AS remaining_total
+FROM orders
+WHERE o_custkey < 50
+ORDER BY o_custkey, o_orderkey
+""",
+)
+
+sql_query(
+    "text_edit_distance",
+    # fuzzy matching kernel: levenshtein + affix predicates over a bounded
+    # candidate set (at scale this only ever runs on blocked candidates)
+    """
+SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       levenshtein(substr(a.text, 1, 30), substr(b.text, 1, 30)) AS lev30,
+       CASE WHEN substr(a.text, 1, 5) = substr(b.text, 1, 5) THEN 1 ELSE 0 END AS same_prefix5
+FROM documents a JOIN documents b ON a.doc_id < b.doc_id AND a.doc_id < 15 AND b.doc_id < 15
+ORDER BY id_a, id_b
+""",
+)

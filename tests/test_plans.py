@@ -114,6 +114,7 @@ def test_no_cartesian_products_in_declared_surface(spark, sf_dir):
         "join_theta_range",
         "dedup_ngram_jaccard",       # bounded all-pairs verification kernel
         "dedup_embedding_cosine",    # bounded all-pairs (<40 ids)
+        "text_edit_distance",        # bounded all-pairs (<15 ids)
         "sim_cosine_topk_bruteforce",  # scored scan: query side broadcast
         "sim_cosine_topk_pandas",
     }
