@@ -51,3 +51,67 @@ def test_hot_key_salting_equals_plain(spark):
     plain = _fingerprint(left.join(right, ["k"]))
     salted = _fingerprint(salted_join_hot_keys(left, right, ["k"], hot, n_salts=16))
     assert tuple(plain) == tuple(salted)
+
+
+# -- as-of join property test (random data vs pure-python reference) ---------
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+
+@settings(
+    max_examples=6, deadline=None,
+    suppress_health_check=[HealthCheck.too_slow, HealthCheck.function_scoped_fixture],
+)
+@given(
+    rows=st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=3),    # user
+            st.integers(min_value=0, max_value=50),   # ts (seconds)
+            st.booleans(),                            # is_click
+        ),
+        min_size=1,
+        max_size=30,
+    )
+)
+def test_asof_join_matches_python_reference(spark, rows):
+    from pyspark.sql import functions as F
+
+    from iceberg_metadata_pipeline_spark.queries.asof import asof_join
+
+    # unique event ids; ts made unique per (user, side) to avoid ambiguous
+    # ties between two right rows at the same instant (either is a valid
+    # as-of answer; the contract tested here is the deterministic case)
+    seen = set()
+    events = []
+    for i, (u, ts, is_click) in enumerate(rows):
+        key = (u, ts, is_click)
+        if key in seen:
+            continue
+        seen.add(key)
+        events.append((i, u, ts, "click" if is_click else "view", float(i)))
+    df = spark.createDataFrame(
+        events, "event_id long, user_id long, tsec long, event_type string, value double"
+    ).withColumn("ts", F.timestamp_seconds("tsec"))
+
+    clicks = df.filter(F.col("event_type") == "click")
+    views = df.filter(F.col("event_type") == "view").select("user_id", "ts", "value")
+    got = {
+        r["event_id"]: r["value_right"]
+        for r in asof_join(
+            clicks, views, ts="ts", by=["user_id"], value_cols=["value"]
+        ).collect()
+    }
+
+    # python reference: latest view at-or-before each click, same user
+    views_by_user = {}
+    for eid, u, ts, et, val in events:
+        if et == "view":
+            views_by_user.setdefault(u, []).append((ts, val))
+    want = {}
+    for eid, u, ts, et, val in events:
+        if et != "click":
+            continue
+        cands = [(t, v) for t, v in views_by_user.get(u, []) if t <= ts]
+        want[eid] = max(cands)[1] if cands else None
+    assert got == want
