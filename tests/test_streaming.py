@@ -212,3 +212,66 @@ def test_stream_stream_join_matches_batch(spark, sf_dir, tables):
         ),
     ).count()
     assert got == want and want > 0
+
+
+def test_watermark_drops_late_data_across_batches(spark, tmp_path):
+    # run 1 processes on-time events and advances the watermark (persisted
+    # in the checkpoint); run 2 restarts from the checkpoint and delivers a
+    # late event whose window already closed -- it must be DROPPED
+    from pyspark.sql import Row
+
+    src = tmp_path / "late_src"
+    src.mkdir()
+    ckpt = str(tmp_path / "ckpt")
+
+    def write_file(name, rows):
+        spark.createDataFrame(rows).coalesce(1).write.parquet(str(src / name))
+
+    ts = lambda h, m=0: __import__("datetime").datetime(2020, 1, 1, h, m)  # noqa: E731
+
+    schema = (
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string"
+    )
+
+    out_dir = str(tmp_path / "late_out")
+
+    def run_stream(qname):
+        # file sink: the one that supports checkpoint recovery (memory
+        # sink does not)
+        stream = spark.readStream.schema(schema).parquet(str(src) + "/*")
+        q = (
+            stream.withWatermark("ts", "10 minutes")
+            .groupBy(F.window("ts", "1 hour"))
+            .agg(F.count(F.lit(1)).alias("n"))
+            .select(F.col("window.start").alias("win"), "n")
+            .writeStream.format("parquet")
+            .option("path", out_dir)
+            .outputMode("append")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    write_file("a", [
+        Row(event_id=1, ts=ts(10, 5), user_id=1, event_type="click", value=1.0, props="{}"),
+        Row(event_id=2, ts=ts(10, 20), user_id=1, event_type="click", value=1.0, props="{}"),
+        Row(event_id=3, ts=ts(11, 0), user_id=1, event_type="click", value=1.0, props="{}"),
+    ])
+    run_stream("late_run1")  # watermark advances to 10:50; nothing emitted yet
+
+    write_file("b", [
+        Row(event_id=4, ts=ts(9, 30), user_id=1, event_type="click", value=1.0, props="{}"),  # LATE
+        Row(event_id=5, ts=ts(12, 0), user_id=1, event_type="click", value=1.0, props="{}"),
+    ])
+    run_stream("late_run2")  # watermark 10:50 drops the 9:30 event, then -> 11:50
+
+    got = {
+        (r["win"].hour, r["n"]) for r in spark.read.parquet(out_dir).collect()
+    }
+    # 10:00 window closed (2 on-time events; the late 9:30 event was
+    # DROPPED -- no 9:00 window appears and the count is 2, not 3); the
+    # 11:00 and 12:00 windows end after the final watermark (11:50) and
+    # stay open -> absent from append output
+    assert got == {(10, 2)}, got
