@@ -176,14 +176,28 @@ class Table:
         df.write.mode("errorifexists").parquet(data_dir)
         return self.append_files(scan_parquet_footers(data_dir), dedupe=False)
 
-    def rewrite_data_files(self, target_num_files: int = 1) -> int:
+    def rewrite_data_files(
+        self, target_num_files: int = 1, sort_by: list[str] | None = None
+    ) -> int:
         """Compaction: read current snapshot, rewrite as N files, commit a
         'replace' snapshot (Iceberg rewrite_data_files; reference's offline
         N→1 analogue is aggregate_parquet.py). Old files stay on disk owned
-        by older snapshots until expire_snapshots."""
+        by older snapshots until expire_snapshots.
+
+        ``sort_by`` = Iceberg's sort-order rewrite: range-partition + sort
+        so each output file carries a tight, disjoint min/max band on the
+        sort columns — the layout that makes the stats pruning in
+        ``scan(filter=...)`` actually bite at 100 TB (an unsorted table has
+        every file spanning the full value range; no band, no pruning)."""
         df = self.scan()
         data_dir = os.path.join(self.location, "data", "compact-" + uuid.uuid4().hex[:12])
-        df.coalesce(target_num_files).write.mode("errorifexists").parquet(data_dir)
+        if sort_by:
+            out = df.repartitionByRange(target_num_files, *sort_by).sortWithinPartitions(
+                *sort_by
+            )
+        else:
+            out = df.coalesce(target_num_files)
+        out.write.mode("errorifexists").parquet(data_dir)
         return self._commit("replace", scan_parquet_footers(data_dir))
 
     # -- row-level ops (copy-on-write, Iceberg MERGE/DELETE/UPDATE analogue) --

@@ -1,0 +1,57 @@
+"""The remaining pandas-UDF variants (SURVEY.md §2.B UDF surface:
+"pandas_udf (scalar + grouped-agg)"). mapInPandas / applyInPandas /
+applyInPandasWithState live in llmops/ and streaming/; these are the
+SCALAR (vectorized expression) and GROUPED_AGG (vectorized aggregate)
+forms.
+
+Scale notes: scalar pandas UDFs evaluate per Arrow batch inside the task
+(no shuffle introduced); grouped-agg UDFs require the group's rows
+co-located — same shuffle as a built-in aggregate but WITHOUT map-side
+partial aggregation (the Python aggregate is a black box to Catalyst), so
+shuffle volume is O(rows), not O(groups). Use built-ins whenever the
+aggregate is expressible; reach for grouped-agg only for genuinely custom
+math (here: geometric mean)."""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.functions import pandas_udf
+
+from iceberg_metadata_pipeline_spark.queries import query
+from iceberg_metadata_pipeline_spark.session import load_tables
+
+
+@pandas_udf("double")
+def vowel_ratio(s: pd.Series) -> pd.Series:
+    """SCALAR pandas UDF: vectorized over Arrow batches."""
+    low = s.str.lower()
+    return low.str.count("[aeiou]") / low.str.len().clip(lower=1)
+
+
+@pandas_udf("double")
+def geo_mean(v: pd.Series) -> float:
+    """GROUPED_AGG pandas UDF: one float per group (log-mean-exp)."""
+    import numpy as np
+
+    x = v.to_numpy(dtype="float64")
+    x = x[x > 0]
+    return float(np.exp(np.log(x).mean())) if len(x) else 0.0
+
+
+@query("udf_pandas_scalar_grouped", None)  # float reduction order → rows-only
+def udf_pandas_scalar_grouped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scalar UDF in the projection + grouped-agg UDF in the aggregate —
+    the two remaining cells of the pandas-UDF matrix."""
+    docs = load_tables(spark, sf_dir)["documents"]
+    return (
+        docs.withColumn("vr", vowel_ratio(F.col("text")))
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(geo_mean(F.col("vr")), 6).alias("geo_mean_vowel_ratio"),
+            F.round(geo_mean(F.col("n_chars").cast("double")), 2).alias("geo_mean_chars"),
+        )
+        .orderBy("lang")
+    )

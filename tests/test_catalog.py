@@ -190,3 +190,28 @@ def test_incremental_result_delivery(spark, sf_dir):
     assert first["o_orderkey"] is not None
     n = 1 + sum(1 for _ in it)
     assert n == orders.count()
+
+
+def test_sorted_compaction_enables_file_pruning(spark, catalog, sf_dir):
+    # sort-order rewrite: after compaction with sort_by, each file carries
+    # a disjoint band of the sort column, so a range filter prunes files
+    from iceberg_metadata_pipeline_spark.session import load_tables
+
+    orders = load_tables(spark, sf_dir)["orders"]
+    t = catalog.create_table("nyc", "orders_sorted", orders.schema)
+    t.append_dataframe(orders)
+    t.rewrite_data_files(target_num_files=4, sort_by=["o_totalprice"])
+
+    files = t.snapshot_files()
+    assert len(files) == 4
+    bands = sorted(
+        (f.stats["o_totalprice"][0], f.stats["o_totalprice"][1]) for f in files
+    )
+    assert all(b1[1] <= b2[0] for b1, b2 in zip(bands, bands[1:]))  # disjoint
+    # stats-pruned scan touches one file for a one-band filter
+    lo, hi = bands[0]
+    pruned = t.scan(filter=f"o_totalprice <= {lo + (hi - lo) * 0.5}")
+    n_input_files = pruned.rdd.getNumPartitions()
+    full = t.scan()
+    assert pruned.count() > 0
+    assert n_input_files < full.rdd.getNumPartitions() or len(files) == 1
