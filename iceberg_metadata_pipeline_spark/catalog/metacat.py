@@ -288,6 +288,43 @@ class Table:
 
         return self._rewrite_with(transform, None, "merge")
 
+    # -- schema evolution (metadata-only, Iceberg ALTER TABLE analogue) ----
+    def add_column(self, name: str, data_type: str) -> None:
+        """ALTER TABLE ADD COLUMN: pure metadata — no data file is touched.
+        Scans project the evolved schema over old files; Parquet fills the
+        absent column with nulls (exactly Iceberg's add-column contract).
+        At 100 TB this is the whole point: schema change is O(1), not a
+        table rewrite."""
+        if any(f.name == name for f in self.schema.fields):
+            raise ValueError(f"column {name} already exists")
+        fields = self.schema.add(T.StructField(name, _parse_type(data_type))).jsonValue()
+        self.meta["schema"] = fields
+        _write_metadata(self.location, self.meta, self.version + 1)
+        self.version += 1
+
+    def rename_column(self, old: str, new: str) -> None:
+        """ALTER TABLE RENAME COLUMN — metadata-only. Caveat vs real
+        Iceberg: Iceberg tracks columns by field id, so renames stay
+        readable against old files; Parquet name-based resolution loses the
+        old column's data. We therefore remember the rename in properties
+        and scans alias old→new at read time."""
+        fields = []
+        found = False
+        for f in self.schema.fields:
+            if f.name == old:
+                fields.append(T.StructField(new, f.dataType, f.nullable))
+                found = True
+            else:
+                fields.append(f)
+        if not found:
+            raise ValueError(f"no column {old}")
+        self.meta["schema"] = T.StructType(fields).jsonValue()
+        renames = json.loads(self.properties.get("column_renames", "{}"))
+        renames[new] = old
+        self.properties["column_renames"] = json.dumps(renames)
+        _write_metadata(self.location, self.meta, self.version + 1)
+        self.version += 1
+
     def expire_snapshots(self, keep_last: int = 1) -> list[str]:
         """Drop all but the last N snapshots; return orphaned file paths
         (files referenced only by expired snapshots)."""
@@ -318,7 +355,26 @@ class Table:
             files = _prune_by_stats(files, filter)
         if not files:
             return self.spark.createDataFrame([], self.schema)
-        df = self.spark.read.schema(self.schema).parquet(*[f.path for f in files])
+        renames = json.loads(self.properties.get("column_renames", "{}"))
+        if renames:
+            # read under the on-disk (old) names, then alias to the evolved
+            # schema (Iceberg resolves by field id; Parquet is name-based,
+            # so the rename map restores id-like semantics)
+            read_fields = [
+                T.StructField(renames.get(f.name, f.name), f.dataType, f.nullable)
+                for f in self.schema.fields
+            ]
+            df = self.spark.read.schema(T.StructType(read_fields)).parquet(
+                *[f.path for f in files]
+            )
+            df = df.select(
+                *[
+                    F.col(renames.get(f.name, f.name)).alias(f.name)
+                    for f in self.schema.fields
+                ]
+            )
+        else:
+            df = self.spark.read.schema(self.schema).parquet(*[f.path for f in files])
         if filter is not None:
             df = df.filter(filter)
         return df
@@ -455,6 +511,11 @@ class Catalog:
 
 
 # -- helpers ----------------------------------------------------------------
+
+
+def _parse_type(ddl: str) -> T.DataType:
+    """'double' / 'decimal(20,0)' / 'array<string>' → Spark DataType."""
+    return T.StructType.fromDDL(f"__c {ddl}").fields[0].dataType
 
 
 class CommitConflictError(RuntimeError):

@@ -215,3 +215,30 @@ def test_sorted_compaction_enables_file_pruning(spark, catalog, sf_dir):
     full = t.scan()
     assert pruned.count() > 0
     assert n_input_files < full.rdd.getNumPartitions() or len(files) == 1
+
+
+def test_schema_evolution_add_and_rename(spark, catalog):
+    # add-column is metadata-only: old files scan with nulls in the new
+    # column; rename keeps old files readable via the rename map
+    df = spark.createDataFrame([(1, "a"), (2, "b")], "id long, tag string")
+    t = catalog.create_table("nyc", "evolve", df.schema)
+    t.append_dataframe(df)
+
+    t.add_column("score", "double")
+    scanned = t.scan().orderBy("id").collect()
+    assert [r["score"] for r in scanned] == [None, None]
+    # new writes carry the column; old files still null-fill
+    t.append_dataframe(
+        spark.createDataFrame([(3, "c", 9.5)], "id long, tag string, score double")
+    )
+    got = {r["id"]: r["score"] for r in t.scan().collect()}
+    assert got == {1: None, 2: None, 3: 9.5}
+
+    t.rename_column("tag", "label")
+    rows = {r["id"]: r["label"] for r in t.scan().collect()}
+    assert rows == {1: "a", 2: "b", 3: "c"}  # old data visible under new name
+
+    # evolution survives reload (it is committed metadata)
+    t2 = catalog.load_table("nyc", "evolve")
+    assert [f.name for f in t2.schema.fields] == ["id", "label", "score"]
+    assert {r["id"]: r["label"] for r in t2.scan().collect()} == {1: "a", 2: "b", 3: "c"}
