@@ -40,6 +40,14 @@ def geo_mean(v: pd.Series) -> float:
     return float(np.exp(np.log(x).mean())) if len(x) else 0.0
 
 
+@pandas_udf("long")
+def pd_count(v: pd.Series) -> int:
+    """GROUPED_AGG count: Spark forbids mixing grouped-agg pandas UDFs
+    with JVM aggregates in one aggregate, so the count rides along as a
+    pandas aggregate too."""
+    return int(len(v))
+
+
 @query("udf_pandas_scalar_grouped", None)  # float reduction order → rows-only
 def udf_pandas_scalar_grouped(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Scalar UDF in the projection + grouped-agg UDF in the aggregate —
@@ -49,7 +57,7 @@ def udf_pandas_scalar_grouped(spark: SparkSession, sf_dir: str) -> DataFrame:
         docs.withColumn("vr", vowel_ratio(F.col("text")))
         .groupBy("lang")
         .agg(
-            F.count(F.lit(1)).alias("n"),
+            pd_count(F.col("doc_id")).alias("n"),
             F.round(geo_mean(F.col("vr")), 6).alias("geo_mean_vowel_ratio"),
             F.round(geo_mean(F.col("n_chars").cast("double")), 2).alias("geo_mean_chars"),
         )
