@@ -325,6 +325,17 @@ class Table:
         _write_metadata(self.location, self.meta, self.version + 1)
         self.version += 1
 
+    def drop_column(self, name: str) -> None:
+        """ALTER TABLE DROP COLUMN — metadata-only; the data stays in the
+        files (and in older snapshots for time travel) but the evolved
+        schema no longer projects it."""
+        fields = [f for f in self.schema.fields if f.name != name]
+        if len(fields) == len(self.schema.fields):
+            raise ValueError(f"no column {name}")
+        self.meta["schema"] = T.StructType(fields).jsonValue()
+        _write_metadata(self.location, self.meta, self.version + 1)
+        self.version += 1
+
     def expire_snapshots(self, keep_last: int = 1) -> list[str]:
         """Drop all but the last N snapshots; return orphaned file paths
         (files referenced only by expired snapshots)."""

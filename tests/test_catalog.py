@@ -242,3 +242,10 @@ def test_schema_evolution_add_and_rename(spark, catalog):
     t2 = catalog.load_table("nyc", "evolve")
     assert [f.name for f in t2.schema.fields] == ["id", "label", "score"]
     assert {r["id"]: r["label"] for r in t2.scan().collect()} == {1: "a", 2: "b", 3: "c"}
+
+    # drop is metadata-only too: the column vanishes from scans, the data
+    # files are untouched
+    t2.drop_column("score")
+    assert [f.name for f in t2.schema.fields] == ["id", "label"]
+    assert "score" not in t2.scan().columns
+    assert t2.scan().count() == 3
