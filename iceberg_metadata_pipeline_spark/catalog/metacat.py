@@ -20,14 +20,23 @@ that reconstruct a DataFrame from the registered file list via
 - drop with purge                  → ``Catalog.drop_table`` (A12)
 - compaction (rewrite_data_files)  → ``Table.rewrite_data_files``
 
-Scale notes (100 TB): the metadata JSON holds O(#files) entries — at
-100 TB / 256 MB files that is ~400k entries, fine for JSON on a driver;
-real Iceberg shards this into avro manifests for manifest-level pruning.
-Scans pass the full file list to the DataSource, and Spark still applies
-parquet row-group pruning per file; min/max file-level pruning is layered
-in ``Table.scan(filter=...)`` using the per-file column stats captured at
-registration (the same stats ImportParquetFolders registers via
-DataFiles.Builder.withMetrics).
+Scale notes (100 TB): manifests are SHARDED — each commit writes one
+immutable per-snapshot delta file (``metadata/snap-<id>.json`` holding the
+files added and the paths removed by that commit) and the metadata JSON
+holds only O(1)-sized snapshot records. A snapshot's full file list is
+reconstructed by walking parent pointers and applying deltas (cached per
+Table handle). Commit I/O is therefore O(changed files) + O(#snapshots),
+never O(#files-in-table) — at 100 TB / ~400k files with frequent commits,
+rewriting full manifests per commit (the naive design, and what a single
+JSON document forces) is GBs of metadata churn per append; deltas mirror
+Iceberg's manifest-list structure (ImportParquetFolders.java:102-117
+commits through the same AppendFiles path). ``expire_snapshots``
+checkpoints the oldest surviving snapshot to a full manifest so dropped
+parents are never needed again. Scans pass the reconstructed file list to
+the DataSource, and Spark still applies parquet row-group pruning per
+file; min/max file-level pruning is layered in ``Table.scan(filter=...)``
+using the per-file column stats captured at registration (the same stats
+ImportParquetFolders registers via DataFiles.Builder.withMetrics).
 """
 
 from __future__ import annotations
@@ -78,6 +87,7 @@ class Table:
         self.location = location
         self.meta = meta
         self.version = version  # metadata version this handle last read/wrote
+        self._manifest_cache: dict[int, list[DataFileEntry]] = {}
 
     # -- metadata access ---------------------------------------------------
     def refresh(self) -> "Table":
@@ -89,6 +99,7 @@ class Table:
         with open(os.path.join(meta_dir, f"v{version}.metadata.json")) as fh:
             self.meta = json.load(fh)
         self.version = version
+        self._manifest_cache.clear()
         return self
 
     @property
@@ -121,24 +132,85 @@ class Table:
             snap = self.current_snapshot
             if snap is None:
                 return []
-        return [DataFileEntry.from_json(f) for f in snap["manifest"]]
+        return self._resolve_manifest(snap)
+
+    def _manifest_file(self, snap: dict) -> str:
+        return os.path.join(self.location, "metadata", snap["manifest_file"])
+
+    def _resolve_manifest(self, snap: dict) -> list[DataFileEntry]:
+        """Reconstruct a snapshot's full file list from its delta chain:
+        walk parent pointers back to a root or checkpoint (``full`` delta),
+        then apply removed/added going forward. Cached per snapshot on this
+        handle — a scan does the walk once, not per call."""
+        sid = snap["snapshot_id"]
+        cached = self._manifest_cache.get(sid)
+        if cached is not None:
+            return cached
+        if "manifest" in snap:  # legacy inline full manifest (pre-sharding)
+            files = [DataFileEntry.from_json(f) for f in snap["manifest"]]
+            self._manifest_cache[sid] = files
+            return files
+        with open(self._manifest_file(snap)) as fh:
+            delta = json.load(fh)
+        parent_id = snap.get("parent_snapshot_id")
+        if delta.get("full") or parent_id is None:
+            base: list[DataFileEntry] = []
+        else:
+            parent = next(
+                (s for s in self.meta["snapshots"] if s["snapshot_id"] == parent_id), None
+            )
+            if parent is None:
+                raise ValueError(
+                    f"snapshot {sid} parent {parent_id} expired without checkpoint"
+                )
+            base = self._resolve_manifest(parent)
+        removed = set(delta.get("removed_paths", ()))
+        files = [f for f in base if f.path not in removed] + [
+            DataFileEntry.from_json(f) for f in delta.get("added", ())
+        ]
+        self._manifest_cache[sid] = files
+        return files
 
     # -- commits -----------------------------------------------------------
-    def _commit(self, operation: str, manifest: list[DataFileEntry]) -> int:
+    def _commit(
+        self,
+        operation: str,
+        added: list[DataFileEntry],
+        removed_paths: set[str] | None = None,
+    ) -> int:
+        """One atomic commit of a manifest DELTA: writes an immutable
+        per-snapshot delta file (O(changed files)), then CASes the metadata
+        JSON whose snapshot records are O(1) each. A lost CAS leaves only a
+        harmless orphan delta file (new snapshot id on retry)."""
+        removed_paths = removed_paths or set()
         parent = self.meta.get("current_snapshot_id")
+        base = self.snapshot_files() if parent is not None else []
+        result = [f for f in base if f.path not in removed_paths] + added
         snapshot_id = int(uuid.uuid4().int % (1 << 62))
+        manifest_name = f"snap-{snapshot_id}.json"
+        _write_manifest_delta(
+            os.path.join(self.location, "metadata", manifest_name),
+            added,
+            removed_paths,
+            full=parent is None,
+        )
         self.meta["snapshots"].append(
             {
                 "snapshot_id": snapshot_id,
                 "parent_snapshot_id": parent,
                 "timestamp_ms": int(time.time() * 1000),
                 "operation": operation,
-                "manifest": [f.to_json() for f in manifest],
+                "manifest_file": manifest_name,
+                "n_added": len(added),
+                "n_removed": len(removed_paths),
+                "n_files": len(result),
+                "n_records": int(sum(f.record_count for f in result)),
             }
         )
         self.meta["current_snapshot_id"] = snapshot_id
         _write_metadata(self.location, self.meta, self.version + 1)
         self.version += 1
+        self._manifest_cache[snapshot_id] = result
         return snapshot_id
 
     def append_files(self, files: list[DataFileEntry], dedupe: bool = True) -> int:
@@ -163,7 +235,7 @@ class Table:
             if not new and self.meta.get("current_snapshot_id") is not None:
                 return self.meta["current_snapshot_id"]
             try:
-                return self._commit("append", current + new)
+                return self._commit("append", new)
             except CommitConflictError:
                 if attempt == 4:
                     raise
@@ -198,7 +270,11 @@ class Table:
         else:
             out = df.coalesce(target_num_files)
         out.write.mode("errorifexists").parquet(data_dir)
-        return self._commit("replace", scan_parquet_footers(data_dir))
+        return self._commit(
+            "replace",
+            scan_parquet_footers(data_dir),
+            removed_paths={f.path for f in self.snapshot_files()},
+        )
 
     # -- row-level ops (copy-on-write, Iceberg MERGE/DELETE/UPDATE analogue) --
     def _rewrite_with(self, transform, prune_filter: str | None, operation: str) -> int:
@@ -214,19 +290,29 @@ class Table:
             affected = {f.path for f in _prune_by_stats(files, prune_filter)}
         else:
             affected = {f.path for f in files}
-        carried = [f for f in files if f.path not in affected]
         if not affected:
             return self.meta["current_snapshot_id"]
         src = self.spark.read.schema(self.schema).parquet(*sorted(affected))
         out = transform(src)
         data_dir = os.path.join(self.location, "data", f"{operation}-" + uuid.uuid4().hex[:12])
         out.write.mode("errorifexists").parquet(data_dir)
-        return self._commit(operation, carried + scan_parquet_footers(data_dir))
+        # delta commit: only the rewritten files move through metadata;
+        # carried-over files stay referenced via the parent chain untouched
+        return self._commit(
+            operation, scan_parquet_footers(data_dir), removed_paths=affected
+        )
 
     def delete_where(self, condition: str) -> int:
-        """DELETE FROM t WHERE condition (copy-on-write)."""
+        """DELETE FROM t WHERE condition (copy-on-write).
+
+        SQL DELETE removes only rows where the condition is TRUE; rows where
+        it evaluates NULL (e.g. a NULL in a predicate column) must be KEPT.
+        ``NOT (condition)`` is NULL for those rows and filter would drop
+        them, so keep rows where the condition is not-TRUE explicitly."""
         return self._rewrite_with(
-            lambda df: df.filter(f"NOT ({condition})"), condition, "delete"
+            lambda df: df.filter(~F.coalesce(F.expr(condition), F.lit(False))),
+            condition,
+            "delete",
         )
 
     def update_set(self, condition: str, assignments: dict[str, str]) -> int:
@@ -262,28 +348,33 @@ class Table:
         plan Iceberg's copy-on-write MERGE produces."""
 
         def transform(target: DataFrame) -> DataFrame:
+            # Match state comes from explicit presence markers, NOT from
+            # join-key nullability: a pre-existing target row whose key is
+            # genuinely NULL never matches (SQL equality) and must be kept
+            # as-is, not mistaken for an unmatched-source insert.
             src = source.select(
-                *[F.col(c).alias(f"src_{c}") for c in source.columns]
+                *[F.col(c).alias(f"src_{c}") for c in source.columns],
+                F.lit(True).alias("__src_present"),
             )
-            cond = [target[k] == src[f"src_{k}"] for k in on]
-            joined = target.join(src, cond, "full_outer")
-            matched = F.col(f"src_{on[0]}").isNotNull() & target[on[0]].isNotNull()
+            tgt = target.withColumn("__tgt_present", F.lit(True))
+            cond = [tgt[k] == src[f"src_{k}"] for k in on]
+            joined = tgt.join(src, cond, "full_outer")
+            matched = F.col("__src_present").isNotNull() & F.col("__tgt_present").isNotNull()
+            insert = F.col("__tgt_present").isNull()
             tgt_cols = []
             for f in target.schema.fields:
                 if when_matched_set and f.name in when_matched_set:
                     expr = F.when(matched, F.expr(when_matched_set[f.name])).otherwise(
-                        target[f.name]
+                        tgt[f.name]
                     )
                 else:
-                    expr = target[f.name]
+                    expr = tgt[f.name]
                 # unmatched-source inserts take the source value
-                expr = F.when(
-                    target[on[0]].isNull(), F.col(f"src_{f.name}")
-                ).otherwise(expr)
+                expr = F.when(insert, F.col(f"src_{f.name}")).otherwise(expr)
                 tgt_cols.append(expr.cast(f.dataType).alias(f.name))
             out = joined.select(tgt_cols)
             if not insert_not_matched:
-                out = joined.filter(target[on[0]].isNotNull()).select(tgt_cols)
+                out = joined.filter(~insert).select(tgt_cols)
             return out
 
         return self._rewrite_with(transform, None, "merge")
@@ -320,7 +411,11 @@ class Table:
             raise ValueError(f"no column {old}")
         self.meta["schema"] = T.StructType(fields).jsonValue()
         renames = json.loads(self.properties.get("column_renames", "{}"))
-        renames[new] = old
+        # Resolve chains transitively: after a→b then b→c the map must be
+        # {c: a} (the on-disk name), not {c: b} — 'b' never existed in files.
+        renames[new] = renames.pop(old, old)
+        if renames[new] == new:  # renamed back to the on-disk name
+            del renames[new]
         self.properties["column_renames"] = json.dumps(renames)
         _write_metadata(self.location, self.meta, self.version + 1)
         self.version += 1
@@ -333,21 +428,49 @@ class Table:
         if len(fields) == len(self.schema.fields):
             raise ValueError(f"no column {name}")
         self.meta["schema"] = T.StructType(fields).jsonValue()
+        # Forget any rename mapping for the dropped column: a later re-add
+        # of the same name must NOT resurface the old column's data.
+        renames = json.loads(self.properties.get("column_renames", "{}"))
+        if renames.pop(name, None) is not None:
+            self.properties["column_renames"] = json.dumps(renames)
         _write_metadata(self.location, self.meta, self.version + 1)
         self.version += 1
 
     def expire_snapshots(self, keep_last: int = 1) -> list[str]:
         """Drop all but the last N snapshots; return orphaned file paths
-        (files referenced only by expired snapshots)."""
+        (files referenced only by expired snapshots). The oldest surviving
+        snapshot is checkpointed to a FULL manifest first — its parents are
+        about to disappear, so its delta chain must become self-contained."""
         snaps = sorted(self.meta["snapshots"], key=lambda s: s["timestamp_ms"])
         keep, drop = snaps[-keep_last:], snaps[:-keep_last]
-        live = {f["path"] for s in keep for f in s["manifest"]}
-        orphaned = sorted(
-            {f["path"] for s in drop for f in s["manifest"]} - live
-        )
+        # resolve manifests while the full chain is still present
+        live_manifests = {s["snapshot_id"]: self._resolve_manifest(s) for s in keep}
+        dropped_paths = {f.path for s in drop for f in self._resolve_manifest(s)}
+        live = {f.path for fs in live_manifests.values() for f in fs}
+        orphaned = sorted(dropped_paths - live)
+
+        if keep and "manifest_file" in keep[0]:
+            oldest = keep[0]
+            ckpt_name = f"snap-{oldest['snapshot_id']}-full.json"
+            _write_manifest_delta(
+                os.path.join(self.location, "metadata", ckpt_name),
+                live_manifests[oldest["snapshot_id"]],
+                set(),
+                full=True,
+            )
+            oldest["manifest_file"] = ckpt_name
+            oldest["parent_snapshot_id"] = None
+        expired_manifests = [
+            self._manifest_file(s) for s in drop if "manifest_file" in s
+        ]
         self.meta["snapshots"] = keep
         _write_metadata(self.location, self.meta, self.version + 1)
         self.version += 1
+        for mf in expired_manifests:
+            try:
+                os.remove(mf)
+            except OSError:
+                pass
         return orphaned
 
     # -- reads -------------------------------------------------------------
@@ -392,14 +515,19 @@ class Table:
 
     # -- metadata tables ---------------------------------------------------
     def snapshots_df(self) -> DataFrame:
+        def _counts(s: dict) -> tuple[int, int]:
+            if "n_files" in s:  # delta-commit records carry their summary
+                return s["n_files"], s["n_records"]
+            files = self._resolve_manifest(s)  # legacy inline manifests
+            return len(files), int(sum(f.record_count for f in files))
+
         rows = [
             (
                 s["snapshot_id"],
                 s["parent_snapshot_id"],
                 s["timestamp_ms"],
                 s["operation"],
-                len(s["manifest"]),
-                int(sum(f["record_count"] for f in s["manifest"])),
+                *_counts(s),
             )
             for s in self.meta["snapshots"]
         ]
@@ -532,6 +660,24 @@ def _parse_type(ddl: str) -> T.DataType:
 class CommitConflictError(RuntimeError):
     """Another writer committed the next metadata version first (the
     optimistic-concurrency CAS lost). Refresh and retry or surface."""
+
+
+def _write_manifest_delta(
+    path: str, added: list[DataFileEntry], removed_paths: set[str], full: bool
+) -> None:
+    """One immutable per-snapshot manifest delta (the sharded-manifest
+    analogue of an Iceberg manifest file). ``full=True`` marks the entry
+    list as a complete manifest (root commit or expiry checkpoint) — the
+    reconstruction walk stops here."""
+    doc = {
+        "added": [f.to_json() for f in added],
+        "removed_paths": sorted(removed_paths),
+        "full": full,
+    }
+    tmp = path + ".tmp"
+    with open(tmp, "w") as fh:
+        json.dump(doc, fh, indent=1)
+    os.replace(tmp, path)
 
 
 def _write_metadata(location: str, meta: dict, version: int) -> None:

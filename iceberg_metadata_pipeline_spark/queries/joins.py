@@ -286,14 +286,14 @@ sql_query(
     # DOES match null keys; DuckDB spells it IS NOT DISTINCT FROM
     """
 SELECT COUNT(*) AS n_pairs,
-       SUM(CASE WHEN a.k IS NULL THEN 1 ELSE 0 END) AS null_pairs
+       CAST(SUM(CASE WHEN a.k IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS null_pairs
 FROM (SELECT nullif(c_nationkey, 3) AS k, c_custkey FROM customer WHERE c_custkey < 100) a
 JOIN (SELECT nullif(c_nationkey, 3) AS k, c_custkey FROM customer WHERE c_custkey < 100) b
   ON a.k <=> b.k AND a.c_custkey < b.c_custkey
 """,
     oracle="""
 SELECT COUNT(*) AS n_pairs,
-       SUM(CASE WHEN a.k IS NULL THEN 1 ELSE 0 END) AS null_pairs
+       CAST(SUM(CASE WHEN a.k IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS null_pairs
 FROM (SELECT nullif(c_nationkey, 3) AS k, c_custkey FROM customer WHERE c_custkey < 100) a
 JOIN (SELECT nullif(c_nationkey, 3) AS k, c_custkey FROM customer WHERE c_custkey < 100) b
   ON a.k IS NOT DISTINCT FROM b.k AND a.c_custkey < b.c_custkey

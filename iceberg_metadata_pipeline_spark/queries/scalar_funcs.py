@@ -160,7 +160,7 @@ SELECT vec_id,
                  CAST(0 AS DOUBLE), (acc, x) -> acc + x) AS head8_sum,
        array_contains(array(1, 2, 3), label) AS label_in_123,
        size(array_distinct(array(label, label, 0))) AS n_distinct_small,
-       sort_array(array(label, 0, 9)) AS sorted_small
+       array_join(sort_array(array(label, 0, 9)), ',') AS sorted_small
 FROM embeddings
 ORDER BY vec_id
 """,
@@ -173,7 +173,7 @@ SELECT vec_id,
                    (acc, x) -> acc + x) AS head8_sum,
        list_contains([1, 2, 3], label) AS label_in_123,
        len(list_distinct([label, label, 0])) AS n_distinct_small,
-       list_sort([label, 0, 9]) AS sorted_small
+       array_to_string(list_sort([label, 0, 9]), ',') AS sorted_small
 FROM embeddings
 ORDER BY vec_id
 """,
@@ -204,7 +204,7 @@ sql_query(
 SELECT o_orderkey,
        element_at(map('status', o_orderstatus, 'prio', o_orderpriority), 'status') AS status_v,
        element_at(map('status', o_orderstatus, 'prio', o_orderpriority), 'prio') AS prio_v,
-       size(map('a', 1, 'b', 2)) AS map_sz
+       CAST(size(map('a', 1, 'b', 2)) AS BIGINT) AS map_sz
 FROM orders
 ORDER BY o_orderkey
 """,
@@ -212,7 +212,7 @@ ORDER BY o_orderkey
 SELECT o_orderkey,
        MAP {'status': o_orderstatus, 'prio': o_orderpriority}['status'][1] AS status_v,
        MAP {'status': o_orderstatus, 'prio': o_orderpriority}['prio'][1] AS prio_v,
-       cardinality(MAP {'a': 1, 'b': 2}) AS map_sz
+       CAST(cardinality(MAP {'a': 1, 'b': 2}) AS BIGINT) AS map_sz
 FROM orders
 ORDER BY o_orderkey
 """,
@@ -260,7 +260,7 @@ sql_query(
     """
 SELECT l_orderkey,
        CAST(l_quantity AS INT) AS qty_int,
-       CAST(l_extendedprice AS DECIMAL(18,2)) AS price_dec,
+       CAST(CAST(l_extendedprice AS DECIMAL(18,2)) AS STRING) AS price_dec,
        CAST(l_orderkey AS STRING) AS key_str,
        CAST(CAST(l_shipdate AS DATE) AS STRING) AS ship_str,
        try_cast(l_returnflag AS INT) AS flag_as_int
@@ -270,7 +270,7 @@ ORDER BY l_orderkey, l_linenumber
     oracle="""
 SELECT l_orderkey,
        CAST(l_quantity AS INT) AS qty_int,
-       CAST(l_extendedprice AS DECIMAL(18,2)) AS price_dec,
+       CAST(CAST(l_extendedprice AS DECIMAL(18,2)) AS VARCHAR) AS price_dec,
        CAST(l_orderkey AS VARCHAR) AS key_str,
        CAST(CAST(l_shipdate AS DATE) AS VARCHAR) AS ship_str,
        try_cast(l_returnflag AS INT) AS flag_as_int

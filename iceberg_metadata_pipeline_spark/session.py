@@ -90,25 +90,64 @@ def get_spark(
     return spark
 
 
+_TABLE_CACHE: dict[tuple[int, str], dict] = {}
+
+# Runtime-settable tuning applied to sessions that did not come from
+# get_spark() (the driver's correctness harness passes its own session,
+# typically with the 200-partition default — a 200-task shuffle per stage
+# at sf0.01 is pure scheduling overhead). Every key here is a documented
+# runtime conf; each set is individually best-effort.
+_RUNTIME_TUNING = {
+    "spark.sql.legacy.parquet.nanosAsLong": "true",  # events is TIMESTAMP(NANOS)
+    "spark.sql.session.timeZone": "UTC",
+    "spark.sql.adaptive.enabled": "true",
+    "spark.sql.adaptive.coalescePartitions.enabled": "true",
+    "spark.sql.adaptive.advisoryPartitionSizeInBytes": "64m",
+    "spark.sql.adaptive.skewJoin.enabled": "true",
+    "spark.sql.files.maxPartitionBytes": "67108864",
+    "spark.sql.autoBroadcastJoinThreshold": "67108864",
+    "spark.sql.parquet.filterPushdown": "true",
+    "spark.sql.execution.useObjectHashAggregate": "false",
+    "spark.sql.execution.arrow.pyspark.enabled": "true",
+}
+
+
+def _tune_session(spark: SparkSession) -> None:
+    for k, v in _RUNTIME_TUNING.items():
+        try:
+            spark.conf.set(k, v)
+        except Exception:
+            pass  # locked-down conf: get_spark() sessions already set it
+    try:
+        # Only lower an untouched 200-partition default; respect any
+        # explicit choice (ours or the driver's).
+        if spark.conf.get("spark.sql.shuffle.partitions") == "200":
+            spark.conf.set("spark.sql.shuffle.partitions", str(os.cpu_count() or 8))
+    except Exception:
+        pass
+
+
 def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, "object"]:
     """Register every fixture parquet under ``sf_dir`` as a temp view.
 
     Returns {name: DataFrame}. Names match TESTDATA.md: region nation
     customer supplier part orders lineitem events documents embeddings.
+
+    Registration is cached per (session, sf_dir): the correctness gate
+    calls every query through here, and re-inferring 10 parquet schemas
+    per query is the dominant fixed overhead of the whole gate.
     """
     import glob
 
     from pyspark.sql import functions as F
     from pyspark.sql.types import LongType
 
-    # events.parquet is TIMESTAMP(NANOS): unreadable unless nanosAsLong is
-    # set. The conf is runtime-settable, so harden here — the driver's
-    # correctness harness calls queries with ITS OWN SparkSession, which
-    # won't have gone through get_spark().
-    try:
-        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    except Exception:
-        pass  # locked-down conf: get_spark() sessions already set it
+    key = (id(spark), sf_dir)
+    cached = _TABLE_CACHE.get(key)
+    if cached is not None:
+        return cached
+
+    _tune_session(spark)
 
     out = {}
     for path in sorted(glob.glob(os.path.join(sf_dir, "*.parquet"))):
@@ -120,4 +159,5 @@ def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, "object"]:
             df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
         df.createOrReplaceTempView(name)
         out[name] = df
+    _TABLE_CACHE[key] = out
     return out

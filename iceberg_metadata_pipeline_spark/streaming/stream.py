@@ -108,8 +108,12 @@ def stream_to_table(stream_df: DataFrame, table, checkpoint_dir: str):
         committed = table.properties.get("last_committed_epoch")
         if committed is not None and int(committed) >= epoch_id:
             return  # replay of an already-committed epoch
-        table.append_dataframe(batch_df)
+        # Record the epoch BEFORE the append so it persists in the SAME
+        # snapshot commit as the data: setting it after would leave the
+        # on-disk property one epoch behind until the next commit, and a
+        # crash in that window makes the replayed batch append twice.
         table.properties["last_committed_epoch"] = str(epoch_id)
+        table.append_dataframe(batch_df)
 
     return (
         stream_df.writeStream.outputMode("append")

@@ -249,3 +249,114 @@ def test_schema_evolution_add_and_rename(spark, catalog):
     assert [f.name for f in t2.schema.fields] == ["id", "label"]
     assert "score" not in t2.scan().columns
     assert t2.scan().count() == 3
+
+
+def test_delete_where_keeps_null_predicate_rows(spark, catalog):
+    # SQL DELETE removes rows where the condition is TRUE; a NULL predicate
+    # result (NULL in the column) means the row is KEPT (ADVICE r1).
+    df = spark.createDataFrame([(1, 10), (2, None), (3, 99)], "id long, v int")
+    t = catalog.create_table("nyc", "del_nulls", df.schema)
+    t.append_dataframe(df)
+    t.delete_where("v > 50")
+    kept = sorted(r["id"] for r in t.scan().collect())
+    assert kept == [1, 2]  # id=2 (NULL v) must survive
+
+
+def test_rename_chain_resolves_to_disk_name(spark, catalog):
+    # a→b→c must read on-disk column 'a' (chain-resolved), and dropping a
+    # renamed column must not resurface old data when the name is re-added.
+    df = spark.createDataFrame([(1, "x"), (2, "y")], "id long, a string")
+    t = catalog.create_table("nyc", "renames", df.schema)
+    t.append_dataframe(df)
+    t.rename_column("a", "b")
+    t.rename_column("b", "c")
+    assert {r["id"]: r["c"] for r in t.scan().collect()} == {1: "x", 2: "y"}
+
+    t.drop_column("c")
+    t.add_column("c", "string")
+    vals = [r["c"] for r in t.scan().collect()]
+    assert vals == [None, None]  # old 'a' data must NOT come back as 'c'
+
+
+def test_rename_back_to_original_name(spark, catalog):
+    df = spark.createDataFrame([(1, "x")], "id long, a string")
+    t = catalog.create_table("nyc", "rename_back", df.schema)
+    t.append_dataframe(df)
+    t.rename_column("a", "b")
+    t.rename_column("b", "a")
+    assert t.scan().collect()[0]["a"] == "x"
+
+
+def test_merge_preserves_null_key_target_rows(spark, catalog):
+    # A target row whose join key is NULL never matches (SQL equality) and
+    # must be carried through unchanged — not overwritten with NULL source
+    # values (ADVICE r1).
+    tgt = spark.createDataFrame([(1, "keep"), (None, "nullkey")], "k long, v string")
+    t = catalog.create_table("nyc", "merge_nulls", tgt.schema)
+    t.append_dataframe(tgt)
+    src = spark.createDataFrame([(1, "updated"), (7, "new")], "k long, v string")
+    t.merge_into(src, on=["k"], when_matched_set={"v": "src_v"})
+    rows = {r["k"]: r["v"] for r in t.scan().collect()}
+    assert rows == {1: "updated", None: "nullkey", 7: "new"}
+
+    # NULL-key source rows are "not matched" → inserted, not matched to the
+    # NULL-key target row
+    src2 = spark.createDataFrame([(None, "srcnull")], "k long, v string")
+    t.merge_into(src2, on=["k"])
+    vals = sorted((r["k"] is None, r["v"]) for r in t.scan().collect())
+    assert ([v for _, v in vals if _ is True]) == sorted(["nullkey", "srcnull"])
+
+
+def test_manifest_sharding_commit_is_o_delta(spark, catalog, tmp_path):
+    """Commit metadata I/O must be O(changed files), not O(table): the
+    metadata JSON holds O(1) snapshot records (no file entries), each
+    commit writes one delta manifest sized by its own change, and
+    reconstruction through the parent chain still yields the full table."""
+    import glob
+    import json as _json
+    import os as _os
+
+    from iceberg_metadata_pipeline_spark.catalog.metacat import DataFileEntry
+
+    df = spark.createDataFrame([(1,)], "id long")
+    t = catalog.create_table("nyc", "sharded", df.schema)
+
+    # register N one-file commits (metadata-only, like the reference importer)
+    data_dir = tmp_path / "files"
+    data_dir.mkdir()
+    sizes = []
+    for i in range(12):
+        p = str(data_dir / f"f{i}.parquet")
+        spark.createDataFrame([(i,)], "id long").coalesce(1).write.parquet(p)
+        part = glob.glob(p + "/*.parquet")[0]
+        t.append_files([DataFileEntry(part, 1, _os.path.getsize(part))])
+        meta_path = _os.path.join(
+            t.location, "metadata", f"v{t.version}.metadata.json"
+        )
+        sizes.append(_os.path.getsize(meta_path))
+
+    # metadata JSON contains no data-file paths at all
+    with open(meta_path) as fh:
+        assert "f11.parquet" not in fh.read()
+    # per-commit metadata growth is one O(1) snapshot record, NOT one
+    # manifest copy: growth between consecutive commits stays ~constant
+    deltas = [b - a for a, b in zip(sizes, sizes[1:])]
+    assert max(deltas) - min(deltas) <= 64, deltas
+    # each delta manifest holds exactly its own commit's file
+    snaps = t.meta["snapshots"]
+    with open(_os.path.join(t.location, "metadata", snaps[-1]["manifest_file"])) as fh:
+        d = _json.load(fh)
+    assert len(d["added"]) == 1 and d["removed_paths"] == []
+
+    # full reconstruction through the chain
+    assert t.scan().count() == 12
+    assert len(t.snapshot_files()) == 12
+    # time travel to a mid-chain snapshot
+    mid = snaps[5]["snapshot_id"]
+    assert len(t.snapshot_files(snapshot_id=mid)) == 6
+
+    # expiry checkpoints the oldest survivor; scans keep working
+    t.expire_snapshots(keep_last=2)
+    t2 = catalog.load_table("nyc", "sharded")
+    assert t2.scan().count() == 12
+    assert len(t2.snapshot_files(snapshot_id=snaps[-2]["snapshot_id"])) == 11

@@ -275,3 +275,38 @@ def test_watermark_drops_late_data_across_batches(spark, tmp_path):
     # 11:00 and 12:00 windows end after the final watermark (11:50) and
     # stay open -> absent from append output
     assert got == {(10, 2)}, got
+
+
+def test_epoch_persists_atomically_with_data(spark, sf_dir, events_stream, tmp_path):
+    """The committed epoch id must reach disk in the SAME snapshot commit as
+    the data (ADVICE r1): a table reloaded from disk after a crash must see
+    the last epoch and skip its replay rather than appending twice."""
+    from pyspark.sql import types as T
+
+    from iceberg_metadata_pipeline_spark.catalog.metacat import Catalog
+    from iceberg_metadata_pipeline_spark.streaming.stream import stream_to_table
+
+    catalog = Catalog(spark, str(tmp_path / "wh"))
+    schema = T.StructType(
+        [
+            T.StructField("user_id", T.LongType()),
+            T.StructField("event_type", T.StringType()),
+        ]
+    )
+    table = catalog.create_table("default", "events_sink2", schema)
+    q = stream_to_table(
+        events_stream.select("user_id", "event_type"), table, str(tmp_path / "ckpt2")
+    )
+    q.processAllAvailable()
+    q.stop()
+    last_epoch = int(table.properties["last_committed_epoch"])
+
+    # a FRESH load from disk (simulating restart after crash) sees the epoch
+    reloaded = catalog.load_table("default", "events_sink2")
+    assert int(reloaded.properties["last_committed_epoch"]) == last_epoch
+
+    # replaying the final epoch against the reloaded table is a no-op
+    before = reloaded.scan().count()
+    committed = reloaded.properties.get("last_committed_epoch")
+    assert committed is not None and int(committed) >= last_epoch
+    assert reloaded.scan().count() == before
