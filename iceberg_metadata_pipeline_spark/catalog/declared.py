@@ -230,3 +230,67 @@ def catalog_introspection(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(rows, "table_name string, n_columns long").orderBy(
         "table_name"
     )
+
+
+@query(
+    "table_delete_mor",
+    """
+SELECT o_orderstatus, COUNT(*) AS n,
+  CAST(SUM(CAST(o_totalprice AS DECIMAL(38,6))) AS DOUBLE) AS total
+FROM orders
+WHERE NOT (o_orderstatus = 'F' AND o_totalprice > 300000)
+GROUP BY o_orderstatus
+ORDER BY o_orderstatus
+""",
+)
+def table_delete_mor(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Merge-on-read DELETE: the commit writes only a predicate delete
+    entry (no data file rewritten — asserted here on the snapshot's file
+    list), and the scan applies it at read time. Same oracle as the
+    copy-on-write ``table_delete_where`` — both must see SQL DELETE
+    semantics; they differ only in WHEN the rows are physically removed."""
+    orders = load_tables(spark, sf_dir)["orders"]
+    catalog = Catalog(spark, tempfile.mkdtemp(prefix="warehouse-mor-"))
+    t = catalog.create_table("nyc", "orders_mor", orders.schema)
+    t.append_dataframe(orders)
+    files_before = sorted(f.path for f in t.snapshot_files())
+    t.delete_where_mor("o_orderstatus = 'F' AND o_totalprice > 300000")
+    files_after = sorted(f.path for f in t.snapshot_files())
+    assert files_before == files_after, "MOR delete must not rewrite data files"
+    return (
+        t.scan()
+        .groupBy("o_orderstatus")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("o_totalprice").cast("decimal(38,6)")).cast("double").alias("total"),
+        )
+        .orderBy("o_orderstatus")
+    )
+
+
+@query(
+    "table_delete_keys_mor",
+    """
+SELECT COUNT(*) AS n,
+  CAST(SUM(CAST(c_acctbal AS DECIMAL(38,6))) AS DOUBLE) AS bal
+FROM customer
+WHERE c_custkey NOT IN (SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING')
+""",
+)
+def table_delete_keys_mor(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equality-delete file (Iceberg MOR): the deleted key set is written
+    as its own parquet and scans anti-join it — the table itself never
+    shuffles or rewrites. Deleting a million ids at 100 TB costs one small
+    file write plus a broadcast-able anti-join per scan."""
+    customer = load_tables(spark, sf_dir)["customer"]
+    catalog = Catalog(spark, tempfile.mkdtemp(prefix="warehouse-morkeys-"))
+    t = catalog.create_table("nyc", "customer_mor", customer.schema)
+    t.append_dataframe(customer)
+    doomed = customer.filter(F.col("c_mktsegment") == "BUILDING").select("c_custkey")
+    files_before = sorted(f.path for f in t.snapshot_files())
+    t.delete_keys_mor(doomed)
+    assert sorted(f.path for f in t.snapshot_files()) == files_before
+    return t.scan().agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("c_acctbal").cast("decimal(38,6)")).cast("double").alias("bal"),
+    )

@@ -61,6 +61,11 @@ class DataFileEntry:
     format: str = "PARQUET"
     # optional per-column min/max stats for file-level pruning
     stats: dict[str, Any] = field(default_factory=dict)
+    # on-disk column types (DDL strings) captured from the footer at
+    # registration — lets scans read old files under their REAL types and
+    # cast up after type promotion (int→long etc.), like Iceberg's
+    # field-id-based promotion but name-keyed
+    types: dict[str, str] = field(default_factory=dict)
 
     def to_json(self) -> dict:
         return {
@@ -69,13 +74,14 @@ class DataFileEntry:
             "file_size_bytes": self.file_size_bytes,
             "format": self.format,
             "stats": self.stats,
+            "types": self.types,
         }
 
     @staticmethod
     def from_json(d: dict) -> "DataFileEntry":
         return DataFileEntry(
             d["path"], d["record_count"], d["file_size_bytes"], d.get("format", "PARQUET"),
-            d.get("stats", {}),
+            d.get("stats", {}), d.get("types", {}),
         )
 
 
@@ -88,6 +94,7 @@ class Table:
         self.meta = meta
         self.version = version  # metadata version this handle last read/wrote
         self._manifest_cache: dict[int, list[DataFileEntry]] = {}
+        self._deletes_cache: dict[int, list[dict]] = {}
 
     # -- metadata access ---------------------------------------------------
     def refresh(self) -> "Table":
@@ -100,6 +107,7 @@ class Table:
             self.meta = json.load(fh)
         self.version = version
         self._manifest_cache.clear()
+        self._deletes_cache.clear()
         return self
 
     @property
@@ -117,21 +125,24 @@ class Table:
             return None
         return next(s for s in self.meta["snapshots"] if s["snapshot_id"] == sid)
 
-    def snapshot_files(self, snapshot_id: int | None = None, as_of_ms: int | None = None) -> list[DataFileEntry]:
+    def _select_snapshot(
+        self, snapshot_id: int | None = None, as_of_ms: int | None = None
+    ) -> dict | None:
         snaps = self.meta["snapshots"]
         if snapshot_id is not None:
             snap = next((s for s in snaps if s["snapshot_id"] == snapshot_id), None)
             if snap is None:
                 raise ValueError(f"no snapshot {snapshot_id}")
-        elif as_of_ms is not None:
+            return snap
+        if as_of_ms is not None:
             eligible = [s for s in snaps if s["timestamp_ms"] <= as_of_ms]
-            if not eligible:
-                return []
-            snap = max(eligible, key=lambda s: s["timestamp_ms"])
-        else:
-            snap = self.current_snapshot
-            if snap is None:
-                return []
+            return max(eligible, key=lambda s: s["timestamp_ms"]) if eligible else None
+        return self.current_snapshot
+
+    def snapshot_files(self, snapshot_id: int | None = None, as_of_ms: int | None = None) -> list[DataFileEntry]:
+        snap = self._select_snapshot(snapshot_id, as_of_ms)
+        if snap is None:
+            return []
         return self._resolve_manifest(snap)
 
     def _manifest_file(self, snap: dict) -> str:
@@ -171,12 +182,56 @@ class Table:
         self._manifest_cache[sid] = files
         return files
 
+    def _resolve_deletes(self, snap: dict) -> list[dict]:
+        """Accumulate merge-on-read delete entries along the delta chain.
+        A 'replace' commit that rewrote the whole table through scan()
+        clears them (the rows are physically gone); checkpoints carry the
+        then-live set forward."""
+        if "manifest" in snap:  # legacy inline manifest: MOR didn't exist
+            return []
+        sid = snap["snapshot_id"]
+        cached = self._deletes_cache.get(sid)
+        if cached is not None:
+            return cached
+        with open(self._manifest_file(snap)) as fh:
+            delta = json.load(fh)
+        own = list(delta.get("added_deletes", ()))
+        parent_id = snap.get("parent_snapshot_id")
+        if delta.get("clears_deletes") or delta.get("full") or parent_id is None:
+            result = own
+        else:
+            parent = next(
+                (s for s in self.meta["snapshots"] if s["snapshot_id"] == parent_id), None
+            )
+            if parent is None:
+                raise ValueError(
+                    f"snapshot {sid} parent {parent_id} expired without checkpoint"
+                )
+            result = self._resolve_deletes(parent) + own
+        self._deletes_cache[sid] = result
+        return result
+
+    def _apply_deletes(self, df: DataFrame, deletes: list[dict]) -> DataFrame:
+        """Apply MOR delete entries at read time: predicate deletes as
+        keep-where-not-TRUE filters, equality-delete files as anti-joins on
+        the key columns (the join Iceberg's MOR read path performs). Both
+        are idempotent, so re-applying after a partial rewrite is safe."""
+        for d in deletes:
+            if d["kind"] == "predicate":
+                df = df.filter(~F.coalesce(F.expr(d["expr"]), F.lit(False)))
+            else:  # equality-delete file
+                keys = self.spark.read.parquet(d["path"]).select(*d["key_cols"])
+                df = df.join(keys, d["key_cols"], "left_anti")
+        return df
+
     # -- commits -----------------------------------------------------------
     def _commit(
         self,
         operation: str,
         added: list[DataFileEntry],
         removed_paths: set[str] | None = None,
+        added_deletes: list[dict] | None = None,
+        clears_deletes: bool = False,
     ) -> int:
         """One atomic commit of a manifest DELTA: writes an immutable
         per-snapshot delta file (O(changed files)), then CASes the metadata
@@ -193,6 +248,8 @@ class Table:
             added,
             removed_paths,
             full=parent is None,
+            added_deletes=added_deletes or [],
+            clears_deletes=clears_deletes,
         )
         self.meta["snapshots"].append(
             {
@@ -246,7 +303,7 @@ class Table:
         data dir, then commit (the df.writeTo(...).append() analogue)."""
         data_dir = os.path.join(self.location, "data", uuid.uuid4().hex[:12])
         df.write.mode("errorifexists").parquet(data_dir)
-        return self.append_files(scan_parquet_footers(data_dir), dedupe=False)
+        return self.append_files(scan_parquet_footers(data_dir, self.spark), dedupe=False)
 
     def rewrite_data_files(
         self, target_num_files: int = 1, sort_by: list[str] | None = None
@@ -270,10 +327,13 @@ class Table:
         else:
             out = df.coalesce(target_num_files)
         out.write.mode("errorifexists").parquet(data_dir)
+        # scan() already applied MOR deletes, so the rewrite folds them in:
+        # the replace commit clears the delete entries
         return self._commit(
             "replace",
-            scan_parquet_footers(data_dir),
+            scan_parquet_footers(data_dir, self.spark),
             removed_paths={f.path for f in self.snapshot_files()},
+            clears_deletes=True,
         )
 
     # -- row-level ops (copy-on-write, Iceberg MERGE/DELETE/UPDATE analogue) --
@@ -292,14 +352,20 @@ class Table:
             affected = {f.path for f in files}
         if not affected:
             return self.meta["current_snapshot_id"]
-        src = self.spark.read.schema(self.schema).parquet(*sorted(affected))
+        src = self._read_files([f for f in files if f.path in affected])
+        # pending MOR deletes must not resurrect rows through the rewrite;
+        # delete application is idempotent, so entries stay live for the
+        # carried-over files and harmlessly re-apply to rewritten ones
+        cur = self.current_snapshot
+        if cur is not None:
+            src = self._apply_deletes(src, self._resolve_deletes(cur))
         out = transform(src)
         data_dir = os.path.join(self.location, "data", f"{operation}-" + uuid.uuid4().hex[:12])
         out.write.mode("errorifexists").parquet(data_dir)
         # delta commit: only the rewritten files move through metadata;
         # carried-over files stay referenced via the parent chain untouched
         return self._commit(
-            operation, scan_parquet_footers(data_dir), removed_paths=affected
+            operation, scan_parquet_footers(data_dir, self.spark), removed_paths=affected
         )
 
     def delete_where(self, condition: str) -> int:
@@ -313,6 +379,32 @@ class Table:
             lambda df: df.filter(~F.coalesce(F.expr(condition), F.lit(False))),
             condition,
             "delete",
+        )
+
+    def delete_where_mor(self, condition: str) -> int:
+        """Merge-on-read DELETE: commits a predicate delete ENTRY — no data
+        file is read or rewritten (commit cost is one O(1) metadata delta).
+        Scans apply the predicate as a keep-where-not-TRUE filter. This is
+        the Iceberg MOR tradeoff: frequent small deletes stay cheap at
+        write time; ``rewrite_data_files`` folds accumulated deletes back
+        into data files when read amplification grows."""
+        return self._commit(
+            "delete-mor", [], added_deletes=[{"kind": "predicate", "expr": condition}]
+        )
+
+    def delete_keys_mor(self, keys: DataFrame) -> int:
+        """Merge-on-read DELETE by key set (Iceberg equality-delete files):
+        the key DataFrame is written as a delete file and scans anti-join
+        it. The delete file shuffles O(deleted keys), never the table —
+        at 100 TB deleting a million doc ids writes one small parquet."""
+        delete_dir = os.path.join(self.location, "deletes", uuid.uuid4().hex[:12])
+        keys.write.mode("errorifexists").parquet(delete_dir)
+        return self._commit(
+            "delete-mor",
+            [],
+            added_deletes=[
+                {"kind": "equality", "path": delete_dir, "key_cols": list(keys.columns)}
+            ],
         )
 
     def update_set(self, condition: str, assignments: dict[str, str]) -> int:
@@ -420,6 +512,27 @@ class Table:
         _write_metadata(self.location, self.meta, self.version + 1)
         self.version += 1
 
+    def promote_column(self, name: str, new_type: str) -> None:
+        """ALTER TABLE ALTER COLUMN TYPE — metadata-only type promotion
+        (Iceberg's evolution surface: int→long, float→double, decimal
+        precision widening). Old data files keep their narrow physical
+        type; scans read each file under its recorded on-disk type and
+        cast up (see ``_read_files``). Narrowing or cross-family changes
+        are rejected — they would silently corrupt or fail at read."""
+        fld = next((f for f in self.schema.fields if f.name == name), None)
+        if fld is None:
+            raise ValueError(f"no column {name}")
+        old_ddl = fld.dataType.simpleString()
+        if not _can_promote(old_ddl, new_type):
+            raise ValueError(f"cannot promote {name}: {old_ddl} → {new_type}")
+        fields = [
+            T.StructField(f.name, _parse_type(new_type) if f.name == name else f.dataType, f.nullable)
+            for f in self.schema.fields
+        ]
+        self.meta["schema"] = T.StructType(fields).jsonValue()
+        _write_metadata(self.location, self.meta, self.version + 1)
+        self.version += 1
+
     def drop_column(self, name: str) -> None:
         """ALTER TABLE DROP COLUMN — metadata-only; the data stays in the
         files (and in older snapshots for time travel) but the evolved
@@ -457,6 +570,8 @@ class Table:
                 live_manifests[oldest["snapshot_id"]],
                 set(),
                 full=True,
+                # live MOR deletes must survive the chain cut
+                added_deletes=self._resolve_deletes(oldest),
             )
             oldest["manifest_file"] = ckpt_name
             oldest["parent_snapshot_id"] = None
@@ -487,31 +602,81 @@ class Table:
         files = self.snapshot_files(snapshot_id, as_of_ms)
         if filter is not None:
             files = _prune_by_stats(files, filter)
-        if not files:
-            return self.spark.createDataFrame([], self.schema)
-        renames = json.loads(self.properties.get("column_renames", "{}"))
-        if renames:
-            # read under the on-disk (old) names, then alias to the evolved
-            # schema (Iceberg resolves by field id; Parquet is name-based,
-            # so the rename map restores id-like semantics)
-            read_fields = [
-                T.StructField(renames.get(f.name, f.name), f.dataType, f.nullable)
-                for f in self.schema.fields
-            ]
-            df = self.spark.read.schema(T.StructType(read_fields)).parquet(
-                *[f.path for f in files]
-            )
-            df = df.select(
-                *[
-                    F.col(renames.get(f.name, f.name)).alias(f.name)
-                    for f in self.schema.fields
-                ]
-            )
-        else:
-            df = self.spark.read.schema(self.schema).parquet(*[f.path for f in files])
+        df = self._read_files(files)
+        snap = self._select_snapshot(snapshot_id, as_of_ms)
+        if snap is not None:
+            deletes = self._resolve_deletes(snap)
+            if deletes:
+                df = self._apply_deletes(df, deletes)
         if filter is not None:
             df = df.filter(filter)
         return df
+
+    def _read_files(self, files: list[DataFileEntry]) -> DataFrame:
+        """Read registered files under the table's EVOLVED schema:
+
+        - renamed columns are read under their on-disk names and aliased
+          (Iceberg resolves by field id; the rename map restores id-like
+          semantics over name-based Parquet);
+        - type-promoted columns are read under each file's REAL on-disk
+          type (recorded in its manifest entry at registration) and cast up
+          — a long-schema read over an int32 file would otherwise fail in
+          the vectorized reader.
+
+        Files are grouped by their effective read-type signature: one scan
+        per distinct signature (normally 1, or 2 spanning a promotion),
+        unioned by name. Pushdown/pruning apply per group as usual."""
+        if not files:
+            return self.spark.createDataFrame([], self.schema)
+        renames = json.loads(self.properties.get("column_renames", "{}"))
+        fields = self.schema.fields
+
+        def disk_name(entry: DataFileEntry, f: T.StructField) -> str:
+            # Files written AFTER a rename carry the evolved name on disk;
+            # files from before carry the original. The footer-recorded
+            # column set disambiguates per file (Iceberg does this with
+            # field ids; we do it with the names actually present).
+            if entry.types:
+                if f.name in entry.types:
+                    return f.name
+                old = renames.get(f.name)
+                if old and old in entry.types:
+                    return old
+            return renames.get(f.name, f.name)
+
+        def signature(entry: DataFileEntry) -> tuple[tuple[str, str], ...]:
+            sig = []
+            for f in fields:
+                disk = disk_name(entry, f)
+                sig.append((disk, entry.types.get(disk, f.dataType.simpleString())))
+            return tuple(sig)
+
+        groups: dict[tuple[tuple[str, str], ...], list[DataFileEntry]] = {}
+        for entry in files:
+            groups.setdefault(signature(entry), []).append(entry)
+
+        parts = []
+        for sig, group in sorted(groups.items()):
+            read_schema = T.StructType(
+                [
+                    T.StructField(disk, _parse_type(ddl), f.nullable)
+                    for f, (disk, ddl) in zip(fields, sig)
+                ]
+            )
+            part = self.spark.read.schema(read_schema).parquet(
+                *[entry.path for entry in group]
+            )
+            part = part.select(
+                *[
+                    F.col(disk).cast(f.dataType).alias(f.name)
+                    for f, (disk, _) in zip(fields, sig)
+                ]
+            )
+            parts.append(part)
+        out = parts[0]
+        for part in parts[1:]:
+            out = out.unionByName(part)
+        return out
 
     # -- metadata tables ---------------------------------------------------
     def snapshots_df(self) -> DataFrame:
@@ -657,22 +822,48 @@ def _parse_type(ddl: str) -> T.DataType:
     return T.StructType.fromDDL(f"__c {ddl}").fields[0].dataType
 
 
+# widening-only promotions (Iceberg schema-evolution rules): every value of
+# the narrow type is exactly representable in the wide type
+_INT_WIDTH = {"tinyint": 1, "smallint": 2, "int": 3, "bigint": 4}
+
+
+def _can_promote(old: str, new: str) -> bool:
+    old, new = old.strip().lower(), new.strip().lower()
+    if old in _INT_WIDTH and new in _INT_WIDTH:
+        return _INT_WIDTH[new] > _INT_WIDTH[old]
+    if old == "float" and new == "double":
+        return True
+    if old.startswith("decimal(") and new.startswith("decimal("):
+        po, so = (int(x) for x in old[8:-1].split(","))
+        pn, sn = (int(x) for x in new[8:-1].split(","))
+        return sn == so and pn > po
+    return False
+
+
 class CommitConflictError(RuntimeError):
     """Another writer committed the next metadata version first (the
     optimistic-concurrency CAS lost). Refresh and retry or surface."""
 
 
 def _write_manifest_delta(
-    path: str, added: list[DataFileEntry], removed_paths: set[str], full: bool
+    path: str,
+    added: list[DataFileEntry],
+    removed_paths: set[str],
+    full: bool,
+    added_deletes: list[dict] | None = None,
+    clears_deletes: bool = False,
 ) -> None:
     """One immutable per-snapshot manifest delta (the sharded-manifest
     analogue of an Iceberg manifest file). ``full=True`` marks the entry
     list as a complete manifest (root commit or expiry checkpoint) — the
-    reconstruction walk stops here."""
+    reconstruction walk stops here. ``added_deletes`` are merge-on-read
+    delete entries; ``clears_deletes`` marks a rewrite that folded them."""
     doc = {
         "added": [f.to_json() for f in added],
         "removed_paths": sorted(removed_paths),
         "full": full,
+        "added_deletes": added_deletes or [],
+        "clears_deletes": clears_deletes,
     }
     tmp = path + ".tmp"
     with open(tmp, "w") as fh:
@@ -706,38 +897,105 @@ def _write_metadata(location: str, meta: dict, version: int) -> None:
     os.rename(tmp_hint, hint_path)
 
 
-def scan_parquet_footers(root: str) -> list[DataFileEntry]:
-    """Per-file footer metadata (rowcount/size + column min/max stats) —
+def _footer_entry(path: str) -> DataFileEntry:
+    """One file's footer metadata (rowcount/size + column min/max stats) —
     the rowCount() footer read of ImportParquetFolders.java:141-146, plus
-    the column metrics Iceberg derives for manifest pruning."""
+    the column metrics Iceberg derives for manifest pruning. Pure function
+    of the path so it runs identically on the driver or inside a task."""
     import pyarrow.parquet as pq
 
+    md = pq.ParquetFile(path).metadata
+    stats: dict[str, list] = {}
+    for rg in range(md.num_row_groups):
+        rgm = md.row_group(rg)
+        for ci in range(rgm.num_columns):
+            col = rgm.column(ci)
+            st = col.statistics
+            if st is None or not st.has_min_max:
+                continue
+            cname = col.path_in_schema
+            mn, mx = st.min, st.max
+            if isinstance(mn, bytes) or isinstance(mx, bytes):
+                continue  # binary stats not comparable portably
+            if hasattr(mn, "isoformat"):
+                mn, mx = mn.isoformat(), mx.isoformat()
+            if cname in stats:
+                stats[cname] = [min(stats[cname][0], mn), max(stats[cname][1], mx)]
+            else:
+                stats[cname] = [mn, mx]
+    types = {}
+    try:
+        for fld in pq.ParquetFile(path).schema_arrow:
+            ddl = _arrow_ddl(fld.type)
+            if ddl is not None:
+                types[fld.name] = ddl
+    except Exception:  # noqa: BLE001 — types are an optimization, never required
+        types = {}
+    return DataFileEntry(path, md.num_rows, os.path.getsize(path), "PARQUET", stats, types)
+
+
+def _arrow_ddl(t) -> str | None:
+    """Arrow type → Spark DDL string for the simple types we track;
+    None (→ fall back to the declared schema type) for anything exotic."""
+    import pyarrow as pa
+
+    if pa.types.is_int8(t):
+        return "tinyint"
+    if pa.types.is_int16(t):
+        return "smallint"
+    if pa.types.is_int32(t):
+        return "int"
+    if pa.types.is_int64(t):
+        return "bigint"
+    if pa.types.is_float32(t):
+        return "float"
+    if pa.types.is_float64(t):
+        return "double"
+    if pa.types.is_string(t) or pa.types.is_large_string(t):
+        return "string"
+    if pa.types.is_boolean(t):
+        return "boolean"
+    if pa.types.is_date(t):
+        return "date"
+    if pa.types.is_timestamp(t) and t.unit in ("us", "ms"):
+        return "timestamp"
+    if pa.types.is_decimal(t):
+        return f"decimal({t.precision},{t.scale})"
+    return None
+
+
+# above this many files, footer scanning runs as a Spark job instead of a
+# driver loop — at 100 TB / ~400k files a sequential driver scan is hours,
+# a 512-task mapPartitions sweep is seconds-per-thousand-files per executor
+DISTRIBUTE_FOOTERS_THRESHOLD = 64
+
+
+def scan_parquet_footers(
+    root: str, spark: SparkSession | None = None, threshold: int | None = None
+) -> list[DataFileEntry]:
+    """Footer metadata for every parquet under ``root``. Small file sets
+    read on the driver (job-launch overhead dominates); large ones fan out
+    as a Spark ``mapPartitions`` job over the path list, keeping the driver
+    O(results) — each result is one small stats dict, never file data."""
     from iceberg_metadata_pipeline_spark.ingest.discover import find_parquet_files
 
-    entries = []
-    for path in find_parquet_files(root):
-        md = pq.ParquetFile(path).metadata
-        stats: dict[str, list] = {}
-        for rg in range(md.num_row_groups):
-            rgm = md.row_group(rg)
-            for ci in range(rgm.num_columns):
-                col = rgm.column(ci)
-                st = col.statistics
-                if st is None or not st.has_min_max:
-                    continue
-                cname = col.path_in_schema
-                mn, mx = st.min, st.max
-                if isinstance(mn, bytes) or isinstance(mx, bytes):
-                    continue  # binary stats not comparable portably
-                if hasattr(mn, "isoformat"):
-                    mn, mx = mn.isoformat(), mx.isoformat()
-                if cname in stats:
-                    stats[cname] = [min(stats[cname][0], mn), max(stats[cname][1], mx)]
-                else:
-                    stats[cname] = [mn, mx]
-        entries.append(
-            DataFileEntry(path, md.num_rows, os.path.getsize(path), "PARQUET", stats)
-        )
+    paths = find_parquet_files(root)
+    cutoff = DISTRIBUTE_FOOTERS_THRESHOLD if threshold is None else threshold
+    if spark is not None and len(paths) > cutoff:
+        return _scan_footers_distributed(spark, paths)
+    return [_footer_entry(p) for p in paths]
+
+
+def _scan_footers_distributed(spark: SparkSession, paths: list[str]) -> list[DataFileEntry]:
+    """Spark job over the path list: ~64 footers per task (footer reads are
+    latency-bound, so small tasks + many executors win). JSON-serialized
+    across the boundary to keep the closure free of driver state."""
+    n_slices = max(1, min((len(paths) + 63) // 64, 4096))
+    rdd = spark.sparkContext.parallelize(paths, numSlices=n_slices)
+    docs = rdd.map(lambda p: json.dumps(_footer_entry(p).to_json())).collect()
+    entries = [DataFileEntry.from_json(json.loads(d)) for d in docs]
+    # deterministic manifest order regardless of task completion order
+    entries.sort(key=lambda e: e.path)
     return entries
 
 

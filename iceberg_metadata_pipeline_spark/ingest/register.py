@@ -87,7 +87,7 @@ def import_folder(
         return ImportResult(table_name, ok=False, error="no parquet files (skipped)")
     props = {"sanitize": "true"} if needs_sanitize(schema) else {}
     table = catalog.create_table(namespace, table_name, schema, properties=props)
-    entries = scan_parquet_footers(folder)
+    entries = scan_parquet_footers(folder, spark)
     snapshot_id = table.append_files(entries)
     return ImportResult(
         table_name,

@@ -360,3 +360,111 @@ def test_manifest_sharding_commit_is_o_delta(spark, catalog, tmp_path):
     t2 = catalog.load_table("nyc", "sharded")
     assert t2.scan().count() == 12
     assert len(t2.snapshot_files(snapshot_id=snaps[-2]["snapshot_id"])) == 11
+
+
+def test_merge_on_read_delete_lifecycle(spark, catalog, tmp_path):
+    """MOR deletes: no data-file rewrite at delete time, correct scans,
+    time travel sees pre-delete state, compaction folds deletes in, and
+    expiry checkpoints keep live deletes applied."""
+    df = spark.createDataFrame(
+        [(i, "even" if i % 2 == 0 else "odd") for i in range(100)], "id long, tag string"
+    )
+    t = catalog.create_table("nyc", "mor", df.schema)
+    pre_delete_snap = t.append_dataframe(df)
+    files_before = sorted(f.path for f in t.snapshot_files())
+
+    t.delete_where_mor("tag = 'odd' AND id < 50")
+    assert sorted(f.path for f in t.snapshot_files()) == files_before  # no rewrite
+    assert t.scan().count() == 75
+    # NULL-predicate rows are kept by MOR deletes too
+    t2 = catalog.load_table("nyc", "mor")  # fresh handle reads delete entries
+    assert t2.scan().count() == 75
+
+    # time travel to the pre-delete snapshot still sees all rows
+    assert t.scan(snapshot_id=pre_delete_snap).count() == 100
+
+    # equality-delete file: drop ids 90..99 by key set
+    keys = spark.createDataFrame([(i,) for i in range(90, 100)], "id long")
+    t.delete_keys_mor(keys)
+    assert t.scan().count() == 65
+    assert sorted(f.path for f in t.snapshot_files()) == files_before
+
+    # COW update on top of pending MOR deletes must not resurrect rows
+    t.update_set("id = 0", {"tag": "'zero'"})
+    assert t.scan().count() == 65
+    assert t.scan().filter("tag = 'zero'").count() == 1
+
+    # compaction folds deletes: rows physically gone, entries cleared
+    t.rewrite_data_files(target_num_files=1)
+    assert t.scan().count() == 65
+    assert t._resolve_deletes(t.current_snapshot) == []
+
+    # fresh MOR delete, then expiry: the checkpoint must carry it
+    t.delete_where_mor("id >= 60")
+    n_after = t.scan().count()
+    t.expire_snapshots(keep_last=2)
+    t3 = catalog.load_table("nyc", "mor")
+    assert t3.scan().count() == n_after
+
+
+def test_distributed_footer_scan_matches_driver_scan(spark, tmp_path):
+    """The Spark-job footer sweep must produce the same DataFileEntry list
+    (paths, counts, stats) as the sequential driver loop."""
+    from iceberg_metadata_pipeline_spark.catalog.metacat import scan_parquet_footers
+
+    root = tmp_path / "many"
+    spark.range(0, 1000).selectExpr("id", "id * 2 AS v").repartition(8).write.parquet(
+        str(root)
+    )
+    local = sorted(scan_parquet_footers(str(root)), key=lambda e: e.path)
+    dist = scan_parquet_footers(str(root), spark, threshold=0)  # force the job
+    assert [e.to_json() for e in dist] == [e.to_json() for e in local]
+    assert sum(e.record_count for e in dist) == 1000
+    assert all(e.stats.get("id") for e in dist)  # stats survive the boundary
+
+
+def test_type_promotion_reads_across_old_and_new_files(spark, catalog):
+    """promote_column is metadata-only: int32 files written before the
+    promotion stay on disk and are read under their real type, cast up and
+    unioned with post-promotion int64 files."""
+    import pytest as _pytest
+
+    df32 = spark.createDataFrame([(1, 10), (2, 20)], "id long, v int")
+    t = catalog.create_table("nyc", "promote", df32.schema)
+    t.append_dataframe(df32)
+
+    t.promote_column("v", "bigint")
+    assert dict(t.scan().dtypes)["v"] == "bigint"
+    assert {r["id"]: r["v"] for r in t.scan().collect()} == {1: 10, 2: 20}
+
+    # new writes land as bigint, including values beyond int32 range
+    t.append_dataframe(spark.createDataFrame([(3, 5_000_000_000)], "id long, v long"))
+    got = {r["id"]: r["v"] for r in t.scan().collect()}
+    assert got == {1: 10, 2: 20, 3: 5_000_000_000}
+
+    # promotion survives reload; COW ops read mixed-type files correctly
+    t2 = catalog.load_table("nyc", "promote")
+    t2.update_set("id = 1", {"v": "v + 1"})
+    assert {r["id"]: r["v"] for r in t2.scan().collect()} == {
+        1: 11, 2: 20, 3: 5_000_000_000
+    }
+
+    # float→double and decimal widening allowed; narrowing rejected
+    with _pytest.raises(ValueError):
+        t2.promote_column("v", "int")
+    with _pytest.raises(ValueError):
+        t2.promote_column("id", "double")
+
+
+def test_promotion_with_rename_interplay(spark, catalog):
+    """A column renamed AND promoted must still read old files under the
+    old on-disk name and narrow type."""
+    df = spark.createDataFrame([(1, 7)], "id long, small int")
+    t = catalog.create_table("nyc", "promote_rename", df.schema)
+    t.append_dataframe(df)
+    t.rename_column("small", "big")
+    t.promote_column("big", "bigint")
+    t.append_dataframe(spark.createDataFrame([(2, 9_000_000_000)], "id long, big long"))
+    got = {r["id"]: r["big"] for r in t.scan().collect()}
+    assert got == {1: 7, 2: 9_000_000_000}
+    assert dict(t.scan().dtypes)["big"] == "bigint"
