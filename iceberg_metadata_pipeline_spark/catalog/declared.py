@@ -294,3 +294,61 @@ def table_delete_keys_mor(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n"),
         F.sum(F.col("c_acctbal").cast("decimal(38,6)")).cast("double").alias("bal"),
     )
+
+
+@query(
+    "catalog_time_travel_sql",
+    """
+SELECT
+  COUNT(*) FILTER (WHERE c_custkey % 2 = 0) AS n_snap1,
+  COUNT(*) AS n_snap2,
+  CAST(SUM(CAST(c_acctbal AS DECIMAL(38,6))) FILTER (WHERE c_custkey % 2 = 0) AS DOUBLE) AS bal_snap1,
+  CAST(SUM(CAST(c_acctbal AS DECIMAL(38,6))) AS DOUBLE) AS bal_snap2
+FROM customer
+""",
+)
+def catalog_time_travel_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time travel through the SQL front-end (catalog/sqlfront.py): the
+    statement itself carries ``VERSION AS OF`` — the reference's users
+    type this through Thrift (entrypoint-spark.sh:73); here the rewriter
+    resolves the pins and Catalyst plans the rest. Same oracle as the
+    Python-API ``catalog_time_travel``."""
+    from iceberg_metadata_pipeline_spark.catalog.sqlfront import catalog_sql
+
+    table, snap1, _snap2 = _two_snapshot_table(spark, sf_dir)
+    catalog = Catalog(spark, table.location.rsplit("/", 2)[0])
+    return catalog_sql(
+        catalog,
+        f"""
+        SELECT a.n_snap1, b.n_snap2, a.bal_snap1, b.bal_snap2
+        FROM (SELECT COUNT(*) AS n_snap1,
+                     CAST(SUM(CAST(c_acctbal AS DECIMAL(38,6))) AS DOUBLE) AS bal_snap1
+              FROM nyc.customer_tt VERSION AS OF {snap1}) a
+        CROSS JOIN
+             (SELECT COUNT(*) AS n_snap2,
+                     CAST(SUM(CAST(c_acctbal AS DECIMAL(38,6))) AS DOUBLE) AS bal_snap2
+              FROM nyc.customer_tt) b
+        """,
+    )
+
+
+@query("catalog_metadata_sql", None)  # metadata-only → rows-only check
+def catalog_metadata_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Metadata tables through SQL: ``nyc.t.snapshots`` joined to
+    ``nyc.t.files`` — the SELECT-able `.snapshots`/`.files`/`.history`
+    surface Iceberg exposes and the reference's dashboards query."""
+    from iceberg_metadata_pipeline_spark.catalog.sqlfront import catalog_sql
+
+    table, _s1, _s2 = _two_snapshot_table(spark, sf_dir)
+    catalog = Catalog(spark, table.location.rsplit("/", 2)[0])
+    return catalog_sql(
+        catalog,
+        """
+        SELECT s.operation, CAST(s.n_files AS BIGINT) AS n_files,
+               CAST(s.total_records AS BIGINT) AS total_records,
+               (SELECT COUNT(*) FROM nyc.customer_tt.files) AS current_files,
+               (SELECT COUNT(*) FROM nyc.customer_tt.history) AS n_history
+        FROM nyc.customer_tt.snapshots s
+        ORDER BY s.snapshot_id
+        """,
+    )

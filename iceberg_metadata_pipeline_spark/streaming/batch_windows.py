@@ -147,3 +147,68 @@ GROUP BY 1
 ORDER BY win_start
 """,
 )
+
+# Stream-stream join, batch rendition: the EXACT join condition of
+# streaming/stream.py::clicks_views_stream_join (user equi-key + bounded
+# event-time distance — the bound is what lets streaming expire state).
+# Batch and streaming produce the same rows for a static input, so this
+# oracle checks the join logic the streaming test exercises with
+# watermarks in tests/test_streaming.py.
+sql_query(
+    "stream_join_clicks_views",
+    """
+SELECT c.event_id AS click_id, c.user_id, c.ts AS click_ts,
+       v.event_id AS view_id, v.ts AS view_ts,
+       CAST(CAST(v.value AS DECIMAL(38,6)) AS DOUBLE) AS view_value
+FROM (SELECT * FROM events WHERE event_type = 'click') c
+JOIN (SELECT * FROM events WHERE event_type = 'view') v
+  ON c.user_id = v.user_id
+ AND v.ts <= c.ts
+ AND v.ts >= c.ts - INTERVAL 60 MINUTES
+ORDER BY click_id, view_id
+""",
+    oracle="""
+SELECT c.event_id AS click_id, c.user_id, CAST(c.ts AS TIMESTAMP) AS click_ts,
+       v.event_id AS view_id, CAST(v.ts AS TIMESTAMP) AS view_ts,
+       CAST(CAST(v.value AS DECIMAL(38,6)) AS DOUBLE) AS view_value
+FROM (SELECT * FROM events WHERE event_type = 'click') c
+JOIN (SELECT * FROM events WHERE event_type = 'view') v
+  ON c.user_id = v.user_id
+ AND CAST(v.ts AS TIMESTAMP) <= CAST(c.ts AS TIMESTAMP)
+ AND CAST(v.ts AS TIMESTAMP) >= CAST(c.ts AS TIMESTAMP) - INTERVAL 60 MINUTE
+ORDER BY click_id, view_id
+""",
+)
+
+# dropDuplicatesWithinWatermark, batch rendition: at-least-once sources
+# duplicate within a bounded replay horizon; the streaming op keeps the
+# first event per key while state lives (delta = 10 min). Batch
+# equivalent: within each replay burst (same-key events chained at gaps
+# <= delta), keep only the first — LAG over the per-key event-time order.
+# The true streaming op (state expiry across micro-batch restarts) is
+# asserted in tests/test_streaming.py.
+sql_query(
+    "stream_dedup_within_watermark",
+    """
+SELECT user_id, event_type, ts, event_id
+FROM (
+  SELECT user_id, event_type, ts, event_id,
+         LAG(ts) OVER (PARTITION BY user_id, event_type ORDER BY ts, event_id) AS prev_ts
+  FROM events
+) s
+WHERE prev_ts IS NULL OR ts > prev_ts + INTERVAL 10 MINUTES
+ORDER BY user_id, event_type, ts, event_id
+""",
+    oracle="""
+SELECT user_id, event_type, CAST(ts AS TIMESTAMP) AS ts, event_id
+FROM (
+  SELECT user_id, event_type, CAST(ts AS TIMESTAMP) AS ts, event_id,
+         LAG(CAST(ts AS TIMESTAMP)) OVER (
+           PARTITION BY user_id, event_type
+           ORDER BY CAST(ts AS TIMESTAMP), event_id) AS prev_ts
+  FROM events
+) s
+WHERE prev_ts IS NULL OR ts > prev_ts + INTERVAL 10 MINUTE
+ORDER BY user_id, event_type, ts, event_id
+""",
+)
