@@ -32,6 +32,10 @@ HEADLINE = [
     "agg_rollup",
     "agg_count_distinct",
     "agg_median_percentiles",
+    # round-1 harness-red queries, fixed in round 2 — kept visible here
+    "agg_array_collect_sorted",
+    "agg_percentile_approx",
+    "join_null_safe_equality",
     "window_topk_per_group",
     "fn_string_family",
     "stream_session_window",

@@ -92,6 +92,10 @@ def compare(name, spark_df, duck_rel):
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--sf", default=os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01"))
+    ap.add_argument(
+        "--timings-out",
+        help="write per-query wall seconds as JSON (feeds queries/measured_costs.json)",
+    )
     ap.add_argument("names", nargs="*")
     args = ap.parse_args()
 
@@ -111,12 +115,14 @@ def main():
     oracles = entry_mod.oracle_sql()
     names = args.names or list(qs)
     n_pass = n_fail = n_rows_only = 0
+    timings: dict[str, float] = {}
     for name in names:
         t0 = time.time()
         try:
             sdf = qs[name](spark, args.sf)
             if name not in oracles:
                 cnt = sdf.count()
+                timings[name] = round(time.time() - t0, 2)
                 print(f"  ROWS-ONLY {name}: {cnt} rows ({time.time()-t0:.1f}s)")
                 n_rows_only += 1
                 continue
@@ -124,6 +130,7 @@ def main():
             problems = compare(name, sdf, rel)
         except Exception as e:  # noqa: BLE001
             problems = [f"EXCEPTION: {type(e).__name__}: {e}"]
+        timings[name] = round(time.time() - t0, 2)
         if problems:
             n_fail += 1
             print(f"  FAIL {name} ({time.time()-t0:.1f}s)")
@@ -132,6 +139,11 @@ def main():
         else:
             n_pass += 1
             print(f"  ok   {name} ({time.time()-t0:.1f}s)")
+    if args.timings_out:
+        import json
+
+        with open(args.timings_out, "w") as fh:
+            json.dump(timings, fh, indent=1, sort_keys=True)
     print(f"\n{n_pass} pass, {n_fail} fail, {n_rows_only} rows-only")
     sys.exit(1 if n_fail else 0)
 
