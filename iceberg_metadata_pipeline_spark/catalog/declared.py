@@ -352,3 +352,23 @@ def catalog_metadata_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
         ORDER BY s.snapshot_id
         """,
     )
+
+
+@query(
+    "catalog_incremental_scan",
+    """
+SELECT COUNT(*) AS n_new,
+  CAST(SUM(CAST(c_acctbal AS DECIMAL(38,6))) AS DOUBLE) AS bal_new
+FROM customer WHERE c_custkey % 2 = 1
+""",
+)
+def catalog_incremental_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental append scan (the CDC feed): with even keys in snapshot 1
+    and odd keys in snapshot 2, ``scan_incremental(snap1)`` returns exactly
+    the second append — the oracle reconstructs that set from the fixture.
+    At 100 TB this is how downstream syncs read only new data."""
+    table, snap1, _snap2 = _two_snapshot_table(spark, sf_dir)
+    return table.scan_incremental(snap1).agg(
+        F.count(F.lit(1)).alias("n_new"),
+        F.sum(F.col("c_acctbal").cast("decimal(38,6)")).cast("double").alias("bal_new"),
+    )

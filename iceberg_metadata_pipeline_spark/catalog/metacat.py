@@ -588,7 +588,143 @@ class Table:
                 pass
         return orphaned
 
+    def remove_orphan_files(self, dry_run: bool = False) -> list[str]:
+        """Delete files under the table location referenced by NO snapshot
+        (Iceberg's remove_orphan_files action): leftovers of crashed writes
+        whose commit never happened, and files expired out of every
+        snapshot. Only table-owned storage is walked — externally
+        registered files are never touched. Returns the orphan paths."""
+        referenced: set[str] = set()
+        for snap in self.meta["snapshots"]:
+            referenced.update(f.path for f in self._resolve_manifest(snap))
+            for d in self._resolve_deletes(snap):
+                if d.get("path"):
+                    referenced.add(d["path"])
+        orphans = []
+        for sub in ("data", "deletes"):
+            base = os.path.join(self.location, sub)
+            for dirpath, _dirs, fnames in os.walk(base):
+                for fn in fnames:
+                    # _SUCCESS/.crc write markers: invisible to readers
+                    # (Spark's hidden-file convention), never manifested
+                    if fn.startswith((".", "_")):
+                        continue
+                    p = os.path.join(dirpath, fn)
+                    # a referenced path may be a file OR a directory
+                    # (multi-part writes register the directory)
+                    if p in referenced or dirpath in referenced:
+                        continue
+                    if any(p.startswith(r + os.sep) for r in referenced):
+                        continue
+                    orphans.append(p)
+        orphans.sort()
+        if not dry_run:
+            for p in orphans:
+                try:
+                    os.remove(p)
+                except OSError:
+                    pass
+        return orphans
+
+    # -- named refs (Iceberg branches and tags) ----------------------------
+    def create_tag(self, name: str, snapshot_id: int | None = None) -> None:
+        """An immutable named pointer to a snapshot (audit marks, release
+        pins). Scanning a tag is time travel by name."""
+        self._set_ref(name, snapshot_id, "tag", overwrite=False)
+
+    def create_branch(self, name: str, snapshot_id: int | None = None) -> None:
+        """A mutable named pointer; ``advance_branch`` moves it. (Branch
+        WRITES — committing onto a non-main lineage — are out of scope;
+        branches here serve the read/audit side of Iceberg's ref surface.)"""
+        self._set_ref(name, snapshot_id, "branch", overwrite=False)
+
+    def advance_branch(self, name: str, snapshot_id: int) -> None:
+        refs = self.meta.setdefault("refs", {})
+        if name not in refs or refs[name]["type"] != "branch":
+            raise ValueError(f"no branch {name}")
+        self._set_ref(name, snapshot_id, "branch", overwrite=True)
+
+    def drop_ref(self, name: str) -> None:
+        refs = self.meta.setdefault("refs", {})
+        if name not in refs:
+            raise ValueError(f"no ref {name}")
+        del refs[name]
+        _write_metadata(self.location, self.meta, self.version + 1)
+        self.version += 1
+
+    def _set_ref(
+        self, name: str, snapshot_id: int | None, kind: str, overwrite: bool
+    ) -> None:
+        refs = self.meta.setdefault("refs", {})
+        if name in refs and not overwrite:
+            raise ValueError(f"ref {name} already exists")
+        if snapshot_id is None:
+            if self.current_snapshot is None:
+                raise ValueError("table has no snapshots to reference")
+            snapshot_id = self.current_snapshot["snapshot_id"]
+        if not any(s["snapshot_id"] == snapshot_id for s in self.meta["snapshots"]):
+            raise ValueError(f"no snapshot {snapshot_id}")
+        refs[name] = {"snapshot_id": snapshot_id, "type": kind}
+        _write_metadata(self.location, self.meta, self.version + 1)
+        self.version += 1
+
+    def refs_df(self) -> DataFrame:
+        rows = [
+            (name, r["type"], r["snapshot_id"])
+            for name, r in sorted(self.meta.get("refs", {}).items())
+        ]
+        return self.spark.createDataFrame(
+            rows, "name string, type string, snapshot_id long"
+        )
+
     # -- reads -------------------------------------------------------------
+    def scan_incremental(
+        self, from_snapshot_id: int, to_snapshot_id: int | None = None
+    ) -> DataFrame:
+        """Incremental append scan (Iceberg's incremental read): rows ADDED
+        by commits strictly AFTER ``from_snapshot_id`` up to and including
+        ``to_snapshot_id`` (default: current). This is the CDC feed for
+        downstream consumers — at 100 TB a nightly sync reads only the new
+        files' rows, never rescans the table. The commit range must be
+        append-only (Iceberg raises on overwrite/delete in range too:
+        removed rows can't be represented in an append feed)."""
+        end = self._select_snapshot(to_snapshot_id, None)
+        if end is None:
+            return self.spark.createDataFrame([], self.schema)
+        by_id = {s["snapshot_id"]: s for s in self.meta["snapshots"]}
+        if from_snapshot_id not in by_id:
+            raise ValueError(f"no snapshot {from_snapshot_id}")
+        added: list[DataFileEntry] = []
+        cur: dict | None = end
+        while cur is not None and cur["snapshot_id"] != from_snapshot_id:
+            if cur["operation"] not in ("append",):
+                raise ValueError(
+                    f"incremental scan range contains non-append commit "
+                    f"{cur['snapshot_id']} ({cur['operation']})"
+                )
+            if "manifest" in cur:  # legacy inline manifest: diff vs parent
+                parent = by_id.get(cur.get("parent_snapshot_id"))
+                parent_paths = (
+                    {f.path for f in self._resolve_manifest(parent)} if parent else set()
+                )
+                added.extend(
+                    f for f in self._resolve_manifest(cur) if f.path not in parent_paths
+                )
+            else:
+                with open(self._manifest_file(cur)) as fh:
+                    delta = json.load(fh)
+                added.extend(DataFileEntry.from_json(f) for f in delta.get("added", ()))
+            parent_id = cur.get("parent_snapshot_id")
+            if parent_id is None:
+                raise ValueError(
+                    f"snapshot {from_snapshot_id} is not an ancestor of "
+                    f"{end['snapshot_id']}"
+                )
+            cur = by_id.get(parent_id)
+            if cur is None:
+                raise ValueError(f"ancestor {parent_id} expired — range unreadable")
+        return self._read_files(added)
+
     def scan(
         self,
         snapshot_id: int | None = None,

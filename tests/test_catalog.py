@@ -468,3 +468,78 @@ def test_promotion_with_rename_interplay(spark, catalog):
     got = {r["id"]: r["big"] for r in t.scan().collect()}
     assert got == {1: 7, 2: 9_000_000_000}
     assert dict(t.scan().dtypes)["big"] == "bigint"
+
+
+def test_incremental_scan_reads_only_appended_rows(spark, catalog):
+    df1 = spark.createDataFrame([(1,), (2,)], "id long")
+    t = catalog.create_table("nyc", "incr", df1.schema)
+    s1 = t.append_dataframe(df1)
+    s2 = t.append_dataframe(spark.createDataFrame([(3,), (4,)], "id long"))
+    s3 = t.append_dataframe(spark.createDataFrame([(5,)], "id long"))
+
+    got = sorted(r["id"] for r in t.scan_incremental(s1).collect())
+    assert got == [3, 4, 5]
+    got = sorted(r["id"] for r in t.scan_incremental(s1, to_snapshot_id=s2).collect())
+    assert got == [3, 4]
+    assert t.scan_incremental(s3).count() == 0
+
+    # non-append commit in range → explicit error, not silent wrong feed
+    t.delete_where("id = 3")
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="non-append"):
+        t.scan_incremental(s1)
+    # a range that stops before the delete still works
+    assert t.scan_incremental(s1, to_snapshot_id=s2).count() == 2
+
+
+def test_refs_tags_and_branches(spark, catalog):
+    df = spark.createDataFrame([(1,)], "id long")
+    t = catalog.create_table("nyc", "refs", df.schema)
+    s1 = t.append_dataframe(df)
+    s2 = t.append_dataframe(spark.createDataFrame([(2,)], "id long"))
+
+    t.create_tag("v1", s1)
+    t.create_branch("audit")  # defaults to current
+    refs = {r["name"]: (r["type"], r["snapshot_id"]) for r in t.refs_df().collect()}
+    assert refs == {"v1": ("tag", s1), "audit": ("branch", s2)}
+
+    # scanning by ref = time travel by name
+    assert t.scan(snapshot_id=refs["v1"][1]).count() == 1
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        t.create_tag("v1", s2)  # tags are immutable
+    with _pytest.raises(ValueError):
+        t.advance_branch("v1", s2)  # not a branch
+    t.advance_branch("audit", s1)
+
+    # refs survive reload
+    t2 = catalog.load_table("nyc", "refs")
+    got = {r["name"]: r["snapshot_id"] for r in t2.refs_df().collect()}
+    assert got == {"v1": s1, "audit": s1}
+    t2.drop_ref("v1")
+    assert [r["name"] for r in t2.refs_df().collect()] == ["audit"]
+
+
+def test_remove_orphan_files(spark, catalog):
+    import os
+
+    df = spark.createDataFrame([(i,) for i in range(10)], "id long")
+    t = catalog.create_table("nyc", "orphans", df.schema)
+    t.append_dataframe(df)
+    t.delete_keys_mor(spark.createDataFrame([(1,)], "id long"))
+
+    # simulate a crashed write: data files on disk, commit never happened
+    stray_dir = os.path.join(t.location, "data", "crashed-write")
+    spark.createDataFrame([(99,)], "id long").write.parquet(stray_dir)
+    n_before = t.scan().count()
+
+    found = t.remove_orphan_files(dry_run=True)
+    assert found and all("crashed-write" in p for p in found)
+    removed = t.remove_orphan_files()
+    assert removed == found
+    # referenced data AND the equality-delete file survive
+    assert t.scan().count() == n_before
+    assert t.remove_orphan_files(dry_run=True) == []
