@@ -221,7 +221,12 @@ class Table:
                 df = df.filter(~F.coalesce(F.expr(d["expr"]), F.lit(False)))
             else:  # equality-delete file
                 keys = self.spark.read.parquet(d["path"]).select(*d["key_cols"])
-                df = df.join(keys, d["key_cols"], "left_anti")
+                # broadcast the key set: a delete file is orders of
+                # magnitude smaller than the table — the anti-join must
+                # never shuffle the table side (at 100 TB that shuffle IS
+                # the query). Iceberg's MOR read does the same via its
+                # delete-file loader.
+                df = df.join(F.broadcast(keys), d["key_cols"], "left_anti")
         return df
 
     # -- commits -----------------------------------------------------------

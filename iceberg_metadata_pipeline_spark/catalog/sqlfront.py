@@ -13,8 +13,9 @@ Supported per statement (matching Iceberg SQL syntax):
 
 - ``ns.table``                         → current-snapshot scan
 - ``ns.table VERSION AS OF <id>``      → pinned-snapshot scan
+- ``ns.table VERSION AS OF '<ref>'``   → tag/branch by name
 - ``ns.table TIMESTAMP AS OF '<ts>'``  → latest snapshot at/before ts
-  (both also accept Iceberg's ``FOR VERSION/TIMESTAMP AS OF`` spelling)
+  (all also accept Iceberg's ``FOR VERSION/TIMESTAMP AS OF`` spelling)
 - ``ns.table.snapshots|files|history`` → metadata tables
 
 Rewrites are textual on table references only — the rest of the
@@ -41,7 +42,7 @@ _META_RE = re.compile(
 # ns.table [FOR] VERSION AS OF n | [FOR] TIMESTAMP AS OF 'ts'
 _TT_RE = re.compile(
     rf"\b(?P<ns>{_IDENT})\.(?P<tbl>{_IDENT})"
-    r"(?:\s+(?:FOR\s+)?(?:VERSION\s+AS\s+OF\s+(?P<ver>\d+)"
+    r"(?:\s+(?:FOR\s+)?(?:VERSION\s+AS\s+OF\s+(?:(?P<ver>\d+)|'(?P<ref>[^']+)')"
     r"|TIMESTAMP\s+AS\s+OF\s+'(?P<ts>[^']+)'))?",
     re.IGNORECASE,
 )
@@ -95,6 +96,13 @@ def catalog_sql(catalog: Catalog, statement: str) -> DataFrame:
             return m.group(0)
         if m.group("ver") is not None:
             sid = int(m.group("ver"))
+            return _view_for(table.scan(snapshot_id=sid), f"{ns}.{tbl}@v{sid}")
+        if m.group("ref") is not None:
+            name = m.group("ref")
+            ref = table.meta.get("refs", {}).get(name)
+            if ref is None:
+                raise ValueError(f"no ref {name!r} on {ns}.{tbl}")
+            sid = ref["snapshot_id"]
             return _view_for(table.scan(snapshot_id=sid), f"{ns}.{tbl}@v{sid}")
         if m.group("ts") is not None:
             ms = _parse_ts_ms(m.group("ts"))

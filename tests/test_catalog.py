@@ -543,3 +543,15 @@ def test_remove_orphan_files(spark, catalog):
     # referenced data AND the equality-delete file survive
     assert t.scan().count() == n_before
     assert t.remove_orphan_files(dry_run=True) == []
+
+
+def test_mor_equality_delete_anti_join_broadcasts(spark, catalog):
+    """The table side must never shuffle against a delete-key file: the
+    anti-join is a BroadcastHashJoin with the keys on the build side."""
+    df = spark.createDataFrame([(i,) for i in range(1000)], "id long")
+    t = catalog.create_table("nyc", "morplan", df.schema)
+    t.append_dataframe(df)
+    t.delete_keys_mor(spark.createDataFrame([(1,), (2,)], "id long"))
+    plan = t.scan()._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan and "LeftAnti" in plan
+    assert "SortMergeJoin" not in plan

@@ -104,3 +104,14 @@ def test_mor_deletes_visible_through_sql(catalog, spark, versioned_table):
     t.delete_where_mor("id = 2")
     got = catalog_sql(catalog, "SELECT id FROM nyc.vt ORDER BY id").collect()
     assert [r["id"] for r in got] == [1, 3]
+
+
+def test_version_as_of_ref_name(catalog, versioned_table):
+    t, s1, _s2 = versioned_table
+    t.create_tag("v1", s1)
+    got = catalog_sql(
+        catalog, "SELECT COUNT(*) AS n FROM nyc.vt VERSION AS OF 'v1'"
+    ).collect()
+    assert got[0]["n"] == 2
+    with pytest.raises(ValueError, match="no ref"):
+        catalog_sql(catalog, "SELECT * FROM nyc.vt VERSION AS OF 'nope'")
