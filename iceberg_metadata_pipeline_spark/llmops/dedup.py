@@ -424,3 +424,83 @@ WHERE {_DUCK_DOT} / ({_DUCK_NORM.format(v='a')} * {_DUCK_NORM.format(v='b')}) > 
 ORDER BY id_a, id_b
 """,
 )
+
+
+def connected_components(
+    pairs: DataFrame,
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+    max_iter: int = 20,
+) -> DataFrame:
+    """Connected components over an undirected edge list — the step that
+    turns near-dup PAIRS into dedup CLUSTERS (a~b, b~c ⇒ {a,b,c} even
+    though a,c never paired). Returns (node, component) with component =
+    the minimum node id in the cluster.
+
+    Hash-min label propagation (the Pregel/GraphX formulation as
+    DataFrame joins): every node starts labeled with itself; each round,
+    labels flow across edges and every node keeps the minimum seen. The
+    driver loop carries NO data — each iteration is one shuffle-on-node
+    join, and convergence needs O(component diameter) rounds, not
+    O(nodes). Near-dup clusters are small and dense (diameter ≈ 2-4), so
+    at 100 TB this converges in a handful of rounds; ``max_iter`` bounds
+    pathological chains. The per-round ``.count()`` driver action reads
+    one long (the changed-label count), never rows."""
+    edges = (
+        pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
+        .union(pairs.select(F.col(id_b).alias("src"), F.col(id_a).alias("dst")))
+        .distinct()
+        .cache()
+    )
+    labels = (
+        edges.select(F.col("src").alias("node"))
+        .distinct()
+        .withColumn("component", F.col("node"))
+        .cache()
+    )
+    for _ in range(max_iter):
+        # labels seen from neighbors this round
+        neighbor = (
+            edges.join(labels, edges["src"] == labels["node"])
+            .select(F.col("dst").alias("node"), "component")
+        )
+        new_labels = (
+            labels.select("node", "component")
+            .union(neighbor)
+            .groupBy("node")
+            .agg(F.min("component").alias("component"))
+            .cache()
+        )
+        changed = (
+            new_labels.join(labels.withColumnRenamed("component", "old"), "node")
+            .filter(F.col("component") != F.col("old"))
+            .count()
+        )
+        labels.unpersist()
+        labels = new_labels
+        if changed == 0:
+            break
+    edges.unpersist()
+    return labels
+
+
+@query("dedup_near_clusters", None)  # minhash family isn't SQL-portable
+def dedup_near_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup CLUSTERS over documents: minhash-LSH verified pairs →
+    connected components → one row per cluster with its canonical doc
+    (min doc_id) and size. This is the keep-one-per-cluster step of a
+    training-data dedup pass; singleton docs (no near-dup) are counted in
+    tests, not returned (at 100 TB the cluster table is tiny next to the
+    corpus and the final filter is a broadcast anti-join)."""
+    docs = load_tables(spark, sf_dir)["documents"]
+    pairs = minhash_near_dup_pairs(docs, "doc_id", "text", threshold=0.5)
+    comps = connected_components(pairs, "id_a", "id_b")
+    return (
+        comps.groupBy("component")
+        .agg(F.count(F.lit(1)).alias("cluster_size"))
+        .select(
+            F.col("component").alias("canonical_doc_id"),
+            F.col("cluster_size").cast("long").alias("cluster_size"),
+        )
+        .orderBy("canonical_doc_id")
+    )

@@ -211,3 +211,94 @@ WHERE rn <= 3 AND doc_id < 50
 ORDER BY doc_id, rn
 """,
 )
+
+
+# End-to-end corpus curation — the composition a training-data pipeline
+# actually runs, as ONE declarative plan Catalyst can optimize globally:
+# exact-dedup (keep lowest doc_id per content hash) → quality scoring →
+# filter → per-source corpus stats. Each stage is a shuffle on a
+# different key (md5(text), then source) and partial aggs apply; nothing
+# materializes between stages. At 100 TB the win of single-plan
+# composition is that column pruning reaches the scan: only text/source
+# are read.
+_CURATION_SPARK = f"""
+WITH canon AS (
+  SELECT doc_id, text, source,
+         ROW_NUMBER() OVER (PARTITION BY md5(text) ORDER BY doc_id) AS rn
+  FROM documents
+),
+scored AS (
+  SELECT doc_id, source, n_tokens,
+         CAST(n_uniq AS DOUBLE) / n_tokens AS uniq_ratio,
+         round(CAST(n_uniq AS DOUBLE) / n_tokens * 0.5
+           + CAST(stop_hits AS DOUBLE) / n_tokens * 0.3
+           + least(n_tokens / 400.0, 1.0) * 0.2, 12) AS quality_score
+  FROM (
+    SELECT doc_id, source,
+           size(split(text, ' ')) AS n_tokens,
+           size(array_distinct(split(text, ' '))) AS n_uniq,
+           size(filter(split(text, ' '), t -> t IN ({_STOPWORDS}))) AS stop_hits
+    FROM canon WHERE rn = 1
+  ) raw
+)
+SELECT source,
+       COUNT(*) AS n_docs,
+       CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,
+       CAST(CAST(SUM(CAST(quality_score AS DECIMAL(38,12))) AS DOUBLE)
+            / COUNT(*) AS DOUBLE) AS avg_quality
+FROM scored
+WHERE n_tokens >= 20 AND uniq_ratio >= 0.3 AND quality_score >= 0.35
+GROUP BY source
+ORDER BY source
+"""
+
+_CURATION_DUCK = f"""
+WITH canon AS (
+  SELECT doc_id, text, source,
+         ROW_NUMBER() OVER (PARTITION BY md5(text) ORDER BY doc_id) AS rn
+  FROM documents
+),
+scored AS (
+  SELECT doc_id, source, n_tokens,
+         CAST(n_uniq AS DOUBLE) / n_tokens AS uniq_ratio,
+         round(CAST(n_uniq AS DOUBLE) / n_tokens * 0.5
+           + CAST(stop_hits AS DOUBLE) / n_tokens * 0.3
+           + least(n_tokens / 400.0, 1.0) * 0.2, 12) AS quality_score
+  FROM (
+    SELECT doc_id, source,
+           len(string_split(text, ' ')) AS n_tokens,
+           len(list_distinct(string_split(text, ' '))) AS n_uniq,
+           len(list_filter(string_split(text, ' '), t -> t IN ({_STOPWORDS}))) AS stop_hits
+    FROM canon WHERE rn = 1
+  ) raw
+)
+SELECT source,
+       COUNT(*) AS n_docs,
+       CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,
+       CAST(CAST(SUM(CAST(quality_score AS DECIMAL(38,12))) AS DOUBLE)
+            / COUNT(*) AS DOUBLE) AS avg_quality
+FROM scored
+WHERE n_tokens >= 20 AND uniq_ratio >= 0.3 AND quality_score >= 0.35
+GROUP BY source
+ORDER BY source
+"""
+
+sql_query("pipeline_corpus_curation", _CURATION_SPARK, oracle=_CURATION_DUCK)
+
+
+# Deterministic stratified downsampling: per-stratum keep rates by key
+# modulus — reproducible across engines and runs (no RNG), the property a
+# training-data pipeline needs for resumable sampling. Rates: returnflag
+# A keeps 1/7, R keeps 1/13, N keeps 1/29 of orders.
+sql_query(
+    "sample_stratified_mod",
+    """
+SELECT l_returnflag,
+       COUNT(*) AS n_sampled,
+       CAST(SUM(CAST(l_quantity AS DECIMAL(38,6))) AS DOUBLE) AS qty
+FROM lineitem
+WHERE l_orderkey % (CASE l_returnflag WHEN 'A' THEN 7 WHEN 'R' THEN 13 ELSE 29 END) = 0
+GROUP BY l_returnflag
+ORDER BY l_returnflag
+""",
+)

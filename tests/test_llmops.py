@@ -213,3 +213,22 @@ def test_trend_fit_matches_duckdb_regression(spark, sf_dir):
     for et, s, i in want:
         gs, gi = got[et]
         assert abs(gs - s) < 1e-9 and abs(gi - i) < 1e-9, et
+
+
+def test_connected_components_transitive_closure(spark):
+    from iceberg_metadata_pipeline_spark.llmops.dedup import connected_components
+
+    # chain 1-2-3-4 plus disjoint pair 10-11; transitivity must merge the
+    # chain into one component even though 1 and 4 never paired directly
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (10, 11)], ["id_a", "id_b"]
+    )
+    comps = {r["node"]: r["component"] for r in connected_components(pairs).collect()}
+    assert comps == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10}
+
+
+def test_connected_components_empty_pairs(spark):
+    from iceberg_metadata_pipeline_spark.llmops.dedup import connected_components
+
+    pairs = spark.createDataFrame([], "id_a long, id_b long")
+    assert connected_components(pairs).count() == 0
