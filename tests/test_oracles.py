@@ -54,6 +54,7 @@ def test_rows_only_queries_are_documented_exceptions(registry):
     allowed_prefixes = (
         "dedup_minhash",      # hash-family not SQL-portable
         "dedup_simhash",
+        "dedup_near_clusters",  # built on minhash-LSH pairs (same rationale)
         "sim_cosine_topk_lsh",   # ANN approximate by design
         "sim_cosine_topk_ivf",   # ML-trained quantizer
         "sim_cosine_topk_pandas",  # BLAS vs fold summation order
