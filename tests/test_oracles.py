@@ -14,7 +14,8 @@ TABLES = "region nation customer supplier part orders lineitem events documents 
 
 
 @pytest.fixture(scope="module")
-def registry():
+def registry(spark):
+    # pandas UDF registration parses DDL types and needs an active session
     import __spark_entry__ as m
 
     return m.queries(), m.oracle_sql()
@@ -61,7 +62,7 @@ def test_rows_only_queries_are_documented_exceptions(registry):
         "multimodal_decode",  # python kernels
         "multimodal_frame",
         "multimodal_resize",
-        "catalog_metadata_tables",  # catalog metadata invisible to DuckDB
+        "catalog_metadata",   # catalog metadata invisible to DuckDB
         "catalog_introspection",
         "agg_approx",         # engine-specific sketches
         "agg_percentile_approx",
