@@ -216,6 +216,58 @@ def catalog_partitioned_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "catalog_hidden_partitioning",
+    """
+SELECT o_orderstatus, COUNT(*) AS n,
+  CAST(SUM(CAST(o_totalprice AS DECIMAL(38,6))) AS DOUBLE) AS total
+FROM orders
+WHERE o_orderdate >= '1997-01-01'
+GROUP BY o_orderstatus
+ORDER BY o_orderstatus
+""",
+)
+def catalog_hidden_partitioning(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Iceberg hidden partitioning (catalog/partitioning.py): the table
+    declares year(o_orderdate); the writer derives partition tuples, and
+    the scan prunes files by transforming the PREDICATE — the user filters
+    the source column and never names a partition column (the anti-Hive
+    contract). The assert proves pruning actually dropped files; the
+    oracle proves pruning never changed an answer. At 100 TB a date-range
+    filter on a time-partitioned table is the single biggest IO lever."""
+    import tempfile
+
+    from iceberg_metadata_pipeline_spark.catalog.partitioning import PartitionField
+
+    orders = load_tables(spark, sf_dir)["orders"]
+    catalog = Catalog(spark, tempfile.mkdtemp(prefix="warehouse-hidpart-"))
+    t = catalog.create_table(
+        "nyc",
+        "orders_hidpart",
+        orders.schema,
+        partition_spec=[PartitionField("o_orderdate", "year")],
+    )
+    t.append_dataframe(orders)
+    flt = "o_orderdate >= '1997-01-01'"
+    from iceberg_metadata_pipeline_spark.catalog.partitioning import (
+        prune_files_by_partition,
+    )
+
+    kept = prune_files_by_partition(
+        spark, t.snapshot_files(), t.partition_specs, t._schema_types(), flt
+    )
+    assert len(kept) < len(t.snapshot_files()), "partition pruning must drop files"
+    return (
+        t.scan(filter=flt)
+        .groupBy("o_orderstatus")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("o_totalprice").cast("decimal(38,6)")).cast("double").alias("total"),
+        )
+        .orderBy("o_orderstatus")
+    )
+
+
 @query("catalog_introspection", None)  # session-catalog metadata → rows-only
 def catalog_introspection(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A13-A15 as a query: SHOW TABLES over the registered fixture views

@@ -66,9 +66,15 @@ class DataFileEntry:
     # cast up after type promotion (int→long etc.), like Iceberg's
     # field-id-based promotion but name-keyed
     types: dict[str, str] = field(default_factory=dict)
+    # hidden-partitioning metadata (Iceberg spec v2): the partition tuple
+    # this file belongs to and the spec that derived it. Files registered
+    # before partitioning (or externally) carry neither and are simply
+    # never pruned by partition — correctness does not depend on them.
+    partition: dict[str, Any] = field(default_factory=dict)
+    spec_id: int | None = None
 
     def to_json(self) -> dict:
-        return {
+        doc = {
             "path": self.path,
             "record_count": self.record_count,
             "file_size_bytes": self.file_size_bytes,
@@ -76,12 +82,18 @@ class DataFileEntry:
             "stats": self.stats,
             "types": self.types,
         }
+        if self.partition:
+            doc["partition"] = self.partition
+        if self.spec_id is not None:
+            doc["spec_id"] = self.spec_id
+        return doc
 
     @staticmethod
     def from_json(d: dict) -> "DataFileEntry":
         return DataFileEntry(
             d["path"], d["record_count"], d["file_size_bytes"], d.get("format", "PARQUET"),
             d.get("stats", {}), d.get("types", {}),
+            d.get("partition", {}), d.get("spec_id"),
         )
 
 
@@ -124,6 +136,45 @@ class Table:
         if sid is None:
             return None
         return next(s for s in self.meta["snapshots"] if s["snapshot_id"] == sid)
+
+    # -- hidden partitioning (Iceberg partition specs) ---------------------
+    @property
+    def partition_specs(self) -> dict[int, list]:
+        """All declared specs by id (spec evolution keeps old ids alive:
+        files written under an old spec stay prunable under THAT spec)."""
+        from iceberg_metadata_pipeline_spark.catalog.partitioning import PartitionField
+
+        return {
+            int(sid): [PartitionField.from_json(f) for f in fields]
+            for sid, fields in self.meta.get("partition_specs", {}).items()
+        }
+
+    @property
+    def default_spec(self) -> list:
+        sid = self.meta.get("default_spec_id")
+        if sid is None:
+            return []
+        return self.partition_specs.get(sid, [])
+
+    def set_partition_spec(self, fields: list) -> int:
+        """Declare (or evolve to) a new partition spec — metadata-only,
+        like Iceberg's ``ALTER TABLE ... WRITE ORDERED BY``/spec evolution:
+        existing data files are NOT rewritten; they keep their old spec_id
+        and stay prunable under it, while new writes lay out under the new
+        spec. Returns the new spec id."""
+        for f in fields:
+            if not any(sf.name == f.source for sf in self.schema.fields):
+                raise ValueError(f"partition source column {f.source} not in schema")
+        specs = self.meta.setdefault("partition_specs", {})
+        new_id = max((int(s) for s in specs), default=-1) + 1
+        specs[str(new_id)] = [f.to_json() for f in fields]
+        self.meta["default_spec_id"] = new_id
+        _write_metadata(self.location, self.meta, self.version + 1)
+        self.version += 1
+        return new_id
+
+    def _schema_types(self) -> dict[str, str]:
+        return {f.name: f.dataType.simpleString() for f in self.schema.fields}
 
     def _select_snapshot(
         self, snapshot_id: int | None = None, as_of_ms: int | None = None
@@ -305,10 +356,35 @@ class Table:
 
     def append_dataframe(self, df: DataFrame) -> int:
         """Write-and-register: materialize df as parquet under the table's
-        data dir, then commit (the df.writeTo(...).append() analogue)."""
+        data dir, then commit (the df.writeTo(...).append() analogue).
+
+        If the table declares a partition spec, the derived ``__p_*``
+        columns are computed here (hidden partitioning: the WRITER derives
+        them, users never supply them) and the write lays files out in
+        Hive-style partition directories. Each file's partition tuple is
+        recovered from its path and recorded in the manifest entry — that
+        tuple is what scan-time pruning consults, never the directory
+        listing (at 100 TB, listing is the enemy; the manifest is O(files)
+        metadata already in hand)."""
+        from iceberg_metadata_pipeline_spark.catalog.partitioning import (
+            parse_partition_from_path,
+            with_partition_columns,
+        )
+
         data_dir = os.path.join(self.location, "data", uuid.uuid4().hex[:12])
-        df.write.mode("errorifexists").parquet(data_dir)
-        return self.append_files(scan_parquet_footers(data_dir, self.spark), dedupe=False)
+        spec = self.default_spec
+        if spec:
+            out, part_cols = with_partition_columns(df, spec, self._schema_types())
+            out.write.mode("errorifexists").partitionBy(*part_cols).parquet(data_dir)
+            entries = scan_parquet_footers(data_dir, self.spark)
+            sid = self.meta["default_spec_id"]
+            for e in entries:
+                e.partition = parse_partition_from_path(e.path, spec)
+                e.spec_id = sid
+        else:
+            df.write.mode("errorifexists").parquet(data_dir)
+            entries = scan_parquet_footers(data_dir, self.spark)
+        return self.append_files(entries, dedupe=False)
 
     def rewrite_data_files(
         self, target_num_files: int = 1, sort_by: list[str] | None = None
@@ -743,6 +819,15 @@ class Table:
         files = self.snapshot_files(snapshot_id, as_of_ms)
         if filter is not None:
             files = _prune_by_stats(files, filter)
+            specs = self.partition_specs
+            if specs:
+                from iceberg_metadata_pipeline_spark.catalog.partitioning import (
+                    prune_files_by_partition,
+                )
+
+                files = prune_files_by_partition(
+                    self.spark, files, specs, self._schema_types(), filter
+                )
         df = self._read_files(files)
         snap = self._select_snapshot(snapshot_id, as_of_ms)
         if snap is not None:
@@ -852,6 +937,32 @@ class Table:
             rows, "file_path string, record_count long, file_size_bytes long, file_format string"
         )
 
+    def partitions_df(self) -> DataFrame:
+        """Iceberg's ``.partitions`` metadata table: one row per live
+        partition tuple with file/record/byte counts — the first thing an
+        operator checks for skewed or degenerate partitions. Aggregated
+        from the manifest on the driver (metadata-sized: O(files) entries
+        already resolved; no data IO)."""
+        agg: dict[tuple[str, int | None], list[int]] = {}
+        for f in self.snapshot_files():
+            key = (
+                json.dumps(f.partition, sort_keys=True, default=str) if f.partition else "{}",
+                f.spec_id,
+            )
+            acc = agg.setdefault(key, [0, 0, 0])
+            acc[0] += 1
+            acc[1] += f.record_count
+            acc[2] += f.file_size_bytes
+        rows = [
+            (part, sid, n, rec, size)
+            for (part, sid), (n, rec, size) in sorted(agg.items(), key=lambda kv: (kv[0][0], -1 if kv[0][1] is None else kv[0][1]))
+        ]
+        return self.spark.createDataFrame(
+            rows,
+            "partition string, spec_id int, file_count long, record_count long, "
+            "total_size_bytes long",
+        )
+
     def history_df(self) -> DataFrame:
         cur = self.meta.get("current_snapshot_id")
         rows = [
@@ -897,9 +1008,12 @@ class Catalog:
         schema: T.StructType,
         properties: dict | None = None,
         or_load: bool = True,
+        partition_spec: list | None = None,
     ) -> Table:
         """Create-or-load (idempotent ingest, ImportParquetFolders.java:94-100).
-        Tables are unpartitioned, matching the reference (java:99)."""
+        The reference creates tables unpartitioned (java:99); passing
+        ``partition_spec`` (a list of PartitionField) opts into Iceberg-style
+        hidden partitioning for this table's writes."""
         self.ensure_namespace(namespace)
         loc = self._table_location(namespace, name)
         if self.table_exists(namespace, name):
@@ -916,7 +1030,10 @@ class Catalog:
             "current_snapshot_id": None,
         }
         _write_metadata(loc, meta, version=1)
-        return Table(self.spark, loc, meta, version=1)
+        table = Table(self.spark, loc, meta, version=1)
+        if partition_spec:
+            table.set_partition_spec(partition_spec)
+        return table
 
     def load_table(self, namespace: str, name: str) -> Table:
         loc = self._table_location(namespace, name)
