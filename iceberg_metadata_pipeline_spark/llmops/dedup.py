@@ -347,6 +347,59 @@ ORDER BY id_a, id_b
 )
 
 
+# Survivor selection — the step after pair-finding that actually shrinks
+# the corpus. Production rule: drop any document that near-duplicates an
+# EARLIER (smaller-id) document; keep the rest. Unlike full connected-
+# components (iterative; see connected_components below), this rule is
+# one anti-join — expressible in ANSI SQL, so it gets a real oracle. At
+# 100 TB the pair set comes from LSH candidates (minhash_near_dup_pairs),
+# and the anti-join broadcasts the doomed-id list: the corpus never
+# shuffles. Kernel below is bounded all-pairs for the oracle's sake only.
+sql_query(
+    "dedup_survivors",
+    """
+WITH t AS (
+  SELECT doc_id, source, array_distinct(split(text, ' ')) AS t,
+         size(split(text, ' ')) AS n_tokens
+  FROM documents WHERE doc_id < 200
+),
+dupes AS (
+  SELECT b.doc_id AS hi
+  FROM t a JOIN t b ON a.doc_id < b.doc_id
+  WHERE CAST(size(array_intersect(a.t, b.t)) AS DOUBLE)
+          / (size(a.t) + size(b.t) - size(array_intersect(a.t, b.t))) >= 0.9
+)
+SELECT source, COUNT(*) AS n_survivors,
+       CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,
+       MIN(doc_id) AS first_doc
+FROM t
+WHERE NOT EXISTS (SELECT 1 FROM dupes d WHERE d.hi = t.doc_id)
+GROUP BY source
+ORDER BY source
+""",
+    oracle="""
+WITH t AS (
+  SELECT doc_id, source, list_distinct(string_split(text, ' ')) AS t,
+         len(string_split(text, ' ')) AS n_tokens
+  FROM documents WHERE doc_id < 200
+),
+dupes AS (
+  SELECT b.doc_id AS hi
+  FROM t a JOIN t b ON a.doc_id < b.doc_id
+  WHERE CAST(len(list_intersect(a.t, b.t)) AS DOUBLE)
+          / (len(a.t) + len(b.t) - len(list_intersect(a.t, b.t))) >= 0.9
+)
+SELECT source, COUNT(*) AS n_survivors,
+       CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,
+       MIN(doc_id) AS first_doc
+FROM t
+WHERE NOT EXISTS (SELECT 1 FROM dupes d WHERE d.hi = t.doc_id)
+GROUP BY source
+ORDER BY source
+""",
+)
+
+
 # ---------------------------------------------------------------------------
 # SimHash
 # ---------------------------------------------------------------------------

@@ -122,6 +122,7 @@ def _load_all():
         dedup,
         forecast,
         multimodal,
+        packing,
         similarity,
         text,
     )

@@ -232,3 +232,36 @@ def test_connected_components_empty_pairs(spark):
 
     pairs = spark.createDataFrame([], "id_a long, id_b long")
     assert connected_components(pairs).count() == 0
+
+
+def test_assign_chunks_packing_invariants(spark):
+    from iceberg_metadata_pipeline_spark.llmops.packing import assign_chunks
+
+    docs = spark.createDataFrame(
+        [(i, 100 + (i * 37) % 400) for i in range(50)], "doc_id long, n_tokens long"
+    )
+    out = assign_chunks(docs, seq_len=512, n_shards=4).collect()
+    assert len(out) == 50  # every doc placed exactly once
+    by_shard: dict = {}
+    for r in sorted(out, key=lambda r: (r["shard"], r["doc_id"])):
+        by_shard.setdefault(r["shard"], []).append(r)
+    for shard, rows in by_shard.items():
+        # offsets are the exclusive prefix sum of token counts in id order
+        run = 0
+        for r in rows:
+            assert r["offset"] == run, (shard, r)
+            assert r["chunk_id"] == run // 512
+            run += r["n_tokens"]
+        # chunk ids are non-decreasing and start at 0
+        assert rows[0]["chunk_id"] == 0
+
+
+def test_assign_chunks_deterministic_across_partitioning(spark):
+    from iceberg_metadata_pipeline_spark.llmops.packing import assign_chunks
+
+    docs = spark.createDataFrame(
+        [(i, 64 + i % 200) for i in range(200)], "doc_id long, n_tokens long"
+    )
+    a = assign_chunks(docs, seq_len=1024).orderBy("doc_id").collect()
+    b = assign_chunks(docs.repartition(13), seq_len=1024).orderBy("doc_id").collect()
+    assert [tuple(r) for r in a] == [tuple(r) for r in b]
