@@ -407,6 +407,65 @@ def catalog_metadata_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "table_wap_publish",
+    """
+SELECT
+  COUNT(*) FILTER (WHERE c_custkey % 2 = 0) AS n_main_before,
+  COUNT(*) AS n_staged,
+  COUNT(*) AS n_main_after,
+  CAST(SUM(CAST(c_acctbal AS DECIMAL(38,6))) AS DOUBLE) AS bal_after
+FROM customer
+""",
+)
+def table_wap_publish(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Write-audit-publish (Iceberg's WAP branch pattern): new data is
+    committed onto a staging BRANCH, audited there (a scan(ref=...) sees
+    it; main does not), then published by fast-forwarding main — one
+    metadata CAS makes all staged snapshots visible atomically. This is
+    how a 100 TB ingest gates quality: bad data never reaches readers,
+    and publish is O(1) regardless of staged volume."""
+    customer = load_tables(spark, sf_dir)["customer"]
+    catalog = Catalog(spark, tempfile.mkdtemp(prefix="warehouse-wap-"))
+    t = catalog.create_table("nyc", "customer_wap", customer.schema)
+    t.append_dataframe(customer.filter(F.col("c_custkey") % 2 == 0))
+    # stage the odd half on the audit branch — main must not see it yet
+    t.append_dataframe(customer.filter(F.col("c_custkey") % 2 == 1), branch="audit")
+    n_main_before = t.scan().count()
+    n_staged = t.scan(ref="audit").count()
+    t.publish_branch("audit")
+    after = t.scan().agg(
+        F.count(F.lit(1)).alias("n_main_after"),
+        F.sum(F.col("c_acctbal").cast("decimal(38,6)")).cast("double").alias("bal_after"),
+    )
+    return after.select(
+        F.lit(n_main_before).alias("n_main_before"),
+        F.lit(n_staged).alias("n_staged"),
+        "n_main_after",
+        "bal_after",
+    )
+
+
+@query(
+    "table_rollback",
+    """
+SELECT COUNT(*) AS n_after_rollback,
+  CAST(SUM(CAST(c_acctbal AS DECIMAL(38,6))) AS DOUBLE) AS bal_after_rollback
+FROM customer WHERE c_custkey % 2 = 0
+""",
+)
+def table_rollback(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """rollback_to_snapshot: after a bad second append, main's head moves
+    back to snapshot 1 — scans see the pre-mistake table; the undone
+    snapshot stays time-travelable until expiry. Metadata-only undo."""
+    table, snap1, _snap2 = _two_snapshot_table(spark, sf_dir)
+    table.rollback_to_snapshot(snap1)
+    return table.scan().agg(
+        F.count(F.lit(1)).alias("n_after_rollback"),
+        F.sum(F.col("c_acctbal").cast("decimal(38,6)")).cast("double").alias("bal_after_rollback"),
+    )
+
+
+@query(
     "catalog_incremental_scan",
     """
 SELECT COUNT(*) AS n_new,

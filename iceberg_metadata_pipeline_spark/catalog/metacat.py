@@ -288,14 +288,29 @@ class Table:
         removed_paths: set[str] | None = None,
         added_deletes: list[dict] | None = None,
         clears_deletes: bool = False,
+        branch: str | None = None,
     ) -> int:
         """One atomic commit of a manifest DELTA: writes an immutable
         per-snapshot delta file (O(changed files)), then CASes the metadata
         JSON whose snapshot records are O(1) each. A lost CAS leaves only a
-        harmless orphan delta file (new snapshot id on retry)."""
+        harmless orphan delta file (new snapshot id on retry).
+
+        ``branch`` commits onto that branch's lineage instead of main
+        (write-audit-publish: staged snapshots are invisible to main scans
+        until ``publish_branch`` fast-forwards). The branch is created at
+        the current main head if it doesn't exist yet."""
         removed_paths = removed_paths or set()
-        parent = self.meta.get("current_snapshot_id")
-        base = self.snapshot_files() if parent is not None else []
+        if branch is not None:
+            refs = self.meta.setdefault("refs", {})
+            r = refs.get(branch)
+            if r is not None and r["type"] != "branch":
+                raise ValueError(f"ref {branch} is a {r['type']}, not a branch")
+            parent = (
+                r["snapshot_id"] if r is not None else self.meta.get("current_snapshot_id")
+            )
+        else:
+            parent = self.meta.get("current_snapshot_id")
+        base = self.snapshot_files(snapshot_id=parent) if parent is not None else []
         result = [f for f in base if f.path not in removed_paths] + added
         snapshot_id = int(uuid.uuid4().int % (1 << 62))
         manifest_name = f"snap-{snapshot_id}.json"
@@ -320,13 +335,18 @@ class Table:
                 "n_records": int(sum(f.record_count for f in result)),
             }
         )
-        self.meta["current_snapshot_id"] = snapshot_id
+        if branch is not None:
+            self.meta["refs"][branch] = {"snapshot_id": snapshot_id, "type": "branch"}
+        else:
+            self.meta["current_snapshot_id"] = snapshot_id
         _write_metadata(self.location, self.meta, self.version + 1)
         self.version += 1
         self._manifest_cache[snapshot_id] = result
         return snapshot_id
 
-    def append_files(self, files: list[DataFileEntry], dedupe: bool = True) -> int:
+    def append_files(
+        self, files: list[DataFileEntry], dedupe: bool = True, branch: str | None = None
+    ) -> int:
         """Metadata-only append: one atomic commit registering data files
         in place (zero data movement — ImportParquetFolders.java:102-117).
 
@@ -342,19 +362,24 @@ class Table:
         CommitConflictError to the caller.
         """
         for attempt in range(5):
-            current = self.snapshot_files()
+            if branch is not None:
+                r = self.meta.get("refs", {}).get(branch)
+                head = r["snapshot_id"] if r else self.meta.get("current_snapshot_id")
+            else:
+                head = self.meta.get("current_snapshot_id")
+            current = self.snapshot_files(snapshot_id=head) if head is not None else []
             known = {f.path for f in current}
             new = [f for f in files if not (dedupe and f.path in known)]
-            if not new and self.meta.get("current_snapshot_id") is not None:
-                return self.meta["current_snapshot_id"]
+            if not new and head is not None:
+                return head
             try:
-                return self._commit("append", new)
+                return self._commit("append", new, branch=branch)
             except CommitConflictError:
                 if attempt == 4:
                     raise
                 self.refresh()
 
-    def append_dataframe(self, df: DataFrame) -> int:
+    def append_dataframe(self, df: DataFrame, branch: str | None = None) -> int:
         """Write-and-register: materialize df as parquet under the table's
         data dir, then commit (the df.writeTo(...).append() analogue).
 
@@ -384,7 +409,7 @@ class Table:
         else:
             df.write.mode("errorifexists").parquet(data_dir)
             entries = scan_parquet_footers(data_dir, self.spark)
-        return self.append_files(entries, dedupe=False)
+        return self.append_files(entries, dedupe=False, branch=branch)
 
     def rewrite_data_files(
         self, target_num_files: int = 1, sort_by: list[str] | None = None
@@ -725,6 +750,56 @@ class Table:
             raise ValueError(f"no branch {name}")
         self._set_ref(name, snapshot_id, "branch", overwrite=True)
 
+    def _is_ancestor(self, maybe_ancestor: int, of: int) -> bool:
+        by_id = {s["snapshot_id"]: s for s in self.meta["snapshots"]}
+        cur: int | None = of
+        while cur is not None:
+            if cur == maybe_ancestor:
+                return True
+            snap = by_id.get(cur)
+            cur = snap.get("parent_snapshot_id") if snap else None
+        return False
+
+    def publish_branch(self, name: str) -> int:
+        """Write-audit-publish, step 3 (Iceberg's ``fast_forward('main',
+        branch)``): after audits pass on the staged branch, main's head
+        moves to the branch head in one metadata CAS — the staged
+        snapshots become visible atomically, and nothing is rewritten.
+        Requires main's current head to be an ancestor of the branch head
+        (a true fast-forward; anything else would silently drop main
+        commits that landed after the branch forked)."""
+        r = self.meta.get("refs", {}).get(name)
+        if r is None or r["type"] != "branch":
+            raise ValueError(f"no branch {name}")
+        head = r["snapshot_id"]
+        cur = self.meta.get("current_snapshot_id")
+        if cur is not None and not self._is_ancestor(cur, head):
+            raise ValueError(
+                f"cannot fast-forward: main head {cur} is not an ancestor of "
+                f"branch {name} head {head}"
+            )
+        self.meta["current_snapshot_id"] = head
+        _write_metadata(self.location, self.meta, self.version + 1)
+        self.version += 1
+        return head
+
+    def rollback_to_snapshot(self, snapshot_id: int) -> None:
+        """Iceberg's ``rollback_to_snapshot`` procedure: move main's head
+        back to an ANCESTOR snapshot (undo bad commits). Metadata-only and
+        reversible until expire_snapshots — the abandoned snapshots stay
+        in the log and remain time-travelable."""
+        cur = self.meta.get("current_snapshot_id")
+        if not any(s["snapshot_id"] == snapshot_id for s in self.meta["snapshots"]):
+            raise ValueError(f"no snapshot {snapshot_id}")
+        if cur is not None and not self._is_ancestor(snapshot_id, cur):
+            raise ValueError(
+                f"snapshot {snapshot_id} is not an ancestor of current {cur}; "
+                "use a branch for non-linear state"
+            )
+        self.meta["current_snapshot_id"] = snapshot_id
+        _write_metadata(self.location, self.meta, self.version + 1)
+        self.version += 1
+
     def drop_ref(self, name: str) -> None:
         refs = self.meta.setdefault("refs", {})
         if name not in refs:
@@ -811,11 +886,20 @@ class Table:
         snapshot_id: int | None = None,
         as_of_ms: int | None = None,
         filter: str | None = None,
+        ref: str | None = None,
     ) -> DataFrame:
         """Snapshot-isolated scan. File-level min/max pruning is applied for
         simple ``col <op> literal`` filters before Spark ever lists the
         files (the manifest-pruning analogue); the filter is also applied
-        to the DataFrame so Spark pushes it into row-group pruning."""
+        to the DataFrame so Spark pushes it into row-group pruning.
+        ``ref`` scans a named branch/tag head (audit reads in WAP)."""
+        if ref is not None:
+            if snapshot_id is not None:
+                raise ValueError("pass either ref or snapshot_id, not both")
+            r = self.meta.get("refs", {}).get(ref)
+            if r is None:
+                raise ValueError(f"no ref {ref}")
+            snapshot_id = r["snapshot_id"]
         files = self.snapshot_files(snapshot_id, as_of_ms)
         if filter is not None:
             files = _prune_by_stats(files, filter)
@@ -935,6 +1019,41 @@ class Table:
         ]
         return self.spark.createDataFrame(
             rows, "file_path string, record_count long, file_size_bytes long, file_format string"
+        )
+
+    def manifests_df(self) -> DataFrame:
+        """Iceberg's ``.manifests`` metadata table: one row per manifest
+        delta file with its commit's added/removed counts and on-disk size
+        — how an operator audits metadata growth (the judge of whether
+        commits stay O(delta)). Driver-side over O(snapshots) records."""
+        rows = []
+        for s in self.meta["snapshots"]:
+            if "manifest_file" not in s:
+                continue  # legacy inline manifest
+            path = self._manifest_file(s)
+            try:
+                size = os.path.getsize(path)
+            except OSError:
+                size = None
+            try:
+                with open(path) as fh:
+                    full = bool(json.load(fh).get("full"))
+            except OSError:
+                full = None
+            rows.append(
+                (
+                    s["manifest_file"],
+                    s["snapshot_id"],
+                    size,
+                    s.get("n_added", 0),
+                    s.get("n_removed", 0),
+                    full,
+                )
+            )
+        return self.spark.createDataFrame(
+            rows,
+            "path string, added_snapshot_id long, length long, "
+            "added_files_count int, removed_files_count int, is_full boolean",
         )
 
     def partitions_df(self) -> DataFrame:

@@ -555,3 +555,58 @@ def test_mor_equality_delete_anti_join_broadcasts(spark, catalog):
     plan = t.scan()._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastHashJoin" in plan and "LeftAnti" in plan
     assert "SortMergeJoin" not in plan
+
+
+def test_wap_branch_isolation_and_publish(spark, tables, tmp_path):
+    customer = tables["customer"]
+    catalog = Catalog(spark, str(tmp_path / "wap"))
+    t = catalog.create_table("nyc", "c_wap", customer.schema)
+    t.append_dataframe(customer.limit(40))
+    n_main = t.scan().count()
+    # two staged commits chain on the branch; main is untouched by both
+    t.append_dataframe(customer.limit(100).exceptAll(customer.limit(40)), branch="audit")
+    t.append_dataframe(customer.limit(120).exceptAll(customer.limit(100)), branch="audit")
+    assert t.scan().count() == n_main
+    assert t.scan(ref="audit").count() == 120
+    head = t.publish_branch("audit")
+    assert t.meta["current_snapshot_id"] == head
+    assert t.scan().count() == 120
+
+
+def test_publish_refuses_non_fast_forward(spark, tables, tmp_path):
+    customer = tables["customer"]
+    catalog = Catalog(spark, str(tmp_path / "wapff"))
+    t = catalog.create_table("nyc", "c_ff", customer.schema)
+    t.append_dataframe(customer.limit(10))
+    t.append_dataframe(customer.limit(20).exceptAll(customer.limit(10)), branch="audit")
+    # main advances independently → branch head no longer descends from main
+    t.append_dataframe(customer.limit(30).exceptAll(customer.limit(20)))
+    with pytest.raises(ValueError, match="fast-forward"):
+        t.publish_branch("audit")
+
+
+def test_rollback_requires_ancestor(spark, tables, tmp_path):
+    customer = tables["customer"]
+    catalog = Catalog(spark, str(tmp_path / "rb"))
+    t = catalog.create_table("nyc", "c_rb", customer.schema)
+    s1 = t.append_dataframe(customer.limit(10))
+    t.append_dataframe(customer.limit(20).exceptAll(customer.limit(10)))
+    t.rollback_to_snapshot(s1)
+    assert t.scan().count() == 10
+    # a branch-only snapshot is not an ancestor of main
+    sb = t.append_dataframe(customer.limit(25).exceptAll(customer.limit(20)), branch="b")
+    with pytest.raises(ValueError, match="ancestor"):
+        t.rollback_to_snapshot(sb)
+
+
+def test_manifests_metadata_table(spark, tables, tmp_path):
+    customer = tables["customer"]
+    catalog = Catalog(spark, str(tmp_path / "mf"))
+    t = catalog.create_table("nyc", "c_mf", customer.schema)
+    t.append_dataframe(customer.limit(10))
+    t.append_dataframe(customer.limit(20).exceptAll(customer.limit(10)))
+    rows = t.manifests_df().orderBy("added_snapshot_id").collect()
+    assert len(rows) == 2
+    assert all(r["length"] and r["length"] > 0 for r in rows)
+    assert rows[0]["is_full"] in (True, False)
+    assert sum(r["added_files_count"] for r in rows) == len(t.snapshot_files())
