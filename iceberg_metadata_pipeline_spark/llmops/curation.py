@@ -1,0 +1,211 @@
+"""Corpus-curation operators beyond dedup/quality (SURVEY.md §2.C scope):
+PII scrubbing, train/test contamination detection, within-document
+repetition scoring, deterministic corpus shuffling, and temperature-based
+domain rebalancing — the remaining table-stakes passes of a 100 TB
+training-data pipeline.
+
+All pure Catalyst (regexp/HOF/join/window built-ins — JVM-side, no Python
+in the row path), and all DETERMINISTIC: no RNG anywhere. Reproducibility
+across reruns and engines is what makes preprocessing resumable; each
+query's DuckDB oracle is the cross-engine proof.
+"""
+
+from __future__ import annotations
+
+from iceberg_metadata_pipeline_spark.queries import sql_query
+
+# ---------------------------------------------------------------------------
+# PII scrubbing — regex redaction of emails / phone-like numbers.
+# The fixture corpus carries no PII, so the query PLANTS deterministic
+# PII per row first (append an email + phone derived from doc_id), then
+# scrubs — proving removal end-to-end, not vacuously. Regexes avoid
+# backslash classes so Spark (Java regex) and DuckDB (RE2) agree; Spark's
+# regexp_replace is replace-all by default, DuckDB needs the 'g' flag.
+# At 100 TB this is a map-only projection — no shuffle at all.
+# ---------------------------------------------------------------------------
+
+sql_query(
+    "text_pii_scrub",
+    """
+SELECT doc_id,
+       regexp_replace(regexp_replace(dirty,
+           '[a-z0-9]+@[a-z0-9]+[.][a-z]+', '<EMAIL>'),
+           '555-[0-9]+', '<PHONE>') AS clean,
+       CAST(regexp_count(dirty, '[a-z0-9]+@[a-z0-9]+[.][a-z]+') AS BIGINT) AS n_emails,
+       CAST(regexp_count(dirty, '555-[0-9]+') AS BIGINT) AS n_phones
+FROM (
+  SELECT doc_id,
+         concat(substr(text, 1, 40), ' contact user', CAST(doc_id AS STRING),
+                '@example.com or call 555-', CAST(doc_id AS STRING)) AS dirty
+  FROM documents
+) d
+ORDER BY doc_id
+""",
+    oracle="""
+SELECT doc_id,
+       regexp_replace(regexp_replace(dirty,
+           '[a-z0-9]+@[a-z0-9]+[.][a-z]+', '<EMAIL>', 'g'),
+           '555-[0-9]+', '<PHONE>', 'g') AS clean,
+       CAST(len(regexp_extract_all(dirty, '[a-z0-9]+@[a-z0-9]+[.][a-z]+')) AS BIGINT) AS n_emails,
+       CAST(len(regexp_extract_all(dirty, '555-[0-9]+')) AS BIGINT) AS n_phones
+FROM (
+  SELECT doc_id,
+         concat(substr(text, 1, 40), ' contact user', CAST(doc_id AS STRING),
+                '@example.com or call 555-', CAST(doc_id AS STRING)) AS dirty
+  FROM documents
+) d
+ORDER BY doc_id
+""",
+)
+
+
+# ---------------------------------------------------------------------------
+# Train/test contamination — the eval-integrity check every training run
+# needs: which held-out documents share 5-gram shingles with the training
+# split? Shape: explode shingles on both sides, distinct the train side,
+# one equi-join on the shingle string, group by test doc. At 100 TB the
+# train side is the big one — the join shuffles on the shingle hash and
+# partial-distinct combines map-side; nothing is quadratic.
+# ---------------------------------------------------------------------------
+
+sql_query(
+    "text_contamination_ngram",
+    """
+WITH sh AS (
+  SELECT doc_id, s
+  FROM (
+    SELECT doc_id,
+           transform(sequence(1, greatest(size(toks) - 4, 1)),
+                     i -> concat_ws(' ', slice(toks, i, 5))) AS shingles
+    FROM (SELECT doc_id, split(text, ' ') AS toks FROM documents) t0
+  ) t1 LATERAL VIEW explode(shingles) t2 AS s
+),
+train AS (SELECT DISTINCT s FROM sh WHERE doc_id % 10 != 0),
+test AS (SELECT doc_id, s FROM sh WHERE doc_id % 10 = 0)
+SELECT t.doc_id,
+       COUNT(DISTINCT t.s) AS n_shingles,
+       COUNT(DISTINCT CASE WHEN tr.s IS NOT NULL THEN t.s END) AS n_contaminated,
+       round(CAST(COUNT(DISTINCT CASE WHEN tr.s IS NOT NULL THEN t.s END) AS DOUBLE)
+             / COUNT(DISTINCT t.s), 9) AS contamination
+FROM test t LEFT JOIN train tr ON t.s = tr.s
+GROUP BY t.doc_id
+ORDER BY t.doc_id
+""",
+    oracle="""
+WITH sh AS (
+  SELECT doc_id,
+         unnest(list_transform(range(1, greatest(len(toks) - 4, 1) + 1),
+                i -> array_to_string(toks[i:i+4], ' '))) AS s
+  FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM documents) t0
+),
+train AS (SELECT DISTINCT s FROM sh WHERE doc_id % 10 != 0),
+test AS (SELECT doc_id, s FROM sh WHERE doc_id % 10 = 0)
+SELECT t.doc_id,
+       COUNT(DISTINCT t.s) AS n_shingles,
+       COUNT(DISTINCT CASE WHEN tr.s IS NOT NULL THEN t.s END) AS n_contaminated,
+       round(CAST(COUNT(DISTINCT CASE WHEN tr.s IS NOT NULL THEN t.s END) AS DOUBLE)
+             / COUNT(DISTINCT t.s), 9) AS contamination
+FROM test t LEFT JOIN train tr ON t.s = tr.s
+GROUP BY t.doc_id
+ORDER BY t.doc_id
+""",
+)
+
+
+# ---------------------------------------------------------------------------
+# Within-document repetition — boilerplate/looping-text signal: fraction
+# of repeated 3-gram shingles inside each document. Pure higher-order
+# functions on the token array (no explode, no shuffle): map-only.
+# ---------------------------------------------------------------------------
+
+sql_query(
+    "text_repetition_ratio",
+    """
+SELECT doc_id, n_shingles, n_distinct,
+       round(CAST(n_shingles - n_distinct AS DOUBLE) / n_shingles, 9) AS rep_ratio
+FROM (
+  SELECT doc_id, size(shingles) AS n_shingles,
+         size(array_distinct(shingles)) AS n_distinct
+  FROM (
+    SELECT doc_id,
+           transform(sequence(1, greatest(size(toks) - 2, 1)),
+                     i -> concat_ws(' ', slice(toks, i, 3))) AS shingles
+    FROM (SELECT doc_id, split(text, ' ') AS toks FROM documents) t0
+  ) t1
+) t2
+ORDER BY doc_id
+""",
+    oracle="""
+SELECT doc_id, n_shingles, n_distinct,
+       round(CAST(n_shingles - n_distinct AS DOUBLE) / n_shingles, 9) AS rep_ratio
+FROM (
+  SELECT doc_id, len(shingles) AS n_shingles,
+         len(list_distinct(shingles)) AS n_distinct
+  FROM (
+    SELECT doc_id,
+           list_transform(range(1, greatest(len(toks) - 2, 1) + 1),
+                          i -> array_to_string(toks[i:i+2], ' ')) AS shingles
+    FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM documents) t0
+  ) t1
+) t2
+ORDER BY doc_id
+""",
+)
+
+
+# ---------------------------------------------------------------------------
+# Deterministic corpus shuffle — training order must be random-LOOKING but
+# exactly reproducible (resume mid-epoch, re-run byte-identical): order by
+# a salted hash of the id. Top-k form compiles to TakeOrderedAndProject
+# (per-partition heap + driver merge, no global sort materialization);
+# the full-shuffle form is ORDER BY shuffle_key at write time — a range-
+# partitioned sort, Spark's scalable path, never a single-task window.
+# ---------------------------------------------------------------------------
+
+sql_query(
+    "corpus_shuffle_deterministic",
+    """
+SELECT doc_id, shuffle_key
+FROM (
+  SELECT doc_id, md5(concat('epoch0:', CAST(doc_id AS STRING))) AS shuffle_key
+  FROM documents
+) s
+ORDER BY shuffle_key
+LIMIT 50
+""",
+)
+
+
+# ---------------------------------------------------------------------------
+# Temperature-based domain rebalancing — flatten the source distribution
+# with keep_rate(source) = min(1, 0.5·sqrt(max_n / n_source)) (temperature
+# τ=2 / α=0.5 mixture weighting) and DETERMINISTIC membership: a document
+# is kept iff a fixed modular hash of its id lands under the rate
+# threshold — no RNG, identical across engines and reruns. sqrt and double
+# division are IEEE-correctly-rounded, so the thresholds agree bit-exactly.
+# Plan: tiny per-source rate table (broadcast) joined to the corpus;
+# map-side filter; one groupBy — at 100 TB the corpus shuffles once, on
+# the final stats only.
+# ---------------------------------------------------------------------------
+
+sql_query(
+    "sample_temperature_domain_mix",
+    """
+WITH counts AS (SELECT source, COUNT(*) AS n FROM documents GROUP BY source),
+rates AS (
+  SELECT source, n,
+         least(CAST(1.0 AS DOUBLE),
+               0.5 * sqrt(CAST((SELECT MAX(n) FROM counts) AS DOUBLE) / n)) AS keep_rate
+  FROM counts
+)
+SELECT r.source, r.n AS n_total, COUNT(d.doc_id) AS n_kept,
+       round(r.keep_rate, 9) AS keep_rate
+FROM rates r
+LEFT JOIN documents d
+  ON d.source = r.source
+ AND (d.doc_id * 2654435761) % 1000000
+       < CAST(floor(r.keep_rate * 1000000) AS BIGINT)
+GROUP BY r.source, r.n, r.keep_rate
+ORDER BY r.source
+""",
+)
