@@ -466,6 +466,41 @@ def table_rollback(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "catalog_call_procedures_sql",
+    """
+SELECT COUNT(*) AS n, COUNT(DISTINCT c_custkey) AS n_keys,
+  CAST(SUM(CAST(c_acctbal AS DECIMAL(38,6))) AS DOUBLE) AS bal
+FROM customer
+""",
+)
+def catalog_call_procedures_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Iceberg's CALL stored-procedure surface through the SQL front-end:
+    rewrite_data_files (compaction) via ``CALL system.rewrite_data_files``
+    must be lossless — the compacted table equals the raw fixture. The
+    procedure result row is asserted inline; the oracle checks the data."""
+    from iceberg_metadata_pipeline_spark.catalog.sqlfront import catalog_sql
+
+    customer = load_tables(spark, sf_dir)["customer"]
+    catalog = Catalog(spark, tempfile.mkdtemp(prefix="warehouse-call-"))
+    t = catalog.create_table("nyc", "customer_call", customer.schema)
+    t.append_dataframe(customer.repartition(6))
+    res = catalog_sql(
+        catalog,
+        "CALL system.rewrite_data_files(table => 'nyc.customer_call', target_num_files => 2)",
+    ).collect()
+    assert res[0]["rewritten_data_files_count"] >= 2
+    assert res[0]["added_data_files_count"] == 2
+    return catalog_sql(
+        catalog,
+        """
+        SELECT COUNT(*) AS n, COUNT(DISTINCT c_custkey) AS n_keys,
+          CAST(SUM(CAST(c_acctbal AS DECIMAL(38,6))) AS DOUBLE) AS bal
+        FROM nyc.customer_call
+        """,
+    )
+
+
+@query(
     "catalog_incremental_scan",
     """
 SELECT COUNT(*) AS n_new,

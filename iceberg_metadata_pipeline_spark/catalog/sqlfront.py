@@ -16,7 +16,12 @@ Supported per statement (matching Iceberg SQL syntax):
 - ``ns.table VERSION AS OF '<ref>'``   → tag/branch by name
 - ``ns.table TIMESTAMP AS OF '<ts>'``  → latest snapshot at/before ts
   (all also accept Iceberg's ``FOR VERSION/TIMESTAMP AS OF`` spelling)
-- ``ns.table.snapshots|files|history`` → metadata tables
+- ``ns.table.snapshots|files|history|partitions|manifests|refs``
+  → metadata tables
+- ``CALL [cat.]system.<proc>(...)``    → table-maintenance procedures
+  (rollback_to_snapshot, expire_snapshots, remove_orphan_files,
+  rewrite_data_files, fast_forward — Iceberg's stored-procedure
+  surface; named ``arg => value`` or positional args, table first)
 
 Rewrites are textual on table references only — the rest of the
 statement (joins, aggregates, windows, CTEs) passes through untouched,
@@ -34,9 +39,16 @@ from iceberg_metadata_pipeline_spark.catalog.metacat import Catalog
 
 _IDENT = r"[A-Za-z_][A-Za-z0-9_]*"
 
-# ns.table.snapshots / .files / .history — must match before plain refs
+# ns.table.snapshots / .files / … — must match before plain refs
 _META_RE = re.compile(
-    rf"\b(?P<ns>{_IDENT})\.(?P<tbl>{_IDENT})\.(?P<meta>snapshots|files|history)\b"
+    rf"\b(?P<ns>{_IDENT})\.(?P<tbl>{_IDENT})"
+    r"\.(?P<meta>snapshots|files|history|partitions|manifests|refs)\b"
+)
+
+# CALL [cat.]system.proc(args) — Iceberg stored-procedure syntax
+_CALL_RE = re.compile(
+    rf"^\s*CALL\s+(?:{_IDENT}\.)?system\.(?P<proc>{_IDENT})\s*\((?P<args>.*)\)\s*$",
+    re.IGNORECASE | re.DOTALL,
 )
 
 # ns.table [FOR] VERSION AS OF n | [FOR] TIMESTAMP AS OF 'ts'
@@ -84,6 +96,9 @@ def catalog_sql(catalog: Catalog, statement: str) -> DataFrame:
             "snapshots": table.snapshots_df,
             "files": table.files_df,
             "history": table.history_df,
+            "partitions": table.partitions_df,
+            "manifests": table.manifests_df,
+            "refs": table.refs_df,
         }[kind]()
         return _view_for(df, f"{m.group('ns')}.{m.group('tbl')}#{kind}")
 
@@ -109,6 +124,102 @@ def catalog_sql(catalog: Catalog, statement: str) -> DataFrame:
             return _view_for(table.scan(as_of_ms=ms), f"{ns}.{tbl}@t{ms}")
         return _view_for(table.scan(), f"{ns}.{tbl}")
 
+    call = _CALL_RE.match(statement)
+    if call is not None:
+        return _run_procedure(catalog, call.group("proc").lower(), call.group("args"))
     rewritten = _META_RE.sub(_meta, statement)
     rewritten = _TT_RE.sub(_tt, rewritten)
     return spark.sql(rewritten)
+
+
+# -- CALL procedures --------------------------------------------------------
+
+_ARG_RE = re.compile(
+    rf"\s*(?:(?P<name>{_IDENT})\s*=>\s*)?(?:'(?P<str>[^']*)'|(?P<num>-?\d+)"
+    r"|(?P<bool>true|false))\s*$",
+    re.IGNORECASE,
+)
+
+# positional argument order per procedure (table ref always first —
+# Iceberg's convention: CALL cat.system.rollback_to_snapshot('db.t', 123))
+_PROC_POSITIONAL = {
+    "rollback_to_snapshot": ["table", "snapshot_id"],
+    "expire_snapshots": ["table", "keep_last"],
+    "remove_orphan_files": ["table", "dry_run"],
+    "rewrite_data_files": ["table", "target_num_files"],
+    "fast_forward": ["table", "branch"],
+}
+
+
+def _parse_call_args(proc: str, raw: str) -> dict:
+    order = _PROC_POSITIONAL.get(proc)
+    if order is None:
+        raise ValueError(f"unknown procedure system.{proc}")
+    out: dict[str, object] = {}
+    if not raw.strip():
+        return out
+    for i, part in enumerate(raw.split(",")):
+        m = _ARG_RE.match(part)
+        if m is None:
+            raise ValueError(f"unparseable CALL argument: {part!r}")
+        if m.group("str") is not None:
+            val: object = m.group("str")
+        elif m.group("num") is not None:
+            val = int(m.group("num"))
+        else:
+            val = m.group("bool").lower() == "true"
+        name = m.group("name")
+        if name is None:
+            if i >= len(order):
+                raise ValueError(f"too many positional args for system.{proc}")
+            name = order[i]
+        out[name.lower()] = val
+    return out
+
+
+def _run_procedure(catalog: Catalog, proc: str, raw_args: str) -> DataFrame:
+    """Iceberg stored procedures. Each returns a small result DataFrame
+    (Iceberg's CALL contract), so procedure output composes with the rest
+    of the harness like any query."""
+    spark = catalog.spark
+    args = _parse_call_args(proc, raw_args)
+    tref = args.pop("table", None)
+    if not isinstance(tref, str) or "." not in tref:
+        raise ValueError(f"system.{proc} needs table => 'ns.name'")
+    ns, name = tref.split(".", 1)
+    table = catalog.load_table(ns, name)
+
+    if proc == "rollback_to_snapshot":
+        prev = table.meta.get("current_snapshot_id")
+        table.rollback_to_snapshot(int(args["snapshot_id"]))
+        rows = [(prev, table.meta["current_snapshot_id"])]
+        return spark.createDataFrame(
+            rows, "previous_snapshot_id long, current_snapshot_id long"
+        )
+    if proc == "expire_snapshots":
+        orphaned = table.expire_snapshots(keep_last=int(args.get("keep_last", 1)))
+        return spark.createDataFrame(
+            [(len(table.meta["snapshots"]), len(orphaned))],
+            "remaining_snapshots int, orphaned_files int",
+        )
+    if proc == "remove_orphan_files":
+        orphans = table.remove_orphan_files(dry_run=bool(args.get("dry_run", False)))
+        return spark.createDataFrame(
+            [(p,) for p in orphans] or [], "orphan_file_location string"
+        )
+    if proc == "rewrite_data_files":
+        n_before = len(table.snapshot_files())
+        table.rewrite_data_files(
+            target_num_files=int(args.get("target_num_files", 1))
+        )
+        return spark.createDataFrame(
+            [(n_before, len(table.snapshot_files()))],
+            "rewritten_data_files_count int, added_data_files_count int",
+        )
+    if proc == "fast_forward":
+        prev = table.meta.get("current_snapshot_id")
+        head = table.publish_branch(str(args["branch"]))
+        return spark.createDataFrame(
+            [(prev, head)], "previous_snapshot_id long, current_snapshot_id long"
+        )
+    raise ValueError(f"unknown procedure system.{proc}")

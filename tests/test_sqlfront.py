@@ -115,3 +115,59 @@ def test_version_as_of_ref_name(catalog, versioned_table):
     assert got[0]["n"] == 2
     with pytest.raises(ValueError, match="no ref"):
         catalog_sql(catalog, "SELECT * FROM nyc.vt VERSION AS OF 'nope'")
+
+
+def test_call_rollback_and_fast_forward(catalog, spark, versioned_table):
+    t, s1, s2 = versioned_table
+    out = catalog_sql(
+        catalog, f"CALL system.rollback_to_snapshot('nyc.vt', {s1})"
+    ).collect()
+    assert out[0]["previous_snapshot_id"] == s2
+    assert out[0]["current_snapshot_id"] == s1
+    assert catalog_sql(catalog, "SELECT COUNT(*) AS n FROM nyc.vt").first()["n"] == 2
+    # stage on a branch, then publish via CALL fast_forward
+    t.refresh()
+    t.append_dataframe(
+        spark.createDataFrame([(9, "z")], "id long, s string"), branch="audit"
+    )
+    out = catalog_sql(
+        catalog, "CALL system.fast_forward(table => 'nyc.vt', branch => 'audit')"
+    ).collect()
+    assert out[0]["previous_snapshot_id"] == s1
+    assert catalog_sql(catalog, "SELECT COUNT(*) AS n FROM nyc.vt").first()["n"] == 3
+
+
+def test_call_rewrite_and_expire(catalog, spark, versioned_table):
+    _t, _s1, _s2 = versioned_table
+    out = catalog_sql(
+        catalog, "CALL system.rewrite_data_files(table => 'nyc.vt', target_num_files => 1)"
+    ).collect()
+    assert out[0]["added_data_files_count"] == 1
+    assert catalog_sql(catalog, "SELECT COUNT(*) AS n FROM nyc.vt").first()["n"] == 3
+    out = catalog_sql(
+        catalog, "CALL system.expire_snapshots(table => 'nyc.vt', keep_last => 1)"
+    ).collect()
+    assert out[0]["remaining_snapshots"] == 1
+    # expired data files are now orphans; dry_run lists without deleting
+    orphans = catalog_sql(
+        catalog, "CALL system.remove_orphan_files(table => 'nyc.vt', dry_run => true)"
+    ).count()
+    assert orphans >= 1
+
+
+def test_new_metadata_tables_via_sql(catalog, spark, versioned_table):
+    t, _s1, _s2 = versioned_table
+    t.create_tag("rel1")
+    refs = catalog_sql(catalog, "SELECT name, type FROM nyc.vt.refs").collect()
+    assert ("rel1", "tag") in [(r["name"], r["type"]) for r in refs]
+    mani = catalog_sql(
+        catalog, "SELECT COUNT(*) AS n FROM nyc.vt.manifests"
+    ).first()["n"]
+    assert mani == 2
+    parts = catalog_sql(catalog, "SELECT * FROM nyc.vt.partitions").collect()
+    assert sum(r["record_count"] for r in parts) == 3
+
+
+def test_call_rejects_unknown_procedure(catalog, versioned_table):
+    with pytest.raises(ValueError, match="unknown procedure"):
+        catalog_sql(catalog, "CALL system.vacuum_everything('nyc.vt')")
