@@ -281,3 +281,37 @@ def test_range_partitioned_sorted_write_enables_pruning(spark, sf_dir, tmp_path)
     pruned = part.filter(F.col("o_orderdate") <= F.lit(lo))
     plan = plan_of(pruned)
     assert "PushedFilters" in plan and "LessThanOrEqual(o_orderdate" in plan
+
+
+def test_sequence_packing_no_global_sort(spark, sf_dir):
+    # packing must parallelize per shard: the window partitions by shard,
+    # so the plan carries a hash exchange on shard — never a
+    # SinglePartition exchange (the global-ORDER-BY packing scale-killer)
+    from iceberg_metadata_pipeline_spark.queries import all_queries
+
+    df = all_queries()["pipeline_sequence_packing"](spark, sf_dir)
+    plan = plan_of(df)
+    assert "Exchange SinglePartition" not in plan
+    assert "hashpartitioning(shard" in plan
+
+
+def test_temperature_mix_broadcasts_rates(spark, sf_dir):
+    # the per-source rate table is tiny: it must broadcast; the corpus
+    # side must never be the build side or cartesian-joined
+    from iceberg_metadata_pipeline_spark.queries import all_queries
+
+    df = all_queries()["sample_temperature_domain_mix"](spark, sf_dir)
+    plan = plan_of(df)
+    assert "BroadcastExchange" in plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_contamination_join_is_equi_not_cartesian(spark, sf_dir):
+    from iceberg_metadata_pipeline_spark.queries import all_queries
+
+    df = all_queries()["text_contamination_ngram"](spark, sf_dir)
+    plan = plan_of(df)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "EvalPython" not in plan  # all-JVM row path
