@@ -443,26 +443,55 @@ class Table:
         )
 
     # -- row-level ops (copy-on-write, Iceberg MERGE/DELETE/UPDATE analogue) --
-    def _rewrite_with(self, transform, prune_filter: str | None, operation: str) -> int:
+    def _branch_head(self, branch: str | None) -> int | None:
+        """Resolve the snapshot a write on ``branch`` rebases on: the branch
+        head if the ref exists, else the main head (the branch forks there
+        on its first commit — same rule as ``_commit``)."""
+        if branch is None:
+            return self.meta.get("current_snapshot_id")
+        r = self.meta.get("refs", {}).get(branch)
+        if r is not None and r["type"] != "branch":
+            raise ValueError(f"ref {branch} is a {r['type']}, not a branch")
+        return r["snapshot_id"] if r else self.meta.get("current_snapshot_id")
+
+    def _rewrite_with(
+        self,
+        transform,
+        prune_filter: str | None,
+        operation: str,
+        branch: str | None = None,
+    ) -> int:
         """Copy-on-write kernel: files whose stats can't match the predicate
         are carried over untouched (metadata-only); affected files are read,
         transformed, and rewritten; one atomic commit swaps the manifest.
         At 100 TB this is why stats pruning matters: a DELETE touching one
         day rewrites that day's files, not the table. (Merge-on-read —
         delete files + positional merges at scan — is the alternative when
-        rewrite amplification dominates; not implemented here.)"""
-        files = self.snapshot_files()
+        rewrite amplification dominates; see the ``_mor`` variants.)
+
+        ``branch`` rewrites the BRANCH head (write-audit-publish: stage a
+        delete/update/merge, audit via ``scan(ref=)``, then
+        ``publish_branch`` — main never sees intermediate states)."""
+        head = self._branch_head(branch)
+        files = self.snapshot_files(snapshot_id=head)
         if prune_filter is not None:
-            affected = {f.path for f in _prune_by_stats(files, prune_filter)}
+            from iceberg_metadata_pipeline_spark.catalog.partitioning import (
+                split_conjuncts,
+            )
+
+            candidates = files
+            for conjunct in split_conjuncts(prune_filter):
+                candidates = _prune_by_stats(candidates, conjunct)
+            affected = {f.path for f in candidates}
         else:
             affected = {f.path for f in files}
         if not affected:
-            return self.meta["current_snapshot_id"]
+            return head if head is not None else self.meta["current_snapshot_id"]
         src = self._read_files([f for f in files if f.path in affected])
         # pending MOR deletes must not resurrect rows through the rewrite;
         # delete application is idempotent, so entries stay live for the
         # carried-over files and harmlessly re-apply to rewritten ones
-        cur = self.current_snapshot
+        cur = self._select_snapshot(head, None) if head is not None else None
         if cur is not None:
             src = self._apply_deletes(src, self._resolve_deletes(cur))
         out = transform(src)
@@ -471,10 +500,13 @@ class Table:
         # delta commit: only the rewritten files move through metadata;
         # carried-over files stay referenced via the parent chain untouched
         return self._commit(
-            operation, scan_parquet_footers(data_dir, self.spark), removed_paths=affected
+            operation,
+            scan_parquet_footers(data_dir, self.spark),
+            removed_paths=affected,
+            branch=branch,
         )
 
-    def delete_where(self, condition: str) -> int:
+    def delete_where(self, condition: str, branch: str | None = None) -> int:
         """DELETE FROM t WHERE condition (copy-on-write).
 
         SQL DELETE removes only rows where the condition is TRUE; rows where
@@ -485,9 +517,10 @@ class Table:
             lambda df: df.filter(~F.coalesce(F.expr(condition), F.lit(False))),
             condition,
             "delete",
+            branch=branch,
         )
 
-    def delete_where_mor(self, condition: str) -> int:
+    def delete_where_mor(self, condition: str, branch: str | None = None) -> int:
         """Merge-on-read DELETE: commits a predicate delete ENTRY — no data
         file is read or rewritten (commit cost is one O(1) metadata delta).
         Scans apply the predicate as a keep-where-not-TRUE filter. This is
@@ -495,10 +528,13 @@ class Table:
         write time; ``rewrite_data_files`` folds accumulated deletes back
         into data files when read amplification grows."""
         return self._commit(
-            "delete-mor", [], added_deletes=[{"kind": "predicate", "expr": condition}]
+            "delete-mor",
+            [],
+            added_deletes=[{"kind": "predicate", "expr": condition}],
+            branch=branch,
         )
 
-    def delete_keys_mor(self, keys: DataFrame) -> int:
+    def delete_keys_mor(self, keys: DataFrame, branch: str | None = None) -> int:
         """Merge-on-read DELETE by key set (Iceberg equality-delete files):
         the key DataFrame is written as a delete file and scans anti-join
         it. The delete file shuffles O(deleted keys), never the table —
@@ -511,9 +547,12 @@ class Table:
             added_deletes=[
                 {"kind": "equality", "path": delete_dir, "key_cols": list(keys.columns)}
             ],
+            branch=branch,
         )
 
-    def update_set(self, condition: str, assignments: dict[str, str]) -> int:
+    def update_set(
+        self, condition: str, assignments: dict[str, str], branch: str | None = None
+    ) -> int:
         """UPDATE t SET col = expr, ... WHERE condition (copy-on-write)."""
 
         def transform(df: DataFrame) -> DataFrame:
@@ -530,7 +569,7 @@ class Table:
                     cols.append(F.col(f.name))
             return df.select(cols)
 
-        return self._rewrite_with(transform, condition, "update")
+        return self._rewrite_with(transform, condition, "update", branch=branch)
 
     def merge_into(
         self,
@@ -538,6 +577,7 @@ class Table:
         on: list[str],
         when_matched_set: dict[str, str] | None = None,
         insert_not_matched: bool = True,
+        branch: str | None = None,
     ) -> int:
         """MERGE INTO target USING source ON keys — upsert semantics:
         matched target rows get the SET assignments (expressions may
@@ -575,7 +615,7 @@ class Table:
                 out = joined.filter(~insert).select(tgt_cols)
             return out
 
-        return self._rewrite_with(transform, None, "merge")
+        return self._rewrite_with(transform, None, "merge", branch=branch)
 
     # -- schema evolution (metadata-only, Iceberg ALTER TABLE analogue) ----
     def add_column(self, name: str, data_type: str) -> None:
@@ -902,16 +942,19 @@ class Table:
             snapshot_id = r["snapshot_id"]
         files = self.snapshot_files(snapshot_id, as_of_ms)
         if filter is not None:
-            files = _prune_by_stats(files, filter)
-            specs = self.partition_specs
-            if specs:
-                from iceberg_metadata_pipeline_spark.catalog.partitioning import (
-                    prune_files_by_partition,
-                )
+            from iceberg_metadata_pipeline_spark.catalog.partitioning import (
+                prune_files_by_partition,
+                split_conjuncts,
+            )
 
-                files = prune_files_by_partition(
-                    self.spark, files, specs, self._schema_types(), filter
-                )
+            specs = self.partition_specs
+            types = self._schema_types() if specs else {}
+            for conjunct in split_conjuncts(filter):
+                files = _prune_by_stats(files, conjunct)
+                if specs:
+                    files = prune_files_by_partition(
+                        self.spark, files, specs, types, conjunct
+                    )
         df = self._read_files(files)
         snap = self._select_snapshot(snapshot_id, as_of_ms)
         if snap is not None:
@@ -1380,15 +1423,25 @@ _OPS = ["<=", ">=", "<", ">", "="]
 
 
 def _prune_by_stats(files: list[DataFileEntry], filter_expr: str) -> list[DataFileEntry]:
-    """Min/max file pruning for a single `col OP literal` conjunct. Anything
-    unparseable keeps all files (pruning is an optimization, never required
-    for correctness)."""
+    """Min/max file pruning for a single `col OP literal` or `col IN (...)`
+    conjunct. Anything unparseable keeps all files (pruning is an
+    optimization, never required for correctness). Callers split
+    multi-conjunct filters with ``split_conjuncts`` and call this per
+    conjunct, so `a > x AND b = y` prunes on both columns' stats."""
     import re
 
+    from iceberg_metadata_pipeline_spark.catalog.partitioning import split_in_list
+
     m = re.match(r"^\s*(\w+)\s*(<=|>=|<|>|=)\s*('?)([\w.\- :]+)\3\s*$", filter_expr)
-    if not m:
-        return files
-    col, op, _, lit = m.groups()
+    if m:
+        col, op, _, lit = m.groups()
+        lits = [lit]
+    else:
+        in_list = split_in_list(filter_expr)
+        if in_list is None:
+            return files
+        col, lits = in_list
+        op = "="  # IN: keep the file if ANY literal falls inside [min, max]
     out = []
     for f in files:
         st = f.stats.get(col)
@@ -1396,18 +1449,22 @@ def _prune_by_stats(files: list[DataFileEntry], filter_expr: str) -> list[DataFi
             out.append(f)
             continue
         mn, mx = st
-        try:
-            lit_v: Any = type(mn)(lit) if not isinstance(mn, str) else lit
-        except (TypeError, ValueError):
-            out.append(f)
-            continue
-        keep = {
-            "<": mn < lit_v,
-            "<=": mn <= lit_v,
-            ">": mx > lit_v,
-            ">=": mx >= lit_v,
-            "=": mn <= lit_v <= mx,
-        }[op]
+        keep = False
+        for lit in lits:
+            try:
+                lit_v: Any = type(mn)(lit) if not isinstance(mn, str) else lit
+            except (TypeError, ValueError):
+                keep = True
+                break
+            if {
+                "<": mn < lit_v,
+                "<=": mn <= lit_v,
+                ">": mx > lit_v,
+                ">=": mx >= lit_v,
+                "=": mn <= lit_v <= mx,
+            }[op]:
+                keep = True
+                break
         if keep:
             out.append(f)
     return out

@@ -149,6 +149,110 @@ def eval_transform_literal(
 
 
 _FILTER_RE = re.compile(r"^\s*(\w+)\s*(<=|>=|<|>|=)\s*('?)([\w.\- :]+)\3\s*$")
+_IN_RE = re.compile(r"^\s*(\w+)\s+IN\s*\(([^()]+)\)\s*$", re.IGNORECASE)
+_BETWEEN_RE = re.compile(
+    r"^\s*(\w+)\s+BETWEEN\s+('?)([\w.\- :]+)\2\s+AND\s+('?)([\w.\- :]+)\4\s*$",
+    re.IGNORECASE,
+)
+_WORD = re.compile(r"[A-Za-z_]\w*")
+
+
+def split_in_list(expr: str) -> tuple[str, list[str]] | None:
+    """``"c IN (1, 'x')"`` → ``("c", ["1", "x"])``; None if not an IN list."""
+    m = _IN_RE.match(expr)
+    if not m:
+        return None
+    col, body = m.groups()
+    lits = [lit.strip().strip("'") for lit in body.split(",") if lit.strip()]
+    return (col, lits) if lits else None
+
+
+def split_conjuncts(expr: str) -> list[str]:
+    """Split a filter string into its top-level AND conjuncts so each can
+    drive file pruning independently (`a > x AND b = y` prunes on both).
+
+    Paren- and quote-aware; the AND inside `BETWEEN lo AND hi` is not a
+    split point. A top-level OR makes the whole expression one conjunct —
+    its AND branches are no longer independently required, and pruning on
+    one of them would wrongly drop files that satisfy the other OR arm.
+    `BETWEEN` conjuncts are expanded to `>= lo` / `<= hi` range conjuncts
+    so both stats and monotonic partition transforms can prune them."""
+    s = expr
+    parts: list[str] = []
+    buf: list[str] = []
+    depth = 0
+    in_q = False
+    pending_between = False
+    saw_or = False
+    i, n = 0, len(s)
+    while i < n:
+        c = s[i]
+        if in_q:
+            buf.append(c)
+            in_q = c != "'"
+            i += 1
+            continue
+        if c == "'":
+            in_q = True
+            buf.append(c)
+            i += 1
+            continue
+        if c == "(":
+            depth += 1
+        elif c == ")":
+            depth -= 1
+        elif depth == 0 and (c.isalpha() or c == "_"):
+            m = _WORD.match(s, i)
+            word = m.group(0).upper()
+            if word == "AND" and not pending_between:
+                parts.append("".join(buf))
+                buf = []
+                i = m.end()
+                continue
+            if word == "AND":
+                pending_between = False
+            elif word == "OR":
+                saw_or = True
+            elif word == "BETWEEN":
+                pending_between = True
+            buf.append(m.group(0))
+            i = m.end()
+            continue
+        buf.append(c)
+        i += 1
+    parts.append("".join(buf))
+    if saw_or or len(parts) == 1:
+        conjuncts = [expr]
+    else:
+        conjuncts = [p.strip() for p in parts if p.strip()]
+    out: list[str] = []
+    for c in conjuncts:
+        c = _strip_outer_parens(c)
+        m = _BETWEEN_RE.match(c)
+        if m:
+            col, _, lo, _, hi = m.groups()
+            q = "'" if m.group(2) else ""
+            out.append(f"{col} >= {q}{lo}{q}")
+            out.append(f"{col} <= {q}{hi}{q}")
+        else:
+            out.append(c)
+    return out
+
+
+def _strip_outer_parens(s: str) -> str:
+    """``"(a = 1)"`` → ``"a = 1"`` when the parens are one matched pair."""
+    s = s.strip()
+    while s.startswith("(") and s.endswith(")"):
+        depth = 0
+        for i, c in enumerate(s):
+            if c == "(":
+                depth += 1
+            elif c == ")":
+                depth -= 1
+                if depth == 0 and i != len(s) - 1:
+                    return s  # ")...(": not one outer pair
+        s = s[1:-1].strip()
+    return s
 
 
 def prune_files_by_partition(
@@ -158,25 +262,36 @@ def prune_files_by_partition(
     schema_types: dict[str, str],
     filter_expr: str,
 ) -> list:
-    """Partition pruning for a ``col OP literal`` conjunct: transform the
-    literal once per (spec, field), then keep only files whose stored
-    partition value can satisfy the predicate. Files without partition
-    metadata (pre-partitioning snapshots, evolved-away specs) are always
-    kept — pruning is an optimization, never required for correctness."""
+    """Partition pruning for a ``col OP literal`` or ``col IN (...)``
+    conjunct: transform the literal(s) once per (spec, field), then keep
+    only files whose stored partition value can satisfy the predicate.
+    Files without partition metadata (pre-partitioning snapshots,
+    evolved-away specs) are always kept — pruning is an optimization,
+    never required for correctness. Callers split multi-conjunct filters
+    with :func:`split_conjuncts` and apply this once per conjunct."""
     m = _FILTER_RE.match(filter_expr)
-    if not m:
-        return files
-    col, op, _, lit = m.groups()
+    if m:
+        col, op, _, lit = m.groups()
+        lits = [lit]
+    else:
+        in_list = split_in_list(filter_expr)
+        if in_list is None:
+            return files
+        col, lits = in_list
+        op = "="  # IN = disjunction of equalities: keep on ANY literal match
     src_type = schema_types.get(col)
     if src_type is None:
         return files
-    # transform the literal under every spec that partitions on this column
-    lit_by_spec: dict[int, tuple[PartitionField, object]] = {}
+    # transform the literal(s) under every spec that partitions on this column
+    lit_by_spec: dict[int, tuple[PartitionField, list]] = {}
     for spec_id, fields in specs.items():
         for f in fields:
             if f.source == col and (op == "=" or is_monotonic(f.transform)):
                 try:
-                    lit_by_spec[spec_id] = (f, eval_transform_literal(spark, f, lit, src_type))
+                    lit_by_spec[spec_id] = (
+                        f,
+                        [eval_transform_literal(spark, f, lv, src_type) for lv in lits],
+                    )
                 except Exception:
                     pass
                 break
@@ -189,24 +304,28 @@ def prune_files_by_partition(
         if spec_hit is None:
             out.append(entry)
             continue
-        f, t_lit = spec_hit
+        f, t_lits = spec_hit
         stored = entry.partition.get(f.name)
-        if stored is None or t_lit is None:
+        if stored is None or any(t is None for t in t_lits):
             out.append(entry)  # null partition or null-transform → can't prune
             continue
-        try:
-            p_val, t_lit = _comparable(stored, t_lit)
-        except (TypeError, ValueError):
-            out.append(entry)
-            continue
-        # src OP lit ⇒ monotonic t: t(src) relates to t(lit) weakly
-        keep = {
-            "=": p_val == t_lit,
-            "<": p_val <= t_lit,
-            "<=": p_val <= t_lit,
-            ">": p_val >= t_lit,
-            ">=": p_val >= t_lit,
-        }[op]
+        keep = False
+        for t_lit in t_lits:
+            try:
+                p_val, t_cmp = _comparable(stored, t_lit)
+            except (TypeError, ValueError):
+                keep = True
+                break
+            # src OP lit ⇒ monotonic t: t(src) relates to t(lit) weakly
+            if {
+                "=": p_val == t_cmp,
+                "<": p_val <= t_cmp,
+                "<=": p_val <= t_cmp,
+                ">": p_val >= t_cmp,
+                ">=": p_val >= t_cmp,
+            }[op]:
+                keep = True
+                break
         if keep:
             out.append(entry)
     return out

@@ -573,6 +573,48 @@ def test_wap_branch_isolation_and_publish(spark, tables, tmp_path):
     assert t.scan().count() == 120
 
 
+def test_wap_branch_row_level_ops(spark, tables, tmp_path):
+    """Stage DELETE/UPDATE/MERGE on a branch: main is untouched until
+    publish; audit reads see staged row-op state via scan(ref=)."""
+    customer = tables["customer"]
+    catalog = Catalog(spark, str(tmp_path / "waprow"))
+    t = catalog.create_table("nyc", "c_waprow", customer.schema)
+    t.append_dataframe(customer.limit(50))
+    n_main = t.scan().count()
+    keys = [r["c_custkey"] for r in t.scan().select("c_custkey").limit(5).collect()]
+    key_list = ", ".join(str(k) for k in keys)
+    # COW delete on the branch
+    t.delete_where(f"c_custkey IN ({key_list})", branch="audit")
+    assert t.scan().count() == n_main, "main must not see staged delete"
+    assert t.scan(ref="audit").count() == n_main - 5
+    # COW update chains on the same branch
+    t.update_set(
+        f"c_custkey = {keys[-1] + 1 if keys[-1] + 1 not in keys else max(keys) + 7}",
+        {"c_mktsegment": "'STAGED'"},
+        branch="audit",
+    )
+    assert t.scan().filter("c_mktsegment = 'STAGED'").count() == 0
+    head = t.publish_branch("audit")
+    assert t.meta["current_snapshot_id"] == head
+    assert t.scan().count() == n_main - 5
+
+
+def test_wap_branch_mor_delete(spark, tables, tmp_path):
+    customer = tables["customer"]
+    catalog = Catalog(spark, str(tmp_path / "wapmor"))
+    t = catalog.create_table("nyc", "c_wapmor", customer.schema)
+    t.append_dataframe(customer.limit(30))
+    files_before = {f.path for f in t.snapshot_files()}
+    t.delete_where_mor("c_custkey <= 3", branch="audit")
+    # MOR on a branch: zero data files rewritten anywhere
+    r = t.meta["refs"]["audit"]
+    assert {f.path for f in t.snapshot_files(r["snapshot_id"])} == files_before
+    assert t.scan().filter("c_custkey <= 3").count() > 0  # main unaffected
+    assert t.scan(ref="audit").filter("c_custkey <= 3").count() == 0
+    t.publish_branch("audit")
+    assert t.scan().filter("c_custkey <= 3").count() == 0
+
+
 def test_publish_refuses_non_fast_forward(spark, tables, tmp_path):
     customer = tables["customer"]
     catalog = Catalog(spark, str(tmp_path / "wapff"))

@@ -14,6 +14,8 @@ from iceberg_metadata_pipeline_spark.catalog.partitioning import (
     PartitionField,
     parse_transform,
     prune_files_by_partition,
+    split_conjuncts,
+    split_in_list,
     transform_expr,
 )
 from iceberg_metadata_pipeline_spark.session import load_tables
@@ -144,6 +146,81 @@ def test_partitions_metadata_table(spark, sf_dir, tmp_path):
     assert len(rows) >= 2  # multiple years
     assert sum(r["record_count"] for r in rows) == orders.count()
     assert all(r["spec_id"] == 0 for r in rows)
+
+
+def test_split_conjuncts():
+    assert split_conjuncts("a = 1") == ["a = 1"]
+    assert split_conjuncts("a = 1 AND b > 2") == ["a = 1", "b > 2"]
+    assert split_conjuncts("(a = 1) AND (b > 2)") == ["a = 1", "b > 2"]
+    # case-insensitive keyword, identifier containing 'and' untouched
+    assert split_conjuncts("brand = 'x' and a < 3") == ["brand = 'x'", "a < 3"]
+    # top-level OR: conjuncts are not independently required → no split
+    assert split_conjuncts("a = 1 AND b = 2 OR c = 3") == ["a = 1 AND b = 2 OR c = 3"]
+    # OR inside parens is fine to split around
+    assert split_conjuncts("(a = 1 OR a = 2) AND b = 3") == ["a = 1 OR a = 2", "b = 3"]
+    # BETWEEN's AND is not a split point; it expands to two range conjuncts
+    assert split_conjuncts("d BETWEEN '1997-01-01' AND '1997-12-31' AND k = 5") == [
+        "d >= '1997-01-01'",
+        "d <= '1997-12-31'",
+        "k = 5",
+    ]
+    # quoted string containing ' AND ' must not split
+    assert split_conjuncts("s = 'x AND y' AND t = 1") == ["s = 'x AND y'", "t = 1"]
+
+
+def test_split_in_list():
+    assert split_in_list("c IN (1, 2, 3)") == ("c", ["1", "2", "3"])
+    assert split_in_list("c in ('a','b')") == ("c", ["a", "b"])
+    assert split_in_list("c = 1") is None
+    assert split_in_list("c IN (SELECT x FROM t)") == ("c", ["SELECT x FROM t"])  # degenerate; harmless
+
+
+def test_conjunction_pruning_scan(spark, sf_dir, tmp_path):
+    """`a >= x AND b = y` must prune on BOTH conjuncts: the year partition
+    transform handles the date range and min/max stats handle the key."""
+    orders, t = _partitioned_orders(spark, sf_dir, tmp_path)
+    flt = "o_orderdate >= '1997-01-01' AND o_orderpriority = '1-URGENT'"
+    types = t._schema_types()
+    files = t.snapshot_files()
+    kept = files
+    for c in split_conjuncts(flt):
+        kept = prune_files_by_partition(spark, kept, t.partition_specs, types, c)
+    assert len(kept) < len(files)
+    assert all(int(f.partition["o_orderdate_year"]) >= 1997 for f in kept)
+    assert t.scan(filter=flt).count() == orders.filter(flt).count()
+    # BETWEEN prunes both ends through its range expansion
+    flt_b = "o_orderdate BETWEEN '1995-01-01' AND '1995-12-31'"
+    kept_b = files
+    for c in split_conjuncts(flt_b):
+        kept_b = prune_files_by_partition(spark, kept_b, t.partition_specs, types, c)
+    assert {int(f.partition["o_orderdate_year"]) for f in kept_b} == {1995}
+    assert t.scan(filter=flt_b).count() == orders.filter(flt_b).count()
+
+
+def test_in_list_pruning(spark, sf_dir, tmp_path):
+    orders, t = _partitioned_orders(spark, sf_dir, tmp_path)
+    files = t.snapshot_files()
+    flt = "o_orderdate IN ('1996-07-01', '1997-03-15')"
+    kept = prune_files_by_partition(
+        spark, files, t.partition_specs, t._schema_types(), flt
+    )
+    assert {int(f.partition["o_orderdate_year"]) for f in kept} <= {1996, 1997}
+    assert len(kept) < len(files)
+    assert t.scan(filter=flt).count() == orders.filter(flt).count()
+
+
+def test_delete_where_conjunction_narrows_rewrite(spark, sf_dir, tmp_path):
+    """Copy-on-write DELETE with an AND filter should rewrite only files
+    whose stats can match every conjunct — and stay correct."""
+    orders, t = _partitioned_orders(spark, sf_dir, tmp_path)
+    before = {f.path for f in t.snapshot_files()}
+    flt = "o_orderdate >= '1998-01-01' AND o_orderdate <= '1998-03-31'"
+    expected_left = orders.filter(f"NOT ({flt})").count()
+    t.delete_where(flt)
+    after = {f.path for f in t.snapshot_files()}
+    assert t.scan().count() == expected_left
+    # untouched year partitions carried over byte-identical (same paths)
+    assert before & after, "stats pruning should carry over unaffected files"
 
 
 def test_partitioned_roundtrip_values(spark, sf_dir, tmp_path):
