@@ -18,19 +18,24 @@ import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.functions import pandas_udf
+from pyspark.sql.types import DoubleType, LongType
 
 from iceberg_metadata_pipeline_spark.queries import query
 from iceberg_metadata_pipeline_spark.session import load_tables
 
+# DataType objects (not DDL strings) so module import never needs an
+# active SparkSession: _parse_datatype_string requires a live context,
+# and the driver may enumerate queries() before building one.
 
-@pandas_udf("double")
+
+@pandas_udf(DoubleType())
 def vowel_ratio(s: pd.Series) -> pd.Series:
     """SCALAR pandas UDF: vectorized over Arrow batches."""
     low = s.str.lower()
     return low.str.count("[aeiou]") / low.str.len().clip(lower=1)
 
 
-@pandas_udf("double")
+@pandas_udf(DoubleType())
 def geo_mean(v: pd.Series) -> float:
     """GROUPED_AGG pandas UDF: one float per group (log-mean-exp)."""
     import numpy as np
@@ -40,7 +45,7 @@ def geo_mean(v: pd.Series) -> float:
     return float(np.exp(np.log(x).mean())) if len(x) else 0.0
 
 
-@pandas_udf("long")
+@pandas_udf(LongType())
 def pd_count(v: pd.Series) -> int:
     """GROUPED_AGG count: Spark forbids mixing grouped-agg pandas UDFs
     with JVM aggregates in one aggregate, so the count rides along as a

@@ -77,8 +77,10 @@ def ingest_sanitize_epoch_micros(spark: SparkSession, sf_dir: str) -> DataFrame:
     the shape a sanitized-then-reread UINT64 takes), then the sanitize
     projection must reconstruct the original timestamps exactly."""
     events = load_tables(spark, sf_dir)["events"]
+    # unix_micros requires TIMESTAMP; the fixture's ts may read as
+    # TIMESTAMP_NTZ — the cast preserves the instant (session TZ is UTC)
     degraded = events.select(
-        F.unix_micros("ts").cast("decimal(20,0)").alias("timestamp"),
+        F.unix_micros(F.col("ts").cast("timestamp")).cast("decimal(20,0)").alias("timestamp"),
         "event_type",
     )
     restored = sanitize(degraded)  # DECIMAL(20,0) named 'timestamp' → TIMESTAMP
@@ -115,7 +117,7 @@ def ingest_sanitize_uint64_passthrough(spark: SparkSession, sf_dir: str) -> Data
         (F.col("event_id").cast("decimal(20,0)") + F.lit(9223372036854775807).cast("decimal(20,0)"))
         .cast("decimal(20,0)")
         .alias("rx"),
-        F.unix_micros("ts").cast("decimal(20,0)").alias("other_named"),
+        F.unix_micros(F.col("ts").cast("timestamp")).cast("decimal(20,0)").alias("other_named"),
     )
     restored = sanitize(degraded)
     assert dict(restored.dtypes)["rx"] == "decimal(20,0)", "rx must stay decimal"

@@ -23,28 +23,30 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-EVENTS_SCHEMA = T.StructType(
-    [
-        T.StructField("event_id", T.LongType()),
-        T.StructField("ts", T.LongType()),  # TIMESTAMP(NANOS) read via nanosAsLong
-        T.StructField("user_id", T.LongType()),
-        T.StructField("event_type", T.StringType()),
-        T.StructField("value", T.DoubleType()),
-        T.StructField("props", T.StringType()),
-    ]
-)
-
-
 def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     """File-source stream of the events fixture (one-file-per-trigger so a
-    test drives deterministic micro-batches), ts normalized to timestamp."""
+    test drives deterministic micro-batches), ts normalized to timestamp.
+
+    The stream schema is inferred from a batch read of the same files
+    (readStream requires an explicit schema; one driver-side footer read).
+    The fixture's ts physical type has varied across generations —
+    TIMESTAMP(NANOS), which nanosAsLong surfaces as an epoch-nanos long,
+    vs plain TIMESTAMP(MICROS) — so normalize conditionally, same rule as
+    session.load_tables()."""
+    batch = spark.read.option("pathGlobFilter", "events.parquet").parquet(sf_dir)
     raw = (
-        spark.readStream.schema(EVENTS_SCHEMA)
+        spark.readStream.schema(batch.schema)
         .option("pathGlobFilter", "events.parquet")
         .option("maxFilesPerTrigger", "1")
         .parquet(sf_dir)
     )
-    return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    if isinstance(raw.schema["ts"].dataType, T.LongType):
+        raw = raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    elif isinstance(raw.schema["ts"].dataType, T.TimestampNTZType):
+        # watermarks require TIMESTAMP (LTZ); the session TZ is pinned UTC
+        # so the cast preserves the instant
+        raw = raw.withColumn("ts", F.col("ts").cast("timestamp"))
+    return raw
 
 
 def windowed_counts(events: DataFrame, watermark: str = "10 minutes") -> DataFrame:
