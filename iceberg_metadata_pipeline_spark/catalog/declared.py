@@ -518,3 +518,113 @@ def catalog_incremental_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_new"),
         F.sum(F.col("c_acctbal").cast("decimal(38,6)")).cast("double").alias("bal_new"),
     )
+
+
+@query(
+    "table_update_mor",
+    """
+SELECT CASE WHEN o_orderstatus = 'P' THEN '0-REPRIORITIZED' ELSE o_orderpriority END AS prio,
+       COUNT(*) AS n
+FROM orders
+GROUP BY prio
+ORDER BY prio
+""",
+)
+def table_update_mor(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Merge-on-read UPDATE (Iceberg v2 shape): the commit writes only the
+    updated copies of matched rows plus a predicate delete entry — every
+    pre-existing data file is carried over untouched (asserted on the
+    manifest). Sequence numbers keep the delete from applying to the
+    same-commit new files. Same oracle as copy-on-write
+    ``table_update_set``: mechanism differs, semantics must not."""
+    orders = load_tables(spark, sf_dir)["orders"]
+    catalog = Catalog(spark, tempfile.mkdtemp(prefix="warehouse-updmor-"))
+    t = catalog.create_table("nyc", "orders_updmor", orders.schema)
+    t.append_dataframe(orders)
+    files_before = {f.path for f in t.snapshot_files()}
+    t.update_set_mor("o_orderstatus = 'P'", {"o_orderpriority": "'0-REPRIORITIZED'"})
+    files_after = {f.path for f in t.snapshot_files()}
+    assert files_before <= files_after, "MOR update must carry old files, not rewrite"
+    return (
+        t.scan()
+        .groupBy(F.col("o_orderpriority").alias("prio"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy("prio")
+    )
+
+
+@query(
+    "table_merge_mor",
+    """
+SELECT c_mktsegment, COUNT(*) AS n,
+  CAST(SUM(CAST(CASE WHEN c_custkey % 2 = 0 THEN c_acctbal + 100 ELSE c_acctbal END
+                AS DECIMAL(38,6))) AS DOUBLE) AS total_bal
+FROM customer
+GROUP BY c_mktsegment
+ORDER BY c_mktsegment
+""",
+)
+def table_merge_mor(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Merge-on-read MERGE: one commit of new files (updated copies +
+    inserts) and an equality-delete file on the matched keys. The target's
+    pre-existing files are never rewritten (asserted); the old copies
+    disappear at read time via the broadcast anti-join. Same oracle as
+    copy-on-write ``table_merge_upsert``."""
+    customer = load_tables(spark, sf_dir)["customer"]
+    catalog = Catalog(spark, tempfile.mkdtemp(prefix="warehouse-mrgmor-"))
+    t = catalog.create_table("nyc", "customer_mrgmor", customer.schema)
+    t.append_dataframe(customer.filter(F.col("c_custkey") % 2 == 0))
+    files_before = {f.path for f in t.snapshot_files()}
+    t.merge_into_mor(
+        customer,
+        on=["c_custkey"],
+        when_matched_set={"c_acctbal": "src_c_acctbal + 100"},
+    )
+    assert files_before <= {f.path for f in t.snapshot_files()}
+    return (
+        t.scan()
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("c_acctbal").cast("decimal(38,6)")).cast("double").alias("total_bal"),
+        )
+        .orderBy("c_mktsegment")
+    )
+
+
+@query(
+    "table_mor_seq_append",
+    """
+SELECT o_orderstatus, COUNT(*) AS n,
+  CAST(SUM(CAST(o_totalprice AS DECIMAL(38,6))) AS DOUBLE) AS total
+FROM (
+  SELECT * FROM orders WHERE NOT (o_orderstatus = 'F' AND o_totalprice > 300000)
+  UNION ALL
+  SELECT * FROM orders WHERE o_orderstatus = 'F' AND o_totalprice > 400000
+) t
+GROUP BY o_orderstatus
+ORDER BY o_orderstatus
+""",
+)
+def table_mor_seq_append(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence-number semantics (Iceberg v2): rows appended AFTER an MOR
+    delete survive scans even when they match the delete predicate — the
+    delete applies only to files with a lower data sequence. Without
+    sequences the late append would be silently eaten; the oracle
+    reconstructs the correct asymmetric outcome."""
+    orders = load_tables(spark, sf_dir)["orders"]
+    catalog = Catalog(spark, tempfile.mkdtemp(prefix="warehouse-seq-"))
+    t = catalog.create_table("nyc", "orders_seq", orders.schema)
+    t.append_dataframe(orders)
+    t.delete_where_mor("o_orderstatus = 'F' AND o_totalprice > 300000")
+    late = orders.filter("o_orderstatus = 'F' AND o_totalprice > 400000")
+    t.append_dataframe(late)
+    return (
+        t.scan()
+        .groupBy("o_orderstatus")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("o_totalprice").cast("decimal(38,6)")).cast("double").alias("total"),
+        )
+        .orderBy("o_orderstatus")
+    )

@@ -72,6 +72,14 @@ class DataFileEntry:
     # never pruned by partition — correctness does not depend on them.
     partition: dict[str, Any] = field(default_factory=dict)
     spec_id: int | None = None
+    # data sequence number (Iceberg v2): the commit order this file was
+    # added at. MOR delete entries carry the sequence of THEIR commit and
+    # apply only to files with a strictly lower sequence — this is what
+    # lets an MOR UPDATE/MERGE commit its rewritten rows and the delete
+    # of their old copies atomically without the delete eating the new
+    # rows. Files from pre-sequence metadata default to 0 (every stamped
+    # delete applies — the old behavior).
+    seq: int = 0
 
     def to_json(self) -> dict:
         doc = {
@@ -86,6 +94,8 @@ class DataFileEntry:
             doc["partition"] = self.partition
         if self.spec_id is not None:
             doc["spec_id"] = self.spec_id
+        if self.seq:
+            doc["seq"] = self.seq
         return doc
 
     @staticmethod
@@ -93,7 +103,7 @@ class DataFileEntry:
         return DataFileEntry(
             d["path"], d["record_count"], d["file_size_bytes"], d.get("format", "PARQUET"),
             d.get("stats", {}), d.get("types", {}),
-            d.get("partition", {}), d.get("spec_id"),
+            d.get("partition", {}), d.get("spec_id"), d.get("seq", 0),
         )
 
 
@@ -311,6 +321,11 @@ class Table:
         else:
             parent = self.meta.get("current_snapshot_id")
         base = self.snapshot_files(snapshot_id=parent) if parent is not None else []
+        # stamp this commit's data sequence number on everything it adds
+        seq = int(self.meta.get("last_sequence_number", 0)) + 1
+        for f in added:
+            f.seq = seq
+        added_deletes = [dict(d, seq=seq) for d in (added_deletes or [])]
         result = [f for f in base if f.path not in removed_paths] + added
         snapshot_id = int(uuid.uuid4().int % (1 << 62))
         manifest_name = f"snap-{snapshot_id}.json"
@@ -339,6 +354,7 @@ class Table:
             self.meta["refs"][branch] = {"snapshot_id": snapshot_id, "type": "branch"}
         else:
             self.meta["current_snapshot_id"] = snapshot_id
+        self.meta["last_sequence_number"] = seq
         _write_metadata(self.location, self.meta, self.version + 1)
         self.version += 1
         self._manifest_cache[snapshot_id] = result
@@ -487,13 +503,16 @@ class Table:
             affected = {f.path for f in files}
         if not affected:
             return head if head is not None else self.meta["current_snapshot_id"]
-        src = self._read_files([f for f in files if f.path in affected])
         # pending MOR deletes must not resurrect rows through the rewrite;
-        # delete application is idempotent, so entries stay live for the
-        # carried-over files and harmlessly re-apply to rewritten ones
+        # the rewritten files get a NEW (higher) sequence so the old delete
+        # entries no longer apply to them — exactly right, since they were
+        # folded in here. Carried-over files keep their old sequence and
+        # stay subject to the live deletes.
         cur = self._select_snapshot(head, None) if head is not None else None
-        if cur is not None:
-            src = self._apply_deletes(src, self._resolve_deletes(cur))
+        deletes = self._resolve_deletes(cur) if cur is not None else []
+        src = self._read_files_with_deletes(
+            [f for f in files if f.path in affected], deletes
+        )
         out = transform(src)
         data_dir = os.path.join(self.location, "data", f"{operation}-" + uuid.uuid4().hex[:12])
         out.write.mode("errorifexists").parquet(data_dir)
@@ -547,6 +566,116 @@ class Table:
             added_deletes=[
                 {"kind": "equality", "path": delete_dir, "key_cols": list(keys.columns)}
             ],
+            branch=branch,
+        )
+
+    def update_set_mor(
+        self, condition: str, assignments: dict[str, str], branch: str | None = None
+    ) -> int:
+        """Merge-on-read UPDATE: writes only the updated COPIES of matched
+        rows as new data files and commits them together with a predicate
+        delete entry for the old copies — one atomic commit, no rewrite of
+        untouched rows. Sequence numbers keep the delete from eating the
+        new copies (it applies only to lower-sequence files). This is
+        Iceberg v2's MOR UPDATE shape: write cost is O(matched rows), not
+        O(matched files) — at 100 TB, updating 0.1% of a day's rows
+        writes 0.1% of the data instead of rewriting every touched file.
+        ``rewrite_data_files`` folds the accumulated deletes back in when
+        read amplification grows."""
+        head = self._branch_head(branch)
+        files = self.snapshot_files(snapshot_id=head)
+        from iceberg_metadata_pipeline_spark.catalog.partitioning import split_conjuncts
+
+        # stats pruning is conservative, so every row matching the
+        # condition lives in a candidate file — only those are read
+        candidates = files
+        for conjunct in split_conjuncts(condition):
+            candidates = _prune_by_stats(candidates, conjunct)
+        cur = self._select_snapshot(head, None) if head is not None else None
+        deletes = self._resolve_deletes(cur) if cur is not None else []
+        src = self._read_files_with_deletes(candidates, deletes)
+        matched = src.filter(F.coalesce(F.expr(condition), F.lit(False)))
+        cols = []
+        for f in self.schema.fields:
+            if f.name in assignments:
+                cols.append(F.expr(assignments[f.name]).cast(f.dataType).alias(f.name))
+            else:
+                cols.append(F.col(f.name))
+        updated = matched.select(cols)
+        data_dir = os.path.join(self.location, "data", "updmor-" + uuid.uuid4().hex[:12])
+        updated.write.mode("errorifexists").parquet(data_dir)
+        return self._commit(
+            "update-mor",
+            scan_parquet_footers(data_dir, self.spark),
+            added_deletes=[{"kind": "predicate", "expr": condition}],
+            branch=branch,
+        )
+
+    def merge_into_mor(
+        self,
+        source: DataFrame,
+        on: list[str],
+        when_matched_set: dict[str, str] | None = None,
+        insert_not_matched: bool = True,
+        branch: str | None = None,
+    ) -> int:
+        """Merge-on-read MERGE: one atomic commit of (a) new data files
+        holding the updated copies of matched target rows plus the
+        unmatched-source inserts, and (b) an equality-delete file on the
+        matched keys that removes the old copies at read time. Untouched
+        target files are never read or rewritten — the join reads the
+        target once to find matches, and write volume is O(changed rows).
+        The delete file's sequence protects the same-commit new files.
+
+        Same contract as ``merge_into``: matched-row SET expressions may
+        reference source columns as ``src_<name>``; source rows with NULL
+        join keys never match (SQL equality) and flow to the insert path.
+        """
+        head = self._branch_head(branch)
+        cur = self._select_snapshot(head, None) if head is not None else None
+        deletes = self._resolve_deletes(cur) if cur is not None else []
+        target = self._read_files_with_deletes(
+            self.snapshot_files(snapshot_id=head), deletes
+        )
+        src = source.select(*[F.col(c).alias(f"src_{c}") for c in source.columns])
+        tgt = target.alias("__tgt")
+        joined = tgt.join(src, [tgt[k] == src[f"src_{k}"] for k in on], "inner")
+        upd_cols = []
+        for f in self.schema.fields:
+            if when_matched_set and f.name in when_matched_set:
+                e = F.expr(when_matched_set[f.name])
+            else:
+                e = tgt[f.name]
+            upd_cols.append(e.cast(f.dataType).alias(f.name))
+        updated = joined.select(upd_cols)
+        # old-copy keys come from the PRE-update target values (a SET may
+        # rewrite a key column; the delete must still target the old key)
+        del_keys = joined.select(*[tgt[k].alias(k) for k in on]).distinct()
+        new_rows = updated
+        if insert_not_matched:
+            tkeys = target.select(*on).distinct()
+            inserts = source.join(tkeys, on, "left_anti").select(
+                *[
+                    F.col(f.name).cast(f.dataType).alias(f.name)
+                    for f in self.schema.fields
+                ]
+            )
+            new_rows = updated.unionByName(inserts)
+        data_dir = os.path.join(self.location, "data", "mrgmor-" + uuid.uuid4().hex[:12])
+        new_rows.write.mode("errorifexists").parquet(data_dir)
+        delete_dir = os.path.join(self.location, "deletes", uuid.uuid4().hex[:12])
+        del_keys.write.mode("errorifexists").parquet(delete_dir)
+        # a match-less merge writes an empty delete dir (no part files);
+        # registering it would make every scan fail schema inference
+        has_delete_rows = bool(scan_parquet_footers(delete_dir))
+        return self._commit(
+            "merge-mor",
+            scan_parquet_footers(data_dir, self.spark),
+            added_deletes=(
+                [{"kind": "equality", "path": delete_dir, "key_cols": list(on)}]
+                if has_delete_rows
+                else []
+            ),
             branch=branch,
         )
 
@@ -955,15 +1084,45 @@ class Table:
                     files = prune_files_by_partition(
                         self.spark, files, specs, types, conjunct
                     )
-        df = self._read_files(files)
         snap = self._select_snapshot(snapshot_id, as_of_ms)
-        if snap is not None:
-            deletes = self._resolve_deletes(snap)
-            if deletes:
-                df = self._apply_deletes(df, deletes)
+        deletes = self._resolve_deletes(snap) if snap is not None else []
+        df = self._read_files_with_deletes(files, deletes)
         if filter is not None:
             df = df.filter(filter)
         return df
+
+    def _read_files_with_deletes(
+        self, files: list[DataFileEntry], deletes: list[dict]
+    ) -> DataFrame:
+        """Read files with MOR deletes applied under Iceberg v2 sequence
+        semantics: a delete entry applies only to files whose data sequence
+        is strictly LOWER than the delete's commit sequence. Files are
+        grouped by which delete subset applies (the group count is bounded
+        by commits since the last compaction, not by file count) — each
+        group is one vectorized scan with its deletes, unioned by name, so
+        pushdown and pruning still reach every branch. Legacy delete
+        entries without a sequence apply to every file (old behavior)."""
+        if not files or not deletes:
+            return self._read_files(files)
+
+        def applicable(f: DataFileEntry) -> tuple[int, ...]:
+            return tuple(
+                i
+                for i, d in enumerate(deletes)
+                if d.get("seq") is None or f.seq < d["seq"]
+            )
+
+        groups: dict[tuple[int, ...], list[DataFileEntry]] = {}
+        for f in files:
+            groups.setdefault(applicable(f), []).append(f)
+        parts = [
+            self._apply_deletes(self._read_files(fl), [deletes[i] for i in idxs])
+            for idxs, fl in sorted(groups.items())
+        ]
+        out = parts[0]
+        for part in parts[1:]:
+            out = out.unionByName(part)
+        return out
 
     def _read_files(self, files: list[DataFileEntry]) -> DataFrame:
         """Read registered files under the table's EVOLVED schema:

@@ -652,3 +652,58 @@ def test_manifests_metadata_table(spark, tables, tmp_path):
     assert all(r["length"] and r["length"] > 0 for r in rows)
     assert rows[0]["is_full"] in (True, False)
     assert sum(r["added_files_count"] for r in rows) == len(t.snapshot_files())
+
+
+def test_mor_update_and_merge_sequence_semantics(spark, catalog):
+    """Iceberg v2 sequence numbers: MOR UPDATE/MERGE commit rewritten rows
+    and the delete of their old copies atomically — the delete applies
+    only to lower-sequence files, so the new copies survive even when
+    they still match the delete; rows appended after an MOR delete are
+    likewise immune to it."""
+    df = spark.createDataFrame(
+        [(i, float(i), "a" if i % 2 == 0 else "b") for i in range(100)],
+        "id long, val double, tag string",
+    )
+    t = catalog.create_table("nyc", "morseq", df.schema)
+    t.append_dataframe(df)
+    files_before = {f.path for f in t.snapshot_files()}
+
+    # MOR update: every pre-existing file carried over, new file(s) added
+    t.update_set_mor("tag = 'a'", {"val": "val + 1000"})
+    files_after = {f.path for f in t.snapshot_files()}
+    assert files_before <= files_after and len(files_after) > len(files_before)
+    got = {r["id"]: r["val"] for r in t.scan().collect()}
+    assert len(got) == 100
+    assert got[0] == 1000.0 and got[1] == 1.0 and got[2] == 1002.0
+    # updated copies still match the predicate but survive (sequence guard)
+    assert t.scan().filter("tag = 'a'").count() == 50
+
+    # append after MOR delete: late rows matching the predicate survive
+    t.delete_where_mor("tag = 'b'")
+    assert t.scan().count() == 50
+    late = spark.createDataFrame([(200, 0.5, "b")], "id long, val double, tag string")
+    t.append_dataframe(late)
+    assert t.scan().filter("tag = 'b'").count() == 1
+
+    # MOR merge: matched row updated via src_ reference, new key inserted,
+    # no pre-existing file rewritten, exactly one surviving copy per key
+    src = spark.createDataFrame(
+        [(0, 7.0, "a"), (300, 3.0, "c")], "id long, val double, tag string"
+    )
+    files_pre_merge = {f.path for f in t.snapshot_files()}
+    t.merge_into_mor(src, on=["id"], when_matched_set={"val": "src_val"})
+    assert files_pre_merge <= {f.path for f in t.snapshot_files()}
+    rows = {r["id"]: (r["val"], r["tag"]) for r in t.scan().collect()}
+    assert rows[0] == (7.0, "a")
+    assert rows[300] == (3.0, "c")
+    assert t.scan().count() == 52
+    assert t.scan().filter("id = 0").count() == 1
+
+    # a fresh handle reads the same state from disk (seq fields round-trip)
+    t2 = catalog.load_table("nyc", "morseq")
+    assert t2.scan().count() == 52
+
+    # compaction folds deletes in; visible rows unchanged
+    t.rewrite_data_files(target_num_files=1)
+    rows2 = {r["id"]: (r["val"], r["tag"]) for r in t.scan().collect()}
+    assert rows2 == rows
