@@ -628,3 +628,34 @@ def table_mor_seq_append(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("o_orderstatus")
     )
+
+
+@query(
+    "table_binpack_compaction",
+    """
+SELECT COUNT(*) AS n, COUNT(DISTINCT o_orderkey) AS n_keys,
+  CAST(SUM(CAST(o_totalprice AS DECIMAL(38,6))) AS DOUBLE) AS total
+FROM orders
+""",
+)
+def table_binpack_compaction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bin-pack compaction policy (Iceberg rewrite_data_files binpack):
+    many small appends accumulate small files; plan_compaction groups
+    them to ~target size without crossing partitions, and
+    rewrite_small_files folds each group in one replace commit. The scan
+    afterwards must still equal the raw fixture — compaction is invisible
+    to readers."""
+    orders = load_tables(spark, sf_dir)["orders"]
+    catalog = Catalog(spark, tempfile.mkdtemp(prefix="warehouse-binpack-"))
+    t = catalog.create_table("nyc", "orders_bp", orders.schema)
+    for i in range(4):
+        t.append_dataframe(orders.filter(F.col("o_orderkey") % 4 == i))
+    n_before = len(t.snapshot_files())
+    assert n_before >= 4
+    t.rewrite_small_files()
+    assert len(t.snapshot_files()) < n_before, "binpack must shrink file count"
+    return t.scan().agg(
+        F.count(F.lit(1)).alias("n"),
+        F.countDistinct("o_orderkey").alias("n_keys"),
+        F.sum(F.col("o_totalprice").cast("decimal(38,6)")).cast("double").alias("total"),
+    )

@@ -458,6 +458,127 @@ class Table:
             clears_deletes=True,
         )
 
+    def plan_compaction(
+        self,
+        target_file_size_bytes: int = 512 << 20,
+        small_file_ratio: float = 0.75,
+        min_group_files: int = 2,
+    ) -> list[list[DataFileEntry]]:
+        """Bin-pack compaction PLANNING (Iceberg's rewrite_data_files
+        binpack strategy): pick files smaller than ``small_file_ratio *
+        target`` and first-fit-decreasing them into groups of ~target
+        bytes. Groups never cross a partition tuple — compacting across
+        partitions would destroy partition pruning, the one thing worth
+        more than file count at 100 TB. Groups below ``min_group_files``
+        are dropped (rewriting one small file buys nothing).
+
+        Planning is pure metadata — O(live files) on the driver, no data
+        read — so a scheduler can run it after every commit and only pay
+        for execution when the plan is non-empty."""
+        threshold = int(target_file_size_bytes * small_file_ratio)
+        by_partition: dict[tuple, list[DataFileEntry]] = {}
+        for f in self.snapshot_files():
+            if f.file_size_bytes < threshold:
+                key = (f.spec_id, tuple(sorted((f.partition or {}).items())))
+                by_partition.setdefault(key, []).append(f)
+        plan: list[list[DataFileEntry]] = []
+        for _, files in sorted(by_partition.items(), key=lambda kv: str(kv[0])):
+            files.sort(key=lambda f: -f.file_size_bytes)
+            bins: list[tuple[int, list[DataFileEntry]]] = []
+            for f in files:
+                for i, (used, members) in enumerate(bins):
+                    if used + f.file_size_bytes <= target_file_size_bytes:
+                        bins[i] = (used + f.file_size_bytes, members + [f])
+                        break
+                else:
+                    bins.append((f.file_size_bytes, [f]))
+            plan.extend(m for _, m in bins if len(m) >= min_group_files)
+        return plan
+
+    def rewrite_small_files(
+        self,
+        target_file_size_bytes: int = 512 << 20,
+        min_group_files: int = 2,
+    ) -> int | None:
+        """Execute the bin-pack plan: each group is read (with exactly the
+        MOR deletes that apply to its files), folded to one file, and the
+        whole rewrite lands as ONE replace commit — untouched files are
+        carried over by the manifest delta, so commit cost is O(rewritten
+        files). Unlike ``rewrite_data_files`` this never touches large
+        well-formed files and keeps per-partition layout (new entries
+        inherit the group's partition tuple, staying prunable).
+
+        Delete entries stay live for files the plan didn't touch; entries
+        whose last covered file was rewritten become inert (Iceberg keeps
+        a separate rewrite_position_delete_files action for purging those;
+        here expire/rewrite_data_files clears them). Returns the new
+        snapshot id, or None when the plan was empty."""
+        plan = self.plan_compaction(
+            target_file_size_bytes=target_file_size_bytes,
+            min_group_files=min_group_files,
+        )
+        if not plan:
+            return None
+        snap = self.current_snapshot
+        deletes = self._resolve_deletes(snap) if snap is not None else []
+        added: list[DataFileEntry] = []
+        removed: set[str] = set()
+        for group in plan:
+            data_dir = os.path.join(
+                self.location, "data", "binpack-" + uuid.uuid4().hex[:12]
+            )
+            self._read_files_with_deletes(group, deletes).coalesce(1).write.mode(
+                "errorifexists"
+            ).parquet(data_dir)
+            entries = scan_parquet_footers(data_dir, self.spark)
+            for e in entries:
+                e.partition = dict(group[0].partition)
+                e.spec_id = group[0].spec_id
+            added.extend(entries)
+            removed.update(f.path for f in group)
+        return self._commit("replace", added, removed_paths=removed)
+
+    def rewrite_manifests(self) -> int:
+        """Collapse the current snapshot's delta chain into one full
+        checkpoint manifest (Iceberg's rewrite_manifests): scans stop
+        walking parent deltas, and expiry of ancestors can never strand
+        it. O(live files) metadata write, no data movement, no new
+        snapshot. Returns the number of chain links collapsed."""
+        snap = self.current_snapshot
+        if snap is None or "manifest_file" not in snap:
+            return 0
+        depth = 0
+        cur = snap
+        by_id = {s["snapshot_id"]: s for s in self.meta["snapshots"]}
+        while cur is not None:
+            with open(self._manifest_file(cur)) as fh:
+                if json.load(fh).get("full"):
+                    break
+            parent = cur.get("parent_snapshot_id")
+            cur = by_id.get(parent) if parent is not None else None
+            depth += 1
+        if depth <= 1:
+            return 0  # already a checkpoint (or a root delta)
+        files = self._resolve_manifest(snap)
+        deletes = self._resolve_deletes(snap)
+        old_manifest = self._manifest_file(snap)
+        ckpt_name = f"snap-{snap['snapshot_id']}-ckpt-v{self.version + 1}.json"
+        _write_manifest_delta(
+            os.path.join(self.location, "metadata", ckpt_name),
+            files,
+            set(),
+            full=True,
+            added_deletes=deletes,
+        )
+        snap["manifest_file"] = ckpt_name
+        _write_metadata(self.location, self.meta, self.version + 1)
+        self.version += 1
+        try:
+            os.remove(old_manifest)
+        except OSError:
+            pass
+        return depth
+
     # -- row-level ops (copy-on-write, Iceberg MERGE/DELETE/UPDATE analogue) --
     def _branch_head(self, branch: str | None) -> int | None:
         """Resolve the snapshot a write on ``branch`` rebases on: the branch

@@ -20,8 +20,9 @@ Supported per statement (matching Iceberg SQL syntax):
   → metadata tables
 - ``CALL [cat.]system.<proc>(...)``    → table-maintenance procedures
   (rollback_to_snapshot, expire_snapshots, remove_orphan_files,
-  rewrite_data_files, fast_forward — Iceberg's stored-procedure
-  surface; named ``arg => value`` or positional args, table first)
+  rewrite_data_files (incl. binpack strategy), rewrite_manifests,
+  fast_forward — Iceberg's stored-procedure surface; named
+  ``arg => value`` or positional args, table first)
 
 Rewrites are textual on table references only — the rest of the
 statement (joins, aggregates, windows, CTEs) passes through untouched,
@@ -146,7 +147,8 @@ _PROC_POSITIONAL = {
     "rollback_to_snapshot": ["table", "snapshot_id"],
     "expire_snapshots": ["table", "keep_last"],
     "remove_orphan_files": ["table", "dry_run"],
-    "rewrite_data_files": ["table", "target_num_files"],
+    "rewrite_data_files": ["table", "target_num_files", "strategy"],
+    "rewrite_manifests": ["table"],
     "fast_forward": ["table", "branch"],
 }
 
@@ -209,12 +211,23 @@ def _run_procedure(catalog: Catalog, proc: str, raw_args: str) -> DataFrame:
         )
     if proc == "rewrite_data_files":
         n_before = len(table.snapshot_files())
-        table.rewrite_data_files(
-            target_num_files=int(args.get("target_num_files", 1))
-        )
+        if str(args.get("strategy", "")).lower() == "binpack":
+            # Iceberg's binpack strategy: only small files move, one
+            # replace commit, partition layout preserved
+            table.rewrite_small_files()
+        else:
+            table.rewrite_data_files(
+                target_num_files=int(args.get("target_num_files", 1))
+            )
         return spark.createDataFrame(
             [(n_before, len(table.snapshot_files()))],
             "rewritten_data_files_count int, added_data_files_count int",
+        )
+    if proc == "rewrite_manifests":
+        collapsed = table.rewrite_manifests()
+        return spark.createDataFrame(
+            [(collapsed, 1 if collapsed else 0)],
+            "rewritten_manifests_count int, added_manifests_count int",
         )
     if proc == "fast_forward":
         prev = table.meta.get("current_snapshot_id")

@@ -707,3 +707,65 @@ def test_mor_update_and_merge_sequence_semantics(spark, catalog):
     t.rewrite_data_files(target_num_files=1)
     rows2 = {r["id"]: (r["val"], r["tag"]) for r in t.scan().collect()}
     assert rows2 == rows
+
+
+def test_binpack_plan_respects_partitions_and_size(spark, catalog):
+    """plan_compaction: groups never mix partition tuples, large files are
+    left alone, and execution preserves scan results + pruning metadata."""
+    from iceberg_metadata_pipeline_spark.catalog.partitioning import PartitionField
+
+    df = spark.createDataFrame(
+        [(i, i % 2, float(i)) for i in range(400)], "id long, bucket long, val double"
+    )
+    t = catalog.create_table("nyc", "bp", df.schema)
+    t.set_partition_spec([PartitionField(source="bucket", transform="identity")])
+    # three small appends → ≥2 small files per partition value
+    for lo in (0, 100, 200):
+        t.append_dataframe(df.filter((F.col("id") >= lo) & (F.col("id") < lo + 100)))
+    plan = t.plan_compaction(min_group_files=2)
+    assert plan, "small files must produce a plan"
+    for group in plan:
+        parts = {tuple(sorted(f.partition.items())) for f in group}
+        assert len(parts) == 1, "a group must not cross partitions"
+
+    n_before = len(t.snapshot_files())
+    t.rewrite_small_files()
+    files_after = t.snapshot_files()
+    assert len(files_after) < n_before
+    # partition tuples survive the rewrite (pruning stays possible)
+    assert all(f.partition for f in files_after)
+    assert t.scan().count() == 300
+    assert t.scan(filter="bucket = 0").count() == 150
+
+    # a second call finds nothing left to do
+    assert t.rewrite_small_files() is None
+
+
+def test_binpack_folds_applicable_mor_deletes(spark, catalog):
+    df = spark.createDataFrame([(i, float(i)) for i in range(100)], "id long, val double")
+    t = catalog.create_table("nyc", "bpmor", df.schema)
+    t.append_dataframe(df.filter("id < 50"))
+    t.append_dataframe(df.filter("id >= 50"))
+    t.delete_where_mor("id >= 90")
+    t.rewrite_small_files()
+    assert t.scan().count() == 90
+    t2 = catalog.load_table("nyc", "bpmor")
+    assert t2.scan().count() == 90
+
+
+def test_rewrite_manifests_collapses_chain(spark, catalog):
+    df = spark.createDataFrame([(i,) for i in range(10)], "id long")
+    t = catalog.create_table("nyc", "rm", df.schema)
+    for _ in range(5):
+        t.append_dataframe(df)
+    collapsed = t.rewrite_manifests()
+    assert collapsed >= 4
+    # resolution still exact, from a fresh handle too
+    assert t.scan().count() == 50
+    t2 = catalog.load_table("nyc", "rm")
+    assert t2.scan().count() == 50
+    # second rewrite is a no-op (already a checkpoint)
+    assert t2.rewrite_manifests() == 0
+    # time travel and expiry still behave
+    t2.expire_snapshots(keep_last=1)
+    assert catalog.load_table("nyc", "rm").scan().count() == 50

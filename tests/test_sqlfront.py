@@ -171,3 +171,19 @@ def test_new_metadata_tables_via_sql(catalog, spark, versioned_table):
 def test_call_rejects_unknown_procedure(catalog, versioned_table):
     with pytest.raises(ValueError, match="unknown procedure"):
         catalog_sql(catalog, "CALL system.vacuum_everything('nyc.vt')")
+
+
+def test_call_rewrite_manifests_and_binpack(catalog, spark, versioned_table):
+    t, _s1, _s2 = versioned_table
+    t.append_dataframe(spark.createDataFrame([(9, "z")], t.schema))
+    out = catalog_sql(
+        catalog, "CALL system.rewrite_manifests(table => 'nyc.vt')"
+    ).collect()
+    assert out[0]["rewritten_manifests_count"] >= 2
+    n = catalog_sql(catalog, "SELECT COUNT(*) AS n FROM nyc.vt").first()["n"]
+    out = catalog_sql(
+        catalog,
+        "CALL system.rewrite_data_files(table => 'nyc.vt', strategy => 'binpack')",
+    ).collect()
+    assert out[0]["rewritten_data_files_count"] >= 2
+    assert catalog_sql(catalog, "SELECT COUNT(*) AS n FROM nyc.vt").first()["n"] == n
