@@ -302,3 +302,37 @@ GROUP BY l_returnflag
 ORDER BY l_returnflag
 """,
 )
+
+
+# Document chunking: fixed-size token windows with overlap (chunk=64,
+# stride=48 → 16-token overlap) — the pre-tokenizer shaping step every
+# training pipeline runs before packing. Map-side only: split → per-doc
+# chunk-index sequence → slice; the explode multiplies rows inside the
+# task, nothing shuffles until a downstream op asks for it. Chunk text is
+# md5-digested so the result stays a hashable scalar row per chunk.
+# Chunk count = floor((max(n-64,0) + 47) / 48) + 1 (≥1, even for short docs).
+sql_query(
+    "text_document_chunking",
+    """
+SELECT doc_id, chunk_id,
+       size(slice(toks, chunk_id * 48 + 1, 64)) AS n_tokens,
+       md5(array_join(slice(toks, chunk_id * 48 + 1, 64), ' ')) AS chunk_digest
+FROM (
+  SELECT doc_id, toks,
+         explode(sequence(0, CAST(floor((greatest(size(toks) - 64, 0) + 47) / 48) AS INT))) AS chunk_id
+  FROM (SELECT doc_id, split(text, ' ') AS toks FROM documents) s
+) e
+ORDER BY doc_id, chunk_id
+""",
+    oracle="""
+SELECT doc_id, chunk_id,
+       len(toks[chunk_id * 48 + 1 : chunk_id * 48 + 64]) AS n_tokens,
+       md5(array_to_string(toks[chunk_id * 48 + 1 : chunk_id * 48 + 64], ' ')) AS chunk_digest
+FROM (
+  SELECT doc_id, toks,
+         unnest(range(0, CAST(floor((greatest(len(toks) - 64, 0) + 47) / 48) AS BIGINT) + 1)) AS chunk_id
+  FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM documents) s
+) e
+ORDER BY doc_id, chunk_id
+""",
+)

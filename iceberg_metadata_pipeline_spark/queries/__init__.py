@@ -121,6 +121,7 @@ def _load_all():
     from iceberg_metadata_pipeline_spark.llmops import (  # noqa: F401
         curation,
         dedup,
+        embeddings,
         forecast,
         multimodal,
         packing,

@@ -206,3 +206,41 @@ SELECT COUNT(*) AS n_rows,
 FROM lineitem
 """,
 )
+
+
+# Correlation / covariance / linear-regression aggregates, computed from
+# order-independent moments (count + decimal sums; the x², y², xy
+# products are per-row IEEE doubles — identical in any engine — summed
+# as decimals so accumulation order can't matter) and finished with
+# identical double scalar arithmetic in both engines —
+# engine-native corr()/covar()/regr_*() accumulate doubles in partition
+# order and cannot hash-match across engines (tests/test_functions.py
+# proves the native operators agree with these moments to 1e-9). The
+# moment shape is also the 100 TB plan you want: one map-side partial
+# aggregate, one (group × 6 values) shuffle row per task.
+sql_query(
+    "agg_corr_covar_regr",
+    """
+SELECT l_returnflag,
+       CAST(n AS BIGINT) AS n,
+       round((n * sxy - sx * sy) / (sqrt(n * sxx - sx * sx) * sqrt(n * syy - sy * sy)), 9)
+         AS corr_qty_price,
+       round((sxy - sx * sy / n) / (n - 1), 6) AS covar_samp,
+       round((sxy - sx * sy / n) / n, 6) AS covar_pop,
+       round((n * sxy - sx * sy) / (n * sxx - sx * sx), 9) AS regr_slope,
+       round((sy - (n * sxy - sx * sy) / (n * sxx - sx * sx) * sx) / n, 6) AS regr_intercept
+FROM (
+  SELECT l_returnflag,
+         CAST(COUNT(*) AS DOUBLE) AS n,
+         CAST(SUM(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE) AS sx,
+         CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,6))) AS DOUBLE) AS sy,
+         CAST(SUM(CAST(CAST(l_quantity AS DOUBLE) * CAST(l_quantity AS DOUBLE) AS DECIMAL(38,10))) AS DOUBLE) AS sxx,
+         CAST(SUM(CAST(CAST(l_extendedprice AS DOUBLE) * CAST(l_extendedprice AS DOUBLE) AS DECIMAL(38,10))) AS DOUBLE) AS syy,
+         CAST(SUM(CAST(CAST(l_quantity AS DOUBLE) * CAST(l_extendedprice AS DOUBLE) AS DECIMAL(38,10))) AS DOUBLE) AS sxy
+  FROM lineitem
+  GROUP BY l_returnflag
+) m
+ORDER BY l_returnflag
+""",
+    oracle="same",
+)

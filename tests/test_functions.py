@@ -115,3 +115,36 @@ def test_asof_join_matches_python_reference(spark, rows):
         cands = [(t, v) for t, v in views_by_user.get(u, []) if t <= ts]
         want[eid] = max(cands)[1] if cands else None
     assert got == want
+
+
+def test_native_corr_covar_regr_match_moments(spark, tables, sf_dir):
+    """The declared agg_corr_covar_regr query computes stats from decimal
+    moments (for cross-engine hash parity); Spark's NATIVE corr/covar/
+    regr_* aggregates must agree with it to float tolerance — this is the
+    operator-coverage proof for the native surface."""
+    li = tables["lineitem"]
+    native = (
+        li.groupBy("l_returnflag")
+        .agg(
+            F.corr("l_quantity", "l_extendedprice").alias("corr_n"),
+            F.covar_samp("l_quantity", "l_extendedprice").alias("covs_n"),
+            F.covar_pop("l_quantity", "l_extendedprice").alias("covp_n"),
+            F.expr("regr_slope(l_extendedprice, l_quantity)").alias("slope_n"),
+            F.expr("regr_intercept(l_extendedprice, l_quantity)").alias("icept_n"),
+        )
+        .collect()
+    )
+    from iceberg_metadata_pipeline_spark.queries import all_queries
+
+    moments = {
+        r["l_returnflag"]: r
+        for r in all_queries()["agg_corr_covar_regr"](spark, sf_dir).collect()
+    }
+    assert len(native) == len(moments) > 0
+    for r in native:
+        m = moments[r["l_returnflag"]]
+        assert abs(r["corr_n"] - m["corr_qty_price"]) < 1e-6
+        assert abs(r["covs_n"] - m["covar_samp"]) < 1e-3 * max(1, abs(m["covar_samp"]))
+        assert abs(r["covp_n"] - m["covar_pop"]) < 1e-3 * max(1, abs(m["covar_pop"]))
+        assert abs(r["slope_n"] - m["regr_slope"]) < 1e-6 * max(1, abs(m["regr_slope"]))
+        assert abs(r["icept_n"] - m["regr_intercept"]) < 1e-3 * max(1, abs(m["regr_intercept"]))
