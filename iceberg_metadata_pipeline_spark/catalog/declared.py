@@ -659,3 +659,36 @@ def table_binpack_compaction(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.countDistinct("o_orderkey").alias("n_keys"),
         F.sum(F.col("o_totalprice").cast("decimal(38,6)")).cast("double").alias("total"),
     )
+
+
+@query(
+    "table_zorder_scan",
+    """
+SELECT COUNT(*) AS n,
+  CAST(SUM(CAST(o_totalprice AS DECIMAL(38,6))) AS DOUBLE) AS total
+FROM orders
+WHERE o_totalprice BETWEEN 100000 AND 150000 AND o_custkey <= 500
+""",
+)
+def table_zorder_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-order clustered rewrite: bit-interleaved (o_custkey, o_totalprice)
+    curve → range-partitioned sorted files → min/max pruning bites on BOTH
+    filter columns (asserted), something a linear sort only gives the
+    leading column. Scan results must equal the raw fixture regardless of
+    layout."""
+    from iceberg_metadata_pipeline_spark.catalog.metacat import _prune_by_stats
+
+    orders = load_tables(spark, sf_dir)["orders"]
+    catalog = Catalog(spark, tempfile.mkdtemp(prefix="warehouse-zorder-"))
+    t = catalog.create_table("nyc", "orders_z", orders.schema)
+    t.append_dataframe(orders)
+    t.rewrite_data_files(target_num_files=8, zorder_by=["o_custkey", "o_totalprice"])
+    files = t.snapshot_files()
+    assert len(_prune_by_stats(files, "o_custkey <= 500")) < len(files)
+    assert len(_prune_by_stats(files, "o_totalprice <= 150000")) < len(files)
+    return t.scan(
+        filter="o_totalprice BETWEEN 100000 AND 150000 AND o_custkey <= 500"
+    ).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("o_totalprice").cast("decimal(38,6)")).cast("double").alias("total"),
+    )

@@ -428,7 +428,10 @@ class Table:
         return self.append_files(entries, dedupe=False, branch=branch)
 
     def rewrite_data_files(
-        self, target_num_files: int = 1, sort_by: list[str] | None = None
+        self,
+        target_num_files: int = 1,
+        sort_by: list[str] | None = None,
+        zorder_by: list[str] | None = None,
     ) -> int:
         """Compaction: read current snapshot, rewrite as N files, commit a
         'replace' snapshot (Iceberg rewrite_data_files; reference's offline
@@ -439,12 +442,30 @@ class Table:
         so each output file carries a tight, disjoint min/max band on the
         sort columns — the layout that makes the stats pruning in
         ``scan(filter=...)`` actually bite at 100 TB (an unsorted table has
-        every file spanning the full value range; no band, no pruning)."""
+        every file spanning the full value range; no band, no pruning).
+
+        ``zorder_by`` = Iceberg's Z-order rewrite: rows cluster along a
+        space-filling curve over SEVERAL columns, so every listed column
+        gets usable (if not disjoint) per-file min/max bands — a linear
+        sort gives the first column perfect bands and the rest none.
+        The curve value is bit-interleaved 16-bit column ranks, computed
+        as JVM bitwise expressions (codegen-friendly, no UDF); layout is
+        range-partition + sort on it, same single shuffle as sort_by."""
+        if sort_by and zorder_by:
+            raise ValueError("pass sort_by or zorder_by, not both")
         df = self.scan()
         data_dir = os.path.join(self.location, "data", "compact-" + uuid.uuid4().hex[:12])
         if sort_by:
             out = df.repartitionByRange(target_num_files, *sort_by).sortWithinPartitions(
                 *sort_by
+            )
+        elif zorder_by:
+            z = _zvalue_column(df, zorder_by)
+            out = (
+                df.withColumn("__z", z)
+                .repartitionByRange(target_num_files, "__z")
+                .sortWithinPartitions("__z")
+                .drop("__z")
             )
         else:
             out = df.coalesce(target_num_files)
@@ -1697,6 +1718,45 @@ def _scan_footers_distributed(spark: SparkSession, paths: list[str]) -> list[Dat
     # deterministic manifest order regardless of task completion order
     entries.sort(key=lambda e: e.path)
     return entries
+
+
+def _zvalue_column(df: DataFrame, cols: list[str], bits: int = 16):
+    """Z-order curve value: each column is affinely mapped onto a
+    ``bits``-wide integer rank using its global min/max (one tiny agg job,
+    2·len(cols) numbers to the driver), then ranks are bit-interleaved.
+    All row-path work is JVM bitwise expressions inside whole-stage
+    codegen — no UDF, no extra shuffle beyond the range partitioning the
+    rewrite does anyway. 16 bits × up to 3 columns stays within a long.
+
+    Min/max scaling (vs. rank/percentile) keeps the map O(1) per row; for
+    heavily skewed columns a percentile-based rank would spread better,
+    at the cost of an approxQuantile pass — noted, not needed for file
+    skipping where 2^16 cells already far exceed file counts."""
+    if not 1 <= len(cols) <= 3:
+        raise ValueError("zorder_by takes 1-3 columns")
+    stats = df.agg(
+        *[F.min(F.col(c).cast("double")).alias(f"mn_{c}") for c in cols],
+        *[F.max(F.col(c).cast("double")).alias(f"mx_{c}") for c in cols],
+    ).first()
+    top = (1 << bits) - 1
+    scaled = []
+    for c in cols:
+        mn, mx = stats[f"mn_{c}"], stats[f"mx_{c}"]
+        span = (mx - mn) if mn is not None and mx is not None and mx > mn else 1.0
+        rank = ((F.col(c).cast("double") - F.lit(mn or 0.0)) / F.lit(span) * top).cast(
+            "long"
+        )
+        # NULLs sort first (rank 0), out-of-range clamps defensively
+        scaled.append(
+            F.coalesce(F.least(F.lit(top), F.greatest(F.lit(0), rank)), F.lit(0))
+        )
+    n = len(scaled)
+    z = F.lit(0).cast("long")
+    for i in range(bits):
+        for j, s in enumerate(scaled):
+            bit = F.shiftright(s, i).bitwiseAND(F.lit(1))
+            z = z.bitwiseOR(F.shiftleft(bit, i * n + j))
+    return z
 
 
 _OPS = ["<=", ">=", "<", ">", "="]

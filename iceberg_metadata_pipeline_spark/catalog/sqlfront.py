@@ -147,7 +147,7 @@ _PROC_POSITIONAL = {
     "rollback_to_snapshot": ["table", "snapshot_id"],
     "expire_snapshots": ["table", "keep_last"],
     "remove_orphan_files": ["table", "dry_run"],
-    "rewrite_data_files": ["table", "target_num_files", "strategy"],
+    "rewrite_data_files": ["table", "target_num_files", "strategy", "sort_order"],
     "rewrite_manifests": ["table"],
     "fast_forward": ["table", "branch"],
 }
@@ -216,8 +216,14 @@ def _run_procedure(catalog: Catalog, proc: str, raw_args: str) -> DataFrame:
             # replace commit, partition layout preserved
             table.rewrite_small_files()
         else:
+            # Iceberg sort strategy: sort_order => 'zorder(a,b)' or 'a,b'
+            so = str(args.get("sort_order", "") or "")
+            m = re.match(r"^\s*zorder\s*\(([^)]*)\)\s*$", so, re.IGNORECASE)
+            cols = [c.strip() for c in (m.group(1) if m else so).split(",") if c.strip()]
             table.rewrite_data_files(
-                target_num_files=int(args.get("target_num_files", 1))
+                target_num_files=int(args.get("target_num_files", 1)),
+                sort_by=cols if cols and not m else None,
+                zorder_by=cols if m else None,
             )
         return spark.createDataFrame(
             [(n_before, len(table.snapshot_files()))],

@@ -769,3 +769,35 @@ def test_rewrite_manifests_collapses_chain(spark, catalog):
     # time travel and expiry still behave
     t2.expire_snapshots(keep_last=1)
     assert catalog.load_table("nyc", "rm").scan().count() == 50
+
+
+def test_zorder_rewrite_enables_multi_column_skipping(spark, catalog):
+    """Z-order vs linear sort: after a zorder_by(x, y) rewrite, min/max
+    file pruning must bite on BOTH columns; a linear sort gives the
+    secondary column full-range stats in every file (no pruning)."""
+    from iceberg_metadata_pipeline_spark.catalog.metacat import _prune_by_stats
+
+    df = spark.range(10000).select(
+        (F.col("id") % 100).alias("x"), (F.col("id") / 100).cast("long").alias("y")
+    )
+    t = catalog.create_table("nyc", "zorder", df.schema)
+    t.append_dataframe(df)
+    t.rewrite_data_files(target_num_files=16, zorder_by=["x", "y"])
+    files = t.snapshot_files()
+    assert len(files) == 16
+    x_hits = _prune_by_stats(files, "x <= 10")
+    y_hits = _prune_by_stats(files, "y <= 10")
+    assert len(x_hits) < len(files) / 2, "zorder must prune on x"
+    assert len(y_hits) < len(files) / 2, "zorder must prune on y"
+    # correctness unaffected by layout
+    assert t.scan(filter="x <= 10").count() == 1100
+    assert t.scan(filter="y <= 10").count() == 1100
+
+    # linear sort on x: y stats span every file → no y pruning
+    t.rewrite_data_files(target_num_files=16, sort_by=["x"])
+    files = t.snapshot_files()
+    assert len(_prune_by_stats(files, "x <= 10")) < len(files) / 2
+    assert len(_prune_by_stats(files, "y <= 10")) == len(files)
+
+    with pytest.raises(ValueError):
+        t.rewrite_data_files(sort_by=["x"], zorder_by=["y"])

@@ -187,3 +187,20 @@ def test_call_rewrite_manifests_and_binpack(catalog, spark, versioned_table):
     ).collect()
     assert out[0]["rewritten_data_files_count"] >= 2
     assert catalog_sql(catalog, "SELECT COUNT(*) AS n FROM nyc.vt").first()["n"] == n
+
+
+def test_call_rewrite_sort_order_and_zorder(catalog, spark, versioned_table):
+    t, _s1, _s2 = versioned_table
+    n = catalog_sql(catalog, "SELECT COUNT(*) AS n FROM nyc.vt").first()["n"]
+    catalog_sql(
+        catalog,
+        "CALL system.rewrite_data_files(table => 'nyc.vt', "
+        "target_num_files => 2, sort_order => 'id')",
+    )
+    assert catalog_sql(catalog, "SELECT COUNT(*) AS n FROM nyc.vt").first()["n"] == n
+    catalog_sql(
+        catalog,
+        "CALL system.rewrite_data_files(table => 'nyc.vt', "
+        "target_num_files => 2, sort_order => 'zorder(id)')",
+    )
+    assert catalog_sql(catalog, "SELECT COUNT(*) AS n FROM nyc.vt").first()["n"] == n
