@@ -692,3 +692,106 @@ def table_zorder_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n"),
         F.sum(F.col("o_totalprice").cast("decimal(38,6)")).cast("double").alias("total"),
     )
+
+
+@query(
+    "table_merge_sync_source",
+    """
+SELECT COUNT(*) AS n,
+  CAST(SUM(CAST(c_acctbal + 10 AS DECIMAL(38,6))) AS DOUBLE) AS bal
+FROM customer WHERE c_mktsegment = 'BUILDING'
+""",
+)
+def table_merge_sync_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full MERGE surface: WHEN MATCHED UPDATE + WHEN NOT MATCHED BY
+    SOURCE DELETE — the sync-to-source shape. Target holds every
+    customer; source only the BUILDING segment; after the merge the
+    target must BE the (bumped) source set."""
+    customer = load_tables(spark, sf_dir)["customer"]
+    catalog = Catalog(spark, tempfile.mkdtemp(prefix="warehouse-sync-"))
+    t = catalog.create_table("nyc", "customer_sync", customer.schema)
+    t.append_dataframe(customer)
+    t.merge_into(
+        customer.filter(F.col("c_mktsegment") == "BUILDING"),
+        on=["c_custkey"],
+        when_matched_set={"c_acctbal": "c_acctbal + 10"},
+        delete_not_matched_by_source=True,
+    )
+    return t.scan().agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("c_acctbal").cast("decimal(38,6)")).cast("double").alias("bal"),
+    )
+
+
+@query(
+    "table_dml_sql",
+    """
+SELECT CASE WHEN o_orderstatus = 'P' THEN '9-LOW' ELSE o_orderpriority END AS prio,
+       COUNT(*) AS n
+FROM orders
+WHERE NOT (o_orderstatus = 'F' AND o_totalprice > 300000)
+GROUP BY prio
+ORDER BY prio
+""",
+)
+def table_dml_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Row-level DML typed as SQL through the front-end (the Thrift-user
+    path): DELETE then UPDATE, both copy-on-write, then a plain SELECT
+    over the same front-end."""
+    from iceberg_metadata_pipeline_spark.catalog.sqlfront import catalog_sql
+
+    orders = load_tables(spark, sf_dir)["orders"]
+    catalog = Catalog(spark, tempfile.mkdtemp(prefix="warehouse-dmlsql-"))
+    t = catalog.create_table("nyc", "orders_dml", orders.schema)
+    t.append_dataframe(orders)
+    catalog_sql(
+        catalog, "DELETE FROM nyc.orders_dml WHERE o_orderstatus = 'F' AND o_totalprice > 300000"
+    )
+    catalog_sql(
+        catalog, "UPDATE nyc.orders_dml SET o_orderpriority = '9-LOW' WHERE o_orderstatus = 'P'"
+    )
+    return catalog_sql(
+        catalog,
+        """
+        SELECT o_orderpriority AS prio, COUNT(*) AS n
+        FROM nyc.orders_dml GROUP BY o_orderpriority ORDER BY prio
+        """,
+    )
+
+
+@query(
+    "catalog_view_sql",
+    """
+SELECT o_orderpriority AS prio, COUNT(*) AS n,
+  CAST(SUM(CAST(o_totalprice AS DECIMAL(38,6))) AS DOUBLE) AS total
+FROM orders
+WHERE o_orderstatus = 'O'
+GROUP BY prio
+ORDER BY prio
+""",
+)
+def catalog_view_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Catalog views (the reference's A14-A16 Superset surface): a stored
+    SQL definition expanded per query against the live table, created and
+    queried purely through the SQL front-end."""
+    from iceberg_metadata_pipeline_spark.catalog.sqlfront import catalog_sql
+
+    orders = load_tables(spark, sf_dir)["orders"]
+    catalog = Catalog(spark, tempfile.mkdtemp(prefix="warehouse-view-"))
+    t = catalog.create_table("nyc", "orders_v", orders.schema)
+    t.append_dataframe(orders)
+    catalog_sql(
+        catalog,
+        "CREATE VIEW nyc.open_orders AS "
+        "SELECT * FROM nyc.orders_v WHERE o_orderstatus = 'O'",
+    )
+    return catalog_sql(
+        catalog,
+        """
+        SELECT o_orderpriority AS prio, COUNT(*) AS n,
+          CAST(SUM(CAST(o_totalprice AS DECIMAL(38,6))) AS DOUBLE) AS total
+        FROM nyc.open_orders
+        GROUP BY o_orderpriority
+        ORDER BY prio
+        """,
+    )

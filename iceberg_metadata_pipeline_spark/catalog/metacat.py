@@ -849,12 +849,20 @@ class Table:
         when_matched_set: dict[str, str] | None = None,
         insert_not_matched: bool = True,
         branch: str | None = None,
+        delete_not_matched_by_source: bool | str = False,
     ) -> int:
         """MERGE INTO target USING source ON keys — upsert semantics:
         matched target rows get the SET assignments (expressions may
         reference source columns as src_<name>); unmatched source rows are
         inserted. Copy-on-write full-join rewrite — the same shuffle-on-key
-        plan Iceberg's copy-on-write MERGE produces."""
+        plan Iceberg's copy-on-write MERGE produces.
+
+        ``delete_not_matched_by_source`` is Spark/Iceberg's WHEN NOT
+        MATCHED BY SOURCE THEN DELETE clause (the sync-to-source shape):
+        True drops every target row without a source match; a string
+        drops only those where that condition is also TRUE. Target rows
+        with NULL join keys never match and are therefore subject to this
+        clause — same as Spark's semantics."""
 
         def transform(target: DataFrame) -> DataFrame:
             # Match state comes from explicit presence markers, NOT from
@@ -881,10 +889,20 @@ class Table:
                 # unmatched-source inserts take the source value
                 expr = F.when(insert, F.col(f"src_{f.name}")).otherwise(expr)
                 tgt_cols.append(expr.cast(f.dataType).alias(f.name))
-            out = joined.select(tgt_cols)
+            keep = F.lit(True)
             if not insert_not_matched:
-                out = joined.filter(~insert).select(tgt_cols)
-            return out
+                keep = keep & ~insert
+            if delete_not_matched_by_source:
+                not_by_source = (
+                    F.col("__tgt_present").isNotNull()
+                    & F.col("__src_present").isNull()
+                )
+                if isinstance(delete_not_matched_by_source, str):
+                    not_by_source = not_by_source & F.coalesce(
+                        F.expr(delete_not_matched_by_source), F.lit(False)
+                    )
+                keep = keep & ~not_by_source
+            return joined.filter(keep).select(tgt_cols)
 
         return self._rewrite_with(transform, None, "merge", branch=branch)
 
@@ -1533,6 +1551,59 @@ class Catalog:
             for d in os.listdir(ns_dir)
             if os.path.exists(os.path.join(ns_dir, d, "metadata", "version-hint.text"))
         )
+
+    # -- views (A14-A16: SHOW VIEWS / SHOW CREATE VIEW surface) ------------
+    # Iceberg views (spec v1): a named SQL definition stored as catalog
+    # metadata; readers expand the SQL at query time against the catalog,
+    # so a view always reflects the current table state. Stored in one
+    # warehouse-level JSON — views are O(dozens), not O(files).
+    def _views_path(self) -> str:
+        return os.path.join(self.warehouse, "views.json")
+
+    def _read_views(self) -> dict:
+        try:
+            with open(self._views_path()) as fh:
+                return json.load(fh)
+        except OSError:
+            return {}
+
+    def create_view(
+        self, namespace: str, name: str, sql: str, replace: bool = False
+    ) -> None:
+        """CREATE [OR REPLACE] VIEW ns.name AS <sql>. The SQL is stored
+        verbatim (front-end dialect: catalog refs like ``nyc.t`` allowed)
+        and expanded per query by ``catalog_sql``."""
+        self.ensure_namespace(namespace)
+        views = self._read_views()
+        key = f"{namespace}.{name}"
+        if key in views and not replace:
+            raise FileExistsError(f"view {key} exists")
+        if self.table_exists(namespace, name):
+            raise ValueError(f"{key} is a table")
+        views[key] = {"sql": sql, "created_ms": int(time.time() * 1000)}
+        with open(self._views_path(), "w") as fh:
+            json.dump(views, fh, indent=1)
+
+    def drop_view(self, namespace: str, name: str) -> bool:
+        views = self._read_views()
+        if views.pop(f"{namespace}.{name}", None) is None:
+            return False
+        with open(self._views_path(), "w") as fh:
+            json.dump(views, fh, indent=1)
+        return True
+
+    def list_views(self, namespace: str) -> list[str]:
+        prefix = f"{namespace}."
+        return sorted(
+            k[len(prefix):] for k in self._read_views() if k.startswith(prefix)
+        )
+
+    def view_definition(self, namespace: str, name: str) -> str:
+        views = self._read_views()
+        key = f"{namespace}.{name}"
+        if key not in views:
+            raise KeyError(f"no view {key}")
+        return views[key]["sql"]
 
 
 # -- helpers ----------------------------------------------------------------

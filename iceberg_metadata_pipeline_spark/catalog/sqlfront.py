@@ -20,9 +20,15 @@ Supported per statement (matching Iceberg SQL syntax):
   → metadata tables
 - ``CALL [cat.]system.<proc>(...)``    → table-maintenance procedures
   (rollback_to_snapshot, expire_snapshots, remove_orphan_files,
-  rewrite_data_files (incl. binpack strategy), rewrite_manifests,
-  fast_forward — Iceberg's stored-procedure surface; named
-  ``arg => value`` or positional args, table first)
+  rewrite_data_files (binpack strategy / sort_order incl. zorder),
+  rewrite_manifests, fast_forward — Iceberg's stored-procedure surface;
+  named ``arg => value`` or positional args, table first)
+- ``DELETE FROM ns.t WHERE ...`` / ``UPDATE ns.t SET ... WHERE ...``
+  → copy-on-write row-level DML (returns an (operation, snapshot_id)
+  summary row)
+- ``CREATE [OR REPLACE] VIEW ns.v AS <sql>`` / ``SHOW VIEWS IN ns`` /
+  ``SHOW CREATE VIEW|TABLE ns.x`` → catalog views (stored SQL, expanded
+  recursively per query; A14-A16 surface, both SHOW CREATE spellings)
 
 Rewrites are textual on table references only — the rest of the
 statement (joins, aggregates, windows, CTEs) passes through untouched,
@@ -52,6 +58,36 @@ _CALL_RE = re.compile(
     re.IGNORECASE | re.DOTALL,
 )
 
+# row-level DML — the Thrift-served SQL surface Iceberg extensions add
+_DML_DELETE_RE = re.compile(
+    rf"^\s*DELETE\s+FROM\s+(?P<ns>{_IDENT})\.(?P<tbl>{_IDENT})"
+    r"\s+WHERE\s+(?P<cond>.+?)\s*;?\s*$",
+    re.IGNORECASE | re.DOTALL,
+)
+_DML_UPDATE_RE = re.compile(
+    rf"^\s*UPDATE\s+(?P<ns>{_IDENT})\.(?P<tbl>{_IDENT})"
+    r"\s+SET\s+(?P<sets>.+?)\s+WHERE\s+(?P<cond>.+?)\s*;?\s*$",
+    re.IGNORECASE | re.DOTALL,
+)
+
+# view DDL/introspection (the reference's A14-A16 surface)
+_CREATE_VIEW_RE = re.compile(
+    rf"^\s*CREATE\s+(?P<replace>OR\s+REPLACE\s+)?VIEW\s+"
+    rf"(?P<ns>{_IDENT})\.(?P<view>{_IDENT})\s+AS\s+(?P<sql>.+?)\s*;?\s*$",
+    re.IGNORECASE | re.DOTALL,
+)
+_SHOW_VIEWS_RE = re.compile(
+    rf"^\s*SHOW\s+VIEWS\s+IN\s+(?P<ns>{_IDENT})\s*;?\s*$", re.IGNORECASE
+)
+# SHOW CREATE VIEW and the reference's rewritten SHOW CREATE TABLE spelling
+# (superset_config.py:19-41 rewrites VIEW→TABLE because Spark lacks the
+# former; we accept both so either client dialect works)
+_SHOW_CREATE_RE = re.compile(
+    rf"^\s*SHOW\s+CREATE\s+(?:VIEW|TABLE)\s+"
+    rf"(?P<ns>{_IDENT})\.(?P<view>{_IDENT})\s*;?\s*$",
+    re.IGNORECASE,
+)
+
 # ns.table [FOR] VERSION AS OF n | [FOR] TIMESTAMP AS OF 'ts'
 _TT_RE = re.compile(
     rf"\b(?P<ns>{_IDENT})\.(?P<tbl>{_IDENT})"
@@ -70,12 +106,13 @@ def _parse_ts_ms(text: str) -> int:
     return int(ts.timestamp() * 1000)
 
 
-def catalog_sql(catalog: Catalog, statement: str) -> DataFrame:
+def catalog_sql(catalog: Catalog, statement: str, _depth: int = 0) -> DataFrame:
     """Execute ``statement`` with catalog references resolved.
 
     Each distinct (table, snapshot-pin) reference becomes one temp view;
     repeated references share the view so self-joins across two points in
     time work (``FROM nyc.t a JOIN nyc.t VERSION AS OF 3 b ON ...``).
+    Catalog views expand recursively (``_depth`` bounds cycles).
     """
     spark = catalog.spark
     views: dict[str, str] = {}
@@ -109,7 +146,17 @@ def catalog_sql(catalog: Catalog, statement: str) -> DataFrame:
         try:
             table = catalog.load_table(ns, tbl)
         except (FileNotFoundError, ValueError, KeyError):
-            return m.group(0)
+            try:
+                view_sql = catalog.view_definition(ns, tbl)
+            except KeyError:
+                return m.group(0)
+            # expand the view by running its stored SQL through the same
+            # front-end (so views may reference tables, time travel, or
+            # other views), bounded against definition cycles
+            if _depth >= 8:
+                raise ValueError(f"view expansion too deep at {ns}.{tbl}")
+            df = catalog_sql(catalog, view_sql, _depth=_depth + 1)
+            return _view_for(df, f"view:{ns}.{tbl}")
         if m.group("ver") is not None:
             sid = int(m.group("ver"))
             return _view_for(table.scan(snapshot_id=sid), f"{ns}.{tbl}@v{sid}")
@@ -128,9 +175,82 @@ def catalog_sql(catalog: Catalog, statement: str) -> DataFrame:
     call = _CALL_RE.match(statement)
     if call is not None:
         return _run_procedure(catalog, call.group("proc").lower(), call.group("args"))
+    ddl = _CREATE_VIEW_RE.match(statement)
+    if ddl is not None:
+        catalog.create_view(
+            ddl.group("ns"),
+            ddl.group("view"),
+            ddl.group("sql"),
+            replace=ddl.group("replace") is not None,
+        )
+        return spark.createDataFrame(
+            [(f"{ddl.group('ns')}.{ddl.group('view')}",)], "view string"
+        )
+    show = _SHOW_VIEWS_RE.match(statement)
+    if show is not None:
+        ns = show.group("ns")
+        rows = [(ns, v) for v in catalog.list_views(ns)]
+        return spark.createDataFrame(rows or [], "namespace string, viewName string")
+    show = _SHOW_CREATE_RE.match(statement)
+    if show is not None:
+        ns, obj = show.group("ns"), show.group("view")
+        try:
+            sql_text = catalog.view_definition(ns, obj)
+            stmt = f"CREATE VIEW {ns}.{obj} AS {sql_text}"
+        except KeyError:
+            # plain table: render its DDL (the reference's A15/A16 path —
+            # SHOW CREATE VIEW is rewritten onto tables and vice versa)
+            from iceberg_metadata_pipeline_spark.catalog.introspect import (
+                show_create_table,
+            )
+
+            stmt = show_create_table(catalog, ns, obj)
+        return spark.createDataFrame([(stmt,)], "createtab_stmt string")
+    dml = _DML_DELETE_RE.match(statement)
+    if dml is not None:
+        table = catalog.load_table(dml.group("ns"), dml.group("tbl"))
+        sid = table.delete_where(dml.group("cond"))
+        return spark.createDataFrame(
+            [("delete", sid)], "operation string, snapshot_id long"
+        )
+    dml = _DML_UPDATE_RE.match(statement)
+    if dml is not None:
+        table = catalog.load_table(dml.group("ns"), dml.group("tbl"))
+        sid = table.update_set(
+            dml.group("cond"), _parse_assignments(dml.group("sets"))
+        )
+        return spark.createDataFrame(
+            [("update", sid)], "operation string, snapshot_id long"
+        )
     rewritten = _META_RE.sub(_meta, statement)
     rewritten = _TT_RE.sub(_tt, rewritten)
     return spark.sql(rewritten)
+
+
+def _parse_assignments(sets: str) -> dict[str, str]:
+    """Split ``a = expr, b = expr`` on top-level commas only (an expr may
+    itself contain commas inside parens, e.g. ``concat(a, b)``)."""
+    parts: list[str] = []
+    depth = 0
+    cur = []
+    for ch in sets:
+        if ch == "(":
+            depth += 1
+        elif ch == ")":
+            depth -= 1
+        if ch == "," and depth == 0:
+            parts.append("".join(cur))
+            cur = []
+        else:
+            cur.append(ch)
+    parts.append("".join(cur))
+    out: dict[str, str] = {}
+    for part in parts:
+        name, _, expr = part.partition("=")
+        if not expr:
+            raise ValueError(f"unparseable SET assignment: {part!r}")
+        out[name.strip()] = expr.strip()
+    return out
 
 
 # -- CALL procedures --------------------------------------------------------

@@ -801,3 +801,36 @@ def test_zorder_rewrite_enables_multi_column_skipping(spark, catalog):
 
     with pytest.raises(ValueError):
         t.rewrite_data_files(sort_by=["x"], zorder_by=["y"])
+
+
+def test_merge_delete_not_matched_by_source(spark, catalog):
+    """WHEN NOT MATCHED BY SOURCE THEN DELETE: target syncs to the source
+    key set; the conditional form deletes only rows matching the extra
+    predicate. NULL-key target rows never match and are subject to the
+    clause (Spark MERGE semantics)."""
+    tgt = spark.createDataFrame(
+        [(1, "a"), (2, "b"), (3, "c"), (None, "nullkey")], "id long, tag string"
+    )
+    src = spark.createDataFrame([(1, "a2"), (4, "d")], "id long, tag string")
+    t = catalog.create_table("nyc", "sync", tgt.schema)
+    t.append_dataframe(tgt)
+    t.merge_into(
+        src,
+        on=["id"],
+        when_matched_set={"tag": "src_tag"},
+        delete_not_matched_by_source=True,
+    )
+    rows = {r["id"]: r["tag"] for r in t.scan().collect()}
+    assert rows == {1: "a2", 4: "d"}
+
+    # conditional variant: only delete unmatched rows with tag = 'c'
+    t2 = catalog.create_table("nyc", "sync2", tgt.schema)
+    t2.append_dataframe(tgt)
+    t2.merge_into(
+        src,
+        on=["id"],
+        when_matched_set={"tag": "src_tag"},
+        delete_not_matched_by_source="tag = 'c'",
+    )
+    rows = {r["tag"] for r in t2.scan().collect()}
+    assert rows == {"a2", "b", "nullkey", "d"}

@@ -204,3 +204,69 @@ def test_call_rewrite_sort_order_and_zorder(catalog, spark, versioned_table):
         "target_num_files => 2, sort_order => 'zorder(id)')",
     )
     assert catalog_sql(catalog, "SELECT COUNT(*) AS n FROM nyc.vt").first()["n"] == n
+
+
+def test_sql_dml_delete_and_update(catalog, spark):
+    df = spark.createDataFrame(
+        [(i, float(i), "x" if i % 2 == 0 else "y") for i in range(20)],
+        "id long, val double, tag string",
+    )
+    t = catalog.create_table("nyc", "dml", df.schema)
+    t.append_dataframe(df)
+    out = catalog_sql(catalog, "DELETE FROM nyc.dml WHERE tag = 'y' AND id < 10").collect()
+    assert out[0]["operation"] == "delete"
+    assert catalog_sql(catalog, "SELECT COUNT(*) AS n FROM nyc.dml").first()["n"] == 15
+    out = catalog_sql(
+        catalog,
+        "UPDATE nyc.dml SET val = val + 100, tag = concat(tag, '!') WHERE id >= 18",
+    ).collect()
+    assert out[0]["operation"] == "update"
+    got = {
+        r["id"]: (r["val"], r["tag"])
+        for r in catalog_sql(catalog, "SELECT * FROM nyc.dml WHERE id >= 18").collect()
+    }
+    assert got == {18: (118.0, "x!"), 19: (119.0, "y!")}
+
+
+def test_views_create_query_introspect(catalog, spark):
+    df = spark.createDataFrame(
+        [(i, float(i), "x" if i % 2 == 0 else "y") for i in range(20)],
+        "id long, val double, tag string",
+    )
+    t = catalog.create_table("nyc", "base", df.schema)
+    t.append_dataframe(df)
+    catalog_sql(
+        catalog,
+        "CREATE VIEW nyc.evens AS SELECT id, val FROM nyc.base WHERE tag = 'x'",
+    )
+    assert catalog_sql(catalog, "SELECT COUNT(*) AS n FROM nyc.evens").first()["n"] == 10
+    # view of a view
+    catalog_sql(
+        catalog, "CREATE VIEW nyc.bigevens AS SELECT * FROM nyc.evens WHERE id >= 10"
+    )
+    assert catalog_sql(catalog, "SELECT COUNT(*) AS n FROM nyc.bigevens").first()["n"] == 5
+    # views always reflect current table state
+    t.append_dataframe(spark.createDataFrame([(100, 1.0, "x")], df.schema))
+    assert catalog_sql(catalog, "SELECT COUNT(*) AS n FROM nyc.evens").first()["n"] == 11
+
+    rows = catalog_sql(catalog, "SHOW VIEWS IN nyc").collect()
+    assert {(r["namespace"], r["viewName"]) for r in rows} == {
+        ("nyc", "evens"),
+        ("nyc", "bigevens"),
+    }
+    ddl = catalog_sql(catalog, "SHOW CREATE VIEW nyc.evens").first()["createtab_stmt"]
+    assert ddl.startswith("CREATE VIEW nyc.evens AS")
+    # the reference's dialect rewrite: SHOW CREATE TABLE on a view works,
+    # and SHOW CREATE VIEW on a table falls back to table DDL
+    assert (
+        catalog_sql(catalog, "SHOW CREATE TABLE nyc.evens").first()["createtab_stmt"] == ddl
+    )
+    tddl = catalog_sql(catalog, "SHOW CREATE VIEW nyc.base").first()["createtab_stmt"]
+    assert tddl.startswith("CREATE TABLE nyc.base")
+
+    # OR REPLACE + drop
+    catalog_sql(
+        catalog, "CREATE OR REPLACE VIEW nyc.evens AS SELECT id FROM nyc.base"
+    )
+    assert catalog.drop_view("nyc", "bigevens")
+    assert catalog.list_views("nyc") == ["evens"]
