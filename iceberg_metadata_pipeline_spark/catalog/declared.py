@@ -795,3 +795,54 @@ def catalog_view_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
         ORDER BY prio
         """,
     )
+
+
+@query(
+    "table_changelog_scan",
+    """
+SELECT _change_type, COUNT(*) AS n,
+  CAST(SUM(CAST(o_totalprice AS DECIMAL(38,6))) AS DOUBLE) AS total
+FROM (
+  SELECT o_totalprice, 'delete' AS _change_type
+  FROM orders WHERE o_orderstatus = 'P'
+  UNION ALL
+  SELECT o_totalprice * 0.9 AS o_totalprice, 'insert' AS _change_type
+  FROM orders WHERE o_orderstatus = 'P'
+) t
+GROUP BY _change_type
+ORDER BY _change_type
+""",
+)
+def table_changelog_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Row-level changelog between snapshots (Iceberg
+    create_changelog_view): an UPDATE surfaces as delete+insert pairs for
+    exactly the changed rows — carried-over and co-rewritten unchanged
+    rows cancel. Oracle reconstructs both sides of the pair from the raw
+    fixture."""
+    orders = load_tables(spark, sf_dir)["orders"]
+    catalog = Catalog(spark, tempfile.mkdtemp(prefix="warehouse-cdc-"))
+    t = catalog.create_table("nyc", "orders_cdc", orders.schema)
+    snap1 = t.append_dataframe(orders)
+    t.update_set("o_orderstatus = 'P'", {"o_totalprice": "o_totalprice * 0.9"})
+    return (
+        t.changelog(snap1)
+        .groupBy("_change_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("o_totalprice").cast("decimal(38,6)")).cast("double").alias("total"),
+        )
+        .orderBy("_change_type")
+    )
+
+
+@query("catalog_metadata_count", "SELECT COUNT(*) AS n FROM customer")
+def catalog_metadata_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Aggregate pushdown to manifest statistics: COUNT(*) answered from
+    the snapshot's per-file record counts — zero data IO (the scan-free
+    path Iceberg serves from manifests). Must equal the oracle's real
+    count."""
+    customer = load_tables(spark, sf_dir)["customer"]
+    catalog = Catalog(spark, tempfile.mkdtemp(prefix="warehouse-cnt-"))
+    t = catalog.create_table("nyc", "customer_cnt", customer.schema)
+    t.append_dataframe(customer)
+    return spark.createDataFrame([(t.count_rows(),)], "n long")

@@ -834,3 +834,32 @@ def test_merge_delete_not_matched_by_source(spark, catalog):
     )
     rows = {r["tag"] for r in t2.scan().collect()}
     assert rows == {"a2", "b", "nullkey", "d"}
+
+
+def test_changelog_and_metadata_count(spark, catalog):
+    df = spark.createDataFrame(
+        [(i, float(i), "keep" if i % 3 else "drop") for i in range(90)],
+        "id long, val double, tag string",
+    )
+    t = catalog.create_table("nyc", "cdc", df.schema)
+    snap1 = t.append_dataframe(df)
+    assert t.count_rows() == 90  # metadata-only path (no deletes pending)
+
+    t.delete_where("tag = 'drop'")
+    ch = t.changelog(snap1).collect()
+    assert all(r["_change_type"] == "delete" for r in ch)
+    assert {r["id"] for r in ch} == {i for i in range(90) if i % 3 == 0}
+
+    snap2 = t.current_snapshot["snapshot_id"]
+    t.append_dataframe(spark.createDataFrame([(1000, 5.0, "new")], df.schema))
+    ch2 = {(r["id"], r["_change_type"]) for r in t.changelog(snap2).collect()}
+    assert ch2 == {(1000, "insert")}
+
+    # MOR deletes force the fallback count; results still correct
+    t.delete_where_mor("id < 10")
+    assert t.count_rows() == t.scan().count()
+
+    # changelog across the MOR delete: only the surviving-row diff
+    ch3 = t.changelog(snap2).collect()
+    types = {r["_change_type"] for r in ch3}
+    assert types == {"insert", "delete"}
