@@ -89,3 +89,50 @@ def source_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("o_orderstatus")
     )
+
+
+@query(
+    "source_text_roundtrip",
+    """
+SELECT COUNT(*) AS n_lines,
+       CAST(SUM(length(text)) AS BIGINT) AS total_chars,
+       MIN(length(text)) AS min_len, MAX(length(text)) AS max_len
+FROM documents
+""",
+)
+def source_text_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """documents.text → line-oriented text files → spark.read.text back.
+    One line per document (the raw-corpus interchange format every LLM
+    pipeline starts from); newlines inside documents would need escaping,
+    asserted absent here. Aggregate must match the parquet source."""
+    docs = load_tables(spark, sf_dir)["documents"]
+    assert docs.filter(F.col("text").contains("\n")).count() == 0
+    loc = tempfile.mkdtemp(prefix="src-text-") + "/docs_txt"
+    docs.select("text").write.text(loc)
+    back = spark.read.text(loc)  # one 'value' column per line
+    return back.agg(
+        F.count(F.lit(1)).alias("n_lines"),
+        F.sum(F.length("value")).cast("bigint").alias("total_chars"),
+        F.min(F.length("value")).alias("min_len"),
+        F.max(F.length("value")).alias("max_len"),
+    )
+
+
+@query("source_binaryfile_scan", None)  # file bytes aren't a DuckDB table → rows-only
+def source_binaryfile_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """spark.read.format('binaryFile'): whole files as (path, length,
+    content) rows — the ingestion seam for multimodal blobs (images,
+    audio) that llmops/multimodal.py processes. Reads the fixture's own
+    parquet files as opaque binaries and digests them; invariants
+    (length == actual bytes, magic header) are asserted in
+    tests/test_sanitize.py."""
+    df = (
+        spark.read.format("binaryFile")
+        .option("pathGlobFilter", "*.parquet")
+        .load(sf_dir)
+    )
+    return df.select(
+        F.element_at(F.split("path", "/"), -1).alias("file_name"),
+        "length",
+        F.md5("content").alias("content_md5"),
+    ).orderBy("file_name")

@@ -177,3 +177,23 @@ def test_aggregate_folder_n_to_one(spark, counters_df, tmp_path):
     with pytest.raises(Exception):
         aggregate_folder(spark, src, out)  # refuses overwrite without flag
     aggregate_folder(spark, src, out, overwrite=True)  # explicit flag ok
+
+
+def test_binaryfile_source_reads_whole_files(spark, sf_dir):
+    """binaryFile source: content length matches the length column and the
+    on-disk file size; parquet magic bytes present (whole-file fidelity —
+    the property multimodal blob ingestion depends on)."""
+    import os
+
+    df = (
+        spark.read.format("binaryFile")
+        .option("pathGlobFilter", "region.parquet")
+        .load(sf_dir)
+    )
+    rows = df.collect()
+    assert len(rows) == 1
+    r = rows[0]
+    assert r["length"] == len(r["content"]) == os.path.getsize(
+        os.path.join(sf_dir, "region.parquet")
+    )
+    assert bytes(r["content"][:4]) == b"PAR1"
