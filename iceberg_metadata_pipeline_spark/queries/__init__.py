@@ -111,6 +111,7 @@ def _load_all():
         asof,
         extras,
         joins,
+        modern_sql,
         relational,
         scalar_funcs,
         setops,

@@ -1,0 +1,101 @@
+"""Modern Spark SQL surface (Spark 4.x): recursive CTEs, correlated
+LATERAL subqueries, Python UDTFs, GROUP BY ALL. The reference deploys
+"all of Spark SQL" (SURVEY.md §2.B, entrypoint-spark.sh:73); these are
+the newest corners of that surface, each proven against DuckDB.
+
+Scale notes: a correlated LATERAL with LIMIT decorrelates to the same
+window/group-limit plan as the top-k-per-group query (no per-row
+subquery execution); recursive CTEs iterate a join per level — depth,
+not data size, is the driver-side factor; Python UDTFs are Arrow-batched
+like pandas UDFs and belong off the hot path (here: sentence splitting,
+a genuinely per-row generator shape).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from iceberg_metadata_pipeline_spark.queries import query, sql_query
+from iceberg_metadata_pipeline_spark.session import load_tables
+
+# recursive CTE: walk the nation table key-by-key accumulating region
+# keys — pure integer arithmetic, identical in both engines
+sql_query(
+    "subquery_recursive_cte",
+    """
+WITH RECURSIVE walk(key, total) AS (
+  SELECT n_nationkey, CAST(n_regionkey AS BIGINT)
+  FROM nation WHERE n_nationkey = 0
+  UNION ALL
+  SELECT n.n_nationkey, w.total + n.n_regionkey
+  FROM walk w JOIN nation n ON n.n_nationkey = w.key + 1
+)
+SELECT COUNT(*) AS n_steps, MAX(total) AS final_total FROM walk
+""",
+    oracle="same",
+)
+
+# correlated LATERAL subquery with ORDER BY + LIMIT: top-2 nations per
+# region — Catalyst decorrelates this to a window group-limit, not a
+# per-row re-execution
+sql_query(
+    "join_lateral_topk",
+    """
+SELECT r.r_name, l.n_name
+FROM region r, LATERAL (
+  SELECT n_name FROM nation n
+  WHERE n.n_regionkey = r.r_regionkey
+  ORDER BY n_name LIMIT 2
+) l
+ORDER BY r.r_name, l.n_name
+""",
+    oracle="same",
+)
+
+sql_query(
+    "agg_group_by_all",
+    """
+SELECT l_returnflag, l_linestatus, COUNT(*) AS n,
+  CAST(SUM(CAST(l_quantity AS DECIMAL(38,6))) AS DOUBLE) AS sum_qty
+FROM lineitem
+GROUP BY ALL
+ORDER BY l_returnflag, l_linestatus
+""",
+    oracle="same",
+)
+
+
+@query(
+    "udtf_sentence_split",
+    """
+SELECT doc_id, i - 1 AS idx, length(parts[i]) AS sent_len
+FROM (
+  SELECT doc_id, parts, unnest(generate_series(1, len(parts))) AS i
+  FROM (SELECT doc_id, string_split(text, '. ') AS parts FROM documents) s
+) e
+ORDER BY doc_id, idx
+""",
+)
+def udtf_sentence_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Python UDTF (Spark 4 table function): one output row per sentence,
+    invoked as a LATERAL table function — the row-generator shape
+    (parsing, span extraction) that neither scalar UDFs nor explode
+    express naturally. Deterministic string math, so it oracle-checks
+    against DuckDB's split + range lateral."""
+    from pyspark.sql.functions import udtf
+
+    @udtf(returnType="sent: string, idx: int")
+    class SplitSentences:
+        def eval(self, text: str):
+            for i, sent in enumerate((text or "").split(". ")):
+                yield sent, i
+
+    load_tables(spark, sf_dir)
+    spark.udtf.register("split_sentences", SplitSentences)
+    return spark.sql(
+        """
+        SELECT d.doc_id, s.idx, length(s.sent) AS sent_len
+        FROM documents d, LATERAL split_sentences(d.text) s
+        ORDER BY doc_id, idx
+        """
+    )
