@@ -336,3 +336,63 @@ FROM (
 ORDER BY doc_id, chunk_id
 """,
 )
+
+
+# Bigram language-model scoring: add-one-smoothed conditional probability
+# of each document under a bigram model trained on the corpus itself —
+# the classic cheap fluency/quality signal (boilerplate and gibberish
+# score low). Deliberately NO logarithms: ln() is not correctly-rounded
+# and differs across engines in the last ulp, but IEEE division IS
+# correctly rounded, so the per-bigram probability (c2+1)/(c1+V) is
+# bit-identical everywhere; summing those doubles as decimals makes the
+# mean order-independent. Plan shape at 100 TB: bigram explode is
+# map-side; the model is two hash aggregations (shuffle O(distinct
+# bigrams), not O(tokens)); scoring joins the bigram stream to the model
+# on the bigram key — a shuffle join whose build side is the model.
+sql_query(
+    "text_bigram_lm_score",
+    """
+WITH big AS (
+  SELECT doc_id, t[i] AS w1, t[i + 1] AS w2
+  FROM (
+    SELECT doc_id, t, explode(sequence(0, size(t) - 2)) AS i
+    FROM (SELECT doc_id, split(text, ' ') AS t FROM documents) s
+    WHERE size(t) >= 2
+  ) e
+),
+c2 AS (SELECT w1, w2, COUNT(*) AS n2 FROM big GROUP BY w1, w2),
+c1 AS (SELECT w1, COUNT(*) AS n1 FROM big GROUP BY w1),
+v AS (SELECT COUNT(DISTINCT w1) AS vocab FROM big)
+SELECT b.doc_id, COUNT(*) AS n_bigrams,
+  round(CAST(SUM(CAST(CAST(c2.n2 + 1 AS DOUBLE) / CAST(c1.n1 + v.vocab AS DOUBLE)
+                     AS DECIMAL(38,18))) AS DOUBLE) / COUNT(*), 12) AS avg_condprob
+FROM big b
+JOIN c2 ON b.w1 = c2.w1 AND b.w2 = c2.w2
+JOIN c1 ON b.w1 = c1.w1
+CROSS JOIN v
+GROUP BY b.doc_id
+ORDER BY b.doc_id
+""",
+    oracle="""
+WITH big AS (
+  SELECT doc_id, t[i] AS w1, t[i + 1] AS w2
+  FROM (
+    SELECT doc_id, t, unnest(generate_series(1, len(t) - 1)) AS i
+    FROM (SELECT doc_id, string_split(text, ' ') AS t FROM documents) s
+    WHERE len(t) >= 2
+  ) e
+),
+c2 AS (SELECT w1, w2, COUNT(*) AS n2 FROM big GROUP BY w1, w2),
+c1 AS (SELECT w1, COUNT(*) AS n1 FROM big GROUP BY w1),
+v AS (SELECT COUNT(DISTINCT w1) AS vocab FROM big)
+SELECT b.doc_id, COUNT(*) AS n_bigrams,
+  round(CAST(SUM(CAST(CAST(c2.n2 + 1 AS DOUBLE) / CAST(c1.n1 + v.vocab AS DOUBLE)
+                     AS DECIMAL(38,18))) AS DOUBLE) / COUNT(*), 12) AS avg_condprob
+FROM big b
+JOIN c2 ON b.w1 = c2.w1 AND b.w2 = c2.w2
+JOIN c1 ON b.w1 = c1.w1
+CROSS JOIN v
+GROUP BY b.doc_id
+ORDER BY b.doc_id
+""",
+)
