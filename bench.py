@@ -46,6 +46,12 @@ HEADLINE = [
     "text_quality_signals",
     "sim_cosine_topk_bruteforce",
     "sim_cosine_topk_lsh",
+    # round-2 additions: MOR row ops, maintenance, pipeline shapes
+    "table_update_mor",
+    "table_binpack_compaction",
+    "text_document_chunking",
+    "text_bigram_lm_score",
+    "embed_quantize_int8",
 ]
 
 

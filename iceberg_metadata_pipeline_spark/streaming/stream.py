@@ -190,3 +190,59 @@ def clicks_views_stream_join(
     return c.join(v, cond, "inner").select(
         "click_id", F.col("c_user").alias("user_id"), "click_ts", "view_id", "view_ts", "view_value"
     )
+
+
+def user_value_stats_tws(events: DataFrame) -> DataFrame:
+    """Custom stateful operator on the NEW transformWithStateInPandas API
+    (Spark 4's successor to applyInPandasWithState): typed per-key state
+    handles (ValueState here) instead of one opaque GroupState blob, plus
+    timers and multiple state variables when needed. Keeps a running
+    (count, sum, max) per user and emits the updated stats every
+    micro-batch.
+
+    Environment gate: the API's state-server protocol needs the protobuf
+    package at runtime (pyspark/sql/streaming/proto). This container
+    lacks it, so the test suite exercises this operator only when
+    protobuf imports (pytest.importorskip); applyInPandasWithState
+    (``running_user_totals``) is the always-runnable equivalent.
+
+    Scale notes: state lives in the per-partition state store (RocksDB
+    provider — required by this API and the right choice at scale: state
+    spills to disk instead of executor heap); the shuffle is the same
+    groupBy-key exchange as any stateful agg. Arrow-batched like all
+    pandas paths."""
+    import pandas as pd
+    from pyspark.sql.streaming.stateful_processor import (
+        StatefulProcessor,
+        StatefulProcessorHandle,
+    )
+
+    class UserStats(StatefulProcessor):
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self._stats = handle.getValueState(
+                "stats", "n BIGINT, total DOUBLE, mx DOUBLE"
+            )
+
+        def handleInputRows(self, key, rows, timerValues):
+            if self._stats.exists():
+                n, total, mx = self._stats.get()
+            else:
+                n, total, mx = 0, 0.0, float("-inf")
+            for pdf in rows:
+                n += len(pdf)
+                total += float(pdf["value"].sum())
+                mx = max(mx, float(pdf["value"].max()))
+            self._stats.update((n, total, mx))
+            yield pd.DataFrame(
+                {"user_id": [key[0]], "n_events": [n], "total_value": [total], "max_value": [mx]}
+            )
+
+        def close(self) -> None:
+            pass
+
+    return events.groupBy("user_id").transformWithStateInPandas(
+        statefulProcessor=UserStats(),
+        outputStructType="user_id BIGINT, n_events BIGINT, total_value DOUBLE, max_value DOUBLE",
+        outputMode="Update",
+        timeMode="None",
+    )

@@ -310,3 +310,48 @@ def test_epoch_persists_atomically_with_data(spark, sf_dir, events_stream, tmp_p
     committed = reloaded.properties.get("last_committed_epoch")
     assert committed is not None and int(committed) >= last_epoch
     assert reloaded.scan().count() == before
+
+
+def test_transform_with_state_user_stats(spark, sf_dir, tables):
+    """transformWithStateInPandas (typed-state API): final per-user stats
+    must equal the batch aggregate. Needs the RocksDB state store AND the
+    protobuf package (the API's state-server protocol dependency — absent
+    in this container, so the test skips rather than stubs)."""
+    pytest.importorskip("google.protobuf.descriptor")
+    from iceberg_metadata_pipeline_spark.streaming.stream import (
+        read_events_stream,
+        user_value_stats_tws,
+    )
+
+    prev = spark.conf.get("spark.sql.streaming.stateStore.providerClass", None)
+    spark.conf.set(
+        "spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+    )
+    try:
+        name = f"tws_{uuid.uuid4().hex[:8]}"
+        _run_to_memory(
+            user_value_stats_tws(read_events_stream(spark, sf_dir)), name, mode="update"
+        )
+        final = spark.sql(
+            f"""SELECT user_id, max_by(n_events, n_events) AS n,
+                       max_by(total_value, n_events) AS total,
+                       max_by(max_value, n_events) AS mx
+                FROM {name} GROUP BY user_id"""
+        )
+        got = {r["user_id"]: (r["n"], round(r["total"], 6), r["mx"]) for r in final.collect()}
+        batch = {
+            r["user_id"]: (r["n"], round(r["total"], 6), r["mx"])
+            for r in tables["events"]
+            .groupBy("user_id")
+            .agg(
+                F.count(F.lit(1)).alias("n"),
+                F.sum("value").alias("total"),
+                F.max("value").alias("mx"),
+            )
+            .collect()
+        }
+        assert got == batch
+    finally:
+        if prev is not None:
+            spark.conf.set("spark.sql.streaming.stateStore.providerClass", prev)
