@@ -863,3 +863,75 @@ def test_changelog_and_metadata_count(spark, catalog):
     ch3 = t.changelog(snap2).collect()
     types = {r["_change_type"] for r in ch3}
     assert types == {"insert", "delete"}
+
+
+def test_mor_random_ops_match_model(spark, catalog):
+    """Randomized MOR lifecycle vs an in-memory model: interleaved appends,
+    predicate/equality MOR deletes, MOR updates, MOR merges, and
+    compactions must keep the scan exactly equal to the model at every
+    step (the sequence-number algebra has to hold under composition, not
+    just in single-op tests). Seeded, so failures reproduce."""
+    import random
+
+    rng = random.Random(7)
+    schema = "id long, val double, tag string"
+
+    def df_of(rows):
+        return spark.createDataFrame(rows, schema)
+
+    t = catalog.create_table("nyc", "model", df_of([(0, 0.0, "a")]).schema)
+    model: dict[int, tuple] = {}
+    rows = [(i, float(i), rng.choice("abc")) for i in range(50)]
+    next_id = 50
+    t.append_dataframe(df_of(rows))
+    model.update({r[0]: r for r in rows})
+
+    for step in range(12):
+        op = rng.choice(["append", "del_pred", "del_keys", "upd", "merge", "compact"])
+        if op == "append":
+            rows = [
+                (next_id + i, float(rng.randint(0, 99)), rng.choice("abc"))
+                for i in range(10)
+            ]
+            next_id += 10
+            t.append_dataframe(df_of(rows))
+            model.update({r[0]: r for r in rows})
+        elif op == "del_pred":
+            tag, lim = rng.choice("abc"), rng.randint(0, 99)
+            t.delete_where_mor(f"tag = '{tag}' AND val <= {lim}")
+            model = {
+                k: r for k, r in model.items() if not (r[2] == tag and r[1] <= lim)
+            }
+        elif op == "del_keys" and model:
+            ids = rng.sample(sorted(model), min(5, len(model)))
+            t.delete_keys_mor(spark.createDataFrame([(i,) for i in ids], "id long"))
+            for i in ids:
+                model.pop(i)
+        elif op == "upd":
+            tag = rng.choice("abc")
+            t.update_set_mor(f"tag = '{tag}'", {"val": "val + 1000"})
+            model = {
+                k: (r[0], r[1] + 1000 if r[2] == tag else r[1], r[2])
+                for k, r in model.items()
+            }
+        elif op == "merge":
+            ids = rng.sample(sorted(model), min(3, len(model))) if model else []
+            new_id = next_id
+            next_id += 1
+            src = [(i, 5.0, "m") for i in ids] + [(new_id, 7.0, "n")]
+            t.merge_into_mor(
+                df_of(src), on=["id"], when_matched_set={"val": "src_val", "tag": "src_tag"}
+            )
+            for i in ids:
+                model[i] = (i, 5.0, "m")
+            model[new_id] = (new_id, 7.0, "n")
+        else:
+            t.rewrite_small_files() if step % 2 else t.rewrite_data_files()
+        got = {(r["id"], round(r["val"], 6), r["tag"]) for r in t.scan().collect()}
+        want = {(k, round(v[1], 6), v[2]) for k, v in model.items()}
+        assert got == want, f"diverged at step {step} ({op})"
+
+    # a fresh handle reads the same final state from disk
+    t2 = catalog.load_table("nyc", "model")
+    got = {(r["id"], round(r["val"], 6), r["tag"]) for r in t2.scan().collect()}
+    assert got == {(k, round(v[1], 6), v[2]) for k, v in model.items()}

@@ -315,3 +315,30 @@ def test_contamination_join_is_equi_not_cartesian(spark, sf_dir):
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
     assert "EvalPython" not in plan  # all-JVM row path
+
+
+def test_round2_pipeline_queries_stay_jvm_side(spark, sf_dir):
+    # embedding/chunking/bigram queries are pure higher-order-function
+    # pipelines: python must never appear in the row path
+    from iceberg_metadata_pipeline_spark.queries import REGISTRY, _load_all
+
+    _load_all()
+    for name in (
+        "embed_l2_normalize",
+        "embed_quantize_int8",
+        "embed_centroid_per_label",
+        "text_document_chunking",
+        "text_bigram_lm_score",
+    ):
+        plan = plan_of(REGISTRY[name].fn(spark, sf_dir))
+        assert "EvalPython" not in plan, f"{name} fell off the JVM path"
+
+
+def test_lateral_topk_decorrelates(spark, sf_dir):
+    # correlated LATERAL + LIMIT must become a keyed join (Catalyst
+    # decorrelation), never a per-row subquery or cartesian
+    from iceberg_metadata_pipeline_spark.queries import REGISTRY, _load_all
+
+    _load_all()
+    plan = plan_of(REGISTRY["join_lateral_topk"].fn(spark, sf_dir))
+    assert "CartesianProduct" not in plan
