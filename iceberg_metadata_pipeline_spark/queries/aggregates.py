@@ -244,3 +244,21 @@ ORDER BY l_returnflag
 """,
     oracle="same",
 )
+
+
+# boolean and conditional-count aggregates (bool_and/bool_or/count_if):
+# pure logic over exact comparisons — deterministic in any engine
+sql_query(
+    "agg_bool_count_if",
+    """
+SELECT o_orderstatus,
+       bool_and(o_totalprice > 1000)    AS all_over_1k,
+       bool_or(o_totalprice > 400000)   AS any_over_400k,
+       count_if(o_orderpriority = '1-URGENT') AS n_urgent,
+       COUNT(*) AS n
+FROM orders
+GROUP BY o_orderstatus
+ORDER BY o_orderstatus
+""",
+    oracle="same",
+)

@@ -307,3 +307,36 @@ WHERE p_partkey < 200
 ORDER BY p_partkey
 """,
 )
+
+
+sql_query(
+    "fn_string_family2",
+    """
+SELECT p_partkey,
+       translate(p_brand, '#', '-') AS brand_dash,
+       repeat(p_brand, 2) AS brand2,
+       left(p_name, 3) AS name_l3,
+       right(p_name, 3) AS name_r3,
+       instr(p_name, 'o') AS first_o,
+       ascii(p_brand) AS brand_ascii0,
+       chr(65 + CAST(p_size % 26 AS INT)) AS size_letter,
+       split_part(p_type, ' ', 1) AS type_first,
+       rpad(p_brand, 12, '.') AS brand_rpad
+FROM part
+ORDER BY p_partkey
+""",
+    oracle="""
+SELECT p_partkey,
+       translate(p_brand, '#', '-') AS brand_dash,
+       repeat(p_brand, 2) AS brand2,
+       left(p_name, 3) AS name_l3,
+       right(p_name, 3) AS name_r3,
+       strpos(p_name, 'o') AS first_o,
+       ascii(p_brand) AS brand_ascii0,
+       chr(65 + CAST(p_size % 26 AS INT)) AS size_letter,
+       split_part(p_type, ' ', 1) AS type_first,
+       rpad(p_brand, 12, '.') AS brand_rpad
+FROM part
+ORDER BY p_partkey
+""",
+)

@@ -146,3 +146,29 @@ FROM customer
 ORDER BY c_custkey
 """,
 )
+
+# IGNORE NULLS placement differs by dialect: Spark puts it after the
+# closing paren, DuckDB inside the argument list — same semantics
+sql_query(
+    "window_nth_value_ignore_nulls",
+    """
+SELECT o_custkey, o_orderkey,
+       NTH_VALUE(o_orderkey, 2) OVER w AS second_order,
+       FIRST_VALUE(CASE WHEN o_orderstatus = 'F' THEN o_orderkey END) IGNORE NULLS
+         OVER w AS first_finished
+FROM orders
+WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+             ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+ORDER BY o_custkey, o_orderkey
+""",
+    oracle="""
+SELECT o_custkey, o_orderkey,
+       NTH_VALUE(o_orderkey, 2) OVER w AS second_order,
+       FIRST_VALUE(CASE WHEN o_orderstatus = 'F' THEN o_orderkey END IGNORE NULLS)
+         OVER w AS first_finished
+FROM orders
+WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+             ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+ORDER BY o_custkey, o_orderkey
+""",
+)
