@@ -321,11 +321,16 @@ class Table:
         else:
             parent = self.meta.get("current_snapshot_id")
         base = self.snapshot_files(snapshot_id=parent) if parent is not None else []
-        # stamp this commit's data sequence number on everything it adds
+        # stamp this commit's data sequence number on everything it adds;
+        # delete entries that already carry a seq keep it (maintenance
+        # commits re-register surviving entries — re-stamping would make
+        # them apply to files added since their original commit)
         seq = int(self.meta.get("last_sequence_number", 0)) + 1
         for f in added:
             f.seq = seq
-        added_deletes = [dict(d, seq=seq) for d in (added_deletes or [])]
+        added_deletes = [
+            d if "seq" in d else dict(d, seq=seq) for d in (added_deletes or [])
+        ]
         result = [f for f in base if f.path not in removed_paths] + added
         snapshot_id = int(uuid.uuid4().int % (1 << 62))
         manifest_name = f"snap-{snapshot_id}.json"
@@ -558,6 +563,33 @@ class Table:
             added.extend(entries)
             removed.update(f.path for f in group)
         return self._commit("replace", added, removed_paths=removed)
+
+    def rewrite_delete_files(self) -> tuple[int, int]:
+        """Purge inert MOR delete entries (Iceberg's
+        rewrite_position_delete_files analogue): an entry whose sequence
+        is ≤ every live file's sequence can never match anything again —
+        the files it covered were rewritten or removed — yet every scan
+        still pays its filter/anti-join. One metadata-only commit
+        re-registers just the still-live entries (their original
+        sequences preserved). Returns (dropped, kept)."""
+        snap = self.current_snapshot
+        if snap is None:
+            return (0, 0)
+        deletes = self._resolve_deletes(snap)
+        if not deletes:
+            return (0, 0)
+        files = self._resolve_manifest(snap)
+        live = [
+            d
+            for d in deletes
+            if any(d.get("seq") is None or f.seq < d["seq"] for f in files)
+        ]
+        if len(live) == len(deletes):
+            return (0, len(deletes))
+        self._commit(
+            "delete-maintenance", [], added_deletes=live, clears_deletes=True
+        )
+        return (len(deletes) - len(live), len(live))
 
     def rewrite_manifests(self) -> int:
         """Collapse the current snapshot's delta chain into one full

@@ -269,6 +269,7 @@ _PROC_POSITIONAL = {
     "remove_orphan_files": ["table", "dry_run"],
     "rewrite_data_files": ["table", "target_num_files", "strategy", "sort_order"],
     "rewrite_manifests": ["table"],
+    "rewrite_position_delete_files": ["table"],
     "fast_forward": ["table", "branch"],
 }
 
@@ -348,6 +349,12 @@ def _run_procedure(catalog: Catalog, proc: str, raw_args: str) -> DataFrame:
         return spark.createDataFrame(
             [(n_before, len(table.snapshot_files()))],
             "rewritten_data_files_count int, added_data_files_count int",
+        )
+    if proc == "rewrite_position_delete_files":
+        dropped, kept = table.rewrite_delete_files()
+        return spark.createDataFrame(
+            [(dropped, kept)],
+            "removed_delete_files_count int, remaining_delete_files_count int",
         )
     if proc == "rewrite_manifests":
         collapsed = table.rewrite_manifests()

@@ -935,3 +935,27 @@ def test_mor_random_ops_match_model(spark, catalog):
     t2 = catalog.load_table("nyc", "model")
     got = {(r["id"], round(r["val"], 6), r["tag"]) for r in t2.scan().collect()}
     assert got == {(k, round(v[1], 6), v[2]) for k, v in model.items()}
+
+
+def test_rewrite_delete_files_purges_inert_entries(spark, catalog):
+    """After compaction folds a delete's covered files away, the entry is
+    inert; rewrite_delete_files drops it without touching live ones."""
+    df = spark.createDataFrame([(i, float(i)) for i in range(100)], "id long, val double")
+    t = catalog.create_table("nyc", "purge", df.schema)
+    t.append_dataframe(df.filter("id < 50"))
+    t.append_dataframe(df.filter("id >= 50"))
+    t.delete_where_mor("id >= 90")
+    # binpack folds both files (applying the delete); the entry stays live
+    # metadata until purged
+    t.rewrite_small_files()
+    assert len(t._resolve_deletes(t.current_snapshot)) == 1
+    dropped, kept = t.rewrite_delete_files()
+    assert (dropped, kept) == (1, 0)
+    assert t.scan().count() == 90
+
+    # a delete newer than every file stays (it still covers them)
+    t.delete_where_mor("id < 5")
+    assert t.rewrite_delete_files() == (0, 1)
+    assert t.scan().count() == 85
+    # fresh handle agrees
+    assert catalog.load_table("nyc", "purge").scan().count() == 85

@@ -270,3 +270,16 @@ def test_views_create_query_introspect(catalog, spark):
     )
     assert catalog.drop_view("nyc", "bigevens")
     assert catalog.list_views("nyc") == ["evens"]
+
+
+def test_call_rewrite_position_delete_files(catalog, spark):
+    df = spark.createDataFrame([(i,) for i in range(40)], "id long")
+    t = catalog.create_table("nyc", "pdf", df.schema)
+    t.append_dataframe(df)
+    t.delete_where_mor("id >= 30")
+    t.rewrite_small_files() or t.rewrite_data_files()
+    out = catalog_sql(
+        catalog, "CALL system.rewrite_position_delete_files(table => 'nyc.pdf')"
+    ).collect()
+    assert out[0]["removed_delete_files_count"] >= 0
+    assert catalog_sql(catalog, "SELECT COUNT(*) AS n FROM nyc.pdf").first()["n"] == 30
