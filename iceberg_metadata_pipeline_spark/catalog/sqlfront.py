@@ -270,6 +270,7 @@ _PROC_POSITIONAL = {
     "rewrite_data_files": ["table", "target_num_files", "strategy", "sort_order"],
     "rewrite_manifests": ["table"],
     "rewrite_position_delete_files": ["table"],
+    "add_files": ["table", "source_dir"],
     "fast_forward": ["table", "branch"],
 }
 
@@ -349,6 +350,22 @@ def _run_procedure(catalog: Catalog, proc: str, raw_args: str) -> DataFrame:
         return spark.createDataFrame(
             [(n_before, len(table.snapshot_files()))],
             "rewritten_data_files_count int, added_data_files_count int",
+        )
+    if proc == "add_files":
+        # Iceberg's metadata-only file registration (the reference's core
+        # ingest operator A10, ImportParquetFolders.java:102-117): footers
+        # are scanned for stats, no data is copied or rewritten
+        from iceberg_metadata_pipeline_spark.catalog.metacat import (
+            scan_parquet_footers,
+        )
+
+        entries = scan_parquet_footers(str(args["source_dir"]), spark)
+        before = {f.path for f in table.snapshot_files()}
+        table.append_files(entries)
+        table.refresh()
+        added = len({f.path for f in table.snapshot_files()} - before)
+        return spark.createDataFrame(
+            [(added, len(entries))], "added_files_count int, source_files_count int"
         )
     if proc == "rewrite_position_delete_files":
         dropped, kept = table.rewrite_delete_files()

@@ -283,3 +283,22 @@ def test_call_rewrite_position_delete_files(catalog, spark):
     ).collect()
     assert out[0]["removed_delete_files_count"] >= 0
     assert catalog_sql(catalog, "SELECT COUNT(*) AS n FROM nyc.pdf").first()["n"] == 30
+
+
+def test_call_add_files_metadata_only(catalog, spark, sf_dir, tmp_path):
+    import os
+
+    nation = spark.read.parquet(os.path.join(sf_dir, "nation.parquet"))
+    t = catalog.create_table("nyc", "addf", nation.schema)
+    out = catalog_sql(
+        catalog,
+        f"CALL system.add_files(table => 'nyc.addf', source_dir => '{sf_dir}/nation.parquet')",
+    ).collect()
+    assert out[0]["added_files_count"] == 1
+    assert catalog_sql(catalog, "SELECT COUNT(*) AS n FROM nyc.addf").first()["n"] == nation.count()
+    # idempotent: re-adding the same path registers nothing new
+    out = catalog_sql(
+        catalog,
+        f"CALL system.add_files(table => 'nyc.addf', source_dir => '{sf_dir}/nation.parquet')",
+    ).collect()
+    assert out[0]["added_files_count"] == 0
