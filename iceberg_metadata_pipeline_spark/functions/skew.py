@@ -61,3 +61,29 @@ def salted_join_hot_keys(
     hot = salted_join(l_hot, r_hot, on, n_salts, how)
     cold = l_cold.join(r_cold, on, how)
     return hot.unionByName(cold)
+
+
+def salted_two_stage_agg(
+    df: DataFrame,
+    keys: list[str],
+    sum_col: str,
+    n_salts: int = 16,
+) -> DataFrame:
+    """Two-stage aggregation for skewed group keys: stage 1 aggregates on
+    (key, salt) — the hot key spreads over ``n_salts`` shuffle partitions
+    — stage 2 folds the per-salt partials into final (count, sum) per
+    key. Identical result to a direct groupBy (decimal sums make the fold
+    order-independent). Note Spark's map-side partial aggregation already
+    gives this effect for built-in aggregates; the explicit form is for
+    the cases partial agg can't save: high-cardinality accumulators
+    (collect/distinct-style) or a reduce genuinely dominated by one key's
+    final-stage row volume."""
+    salted = df.withColumn(SALT_COL, F.pmod(F.hash(*[F.col(c) for c in df.columns]), F.lit(n_salts)))
+    partial = salted.groupBy(*keys, SALT_COL).agg(
+        F.count(F.lit(1)).alias("__n"),
+        F.sum(F.col(sum_col).cast("decimal(38,6)")).alias("__s"),
+    )
+    return partial.groupBy(*keys).agg(
+        F.sum("__n").alias("n"),
+        F.sum("__s").cast("double").alias("total"),
+    )

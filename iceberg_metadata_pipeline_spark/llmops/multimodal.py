@@ -203,3 +203,35 @@ def multimodal_resize_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("media_type")
     )
+
+
+# Binary-column digests computed entirely JVM-side (no Python kernel):
+# the blob bookkeeping every multimodal table needs — sizes, integrity
+# hashes, wire encoding — stays in codegen even when decode can't.
+# Oracle-checked: DuckDB computes the same digests over the same
+# synthesized payload bytes.
+sql_query(
+    "multimodal_binary_digest",
+    """
+SELECT doc_id,
+       CASE WHEN doc_id % 3 = 0 THEN 'image/png'
+            WHEN doc_id % 3 = 1 THEN 'audio/wav'
+            ELSE 'video/mp4' END AS media_type,
+       length(encode(text, 'UTF-8')) AS payload_bytes,
+       md5(encode(text, 'UTF-8')) AS payload_md5,
+       substr(base64(encode(text, 'UTF-8')), 1, 16) AS b64_prefix
+FROM documents
+ORDER BY doc_id
+""",
+    oracle="""
+SELECT doc_id,
+       CASE WHEN doc_id % 3 = 0 THEN 'image/png'
+            WHEN doc_id % 3 = 1 THEN 'audio/wav'
+            ELSE 'video/mp4' END AS media_type,
+       octet_length(encode(text)) AS payload_bytes,
+       md5(text) AS payload_md5,
+       substr(to_base64(encode(text)), 1, 16) AS b64_prefix
+FROM documents
+ORDER BY doc_id
+""",
+)

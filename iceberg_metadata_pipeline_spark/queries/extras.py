@@ -182,3 +182,27 @@ FROM documents a JOIN documents b ON a.doc_id < b.doc_id AND a.doc_id < 15 AND b
 ORDER BY id_a, id_b
 """,
 )
+
+
+@query(
+    "agg_salted_two_stage",
+    """
+SELECT l_returnflag, COUNT(*) AS n,
+  CAST(SUM(CAST(l_extendedprice AS DECIMAL(38,6))) AS DOUBLE) AS total
+FROM lineitem
+GROUP BY l_returnflag
+ORDER BY l_returnflag
+""",
+)
+def agg_salted_two_stage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-proof two-stage aggregation (salt → partial → final): with
+    only 3 distinct return flags, a naive final stage funnels everything
+    through 3 tasks; salting spreads each hot key over 16. The result
+    must equal the plain GROUP BY oracle exactly (decimal partials fold
+    order-free)."""
+    from iceberg_metadata_pipeline_spark.functions.skew import salted_two_stage_agg
+
+    li = load_tables(spark, sf_dir)["lineitem"]
+    return salted_two_stage_agg(li, ["l_returnflag"], "l_extendedprice").orderBy(
+        "l_returnflag"
+    )

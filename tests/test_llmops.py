@@ -265,3 +265,45 @@ def test_assign_chunks_deterministic_across_partitioning(spark):
     a = assign_chunks(docs, seq_len=1024).orderBy("doc_id").collect()
     b = assign_chunks(docs.repartition(13), seq_len=1024).orderBy("doc_id").collect()
     assert [tuple(r) for r in a] == [tuple(r) for r in b]
+
+
+def test_chunking_matches_python_reference(spark, sf_dir):
+    """text_document_chunking's slicing algebra vs a straightforward
+    python implementation on adversarial lengths (empty-ish, exactly K,
+    K±1, stride boundaries). The shared `documents` temp view is swapped
+    for the adversarial table and restored afterwards."""
+    import hashlib
+
+    K, S = 64, 48
+    docs = [
+        (i, " ".join(f"w{j}" for j in range(n)))
+        for i, n in enumerate([1, 2, 63, 64, 65, 111, 112, 113, 160, 200, 5])
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    from iceberg_metadata_pipeline_spark import session as sess
+    from iceberg_metadata_pipeline_spark.queries import REGISTRY, _load_all
+
+    _load_all()
+    sql = REGISTRY["text_document_chunking"].fn.__doc__  # sql_query stores SQL
+    try:
+        df.createOrReplaceTempView("documents")
+        got = {
+            (r["doc_id"], r["chunk_id"]): (r["n_tokens"], r["chunk_digest"])
+            for r in spark.sql(sql).collect()
+        }
+    finally:
+        sess._TABLE_CACHE.pop((id(spark), sf_dir), None)
+        sess.load_tables(spark, sf_dir)  # restore the fixture view
+
+    want = {}
+    for doc_id, text in docs:
+        toks = text.split(" ")
+        n = len(toks)
+        extra = (max(n - K, 0) + S - 1) // S
+        for c in range(extra + 1):
+            chunk = toks[c * S : c * S + K]
+            want[(doc_id, c)] = (
+                len(chunk),
+                hashlib.md5(" ".join(chunk).encode()).hexdigest(),
+            )
+    assert got == want
