@@ -340,3 +340,32 @@ FROM part
 ORDER BY p_partkey
 """,
 )
+
+
+# error-safe expression family: try_* returns NULL where strict ANSI
+# evaluation would raise — the contract batch pipelines want for dirty
+# data (one bad row must not kill a 100 TB job). DuckDB spells
+# try_divide as NULL-guarded division; try_cast is common to both.
+sql_query(
+    "fn_try_family",
+    """
+SELECT p_partkey,
+       try_cast(p_name AS INT) AS name_as_int,
+       try_cast(CAST(p_size AS STRING) AS INT) AS size_roundtrip,
+       try_divide(p_retailprice, p_size - p_size) AS div_by_zero,
+       try_divide(p_retailprice, 4) AS quarter_price,
+       try_cast('2024-13-45' AS DATE) AS bad_date
+FROM part
+ORDER BY p_partkey
+""",
+    oracle="""
+SELECT p_partkey,
+       try_cast(p_name AS INT) AS name_as_int,
+       try_cast(CAST(p_size AS VARCHAR) AS INT) AS size_roundtrip,
+       p_retailprice / nullif(p_size - p_size, 0) AS div_by_zero,
+       p_retailprice / 4 AS quarter_price,
+       try_cast('2024-13-45' AS DATE) AS bad_date
+FROM part
+ORDER BY p_partkey
+""",
+)

