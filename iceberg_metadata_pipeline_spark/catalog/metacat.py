@@ -1093,6 +1093,13 @@ class Table:
                     pass
         return orphans
 
+    def set_properties(self, props: dict[str, str]) -> None:
+        """ALTER TABLE SET TBLPROPERTIES: merge and persist — metadata-only
+        version bump, no snapshot (matching Iceberg's property commits)."""
+        self.properties.update(props)
+        _write_metadata(self.location, self.meta, self.version + 1)
+        self.version += 1
+
     # -- named refs (Iceberg branches and tags) ----------------------------
     def create_tag(self, name: str, snapshot_id: int | None = None) -> None:
         """An immutable named pointer to a snapshot (audit marks, release
@@ -1100,9 +1107,9 @@ class Table:
         self._set_ref(name, snapshot_id, "tag", overwrite=False)
 
     def create_branch(self, name: str, snapshot_id: int | None = None) -> None:
-        """A mutable named pointer; ``advance_branch`` moves it. (Branch
-        WRITES — committing onto a non-main lineage — are out of scope;
-        branches here serve the read/audit side of Iceberg's ref surface.)"""
+        """A mutable named pointer; ``advance_branch`` moves it, and
+        write ops accept ``branch=`` to commit onto its lineage (the
+        write-audit-publish path; ``publish_branch`` fast-forwards main)."""
         self._set_ref(name, snapshot_id, "branch", overwrite=False)
 
     def advance_branch(self, name: str, snapshot_id: int) -> None:

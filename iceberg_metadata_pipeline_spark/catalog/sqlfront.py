@@ -29,6 +29,9 @@ Supported per statement (matching Iceberg SQL syntax):
 - ``CREATE [OR REPLACE] VIEW ns.v AS <sql>`` / ``SHOW VIEWS IN ns`` /
   ``SHOW CREATE VIEW|TABLE ns.x`` → catalog views (stored SQL, expanded
   recursively per query; A14-A16 surface, both SHOW CREATE spellings)
+- ``ALTER TABLE ns.t CREATE|REPLACE|DROP TAG|BRANCH name [AS OF VERSION n]``
+  and ``ALTER TABLE ns.t SET TBLPROPERTIES(...)`` / ``SHOW TBLPROPERTIES``
+  → the Iceberg-extension DDL the reference's jar adds to Spark SQL
 
 Rewrites are textual on table references only — the rest of the
 statement (joins, aggregates, windows, CTEs) passes through untouched,
@@ -69,6 +72,25 @@ _DML_UPDATE_RE = re.compile(
     r"\s+SET\s+(?P<sets>.+?)\s+WHERE\s+(?P<cond>.+?)\s*;?\s*$",
     re.IGNORECASE | re.DOTALL,
 )
+
+# Iceberg-extension ALTER TABLE statements (the syntax the reference's
+# IcebergSparkSessionExtensions jar adds to Spark SQL)
+_ALTER_REF_RE = re.compile(
+    rf"^\s*ALTER\s+TABLE\s+(?P<ns>{_IDENT})\.(?P<tbl>{_IDENT})"
+    rf"\s+(?P<op>CREATE|DROP|REPLACE)\s+(?P<kind>TAG|BRANCH)\s+(?P<name>{_IDENT})"
+    r"(?:\s+AS\s+OF\s+VERSION\s+(?P<ver>\d+))?\s*;?\s*$",
+    re.IGNORECASE,
+)
+_SET_PROPS_RE = re.compile(
+    rf"^\s*ALTER\s+TABLE\s+(?P<ns>{_IDENT})\.(?P<tbl>{_IDENT})"
+    r"\s+SET\s+TBLPROPERTIES\s*\((?P<props>.*)\)\s*;?\s*$",
+    re.IGNORECASE | re.DOTALL,
+)
+_SHOW_PROPS_RE = re.compile(
+    rf"^\s*SHOW\s+TBLPROPERTIES\s+(?P<ns>{_IDENT})\.(?P<tbl>{_IDENT})\s*;?\s*$",
+    re.IGNORECASE,
+)
+_PROP_PAIR_RE = re.compile(r"'(?P<k>[^']*)'\s*=\s*'(?P<v>[^']*)'")
 
 # view DDL/introspection (the reference's A14-A16 surface)
 _CREATE_VIEW_RE = re.compile(
@@ -175,6 +197,45 @@ def catalog_sql(catalog: Catalog, statement: str, _depth: int = 0) -> DataFrame:
     call = _CALL_RE.match(statement)
     if call is not None:
         return _run_procedure(catalog, call.group("proc").lower(), call.group("args"))
+    alter = _ALTER_REF_RE.match(statement)
+    if alter is not None:
+        table = catalog.load_table(alter.group("ns"), alter.group("tbl"))
+        op, kind, name = (
+            alter.group("op").upper(),
+            alter.group("kind").upper(),
+            alter.group("name"),
+        )
+        sid = int(alter.group("ver")) if alter.group("ver") else None
+        if op == "DROP":
+            table.drop_ref(name)
+        elif op == "REPLACE" and kind == "TAG":
+            table.drop_ref(name)
+            table.create_tag(name, sid)
+        elif kind == "TAG":
+            table.create_tag(name, sid)
+        else:
+            table.create_branch(name, sid)
+        return spark.createDataFrame(
+            [(name, kind.lower(), op.lower())], "name string, type string, op string"
+        )
+    props_m = _SET_PROPS_RE.match(statement)
+    if props_m is not None:
+        table = catalog.load_table(props_m.group("ns"), props_m.group("tbl"))
+        pairs = dict(
+            (m.group("k"), m.group("v"))
+            for m in _PROP_PAIR_RE.finditer(props_m.group("props"))
+        )
+        if not pairs:
+            raise ValueError("SET TBLPROPERTIES needs 'k'='v' pairs")
+        table.set_properties(pairs)
+        return spark.createDataFrame(
+            sorted(pairs.items()), "key string, value string"
+        )
+    props_m = _SHOW_PROPS_RE.match(statement)
+    if props_m is not None:
+        table = catalog.load_table(props_m.group("ns"), props_m.group("tbl"))
+        rows = sorted((k, str(v)) for k, v in table.properties.items())
+        return spark.createDataFrame(rows or [], "key string, value string")
     ddl = _CREATE_VIEW_RE.match(statement)
     if ddl is not None:
         catalog.create_view(

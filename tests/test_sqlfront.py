@@ -302,3 +302,32 @@ def test_call_add_files_metadata_only(catalog, spark, sf_dir, tmp_path):
         f"CALL system.add_files(table => 'nyc.addf', source_dir => '{sf_dir}/nation.parquet')",
     ).collect()
     assert out[0]["added_files_count"] == 0
+
+
+def test_alter_table_refs_and_properties_sql(catalog, spark, versioned_table):
+    t, s1, _s2 = versioned_table
+    out = catalog_sql(
+        catalog, f"ALTER TABLE nyc.vt CREATE TAG rel1 AS OF VERSION {s1}"
+    ).collect()
+    assert out[0]["op"] == "create"
+    # tag readable through SQL time travel by name
+    n = catalog_sql(catalog, "SELECT COUNT(*) AS n FROM nyc.vt VERSION AS OF 'rel1'").first()["n"]
+    assert n == catalog.load_table("nyc", "vt").scan(snapshot_id=s1).count()
+    catalog_sql(catalog, "ALTER TABLE nyc.vt CREATE BRANCH audit")
+    refs = {r["name"] for r in catalog_sql(catalog, "SELECT name FROM nyc.vt.refs").collect()}
+    assert {"rel1", "audit"} <= refs
+    catalog_sql(catalog, "ALTER TABLE nyc.vt DROP TAG rel1")
+    refs = {r["name"] for r in catalog_sql(catalog, "SELECT name FROM nyc.vt.refs").collect()}
+    assert "rel1" not in refs and "audit" in refs
+
+    catalog_sql(
+        catalog,
+        "ALTER TABLE nyc.vt SET TBLPROPERTIES('write.target-size'='512m', 'owner'='etl')",
+    )
+    props = {
+        r["key"]: r["value"]
+        for r in catalog_sql(catalog, "SHOW TBLPROPERTIES nyc.vt").collect()
+    }
+    assert props["write.target-size"] == "512m" and props["owner"] == "etl"
+    # persisted: a fresh handle sees them
+    assert catalog.load_table("nyc", "vt").properties["owner"] == "etl"
