@@ -369,3 +369,59 @@ FROM part
 ORDER BY p_partkey
 """,
 )
+
+
+sql_query(
+    "fn_array_family2",
+    """
+WITH a AS (SELECT p_partkey, split(p_name, ' ') AS w FROM part)
+SELECT p_partkey,
+       array_join(array_sort(array_distinct(w)), ',') AS uniq_sorted,
+       CAST(array_position(w, 'gold') AS BIGINT) AS gold_pos,
+       array_contains(w, 'gold') AS has_gold,
+       CAST(size(flatten(array(w, w))) AS BIGINT) AS n_doubled,
+       array_join(slice(w, 2, 2), ',') AS mid2
+FROM a
+ORDER BY p_partkey
+""",
+    oracle="""
+WITH a AS (SELECT p_partkey, string_split(p_name, ' ') AS w FROM part)
+SELECT p_partkey,
+       array_to_string(list_sort(list_distinct(w)), ',') AS uniq_sorted,
+       CAST(coalesce(list_position(w, 'gold'), 0) AS BIGINT) AS gold_pos,
+       list_contains(w, 'gold') AS has_gold,
+       CAST(len(flatten([w, w])) AS BIGINT) AS n_doubled,
+       array_to_string(w[2:3], ',') AS mid2
+FROM a
+ORDER BY p_partkey
+""",
+)
+
+
+sql_query(
+    "fn_datetime_family2",
+    """
+WITH t AS (SELECT o_orderkey, CAST(o_orderdate AS DATE) AS d FROM orders)
+SELECT o_orderkey,
+       date_add(d, 30) AS plus30,
+       CAST(datediff(d, DATE '1995-01-01') AS BIGINT) AS days_since_95,
+       last_day(d) AS eom,
+       trunc(d, 'month') AS som,
+       CAST(weekday(d) + 1 AS BIGINT) AS isodow,
+       make_date(2020, month(d), 1) AS anchor
+FROM t
+ORDER BY o_orderkey
+""",
+    oracle="""
+WITH t AS (SELECT o_orderkey, CAST(o_orderdate AS DATE) AS d FROM orders)
+SELECT o_orderkey,
+       d + 30 AS plus30,
+       CAST(date_diff('day', DATE '1995-01-01', d) AS BIGINT) AS days_since_95,
+       last_day(d) AS eom,
+       date_trunc('month', d) AS som,
+       CAST(isodow(d) AS BIGINT) AS isodow,
+       make_date(2020, month(d), 1) AS anchor
+FROM t
+ORDER BY o_orderkey
+""",
+)
