@@ -1016,13 +1016,32 @@ class Table:
         _write_metadata(self.location, self.meta, self.version + 1)
         self.version += 1
 
-    def expire_snapshots(self, keep_last: int = 1) -> list[str]:
-        """Drop all but the last N snapshots; return orphaned file paths
-        (files referenced only by expired snapshots). The oldest surviving
+    def expire_snapshots(
+        self, keep_last: int = 1, older_than_ms: int | None = None
+    ) -> list[str]:
+        """Drop old snapshots; return orphaned file paths (files referenced
+        only by expired snapshots). ``older_than_ms`` expires only
+        snapshots committed before that time (Iceberg's older_than), still
+        always retaining the last ``keep_last``. The oldest surviving
         snapshot is checkpointed to a FULL manifest first — its parents are
-        about to disappear, so its delta chain must become self-contained."""
+        about to disappear, so its delta chain must become self-contained.
+        (Timestamps are monotonic, so the drop set is always a prefix and
+        the survivor chain stays contiguous.) The CURRENT snapshot is
+        never dropped even when a rollback moved it before the retention
+        window — expiring the head would corrupt the table."""
         snaps = sorted(self.meta["snapshots"], key=lambda s: s["timestamp_ms"])
-        keep, drop = snaps[-keep_last:], snaps[:-keep_last]
+        idx = max(0, len(snaps) - keep_last)
+        cur = self.meta.get("current_snapshot_id")
+        if cur is not None:
+            cur_idx = next(
+                (i for i, s in enumerate(snaps) if s["snapshot_id"] == cur), idx
+            )
+            idx = min(idx, cur_idx)
+        keep, drop = snaps[idx:], snaps[:idx]
+        if older_than_ms is not None:
+            still = [s for s in drop if s["timestamp_ms"] >= older_than_ms]
+            drop = [s for s in drop if s["timestamp_ms"] < older_than_ms]
+            keep = still + keep
         # resolve manifests while the full chain is still present
         live_manifests = {s["snapshot_id"]: self._resolve_manifest(s) for s in keep}
         dropped_paths = {f.path for s in drop for f in self._resolve_manifest(s)}
@@ -1092,6 +1111,15 @@ class Table:
                 except OSError:
                     pass
         return orphans
+
+    def rollback_to_timestamp(self, ts_ms: int) -> int:
+        """Iceberg's rollback_to_timestamp: point main at the latest
+        snapshot committed at or before ``ts_ms``."""
+        snap = self._select_snapshot(as_of_ms=ts_ms)
+        if snap is None:
+            raise ValueError(f"no snapshot at or before {ts_ms}")
+        self.rollback_to_snapshot(snap["snapshot_id"])
+        return snap["snapshot_id"]
 
     def set_properties(self, props: dict[str, str]) -> None:
         """ALTER TABLE SET TBLPROPERTIES: merge and persist — metadata-only

@@ -326,7 +326,8 @@ _ARG_RE = re.compile(
 # Iceberg's convention: CALL cat.system.rollback_to_snapshot('db.t', 123))
 _PROC_POSITIONAL = {
     "rollback_to_snapshot": ["table", "snapshot_id"],
-    "expire_snapshots": ["table", "keep_last"],
+    "rollback_to_timestamp": ["table", "timestamp"],
+    "expire_snapshots": ["table", "keep_last", "older_than"],
     "remove_orphan_files": ["table", "dry_run"],
     "rewrite_data_files": ["table", "target_num_files", "strategy", "sort_order"],
     "rewrite_manifests": ["table"],
@@ -381,8 +382,19 @@ def _run_procedure(catalog: Catalog, proc: str, raw_args: str) -> DataFrame:
         return spark.createDataFrame(
             rows, "previous_snapshot_id long, current_snapshot_id long"
         )
+    if proc == "rollback_to_timestamp":
+        prev = table.meta.get("current_snapshot_id")
+        table.rollback_to_timestamp(_parse_ts_ms(str(args["timestamp"])))
+        return spark.createDataFrame(
+            [(prev, table.meta["current_snapshot_id"])],
+            "previous_snapshot_id long, current_snapshot_id long",
+        )
     if proc == "expire_snapshots":
-        orphaned = table.expire_snapshots(keep_last=int(args.get("keep_last", 1)))
+        older = args.get("older_than")
+        orphaned = table.expire_snapshots(
+            keep_last=int(args.get("keep_last", 1)),
+            older_than_ms=_parse_ts_ms(str(older)) if older is not None else None,
+        )
         return spark.createDataFrame(
             [(len(table.meta["snapshots"]), len(orphaned))],
             "remaining_snapshots int, orphaned_files int",

@@ -959,3 +959,38 @@ def test_rewrite_delete_files_purges_inert_entries(spark, catalog):
     assert t.scan().count() == 85
     # fresh handle agrees
     assert catalog.load_table("nyc", "purge").scan().count() == 85
+
+
+def test_expire_older_than_and_rollback_timestamp(spark, catalog):
+    import time as _time
+
+    df = spark.createDataFrame([(1,)], "id long")
+
+    # rollback by timestamp: pointer moves to the pre-cutoff snapshot
+    t = catalog.create_table("nyc", "ts_roll", df.schema)
+    t.append_dataframe(df)
+    snap_before = t.current_snapshot["snapshot_id"]
+    _time.sleep(0.01)
+    cutoff_ms = int(_time.time() * 1000)
+    _time.sleep(0.01)
+    t.append_dataframe(df)
+    t.append_dataframe(df)
+    assert t.rollback_to_timestamp(cutoff_ms) == snap_before
+    assert t.scan().count() == 1
+    # expiry never drops the (rolled-back) current snapshot
+    t.expire_snapshots(keep_last=1)
+    assert t.scan().count() == 1
+    assert catalog.load_table("nyc", "ts_roll").scan().count() == 1
+
+    # older_than expiry: only pre-cutoff snapshots go
+    t2 = catalog.create_table("nyc", "ts_exp", df.schema)
+    t2.append_dataframe(df)
+    _time.sleep(0.01)
+    cutoff2 = int(_time.time() * 1000)
+    _time.sleep(0.01)
+    t2.append_dataframe(df)
+    t2.append_dataframe(df)
+    n_before = len(t2.meta["snapshots"])
+    t2.expire_snapshots(keep_last=1, older_than_ms=cutoff2)
+    assert 2 <= len(t2.meta["snapshots"]) < n_before
+    assert catalog.load_table("nyc", "ts_exp").scan().count() == 3

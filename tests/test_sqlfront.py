@@ -331,3 +331,27 @@ def test_alter_table_refs_and_properties_sql(catalog, spark, versioned_table):
     assert props["write.target-size"] == "512m" and props["owner"] == "etl"
     # persisted: a fresh handle sees them
     assert catalog.load_table("nyc", "vt").properties["owner"] == "etl"
+
+
+def test_call_rollback_to_timestamp_and_expire_older_than(catalog, spark):
+    import datetime as dt
+    import time as _time
+
+    df = spark.createDataFrame([(1,)], "id long")
+    t = catalog.create_table("nyc", "rbts", df.schema)
+    t.append_dataframe(df)
+    _time.sleep(0.01)
+    cutoff = dt.datetime.now(dt.timezone.utc).isoformat()
+    _time.sleep(0.01)
+    t.append_dataframe(df)
+    out = catalog_sql(
+        catalog,
+        f"CALL system.rollback_to_timestamp(table => 'nyc.rbts', timestamp => '{cutoff}')",
+    ).collect()
+    assert out[0]["current_snapshot_id"] != out[0]["previous_snapshot_id"]
+    assert catalog_sql(catalog, "SELECT COUNT(*) AS n FROM nyc.rbts").first()["n"] == 1
+    out = catalog_sql(
+        catalog,
+        f"CALL system.expire_snapshots(table => 'nyc.rbts', keep_last => 1, older_than => '{cutoff}')",
+    ).collect()
+    assert out[0]["remaining_snapshots"] >= 1
