@@ -206,3 +206,35 @@ def agg_salted_two_stage(spark: SparkSession, sf_dir: str) -> DataFrame:
     return salted_two_stage_agg(li, ["l_returnflag"], "l_extendedprice").orderBy(
         "l_returnflag"
     )
+
+
+@query(
+    "relational_cached_scan",
+    """
+SELECT o_orderstatus, COUNT(*) AS n
+FROM orders
+GROUP BY o_orderstatus
+ORDER BY o_orderstatus
+""",
+)
+def relational_cached_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CACHE TABLE surface (df.cache): repeated interactive reads hit the
+    in-memory columnar relation instead of re-scanning parquet — the
+    Thrift-server dashboard pattern. Results must be identical cached or
+    not; the plan is asserted to actually read from cache.
+
+    Scale note: cache what fits (a projected/filtered slice), never the
+    raw 100 TB table — executor storage memory evicts LRU and a too-big
+    cache thrashes; the parquet scan with pushdown is often faster than
+    a spilled cache."""
+    orders = load_tables(spark, sf_dir)["orders"]
+    proj = orders.select("o_orderstatus").cache()
+    proj.count()  # materialize (unpersist deferred: the driver collects after return)
+    result = (
+        proj.groupBy("o_orderstatus")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy("o_orderstatus")
+    )
+    plan = result._jdf.queryExecution().executedPlan().toString()
+    assert "InMemory" in plan, "cached scan must read from cache"
+    return result

@@ -299,3 +299,17 @@ JOIN (SELECT nullif(c_nationkey, 3) AS k, c_custkey FROM customer WHERE c_custke
   ON a.k IS NOT DISTINCT FROM b.k AND a.c_custkey < b.c_custkey
 """,
 )
+
+
+# optimizer hints: Spark honors /*+ BROADCAST(n) */; DuckDB parses the
+# same text as a plain comment — one SQL string serves both engines
+sql_query(
+    "join_hint_broadcast_sql",
+    """
+SELECT /*+ BROADCAST(n) */ r.r_name, COUNT(*) AS n_nations
+FROM region r JOIN nation n ON n.n_regionkey = r.r_regionkey
+GROUP BY r.r_name
+ORDER BY r.r_name
+""",
+    oracle="same",
+)
