@@ -1549,6 +1549,55 @@ class Table:
             "added_files_count int, removed_files_count int, is_full boolean",
         )
 
+    def all_files_df(self) -> DataFrame:
+        """Iceberg's ``.all_files``: every data file referenced by ANY
+        snapshot (not just the current one), with the first snapshot that
+        references it — the orphan/GC auditing view. Driver-side over
+        already-resolved manifests (metadata-sized)."""
+        seen: dict[str, tuple] = {}
+        for s in sorted(self.meta["snapshots"], key=lambda s: s["timestamp_ms"]):
+            for f in self._resolve_manifest(s):
+                if f.path not in seen:
+                    seen[f.path] = (
+                        f.path,
+                        f.record_count,
+                        f.file_size_bytes,
+                        f.seq,
+                        s["snapshot_id"],
+                    )
+        return self.spark.createDataFrame(
+            sorted(seen.values()),
+            "file_path string, record_count long, file_size_bytes long, "
+            "seq long, first_snapshot_id long",
+        )
+
+    def metadata_log_df(self) -> DataFrame:
+        """Iceberg's ``.metadata_log_entries``: one row per table-metadata
+        version file — the audit trail of EVERY metadata change including
+        non-snapshot ones (schema evolution, properties, spec changes)."""
+        meta_dir = os.path.join(self.location, "metadata")
+        rows = []
+        for name in sorted(os.listdir(meta_dir)):
+            m = None
+            if name.startswith("v") and name.endswith(".metadata.json"):
+                try:
+                    m = int(name[1:].split(".")[0])
+                except ValueError:
+                    m = None
+            if m is None:
+                continue
+            path = os.path.join(meta_dir, name)
+            try:
+                with open(path) as fh:
+                    latest = json.load(fh).get("current_snapshot_id")
+            except OSError:
+                latest = None
+            rows.append((name, m, int(os.path.getmtime(path) * 1000), latest))
+        return self.spark.createDataFrame(
+            rows,
+            "file string, version int, timestamp_ms long, latest_snapshot_id long",
+        )
+
     def partitions_df(self) -> DataFrame:
         """Iceberg's ``.partitions`` metadata table: one row per live
         partition tuple with file/record/byte counts — the first thing an

@@ -16,7 +16,7 @@ Supported per statement (matching Iceberg SQL syntax):
 - ``ns.table VERSION AS OF '<ref>'``   → tag/branch by name
 - ``ns.table TIMESTAMP AS OF '<ts>'``  → latest snapshot at/before ts
   (all also accept Iceberg's ``FOR VERSION/TIMESTAMP AS OF`` spelling)
-- ``ns.table.snapshots|files|history|partitions|manifests|refs``
+- ``ns.table.snapshots|files|history|partitions|manifests|refs|all_files|metadata_log_entries``
   → metadata tables
 - ``CALL [cat.]system.<proc>(...)``    → table-maintenance procedures
   (rollback_to_snapshot, expire_snapshots, remove_orphan_files,
@@ -52,7 +52,8 @@ _IDENT = r"[A-Za-z_][A-Za-z0-9_]*"
 # ns.table.snapshots / .files / … — must match before plain refs
 _META_RE = re.compile(
     rf"\b(?P<ns>{_IDENT})\.(?P<tbl>{_IDENT})"
-    r"\.(?P<meta>snapshots|files|history|partitions|manifests|refs)\b"
+    r"\.(?P<meta>snapshots|files|history|partitions|manifests|refs"
+    r"|all_files|metadata_log_entries)\b"
 )
 
 # CALL [cat.]system.proc(args) — Iceberg stored-procedure syntax
@@ -159,6 +160,8 @@ def catalog_sql(catalog: Catalog, statement: str, _depth: int = 0) -> DataFrame:
             "partitions": table.partitions_df,
             "manifests": table.manifests_df,
             "refs": table.refs_df,
+            "all_files": table.all_files_df,
+            "metadata_log_entries": table.metadata_log_df,
         }[kind]()
         return _view_for(df, f"{m.group('ns')}.{m.group('tbl')}#{kind}")
 

@@ -355,3 +355,17 @@ def test_call_rollback_to_timestamp_and_expire_older_than(catalog, spark):
         f"CALL system.expire_snapshots(table => 'nyc.rbts', keep_last => 1, older_than => '{cutoff}')",
     ).collect()
     assert out[0]["remaining_snapshots"] >= 1
+
+
+def test_all_files_and_metadata_log_tables(catalog, spark, versioned_table):
+    t, _s1, _s2 = versioned_table
+    # rewrite creates new files; all_files remembers the replaced ones too
+    t.rewrite_data_files(target_num_files=1)
+    live = {r["file_path"] for r in catalog_sql(catalog, "SELECT file_path FROM nyc.vt.files").collect()}
+    allf = {r["file_path"] for r in catalog_sql(catalog, "SELECT file_path FROM nyc.vt.all_files").collect()}
+    assert live < allf  # strictly more historical files than live ones
+    log = catalog_sql(
+        catalog, "SELECT version, latest_snapshot_id FROM nyc.vt.metadata_log_entries"
+    ).collect()
+    versions = [r["version"] for r in log]
+    assert versions == sorted(versions) and len(versions) >= 3
