@@ -100,3 +100,65 @@ ORDER BY shard, chunk_id
 """
 
 sql_query("pipeline_sequence_packing", _PACK_SPARK, oracle=_PACK_DUCK)
+
+
+# End-to-end pretraining-data preparation as ONE declarative plan:
+# quality gate → exact dedup (keep-earliest) → fixed-window chunking →
+# corpus totals. Each stage is the declared operator proven elsewhere
+# (text_quality_signals / dedup_exact_documents / text_document_chunking);
+# this query proves they COMPOSE — the whole pipeline stays one Catalyst
+# plan with no materialization barriers, so at 100 TB it runs as
+# scan → map-side filter/digest → one dedup shuffle → map-side explode →
+# one final aggregate. That composition, not any single stage, is what a
+# training-data team actually ships.
+sql_query(
+    "pipeline_pretrain_prep",
+    """
+WITH clean AS (
+  SELECT doc_id, text FROM documents
+  WHERE n_chars >= 64 AND lang IN ('en', 'de', 'fr')
+),
+dedup AS (
+  SELECT MIN(doc_id) AS doc_id, text FROM clean GROUP BY text
+),
+toks AS (SELECT doc_id, split(text, ' ') AS t FROM dedup),
+chunks AS (
+  SELECT doc_id,
+         size(slice(t, chunk_id * 48 + 1, 64)) AS n_tokens
+  FROM (
+    SELECT doc_id, t,
+           explode(sequence(0, CAST(floor((greatest(size(t) - 64, 0) + 47) / 48) AS INT))) AS chunk_id
+    FROM toks
+  ) e
+)
+SELECT COUNT(*) AS n_chunks,
+       COUNT(DISTINCT doc_id) AS n_docs,
+       CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,
+       MAX(n_tokens) AS max_chunk_tokens
+FROM chunks
+""",
+    oracle="""
+WITH clean AS (
+  SELECT doc_id, text FROM documents
+  WHERE n_chars >= 64 AND lang IN ('en', 'de', 'fr')
+),
+dedup AS (
+  SELECT MIN(doc_id) AS doc_id, text FROM clean GROUP BY text
+),
+toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM dedup),
+chunks AS (
+  SELECT doc_id,
+         len(t[chunk_id * 48 + 1 : chunk_id * 48 + 64]) AS n_tokens
+  FROM (
+    SELECT doc_id, t,
+           unnest(generate_series(0, CAST(floor((greatest(len(t) - 64, 0) + 47) / 48) AS BIGINT))) AS chunk_id
+    FROM toks
+  ) e
+)
+SELECT COUNT(*) AS n_chunks,
+       COUNT(DISTINCT doc_id) AS n_docs,
+       CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,
+       MAX(n_tokens) AS max_chunk_tokens
+FROM chunks
+""",
+)
