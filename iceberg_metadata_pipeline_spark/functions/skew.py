@@ -87,3 +87,37 @@ def salted_two_stage_agg(
         F.sum("__n").alias("n"),
         F.sum("__s").cast("double").alias("total"),
     )
+
+
+
+def binned_range_join(
+    fact: DataFrame,
+    bands: DataFrame,
+    value_col: str,
+    lo_col: str,
+    hi_col: str,
+    bin_width: float,
+) -> DataFrame:
+    """Interval join as an equi-join (the range-bin trick): fact rows map
+    to one bin; each band replicates to every bin it overlaps (⌈width/
+    bin_width⌉ copies — pick bin_width ≈ median band width so that's
+    ~2). The join then shuffles on the BIN KEY like any equi-join and the
+    exact BETWEEN applies as a post-filter. Without this, Spark plans an
+    interval join as broadcast-nested-loop — O(fact × bands) compares,
+    the 100 TB killer. Same result as the naive theta join (asserted in
+    tests and by the declared query's oracle)."""
+    f = fact.withColumn("__bin", F.floor(F.col(value_col) / F.lit(bin_width)).cast("long"))
+    b = bands.withColumn(
+        "__bin",
+        F.explode(
+            F.sequence(
+                F.floor(F.col(lo_col) / F.lit(bin_width)).cast("long"),
+                F.floor(F.col(hi_col) / F.lit(bin_width)).cast("long"),
+            )
+        ),
+    )
+    return (
+        f.join(b, "__bin")
+        .filter((F.col(value_col) >= F.col(lo_col)) & (F.col(value_col) <= F.col(hi_col)))
+        .drop("__bin")
+    )

@@ -313,3 +313,46 @@ ORDER BY r.r_name
 """,
     oracle="same",
 )
+
+
+@query(
+    "join_range_binned",
+    """
+SELECT b.band_id, COUNT(*) AS n,
+  CAST(SUM(CAST(l_quantity AS DECIMAL(38,6))) AS DOUBLE) AS total_qty
+FROM lineitem l
+JOIN (SELECT DISTINCT p_size AS band_id,
+             p_size * 0.8 AS lo, p_size * 0.8 + 5 AS hi
+      FROM part) b
+  ON l.l_quantity BETWEEN b.lo AND b.hi
+GROUP BY b.band_id
+ORDER BY b.band_id
+""",
+)
+def join_range_binned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Range-bin interval join: identical semantics to the oracle's naive
+    BETWEEN theta join, but planned as a shuffled EQUI-join on the bin
+    key (plan-asserted in tests: no nested-loop). The oracle engine runs
+    the naive form — results must agree exactly."""
+    from iceberg_metadata_pipeline_spark.functions.skew import binned_range_join
+
+    t = load_tables(spark, sf_dir)
+    bands = (
+        t["part"]
+        .select(F.col("p_size").alias("band_id"))
+        .distinct()
+        .select(
+            "band_id",
+            (F.col("band_id") * 0.8).alias("lo"),
+            (F.col("band_id") * 0.8 + 5).alias("hi"),
+        )
+    )
+    joined = binned_range_join(t["lineitem"], bands, "l_quantity", "lo", "hi", 5.0)
+    return (
+        joined.groupBy("band_id")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("l_quantity").cast("decimal(38,6)")).cast("double").alias("total_qty"),
+        )
+        .orderBy("band_id")
+    )

@@ -342,3 +342,13 @@ def test_lateral_topk_decorrelates(spark, sf_dir):
     _load_all()
     plan = plan_of(REGISTRY["join_lateral_topk"].fn(spark, sf_dir))
     assert "CartesianProduct" not in plan
+
+
+def test_binned_range_join_is_equi_not_nested_loop(spark, sf_dir):
+    # the bin trick must plan a hash/merge equi-join; a naive BETWEEN
+    # theta join plans BroadcastNestedLoopJoin
+    from iceberg_metadata_pipeline_spark.queries import REGISTRY, _load_all
+
+    _load_all()
+    plan = plan_of(REGISTRY["join_range_binned"].fn(spark, sf_dir))
+    assert "NestedLoop" not in plan and "CartesianProduct" not in plan
