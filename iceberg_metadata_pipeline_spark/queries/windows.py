@@ -172,3 +172,36 @@ WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
 ORDER BY o_custkey, o_orderkey
 """,
 )
+
+# window over an aggregate (ratio-to-report): the empty OVER () frame
+# computes the global total alongside the grouped one
+sql_query(
+    "window_share_of_total",
+    """
+SELECT c_mktsegment,
+       CAST(SUM(CAST(c_acctbal AS DECIMAL(38,6))) AS DOUBLE) AS seg_bal,
+       round(CAST(SUM(CAST(c_acctbal AS DECIMAL(38,6))) AS DOUBLE)
+             / SUM(CAST(SUM(CAST(c_acctbal AS DECIMAL(38,6))) AS DOUBLE)) OVER (), 9)
+         AS share
+FROM customer
+GROUP BY c_mktsegment
+ORDER BY c_mktsegment
+""",
+    oracle="same",
+)
+
+sql_query(
+    "window_yoy_growth",
+    """
+WITH y AS (
+  SELECT year(CAST(o_orderdate AS DATE)) AS yr,
+         CAST(SUM(CAST(o_totalprice AS DECIMAL(38,6))) AS DOUBLE) AS rev
+  FROM orders GROUP BY yr
+)
+SELECT yr, rev,
+       round(rev / lag(rev) OVER (ORDER BY yr) - 1, 9) AS yoy_growth
+FROM y
+ORDER BY yr
+""",
+    oracle="same",
+)
