@@ -124,3 +124,29 @@ ORDER BY seg NULLS FIRST, c_acctbal DESC, c_custkey
 LIMIT 50
 """,
 )
+
+
+# inline VALUES relation joined against a table (the lookup-table idiom);
+# Spark spells the row constructor FROM VALUES ... AS t(...), DuckDB
+# (VALUES ...) t(...)
+sql_query(
+    "relational_values_cte",
+    """
+WITH v AS (
+  SELECT * FROM VALUES ('F', 'finished'), ('O', 'open'), ('P', 'pending') AS t(code, label)
+)
+SELECT v.label, COUNT(*) AS n
+FROM orders JOIN v ON o_orderstatus = v.code
+GROUP BY v.label
+ORDER BY v.label
+""",
+    oracle="""
+WITH v AS (
+  SELECT * FROM (VALUES ('F', 'finished'), ('O', 'open'), ('P', 'pending')) t(code, label)
+)
+SELECT v.label, COUNT(*) AS n
+FROM orders JOIN v ON o_orderstatus = v.code
+GROUP BY v.label
+ORDER BY v.label
+""",
+)
