@@ -1657,10 +1657,63 @@ class Catalog:
     def _table_location(self, namespace: str, name: str) -> str:
         return os.path.join(self.warehouse, namespace, name)
 
+    def _resolve_location(self, namespace: str, name: str) -> str:
+        """Resolve a name to its table location, following a rename
+        pointer (Iceberg renames move the NAME, never the data: the new
+        name points at the unchanged location). A tombstoned old name
+        raises with the forwarding target."""
+        loc = self._table_location(namespace, name)
+        tomb = os.path.join(loc, "renamed_to.text")
+        if os.path.exists(tomb):
+            with open(tomb) as fh:
+                raise FileNotFoundError(
+                    f"table {namespace}.{name} was renamed to {fh.read().strip()}"
+                )
+        ptr = os.path.join(loc, "pointer.text")
+        if os.path.exists(ptr):
+            with open(ptr) as fh:
+                return fh.read().strip()
+        return loc
+
     def table_exists(self, namespace: str, name: str) -> bool:
-        return os.path.exists(
-            os.path.join(self._table_location(namespace, name), "metadata", "version-hint.text")
-        )
+        try:
+            loc = self._resolve_location(namespace, name)
+        except FileNotFoundError:
+            return False
+        return os.path.exists(os.path.join(loc, "metadata", "version-hint.text"))
+
+    def rename_table(
+        self, namespace: str, name: str, new_namespace: str, new_name: str
+    ) -> None:
+        """ALTER TABLE RENAME TO: metadata-only — the new name becomes a
+        pointer to the unchanged table location, the old name a tombstone.
+        O(1) regardless of table size (no file moves, no manifest
+        rewrites — absolute data paths stay valid)."""
+        if not self.table_exists(namespace, name):
+            raise FileNotFoundError(f"no table {namespace}.{name}")
+        if self.table_exists(new_namespace, new_name):
+            raise FileExistsError(f"table {new_namespace}.{new_name} exists")
+        real = self._resolve_location(namespace, name)
+        self.ensure_namespace(new_namespace)
+        new_dir = self._table_location(new_namespace, new_name)
+        os.makedirs(new_dir, exist_ok=True)
+        # reclaiming a previously-tombstoned name (rename back): clear it
+        new_tomb = os.path.join(new_dir, "renamed_to.text")
+        if os.path.exists(new_tomb):
+            os.remove(new_tomb)
+        if new_dir == real:
+            # renaming back to the table's own physical home: no pointer
+            # needed — the metadata already lives here
+            pass
+        else:
+            with open(os.path.join(new_dir, "pointer.text"), "w") as fh:
+                fh.write(real)
+        old_dir = self._table_location(namespace, name)
+        old_ptr = os.path.join(old_dir, "pointer.text")
+        if os.path.exists(old_ptr):
+            os.remove(old_ptr)  # re-rename of an already-renamed name
+        with open(os.path.join(old_dir, "renamed_to.text"), "w") as fh:
+            fh.write(f"{new_namespace}.{new_name}")
 
     def create_table(
         self,
@@ -1697,7 +1750,7 @@ class Catalog:
         return table
 
     def load_table(self, namespace: str, name: str) -> Table:
-        loc = self._table_location(namespace, name)
+        loc = self._resolve_location(namespace, name)
         meta_dir = os.path.join(loc, "metadata")
         with open(os.path.join(meta_dir, "version-hint.text")) as fh:
             version = int(fh.read().strip())
@@ -1727,9 +1780,7 @@ class Catalog:
         if not os.path.isdir(ns_dir):
             return []
         return sorted(
-            d
-            for d in os.listdir(ns_dir)
-            if os.path.exists(os.path.join(ns_dir, d, "metadata", "version-hint.text"))
+            d for d in os.listdir(ns_dir) if self.table_exists(namespace, d)
         )
 
     # -- views (A14-A16: SHOW VIEWS / SHOW CREATE VIEW surface) ------------

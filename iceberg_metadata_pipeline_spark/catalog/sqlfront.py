@@ -32,6 +32,8 @@ Supported per statement (matching Iceberg SQL syntax):
 - ``ALTER TABLE ns.t CREATE|REPLACE|DROP TAG|BRANCH name [AS OF VERSION n]``
   and ``ALTER TABLE ns.t SET TBLPROPERTIES(...)`` / ``SHOW TBLPROPERTIES``
   → the Iceberg-extension DDL the reference's jar adds to Spark SQL
+- ``DESCRIBE [TABLE] ns.t`` and ``ALTER TABLE ns.t RENAME TO [ns2.]new``
+  (rename is a metadata pointer move — the table location never changes)
 
 Rewrites are textual on table references only — the rest of the
 statement (joins, aggregates, windows, CTEs) passes through untouched,
@@ -111,11 +113,23 @@ _SHOW_CREATE_RE = re.compile(
     re.IGNORECASE,
 )
 
-# ns.table [FOR] VERSION AS OF n | [FOR] TIMESTAMP AS OF 'ts'
+# ns.table [FOR] [SYSTEM_]VERSION AS OF n | [FOR] [SYSTEM_]TIME[STAMP] AS OF 'ts'
+# (Spark's Iceberg syntax accepts both the VERSION/TIMESTAMP and the
+# ANSI-ish SYSTEM_VERSION/SYSTEM_TIME spellings)
 _TT_RE = re.compile(
     rf"\b(?P<ns>{_IDENT})\.(?P<tbl>{_IDENT})"
-    r"(?:\s+(?:FOR\s+)?(?:VERSION\s+AS\s+OF\s+(?:(?P<ver>\d+)|'(?P<ref>[^']+)')"
-    r"|TIMESTAMP\s+AS\s+OF\s+'(?P<ts>[^']+)'))?",
+    r"(?:\s+(?:FOR\s+)?(?:(?:SYSTEM_)?VERSION\s+AS\s+OF\s+(?:(?P<ver>\d+)|'(?P<ref>[^']+)')"
+    r"|(?:SYSTEM_TIME|TIMESTAMP)\s+AS\s+OF\s+'(?P<ts>[^']+)'))?",
+    re.IGNORECASE,
+)
+
+_DESCRIBE_RE = re.compile(
+    rf"^\s*DESC(?:RIBE)?\s+(?:TABLE\s+)?(?P<ns>{_IDENT})\.(?P<tbl>{_IDENT})\s*;?\s*$",
+    re.IGNORECASE,
+)
+_RENAME_RE = re.compile(
+    rf"^\s*ALTER\s+TABLE\s+(?P<ns>{_IDENT})\.(?P<tbl>{_IDENT})"
+    rf"\s+RENAME\s+TO\s+(?:(?P<ns2>{_IDENT})\.)?(?P<new>{_IDENT})\s*;?\s*$",
     re.IGNORECASE,
 )
 
@@ -200,6 +214,24 @@ def catalog_sql(catalog: Catalog, statement: str, _depth: int = 0) -> DataFrame:
     call = _CALL_RE.match(statement)
     if call is not None:
         return _run_procedure(catalog, call.group("proc").lower(), call.group("args"))
+    desc = _DESCRIBE_RE.match(statement)
+    if desc is not None:
+        table = catalog.load_table(desc.group("ns"), desc.group("tbl"))
+        rows = [
+            (f.name, f.dataType.simpleString(), f.nullable)
+            for f in table.schema.fields
+        ]
+        return spark.createDataFrame(
+            rows, "col_name string, data_type string, nullable boolean"
+        )
+    ren = _RENAME_RE.match(statement)
+    if ren is not None:
+        ns2 = ren.group("ns2") or ren.group("ns")
+        catalog.rename_table(ren.group("ns"), ren.group("tbl"), ns2, ren.group("new"))
+        return spark.createDataFrame(
+            [(f"{ren.group('ns')}.{ren.group('tbl')}", f"{ns2}.{ren.group('new')}")],
+            "from string, to string",
+        )
     alter = _ALTER_REF_RE.match(statement)
     if alter is not None:
         table = catalog.load_table(alter.group("ns"), alter.group("tbl"))

@@ -369,3 +369,30 @@ def test_all_files_and_metadata_log_tables(catalog, spark, versioned_table):
     ).collect()
     versions = [r["version"] for r in log]
     assert versions == sorted(versions) and len(versions) >= 3
+
+
+def test_describe_rename_and_system_version_spellings(catalog, spark, versioned_table):
+    t, s1, _s2 = versioned_table
+    cols = {
+        r["col_name"]: r["data_type"]
+        for r in catalog_sql(catalog, "DESCRIBE TABLE nyc.vt").collect()
+    }
+    assert cols  # schema surfaced
+    # SYSTEM_VERSION / SYSTEM_TIME spellings resolve like VERSION/TIMESTAMP
+    n1 = catalog_sql(
+        catalog, f"SELECT COUNT(*) AS n FROM nyc.vt FOR SYSTEM_VERSION AS OF {s1}"
+    ).first()["n"]
+    assert n1 == catalog.load_table("nyc", "vt").scan(snapshot_id=s1).count()
+
+    n_total = catalog_sql(catalog, "SELECT COUNT(*) AS n FROM nyc.vt").first()["n"]
+    catalog_sql(catalog, "ALTER TABLE nyc.vt RENAME TO nyc.vt_renamed")
+    assert catalog_sql(
+        catalog, "SELECT COUNT(*) AS n FROM nyc.vt_renamed"
+    ).first()["n"] == n_total
+    assert "vt_renamed" in catalog.list_tables("nyc")
+    assert "vt" not in catalog.list_tables("nyc")
+    with pytest.raises(FileNotFoundError, match="renamed"):
+        catalog.load_table("nyc", "vt")
+    # rename back so the module-scoped fixture stays usable
+    catalog_sql(catalog, "ALTER TABLE nyc.vt_renamed RENAME TO nyc.vt")
+    assert catalog_sql(catalog, "SELECT COUNT(*) AS n FROM nyc.vt").first()["n"] == n_total
