@@ -591,6 +591,60 @@ class Table:
         )
         return (len(deletes) - len(live), len(live))
 
+    def maintain(
+        self,
+        small_files_threshold: int = 8,
+        chain_threshold: int = 8,
+        target_file_size_bytes: int = 512 << 20,
+    ) -> dict:
+        """One conditional maintenance sweep — the when-to-compact policy
+        a scheduler runs after commits (Iceberg leaves this to table
+        services; here it's first-class). Each action fires only when its
+        trigger is met, so calling this after every commit is safe and
+        usually free (all triggers are O(metadata) checks):
+
+        - ≥ ``small_files_threshold`` bin-packable small files → binpack
+          rewrite (partition-preserving);
+        - any inert MOR delete entries → purge;
+        - manifest delta chain ≥ ``chain_threshold`` links → checkpoint.
+
+        Returns {action: effect} for what actually ran."""
+        report: dict[str, object] = {}
+        plan = self.plan_compaction(target_file_size_bytes=target_file_size_bytes)
+        n_small = sum(len(g) for g in plan)
+        if n_small >= small_files_threshold:
+            self.rewrite_small_files(target_file_size_bytes=target_file_size_bytes)
+            report["binpack"] = {"rewritten_files": n_small, "groups": len(plan)}
+        dropped, _kept = self.rewrite_delete_files()
+        if dropped:
+            report["delete_purge"] = {"dropped_entries": dropped}
+        collapsed = (
+            self.rewrite_manifests()
+            if self._chain_depth() >= chain_threshold
+            else 0
+        )
+        if collapsed:
+            report["manifest_checkpoint"] = {"collapsed_links": collapsed}
+        return report
+
+    def _chain_depth(self) -> int:
+        """Delta-chain links behind the current snapshot until a full
+        checkpoint (what scan-time manifest resolution walks)."""
+        snap = self.current_snapshot
+        if snap is None or "manifest_file" not in snap:
+            return 0
+        by_id = {s["snapshot_id"]: s for s in self.meta["snapshots"]}
+        depth = 0
+        cur = snap
+        while cur is not None and "manifest_file" in cur:
+            with open(self._manifest_file(cur)) as fh:
+                if json.load(fh).get("full"):
+                    break
+            parent = cur.get("parent_snapshot_id")
+            cur = by_id.get(parent) if parent is not None else None
+            depth += 1
+        return depth
+
     def rewrite_manifests(self) -> int:
         """Collapse the current snapshot's delta chain into one full
         checkpoint manifest (Iceberg's rewrite_manifests): scans stop
@@ -600,16 +654,7 @@ class Table:
         snap = self.current_snapshot
         if snap is None or "manifest_file" not in snap:
             return 0
-        depth = 0
-        cur = snap
-        by_id = {s["snapshot_id"]: s for s in self.meta["snapshots"]}
-        while cur is not None:
-            with open(self._manifest_file(cur)) as fh:
-                if json.load(fh).get("full"):
-                    break
-            parent = cur.get("parent_snapshot_id")
-            cur = by_id.get(parent) if parent is not None else None
-            depth += 1
+        depth = self._chain_depth()
         if depth <= 1:
             return 0  # already a checkpoint (or a root delta)
         files = self._resolve_manifest(snap)

@@ -994,3 +994,31 @@ def test_expire_older_than_and_rollback_timestamp(spark, catalog):
     t2.expire_snapshots(keep_last=1, older_than_ms=cutoff2)
     assert 2 <= len(t2.meta["snapshots"]) < n_before
     assert catalog.load_table("nyc", "ts_exp").scan().count() == 3
+
+
+def test_maintain_policy_triggers_conditionally(spark, catalog):
+    df = spark.createDataFrame([(i, float(i)) for i in range(120)], "id long, val double")
+    t = catalog.create_table("nyc", "svc", df.schema)
+    # below thresholds: maintain is a no-op
+    t.append_dataframe(df.filter("id < 20"))
+    assert t.maintain(small_files_threshold=8, chain_threshold=8) == {}
+
+    # accumulate small files past the threshold (plus a delete that goes
+    # inert once binpack folds its covered files away)
+    for lo in range(20, 120, 10):
+        t.append_dataframe(df.filter(f"id >= {lo} AND id < {lo + 10}"))
+    t.delete_where_mor("id >= 110")
+    report = t.maintain(small_files_threshold=8, chain_threshold=8)
+    assert "binpack" in report and report["binpack"]["rewritten_files"] >= 8
+    assert t.scan().count() == 110
+    # the delete entry went inert with the binpack and gets purged on the
+    # next sweep (binpack and purge both ran within one or two sweeps)
+    t.maintain(small_files_threshold=8, chain_threshold=8)
+    assert t._resolve_deletes(t.current_snapshot) == []
+    # chain checkpoint trigger: many appends then a sweep collapses it
+    for _ in range(8):
+        t.append_dataframe(spark.createDataFrame([(999, 1.0)], df.schema))
+    report = t.maintain(small_files_threshold=10**9, chain_threshold=8)
+    assert "manifest_checkpoint" in report
+    assert t._chain_depth() <= 1
+    assert catalog.load_table("nyc", "svc").scan().count() == 118
