@@ -425,3 +425,39 @@ FROM t
 ORDER BY o_orderkey
 """,
 )
+
+
+# map family: construction, lookup, keys, cardinality. DuckDB's map
+# lookup returns a one-element list (m['k'] → [v]), hence the [1]
+# unwrap; contains is spelled via list_contains over the keys
+sql_query(
+    "fn_map_family",
+    """
+WITH m AS (
+  SELECT p_partkey,
+         map('size', p_size, 'double_size', p_size * 2) AS pm
+  FROM part
+)
+SELECT p_partkey,
+       element_at(pm, 'double_size') AS dbl,
+       array_join(array_sort(map_keys(pm)), ',') AS keys_sorted,
+       CAST(size(pm) AS BIGINT) AS n_entries,
+       array_contains(map_keys(pm), 'size') AS has_size
+FROM m
+ORDER BY p_partkey
+""",
+    oracle="""
+WITH m AS (
+  SELECT p_partkey,
+         MAP {'size': p_size, 'double_size': p_size * 2} AS pm
+  FROM part
+)
+SELECT p_partkey,
+       pm['double_size'][1] AS dbl,
+       array_to_string(list_sort(map_keys(pm)), ',') AS keys_sorted,
+       CAST(cardinality(pm) AS BIGINT) AS n_entries,
+       list_contains(map_keys(pm), 'size') AS has_size
+FROM m
+ORDER BY p_partkey
+""",
+)
