@@ -262,3 +262,23 @@ ORDER BY o_orderstatus
 """,
     oracle="same",
 )
+
+
+# max_by/min_by (argmax/argmin): the ordering value folds the unique
+# order key into its low digits so ties are impossible — engine tie
+# semantics differ and must never be exercised
+sql_query(
+    "agg_min_max_by",
+    """
+SELECT o_orderstatus,
+       max_by(o_orderkey, CAST(round(o_totalprice * 100) AS BIGINT) * 10000000 + o_orderkey)
+         AS priciest_order,
+       min_by(o_orderkey, CAST(round(o_totalprice * 100) AS BIGINT) * 10000000 + o_orderkey)
+         AS cheapest_order,
+       COUNT(*) AS n
+FROM orders
+GROUP BY o_orderstatus
+ORDER BY o_orderstatus
+""",
+    oracle="same",
+)
