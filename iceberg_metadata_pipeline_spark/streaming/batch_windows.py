@@ -212,3 +212,37 @@ WHERE prev_ts IS NULL OR ts > prev_ts + INTERVAL 10 MINUTE
 ORDER BY user_id, event_type, ts, event_id
 """,
 )
+
+
+# funnel conversion: of users whose first view happened, how many
+# clicked AFTER it — two aggregates and one join on user_id (the
+# product-analytics staple; at scale both sides shuffle once on the
+# user key and the dim side is the smaller first-view table)
+sql_query(
+    "events_funnel_conversion",
+    """
+WITH v AS (
+  SELECT user_id, MIN(ts) AS first_view
+  FROM events WHERE event_type = 'view' GROUP BY user_id
+),
+c AS (SELECT user_id, ts FROM events WHERE event_type = 'click')
+SELECT COUNT(DISTINCT v.user_id) AS n_viewers,
+       COUNT(DISTINCT CASE WHEN c.ts > v.first_view THEN v.user_id END) AS n_converted
+FROM v LEFT JOIN c ON c.user_id = v.user_id
+""",
+    oracle="same",
+)
+
+# fixed-width histogram: integer bucket arithmetic, exact in any engine
+sql_query(
+    "agg_histogram_bins",
+    """
+SELECT CAST(floor(o_totalprice / 50000) AS BIGINT) AS bucket,
+       COUNT(*) AS n,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(38,6))) AS DOUBLE) AS bucket_total
+FROM orders
+GROUP BY bucket
+ORDER BY bucket
+""",
+    oracle="same",
+)
