@@ -412,6 +412,12 @@ class Table:
         tuple is what scan-time pruning consults, never the directory
         listing (at 100 TB, listing is the enemy; the manifest is O(files)
         metadata already in hand)."""
+        entries = self._write_dataframe(df)
+        return self.append_files(entries, dedupe=False, branch=branch)
+
+    def _write_dataframe(self, df: DataFrame) -> list[DataFileEntry]:
+        """Materialize ``df`` under the table's data dir per the current
+        partition spec; return manifest entries (not yet committed)."""
         from iceberg_metadata_pipeline_spark.catalog.partitioning import (
             parse_partition_from_path,
             with_partition_columns,
@@ -430,7 +436,19 @@ class Table:
         else:
             df.write.mode("errorifexists").parquet(data_dir)
             entries = scan_parquet_footers(data_dir, self.spark)
-        return self.append_files(entries, dedupe=False, branch=branch)
+        return entries
+
+    def overwrite_dataframe(self, df: DataFrame) -> int:
+        """INSERT OVERWRITE: one commit replacing the table's visible
+        contents with ``df`` (previous snapshots stay time-travelable;
+        pending MOR deletes are moot and cleared)."""
+        entries = self._write_dataframe(df)
+        return self._commit(
+            "overwrite",
+            entries,
+            removed_paths={f.path for f in self.snapshot_files()},
+            clears_deletes=True,
+        )
 
     def rewrite_data_files(
         self,

@@ -23,9 +23,10 @@ Supported per statement (matching Iceberg SQL syntax):
   rewrite_data_files (binpack strategy / sort_order incl. zorder),
   rewrite_manifests, fast_forward — Iceberg's stored-procedure surface;
   named ``arg => value`` or positional args, table first)
-- ``DELETE FROM ns.t WHERE ...`` / ``UPDATE ns.t SET ... WHERE ...``
-  → copy-on-write row-level DML (returns an (operation, snapshot_id)
-  summary row)
+- ``DELETE FROM ns.t WHERE ...`` / ``UPDATE ns.t SET ... WHERE ...`` /
+  ``INSERT INTO|OVERWRITE ns.t VALUES ... | SELECT ...``
+  → row-level DML (returns an (operation, snapshot_id) summary row;
+  INSERT sources run through this same front-end and align by position)
 - ``CREATE [OR REPLACE] VIEW ns.v AS <sql>`` / ``SHOW VIEWS IN ns`` /
   ``SHOW CREATE VIEW|TABLE ns.x`` → catalog views (stored SQL, expanded
   recursively per query; A14-A16 surface, both SHOW CREATE spellings)
@@ -65,6 +66,11 @@ _CALL_RE = re.compile(
 )
 
 # row-level DML — the Thrift-served SQL surface Iceberg extensions add
+_DML_INSERT_RE = re.compile(
+    rf"^\s*INSERT\s+(?P<mode>INTO|OVERWRITE)\s+(?:TABLE\s+)?"
+    rf"(?P<ns>{_IDENT})\.(?P<tbl>{_IDENT})\s+(?P<body>(?:VALUES|SELECT|WITH)\b.+)$",
+    re.IGNORECASE | re.DOTALL,
+)
 _DML_DELETE_RE = re.compile(
     rf"^\s*DELETE\s+FROM\s+(?P<ns>{_IDENT})\.(?P<tbl>{_IDENT})"
     r"\s+WHERE\s+(?P<cond>.+?)\s*;?\s*$",
@@ -302,6 +308,35 @@ def catalog_sql(catalog: Catalog, statement: str, _depth: int = 0) -> DataFrame:
 
             stmt = show_create_table(catalog, ns, obj)
         return spark.createDataFrame([(stmt,)], "createtab_stmt string")
+    ins = _DML_INSERT_RE.match(statement)
+    if ins is not None:
+        table = catalog.load_table(ins.group("ns"), ins.group("tbl"))
+        # the source query runs through the same front-end (catalog refs,
+        # time travel, views all compose); columns align by POSITION and
+        # cast to the table schema — SQL INSERT semantics
+        src = catalog_sql(catalog, ins.group("body"), _depth=_depth + 1)
+        fields = table.schema.fields
+        if len(src.columns) != len(fields):
+            raise ValueError(
+                f"INSERT column count {len(src.columns)} != table arity {len(fields)}"
+            )
+        from pyspark.sql import functions as F  # local: keep module surface lean
+
+        aligned = src.select(
+            *[
+                F.col(src.columns[i]).cast(f.dataType).alias(f.name)
+                for i, f in enumerate(fields)
+            ]
+        )
+        if ins.group("mode").upper() == "OVERWRITE":
+            sid = table.overwrite_dataframe(aligned)
+            op = "overwrite"
+        else:
+            sid = table.append_dataframe(aligned)
+            op = "append"
+        return spark.createDataFrame(
+            [(op, sid)], "operation string, snapshot_id long"
+        )
     dml = _DML_DELETE_RE.match(statement)
     if dml is not None:
         table = catalog.load_table(dml.group("ns"), dml.group("tbl"))

@@ -396,3 +396,28 @@ def test_describe_rename_and_system_version_spellings(catalog, spark, versioned_
     # rename back so the module-scoped fixture stays usable
     catalog_sql(catalog, "ALTER TABLE nyc.vt_renamed RENAME TO nyc.vt")
     assert catalog_sql(catalog, "SELECT COUNT(*) AS n FROM nyc.vt").first()["n"] == n_total
+
+
+def test_sql_insert_into_and_overwrite(catalog, spark, versioned_table):
+    t, _s1, _s2 = versioned_table
+    out = catalog_sql(catalog, "INSERT INTO nyc.vt VALUES (10, 'x'), (11, 'y')").collect()
+    assert out[0]["operation"] == "append"
+    assert catalog_sql(catalog, "SELECT COUNT(*) AS n FROM nyc.vt").first()["n"] == 5
+    # INSERT ... SELECT through the same front-end (self-referential source)
+    catalog_sql(
+        catalog, "INSERT INTO nyc.vt SELECT id + 100, s FROM nyc.vt WHERE id >= 10"
+    )
+    assert catalog_sql(catalog, "SELECT COUNT(*) AS n FROM nyc.vt").first()["n"] == 7
+    pre_overwrite = t.refresh().current_snapshot["snapshot_id"]
+    out = catalog_sql(
+        catalog, "INSERT OVERWRITE nyc.vt SELECT id, s FROM nyc.vt WHERE id < 3"
+    ).collect()
+    assert out[0]["operation"] == "overwrite"
+    assert catalog_sql(catalog, "SELECT COUNT(*) AS n FROM nyc.vt").first()["n"] == 2
+    # previous contents still time-travelable
+    n_old = catalog_sql(
+        catalog, f"SELECT COUNT(*) AS n FROM nyc.vt VERSION AS OF {pre_overwrite}"
+    ).first()["n"]
+    assert n_old == 7
+    with pytest.raises(ValueError, match="column count"):
+        catalog_sql(catalog, "INSERT INTO nyc.vt VALUES (1, 'a', 99)")
