@@ -24,9 +24,10 @@ Supported per statement (matching Iceberg SQL syntax):
   rewrite_manifests, fast_forward — Iceberg's stored-procedure surface;
   named ``arg => value`` or positional args, table first)
 - ``DELETE FROM ns.t WHERE ...`` / ``UPDATE ns.t SET ... WHERE ...`` /
-  ``INSERT INTO|OVERWRITE ns.t VALUES ... | SELECT ...``
-  → row-level DML (returns an (operation, snapshot_id) summary row;
-  INSERT sources run through this same front-end and align by position)
+  ``INSERT INTO|OVERWRITE ns.t VALUES ... | SELECT ...`` /
+  ``CREATE [OR REPLACE] TABLE ns.t AS SELECT ...``
+  → row-level DML + CTAS (returns an (operation, snapshot_id) summary
+  row; source queries run through this same front-end)
 - ``CREATE [OR REPLACE] VIEW ns.v AS <sql>`` / ``SHOW VIEWS IN ns`` /
   ``SHOW CREATE VIEW|TABLE ns.x`` → catalog views (stored SQL, expanded
   recursively per query; A14-A16 surface, both SHOW CREATE spellings)
@@ -69,6 +70,11 @@ _CALL_RE = re.compile(
 _DML_INSERT_RE = re.compile(
     rf"^\s*INSERT\s+(?P<mode>INTO|OVERWRITE)\s+(?:TABLE\s+)?"
     rf"(?P<ns>{_IDENT})\.(?P<tbl>{_IDENT})\s+(?P<body>(?:VALUES|SELECT|WITH)\b.+)$",
+    re.IGNORECASE | re.DOTALL,
+)
+_CTAS_RE = re.compile(
+    rf"^\s*CREATE\s+(?P<replace>OR\s+REPLACE\s+)?TABLE\s+"
+    rf"(?P<ns>{_IDENT})\.(?P<tbl>{_IDENT})\s+AS\s+(?P<body>(?:SELECT|WITH|VALUES)\b.+)$",
     re.IGNORECASE | re.DOTALL,
 )
 _DML_DELETE_RE = re.compile(
@@ -308,6 +314,17 @@ def catalog_sql(catalog: Catalog, statement: str, _depth: int = 0) -> DataFrame:
 
             stmt = show_create_table(catalog, ns, obj)
         return spark.createDataFrame([(stmt,)], "createtab_stmt string")
+    ctas = _CTAS_RE.match(statement)
+    if ctas is not None:
+        ns, name = ctas.group("ns"), ctas.group("tbl")
+        src = catalog_sql(catalog, ctas.group("body"), _depth=_depth + 1)
+        if ctas.group("replace") and catalog.table_exists(ns, name):
+            catalog.drop_table(ns, name, purge=True)
+        table = catalog.create_table(ns, name, src.schema, or_load=False)
+        sid = table.append_dataframe(src)
+        return spark.createDataFrame(
+            [(f"{ns}.{name}", sid)], "table string, snapshot_id long"
+        )
     ins = _DML_INSERT_RE.match(statement)
     if ins is not None:
         table = catalog.load_table(ins.group("ns"), ins.group("tbl"))

@@ -421,3 +421,16 @@ def test_sql_insert_into_and_overwrite(catalog, spark, versioned_table):
     assert n_old == 7
     with pytest.raises(ValueError, match="column count"):
         catalog_sql(catalog, "INSERT INTO nyc.vt VALUES (1, 'a', 99)")
+
+
+def test_create_table_as_select(catalog, spark, versioned_table):
+    _t, _s1, _s2 = versioned_table
+    out = catalog_sql(
+        catalog, "CREATE TABLE nyc.big AS SELECT id, s FROM nyc.vt WHERE id >= 2"
+    ).collect()
+    assert out[0]["table"] == "nyc.big"
+    assert catalog_sql(catalog, "SELECT COUNT(*) AS n FROM nyc.big").first()["n"] == 2
+    with pytest.raises(FileExistsError):
+        catalog_sql(catalog, "CREATE TABLE nyc.big AS SELECT * FROM nyc.vt")
+    catalog_sql(catalog, "CREATE OR REPLACE TABLE nyc.big AS SELECT * FROM nyc.vt")
+    assert catalog_sql(catalog, "SELECT COUNT(*) AS n FROM nyc.big").first()["n"] == 3
