@@ -438,6 +438,17 @@ class Table:
             entries = scan_parquet_footers(data_dir, self.spark)
         return entries
 
+    def truncate(self) -> int:
+        """TRUNCATE TABLE: one metadata-only commit removing every file
+        from the visible snapshot (no data deleted — previous snapshots
+        stay time-travelable until expiry)."""
+        return self._commit(
+            "truncate",
+            [],
+            removed_paths={f.path for f in self.snapshot_files()},
+            clears_deletes=True,
+        )
+
     def overwrite_dataframe(self, df: DataFrame) -> int:
         """INSERT OVERWRITE: one commit replacing the table's visible
         contents with ``df`` (previous snapshots stay time-travelable;

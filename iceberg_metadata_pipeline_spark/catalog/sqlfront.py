@@ -26,6 +26,7 @@ Supported per statement (matching Iceberg SQL syntax):
 - ``DELETE FROM ns.t WHERE ...`` / ``UPDATE ns.t SET ... WHERE ...`` /
   ``INSERT INTO|OVERWRITE ns.t VALUES ... | SELECT ...`` /
   ``CREATE [OR REPLACE] TABLE ns.t AS SELECT ...``
+  plus ``TRUNCATE TABLE ns.t``
   → row-level DML + CTAS (returns an (operation, snapshot_id) summary
   row; source queries run through this same front-end)
 - ``CREATE [OR REPLACE] VIEW ns.v AS <sql>`` / ``SHOW VIEWS IN ns`` /
@@ -71,6 +72,10 @@ _DML_INSERT_RE = re.compile(
     rf"^\s*INSERT\s+(?P<mode>INTO|OVERWRITE)\s+(?:TABLE\s+)?"
     rf"(?P<ns>{_IDENT})\.(?P<tbl>{_IDENT})\s+(?P<body>(?:VALUES|SELECT|WITH)\b.+)$",
     re.IGNORECASE | re.DOTALL,
+)
+_TRUNCATE_RE = re.compile(
+    rf"^\s*TRUNCATE\s+TABLE\s+(?P<ns>{_IDENT})\.(?P<tbl>{_IDENT})\s*;?\s*$",
+    re.IGNORECASE,
 )
 _CTAS_RE = re.compile(
     rf"^\s*CREATE\s+(?P<replace>OR\s+REPLACE\s+)?TABLE\s+"
@@ -314,6 +319,13 @@ def catalog_sql(catalog: Catalog, statement: str, _depth: int = 0) -> DataFrame:
 
             stmt = show_create_table(catalog, ns, obj)
         return spark.createDataFrame([(stmt,)], "createtab_stmt string")
+    trunc = _TRUNCATE_RE.match(statement)
+    if trunc is not None:
+        table = catalog.load_table(trunc.group("ns"), trunc.group("tbl"))
+        sid = table.truncate()
+        return spark.createDataFrame(
+            [("truncate", sid)], "operation string, snapshot_id long"
+        )
     ctas = _CTAS_RE.match(statement)
     if ctas is not None:
         ns, name = ctas.group("ns"), ctas.group("tbl")

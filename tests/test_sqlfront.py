@@ -434,3 +434,15 @@ def test_create_table_as_select(catalog, spark, versioned_table):
         catalog_sql(catalog, "CREATE TABLE nyc.big AS SELECT * FROM nyc.vt")
     catalog_sql(catalog, "CREATE OR REPLACE TABLE nyc.big AS SELECT * FROM nyc.vt")
     assert catalog_sql(catalog, "SELECT COUNT(*) AS n FROM nyc.big").first()["n"] == 3
+
+
+def test_truncate_table_sql(catalog, spark, versioned_table):
+    t, _s1, s2 = versioned_table
+    out = catalog_sql(catalog, "TRUNCATE TABLE nyc.vt").collect()
+    assert out[0]["operation"] == "truncate"
+    assert catalog_sql(catalog, "SELECT COUNT(*) AS n FROM nyc.vt").first()["n"] == 0
+    # pre-truncate snapshot still readable
+    n = catalog_sql(
+        catalog, f"SELECT COUNT(*) AS n FROM nyc.vt VERSION AS OF {s2}"
+    ).first()["n"]
+    assert n == 3
