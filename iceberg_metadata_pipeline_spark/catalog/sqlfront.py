@@ -25,10 +25,14 @@ Supported per statement (matching Iceberg SQL syntax):
   named ``arg => value`` or positional args, table first)
 - ``DELETE FROM ns.t WHERE ...`` / ``UPDATE ns.t SET ... WHERE ...`` /
   ``INSERT INTO|OVERWRITE ns.t VALUES ... | SELECT ...`` /
-  ``CREATE [OR REPLACE] TABLE ns.t AS SELECT ...``
-  plus ``TRUNCATE TABLE ns.t``
+  ``CREATE [OR REPLACE] TABLE ns.t AS SELECT ...`` /
+  ``TRUNCATE TABLE ns.t`` / ``MERGE INTO ns.t USING ... ON t.k = s.k
+  WHEN MATCHED THEN UPDATE SET ... [WHEN NOT MATCHED THEN INSERT *]
+  [WHEN NOT MATCHED BY SOURCE THEN DELETE]``
   → row-level DML + CTAS (returns an (operation, snapshot_id) summary
   row; source queries run through this same front-end)
+- ``ALTER TABLE ns.t ADD|RENAME|DROP COLUMN ...`` and
+  ``ALTER COLUMN c TYPE t`` → metadata-only schema evolution
 - ``CREATE [OR REPLACE] VIEW ns.v AS <sql>`` / ``SHOW VIEWS IN ns`` /
   ``SHOW CREATE VIEW|TABLE ns.x`` → catalog views (stored SQL, expanded
   recursively per query; A14-A16 surface, both SHOW CREATE spellings)
@@ -91,6 +95,30 @@ _DML_UPDATE_RE = re.compile(
     rf"^\s*UPDATE\s+(?P<ns>{_IDENT})\.(?P<tbl>{_IDENT})"
     r"\s+SET\s+(?P<sets>.+?)\s+WHERE\s+(?P<cond>.+?)\s*;?\s*$",
     re.IGNORECASE | re.DOTALL,
+)
+
+# MERGE INTO — constrained to the Iceberg-typical shape: equi-keys named
+# the same on both sides, UPDATE SET on match, INSERT * on no-match,
+# optional NOT MATCHED BY SOURCE DELETE
+_MERGE_RE = re.compile(
+    rf"^\s*MERGE\s+INTO\s+(?P<ns>{_IDENT})\.(?P<tbl>{_IDENT})(?:\s+AS\s+(?P<talias>{_IDENT}))?"
+    rf"\s+USING\s+(?P<src>\(.*\)|{_IDENT}\.{_IDENT})(?:\s+AS\s+)?\s*(?P<salias>{_IDENT})?"
+    r"\s+ON\s+(?P<on>.+?)"
+    r"\s+WHEN\s+MATCHED\s+THEN\s+UPDATE\s+SET\s+(?P<sets>.+?)"
+    r"(?P<insert>\s+WHEN\s+NOT\s+MATCHED\s+THEN\s+INSERT\s+\*)?"
+    r"(?P<delsrc>\s+WHEN\s+NOT\s+MATCHED\s+BY\s+SOURCE\s+THEN\s+DELETE)?\s*;?\s*$",
+    re.IGNORECASE | re.DOTALL,
+)
+
+# schema evolution DDL (Iceberg's metadata-only ALTER TABLE column ops)
+_ALTER_COLUMN_RE = re.compile(
+    rf"^\s*ALTER\s+TABLE\s+(?P<ns>{_IDENT})\.(?P<tbl>{_IDENT})\s+(?:"
+    rf"ADD\s+COLUMNS?\s+\(?\s*(?P<add_name>{_IDENT})\s+(?P<add_type>[A-Za-z0-9_(),<> ]+?)\s*\)?"
+    rf"|RENAME\s+COLUMN\s+(?P<ren_old>{_IDENT})\s+TO\s+(?P<ren_new>{_IDENT})"
+    rf"|DROP\s+COLUMNS?\s+\(?\s*(?P<drop_name>{_IDENT})\s*\)?"
+    rf"|ALTER\s+COLUMN\s+(?P<prm_name>{_IDENT})\s+TYPE\s+(?P<prm_type>[A-Za-z0-9_(),<> ]+?)"
+    r")\s*;?\s*$",
+    re.IGNORECASE,
 )
 
 # Iceberg-extension ALTER TABLE statements (the syntax the reference's
@@ -249,6 +277,65 @@ def catalog_sql(catalog: Catalog, statement: str, _depth: int = 0) -> DataFrame:
             [(f"{ren.group('ns')}.{ren.group('tbl')}", f"{ns2}.{ren.group('new')}")],
             "from string, to string",
         )
+    mrg = _MERGE_RE.match(statement)
+    if mrg is not None:
+        table = catalog.load_table(mrg.group("ns"), mrg.group("tbl"))
+        src_text = mrg.group("src")
+        if src_text.startswith("("):
+            source = catalog_sql(catalog, src_text[1:-1], _depth=_depth + 1)
+        else:
+            source = catalog_sql(
+                catalog, f"SELECT * FROM {src_text}", _depth=_depth + 1
+            )
+        talias = (mrg.group("talias") or mrg.group("tbl")).lower()
+        salias = (mrg.group("salias") or "s").lower()
+        keys = []
+        for m2 in re.finditer(
+            rf"({_IDENT})\.({_IDENT})\s*=\s*({_IDENT})\.({_IDENT})", mrg.group("on")
+        ):
+            a1, c1, a2, c2 = (g.lower() for g in m2.groups())
+            pair = {a1: c1, a2: c2}
+            if set(pair) != {talias, salias} or pair[talias] != pair[salias]:
+                raise ValueError(
+                    "MERGE ON must be t.<col> = s.<col> conjunctions on a "
+                    "shared column name"
+                )
+            keys.append(pair[talias])
+        if not keys:
+            raise ValueError("MERGE ON clause has no equi-key")
+        # SET expressions: s.<col> → src_<col> (merge_into's source-column
+        # convention), t.<col> → bare column
+        sets = {}
+        for name, expr in _parse_assignments(mrg.group("sets")).items():
+            expr = re.sub(rf"\b{salias}\.({_IDENT})", r"src_\1", expr, flags=re.IGNORECASE)
+            expr = re.sub(rf"\b{talias}\.({_IDENT})", r"\1", expr, flags=re.IGNORECASE)
+            sets[name.split(".")[-1]] = expr
+        sid = table.merge_into(
+            source,
+            on=keys,
+            when_matched_set=sets,
+            insert_not_matched=mrg.group("insert") is not None,
+            delete_not_matched_by_source=mrg.group("delsrc") is not None,
+        )
+        return spark.createDataFrame(
+            [("merge", sid)], "operation string, snapshot_id long"
+        )
+    col = _ALTER_COLUMN_RE.match(statement)
+    if col is not None:
+        table = catalog.load_table(col.group("ns"), col.group("tbl"))
+        if col.group("add_name"):
+            table.add_column(col.group("add_name"), col.group("add_type").strip())
+            action = f"add {col.group('add_name')}"
+        elif col.group("ren_old"):
+            table.rename_column(col.group("ren_old"), col.group("ren_new"))
+            action = f"rename {col.group('ren_old')} to {col.group('ren_new')}"
+        elif col.group("drop_name"):
+            table.drop_column(col.group("drop_name"))
+            action = f"drop {col.group('drop_name')}"
+        else:
+            table.promote_column(col.group("prm_name"), col.group("prm_type").strip())
+            action = f"promote {col.group('prm_name')}"
+        return spark.createDataFrame([(action,)], "action string")
     alter = _ALTER_REF_RE.match(statement)
     if alter is not None:
         table = catalog.load_table(alter.group("ns"), alter.group("tbl"))

@@ -446,3 +446,73 @@ def test_truncate_table_sql(catalog, spark, versioned_table):
         catalog, f"SELECT COUNT(*) AS n FROM nyc.vt VERSION AS OF {s2}"
     ).first()["n"]
     assert n == 3
+
+
+def test_alter_table_column_ddl(catalog, spark, versioned_table):
+    _t, _s1, _s2 = versioned_table
+    catalog_sql(catalog, "ALTER TABLE nyc.vt ADD COLUMN score double")
+    cols = {r["col_name"] for r in catalog_sql(catalog, "DESCRIBE nyc.vt").collect()}
+    assert "score" in cols
+    # old rows read NULL for the new column, metadata-only
+    assert (
+        catalog_sql(catalog, "SELECT COUNT(*) AS n FROM nyc.vt WHERE score IS NULL").first()["n"] == 3
+    )
+    catalog_sql(catalog, "ALTER TABLE nyc.vt RENAME COLUMN s TO label")
+    assert catalog_sql(
+        catalog, "SELECT COUNT(DISTINCT label) AS n FROM nyc.vt"
+    ).first()["n"] == 3
+    catalog_sql(catalog, "ALTER TABLE nyc.vt ADD COLUMN rank int")
+    catalog_sql(catalog, "ALTER TABLE nyc.vt ALTER COLUMN rank TYPE bigint")
+    dt = {
+        r["col_name"]: r["data_type"]
+        for r in catalog_sql(catalog, "DESCRIBE nyc.vt").collect()
+    }
+    assert dt["rank"] == "bigint"
+    catalog_sql(catalog, "ALTER TABLE nyc.vt DROP COLUMN score")
+    cols = {r["col_name"] for r in catalog_sql(catalog, "DESCRIBE nyc.vt").collect()}
+    assert "score" not in cols
+
+
+def test_merge_into_sql(catalog, spark, versioned_table):
+    _t, _s1, _s2 = versioned_table
+    # vt holds (1,a),(2,b),(3,c); source updates 1, inserts 9
+    out = catalog_sql(
+        catalog,
+        """
+        MERGE INTO nyc.vt AS t
+        USING (SELECT * FROM VALUES (1, 'A'), (9, 'Z') AS v(id, s)) s
+        ON t.id = s.id
+        WHEN MATCHED THEN UPDATE SET s = s.s
+        WHEN NOT MATCHED THEN INSERT *
+        """,
+    ).collect()
+    assert out[0]["operation"] == "merge"
+    rows = {
+        r["id"]: r["s"]
+        for r in catalog_sql(catalog, "SELECT id, s FROM nyc.vt").collect()
+    }
+    assert rows == {1: "A", 2: "b", 3: "c", 9: "Z"}
+
+    # sync-to-source: delete rows not matched by source
+    catalog_sql(
+        catalog,
+        """
+        MERGE INTO nyc.vt AS t
+        USING (SELECT * FROM VALUES (1, 'AA') AS v(id, s)) s
+        ON t.id = s.id
+        WHEN MATCHED THEN UPDATE SET s = s.s
+        WHEN NOT MATCHED BY SOURCE THEN DELETE
+        """,
+    )
+    rows = {
+        r["id"]: r["s"]
+        for r in catalog_sql(catalog, "SELECT id, s FROM nyc.vt").collect()
+    }
+    assert rows == {1: "AA"}
+
+    with pytest.raises(ValueError, match="equi-key"):
+        catalog_sql(
+            catalog,
+            "MERGE INTO nyc.vt AS t USING (SELECT 1 AS id) s ON 1 = 1 "
+            "WHEN MATCHED THEN UPDATE SET s = 'x'",
+        )
