@@ -846,3 +846,47 @@ def catalog_metadata_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = catalog.create_table("nyc", "customer_cnt", customer.schema)
     t.append_dataframe(customer)
     return spark.createDataFrame([(t.count_rows(),)], "n long")
+
+
+@query(
+    "table_merge_sql",
+    """
+SELECT c_mktsegment, COUNT(*) AS n,
+  CAST(SUM(CAST(CASE WHEN c_custkey % 2 = 0 THEN c_acctbal + 100 ELSE c_acctbal END
+                AS DECIMAL(38,6))) AS DOUBLE) AS total_bal
+FROM customer
+GROUP BY c_mktsegment
+ORDER BY c_mktsegment
+""",
+)
+def table_merge_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MERGE INTO typed as SQL through the front-end (the Thrift-user
+    path): same semantics and oracle as the API-level
+    ``table_merge_upsert`` — matched rows bump via s.<col> reference,
+    unmatched insert."""
+    from iceberg_metadata_pipeline_spark.catalog.sqlfront import catalog_sql
+
+    customer = load_tables(spark, sf_dir)["customer"]
+    catalog = Catalog(spark, tempfile.mkdtemp(prefix="warehouse-msql-"))
+    t = catalog.create_table("nyc", "customer_msql", customer.schema)
+    t.append_dataframe(customer.filter(F.col("c_custkey") % 2 == 0))
+    catalog_sql(
+        catalog,
+        """
+        MERGE INTO nyc.customer_msql AS t
+        USING (SELECT * FROM customer) s
+        ON t.c_custkey = s.c_custkey
+        WHEN MATCHED THEN UPDATE SET c_acctbal = s.c_acctbal + 100
+        WHEN NOT MATCHED THEN INSERT *
+        """,
+    )
+    return catalog_sql(
+        catalog,
+        """
+        SELECT c_mktsegment, COUNT(*) AS n,
+          CAST(SUM(CAST(c_acctbal AS DECIMAL(38,6))) AS DOUBLE) AS total_bal
+        FROM nyc.customer_msql
+        GROUP BY c_mktsegment
+        ORDER BY c_mktsegment
+        """,
+    )
