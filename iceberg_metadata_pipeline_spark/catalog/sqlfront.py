@@ -33,6 +33,10 @@ Supported per statement (matching Iceberg SQL syntax):
   row; source queries run through this same front-end)
 - ``ALTER TABLE ns.t ADD|RENAME|DROP COLUMN ...`` and
   ``ALTER COLUMN c TYPE t`` → metadata-only schema evolution
+- ``CREATE TABLE [IF NOT EXISTS] ns.t (cols) [USING x]
+  [PARTITIONED BY (days(ts), bucket(4, id), ...)]`` and
+  ``DROP TABLE [IF EXISTS] ns.t [PURGE]`` — Iceberg's hidden-partition
+  transform spellings map onto the PartitionField spec
 - ``CREATE [OR REPLACE] VIEW ns.v AS <sql>`` / ``SHOW VIEWS IN ns`` /
   ``SHOW CREATE VIEW|TABLE ns.x`` → catalog views (stored SQL, expanded
   recursively per query; A14-A16 surface, both SHOW CREATE spellings)
@@ -85,6 +89,25 @@ _CTAS_RE = re.compile(
     rf"^\s*CREATE\s+(?P<replace>OR\s+REPLACE\s+)?TABLE\s+"
     rf"(?P<ns>{_IDENT})\.(?P<tbl>{_IDENT})\s+AS\s+(?P<body>(?:SELECT|WITH|VALUES)\b.+)$",
     re.IGNORECASE | re.DOTALL,
+)
+# CREATE TABLE with explicit columns + Iceberg hidden-partition transforms
+_CREATE_TABLE_RE = re.compile(
+    rf"^\s*CREATE\s+TABLE\s+(?:IF\s+NOT\s+EXISTS\s+)?"
+    rf"(?P<ns>{_IDENT})\.(?P<tbl>{_IDENT})\s*\((?P<cols>[^)]*(?:\([^)]*\)[^)]*)*)\)"
+    r"(?:\s+USING\s+\w+)?"
+    r"(?:\s+PARTITIONED\s+BY\s*\((?P<parts>[^)]*(?:\([^)]*\)[^)]*)*)\))?\s*;?\s*$",
+    re.IGNORECASE | re.DOTALL,
+)
+_DROP_TABLE_RE = re.compile(
+    rf"^\s*DROP\s+TABLE\s+(?P<exists>IF\s+EXISTS\s+)?"
+    rf"(?P<ns>{_IDENT})\.(?P<tbl>{_IDENT})\s*(?P<purge>PURGE)?\s*;?\s*$",
+    re.IGNORECASE,
+)
+_PART_FIELD_RE = re.compile(
+    rf"^\s*(?:(?P<kind>bucket|truncate)\s*\(\s*(?P<n>\d+)\s*,\s*(?P<col1>{_IDENT})\s*\)"
+    rf"|(?P<unit>years?|months?|days?|hours?)\s*\(\s*(?P<col2>{_IDENT})\s*\)"
+    rf"|(?P<ident>{_IDENT}))\s*$",
+    re.IGNORECASE,
 )
 _DML_DELETE_RE = re.compile(
     rf"^\s*DELETE\s+FROM\s+(?P<ns>{_IDENT})\.(?P<tbl>{_IDENT})"
@@ -406,6 +429,50 @@ def catalog_sql(catalog: Catalog, statement: str, _depth: int = 0) -> DataFrame:
 
             stmt = show_create_table(catalog, ns, obj)
         return spark.createDataFrame([(stmt,)], "createtab_stmt string")
+    ct = _CREATE_TABLE_RE.match(statement)
+    if ct is not None:
+        from pyspark.sql import types as T
+
+        from iceberg_metadata_pipeline_spark.catalog.partitioning import (
+            PartitionField,
+        )
+
+        schema = T.StructType.fromDDL(ct.group("cols"))
+        spec = []
+        for raw in _split_top_level(ct.group("parts") or ""):
+            pm = _PART_FIELD_RE.match(raw)
+            if pm is None:
+                raise ValueError(f"unparseable partition field: {raw!r}")
+            if pm.group("ident"):
+                spec.append(PartitionField(pm.group("ident"), "identity"))
+            elif pm.group("kind"):
+                kind = pm.group("kind").lower()
+                spec.append(
+                    PartitionField(pm.group("col1"), f"{kind}[{pm.group('n')}]")
+                )
+            else:
+                unit = pm.group("unit").lower().rstrip("s")
+                spec.append(PartitionField(pm.group("col2"), unit))
+        if_not_exists = re.search(r"IF\s+NOT\s+EXISTS", statement, re.IGNORECASE)
+        catalog.create_table(
+            ct.group("ns"),
+            ct.group("tbl"),
+            schema,
+            or_load=bool(if_not_exists),
+            partition_spec=spec or None,
+        )
+        return spark.createDataFrame(
+            [(f"{ct.group('ns')}.{ct.group('tbl')}", len(spec))],
+            "table string, n_partition_fields int",
+        )
+    dt = _DROP_TABLE_RE.match(statement)
+    if dt is not None:
+        existed = catalog.drop_table(
+            dt.group("ns"), dt.group("tbl"), purge=dt.group("purge") is not None
+        )
+        if not existed and not dt.group("exists"):
+            raise FileNotFoundError(f"no table {dt.group('ns')}.{dt.group('tbl')}")
+        return spark.createDataFrame([(existed,)], "dropped boolean")
     trunc = _TRUNCATE_RE.match(statement)
     if trunc is not None:
         table = catalog.load_table(trunc.group("ns"), trunc.group("tbl"))
@@ -474,13 +541,12 @@ def catalog_sql(catalog: Catalog, statement: str, _depth: int = 0) -> DataFrame:
     return spark.sql(rewritten)
 
 
-def _parse_assignments(sets: str) -> dict[str, str]:
-    """Split ``a = expr, b = expr`` on top-level commas only (an expr may
-    itself contain commas inside parens, e.g. ``concat(a, b)``)."""
+def _split_top_level(text: str) -> list[str]:
+    """Split on commas outside parentheses; drops empty pieces."""
     parts: list[str] = []
     depth = 0
-    cur = []
-    for ch in sets:
+    cur: list[str] = []
+    for ch in text:
         if ch == "(":
             depth += 1
         elif ch == ")":
@@ -491,6 +557,13 @@ def _parse_assignments(sets: str) -> dict[str, str]:
         else:
             cur.append(ch)
     parts.append("".join(cur))
+    return [p for p in parts if p.strip()]
+
+
+def _parse_assignments(sets: str) -> dict[str, str]:
+    """Split ``a = expr, b = expr`` on top-level commas only (an expr may
+    itself contain commas inside parens, e.g. ``concat(a, b)``)."""
+    parts = _split_top_level(sets)
     out: dict[str, str] = {}
     for part in parts:
         name, _, expr = part.partition("=")

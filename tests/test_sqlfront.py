@@ -516,3 +516,34 @@ def test_merge_into_sql(catalog, spark, versioned_table):
             "MERGE INTO nyc.vt AS t USING (SELECT 1 AS id) s ON 1 = 1 "
             "WHEN MATCHED THEN UPDATE SET s = 'x'",
         )
+
+
+def test_create_table_with_partition_transforms_and_drop(catalog, spark):
+    catalog_sql(
+        catalog,
+        "CREATE TABLE nyc.evts (id BIGINT, ts TIMESTAMP, user_id BIGINT, val DOUBLE) "
+        "USING iceberg PARTITIONED BY (days(ts), bucket(4, user_id))",
+    )
+    t = catalog.load_table("nyc", "evts")
+    spec = t.default_spec
+    assert [(f.source, f.transform) for f in spec] == [
+        ("ts", "day"),
+        ("user_id", "bucket[4]"),
+    ]
+    catalog_sql(
+        catalog,
+        "INSERT INTO nyc.evts VALUES "
+        "(1, TIMESTAMP '2024-01-01 10:00:00', 7, 1.0), "
+        "(2, TIMESTAMP '2024-01-02 10:00:00', 8, 2.0)",
+    )
+    # hidden partitioning recorded per file
+    t = catalog.load_table("nyc", "evts")
+    assert all(f.partition for f in t.snapshot_files())
+    assert catalog_sql(catalog, "SELECT COUNT(*) AS n FROM nyc.evts").first()["n"] == 2
+
+    catalog_sql(catalog, "DROP TABLE nyc.evts PURGE")
+    assert not catalog.table_exists("nyc", "evts")
+    out = catalog_sql(catalog, "DROP TABLE IF EXISTS nyc.evts").collect()
+    assert out[0]["dropped"] is False
+    with pytest.raises(FileNotFoundError):
+        catalog_sql(catalog, "DROP TABLE nyc.evts")
