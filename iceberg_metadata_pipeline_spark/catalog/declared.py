@@ -890,3 +890,38 @@ def table_merge_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
         ORDER BY c_mktsegment
         """,
     )
+
+
+@query(
+    "table_delete_pos_mor",
+    """
+SELECT o_orderstatus, COUNT(*) AS n,
+  CAST(SUM(CAST(o_totalprice AS DECIMAL(38,6))) AS DOUBLE) AS total
+FROM orders
+WHERE NOT (o_orderstatus = 'F' AND o_totalprice > 300000)
+GROUP BY o_orderstatus
+ORDER BY o_orderstatus
+""",
+)
+def table_delete_pos_mor(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Position-delete files (Iceberg v2's third MOR delete shape): one
+    write-time scan records (file path, row ordinal) of matched rows; no
+    data file is rewritten (asserted) and scans anti-join the positions
+    on row lineage. Same oracle as the predicate and copy-on-write
+    variants — three mechanisms, one semantics."""
+    orders = load_tables(spark, sf_dir)["orders"]
+    catalog = Catalog(spark, tempfile.mkdtemp(prefix="warehouse-posmor-"))
+    t = catalog.create_table("nyc", "orders_pos", orders.schema)
+    t.append_dataframe(orders)
+    files_before = sorted(f.path for f in t.snapshot_files())
+    t.delete_where_positional("o_orderstatus = 'F' AND o_totalprice > 300000")
+    assert sorted(f.path for f in t.snapshot_files()) == files_before
+    return (
+        t.scan()
+        .groupBy("o_orderstatus")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("o_totalprice").cast("decimal(38,6)")).cast("double").alias("total"),
+        )
+        .orderBy("o_orderstatus")
+    )

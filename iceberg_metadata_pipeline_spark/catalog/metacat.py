@@ -275,18 +275,23 @@ class Table:
     def _apply_deletes(self, df: DataFrame, deletes: list[dict]) -> DataFrame:
         """Apply MOR delete entries at read time: predicate deletes as
         keep-where-not-TRUE filters, equality-delete files as anti-joins on
-        the key columns (the join Iceberg's MOR read path performs). Both
-        are idempotent, so re-applying after a partial rewrite is safe."""
+        the key columns, position-delete files as anti-joins on the
+        (__file, __pos) lineage columns (callers attach those when a
+        positional entry applies). All the joins Iceberg's MOR read path
+        performs; each is idempotent, so re-applying after a partial
+        rewrite is safe. Delete files are broadcast: orders of magnitude
+        smaller than the table — the anti-join must never shuffle the
+        table side (at 100 TB that shuffle IS the query)."""
         for d in deletes:
             if d["kind"] == "predicate":
                 df = df.filter(~F.coalesce(F.expr(d["expr"]), F.lit(False)))
+            elif d["kind"] == "position":
+                pos = self.spark.read.parquet(d["path"]).select(
+                    F.col("file_path").alias("__file"), F.col("pos").alias("__pos")
+                )
+                df = df.join(F.broadcast(pos), ["__file", "__pos"], "left_anti")
             else:  # equality-delete file
                 keys = self.spark.read.parquet(d["path"]).select(*d["key_cols"])
-                # broadcast the key set: a delete file is orders of
-                # magnitude smaller than the table — the anti-join must
-                # never shuffle the table side (at 100 TB that shuffle IS
-                # the query). Iceberg's MOR read does the same via its
-                # delete-file loader.
                 df = df.join(F.broadcast(keys), d["key_cols"], "left_anti")
         return df
 
@@ -814,6 +819,43 @@ class Table:
             added_deletes=[
                 {"kind": "equality", "path": delete_dir, "key_cols": list(keys.columns)}
             ],
+            branch=branch,
+        )
+
+    def delete_where_positional(self, condition: str, branch: str | None = None) -> int:
+        """Merge-on-read DELETE as a POSITION delete file (Iceberg v2's
+        third delete shape): matched rows are identified by (file path,
+        row ordinal) — one scan of the stats-pruned candidate files finds
+        positions, which are written as a small parquet; scans anti-join
+        on the lineage columns. Versus a predicate entry, the read-side
+        cost no longer depends on predicate complexity, and versus an
+        equality entry no key column is required — the trade is one scan
+        at write time. Write volume is O(matched rows × ~2 words)."""
+        head = self._branch_head(branch)
+        files = self.snapshot_files(snapshot_id=head)
+        from iceberg_metadata_pipeline_spark.catalog.partitioning import split_conjuncts
+
+        candidates = files
+        for conjunct in split_conjuncts(condition):
+            candidates = _prune_by_stats(candidates, conjunct)
+        cur = self._select_snapshot(head, None) if head is not None else None
+        deletes = self._resolve_deletes(cur) if cur is not None else []
+        # lineage read over candidates with the proper per-file delete
+        # subsets applied — already-dead rows aren't re-listed, and rows
+        # in files newer than an old delete are still eligible
+        src = self._read_files_with_deletes(candidates, deletes, keep_lineage=True)
+        positions = src.filter(F.coalesce(F.expr(condition), F.lit(False))).select(
+            F.col("__file").alias("file_path"), F.col("__pos").alias("pos")
+        )
+        delete_dir = os.path.join(self.location, "deletes", uuid.uuid4().hex[:12])
+        positions.write.mode("errorifexists").parquet(delete_dir)
+        has_rows = bool(scan_parquet_footers(delete_dir))
+        return self._commit(
+            "delete-mor",
+            [],
+            added_deletes=(
+                [{"kind": "position", "path": delete_dir}] if has_rows else []
+            ),
             branch=branch,
         )
 
@@ -1457,7 +1499,10 @@ class Table:
         return df
 
     def _read_files_with_deletes(
-        self, files: list[DataFileEntry], deletes: list[dict]
+        self,
+        files: list[DataFileEntry],
+        deletes: list[dict],
+        keep_lineage: bool = False,
     ) -> DataFrame:
         """Read files with MOR deletes applied under Iceberg v2 sequence
         semantics: a delete entry applies only to files whose data sequence
@@ -1466,9 +1511,11 @@ class Table:
         by commits since the last compaction, not by file count) — each
         group is one vectorized scan with its deletes, unioned by name, so
         pushdown and pruning still reach every branch. Legacy delete
-        entries without a sequence apply to every file (old behavior)."""
+        entries without a sequence apply to every file (old behavior).
+        ``keep_lineage`` returns the ``__file``/``__pos`` columns on every
+        row (position-delete generation needs them)."""
         if not files or not deletes:
-            return self._read_files(files)
+            return self._read_files(files, with_lineage=keep_lineage)
 
         def applicable(f: DataFileEntry) -> tuple[int, ...]:
             return tuple(
@@ -1480,16 +1527,25 @@ class Table:
         groups: dict[tuple[int, ...], list[DataFileEntry]] = {}
         for f in files:
             groups.setdefault(applicable(f), []).append(f)
-        parts = [
-            self._apply_deletes(self._read_files(fl), [deletes[i] for i in idxs])
-            for idxs, fl in sorted(groups.items())
-        ]
+        parts = []
+        for idxs, fl in sorted(groups.items()):
+            ds = [deletes[i] for i in idxs]
+            # positional entries anti-join on (file, row-ordinal) lineage;
+            # attach it only when needed and strip it after (unless the
+            # caller asked to keep it)
+            lineage = keep_lineage or any(d["kind"] == "position" for d in ds)
+            part = self._apply_deletes(self._read_files(fl, with_lineage=lineage), ds)
+            if lineage and not keep_lineage:
+                part = part.drop("__file", "__pos")
+            parts.append(part)
         out = parts[0]
         for part in parts[1:]:
             out = out.unionByName(part)
         return out
 
-    def _read_files(self, files: list[DataFileEntry]) -> DataFrame:
+    def _read_files(
+        self, files: list[DataFileEntry], with_lineage: bool = False
+    ) -> DataFrame:
         """Read registered files under the table's EVOLVED schema:
 
         - renamed columns are read under their on-disk names and aliased
@@ -1502,9 +1558,22 @@ class Table:
 
         Files are grouped by their effective read-type signature: one scan
         per distinct signature (normally 1, or 2 spanning a promotion),
-        unioned by name. Pushdown/pruning apply per group as usual."""
+        unioned by name. Pushdown/pruning apply per group as usual.
+
+        ``with_lineage`` appends ``__file``/``__pos`` columns (Spark's
+        ``_metadata.file_path``/``row_index``) — the row identity that
+        positional delete files reference."""
         if not files:
-            return self.spark.createDataFrame([], self.schema)
+            schema = self.schema
+            if with_lineage:
+                schema = T.StructType(
+                    list(schema.fields)
+                    + [
+                        T.StructField("__file", T.StringType()),
+                        T.StructField("__pos", T.LongType()),
+                    ]
+                )
+            return self.spark.createDataFrame([], schema)
         renames = json.loads(self.properties.get("column_renames", "{}"))
         fields = self.schema.fields
 
@@ -1543,13 +1612,16 @@ class Table:
             part = self.spark.read.schema(read_schema).parquet(
                 *[entry.path for entry in group]
             )
-            part = part.select(
-                *[
-                    F.col(disk).cast(f.dataType).alias(f.name)
-                    for f, (disk, _) in zip(fields, sig)
+            cols = [
+                F.col(disk).cast(f.dataType).alias(f.name)
+                for f, (disk, _) in zip(fields, sig)
+            ]
+            if with_lineage:
+                cols += [
+                    F.col("_metadata.file_path").alias("__file"),
+                    F.col("_metadata.row_index").alias("__pos"),
                 ]
-            )
-            parts.append(part)
+            parts.append(part.select(cols))
         out = parts[0]
         for part in parts[1:]:
             out = out.unionByName(part)

@@ -1022,3 +1022,35 @@ def test_maintain_policy_triggers_conditionally(spark, catalog):
     assert "manifest_checkpoint" in report
     assert t._chain_depth() <= 1
     assert catalog.load_table("nyc", "svc").scan().count() == 118
+
+
+def test_positional_delete_lifecycle(spark, catalog):
+    """Position deletes: correct scans, no rewrite, appends after the
+    delete immune (sequence), mixes with predicate/equality deletes,
+    folds under compaction, survives fresh handles."""
+    df = spark.createDataFrame(
+        [(i, float(i), "a" if i % 2 == 0 else "b") for i in range(100)],
+        "id long, val double, tag string",
+    )
+    t = catalog.create_table("nyc", "posdel", df.schema)
+    t.append_dataframe(df)
+    files_before = sorted(f.path for f in t.snapshot_files())
+    t.delete_where_positional("tag = 'b' AND id < 50")
+    assert sorted(f.path for f in t.snapshot_files()) == files_before
+    assert t.scan().count() == 75
+    # appended rows matching the old predicate survive
+    t.append_dataframe(spark.createDataFrame([(201, 1.0, "b")], df.schema))
+    assert t.scan().count() == 76
+    # position-deleting again sees current state (delete the new row too)
+    t.delete_where_positional("id = 201")
+    assert t.scan().count() == 75
+    # mixes with an equality delete
+    t.delete_keys_mor(spark.createDataFrame([(0,), (2,)], "id long"))
+    assert t.scan().count() == 73
+    # a filtered scan composes with the positional anti-join
+    assert t.scan(filter="tag = 'b'").count() == 25
+    # fresh handle and compaction agree
+    assert catalog.load_table("nyc", "posdel").scan().count() == 73
+    t.rewrite_data_files(target_num_files=1)
+    assert t.scan().count() == 73
+    assert t._resolve_deletes(t.current_snapshot) == []
