@@ -238,3 +238,36 @@ def relational_cached_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     plan = result._jdf.queryExecution().executedPlan().toString()
     assert "InMemory" in plan, "cached scan must read from cache"
     return result
+
+
+# native UNPIVOT / PIVOT clauses (SQL-standard spellings both engines
+# parse identically — the relational complement to the DataFrame
+# .pivot() and stack() forms declared elsewhere)
+sql_query(
+    "unpivot_native_clause",
+    """
+SELECT p_partkey, cat, val
+FROM (
+  SELECT p_partkey, CAST(p_size AS DOUBLE) AS size_v,
+         CAST(p_retailprice AS DOUBLE) AS price_v
+  FROM part
+)
+UNPIVOT (val FOR cat IN (size_v, price_v))
+ORDER BY p_partkey, cat
+""",
+    oracle="same",
+)
+
+sql_query(
+    "pivot_native_clause",
+    """
+SELECT l_returnflag, CAST(O AS DOUBLE) AS sum_o, CAST(F AS DOUBLE) AS sum_f
+FROM (
+  SELECT l_returnflag, l_linestatus, CAST(l_quantity AS DECIMAL(38,6)) AS q
+  FROM lineitem
+)
+PIVOT (SUM(q) FOR l_linestatus IN ('O', 'F'))
+ORDER BY l_returnflag
+""",
+    oracle="same",
+)
