@@ -150,3 +150,24 @@ GROUP BY v.label
 ORDER BY v.label
 """,
 )
+
+
+# Spark's physical-layout clauses: DISTRIBUTE BY hashes rows to
+# partitions, SORT BY orders within each partition — they change layout,
+# never content, so the oracle is the plain projection (the harness
+# value-hash is row-order-insensitive). The write-side use is
+# partitioned/sorted file layout (see rewrite_data_files sort_by).
+sql_query(
+    "relational_distribute_sort_by",
+    """
+SELECT l_orderkey, l_linenumber, l_returnflag, l_quantity
+FROM lineitem
+WHERE l_orderkey < 500
+DISTRIBUTE BY l_returnflag SORT BY l_returnflag, l_orderkey, l_linenumber
+""",
+    oracle="""
+SELECT l_orderkey, l_linenumber, l_returnflag, l_quantity
+FROM lineitem
+WHERE l_orderkey < 500
+""",
+)
