@@ -73,3 +73,24 @@ def test_rows_only_queries_are_documented_exceptions(registry):
     )
     undocumented = [n for n in rows_only if not n.startswith(allowed_prefixes)]
     assert not undocumented, f"rows-only without a rationale: {undocumented}"
+
+
+def test_every_query_has_a_measured_cost(registry):
+    """The driver walks queries cheapest-first under a budget; a query
+    missing from measured_costs.json lands mid-pack on a guess. Keep the
+    file complete — refresh with
+    `python tools/check_correctness.py --timings-out ...`."""
+    import json
+    import os
+
+    queries, _ = registry
+    path = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        "iceberg_metadata_pipeline_spark",
+        "queries",
+        "measured_costs.json",
+    )
+    with open(path) as fh:
+        costs = json.load(fh)
+    missing = sorted(set(queries) - set(costs))
+    assert not missing, f"queries without a measured cost: {missing}"
