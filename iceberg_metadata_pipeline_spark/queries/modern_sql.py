@@ -99,3 +99,30 @@ def udtf_sentence_split(spark: SparkSession, sf_dir: str) -> DataFrame:
         ORDER BY doc_id, idx
         """
     )
+
+# multi-column (tuple) IN-subquery — Catalyst rewrites it to a left-semi
+# join on both columns; the oracle states the same semantics as EXISTS
+# (DuckDB's tuple-IN spelling differs)
+sql_query(
+    "subquery_tuple_in",
+    """
+SELECT l_returnflag, COUNT(*) AS n
+FROM lineitem
+WHERE (l_orderkey, l_linenumber) IN (
+  SELECT o_orderkey, 1 FROM orders WHERE o_orderstatus = 'F'
+)
+GROUP BY l_returnflag
+ORDER BY l_returnflag
+""",
+    oracle="""
+SELECT l_returnflag, COUNT(*) AS n
+FROM lineitem l
+WHERE EXISTS (
+  SELECT 1 FROM orders o
+  WHERE o.o_orderkey = l.l_orderkey AND l.l_linenumber = 1
+    AND o.o_orderstatus = 'F'
+)
+GROUP BY l_returnflag
+ORDER BY l_returnflag
+""",
+)
