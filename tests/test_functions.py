@@ -148,3 +148,34 @@ def test_native_corr_covar_regr_match_moments(spark, tables, sf_dir):
         assert abs(r["covp_n"] - m["covar_pop"]) < 1e-3 * max(1, abs(m["covar_pop"]))
         assert abs(r["slope_n"] - m["regr_slope"]) < 1e-6 * max(1, abs(m["regr_slope"]))
         assert abs(r["icept_n"] - m["regr_intercept"]) < 1e-3 * max(1, abs(m["regr_intercept"]))
+
+
+def test_binned_range_join_matches_naive_on_random_bands(spark):
+    """binned_range_join vs the naive theta join on random interval sets,
+    including bands wider than the bin, zero-width bands, and values on
+    bin boundaries."""
+    import random
+
+    from iceberg_metadata_pipeline_spark.functions.skew import binned_range_join
+
+    rng = random.Random(11)
+    facts = [(i, float(rng.randint(0, 200)) / 2.0) for i in range(500)]
+    bands = []
+    for b in range(40):
+        lo = float(rng.randint(0, 180)) / 2.0
+        width = rng.choice([0.0, 1.0, 4.0, 9.0, 25.0])
+        bands.append((b, lo, lo + width))
+    f = spark.createDataFrame(facts, "fid long, v double")
+    d = spark.createDataFrame(bands, "band_id long, lo double, hi double")
+
+    got = {
+        (r["fid"], r["band_id"])
+        for r in binned_range_join(f, d, "v", "lo", "hi", bin_width=5.0).collect()
+    }
+    want = {
+        (fid, b)
+        for fid, v in facts
+        for b, lo, hi in bands
+        if lo <= v <= hi
+    }
+    assert got == want
