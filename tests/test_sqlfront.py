@@ -547,3 +547,42 @@ def test_create_table_with_partition_transforms_and_drop(catalog, spark):
     assert out[0]["dropped"] is False
     with pytest.raises(FileNotFoundError):
         catalog_sql(catalog, "DROP TABLE nyc.evts")
+
+
+def test_sql_dml_random_sequence_matches_model(catalog, spark):
+    """Random INSERT/DELETE/UPDATE/TRUNCATE statement sequences vs an
+    in-memory model — guards the statement parsing + execution paths the
+    way the MOR model test guards the commit algebra. Seeded."""
+    import random
+
+    rng = random.Random(13)
+    t = catalog.create_table(
+        "nyc", "fuzz", spark.createDataFrame([(0, 0.0)], "id long, val double").schema
+    )
+    model: dict[int, float] = {}
+    next_id = 0
+    for step in range(10):
+        op = rng.choice(["insert", "delete", "update", "insert", "update"])
+        if op == "insert":
+            rows = [(next_id + i, float(rng.randint(0, 50))) for i in range(5)]
+            next_id += 5
+            vals = ", ".join(f"({i}, {v})" for i, v in rows)
+            catalog_sql(catalog, f"INSERT INTO nyc.fuzz VALUES {vals}")
+            model.update({i: v for i, v in rows})
+        elif op == "delete" and model:
+            lim = rng.randint(0, 50)
+            catalog_sql(catalog, f"DELETE FROM nyc.fuzz WHERE val <= {lim}")
+            model = {i: v for i, v in model.items() if not v <= lim}
+        elif op == "update" and model:
+            lim = rng.randint(0, 50)
+            catalog_sql(
+                catalog, f"UPDATE nyc.fuzz SET val = val + 100 WHERE val >= {lim}"
+            )
+            model = {i: (v + 100 if v >= lim else v) for i, v in model.items()}
+        got = {
+            (r["id"], r["val"])
+            for r in catalog_sql(catalog, "SELECT id, val FROM nyc.fuzz").collect()
+        }
+        assert got == set(model.items()), f"diverged at step {step} ({op})"
+    catalog_sql(catalog, "TRUNCATE TABLE nyc.fuzz")
+    assert catalog_sql(catalog, "SELECT COUNT(*) AS n FROM nyc.fuzz").first()["n"] == 0
