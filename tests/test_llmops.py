@@ -307,3 +307,54 @@ def test_chunking_matches_python_reference(spark, sf_dir):
                 hashlib.md5(" ".join(chunk).encode()).hexdigest(),
             )
     assert got == want
+
+
+def test_incremental_dedup_index(spark, sf_dir, tmp_path, tables):
+    """Index maintenance: batch-2 signatures are computed from the
+    increment only, yet equal a full recompute bit-for-bit; candidates
+    for new docs are found against the historical index (a planted
+    near-dup of an OLD doc must pair across batches)."""
+    from iceberg_metadata_pipeline_spark.catalog.metacat import Catalog
+    from iceberg_metadata_pipeline_spark.llmops.incremental import (
+        incremental_candidates,
+        signatures_for,
+        update_dedup_index,
+    )
+
+    docs = tables["documents"].select("doc_id", "text")
+    catalog = Catalog(spark, str(tmp_path / "wh"))
+    dt = catalog.create_table("nyc", "docs_inc", docs.schema)
+    it = catalog.create_table(
+        "nyc", "sig_index", signatures_for(docs.limit(1)).schema
+    )
+
+    # batch 1: half the corpus; bootstrap the index
+    b1 = docs.filter("doc_id % 2 = 0")
+    snap1 = dt.append_dataframe(b1)
+    update_dedup_index(dt, it, None)
+    n1 = it.scan().count()
+    assert n1 == b1.count()
+
+    # batch 2: the other half PLUS a planted near-dup of an old doc
+    base = docs.filter("doc_id = 0").first()["text"]
+    planted = spark.createDataFrame([(999001, base + " extra tail")], docs.schema)
+    b2 = docs.filter("doc_id % 2 = 1").unionByName(planted)
+    dt.refresh()
+    dt.append_dataframe(b2)
+    update_dedup_index(dt, it, snap1)
+    it2 = catalog.load_table("nyc", "sig_index")
+    assert it2.scan().count() == n1 + b2.count()
+
+    # incremental signatures == full recompute (shared hash family)
+    full = {
+        r["doc_id"]: tuple(r["sig"])
+        for r in signatures_for(dt.scan()).collect()
+    }
+    indexed = {r["doc_id"]: tuple(r["sig"]) for r in it2.scan().collect()}
+    assert indexed == full
+
+    # the planted near-dup pairs with its historical original
+    cands = incremental_candidates(
+        it2, spark.createDataFrame([(999001,)], "doc_id long")
+    ).collect()
+    assert any({r["id_a"], r["id_b"]} == {0, 999001} for r in cands)
