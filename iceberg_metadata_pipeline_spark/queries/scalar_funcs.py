@@ -461,3 +461,29 @@ FROM m
 ORDER BY p_partkey
 """,
 )
+
+
+# printf-style formatting (Spark format_string == C printf): integer and
+# string conversions only — float rounding of format engines differs
+# (Java HALF_UP vs C half-even) and must not be exercised
+sql_query(
+    "fn_format_family",
+    """
+SELECT p_partkey,
+       format_string('%06d', p_partkey) AS key_pad,
+       format_string('%s#%d', p_brand, p_size) AS brand_size,
+       format_string('%x', p_partkey) AS key_hex,
+       format_string('%-12s|', p_brand) AS brand_ljust
+FROM part
+ORDER BY p_partkey
+""",
+    oracle="""
+SELECT p_partkey,
+       printf('%06d', p_partkey) AS key_pad,
+       printf('%s#%d', p_brand, p_size) AS brand_size,
+       printf('%x', p_partkey) AS key_hex,
+       printf('%-12s|', p_brand) AS brand_ljust
+FROM part
+ORDER BY p_partkey
+""",
+)
