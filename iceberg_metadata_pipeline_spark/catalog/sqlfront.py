@@ -201,9 +201,6 @@ _RENAME_RE = re.compile(
     re.IGNORECASE,
 )
 
-_KEYWORDS = {"group", "order", "inner", "left", "right", "full", "cross"}
-
-
 def _parse_ts_ms(text: str) -> int:
     ts = _dt.datetime.fromisoformat(text)
     if ts.tzinfo is None:
