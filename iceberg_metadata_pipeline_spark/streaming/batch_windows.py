@@ -246,3 +246,50 @@ ORDER BY bucket
 """,
     oracle="same",
 )
+
+# time-interval RANGE frame: events in the trailing hour per user — the
+# rolling-metric frame a monitoring query wants (RANGE on event time,
+# not ROWS: ties and gaps handled by the time axis itself)
+sql_query(
+    "window_time_range_frame",
+    """
+SELECT event_id, user_id,
+       COUNT(*) OVER w AS n_last_hour,
+       CAST(SUM(CAST(value AS DECIMAL(38,6))) OVER w AS DOUBLE) AS val_last_hour
+FROM events
+WINDOW w AS (PARTITION BY user_id ORDER BY CAST(ts AS TIMESTAMP)
+             RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW)
+ORDER BY event_id
+""",
+    oracle="same",
+)
+
+# sessionization via the lag-gap-cumsum idiom (the pure-SQL form of
+# session windows): a session starts where the gap from the previous
+# event exceeds 5 minutes; the running sum of starts numbers sessions.
+# Two windows, both over the same (user, time) shuffle — one exchange.
+sql_query(
+    "events_sessionize_sql",
+    """
+WITH marked AS (
+  SELECT user_id, ts, value,
+         CASE WHEN CAST(ts AS TIMESTAMP) - lag(CAST(ts AS TIMESTAMP))
+                   OVER (PARTITION BY user_id ORDER BY CAST(ts AS TIMESTAMP), event_id)
+                   > INTERVAL 5 MINUTES THEN 1 ELSE 0 END AS new_session,
+         event_id
+  FROM events
+),
+sess AS (
+  SELECT user_id, ts, value,
+         SUM(new_session) OVER (PARTITION BY user_id
+                                ORDER BY CAST(ts AS TIMESTAMP), event_id) AS session_id
+  FROM marked
+)
+SELECT user_id, session_id, COUNT(*) AS n_events,
+       CAST(SUM(CAST(value AS DECIMAL(38,6))) AS DOUBLE) AS session_value
+FROM sess
+GROUP BY user_id, session_id
+ORDER BY user_id, session_id
+""",
+    oracle="same",
+)
