@@ -589,6 +589,7 @@ _PROC_POSITIONAL = {
     "rewrite_manifests": ["table"],
     "rewrite_position_delete_files": ["table"],
     "add_files": ["table", "source_dir"],
+    "snapshot": ["source_table", "table"],
     "fast_forward": ["table", "branch"],
 }
 
@@ -625,6 +626,24 @@ def _run_procedure(catalog: Catalog, proc: str, raw_args: str) -> DataFrame:
     of the harness like any query."""
     spark = catalog.spark
     args = _parse_call_args(proc, raw_args)
+    if proc == "snapshot":
+        # zero-copy table clone (Iceberg's snapshot procedure): the new
+        # table registers the SOURCE's current data files — O(metadata),
+        # no data moves; the clone then evolves independently (its
+        # commits never touch the source's files)
+        sref = str(args["source_table"])
+        dref = str(args["table"])
+        sns, sname = sref.split(".", 1)
+        dns, dname = dref.split(".", 1)
+        src = catalog.load_table(sns, sname)
+        dst = catalog.create_table(dns, dname, src.schema, or_load=False)
+        files = src.snapshot_files()
+        if files:
+            dst.append_files(list(files))
+        return spark.createDataFrame(
+            [(sref, dref, len(files))],
+            "source string, table string, imported_files_count int",
+        )
     tref = args.pop("table", None)
     if not isinstance(tref, str) or "." not in tref:
         raise ValueError(f"system.{proc} needs table => 'ns.name'")

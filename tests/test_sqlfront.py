@@ -586,3 +586,21 @@ def test_sql_dml_random_sequence_matches_model(catalog, spark):
         assert got == set(model.items()), f"diverged at step {step} ({op})"
     catalog_sql(catalog, "TRUNCATE TABLE nyc.fuzz")
     assert catalog_sql(catalog, "SELECT COUNT(*) AS n FROM nyc.fuzz").first()["n"] == 0
+
+
+def test_call_snapshot_zero_copy_clone(catalog, spark, versioned_table):
+    t, _s1, _s2 = versioned_table
+    out = catalog_sql(
+        catalog,
+        "CALL system.snapshot(source_table => 'nyc.vt', table => 'nyc.vt_clone')",
+    ).collect()
+    assert out[0]["imported_files_count"] >= 1
+    assert catalog_sql(catalog, "SELECT COUNT(*) AS n FROM nyc.vt_clone").first()["n"] == 3
+    # the clone shares data files (zero copy) ...
+    src_files = {f.path for f in t.refresh().snapshot_files()}
+    clone = catalog.load_table("nyc", "vt_clone")
+    assert {f.path for f in clone.snapshot_files()} == src_files
+    # ... but evolves independently: a clone delete leaves the source intact
+    clone.delete_where("id = 1")
+    assert catalog_sql(catalog, "SELECT COUNT(*) AS n FROM nyc.vt_clone").first()["n"] == 2
+    assert catalog_sql(catalog, "SELECT COUNT(*) AS n FROM nyc.vt").first()["n"] == 3
