@@ -293,3 +293,31 @@ ORDER BY user_id, session_id
 """,
     oracle="same",
 )
+
+# per-user z-score outliers — the monitoring/anomaly staple. Moments via
+# decimal sums (order-free) joined back to the stream; the join's build
+# side is one row per user (broadcastable at any scale)
+sql_query(
+    "events_zscore_outliers",
+    """
+WITH m AS (
+  SELECT user_id,
+         CAST(COUNT(*) AS DOUBLE) AS n,
+         CAST(SUM(CAST(value AS DECIMAL(38,12))) AS DOUBLE) AS s,
+         CAST(SUM(CAST(CAST(value AS DOUBLE) * CAST(value AS DOUBLE)
+                       AS DECIMAL(38,12))) AS DOUBLE) AS s2
+  FROM events GROUP BY user_id
+),
+scored AS (
+  SELECT e.event_id, e.user_id,
+         round((CAST(e.value AS DOUBLE) - s / n)
+               / nullif(sqrt((s2 - s * s / n) / n), 0), 6) AS z
+  FROM events e JOIN m ON e.user_id = m.user_id
+)
+SELECT event_id, user_id, z
+FROM scored
+WHERE abs(z) > 2
+ORDER BY event_id
+""",
+    oracle="same",
+)
