@@ -321,3 +321,40 @@ ORDER BY event_id
 """,
     oracle="same",
 )
+
+# weekly cohort retention: users grouped by first-activity week, counted
+# in each later week they return — two aggregates and one join on
+# user_id (both engines truncate weeks to Monday)
+sql_query(
+    "events_cohort_retention",
+    """
+WITH f AS (
+  SELECT user_id, MIN(CAST(date_trunc('week', CAST(ts AS TIMESTAMP)) AS DATE)) AS cohort
+  FROM events GROUP BY user_id
+),
+a AS (
+  SELECT DISTINCT user_id, CAST(date_trunc('week', CAST(ts AS TIMESTAMP)) AS DATE) AS wk
+  FROM events
+)
+SELECT f.cohort, CAST(datediff(a.wk, f.cohort) / 7 AS BIGINT) AS week_offset,
+       COUNT(DISTINCT a.user_id) AS n_active
+FROM a JOIN f ON a.user_id = f.user_id
+GROUP BY f.cohort, week_offset
+ORDER BY cohort, week_offset
+""",
+    oracle="""
+WITH f AS (
+  SELECT user_id, MIN(CAST(date_trunc('week', CAST(ts AS TIMESTAMP)) AS DATE)) AS cohort
+  FROM events GROUP BY user_id
+),
+a AS (
+  SELECT DISTINCT user_id, CAST(date_trunc('week', CAST(ts AS TIMESTAMP)) AS DATE) AS wk
+  FROM events
+)
+SELECT f.cohort, CAST(date_diff('day', f.cohort, a.wk) / 7 AS BIGINT) AS week_offset,
+       COUNT(DISTINCT a.user_id) AS n_active
+FROM a JOIN f ON a.user_id = f.user_id
+GROUP BY f.cohort, week_offset
+ORDER BY cohort, week_offset
+""",
+)
