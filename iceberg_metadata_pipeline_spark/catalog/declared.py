@@ -925,3 +925,66 @@ def table_delete_pos_mor(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("o_orderstatus")
     )
+
+
+@query(
+    "table_scd2_dimension",
+    """
+SELECT is_current, COUNT(*) AS n,
+  CAST(SUM(CAST(bal AS DECIMAL(38,6))) AS DOUBLE) AS total_bal
+FROM (
+  SELECT c_acctbal AS bal, FALSE AS is_current
+  FROM customer WHERE c_mktsegment = 'BUILDING'
+  UNION ALL
+  SELECT c_acctbal + 50 AS bal, TRUE AS is_current
+  FROM customer WHERE c_mktsegment = 'BUILDING'
+  UNION ALL
+  SELECT c_acctbal AS bal, TRUE AS is_current
+  FROM customer WHERE c_mktsegment <> 'BUILDING'
+) t
+GROUP BY is_current
+ORDER BY is_current
+""",
+)
+def table_scd2_dimension(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Slowly-changing dimension type 2 on the snapshot catalog: an
+    update batch CLOSES the affected current rows (UPDATE sets valid_to
+    and clears is_current — copy-on-write touches only matching files)
+    and APPENDS the new versions; history and current state coexist in
+    one table, and the snapshot log gives time travel on top. The oracle
+    reconstructs the expected version set from the raw fixture."""
+    customer = load_tables(spark, sf_dir)["customer"]
+    catalog = Catalog(spark, tempfile.mkdtemp(prefix="warehouse-scd2-"))
+    dim = customer.select(
+        "c_custkey",
+        "c_mktsegment",
+        F.col("c_acctbal").alias("bal"),
+        F.lit("2024-01-01").alias("valid_from"),
+        F.lit(None).cast("string").alias("valid_to"),
+        F.lit(True).alias("is_current"),
+    )
+    t = catalog.create_table("nyc", "customer_scd2", dim.schema)
+    t.append_dataframe(dim)
+    # change batch: BUILDING customers get bal+50 effective 2024-06-01
+    t.update_set(
+        "c_mktsegment = 'BUILDING' AND is_current",
+        {"valid_to": "'2024-06-01'", "is_current": "false"},
+    )
+    new_versions = dim.filter(F.col("c_mktsegment") == "BUILDING").select(
+        "c_custkey",
+        "c_mktsegment",
+        (F.col("bal") + 50).alias("bal"),
+        F.lit("2024-06-01").alias("valid_from"),
+        F.lit(None).cast("string").alias("valid_to"),
+        F.lit(True).alias("is_current"),
+    )
+    t.append_dataframe(new_versions)
+    return (
+        t.scan()
+        .groupBy("is_current")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("bal").cast("decimal(38,6)")).cast("double").alias("total_bal"),
+        )
+        .orderBy("is_current")
+    )
