@@ -988,3 +988,38 @@ def table_scd2_dimension(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("is_current")
     )
+
+
+@query(
+    "table_bloom_point_lookup",
+    """
+SELECT COUNT(*) AS n,
+  CAST(SUM(CAST(c_acctbal AS DECIMAL(38,6))) AS DOUBLE) AS bal
+FROM customer
+WHERE c_name IN ('Customer#000000007', 'Customer#000000042')
+""",
+)
+def table_bloom_point_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-file bloom filters: with customers interleaved across files,
+    every file's [min,max] on c_name spans any probe — min/max pruning is
+    useless — but the bloom prunes to the files that actually (maybe)
+    hold the probed names (asserted). Results equal the raw fixture."""
+    from iceberg_metadata_pipeline_spark.catalog.metacat import _prune_by_stats
+    from iceberg_metadata_pipeline_spark.catalog.partitioning import split_conjuncts
+
+    customer = load_tables(spark, sf_dir)["customer"]
+    catalog = Catalog(spark, tempfile.mkdtemp(prefix="warehouse-bloom-"))
+    t = catalog.create_table("nyc", "customer_bloom", customer.schema)
+    for r in range(4):
+        t.append_dataframe(customer.filter(F.col("c_custkey") % 4 == r))
+    t.build_bloom_filters("c_name")
+    files = t.snapshot_files()
+    probe = "c_name IN ('Customer#000000007', 'Customer#000000042')"
+    candidates = files
+    for conjunct in split_conjuncts(probe):
+        candidates = _prune_by_stats(candidates, conjunct)
+    assert len(candidates) < len(files), "bloom must prune interleaved files"
+    return t.scan(filter=probe).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("c_acctbal").cast("decimal(38,6)")).cast("double").alias("bal"),
+    )

@@ -304,6 +304,7 @@ class Table:
         added_deletes: list[dict] | None = None,
         clears_deletes: bool = False,
         branch: str | None = None,
+        preserve_seq: bool = False,
     ) -> int:
         """One atomic commit of a manifest DELTA: writes an immutable
         per-snapshot delta file (O(changed files)), then CASes the metadata
@@ -331,8 +332,12 @@ class Table:
         # commits re-register surviving entries — re-stamping would make
         # them apply to files added since their original commit)
         seq = int(self.meta.get("last_sequence_number", 0)) + 1
-        for f in added:
-            f.seq = seq
+        if not preserve_seq:
+            for f in added:
+                f.seq = seq
+        # preserve_seq: a metadata-only re-registration (stats update)
+        # keeps each file's original sequence — re-stamping would exempt
+        # the files from every pending MOR delete
         added_deletes = [
             d if "seq" in d else dict(d, seq=seq) for d in (added_deletes or [])
         ]
@@ -624,6 +629,72 @@ class Table:
             "delete-maintenance", [], added_deletes=live, clears_deletes=True
         )
         return (len(deletes) - len(live), len(live))
+
+    def build_bloom_filters(self, column: str, bits: int = 8192, k: int = 4) -> int:
+        """Attach a per-file Bloom filter on ``column`` to every live
+        manifest entry (one metadata-only commit re-registering the same
+        files with enriched stats). Min/max pruning is useless for point
+        lookups on unclustered high-cardinality columns — every file's
+        range spans the probe — but a few KB of bloom bits per file
+        prunes them by membership. One scan computes all bitmaps
+        distributed (bit positions aggregated per file, the driver
+        collects #files small bitmaps); scans consult the filter for
+        ``col = literal`` probes via ``_prune_by_stats``. False positives
+        only cost an extra file read — never correctness."""
+        files = self.snapshot_files()
+        if not files:
+            return self.meta["current_snapshot_id"]
+        src = self._read_files(files, with_lineage=True).select(
+            "__file", F.col(column).cast("string").alias("__v")
+        )
+        # k hash positions per value — md5-derived so the SCAN side can
+        # test membership in pure Python without a Spark job (xxhash64
+        # isn't reproducible driver-side). Collect the distinct bit
+        # positions per file (≤ bits of them); shuffle carries
+        # (file, position) pairs, deduplicated map-side by the distinct.
+        pos = src.select(
+            "__file",
+            F.explode(
+                F.array(*[_bloom_bit_expr("__v", i, bits) for i in range(k)])
+            ).alias("bit"),
+        ).distinct()
+        per_file = (
+            pos.groupBy("__file").agg(F.collect_list("bit").alias("bits")).collect()
+        )
+        # file_path in lineage is a URI (file:/... or file:///...);
+        # manifest paths are plain absolute paths
+        def norm(p: str) -> str:
+            if p.startswith("file:"):
+                p = p[5:]
+                while p.startswith("//"):
+                    p = p[1:]
+            return p
+
+        bitmaps = {norm(r["__file"]): sorted(r["bits"]) for r in per_file}
+        new_entries = []
+        for f in files:
+            e = DataFileEntry.from_json(f.to_json())
+            bm = bitmaps.get(f.path)
+            if bm is not None:
+                packed = bytearray(bits // 8)
+                for b in bm:
+                    packed[b // 8] |= 1 << (b % 8)
+                import base64
+
+                e.stats = dict(e.stats)
+                e.stats[f"bloom_{column}"] = {
+                    "bits": bits,
+                    "k": k,
+                    "bitmap": base64.b64encode(bytes(packed)).decode(),
+                }
+            e.seq = f.seq
+            new_entries.append(e)
+        return self._commit(
+            "stats-update",
+            new_entries,
+            removed_paths={f.path for f in files},
+            preserve_seq=True,
+        )
 
     def maintain(
         self,
@@ -2207,6 +2278,34 @@ def _zvalue_column(df: DataFrame, cols: list[str], bits: int = 16):
     return z
 
 
+def _bloom_bit_expr(col: str, i: int, bits: int):
+    """Bit position i for a value: md5 of value + '#i', first 15 hex
+    digits mod bits — identical arithmetic to ``_bloom_bit_py``."""
+    return F.pmod(
+        F.conv(
+            F.substring(F.md5(F.concat(F.col(col), F.lit(f"#{i}"))), 1, 15), 16, 10
+        ).cast("long"),
+        F.lit(bits),
+    )
+
+
+def _bloom_bit_py(value: str, i: int, bits: int) -> int:
+    import hashlib
+
+    return int(hashlib.md5(f"{value}#{i}".encode()).hexdigest()[:15], 16) % bits
+
+
+def _bloom_maybe_contains(bloom: dict, value: str) -> bool:
+    import base64
+
+    packed = base64.b64decode(bloom["bitmap"])
+    for i in range(bloom["k"]):
+        b = _bloom_bit_py(value, i, bloom["bits"])
+        if not packed[b // 8] & (1 << (b % 8)):
+            return False
+    return True
+
+
 _OPS = ["<=", ">=", "<", ">", "="]
 
 
@@ -2232,6 +2331,16 @@ def _prune_by_stats(files: list[DataFileEntry], filter_expr: str) -> list[DataFi
         op = "="  # IN: keep the file if ANY literal falls inside [min, max]
     out = []
     for f in files:
+        # bloom membership for equality/IN probes: definite-absence drops
+        # the file even when [min,max] spans the probe (the point-lookup
+        # case min/max can't help with). Values compare via their Spark
+        # string rendering — build_bloom_filters wrote them that way.
+        if op == "=":
+            bloom = f.stats.get(f"bloom_{col}")
+            if bloom is not None and not any(
+                _bloom_maybe_contains(bloom, str(lit)) for lit in lits
+            ):
+                continue
         st = f.stats.get(col)
         if st is None:
             out.append(f)

@@ -1054,3 +1054,43 @@ def test_positional_delete_lifecycle(spark, catalog):
     t.rewrite_data_files(target_num_files=1)
     assert t.scan().count() == 73
     assert t._resolve_deletes(t.current_snapshot) == []
+
+
+def test_bloom_filter_file_skipping(spark, catalog):
+    """Per-file bloom filters: a point lookup on an unclustered string
+    column prunes files min/max can't (every file spans the probe);
+    membership false positives only add reads, absence is definite."""
+    from iceberg_metadata_pipeline_spark.catalog.metacat import _prune_by_stats
+
+    df = spark.createDataFrame(
+        [(i, f"user_{i:04d}") for i in range(2000)], "id long, name string"
+    )
+    t = catalog.create_table("nyc", "bloom", df.schema)
+    # four files, interleaved names so min/max overlaps everywhere
+    for r in range(4):
+        t.append_dataframe(df.filter(F.col("id") % 4 == r))
+    t.build_bloom_filters("name")
+    t2 = catalog.load_table("nyc", "bloom")  # blooms persisted
+    files = t2.snapshot_files()
+    assert all(f.stats.get("bloom_name") for f in files)
+    # name user_0005 lives in exactly one file (id 5 % 4 == 1)
+    hits = _prune_by_stats(files, "name = 'user_0005'")
+    assert 1 <= len(hits) <= 2  # target + rare false positives
+    # min/max alone cannot prune (interleaved): strip blooms and compare
+    import copy
+
+    stripped = []
+    for f in files:
+        g = copy.deepcopy(f)
+        g.stats.pop("bloom_name", None)
+        stripped.append(g)
+    assert len(_prune_by_stats(stripped, "name = 'user_0005'")) == 4
+    # absent value prunes everything
+    assert _prune_by_stats(files, "name = 'not_a_user'") == []
+    # correctness through scan: results identical with pruning active
+    assert t2.scan(filter="name = 'user_0005'").count() == 1
+    assert t2.scan(filter="name = 'not_a_user'").count() == 0
+    # sequence preservation: a pending MOR delete still applies to the
+    # re-registered (stats-update) files
+    t2.delete_where_mor("id < 100")
+    assert t2.scan().count() == 1900
