@@ -674,7 +674,9 @@ class Table:
         new_entries = []
         for f in files:
             e = DataFileEntry.from_json(f.to_json())
-            bm = bitmaps.get(f.path)
+            # a file with no rows gets the all-zeros bitmap: every probe
+            # misses, so empty part files prune away for free
+            bm = bitmaps.get(f.path, [] if f.record_count == 0 else None)
             if bm is not None:
                 packed = bytearray(bits // 8)
                 for b in bm:

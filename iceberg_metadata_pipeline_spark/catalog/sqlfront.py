@@ -590,6 +590,7 @@ _PROC_POSITIONAL = {
     "rewrite_position_delete_files": ["table"],
     "add_files": ["table", "source_dir"],
     "snapshot": ["source_table", "table"],
+    "compute_table_stats": ["table", "columns"],
     "fast_forward": ["table", "branch"],
 }
 
@@ -714,6 +715,19 @@ def _run_procedure(catalog: Catalog, proc: str, raw_args: str) -> DataFrame:
         added = len({f.path for f in table.snapshot_files()} - before)
         return spark.createDataFrame(
             [(added, len(entries))], "added_files_count int, source_files_count int"
+        )
+    if proc == "compute_table_stats":
+        # Iceberg's compute_table_stats analogue: per-file bloom filters
+        # for the named columns (comma-separated)
+        cols = [c.strip() for c in str(args.get("columns", "")).split(",") if c.strip()]
+        if not cols:
+            raise ValueError("compute_table_stats needs columns => 'a,b'")
+        for c in cols:
+            table.refresh()
+            table.build_bloom_filters(c)
+        return spark.createDataFrame(
+            [(len(cols), len(table.snapshot_files()))],
+            "statistics_columns int, files_count int",
         )
     if proc == "rewrite_position_delete_files":
         dropped, kept = table.rewrite_delete_files()

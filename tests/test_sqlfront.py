@@ -604,3 +604,15 @@ def test_call_snapshot_zero_copy_clone(catalog, spark, versioned_table):
     clone.delete_where("id = 1")
     assert catalog_sql(catalog, "SELECT COUNT(*) AS n FROM nyc.vt_clone").first()["n"] == 2
     assert catalog_sql(catalog, "SELECT COUNT(*) AS n FROM nyc.vt").first()["n"] == 3
+
+
+def test_call_compute_table_stats(catalog, spark, versioned_table):
+    _t, _s1, _s2 = versioned_table
+    out = catalog_sql(
+        catalog,
+        "CALL system.compute_table_stats(table => 'nyc.vt', columns => 's')",
+    ).collect()
+    assert out[0]["statistics_columns"] == 1
+    t = catalog.load_table("nyc", "vt")
+    assert all(f.stats.get("bloom_s") for f in t.snapshot_files())
+    assert catalog_sql(catalog, "SELECT COUNT(*) AS n FROM nyc.vt").first()["n"] == 3
