@@ -1023,3 +1023,24 @@ def table_bloom_point_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n"),
         F.sum(F.col("c_acctbal").cast("decimal(38,6)")).cast("double").alias("bal"),
     )
+
+
+@query(
+    "catalog_metadata_minmax",
+    """
+SELECT COUNT(*) AS n, MIN(c_acctbal) AS min_bal, MAX(c_acctbal) AS max_bal
+FROM customer
+""",
+)
+def catalog_metadata_minmax(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """COUNT/MIN/MAX answered from manifest statistics with zero data IO
+    (the footer stats recorded at registration); must equal the oracle's
+    real aggregates over the raw fixture."""
+    customer = load_tables(spark, sf_dir)["customer"]
+    catalog = Catalog(spark, tempfile.mkdtemp(prefix="warehouse-mm-"))
+    t = catalog.create_table("nyc", "customer_mm", customer.schema)
+    t.append_dataframe(customer)
+    mn, mx = t.column_min_max("c_acctbal")
+    return spark.createDataFrame(
+        [(t.count_rows(), float(mn), float(mx))], "n long, min_bal double, max_bal double"
+    )

@@ -1517,6 +1517,33 @@ class Table:
         )
         return inserts.unionByName(deletes)
 
+    def column_min_max(
+        self, column: str, snapshot_id: int | None = None
+    ) -> tuple | None:
+        """MIN/MAX of a column from manifest statistics alone — zero data
+        IO — when every live file carries stats for it and no MOR delete
+        is pending (a delete could remove the extreme row); falls back to
+        a real scan aggregate otherwise. With count_rows this completes
+        the aggregate-pushdown-to-statistics family Iceberg serves from
+        manifests."""
+        snap = self._select_snapshot(snapshot_id, None)
+        if snap is None:
+            return None
+        files = self._resolve_manifest(snap)
+        if not files:
+            return None
+        if not self._resolve_deletes(snap) and all(
+            f.stats.get(column) is not None for f in files
+        ):
+            mns, mxs = zip(*(f.stats[column] for f in files))
+            return (min(mns), max(mxs))
+        row = (
+            self.scan(snapshot_id=snapshot_id)
+            .agg(F.min(column).alias("mn"), F.max(column).alias("mx"))
+            .first()
+        )
+        return (row["mn"], row["mx"])
+
     def count_rows(self, snapshot_id: int | None = None) -> int:
         """COUNT(*) from manifest metadata alone — no file IO — when no
         MOR delete entries are pending (their matched counts are unknown

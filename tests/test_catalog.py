@@ -1094,3 +1094,13 @@ def test_bloom_filter_file_skipping(spark, catalog):
     # re-registered (stats-update) files
     t2.delete_where_mor("id < 100")
     assert t2.scan().count() == 1900
+
+
+def test_column_min_max_stats_and_fallback(spark, catalog):
+    df = spark.createDataFrame([(i, float(i)) for i in range(100)], "id long, v double")
+    t = catalog.create_table("nyc", "mm", df.schema)
+    t.append_dataframe(df)
+    assert t.column_min_max("v") == (0.0, 99.0)
+    # pending MOR delete forces the scan fallback (the max row is deleted)
+    t.delete_where_mor("id = 99")
+    assert t.column_min_max("v") == (0.0, 98.0)
