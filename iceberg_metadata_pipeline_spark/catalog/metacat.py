@@ -423,6 +423,17 @@ class Table:
         listing (at 100 TB, listing is the enemy; the manifest is O(files)
         metadata already in hand)."""
         entries = self._write_dataframe(df)
+        # incremental bloom maintenance: the 'write.bloom-columns' table
+        # property (comma-separated) blooms each batch's NEW files at
+        # write time — O(batch), so the table never needs a whole-table
+        # compute_table_stats pass to stay point-lookup-prunable
+        bloom_cols = [
+            c.strip()
+            for c in self.properties.get("write.bloom-columns", "").split(",")
+            if c.strip()
+        ]
+        for c in bloom_cols:
+            self._attach_blooms(entries, c, bits=8192, k=4)
         return self.append_files(entries, dedupe=False, branch=branch)
 
     def _write_dataframe(self, df: DataFrame) -> list[DataFileEntry]:
@@ -644,23 +655,46 @@ class Table:
         files = self.snapshot_files()
         if not files:
             return self.meta["current_snapshot_id"]
-        src = self._read_files(files, with_lineage=True).select(
-            "__file", F.col(column).cast("string").alias("__v")
+        new_entries = []
+        for f in files:
+            e = DataFileEntry.from_json(f.to_json())
+            e.seq = f.seq
+            new_entries.append(e)
+        self._attach_blooms(new_entries, column, bits, k)
+        return self._commit(
+            "stats-update",
+            new_entries,
+            removed_paths={f.path for f in files},
+            preserve_seq=True,
         )
-        # k hash positions per value — md5-derived so the SCAN side can
-        # test membership in pure Python without a Spark job (xxhash64
-        # isn't reproducible driver-side). Collect the distinct bit
-        # positions per file (≤ bits of them); shuffle carries
-        # (file, position) pairs, deduplicated map-side by the distinct.
-        pos = src.select(
-            "__file",
-            F.explode(
-                F.array(*[_bloom_bit_expr("__v", i, bits) for i in range(k)])
-            ).alias("bit"),
-        ).distinct()
-        per_file = (
-            pos.groupBy("__file").agg(F.collect_list("bit").alias("bits")).collect()
-        )
+
+    def _attach_blooms(
+        self, entries: list[DataFileEntry], column: str, bits: int, k: int
+    ) -> None:
+        """Compute and attach bloom bitmaps for exactly ``entries``
+        (mutated in place). One distributed scan over those files; k hash
+        positions per value — md5-derived so the SCAN side can test
+        membership in pure Python without a Spark job (xxhash64 isn't
+        reproducible driver-side). The shuffle carries (file, position)
+        pairs, deduplicated map-side by the distinct."""
+        import base64
+
+        with_rows = [e for e in entries if e.record_count > 0]
+        per_file = []
+        if with_rows:
+            src = self._read_files(with_rows, with_lineage=True).select(
+                "__file", F.col(column).cast("string").alias("__v")
+            )
+            pos = src.select(
+                "__file",
+                F.explode(
+                    F.array(*[_bloom_bit_expr("__v", i, bits) for i in range(k)])
+                ).alias("bit"),
+            ).distinct()
+            per_file = (
+                pos.groupBy("__file").agg(F.collect_list("bit").alias("bits")).collect()
+            )
+
         # file_path in lineage is a URI (file:/... or file:///...);
         # manifest paths are plain absolute paths
         def norm(p: str) -> str:
@@ -671,32 +705,21 @@ class Table:
             return p
 
         bitmaps = {norm(r["__file"]): sorted(r["bits"]) for r in per_file}
-        new_entries = []
-        for f in files:
-            e = DataFileEntry.from_json(f.to_json())
+        for e in entries:
             # a file with no rows gets the all-zeros bitmap: every probe
             # misses, so empty part files prune away for free
-            bm = bitmaps.get(f.path, [] if f.record_count == 0 else None)
-            if bm is not None:
-                packed = bytearray(bits // 8)
-                for b in bm:
-                    packed[b // 8] |= 1 << (b % 8)
-                import base64
-
-                e.stats = dict(e.stats)
-                e.stats[f"bloom_{column}"] = {
-                    "bits": bits,
-                    "k": k,
-                    "bitmap": base64.b64encode(bytes(packed)).decode(),
-                }
-            e.seq = f.seq
-            new_entries.append(e)
-        return self._commit(
-            "stats-update",
-            new_entries,
-            removed_paths={f.path for f in files},
-            preserve_seq=True,
-        )
+            bm = bitmaps.get(e.path, [] if e.record_count == 0 else None)
+            if bm is None:
+                continue
+            packed = bytearray(bits // 8)
+            for b in bm:
+                packed[b // 8] |= 1 << (b % 8)
+            e.stats = dict(e.stats)
+            e.stats[f"bloom_{column}"] = {
+                "bits": bits,
+                "k": k,
+                "bitmap": base64.b64encode(bytes(packed)).decode(),
+            }
 
     def maintain(
         self,

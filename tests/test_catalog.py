@@ -1104,3 +1104,25 @@ def test_column_min_max_stats_and_fallback(spark, catalog):
     # pending MOR delete forces the scan fallback (the max row is deleted)
     t.delete_where_mor("id = 99")
     assert t.column_min_max("v") == (0.0, 98.0)
+
+
+def test_incremental_bloom_maintenance_on_append(spark, catalog):
+    """write.bloom-columns: every append blooms its own files at write
+    time — no whole-table stats pass needed; pruning works immediately
+    and newly appended files are covered too."""
+    from iceberg_metadata_pipeline_spark.catalog.metacat import _prune_by_stats
+
+    df = spark.createDataFrame(
+        [(i, f"k_{i:04d}") for i in range(400)], "id long, name string"
+    )
+    t = catalog.create_table(
+        "nyc", "abloom", df.schema, properties={"write.bloom-columns": "name"}
+    )
+    for r in range(3):
+        t.append_dataframe(df.filter(F.col("id") % 3 == r))
+    files = t.snapshot_files()
+    assert all(f.stats.get("bloom_name") for f in files if f.record_count > 0)
+    hits = _prune_by_stats([f for f in files if f.record_count > 0], "name = 'k_0007'")
+    assert 1 <= len(hits) <= 2
+    assert t.scan(filter="name = 'k_0007'").count() == 1
+    assert catalog.load_table("nyc", "abloom").scan().count() == 400
