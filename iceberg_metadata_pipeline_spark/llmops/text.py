@@ -396,3 +396,52 @@ GROUP BY b.doc_id
 ORDER BY b.doc_id
 """,
 )
+
+
+# n-gram novelty: the fraction of a document's distinct 3-gram shingles
+# that appear in NO other document — near-1 means genuinely novel text,
+# near-0 means boilerplate/templates even when no single pair crosses a
+# near-dup threshold. Two hash aggregations (per-doc distinct shingles,
+# then corpus counts) + one equi-join on the shingle key; shuffle is
+# O(distinct shingles), never O(tokens).
+sql_query(
+    "text_ngram_novelty",
+    """
+WITH tri AS (
+  SELECT DISTINCT doc_id,
+         concat_ws(' ', slice(t, i + 1, 3)) AS tri
+  FROM (
+    SELECT doc_id, t, explode(sequence(0, size(t) - 3)) AS i
+    FROM (SELECT doc_id, split(text, ' ') AS t FROM documents) s
+    WHERE size(t) >= 3
+  ) e
+),
+counts AS (SELECT tri, COUNT(*) AS c FROM tri GROUP BY tri)
+SELECT tri.doc_id,
+       COUNT(*) AS n_tris,
+       count_if(c = 1) AS n_unique,
+       round(CAST(count_if(c = 1) AS DOUBLE) / COUNT(*), 9) AS novelty
+FROM tri JOIN counts ON tri.tri = counts.tri
+GROUP BY tri.doc_id
+ORDER BY tri.doc_id
+""",
+    oracle="""
+WITH tri AS (
+  SELECT DISTINCT doc_id,
+         array_to_string(t[i + 1 : i + 3], ' ') AS tri
+  FROM (
+    SELECT doc_id, t, unnest(generate_series(0, len(t) - 3)) AS i
+    FROM (SELECT doc_id, string_split(text, ' ') AS t FROM documents) s
+    WHERE len(t) >= 3
+  ) e
+),
+counts AS (SELECT tri, COUNT(*) AS c FROM tri GROUP BY tri)
+SELECT tri.doc_id,
+       COUNT(*) AS n_tris,
+       count_if(c = 1) AS n_unique,
+       round(CAST(count_if(c = 1) AS DOUBLE) / COUNT(*), 9) AS novelty
+FROM tri JOIN counts ON tri.tri = counts.tri
+GROUP BY tri.doc_id
+ORDER BY tri.doc_id
+""",
+)
