@@ -282,3 +282,28 @@ ORDER BY o_orderstatus
 """,
     oracle="same",
 )
+
+
+# multi-column COUNT(DISTINCT): Spark takes a column list, DuckDB a row
+# constructor — same distinct-tuple semantics
+sql_query(
+    "agg_count_distinct_multi",
+    """
+SELECT l_returnflag,
+       COUNT(DISTINCT l_orderkey, l_linenumber) AS n_lines,
+       COUNT(DISTINCT l_suppkey, l_partkey) AS n_supplier_parts,
+       COUNT(*) AS n
+FROM lineitem
+GROUP BY l_returnflag
+ORDER BY l_returnflag
+""",
+    oracle="""
+SELECT l_returnflag,
+       COUNT(DISTINCT (l_orderkey, l_linenumber)) AS n_lines,
+       COUNT(DISTINCT (l_suppkey, l_partkey)) AS n_supplier_parts,
+       COUNT(*) AS n
+FROM lineitem
+GROUP BY l_returnflag
+ORDER BY l_returnflag
+""",
+)
