@@ -679,11 +679,14 @@ class Table:
         pairs, deduplicated map-side by the distinct."""
         import base64
 
+        ctype = self._schema_types().get(column, "string")
         with_rows = [e for e in entries if e.record_count > 0]
         per_file = []
         if with_rows:
-            src = self._read_files(with_rows, with_lineage=True).select(
-                "__file", F.col(column).cast("string").alias("__v")
+            src = (
+                self._read_files(with_rows, with_lineage=True)
+                .where(F.col(column).isNotNull())
+                .select("__file", _bloom_value_expr(column, ctype).alias("__v"))
             )
             pos = src.select(
                 "__file",
@@ -718,6 +721,12 @@ class Table:
             e.stats[f"bloom_{column}"] = {
                 "bits": bits,
                 "k": k,
+                # build-side rendering is _bloom_value_expr; the probe
+                # must canonicalize its literal through the SAME rendering
+                # (_bloom_canonical) or skip the bloom — a raw SQL literal
+                # like `100000` differs from the double rendering and
+                # would false-negative the membership test
+                "type": ctype,
                 "bitmap": base64.b64encode(bytes(packed)).decode(),
             }
 
@@ -2202,15 +2211,23 @@ def _footer_entry(path: str) -> DataFileEntry:
         rgm = md.row_group(rg)
         for ci in range(rgm.num_columns):
             col = rgm.column(ci)
-            st = col.statistics
-            if st is None or not st.has_min_max:
-                continue
+            try:
+                st = col.statistics
+                if st is None or not st.has_min_max:
+                    continue
+                mn, mx = st.min, st.max
+            except Exception:  # noqa: BLE001 — e.g. decimal FIXED_LEN_BYTE_ARRAY:
+                continue  # pyarrow can't cast the stats; pruning skips the col
             cname = col.path_in_schema
-            mn, mx = st.min, st.max
             if isinstance(mn, bytes) or isinstance(mx, bytes):
                 continue  # binary stats not comparable portably
             if hasattr(mn, "isoformat"):
-                mn, mx = mn.isoformat(), mx.isoformat()
+                # space separator, NOT isoformat()'s 'T': pruning compares
+                # these strings against SQL literals ('2024-01-05 04:00:00'),
+                # and ' ' < 'T' would wrongly prune files whose min shares
+                # the literal's date prefix — a silent false negative
+                sep = {"sep": " "} if hasattr(mn, "hour") else {}
+                mn, mx = mn.isoformat(**sep), mx.isoformat(**sep)
             if cname in stats:
                 stats[cname] = [min(stats[cname][0], mn), max(stats[cname][1], mx)]
             else:
@@ -2358,6 +2375,86 @@ def _bloom_maybe_contains(bloom: dict, value: str) -> bool:
     return True
 
 
+def _bloom_value_expr(column: str, ctype: str):
+    """The build-side canonical rendering of ``column`` for bloom
+    hashing. CAST(col AS STRING) for every type whose rendering the
+    probe can reproduce in pure Python — EXCEPT float/double, where
+    Java 17's Double.toString is the pre-Ryu FloatingDecimal algorithm
+    (not shortest-round-trip, e.g. -1.42299048002230323E18 where the
+    shortest repr has one digit fewer) and cannot be replicated safely.
+    Those hash the IEEE-754 bit pattern instead (+0.0 first, so -0.0
+    and 0.0 — SQL-equal — share bits); struct.pack reproduces the bits
+    exactly on the probe side."""
+    if ctype == "double":
+        return F.expr(
+            f"reflect('java.lang.Double', 'doubleToLongBits', `{column}` + 0.0d)"
+        )
+    if ctype == "float":
+        return F.expr(
+            "reflect('java.lang.Float', 'floatToIntBits', "
+            f"`{column}` + cast(0.0 as float))"
+        )
+    return F.col(column).cast("string")
+
+
+def _bloom_canonical(lit: str, ctype: str) -> str | None:
+    """Render a SQL literal exactly the way CAST(col AS STRING) rendered
+    the column values at bloom-build time, or None when that rendering
+    cannot be reproduced confidently. None makes the caller SKIP the
+    bloom probe (maybe-present): a skipped probe costs one extra file
+    read, a wrong canonical form would wrongly prune a file that holds
+    the value — false negatives are a correctness bug, not a perf one."""
+    ctype = ctype.lower()
+    try:
+        if ctype == "string" or ctype.startswith(("varchar", "char")):
+            return lit
+        if ctype in ("tinyint", "smallint", "int", "bigint"):
+            return str(int(lit, 10))
+        if ctype == "boolean":
+            low = lit.strip().lower()
+            return low if low in ("true", "false") else None
+        if ctype == "date":
+            import datetime
+
+            return datetime.date.fromisoformat(lit.strip()).isoformat()
+        if ctype.startswith("decimal("):
+            import decimal
+
+            scale = int(ctype[:-1].split(",")[1])
+            quantum = decimal.Decimal(1).scaleb(-scale)
+            d = decimal.Decimal(lit)
+            if d != d.quantize(quantum):
+                # literal not representable at the column's scale: the
+                # equality can never hold, so definite-absence is correct
+                # for every file — but returning the rounded form would
+                # probe a DIFFERENT value; just skip the bloom instead
+                return None
+            return f"{d.quantize(quantum):f}"
+        if ctype in ("timestamp", "timestamp_ntz"):
+            import datetime
+
+            v = datetime.datetime.fromisoformat(lit.strip())
+            s = v.strftime("%Y-%m-%d %H:%M:%S")
+            if v.microsecond:
+                s += f".{v.microsecond:06d}".rstrip("0")
+            return s
+        if ctype == "double":
+            import struct
+
+            return str(struct.unpack("<q", struct.pack("<d", float(lit) + 0.0))[0])
+        if ctype == "float":
+            import struct
+
+            import numpy as np
+
+            # parse at FLOAT32 precision (float32('1.1') != float64 1.1)
+            f = float(np.float32(lit) + np.float32(0.0))
+            return str(struct.unpack("<i", struct.pack("<f", f))[0])
+    except (ValueError, ArithmeticError):
+        return None
+    return None
+
+
 _OPS = ["<=", ">=", "<", ">", "="]
 
 
@@ -2385,14 +2482,21 @@ def _prune_by_stats(files: list[DataFileEntry], filter_expr: str) -> list[DataFi
     for f in files:
         # bloom membership for equality/IN probes: definite-absence drops
         # the file even when [min,max] spans the probe (the point-lookup
-        # case min/max can't help with). Values compare via their Spark
-        # string rendering — build_bloom_filters wrote them that way.
+        # case min/max can't help with). Bitmaps hash the build-side
+        # CAST(col AS STRING) rendering, so the literal must pass through
+        # _bloom_canonical first; any literal we can't canonicalize keeps
+        # the file (None → maybe-present, never a false negative).
         if op == "=":
             bloom = f.stats.get(f"bloom_{col}")
-            if bloom is not None and not any(
-                _bloom_maybe_contains(bloom, str(lit)) for lit in lits
-            ):
-                continue
+            if bloom is not None:
+                canon = [
+                    _bloom_canonical(lit, bloom.get("type", "string"))
+                    for lit in lits
+                ]
+                if all(c is not None for c in canon) and not any(
+                    _bloom_maybe_contains(bloom, c) for c in canon
+                ):
+                    continue
         st = f.stats.get(col)
         if st is None:
             out.append(f)

@@ -1096,6 +1096,60 @@ def test_bloom_filter_file_skipping(spark, catalog):
     assert t2.scan().count() == 1900
 
 
+def test_bloom_typed_literal_no_false_negative(spark, catalog):
+    """Bloom probes on NON-string columns must canonicalize the SQL
+    literal to the build-side rendering (bit patterns for float/double,
+    CAST-to-string otherwise). The raw literal text `100000` differs
+    from the double rendering, and a naive probe would declare the file
+    definitely-absent — silently dropping rows that exist. Every typed
+    probe below must keep the file that holds the value."""
+    import datetime
+    import decimal
+
+    from iceberg_metadata_pipeline_spark.catalog.metacat import _prune_by_stats
+
+    rows = [
+        (
+            i,
+            float(i * 12500),  # 100000.0 at i=8 — renders '100000.0'
+            decimal.Decimal(i) / 2,  # 100.50 at i=201 under (12,2)
+            datetime.datetime(2024, 1, 1) + datetime.timedelta(hours=i),
+            datetime.date(2024, 1, 1) + datetime.timedelta(days=i),
+        )
+        for i in range(400)
+    ]
+    schema = "id long, d double, dec decimal(12,2), ts timestamp_ntz, dt date"
+    t = catalog.create_table("nyc", "bloomtyped", spark.createDataFrame(rows, schema).schema)
+    df = spark.createDataFrame(rows, schema)
+    for r in range(4):  # interleave so min/max never prunes
+        t.append_dataframe(df.filter(F.col("id") % 4 == r))
+    for c in ["d", "dec", "ts", "dt", "id"]:
+        t.build_bloom_filters(c)
+    files = t.snapshot_files()
+
+    probes = [  # filters as a user types them, each matching 1 row
+        "d = 100000",
+        "d = 100000.0",
+        "dec = 100.5",
+        "id = 250",
+        "ts = '2024-01-05 04:00:00'",
+        "dt = '2024-02-29'",
+    ]
+    for filt in probes:
+        survivors = _prune_by_stats(files, filt)
+        assert survivors, f"bloom false-negatively pruned ALL files for {filt!r}"
+    # end-to-end: the scan with pruning active returns the matching rows
+    assert t.scan(filter="d = 100000").count() == 1
+    assert t.scan(filter="dec = 100.5").count() == 1
+    assert t.scan(filter="ts = '2024-01-05 04:00:00'").count() == 1
+    assert t.scan(filter="id = 250").count() == 1
+    # definite absence still prunes (the perf half of the contract)
+    assert _prune_by_stats(files, "d = 33333.5") == []
+    assert _prune_by_stats(files, "id = 999999") == []
+    # unparseable/unknown literal forms keep files (maybe-present)
+    assert len(_prune_by_stats(files, "d = banana")) == len(files)
+
+
 def test_column_min_max_stats_and_fallback(spark, catalog):
     df = spark.createDataFrame([(i, float(i)) for i in range(100)], "id long, v double")
     t = catalog.create_table("nyc", "mm", df.schema)
