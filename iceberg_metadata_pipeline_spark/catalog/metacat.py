@@ -410,6 +410,41 @@ class Table:
                     raise
                 self.refresh()
 
+    def clone_from(self, src: "Table") -> int | None:
+        """Zero-copy clone (Iceberg's snapshot procedure): register the
+        source's CURRENT visible state into this empty table — O(metadata),
+        no data moves; both tables then evolve independently over the
+        shared files. Two invariants a naive file copy breaks:
+
+        - entries are deep-copied: ``_commit`` stamps ``seq`` in place, so
+          registering the source's cached DataFileEntry objects directly
+          would corrupt the SOURCE handle's manifest cache (a source
+          delete entry with an intermediate sequence number would suddenly
+          'apply' to the re-stamped file and wrongly drop rows until
+          refresh());
+        - pending merge-on-read delete entries carry over WITH their
+          original sequence numbers, and the clone's sequence counter
+          starts above the source's — the clone shows the same rows the
+          source does (deletes included), while post-clone appends stay
+          immune to the inherited deletes."""
+        if self.meta.get("current_snapshot_id") is not None:
+            raise ValueError("clone target must be an empty table")
+        files = src.snapshot_files()
+        if not files:
+            return None
+        copies = []
+        for f in files:
+            e = DataFileEntry.from_json(f.to_json())
+            e.seq = f.seq
+            copies.append(e)
+        deletes = [dict(d) for d in src._resolve_deletes(src.current_snapshot)]
+        self.meta["last_sequence_number"] = int(
+            src.meta.get("last_sequence_number", 0)
+        )
+        return self._commit(
+            "snapshot-clone", copies, added_deletes=deletes, preserve_seq=True
+        )
+
     def append_dataframe(self, df: DataFrame, branch: str | None = None) -> int:
         """Write-and-register: materialize df as parquet under the table's
         data dir, then commit (the df.writeTo(...).append() analogue).
@@ -999,9 +1034,17 @@ class Table:
         updated = matched.select(cols)
         data_dir = os.path.join(self.location, "data", "updmor-" + uuid.uuid4().hex[:12])
         updated.write.mode("errorifexists").parquet(data_dir)
+        entries = scan_parquet_footers(data_dir, self.spark)
+        if not any(e.record_count for e in entries):
+            # no row matched: skip the commit entirely — registering the
+            # predicate delete anyway would make EVERY subsequent scan
+            # re-evaluate the condition against all lower-sequence files
+            # forever (read amplification for a no-op), mirroring the
+            # has_rows guards in delete_where_positional / merge_into_mor
+            return head if head is not None else self.meta["current_snapshot_id"]
         return self._commit(
             "update-mor",
-            scan_parquet_footers(data_dir, self.spark),
+            entries,
             added_deletes=[{"kind": "predicate", "expr": condition}],
             branch=branch,
         )

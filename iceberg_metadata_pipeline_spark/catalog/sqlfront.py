@@ -629,9 +629,10 @@ def _run_procedure(catalog: Catalog, proc: str, raw_args: str) -> DataFrame:
     args = _parse_call_args(proc, raw_args)
     if proc == "snapshot":
         # zero-copy table clone (Iceberg's snapshot procedure): the new
-        # table registers the SOURCE's current data files — O(metadata),
-        # no data moves; the clone then evolves independently (its
-        # commits never touch the source's files)
+        # table registers the SOURCE's current visible state — data files
+        # AND pending MOR deletes, deep-copied with their sequence
+        # numbers (Table.clone_from) — O(metadata), no data moves; the
+        # clone then evolves independently of the source
         sref = str(args["source_table"])
         dref = str(args["table"])
         sns, sname = sref.split(".", 1)
@@ -639,8 +640,7 @@ def _run_procedure(catalog: Catalog, proc: str, raw_args: str) -> DataFrame:
         src = catalog.load_table(sns, sname)
         dst = catalog.create_table(dns, dname, src.schema, or_load=False)
         files = src.snapshot_files()
-        if files:
-            dst.append_files(list(files))
+        dst.clone_from(src)
         return spark.createDataFrame(
             [(sref, dref, len(files))],
             "source string, table string, imported_files_count int",

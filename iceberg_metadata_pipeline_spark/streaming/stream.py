@@ -250,7 +250,13 @@ def user_value_stats_tws(events: DataFrame) -> DataFrame:
     )
 
 
-def stream_upsert_to_table(stream_df: DataFrame, table, keys: list[str], checkpoint_dir: str):
+def stream_upsert_to_table(
+    stream_df: DataFrame,
+    table,
+    keys: list[str],
+    checkpoint_dir: str,
+    order_by: str | None = None,
+):
     """Streaming UPSERT sink: each micro-batch MERGEs into the warehouse
     table on ``keys`` via the merge-on-read path — matched keys get their
     old copies equality-deleted and the new versions appended in ONE
@@ -264,16 +270,36 @@ def stream_upsert_to_table(stream_df: DataFrame, table, keys: list[str], checkpo
     Scale notes: per-epoch cost is O(batch) — the equality-delete file
     carries the batch's keys, untouched files are never rewritten — plus
     the scan-side broadcast anti-join until compaction folds deletes in.
-    Dedup within the batch keeps one row per key (latest by arrival)."""
+
+    Within-batch dedup keeps ONE row per key: the greatest ``order_by``
+    value when given (pass the CDC sequence/arrival column — the only
+    deterministic contract), else best-effort arrival order via
+    monotonically_increasing_id (preserves per-partition source order;
+    dropDuplicates would keep an ARBITRARY row and could commit a stale
+    version of a key)."""
     from pyspark.sql import functions as F  # noqa: F811
+    from pyspark.sql.window import Window
 
     def sink(batch_df: DataFrame, epoch_id: int) -> None:
+        # replay check against DISK state, not the in-memory handle: a
+        # failed merge leaves the in-memory marker dangling, and an
+        # in-process retry of the same epoch would be wrongly skipped
+        table.refresh()
         committed = table.properties.get("last_committed_epoch")
         if committed is not None and int(committed) >= epoch_id:
             return
+        # recorded in the same metadata write as the merge commit: crash
+        # before commit → no marker, replay runs; crash after → skipped
         table.properties["last_committed_epoch"] = str(epoch_id)
-        # one row per key within the batch: later arrivals win
-        deduped = batch_df.dropDuplicates(keys)
+        order = (
+            F.col(order_by) if order_by is not None else F.monotonically_increasing_id()
+        )
+        w = Window.partitionBy(*keys).orderBy(F.desc(order))
+        deduped = (
+            batch_df.withColumn("__rn", F.row_number().over(w))
+            .where("__rn = 1")
+            .drop("__rn")
+        )
         table.merge_into_mor(deduped, on=keys)
 
     return (

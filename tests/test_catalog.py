@@ -1096,6 +1096,25 @@ def test_bloom_filter_file_skipping(spark, catalog):
     assert t2.scan().count() == 1900
 
 
+def test_update_set_mor_noop_skips_commit(spark, catalog):
+    """An UPDATE matching zero rows must not commit anything: a
+    predicate delete entry registered for a no-op would make every
+    subsequent scan re-evaluate the condition against all earlier files
+    forever — pure read amplification with no semantic effect."""
+    df = spark.createDataFrame([(i, float(i)) for i in range(50)], "id long, v double")
+    t = catalog.create_table("nyc", "noopupd", df.schema)
+    t.append_dataframe(df)
+    snaps_before = len(t.meta["snapshots"])
+    sid = t.update_set_mor("id > 999999", {"v": "v + 1"})
+    assert sid == t.meta["current_snapshot_id"]
+    assert len(t.meta["snapshots"]) == snaps_before  # no new snapshot
+    assert t._resolve_deletes(t.current_snapshot) == []  # no delete entry
+    assert t.scan().count() == 50
+    # a matching update still works as before
+    t.update_set_mor("id = 7", {"v": "v + 1000"})
+    assert t.scan(filter="id = 7").first()["v"] == 1007.0
+
+
 def test_bloom_typed_literal_no_false_negative(spark, catalog):
     """Bloom probes on NON-string columns must canonicalize the SQL
     literal to the build-side rendering (bit patterns for float/double,

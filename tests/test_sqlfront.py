@@ -606,6 +606,37 @@ def test_call_snapshot_zero_copy_clone(catalog, spark, versioned_table):
     assert catalog_sql(catalog, "SELECT COUNT(*) AS n FROM nyc.vt").first()["n"] == 3
 
 
+def test_call_snapshot_clone_preserves_mor_deletes(catalog, spark):
+    """Cloning a table with UNFOLDED merge-on-read deletes must not
+    resurrect the deleted rows, and registering the source's entries in
+    the clone must not corrupt the source handle's cached sequence
+    numbers (clone commits stamp seq on what they register)."""
+    df = spark.createDataFrame([(i, f"r{i}") for i in range(100)], "id long, s string")
+    t = catalog.create_table("nyc", "morsrc", df.schema)
+    t.append_dataframe(df)
+    t.delete_where_mor("id < 30")  # pending MOR delete, not folded
+    assert t.scan().count() == 70
+    catalog_sql(
+        catalog,
+        "CALL system.snapshot(source_table => 'nyc.morsrc', table => 'nyc.morclone')",
+    ).collect()
+    # clone sees the source's VISIBLE contents (deletes applied)
+    assert catalog_sql(catalog, "SELECT COUNT(*) AS n FROM nyc.morclone").first()["n"] == 70
+    # the SOURCE handle still scans correctly in the same session —
+    # the clone's commit must not have re-stamped the source's cached
+    # entries' sequence numbers
+    assert t.scan().count() == 70
+    assert catalog.load_table("nyc", "morsrc").scan().count() == 70
+    # appends to the clone are immune to the inherited delete
+    clone = catalog.load_table("nyc", "morclone")
+    clone.append_dataframe(
+        spark.createDataFrame([(5, "fresh")], "id long, s string")
+    )
+    assert clone.scan().count() == 71  # id=5 survives despite 'id < 30' delete
+    # and the source never sees clone activity
+    assert t.refresh().scan().count() == 70
+
+
 def test_call_compute_table_stats(catalog, spark, versioned_table):
     _t, _s1, _s2 = versioned_table
     out = catalog_sql(

@@ -383,3 +383,28 @@ def test_stream_upsert_sink_keeps_latest_per_key(spark, sf_dir, tables, tmp_path
         t2.scan().groupBy("user_id", "event_type").count().filter("count > 1").count()
         == 0
     )
+
+
+def test_stream_upsert_order_by_keeps_latest_version(spark, tmp_path):
+    """A CDC batch holding MULTIPLE versions of a key must commit the
+    one with the greatest order_by value — dropDuplicates would keep an
+    arbitrary row and could persist a stale version. Versions arrive
+    deliberately out of order (3, 1, 2) within one micro-batch."""
+    from iceberg_metadata_pipeline_spark.catalog.metacat import Catalog
+    from iceberg_metadata_pipeline_spark.streaming.stream import stream_upsert_to_table
+
+    rows = [(k, seq, f"v{k}_{seq}") for k in range(10) for seq in (3, 1, 2)]
+    src = spark.createDataFrame(rows, "k long, seq long, payload string")
+    srcdir = str(tmp_path / "cdc")
+    src.coalesce(1).write.parquet(srcdir)  # one file → one micro-batch
+    stream = spark.readStream.schema(src.schema).parquet(srcdir)
+    catalog = Catalog(spark, str(tmp_path / "wh"))
+    t = catalog.create_table("nyc", "cdc_latest", src.schema)
+    q = stream_upsert_to_table(stream, t, ["k"], str(tmp_path / "ck"), order_by="seq")
+    q.processAllAvailable()
+    q.stop()
+    out = {
+        r.k: (r.seq, r.payload)
+        for r in catalog.load_table("nyc", "cdc_latest").scan().collect()
+    }
+    assert out == {k: (3, f"v{k}_3") for k in range(10)}
