@@ -893,6 +893,71 @@ def table_merge_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "table_merge_sql_general",
+    """
+WITH tgt AS (SELECT * FROM customer WHERE c_custkey % 2 = 0),
+src AS (SELECT c_custkey AS k, c_name AS nm, c_acctbal AS bal
+        FROM customer WHERE c_custkey % 3 = 0),
+merged AS (
+  SELECT t.c_mktsegment, t.c_nationkey,
+         CASE WHEN s.k IS NOT NULL THEN t.c_acctbal + s.bal
+              ELSE t.c_acctbal END AS bal
+  FROM tgt t LEFT JOIN src s ON t.c_custkey = s.k
+  WHERE NOT (s.k IS NOT NULL AND t.c_acctbal < 0)
+),
+ins AS (
+  SELECT CAST(NULL AS VARCHAR) AS c_mktsegment,
+         CAST(NULL AS INTEGER) AS c_nationkey, s.bal AS bal
+  FROM src s LEFT JOIN tgt t ON t.c_custkey = s.k
+  WHERE t.c_custkey IS NULL AND s.bal > 1000
+)
+SELECT COALESCE(c_mktsegment, '__inserted__') AS seg, COUNT(*) AS n,
+  CAST(SUM(CAST(bal AS DECIMAL(38,6))) AS DOUBLE) AS total_bal,
+  COUNT(c_nationkey) AS n_nation
+FROM (SELECT * FROM merged UNION ALL SELECT * FROM ins)
+GROUP BY 1 ORDER BY 1
+""",
+)
+def table_merge_sql_general(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The GENERAL MERGE statement a Superset user types at the
+    reference's Thrift port (entrypoint-spark.sh:73): differently-named
+    join columns, multiple conditional WHEN clauses with
+    first-match-wins ordering, WHEN MATCHED DELETE, and an explicit
+    INSERT column list (absent columns → NULL). The oracle reconstructs
+    the merge's final state relationally in DuckDB."""
+    from iceberg_metadata_pipeline_spark.catalog.sqlfront import catalog_sql
+
+    customer = load_tables(spark, sf_dir)["customer"]
+    catalog = Catalog(spark, tempfile.mkdtemp(prefix="warehouse-gmsql-"))
+    t = catalog.create_table("nyc", "customer_gmsql", customer.schema)
+    t.append_dataframe(customer.filter(F.col("c_custkey") % 2 == 0))
+    catalog_sql(
+        catalog,
+        """
+        MERGE INTO nyc.customer_gmsql AS t
+        USING (SELECT c_custkey AS k, c_name AS nm, c_acctbal AS bal
+               FROM customer WHERE c_custkey % 3 = 0) s
+        ON t.c_custkey = s.k
+        WHEN MATCHED AND t.c_acctbal < 0 THEN DELETE
+        WHEN MATCHED THEN UPDATE SET c_acctbal = t.c_acctbal + s.bal
+        WHEN NOT MATCHED AND s.bal > 1000
+          THEN INSERT (c_custkey, c_name, c_acctbal) VALUES (s.k, s.nm, s.bal)
+        """,
+    )
+    return catalog_sql(
+        catalog,
+        """
+        SELECT COALESCE(c_mktsegment, '__inserted__') AS seg, COUNT(*) AS n,
+          CAST(SUM(CAST(c_acctbal AS DECIMAL(38,6))) AS DOUBLE) AS total_bal,
+          COUNT(c_nationkey) AS n_nation
+        FROM nyc.customer_gmsql
+        GROUP BY COALESCE(c_mktsegment, '__inserted__')
+        ORDER BY seg
+        """,
+    )
+
+
+@query(
     "table_delete_pos_mor",
     """
 SELECT o_orderstatus, COUNT(*) AS n,

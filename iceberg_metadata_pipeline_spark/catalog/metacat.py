@@ -1146,19 +1146,53 @@ class Table:
         insert_not_matched: bool = True,
         branch: str | None = None,
         delete_not_matched_by_source: bool | str = False,
+        when_matched: list[dict] | None = None,
+        when_not_matched: list[dict] | None = None,
+        when_not_matched_by_source: list[dict] | None = None,
     ) -> int:
-        """MERGE INTO target USING source ON keys — upsert semantics:
-        matched target rows get the SET assignments (expressions may
-        reference source columns as src_<name>); unmatched source rows are
-        inserted. Copy-on-write full-join rewrite — the same shuffle-on-key
-        plan Iceberg's copy-on-write MERGE produces.
+        """MERGE INTO target USING source ON keys. Copy-on-write
+        full-join rewrite — the same shuffle-on-key plan Iceberg's
+        copy-on-write MERGE produces. Two calling conventions:
 
-        ``delete_not_matched_by_source`` is Spark/Iceberg's WHEN NOT
-        MATCHED BY SOURCE THEN DELETE clause (the sync-to-source shape):
-        True drops every target row without a source match; a string
-        drops only those where that condition is also TRUE. Target rows
-        with NULL join keys never match and are therefore subject to this
-        clause — same as Spark's semantics."""
+        Legacy scalar form: ``when_matched_set`` (one unconditional
+        UPDATE), ``insert_not_matched`` (INSERT * on no-match),
+        ``delete_not_matched_by_source`` (True, or a condition string).
+
+        General clause-list form (full Spark/Iceberg MERGE semantics,
+        FIRST matching clause wins — evaluation order is list order):
+        - ``when_matched``: ``[{"condition": str|None, "action":
+          "update"|"delete", "set": {col: expr}}, ...]``
+        - ``when_not_matched``: ``[{"condition": str|None, "values":
+          {col: expr}|None}, ...]`` — None values = INSERT * (source
+          column of the same name); columns absent from an explicit
+          ``values`` dict insert NULL.
+        - ``when_not_matched_by_source``: same shape as ``when_matched``
+          (UPDATE sets may only reference target columns).
+
+        Expressions reference source columns as ``src_<name>`` and
+        target columns bare. Source rows with NULL join keys never match
+        (SQL equality) and flow to the not-matched path; an unmatched
+        source row with NO applicable insert clause simply vanishes."""
+        if when_matched is None:
+            when_matched = (
+                [{"condition": None, "action": "update", "set": when_matched_set}]
+                if when_matched_set
+                else []
+            )
+        if when_not_matched is None:
+            when_not_matched = (
+                [{"condition": None, "values": None}] if insert_not_matched else []
+            )
+        if when_not_matched_by_source is None:
+            if delete_not_matched_by_source:
+                cond = (
+                    delete_not_matched_by_source
+                    if isinstance(delete_not_matched_by_source, str)
+                    else None
+                )
+                when_not_matched_by_source = [{"condition": cond, "action": "delete"}]
+            else:
+                when_not_matched_by_source = []
 
         def transform(target: DataFrame) -> DataFrame:
             # Match state comes from explicit presence markers, NOT from
@@ -1172,34 +1206,72 @@ class Table:
             tgt = target.withColumn("__tgt_present", F.lit(True))
             cond = [tgt[k] == src[f"src_{k}"] for k in on]
             joined = tgt.join(src, cond, "full_outer")
-            matched = F.col("__src_present").isNotNull() & F.col("__tgt_present").isNotNull()
+            matched = (
+                F.col("__src_present").isNotNull() & F.col("__tgt_present").isNotNull()
+            )
             insert = F.col("__tgt_present").isNull()
+            not_by_source = (
+                F.col("__tgt_present").isNotNull() & F.col("__src_present").isNull()
+            )
+
+            def flags(clauses: list[dict], base):
+                """First-match-wins: clause i applies where its condition
+                holds and no earlier clause's did (Spark MERGE order)."""
+                out, prior = [], F.lit(False)
+                for cl in clauses:
+                    c = base
+                    if cl.get("condition") is not None:
+                        c = c & F.coalesce(F.expr(cl["condition"]), F.lit(False))
+                    out.append(c & ~prior)
+                    prior = prior | c
+                return out
+
+            m_flags = flags(when_matched, matched)
+            nbs_flags = flags(when_not_matched_by_source, not_by_source)
+            ins_flags = flags(when_not_matched, insert)
+
+            # unmatched source rows vanish unless some insert clause fires
+            drop = insert
+            for fl in ins_flags:
+                drop = drop & ~fl
+            for cl, fl in zip(when_matched + when_not_matched_by_source, m_flags + nbs_flags):
+                if cl["action"] == "delete":
+                    drop = drop | fl
+
             tgt_cols = []
             for f in target.schema.fields:
-                if when_matched_set and f.name in when_matched_set:
-                    expr = F.when(matched, F.expr(when_matched_set[f.name])).otherwise(
-                        tgt[f.name]
-                    )
+                whens = []
+                for cl, fl in zip(when_matched, m_flags):
+                    if cl["action"] == "update" and f.name in (cl.get("set") or {}):
+                        whens.append((fl, F.expr(cl["set"][f.name])))
+                for cl, fl in zip(when_not_matched_by_source, nbs_flags):
+                    if cl["action"] == "update" and f.name in (cl.get("set") or {}):
+                        whens.append((fl, F.expr(cl["set"][f.name])))
+                for cl, fl in zip(when_not_matched, ins_flags):
+                    vals = cl.get("values")
+                    if vals is None:
+                        v = F.col(f"src_{f.name}")
+                    elif f.name in vals:
+                        v = F.expr(vals[f.name])
+                    else:
+                        v = F.lit(None)
+                    whens.append((fl, v))
+                if whens:
+                    e = F.when(whens[0][0], whens[0][1])
+                    for c, v in whens[1:]:
+                        e = e.when(c, v)
+                    expr = e.otherwise(tgt[f.name])
                 else:
                     expr = tgt[f.name]
-                # unmatched-source inserts take the source value
-                expr = F.when(insert, F.col(f"src_{f.name}")).otherwise(expr)
                 tgt_cols.append(expr.cast(f.dataType).alias(f.name))
-            keep = F.lit(True)
-            if not insert_not_matched:
-                keep = keep & ~insert
-            if delete_not_matched_by_source:
-                not_by_source = (
-                    F.col("__tgt_present").isNotNull()
-                    & F.col("__src_present").isNull()
-                )
-                if isinstance(delete_not_matched_by_source, str):
-                    not_by_source = not_by_source & F.coalesce(
-                        F.expr(delete_not_matched_by_source), F.lit(False)
-                    )
-                keep = keep & ~not_by_source
-            return joined.filter(keep).select(tgt_cols)
+            return joined.filter(~drop).select(tgt_cols)
 
+        # an EMPTY target never reaches the copy-on-write kernel (no files
+        # to rewrite → it would no-op and silently LOSE the inserts): run
+        # the same transform over an empty frame and append the result
+        if not self.snapshot_files(snapshot_id=self._branch_head(branch)):
+            empty = self.spark.createDataFrame([], self.schema)
+            return self.append_dataframe(transform(empty), branch=branch)
         return self._rewrite_with(transform, None, "merge", branch=branch)
 
     # -- schema evolution (metadata-only, Iceberg ALTER TABLE analogue) ----

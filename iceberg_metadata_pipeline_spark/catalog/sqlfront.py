@@ -57,6 +57,7 @@ import datetime as _dt
 import re
 
 from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
 
 from iceberg_metadata_pipeline_spark.catalog.metacat import Catalog
 
@@ -120,16 +121,26 @@ _DML_UPDATE_RE = re.compile(
     re.IGNORECASE | re.DOTALL,
 )
 
-# MERGE INTO — constrained to the Iceberg-typical shape: equi-keys named
-# the same on both sides, UPDATE SET on match, INSERT * on no-match,
-# optional NOT MATCHED BY SOURCE DELETE
+# MERGE INTO — full Spark/Iceberg clause surface: ON equi-conjunctions
+# over DIFFERENTLY-NAMED columns, multiple WHEN clauses with AND
+# conditions (first match wins), UPDATE SET / DELETE on match, INSERT *
+# or INSERT (cols) VALUES (...) on no-match, and the BY SOURCE clauses
 _MERGE_RE = re.compile(
     rf"^\s*MERGE\s+INTO\s+(?P<ns>{_IDENT})\.(?P<tbl>{_IDENT})(?:\s+AS\s+(?P<talias>{_IDENT}))?"
     rf"\s+USING\s+(?P<src>\(.*\)|{_IDENT}\.{_IDENT})(?:\s+AS\s+)?\s*(?P<salias>{_IDENT})?"
     r"\s+ON\s+(?P<on>.+?)"
-    r"\s+WHEN\s+MATCHED\s+THEN\s+UPDATE\s+SET\s+(?P<sets>.+?)"
-    r"(?P<insert>\s+WHEN\s+NOT\s+MATCHED\s+THEN\s+INSERT\s+\*)?"
-    r"(?P<delsrc>\s+WHEN\s+NOT\s+MATCHED\s+BY\s+SOURCE\s+THEN\s+DELETE)?\s*;?\s*$",
+    r"(?P<clauses>\s+WHEN\s+(?:NOT\s+)?MATCHED\b.+?)\s*;?\s*$",
+    re.IGNORECASE | re.DOTALL,
+)
+# one WHEN clause; the lookahead stops non-greedy bodies at the next
+# WHEN [NOT] MATCHED (a CASE WHEN inside a SET expression is safe —
+# it is never followed by MATCHED)
+_MERGE_WHEN_RE = re.compile(
+    r"WHEN\s+(?P<not>NOT\s+)?MATCHED(?P<bysrc>\s+BY\s+SOURCE)?"
+    r"(?:\s+AND\s+(?P<cond>.+?))?\s+THEN\s+"
+    r"(?:UPDATE\s+SET\s+(?P<sets>.+?)|(?P<delete>DELETE)|INSERT\s+"
+    r"(?:(?P<star>\*)|\(\s*(?P<inscols>[^)]*)\)\s*VALUES\s*\((?P<insvals>.+?)\)))"
+    r"(?=\s+WHEN\s+(?:NOT\s+)?MATCHED\b|\s*$)",
     re.IGNORECASE | re.DOTALL,
 )
 
@@ -299,44 +310,7 @@ def catalog_sql(catalog: Catalog, statement: str, _depth: int = 0) -> DataFrame:
         )
     mrg = _MERGE_RE.match(statement)
     if mrg is not None:
-        table = catalog.load_table(mrg.group("ns"), mrg.group("tbl"))
-        src_text = mrg.group("src")
-        if src_text.startswith("("):
-            source = catalog_sql(catalog, src_text[1:-1], _depth=_depth + 1)
-        else:
-            source = catalog_sql(
-                catalog, f"SELECT * FROM {src_text}", _depth=_depth + 1
-            )
-        talias = (mrg.group("talias") or mrg.group("tbl")).lower()
-        salias = (mrg.group("salias") or "s").lower()
-        keys = []
-        for m2 in re.finditer(
-            rf"({_IDENT})\.({_IDENT})\s*=\s*({_IDENT})\.({_IDENT})", mrg.group("on")
-        ):
-            a1, c1, a2, c2 = (g.lower() for g in m2.groups())
-            pair = {a1: c1, a2: c2}
-            if set(pair) != {talias, salias} or pair[talias] != pair[salias]:
-                raise ValueError(
-                    "MERGE ON must be t.<col> = s.<col> conjunctions on a "
-                    "shared column name"
-                )
-            keys.append(pair[talias])
-        if not keys:
-            raise ValueError("MERGE ON clause has no equi-key")
-        # SET expressions: s.<col> → src_<col> (merge_into's source-column
-        # convention), t.<col> → bare column
-        sets = {}
-        for name, expr in _parse_assignments(mrg.group("sets")).items():
-            expr = re.sub(rf"\b{salias}\.({_IDENT})", r"src_\1", expr, flags=re.IGNORECASE)
-            expr = re.sub(rf"\b{talias}\.({_IDENT})", r"\1", expr, flags=re.IGNORECASE)
-            sets[name.split(".")[-1]] = expr
-        sid = table.merge_into(
-            source,
-            on=keys,
-            when_matched_set=sets,
-            insert_not_matched=mrg.group("insert") is not None,
-            delete_not_matched_by_source=mrg.group("delsrc") is not None,
-        )
+        sid = _run_merge(catalog, mrg, _depth)
         return spark.createDataFrame(
             [("merge", sid)], "operation string, snapshot_id long"
         )
@@ -536,6 +510,136 @@ def catalog_sql(catalog: Catalog, statement: str, _depth: int = 0) -> DataFrame:
     rewritten = _META_RE.sub(_meta, statement)
     rewritten = _TT_RE.sub(_tt, rewritten)
     return spark.sql(rewritten)
+
+
+def _run_merge(catalog: Catalog, mrg: "re.Match", _depth: int) -> int:
+    """Translate a general MERGE INTO statement to Table.merge_into's
+    clause-list form. The ON conjunctions may join differently-named
+    columns (``ON t.k = s.kk``): the source DataFrame is re-projected so
+    each join column carries the TARGET's name, and every expression's
+    ``s.<col>`` references are rewritten to the renamed ``src_<col>``
+    convention merge_into expects. WHEN clauses translate 1:1 (first
+    match wins, like Spark); INSERT column lists become explicit values
+    dicts (absent columns insert NULL)."""
+    table = catalog.load_table(mrg.group("ns"), mrg.group("tbl"))
+    src_text = mrg.group("src")
+    if src_text.startswith("("):
+        source = catalog_sql(catalog, src_text[1:-1], _depth=_depth + 1)
+    else:
+        source = catalog_sql(catalog, f"SELECT * FROM {src_text}", _depth=_depth + 1)
+    talias = (mrg.group("talias") or mrg.group("tbl")).lower()
+    salias = (mrg.group("salias") or "s").lower()
+
+    # ON: t.<col> = s.<col2> conjunctions, either operand order
+    key_map: dict[str, str] = {}  # target col -> source col
+    found_any = False
+    for conj in re.split(r"\s+AND\s+", mrg.group("on"), flags=re.IGNORECASE):
+        m2 = re.match(
+            rf"^\s*({_IDENT})\.({_IDENT})\s*=\s*({_IDENT})\.({_IDENT})\s*$", conj
+        )
+        if m2 is None:
+            raise ValueError(
+                f"MERGE ON conjunct {conj!r} is not an equi-key "
+                "t.<col> = s.<col> comparison"
+            )
+        a1, c1, a2, c2 = (g.lower() for g in m2.groups())
+        if {a1, a2} != {talias, salias}:
+            raise ValueError(f"MERGE ON aliases {a1}/{a2} != {talias}/{salias}")
+        tcol, scol = (c1, c2) if a1 == talias else (c2, c1)
+        key_map[tcol] = scol
+        found_any = True
+    if not found_any:
+        raise ValueError("MERGE ON clause has no equi-key")
+
+    # re-project the source so join columns carry the target's names;
+    # a non-key source column whose name collides with a renamed key is
+    # dropped (it would be ambiguous after the rename)
+    lower_cols = {c.lower(): c for c in source.columns}
+    sel = []
+    taken = set()
+    for tcol, scol in key_map.items():
+        if scol not in lower_cols:
+            raise ValueError(f"MERGE ON references unknown source column {scol}")
+        sel.append(F.col(lower_cols[scol]).alias(tcol))
+        taken.add(tcol)
+    key_sources = set(key_map.values())
+    for c in source.columns:
+        lc = c.lower()
+        if lc in key_sources or lc in taken:
+            continue
+        sel.append(F.col(c))
+        taken.add(lc)
+    source = source.select(*sel)
+
+    # a source column used as a join key is addressed by its TARGET
+    # name after the re-projection above
+    inv = {scol: tcol for tcol, scol in key_map.items()}
+
+    def rewrite(expr: str) -> str:
+        """s.<col> → src_<renamed col>; t.<col> → bare column."""
+        expr = re.sub(
+            rf"\b{salias}\.({_IDENT})",
+            lambda m3: f"src_{inv.get(m3.group(1).lower(), m3.group(1))}",
+            expr,
+            flags=re.IGNORECASE,
+        )
+        return re.sub(rf"\b{talias}\.({_IDENT})", r"\1", expr, flags=re.IGNORECASE)
+
+    when_matched: list[dict] = []
+    when_not_matched: list[dict] = []
+    when_nbs: list[dict] = []
+    clauses_text = mrg.group("clauses")
+    pos = 0  # every character must belong to a parsed clause: a silently
+    for cm in _MERGE_WHEN_RE.finditer(clauses_text):  # skipped clause is
+        if clauses_text[pos : cm.start()].strip():  # a wrong merge result
+            raise ValueError(
+                f"unparseable MERGE text: {clauses_text[pos:cm.start()]!r}"
+            )
+        pos = cm.end()
+        cond = rewrite(cm.group("cond")) if cm.group("cond") else None
+        is_not = cm.group("not") is not None
+        by_src = cm.group("bysrc") is not None
+        if cm.group("sets") is not None:
+            sets = {
+                name.split(".")[-1].lower(): rewrite(expr)
+                for name, expr in _parse_assignments(cm.group("sets")).items()
+            }
+            clause = {"condition": cond, "action": "update", "set": sets}
+        elif cm.group("delete") is not None:
+            clause = {"condition": cond, "action": "delete"}
+        else:  # INSERT
+            if not is_not or by_src:
+                raise ValueError("INSERT is only valid in WHEN NOT MATCHED")
+            if cm.group("star") is not None:
+                values = None
+            else:
+                cols = [c.strip().split(".")[-1].lower()
+                        for c in cm.group("inscols").split(",") if c.strip()]
+                vals = [rewrite(v.strip()) for v in _split_top_level(cm.group("insvals"))]
+                if len(cols) != len(vals):
+                    raise ValueError(
+                        f"INSERT column list has {len(cols)} names "
+                        f"but {len(vals)} values"
+                    )
+                values = dict(zip(cols, vals))
+            when_not_matched.append({"condition": cond, "values": values})
+            continue
+        if is_not and by_src:
+            when_nbs.append(clause)
+        elif not is_not:
+            when_matched.append(clause)
+        else:
+            raise ValueError("WHEN NOT MATCHED supports only INSERT")
+    if clauses_text[pos:].strip() or pos == 0:
+        raise ValueError(f"unparseable MERGE WHEN clauses: {clauses_text[pos:]!r}")
+
+    return table.merge_into(
+        source,
+        on=list(key_map),
+        when_matched=when_matched,
+        when_not_matched=when_not_matched,
+        when_not_matched_by_source=when_nbs,
+    )
 
 
 def _split_top_level(text: str) -> list[str]:

@@ -561,8 +561,10 @@ def test_sql_dml_random_sequence_matches_model(catalog, spark):
     )
     model: dict[int, float] = {}
     next_id = 0
-    for step in range(10):
-        op = rng.choice(["insert", "delete", "update", "insert", "update"])
+    for step in range(14):
+        op = rng.choice(
+            ["insert", "delete", "update", "insert", "update", "merge", "merge"]
+        )
         if op == "insert":
             rows = [(next_id + i, float(rng.randint(0, 50))) for i in range(5)]
             next_id += 5
@@ -579,6 +581,38 @@ def test_sql_dml_random_sequence_matches_model(catalog, spark):
                 catalog, f"UPDATE nyc.fuzz SET val = val + 100 WHERE val >= {lim}"
             )
             model = {i: (v + 100 if v >= lim else v) for i, v in model.items()}
+        elif op == "merge":
+            # general form: renamed key column, conditional DELETE before
+            # the unconditional UPDATE (first match wins), explicit
+            # INSERT column list, conditional insert
+            src = [
+                (rng.choice(list(model)) if model and rng.random() < 0.6 else next_id + i,
+                 float(rng.randint(0, 60)))
+                for i in range(4)
+            ]
+            src = list({k: v for k, v in src}.items())  # unique keys
+            next_id += 4
+            lim = rng.randint(10, 40)
+            vals = ", ".join(f"({k}, {v})" for k, v in src)
+            catalog_sql(
+                catalog,
+                f"""
+                MERGE INTO nyc.fuzz AS t
+                USING (SELECT * FROM VALUES {vals} AS v(kk, amt)) s
+                ON t.id = s.kk
+                WHEN MATCHED AND t.val > {lim} THEN DELETE
+                WHEN MATCHED THEN UPDATE SET val = t.val + s.amt
+                WHEN NOT MATCHED AND s.amt >= 5 THEN INSERT (id, val) VALUES (s.kk, s.amt)
+                """,
+            )
+            for k, v in src:
+                if k in model:
+                    if model[k] > lim:
+                        del model[k]
+                    else:
+                        model[k] = model[k] + v
+                elif v >= 5:
+                    model[k] = v
         got = {
             (r["id"], r["val"])
             for r in catalog_sql(catalog, "SELECT id, val FROM nyc.fuzz").collect()
@@ -586,6 +620,88 @@ def test_sql_dml_random_sequence_matches_model(catalog, spark):
         assert got == set(model.items()), f"diverged at step {step} ({op})"
     catalog_sql(catalog, "TRUNCATE TABLE nyc.fuzz")
     assert catalog_sql(catalog, "SELECT COUNT(*) AS n FROM nyc.fuzz").first()["n"] == 0
+
+
+def test_merge_sql_general_forms(catalog, spark):
+    """The widened MERGE front-end: differently-named join columns
+    (ON t.k = s.kk), multiple conditional WHEN clauses with
+    first-match-wins ordering, WHEN MATCHED DELETE, explicit INSERT
+    column lists (absent columns → NULL), conditional INSERT, and
+    WHEN NOT MATCHED BY SOURCE UPDATE."""
+    df = spark.createDataFrame(
+        [(1, "a", 10.0), (2, "b", -5.0), (3, "c", 30.0), (4, "d", 40.0)],
+        "id long, s string, bal double",
+    )
+    t = catalog.create_table("nyc", "gm", df.schema)
+    t.append_dataframe(df)
+    catalog_sql(
+        catalog,
+        """
+        MERGE INTO nyc.gm AS t
+        USING (SELECT * FROM VALUES (1, 100.0), (2, 200.0), (8, 800.0),
+               (9, 5.0) AS v(key_src, amt)) s
+        ON t.id = s.key_src
+        WHEN MATCHED AND t.bal < 0 THEN DELETE
+        WHEN MATCHED THEN UPDATE SET bal = t.bal + s.amt
+        WHEN NOT MATCHED AND s.amt > 100 THEN INSERT (id, bal) VALUES (s.key_src, s.amt)
+        """,
+    )
+    rows = {
+        r["id"]: (r["s"], r["bal"])
+        for r in catalog_sql(catalog, "SELECT * FROM nyc.gm").collect()
+    }
+    assert rows == {
+        1: ("a", 110.0),  # matched, bal >= 0 → second clause updates
+        # 2 deleted: matched with bal < 0 → FIRST clause wins
+        3: ("c", 30.0),  # untouched
+        4: ("d", 40.0),  # untouched
+        8: (None, 800.0),  # conditional insert; s column absent → NULL
+        # 9 dropped: unmatched and amt <= 100 → no insert clause applies
+    }
+
+    # WHEN NOT MATCHED BY SOURCE UPDATE (flag stale rows, don't delete)
+    catalog_sql(
+        catalog,
+        """
+        MERGE INTO nyc.gm AS t
+        USING (SELECT * FROM VALUES (1) AS v(key_src)) s
+        ON t.id = s.key_src
+        WHEN MATCHED THEN UPDATE SET s = 'fresh'
+        WHEN NOT MATCHED BY SOURCE AND t.bal < 500 THEN UPDATE SET s = 'stale'
+        """,
+    )
+    rows = {
+        r["id"]: r["s"] for r in catalog_sql(catalog, "SELECT * FROM nyc.gm").collect()
+    }
+    assert rows == {1: "fresh", 3: "stale", 4: "stale", 8: None}  # 800 ≥ 500
+
+
+def test_merge_sql_strict_clause_parsing(catalog, spark):
+    """Malformed WHEN clauses must raise, never be silently skipped —
+    a dropped clause would silently change the merge's result."""
+    df = spark.createDataFrame([(1, "a")], "id long, s string")
+    t = catalog.create_table("nyc", "strictm", df.schema)
+    t.append_dataframe(df)
+    with pytest.raises(ValueError, match="unparseable MERGE"):
+        catalog_sql(
+            catalog,
+            """
+            MERGE INTO nyc.strictm AS t
+            USING (SELECT 1 AS id) s
+            ON t.id = s.id
+            WHEN MATCHED THEN FROBNICATE
+            """,
+        )
+    with pytest.raises(ValueError, match="INSERT column list"):
+        catalog_sql(
+            catalog,
+            """
+            MERGE INTO nyc.strictm AS t
+            USING (SELECT 1 AS id) s
+            ON t.id = s.id
+            WHEN NOT MATCHED THEN INSERT (id, s) VALUES (s.id)
+            """,
+        )
 
 
 def test_call_snapshot_zero_copy_clone(catalog, spark, versioned_table):
