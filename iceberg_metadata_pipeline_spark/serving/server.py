@@ -1,0 +1,192 @@
+"""Multi-client SQL serving seam — the engine-side counterpart of the
+reference's HiveThriftServer2 + Superset topology (entrypoint-spark.sh:73,
+docker-compose.yml:48-65): N concurrent clients hold independent SQL
+sessions against ONE engine process.
+
+Spark-first design: one JVM/SparkContext, one warehouse; each client
+session is a ``SparkSession.newSession()`` — Spark's built-in
+multi-session primitive (shared context and executors, ISOLATED temp
+views and SQL conf; exactly what HiveThriftServer2 allocates per JDBC
+connection) — wrapped with its own ``Catalog`` handle so ``catalog_sql``
+statements resolve against per-session state. Concurrent queries
+interleave under the FAIR scheduler (session.py sets
+``spark.scheduler.mode=FAIR``, conf parity with entrypoint-spark.sh:136);
+each session tags its jobs with a scheduler pool so one client's big
+scan cannot starve another's point lookup.
+
+Catalog/table state is shared THROUGH THE WAREHOUSE, not through
+memory: every session re-reads table metadata from disk, and commits go
+through the CAS protocol in metacat, so two sessions writing the same
+table resolve exactly like two engines would (append rebase / commit
+conflict), while temp views and SQL conf never bleed across sessions.
+
+The wire protocol (``SQLServer``) is deliberately thin — newline-
+delimited JSON over TCP, thread-per-client — because the protocol is
+not the point; the session/concurrency semantics are. At scale the same
+engine object can sit behind Spark Connect or a Thrift front without
+changing session handling.
+"""
+
+from __future__ import annotations
+
+import json
+import socket
+import socketserver
+import threading
+
+from pyspark.sql import DataFrame, SparkSession
+
+from iceberg_metadata_pipeline_spark.catalog.metacat import Catalog
+from iceberg_metadata_pipeline_spark.catalog.sqlfront import catalog_sql
+
+
+class _Session:
+    """One client's state: an isolated Spark sub-session + catalog handle."""
+
+    def __init__(self, session_id: str, spark: SparkSession, warehouse: str):
+        self.session_id = session_id
+        # newSession(): same SparkContext (shared executors, one JVM),
+        # fresh temp-view registry and SQL conf — per-connection isolation
+        # without per-connection JVMs
+        self.spark = spark.newSession()
+        self.catalog = Catalog(self.spark, warehouse)
+
+    def execute(self, statement: str) -> DataFrame:
+        # scheduler pools are thread-local in Spark; tag every statement
+        # so FAIR scheduling arbitrates BETWEEN sessions
+        self.spark.sparkContext.setLocalProperty(
+            "spark.scheduler.pool", f"session-{self.session_id}"
+        )
+        return catalog_sql(self.catalog, statement)
+
+
+class SQLServingEngine:
+    """Session manager: open/execute/close against one SparkSession."""
+
+    def __init__(self, spark: SparkSession, warehouse: str):
+        self._spark = spark
+        self._warehouse = warehouse
+        self._sessions: dict[str, _Session] = {}
+        self._lock = threading.Lock()
+        self._next = 0
+
+    def open_session(self) -> str:
+        with self._lock:
+            self._next += 1
+            sid = str(self._next)
+            self._sessions[sid] = _Session(sid, self._spark, self._warehouse)
+        return sid
+
+    def execute(self, session_id: str, statement: str) -> DataFrame:
+        with self._lock:
+            sess = self._sessions.get(session_id)
+        if sess is None:
+            raise KeyError(f"no open session {session_id}")
+        return sess.execute(statement)
+
+    def close_session(self, session_id: str) -> None:
+        with self._lock:
+            self._sessions.pop(session_id, None)
+
+
+class SQLServer:
+    """Thread-per-client TCP loop over newline-delimited JSON.
+
+    Requests: ``{"op": "open"}`` → ``{"session": id}``;
+    ``{"op": "sql", "session": id, "sql": "...", "limit": n}`` →
+    ``{"columns": [...], "rows": [[...], ...]}`` (rows JSON-rendered,
+    capped at ``limit``, default 1000 — a serving protocol never streams
+    an unbounded result to a dashboard); ``{"op": "close", "session": id}``.
+    Errors come back as ``{"error": "..."}`` without killing the
+    connection — a client typo must not tear down the session."""
+
+    def __init__(self, spark: SparkSession, warehouse: str, host: str = "127.0.0.1", port: int = 0):
+        self.engine = SQLServingEngine(spark, warehouse)
+        engine = self.engine
+
+        class Handler(socketserver.StreamRequestHandler):
+            def handle(self) -> None:
+                for line in self.rfile:
+                    line = line.strip()
+                    if not line:
+                        continue
+                    try:
+                        req = json.loads(line)
+                        resp = self._dispatch(req)
+                    except Exception as exc:  # noqa: BLE001 — protocol boundary:
+                        # every engine error becomes a client-visible message
+                        resp = {"error": f"{type(exc).__name__}: {exc}"}
+                    self.wfile.write((json.dumps(resp) + "\n").encode())
+                    self.wfile.flush()
+
+            def _dispatch(self, req: dict) -> dict:
+                op = req.get("op")
+                if op == "open":
+                    return {"session": engine.open_session()}
+                if op == "close":
+                    engine.close_session(str(req.get("session")))
+                    return {"closed": True}
+                if op == "sql":
+                    df = engine.execute(str(req.get("session")), str(req["sql"]))
+                    limit = int(req.get("limit", 1000))
+                    rows = df.limit(limit).collect()
+                    return {
+                        "columns": df.columns,
+                        "rows": [[_json_value(v) for v in r] for r in rows],
+                    }
+                return {"error": f"unknown op {op!r}"}
+
+        self._server = socketserver.ThreadingTCPServer((host, port), Handler)
+        self._server.daemon_threads = True
+        self.host, self.port = self._server.server_address
+        self._thread: threading.Thread | None = None
+
+    def start(self) -> "SQLServer":
+        self._thread = threading.Thread(target=self._server.serve_forever, daemon=True)
+        self._thread.start()
+        return self
+
+    def stop(self) -> None:
+        self._server.shutdown()
+        self._server.server_close()
+        if self._thread is not None:
+            self._thread.join(timeout=10)
+
+
+def _json_value(v):
+    """Row values → JSON-safe (dates/decimals/bytes render as strings)."""
+    if v is None or isinstance(v, (bool, int, float, str)):
+        return v
+    if isinstance(v, (list, tuple)):
+        return [_json_value(x) for x in v]
+    if isinstance(v, dict):
+        return {k: _json_value(x) for k, x in v.items()}
+    return str(v)
+
+
+class SQLClient:
+    """Minimal blocking client for tests/tools: one socket, one session."""
+
+    def __init__(self, host: str, port: int):
+        self._sock = socket.create_connection((host, port))
+        self._rfile = self._sock.makefile("r")
+        self.session_id = self._request({"op": "open"})["session"]
+
+    def _request(self, req: dict) -> dict:
+        self._sock.sendall((json.dumps(req) + "\n").encode())
+        resp = json.loads(self._rfile.readline())
+        if "error" in resp:
+            raise RuntimeError(resp["error"])
+        return resp
+
+    def sql(self, statement: str, limit: int = 1000) -> list[dict]:
+        resp = self._request(
+            {"op": "sql", "session": self.session_id, "sql": statement, "limit": limit}
+        )
+        return [dict(zip(resp["columns"], row)) for row in resp["rows"]]
+
+    def close(self) -> None:
+        try:
+            self._request({"op": "close", "session": self.session_id})
+        finally:
+            self._sock.close()

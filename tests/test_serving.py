@@ -1,0 +1,115 @@
+"""Multi-client SQL serving: N concurrent sessions against one engine
+process (the reference's Thrift-server topology, docker-compose.yml:
+48-65). What must hold: per-session temp-view isolation (no state
+bleed), shared warehouse state THROUGH disk (commits visible across
+sessions), concurrent writers resolving via the CAS protocol, and a
+client error never tearing down the server."""
+
+from __future__ import annotations
+
+import threading
+
+import pytest
+
+from iceberg_metadata_pipeline_spark.serving import SQLClient, SQLServer
+
+
+@pytest.fixture
+def server(spark, tmp_path):
+    srv = SQLServer(spark, str(tmp_path / "wh")).start()
+    yield srv
+    srv.stop()
+
+
+def test_concurrent_sessions_ddl_dml_reads(server):
+    """Four clients in parallel threads, each with its own table and an
+    IDENTICALLY-NAMED temp view: every client sees its own view content
+    (newSession isolation) and its own table rows; all tables coexist in
+    the shared warehouse."""
+    n_clients = 4
+    errors: list[Exception] = []
+
+    def client_work(i: int) -> None:
+        try:
+            c = SQLClient(server.host, server.port)
+            c.sql(f"CREATE TABLE nyc.cli{i} (id BIGINT, v DOUBLE)")
+            c.sql(f"INSERT INTO nyc.cli{i} VALUES (1, {i}.0), (2, {i}.5)")
+            c.sql(f"UPDATE nyc.cli{i} SET v = v + 100 WHERE id = 2")
+            # same view name in every session — isolation or bust
+            c.sql(f"CREATE TEMPORARY VIEW sess_view AS SELECT {i} AS me")
+            assert c.sql("SELECT me FROM sess_view") == [{"me": i}]
+            rows = c.sql(f"SELECT id, v FROM nyc.cli{i} ORDER BY id")
+            assert rows == [{"id": 1, "v": float(i)}, {"id": 2, "v": i + 100.5}]
+            c.close()
+        except Exception as exc:  # noqa: BLE001 — surface to the main thread
+            errors.append(exc)
+
+    threads = [threading.Thread(target=client_work, args=(i,)) for i in range(n_clients)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join(timeout=300)
+    assert errors == []
+
+    # all four tables landed in the one shared warehouse
+    c = SQLClient(server.host, server.port)
+    for i in range(n_clients):
+        assert c.sql(f"SELECT COUNT(*) AS n FROM nyc.cli{i}") == [{"n": 2}]
+    c.close()
+
+
+def test_concurrent_writers_same_table_cas(server):
+    """Concurrent INSERTs from different sessions into ONE table resolve
+    through commit CAS + append rebase — nothing lost, nothing doubled."""
+    c0 = SQLClient(server.host, server.port)
+    c0.sql("CREATE TABLE nyc.shared (id BIGINT, who BIGINT)")
+    n_writers, per_writer = 4, 3
+    errors: list[Exception] = []
+
+    def writer(i: int) -> None:
+        try:
+            c = SQLClient(server.host, server.port)
+            for j in range(per_writer):
+                c.sql(f"INSERT INTO nyc.shared VALUES ({i * 100 + j}, {i})")
+            c.close()
+        except Exception as exc:  # noqa: BLE001
+            errors.append(exc)
+
+    threads = [threading.Thread(target=writer, args=(i,)) for i in range(n_writers)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join(timeout=300)
+    assert errors == []
+    rows = c0.sql("SELECT id FROM nyc.shared ORDER BY id")
+    assert len(rows) == n_writers * per_writer
+    assert len({r["id"] for r in rows}) == n_writers * per_writer
+    c0.close()
+
+
+def test_cross_session_visibility_through_warehouse(server):
+    """A table committed in session A is immediately queryable from
+    session B (shared warehouse), while A's temp views are NOT."""
+    a = SQLClient(server.host, server.port)
+    b = SQLClient(server.host, server.port)
+    a.sql("CREATE TABLE nyc.visib (id BIGINT)")
+    a.sql("INSERT INTO nyc.visib VALUES (42)")
+    a.sql("CREATE TEMPORARY VIEW private_view AS SELECT 1 AS x")
+    assert b.sql("SELECT id FROM nyc.visib") == [{"id": 42}]
+    with pytest.raises(RuntimeError):
+        b.sql("SELECT * FROM private_view")
+    # an error does not kill the session: b can keep querying
+    assert b.sql("SELECT COUNT(*) AS n FROM nyc.visib") == [{"n": 1}]
+    a.close()
+    b.close()
+
+
+def test_result_limit_and_unknown_session(server):
+    c = SQLClient(server.host, server.port)
+    c.sql("CREATE TABLE nyc.lim (id BIGINT)")
+    vals = ", ".join(f"({i})" for i in range(50))
+    c.sql(f"INSERT INTO nyc.lim VALUES {vals}")
+    assert len(c.sql("SELECT id FROM nyc.lim", limit=7)) == 7
+    with pytest.raises(RuntimeError, match="no open session"):
+        c._request({"op": "sql", "session": "9999", "sql": "SELECT 1"})
+    c.close()
