@@ -52,6 +52,12 @@ HEADLINE = [
     "text_document_chunking",
     "text_bigram_lm_score",
     "embed_quantize_int8",
+    # round-3 additions: heavyweight catalog/pipeline families (VERDICT r2 #8)
+    "catalog_hidden_partitioning",
+    "table_changelog_scan",
+    "table_wap_publish",
+    "pipeline_pretrain_prep",
+    "pipeline_incremental_dedup_index",
 ]
 
 

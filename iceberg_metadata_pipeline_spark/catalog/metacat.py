@@ -41,6 +41,7 @@ ImportParquetFolders registers via DataFiles.Builder.withMetrics).
 
 from __future__ import annotations
 
+import functools
 import json
 import os
 import time
@@ -1859,16 +1860,21 @@ class Table:
             part = self.spark.read.schema(read_schema).parquet(
                 *[entry.path for entry in group]
             )
-            cols = [
-                F.col(disk).cast(f.dataType).alias(f.name)
-                for f, (disk, _) in zip(fields, sig)
-            ]
+            # string expressions, one selectExpr: a py4j roundtrip per
+            # Column object is pure overhead at metadata scale
+            cols = []
+            for f, (disk, ddl) in zip(fields, sig):
+                target = f.dataType.simpleString()
+                if disk == f.name and ddl == target:
+                    cols.append(f"`{f.name}`")
+                else:
+                    cols.append(f"CAST(`{disk}` AS {target}) AS `{f.name}`")
             if with_lineage:
                 cols += [
-                    F.col("_metadata.file_path").alias("__file"),
-                    F.col("_metadata.row_index").alias("__pos"),
+                    "_metadata.file_path AS `__file`",
+                    "_metadata.row_index AS `__pos`",
                 ]
-            parts.append(part.select(cols))
+            parts.append(part.selectExpr(*cols))
         out = parts[0]
         for part in parts[1:]:
             out = out.unionByName(part)
@@ -2233,8 +2239,11 @@ class Catalog:
 # -- helpers ----------------------------------------------------------------
 
 
+@functools.lru_cache(maxsize=1024)
 def _parse_type(ddl: str) -> T.DataType:
-    """'double' / 'decimal(20,0)' / 'array<string>' → Spark DataType."""
+    """'double' / 'decimal(20,0)' / 'array<string>' → Spark DataType.
+    Memoized — fromDDL is a JVM roundtrip and the same handful of DDL
+    strings recur on every scan's read-schema construction."""
     return T.StructType.fromDDL(f"__c {ddl}").fields[0].dataType
 
 
@@ -2320,7 +2329,8 @@ def _footer_entry(path: str) -> DataFileEntry:
     of the path so it runs identically on the driver or inside a task."""
     import pyarrow.parquet as pq
 
-    md = pq.ParquetFile(path).metadata
+    pf = pq.ParquetFile(path)  # single footer open serves metadata AND schema
+    md = pf.metadata
     stats: dict[str, list] = {}
     for rg in range(md.num_row_groups):
         rgm = md.row_group(rg)
@@ -2349,7 +2359,7 @@ def _footer_entry(path: str) -> DataFileEntry:
                 stats[cname] = [mn, mx]
     types = {}
     try:
-        for fld in pq.ParquetFile(path).schema_arrow:
+        for fld in pf.schema_arrow:
             ddl = _arrow_ddl(fld.type)
             if ddl is not None:
                 types[fld.name] = ddl

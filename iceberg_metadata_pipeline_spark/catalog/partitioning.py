@@ -144,8 +144,22 @@ def eval_transform_literal(
     via a one-row local Spark eval (metadata-sized planning cost; this is
     the analogue of Iceberg's projection of predicates into partition
     space, and reusing the engine guarantees hash/format agreement)."""
-    expr = transform_expr(field, f"CAST('{literal}' AS {source_type})", source_type)
-    return spark.range(1).selectExpr(f"{expr} AS v").first()["v"]
+    return eval_transform_literals(spark, field, [literal], source_type)[0]
+
+
+def eval_transform_literals(
+    spark: SparkSession, field: PartitionField, literals: list, source_type: str
+) -> list:
+    """Batched :func:`eval_transform_literal`: transform every literal in a
+    SINGLE one-row Spark job (one selectExpr with N projections), so an
+    ``IN (v1..vN)`` predicate costs one planning job rather than N."""
+    exprs = [
+        transform_expr(field, f"CAST('{lit}' AS {source_type})", source_type)
+        + f" AS v{i}"
+        for i, lit in enumerate(literals)
+    ]
+    row = spark.range(1).selectExpr(*exprs).first()
+    return [row[f"v{i}"] for i in range(len(literals))]
 
 
 _FILTER_RE = re.compile(r"^\s*(\w+)\s*(<=|>=|<|>|=)\s*('?)([\w.\- :]+)\3\s*$")
@@ -290,7 +304,7 @@ def prune_files_by_partition(
                 try:
                     lit_by_spec[spec_id] = (
                         f,
-                        [eval_transform_literal(spark, f, lv, src_type) for lv in lits],
+                        eval_transform_literals(spark, f, lits, src_type),
                     )
                 except Exception:
                     pass

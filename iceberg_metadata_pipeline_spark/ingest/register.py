@@ -26,6 +26,7 @@ from __future__ import annotations
 from dataclasses import dataclass, field
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import types as T
 
 from iceberg_metadata_pipeline_spark.catalog.metacat import (
     Catalog,
@@ -72,7 +73,41 @@ def infer_schema_first_file(spark: SparkSession, folder: str):
     files = find_parquet_files(folder)
     if not files:
         return None, []
-    return spark.read.parquet(files[0]).schema, files
+    schema = _infer_schema_arrow(files[0])
+    if schema is None:  # exotic type (uint64, nested, ...) → Spark's own
+        schema = spark.read.parquet(files[0]).schema  # inference is the spec
+    return schema, files
+
+
+def _infer_schema_arrow(path: str):
+    """Driver-side footer inference via pyarrow — same result as
+    ``spark.read.parquet(path).schema`` for the simple-type whitelist,
+    without a ~50 ms Spark relation. Returns None when ANY column falls
+    outside the whitelist (unsigned ints, nested types): those must go
+    through Spark so its coercion rules (A2: UINT64→DECIMAL(20,0))
+    stay the source of truth."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from iceberg_metadata_pipeline_spark.catalog.metacat import _arrow_ddl, _parse_type
+
+    try:
+        arrow_schema = pq.read_schema(path)
+    except Exception:  # noqa: BLE001 — unreadable footer → let Spark report it
+        return None
+    out = []
+    for fld in arrow_schema:
+        t = fld.type
+        if pa.types.is_timestamp(t) and t.unit in ("us", "ms"):
+            # Spark's inferTimestampNTZ (default on) maps tz-less parquet
+            # timestamps to TIMESTAMP_NTZ; _arrow_ddl flattens both
+            ddl = "timestamp" if t.tz else "timestamp_ntz"
+        else:
+            ddl = _arrow_ddl(t)
+        if ddl is None:
+            return None
+        out.append(T.StructField(fld.name, _parse_type(ddl), fld.nullable))
+    return T.StructType(out)
 
 
 def import_folder(

@@ -24,14 +24,60 @@ same doc_ids is visible in `.snapshots` and fixable with a rollback).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+
+from iceberg_metadata_pipeline_spark.queries import query
 
 from iceberg_metadata_pipeline_spark.llmops.dedup import (
     lsh_candidate_pairs,
     minhash_signatures_from_arrays,
     shingle_arrays,
 )
+
+
+@query("pipeline_incremental_dedup_index", None)  # hash family isn't SQL-portable
+def pipeline_incremental_dedup_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end incremental maintenance, benchmark-shaped: bootstrap the
+    index on half the corpus, land the other half plus a planted near-dup
+    as a second batch, sign ONLY the increment via the CDC scan, and
+    return the candidate pairs touching new docs (sorted for stability).
+    Exercises scan_incremental + map-only signing + banded-index join —
+    the exact per-batch cost profile a 100 TB corpus pays. Runs a
+    32-hash/8-band family — same code path as the production 64/16
+    default (benched separately in dedup_minhash_lsh); the narrower
+    family keeps the bench entry's codegen cost proportionate."""
+    import tempfile
+
+    from iceberg_metadata_pipeline_spark.catalog.metacat import Catalog
+    from iceberg_metadata_pipeline_spark.session import load_tables
+
+    n_hashes, n_bands = 32, 8
+    docs = load_tables(spark, sf_dir)["documents"].select("doc_id", "text")
+    catalog = Catalog(spark, tempfile.mkdtemp(prefix="dedup-index-wh-"))
+    dt = catalog.create_table("nyc", "docs_inc", docs.schema)
+    it = catalog.create_table(
+        "nyc", "sig_index", signatures_for(docs.limit(1), n_hashes=n_hashes).schema
+    )
+
+    snap1 = dt.append_dataframe(docs.filter("doc_id % 2 = 0"))
+    update_dedup_index(dt, it, None, n_hashes=n_hashes)  # bootstrap: sign batch 1
+
+    base = docs.filter("doc_id = 0").select("text").first()["text"]
+    planted = spark.createDataFrame([(999001, base + " extra tail")], docs.schema)
+    dt.refresh()
+    dt.append_dataframe(docs.filter("doc_id % 2 = 1").unionByName(planted))
+    update_dedup_index(dt, it, snap1, n_hashes=n_hashes)  # increment: O(new docs)
+
+    new_ids = docs.filter("doc_id % 2 = 1").select("doc_id").unionByName(
+        planted.select("doc_id")
+    )
+    it2 = catalog.load_table("nyc", "sig_index")
+    return (
+        incremental_candidates(it2, new_ids, n_hashes=n_hashes, n_bands=n_bands)
+        .select("id_a", "id_b")
+        .orderBy("id_a", "id_b")
+    )
 
 
 def signatures_for(docs: DataFrame, n_hashes: int = 64) -> DataFrame:

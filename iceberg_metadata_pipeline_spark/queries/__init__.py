@@ -124,6 +124,7 @@ def _load_all():
         dedup,
         embeddings,
         forecast,
+        incremental,
         multimodal,
         packing,
         similarity,

@@ -1199,3 +1199,24 @@ def test_incremental_bloom_maintenance_on_append(spark, catalog):
     assert 1 <= len(hits) <= 2
     assert t.scan(filter="name = 'k_0007'").count() == 1
     assert catalog.load_table("nyc", "abloom").scan().count() == 400
+
+
+def test_arrow_schema_inference_matches_spark(spark, sf_dir):
+    """The driver-side pyarrow fast path must be indistinguishable from
+    ``spark.read.parquet(...).schema`` (the A8 spec) on whitelist types,
+    and must punt (None → Spark fallback) on anything else — uint64
+    especially, whose DECIMAL(20,0) rendering only Spark defines."""
+    import glob
+    import os
+
+    from iceberg_metadata_pipeline_spark.ingest.register import _infer_schema_arrow
+
+    checked = fell_back = 0
+    for p in sorted(glob.glob(os.path.join(sf_dir, "*.parquet"))):
+        fast = _infer_schema_arrow(p)
+        if fast is None:
+            fell_back += 1  # exotic types (e.g. embeddings' array<float>)
+            continue
+        assert fast == spark.read.parquet(p).schema, p
+        checked += 1
+    assert checked >= 8 and fell_back >= 1
