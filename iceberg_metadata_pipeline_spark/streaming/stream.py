@@ -194,25 +194,14 @@ def clicks_views_stream_join(
     )
 
 
-def user_value_stats_tws(events: DataFrame) -> DataFrame:
-    """Custom stateful operator on the NEW transformWithStateInPandas API
-    (Spark 4's successor to applyInPandasWithState): typed per-key state
-    handles (ValueState here) instead of one opaque GroupState blob, plus
-    timers and multiple state variables when needed. Keeps a running
-    (count, sum, max) per user and emits the updated stats every
-    micro-batch.
-
-    Environment gate: the API's state-server protocol needs the protobuf
-    package at runtime (pyspark/sql/streaming/proto). This container
-    lacks it, so the test suite exercises this operator only when
-    protobuf imports (pytest.importorskip); applyInPandasWithState
-    (``running_user_totals``) is the always-runnable equivalent.
-
-    Scale notes: state lives in the per-partition state store (RocksDB
-    provider — required by this API and the right choice at scale: state
-    spills to disk instead of executor heap); the shuffle is the same
-    groupBy-key exchange as any stateful agg. Arrow-batched like all
-    pandas paths."""
+def make_user_stats_processor():
+    """The StatefulProcessor behind :func:`user_value_stats_tws`, built
+    lazily so the module imports without pandas/pyspark-streaming extras.
+    Module-level (vs a closure) so tests can drive the PROTOCOL directly —
+    init(handle) → handleInputRows(key, batches, timers) → close — against
+    a fake ValueState, which is exactly the contract the state server
+    exercises at runtime. That keeps the operator's semantics proven in
+    environments lacking protobuf (where the real state server can't run)."""
     import pandas as pd
     from pyspark.sql.streaming.stateful_processor import (
         StatefulProcessor,
@@ -242,8 +231,30 @@ def user_value_stats_tws(events: DataFrame) -> DataFrame:
         def close(self) -> None:
             pass
 
+    return UserStats()
+
+
+def user_value_stats_tws(events: DataFrame) -> DataFrame:
+    """Custom stateful operator on the NEW transformWithStateInPandas API
+    (Spark 4's successor to applyInPandasWithState): typed per-key state
+    handles (ValueState here) instead of one opaque GroupState blob, plus
+    timers and multiple state variables when needed. Keeps a running
+    (count, sum, max) per user and emits the updated stats every
+    micro-batch.
+
+    Environment gate: the API's state-server protocol needs the protobuf
+    package at runtime (pyspark/sql/streaming/proto). This container
+    lacks it, so the test suite exercises this operator only when
+    protobuf imports (pytest.importorskip); applyInPandasWithState
+    (``running_user_totals``) is the always-runnable equivalent.
+
+    Scale notes: state lives in the per-partition state store (RocksDB
+    provider — required by this API and the right choice at scale: state
+    spills to disk instead of executor heap); the shuffle is the same
+    groupBy-key exchange as any stateful agg. Arrow-batched like all
+    pandas paths."""
     return events.groupBy("user_id").transformWithStateInPandas(
-        statefulProcessor=UserStats(),
+        statefulProcessor=make_user_stats_processor(),
         outputStructType="user_id BIGINT, n_events BIGINT, total_value DOUBLE, max_value DOUBLE",
         outputMode="Update",
         timeMode="None",

@@ -408,3 +408,71 @@ def test_stream_upsert_order_by_keeps_latest_version(spark, tmp_path):
         for r in catalog.load_table("nyc", "cdc_latest").scan().collect()
     }
     assert out == {k: (3, f"v{k}_3") for k in range(10)}
+
+def test_transform_with_state_protocol_level(spark, tables):
+    """Protocol-level drive of the transformWithState processor — the same
+    init(handle) → handleInputRows(key, batches, timers) → close sequence
+    the state server runs, against a fake ValueState. Proves the operator's
+    accumulate semantics (cross-micro-batch carry, multi-key isolation,
+    empty-state bootstrap) in environments where protobuf is absent and
+    the real state server can't start. Oracle: the batch aggregate over
+    the same rows."""
+    import pandas as pd
+
+    from iceberg_metadata_pipeline_spark.streaming.stream import (
+        make_user_stats_processor,
+    )
+
+    class FakeValueState:
+        def __init__(self):
+            self._v = None
+
+        def exists(self):
+            return self._v is not None
+
+        def get(self):
+            return self._v
+
+        def update(self, v):
+            self._v = v
+
+    class FakeHandle:
+        def __init__(self):
+            self.states = {}
+
+        def getValueState(self, name, schema):
+            assert name == "stats" and "BIGINT" in schema
+            return self.states.setdefault(name, FakeValueState())
+
+    events = (
+        tables["events"]
+        .select("user_id", "value")
+        .filter("user_id < 20")
+        .toPandas()
+        .sort_values(["user_id"], kind="stable")
+        .reset_index(drop=True)
+    )
+    # two micro-batches per key: first half, then the rest (carry matters)
+    out_rows = []
+    for uid, group in events.groupby("user_id"):
+        proc = make_user_stats_processor()  # fresh instance per key = fresh state
+        handle = FakeHandle()
+        proc.init(handle)
+        half = len(group) // 2 or 1
+        for batch in (group.iloc[:half], group.iloc[half:]):
+            if len(batch) == 0:
+                continue
+            out_rows.extend(
+                pdf
+                for pdf in proc.handleInputRows((uid,), [batch], timerValues=None)
+            )
+        proc.close()
+    final = pd.concat(out_rows).groupby("user_id").last()  # Update-mode latest
+
+    oracle = (
+        events.groupby("user_id")["value"]
+        .agg(n_events="count", total_value="sum", max_value="max")
+    )
+    assert (final["n_events"] == oracle["n_events"]).all()
+    assert (final["total_value"] - oracle["total_value"]).abs().max() < 1e-9
+    assert (final["max_value"] == oracle["max_value"]).all()
