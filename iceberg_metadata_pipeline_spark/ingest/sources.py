@@ -136,3 +136,23 @@ def source_binaryfile_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
         "length",
         F.md5("content").alias("content_md5"),
     ).orderBy("file_name")
+
+
+@query("source_xml_roundtrip", _NATION_AGG_ORACLE)
+def source_xml_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """parquet → XML (rowTag records) → schema'd read back → aggregate.
+    Spark 4 ships the XML source natively (SPARK-44751, the former
+    spark-xml package). Same scale caveat as CSV/JSON: row-oriented
+    ingest format, converted to columnar on first touch."""
+    nation = load_tables(spark, sf_dir)["nation"]
+    loc = tempfile.mkdtemp(prefix="src-xml-") + "/nation_xml"
+    nation.write.format("xml").option("rootTag", "nations").option(
+        "rowTag", "nation"
+    ).save(loc)
+    back = (
+        spark.read.format("xml")
+        .option("rowTag", "nation")
+        .schema(nation.schema)
+        .load(loc)
+    )
+    return _nation_agg(back)

@@ -131,6 +131,7 @@ def _load_all():
         text,
     )
     from iceberg_metadata_pipeline_spark.streaming import batch_windows  # noqa: F401
+    from iceberg_metadata_pipeline_spark.streaming import table_source  # noqa: F401
     from iceberg_metadata_pipeline_spark.catalog import declared as catalog_declared  # noqa: F401
     from iceberg_metadata_pipeline_spark.ingest import declared as ingest_declared  # noqa: F401
     from iceberg_metadata_pipeline_spark.ingest import sources as ingest_sources  # noqa: F401

@@ -1,0 +1,129 @@
+"""Streaming reads FROM catalog tables (streaming/table_source.py) — the
+Iceberg streaming-source analogue on Spark 4's Python DataSource API."""
+
+from __future__ import annotations
+
+import tempfile
+
+import pytest
+from pyspark.sql import types as T
+
+from iceberg_metadata_pipeline_spark.catalog.metacat import Catalog
+from iceberg_metadata_pipeline_spark.streaming.table_source import (
+    CatalogTableDataSource,
+    read_table_stream,
+)
+
+
+@pytest.fixture()
+def feed_table(spark, tmp_path):
+    catalog = Catalog(spark, str(tmp_path / "wh"))
+    t = catalog.create_table(
+        "nyc",
+        "feed",
+        T.StructType(
+            [T.StructField("id", T.LongType()), T.StructField("name", T.StringType())]
+        ),
+    )
+    return t
+
+
+def _drain(spark, df, ckpt: str, out: str) -> list[tuple]:
+    q = (
+        df.writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    try:
+        return sorted((r["id"], r["name"]) for r in spark.read.parquet(out).collect())
+    except Exception:  # noqa: BLE001 — zero batches yet: sink dir empty
+        return []
+
+
+def test_stream_append_feed_exactly_once(spark, feed_table, tmp_path):
+    """Each availableNow pass consumes exactly the commits since the
+    checkpointed snapshot offset: no re-reads, no gaps, restart-safe."""
+    t = feed_table
+    t.append_dataframe(spark.createDataFrame([(1, "a"), (2, "b")], t.schema))
+    df = read_table_stream(spark, t)
+    ckpt, out = str(tmp_path / "ckpt"), str(tmp_path / "out")
+
+    assert _drain(spark, df, ckpt, out) == [(1, "a"), (2, "b")]
+
+    t.refresh()
+    t.append_dataframe(spark.createDataFrame([(3, "c")], t.schema))
+    assert _drain(spark, df, ckpt, out) == [(1, "a"), (2, "b"), (3, "c")]
+    # no new commits → no new rows (idempotent replay from checkpoint)
+    assert _drain(spark, df, ckpt, out) == [(1, "a"), (2, "b"), (3, "c")]
+
+
+def test_stream_multi_commit_batch_and_from_snapshot(spark, feed_table, tmp_path):
+    """A batch spanning several commits delivers all of them; the
+    from-snapshot-id option starts the stream mid-history (exclusive)."""
+    t = feed_table
+    snap1 = t.append_dataframe(spark.createDataFrame([(1, "a")], t.schema))
+    t.refresh()
+    t.append_dataframe(spark.createDataFrame([(2, "b")], t.schema))
+    t.refresh()
+    t.append_dataframe(spark.createDataFrame([(3, "c")], t.schema))
+
+    whole = read_table_stream(spark, t)
+    assert _drain(spark, whole, str(tmp_path / "c1"), str(tmp_path / "o1")) == [
+        (1, "a"),
+        (2, "b"),
+        (3, "c"),
+    ]
+    tail = read_table_stream(spark, t, from_snapshot_id=snap1)
+    assert _drain(spark, tail, str(tmp_path / "c2"), str(tmp_path / "o2")) == [
+        (2, "b"),
+        (3, "c"),
+    ]
+
+
+def test_stream_non_append_commit_raises_unless_skipped(spark, feed_table, tmp_path):
+    """Iceberg contract: a delete in range fails the append feed; the
+    skip option (streaming-skip-delete-snapshots analogue) skips that
+    commit and streams the appends around it."""
+    t = feed_table
+    t.append_dataframe(spark.createDataFrame([(1, "a"), (2, "b")], t.schema))
+    t.refresh()
+    t.delete_where("id = 1")
+    t.refresh()
+    t.append_dataframe(spark.createDataFrame([(3, "c")], t.schema))
+
+    df = read_table_stream(spark, t)
+    q = (
+        df.writeStream.format("parquet")
+        .option("path", str(tmp_path / "o3"))
+        .option("checkpointLocation", str(tmp_path / "c3"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    with pytest.raises(Exception, match="non-append"):
+        q.awaitTermination(120)
+
+    skipping = read_table_stream(
+        spark, t, **{"skip-non-append-snapshots": "true"}
+    )
+    got = _drain(spark, skipping, str(tmp_path / "c4"), str(tmp_path / "o4"))
+    # the append feed ignores the delete: row (1,'a') still streams
+    assert got == [(1, "a"), (2, "b"), (3, "c")]
+
+
+def test_stream_schema_comes_from_table_metadata(spark, feed_table):
+    t = feed_table
+    t.append_dataframe(spark.createDataFrame([(1, "a")], t.schema))
+    try:
+        spark.dataSource.register(CatalogTableDataSource)
+    except Exception:  # noqa: BLE001
+        pass
+    df = (
+        spark.readStream.format("metacat_table")
+        .option("location", t.location)
+        .load()
+    )
+    assert df.schema == t.schema
+    assert df.isStreaming
