@@ -101,6 +101,19 @@ class _FilePartition(InputPartition):
     columns: tuple
 
 
+def _main_chain(meta: dict) -> list[int]:
+    """Snapshot ids on the current branch, oldest→newest."""
+    by_id = {s["snapshot_id"]: s for s in meta["snapshots"]}
+    out: list[int] = []
+    cur = meta.get("current_snapshot_id")
+    while cur is not None:
+        out.append(cur)
+        snap = by_id.get(cur)
+        cur = snap.get("parent_snapshot_id") if snap else None
+    out.reverse()
+    return out
+
+
 class CatalogTableStreamReader(DataSourceStreamReader):
     def __init__(self, schema, options):
         self.location = options.get("location")
@@ -111,6 +124,12 @@ class CatalogTableStreamReader(DataSourceStreamReader):
         )
         start = options.get("from-snapshot-id")
         self._start_id = int(start) if start is not None else 0
+        max_commits = options.get("max-commits-per-microbatch")
+        self._max_commits = int(max_commits) if max_commits is not None else None
+        # backpressure cursor: the last offset THIS reader handed to the
+        # engine. After a restart it lags the checkpointed offset until
+        # partitions() resynchronizes it (see the recovery path there).
+        self._cursor_id = self._start_id
         self._columns = tuple(schema.fieldNames())
 
     def initialOffset(self) -> dict:
@@ -118,19 +137,38 @@ class CatalogTableStreamReader(DataSourceStreamReader):
 
     def latestOffset(self) -> dict:
         meta = _load_meta(self.location)
-        cur = meta.get("current_snapshot_id")
-        return {"snapshot_id": cur if cur is not None else self._start_id}
+        chain = _main_chain(meta)
+        if not chain:
+            return {"snapshot_id": self._start_id}
+        head = chain[-1]
+        if self._max_commits is None:
+            self._cursor_id = head
+            return {"snapshot_id": head}
+        # cap the batch at N commits past the cursor (maxFilesPerTrigger
+        # analogue — snapshot ids are random so position, not value, caps)
+        pos = chain.index(self._cursor_id) + 1 if self._cursor_id in chain else 0
+        target = chain[min(pos + self._max_commits, len(chain)) - 1]
+        self._cursor_id = target
+        return {"snapshot_id": target}
 
     def partitions(self, start: dict, end: dict):
-        if start["snapshot_id"] == end["snapshot_id"]:
-            return []
+        start_id, end_id = start["snapshot_id"], end["snapshot_id"]
         meta = _load_meta(self.location)
+        chain = _main_chain(meta)
+        pos = {sid: i for i, sid in enumerate(chain)}
+        self._cursor_id = max(
+            (self._cursor_id, start_id, end_id), key=lambda sid: pos.get(sid, -1)
+        )
+        if start_id == end_id:
+            return []
+        if pos.get(end_id, -1) < pos.get(start_id, -1):
+            # restart with a rate cap: the fresh reader's cursor lagged the
+            # checkpointed offset, so the capped latestOffset landed BEFORE
+            # start. Empty batch; the cursor is resynced above, so the next
+            # latestOffset advances from the true checkpoint position.
+            return []
         files = _added_files_between(
-            self.location,
-            meta,
-            start["snapshot_id"],
-            end["snapshot_id"],
-            self.skip_non_append,
+            self.location, meta, start_id, end_id, self.skip_non_append
         )
         return [_FilePartition(f["path"], self._columns) for f in files]
 

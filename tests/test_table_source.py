@@ -127,3 +127,50 @@ def test_stream_schema_comes_from_table_metadata(spark, feed_table):
     )
     assert df.schema == t.schema
     assert df.isStreaming
+
+
+def test_stream_rate_limit_commits_per_microbatch(spark, feed_table, tmp_path):
+    """max-commits-per-microbatch is the backpressure valve (Iceberg's
+    streaming-max-files-per-micro-batch analogue): a 4-commit backlog
+    drains completely but across MULTIPLE micro-batches, never one giant
+    batch — at 100 TB a cold-start consumer must not take the whole
+    backlog into a single batch's state."""
+    t = feed_table
+    for i in range(4):
+        t.refresh()
+        t.append_dataframe(
+            spark.createDataFrame([(i, f"v{i}")], t.schema)
+        )
+    import time
+
+    df = read_table_stream(spark, t, **{"max-commits-per-microbatch": "1"})
+    # continuous mode: each micro-batch cycle asks latestOffset again, so
+    # the cap chunks the backlog (availableNow pins ONE end offset up
+    # front, which would freeze a capped stream at its first chunk)
+    q = (
+        df.writeStream.format("parquet")
+        .option("path", str(tmp_path / "out"))
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(processingTime="1 second")
+        .start()
+    )
+    try:
+        deadline = time.time() + 120
+        got: list[tuple] = []
+        while time.time() < deadline and len(got) < 4:
+            time.sleep(1)
+            try:
+                got = sorted(
+                    (r["id"], r["name"])
+                    for r in spark.read.parquet(str(tmp_path / "out")).collect()
+                )
+            except Exception:  # noqa: BLE001 — sink not yet materialized
+                got = []
+    finally:
+        q.stop()
+    assert got == [(0, "v0"), (1, "v1"), (2, "v2"), (3, "v3")]
+    # ≥4 offset files → the backlog drained across ≥4 capped micro-batches
+    import glob as _glob
+
+    batches = _glob.glob(str(tmp_path / "ckpt" / "offsets" / "*"))
+    assert len(batches) >= 4, batches
