@@ -1053,7 +1053,7 @@ class Table:
     def merge_into_mor(
         self,
         source: DataFrame,
-        on: list[str],
+        on: list[str] | None = None,
         when_matched_set: dict[str, str] | None = None,
         insert_not_matched: bool = True,
         branch: str | None = None,
@@ -1069,7 +1069,9 @@ class Table:
         Same contract as ``merge_into``: matched-row SET expressions may
         reference source columns as ``src_<name>``; source rows with NULL
         join keys never match (SQL equality) and flow to the insert path.
+        ``on=None`` falls back to the table's declared identifier fields.
         """
+        on = self._default_keys(on)
         head = self._branch_head(branch)
         cur = self._select_snapshot(head, None) if head is not None else None
         deletes = self._resolve_deletes(cur) if cur is not None else []
@@ -1142,7 +1144,7 @@ class Table:
     def merge_into(
         self,
         source: DataFrame,
-        on: list[str],
+        on: list[str] | None = None,
         when_matched_set: dict[str, str] | None = None,
         insert_not_matched: bool = True,
         branch: str | None = None,
@@ -1174,6 +1176,7 @@ class Table:
         target columns bare. Source rows with NULL join keys never match
         (SQL equality) and flow to the not-matched path; an unmatched
         source row with NO applicable insert clause simply vanishes."""
+        on = self._default_keys(on)
         if when_matched is None:
             when_matched = (
                 [{"condition": None, "action": "update", "set": when_matched_set}]
@@ -1464,6 +1467,45 @@ class Table:
         self.properties.update(props)
         _write_metadata(self.location, self.meta, self.version + 1)
         self.version += 1
+
+    # -- identifier fields (Iceberg's row-identity spec) --------------------
+    @property
+    def identifier_fields(self) -> list[str]:
+        """Columns declared as the table's row identity (Iceberg's
+        identifier-field-ids): the default join keys for MERGE and
+        streaming upsert when the caller passes none."""
+        raw = self.properties.get("identifier-fields", "")
+        return [c for c in raw.split(",") if c]
+
+    def set_identifier_fields(self, cols: list[str]) -> None:
+        """ALTER TABLE ... SET IDENTIFIER FIELDS a, b — metadata-only.
+        Columns must exist and (Iceberg rule) be required-comparable; we
+        enforce existence, since nullability is advisory here."""
+        names = {f.name for f in self.schema.fields}
+        missing = [c for c in cols if c not in names]
+        if missing:
+            raise ValueError(f"identifier fields not in schema: {missing}")
+        if not cols:
+            raise ValueError("SET IDENTIFIER FIELDS needs at least one column")
+        self.set_properties({"identifier-fields": ",".join(cols)})
+
+    def drop_identifier_fields(self) -> None:
+        self.properties.pop("identifier-fields", None)
+        _write_metadata(self.location, self.meta, self.version + 1)
+        self.version += 1
+
+    def _default_keys(self, on) -> list[str]:
+        """Resolve merge/upsert keys: explicit ``on`` wins; otherwise the
+        declared identifier fields; otherwise it's an error."""
+        if on:
+            return on
+        fields = self.identifier_fields
+        if not fields:
+            raise ValueError(
+                "no merge keys: pass on=[...] or declare them once with "
+                "SET IDENTIFIER FIELDS"
+            )
+        return fields
 
     # -- named refs (Iceberg branches and tags) ----------------------------
     def create_tag(self, name: str, snapshot_id: int | None = None) -> None:
@@ -1969,6 +2011,70 @@ class Table:
             "file_path string, record_count long, file_size_bytes long, "
             "seq long, first_snapshot_id long",
         )
+
+    def delete_files_df(self) -> DataFrame:
+        """Iceberg's ``.delete_files``: one row per PENDING merge-on-read
+        delete entry the current snapshot still applies at read time —
+        the first thing to check when scans slow down (each entry is a
+        filter or anti-join every read pays until compaction folds it).
+        Covers all three shapes: predicate (expr, no file), equality
+        (file + key columns), position (file of (file_path, pos) rows)."""
+        snap = self.current_snapshot
+        deletes = self._resolve_deletes(snap) if snap is not None else []
+        rows = []
+        for d in deletes:
+            path = d.get("path")
+            size = None
+            if path:
+                try:
+                    size = os.path.getsize(path)
+                except OSError:
+                    size = None
+            rows.append(
+                (
+                    d["kind"],
+                    path,
+                    d.get("expr"),
+                    ",".join(d.get("key_cols", ())) or None,
+                    d.get("seq"),
+                    size,
+                )
+            )
+        return self.spark.createDataFrame(
+            rows,
+            "kind string, file_path string, predicate string, "
+            "equality_columns string, seq long, file_size_bytes long",
+        )
+
+    def position_deletes_df(self) -> DataFrame:
+        """Iceberg's ``.position_deletes``: the row-level content of every
+        pending position-delete file — (data file, position, delete-file
+        provenance). Reads the delete parquet DISTRIBUTED (these files can
+        be large after a wide MOR delete; only their union plan touches
+        the driver)."""
+        snap = self.current_snapshot
+        deletes = self._resolve_deletes(snap) if snap is not None else []
+        parts = []
+        for d in deletes:
+            if d["kind"] != "position":
+                continue
+            parts.append(
+                self.spark.read.parquet(d["path"]).select(
+                    F.col("file_path"),
+                    F.col("pos"),
+                    F.lit(d["path"]).alias("delete_file_path"),
+                    F.lit(d.get("seq")).cast("long").alias("seq"),
+                )
+            )
+        if not parts:
+            return self.spark.createDataFrame(
+                [],
+                "file_path string, pos long, delete_file_path string, seq long",
+            )
+        out = parts[0]
+        for p in parts[1:]:
+            out = out.unionByName(p)
+        return out
 
     def metadata_log_df(self) -> DataFrame:
         """Iceberg's ``.metadata_log_entries``: one row per table-metadata

@@ -16,7 +16,7 @@ Supported per statement (matching Iceberg SQL syntax):
 - ``ns.table VERSION AS OF '<ref>'``   → tag/branch by name
 - ``ns.table TIMESTAMP AS OF '<ts>'``  → latest snapshot at/before ts
   (all also accept Iceberg's ``FOR VERSION/TIMESTAMP AS OF`` spelling)
-- ``ns.table.snapshots|files|history|partitions|manifests|refs|all_files|metadata_log_entries``
+- ``ns.table.snapshots|files|history|partitions|manifests|refs|all_files|metadata_log_entries|delete_files|position_deletes``
   → metadata tables
 - ``CALL [cat.]system.<proc>(...)``    → table-maintenance procedures
   (rollback_to_snapshot, expire_snapshots, remove_orphan_files,
@@ -67,7 +67,7 @@ _IDENT = r"[A-Za-z_][A-Za-z0-9_]*"
 _META_RE = re.compile(
     rf"\b(?P<ns>{_IDENT})\.(?P<tbl>{_IDENT})"
     r"\.(?P<meta>snapshots|files|history|partitions|manifests|refs"
-    r"|all_files|metadata_log_entries)\b"
+    r"|all_files|metadata_log_entries|delete_files|position_deletes)\b"
 )
 
 # CALL [cat.]system.proc(args) — Iceberg stored-procedure syntax
@@ -172,6 +172,13 @@ _SHOW_PROPS_RE = re.compile(
     rf"^\s*SHOW\s+TBLPROPERTIES\s+(?P<ns>{_IDENT})\.(?P<tbl>{_IDENT})\s*;?\s*$",
     re.IGNORECASE,
 )
+# Iceberg row-identity DDL: SET IDENTIFIER FIELDS a, b / DROP IDENTIFIER FIELDS
+_IDENT_FIELDS_RE = re.compile(
+    rf"^\s*ALTER\s+TABLE\s+(?P<ns>{_IDENT})\.(?P<tbl>{_IDENT})"
+    rf"\s+(?:(?P<set>SET)\s+IDENTIFIER\s+FIELDS\s+(?P<cols>{_IDENT}(?:\s*,\s*{_IDENT})*)"
+    r"|(?P<drop>DROP)\s+IDENTIFIER\s+FIELDS)\s*;?\s*$",
+    re.IGNORECASE,
+)
 _PROP_PAIR_RE = re.compile(r"'(?P<k>[^']*)'\s*=\s*'(?P<v>[^']*)'")
 
 # view DDL/introspection (the reference's A14-A16 surface)
@@ -252,6 +259,8 @@ def catalog_sql(catalog: Catalog, statement: str, _depth: int = 0) -> DataFrame:
             "refs": table.refs_df,
             "all_files": table.all_files_df,
             "metadata_log_entries": table.metadata_log_df,
+            "delete_files": table.delete_files_df,
+            "position_deletes": table.position_deletes_df,
         }[kind]()
         return _view_for(df, f"{m.group('ns')}.{m.group('tbl')}#{kind}")
 
@@ -351,6 +360,17 @@ def catalog_sql(catalog: Catalog, statement: str, _depth: int = 0) -> DataFrame:
         return spark.createDataFrame(
             [(name, kind.lower(), op.lower())], "name string, type string, op string"
         )
+    idf = _IDENT_FIELDS_RE.match(statement)
+    if idf is not None:
+        table = catalog.load_table(idf.group("ns"), idf.group("tbl"))
+        if idf.group("set"):
+            cols = [c.strip() for c in idf.group("cols").split(",")]
+            table.set_identifier_fields(cols)
+            return spark.createDataFrame(
+                [(",".join(cols),)], "identifier_fields string"
+            )
+        table.drop_identifier_fields()
+        return spark.createDataFrame([("",)], "identifier_fields string")
     props_m = _SET_PROPS_RE.match(statement)
     if props_m is not None:
         table = catalog.load_table(props_m.group("ns"), props_m.group("tbl"))

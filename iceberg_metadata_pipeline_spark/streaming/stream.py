@@ -264,8 +264,8 @@ def user_value_stats_tws(events: DataFrame) -> DataFrame:
 def stream_upsert_to_table(
     stream_df: DataFrame,
     table,
-    keys: list[str],
-    checkpoint_dir: str,
+    keys: list[str] | None = None,
+    checkpoint_dir: str | None = None,
     order_by: str | None = None,
 ):
     """Streaming UPSERT sink: each micro-batch MERGEs into the warehouse
@@ -287,9 +287,17 @@ def stream_upsert_to_table(
     deterministic contract), else best-effort arrival order via
     monotonically_increasing_id (preserves per-partition source order;
     dropDuplicates would keep an ARBITRARY row and could commit a stale
-    version of a key)."""
+    version of a key).
+
+    ``keys=None`` falls back to the table's declared identifier fields
+    (SET IDENTIFIER FIELDS) — the CDC-sink contract where row identity
+    is a property of the TABLE, not of each caller."""
     from pyspark.sql import functions as F  # noqa: F811
     from pyspark.sql.window import Window
+
+    keys = table._default_keys(keys)
+    if checkpoint_dir is None:
+        raise ValueError("stream_upsert_to_table requires checkpoint_dir")
 
     def sink(batch_df: DataFrame, epoch_id: int) -> None:
         # replay check against DISK state, not the in-memory handle: a

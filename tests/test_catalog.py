@@ -1220,3 +1220,59 @@ def test_arrow_schema_inference_matches_spark(spark, sf_dir):
         assert fast == spark.read.parquet(p).schema, p
         checked += 1
     assert checked >= 8 and fell_back >= 1
+
+
+def test_delete_files_and_position_deletes_metadata_tables(spark, catalog):
+    """Iceberg's .delete_files / .position_deletes views over pending MOR
+    entries: all three delete shapes appear with their provenance, and
+    the positional view exposes the row-level (file, pos) content. Both
+    reachable through SQL like the other metadata tables."""
+    from iceberg_metadata_pipeline_spark.catalog.sqlfront import catalog_sql
+    from pyspark.sql import types as T
+
+    t = catalog.create_table(
+        "nyc",
+        "mordel",
+        T.StructType(
+            [T.StructField("id", T.LongType()), T.StructField("name", T.StringType())]
+        ),
+    )
+    t.append_dataframe(
+        spark.createDataFrame([(i, f"n{i}") for i in range(10)], t.schema)
+    )
+    t.refresh()
+    t.delete_where_mor("id = 1")  # predicate entry
+    t.refresh()
+    t.delete_keys_mor(spark.createDataFrame([(2,)], "id long"))  # equality file
+    t.refresh()
+    t.delete_where_positional("id = 3")  # position-delete file
+    t.refresh()
+
+    df = t.delete_files_df()
+    by_kind = {r["kind"]: r for r in df.collect()}
+    assert set(by_kind) == {"predicate", "equality", "position"}
+    assert by_kind["predicate"]["predicate"] == "id = 1"
+    assert by_kind["predicate"]["file_path"] is None
+    assert by_kind["equality"]["equality_columns"] == "id"
+    assert by_kind["equality"]["file_path"]
+    assert by_kind["position"]["file_path"]
+
+    pos = t.position_deletes_df().collect()
+    assert len(pos) == 1 and pos[0]["delete_file_path"] == by_kind["position"]["file_path"]
+    # positions are FILE-relative (parallel appends split rows across
+    # files); the referenced data file must be a live table file
+    assert pos[0]["pos"] >= 0
+    # file_path is URI-form (Spark's _metadata.file_path — the same form
+    # the MOR anti-join matches against); strip the scheme to compare
+    assert pos[0]["file_path"].removeprefix("file:") in {
+        f.path for f in t.snapshot_files()
+    }
+
+    # scan still excludes all three deleted rows
+    assert sorted(r["id"] for r in t.scan().collect()) == [0, 4, 5, 6, 7, 8, 9]
+
+    # SQL reachability
+    n = catalog_sql(catalog, "SELECT COUNT(*) AS n FROM nyc.mordel.delete_files")
+    assert n.collect()[0]["n"] == 3
+    p = catalog_sql(catalog, "SELECT pos FROM nyc.mordel.position_deletes").collect()
+    assert [r["pos"] for r in p] == [pos[0]["pos"]]

@@ -763,3 +763,54 @@ def test_call_compute_table_stats(catalog, spark, versioned_table):
     t = catalog.load_table("nyc", "vt")
     assert all(f.stats.get("bloom_s") for f in t.snapshot_files())
     assert catalog_sql(catalog, "SELECT COUNT(*) AS n FROM nyc.vt").first()["n"] == 3
+
+
+def test_identifier_fields_ddl_and_default_merge_keys(spark, catalog):
+    """SET IDENTIFIER FIELDS declares row identity once on the table;
+    merge_into / merge_into_mor with on=None then use it. DROP clears it,
+    unknown columns are rejected, and merging with no keys anywhere is a
+    hard error (never a silent cartesian)."""
+    import pytest as _pytest
+    from pyspark.sql import types as T
+
+    from iceberg_metadata_pipeline_spark.catalog.sqlfront import catalog_sql
+
+    t = catalog.create_table(
+        "nyc",
+        "idtbl",
+        T.StructType(
+            [T.StructField("k", T.LongType()), T.StructField("v", T.StringType())]
+        ),
+    )
+    t.append_dataframe(spark.createDataFrame([(1, "a"), (2, "b")], t.schema))
+    t.refresh()
+
+    with _pytest.raises(ValueError, match="no merge keys"):
+        t.merge_into(spark.createDataFrame([(1, "A")], t.schema))
+
+    catalog_sql(catalog, "ALTER TABLE nyc.idtbl SET IDENTIFIER FIELDS k")
+    t.refresh()
+    assert t.identifier_fields == ["k"]
+
+    t.merge_into(
+        spark.createDataFrame([(1, "A"), (3, "c")], t.schema),
+        when_matched_set={"v": "src_v"},
+    )
+    t.refresh()
+    got = {(r["k"], r["v"]) for r in t.scan().collect()}
+    assert got == {(1, "A"), (2, "b"), (3, "c")}
+
+    # MOR path uses the same default
+    t.merge_into_mor(
+        spark.createDataFrame([(2, "B")], t.schema), when_matched_set={"v": "src_v"}
+    )
+    t.refresh()
+    got = {(r["k"], r["v"]) for r in t.scan().collect()}
+    assert got == {(1, "A"), (2, "B"), (3, "c")}
+
+    with _pytest.raises(ValueError, match="not in schema"):
+        catalog_sql(catalog, "ALTER TABLE nyc.idtbl SET IDENTIFIER FIELDS nope")
+
+    catalog_sql(catalog, "ALTER TABLE nyc.idtbl DROP IDENTIFIER FIELDS")
+    t.refresh()
+    assert t.identifier_fields == []
