@@ -1109,3 +1109,39 @@ def catalog_metadata_minmax(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(
         [(t.count_rows(), float(mn), float(mx))], "n long, min_bal double, max_bal double"
     )
+
+
+@query(
+    "catalog_analyze_stats",
+    """
+SELECT 'c_acctbal' AS column_name, COUNT(*) AS row_count,
+       COUNT(*) - COUNT(c_acctbal) AS null_count
+FROM customer
+UNION ALL
+SELECT 'c_mktsegment', COUNT(*), COUNT(*) - COUNT(c_mktsegment)
+FROM customer
+ORDER BY column_name
+""",
+)
+def catalog_analyze_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANALYZE TABLE end-to-end through the SQL front-end: stats are
+    computed in one Spark job, persisted in table properties, and served
+    back from the .column_stats metadata table. Exact fields (row/null
+    counts) are oracle-checked; NDV is an HLL sketch by design (the
+    Puffin analogue) and is asserted separately in tests."""
+    from iceberg_metadata_pipeline_spark.catalog.sqlfront import catalog_sql
+
+    customer = load_tables(spark, sf_dir)["customer"]
+    catalog = Catalog(spark, tempfile.mkdtemp(prefix="warehouse-an-"))
+    t = catalog.create_table("nyc", "customer_an", customer.schema)
+    t.append_dataframe(customer)
+    catalog_sql(
+        catalog,
+        "ANALYZE TABLE nyc.customer_an COMPUTE STATISTICS "
+        "FOR COLUMNS c_acctbal, c_mktsegment",
+    )
+    return catalog_sql(
+        catalog,
+        "SELECT column_name, row_count, null_count "
+        "FROM nyc.customer_an.column_stats ORDER BY column_name",
+    )

@@ -2012,6 +2012,59 @@ class Table:
             "seq long, first_snapshot_id long",
         )
 
+    def analyze(self, columns: list[str] | None = None) -> dict:
+        """ANALYZE TABLE: table-level row count plus per-column null count
+        and NDV, persisted in table properties with snapshot provenance —
+        the metacat analogue of Iceberg's compute_table_stats writing
+        Puffin NDV sketches. One Spark job regardless of column count
+        (all aggregates in a single agg), with NDV from
+        approx_count_distinct (HLL): at 100 TB an exact distinct per
+        column is a full shuffle each — the sketch is the scale-correct
+        choice, which is why Iceberg stores theta sketches too.
+
+        A CBO consumer reads these from properties (`column-stats` JSON);
+        `.column_stats` exposes them as a metadata table."""
+        if columns is None:
+            columns = [f.name for f in self.schema.fields]
+        names = {f.name for f in self.schema.fields}
+        missing = [c for c in columns if c not in names]
+        if missing:
+            raise ValueError(f"analyze: columns not in schema: {missing}")
+        aggs = [F.count(F.lit(1)).alias("__rows")]
+        for c in columns:
+            aggs.append(F.count(F.col(c)).alias(f"__nn_{c}"))
+            aggs.append(F.approx_count_distinct(c).alias(f"__ndv_{c}"))
+        row = self.scan().agg(*aggs).first()
+        n_rows = row["__rows"]
+        stats = {
+            c: {
+                "null_count": n_rows - row[f"__nn_{c}"],
+                "ndv": row[f"__ndv_{c}"],
+            }
+            for c in columns
+        }
+        snap = self.current_snapshot
+        self.set_properties(
+            {
+                "row-count": str(n_rows),
+                "column-stats": json.dumps(stats, sort_keys=True),
+                "stats-snapshot-id": str(snap["snapshot_id"] if snap else 0),
+            }
+        )
+        return {"row_count": n_rows, "columns": stats}
+
+    def column_stats_df(self) -> DataFrame:
+        """`.column_stats` metadata table over the last ANALYZE run."""
+        stats = json.loads(self.properties.get("column-stats", "{}"))
+        n_rows = int(self.properties.get("row-count", 0))
+        rows = [
+            (c, n_rows, s["null_count"], s["ndv"])
+            for c, s in sorted(stats.items())
+        ]
+        return self.spark.createDataFrame(
+            rows, "column_name string, row_count long, null_count long, ndv long"
+        )
+
     def delete_files_df(self) -> DataFrame:
         """Iceberg's ``.delete_files``: one row per PENDING merge-on-read
         delete entry the current snapshot still applies at read time —

@@ -67,7 +67,8 @@ _IDENT = r"[A-Za-z_][A-Za-z0-9_]*"
 _META_RE = re.compile(
     rf"\b(?P<ns>{_IDENT})\.(?P<tbl>{_IDENT})"
     r"\.(?P<meta>snapshots|files|history|partitions|manifests|refs"
-    r"|all_files|metadata_log_entries|delete_files|position_deletes)\b"
+    r"|all_files|metadata_log_entries|delete_files|position_deletes"
+    r"|column_stats)\b"
 )
 
 # CALL [cat.]system.proc(args) — Iceberg stored-procedure syntax
@@ -172,6 +173,12 @@ _SHOW_PROPS_RE = re.compile(
     rf"^\s*SHOW\s+TBLPROPERTIES\s+(?P<ns>{_IDENT})\.(?P<tbl>{_IDENT})\s*;?\s*$",
     re.IGNORECASE,
 )
+# ANALYZE TABLE ns.t COMPUTE STATISTICS [FOR COLUMNS a, b]
+_ANALYZE_RE = re.compile(
+    rf"^\s*ANALYZE\s+TABLE\s+(?P<ns>{_IDENT})\.(?P<tbl>{_IDENT})"
+    rf"\s+COMPUTE\s+STATISTICS(?:\s+FOR\s+COLUMNS\s+(?P<cols>{_IDENT}(?:\s*,\s*{_IDENT})*))?\s*;?\s*$",
+    re.IGNORECASE,
+)
 # Iceberg row-identity DDL: SET IDENTIFIER FIELDS a, b / DROP IDENTIFIER FIELDS
 _IDENT_FIELDS_RE = re.compile(
     rf"^\s*ALTER\s+TABLE\s+(?P<ns>{_IDENT})\.(?P<tbl>{_IDENT})"
@@ -261,6 +268,7 @@ def catalog_sql(catalog: Catalog, statement: str, _depth: int = 0) -> DataFrame:
             "metadata_log_entries": table.metadata_log_df,
             "delete_files": table.delete_files_df,
             "position_deletes": table.position_deletes_df,
+            "column_stats": table.column_stats_df,
         }[kind]()
         return _view_for(df, f"{m.group('ns')}.{m.group('tbl')}#{kind}")
 
@@ -360,6 +368,16 @@ def catalog_sql(catalog: Catalog, statement: str, _depth: int = 0) -> DataFrame:
         return spark.createDataFrame(
             [(name, kind.lower(), op.lower())], "name string, type string, op string"
         )
+    an = _ANALYZE_RE.match(statement)
+    if an is not None:
+        table = catalog.load_table(an.group("ns"), an.group("tbl"))
+        cols = (
+            [c.strip() for c in an.group("cols").split(",")]
+            if an.group("cols")
+            else None
+        )
+        table.analyze(cols)
+        return table.column_stats_df()
     idf = _IDENT_FIELDS_RE.match(statement)
     if idf is not None:
         table = catalog.load_table(idf.group("ns"), idf.group("tbl"))

@@ -814,3 +814,43 @@ def test_identifier_fields_ddl_and_default_merge_keys(spark, catalog):
     catalog_sql(catalog, "ALTER TABLE nyc.idtbl DROP IDENTIFIER FIELDS")
     t.refresh()
     assert t.identifier_fields == []
+
+
+def test_analyze_table_ndv_and_provenance(spark, catalog):
+    """NDV lands within HLL tolerance of the exact distinct count, stats
+    carry snapshot provenance, and re-ANALYZE after a write refreshes
+    them; unknown columns fail loudly."""
+    import pytest as _pytest
+    from pyspark.sql import types as T
+
+    from iceberg_metadata_pipeline_spark.catalog.sqlfront import catalog_sql
+
+    t = catalog.create_table(
+        "nyc",
+        "antbl",
+        T.StructType(
+            [T.StructField("k", T.LongType()), T.StructField("v", T.StringType())]
+        ),
+    )
+    t.append_dataframe(
+        spark.createDataFrame(
+            [(i, f"g{i % 7}" if i % 5 else None) for i in range(200)], t.schema
+        )
+    )
+    t.refresh()
+    res = t.analyze()
+    assert res["row_count"] == 200
+    assert res["columns"]["v"]["null_count"] == 40
+    assert abs(res["columns"]["k"]["ndv"] - 200) <= 10  # HLL ±~2%
+    assert abs(res["columns"]["v"]["ndv"] - 7) <= 1
+    assert int(t.properties["stats-snapshot-id"]) == t.current_snapshot["snapshot_id"]
+
+    with _pytest.raises(ValueError, match="not in schema"):
+        t.analyze(["nope"])
+
+    # stale stats refresh on re-analyze after new writes
+    t.append_dataframe(spark.createDataFrame([(1000, "new")], t.schema))
+    t.refresh()
+    out = catalog_sql(catalog, "ANALYZE TABLE nyc.antbl COMPUTE STATISTICS").collect()
+    assert {r["column_name"] for r in out} == {"k", "v"}
+    assert all(r["row_count"] == 201 for r in out)
