@@ -458,6 +458,18 @@ class Table:
         tuple is what scan-time pruning consults, never the directory
         listing (at 100 TB, listing is the enemy; the manifest is O(files)
         metadata already in hand)."""
+        # write-default: a DF omitting a defaulted column materializes it
+        # (Iceberg v3 — new files always carry the column physically)
+        defaults = json.loads(self.properties.get("column-defaults", "{}"))
+        for f in self.schema.fields:
+            if f.name in defaults and f.name not in df.columns:
+                df = df.withColumn(
+                    f.name,
+                    F.expr(
+                        f"CAST({defaults[f.name]['initial']} AS "
+                        f"{f.dataType.simpleString()})"
+                    ),
+                )
         entries = self._write_dataframe(df)
         # incremental bloom maintenance: the 'write.bloom-columns' table
         # property (comma-separated) blooms each batch's NEW files at
@@ -1279,16 +1291,33 @@ class Table:
         return self._rewrite_with(transform, None, "merge", branch=branch)
 
     # -- schema evolution (metadata-only, Iceberg ALTER TABLE analogue) ----
-    def add_column(self, name: str, data_type: str) -> None:
+    def add_column(
+        self, name: str, data_type: str, default: str | None = None
+    ) -> None:
         """ALTER TABLE ADD COLUMN: pure metadata — no data file is touched.
         Scans project the evolved schema over old files; Parquet fills the
         absent column with nulls (exactly Iceberg's add-column contract).
         At 100 TB this is the whole point: schema change is O(1), not a
-        table rewrite."""
+        table rewrite.
+
+        ``default`` (a SQL literal, e.g. ``"0"`` or ``"'unknown'"``) adds
+        Iceberg-v3 initial-default semantics: rows in files written BEFORE
+        the column existed read back as the default instead of NULL, and
+        appends that omit the column materialize it (write-default). The
+        pre-existing/absent decision is per file — footer-recorded column
+        sets where available, else the file's data sequence number vs the
+        table's sequence at ADD COLUMN time."""
         if any(f.name == name for f in self.schema.fields):
             raise ValueError(f"column {name} already exists")
         fields = self.schema.add(T.StructField(name, _parse_type(data_type))).jsonValue()
         self.meta["schema"] = fields
+        if default is not None:
+            defaults = json.loads(self.properties.get("column-defaults", "{}"))
+            defaults[name] = {
+                "initial": default,
+                "seq": int(self.meta.get("last_sequence_number", 0)),
+            }
+            self.properties["column-defaults"] = json.dumps(defaults)
         _write_metadata(self.location, self.meta, self.version + 1)
         self.version += 1
 
@@ -1316,6 +1345,10 @@ class Table:
         if renames[new] == new:  # renamed back to the on-disk name
             del renames[new]
         self.properties["column_renames"] = json.dumps(renames)
+        defaults = json.loads(self.properties.get("column-defaults", "{}"))
+        if old in defaults:  # the default follows the column's new name
+            defaults[new] = defaults.pop(old)
+            self.properties["column-defaults"] = json.dumps(defaults)
         _write_metadata(self.location, self.meta, self.version + 1)
         self.version += 1
 
@@ -1353,6 +1386,9 @@ class Table:
         renames = json.loads(self.properties.get("column_renames", "{}"))
         if renames.pop(name, None) is not None:
             self.properties["column_renames"] = json.dumps(renames)
+        defaults = json.loads(self.properties.get("column-defaults", "{}"))
+        if defaults.pop(name, None) is not None:
+            self.properties["column-defaults"] = json.dumps(defaults)
         _write_metadata(self.location, self.meta, self.version + 1)
         self.version += 1
 
@@ -1865,6 +1901,7 @@ class Table:
                 )
             return self.spark.createDataFrame([], schema)
         renames = json.loads(self.properties.get("column_renames", "{}"))
+        defaults = json.loads(self.properties.get("column-defaults", "{}"))
         fields = self.schema.fields
 
         def disk_name(entry: DataFileEntry, f: T.StructField) -> str:
@@ -1884,6 +1921,19 @@ class Table:
             sig = []
             for f in fields:
                 disk = disk_name(entry, f)
+                if f.name in defaults:
+                    # initial-default: is the column physically in THIS
+                    # file? Footer-recorded names decide where available,
+                    # else the file's data sequence vs the sequence at
+                    # ADD COLUMN time (older file → column absent).
+                    present = (
+                        disk in entry.types
+                        if entry.types
+                        else entry.seq > defaults[f.name]["seq"]
+                    )
+                    if not present:
+                        sig.append((disk, _DEFAULT_SENTINEL))
+                        continue
                 sig.append((disk, entry.types.get(disk, f.dataType.simpleString())))
             return tuple(sig)
 
@@ -1897,6 +1947,7 @@ class Table:
                 [
                     T.StructField(disk, _parse_type(ddl), f.nullable)
                     for f, (disk, ddl) in zip(fields, sig)
+                    if ddl != _DEFAULT_SENTINEL  # absent col: never read it
                 ]
             )
             part = self.spark.read.schema(read_schema).parquet(
@@ -1907,7 +1958,10 @@ class Table:
             cols = []
             for f, (disk, ddl) in zip(fields, sig):
                 target = f.dataType.simpleString()
-                if disk == f.name and ddl == target:
+                if ddl == _DEFAULT_SENTINEL:
+                    init = defaults[f.name]["initial"]
+                    cols.append(f"CAST({init} AS {target}) AS `{f.name}`")
+                elif disk == f.name and ddl == target:
                     cols.append(f"`{f.name}`")
                 else:
                     cols.append(f"CAST(`{disk}` AS {target}) AS `{f.name}`")
@@ -2405,6 +2459,10 @@ def _parse_type(ddl: str) -> T.DataType:
     strings recur on every scan's read-schema construction."""
     return T.StructType.fromDDL(f"__c {ddl}").fields[0].dataType
 
+
+# read-signature marker for "column physically absent from this file and
+# covered by an initial default" — never a real DDL string
+_DEFAULT_SENTINEL = "__initial_default__"
 
 # widening-only promotions (Iceberg schema-evolution rules): every value of
 # the narrow type is exactly representable in the wide type

@@ -148,7 +148,8 @@ _MERGE_WHEN_RE = re.compile(
 # schema evolution DDL (Iceberg's metadata-only ALTER TABLE column ops)
 _ALTER_COLUMN_RE = re.compile(
     rf"^\s*ALTER\s+TABLE\s+(?P<ns>{_IDENT})\.(?P<tbl>{_IDENT})\s+(?:"
-    rf"ADD\s+COLUMNS?\s+\(?\s*(?P<add_name>{_IDENT})\s+(?P<add_type>[A-Za-z0-9_(),<> ]+?)\s*\)?"
+    rf"ADD\s+COLUMNS?\s+\(?\s*(?P<add_name>{_IDENT})\s+(?P<add_type>[A-Za-z0-9_(),<> ]+?)"
+    r"(?:\s+DEFAULT\s+(?P<add_default>'[^']*'|[\w.\-]+))?\s*\)?"
     rf"|RENAME\s+COLUMN\s+(?P<ren_old>{_IDENT})\s+TO\s+(?P<ren_new>{_IDENT})"
     rf"|DROP\s+COLUMNS?\s+\(?\s*(?P<drop_name>{_IDENT})\s*\)?"
     rf"|ALTER\s+COLUMN\s+(?P<prm_name>{_IDENT})\s+TYPE\s+(?P<prm_type>[A-Za-z0-9_(),<> ]+?)"
@@ -335,7 +336,11 @@ def catalog_sql(catalog: Catalog, statement: str, _depth: int = 0) -> DataFrame:
     if col is not None:
         table = catalog.load_table(col.group("ns"), col.group("tbl"))
         if col.group("add_name"):
-            table.add_column(col.group("add_name"), col.group("add_type").strip())
+            table.add_column(
+                col.group("add_name"),
+                col.group("add_type").strip(),
+                default=col.group("add_default"),
+            )
             action = f"add {col.group('add_name')}"
         elif col.group("ren_old"):
             table.rename_column(col.group("ren_old"), col.group("ren_new"))

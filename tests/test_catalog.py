@@ -1276,3 +1276,65 @@ def test_delete_files_and_position_deletes_metadata_tables(spark, catalog):
     assert n.collect()[0]["n"] == 3
     p = catalog_sql(catalog, "SELECT pos FROM nyc.mordel.position_deletes").collect()
     assert [r["pos"] for r in p] == [pos[0]["pos"]]
+
+
+def test_add_column_with_initial_default(spark, catalog):
+    """Iceberg-v3 default semantics: pre-existing rows read the INITIAL
+    default (not NULL), post-add appends that omit the column materialize
+    the write-default, and appends that supply the column keep their
+    values — including genuine NULLs, which must NOT be replaced (that is
+    exactly the absent-vs-null distinction the per-file decision makes)."""
+    from iceberg_metadata_pipeline_spark.catalog.sqlfront import catalog_sql
+    from pyspark.sql import types as T
+
+    t = catalog.create_table(
+        "nyc",
+        "defaults",
+        T.StructType(
+            [T.StructField("id", T.LongType()), T.StructField("name", T.StringType())]
+        ),
+    )
+    t.append_dataframe(spark.createDataFrame([(1, "a"), (2, "b")], t.schema))
+    t.refresh()
+
+    catalog_sql(
+        catalog, "ALTER TABLE nyc.defaults ADD COLUMN region STRING DEFAULT 'emea'"
+    )
+    t.refresh()
+
+    # old rows: the initial default, not NULL
+    got = {(r["id"], r["region"]) for r in t.scan().collect()}
+    assert got == {(1, "emea"), (2, "emea")}
+
+    # append WITHOUT the column → write-default materializes
+    t.append_dataframe(
+        spark.createDataFrame([(3, "c")], "id long, name string")
+    )
+    t.refresh()
+    # append WITH the column, including a genuine NULL → preserved
+    t.append_dataframe(
+        spark.createDataFrame(
+            [(4, "d", "apac"), (5, "e", None)],
+            "id long, name string, region string",
+        )
+    )
+    t.refresh()
+    got = {(r["id"], r["region"]) for r in t.scan().collect()}
+    assert got == {
+        (1, "emea"),
+        (2, "emea"),
+        (3, "emea"),
+        (4, "apac"),
+        (5, None),
+    }
+
+    # rename carries the default; drop forgets it
+    t.rename_column("region", "zone")
+    t.refresh()
+    got = {(r["id"], r["zone"]) for r in t.scan().collect()}
+    assert (1, "emea") in got and (5, None) in got
+    t.drop_column("zone")
+    t.refresh()
+    assert "column-defaults" not in t.properties or "zone" not in t.properties.get(
+        "column-defaults", ""
+    )
