@@ -493,6 +493,22 @@ class Table:
         )
 
         data_dir = os.path.join(self.location, "data", uuid.uuid4().hex[:12])
+        # declared sort order (WRITE ORDERED BY): cluster rows within each
+        # write task so per-file min/max ranges are tight — file skipping
+        # on the sort columns then prunes like a coarse index. Task-local
+        # sort only (no extra shuffle): at 100 TB a global sort per append
+        # would dwarf the write itself; Iceberg's write.sort-order makes
+        # the same trade.
+        order = self.properties.get("write.sort-order")
+        if order:
+            df = df.sortWithinPartitions(
+                *[
+                    F.col(c.split()[0]).desc()
+                    if c.strip().upper().endswith(" DESC")
+                    else F.col(c.split()[0])
+                    for c in order.split(",")
+                ]
+            )
         spec = self.default_spec
         if spec:
             out, part_cols = with_partition_columns(df, spec, self._schema_types())

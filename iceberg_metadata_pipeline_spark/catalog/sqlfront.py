@@ -180,6 +180,13 @@ _ANALYZE_RE = re.compile(
     rf"\s+COMPUTE\s+STATISTICS(?:\s+FOR\s+COLUMNS\s+(?P<cols>{_IDENT}(?:\s*,\s*{_IDENT})*))?\s*;?\s*$",
     re.IGNORECASE,
 )
+# Iceberg write-order DDL: ALTER TABLE ns.t WRITE ORDERED BY c1 [DESC], c2
+_WRITE_ORDER_RE = re.compile(
+    rf"^\s*ALTER\s+TABLE\s+(?P<ns>{_IDENT})\.(?P<tbl>{_IDENT})"
+    rf"\s+WRITE\s+(?:(?P<unordered>UNORDERED)|ORDERED\s+BY\s+"
+    rf"(?P<cols>{_IDENT}(?:\s+(?:ASC|DESC))?(?:\s*,\s*{_IDENT}(?:\s+(?:ASC|DESC))?)*))\s*;?\s*$",
+    re.IGNORECASE,
+)
 # Iceberg row-identity DDL: SET IDENTIFIER FIELDS a, b / DROP IDENTIFIER FIELDS
 _IDENT_FIELDS_RE = re.compile(
     rf"^\s*ALTER\s+TABLE\s+(?P<ns>{_IDENT})\.(?P<tbl>{_IDENT})"
@@ -383,6 +390,23 @@ def catalog_sql(catalog: Catalog, statement: str, _depth: int = 0) -> DataFrame:
         )
         table.analyze(cols)
         return table.column_stats_df()
+    wo = _WRITE_ORDER_RE.match(statement)
+    if wo is not None:
+        table = catalog.load_table(wo.group("ns"), wo.group("tbl"))
+        if wo.group("unordered"):
+            table.properties.pop("write.sort-order", None)
+            table.set_properties({})  # persist the removal
+            order = ""
+        else:
+            order = ", ".join(
+                c.strip() for c in wo.group("cols").split(",")
+            )
+            names = {f.name for f in table.schema.fields}
+            bad = [c for c in order.split(",") if c.split()[0].strip() not in names]
+            if bad:
+                raise ValueError(f"WRITE ORDERED BY unknown columns: {bad}")
+            table.set_properties({"write.sort-order": order})
+        return spark.createDataFrame([(order,)], "sort_order string")
     idf = _IDENT_FIELDS_RE.match(statement)
     if idf is not None:
         table = catalog.load_table(idf.group("ns"), idf.group("tbl"))
@@ -739,6 +763,12 @@ _PROC_POSITIONAL = {
     "snapshot": ["source_table", "table"],
     "compute_table_stats": ["table", "columns"],
     "fast_forward": ["table", "branch"],
+    "create_changelog_view": [
+        "table",
+        "start_snapshot_id",
+        "end_snapshot_id",
+        "changelog_view",
+    ],
 }
 
 
@@ -876,6 +906,18 @@ def _run_procedure(catalog: Catalog, proc: str, raw_args: str) -> DataFrame:
             [(len(cols), len(table.snapshot_files()))],
             "statistics_columns int, files_count int",
         )
+    if proc == "create_changelog_view":
+        # Iceberg's create_changelog_view: registers the row-level change
+        # feed between two snapshots as a queryable temp view (UPDATEs
+        # surface as delete+insert pairs; cost O(changed files))
+        start = args.get("start_snapshot_id")
+        if start is None:
+            raise ValueError("create_changelog_view needs start_snapshot_id")
+        end = args.get("end_snapshot_id")
+        view = str(args.get("changelog_view", f"{name}_changes"))
+        table.changelog(int(start), int(end) if end is not None else None
+                        ).createOrReplaceTempView(view)
+        return spark.createDataFrame([(view,)], "changelog_view string")
     if proc == "rewrite_position_delete_files":
         dropped, kept = table.rewrite_delete_files()
         return spark.createDataFrame(

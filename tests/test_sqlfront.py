@@ -854,3 +854,59 @@ def test_analyze_table_ndv_and_provenance(spark, catalog):
     out = catalog_sql(catalog, "ANALYZE TABLE nyc.antbl COMPUTE STATISTICS").collect()
     assert {r["column_name"] for r in out} == {"k", "v"}
     assert all(r["row_count"] == 201 for r in out)
+
+
+def test_write_ordered_by_and_changelog_view(spark, catalog):
+    """WRITE ORDERED BY declares a task-local write sort (tight per-file
+    min/max → better skipping) and UNORDERED clears it; CALL
+    create_changelog_view registers the queryable change feed."""
+    import pytest as _pytest
+    from pyspark.sql import types as T
+
+    from iceberg_metadata_pipeline_spark.catalog.sqlfront import catalog_sql
+
+    t = catalog.create_table(
+        "nyc",
+        "ordered",
+        T.StructType(
+            [T.StructField("id", T.LongType()), T.StructField("v", T.LongType())]
+        ),
+    )
+    catalog_sql(catalog, "ALTER TABLE nyc.ordered WRITE ORDERED BY id DESC")
+    t.refresh()
+    assert t.properties["write.sort-order"] == "id DESC"
+
+    # sorted write: within every file, ids are non-increasing
+    import pyarrow.parquet as pq
+
+    t.append_dataframe(
+        spark.range(1000).selectExpr("id", "id * 2 AS v").repartition(4)
+    )
+    t.refresh()
+    for f in t.snapshot_files():
+        ids = pq.read_table(f.path, columns=["id"])["id"].to_pylist()
+        assert ids == sorted(ids, reverse=True), f.path
+
+    with _pytest.raises(ValueError, match="unknown columns"):
+        catalog_sql(catalog, "ALTER TABLE nyc.ordered WRITE ORDERED BY nope")
+
+    catalog_sql(catalog, "ALTER TABLE nyc.ordered WRITE UNORDERED")
+    t.refresh()
+    assert "write.sort-order" not in t.properties
+
+    # changelog view procedure
+    snap1 = t.current_snapshot["snapshot_id"]
+    t.update_set("id < 10", {"v": "v + 1"})
+    out = catalog_sql(
+        catalog,
+        f"CALL system.create_changelog_view(table => 'nyc.ordered', "
+        f"start_snapshot_id => {snap1}, changelog_view => 'ordered_cdc')",
+    ).collect()
+    assert out[0]["changelog_view"] == "ordered_cdc"
+    counts = {
+        r["_change_type"]: r["n"]
+        for r in spark.sql(
+            "SELECT _change_type, COUNT(*) AS n FROM ordered_cdc GROUP BY 1"
+        ).collect()
+    }
+    assert counts == {"insert": 10, "delete": 10}
