@@ -109,17 +109,29 @@ def incremental_candidates(
 ) -> DataFrame:
     """Near-dup candidate pairs touching at least one NEW document:
     band the full index once (map-only over signatures, not documents),
-    then keep pairs whose id_a or id_b is new. The banding join is the
-    same bucket equi-join as the batch LSH path; restricting afterwards
-    to new ids keeps the semantics exact while the optimizer pushes the
-    semi-join into the bucket join's smaller side."""
+    then keep pairs whose id_a or id_b is new.
+
+    The OR-filter is TWO broadcast hash equi-joins (left-outer markers on
+    id_a and id_b, then filter marker_a OR marker_b) — a single semi-join
+    on the OR condition compiles to BroadcastNestedLoopJoin, which scans
+    the whole new-id list per candidate pair: O(pairs × new ids) at
+    exactly the batch sizes this operator exists for. The marker shape
+    keeps it O(pairs) probes against two hash maps (plan-asserted)."""
     sigs = index_table.scan()
     pairs = lsh_candidate_pairs(sigs, "doc_id", n_bands=n_bands, max_bucket=max_bucket, n_hashes=n_hashes)
     new_ids = new_doc_ids.select(F.col("doc_id").alias("id_new")).distinct()
+    mark_a = new_ids.select(
+        F.col("id_new").alias("__ka"), F.lit(True).alias("__new_a")
+    )
+    mark_b = new_ids.select(
+        F.col("id_new").alias("__kb"), F.lit(True).alias("__new_b")
+    )
     return (
-        pairs.join(
-            F.broadcast(new_ids),
-            (pairs["id_a"] == F.col("id_new")) | (pairs["id_b"] == F.col("id_new")),
-            "left_semi",
+        pairs.join(F.broadcast(mark_a), pairs["id_a"] == F.col("__ka"), "left")
+        .join(F.broadcast(mark_b), pairs["id_b"] == F.col("__kb"), "left")
+        .where(
+            F.coalesce(F.col("__new_a"), F.lit(False))
+            | F.coalesce(F.col("__new_b"), F.lit(False))
         )
+        .drop("__ka", "__kb", "__new_a", "__new_b")
     )

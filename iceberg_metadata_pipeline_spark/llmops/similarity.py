@@ -121,28 +121,26 @@ def _hyperplanes(dim: int, n_planes: int, seed: int = 7) -> list[list[float]]:
 
 
 def lsh_bucket_ids(df: DataFrame, dim: int, n_planes: int = 12, seed: int = 7) -> DataFrame:
-    """Add a sign-bit bucket id: bit_r = (v · plane_r) >= 0. The planes are
-    a deterministic literal array, broadcast with the plan (a few KB)."""
-    planes = F.array(
-        *[
-            F.array(*[F.lit(x) for x in plane])
-            for plane in _hyperplanes(dim, n_planes, seed)
-        ]
-    )
-    v = F.col("embedding").cast("array<double>")
-    bits = F.transform(
-        planes,
-        lambda plane: F.when(
-            F.aggregate(
-                F.zip_with(v, plane, lambda x, p: x * p),
-                F.lit(0.0),
-                lambda acc, x: acc + x,
-            )
-            >= 0,
-            F.lit(1),
-        ).otherwise(F.lit(0)),
-    )
-    bucket = F.aggregate(bits, F.lit(0), lambda acc, b: acc * 2 + b)
+    """Add a sign-bit bucket id: bit_r = (v · plane_r) >= 0.
+
+    The dot products are UNROLLED into plain expressions (embedding[j] ·
+    literal, summed left-to-right — identical float result to the HOF
+    fold) rather than zip_with/aggregate lambdas: the bucket column is a
+    JOIN KEY, and Catalyst's constraint propagation cannot rewrite lambda
+    variables through a Union — a self-ANN whose corpus is a union of
+    derived rows fails analysis with "key not found: embedding#N" when
+    the key expression contains HOFs. Plain expressions also stay fully
+    inside whole-stage codegen (no lambda interpretation per element)."""
+    # bind to THIS df's attribute, not an unresolved name: corpus and
+    # query sides often derive from the same base plan (self-ANN)
+    v = df["embedding"].cast("array<double>")
+    bucket = F.lit(0)
+    for plane in _hyperplanes(dim, n_planes, seed):
+        dot = F.lit(0.0)
+        for j in range(dim):
+            dot = dot + v[j] * F.lit(plane[j])
+        bit = F.when(dot >= 0, F.lit(1)).otherwise(F.lit(0))
+        bucket = bucket * 2 + bit
     return df.withColumn("bucket", bucket)
 
 

@@ -352,3 +352,27 @@ def test_binned_range_join_is_equi_not_nested_loop(spark, sf_dir):
     _load_all()
     plan = plan_of(REGISTRY["join_range_binned"].fn(spark, sf_dir))
     assert "NestedLoop" not in plan and "CartesianProduct" not in plan
+
+
+def test_incremental_candidates_no_nested_loop(spark, sf_dir):
+    """The touches-a-new-doc restriction must be broadcast HASH joins
+    (marker shape), never a BroadcastNestedLoopJoin on the OR condition —
+    the nested loop scans every new id per candidate pair, O(pairs × new),
+    at exactly the batch sizes the incremental index exists for."""
+    from iceberg_metadata_pipeline_spark.llmops.incremental import (
+        incremental_candidates,
+        signatures_for,
+    )
+    from iceberg_metadata_pipeline_spark.session import load_tables
+
+    docs = load_tables(spark, sf_dir)["documents"].select("doc_id", "text")
+    sigs = signatures_for(docs)
+
+    class _Idx:
+        def scan(self):
+            return sigs
+
+    df = incremental_candidates(_Idx(), docs.select("doc_id").limit(10))
+    plan = plan_of(df)
+    assert "BroadcastNestedLoopJoin" not in plan and "Cartesian" not in plan
+    assert plan.count("BroadcastHashJoin") >= 3  # banding join + 2 markers
