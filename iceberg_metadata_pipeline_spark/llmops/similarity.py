@@ -18,6 +18,8 @@ Three tiers, matching the 100 TB design ladder:
 
 from __future__ import annotations
 
+import numpy as np
+import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window as W
@@ -131,17 +133,27 @@ def lsh_bucket_ids(df: DataFrame, dim: int, n_planes: int = 12, seed: int = 7) -
     derived rows fails analysis with "key not found: embedding#N" when
     the key expression contains HOFs. Plain expressions also stay fully
     inside whole-stage codegen (no lambda interpretation per element)."""
+    from pyspark.sql.functions import pandas_udf
+
+    planes = np.array(_hyperplanes(dim, n_planes, seed))  # (planes, dim)
+    weights = 1 << np.arange(n_planes - 1, -1, -1)  # MSB-first bit weights
+
+    @pandas_udf("int")
+    def _bucket(emb: pd.Series) -> pd.Series:
+        m = np.asarray(emb.tolist(), dtype=np.float64)  # (batch, dim)
+        bits = (m @ planes.T) >= 0.0  # one BLAS matmul per Arrow batch
+        return pd.Series((bits * weights).sum(axis=1).astype("int32"))
+
+    # Arrow-batched matmul rather than JVM expressions: an unrolled
+    # dim x n_planes expression tree costs seconds of one-time codegen,
+    # and the HOF (zip_with/aggregate) formulation poisons this column
+    # as a JOIN KEY — Catalyst's constraint propagation cannot rewrite
+    # lambda variables through a Union, failing self-ANN plans whose
+    # corpus is a union of derived rows. The UDF column is opaque to
+    # constraint rewriting, map-only, and BLAS-fast per batch.
     # bind to THIS df's attribute, not an unresolved name: corpus and
     # query sides often derive from the same base plan (self-ANN)
-    v = df["embedding"].cast("array<double>")
-    bucket = F.lit(0)
-    for plane in _hyperplanes(dim, n_planes, seed):
-        dot = F.lit(0.0)
-        for j in range(dim):
-            dot = dot + v[j] * F.lit(plane[j])
-        bit = F.when(dot >= 0, F.lit(1)).otherwise(F.lit(0))
-        bucket = bucket * 2 + bit
-    return df.withColumn("bucket", bucket)
+    return df.withColumn("bucket", _bucket(df["embedding"].cast("array<double>")))
 
 
 def cosine_topk_lsh(
