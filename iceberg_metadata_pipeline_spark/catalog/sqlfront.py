@@ -80,7 +80,9 @@ _CALL_RE = re.compile(
 # row-level DML — the Thrift-served SQL surface Iceberg extensions add
 _DML_INSERT_RE = re.compile(
     rf"^\s*INSERT\s+(?P<mode>INTO|OVERWRITE)\s+(?:TABLE\s+)?"
-    rf"(?P<ns>{_IDENT})\.(?P<tbl>{_IDENT})\s+(?P<body>(?:VALUES|SELECT|WITH)\b.+)$",
+    rf"(?P<ns>{_IDENT})\.(?P<tbl>{_IDENT})\s*"
+    rf"(?:\(\s*(?P<cols>{_IDENT}(?:\s*,\s*{_IDENT})*)\s*\)\s*)?"
+    rf"(?P<body>(?:VALUES|SELECT|WITH)\b.+)$",
     re.IGNORECASE | re.DOTALL,
 )
 _TRUNCATE_RE = re.compile(
@@ -537,20 +539,50 @@ def catalog_sql(catalog: Catalog, statement: str, _depth: int = 0) -> DataFrame:
         # cast to the table schema — SQL INSERT semantics
         src = catalog_sql(catalog, ins.group("body"), _depth=_depth + 1)
         fields = table.schema.fields
-        if len(src.columns) != len(fields):
-            raise ValueError(
-                f"INSERT column count {len(src.columns)} != table arity {len(fields)}"
-            )
         from pyspark.sql import functions as F  # local: keep module surface lean
 
-        aligned = src.select(
-            *[
-                F.col(src.columns[i]).cast(f.dataType).alias(f.name)
-                for i, f in enumerate(fields)
-            ]
-        )
+        if ins.group("cols"):
+            # explicit column list: values map to the NAMED columns;
+            # unmentioned columns get their declared default, else NULL
+            import json as _json
+
+            listed = [c.strip() for c in ins.group("cols").split(",")]
+            names = {f.name for f in fields}
+            bad = [c for c in listed if c not in names]
+            if bad:
+                raise ValueError(f"INSERT column list not in schema: {bad}")
+            if len(src.columns) != len(listed):
+                raise ValueError(
+                    f"INSERT supplies {len(src.columns)} values for "
+                    f"{len(listed)} listed columns"
+                )
+            by_name = dict(zip(listed, src.columns))
+            defaults = _json.loads(table.properties.get("column-defaults", "{}"))
+            exprs = []
+            for f in fields:
+                if f.name in by_name:
+                    e = F.col(by_name[f.name])
+                elif f.name in defaults:
+                    e = F.expr(str(defaults[f.name]["initial"]))
+                else:
+                    e = F.lit(None)
+                exprs.append(e.cast(f.dataType).alias(f.name))
+            aligned = src.select(*exprs)
+        else:
+            if len(src.columns) != len(fields):
+                raise ValueError(
+                    f"INSERT column count {len(src.columns)} != table arity {len(fields)}"
+                )
+            aligned = src.select(
+                *[
+                    F.col(src.columns[i]).cast(f.dataType).alias(f.name)
+                    for i, f in enumerate(fields)
+                ]
+            )
         if ins.group("mode").upper() == "OVERWRITE":
-            sid = table.overwrite_dataframe(aligned)
+            # Iceberg semantics: INSERT OVERWRITE on a partitioned table
+            # is DYNAMIC — replaces only the partitions the data touches
+            sid = table.overwrite_partitions(aligned)
             op = "overwrite"
         else:
             sid = table.append_dataframe(aligned)

@@ -910,3 +910,49 @@ def test_write_ordered_by_and_changelog_view(spark, catalog):
         ).collect()
     }
     assert counts == {"insert": 10, "delete": 10}
+
+
+def test_insert_column_list_and_dynamic_partition_overwrite(spark, catalog):
+    """INSERT INTO t (cols) VALUES maps by NAME — unmentioned columns get
+    their declared default else NULL; INSERT OVERWRITE on a partitioned
+    table replaces ONLY the touched partitions (Iceberg dynamic mode),
+    carrying untouched partitions as metadata."""
+    import pytest as _pytest
+
+    from iceberg_metadata_pipeline_spark.catalog.sqlfront import catalog_sql
+
+    catalog_sql(
+        catalog,
+        "CREATE TABLE nyc.dynov (id BIGINT, region STRING, v BIGINT) "
+        "PARTITIONED BY (region)",
+    )
+    t = catalog.load_table("nyc", "dynov")
+    t.add_column("note", "string", default="'n/a'")
+    t.refresh()
+
+    catalog_sql(
+        catalog,
+        "INSERT INTO nyc.dynov (v, id, region) VALUES (10, 1, 'eu'), (20, 2, 'us')",
+    )
+    t.refresh()
+    got = {(r["id"], r["region"], r["v"], r["note"]) for r in t.scan().collect()}
+    assert got == {(1, "eu", 10, "n/a"), (2, "us", 20, "n/a")}
+
+    with _pytest.raises(ValueError, match="not in schema"):
+        catalog_sql(catalog, "INSERT INTO nyc.dynov (nope) VALUES (1)")
+    with _pytest.raises(ValueError, match="values for"):
+        catalog_sql(catalog, "INSERT INTO nyc.dynov (id, v) VALUES (1)")
+
+    # dynamic overwrite: restate ONLY the 'eu' partition
+    files_before = {f.path for f in t.snapshot_files()}
+    catalog_sql(
+        catalog,
+        "INSERT OVERWRITE nyc.dynov (id, region, v) VALUES (7, 'eu', 70)",
+    )
+    t.refresh()
+    got = {(r["id"], r["region"], r["v"]) for r in t.scan().collect()}
+    assert got == {(7, "eu", 70), (2, "us", 20)}  # us partition untouched
+    us_files = {
+        f.path for f in t.snapshot_files() if f.partition.get("region") == "us"
+    }
+    assert us_files and us_files <= files_before  # carried over, not rewritten
