@@ -1145,3 +1145,54 @@ def catalog_analyze_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         "SELECT column_name, row_count, null_count "
         "FROM nyc.customer_an.column_stats ORDER BY column_name",
     )
+
+
+@query(
+    "table_dynamic_overwrite",
+    """
+SELECT n_regionkey, COUNT(*) AS n, CAST(SUM(c_acctbal) AS DOUBLE) AS bal
+FROM (
+  SELECT c_custkey % 5 AS n_regionkey, c_acctbal FROM customer
+  WHERE c_custkey % 5 <> 2
+  UNION ALL
+  SELECT 2 AS n_regionkey, CAST(0.0 AS DECIMAL(12,2)) AS c_acctbal
+  FROM customer WHERE c_custkey % 5 = 2 AND c_custkey <= 100
+) t
+GROUP BY n_regionkey
+ORDER BY n_regionkey
+""",
+)
+def table_dynamic_overwrite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dynamic partition overwrite end-to-end: restate ONE partition of a
+    partitioned table (the files of the other partitions must carry over
+    as metadata) and aggregate the final visible state. The oracle
+    reconstructs the same restatement from the raw fixture."""
+    customer = load_tables(spark, sf_dir)["customer"]
+    base = customer.selectExpr(
+        "c_custkey % 5 AS n_regionkey", "c_custkey", "c_acctbal"
+    )
+    from iceberg_metadata_pipeline_spark.catalog.partitioning import PartitionField
+
+    catalog = Catalog(spark, tempfile.mkdtemp(prefix="warehouse-dyn-"))
+    t = catalog.create_table(
+        "nyc",
+        "cust_dyn",
+        base.schema,
+        partition_spec=[PartitionField("n_regionkey", "identity")],
+    )
+    t.append_dataframe(base)
+    t.refresh()
+    restated = base.filter("n_regionkey = 2 AND c_custkey <= 100").selectExpr(
+        "n_regionkey", "c_custkey", "CAST(0.0 AS DECIMAL(12,2)) AS c_acctbal"
+    )
+    t.overwrite_partitions(restated)
+    t.refresh()
+    return (
+        t.scan()
+        .groupBy("n_regionkey")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("c_acctbal").cast("double").alias("bal"),
+        )
+        .orderBy("n_regionkey")
+    )
