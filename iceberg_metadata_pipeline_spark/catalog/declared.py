@@ -684,8 +684,14 @@ def table_zorder_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     t.append_dataframe(orders)
     t.rewrite_data_files(target_num_files=8, zorder_by=["o_custkey", "o_totalprice"])
     files = t.snapshot_files()
-    assert len(_prune_by_stats(files, "o_custkey <= 500")) < len(files)
-    assert len(_prune_by_stats(files, "o_totalprice <= 150000")) < len(files)
+    # pruning assertion thresholds derive from the DATA (a fixed literal
+    # covers every row at tiny scale factors and nothing would prune);
+    # the returned query keeps oracle-matched literals
+    lim = orders.selectExpr(
+        "max(o_custkey) div 3 AS ck", "CAST(max(o_totalprice) / 3 AS INT) AS tp"
+    ).first()
+    assert len(_prune_by_stats(files, f"o_custkey <= {lim['ck']}")) < len(files)
+    assert len(_prune_by_stats(files, f"o_totalprice <= {lim['tp']}")) < len(files)
     return t.scan(
         filter="o_totalprice BETWEEN 100000 AND 150000 AND o_custkey <= 500"
     ).agg(
