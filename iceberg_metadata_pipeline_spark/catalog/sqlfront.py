@@ -176,6 +176,10 @@ _SHOW_PROPS_RE = re.compile(
     rf"^\s*SHOW\s+TBLPROPERTIES\s+(?P<ns>{_IDENT})\.(?P<tbl>{_IDENT})\s*;?\s*$",
     re.IGNORECASE,
 )
+_EXPLAIN_RE = re.compile(
+    r"^\s*EXPLAIN\s+(?:(?P<mode>EXTENDED|FORMATTED|COST|CODEGEN)\s+)?(?P<body>.+)$",
+    re.IGNORECASE | re.DOTALL,
+)
 # ANALYZE TABLE ns.t COMPUTE STATISTICS [FOR COLUMNS a, b]
 _ANALYZE_RE = re.compile(
     rf"^\s*ANALYZE\s+TABLE\s+(?P<ns>{_IDENT})\.(?P<tbl>{_IDENT})"
@@ -252,6 +256,18 @@ def catalog_sql(catalog: Catalog, statement: str, _depth: int = 0) -> DataFrame:
     Catalog views expand recursively (``_depth`` bounds cycles).
     """
     spark = catalog.spark
+    ex = _EXPLAIN_RE.match(statement)
+    if ex is not None:
+        # EXPLAIN [EXTENDED|FORMATTED|COST] <query>: resolve the inner
+        # query through the same front-end, return the plan as one row —
+        # the debugging statement BI users type at the SQL port
+        inner = catalog_sql(catalog, ex.group("body"), _depth=_depth + 1)
+        mode = (ex.group("mode") or "simple").lower()
+        jvm = spark.sparkContext._jvm
+        text = inner._jdf.queryExecution().explainString(
+            jvm.org.apache.spark.sql.execution.ExplainMode.fromString(mode)
+        )
+        return spark.createDataFrame([(text,)], "plan string")
     views: dict[str, str] = {}
     counter = 0
 

@@ -53,9 +53,14 @@ class _Session:
 
     def execute(self, statement: str) -> DataFrame:
         # scheduler pools are thread-local in Spark; tag every statement
-        # so FAIR scheduling arbitrates BETWEEN sessions
+        # so FAIR scheduling arbitrates BETWEEN sessions. The job group
+        # makes the session's running jobs CANCELLABLE from another
+        # connection (HiveThriftServer2's cancel-operation semantics).
         self.spark.sparkContext.setLocalProperty(
             "spark.scheduler.pool", f"session-{self.session_id}"
+        )
+        self.spark.sparkContext.setJobGroup(
+            f"session-{self.session_id}", statement[:120], interruptOnCancel=True
         )
         return catalog_sql(self.catalog, statement)
 
@@ -83,6 +88,13 @@ class SQLServingEngine:
         if sess is None:
             raise KeyError(f"no open session {session_id}")
         return sess.execute(statement)
+
+    def cancel(self, session_id: str) -> None:
+        """Cancel the session's RUNNING Spark jobs (issued from any other
+        connection — the canceled session's own thread is blocked in its
+        collect, which raises once the jobs die). The session survives:
+        cancel kills statements, never state."""
+        self._spark.sparkContext.cancelJobGroup(f"session-{session_id}")
 
     def close_session(self, session_id: str) -> None:
         with self._lock:
@@ -126,6 +138,9 @@ class SQLServer:
                 if op == "close":
                     engine.close_session(str(req.get("session")))
                     return {"closed": True}
+                if op == "cancel":
+                    engine.cancel(str(req.get("session")))
+                    return {"canceled": True}
                 if op == "sql":
                     df = engine.execute(str(req.get("session")), str(req["sql"]))
                     limit = int(req.get("limit", 1000))
@@ -184,6 +199,12 @@ class SQLClient:
             {"op": "sql", "session": self.session_id, "sql": statement, "limit": limit}
         )
         return [dict(zip(resp["columns"], row)) for row in resp["rows"]]
+
+    def cancel(self, session_id: str | None = None) -> None:
+        """Cancel a session's running statement (defaults to another
+        session's id — a session cannot cancel itself over its own
+        blocked connection)."""
+        self._request({"op": "cancel", "session": session_id or self.session_id})
 
     def close(self) -> None:
         try:

@@ -113,3 +113,46 @@ def test_result_limit_and_unknown_session(server):
     with pytest.raises(RuntimeError, match="no open session"):
         c._request({"op": "sql", "session": "9999", "sql": "SELECT 1"})
     c.close()
+
+
+def test_cancel_running_statement_from_another_connection(spark, tmp_path):
+    """A runaway statement is cancellable by session id from a second
+    connection (the Thrift cancel-operation pattern): the blocked sql op
+    errors promptly instead of running to completion, and the canceled
+    session keeps working afterwards."""
+    import threading
+    import time
+
+    from iceberg_metadata_pipeline_spark.serving.server import SQLClient, SQLServer
+
+    server = SQLServer(spark, str(tmp_path / "wh")).start()
+    try:
+        victim = SQLClient(server.host, server.port)
+        other = SQLClient(server.host, server.port)
+
+        errors: list[str] = []
+
+        def run_big():
+            try:
+                # cartesian over ranges: minutes of work if not canceled
+                victim.sql(
+                    "SELECT SUM(CAST(a.id AS DOUBLE) * b.id) AS s "
+                    "FROM range(3000000) a, range(3000000) b"
+                )
+            except RuntimeError as exc:
+                errors.append(str(exc))
+
+        t = threading.Thread(target=run_big)
+        t.start()
+        time.sleep(3)  # let the job actually start running
+        other.cancel(victim.session_id)
+        t.join(timeout=60)
+        assert not t.is_alive(), "cancel did not interrupt the statement"
+        assert errors and "cancel" in errors[0].lower()
+
+        # the session survives cancellation
+        assert victim.sql("SELECT 1 AS ok")[0]["ok"] == 1
+        victim.close()
+        other.close()
+    finally:
+        server.stop()

@@ -956,3 +956,22 @@ def test_insert_column_list_and_dynamic_partition_overwrite(spark, catalog):
         f.path for f in t.snapshot_files() if f.partition.get("region") == "us"
     }
     assert us_files and us_files <= files_before  # carried over, not rewritten
+
+
+def test_explain_passthrough(spark, catalog):
+    """EXPLAIN [FORMATTED] resolves catalog refs like any query and
+    returns the plan text — pushed filters and all."""
+    from pyspark.sql import types as T
+
+    from iceberg_metadata_pipeline_spark.catalog.sqlfront import catalog_sql
+
+    t = catalog.create_table(
+        "nyc", "exp", T.StructType([T.StructField("id", T.LongType())])
+    )
+    t.append_dataframe(spark.range(100).selectExpr("id"))
+    plan = catalog_sql(
+        catalog, "EXPLAIN FORMATTED SELECT id FROM nyc.exp WHERE id > 5"
+    ).collect()[0]["plan"]
+    assert "Scan parquet" in plan and "PushedFilters" in plan
+    simple = catalog_sql(catalog, "EXPLAIN SELECT COUNT(*) AS n FROM nyc.exp")
+    assert "Physical Plan" in simple.collect()[0]["plan"]
