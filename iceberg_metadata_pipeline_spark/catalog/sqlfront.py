@@ -211,6 +211,13 @@ _CREATE_VIEW_RE = re.compile(
 _SHOW_VIEWS_RE = re.compile(
     rf"^\s*SHOW\s+VIEWS\s+IN\s+(?P<ns>{_IDENT})\s*;?\s*$", re.IGNORECASE
 )
+_SHOW_TABLES_RE = re.compile(
+    rf"^\s*SHOW\s+TABLES\s+(?:IN|FROM)\s+(?P<ns>{_IDENT})\s*;?\s*$", re.IGNORECASE
+)
+_SHOW_PARTS_RE = re.compile(
+    rf"^\s*SHOW\s+PARTITIONS\s+(?P<ns>{_IDENT})\.(?P<tbl>{_IDENT})\s*;?\s*$",
+    re.IGNORECASE,
+)
 # SHOW CREATE VIEW and the reference's rewritten SHOW CREATE TABLE spelling
 # (superset_config.py:19-41 rewrites VIEW→TABLE because Spark lacks the
 # former; we accept both so either client dialect works)
@@ -470,6 +477,17 @@ def catalog_sql(catalog: Catalog, statement: str, _depth: int = 0) -> DataFrame:
         ns = show.group("ns")
         rows = [(ns, v) for v in catalog.list_views(ns)]
         return spark.createDataFrame(rows or [], "namespace string, viewName string")
+    show = _SHOW_TABLES_RE.match(statement)
+    if show is not None:
+        from iceberg_metadata_pipeline_spark.catalog.introspect import list_tables
+
+        ns = show.group("ns")
+        rows = [(ns, t) for t in list_tables(catalog, ns)]
+        return spark.createDataFrame(rows or [], "namespace string, tableName string")
+    show = _SHOW_PARTS_RE.match(statement)
+    if show is not None:
+        table = catalog.load_table(show.group("ns"), show.group("tbl"))
+        return table.partitions_df()
     show = _SHOW_CREATE_RE.match(statement)
     if show is not None:
         ns, obj = show.group("ns"), show.group("view")

@@ -975,3 +975,23 @@ def test_explain_passthrough(spark, catalog):
     assert "Scan parquet" in plan and "PushedFilters" in plan
     simple = catalog_sql(catalog, "EXPLAIN SELECT COUNT(*) AS n FROM nyc.exp")
     assert "Physical Plan" in simple.collect()[0]["plan"]
+
+
+def test_show_tables_and_show_partitions(spark, catalog):
+    from iceberg_metadata_pipeline_spark.catalog.sqlfront import catalog_sql
+
+    catalog_sql(
+        catalog,
+        "CREATE TABLE nyc.showme (id BIGINT, region STRING) PARTITIONED BY (region)",
+    )
+    t = catalog.load_table("nyc", "showme")
+    t.append_dataframe(
+        spark.createDataFrame(
+            [(1, "eu"), (2, "us"), (3, "eu")], "id long, region string"
+        )
+    )
+    tabs = catalog_sql(catalog, "SHOW TABLES IN nyc").collect()
+    assert ("nyc", "showme") in {(r["namespace"], r["tableName"]) for r in tabs}
+    parts = catalog_sql(catalog, "SHOW PARTITIONS nyc.showme").collect()
+    got = {(r["partition"], r["record_count"]) for r in parts}
+    assert got == {('{"region": "eu"}', 2), ('{"region": "us"}', 1)}
