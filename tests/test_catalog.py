@@ -1338,3 +1338,46 @@ def test_add_column_with_initial_default(spark, catalog):
     assert "column-defaults" not in t.properties or "zone" not in t.properties.get(
         "column-defaults", ""
     )
+
+
+def test_dynamic_overwrite_random_sequence_matches_model(spark, catalog):
+    """Random append / dynamic-overwrite sequences over a partitioned
+    table vs an in-memory model keyed by partition — guards the
+    touched-partition derivation the way the MOR model test guards the
+    commit algebra. Seeded."""
+    import random
+
+    from iceberg_metadata_pipeline_spark.catalog.partitioning import PartitionField
+
+    rng = random.Random(29)
+    schema = spark.createDataFrame([(0, "p0", 0.0)], "id long, part string, v double").schema
+    t = catalog.create_table(
+        "nyc",
+        "dynfuzz",
+        schema,
+        partition_spec=[PartitionField("part", "identity")],
+    )
+    model: dict[str, list[tuple]] = {}
+    next_id = 0
+    for step in range(10):
+        parts = [f"p{rng.randint(0, 3)}" for _ in range(rng.randint(1, 2))]
+        rows = []
+        for p in set(parts):
+            rows += [
+                (next_id + i, p, float(rng.randint(0, 9))) for i in range(2)
+            ]
+            next_id += 2
+        df = spark.createDataFrame(rows, schema)
+        t.refresh()
+        if rng.random() < 0.5:
+            t.append_dataframe(df)
+            for r in rows:
+                model.setdefault(r[1], []).append(r)
+        else:
+            t.overwrite_partitions(df)
+            for p in {r[1] for r in rows}:
+                model[p] = [r for r in rows if r[1] == p]
+        t.refresh()
+        got = {(r["id"], r["part"], r["v"]) for r in t.scan().collect()}
+        want = {r for rs in model.values() for r in rs}
+        assert got == want, f"diverged at step {step}"
