@@ -458,6 +458,15 @@ class Table:
         tuple is what scan-time pruning consults, never the directory
         listing (at 100 TB, listing is the enemy; the manifest is O(files)
         metadata already in hand)."""
+        # schema-merge writes (Iceberg's write.spark.accept-any-schema +
+        # mergeSchema): columns the batch carries but the table doesn't
+        # are auto-added (metadata-only) before the write — the standing
+        # contract a training pipeline wants when upstream adds fields
+        if self.properties.get("write.spark.accept-any-schema") == "true":
+            known = {f.name for f in self.schema.fields}
+            for f in df.schema.fields:
+                if f.name not in known:
+                    self.add_column(f.name, f.dataType.simpleString())
         # write-default: a DF omitting a defaulted column materializes it
         # (Iceberg v3 — new files always carry the column physically)
         defaults = json.loads(self.properties.get("column-defaults", "{}"))
@@ -509,17 +518,27 @@ class Table:
                     for c in order.split(",")
                 ]
             )
+        # write.parquet.compression-codec (Iceberg property): snappy is
+        # Spark's default; zstd trades ~2x better ratio for more write
+        # CPU — at 100 TB that ratio IS the storage/scan-IO bill
+        codec = self.properties.get("write.parquet.compression-codec")
         spec = self.default_spec
         if spec:
             out, part_cols = with_partition_columns(df, spec, self._schema_types())
-            out.write.mode("errorifexists").partitionBy(*part_cols).parquet(data_dir)
+            w = out.write.mode("errorifexists").partitionBy(*part_cols)
+            if codec:
+                w = w.option("compression", codec)
+            w.parquet(data_dir)
             entries = scan_parquet_footers(data_dir, self.spark)
             sid = self.meta["default_spec_id"]
             for e in entries:
                 e.partition = parse_partition_from_path(e.path, spec)
                 e.spec_id = sid
         else:
-            df.write.mode("errorifexists").parquet(data_dir)
+            w = df.write.mode("errorifexists")
+            if codec:
+                w = w.option("compression", codec)
+            w.parquet(data_dir)
             entries = scan_parquet_footers(data_dir, self.spark)
         return entries
 

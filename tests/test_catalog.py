@@ -1381,3 +1381,39 @@ def test_dynamic_overwrite_random_sequence_matches_model(spark, catalog):
         got = {(r["id"], r["part"], r["v"]) for r in t.scan().collect()}
         want = {r for rs in model.values() for r in rs}
         assert got == want, f"diverged at step {step}"
+
+
+def test_schema_merge_append_and_compression_codec(spark, catalog):
+    """write.spark.accept-any-schema: a batch carrying a NEW column
+    auto-adds it (metadata-only) and older rows read NULL; without the
+    property the extra column is simply not projected. Plus
+    write.parquet.compression-codec lands in the files' footers."""
+    import pyarrow.parquet as pq
+    from pyspark.sql import types as T
+
+    t = catalog.create_table(
+        "nyc",
+        "evolve",
+        T.StructType([T.StructField("id", T.LongType())]),
+        properties={"write.parquet.compression-codec": "zstd"},
+    )
+    t.append_dataframe(spark.range(3).selectExpr("id"))
+    t.refresh()
+    codecs = {
+        pq.ParquetFile(f.path).metadata.row_group(0).column(0).compression
+        for f in t.snapshot_files()
+        if f.record_count > 0
+    }
+    assert codecs == {"ZSTD"}
+
+    # no accept-any-schema: extra column writes but is not projected
+    t.append_dataframe(spark.range(3, 5).selectExpr("id", "id * 2 AS extra"))
+    t.refresh()
+    assert "extra" not in t.scan().columns
+
+    t.set_properties({"write.spark.accept-any-schema": "true"})
+    t.append_dataframe(spark.range(5, 7).selectExpr("id", "id * 10 AS v2"))
+    t.refresh()
+    got = {(r["id"], r["v2"]) for r in t.scan().select("id", "v2").collect()}
+    assert {(5, 50), (6, 60)} <= got
+    assert all(v is None for i, v in got if i < 5)  # old rows: NULL
