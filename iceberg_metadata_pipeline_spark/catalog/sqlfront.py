@@ -176,6 +176,16 @@ _SHOW_PROPS_RE = re.compile(
     rf"^\s*SHOW\s+TBLPROPERTIES\s+(?P<ns>{_IDENT})\.(?P<tbl>{_IDENT})\s*;?\s*$",
     re.IGNORECASE,
 )
+# SET k=v / SET k (BI clients issue these on connect); CACHE TABLE name AS ...
+_SET_RE = re.compile(
+    r"^\s*SET\s+(?P<key>[A-Za-z_][\w.]*)\s*(?:=\s*(?P<val>.+?))?\s*;?\s*$",
+    re.IGNORECASE,
+)
+_CACHE_RE = re.compile(
+    rf"^\s*CACHE\s+TABLE\s+(?P<name>{_IDENT})\s+AS\s+(?P<body>.+)$"
+    rf"|^\s*UNCACHE\s+TABLE\s+(?P<uname>{_IDENT})\s*;?\s*$",
+    re.IGNORECASE | re.DOTALL,
+)
 _EXPLAIN_RE = re.compile(
     r"^\s*EXPLAIN\s+(?:(?P<mode>EXTENDED|FORMATTED|COST|CODEGEN)\s+)?(?P<body>.+)$",
     re.IGNORECASE | re.DOTALL,
@@ -263,6 +273,31 @@ def catalog_sql(catalog: Catalog, statement: str, _depth: int = 0) -> DataFrame:
     Catalog views expand recursively (``_depth`` bounds cycles).
     """
     spark = catalog.spark
+    st = _SET_RE.match(statement)
+    if st is not None and st.group("key").upper() not in ("IDENTIFIER",):
+        key = st.group("key")
+        val = st.group("val")
+        if val is not None:
+            # session-scoped conf (isolated per serving session — each
+            # client holds its own newSession); BI clients send these
+            # on connect (time zone, shuffle partitions, ANSI flags)
+            spark.conf.set(key, val.strip().strip("'\""))
+            return spark.createDataFrame([(key, val.strip())], "key string, value string")
+        try:
+            cur = spark.conf.get(key)
+        except Exception:  # noqa: BLE001 — unset key reads as undefined
+            cur = "<undefined>"
+        return spark.createDataFrame([(key, cur)], "key string, value string")
+    ch = _CACHE_RE.match(statement)
+    if ch is not None:
+        if ch.group("uname"):
+            name = ch.group("uname")
+            spark.catalog.uncacheTable(name)
+            return spark.createDataFrame([(name, False)], "table string, cached boolean")
+        name = ch.group("name")
+        df = catalog_sql(catalog, ch.group("body"), _depth=_depth + 1).cache()
+        df.createOrReplaceTempView(name)
+        return spark.createDataFrame([(name, True)], "table string, cached boolean")
     ex = _EXPLAIN_RE.match(statement)
     if ex is not None:
         # EXPLAIN [EXTENDED|FORMATTED|COST] <query>: resolve the inner

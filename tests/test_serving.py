@@ -156,3 +156,30 @@ def test_cancel_running_statement_from_another_connection(spark, tmp_path):
         other.close()
     finally:
         server.stop()
+
+
+def test_set_conf_is_session_isolated_and_cache_table(spark, tmp_path):
+    """SET lands in the issuing session's conf only (newSession isolation
+    — what a Thrift server gives each JDBC connection), and CACHE TABLE
+    registers a reusable cached temp view."""
+    from iceberg_metadata_pipeline_spark.serving.server import SQLClient, SQLServer
+
+    server = SQLServer(spark, str(tmp_path / "wh")).start()
+    try:
+        a = SQLClient(server.host, server.port)
+        b = SQLClient(server.host, server.port)
+        a.sql("SET spark.sql.session.timeZone = America/New_York")
+        got_a = a.sql("SET spark.sql.session.timeZone")[0]["value"]
+        got_b = b.sql("SET spark.sql.session.timeZone")[0]["value"]
+        assert got_a == "America/New_York"
+        assert got_b == "UTC"  # b's session untouched
+
+        a.sql("CREATE TABLE nyc.ct (id BIGINT)")
+        a.sql("INSERT INTO nyc.ct VALUES (1), (2), (3)")
+        a.sql("CACHE TABLE hot AS SELECT id FROM nyc.ct WHERE id > 1")
+        assert a.sql("SELECT COUNT(*) AS n FROM hot")[0]["n"] == 2
+        a.sql("UNCACHE TABLE hot")
+        a.close()
+        b.close()
+    finally:
+        server.stop()
