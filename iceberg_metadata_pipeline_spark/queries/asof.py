@@ -21,7 +21,7 @@ post-filter on the matched timestamp — state never grows with it.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
@@ -37,16 +37,33 @@ def asof_join(
     value_cols: list[str],
     direction: str = "backward",
     suffix: str = "_right",
+    within: str | None = None,
 ) -> DataFrame:
     """For each left row, attach ``value_cols`` from the latest right row
     with right.ts <= left.ts (direction='backward'; 'forward' = earliest
-    right row at-or-after), matching on the ``by`` equi-keys.
+    right row at-or-after; 'nearest' = whichever side is closer, exact
+    match preferred, backward on distance ties — pandas merge_asof
+    semantics), matching on the ``by`` equi-keys.
+
+    ``within`` (an SQL interval body, e.g. ``"10 MINUTES"``) bounds the
+    match distance: farther matches null out, exactly merge_asof's
+    ``tolerance``. Applied as a projection on the matched timestamp —
+    window state never grows with the tolerance.
 
     Returns all left columns plus ``<col><suffix>`` for each value col and
     ``<ts><suffix>`` (the matched right timestamp, null if no match).
+
+    All three directions run in ONE union + ONE shuffle + ONE sort:
+    backward is last(ignorenulls) over the preceding frame, forward is
+    first(ignorenulls) over the following frame of the SAME ascending
+    sort (an exact-ts right row sorts before the left row, so it lands in
+    the preceding frame; the forward/nearest paths recover exact matches
+    from the backward candidate rather than re-sorting).
     """
-    if direction not in ("backward", "forward"):
-        raise ValueError(f"direction must be backward|forward, got {direction}")
+    if direction not in ("backward", "forward", "nearest"):
+        raise ValueError(
+            f"direction must be backward|forward|nearest, got {direction}"
+        )
 
     lcols = left.columns
     tagged_l = left.select(
@@ -66,30 +83,60 @@ def asof_join(
     )
     unioned = tagged_l.unionByName(tagged_r)
 
-    if direction == "backward":
-        # right rows sort before left rows at equal ts → a right row at
-        # exactly left.ts matches; running last(ignorenulls) looks backward
-        w = (
-            Window.partitionBy(*by)
-            .orderBy(F.col(ts).asc(), F.col("_is_left").asc())
-            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-        )
-        pick: Column = F.last
-    else:
-        w = (
-            Window.partitionBy(*by)
-            .orderBy(F.col(ts).desc(), F.col("_is_left").asc())
-            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-        )
-        pick = F.last
-
-    out = unioned.select(
-        *lcols,
-        "_is_left",
-        *[pick(f"{c}{suffix}", ignorenulls=True).over(w).alias(f"{c}{suffix}") for c in value_cols],
-        pick(f"{ts}{suffix}", ignorenulls=True).over(w).alias(f"{ts}{suffix}"),
+    # ONE ascending sort serves every direction: right rows sort before
+    # left rows at equal ts, so the exact match is always in the
+    # backward frame and never in the forward frame
+    order = [F.col(ts).asc(), F.col("_is_left").asc()]
+    w_bwd = (
+        Window.partitionBy(*by)
+        .orderBy(*order)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
-    return out.filter(F.col("_is_left") == 1).drop("_is_left")
+    w_fwd = (
+        Window.partitionBy(*by)
+        .orderBy(*order)
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    )
+
+    picked = {}
+    for c in [*value_cols, ts]:
+        picked[f"__b_{c}"] = F.last(f"{c}{suffix}", ignorenulls=True).over(w_bwd)
+        picked[f"__f_{c}"] = F.first(f"{c}{suffix}", ignorenulls=True).over(w_fwd)
+    out = unioned.select(*lcols, "_is_left", *[e.alias(n) for n, e in picked.items()])
+    out = out.filter(F.col("_is_left") == 1).drop("_is_left")
+
+    b_ts, f_ts = F.col(f"__b_{ts}"), F.col(f"__f_{ts}")
+    lt = F.col(ts)
+    if within is not None:
+        tol = F.expr(f"INTERVAL {within}")
+        b_ok = b_ts.isNotNull() & (lt.cast("timestamp") - b_ts.cast("timestamp") <= tol)
+        f_ok = f_ts.isNotNull() & (f_ts.cast("timestamp") - lt.cast("timestamp") <= tol)
+    else:
+        b_ok = b_ts.isNotNull()
+        f_ok = f_ts.isNotNull()
+
+    if direction == "backward":
+        use_b = b_ok
+        f_ok = F.lit(False)  # never fall through to the forward candidate
+    elif direction == "forward":
+        # an exact-ts right row was captured by the BACKWARD frame; the
+        # forward direction must still honor it (distance 0)
+        use_b = b_ok & (b_ts == lt)
+        f_ok = f_ok & ~use_b
+    else:  # nearest: closer side wins; exact/backward wins distance ties
+        b_dist = lt.cast("timestamp") - b_ts.cast("timestamp")
+        f_dist = f_ts.cast("timestamp") - lt.cast("timestamp")
+        use_b = b_ok & (~f_ok | (b_dist <= f_dist))
+        f_ok = f_ok & ~use_b
+
+    cols = list(lcols)
+    for c in [*value_cols, ts]:
+        cols.append(
+            F.when(use_b, F.col(f"__b_{c}"))
+            .when(f_ok, F.col(f"__f_{c}"))
+            .alias(f"{c}{suffix}")
+        )
+    return out.select(*cols)
 
 
 @query(
@@ -117,5 +164,40 @@ def join_asof_events(spark, sf_dir: str) -> DataFrame:
         "user_id",
         "ts",
         F.col("value_right").alias("view_value"),
+        "ts_right",
+    ).orderBy("user_id", "ts", "event_id")
+
+
+@query(
+    "join_asof_forward",
+    """
+SELECT c.event_id, c.user_id, c.ts, v.value AS next_view_value, v.ts AS ts_right
+FROM (SELECT * FROM events WHERE event_type = 'click') c
+ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'view') v
+  ON c.user_id = v.user_id AND c.ts <= v.ts
+ORDER BY c.user_id, c.ts, c.event_id
+""",
+)
+def join_asof_forward(spark, sf_dir: str) -> DataFrame:
+    """Forward as-of: each click sees the EARLIEST view of the same user
+    at-or-after it (the label-lookahead shape in ML feature pipelines).
+    DuckDB's ASOF with the flipped inequality is the oracle."""
+    events = load_tables(spark, sf_dir)["events"]
+    clicks = events.filter(F.col("event_type") == "click")
+    views = events.filter(F.col("event_type") == "view").select("user_id", "ts", "value")
+    joined = asof_join(
+        clicks,
+        views,
+        ts="ts",
+        by=["user_id"],
+        value_cols=["value"],
+        direction="forward",
+        suffix="_right",
+    )
+    return joined.select(
+        "event_id",
+        "user_id",
+        "ts",
+        F.col("value_right").alias("next_view_value"),
         "ts_right",
     ).orderBy("user_id", "ts", "event_id")

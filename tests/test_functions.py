@@ -179,3 +179,51 @@ def test_binned_range_join_matches_naive_on_random_bands(spark):
         if lo <= v <= hi
     }
     assert got == want
+
+
+def test_asof_join_directions_and_tolerance(spark):
+    """backward / forward / nearest / within against hand-computed
+    merge_asof semantics: exact match always wins, nearest breaks
+    distance ties backward, tolerance nulls far matches."""
+    from iceberg_metadata_pipeline_spark.queries.asof import asof_join
+
+    left = spark.createDataFrame(
+        [(1, "2024-01-01 10:00:00"), (1, "2024-01-01 11:00:00"), (2, "2024-01-01 10:30:00")],
+        "k long, ts string",
+    ).selectExpr("k", "CAST(ts AS TIMESTAMP) ts")
+    right = spark.createDataFrame(
+        [
+            (1, "2024-01-01 09:00:00", 9.0),
+            (1, "2024-01-01 10:00:00", 10.0),
+            (1, "2024-01-01 12:00:00", 12.0),
+            (2, "2024-01-01 11:00:00", 11.0),
+        ],
+        "k long, ts string, v double",
+    ).selectExpr("k", "CAST(ts AS TIMESTAMP) ts", "v")
+
+    def run(**kw):
+        rows = asof_join(
+            left, right, ts="ts", by=["k"], value_cols=["v"], **kw
+        ).orderBy("k", "ts").collect()
+        return [(r["k"], str(r["ts"])[11:16], r["v_right"]) for r in rows]
+
+    assert run(direction="backward") == [
+        (1, "10:00", 10.0),  # exact
+        (1, "11:00", 10.0),  # latest at-or-before
+        (2, "10:30", None),  # nothing before
+    ]
+    assert run(direction="forward") == [
+        (1, "10:00", 10.0),  # exact still wins forward
+        (1, "11:00", 12.0),  # earliest at-or-after
+        (2, "10:30", 11.0),
+    ]
+    assert run(direction="nearest") == [
+        (1, "10:00", 10.0),
+        (1, "11:00", 10.0),  # 1h back vs 1h fwd: tie → backward
+        (2, "10:30", 11.0),  # only a forward candidate
+    ]
+    assert run(direction="nearest", within="45 MINUTES") == [
+        (1, "10:00", 10.0),
+        (1, "11:00", None),  # both sides 1h away > 45m tolerance
+        (2, "10:30", 11.0),  # 30m away: inside tolerance
+    ]
