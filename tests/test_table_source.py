@@ -174,3 +174,91 @@ def test_stream_rate_limit_commits_per_microbatch(spark, feed_table, tmp_path):
 
     batches = _glob.glob(str(tmp_path / "ckpt" / "offsets" / "*"))
     assert len(batches) >= 4, batches
+
+
+def test_cdc_loop_stream_enrich_upsert(spark, tmp_path):
+    """The full CDC loop composes: appends stream OUT of one catalog
+    table, enrich against a static dimension (broadcast join), aggregate
+    per key in foreachBatch, and UPSERT into a second catalog table via
+    the MOR merge sink — exactly-once per epoch. Proves source, catalog,
+    join, and sink seams fit together, not just individually."""
+    from pyspark.sql import functions as F
+    from pyspark.sql import types as T
+
+    from iceberg_metadata_pipeline_spark.catalog.metacat import Catalog
+
+    catalog = Catalog(spark, str(tmp_path / "wh"))
+    src = catalog.create_table(
+        "nyc",
+        "cdc_src",
+        T.StructType(
+            [
+                T.StructField("id", T.LongType()),
+                T.StructField("region_id", T.LongType()),
+                T.StructField("amount", T.DoubleType()),
+            ]
+        ),
+    )
+    agg_schema = T.StructType(
+        [
+            T.StructField("region", T.StringType()),
+            T.StructField("total", T.DoubleType()),
+        ]
+    )
+    dst = catalog.create_table("nyc", "cdc_agg", agg_schema)
+    dst.set_identifier_fields(["region"])
+    dim = spark.createDataFrame([(1, "eu"), (2, "us")], "region_id long, region string")
+
+    running: dict[str, float] = {}
+
+    def process(batch_df, epoch_id):
+        rows = (
+            batch_df.join(F.broadcast(dim), "region_id")
+            .groupBy("region")
+            .agg(F.sum("amount").alias("total"))
+            .collect()
+        )
+        for r in rows:
+            running[r["region"]] = running.get(r["region"], 0.0) + r["total"]
+        upsert = spark.createDataFrame(
+            [(k, v) for k, v in running.items()], agg_schema
+        )
+        dst.refresh()
+        dst.merge_into_mor(upsert, when_matched_set={"total": "src_total"})
+
+    src.append_dataframe(
+        spark.createDataFrame([(1, 1, 10.0), (2, 2, 5.0)], src.schema)
+    )
+
+    def drain():
+        from iceberg_metadata_pipeline_spark.streaming.table_source import (
+            read_table_stream,
+        )
+
+        q = (
+            read_table_stream(spark, src)
+            .writeStream.foreachBatch(process)
+            .option("checkpointLocation", str(tmp_path / "ckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    drain()
+    dst.refresh()
+    assert {(r["region"], r["total"]) for r in dst.scan().collect()} == {
+        ("eu", 10.0),
+        ("us", 5.0),
+    }
+
+    # second batch of appends updates the aggregate through the same loop
+    src.refresh()
+    src.append_dataframe(
+        spark.createDataFrame([(3, 1, 7.0)], src.schema)
+    )
+    drain()
+    dst.refresh()
+    assert {(r["region"], r["total"]) for r in dst.scan().collect()} == {
+        ("eu", 17.0),
+        ("us", 5.0),
+    }
