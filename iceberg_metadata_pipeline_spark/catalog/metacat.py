@@ -851,10 +851,24 @@ class Table:
         - ≥ ``small_files_threshold`` bin-packable small files → binpack
           rewrite (partition-preserving);
         - any inert MOR delete entries → purge;
-        - manifest delta chain ≥ ``chain_threshold`` links → checkpoint.
+        - manifest delta chain ≥ ``chain_threshold`` links → checkpoint;
+        - ``history.expire.max-snapshot-age-ms`` table property set and
+          snapshots older than it exist → expire_snapshots, keeping at
+          least ``history.expire.min-snapshots-to-keep`` (default 1) —
+          Iceberg's retention property names, honored automatically.
 
         Returns {action: effect} for what actually ran."""
         report: dict[str, object] = {}
+        max_age = self.properties.get("history.expire.max-snapshot-age-ms")
+        if max_age is not None:
+            keep = int(self.properties.get("history.expire.min-snapshots-to-keep", 1))
+            cutoff = int(time.time() * 1000) - int(max_age)
+            if any(s["timestamp_ms"] < cutoff for s in self.meta["snapshots"]):
+                orphaned = self.expire_snapshots(keep_last=keep, older_than_ms=cutoff)
+                report["snapshot_expiry"] = {
+                    "orphaned_files": len(orphaned),
+                    "snapshots_left": len(self.meta["snapshots"]),
+                }
         plan = self.plan_compaction(target_file_size_bytes=target_file_size_bytes)
         n_small = sum(len(g) for g in plan)
         if n_small >= small_files_threshold:

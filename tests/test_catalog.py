@@ -1417,3 +1417,29 @@ def test_schema_merge_append_and_compression_codec(spark, catalog):
     got = {(r["id"], r["v2"]) for r in t.scan().select("id", "v2").collect()}
     assert {(5, 50), (6, 60)} <= got
     assert all(v is None for i, v in got if i < 5)  # old rows: NULL
+
+
+def test_maintain_honors_retention_properties(spark, catalog):
+    """history.expire.max-snapshot-age-ms / min-snapshots-to-keep drive
+    automatic snapshot expiry in maintain() — Iceberg's property names;
+    without the property maintain never expires."""
+    import time as _time
+
+    t = catalog.create_table("nyc", "ret", spark.range(1).schema)
+    for i in range(4):
+        t.append_dataframe(spark.range(i * 10, i * 10 + 5))
+    assert len(t.meta["snapshots"]) == 4
+    t.maintain(small_files_threshold=999, chain_threshold=999)
+    assert len(t.meta["snapshots"]) == 4  # no property → no expiry
+
+    t.set_properties(
+        {
+            "history.expire.max-snapshot-age-ms": "50",
+            "history.expire.min-snapshots-to-keep": "2",
+        }
+    )
+    _time.sleep(0.1)  # everything is now older than 50ms
+    report = t.maintain(small_files_threshold=999, chain_threshold=999)
+    assert "snapshot_expiry" in report
+    assert len(t.meta["snapshots"]) == 2  # min-to-keep floor
+    assert t.scan().count() == 20  # current contents intact
