@@ -1861,12 +1861,19 @@ class Table:
         as_of_ms: int | None = None,
         filter: str | None = None,
         ref: str | None = None,
+        metadata_columns: bool = False,
     ) -> DataFrame:
         """Snapshot-isolated scan. File-level min/max pruning is applied for
         simple ``col <op> literal`` filters before Spark ever lists the
         files (the manifest-pruning analogue); the filter is also applied
         to the DataFrame so Spark pushes it into row-group pruning.
-        ``ref`` scans a named branch/tag head (audit reads in WAP)."""
+        ``ref`` scans a named branch/tag head (audit reads in WAP).
+
+        ``metadata_columns`` appends Iceberg's hidden metadata columns:
+        ``_file``/``_pos`` (Spark's file metadata struct — free) and
+        ``_spec_id``/``_partition`` (a broadcast join of the manifest's
+        per-file entries on ``_file``; O(files) build side, the data
+        never shuffles)."""
         if ref is not None:
             if snapshot_id is not None:
                 raise ValueError("pass either ref or snapshot_id, not both")
@@ -1891,9 +1898,31 @@ class Table:
                     )
         snap = self._select_snapshot(snapshot_id, as_of_ms)
         deletes = self._resolve_deletes(snap) if snap is not None else []
-        df = self._read_files_with_deletes(files, deletes)
+        df = self._read_files_with_deletes(
+            files, deletes, keep_lineage=metadata_columns
+        )
         if filter is not None:
             df = df.filter(filter)
+        if metadata_columns:
+            meta_rows = [
+                (
+                    "file:" + f.path if not f.path.startswith("file:") else f.path,
+                    f.spec_id if f.spec_id is not None else 0,
+                    json.dumps(f.partition, sort_keys=True, default=str)
+                    if f.partition
+                    else "{}",
+                )
+                for f in files
+            ]
+            meta_df = self.spark.createDataFrame(
+                meta_rows or [],
+                "__file string, _spec_id int, _partition string",
+            )
+            df = (
+                df.join(F.broadcast(meta_df), "__file", "left")
+                .withColumnRenamed("__file", "_file")
+                .withColumnRenamed("__pos", "_pos")
+            )
         return df
 
     def _read_files_with_deletes(

@@ -1443,3 +1443,30 @@ def test_maintain_honors_retention_properties(spark, catalog):
     assert "snapshot_expiry" in report
     assert len(t.meta["snapshots"]) == 2  # min-to-keep floor
     assert t.scan().count() == 20  # current contents intact
+
+
+def test_scan_metadata_columns(spark, catalog):
+    """Iceberg's hidden metadata columns: _file/_pos from Spark's file
+    metadata, _spec_id/_partition broadcast-joined from the manifest."""
+    from iceberg_metadata_pipeline_spark.catalog.partitioning import PartitionField
+
+    t = catalog.create_table(
+        "nyc",
+        "metacols",
+        spark.createDataFrame([(0, "x")], "id long, part string").schema,
+        partition_spec=[PartitionField("part", "identity")],
+    )
+    t.append_dataframe(
+        spark.createDataFrame([(1, "a"), (2, "b")], "id long, part string")
+    )
+    rows = t.scan(metadata_columns=True).collect()
+    assert len(rows) == 2
+    by_id = {r["id"]: r for r in rows}
+    for i, p in ((1, "a"), (2, "b")):
+        r = by_id[i]
+        assert r["_file"].endswith(".parquet") and f"__p_part={p}" in r["_file"]
+        assert r["_pos"] == 0
+        assert r["_spec_id"] == t.meta["default_spec_id"]
+        assert r["_partition"] == '{"part": "%s"}' % p
+    # plain scans stay clean — no metadata columns leak
+    assert set(t.scan().columns) == {"id", "part"}
