@@ -248,7 +248,8 @@ _TT_RE = re.compile(
 )
 
 _DESCRIBE_RE = re.compile(
-    rf"^\s*DESC(?:RIBE)?\s+(?:TABLE\s+)?(?P<ns>{_IDENT})\.(?P<tbl>{_IDENT})\s*;?\s*$",
+    rf"^\s*DESC(?:RIBE)?\s+(?:(?P<ext>EXTENDED|FORMATTED)\s+)?(?:TABLE\s+)?"
+    rf"(?P<ns>{_IDENT})\.(?P<tbl>{_IDENT})\s*;?\s*$",
     re.IGNORECASE,
 )
 _RENAME_RE = re.compile(
@@ -382,6 +383,42 @@ def catalog_sql(catalog: Catalog, statement: str, _depth: int = 0) -> DataFrame:
             (f.name, f.dataType.simpleString(), f.nullable)
             for f in table.schema.fields
         ]
+        if desc.group("ext"):
+            # Spark's DESCRIBE EXTENDED shape: a separator then the
+            # table-metadata profile as (key, value) rows in the same
+            # three columns
+            snap = table.current_snapshot
+            spec = table.default_spec
+            extra = [
+                ("", "", None),
+                ("# Detailed Table Information", "", None),
+                ("Location", table.location, None),
+                (
+                    "Partition Spec",
+                    ", ".join(f"{f.transform}({f.source})" for f in spec)
+                    if spec
+                    else "unpartitioned",
+                    None,
+                ),
+                (
+                    "Identifier Fields",
+                    ",".join(table.identifier_fields) or "(none)",
+                    None,
+                ),
+                (
+                    "Write Sort Order",
+                    table.properties.get("write.sort-order", "(none)"),
+                    None,
+                ),
+                (
+                    "Current Snapshot",
+                    str(snap["snapshot_id"]) if snap else "(none)",
+                    None,
+                ),
+                ("Snapshots", str(len(table.meta["snapshots"])), None),
+                ("Format Version", str(table.meta.get("format_version", 1)), None),
+            ]
+            rows += extra
         return spark.createDataFrame(
             rows, "col_name string, data_type string, nullable boolean"
         )

@@ -995,3 +995,25 @@ def test_show_tables_and_show_partitions(spark, catalog):
     parts = catalog_sql(catalog, "SHOW PARTITIONS nyc.showme").collect()
     got = {(r["partition"], r["record_count"]) for r in parts}
     assert got == {('{"region": "eu"}', 2), ('{"region": "us"}', 1)}
+
+
+def test_describe_extended(spark, catalog):
+    from iceberg_metadata_pipeline_spark.catalog.sqlfront import catalog_sql
+
+    catalog_sql(
+        catalog,
+        "CREATE TABLE nyc.dext (id BIGINT, region STRING) PARTITIONED BY (region)",
+    )
+    t = catalog.load_table("nyc", "dext")
+    t.set_identifier_fields(["id"])
+    t.set_properties({"write.sort-order": "id"})
+    rows = catalog_sql(catalog, "DESCRIBE EXTENDED nyc.dext").collect()
+    kv = {r["col_name"]: r["data_type"] for r in rows}
+    assert kv["id"] == "bigint" and kv["region"] == "string"
+    assert kv["Partition Spec"] == "identity(region)"
+    assert kv["Identifier Fields"] == "id"
+    assert kv["Write Sort Order"] == "id"
+    assert kv["Snapshots"] == "0" and kv["Current Snapshot"] == "(none)"
+    # plain DESCRIBE stays columns-only
+    plain = catalog_sql(catalog, "DESCRIBE nyc.dext").collect()
+    assert {r["col_name"] for r in plain} == {"id", "region"}
