@@ -1643,6 +1643,49 @@ class Table:
             cur = snap.get("parent_snapshot_id") if snap else None
         return False
 
+    def cherrypick_snapshot(self, snapshot_id: int) -> int:
+        """Iceberg's ``cherrypick_snapshot``: re-apply one APPEND
+        snapshot's added files as a NEW commit on the current head — the
+        non-fast-forward WAP publish (main advanced after the audit
+        branch forked, so ``publish_branch`` refuses; cherry-picking the
+        staged append is the escape). Metadata-only: the staged files are
+        re-registered, never rewritten. Restricted to append snapshots,
+        as in Iceberg — replays of deletes/overwrites against a moved
+        head would silently target different rows."""
+        snap = next(
+            (s for s in self.meta["snapshots"] if s["snapshot_id"] == snapshot_id),
+            None,
+        )
+        if snap is None:
+            raise ValueError(f"no snapshot {snapshot_id}")
+        if snap["operation"] != "append":
+            raise ValueError(
+                f"cherrypick supports append snapshots only, "
+                f"{snapshot_id} is {snap['operation']!r}"
+            )
+        if "manifest" in snap:  # legacy inline: diff vs parent
+            by_id = {s["snapshot_id"]: s for s in self.meta["snapshots"]}
+            parent = by_id.get(snap.get("parent_snapshot_id"))
+            parent_paths = (
+                {f.path for f in self._resolve_manifest(parent)} if parent else set()
+            )
+            added = [
+                f for f in self._resolve_manifest(snap) if f.path not in parent_paths
+            ]
+        else:
+            with open(self._manifest_file(snap)) as fh:
+                added = [
+                    DataFileEntry.from_json(d)
+                    for d in json.load(fh).get("added", ())
+                ]
+        current = {f.path for f in self.snapshot_files()}
+        added = [f for f in added if f.path not in current]  # idempotent replay
+        # fresh copies: _commit stamps seq in place (see clone_from)
+        added = [DataFileEntry.from_json(f.to_json()) for f in added]
+        for f in added:
+            f.seq = None  # re-stamped with the NEW commit's sequence
+        return self._commit("append", added)
+
     def publish_branch(self, name: str) -> int:
         """Write-audit-publish, step 3 (Iceberg's ``fast_forward('main',
         branch)``): after audits pass on the staged branch, main's head

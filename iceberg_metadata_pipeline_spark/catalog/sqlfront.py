@@ -907,6 +907,7 @@ _PROC_POSITIONAL = {
         "end_snapshot_id",
         "changelog_view",
     ],
+    "cherrypick_snapshot": ["table", "snapshot_id"],
 }
 
 
@@ -1043,6 +1044,12 @@ def _run_procedure(catalog: Catalog, proc: str, raw_args: str) -> DataFrame:
         return spark.createDataFrame(
             [(len(cols), len(table.snapshot_files()))],
             "statistics_columns int, files_count int",
+        )
+    if proc == "cherrypick_snapshot":
+        sid = table.cherrypick_snapshot(int(args["snapshot_id"]))
+        return spark.createDataFrame(
+            [(int(args["snapshot_id"]), sid)],
+            "source_snapshot_id long, current_snapshot_id long",
         )
     if proc == "create_changelog_view":
         # Iceberg's create_changelog_view: registers the row-level change

@@ -1470,3 +1470,44 @@ def test_scan_metadata_columns(spark, catalog):
         assert r["_partition"] == '{"part": "%s"}' % p
     # plain scans stay clean — no metadata columns leak
     assert set(t.scan().columns) == {"id", "part"}
+
+
+def test_cherrypick_snapshot_publishes_diverged_wap_branch(spark, tables, tmp_path):
+    """When main advanced after the audit branch forked, publish_branch
+    correctly refuses the fast-forward; cherrypick_snapshot re-applies
+    the staged APPEND's files onto the new head — the non-FF WAP escape.
+    Non-append snapshots are rejected; replays are idempotent."""
+    import pytest as _pytest
+
+    from iceberg_metadata_pipeline_spark.catalog.sqlfront import catalog_sql
+
+    customer = tables["customer"]
+    catalog = Catalog(spark, str(tmp_path / "wapcp"))
+    t = catalog.create_table("nyc", "c_cp", customer.schema)
+    t.append_dataframe(customer.limit(10))
+    staged = t.append_dataframe(
+        customer.limit(20).exceptAll(customer.limit(10)), branch="audit"
+    )
+    t.append_dataframe(customer.limit(30).exceptAll(customer.limit(20)))  # main moves
+    with pytest.raises(ValueError, match="fast-forward"):
+        t.publish_branch("audit")
+
+    out = catalog_sql(
+        catalog,
+        f"CALL system.cherrypick_snapshot('nyc.c_cp', {staged})",
+    ).collect()
+    assert out[0]["source_snapshot_id"] == staged
+    t.refresh()
+    assert t.scan().count() == 30  # 10 base + 10 main-advance + 10 staged
+
+    # idempotent: the staged files are already on the head
+    t.cherrypick_snapshot(staged)
+    t.refresh()
+    assert t.scan().count() == 30
+
+    # delete snapshots cannot be cherry-picked (a no-op delete would not
+    # even commit — the round-2 guard — so delete real rows)
+    t.delete_where("c_custkey <= 5")
+    bad = t.meta["snapshots"][-1]["snapshot_id"]
+    with _pytest.raises(ValueError, match="append snapshots only"):
+        t.cherrypick_snapshot(bad)
