@@ -1269,20 +1269,24 @@ WHERE o_totalprice >= 200000
 """,
 )
 def table_write_ordered_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """WRITE ORDERED BY o_totalprice, then a range filter: the task-local
-    sort tightens per-file min/max so stats pruning drops files
-    (asserted data-relative), and results equal the raw fixture."""
+    """WRITE ORDERED BY o_totalprice with range distribution: files cover
+    disjoint price ranges, so a range filter PRUNES files (asserted
+    strictly, data-relative thresholds), and results equal the raw
+    fixture."""
     from iceberg_metadata_pipeline_spark.catalog.metacat import _prune_by_stats
 
     orders = load_tables(spark, sf_dir)["orders"]
     catalog = Catalog(spark, tempfile.mkdtemp(prefix="warehouse-wos-"))
     t = catalog.create_table("nyc", "orders_wos", orders.schema)
-    t.set_properties({"write.sort-order": "o_totalprice"})
+    t.set_properties(
+        {"write.sort-order": "o_totalprice", "write.distribution-mode": "range"}
+    )
     t.append_dataframe(orders.repartition(8))
     t.refresh()
     files = [f for f in t.snapshot_files() if f.record_count > 0]
     lim = orders.selectExpr("CAST(max(o_totalprice) / 2 AS INT) AS m").first()["m"]
-    assert len(_prune_by_stats(files, f"o_totalprice >= {lim}")) <= len(files)
+    if len(files) > 1:  # a single-file write has nothing to prune
+        assert len(_prune_by_stats(files, f"o_totalprice >= {lim}")) < len(files)
     return t.scan(filter="o_totalprice >= 200000").agg(
         F.count(F.lit(1)).alias("n"),
         F.sum(F.col("o_totalprice").cast("decimal(38,6)")).cast("double").alias("total"),

@@ -430,8 +430,24 @@ class Table:
           immune to the inherited deletes."""
         if self.meta.get("current_snapshot_id") is not None:
             raise ValueError("clone target must be an empty table")
+        # read-semantics state must come along, not just files: the rename
+        # map and column defaults drive how _read_files resolves on-disk
+        # columns, and the partition specs are what entry.spec_id points
+        # into — without them the clone scans the same files WRONG
+        # (NULLs where the source shows renamed/defaulted values)
+        for key in ("column_renames", "column-defaults", "write.sort-order"):
+            if key in src.properties:
+                self.properties[key] = src.properties[key]
+        if src.meta.get("partition_specs"):
+            self.meta["partition_specs"] = json.loads(
+                json.dumps(src.meta["partition_specs"])
+            )
+            self.meta["default_spec_id"] = src.meta.get("default_spec_id")
         files = src.snapshot_files()
         if not files:
+            if self.properties or self.meta.get("partition_specs"):
+                _write_metadata(self.location, self.meta, self.version + 1)
+                self.version += 1
             return None
         copies = []
         for f in files:
@@ -510,14 +526,21 @@ class Table:
         # the same trade.
         order = self.properties.get("write.sort-order")
         if order:
-            df = df.sortWithinPartitions(
-                *[
-                    F.col(c.split()[0]).desc()
-                    if c.strip().upper().endswith(" DESC")
-                    else F.col(c.split()[0])
-                    for c in order.split(",")
-                ]
-            )
+            sort_cols = [
+                F.col(c.split()[0]).desc()
+                if c.strip().upper().endswith(" DESC")
+                else F.col(c.split()[0])
+                for c in order.split(",")
+            ]
+            # write.distribution-mode=range (Iceberg's property): range-
+            # partition on the sort key BEFORE the task-local sort, so
+            # files cover DISJOINT ranges and stats pruning actually
+            # bites. Without it a randomly-partitioned input sorts within
+            # tasks but every file still spans ~the full value range.
+            # Costs one extra shuffle per write — opt-in, as in Iceberg.
+            if self.properties.get("write.distribution-mode") == "range":
+                df = df.repartitionByRange(*sort_cols)
+            df = df.sortWithinPartitions(*sort_cols)
         # write.parquet.compression-codec (Iceberg property): snappy is
         # Spark's default; zstd trades ~2x better ratio for more write
         # CPU — at 100 TB that ratio IS the storage/scan-IO bill
@@ -1282,6 +1305,8 @@ class Table:
             else:
                 when_not_matched_by_source = []
 
+        ins_defaults = json.loads(self.properties.get("column-defaults", "{}"))
+
         def transform(target: DataFrame) -> DataFrame:
             # Match state comes from explicit presence markers, NOT from
             # join-key nullability: a pre-existing target row whose key is
@@ -1341,6 +1366,11 @@ class Table:
                         v = F.col(f"src_{f.name}")
                     elif f.name in vals:
                         v = F.expr(vals[f.name])
+                    elif f.name in ins_defaults:
+                        # declared column default, same as the INSERT
+                        # statement path — an upsert must not produce a
+                        # different row than the equivalent INSERT
+                        v = F.expr(str(ins_defaults[f.name]["initial"]))
                     else:
                         v = F.lit(None)
                     whens.append((fl, v))
@@ -1680,6 +1710,11 @@ class Table:
                 ]
         current = {f.path for f in self.snapshot_files()}
         added = [f for f in added if f.path not in current]  # idempotent replay
+        if not added:  # everything already on the head: no no-op snapshot
+            cur = self.meta.get("current_snapshot_id")
+            if cur is None:
+                raise ValueError("cherrypick onto an empty table with no new files")
+            return cur
         # fresh copies: _commit stamps seq in place (see clone_from)
         added = [DataFileEntry.from_json(f.to_json()) for f in added]
         for f in added:
@@ -1947,9 +1982,13 @@ class Table:
         if filter is not None:
             df = df.filter(filter)
         if metadata_columns:
+            # join on the NORMALIZED plain path: lineage's _metadata
+            # file_path is a URI that renders file:/... or file:///...
+            # depending on the filesystem (same variance _attach_blooms'
+            # norm() handles); manifest paths are plain
             meta_rows = [
                 (
-                    "file:" + f.path if not f.path.startswith("file:") else f.path,
+                    f.path,
                     f.spec_id if f.spec_id is not None else 0,
                     json.dumps(f.partition, sort_keys=True, default=str)
                     if f.partition
@@ -1959,12 +1998,15 @@ class Table:
             ]
             meta_df = self.spark.createDataFrame(
                 meta_rows or [],
-                "__file string, _spec_id int, _partition string",
+                "_file string, _spec_id int, _partition string",
             )
             df = (
-                df.join(F.broadcast(meta_df), "__file", "left")
-                .withColumnRenamed("__file", "_file")
+                df.withColumn(
+                    "_file", F.regexp_replace("__file", "^file:/+", "/")
+                )
+                .drop("__file")
                 .withColumnRenamed("__pos", "_pos")
+                .join(F.broadcast(meta_df), "_file", "left")
             )
         return df
 
@@ -2278,7 +2320,17 @@ class Table:
             size = None
             if path:
                 try:
-                    size = os.path.getsize(path)
+                    if os.path.isdir(path):
+                        # equality/position deletes write a DIRECTORY of
+                        # part files; the meaningful size is their sum,
+                        # not the directory inode
+                        size = sum(
+                            os.path.getsize(os.path.join(r, f))
+                            for r, _dirs, fs in os.walk(path)
+                            for f in fs
+                        )
+                    else:
+                        size = os.path.getsize(path)
                 except OSError:
                     size = None
             rows.append(

@@ -303,7 +303,15 @@ def catalog_sql(catalog: Catalog, statement: str, _depth: int = 0) -> DataFrame:
     if ex is not None:
         # EXPLAIN [EXTENDED|FORMATTED|COST] <query>: resolve the inner
         # query through the same front-end, return the plan as one row —
-        # the debugging statement BI users type at the SQL port
+        # the debugging statement BI users type at the SQL port.
+        # QUERIES ONLY: running the body through catalog_sql EXECUTES it,
+        # so explaining DML/DDL/CALL would perform the side effect.
+        head = ex.group("body").lstrip().split(None, 1)[0].upper() if ex.group("body").strip() else ""
+        if head not in ("SELECT", "WITH", "VALUES", "TABLE"):
+            raise ValueError(
+                f"EXPLAIN supports queries only (got {head or 'empty'}); "
+                "DML/DDL/CALL would execute, not explain"
+            )
         inner = catalog_sql(catalog, ex.group("body"), _depth=_depth + 1)
         mode = (ex.group("mode") or "simple").lower()
         jvm = spark.sparkContext._jvm
@@ -735,6 +743,15 @@ def _run_merge(catalog: Catalog, mrg: "re.Match", _depth: int) -> int:
     talias = (mrg.group("talias") or mrg.group("tbl")).lower()
     salias = (mrg.group("salias") or "s").lower()
 
+    # canonicalize parsed column names against the TARGET schema: SQL
+    # identifiers are case-insensitive but merge_into's set/values dicts
+    # are case-SENSITIVE python lookups against f.name — a lowercased
+    # 'total' key would silently skip the update of column 'Total'
+    tnames = {f.name.lower(): f.name for f in table.schema.fields}
+
+    def canon(name: str) -> str:
+        return tnames.get(name.lower(), name)
+
     # ON: t.<col> = s.<col2> conjunctions, either operand order
     key_map: dict[str, str] = {}  # target col -> source col
     found_any = False
@@ -751,7 +768,7 @@ def _run_merge(catalog: Catalog, mrg: "re.Match", _depth: int) -> int:
         if {a1, a2} != {talias, salias}:
             raise ValueError(f"MERGE ON aliases {a1}/{a2} != {talias}/{salias}")
         tcol, scol = (c1, c2) if a1 == talias else (c2, c1)
-        key_map[tcol] = scol
+        key_map[canon(tcol)] = scol
         found_any = True
     if not found_any:
         raise ValueError("MERGE ON clause has no equi-key")
@@ -806,7 +823,7 @@ def _run_merge(catalog: Catalog, mrg: "re.Match", _depth: int) -> int:
         by_src = cm.group("bysrc") is not None
         if cm.group("sets") is not None:
             sets = {
-                name.split(".")[-1].lower(): rewrite(expr)
+                canon(name.split(".")[-1]): rewrite(expr)
                 for name, expr in _parse_assignments(cm.group("sets")).items()
             }
             clause = {"condition": cond, "action": "update", "set": sets}
@@ -818,7 +835,7 @@ def _run_merge(catalog: Catalog, mrg: "re.Match", _depth: int) -> int:
             if cm.group("star") is not None:
                 values = None
             else:
-                cols = [c.strip().split(".")[-1].lower()
+                cols = [canon(c.strip().split(".")[-1])
                         for c in cm.group("inscols").split(",") if c.strip()]
                 vals = [rewrite(v.strip()) for v in _split_top_level(cm.group("insvals"))]
                 if len(cols) != len(vals):

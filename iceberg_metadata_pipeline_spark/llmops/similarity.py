@@ -140,9 +140,15 @@ def lsh_bucket_ids(df: DataFrame, dim: int, n_planes: int = 12, seed: int = 7) -
 
     @pandas_udf("int")
     def _bucket(emb: pd.Series) -> pd.Series:
-        m = np.asarray(emb.tolist(), dtype=np.float64)  # (batch, dim)
-        bits = (m @ planes.T) >= 0.0  # one BLAS matmul per Arrow batch
-        return pd.Series((bits * weights).sum(axis=1).astype("int32"))
+        # null / wrong-length vectors bucket as NULL and fall out of the
+        # equi-join — the same behavior the expression formulation had
+        valid = emb.map(lambda v: v is not None and len(v) == dim)
+        out = pd.Series([None] * len(emb), dtype="object")
+        if valid.any():
+            m = np.asarray(emb[valid].tolist(), dtype=np.float64)  # (n, dim)
+            bits = (m @ planes.T) >= 0.0  # one BLAS matmul per Arrow batch
+            out[valid] = (bits * weights).sum(axis=1).astype("int32")
+        return out
 
     # Arrow-batched matmul rather than JVM expressions: an unrolled
     # dim x n_planes expression tree costs seconds of one-time codegen,

@@ -200,11 +200,12 @@ class SQLClient:
         )
         return [dict(zip(resp["columns"], row)) for row in resp["rows"]]
 
-    def cancel(self, session_id: str | None = None) -> None:
-        """Cancel a session's running statement (defaults to another
-        session's id — a session cannot cancel itself over its own
-        blocked connection)."""
-        self._request({"op": "cancel", "session": session_id or self.session_id})
+    def cancel(self, session_id: str) -> None:
+        """Cancel the GIVEN session's running statement. Requires an
+        explicit id: this client's own connection is blocking, so by the
+        time it could issue a cancel its own session has nothing running
+        — a self-cancel default would be a guaranteed no-op."""
+        self._request({"op": "cancel", "session": session_id})
 
     def close(self) -> None:
         try:

@@ -1255,6 +1255,9 @@ def test_delete_files_and_position_deletes_metadata_tables(spark, catalog):
     assert by_kind["predicate"]["file_path"] is None
     assert by_kind["equality"]["equality_columns"] == "id"
     assert by_kind["equality"]["file_path"]
+    # delete "files" are directories of part files: size is their sum,
+    # not the directory inode (~4096)
+    assert by_kind["equality"]["file_size_bytes"] > 0
     assert by_kind["position"]["file_path"]
 
     pos = t.position_deletes_df().collect()
@@ -1511,3 +1514,32 @@ def test_cherrypick_snapshot_publishes_diverged_wap_branch(spark, tables, tmp_pa
     bad = t.meta["snapshots"][-1]["snapshot_id"]
     with _pytest.raises(ValueError, match="append snapshots only"):
         t.cherrypick_snapshot(bad)
+
+
+def test_merge_insert_honors_column_defaults(spark, catalog):
+    """MERGE ... WHEN NOT MATCHED INSERT (cols) must fill unlisted
+    columns with their declared default, matching the INSERT statement
+    path — the same logical operation must not yield different rows."""
+    from pyspark.sql import types as T
+
+    t = catalog.create_table(
+        "nyc",
+        "mrgdef",
+        T.StructType(
+            [T.StructField("id", T.LongType()), T.StructField("v", T.StringType())]
+        ),
+    )
+    t.add_column("status", "string", default="'new'")
+    t.refresh()
+    t.append_dataframe(
+        spark.createDataFrame([(1, "a", "old")], "id long, v string, status string")
+    )
+    t.refresh()
+    t.merge_into(
+        spark.createDataFrame([(2, "b")], "id long, v string"),
+        on=["id"],
+        when_not_matched=[{"condition": None, "values": {"id": "src_id", "v": "src_v"}}],
+    )
+    t.refresh()
+    got = {(r["id"], r["v"], r["status"]) for r in t.scan().collect()}
+    assert got == {(1, "a", "old"), (2, "b", "new")}

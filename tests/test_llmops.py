@@ -358,3 +358,21 @@ def test_incremental_dedup_index(spark, sf_dir, tmp_path, tables):
         it2, spark.createDataFrame([(999001,)], "doc_id long")
     ).collect()
     assert any({r["id_a"], r["id_b"]} == {0, 999001} for r in cands)
+
+
+def test_lsh_bucket_null_and_ragged_embeddings(spark):
+    """NULL / wrong-length vectors bucket as NULL (falling out of the
+    equi-join) instead of failing the task."""
+    from iceberg_metadata_pipeline_spark.llmops.similarity import lsh_bucket_ids
+
+    df = spark.createDataFrame(
+        [
+            (1, [float(i) for i in range(8)]),
+            (2, None),
+            (3, [1.0, 2.0]),  # ragged
+        ],
+        "vec_id long, embedding array<double>",
+    )
+    rows = {r["vec_id"]: r["bucket"] for r in lsh_bucket_ids(df, dim=8).collect()}
+    assert rows[1] is not None
+    assert rows[2] is None and rows[3] is None

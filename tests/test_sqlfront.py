@@ -1017,3 +1017,60 @@ def test_describe_extended(spark, catalog):
     # plain DESCRIBE stays columns-only
     plain = catalog_sql(catalog, "DESCRIBE nyc.dext").collect()
     assert {r["col_name"] for r in plain} == {"id", "region"}
+
+
+def test_explain_refuses_dml(spark, catalog):
+    """EXPLAIN over DML must not execute the side effect (running the
+    body through the front-end would COMMIT it)."""
+    import pytest as _pytest
+
+    from iceberg_metadata_pipeline_spark.catalog.sqlfront import catalog_sql
+
+    catalog_sql(catalog, "CREATE TABLE nyc.expdml (id BIGINT)")
+    catalog_sql(catalog, "INSERT INTO nyc.expdml VALUES (1), (2)")
+    with _pytest.raises(ValueError, match="queries only"):
+        catalog_sql(catalog, "EXPLAIN DELETE FROM nyc.expdml WHERE id = 1")
+    t = catalog.load_table("nyc", "expdml")
+    assert t.scan().count() == 2  # nothing executed
+
+
+def test_merge_sql_mixed_case_columns(spark, catalog):
+    """SQL identifiers are case-insensitive, but merge_into's set/values
+    dicts are case-sensitive lookups — the front-end must canonicalize
+    to the target schema's spelling or updates silently vanish."""
+    from iceberg_metadata_pipeline_spark.catalog.sqlfront import catalog_sql
+
+    df = spark.createDataFrame([(1, 10.0), (2, 20.0)], "Id long, Total double")
+    t = catalog.create_table("nyc", "mcase", df.schema)
+    t.append_dataframe(df)
+    catalog_sql(
+        catalog,
+        """
+        MERGE INTO nyc.mcase AS t
+        USING (SELECT * FROM VALUES (1, 5.0), (3, 30.0) AS v(Id, amt)) s
+        ON t.id = s.id
+        WHEN MATCHED THEN UPDATE SET total = t.total + s.amt
+        WHEN NOT MATCHED THEN INSERT (id, TOTAL) VALUES (s.id, s.amt)
+        """,
+    )
+    t.refresh()
+    got = {(r["Id"], r["Total"]) for r in t.scan().collect()}
+    assert got == {(1, 15.0), (2, 20.0), (3, 30.0)}
+
+
+def test_snapshot_clone_carries_read_semantics(spark, catalog):
+    """CALL system.snapshot must carry rename maps and column defaults —
+    without them the clone scans the same files WRONG (NULLs where the
+    source shows renamed/defaulted values)."""
+    from iceberg_metadata_pipeline_spark.catalog.sqlfront import catalog_sql
+
+    df = spark.createDataFrame([(1, "a"), (2, "b")], "id long, name string")
+    t = catalog.create_table("nyc", "srcsem", df.schema)
+    t.append_dataframe(df)
+    t.rename_column("name", "label")
+    t.add_column("region", "string", default="'emea'")
+    t.refresh()
+    catalog_sql(catalog, "CALL system.snapshot('nyc.srcsem', 'nyc.dstsem')")
+    dst = catalog.load_table("nyc", "dstsem")
+    got = {(r["id"], r["label"], r["region"]) for r in dst.scan().collect()}
+    assert got == {(1, "a", "emea"), (2, "b", "emea")}
