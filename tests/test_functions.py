@@ -227,3 +227,65 @@ def test_asof_join_directions_and_tolerance(spark):
         (1, "11:00", None),  # both sides 1h away > 45m tolerance
         (2, "10:30", 11.0),  # 30m away: inside tolerance
     ]
+
+
+def test_asof_join_randomized_vs_pandas_merge_asof(spark):
+    """Randomized equivalence against pandas.merge_asof — the reference
+    implementation for as-of semantics — across all three directions and
+    a tolerance, with duplicate timestamps and unmatched keys. Seeded."""
+    import random
+
+    import pandas as pd
+
+    from iceberg_metadata_pipeline_spark.queries.asof import asof_join
+
+    rng = random.Random(47)
+    base = pd.Timestamp("2024-01-01")
+    left_rows = [
+        (k, base + pd.Timedelta(minutes=rng.randint(0, 500)))
+        for k in range(4)
+        for _ in range(25)
+    ]
+    right_rows = [
+        (k, base + pd.Timedelta(minutes=rng.randint(0, 500)), float(i))
+        for i, k in enumerate(k for k in range(5) for _ in range(20))
+    ]
+    lpdf = pd.DataFrame(left_rows, columns=["k", "ts"]).sort_values("ts").reset_index(drop=True)
+    rpdf = pd.DataFrame(right_rows, columns=["k", "ts", "v"]).sort_values("ts").reset_index(drop=True)
+    # merge_asof requires unique (k, ts) on the right for deterministic
+    # comparison; drop right-side duplicates keeping the LAST (what a
+    # running last-ignorenulls picks at equal ts)
+    rpdf = rpdf.drop_duplicates(subset=["k", "ts"], keep="last").sort_values("ts")
+
+    ldf = spark.createDataFrame(lpdf)
+    rdf = spark.createDataFrame(rpdf)
+
+    for direction, within in [
+        ("backward", None),
+        ("forward", None),
+        ("nearest", None),
+        ("backward", "30 MINUTES"),
+        ("nearest", "15 MINUTES"),
+    ]:
+        got = (
+            asof_join(
+                ldf, rdf, ts="ts", by=["k"], value_cols=["v"],
+                direction=direction, within=within,
+            )
+            .orderBy("k", "ts")
+            .collect()
+        )
+        exp = pd.merge_asof(
+            lpdf.sort_values("ts"),
+            rpdf,
+            on="ts",
+            by="k",
+            direction=direction,
+            tolerance=pd.Timedelta(within.replace(" MINUTES", "min")) if within else None,
+        ).sort_values(["k", "ts"], kind="stable")
+        got_vals = [(r["k"], str(r["ts"]), r["v_right"]) for r in got]
+        exp_vals = [
+            (int(r.k), str(r.ts), None if pd.isna(r.v) else float(r.v))
+            for r in exp.itertuples()
+        ]
+        assert sorted(got_vals) == sorted(exp_vals), f"{direction}/{within}"
