@@ -224,6 +224,14 @@ _SHOW_VIEWS_RE = re.compile(
 _SHOW_TABLES_RE = re.compile(
     rf"^\s*SHOW\s+TABLES\s+(?:IN|FROM)\s+(?P<ns>{_IDENT})\s*;?\s*$", re.IGNORECASE
 )
+_SHOW_NS_RE = re.compile(
+    r"^\s*SHOW\s+(?:NAMESPACES|DATABASES|SCHEMAS)\s*;?\s*$", re.IGNORECASE
+)
+_CREATE_NS_RE = re.compile(
+    rf"^\s*CREATE\s+(?:NAMESPACE|DATABASE|SCHEMA)\s+(?:IF\s+NOT\s+EXISTS\s+)?"
+    rf"(?P<ns>{_IDENT})\s*;?\s*$",
+    re.IGNORECASE,
+)
 _SHOW_PARTS_RE = re.compile(
     rf"^\s*SHOW\s+PARTITIONS\s+(?P<ns>{_IDENT})\.(?P<tbl>{_IDENT})\s*;?\s*$",
     re.IGNORECASE,
@@ -568,6 +576,14 @@ def catalog_sql(catalog: Catalog, statement: str, _depth: int = 0) -> DataFrame:
     if show is not None:
         table = catalog.load_table(show.group("ns"), show.group("tbl"))
         return table.partitions_df()
+    show = _SHOW_NS_RE.match(statement)
+    if show is not None:
+        rows = [(ns,) for ns in sorted(catalog.list_namespaces())]
+        return spark.createDataFrame(rows or [], "namespace string")
+    cns = _CREATE_NS_RE.match(statement)
+    if cns is not None:
+        catalog.ensure_namespace(cns.group("ns"))
+        return spark.createDataFrame([(cns.group("ns"),)], "namespace string")
     show = _SHOW_CREATE_RE.match(statement)
     if show is not None:
         ns, obj = show.group("ns"), show.group("view")

@@ -1074,3 +1074,15 @@ def test_snapshot_clone_carries_read_semantics(spark, catalog):
     dst = catalog.load_table("nyc", "dstsem")
     got = {(r["id"], r["label"], r["region"]) for r in dst.scan().collect()}
     assert got == {(1, "a", "emea"), (2, "b", "emea")}
+
+
+def test_show_and_create_namespaces(spark, catalog):
+    from iceberg_metadata_pipeline_spark.catalog.sqlfront import catalog_sql
+
+    catalog_sql(catalog, "CREATE NAMESPACE analytics")
+    catalog_sql(catalog, "CREATE SCHEMA IF NOT EXISTS analytics")  # idempotent
+    got = {r["namespace"] for r in catalog_sql(catalog, "SHOW NAMESPACES").collect()}
+    assert "analytics" in got
+    catalog_sql(catalog, "CREATE TABLE analytics.t1 (id BIGINT)")
+    tabs = catalog_sql(catalog, "SHOW TABLES IN analytics").collect()
+    assert [r["tableName"] for r in tabs] == ["t1"]
