@@ -183,3 +183,32 @@ def test_set_conf_is_session_isolated_and_cache_table(spark, tmp_path):
         b.close()
     finally:
         server.stop()
+
+
+def test_full_statement_surface_over_the_wire(server):
+    """The round-3 statement families all work through the serving
+    protocol, not just via direct catalog_sql calls: ANALYZE, DESCRIBE
+    EXTENDED, SHOW PARTITIONS/NAMESPACES, EXPLAIN, metadata tables."""
+    c = SQLClient(server.host, server.port)
+    c.sql("CREATE NAMESPACE wire")
+    c.sql(
+        "CREATE TABLE wire.t (id BIGINT, region STRING) PARTITIONED BY (region)"
+    )
+    c.sql("INSERT INTO wire.t VALUES (1, 'eu'), (2, 'us'), (3, 'eu')")
+
+    stats = c.sql("ANALYZE TABLE wire.t COMPUTE STATISTICS FOR COLUMNS id")
+    assert stats == [{"column_name": "id", "row_count": 3, "null_count": 0, "ndv": 3}]
+
+    parts = {r["partition"]: r["record_count"] for r in c.sql("SHOW PARTITIONS wire.t")}
+    assert parts == {'{"region": "eu"}': 2, '{"region": "us"}': 1}
+
+    desc = {r["col_name"]: r["data_type"] for r in c.sql("DESCRIBE EXTENDED wire.t")}
+    assert desc["Partition Spec"] == "identity(region)"
+
+    plan = c.sql("EXPLAIN SELECT id FROM wire.t WHERE id = 1")[0]["plan"]
+    assert "Physical Plan" in plan
+
+    snaps = c.sql("SELECT COUNT(*) AS n FROM wire.t.snapshots")
+    assert snaps == [{"n": 1}]
+    assert {r["namespace"] for r in c.sql("SHOW NAMESPACES")} >= {"wire"}
+    c.close()
