@@ -1,11 +1,17 @@
 """Multimodal columns (SURVEY.md §2.C): image/audio/video as opaque
 ``binary`` columns with typed metadata.
 
-The container has no image/audio codecs, so the decode kernels are
-deterministic fakes behind the real Spark plumbing (schema, Arrow batch
-shape, partitioning) — exactly the seam a real deployment swaps for
-PIL/torchaudio/pyav. ``decode_image_stub`` raises NotImplementedError when
-``real=True`` to mark the boundary explicitly.
+Two decode tiers:
+
+1. **Real kernels** (llmops/codecs.py): WAV, BMP, PPM, and Y4M are public
+   formats fully decodable with stdlib+numpy — ``synthesize_media`` /
+   ``decode_media_real`` below produce and parse genuine bytes of those
+   formats (samples, pixels, frames), so decode / feature-extract /
+   resize / frame-sample run for real end-to-end.
+2. **External-codec seam**: JPEG/PNG/MP4/... require libraries the
+   container lacks; ``decode_image_stub(real=True)`` raises
+   NotImplementedError to mark that boundary explicitly, and the fake
+   metadata path keeps the Spark plumbing testable for those types.
 
 Scale notes: binary payloads ride the normal columnar path (parquet
 binary columns chunk fine at 256 MB row groups); decode/feature-extract
@@ -202,6 +208,208 @@ def multimodal_resize_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("out_w").alias("total_w"),
         )
         .orderBy("media_type")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Real-codec tier: genuine WAV / BMP / Y4M bytes, decoded for real.
+
+REAL_MEDIA_SCHEMA = (
+    "doc_id long, media_type string, media_kind string, payload_bytes long, "
+    "width int, height int, n_channels int, sample_rate int, duration_ms int, "
+    "n_frames int, n_samples long, rms double"
+)
+
+
+def synthesize_media(docs: DataFrame) -> DataFrame:
+    """documents → real media payloads: every row becomes a genuine WAV,
+    BMP, or Y4M byte string (integer-pattern content keyed on doc_id, so
+    fully deterministic across runs/platforms — no RNG, no transcendentals).
+
+    This is the honest way to exercise real decoders without codec libs:
+    the bytes on the wire are real format bytes any external tool accepts.
+    """
+    import numpy as np
+    import pandas as pd
+
+    from iceberg_metadata_pipeline_spark.llmops import codecs
+
+    def run(batches):
+        for pdf in batches:
+            rows = []
+            for doc_id in pdf["doc_id"]:
+                d = int(doc_id)
+                if d % 3 == 1:  # audio: 8 kHz int16 PCM, length varies by doc
+                    n = 800 + (d * 37) % 1600
+                    samples = ((np.arange(n, dtype=np.int64) * (7 + d % 13) + d * 31) % 1201 - 600) * 50
+                    payload = codecs.encode_wav_pcm16(samples.astype("<i2"), rate=8000)
+                elif d % 3 == 0:  # image: gradient BMP, geometry varies by doc
+                    w, h = 8 + d % 25, 8 + (d // 3) % 17
+                    r = np.arange(h, dtype=np.int64)[:, None, None]
+                    c = np.arange(w, dtype=np.int64)[None, :, None]
+                    ch = np.arange(3, dtype=np.int64)[None, None, :]
+                    payload = codecs.encode_bmp(((r * 13 + c * 7 + ch * 57 + d) % 256).astype(np.uint8))
+                else:  # video: few-frame Y4M 4:2:0, 16×8 luma
+                    frames = [
+                        ((np.arange(8, dtype=np.int64)[:, None] * 11 + np.arange(16)[None, :] * 3 + d + fi * 29) % 256).astype(np.uint8)
+                        for fi in range(2 + d % 4)
+                    ]
+                    payload = codecs.encode_y4m(frames, fps=25)
+                rows.append((d, codecs.sniff_media(payload), payload))
+            yield pd.DataFrame(rows, columns=["doc_id", "media_type", "payload"])
+
+    return docs.select("doc_id").mapInPandas(
+        run, "doc_id long, media_type string, payload binary"
+    )
+
+
+def decode_media_real(df: DataFrame) -> DataFrame:
+    """mapInPandas over real payload bytes → typed metadata + signal
+    features, via the real codec kernels (codecs.decode_any). Unsupported
+    formats raise NotImplementedError — same contract as the codec seam."""
+    import pandas as pd
+
+    from iceberg_metadata_pipeline_spark.llmops import codecs
+
+    def run(batches):
+        for pdf in batches:
+            rows = []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                m = codecs.decode_any(bytes(payload))
+                rows.append(
+                    (
+                        int(doc_id),
+                        m["media_type"],
+                        m["media_kind"],
+                        len(payload),
+                        m.get("width"),
+                        m.get("height"),
+                        m.get("n_channels"),
+                        m.get("sample_rate"),
+                        m.get("duration_ms"),
+                        m.get("n_frames"),
+                        m.get("n_samples"),
+                        m.get("rms"),
+                    )
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "doc_id", "media_type", "media_kind", "payload_bytes",
+                    "width", "height", "n_channels", "sample_rate",
+                    "duration_ms", "n_frames", "n_samples", "rms",
+                ],
+            )
+
+    return df.mapInPandas(run, REAL_MEDIA_SCHEMA)
+
+
+def resize_media_real(df: DataFrame, max_w: int = 12, max_h: int = 12) -> DataFrame:
+    """Real pixel resize: decode BMP → nearest-neighbor fit into the box →
+    re-encode BMP → report output geometry + a pixel checksum of the
+    resized buffer. Non-image payloads pass through untouched (resized=false).
+    The kernel is numpy index arithmetic — per-payload Python, per-pixel C."""
+    import numpy as np
+    import pandas as pd
+
+    from iceberg_metadata_pipeline_spark.llmops import codecs
+
+    def run(batches):
+        for pdf in batches:
+            rows = []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                payload = bytes(payload)
+                if codecs.sniff_media(payload) == "image/bmp":
+                    m = codecs.decode_bmp(payload, with_pixels=True)
+                    scale = min(max_w / m["width"], max_h / m["height"], 1.0)
+                    ow = max(1, int(m["width"] * scale))
+                    oh = max(1, int(m["height"] * scale))
+                    small = codecs.resize_nearest(m["pixels"], ow, oh)
+                    out_payload = codecs.encode_bmp(small)
+                    rows.append(
+                        (int(doc_id), True, ow, oh, len(out_payload), int(np.sum(small)))
+                    )
+                else:
+                    rows.append((int(doc_id), False, None, None, len(payload), None))
+            yield pd.DataFrame(
+                rows,
+                columns=["doc_id", "resized", "out_w", "out_h", "out_bytes", "pixel_sum"],
+            )
+
+    return df.mapInPandas(
+        run,
+        "doc_id long, resized boolean, out_w int, out_h int, out_bytes long, pixel_sum long",
+    )
+
+
+def sample_frames_real(df: DataFrame, every_kth: int = 2) -> DataFrame:
+    """Real video frame sampling: parse the Y4M stream, keep every k-th
+    frame, featurize its luma plane (mean + checksum). One media row → N
+    frame rows, yielded inside the task — no explode shuffle."""
+    import numpy as np
+    import pandas as pd
+
+    from iceberg_metadata_pipeline_spark.llmops import codecs
+
+    def run(batches):
+        for pdf in batches:
+            rows = []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                payload = bytes(payload)
+                if codecs.sniff_media(payload) != "video/x-yuv4mpeg":
+                    continue
+                m = codecs.decode_y4m(payload, with_frames=True)
+                for fi, fy in enumerate(m["frames"]):
+                    if fi % every_kth:
+                        continue
+                    rows.append(
+                        (int(doc_id), fi, float(np.mean(fy)), int(np.sum(fy.astype(np.int64))))
+                    )
+            yield pd.DataFrame(
+                rows, columns=["doc_id", "frame_idx", "mean_luma", "luma_sum"]
+            )
+
+    return df.mapInPandas(
+        run, "doc_id long, frame_idx int, mean_luma double, luma_sum long"
+    )
+
+
+@query("multimodal_decode_real", None)  # python codec kernels → rows-only
+def multimodal_decode_real(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """documents → REAL WAV/BMP/Y4M payloads → real decode → per-kind stats.
+    The decoded geometry/duration comes from parsing actual format bytes;
+    pytest pins exact expected values per doc_id (test_llmops.py)."""
+    docs = load_tables(spark, sf_dir)["documents"]
+    decoded = decode_media_real(synthesize_media(docs.limit(300)))
+    return (
+        decoded.groupBy("media_kind")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("payload_bytes").alias("total_bytes"),
+            F.sum("width").alias("total_width"),
+            F.sum("duration_ms").alias("total_duration_ms"),
+            F.sum("n_frames").alias("total_frames"),
+        )
+        .orderBy("media_kind")
+    )
+
+
+@query("multimodal_resize_real", None)
+def multimodal_resize_real(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Real pixel path end-to-end: synthesize BMPs → decode pixels →
+    nearest-neighbor resize → re-encode → checksum the resized buffers."""
+    docs = load_tables(spark, sf_dir)["documents"]
+    media = synthesize_media(docs.limit(300))
+    resized = resize_media_real(media)
+    return (
+        resized.groupBy("resized")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.max("out_w").alias("max_w"),
+            F.max("out_h").alias("max_h"),
+            F.sum("pixel_sum").alias("total_pixel_sum"),
+        )
+        .orderBy("resized")
     )
 
 

@@ -147,6 +147,143 @@ def test_multimodal_decode_deterministic_and_stub_boundary(spark, tables):
         decode_image_stub(b"bytes", real=True)  # the explicit codec seam
 
 
+def test_codec_wav_roundtrip_real_bytes():
+    import numpy as np
+
+    from iceberg_metadata_pipeline_spark.llmops import codecs
+
+    samples = (np.arange(1000, dtype=np.int64) * 13 % 901 - 450).astype("<i2")
+    payload = codecs.encode_wav_pcm16(samples, rate=16000, n_channels=1)
+    assert codecs.sniff_media(payload) == "audio/wav"
+    m = codecs.decode_wav(payload)
+    assert (m["n_samples"], m["sample_rate"], m["n_channels"]) == (1000, 16000, 1)
+    assert m["duration_ms"] == 62  # round(1000*1000/16000) = round(62.5), banker's
+    f = samples.astype(np.float64)
+    assert m["peak"] == float(np.max(np.abs(f)))
+    assert abs(m["rms"] - float(np.sqrt(np.mean(f * f)))) < 1e-9
+
+
+def test_codec_bmp_roundtrip_with_row_padding():
+    import numpy as np
+
+    from iceberg_metadata_pipeline_spark.llmops import codecs
+
+    # width 7 → 21-byte rows pad to 24: exercises the 4-byte stride rule
+    px = ((np.arange(5 * 7 * 3, dtype=np.int64) * 37) % 256).reshape(5, 7, 3).astype(np.uint8)
+    payload = codecs.encode_bmp(px)
+    assert codecs.sniff_media(payload) == "image/bmp"
+    m = codecs.decode_bmp(payload, with_pixels=True)
+    assert (m["width"], m["height"], m["n_channels"]) == (7, 5, 3)
+    assert np.array_equal(m["pixels"], px)
+
+
+def test_codec_ppm_roundtrip_and_comment_header():
+    import numpy as np
+
+    from iceberg_metadata_pipeline_spark.llmops import codecs
+
+    px = ((np.arange(4 * 6 * 3, dtype=np.int64) * 11) % 256).reshape(4, 6, 3).astype(np.uint8)
+    payload = codecs.encode_ppm(px)
+    m = codecs.decode_ppm(payload, with_pixels=True)
+    assert np.array_equal(m["pixels"], px)
+    # P6 headers may carry # comments — real netpbm tools emit them
+    commented = b"P6\n# made by a real tool\n6 4\n255\n" + payload.split(b"255\n", 1)[1]
+    m2 = codecs.decode_ppm(commented, with_pixels=True)
+    assert np.array_equal(m2["pixels"], px)
+
+
+def test_codec_y4m_roundtrip_frames():
+    import numpy as np
+
+    from iceberg_metadata_pipeline_spark.llmops import codecs
+
+    frames = [
+        ((np.arange(8, dtype=np.int64)[:, None] * 3 + np.arange(6)[None, :] + k) % 256).astype(np.uint8)
+        for k in range(4)
+    ]
+    payload = codecs.encode_y4m(frames, fps=25)
+    assert codecs.sniff_media(payload) == "video/x-yuv4mpeg"
+    m = codecs.decode_y4m(payload, with_frames=True)
+    assert (m["width"], m["height"], m["n_frames"]) == (6, 8, 4)
+    assert m["duration_ms"] == 160  # 4 frames / 25 fps
+    for got, want in zip(m["frames"], frames):
+        assert np.array_equal(got, want)
+
+
+def test_codec_resize_nearest_kernel():
+    import numpy as np
+
+    from iceberg_metadata_pipeline_spark.llmops import codecs
+
+    px = np.arange(100, dtype=np.uint8).reshape(10, 10)
+    assert np.array_equal(codecs.resize_nearest(px, 10, 10), px)  # identity
+    half = codecs.resize_nearest(px, 5, 5)
+    assert np.array_equal(half, px[::2, ::2])  # exact 2× decimation
+
+
+def test_codec_seam_still_raises_for_external_formats():
+    from iceberg_metadata_pipeline_spark.llmops import codecs
+
+    png = b"\x89PNG\r\n\x1a\n" + b"\x00" * 16
+    assert codecs.sniff_media(png) == "image/png"
+    with pytest.raises(NotImplementedError):
+        codecs.decode_any(png)
+
+
+def test_multimodal_decode_real_end_to_end(spark, tables):
+    from iceberg_metadata_pipeline_spark.llmops.multimodal import (
+        decode_media_real,
+        sample_frames_real,
+        synthesize_media,
+    )
+
+    docs = tables["documents"].limit(30)
+    media = synthesize_media(docs)
+    decoded = decode_media_real(media).orderBy("doc_id").collect()
+    by_id = {r["doc_id"]: r for r in decoded}
+    for d, r in by_id.items():
+        if d % 3 == 1:  # audio: n derived from the synthesis formula
+            assert r["media_kind"] == "audio"
+            assert r["n_samples"] == 800 + (d * 37) % 1600
+            assert r["sample_rate"] == 8000
+        elif d % 3 == 0:  # image geometry from the formula
+            assert r["media_kind"] == "image"
+            assert (r["width"], r["height"]) == (8 + d % 25, 8 + (d // 3) % 17)
+        else:  # video frame count from the formula
+            assert r["media_kind"] == "video"
+            assert r["n_frames"] == 2 + d % 4
+            assert (r["width"], r["height"]) == (16, 8)
+
+    # partition-invariant (kernel is per-row, deterministic)
+    re_decoded = decode_media_real(media.repartition(7)).orderBy("doc_id").collect()
+    assert [(r["doc_id"], r["rms"], r["width"]) for r in decoded] == [
+        (r["doc_id"], r["rms"], r["width"]) for r in re_decoded
+    ]
+
+    # real frame sampling: every 2nd frame of each video row
+    frames = sample_frames_real(media).groupBy("doc_id").count().collect()
+    for r in frames:
+        d = r["doc_id"]
+        assert r["count"] == (2 + d % 4 + 1) // 2
+
+
+def test_multimodal_resize_real_fits_box(spark, tables):
+    from iceberg_metadata_pipeline_spark.llmops.multimodal import (
+        resize_media_real,
+        synthesize_media,
+    )
+
+    media = synthesize_media(tables["documents"].limit(30))
+    rows = resize_media_real(media, max_w=12, max_h=12).collect()
+    resized = [r for r in rows if r["resized"]]
+    assert resized, "expected image rows"
+    assert all(r["out_w"] <= 12 and r["out_h"] <= 12 for r in resized)
+    # deterministic pixel checksums across physical layouts
+    again = {r["doc_id"]: r["pixel_sum"] for r in resize_media_real(media.repartition(5), 12, 12).collect() if r["resized"]}
+    for r in resized:
+        assert again[r["doc_id"]] == r["pixel_sum"]
+
+
 def test_exact_dedup_keeps_lowest_id(spark, planted_docs):
     from pyspark.sql.window import Window as W
 
