@@ -58,6 +58,7 @@ HEADLINE = [
     "table_wap_publish",
     "pipeline_pretrain_prep",
     "pipeline_incremental_dedup_index",
+    "matview_incremental_refresh",
 ]
 
 

@@ -1261,6 +1261,100 @@ def table_identifier_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "matview_incremental_refresh",
+    """
+SELECT l_returnflag,
+       COUNT(*) AS n,
+       CAST(SUM(CAST(l_quantity AS DECIMAL(38,10))) AS DOUBLE) AS sum_qty,
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(38,10))) AS DOUBLE) / COUNT(l_extendedprice) AS avg_price,
+       MIN(l_discount) AS min_disc,
+       MAX(l_discount) AS max_disc
+FROM lineitem
+WHERE l_quantity > 5
+GROUP BY l_returnflag
+ORDER BY l_returnflag
+""",
+)
+def matview_incremental_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Materialized view with incremental (append-only) refresh: the MV is
+    created over the first third of lineitem, two more appends land, and
+    REFRESH merges partial aggregate state computed over ONLY the new
+    files (scan_incremental) into the stored state — the source is never
+    rescanned. The oracle aggregates the full fixture directly: the
+    merged MV must equal a from-scratch computation exactly.
+
+    100 TB: refresh cost is O(appended data) + O(|MV|); a daily rollup
+    over a 100 TB table reads the day's appends, not the table."""
+    from iceberg_metadata_pipeline_spark.catalog.matview import MaterializedView
+
+    li = load_tables(spark, sf_dir)["lineitem"]
+    catalog = Catalog(spark, tempfile.mkdtemp(prefix="warehouse-mv-"))
+    t = catalog.create_table("nyc", "li_src", li.schema)
+    t.append_dataframe(li.filter(F.col("l_orderkey") % 3 == 0))
+    mv = MaterializedView.create(
+        catalog,
+        "nyc",
+        "li_daily",
+        "SELECT l_returnflag, count(*) AS n, sum(l_quantity) AS sum_qty, "
+        "avg(l_extendedprice) AS avg_price, min(l_discount) AS min_disc, "
+        "max(l_discount) AS max_disc FROM nyc.li_src "
+        "WHERE l_quantity > 5 GROUP BY l_returnflag",
+    )
+    t = t.refresh()
+    t.append_dataframe(li.filter(F.col("l_orderkey") % 3 == 1))
+    t = t.refresh()
+    t.append_dataframe(li.filter(F.col("l_orderkey") % 3 == 2))
+    res = mv.refresh()
+    assert res["mode"] == "incremental", res  # append-only range must merge
+    return mv.read().orderBy("l_returnflag")
+
+
+@query(
+    "matview_time_bucket_rollup",
+    """
+SELECT date_trunc('hour', ts) AS bucket,
+       event_type,
+       COUNT(*) AS n,
+       CAST(SUM(CAST(value AS DECIMAL(38,10))) AS DOUBLE) AS total,
+       MAX(value) AS peak
+FROM events
+GROUP BY date_trunc('hour', ts), event_type
+ORDER BY bucket, event_type
+""",
+)
+def matview_time_bucket_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Continuous aggregate (the hypertable-rollup pattern): an MV keyed
+    on an hourly time bucket + event_type, maintained incrementally as
+    event batches land — each refresh folds only the new appends' partial
+    state into the affected buckets. The oracle recomputes the rollup
+    from the raw fixture; the incrementally-maintained MV must match it
+    exactly.
+
+    100 TB: an always-fresh ops dashboard over an append-heavy event
+    stream pays per-batch O(batch + touched buckets), never a rescan."""
+    from iceberg_metadata_pipeline_spark.catalog.matview import MaterializedView
+
+    ev = load_tables(spark, sf_dir)["events"]
+    catalog = Catalog(spark, tempfile.mkdtemp(prefix="warehouse-camv-"))
+    t = catalog.create_table("nyc", "evt", ev.schema)
+    t.append_dataframe(ev.filter(F.col("event_id") % 3 == 0))
+    mv = MaterializedView.create(
+        catalog,
+        "nyc",
+        "evt_hourly",
+        "SELECT date_trunc('hour', ts) AS bucket, event_type, count(*) AS n, "
+        "sum(value) AS total, max(value) AS peak FROM nyc.evt "
+        "GROUP BY date_trunc('hour', ts), event_type",
+    )
+    for chunk in (1, 2):  # two more event batches land, two refreshes
+        t = t.refresh()
+        t.append_dataframe(ev.filter(F.col("event_id") % 3 == chunk))
+        res = mv.refresh()
+        assert res["mode"] == "incremental", res
+    return mv.read().orderBy("bucket", "event_type")
+
+
+@query(
     "table_write_ordered_scan",
     """
 SELECT COUNT(*) AS n, CAST(SUM(CAST(o_totalprice AS DECIMAL(38,6))) AS DOUBLE) AS total

@@ -770,6 +770,61 @@ class Table:
         )
         return (len(deletes) - len(live), len(live))
 
+    def consolidate_position_deletes(self) -> tuple[int, int]:
+        """Merge all pending POSITION delete entries into one deletion-
+        vector-style entry (Iceberg v3's direction: one consolidated
+        delete structure instead of a pile of per-commit delete files).
+
+        Every scan pays one broadcast anti-join PER position entry; after
+        N positional deletes that is N joins of N small files. This
+        maintenance op reads the pending entries once, unions their
+        (file_path, pos) pairs, drops pairs whose target file is no
+        longer live (dead weight), repartitions by file_path (per-target
+        locality, the row-group shape a DV reader wants) and registers the
+        single merged entry — scans drop from N anti-joins to 1.
+
+        Sequence safety: a position pair names an immutable (uuid-pathed)
+        file, so pairs can never match rows newer than their entry — the
+        merged entry carries max(seq) and stays correct. Non-position
+        entries (predicate/equality) pass through untouched with their
+        original sequences. Returns (position_entries_before, after)."""
+        snap = self.current_snapshot
+        if snap is None:
+            return (0, 0)
+        deletes = self._resolve_deletes(snap)
+        pos_entries = [d for d in deletes if d["kind"] == "position"]
+        if len(pos_entries) <= 1:
+            return (len(pos_entries), len(pos_entries))
+        live_paths = {f.path for f in self._resolve_manifest(snap)}
+        merged = (
+            self.spark.read.parquet(*[d["path"] for d in pos_entries])
+            .select("file_path", "pos")
+            # stored pairs carry the lineage URI form (file:/...); compare
+            # against plain manifest paths on a normalized copy, but keep
+            # the original column — the scan anti-join matches URI to URI
+            .filter(
+                F.regexp_replace("file_path", "^file:/+", "/").isin(list(live_paths))
+            )
+            .distinct()
+            .repartition("file_path")
+        )
+        dv_dir = os.path.join(self.location, "deletes", "dv-" + uuid.uuid4().hex[:12])
+        merged.write.mode("errorifexists").parquet(dv_dir)
+        keep = [d for d in deletes if d["kind"] != "position"]
+        new_entries = list(keep)
+        if scan_parquet_footers(dv_dir):  # all pairs may have been dead
+            new_entries.append(
+                {
+                    "kind": "position",
+                    "path": dv_dir,
+                    "seq": max(d.get("seq", 0) for d in pos_entries),
+                }
+            )
+        self._commit(
+            "delete-maintenance", [], added_deletes=new_entries, clears_deletes=True
+        )
+        return (len(pos_entries), 1 if len(new_entries) > len(keep) else 0)
+
     def build_bloom_filters(self, column: str, bits: int = 8192, k: int = 4) -> int:
         """Attach a per-file Bloom filter on ``column`` to every live
         manifest entry (one metadata-only commit re-registering the same
@@ -2759,6 +2814,15 @@ def _footer_entry(path: str) -> DataFileEntry:
             cname = col.path_in_schema
             if isinstance(mn, bytes) or isinstance(mx, bytes):
                 continue  # binary stats not comparable portably
+            import decimal as _dec
+
+            if isinstance(mn, _dec.Decimal) or isinstance(mx, _dec.Decimal):
+                # int-backed decimals (precision ≤ 18) surface as Decimal
+                # objects: not JSON-serializable, and stringifying would
+                # make pruning compare lexicographically ("9.5" > "10.2").
+                # Skip, matching the FLBA-decimal behavior above — no
+                # pruning on the column beats wrong pruning.
+                continue
             if hasattr(mn, "isoformat"):
                 # space separator, NOT isoformat()'s 'T': pruning compares
                 # these strings against SQL literals ('2024-01-05 04:00:00'),

@@ -212,6 +212,24 @@ _IDENT_FIELDS_RE = re.compile(
 )
 _PROP_PAIR_RE = re.compile(r"'(?P<k>[^']*)'\s*=\s*'(?P<v>[^']*)'")
 
+# materialized views (catalog/matview.py): algebraic-aggregate MVs with
+# incremental (append-only CDC) refresh
+_CREATE_MV_RE = re.compile(
+    rf"^\s*CREATE\s+(?P<replace>OR\s+REPLACE\s+)?MATERIALIZED\s+VIEW\s+"
+    rf"(?P<ns>{_IDENT})\.(?P<view>{_IDENT})\s+AS\s+(?P<sql>.+?)\s*;?\s*$",
+    re.IGNORECASE | re.DOTALL,
+)
+_REFRESH_MV_RE = re.compile(
+    rf"^\s*REFRESH\s+MATERIALIZED\s+VIEW\s+"
+    rf"(?P<ns>{_IDENT})\.(?P<view>{_IDENT})\s*;?\s*$",
+    re.IGNORECASE,
+)
+_DROP_MV_RE = re.compile(
+    rf"^\s*DROP\s+MATERIALIZED\s+VIEW\s+(?:IF\s+EXISTS\s+)?"
+    rf"(?P<ns>{_IDENT})\.(?P<view>{_IDENT})\s*;?\s*$",
+    re.IGNORECASE,
+)
+
 # view DDL/introspection (the reference's A14-A16 surface)
 _CREATE_VIEW_RE = re.compile(
     rf"^\s*CREATE\s+(?P<replace>OR\s+REPLACE\s+)?VIEW\s+"
@@ -549,6 +567,44 @@ def catalog_sql(catalog: Catalog, statement: str, _depth: int = 0) -> DataFrame:
         table = catalog.load_table(props_m.group("ns"), props_m.group("tbl"))
         rows = sorted((k, str(v)) for k, v in table.properties.items())
         return spark.createDataFrame(rows or [], "key string, value string")
+    mvm = _CREATE_MV_RE.match(statement)
+    if mvm is not None:
+        from iceberg_metadata_pipeline_spark.catalog.matview import MaterializedView
+
+        MaterializedView.create(
+            catalog,
+            mvm.group("ns"),
+            mvm.group("view"),
+            mvm.group("sql"),
+            replace=mvm.group("replace") is not None,
+        )
+        return spark.createDataFrame(
+            [(f"{mvm.group('ns')}.{mvm.group('view')}",)], "materialized_view string"
+        )
+    mvm = _REFRESH_MV_RE.match(statement)
+    if mvm is not None:
+        from iceberg_metadata_pipeline_spark.catalog.matview import MaterializedView
+
+        res = MaterializedView(catalog, mvm.group("ns"), mvm.group("view")).refresh()
+        return spark.createDataFrame(
+            [(f"{mvm.group('ns')}.{mvm.group('view')}", res["mode"])],
+            "materialized_view string, mode string",
+        )
+    mvm = _DROP_MV_RE.match(statement)
+    if mvm is not None:
+        from iceberg_metadata_pipeline_spark.catalog.matview import MaterializedView
+
+        ns, view = mvm.group("ns"), mvm.group("view")
+        try:
+            MaterializedView(catalog, ns, view).drop()
+            dropped = True
+        except FileNotFoundError:
+            if "IF EXISTS" not in statement.upper():
+                raise
+            dropped = False
+        return spark.createDataFrame(
+            [(f"{ns}.{view}", dropped)], "materialized_view string, dropped boolean"
+        )
     ddl = _CREATE_VIEW_RE.match(statement)
     if ddl is not None:
         catalog.create_view(
@@ -1097,7 +1153,13 @@ def _run_procedure(catalog: Catalog, proc: str, raw_args: str) -> DataFrame:
                         ).createOrReplaceTempView(view)
         return spark.createDataFrame([(view,)], "changelog_view string")
     if proc == "rewrite_position_delete_files":
+        # Iceberg's procedure both drops dead delete files and compacts
+        # the rest: purge inert entries first, then consolidate the
+        # surviving position entries into one DV-style entry
         dropped, kept = table.rewrite_delete_files()
+        pos_before, pos_after = table.refresh().consolidate_position_deletes()
+        dropped += max(0, pos_before - pos_after)
+        kept -= max(0, pos_before - pos_after)
         return spark.createDataFrame(
             [(dropped, kept)],
             "removed_delete_files_count int, remaining_delete_files_count int",

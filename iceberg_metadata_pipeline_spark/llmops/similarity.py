@@ -391,3 +391,171 @@ def sim_cosine_topk_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") <= 3)
         .orderBy("query_id", "rn")
     )
+
+
+# ---------------------------------------------------------------------------
+# tier 4: product quantization (PQ) — compressed-domain ANN
+# ---------------------------------------------------------------------------
+
+
+def train_pq_codebooks(
+    corpus: DataFrame,
+    m: int = 8,
+    k: int = 16,
+    sample: int = 10_000,
+    iters: int = 12,
+    seed: int = 7,
+):
+    """Train a product quantizer (Jégou et al., TPAMI 2011): split the
+    D-dim space into ``m`` subspaces and run Lloyd's k-means with ``k``
+    centroids in each, on a bounded sample of L2-normalized vectors.
+
+    Scale shape: codebooks need only a representative sample — a bounded
+    ``limit(sample)`` collect (10k × D doubles ≈ a few MB at D=64), never
+    the corpus; numpy Lloyd's on that sample is milliseconds per subspace.
+    The result is m×k×(D/m) floats — kilobytes — broadcast to encoders.
+    Returns ndarray (m, k, D//m)."""
+    import numpy as np
+
+    rows = corpus.select("embedding").limit(sample).collect()
+    x = np.array([r["embedding"] for r in rows], dtype=np.float64)
+    x /= np.maximum(np.linalg.norm(x, axis=1, keepdims=True), 1e-12)
+    d = x.shape[1]
+    if d % m:
+        raise ValueError(f"dim {d} not divisible by m={m}")
+    sub = d // m
+    rng = np.random.RandomState(seed)
+    books = np.empty((m, k, sub))
+    for mi in range(m):
+        xs = x[:, mi * sub : (mi + 1) * sub]
+        cent = xs[rng.choice(len(xs), size=k, replace=False)]
+        for _ in range(iters):
+            # assign → recenter; empty clusters re-seed from the data
+            d2 = ((xs[:, None, :] - cent[None, :, :]) ** 2).sum(-1)
+            a = d2.argmin(1)
+            for ki in range(k):
+                mask = a == ki
+                cent[ki] = xs[mask].mean(0) if mask.any() else xs[rng.randint(len(xs))]
+        books[mi] = cent
+    return books
+
+
+def pq_encode(corpus: DataFrame, codebooks) -> DataFrame:
+    """Encode every corpus vector as m small codes (nearest sub-centroid
+    per subspace): D float32s → m bytes — a 32× memory cut at D=64/m=8/
+    k≤256 that lets a 100 TB embedding corpus fit hot in cluster RAM.
+    Map-only (mapInPandas); the codebooks ride in the closure (KBs)."""
+    import numpy as np
+    import pandas as pd
+
+    books = codebooks
+    m, k, sub = books.shape
+
+    def run(batches):
+        for pdf in batches:
+            x = np.array(list(pdf["embedding"]), dtype=np.float64)
+            x /= np.maximum(np.linalg.norm(x, axis=1, keepdims=True), 1e-12)
+            codes = np.empty((len(x), m), dtype=np.int32)
+            for mi in range(m):
+                xs = x[:, mi * sub : (mi + 1) * sub]
+                d2 = ((xs[:, None, :] - books[mi][None, :, :]) ** 2).sum(-1)
+                codes[:, mi] = d2.argmin(1)
+            yield pd.DataFrame(
+                {"vec_id": pdf["vec_id"], "codes": [list(map(int, c)) for c in codes]}
+            )
+
+    return corpus.select("vec_id", "embedding").mapInPandas(
+        run, "vec_id long, codes array<int>"
+    )
+
+
+def cosine_topk_pq(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    m: int = 8,
+    ksub: int = 16,
+    rerank: int = 50,
+    seed: int = 7,
+) -> DataFrame:
+    """ANN via PQ + ADC (asymmetric distance computation), with exact
+    rerank: each query precomputes an m×ksub lookup table of partial dot
+    products against the sub-centroids; a candidate's approximate cosine
+    is then m table lookups summed — no float vector is touched in the
+    scan. The top ``rerank`` PQ candidates per query are re-scored with
+    exact cosine against the full vectors, and the top ``k`` survive.
+
+    Scale shape: the corpus is scanned once in compressed form (m ints
+    per row, mapInPandas, zero shuffle); only rerank×queries rows join
+    back to full vectors (an equi-join on vec_id against a corpus whose
+    shuffle carries k + m ints per row). LUTs are (queries × m × ksub)
+    doubles — broadcast-sized."""
+    import numpy as np
+    import pandas as pd
+
+    books = train_pq_codebooks(corpus, m=m, k=ksub, seed=seed)
+    codes = pq_encode(corpus, books)
+
+    qrows = queries.select("vec_id", "embedding").collect()
+    q_ids = np.array([r["vec_id"] for r in qrows])
+    q_mat = np.array([r["embedding"] for r in qrows], dtype=np.float64)
+    q_mat /= np.maximum(np.linalg.norm(q_mat, axis=1, keepdims=True), 1e-12)
+    # LUT[qi, mi, code] = q_sub · centroid — ADC: cosine ≈ Σ_mi LUT[qi, mi, code_mi]
+    mm, _, sub = books.shape
+    luts = np.einsum("qmd,mkd->qmk", q_mat.reshape(len(q_mat), mm, sub), books)
+    spark = corpus.sparkSession
+    bc = spark.sparkContext.broadcast((q_ids, luts))
+
+    def score(batches):
+        ids, tables = bc.value
+        for pdf in batches:
+            cm = np.array(list(pdf["codes"]), dtype=np.int64)  # (batch, m)
+            n = len(cm)
+            if n == 0:
+                continue
+            # gather-sum per query: (q, batch) approximate cosines
+            approx = np.stack(
+                [tables[qi, np.arange(cm.shape[1])[None, :], cm].sum(1) for qi in range(len(ids))]
+            )
+            yield pd.DataFrame(
+                {
+                    "query_id": np.repeat(ids, n),
+                    "cand_id": np.tile(pdf["vec_id"].to_numpy(), len(ids)),
+                    "approx": approx.reshape(-1),
+                }
+            )
+
+    scored = codes.mapInPandas(score, "query_id long, cand_id long, approx double")
+    w = W.partitionBy("query_id").orderBy(F.desc("approx"), F.asc("cand_id"))
+    cands = (
+        scored.filter(F.col("query_id") != F.col("cand_id"))
+        .withColumn("prn", F.row_number().over(w))
+        .filter(F.col("prn") <= rerank)
+        .drop("prn")
+    )
+    # exact rerank: join candidates back to full vectors (rerank×|Q| rows)
+    cv = corpus.select(F.col("vec_id").alias("cand_id"), F.col("embedding").alias("cvec"))
+    qv = queries.select(F.col("vec_id").alias("query_id"), F.col("embedding").alias("qvec"))
+    dot = F.aggregate(
+        F.zip_with(_normalized(F.col("qvec")), _normalized(F.col("cvec")), lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    exact = (
+        cands.join(F.broadcast(qv), "query_id")
+        .join(cv, "cand_id")
+        .withColumn("cosine", dot)
+        .select("query_id", "cand_id", "cosine")
+    )
+    w2 = W.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("cand_id"))
+    return exact.withColumn("rn", F.row_number().over(w2)).filter(F.col("rn") <= k)
+
+
+@query("sim_cosine_topk_pq", None)  # ANN: approximate + sampled training → rows-only
+def sim_cosine_topk_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PQ/ADC ANN top-k for a 5-query set; recall vs brute force and
+    compression invariants asserted in tests/test_llmops.py."""
+    emb = load_tables(spark, sf_dir)["embeddings"]
+    return cosine_topk_pq(
+        emb, emb.filter(F.col("vec_id") < 5), k=3, m=8, ksub=16, rerank=40
+    ).orderBy("query_id", "rn")

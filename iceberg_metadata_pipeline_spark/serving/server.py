@@ -33,6 +33,7 @@ import json
 import socket
 import socketserver
 import threading
+import time
 
 from pyspark.sql import DataFrame, SparkSession
 
@@ -50,6 +51,12 @@ class _Session:
         # without per-connection JVMs
         self.spark = spark.newSession()
         self.catalog = Catalog(self.spark, warehouse)
+        self._stmt_seq = 0
+        # the group of the statement currently executing on this session's
+        # handler thread (None when idle) — what a cross-connection cancel
+        # targets; statement-scoped so canceling stmt N can never clip a
+        # later stmt N+1 that starts after the cancel was issued
+        self.running_group: str | None = None
 
     def execute(self, statement: str) -> DataFrame:
         # scheduler pools are thread-local in Spark; tag every statement
@@ -59,9 +66,10 @@ class _Session:
         self.spark.sparkContext.setLocalProperty(
             "spark.scheduler.pool", f"session-{self.session_id}"
         )
-        self.spark.sparkContext.setJobGroup(
-            f"session-{self.session_id}", statement[:120], interruptOnCancel=True
-        )
+        self._stmt_seq += 1
+        group = f"session-{self.session_id}-stmt-{self._stmt_seq}"
+        self.running_group = group
+        self.spark.sparkContext.setJobGroup(group, statement[:120], interruptOnCancel=True)
         return catalog_sql(self.catalog, statement)
 
 
@@ -90,11 +98,42 @@ class SQLServingEngine:
         return sess.execute(statement)
 
     def cancel(self, session_id: str) -> None:
-        """Cancel the session's RUNNING Spark jobs (issued from any other
+        """Cancel the session's RUNNING statement (issued from any other
         connection — the canceled session's own thread is blocked in its
         collect, which raises once the jobs die). The session survives:
-        cancel kills statements, never state."""
-        self._spark.sparkContext.cancelJobGroup(f"session-{session_id}")
+        cancel kills statements, never state.
+
+        Sticky: ``cancelJobGroup`` only kills jobs ALREADY submitted to
+        the DAG scheduler — if the statement is still planning (or the
+        scheduler is saturated), a one-shot cancel is a silent no-op and
+        the statement later runs to completion. So a background thread
+        re-issues the cancel every 200 ms until the statement's group is
+        no longer the session's running statement (finished or dead).
+        The group is statement-scoped, so the loop can never touch the
+        session's NEXT statement."""
+        with self._lock:
+            sess = self._sessions.get(session_id)
+        group = sess.running_group if sess is not None else None
+        if group is None:
+            return  # nothing running — cancel of an idle session is a no-op
+        sc = self._spark.sparkContext
+
+        def _keep_canceling() -> None:
+            deadline = time.monotonic() + 60.0
+            while sess.running_group == group and time.monotonic() < deadline:
+                sc.cancelJobGroup(group)
+                time.sleep(0.2)
+
+        sc.cancelJobGroup(group)
+        threading.Thread(target=_keep_canceling, daemon=True).start()
+
+    def finish_statement(self, session_id: str) -> None:
+        """Handler calls this when a statement's collect returns or raises
+        — clears the cancel target so sticky cancels stop."""
+        with self._lock:
+            sess = self._sessions.get(session_id)
+        if sess is not None:
+            sess.running_group = None
 
     def close_session(self, session_id: str) -> None:
         with self._lock:
@@ -142,9 +181,13 @@ class SQLServer:
                     engine.cancel(str(req.get("session")))
                     return {"canceled": True}
                 if op == "sql":
-                    df = engine.execute(str(req.get("session")), str(req["sql"]))
-                    limit = int(req.get("limit", 1000))
-                    rows = df.limit(limit).collect()
+                    sid = str(req.get("session"))
+                    try:
+                        df = engine.execute(sid, str(req["sql"]))
+                        limit = int(req.get("limit", 1000))
+                        rows = df.limit(limit).collect()
+                    finally:
+                        engine.finish_statement(sid)
                     return {
                         "columns": df.columns,
                         "rows": [[_json_value(v) for v in r] for r in rows],

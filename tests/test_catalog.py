@@ -1056,6 +1056,44 @@ def test_positional_delete_lifecycle(spark, catalog):
     assert t._resolve_deletes(t.current_snapshot) == []
 
 
+def test_consolidate_position_deletes_to_dv(spark, catalog):
+    """DV-style consolidation: N pending position entries merge into one
+    (scans: N anti-joins → 1) with contents bit-identical, non-position
+    entries and their sequences untouched, dead pairs dropped, and a
+    later append still immune to the merged (older-seq) entry."""
+    df = spark.createDataFrame(
+        [(i, "x" if i % 3 == 0 else "y") for i in range(90)], "id long, tag string"
+    )
+    t = catalog.create_table("nyc", "dvtab", df.schema)
+    t.append_dataframe(df)
+    t.delete_where_positional("id < 10")
+    t.delete_where_positional("id >= 80")
+    t.delete_where_positional("id = 42")
+    t.delete_where_mor("id = 55")  # predicate entry must pass through
+    before_rows = sorted(r["id"] for r in t.scan().collect())
+    deletes = t._resolve_deletes(t.current_snapshot)
+    assert sum(d["kind"] == "position" for d in deletes) == 3
+    pred_seqs = {d["seq"] for d in deletes if d["kind"] == "predicate"}
+
+    n_before, n_after = t.consolidate_position_deletes()
+    assert (n_before, n_after) == (3, 1)
+    after = t._resolve_deletes(t.current_snapshot)
+    assert sum(d["kind"] == "position" for d in after) == 1
+    assert {d["seq"] for d in after if d["kind"] == "predicate"} == pred_seqs
+    assert sorted(r["id"] for r in t.scan().collect()) == before_rows
+    # merged DV holds exactly the union of live pairs
+    dv = next(d for d in after if d["kind"] == "position")
+    pairs = spark.read.parquet(dv["path"]).count()
+    assert pairs == 21  # 10 + 10 + 1 deleted positions
+    # appends after consolidation are immune (entry seq < new file seq)
+    t.append_dataframe(spark.createDataFrame([(5, "x")], df.schema))
+    assert sorted(r["id"] for r in t.scan().collect()) == sorted(before_rows + [5])
+    # idempotent: one entry is already consolidated
+    assert t.consolidate_position_deletes() == (1, 1)
+    # fresh handle agrees
+    assert catalog.load_table("nyc", "dvtab").scan().count() == len(before_rows) + 1
+
+
 def test_bloom_filter_file_skipping(spark, catalog):
     """Per-file bloom filters: a point lookup on an unclustered string
     column prunes files min/max can't (every file spans the probe);

@@ -323,6 +323,54 @@ def test_ivf_recall_vs_bruteforce_clustered(spark):
     assert recall >= 0.8, f"IVF recall {recall} too low on clustered data"
 
 
+def test_pq_recall_vs_bruteforce_clustered(spark):
+    # PQ + ADC with exact rerank: on a clustered corpus the quantization
+    # error is small relative to cluster separation, so reranked recall
+    # should be near-exact
+    import random
+
+    from iceberg_metadata_pipeline_spark.llmops.similarity import (
+        cosine_topk_bruteforce,
+        cosine_topk_pq,
+    )
+
+    rng = random.Random(23)
+    centers = [[rng.gauss(0, 1) for _ in range(64)] for _ in range(12)]
+    rows = []
+    for i in range(600):
+        c = centers[i % 12]
+        rows.append(Row(vec_id=i, embedding=[x + rng.gauss(0, 0.25) for x in c], label=i % 12))
+    emb = spark.createDataFrame(rows)
+    queries = emb.filter(F.col("vec_id") < 10)
+    exact = cosine_topk_bruteforce(emb, queries, k=5).collect()
+    approx = cosine_topk_pq(emb, queries, k=5, m=8, ksub=16, rerank=50).collect()
+    exact_set = {(r["query_id"], r["cand_id"]) for r in exact}
+    approx_set = {(r["query_id"], r["cand_id"]) for r in approx}
+    recall = len(exact_set & approx_set) / len(exact_set)
+    assert recall >= 0.8, f"PQ recall {recall} too low on clustered data"
+
+
+def test_pq_encode_shape_and_determinism(spark, tables):
+    import numpy as np
+
+    from iceberg_metadata_pipeline_spark.llmops.similarity import (
+        pq_encode,
+        train_pq_codebooks,
+    )
+
+    emb = tables["embeddings"].limit(200)
+    books = train_pq_codebooks(emb, m=8, k=16, sample=200)
+    assert books.shape[0] == 8 and books.shape[1] == 16
+    codes = {r["vec_id"]: r["codes"] for r in pq_encode(emb, books).collect()}
+    assert all(len(c) == 8 and all(0 <= x < 16 for x in c) for c in codes.values())
+    # deterministic across physical layouts
+    again = {r["vec_id"]: r["codes"] for r in pq_encode(emb.repartition(7), books).collect()}
+    assert codes == again
+    # dim not divisible by m is a loud error, not silent truncation
+    with pytest.raises(ValueError, match="not divisible"):
+        train_pq_codebooks(emb, m=7, k=16, sample=50)
+
+
 def test_trend_fit_matches_duckdb_regression(spark, sf_dir):
     # the applyInPandas closed-form fit must agree with DuckDB's
     # regr_slope/regr_intercept on the same hourly series to 1e-9
