@@ -121,6 +121,167 @@ def test_create_or_replace_and_duplicate_guard(spark, cat):
     assert mv.read().count() > 0
 
 
+def test_streaming_appends_keep_mv_incremental(spark, tmp_path):
+    """Composition: a stream lands append batches into a catalog table
+    (foreachBatch sink); REFRESH after each drain stays on the
+    incremental path and the MV equals a from-scratch aggregate. This is
+    the always-fresh-dashboard loop — stream in, merge partial state,
+    never rescan."""
+    from pyspark.sql import types as T
+
+    catalog = Catalog(spark, str(tmp_path / "wh"))
+    tbl_schema = T.StructType(
+        [T.StructField("k", T.StringType()), T.StructField("v", T.DoubleType())]
+    )
+    dst = catalog.create_table("nyc", "mv_sink", tbl_schema)
+    dst.append_dataframe(
+        spark.createDataFrame([("a", 1.0), ("b", 2.0)], tbl_schema)
+    )
+    mv = MaterializedView.create(
+        catalog, "nyc", "mv_live", "SELECT k, count(*) AS n, sum(v) AS s FROM nyc.mv_sink GROUP BY k"
+    )
+
+    def sink(batch_df, epoch_id):
+        dst.refresh().append_dataframe(batch_df)
+
+    stream = (
+        spark.readStream.format("rate").option("rowsPerSecond", "50").load()
+        .selectExpr("CASE WHEN value % 2 = 0 THEN 'a' ELSE 'b' END AS k", "CAST(value AS DOUBLE) AS v")
+    )
+    q = (
+        stream.writeStream.foreachBatch(sink)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    res = mv.refresh()
+    if res["mode"] != "noop":  # rate source may deliver 0 rows in CI
+        assert res["mode"] == "incremental"
+    got = {r["k"]: (r["n"], r["s"]) for r in mv.read().collect()}
+    want = {
+        r["k"]: (r["n"], float(r["s"]))
+        for r in catalog.load_table("nyc", "mv_sink")
+        .scan()
+        .groupBy("k")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum(F.col("v").cast("decimal(38,10)")).cast("double").alias("s"))
+        .collect()
+    }
+    assert got == want
+
+
+def test_expression_group_keys_time_bucket(spark, tmp_path):
+    """Expression group keys: an hourly bucket MV merges new events into
+    the right buckets incrementally."""
+    from pyspark.sql import types as T
+
+    catalog = Catalog(spark, str(tmp_path / "wh2"))
+    schema = T.StructType(
+        [T.StructField("ts", T.TimestampType()), T.StructField("v", T.LongType())]
+    )
+    import datetime as dt
+
+    base = dt.datetime(2026, 1, 1, 0, 0, 0)
+    rows1 = [(base + dt.timedelta(minutes=7 * i), i) for i in range(20)]
+    rows2 = [(base + dt.timedelta(minutes=7 * i), 100 + i) for i in range(20, 40)]
+    t = catalog.create_table("nyc", "evts", schema)
+    t.append_dataframe(spark.createDataFrame(rows1, schema))
+    mv = MaterializedView.create(
+        catalog,
+        "nyc",
+        "evts_hourly",
+        "SELECT date_trunc('hour', ts) AS h, count(*) AS n, sum(v) AS s "
+        "FROM nyc.evts GROUP BY date_trunc('hour', ts)",
+    )
+    t.refresh().append_dataframe(spark.createDataFrame(rows2, schema))
+    assert mv.refresh()["mode"] == "incremental"
+    got = {r["h"]: (r["n"], float(r["s"])) for r in mv.read().collect()}
+    want = {
+        r["h"]: (r["n"], float(r["s"]))
+        for r in catalog.load_table("nyc", "evts")
+        .scan()
+        .groupBy(F.date_trunc("hour", "ts").alias("h"))
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("v").alias("s"))
+        .collect()
+    }
+    assert got == want
+    # appends touching an EXISTING bucket merged (not duplicated rows)
+    assert mv.read().count() == len(want)
+
+
+def test_randomized_maintenance_matches_model(spark, tmp_path):
+    """Fuzz the maintenance loop: a random interleaving of appends,
+    deletes, overwrites, and refreshes must always leave the MV equal to
+    a from-scratch aggregate of the source's current state — regardless
+    of which refreshes took the incremental path and which fell back."""
+    import random
+
+    from pyspark.sql import types as T
+
+    rng = random.Random(77)
+    schema = T.StructType(
+        [
+            T.StructField("id", T.LongType()),
+            T.StructField("g", T.StringType()),
+            T.StructField("v", T.DoubleType()),
+        ]
+    )
+    catalog = Catalog(spark, str(tmp_path / "whf"))
+    t = catalog.create_table("nyc", "fuzz_src", schema)
+    next_id = 0
+
+    def batch(n):
+        nonlocal next_id
+        rows = [
+            (next_id + i, rng.choice("pqr"), round(rng.uniform(-50, 50), 2))
+            for i in range(n)
+        ]
+        next_id += n
+        return spark.createDataFrame(rows, schema)
+
+    t.append_dataframe(batch(40))
+    mv = MaterializedView.create(
+        catalog,
+        "nyc",
+        "fuzz_mv",
+        "SELECT g, count(*) AS n, sum(v) AS s, min(v) AS lo, max(v) AS hi, "
+        "avg(v) AS m FROM nyc.fuzz_src GROUP BY g",
+    )
+    for step in range(12):
+        op = rng.random()
+        t = t.refresh()
+        if op < 0.5:
+            t.append_dataframe(batch(rng.randint(1, 30)))
+        elif op < 0.7:
+            t.delete_where(f"id % 7 = {rng.randint(0, 6)}")
+        elif op < 0.8:
+            t.delete_where_mor(f"v > {rng.randint(20, 45)}")
+        else:
+            pass  # refresh with no new commits (noop path)
+        if rng.random() < 0.7:
+            mv.refresh()
+    mv.refresh()  # final sync
+    got = {
+        r["g"]: (r["n"], round(r["s"], 6), r["lo"], r["hi"], round(r["m"], 9))
+        for r in mv.read().collect()
+    }
+    want = {
+        r["g"]: (r["n"], round(float(r["s"]), 6), r["lo"], r["hi"], round(r["m"], 9))
+        for r in catalog.load_table("nyc", "fuzz_src")
+        .scan()
+        .groupBy("g")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("v").cast("decimal(38,10)")).cast("double").alias("s"),
+            F.min("v").alias("lo"),
+            F.max("v").alias("hi"),
+            (F.sum(F.col("v").cast("decimal(38,10)")).cast("double") / F.count("v")).alias("m"),
+        )
+        .collect()
+    }
+    assert got == want
+
+
 def test_state_survives_process_restart_shape(spark, cat):
     """The MV definition and watermark live in table properties + the
     views file — a fresh handle (new Catalog object) resumes cleanly."""
