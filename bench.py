@@ -59,6 +59,8 @@ HEADLINE = [
     "pipeline_pretrain_prep",
     "pipeline_incremental_dedup_index",
     "matview_incremental_refresh",
+    "sim_cosine_topk_pq",
+    "multimodal_decode_real",
 ]
 
 

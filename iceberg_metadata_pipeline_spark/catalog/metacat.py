@@ -81,6 +81,12 @@ class DataFileEntry:
     # rows. Files from pre-sequence metadata default to 0 (every stamped
     # delete applies — the old behavior).
     seq: int = 0
+    # row lineage (Iceberg v3): the table-wide row id of this file's first
+    # row — a row's stable ``_row_id`` is first_row_id + its position.
+    # Files whose rows were REWRITTEN (compaction) materialize a physical
+    # ``__row_id`` column instead (recorded in ``types``) and carry None
+    # here; pre-lineage files carry None and expose NULL row ids.
+    first_row_id: int | None = None
 
     def to_json(self) -> dict:
         doc = {
@@ -97,6 +103,8 @@ class DataFileEntry:
             doc["spec_id"] = self.spec_id
         if self.seq:
             doc["seq"] = self.seq
+        if self.first_row_id is not None:
+            doc["first_row_id"] = self.first_row_id
         return doc
 
     @staticmethod
@@ -105,6 +113,7 @@ class DataFileEntry:
             d["path"], d["record_count"], d["file_size_bytes"], d.get("format", "PARQUET"),
             d.get("stats", {}), d.get("types", {}),
             d.get("partition", {}), d.get("spec_id"), d.get("seq", 0),
+            d.get("first_row_id"),
         )
 
 
@@ -336,6 +345,20 @@ class Table:
         if not preserve_seq:
             for f in added:
                 f.seq = seq
+        # row lineage (Iceberg v3 next-row-id): every NEW file gets the
+        # next block of table-wide row ids, sized by its row count — even
+        # rewrite outputs carrying materialized __row_id columns (rows
+        # whose materialized id is NULL, e.g. MERGE-inserted rows landing
+        # in a rewritten file, inherit first_row_id + position; non-null
+        # ids win, so carried ids and fresh blocks never collide). Only
+        # metadata-only re-registrations (entries that already carry an
+        # id) are left alone.
+        next_row_id = int(self.meta.get("next_row_id", 0))
+        for f in added:
+            if f.first_row_id is None:
+                f.first_row_id = next_row_id
+                next_row_id += f.record_count
+        self.meta["next_row_id"] = next_row_id
         # preserve_seq: a metadata-only re-registration (stats update)
         # keeps each file's original sequence — re-stamping would exempt
         # the files from every pending MOR delete
@@ -611,6 +634,25 @@ class Table:
         }
         return self._commit("overwrite", entries, removed_paths=removed)
 
+    def _materialize_row_ids(self, df: DataFrame, files: list[DataFileEntry]) -> DataFrame:
+        """Resolve each row's stable ``_row_id`` (Iceberg v3 row lineage)
+        into a physical ``__row_id`` column and drop the lineage columns —
+        the shape a lineage-PRESERVING rewrite writes back out, so ids
+        survive compaction. ``df`` must come from a ``keep_lineage=True``
+        read. Pre-lineage files resolve to NULL (ids were never assigned;
+        inventing them here would collide with the table counter)."""
+        frid = [(f.path, f.first_row_id) for f in files]
+        m = self.spark.createDataFrame(frid or [], "__mrid_path string, __frid long")
+        return (
+            df.withColumn("__p", F.regexp_replace("__file", "^file:/+", "/"))
+            .join(F.broadcast(m), F.col("__p") == F.col("__mrid_path"), "left")
+            .withColumn(
+                "__row_id",
+                F.coalesce(F.col("__row_id"), F.col("__frid") + F.col("__pos")),
+            )
+            .drop("__file", "__pos", "__p", "__mrid_path", "__frid")
+        )
+
     def rewrite_data_files(
         self,
         target_num_files: int = 1,
@@ -637,7 +679,15 @@ class Table:
         range-partition + sort on it, same single shuffle as sort_by."""
         if sort_by and zorder_by:
             raise ValueError("pass sort_by or zorder_by, not both")
-        df = self.scan()
+        files = self.snapshot_files()
+        snap = self.current_snapshot
+        deletes = self._resolve_deletes(snap) if snap is not None else []
+        # lineage-preserving rewrite: carry each row's _row_id through the
+        # compaction as a materialized column (Iceberg v3 requires ids to
+        # survive rewrites)
+        df = self._materialize_row_ids(
+            self._read_files_with_deletes(files, deletes, keep_lineage=True), files
+        )
         data_dir = os.path.join(self.location, "data", "compact-" + uuid.uuid4().hex[:12])
         if sort_by:
             out = df.repartitionByRange(target_num_files, *sort_by).sortWithinPartitions(
@@ -732,9 +782,9 @@ class Table:
             data_dir = os.path.join(
                 self.location, "data", "binpack-" + uuid.uuid4().hex[:12]
             )
-            self._read_files_with_deletes(group, deletes).coalesce(1).write.mode(
-                "errorifexists"
-            ).parquet(data_dir)
+            self._materialize_row_ids(
+                self._read_files_with_deletes(group, deletes, keep_lineage=True), group
+            ).coalesce(1).write.mode("errorifexists").parquet(data_dir)
             entries = scan_parquet_footers(data_dir, self.spark)
             for e in entries:
                 e.partition = dict(group[0].partition)
@@ -1066,8 +1116,16 @@ class Table:
         # stay subject to the live deletes.
         cur = self._select_snapshot(head, None) if head is not None else None
         deletes = self._resolve_deletes(cur) if cur is not None else []
-        src = self._read_files_with_deletes(
-            [f for f in files if f.path in affected], deletes
+        rewritten = [f for f in files if f.path in affected]
+        # row lineage (Iceberg v3 carry-over): every surviving row keeps
+        # its _row_id through the rewrite — deletes drop rows (and their
+        # ids), updates keep the id on the new row version, which is what
+        # lets changelog(compute_updates=True) pair pre/post images. The
+        # __row_id column rides through the caller's transform (filters /
+        # withColumn assignments touch data columns only).
+        src = self._materialize_row_ids(
+            self._read_files_with_deletes(rewritten, deletes, keep_lineage=True),
+            rewritten,
         )
         out = transform(src)
         data_dir = os.path.join(self.location, "data", f"{operation}-" + uuid.uuid4().hex[:12])
@@ -1408,6 +1466,13 @@ class Table:
 
             tgt_cols = []
             for f in target.schema.fields:
+                if f.name == "__row_id":
+                    # row lineage rides outside MERGE semantics: matched/
+                    # kept rows carry their id (v3 carry-over); inserted
+                    # rows are NULL here (tgt side of the full join) and
+                    # inherit from the new file's first_row_id block
+                    tgt_cols.append(tgt["__row_id"].alias("__row_id"))
+                    continue
                 whens = []
                 for cl, fl in zip(when_matched, m_flags):
                     if cl["action"] == "update" and f.name in (cl.get("set") or {}):
@@ -1898,7 +1963,10 @@ class Table:
         return self._read_files(added)
 
     def changelog(
-        self, from_snapshot_id: int, to_snapshot_id: int | None = None
+        self,
+        from_snapshot_id: int,
+        to_snapshot_id: int | None = None,
+        compute_updates: bool = False,
     ) -> DataFrame:
         """Row-level change feed between two snapshots (Iceberg's
         create_changelog_view): rows present only in the newer snapshot
@@ -1906,11 +1974,20 @@ class Table:
         older as ``'delete'`` (an UPDATE appears as its delete+insert
         pair). Unlike ``scan_incremental`` this handles non-append commits.
 
+        ``compute_updates`` (Iceberg's same-named changelog option) uses
+        row lineage to PAIR the two halves of an update: a ``_row_id``
+        present on both sides with different column values emits
+        ``update_preimage`` + ``update_postimage`` rows instead of an
+        unpaired delete+insert — what a CDC consumer needs to apply
+        updates as updates. Rows without lineage ids (pre-lineage files)
+        fall back to the unpaired classification.
+
         Cost is O(changed files), not O(table): files carried over between
         the snapshots are identical on both sides, so only files unique to
         either snapshot are read and diffed (the multiset EXCEPT ALL per
-        side). At 100 TB a one-day changelog reads that day's rewritten
-        files only."""
+        side; the update pairing adds one join keyed on _row_id over the
+        same O(changed) rows). At 100 TB a one-day changelog reads that
+        day's rewritten files only."""
         old_snap = self._select_snapshot(from_snapshot_id, None)
         new_snap = self._select_snapshot(to_snapshot_id, None)
         if new_snap is None:
@@ -1934,19 +2011,83 @@ class Table:
             if _applicable(old_files[p], old_deletes)
             == _applicable(new_files[p], new_deletes)
         }
-        old_side = self._read_files_with_deletes(
-            [f for p, f in old_files.items() if p not in common], old_deletes
+        changed_old = [f for p, f in old_files.items() if p not in common]
+        changed_new = [f for p, f in new_files.items() if p not in common]
+        if not compute_updates:
+            old_side = self._read_files_with_deletes(changed_old, old_deletes)
+            new_side = self._read_files_with_deletes(changed_new, new_deletes)
+            inserts = new_side.exceptAll(old_side).withColumn(
+                "_change_type", F.lit("insert")
+            )
+            deletes = old_side.exceptAll(new_side).withColumn(
+                "_change_type", F.lit("delete")
+            )
+            return inserts.unionByName(deletes)
+
+        data_cols = [f.name for f in self.schema.fields]
+        def _with_ids(files_list, dels):
+            df = self._materialize_row_ids(
+                self._read_files_with_deletes(files_list, dels, keep_lineage=True),
+                files_list,
+            )
+            return df.select(*data_cols, "__row_id")
+
+        old_r, new_r = _with_ids(changed_old, old_deletes), _with_ids(changed_new, new_deletes)
+        # rows the other side also has with the SAME id and data are not
+        # changes at all (a row that merely moved files in a rewrite)
+        o = old_r.select(
+            F.col("__row_id").alias("__rid"),
+            F.struct(*data_cols).alias("__old"),
         )
-        new_side = self._read_files_with_deletes(
-            [f for p, f in new_files.items() if p not in common], new_deletes
+        n = new_r.select(
+            F.col("__row_id").alias("__rid"),
+            F.struct(*data_cols).alias("__new"),
         )
-        inserts = new_side.exceptAll(old_side).withColumn(
-            "_change_type", F.lit("insert")
+        with_id = o.filter(F.col("__rid").isNotNull()).join(
+            n.filter(F.col("__rid").isNotNull()), "__rid", "full_outer"
         )
-        deletes = old_side.exceptAll(new_side).withColumn(
-            "_change_type", F.lit("delete")
+        unpack = lambda side, tag: F.col(f"{side}.{tag}")  # noqa: E731
+        pre = (
+            with_id.filter(
+                F.col("__old").isNotNull()
+                & F.col("__new").isNotNull()
+                & ~(F.col("__old") == F.col("__new"))
+            )
+            .select(*[unpack("__old", c).alias(c) for c in data_cols])
+            .withColumn("_change_type", F.lit("update_preimage"))
         )
-        return inserts.unionByName(deletes)
+        post = (
+            with_id.filter(
+                F.col("__old").isNotNull()
+                & F.col("__new").isNotNull()
+                & ~(F.col("__old") == F.col("__new"))
+            )
+            .select(*[unpack("__new", c).alias(c) for c in data_cols])
+            .withColumn("_change_type", F.lit("update_postimage"))
+        )
+        ins = (
+            with_id.filter(F.col("__old").isNull())
+            .select(*[unpack("__new", c).alias(c) for c in data_cols])
+            .withColumn("_change_type", F.lit("insert"))
+        )
+        del_ = (
+            with_id.filter(F.col("__new").isNull())
+            .select(*[unpack("__old", c).alias(c) for c in data_cols])
+            .withColumn("_change_type", F.lit("delete"))
+        )
+        # pre-lineage rows (NULL id): classify unpaired, like the legacy path
+        legacy_old = old_r.filter(F.col("__row_id").isNull()).drop("__row_id")
+        legacy_new = new_r.filter(F.col("__row_id").isNull()).drop("__row_id")
+        legacy = (
+            legacy_new.exceptAll(legacy_old)
+            .withColumn("_change_type", F.lit("insert"))
+            .unionByName(
+                legacy_old.exceptAll(legacy_new).withColumn(
+                    "_change_type", F.lit("delete")
+                )
+            )
+        )
+        return pre.unionByName(post).unionByName(ins).unionByName(del_).unionByName(legacy)
 
     def column_min_max(
         self, column: str, snapshot_id: int | None = None
@@ -2048,12 +2189,15 @@ class Table:
                     json.dumps(f.partition, sort_keys=True, default=str)
                     if f.partition
                     else "{}",
+                    f.first_row_id,
+                    f.seq,
                 )
                 for f in files
             ]
             meta_df = self.spark.createDataFrame(
                 meta_rows or [],
-                "_file string, _spec_id int, _partition string",
+                "_file string, _spec_id int, _partition string, "
+                "_first_row_id long, _last_updated_sequence_number long",
             )
             df = (
                 df.withColumn(
@@ -2062,6 +2206,14 @@ class Table:
                 .drop("__file")
                 .withColumnRenamed("__pos", "_pos")
                 .join(F.broadcast(meta_df), "_file", "left")
+                # row lineage (Iceberg v3): fresh files derive ids from
+                # their manifest block; compacted files carry them
+                # materialized; pre-lineage files expose NULL
+                .withColumn(
+                    "_row_id",
+                    F.coalesce(F.col("__row_id"), F.col("_first_row_id") + F.col("_pos")),
+                )
+                .drop("__row_id", "_first_row_id")
             )
         return df
 
@@ -2103,7 +2255,7 @@ class Table:
             lineage = keep_lineage or any(d["kind"] == "position" for d in ds)
             part = self._apply_deletes(self._read_files(fl, with_lineage=lineage), ds)
             if lineage and not keep_lineage:
-                part = part.drop("__file", "__pos")
+                part = part.drop("__file", "__pos", "__row_id")
             parts.append(part)
         out = parts[0]
         for part in parts[1:]:
@@ -2138,6 +2290,7 @@ class Table:
                     + [
                         T.StructField("__file", T.StringType()),
                         T.StructField("__pos", T.LongType()),
+                        T.StructField("__row_id", T.LongType()),
                     ]
                 )
             return self.spark.createDataFrame([], schema)
@@ -2178,19 +2331,24 @@ class Table:
                 sig.append((disk, entry.types.get(disk, f.dataType.simpleString())))
             return tuple(sig)
 
-        groups: dict[tuple[tuple[str, str], ...], list[DataFileEntry]] = {}
+        groups: dict[tuple, list[DataFileEntry]] = {}
         for entry in files:
-            groups.setdefault(signature(entry), []).append(entry)
+            # compaction outputs materialize a physical __row_id column
+            # (row lineage preserved through rewrites) — group by its
+            # presence too so each group's read schema is uniform
+            key = (signature(entry), bool(entry.types and "__row_id" in entry.types))
+            groups.setdefault(key, []).append(entry)
 
         parts = []
-        for sig, group in sorted(groups.items()):
-            read_schema = T.StructType(
-                [
-                    T.StructField(disk, _parse_type(ddl), f.nullable)
-                    for f, (disk, ddl) in zip(fields, sig)
-                    if ddl != _DEFAULT_SENTINEL  # absent col: never read it
-                ]
-            )
+        for (sig, has_rowid), group in sorted(groups.items()):
+            read_fields = [
+                T.StructField(disk, _parse_type(ddl), f.nullable)
+                for f, (disk, ddl) in zip(fields, sig)
+                if ddl != _DEFAULT_SENTINEL  # absent col: never read it
+            ]
+            if with_lineage and has_rowid:
+                read_fields.append(T.StructField("__row_id", T.LongType()))
+            read_schema = T.StructType(read_fields)
             part = self.spark.read.schema(read_schema).parquet(
                 *[entry.path for entry in group]
             )
@@ -2210,6 +2368,7 @@ class Table:
                 cols += [
                     "_metadata.file_path AS `__file`",
                     "_metadata.row_index AS `__pos`",
+                    "`__row_id`" if has_rowid else "CAST(NULL AS BIGINT) AS `__row_id`",
                 ]
             parts.append(part.selectExpr(*cols))
         out = parts[0]
@@ -2242,12 +2401,16 @@ class Table:
         )
 
     def files_df(self) -> DataFrame:
+        # first_row_id mirrors Iceberg v3's .files column: the row-lineage
+        # block start (NULL for compacted files carrying materialized ids)
         rows = [
-            (f.path, f.record_count, f.file_size_bytes, f.format)
+            (f.path, f.record_count, f.file_size_bytes, f.format, f.first_row_id)
             for f in self.snapshot_files()
         ]
         return self.spark.createDataFrame(
-            rows, "file_path string, record_count long, file_size_bytes long, file_format string"
+            rows,
+            "file_path string, record_count long, file_size_bytes long, "
+            "file_format string, first_row_id long",
         )
 
     def manifests_df(self) -> DataFrame:

@@ -263,6 +263,11 @@ _SHOW_CREATE_RE = re.compile(
     re.IGNORECASE,
 )
 
+# hidden metadata columns resolved on demand (Iceberg: SELECT _file, _pos)
+_META_COL_RE = re.compile(
+    r"\b_(?:row_id|file|pos|spec_id|partition|last_updated_sequence_number)\b"
+)
+
 # ns.table [FOR] [SYSTEM_]VERSION AS OF n | [FOR] [SYSTEM_]TIME[STAMP] AS OF 'ts'
 # (Spark's Iceberg syntax accepts both the VERSION/TIMESTAMP and the
 # ANSI-ish SYSTEM_VERSION/SYSTEM_TIME spellings)
@@ -405,6 +410,13 @@ def catalog_sql(catalog: Catalog, statement: str, _depth: int = 0) -> DataFrame:
         if m.group("ts") is not None:
             ms = _parse_ts_ms(m.group("ts"))
             return _view_for(table.scan(as_of_ms=ms), f"{ns}.{tbl}@t{ms}")
+        # Iceberg resolves hidden metadata columns on demand: a statement
+        # that references one by name gets a metadata-bearing scan (plain
+        # statements keep the clean schema, so SELECT * never leaks them)
+        if _META_COL_RE.search(statement):
+            return _view_for(
+                table.scan(metadata_columns=True), f"{ns}.{tbl}#metacols"
+            )
         return _view_for(table.scan(), f"{ns}.{tbl}")
 
     call = _CALL_RE.match(statement)
@@ -1149,8 +1161,14 @@ def _run_procedure(catalog: Catalog, proc: str, raw_args: str) -> DataFrame:
             raise ValueError("create_changelog_view needs start_snapshot_id")
         end = args.get("end_snapshot_id")
         view = str(args.get("changelog_view", f"{name}_changes"))
-        table.changelog(int(start), int(end) if end is not None else None
-                        ).createOrReplaceTempView(view)
+        # compute_updates (Iceberg's same-named option): pair update
+        # pre/post images by row lineage instead of delete+insert
+        compute = str(args.get("compute_updates", "false")).lower() in ("true", "1")
+        table.changelog(
+            int(start),
+            int(end) if end is not None else None,
+            compute_updates=compute,
+        ).createOrReplaceTempView(view)
         return spark.createDataFrame([(view,)], "changelog_view string")
     if proc == "rewrite_position_delete_files":
         # Iceberg's procedure both drops dead delete files and compacts

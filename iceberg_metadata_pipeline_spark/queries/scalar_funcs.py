@@ -487,3 +487,32 @@ FROM part
 ORDER BY p_partkey
 """,
 )
+
+
+# Spark 4 VARIANT type (SPARK-45891): semi-structured JSON parsed once
+# into a binary variant, fields extracted by path with target types —
+# the open-schema column pattern (events.props is a JSON blob). Oracle:
+# DuckDB JSON path extraction computes the same scalars.
+sql_query(
+    "fn_variant_family",
+    """
+SELECT event_id,
+       variant_get(parse_json(props), '$.k', 'int') AS k,
+       try_variant_get(parse_json(props), '$.missing', 'int') AS missing_k,
+       variant_get(parse_json(props), '$.k', 'string') AS k_str,
+       CAST(is_variant_null(parse_json('null')) AS BOOLEAN) AS null_probe
+FROM events
+ORDER BY event_id
+LIMIT 600
+""",
+    oracle="""
+SELECT event_id,
+       CAST(json_extract(props, '$.k') AS INT) AS k,
+       CAST(json_extract(props, '$.missing') AS INT) AS missing_k,
+       CAST(CAST(json_extract(props, '$.k') AS INT) AS VARCHAR) AS k_str,
+       TRUE AS null_probe
+FROM events
+ORDER BY event_id
+LIMIT 600
+""",
+)

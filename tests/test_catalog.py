@@ -1513,6 +1513,125 @@ def test_scan_metadata_columns(spark, catalog):
     assert set(t.scan().columns) == {"id", "part"}
 
 
+def test_row_lineage_ids_stable_across_compaction(spark, catalog):
+    """Iceberg v3 row lineage: every row gets a table-wide _row_id at
+    commit (first_row_id block per file); ids are dense per append,
+    monotonic across appends, SURVIVE compaction (materialized into the
+    rewritten files), and deleted ids are never reused."""
+    df1 = spark.createDataFrame([(i, f"v{i}") for i in range(10)], "id long, s string")
+    t = catalog.create_table("nyc", "lineage", df1.schema)
+    t.append_dataframe(df1.coalesce(1))
+    t.append_dataframe(
+        spark.createDataFrame([(100 + i, "w") for i in range(5)], df1.schema).coalesce(1)
+    )
+    rows = t.scan(metadata_columns=True).select("id", "_row_id").collect()
+    ids = {r["id"]: r["_row_id"] for r in rows}
+    assert sorted(ids.values()) == list(range(15))  # dense, no gaps, no dupes
+    assert t.meta["next_row_id"] == 15
+    # second append's block starts after the first (monotonic allocation)
+    assert min(ids[100 + i] for i in range(5)) >= 10
+
+    # MOR delete: survivors keep their ids
+    t.delete_where_mor("id >= 100 AND id < 103")
+    after_del = {r["id"]: r["_row_id"] for r in t.scan(metadata_columns=True).select("id", "_row_id").collect()}
+    assert after_del == {k: v for k, v in ids.items() if not (100 <= k < 103)}
+
+    # compaction preserves ids (materialized __row_id in the new files);
+    # the rewrite still allocates a fresh (unused) block — v3 semantics:
+    # next-row-id advances on every data commit, ids are never reused
+    t.rewrite_data_files(target_num_files=1)
+    after_cmp = {r["id"]: r["_row_id"] for r in t.scan(metadata_columns=True).select("id", "_row_id").collect()}
+    assert after_cmp == after_del
+    counter_after_cmp = t.meta["next_row_id"]
+    assert counter_after_cmp >= 15
+    # a new append takes ids beyond everything ever allocated
+    t.append_dataframe(spark.createDataFrame([(999, "z")], df1.schema))
+    final = {r["id"]: r["_row_id"] for r in t.scan(metadata_columns=True).select("id", "_row_id").collect()}
+    assert final[999] == counter_after_cmp
+    new_id = final.pop(999)
+    assert new_id not in after_cmp.values()
+    assert final == after_cmp
+
+    # sort-order rewrite also preserves ids (rows move files; ids don't)
+    t.rewrite_data_files(target_num_files=2, sort_by=["id"])
+    sorted_ids = {r["id"]: r["_row_id"] for r in t.scan(metadata_columns=True).select("id", "_row_id").collect()}
+    assert sorted_ids == {**final, 999: new_id}
+
+    # copy-on-write UPDATE carries ids (v3 carry-over): the updated row
+    # keeps its _row_id on the new version
+    t.update_set("id = 3", {"s": "'patched'"})
+    upd = {r["id"]: r["_row_id"] for r in t.scan(metadata_columns=True).select("id", "_row_id").collect()}
+    assert upd == sorted_ids
+    assert t.scan(filter="id = 3").first()["s"] == "patched"
+
+    # plain scans stay clean
+    assert set(t.scan().columns) == {"id", "s"}
+
+
+def test_row_lineage_binpack_preserves_ids(spark, catalog):
+    """Bin-pack compaction (the partition-preserving maintenance path)
+    also carries row ids through the rewrite."""
+    schema = "id long, v double"
+    t = catalog.create_table("nyc", "lineage_bp", spark.createDataFrame([], schema).schema)
+    for k in range(4):  # four small files
+        t.append_dataframe(
+            spark.createDataFrame([(k * 10 + i, float(i)) for i in range(5)], schema).coalesce(1)
+        )
+    before = {r["id"]: r["_row_id"] for r in t.scan(metadata_columns=True).select("id", "_row_id").collect()}
+    assert sorted(before.values()) == list(range(20))
+    sid = t.rewrite_small_files(target_file_size_bytes=1 << 20, min_group_files=2)
+    assert sid is not None and len(t.snapshot_files()) < 4
+    after = {r["id"]: r["_row_id"] for r in t.scan(metadata_columns=True).select("id", "_row_id").collect()}
+    assert after == before
+
+
+def test_changelog_compute_updates_pairs_rows(spark, catalog):
+    """changelog(compute_updates=True): an UPDATE between two snapshots
+    comes back as update_preimage/update_postimage paired by row id, not
+    as an unpaired delete+insert; pure inserts/deletes classify as
+    themselves; unchanged rows that merely moved files emit nothing."""
+    df = spark.createDataFrame(
+        [(i, f"v{i}", float(i)) for i in range(20)], "id long, s string, v double"
+    )
+    t = catalog.create_table("nyc", "cdcpair", df.schema)
+    t.append_dataframe(df.coalesce(1))
+    snap1 = t.meta["current_snapshot_id"]
+    t.update_set("id IN (3, 7)", {"s": "'changed'"})  # CoW update, ids carried
+    t.append_dataframe(spark.createDataFrame([(100, "new", 0.0)], df.schema))
+    t.delete_where("id = 11")
+    ch = t.changelog(snap1, compute_updates=True).collect()
+    by_type: dict[str, list] = {}
+    for r in ch:
+        by_type.setdefault(r["_change_type"], []).append(r)
+    assert sorted(r["id"] for r in by_type["update_preimage"]) == [3, 7]
+    assert sorted(r["id"] for r in by_type["update_postimage"]) == [3, 7]
+    assert all(r["s"] == "changed" for r in by_type["update_postimage"])
+    assert all(r["s"] != "changed" for r in by_type["update_preimage"])
+    assert [r["id"] for r in by_type["insert"]] == [100]
+    assert [r["id"] for r in by_type["delete"]] == [11]
+    # nothing else: untouched rows rewritten alongside id 3/7/11 are quiet
+    assert len(ch) == 2 + 2 + 1 + 1
+    # the unpaired (legacy) changelog still reports the same net changes
+    legacy = t.changelog(snap1).collect()
+    assert sum(r["_change_type"] == "insert" for r in legacy) >= 3  # 3,7 post + 100
+
+
+def test_merge_inserted_rows_get_fresh_lineage_ids(spark, catalog):
+    """MERGE writing matched updates and new inserts into one rewritten
+    file: carried ids stay, inserted rows inherit the file's fresh block
+    — no NULLs, no collisions."""
+    df = spark.createDataFrame([(1, 10.0), (2, 20.0)], "k long, v double")
+    t = catalog.create_table("nyc", "mergelin", df.schema)
+    t.append_dataframe(df.coalesce(1))
+    before = {r["k"]: r["_row_id"] for r in t.scan(metadata_columns=True).select("k", "_row_id").collect()}
+    src = spark.createDataFrame([(2, 99.0), (3, 30.0)], "k long, v double")
+    t.merge_into(src, on=["k"], when_matched_set={"v": "src_v"})
+    after = {r["k"]: r["_row_id"] for r in t.scan(metadata_columns=True).select("k", "_row_id").collect()}
+    assert after[1] == before[1] and after[2] == before[2]  # carried
+    assert after[3] is not None and after[3] not in before.values()  # fresh
+    assert len(set(after.values())) == 3  # no collisions
+
+
 def test_cherrypick_snapshot_publishes_diverged_wap_branch(spark, tables, tmp_path):
     """When main advanced after the audit branch forked, publish_branch
     correctly refuses the fast-forward; cherrypick_snapshot re-applies

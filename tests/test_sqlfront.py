@@ -1086,3 +1086,25 @@ def test_show_and_create_namespaces(spark, catalog):
     catalog_sql(catalog, "CREATE TABLE analytics.t1 (id BIGINT)")
     tabs = catalog_sql(catalog, "SHOW TABLES IN analytics").collect()
     assert [r["tableName"] for r in tabs] == ["t1"]
+
+
+def test_metadata_columns_resolve_on_demand_in_sql(spark, catalog):
+    """Referencing a hidden metadata column by name (Iceberg's SELECT
+    _file/_row_id surface) resolves it; plain statements — including
+    SELECT * — keep the clean schema."""
+    from iceberg_metadata_pipeline_spark.catalog.sqlfront import catalog_sql
+
+    catalog_sql(catalog, "CREATE TABLE nyc.mcols (id BIGINT, v DOUBLE)")
+    catalog_sql(catalog, "INSERT INTO nyc.mcols VALUES (1, 1.5), (2, 2.5)")
+    rows = catalog_sql(
+        catalog, "SELECT id, _row_id, _file, _pos FROM nyc.mcols ORDER BY id"
+    ).collect()
+    assert sorted(r["_row_id"] for r in rows) == [0, 1]
+    assert all(r["_file"].endswith(".parquet") for r in rows)
+    plain = catalog_sql(catalog, "SELECT * FROM nyc.mcols").columns
+    assert plain == ["id", "v"]
+    # a user column containing an underscore does not trigger resolution
+    catalog_sql(catalog, "CREATE TABLE nyc.underscores (o_partition BIGINT)")
+    assert catalog_sql(
+        catalog, "SELECT o_partition FROM nyc.underscores"
+    ).columns == ["o_partition"]
