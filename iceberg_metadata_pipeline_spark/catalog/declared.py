@@ -1310,6 +1310,43 @@ def matview_incremental_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "table_changelog_updates",
+    """
+WITH changed AS (
+  SELECT c_custkey FROM customer WHERE c_custkey % 10 = 3
+)
+SELECT c_custkey, 'update_preimage' AS _change_type, c_acctbal AS bal
+FROM customer WHERE c_custkey IN (SELECT c_custkey FROM changed)
+UNION ALL
+SELECT c_custkey, 'update_postimage' AS _change_type,
+       CAST(ROUND(CAST(c_acctbal AS DECIMAL(18,2)) + 100, 2) AS DOUBLE) AS bal
+FROM customer WHERE c_custkey IN (SELECT c_custkey FROM changed)
+ORDER BY c_custkey, _change_type
+""",
+)
+def table_changelog_updates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Row-lineage CDC: after a copy-on-write UPDATE, the changelog with
+    compute_updates pairs each changed row's before/after images by
+    _row_id. The oracle reconstructs the exact expected pre/post rows
+    from the fixture — pairing must emit exactly the updated rows, both
+    images, and nothing else (rows co-located in rewritten files stay
+    silent)."""
+    customer = load_tables(spark, sf_dir)["customer"]
+    catalog = Catalog(spark, tempfile.mkdtemp(prefix="warehouse-cdcu-"))
+    t = catalog.create_table("nyc", "cust_cdc", customer.schema)
+    t.append_dataframe(customer)
+    snap1 = t.meta["current_snapshot_id"]
+    t.update_set(
+        "c_custkey % 10 = 3",
+        {"c_acctbal": "CAST(ROUND(CAST(c_acctbal AS DECIMAL(18,2)) + 100, 2) AS DOUBLE)"},
+    )
+    ch = t.changelog(snap1, compute_updates=True)
+    return ch.select(
+        "c_custkey", "_change_type", F.col("c_acctbal").alias("bal")
+    ).orderBy("c_custkey", "_change_type")
+
+
+@query(
     "matview_time_bucket_rollup",
     """
 SELECT date_trunc('hour', ts) AS bucket,
