@@ -115,6 +115,8 @@ def _load_all():
         relational,
         scalar_funcs,
         setops,
+        sketches,
+        spark4_sql,
         tpch,
         tpch_full,
         windows,
