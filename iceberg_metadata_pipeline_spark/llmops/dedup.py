@@ -557,3 +557,107 @@ def dedup_near_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("canonical_doc_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# exact-substring duplicate spans (Lee et al. 2022, "Deduplicating Training
+# Data Makes Language Models Better" — the n-gram inverted-index variant)
+# ---------------------------------------------------------------------------
+
+
+def duplicated_span_stats(
+    df: DataFrame, id_col: str, text_col: str, n: int = 8
+) -> DataFrame:
+    """Per-document duplicated-substring statistics: for every n-token
+    span, count how often the exact span occurs anywhere in the corpus;
+    a span seen ≥2 times (across documents or repeated within one) is a
+    duplicated span.  Output: (id, n_spans, n_dup_spans, dup_ratio).
+
+    This is the Spark-shaped version of exact-substring dedup: the
+    reference implementation builds a corpus-wide suffix array, which
+    doesn't distribute; the fixed-n rolling-window inverted index is the
+    standard cluster-scale approximation (a span duplicated for ≥n
+    tokens is caught exactly; longer duplicates are caught n-gram by
+    n-gram).
+
+    100 TB shape: tokenize → window-hash is map-only and O(total
+    tokens); the gram-frequency aggregate shuffles (hash, partial count)
+    pairs with map-side combine — never the text; only grams with
+    count > 1 (typically a small fraction) survive into the join back,
+    and per-doc span totals come straight from the token count with no
+    join at all.  Spans are 64-bit xxhash64 values, so the shuffle
+    carries 12 bytes per gram; collisions (~n²/2⁶⁴) only ever
+    over-count a duplicate, never crash.
+    """
+    toks = F.split(F.col(text_col), " ")
+    with_toks = df.select(
+        F.col(id_col), toks.alias("__t"), F.size(toks).alias("__nt")
+    ).where(F.col("__nt") >= n)
+    spans = with_toks.select(
+        F.col(id_col),
+        F.explode(
+            F.expr(
+                f"transform(sequence(1, __nt - {n} + 1), "
+                f"i -> xxhash64(concat_ws(' ', slice(__t, i, {n}))))"
+            )
+        ).alias("gram_hash"),
+    )
+    dup_grams = (
+        spans.groupBy("gram_hash")
+        .agg(F.count(F.lit(1)).alias("occ"))
+        .where(F.col("occ") > 1)
+    )
+    dup_counts = (
+        spans.join(dup_grams, "gram_hash")
+        .groupBy(id_col)
+        .agg(F.count(F.lit(1)).alias("n_dup_spans"))
+    )
+    return (
+        with_toks.select(
+            F.col(id_col), (F.col("__nt") - F.lit(n - 1)).alias("n_spans")
+        )
+        .join(dup_counts, id_col, "left")
+        .select(
+            F.col(id_col),
+            F.col("n_spans").cast("long").alias("n_spans"),
+            F.coalesce(F.col("n_dup_spans"), F.lit(0)).cast("long").alias("n_dup_spans"),
+            F.round(
+                F.coalesce(F.col("n_dup_spans"), F.lit(0)) / F.col("n_spans"), 12
+            ).alias("dup_ratio"),
+        )
+    )
+
+
+@query(
+    "dedup_substring_spans",
+    """
+WITH toks AS (
+  SELECT doc_id, string_split(text, ' ') AS t FROM documents
+), sized AS (
+  SELECT doc_id, t, len(t) AS nt FROM toks WHERE len(t) >= 8
+), spans AS (
+  SELECT doc_id, array_to_string(t[i:i+7], ' ') AS gram
+  FROM sized, LATERAL unnest(generate_series(1, nt - 7)) AS s(i)
+), freq AS (
+  SELECT gram, COUNT(*) AS occ FROM spans GROUP BY gram
+), dup_counts AS (
+  SELECT s.doc_id, COUNT(*) AS n_dup_spans
+  FROM spans s JOIN freq f ON s.gram = f.gram
+  WHERE f.occ > 1
+  GROUP BY s.doc_id
+)
+SELECT z.doc_id, CAST(z.nt - 7 AS BIGINT) AS n_spans,
+  CAST(COALESCE(d.n_dup_spans, 0) AS BIGINT) AS n_dup_spans,
+  ROUND(CAST(COALESCE(d.n_dup_spans, 0) AS DOUBLE) / (z.nt - 7), 12) AS dup_ratio
+FROM sized z LEFT JOIN dup_counts d ON z.doc_id = d.doc_id
+ORDER BY z.doc_id
+""",
+)
+def dedup_substring_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-substring duplicate detection over the documents corpus:
+    per-doc count and ratio of 8-token spans that occur ≥2 times
+    corpus-wide (see duplicated_span_stats).  The DuckDB oracle groups
+    the raw gram strings — hashing on the Spark side only changes the
+    shuffle payload, not the counts."""
+    docs = load_tables(spark, sf_dir)["documents"]
+    return duplicated_span_stats(docs, "doc_id", "text", n=8).orderBy("doc_id")

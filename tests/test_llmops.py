@@ -561,3 +561,33 @@ def test_lsh_bucket_null_and_ragged_embeddings(spark):
     rows = {r["vec_id"]: r["bucket"] for r in lsh_bucket_ids(df, dim=8).collect()}
     assert rows[1] is not None
     assert rows[2] is None and rows[3] is None
+
+
+def test_duplicated_spans_planted(spark):
+    """Two docs sharing an exact 10-token span are both flagged with the
+    right span counts; a doc repeating its own 8-gram internally is
+    flagged too; unique docs report zero duplicated spans."""
+    from iceberg_metadata_pipeline_spark.llmops.dedup import duplicated_span_stats
+
+    shared = "the quick brown fox jumps over the lazy dog tonight"  # 10 tokens
+    docs = spark.createDataFrame(
+        [
+            (1, shared + " alpha beta gamma delta epsilon"),
+            (2, "prefix words here " + shared),
+            (3, "totally unique text with no repeated content at all ever"),
+            # 8-token phrase repeated twice within one doc
+            (4, "a b c d e f g h xx a b c d e f g h"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {
+        r["doc_id"]: r
+        for r in duplicated_span_stats(docs, "doc_id", "text", n=8).collect()
+    }
+    # shared 10-token run => 3 duplicated 8-grams inside it
+    assert out[1]["n_dup_spans"] == 3 and out[2]["n_dup_spans"] == 3
+    assert out[1]["n_spans"] == 15 - 7  # 15 tokens
+    assert out[3]["n_dup_spans"] == 0 and out[3]["dup_ratio"] == 0.0
+    # doc 4: 17 tokens -> 10 spans; the two copies of "a b c d e f g h"
+    # (positions 1 and 10) are the duplicated gram occurrences
+    assert out[4]["n_spans"] == 10 and out[4]["n_dup_spans"] == 2
