@@ -1422,3 +1422,28 @@ def table_write_ordered_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n"),
         F.sum(F.col("o_totalprice").cast("decimal(38,6)")).cast("double").alias("total"),
     )
+
+
+@query(
+    "catalog_entries_status",
+    """
+SELECT 0 AS status, COUNT(*) AS n_records FROM customer WHERE c_custkey % 2 = 0
+UNION ALL
+SELECT 1 AS status, COUNT(*) AS n_records FROM customer WHERE c_custkey % 2 = 1
+ORDER BY status
+""",
+)
+def catalog_entries_status(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Iceberg's `.entries` metadata table: after two appends, the head
+    commit's files carry status 1 (ADDED) and the first commit's status 0
+    (EXISTING) — aggregated to record counts per status, which the oracle
+    reconstructs from the even/odd fixture split. File-level shape (paths,
+    sequence numbers, authorship through checkpoints, DELETED transitions
+    in `.all_entries`) is pinned in tests/test_catalog.py."""
+    table, _snap1, _snap2 = _two_snapshot_table(spark, sf_dir)
+    return (
+        table.entries_df()
+        .groupBy("status")
+        .agg(F.sum("record_count").cast("long").alias("n_records"))
+        .orderBy("status")
+    )

@@ -2470,6 +2470,129 @@ class Table:
             "seq long, first_snapshot_id long",
         )
 
+    def _snapshot_delta(self, snap: dict) -> dict:
+        """The raw per-commit delta record (added / removed_paths /
+        added_deletes), normalizing legacy inline manifests to a full
+        delta. Metadata-sized: one small JSON per commit."""
+        if "manifest" in snap:  # legacy inline full manifest (pre-sharding)
+            return {"added": snap["manifest"], "removed_paths": [], "full": True}
+        with open(self._manifest_file(snap)) as fh:
+            return json.load(fh)
+
+    def _added_by_snapshot(self) -> dict[str, int]:
+        """path → snapshot_id of the commit that FIRST added the file.
+        Checkpoint deltas re-list the whole live set, so first-seen along
+        the chronological walk wins (the checkpoint never claims
+        authorship of files it merely carries forward)."""
+        added: dict[str, int] = {}
+        for s in sorted(self.meta["snapshots"], key=lambda s: s["timestamp_ms"]):
+            for f in self._snapshot_delta(s).get("added", ()):
+                added.setdefault(f["path"], s["snapshot_id"])
+        return added
+
+    def entries_df(self) -> DataFrame:
+        """Iceberg's ``.entries`` for the current snapshot: one row per
+        live manifest entry with its status relative to the head commit —
+        1 = ADDED by the current snapshot, 0 = EXISTING (carried forward)
+        — plus the snapshot that added the file and its data sequence
+        number. The audit view for "what did the last commit actually
+        touch". Driver-side over O(live files) metadata."""
+        cur = self.current_snapshot
+        if cur is None:
+            return self.spark.createDataFrame(
+                [],
+                "status int, snapshot_id long, sequence_number long, "
+                "file_path string, record_count long, file_size_bytes long",
+            )
+        added_by = self._added_by_snapshot()
+        rows = [
+            (
+                1 if added_by.get(f.path) == cur["snapshot_id"] else 0,
+                added_by.get(f.path),
+                f.seq,
+                f.path,
+                f.record_count,
+                f.file_size_bytes,
+            )
+            for f in self._resolve_manifest(cur)
+        ]
+        return self.spark.createDataFrame(
+            rows,
+            "status int, snapshot_id long, sequence_number long, "
+            "file_path string, record_count long, file_size_bytes long",
+        )
+
+    def all_entries_df(self) -> DataFrame:
+        """Iceberg's ``.all_entries``: manifest entries across ALL
+        snapshots — one row per per-commit transition: status 1 = file
+        added by that snapshot, 2 = file deleted by it, 0 = existing
+        (only for checkpoint commits, which re-list the live set). The
+        full file-lifecycle audit trail. Driver-side over
+        O(snapshots × changed files) — commits are delta-sharded, so
+        this stays proportional to total churn, not snapshots × table
+        size."""
+        added_by = self._added_by_snapshot()
+        rows = []
+        for s in sorted(self.meta["snapshots"], key=lambda s: s["timestamp_ms"]):
+            sid = s["snapshot_id"]
+            delta = self._snapshot_delta(s)
+            is_checkpoint = bool(delta.get("full")) and s.get("parent_snapshot_id") is not None
+            for f in delta.get("added", ()):
+                first = added_by.get(f["path"]) == sid
+                rows.append(
+                    (
+                        1 if (first or not is_checkpoint) else 0,
+                        sid,
+                        f.get("seq", 0),
+                        f["path"],
+                        f.get("record_count"),
+                        f.get("file_size_bytes"),
+                    )
+                )
+            for p in delta.get("removed_paths", ()):
+                rows.append((2, sid, None, p, None, None))
+        return self.spark.createDataFrame(
+            rows,
+            "status int, snapshot_id long, sequence_number long, "
+            "file_path string, record_count long, file_size_bytes long",
+        )
+
+    def all_manifests_df(self) -> DataFrame:
+        """Iceberg's ``.all_manifests``: every manifest (delta) file any
+        snapshot references. In the sharded-delta layout each commit owns
+        exactly one delta, so this is the same row set ``.manifests``
+        reports; kept as its own table for Iceberg SQL-surface parity."""
+        return self.manifests_df()
+
+    def all_data_files_df(self) -> DataFrame:
+        """Iceberg's ``.all_data_files``: data files across all snapshots
+        (delete files live in ``.all_delete_files``; in this layout
+        ``.all_files`` is already data-only)."""
+        return self.all_files_df()
+
+    def all_delete_files_df(self) -> DataFrame:
+        """Iceberg's ``.all_delete_files``: every merge-on-read delete
+        entry any commit registered — predicate, equality-delete-file, or
+        position-delete-file — whether or not it is still pending at the
+        head. Complements ``.delete_files`` (pending-only) for auditing
+        how much MOR debt the table has ever accumulated."""
+        rows = []
+        for s in sorted(self.meta["snapshots"], key=lambda s: s["timestamp_ms"]):
+            sid = s["snapshot_id"]
+            for d in self._snapshot_delta(s).get("added_deletes", ()):
+                rows.append(
+                    (
+                        sid,
+                        d.get("kind"),
+                        d.get("path") or d.get("expr"),
+                        d.get("seq", 0),
+                    )
+                )
+        return self.spark.createDataFrame(
+            rows,
+            "snapshot_id long, kind string, reference string, sequence_number long",
+        )
+
     def analyze(self, columns: list[str] | None = None) -> dict:
         """ANALYZE TABLE: table-level row count plus per-column null count
         and NDV, persisted in table properties with snapshot provenance —

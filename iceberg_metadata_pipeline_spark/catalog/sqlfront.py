@@ -16,7 +16,7 @@ Supported per statement (matching Iceberg SQL syntax):
 - ``ns.table VERSION AS OF '<ref>'``   → tag/branch by name
 - ``ns.table TIMESTAMP AS OF '<ts>'``  → latest snapshot at/before ts
   (all also accept Iceberg's ``FOR VERSION/TIMESTAMP AS OF`` spelling)
-- ``ns.table.snapshots|files|history|partitions|manifests|refs|all_files|metadata_log_entries|delete_files|position_deletes``
+- ``ns.table.snapshots|files|history|partitions|manifests|refs|all_files|metadata_log_entries|delete_files|position_deletes|entries|all_entries|all_manifests|all_data_files|all_delete_files|column_stats``
   → metadata tables
 - ``CALL [cat.]system.<proc>(...)``    → table-maintenance procedures
   (rollback_to_snapshot, expire_snapshots, remove_orphan_files,
@@ -68,7 +68,8 @@ _META_RE = re.compile(
     rf"\b(?P<ns>{_IDENT})\.(?P<tbl>{_IDENT})"
     r"\.(?P<meta>snapshots|files|history|partitions|manifests|refs"
     r"|all_files|metadata_log_entries|delete_files|position_deletes"
-    r"|column_stats)\b"
+    r"|column_stats|entries|all_entries|all_manifests|all_data_files"
+    r"|all_delete_files)\b"
 )
 
 # CALL [cat.]system.proc(args) — Iceberg stored-procedure syntax
@@ -377,6 +378,11 @@ def catalog_sql(catalog: Catalog, statement: str, _depth: int = 0) -> DataFrame:
             "delete_files": table.delete_files_df,
             "position_deletes": table.position_deletes_df,
             "column_stats": table.column_stats_df,
+            "entries": table.entries_df,
+            "all_entries": table.all_entries_df,
+            "all_manifests": table.all_manifests_df,
+            "all_data_files": table.all_data_files_df,
+            "all_delete_files": table.all_delete_files_df,
         }[kind]()
         return _view_for(df, f"{m.group('ns')}.{m.group('tbl')}#{kind}")
 

@@ -1700,3 +1700,69 @@ def test_merge_insert_honors_column_defaults(spark, catalog):
     t.refresh()
     got = {(r["id"], r["v"], r["status"]) for r in t.scan().collect()}
     assert got == {(1, "a", "old"), (2, "b", "new")}
+
+
+def test_entries_family_metadata_tables(spark, catalog):
+    """Iceberg's .entries / .all_entries / .all_manifests /
+    .all_data_files / .all_delete_files: entry statuses track per-commit
+    transitions (1=added, 0=existing, 2=deleted), authorship survives
+    carry-forward, and every view is SQL-reachable."""
+    from iceberg_metadata_pipeline_spark.catalog.sqlfront import catalog_sql
+    from pyspark.sql import types as T
+
+    t = catalog.create_table(
+        "nyc",
+        "entfam",
+        T.StructType(
+            [T.StructField("id", T.LongType()), T.StructField("v", T.StringType())]
+        ),
+    )
+    t.append_dataframe(
+        spark.createDataFrame([(i, f"a{i}") for i in range(6)], t.schema)
+    )
+    t.refresh()
+    s1 = t.current_snapshot["snapshot_id"]
+    t.append_dataframe(
+        spark.createDataFrame([(i, f"b{i}") for i in range(6, 10)], t.schema)
+    )
+    t.refresh()
+    s2 = t.current_snapshot["snapshot_id"]
+
+    # .entries — second append's files are ADDED(1), first append's EXISTING(0)
+    ent = t.entries_df().collect()
+    by_status = {}
+    for r in ent:
+        by_status.setdefault(r["status"], []).append(r)
+    assert {r["snapshot_id"] for r in by_status[1]} == {s2}
+    assert {r["snapshot_id"] for r in by_status[0]} == {s1}
+    assert all(r["sequence_number"] is not None for r in ent)
+
+    # MOR delete → .all_delete_files records it with provenance
+    t.delete_where_mor("id = 1")
+    t.refresh()
+    adf = t.all_delete_files_df().collect()
+    assert len(adf) == 1 and adf[0]["kind"] == "predicate"
+    assert adf[0]["reference"] == "id = 1"
+
+    # compaction rewrites files → .all_entries shows DELETED(2) transitions
+    t.rewrite_data_files()
+    t.refresh()
+    allent = t.all_entries_df().collect()
+    statuses = {r["status"] for r in allent}
+    assert 2 in statuses and 1 in statuses
+    removed_paths = {r["file_path"] for r in allent if r["status"] == 2}
+    first_commit_added = {r["file_path"] for r in allent if r["snapshot_id"] == s1}
+    assert first_commit_added <= removed_paths  # originals replaced
+
+    # .all_manifests spans every commit; .all_data_files spans history
+    am = t.all_manifests_df().collect()
+    assert len(am) == len(t.meta["snapshots"])
+    adf2 = t.all_data_files_df().collect()
+    live = {r["file_path"] for r in t.files_df().collect()}
+    assert live <= {r["file_path"] for r in adf2}
+
+    # SQL reachability of the whole family
+    for meta in ("entries", "all_entries", "all_manifests",
+                 "all_data_files", "all_delete_files"):
+        out = catalog_sql(catalog, f"SELECT COUNT(*) AS n FROM nyc.entfam.{meta}")
+        assert out.collect()[0]["n"] >= 1
