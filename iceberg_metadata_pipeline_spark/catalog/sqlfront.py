@@ -45,6 +45,11 @@ Supported per statement (matching Iceberg SQL syntax):
   → the Iceberg-extension DDL the reference's jar adds to Spark SQL
 - ``DESCRIBE [TABLE] ns.t`` and ``ALTER TABLE ns.t RENAME TO [ns2.]new``
   (rename is a metadata pointer move — the table location never changes)
+- ``SET spark.wap.branch = b`` → write-audit-publish session routing:
+  row-level writes commit onto branch ``b`` (forked at the main head on
+  first write) and plain reads resolve through it when it exists; main
+  is untouched until ``CALL system.fast_forward``/``cherrypick_snapshot``
+  publishes — Iceberg's spark.wap.branch semantics
 
 Rewrites are textual on table references only — the rest of the
 statement (joins, aggregates, windows, CTEs) passes through untouched,
@@ -351,6 +356,13 @@ def catalog_sql(catalog: Catalog, statement: str, _depth: int = 0) -> DataFrame:
             jvm.org.apache.spark.sql.execution.ExplainMode.fromString(mode)
         )
         return spark.createDataFrame([(text,)], "plan string")
+    # Iceberg WAP session routing: with spark.wap.branch set, row-level
+    # writes commit onto that branch (created at the main head on first
+    # write) and plain-table reads resolve through the branch when it
+    # exists — the write-audit-publish loop entirely in session conf,
+    # published later via CALL fast_forward/cherrypick (Iceberg's
+    # spark.wap.branch semantics).
+    wap_branch = spark.conf.get("spark.wap.branch", None) or None
     views: dict[str, str] = {}
     counter = 0
 
@@ -423,6 +435,13 @@ def catalog_sql(catalog: Catalog, statement: str, _depth: int = 0) -> DataFrame:
             return _view_for(
                 table.scan(metadata_columns=True), f"{ns}.{tbl}#metacols"
             )
+        if wap_branch:
+            ref = table.meta.get("refs", {}).get(wap_branch)
+            if ref is not None and ref["type"] == "branch":
+                sid = ref["snapshot_id"]
+                return _view_for(
+                    table.scan(snapshot_id=sid), f"{ns}.{tbl}@wap{sid}"
+                )
         return _view_for(table.scan(), f"{ns}.{tbl}")
 
     call = _CALL_RE.match(statement)
@@ -484,7 +503,7 @@ def catalog_sql(catalog: Catalog, statement: str, _depth: int = 0) -> DataFrame:
         )
     mrg = _MERGE_RE.match(statement)
     if mrg is not None:
-        sid = _run_merge(catalog, mrg, _depth)
+        sid = _run_merge(catalog, mrg, _depth, branch=wap_branch)
         return spark.createDataFrame(
             [("merge", sid)], "operation string, snapshot_id long"
         )
@@ -786,10 +805,15 @@ def catalog_sql(catalog: Catalog, statement: str, _depth: int = 0) -> DataFrame:
         if ins.group("mode").upper() == "OVERWRITE":
             # Iceberg semantics: INSERT OVERWRITE on a partitioned table
             # is DYNAMIC — replaces only the partitions the data touches
+            if wap_branch:
+                raise ValueError(
+                    "INSERT OVERWRITE under spark.wap.branch is not supported; "
+                    "unset the WAP branch or use append/MERGE"
+                )
             sid = table.overwrite_partitions(aligned)
             op = "overwrite"
         else:
-            sid = table.append_dataframe(aligned)
+            sid = table.append_dataframe(aligned, branch=wap_branch)
             op = "append"
         return spark.createDataFrame(
             [(op, sid)], "operation string, snapshot_id long"
@@ -797,7 +821,7 @@ def catalog_sql(catalog: Catalog, statement: str, _depth: int = 0) -> DataFrame:
     dml = _DML_DELETE_RE.match(statement)
     if dml is not None:
         table = catalog.load_table(dml.group("ns"), dml.group("tbl"))
-        sid = table.delete_where(dml.group("cond"))
+        sid = table.delete_where(dml.group("cond"), branch=wap_branch)
         return spark.createDataFrame(
             [("delete", sid)], "operation string, snapshot_id long"
         )
@@ -805,7 +829,8 @@ def catalog_sql(catalog: Catalog, statement: str, _depth: int = 0) -> DataFrame:
     if dml is not None:
         table = catalog.load_table(dml.group("ns"), dml.group("tbl"))
         sid = table.update_set(
-            dml.group("cond"), _parse_assignments(dml.group("sets"))
+            dml.group("cond"), _parse_assignments(dml.group("sets")),
+            branch=wap_branch,
         )
         return spark.createDataFrame(
             [("update", sid)], "operation string, snapshot_id long"
@@ -815,7 +840,9 @@ def catalog_sql(catalog: Catalog, statement: str, _depth: int = 0) -> DataFrame:
     return spark.sql(rewritten)
 
 
-def _run_merge(catalog: Catalog, mrg: "re.Match", _depth: int) -> int:
+def _run_merge(
+    catalog: Catalog, mrg: "re.Match", _depth: int, branch: str | None = None
+) -> int:
     """Translate a general MERGE INTO statement to Table.merge_into's
     clause-list form. The ON conjunctions may join differently-named
     columns (``ON t.k = s.kk``): the source DataFrame is re-projected so
@@ -951,6 +978,7 @@ def _run_merge(catalog: Catalog, mrg: "re.Match", _depth: int) -> int:
         when_matched=when_matched,
         when_not_matched=when_not_matched,
         when_not_matched_by_source=when_nbs,
+        branch=branch,
     )
 
 

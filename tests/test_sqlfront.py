@@ -1108,3 +1108,53 @@ def test_metadata_columns_resolve_on_demand_in_sql(spark, catalog):
     assert catalog_sql(
         catalog, "SELECT o_partition FROM nyc.underscores"
     ).columns == ["o_partition"]
+
+
+def test_wap_branch_session_routing(catalog, spark, versioned_table):
+    """Iceberg's spark.wap.branch write-audit-publish loop, entirely in
+    session conf: with the conf set, INSERT/UPDATE/DELETE/MERGE commit to
+    the branch (created at the main head on first write) and plain reads
+    resolve through it; main stays untouched until CALL fast_forward
+    publishes; unsetting the conf restores main-head reads."""
+    _t, _s1, _s2 = versioned_table
+    try:
+        catalog_sql(catalog, "SET spark.wap.branch = audit")
+        # write lands on the branch, visible to this session's reads
+        catalog_sql(catalog, "INSERT INTO nyc.vt VALUES (4, 'd')")
+        assert (
+            catalog_sql(catalog, "SELECT COUNT(*) AS n FROM nyc.vt").collect()[0]["n"]
+            == 4
+        )
+        # row-level ops also land on the branch
+        catalog_sql(catalog, "UPDATE nyc.vt SET s = 'dd' WHERE id = 4")
+        catalog_sql(catalog, "DELETE FROM nyc.vt WHERE id = 1")
+        got = {
+            r["id"]: r["s"]
+            for r in catalog_sql(catalog, "SELECT id, s FROM nyc.vt").collect()
+        }
+        assert got == {2: "b", 3: "c", 4: "dd"}
+        # INSERT OVERWRITE under WAP is refused, not silently misrouted
+        import pytest as _pytest
+
+        with _pytest.raises(ValueError, match="WAP|OVERWRITE"):
+            catalog_sql(catalog, "INSERT OVERWRITE nyc.vt VALUES (9, 'z')")
+        # main head is untouched while the branch holds the audit state
+        spark.conf.unset("spark.wap.branch")
+        assert (
+            catalog_sql(catalog, "SELECT COUNT(*) AS n FROM nyc.vt").collect()[0]["n"]
+            == 3
+        )
+        # publish: fast-forward main to the audited branch
+        catalog_sql(
+            catalog, "CALL system.fast_forward(table => 'nyc.vt', branch => 'audit')"
+        )
+        got = {
+            r["id"]: r["s"]
+            for r in catalog_sql(catalog, "SELECT id, s FROM nyc.vt").collect()
+        }
+        assert got == {2: "b", 3: "c", 4: "dd"}
+    finally:
+        try:
+            spark.conf.unset("spark.wap.branch")
+        except Exception:
+            pass
