@@ -356,3 +356,32 @@ def join_range_binned(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("band_id")
     )
+
+
+# Fuzzy (approximate-string) self-join with blocking: near-identical part
+# names within a brand, by Levenshtein edit distance ≤ 2. The naive form
+# is an all-pairs theta join (O(n²) comparisons, a BroadcastNestedLoopJoin
+# scale-killer); the declared plan BLOCKS first — equi-join on p_brand —
+# so the quadratic term is bounded per block, and a cheap length-delta
+# prefilter (|len(a)-len(b)| ≤ 2, a necessary condition for edit distance
+# ≤ 2) prunes most candidates before the O(len²) levenshtein kernel runs.
+# This block→prefilter→verify shape is the same candidate-pair discipline
+# as the MinHash-LSH dedup pipeline, applied to entity resolution. At
+# 100 TB the blocking key must keep blocks bounded (brand+length-bucket,
+# or an n-gram LSH block for free text); the equi-join shuffles on it and
+# AQE splits skewed blocks.
+sql_query(
+    "join_fuzzy_levenshtein",
+    """
+SELECT a.p_brand, COUNT(*) AS n_near_pairs,
+       CAST(MIN(levenshtein(a.p_name, b.p_name)) AS BIGINT) AS min_dist
+FROM part a JOIN part b
+  ON a.p_brand = b.p_brand
+ AND a.p_partkey < b.p_partkey
+ AND abs(length(a.p_name) - length(b.p_name)) <= 2
+WHERE levenshtein(a.p_name, b.p_name) <= 2
+GROUP BY a.p_brand
+ORDER BY a.p_brand
+""",
+    oracle="same",
+)

@@ -358,3 +358,63 @@ GROUP BY f.cohort, week_offset
 ORDER BY cohort, week_offset
 """,
 )
+
+# Time-series gap-fill + resample: per-hour revenue per event type on a
+# COMPLETE hourly grid (missing hours materialized, then forward-filled
+# with the last observed value). The grid is sequence()+explode over the
+# per-group [min, max] span — O(span/step) rows per group, independent
+# of event count; the forward fill is one last(ignorenulls) window per
+# group ordered by grid time. At 100 TB the raw aggregation shuffles on
+# (group, hour) with map-side combine; the grid+fill stage then runs on
+# aggregated data (tiny), so gap-filling costs nothing extra at scale.
+# DuckDB oracle: generate_series + last_value IGNORE NULLS.
+sql_query(
+    "events_gap_fill_resample",
+    """
+WITH per_hour AS (
+  SELECT event_type, date_trunc('hour', CAST(ts AS TIMESTAMP)) AS h,
+         CAST(SUM(CAST(value AS DECIMAL(38,6))) AS DOUBLE) AS v
+  FROM events
+  WHERE event_type IN ('click', 'purchase')
+  GROUP BY event_type, date_trunc('hour', CAST(ts AS TIMESTAMP))
+),
+bounds AS (
+  SELECT event_type, MIN(h) AS mn, MAX(h) AS mx FROM per_hour GROUP BY event_type
+),
+grid AS (
+  SELECT event_type, explode(sequence(mn, mx, INTERVAL 1 HOUR)) AS h FROM bounds
+)
+SELECT g.event_type, g.h,
+  last(p.v, true) OVER (
+    PARTITION BY g.event_type ORDER BY g.h
+    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS v_filled,
+  p.v IS NULL AS was_gap
+FROM grid g LEFT JOIN per_hour p
+  ON g.event_type = p.event_type AND g.h = p.h
+ORDER BY g.event_type, g.h
+""",
+    oracle="""
+WITH per_hour AS (
+  SELECT event_type, date_trunc('hour', CAST(ts AS TIMESTAMP)) AS h,
+         CAST(SUM(CAST(value AS DECIMAL(38,6))) AS DOUBLE) AS v
+  FROM events
+  WHERE event_type IN ('click', 'purchase')
+  GROUP BY event_type, date_trunc('hour', CAST(ts AS TIMESTAMP))
+),
+bounds AS (
+  SELECT event_type, MIN(h) AS mn, MAX(h) AS mx FROM per_hour GROUP BY event_type
+),
+grid AS (
+  SELECT b.event_type, g.h
+  FROM bounds b, LATERAL (SELECT unnest(generate_series(b.mn, b.mx, INTERVAL 1 HOUR)) AS h) g
+)
+SELECT g.event_type, g.h,
+  last_value(p.v IGNORE NULLS) OVER (
+    PARTITION BY g.event_type ORDER BY g.h
+    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS v_filled,
+  p.v IS NULL AS was_gap
+FROM grid g LEFT JOIN per_hour p
+  ON g.event_type = p.event_type AND g.h = p.h
+ORDER BY g.event_type, g.h
+""",
+)
