@@ -122,6 +122,7 @@ def _load_all():
         windows,
     )
     from iceberg_metadata_pipeline_spark.llmops import (  # noqa: F401
+        bpe,
         curation,
         dedup,
         embeddings,

@@ -591,3 +591,35 @@ def test_duplicated_spans_planted(spark):
     # doc 4: 17 tokens -> 10 spans; the two copies of "a b c d e f g h"
     # (positions 1 and 10) are the duplicated gram occurrences
     assert out[4]["n_spans"] == 10 and out[4]["n_dup_spans"] == 2
+
+
+def test_bpe_train_apply_planted(spark):
+    """BPE training learns the expected merges on a planted corpus, the
+    encoder matches train-time segmentation, unseen words fall back to
+    characters, and retraining is byte-identical (the determinism an
+    incremental pipeline needs)."""
+    from iceberg_metadata_pipeline_spark.llmops.bpe import (
+        _encode_word,
+        bpe_token_counts,
+        train_bpe_merges,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, "low lower lowest low low"), (2, "new newer newest new"), (3, "low new")],
+        "doc_id long, text string",
+    )
+    merges = train_bpe_merges(docs, "doc_id", "text", num_merges=10, sample_docs=10)
+    assert merges == train_bpe_merges(
+        docs, "doc_id", "text", num_merges=10, sample_docs=10
+    )
+    ranks = {p: i for i, p in enumerate(merges)}
+    # the dominant word collapses to a single token
+    assert _encode_word("low", ranks) == ["low</w>"]
+    # morphology shares learned subwords
+    assert _encode_word("lowest", ranks)[0].startswith("lo")
+    # unseen alphabet falls back toward characters, never crashes
+    assert len(_encode_word("zzzq", ranks)) >= 4
+    out = {r["doc_id"]: r for r in
+           bpe_token_counts(docs, "doc_id", "text", merges).collect()}
+    assert out[1]["n_words"] == 5 and out[1]["n_bpe_tokens"] < 5 * 4
+    assert out[3]["n_bpe_tokens"] == 2  # both words are single tokens
