@@ -307,3 +307,21 @@ GROUP BY l_returnflag
 ORDER BY l_returnflag
 """,
 )
+
+
+# GROUPING()/GROUPING_ID() flags: the standard way to tell a rollup
+# subtotal row from a genuine NULL group key. Same physical plan as the
+# plain ROLLUP (the flags are virtual columns of the Expand node).
+sql_query(
+    "agg_grouping_id",
+    """
+SELECT l_returnflag, l_linestatus,
+       CAST(GROUPING(l_returnflag) AS BIGINT) AS g_rf,
+       CAST(GROUPING_ID(l_returnflag, l_linestatus) AS BIGINT) AS gid,
+       COUNT(*) AS n
+FROM lineitem
+GROUP BY ROLLUP(l_returnflag, l_linestatus)
+ORDER BY gid, l_returnflag, l_linestatus
+""",
+    oracle="same",
+)

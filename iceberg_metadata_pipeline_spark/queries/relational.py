@@ -171,3 +171,38 @@ FROM lineitem
 WHERE l_orderkey < 500
 """,
 )
+
+
+# One-pass column profiling: every per-column statistic computed in a
+# SINGLE aggregate job (one table scan regardless of column count — the
+# ANALYZE TABLE shape), then pivoted to one row per column with stack().
+# The naive per-column UNION ALL the oracle runs scans the table once
+# per column — at 100 TB that multiplier is the difference between a
+# profile and an outage.
+sql_query(
+    "relational_column_profile",
+    """
+WITH a AS (
+  SELECT COUNT(*) AS n,
+         COUNT(lang) AS nn_lang, COUNT(DISTINCT lang) AS nd_lang,
+         COUNT(source) AS nn_source, COUNT(DISTINCT source) AS nd_source,
+         COUNT(n_chars) AS nn_chars, COUNT(DISTINCT n_chars) AS nd_chars
+  FROM documents
+)
+SELECT s.col, a.n AS n_rows, s.nn AS n_nonnull, s.nd AS n_distinct
+FROM a LATERAL VIEW stack(3,
+  'lang', nn_lang, nd_lang,
+  'n_chars', nn_chars, nd_chars,
+  'source', nn_source, nd_source) s AS col, nn, nd
+ORDER BY s.col
+""",
+    oracle="""
+SELECT 'lang' AS col, COUNT(*) AS n_rows, COUNT(lang) AS n_nonnull,
+       COUNT(DISTINCT lang) AS n_distinct FROM documents
+UNION ALL
+SELECT 'n_chars', COUNT(*), COUNT(n_chars), COUNT(DISTINCT n_chars) FROM documents
+UNION ALL
+SELECT 'source', COUNT(*), COUNT(source), COUNT(DISTINCT source) FROM documents
+ORDER BY col
+""",
+)

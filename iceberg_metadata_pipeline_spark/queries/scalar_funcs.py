@@ -516,3 +516,35 @@ ORDER BY event_id
 LIMIT 600
 """,
 )
+
+
+# interval arithmetic family: timestamp ± intervals, interval scaling,
+# calendar-month clamping, and unit-true timestamp differences — all
+# constant-folded/codegen scalar math.
+sql_query(
+    "fn_interval_family",
+    """
+WITH t AS (SELECT o_orderkey, CAST(o_orderdate AS TIMESTAMP) AS ts FROM orders)
+SELECT o_orderkey,
+       ts + INTERVAL 6 HOUR AS plus6h,
+       ts - INTERVAL 90 MINUTE AS minus90m,
+       ts + INTERVAL 1 DAY * CAST(o_orderkey % 5 AS INT) AS staggered,
+       ts + INTERVAL 1 MONTH AS next_month,
+       CAST(timestampdiff(DAY, TIMESTAMP '1995-01-01 00:00:00', ts) AS BIGINT) AS days95,
+       CAST(timestampdiff(HOUR, TIMESTAMP '1995-01-01 00:00:00', ts) AS BIGINT) AS hours95
+FROM t
+ORDER BY o_orderkey
+""",
+    oracle="""
+WITH t AS (SELECT o_orderkey, CAST(o_orderdate AS TIMESTAMP) AS ts FROM orders)
+SELECT o_orderkey,
+       ts + INTERVAL 6 HOUR AS plus6h,
+       ts - INTERVAL 90 MINUTE AS minus90m,
+       ts + INTERVAL 1 DAY * CAST(o_orderkey % 5 AS INT) AS staggered,
+       ts + INTERVAL 1 MONTH AS next_month,
+       CAST(date_diff('day', TIMESTAMP '1995-01-01 00:00:00', ts) AS BIGINT) AS days95,
+       CAST(date_diff('hour', TIMESTAMP '1995-01-01 00:00:00', ts) AS BIGINT) AS hours95
+FROM t
+ORDER BY o_orderkey
+""",
+)
