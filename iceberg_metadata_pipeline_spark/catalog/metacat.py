@@ -1640,25 +1640,43 @@ class Table:
             still = [s for s in drop if s["timestamp_ms"] >= older_than_ms]
             drop = [s for s in drop if s["timestamp_ms"] < older_than_ms]
             keep = still + keep
+        # ref-aware retention (Iceberg semantics): a snapshot any branch or
+        # tag points at must survive expiry — dropping it would break every
+        # ``VERSION AS OF '<ref>'`` read and orphan the branch lineage. The
+        # drop set may now have holes; the checkpoint loop below makes each
+        # surviving chain island self-contained.
+        ref_ids = {r["snapshot_id"] for r in self.meta.get("refs", {}).values()}
+        if ref_ids:
+            still = [s for s in drop if s["snapshot_id"] in ref_ids]
+            drop = [s for s in drop if s["snapshot_id"] not in ref_ids]
+            keep = sorted(still + keep, key=lambda s: s["timestamp_ms"])
         # resolve manifests while the full chain is still present
         live_manifests = {s["snapshot_id"]: self._resolve_manifest(s) for s in keep}
         dropped_paths = {f.path for s in drop for f in self._resolve_manifest(s)}
         live = {f.path for fs in live_manifests.values() for f in fs}
         orphaned = sorted(dropped_paths - live)
 
-        if keep and "manifest_file" in keep[0]:
-            oldest = keep[0]
-            ckpt_name = f"snap-{oldest['snapshot_id']}-full.json"
+        # checkpoint every kept snapshot whose parent is about to disappear
+        # (the oldest survivor, plus any ref-protected island): its delta
+        # chain must become self-contained before the parents go away.
+        keep_ids = {s["snapshot_id"] for s in keep}
+        for snap_keep in keep:
+            if "manifest_file" not in snap_keep:
+                continue
+            parent = snap_keep.get("parent_snapshot_id")
+            if parent is None or parent in keep_ids:
+                continue
+            ckpt_name = f"snap-{snap_keep['snapshot_id']}-full.json"
             _write_manifest_delta(
                 os.path.join(self.location, "metadata", ckpt_name),
-                live_manifests[oldest["snapshot_id"]],
+                live_manifests[snap_keep["snapshot_id"]],
                 set(),
                 full=True,
                 # live MOR deletes must survive the chain cut
-                added_deletes=self._resolve_deletes(oldest),
+                added_deletes=self._resolve_deletes(snap_keep),
             )
-            oldest["manifest_file"] = ckpt_name
-            oldest["parent_snapshot_id"] = None
+            snap_keep["manifest_file"] = ckpt_name
+            snap_keep["parent_snapshot_id"] = None
         expired_manifests = [
             self._manifest_file(s) for s in drop if "manifest_file" in s
         ]

@@ -129,6 +129,13 @@ _DML_UPDATE_RE = re.compile(
     r"\s+SET\s+(?P<sets>.+?)\s+WHERE\s+(?P<cond>.+?)\s*;?\s*$",
     re.IGNORECASE | re.DOTALL,
 )
+# DELETE ... WHERE col IN (SELECT ...) / (a, b) IN (SELECT ...): the
+# uncorrelated IN-subquery DELETE (the CDC tombstone shape)
+_DELETE_IN_SUBQ_RE = re.compile(
+    rf"^\s*(?:\(\s*(?P<cols>{_IDENT}(?:\s*,\s*{_IDENT})*)\s*\)|(?P<col>{_IDENT}))"
+    r"\s+IN\s*\(\s*(?P<sub>(?:SELECT|WITH)\b.+)\)\s*$",
+    re.IGNORECASE | re.DOTALL,
+)
 
 # MERGE INTO — full Spark/Iceberg clause surface: ON equi-conjunctions
 # over DIFFERENTLY-NAMED columns, multiple WHEN clauses with AND
@@ -762,8 +769,6 @@ def catalog_sql(catalog: Catalog, statement: str, _depth: int = 0) -> DataFrame:
         # cast to the table schema — SQL INSERT semantics
         src = catalog_sql(catalog, ins.group("body"), _depth=_depth + 1)
         fields = table.schema.fields
-        from pyspark.sql import functions as F  # local: keep module surface lean
-
         if ins.group("cols"):
             # explicit column list: values map to the NAMED columns;
             # unmentioned columns get their declared default, else NULL
@@ -821,7 +826,36 @@ def catalog_sql(catalog: Catalog, statement: str, _depth: int = 0) -> DataFrame:
     dml = _DML_DELETE_RE.match(statement)
     if dml is not None:
         table = catalog.load_table(dml.group("ns"), dml.group("tbl"))
-        sid = table.delete_where(dml.group("cond"), branch=wap_branch)
+        insub = _DELETE_IN_SUBQ_RE.match(dml.group("cond"))
+        if insub is not None:
+            # scale-true translation: materialize the subquery's key set
+            # and commit it as an equality-delete file (merge-on-read) —
+            # the keys shuffle, the table never does. Key columns take
+            # the TARGET's names and types.
+            cols = (
+                [c.strip() for c in insub.group("cols").split(",")]
+                if insub.group("cols")
+                else [insub.group("col")]
+            )
+            names = {f.name: f for f in table.schema.fields}
+            bad = [c for c in cols if c not in names]
+            if bad:
+                raise ValueError(f"DELETE IN-subquery keys not in schema: {bad}")
+            keys = catalog_sql(catalog, insub.group("sub"), _depth=_depth + 1)
+            if len(keys.columns) != len(cols):
+                raise ValueError(
+                    f"DELETE IN-subquery returns {len(keys.columns)} columns "
+                    f"for {len(cols)} keys"
+                )
+            keys = keys.select(
+                *[
+                    F.col(keys.columns[i]).cast(names[c].dataType).alias(c)
+                    for i, c in enumerate(cols)
+                ]
+            ).distinct()
+            sid = table.delete_keys_mor(keys, branch=wap_branch)
+        else:
+            sid = table.delete_where(dml.group("cond"), branch=wap_branch)
         return spark.createDataFrame(
             [("delete", sid)], "operation string, snapshot_id long"
         )

@@ -1766,3 +1766,41 @@ def test_entries_family_metadata_tables(spark, catalog):
                  "all_data_files", "all_delete_files"):
         out = catalog_sql(catalog, f"SELECT COUNT(*) AS n FROM nyc.entfam.{meta}")
         assert out.collect()[0]["n"] >= 1
+
+
+def test_expire_snapshots_protects_ref_snapshots(spark, catalog):
+    """Ref-aware expiry (Iceberg semantics): snapshots a tag or branch
+    points at survive expire_snapshots even outside the keep-last window,
+    stay readable via VERSION AS OF '<ref>' (their chain island is
+    checkpointed self-contained), and their files are not orphaned."""
+    from iceberg_metadata_pipeline_spark.catalog.sqlfront import catalog_sql
+    from pyspark.sql import types as T
+
+    t = catalog.create_table(
+        "nyc", "refkeep",
+        T.StructType([T.StructField("id", T.LongType())]),
+    )
+    sids = []
+    for lo in (0, 10, 20, 30):
+        t.append_dataframe(
+            spark.createDataFrame([(i,) for i in range(lo, lo + 5)], t.schema)
+        )
+        t.refresh()
+        sids.append(t.current_snapshot["snapshot_id"])
+    t.create_tag("v2", sids[1])
+    orphaned = t.expire_snapshots(keep_last=1)
+    t.refresh()
+    kept = {s["snapshot_id"] for s in t.meta["snapshots"]}
+    assert kept == {sids[1], sids[3]}  # tag target + current survive
+    # the tagged snapshot resolves through its checkpoint island
+    rows = catalog_sql(
+        catalog, "SELECT COUNT(*) AS n FROM nyc.refkeep VERSION AS OF 'v2'"
+    ).collect()
+    assert rows[0]["n"] == 10  # two appends of 5
+    # current head still reads everything
+    assert t.scan().count() == 20
+    # no file referenced by a surviving snapshot was reported orphaned
+    live = {f.path for f in t.snapshot_files()} | {
+        f.path for f in t.snapshot_files(snapshot_id=sids[1])
+    }
+    assert not (set(orphaned) & live)

@@ -1158,3 +1158,30 @@ def test_wap_branch_session_routing(catalog, spark, versioned_table):
             spark.conf.unset("spark.wap.branch")
         except Exception:
             pass
+
+
+def test_delete_in_subquery_equality_file(catalog, spark, versioned_table):
+    """DELETE ... WHERE col IN (SELECT ...) routes through a merge-on-read
+    equality-delete file: the subquery's key set is materialized (target
+    names/types, deduplicated) and scans anti-join it — the table is
+    never rewritten. Tuple keys and WAP-branch routing compose."""
+    t, _s1, _s2 = versioned_table
+    n_files_before = len(t.snapshot_files())
+    catalog_sql(
+        catalog,
+        "DELETE FROM nyc.vt WHERE id IN (SELECT id FROM nyc.vt WHERE s >= 'b')",
+    )
+    t.refresh()
+    got = {r["id"] for r in catalog_sql(catalog, "SELECT id FROM nyc.vt").collect()}
+    assert got == {1}
+    # merge-on-read: no data file was rewritten, a delete entry was added
+    assert len(t.snapshot_files()) == n_files_before
+    assert any(
+        d["kind"] == "equality" for d in t._resolve_deletes(t.current_snapshot)
+    )
+    # tuple-key spelling parses and deletes the remaining row
+    catalog_sql(
+        catalog,
+        "DELETE FROM nyc.vt WHERE (id, s) IN (SELECT 1, 'a')",
+    )
+    assert catalog_sql(catalog, "SELECT COUNT(*) AS n FROM nyc.vt").collect()[0]["n"] == 0
