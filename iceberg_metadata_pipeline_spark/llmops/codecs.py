@@ -328,3 +328,59 @@ def decode_any(payload: bytes, with_pixels: bool = False) -> dict:
         f"{kind}: requires an external codec (PIL/pyav); only WAV/BMP/PPM/Y4M "
         "are decodable with the in-container stdlib+numpy kernels"
     )
+
+
+# ---------------------------------------------------------------------------
+# header-only probing — dimensions/duration WITHOUT decoding payloads
+# ---------------------------------------------------------------------------
+
+def probe_dimensions(payload: bytes) -> dict:
+    """Parse just the container header: (media_type, width, height,
+    n_frames_or_samples) from the first bytes of the blob. Covers the
+    compressed web formats we deliberately do NOT decode in-container
+    (PNG IHDR chunk, JPEG SOF marker walk, GIF logical-screen
+    descriptor) plus the decodable ones (BMP DIB, PPM ASCII header, Y4M
+    stream header, WAV fmt/data chunks). At 100 TB this is the metadata
+    pass that runs BEFORE any expensive decode fan-out: filtering a
+    petabyte of images by resolution reads kilobytes per file."""
+    mt = sniff_media(payload)
+    w = h = n = None
+    try:
+        if mt == "image/png" and payload[12:16] == b"IHDR":
+            w = int.from_bytes(payload[16:20], "big")
+            h = int.from_bytes(payload[20:24], "big")
+        elif mt == "image/jpeg":
+            i = 2
+            while i + 9 < len(payload):
+                if payload[i] != 0xFF:
+                    break
+                marker = payload[i + 1]
+                if marker in (0xD8, 0xD9) or 0xD0 <= marker <= 0xD7:
+                    i += 2
+                    continue
+                seglen = int.from_bytes(payload[i + 2 : i + 4], "big")
+                # SOF0..SOF15 minus DHT(C4)/JPG(C8)/DAC(CC) carry dims
+                if 0xC0 <= marker <= 0xCF and marker not in (0xC4, 0xC8, 0xCC):
+                    h = int.from_bytes(payload[i + 5 : i + 7], "big")
+                    w = int.from_bytes(payload[i + 7 : i + 9], "big")
+                    break
+                i += 2 + seglen
+        elif payload[:6] in (b"GIF87a", b"GIF89a"):
+            mt = "image/gif"
+            w = int.from_bytes(payload[6:8], "little")
+            h = int.from_bytes(payload[8:10], "little")
+        elif mt == "image/bmp":
+            meta = decode_bmp(payload, with_pixels=False)
+            w, h = meta["width"], meta["height"]
+        elif mt == "image/x-portable-pixmap":
+            meta = decode_ppm(payload, with_pixels=False)
+            w, h = meta["width"], meta["height"]
+        elif mt == "video/x-yuv4mpeg":
+            meta = decode_y4m(payload, with_frames=False)
+            w, h, n = meta["width"], meta["height"], meta["n_frames"]
+        elif mt == "audio/wav":
+            meta = decode_wav(payload)
+            n = meta["n_samples"]
+    except Exception:  # noqa: BLE001 — a truncated header probes as unknown
+        pass
+    return {"media_type": mt, "width": w, "height": h, "n_units": n}

@@ -443,3 +443,60 @@ FROM documents
 ORDER BY doc_id
 """,
 )
+
+
+def probe_media_headers(df: DataFrame) -> DataFrame:
+    """Header-only dimension/duration probe over a (doc_id, payload)
+    binary column — codecs.probe_dimensions per blob, mapInPandas.
+
+    This is the pass that runs BEFORE decode fan-out at scale: resolution
+    and duration filters read only the first bytes of each blob, so a
+    petabyte-scale media filter pays header bytes, not pixels. Map-only;
+    the output is metadata-sized and joins back by doc_id."""
+    import pandas as pd
+
+    from iceberg_metadata_pipeline_spark.llmops import codecs
+
+    def run(batches):
+        for pdf in batches:
+            rows = []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                p = codecs.probe_dimensions(bytes(payload))
+                rows.append(
+                    (int(doc_id), p["media_type"], len(payload),
+                     p["width"], p["height"], p["n_units"])
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=["doc_id", "media_type", "payload_bytes",
+                         "width", "height", "n_units"],
+            )
+
+    return df.mapInPandas(
+        run,
+        "doc_id long, media_type string, payload_bytes long, "
+        "width int, height int, n_units int",
+    )
+
+
+@query("multimodal_probe_headers", None)  # python header parser → rows-only
+def multimodal_probe_headers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Synthesize real WAV/BMP/Y4M payloads, then probe dimensions from
+    HEADERS ONLY (no pixel/sample decode) and aggregate a per-type
+    resolution profile — the petabyte-scale media-filter prelude.
+    Deterministic synthesis → deterministic profile; header-vs-decode
+    agreement is pinned in tests/test_llmops.py."""
+    docs = load_tables(spark, sf_dir)["documents"]
+    probed = probe_media_headers(synthesize_media(docs.limit(300)))
+    return (
+        probed.groupBy("media_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("payload_bytes").cast("long").alias("total_bytes"),
+            F.min("width").alias("min_w"),
+            F.max("width").alias("max_w"),
+            F.max("height").alias("max_h"),
+            F.max("n_units").alias("max_units"),
+        )
+        .orderBy("media_type")
+    )

@@ -385,3 +385,34 @@ ORDER BY a.p_brand
 """,
     oracle="same",
 )
+
+
+# join strategy hints (the remaining two of Spark's four): SHUFFLE_HASH
+# builds a hash map from the hinted side per shuffle partition (beats
+# sort-merge when the build side fits memory but exceeds the broadcast
+# threshold), MERGE forces sort-merge (the safe choice when both sides
+# are huge and neither fits a hash build). Plan-asserted in
+# tests/test_plans.py; result-identical to the unhinted join, which is
+# what the oracle checks (DuckDB reads the hint as a plain comment).
+sql_query(
+    "join_hint_shuffle_hash",
+    """
+SELECT /*+ SHUFFLE_HASH(c) */ c.c_mktsegment, COUNT(*) AS n,
+  CAST(SUM(CAST(o.o_totalprice AS DECIMAL(38,6))) AS DOUBLE) AS revenue
+FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+GROUP BY c.c_mktsegment
+ORDER BY c.c_mktsegment
+""",
+    oracle="same",
+)
+
+sql_query(
+    "join_hint_merge_sql",
+    """
+SELECT /*+ MERGE(l) */ o.o_orderpriority, COUNT(*) AS n
+FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+GROUP BY o.o_orderpriority
+ORDER BY o.o_orderpriority
+""",
+    oracle="same",
+)

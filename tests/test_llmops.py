@@ -623,3 +623,41 @@ def test_bpe_train_apply_planted(spark):
            bpe_token_counts(docs, "doc_id", "text", merges).collect()}
     assert out[1]["n_words"] == 5 and out[1]["n_bpe_tokens"] < 5 * 4
     assert out[3]["n_bpe_tokens"] == 2  # both words are single tokens
+
+
+def test_probe_dimensions_headers_only(spark, tables):
+    """probe_dimensions reads ONLY headers: PNG IHDR, JPEG SOF walk, GIF
+    screen descriptor (handcrafted minimal bytes), and agrees with the
+    full decoders on synthesized WAV/BMP/Y4M; truncated headers probe as
+    unknown instead of raising."""
+    import struct
+
+    from iceberg_metadata_pipeline_spark.llmops.codecs import probe_dimensions
+    from iceberg_metadata_pipeline_spark.llmops.multimodal import (
+        decode_media_real,
+        probe_media_headers,
+        synthesize_media,
+    )
+
+    png = (b"\x89PNG\r\n\x1a\n" + struct.pack(">I", 13) + b"IHDR"
+           + struct.pack(">IIBBBBB", 640, 480, 8, 2, 0, 0, 0) + b"\x00" * 4)
+    assert probe_dimensions(png) == {
+        "media_type": "image/png", "width": 640, "height": 480, "n_units": None}
+    app0 = b"\xff\xe0" + struct.pack(">H", 16) + b"JFIF\x00" + b"\x00" * 9
+    sof = b"\xff\xc2" + struct.pack(">H", 11) + b"\x08" + struct.pack(">HH", 1080, 1920) + b"\x01\x11\x00"
+    jp = probe_dimensions(b"\xff\xd8" + app0 + sof + b"\xff\xd9")
+    assert (jp["width"], jp["height"]) == (1920, 1080)  # progressive SOF2 too
+    gif = probe_dimensions(b"GIF89a" + struct.pack("<HH", 320, 200) + b"\x00" * 5)
+    assert (gif["media_type"], gif["width"], gif["height"]) == ("image/gif", 320, 200)
+    bad = probe_dimensions(b"\xff\xd8\x00")
+    assert bad["width"] is None  # truncated → unknown, never an exception
+
+    # header probe agrees with the full decode on real payloads
+    media = synthesize_media(tables["documents"].limit(60))
+    probed = {r["doc_id"]: r for r in probe_media_headers(media).collect()}
+    decoded = {r["doc_id"]: r for r in decode_media_real(media).collect()}
+    assert set(probed) == set(decoded)
+    for d, pr in probed.items():
+        assert pr["media_type"] == decoded[d]["media_type"]
+        assert pr["width"] == decoded[d]["width"]
+        assert pr["height"] == decoded[d]["height"]

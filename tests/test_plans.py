@@ -376,3 +376,15 @@ def test_incremental_candidates_no_nested_loop(spark, sf_dir):
     plan = plan_of(df)
     assert "BroadcastNestedLoopJoin" not in plan and "Cartesian" not in plan
     assert plan.count("BroadcastHashJoin") >= 3  # banding join + 2 markers
+
+
+def test_join_strategy_hints_take_effect(spark, sf_dir):
+    """SHUFFLE_HASH and MERGE hints actually select their strategies —
+    a hint Catalyst silently ignores is a lie in the query text."""
+    import __spark_entry__ as m
+
+    qs = m.queries()
+    plan_sh = qs["join_hint_shuffle_hash"](spark, sf_dir)._jdf.queryExecution().executedPlan().toString()
+    assert "ShuffledHashJoin" in plan_sh
+    plan_mg = qs["join_hint_merge_sql"](spark, sf_dir)._jdf.queryExecution().executedPlan().toString()
+    assert "SortMergeJoin" in plan_mg
