@@ -61,6 +61,13 @@ HEADLINE = [
     "matview_incremental_refresh",
     "sim_cosine_topk_pq",
     "multimodal_decode_real",
+    # round-3 session-2 additions: sketches, substring dedup, fuzzy join,
+    # gap-fill resample, header probing
+    "sketch_hll_shard_merge",
+    "dedup_substring_spans",
+    "join_fuzzy_levenshtein",
+    "events_gap_fill_resample",
+    "multimodal_probe_headers",
 ]
 
 

@@ -2554,12 +2554,13 @@ class Table:
         for s in sorted(self.meta["snapshots"], key=lambda s: s["timestamp_ms"]):
             sid = s["snapshot_id"]
             delta = self._snapshot_delta(s)
-            is_checkpoint = bool(delta.get("full")) and s.get("parent_snapshot_id") is not None
             for f in delta.get("added", ()):
-                first = added_by.get(f["path"]) == sid
+                # authorship decides ADDED vs EXISTING: checkpoint deltas
+                # (including the parentless ones expire_snapshots writes)
+                # re-list files they merely carry forward
                 rows.append(
                     (
-                        1 if (first or not is_checkpoint) else 0,
+                        1 if added_by.get(f["path"]) == sid else 0,
                         sid,
                         f.get("seq", 0),
                         f["path"],

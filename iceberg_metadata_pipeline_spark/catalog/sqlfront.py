@@ -435,20 +435,25 @@ def catalog_sql(catalog: Catalog, statement: str, _depth: int = 0) -> DataFrame:
         if m.group("ts") is not None:
             ms = _parse_ts_ms(m.group("ts"))
             return _view_for(table.scan(as_of_ms=ms), f"{ns}.{tbl}@t{ms}")
+        # WAP session routing resolves FIRST so every read shape —
+        # including metadata-column scans — sees the same branch state
+        wap_sid = None
+        if wap_branch:
+            ref = table.meta.get("refs", {}).get(wap_branch)
+            if ref is not None and ref["type"] == "branch":
+                wap_sid = ref["snapshot_id"]
         # Iceberg resolves hidden metadata columns on demand: a statement
         # that references one by name gets a metadata-bearing scan (plain
         # statements keep the clean schema, so SELECT * never leaks them)
         if _META_COL_RE.search(statement):
             return _view_for(
-                table.scan(metadata_columns=True), f"{ns}.{tbl}#metacols"
+                table.scan(snapshot_id=wap_sid, metadata_columns=True),
+                f"{ns}.{tbl}#metacols@{wap_sid}",
             )
-        if wap_branch:
-            ref = table.meta.get("refs", {}).get(wap_branch)
-            if ref is not None and ref["type"] == "branch":
-                sid = ref["snapshot_id"]
-                return _view_for(
-                    table.scan(snapshot_id=sid), f"{ns}.{tbl}@wap{sid}"
-                )
+        if wap_sid is not None:
+            return _view_for(
+                table.scan(snapshot_id=wap_sid), f"{ns}.{tbl}@wap{wap_sid}"
+            )
         return _view_for(table.scan(), f"{ns}.{tbl}")
 
     call = _CALL_RE.match(statement)
@@ -837,10 +842,12 @@ def catalog_sql(catalog: Catalog, statement: str, _depth: int = 0) -> DataFrame:
                 if insub.group("cols")
                 else [insub.group("col")]
             )
-            names = {f.name: f for f in table.schema.fields}
-            bad = [c for c in cols if c not in names]
+            # identifiers resolve case-insensitively, like Spark SQL
+            names = {f.name.lower(): f for f in table.schema.fields}
+            bad = [c for c in cols if c.lower() not in names]
             if bad:
                 raise ValueError(f"DELETE IN-subquery keys not in schema: {bad}")
+            cols = [names[c.lower()].name for c in cols]
             keys = catalog_sql(catalog, insub.group("sub"), _depth=_depth + 1)
             if len(keys.columns) != len(cols):
                 raise ValueError(
@@ -849,7 +856,7 @@ def catalog_sql(catalog: Catalog, statement: str, _depth: int = 0) -> DataFrame:
                 )
             keys = keys.select(
                 *[
-                    F.col(keys.columns[i]).cast(names[c].dataType).alias(c)
+                    F.col(keys.columns[i]).cast(names[c.lower()].dataType).alias(c)
                     for i, c in enumerate(cols)
                 ]
             ).distinct()

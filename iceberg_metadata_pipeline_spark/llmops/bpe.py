@@ -139,7 +139,9 @@ def bpe_token_counts(
 
     return df.select(
         F.col(id_col),
-        F.size(F.split(F.col(text_col), " ")).cast("long").alias("n_words"),
+        # same whitespace rule as the UDF's str.split(): collapse runs,
+        # ignore leading/trailing — the two columns must count the same words
+        F.size(F.split(F.trim(F.col(text_col)), "\\s+")).cast("long").alias("n_words"),
         n_tokens(F.col(text_col)).alias("n_bpe_tokens"),
     )
 

@@ -346,7 +346,7 @@ def probe_dimensions(payload: bytes) -> dict:
     mt = sniff_media(payload)
     w = h = n = None
     try:
-        if mt == "image/png" and payload[12:16] == b"IHDR":
+        if mt == "image/png" and payload[12:16] == b"IHDR" and len(payload) >= 24:
             w = int.from_bytes(payload[16:20], "big")
             h = int.from_bytes(payload[20:24], "big")
         elif mt == "image/jpeg":
@@ -365,7 +365,7 @@ def probe_dimensions(payload: bytes) -> dict:
                     w = int.from_bytes(payload[i + 7 : i + 9], "big")
                     break
                 i += 2 + seglen
-        elif payload[:6] in (b"GIF87a", b"GIF89a"):
+        elif payload[:6] in (b"GIF87a", b"GIF89a") and len(payload) >= 10:
             mt = "image/gif"
             w = int.from_bytes(payload[6:8], "little")
             h = int.from_bytes(payload[8:10], "little")

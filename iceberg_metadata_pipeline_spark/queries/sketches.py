@@ -56,8 +56,7 @@ def sketch_hll_shard_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
         """
         WITH shard AS (
           SELECT l_returnflag, pmod(hash(l_orderkey), 16) AS shard,
-                 hll_sketch_agg(l_orderkey) AS sk,
-                 COUNT(DISTINCT l_orderkey) AS shard_nd
+                 hll_sketch_agg(l_orderkey) AS sk
           FROM lineitem
           GROUP BY l_returnflag, pmod(hash(l_orderkey), 16)
         ),

@@ -651,6 +651,10 @@ def test_probe_dimensions_headers_only(spark, tables):
     assert (gif["media_type"], gif["width"], gif["height"]) == ("image/gif", 320, 200)
     bad = probe_dimensions(b"\xff\xd8\x00")
     assert bad["width"] is None  # truncated → unknown, never an exception
+    # truncated PNG/GIF headers must probe unknown, not garbage dims
+    short_png = b"\x89PNG\r\n\x1a\n" + struct.pack(">I", 13) + b"IHDR" + b"\x02"
+    assert probe_dimensions(short_png)["width"] is None
+    assert probe_dimensions(b"GIF89a\x40")["width"] is None
 
     # header probe agrees with the full decode on real payloads
     media = synthesize_media(tables["documents"].limit(60))

@@ -1133,6 +1133,11 @@ def test_wap_branch_session_routing(catalog, spark, versioned_table):
             for r in catalog_sql(catalog, "SELECT id, s FROM nyc.vt").collect()
         }
         assert got == {2: "b", 3: "c", 4: "dd"}
+        # metadata-column scans see the SAME branch state as plain reads
+        n_meta = catalog_sql(
+            catalog, "SELECT COUNT(_file) AS n FROM nyc.vt"
+        ).collect()[0]["n"]
+        assert n_meta == 3
         # INSERT OVERWRITE under WAP is refused, not silently misrouted
         import pytest as _pytest
 
