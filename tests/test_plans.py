@@ -388,3 +388,28 @@ def test_join_strategy_hints_take_effect(spark, sf_dir):
     assert "ShuffledHashJoin" in plan_sh
     plan_mg = qs["join_hint_merge_sql"](spark, sf_dir)._jdf.queryExecution().executedPlan().toString()
     assert "SortMergeJoin" in plan_mg
+
+
+def test_dynamic_partition_pruning_fires(spark, tables, tmp_path):
+    """Join-driven partition elimination (DPP): a partitioned fact joined
+    to a selective dim on the partition column plans a DynamicPruning
+    subquery — at 100 TB this is what turns 'scan every date partition'
+    into 'scan the partitions the dim actually selects'. The conf is on
+    by default; this pins that our session keeps it effective."""
+    from pyspark.sql import functions as F
+
+    out = str(tmp_path / "orders_by_priority")
+    tables["orders"].write.partitionBy("o_orderpriority").parquet(out)
+    fact = spark.read.parquet(out)
+    # DPP requires a SELECTIVE build side: a filtered, file-backed dim
+    # (a bare in-memory relation does not qualify as prunable evidence)
+    dim_path = str(tmp_path / "dim")
+    spark.createDataFrame(
+        [("1-URGENT", 1), ("2-HIGH", 2)], "p string, flag int"
+    ).write.parquet(dim_path)
+    dim = spark.read.parquet(dim_path).filter("flag = 1")
+    joined = fact.join(dim, fact["o_orderpriority"] == dim["p"]).agg(
+        F.sum("o_totalprice")
+    )
+    plan = joined._jdf.queryExecution().executedPlan().toString()
+    assert "dynamicpruningexpression" in plan.lower(), plan[:2000]
