@@ -119,6 +119,35 @@ _PART_FIELD_RE = re.compile(
     rf"|(?P<ident>{_IDENT}))\s*$",
     re.IGNORECASE,
 )
+# ALTER TABLE ... ADD/DROP/REPLACE PARTITION FIELD — Iceberg's SQL
+# spelling of partition-spec evolution (metadata-only; old files keep
+# their old spec_id and stay prunable under it)
+_ALTER_PARTITION_RE = re.compile(
+    rf"^\s*ALTER\s+TABLE\s+(?P<ns>{_IDENT})\.(?P<tbl>{_IDENT})\s+(?:"
+    r"ADD\s+PARTITION\s+FIELD\s+(?P<add>.+?)"
+    r"|DROP\s+PARTITION\s+FIELD\s+(?P<drop>.+?)"
+    r"|REPLACE\s+PARTITION\s+FIELD\s+(?P<old>.+?)\s+WITH\s+(?P<new>.+?)"
+    r")\s*;?\s*$",
+    re.IGNORECASE | re.DOTALL,
+)
+
+
+def _parse_partition_field(raw: str):
+    """One PARTITIONED BY / PARTITION FIELD term -> PartitionField."""
+    from iceberg_metadata_pipeline_spark.catalog.partitioning import PartitionField
+
+    pm = _PART_FIELD_RE.match(raw)
+    if pm is None:
+        raise ValueError(f"unparseable partition field: {raw!r}")
+    if pm.group("ident"):
+        return PartitionField(pm.group("ident"), "identity")
+    if pm.group("kind"):
+        kind = pm.group("kind").lower()
+        return PartitionField(pm.group("col1"), f"{kind}[{pm.group('n')}]")
+    unit = pm.group("unit").lower().rstrip("s")
+    return PartitionField(pm.group("col2"), unit)
+
+
 _DML_DELETE_RE = re.compile(
     rf"^\s*DELETE\s+FROM\s+(?P<ns>{_IDENT})\.(?P<tbl>{_IDENT})"
     r"\s+WHERE\s+(?P<cond>.+?)\s*;?\s*$",
@@ -519,6 +548,39 @@ def catalog_sql(catalog: Catalog, statement: str, _depth: int = 0) -> DataFrame:
         return spark.createDataFrame(
             [("merge", sid)], "operation string, snapshot_id long"
         )
+    ap = _ALTER_PARTITION_RE.match(statement)
+    if ap is not None:
+        table = catalog.load_table(ap.group("ns"), ap.group("tbl"))
+        fields = list(table.default_spec)
+
+        def _key(f) -> tuple:
+            return (f.source.lower(), f.transform.lower())
+
+        if ap.group("add"):
+            new = _parse_partition_field(ap.group("add").strip())
+            if any(_key(f) == _key(new) for f in fields):
+                raise ValueError(f"partition field already in spec: {new.name}")
+            fields.append(new)
+        elif ap.group("drop"):
+            tgt = _parse_partition_field(ap.group("drop").strip())
+            kept = [f for f in fields if _key(f) != _key(tgt)]
+            if len(kept) == len(fields):
+                raise ValueError(f"partition field not in spec: {tgt.name}")
+            fields = kept
+        else:
+            old = _parse_partition_field(ap.group("old").strip())
+            new = _parse_partition_field(ap.group("new").strip())
+            idx = next(
+                (i for i, f in enumerate(fields) if _key(f) == _key(old)), None
+            )
+            if idx is None:
+                raise ValueError(f"partition field not in spec: {old.name}")
+            fields[idx] = new
+        spec_id = table.set_partition_spec(fields)
+        return spark.createDataFrame(
+            [(f"{ap.group('ns')}.{ap.group('tbl')}", spec_id, len(fields))],
+            "table string, spec_id int, n_partition_fields int",
+        )
     col = _ALTER_COLUMN_RE.match(statement)
     if col is not None:
         table = catalog.load_table(col.group("ns"), col.group("tbl"))
@@ -708,26 +770,11 @@ def catalog_sql(catalog: Catalog, statement: str, _depth: int = 0) -> DataFrame:
     if ct is not None:
         from pyspark.sql import types as T
 
-        from iceberg_metadata_pipeline_spark.catalog.partitioning import (
-            PartitionField,
-        )
-
         schema = T.StructType.fromDDL(ct.group("cols"))
-        spec = []
-        for raw in _split_top_level(ct.group("parts") or ""):
-            pm = _PART_FIELD_RE.match(raw)
-            if pm is None:
-                raise ValueError(f"unparseable partition field: {raw!r}")
-            if pm.group("ident"):
-                spec.append(PartitionField(pm.group("ident"), "identity"))
-            elif pm.group("kind"):
-                kind = pm.group("kind").lower()
-                spec.append(
-                    PartitionField(pm.group("col1"), f"{kind}[{pm.group('n')}]")
-                )
-            else:
-                unit = pm.group("unit").lower().rstrip("s")
-                spec.append(PartitionField(pm.group("col2"), unit))
+        spec = [
+            _parse_partition_field(raw)
+            for raw in _split_top_level(ct.group("parts") or "")
+        ]
         if_not_exists = re.search(r"IF\s+NOT\s+EXISTS", statement, re.IGNORECASE)
         catalog.create_table(
             ct.group("ns"),

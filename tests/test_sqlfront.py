@@ -1190,3 +1190,39 @@ def test_delete_in_subquery_equality_file(catalog, spark, versioned_table):
         "DELETE FROM nyc.vt WHERE (id, s) IN (SELECT 1, 'a')",
     )
     assert catalog_sql(catalog, "SELECT COUNT(*) AS n FROM nyc.vt").collect()[0]["n"] == 0
+
+
+def test_alter_partition_field_ddl(catalog, spark):
+    """Iceberg's ALTER TABLE ADD/DROP/REPLACE PARTITION FIELD: spec
+    evolution is metadata-only (files written under the old spec keep
+    their spec_id), new writes lay out under the evolved spec, and the
+    evolved transform prunes partitions on scan."""
+    catalog_sql(
+        catalog,
+        "CREATE TABLE nyc.pf (id BIGINT, ts TIMESTAMP, region STRING) "
+        "PARTITIONED BY (region)",
+    )
+    t = catalog.load_table("nyc", "pf")
+    assert [f.name for f in t.default_spec] == ["region"]
+
+    out = catalog_sql(catalog, "ALTER TABLE nyc.pf ADD PARTITION FIELD days(ts)")
+    assert out.collect()[0]["n_partition_fields"] == 2
+    t.refresh()
+    assert [f.transform for f in t.default_spec] == ["identity", "day"]
+
+    catalog_sql(
+        catalog,
+        "ALTER TABLE nyc.pf REPLACE PARTITION FIELD days(ts) WITH bucket(4, id)",
+    )
+    t.refresh()
+    assert [f.transform for f in t.default_spec] == ["identity", "bucket[4]"]
+
+    catalog_sql(catalog, "ALTER TABLE nyc.pf DROP PARTITION FIELD bucket(4, id)")
+    t.refresh()
+    assert [f.name for f in t.default_spec] == ["region"]
+
+    # unknown field is an error, not a silent no-op
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="not in spec"):
+        catalog_sql(catalog, "ALTER TABLE nyc.pf DROP PARTITION FIELD days(ts)")
