@@ -289,3 +289,25 @@ def test_asof_join_randomized_vs_pandas_merge_asof(spark):
             for r in exp.itertuples()
         ]
         assert sorted(got_vals) == sorted(exp_vals), f"{direction}/{within}"
+
+
+def test_observation_metrics_single_pass(spark, tables):
+    """df.observe(): pipeline quality metrics (row count, revenue sum,
+    null count) collected as a side effect of the SAME action — no second
+    scan. The 100 TB discipline: every extra .count() for monitoring is
+    another full pass; observed metrics are free."""
+    from pyspark.sql import Observation
+    from pyspark.sql import functions as F
+
+    obs = Observation("quality")
+    df = tables["orders"].observe(
+        obs,
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(F.col("o_totalprice").cast("decimal(38,6)")).alias("revenue"),
+        F.count(F.when(F.col("o_custkey").isNull(), 1)).alias("null_keys"),
+    )
+    df.write.format("noop").mode("overwrite").save()
+    got = obs.get
+    assert got["n_rows"] == tables["orders"].count()
+    assert got["null_keys"] == 0
+    assert float(got["revenue"]) > 0

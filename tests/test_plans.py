@@ -413,3 +413,38 @@ def test_dynamic_partition_pruning_fires(spark, tables, tmp_path):
     )
     plan = joined._jdf.queryExecution().executedPlan().toString()
     assert "dynamicpruningexpression" in plan.lower(), plan[:2000]
+
+
+def test_runtime_bloom_filter_join_pruning(spark, tables):
+    """Runtime row-level filtering: with a selective filter on the build
+    side of a shuffle join, Catalyst injects a bloom_filter_agg on the
+    creation side and a might_contain probe on the application side —
+    rows that cannot match are dropped BEFORE the shuffle. At 100 TB this
+    is the difference between shuffling the whole fact table and
+    shuffling the ~selectivity fraction of it. (Thresholds are tuned down
+    because fixture scans are far below the 10 GB production default.)"""
+    from pyspark.sql import functions as F
+
+    confs = {
+        "spark.sql.optimizer.runtime.bloomFilter.enabled": "true",
+        "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold": "1GB",
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold": "0",
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+    }
+    saved = {k: spark.conf.get(k, None) for k in confs}
+    try:
+        for k, v in confs.items():
+            spark.conf.set(k, v)
+        sel = tables["orders"].filter("o_orderpriority = '1-URGENT'")
+        j = tables["lineitem"].join(
+            sel, tables["lineitem"]["l_orderkey"] == sel["o_orderkey"]
+        ).agg(F.count(F.lit(1)).alias("n"))
+        plan = j._jdf.queryExecution().optimizedPlan().toString()
+        assert "bloom_filter_agg" in plan, plan[:1500]
+        assert "might_contain" in plan, plan[:1500]
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
