@@ -916,10 +916,51 @@ def catalog_sql(catalog: Catalog, statement: str, _depth: int = 0) -> DataFrame:
     dml = _DML_UPDATE_RE.match(statement)
     if dml is not None:
         table = catalog.load_table(dml.group("ns"), dml.group("tbl"))
-        sid = table.update_set(
-            dml.group("cond"), _parse_assignments(dml.group("sets")),
-            branch=wap_branch,
-        )
+        insub = _DELETE_IN_SUBQ_RE.match(dml.group("cond"))
+        if insub is not None:
+            # UPDATE ... WHERE k IN (SELECT ...) rewrites to MERGE on the
+            # key set: a shuffle join on the key, not a per-row subquery —
+            # the same scale-true translation as the IN-subquery DELETE.
+            cols = (
+                [c.strip() for c in insub.group("cols").split(",")]
+                if insub.group("cols")
+                else [insub.group("col")]
+            )
+            names = {f.name.lower(): f for f in table.schema.fields}
+            bad = [c for c in cols if c.lower() not in names]
+            if bad:
+                raise ValueError(f"UPDATE IN-subquery keys not in schema: {bad}")
+            cols = [names[c.lower()].name for c in cols]
+            keys = catalog_sql(catalog, insub.group("sub"), _depth=_depth + 1)
+            if len(keys.columns) != len(cols):
+                raise ValueError(
+                    f"UPDATE IN-subquery returns {len(keys.columns)} columns "
+                    f"for {len(cols)} keys"
+                )
+            keys = keys.select(
+                *[
+                    F.col(keys.columns[i]).cast(names[c.lower()].dataType).alias(c)
+                    for i, c in enumerate(cols)
+                ]
+            ).distinct()
+            sid = table.merge_into(
+                keys,
+                on=cols,
+                when_matched=[
+                    {
+                        "condition": None,
+                        "action": "update",
+                        "set": _parse_assignments(dml.group("sets")),
+                    }
+                ],
+                when_not_matched=[],
+                branch=wap_branch,
+            )
+        else:
+            sid = table.update_set(
+                dml.group("cond"), _parse_assignments(dml.group("sets")),
+                branch=wap_branch,
+            )
         return spark.createDataFrame(
             [("update", sid)], "operation string, snapshot_id long"
         )

@@ -1226,3 +1226,16 @@ def test_alter_partition_field_ddl(catalog, spark):
 
     with _pytest.raises(ValueError, match="not in spec"):
         catalog_sql(catalog, "ALTER TABLE nyc.pf DROP PARTITION FIELD days(ts)")
+
+
+def test_update_in_subquery_via_merge(catalog, spark, versioned_table):
+    """UPDATE ... WHERE k IN (SELECT ...) rewrites to a MERGE on the
+    materialized key set — a shuffle join, not a per-row subquery; rows
+    outside the key set are untouched."""
+    _t, _s1, _s2 = versioned_table
+    catalog_sql(
+        catalog,
+        "UPDATE nyc.vt SET s = 'hit' WHERE id IN (SELECT id FROM nyc.vt WHERE id >= 2)",
+    )
+    got = {r["id"]: r["s"] for r in catalog_sql(catalog, "SELECT id, s FROM nyc.vt").collect()}
+    assert got == {1: "a", 2: "hit", 3: "hit"}
