@@ -325,3 +325,25 @@ ORDER BY gid, l_returnflag, l_linestatus
 """,
     oracle="same",
 )
+
+
+# ANSI inverse-distribution aggregates: percentile_cont interpolates,
+# percentile_disc returns an actual data value — the WITHIN GROUP
+# ordered-aggregate syntax (vs. the percentile()/approx_percentile
+# spellings declared elsewhere).
+sql_query(
+    "agg_percentile_within_group",
+    """
+SELECT l_returnflag,
+       CAST(percentile_cont(0.5) WITHIN GROUP (ORDER BY l_quantity) AS DOUBLE)
+         AS median_qty,
+       CAST(percentile_disc(0.25) WITHIN GROUP (ORDER BY l_quantity) AS DOUBLE)
+         AS q1_disc,
+       CAST(percentile_cont(0.9) WITHIN GROUP (ORDER BY l_extendedprice) AS DOUBLE)
+         AS p90_price
+FROM lineitem
+GROUP BY l_returnflag
+ORDER BY l_returnflag
+""",
+    oracle="same",
+)

@@ -205,3 +205,23 @@ ORDER BY yr
 """,
     oracle="same",
 )
+
+
+# named WINDOW clause: one window definition shared by several functions
+# — the analyzer expands every OVER w to the same spec, so Spark plans a
+# single Window operator (one sort/shuffle) for all three expressions.
+sql_query(
+    "window_named_clause",
+    """
+SELECT o_orderkey, o_orderpriority,
+       RANK() OVER w AS rnk,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(38,6))) OVER w AS DOUBLE) AS run_rev,
+       COUNT(*) OVER w AS run_n
+FROM orders
+WHERE o_orderstatus = 'F'
+WINDOW w AS (PARTITION BY o_orderpriority ORDER BY o_orderkey)
+ORDER BY o_orderpriority, o_orderkey
+LIMIT 200
+""",
+    oracle="same",
+)
