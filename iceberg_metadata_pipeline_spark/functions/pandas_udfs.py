@@ -68,3 +68,56 @@ def udf_pandas_scalar_grouped(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("lang")
     )
+
+
+def cogroup_reconcile(orders: DataFrame, lineitem: DataFrame) -> DataFrame:
+    """COGROUPED_MAP pandas: both sides shuffle on the key, and each
+    key's (orders-rows, lineitem-rows) pair lands in ONE Python call —
+    the reconciliation shape (ledger-vs-entries, header-vs-detail) that
+    plain groupBy can't express without first joining. Shuffle volume is
+    the same as the equivalent join; the win is arbitrary per-key Python
+    over both sides at once, without materializing the joined width."""
+
+    def reconcile(key, orders_pdf: pd.DataFrame, lines_pdf: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "o_orderkey": [key[0]],
+                "n_lines": [len(lines_pdf)],
+                "total_qty": [float(lines_pdf["l_quantity"].sum()) if len(lines_pdf) else 0.0],
+            }
+        )
+
+    return (
+        orders.groupBy("o_orderkey")
+        .cogroup(lineitem.groupBy("l_orderkey"))
+        .applyInPandas(
+            reconcile, "o_orderkey long, n_lines long, total_qty double"
+        )
+    )
+
+
+@query(
+    "udf_cogroup_reconcile",
+    """
+SELECT o.o_orderkey,
+       COUNT(l.l_orderkey) AS n_lines,
+       COALESCE(CAST(SUM(CAST(l.l_quantity AS DECIMAL(38,6))) AS DOUBLE), 0.0)
+         AS total_qty
+FROM orders o LEFT JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+GROUP BY o.o_orderkey
+ORDER BY o.o_orderkey
+LIMIT 500
+""",
+)
+def udf_cogroup_reconcile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Header/detail reconciliation via cogrouped applyInPandas: per
+    order, line count and quantity total from the cogrouped lineitem
+    side (orders without lines report zeros, which the oracle states as
+    a LEFT JOIN + COALESCE). Quantities are integral-valued doubles, so
+    the pandas sum is exact and order-independent."""
+    t = load_tables(spark, sf_dir)
+    return (
+        cogroup_reconcile(t["orders"], t["lineitem"])
+        .orderBy("o_orderkey")
+        .limit(500)
+    )
