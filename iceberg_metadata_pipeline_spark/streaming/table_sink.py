@@ -1,0 +1,160 @@
+"""Streaming writes INTO a catalog table — the sink half of the Spark 4
+Python DataSource API (the source half is table_source.py), mirroring
+Iceberg's `writeStream.format("iceberg")` append sink.
+
+    spark.dataSource.register(CatalogTableSinkDataSource)
+    (df.writeStream.format("metacat_table_sink")
+       .option("location", table.location)
+       .option("checkpointLocation", ...)
+       .start())
+
+Semantics (Iceberg streaming-append parity):
+
+- **executor-parallel file writes**: each partition's rows stream to one
+  parquet file under ``<location>/data/`` via pyarrow (no SparkSession,
+  no row collection on the driver); the driver receives only
+  (path, rowcount, bytes) commit messages.
+- **one atomic commit per micro-batch**: ``commit(messages, batchId)``
+  registers all of the batch's files in a single append commit through
+  the catalog's optimistic CAS protocol — readers see the whole batch
+  or none of it.
+- **exactly-once under retries**: the committed epoch is durably
+  recorded in table properties IN the same metadata version as the
+  append; a replayed batch (same batchId after restart/failure) is
+  detected from DISK state and its files are dropped, not re-appended.
+  ``abort()`` removes any files a failed batch managed to write.
+
+Scale notes (100 TB): file bytes never touch the driver — the commit
+message is O(files) metadata. Batch commit cost is the catalog's normal
+O(changed files) delta write. Downstream readers (including
+table_source.py) see each micro-batch as one append snapshot, so a
+stream can flow table → transform → table with snapshot-id lineage at
+every hop.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import uuid
+from dataclasses import dataclass
+
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceStreamWriter,
+    WriterCommitMessage,
+)
+
+
+@dataclass
+class _FileCommit(WriterCommitMessage):
+    path: str
+    rows: int
+    size: int
+
+
+_EPOCH_PROP = "stream-sink-last-epoch"
+
+
+class CatalogTableStreamWriter(DataSourceStreamWriter):
+    def __init__(self, schema, options):
+        self.location = options["location"]
+        if not self.location:
+            raise ValueError("metacat_table_sink requires option 'location'")
+        self.schema = schema
+
+    # -- executor side -----------------------------------------------------
+    def write(self, iterator) -> _FileCommit:
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        rows = [r.asDict() for r in iterator]
+        data_dir = os.path.join(self.location, "data")
+        os.makedirs(data_dir, exist_ok=True)
+        path = os.path.join(data_dir, f"stream-{uuid.uuid4().hex[:16]}.parquet")
+        names = [f.name for f in self.schema.fields]
+        table = pa.Table.from_pydict(
+            {n: [r.get(n) for r in rows] for n in names}
+        )
+        pq.write_table(table, path)
+        return _FileCommit(path=path, rows=len(rows), size=os.path.getsize(path))
+
+    # -- driver side -------------------------------------------------------
+    def _table(self):
+        from pyspark.sql import SparkSession
+
+        from iceberg_metadata_pipeline_spark.catalog.metacat import Catalog, Table
+
+        spark = SparkSession.getActiveSession()
+        warehouse = os.path.dirname(os.path.dirname(self.location))
+        ns, name = self.location.rstrip("/").split("/")[-2:]
+        return Catalog(spark, warehouse).load_table(ns, name)
+
+    def commit(self, messages, batchId: int) -> None:
+        from iceberg_metadata_pipeline_spark.catalog.metacat import DataFileEntry
+
+        table = self._table()
+        # replay check from DISK state (not in-process memory): a batch
+        # whose epoch is already recorded committed before the failure —
+        # drop its rewritten files instead of double-appending
+        last = table.properties.get(_EPOCH_PROP)
+        if last is not None and batchId <= int(last):
+            for m in messages:
+                if m is not None:
+                    try:
+                        os.remove(m.path)
+                    except OSError:
+                        pass
+            return
+        entries = [
+            DataFileEntry(
+                path=m.path, record_count=m.rows, file_size_bytes=m.size
+            )
+            for m in messages
+            if m is not None and m.rows > 0
+        ]
+        if entries:
+            # the epoch marker rides the SAME commit as the data (the
+            # append's metadata write persists the in-memory property):
+            # either both become visible or neither — the stream.py
+            # foreachBatch sink's crash-consistency rule
+            table.properties[_EPOCH_PROP] = str(batchId)
+            table.append_files(entries, dedupe=False)
+        for m in messages:
+            if m is not None and m.rows == 0:
+                try:
+                    os.remove(m.path)
+                except OSError:
+                    pass
+
+    def abort(self, messages, batchId: int) -> None:
+        for m in messages:
+            if m is not None:
+                try:
+                    os.remove(m.path)
+                except OSError:
+                    pass
+
+
+class CatalogTableSinkDataSource(DataSource):
+    """`writeStream.format("metacat_table_sink")`."""
+
+    @classmethod
+    def name(cls) -> str:
+        return "metacat_table_sink"
+
+    def streamWriter(self, schema, overwrite):
+        if overwrite:
+            raise ValueError("metacat_table_sink is append-only")
+        return CatalogTableStreamWriter(schema, self.options)
+
+
+def write_table_stream(df, table, checkpoint: str, **opts):
+    """Convenience: start an append stream into ``table``."""
+    df.sparkSession.dataSource.register(CatalogTableSinkDataSource)
+    return (
+        df.writeStream.format("metacat_table_sink")
+        .option("location", table.location)
+        .option("checkpointLocation", checkpoint)
+        .options(**opts)
+    )

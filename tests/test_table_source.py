@@ -262,3 +262,94 @@ def test_cdc_loop_stream_enrich_upsert(spark, tmp_path):
         ("eu", 17.0),
         ("us", 5.0),
     }
+
+
+def test_table_sink_stream_end_to_end(spark, tmp_path):
+    """Python DataSource SINK: a catalog table streams through
+    read_table_stream into ANOTHER catalog table via the
+    metacat_table_sink writer — executor-written parquet files, one
+    atomic append commit per micro-batch, snapshot lineage at both hops.
+    A second run with a new source commit appends only the delta
+    (checkpoint offsets + on-disk epoch replay check)."""
+    from pyspark.sql import types as T
+
+    from iceberg_metadata_pipeline_spark.catalog.metacat import Catalog
+    from iceberg_metadata_pipeline_spark.streaming.table_source import (
+        read_table_stream,
+    )
+    from iceberg_metadata_pipeline_spark.streaming.table_sink import (
+        write_table_stream,
+    )
+
+    catalog = Catalog(spark, str(tmp_path / "wh"))
+    schema = T.StructType(
+        [T.StructField("id", T.LongType()), T.StructField("v", T.StringType())]
+    )
+    src = catalog.create_table("nyc", "sink_src", schema)
+    dst = catalog.create_table("nyc", "sink_dst", schema)
+    src.append_dataframe(spark.createDataFrame([(1, "a"), (2, "b")], schema))
+    src.refresh()
+
+    ckpt = str(tmp_path / "ckpt")
+    q = write_table_stream(
+        read_table_stream(spark, src), dst, ckpt
+    ).trigger(availableNow=True).start()
+    q.awaitTermination(120)
+    dst.refresh()
+    assert {(r["id"], r["v"]) for r in dst.scan().collect()} == {(1, "a"), (2, "b")}
+    n_snaps = len(dst.meta["snapshots"])
+
+    # new source commit → second run ships ONLY the delta
+    src.append_dataframe(spark.createDataFrame([(3, "c")], schema))
+    src.refresh()
+    q = write_table_stream(
+        read_table_stream(spark, src), dst, ckpt
+    ).trigger(availableNow=True).start()
+    q.awaitTermination(120)
+    dst.refresh()
+    assert {(r["id"], r["v"]) for r in dst.scan().collect()} == {
+        (1, "a"), (2, "b"), (3, "c")}
+    assert len(dst.meta["snapshots"]) == n_snaps + 1  # one batch, one commit
+
+
+def test_table_sink_replayed_epoch_drops_files(spark, tmp_path):
+    """A replayed micro-batch (same batchId after restart) is detected
+    from the on-disk epoch property: its files are dropped, not
+    double-appended."""
+    from pyspark.sql import types as T
+
+    from iceberg_metadata_pipeline_spark.catalog.metacat import Catalog
+    from iceberg_metadata_pipeline_spark.streaming.table_sink import (
+        CatalogTableStreamWriter,
+        _FileCommit,
+    )
+
+    catalog = Catalog(spark, str(tmp_path / "wh"))
+    schema = T.StructType([T.StructField("id", T.LongType())])
+    t = catalog.create_table("nyc", "replay", schema)
+
+    import os
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    def fake_file(vals):
+        p = os.path.join(t.location, "data", f"f{vals[0]}.parquet")
+        os.makedirs(os.path.dirname(p), exist_ok=True)
+        pq.write_table(pa.table({"id": vals}), p)
+        return _FileCommit(path=p, rows=len(vals), size=os.path.getsize(p))
+
+    w = CatalogTableStreamWriter(schema, {"location": t.location})
+    w.commit([fake_file([1, 2])], batchId=0)
+    t.refresh()
+    assert t.scan().count() == 2
+    # replay of batch 0 with a fresh file: dropped, table unchanged
+    replay = fake_file([9, 9])
+    w.commit([replay], batchId=0)
+    t.refresh()
+    assert t.scan().count() == 2
+    assert not os.path.exists(replay.path)
+    # next epoch appends normally
+    w.commit([fake_file([3])], batchId=1)
+    t.refresh()
+    assert t.scan().count() == 3
