@@ -987,6 +987,29 @@ class Table:
 
         Returns {action: effect} for what actually ran."""
         report: dict[str, object] = {}
+        # ref-age retention (Iceberg's history.expire.max-ref-age-ms):
+        # branches/tags older than the limit are dropped FIRST, so the
+        # snapshot expiry below stops protecting their snapshots. Age is
+        # the ref's creation time (legacy refs without one fall back to
+        # the referenced snapshot's commit time).
+        ref_age = self.properties.get("history.expire.max-ref-age-ms")
+        if ref_age is not None:
+            cutoff = int(time.time() * 1000) - int(ref_age)
+            by_id = {s["snapshot_id"]: s for s in self.meta["snapshots"]}
+            aged = []
+            for name, r in list(self.meta.get("refs", {}).items()):
+                born = r.get("created_ms")
+                if born is None:
+                    snap = by_id.get(r["snapshot_id"])
+                    born = snap["timestamp_ms"] if snap else 0
+                if born < cutoff:
+                    aged.append(name)
+            for name in aged:
+                del self.meta["refs"][name]
+            if aged:
+                _write_metadata(self.location, self.meta, self.version + 1)
+                self.version += 1
+                report["ref_expiry"] = {"dropped_refs": sorted(aged)}
         max_age = self.properties.get("history.expire.max-snapshot-age-ms")
         if max_age is not None:
             keep = int(self.properties.get("history.expire.min-snapshots-to-keep", 1))
@@ -1919,7 +1942,11 @@ class Table:
             snapshot_id = self.current_snapshot["snapshot_id"]
         if not any(s["snapshot_id"] == snapshot_id for s in self.meta["snapshots"]):
             raise ValueError(f"no snapshot {snapshot_id}")
-        refs[name] = {"snapshot_id": snapshot_id, "type": kind}
+        refs[name] = {
+            "snapshot_id": snapshot_id,
+            "type": kind,
+            "created_ms": int(time.time() * 1000),
+        }
         _write_metadata(self.location, self.meta, self.version + 1)
         self.version += 1
 

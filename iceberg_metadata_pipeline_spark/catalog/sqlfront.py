@@ -88,6 +88,7 @@ _DML_INSERT_RE = re.compile(
     rf"^\s*INSERT\s+(?P<mode>INTO|OVERWRITE)\s+(?:TABLE\s+)?"
     rf"(?P<ns>{_IDENT})\.(?P<tbl>{_IDENT})\s*"
     rf"(?:\(\s*(?P<cols>{_IDENT}(?:\s*,\s*{_IDENT})*)\s*\)\s*)?"
+    r"(?:(?P<byname>BY\s+NAME)\s+)?"
     rf"(?P<body>(?:VALUES|SELECT|WITH)\b.+)$",
     re.IGNORECASE | re.DOTALL,
 )
@@ -821,7 +822,29 @@ def catalog_sql(catalog: Catalog, statement: str, _depth: int = 0) -> DataFrame:
         # cast to the table schema — SQL INSERT semantics
         src = catalog_sql(catalog, ins.group("body"), _depth=_depth + 1)
         fields = table.schema.fields
-        if ins.group("cols"):
+        if ins.group("byname"):
+            # INSERT ... BY NAME (Spark 4): columns align by SOURCE NAME,
+            # not position; unmentioned target columns get their declared
+            # default, else NULL (same rule as an explicit column list)
+            import json as _json
+
+            names = {f.name.lower(): f.name for f in fields}
+            bad = [c for c in src.columns if c.lower() not in names]
+            if bad:
+                raise ValueError(f"INSERT BY NAME columns not in schema: {bad}")
+            by_name = {names[c.lower()]: c for c in src.columns}
+            defaults = _json.loads(table.properties.get("column-defaults", "{}"))
+            exprs = []
+            for f in fields:
+                if f.name in by_name:
+                    e = F.col(by_name[f.name])
+                elif f.name in defaults:
+                    e = F.expr(str(defaults[f.name]["initial"]))
+                else:
+                    e = F.lit(None)
+                exprs.append(e.cast(f.dataType).alias(f.name))
+            aligned = src.select(*exprs)
+        elif ins.group("cols"):
             # explicit column list: values map to the NAMED columns;
             # unmentioned columns get their declared default, else NULL
             import json as _json

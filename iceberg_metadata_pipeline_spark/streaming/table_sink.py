@@ -34,7 +34,6 @@ every hop.
 
 from __future__ import annotations
 
-import json
 import os
 import uuid
 from dataclasses import dataclass
@@ -42,6 +41,7 @@ from dataclasses import dataclass
 from pyspark.sql.datasource import (
     DataSource,
     DataSourceStreamWriter,
+    DataSourceWriter,
     WriterCommitMessage,
 )
 
@@ -83,7 +83,7 @@ class CatalogTableStreamWriter(DataSourceStreamWriter):
     def _table(self):
         from pyspark.sql import SparkSession
 
-        from iceberg_metadata_pipeline_spark.catalog.metacat import Catalog, Table
+        from iceberg_metadata_pipeline_spark.catalog.metacat import Catalog
 
         spark = SparkSession.getActiveSession()
         warehouse = os.path.dirname(os.path.dirname(self.location))
@@ -136,12 +136,45 @@ class CatalogTableStreamWriter(DataSourceStreamWriter):
                     pass
 
 
+class CatalogTableBatchWriter(DataSourceWriter):
+    """Batch append through the same executor-parallel file path:
+    ``df.write.format("metacat_table_sink").mode("append")`` — one
+    atomic commit for the whole write (no epoch bookkeeping; batch
+    writes are not replayed by the engine)."""
+
+    def __init__(self, schema, options):
+        self._w = CatalogTableStreamWriter(schema, options)
+
+    def write(self, iterator):
+        return self._w.write(iterator)
+
+    def commit(self, messages):
+        from iceberg_metadata_pipeline_spark.catalog.metacat import DataFileEntry
+
+        table = self._w._table()
+        entries = [
+            DataFileEntry(path=m.path, record_count=m.rows, file_size_bytes=m.size)
+            for m in messages
+            if m is not None and m.rows > 0
+        ]
+        if entries:
+            table.append_files(entries, dedupe=False)
+
+    def abort(self, messages):
+        self._w.abort(messages, -1)
+
+
 class CatalogTableSinkDataSource(DataSource):
-    """`writeStream.format("metacat_table_sink")`."""
+    """`writeStream.format("metacat_table_sink")` (and batch `df.write`)."""
 
     @classmethod
     def name(cls) -> str:
         return "metacat_table_sink"
+
+    def writer(self, schema, overwrite):
+        if overwrite:
+            raise ValueError("metacat_table_sink is append-only")
+        return CatalogTableBatchWriter(schema, self.options)
 
     def streamWriter(self, schema, overwrite):
         if overwrite:

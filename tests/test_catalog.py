@@ -1804,3 +1804,27 @@ def test_expire_snapshots_protects_ref_snapshots(spark, catalog):
         f.path for f in t.snapshot_files(snapshot_id=sids[1])
     }
     assert not (set(orphaned) & live)
+
+
+def test_maintain_expires_aged_refs(spark, catalog):
+    """history.expire.max-ref-age-ms: maintain() drops branches/tags older
+    than the limit (so snapshot expiry stops protecting their snapshots);
+    young refs survive."""
+    import time as _time
+
+    from pyspark.sql import types as T
+
+    t = catalog.create_table(
+        "nyc", "refage", T.StructType([T.StructField("id", T.LongType())])
+    )
+    t.append_dataframe(spark.createDataFrame([(1,)], t.schema))
+    t.refresh()
+    t.create_tag("old_tag")
+    t.create_branch("young_branch")
+    # age the tag artificially (metadata edit, like a long-lived table)
+    t.meta["refs"]["old_tag"]["created_ms"] = int(_time.time() * 1000) - 10_000_000
+    t.set_properties({"history.expire.max-ref-age-ms": "3600000"})
+    report = t.maintain()
+    assert report.get("ref_expiry", {}).get("dropped_refs") == ["old_tag"]
+    t.refresh()
+    assert set(t.meta.get("refs", {})) == {"young_branch"}

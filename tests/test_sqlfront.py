@@ -1239,3 +1239,16 @@ def test_update_in_subquery_via_merge(catalog, spark, versioned_table):
     )
     got = {r["id"]: r["s"] for r in catalog_sql(catalog, "SELECT id, s FROM nyc.vt").collect()}
     assert got == {1: "a", 2: "hit", 3: "hit"}
+
+
+def test_insert_by_name(catalog, spark, versioned_table):
+    """INSERT INTO ... BY NAME (Spark 4): source columns align by name
+    regardless of order; unmentioned columns get NULL."""
+    _t, _s1, _s2 = versioned_table
+    catalog_sql(catalog, "INSERT INTO nyc.vt BY NAME SELECT 'z' AS s, 9 AS id")
+    got = {r["id"]: r["s"] for r in catalog_sql(catalog, "SELECT id, s FROM nyc.vt").collect()}
+    assert got[9] == "z"
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="BY NAME"):
+        catalog_sql(catalog, "INSERT INTO nyc.vt BY NAME SELECT 1 AS nope")

@@ -353,3 +353,29 @@ def test_table_sink_replayed_epoch_drops_files(spark, tmp_path):
     w.commit([fake_file([3])], batchId=1)
     t.refresh()
     assert t.scan().count() == 3
+
+
+def test_table_sink_batch_write(spark, tmp_path):
+    """Batch df.write through the same DataSource: executor-parallel
+    files, one atomic append commit for the whole write."""
+    from pyspark.sql import types as T
+
+    from iceberg_metadata_pipeline_spark.catalog.metacat import Catalog
+    from iceberg_metadata_pipeline_spark.streaming.table_sink import (
+        CatalogTableSinkDataSource,
+    )
+
+    catalog = Catalog(spark, str(tmp_path / "wh"))
+    schema = T.StructType(
+        [T.StructField("id", T.LongType()), T.StructField("v", T.StringType())]
+    )
+    t = catalog.create_table("nyc", "batchsink", schema)
+    spark.dataSource.register(CatalogTableSinkDataSource)
+    spark.createDataFrame([(i, f"x{i}") for i in range(20)], schema).repartition(
+        4
+    ).write.format("metacat_table_sink").option("location", t.location).mode(
+        "append"
+    ).save()
+    t.refresh()
+    assert t.scan().count() == 20
+    assert len(t.meta["snapshots"]) == 1  # one atomic commit for the write
