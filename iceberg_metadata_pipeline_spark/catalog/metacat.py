@@ -1952,11 +1952,11 @@ class Table:
 
     def refs_df(self) -> DataFrame:
         rows = [
-            (name, r["type"], r["snapshot_id"])
+            (name, r["type"], r["snapshot_id"], r.get("created_ms"))
             for name, r in sorted(self.meta.get("refs", {}).items())
         ]
         return self.spark.createDataFrame(
-            rows, "name string, type string, snapshot_id long"
+            rows, "name string, type string, snapshot_id long, created_ms long"
         )
 
     # -- reads -------------------------------------------------------------

@@ -215,6 +215,11 @@ _SET_PROPS_RE = re.compile(
     r"\s+SET\s+TBLPROPERTIES\s*\((?P<props>.*)\)\s*;?\s*$",
     re.IGNORECASE | re.DOTALL,
 )
+_UNSET_PROPS_RE = re.compile(
+    rf"^\s*ALTER\s+TABLE\s+(?P<ns>{_IDENT})\.(?P<tbl>{_IDENT})"
+    r"\s+UNSET\s+TBLPROPERTIES\s*(?:IF\s+EXISTS\s*)?\((?P<props>.*)\)\s*;?\s*$",
+    re.IGNORECASE | re.DOTALL,
+)
 _SHOW_PROPS_RE = re.compile(
     rf"^\s*SHOW\s+TBLPROPERTIES\s+(?P<ns>{_IDENT})\.(?P<tbl>{_IDENT})\s*;?\s*$",
     re.IGNORECASE,
@@ -673,6 +678,16 @@ def catalog_sql(catalog: Catalog, statement: str, _depth: int = 0) -> DataFrame:
         table.set_properties(pairs)
         return spark.createDataFrame(
             sorted(pairs.items()), "key string, value string"
+        )
+    props_m = _UNSET_PROPS_RE.match(statement)
+    if props_m is not None:
+        table = catalog.load_table(props_m.group("ns"), props_m.group("tbl"))
+        keys = [k.strip().strip("'\"") for k in props_m.group("props").split(",") if k.strip()]
+        removed = [k for k in keys if table.properties.pop(k, None) is not None]
+        if removed:
+            table.set_properties({})  # persist the removal (version bump)
+        return spark.createDataFrame(
+            [(k, k in removed) for k in keys], "key string, removed boolean"
         )
     props_m = _SHOW_PROPS_RE.match(statement)
     if props_m is not None:

@@ -12,7 +12,11 @@ query's DuckDB oracle is the cross-engine proof.
 
 from __future__ import annotations
 
-from iceberg_metadata_pipeline_spark.queries import sql_query
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from iceberg_metadata_pipeline_spark.queries import query, sql_query
+from iceberg_metadata_pipeline_spark.session import load_tables
 
 # ---------------------------------------------------------------------------
 # PII scrubbing — regex redaction of emails / phone-like numbers.
@@ -209,3 +213,84 @@ GROUP BY r.source, r.n, r.keep_rate
 ORDER BY r.source
 """,
 )
+
+
+def evaluate_expectations(df: DataFrame, rules: dict[str, str]) -> DataFrame:
+    """Data-quality expectations (the dbt-test / DLT-expectations shape):
+    ``rules`` maps a rule name to a ROW-LEVEL boolean SQL predicate that
+    every row is expected to satisfy. Returns one row per rule:
+    (rule, n_rows, n_violations, pass_rate).
+
+    All rules evaluate in ONE aggregate pass over the table —
+    SUM(CASE WHEN NOT pred) per rule inside a single agg — then unpivot
+    to rows. At 100 TB the alternative (one scan per dbt test) is the
+    difference between a nightly QA job and a week of cluster time; this
+    is the declarative analogue of the one-pass column profiler. NULL
+    predicate results count as violations (a rule that can't prove a row
+    is an unproven row)."""
+    aggs = [F.count(F.lit(1)).alias("__n")]
+    for name, pred in rules.items():
+        aggs.append(
+            F.sum(
+                F.when(~F.coalesce(F.expr(pred), F.lit(False)), 1).otherwise(0)
+            ).alias(f"__v_{name}")
+        )
+    row = df.agg(*aggs)
+    stack_args = ", ".join(
+        f"'{name}', __v_{name}" for name in rules
+    )
+    return (
+        row.selectExpr(
+            "__n", f"stack({len(rules)}, {stack_args}) AS (rule, n_violations)"
+        )
+        .select(
+            F.col("rule"),
+            F.col("__n").cast("long").alias("n_rows"),
+            F.col("n_violations").cast("long").alias("n_violations"),
+            F.round(
+                (F.col("__n") - F.col("n_violations")) / F.col("__n"), 12
+            ).alias("pass_rate"),
+        )
+        .orderBy("rule")
+    )
+
+
+@query(
+    "pipeline_data_expectations",
+    """
+WITH a AS (
+  SELECT COUNT(*) AS n,
+    SUM(CASE WHEN NOT COALESCE(o_orderkey IS NOT NULL, FALSE) THEN 1 ELSE 0 END) AS v_key_not_null,
+    SUM(CASE WHEN NOT COALESCE(o_totalprice > 0, FALSE) THEN 1 ELSE 0 END) AS v_price_positive,
+    SUM(CASE WHEN NOT COALESCE(o_orderstatus IN ('F','O','P'), FALSE) THEN 1 ELSE 0 END) AS v_status_domain,
+    SUM(CASE WHEN NOT COALESCE(o_orderdate >= TIMESTAMP '1990-01-01 00:00:00', FALSE) THEN 1 ELSE 0 END) AS v_date_floor,
+    SUM(CASE WHEN NOT COALESCE(length(o_orderpriority) BETWEEN 5 AND 15, FALSE) THEN 1 ELSE 0 END) AS v_priority_shape
+  FROM orders
+)
+SELECT t.rule, a.n AS n_rows, t.nv AS n_violations,
+       ROUND(CAST(a.n - t.nv AS DOUBLE) / a.n, 12) AS pass_rate
+FROM a, LATERAL (VALUES
+  ('date_floor', v_date_floor),
+  ('key_not_null', v_key_not_null),
+  ('price_positive', v_price_positive),
+  ('priority_shape', v_priority_shape),
+  ('status_domain', v_status_domain)
+) t(rule, nv)
+ORDER BY t.rule
+""",
+)
+def pipeline_data_expectations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Five expectations over orders evaluated in one pass (see
+    evaluate_expectations); the oracle states the same accounting with
+    an explicit VALUES unpivot."""
+    t = load_tables(spark, sf_dir)
+    return evaluate_expectations(
+        t["orders"],
+        {
+            "key_not_null": "o_orderkey IS NOT NULL",
+            "price_positive": "o_totalprice > 0",
+            "status_domain": "o_orderstatus IN ('F','O','P')",
+            "date_floor": "o_orderdate >= TIMESTAMP '1990-01-01 00:00:00'",
+            "priority_shape": "length(o_orderpriority) BETWEEN 5 AND 15",
+        },
+    )

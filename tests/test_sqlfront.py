@@ -1252,3 +1252,15 @@ def test_insert_by_name(catalog, spark, versioned_table):
 
     with _pytest.raises(ValueError, match="BY NAME"):
         catalog_sql(catalog, "INSERT INTO nyc.vt BY NAME SELECT 1 AS nope")
+
+
+def test_unset_tblproperties(catalog, spark, versioned_table):
+    """ALTER TABLE UNSET TBLPROPERTIES removes keys (version bump);
+    missing keys report removed=false rather than erroring."""
+    t, _s1, _s2 = versioned_table
+    catalog_sql(catalog, "ALTER TABLE nyc.vt SET TBLPROPERTIES('a'='1','b'='2')")
+    out = catalog_sql(catalog, "ALTER TABLE nyc.vt UNSET TBLPROPERTIES ('a', 'nope')")
+    got = {r["key"]: r["removed"] for r in out.collect()}
+    assert got == {"a": True, "nope": False}
+    t.refresh()
+    assert "a" not in t.properties and t.properties["b"] == "2"
