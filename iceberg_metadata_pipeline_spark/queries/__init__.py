@@ -116,6 +116,7 @@ def _load_all():
         scalar_funcs,
         setops,
         sketches,
+        skyline,
         spark4_sql,
         tpch,
         tpch_full,
