@@ -445,3 +445,57 @@ GROUP BY tri.doc_id
 ORDER BY tri.doc_id
 """,
 )
+
+
+# Pure-SQL ML inference (the ICDE 2025 "inference pipeline in SQL via
+# operator fusion" shape, PAPERS.md): a trained linear model's weights
+# are constants, so scoring fuses into the projection — featurize,
+# dot-product, threshold, all inside whole-stage codegen, executed at
+# scan speed with zero UDF or serving infrastructure. At 100 TB this is
+# how a quality-filter model runs over a corpus: as a WHERE clause, not
+# a model server. Determinism: per-row double arithmetic on identical
+# operands is IEEE-identical in both engines (no transcendentals — the
+# sigmoid is monotone, so thresholding the LINEAR score is equivalent).
+sql_query(
+    "pipeline_linear_model_score",
+    """
+WITH feats AS (
+  SELECT doc_id, lang,
+    size(split(text, ' ')) AS n_tok,
+    length(text) AS n_chars,
+    size(array_distinct(split(text, ' '))) AS n_uniq
+  FROM documents
+), scored AS (
+  SELECT doc_id, lang,
+    ROUND(
+      0.8 * (CAST(n_uniq AS DOUBLE) / n_tok)
+      - 0.002 * abs(n_tok - 300)
+      + 0.0001 * n_chars
+      - 0.05, 10) AS score
+  FROM feats
+)
+SELECT doc_id, lang, score, score > 0.2 AS keep
+FROM scored
+ORDER BY doc_id
+""",
+    oracle="""
+WITH feats AS (
+  SELECT doc_id, lang,
+    len(string_split(text, ' ')) AS n_tok,
+    length(text) AS n_chars,
+    len(list_distinct(string_split(text, ' '))) AS n_uniq
+  FROM documents
+), scored AS (
+  SELECT doc_id, lang,
+    ROUND(
+      0.8 * (CAST(n_uniq AS DOUBLE) / n_tok)
+      - 0.002 * abs(n_tok - 300)
+      + 0.0001 * n_chars
+      - 0.05, 10) AS score
+  FROM feats
+)
+SELECT doc_id, lang, score, score > 0.2 AS keep
+FROM scored
+ORDER BY doc_id
+""",
+)
