@@ -212,3 +212,38 @@ def test_full_statement_surface_over_the_wire(server):
     assert snaps == [{"n": 1}]
     assert {r["namespace"] for r in c.sql("SHOW NAMESPACES")} >= {"wire"}
     c.close()
+
+
+def test_session_variables_and_wap_branch_isolated_per_session(spark, tmp_path):
+    """Spark 4 session variables (DECLARE/SET VAR) and the WAP-branch
+    conf are per-connection state: one client's variable or audit branch
+    never leaks into another's reads — the Thrift-session semantics the
+    reference's deployment gives each JDBC connection."""
+    from iceberg_metadata_pipeline_spark.serving.server import SQLClient, SQLServer
+
+    server = SQLServer(spark, str(tmp_path / "wh")).start()
+    try:
+        a = SQLClient(server.host, server.port)
+        b = SQLClient(server.host, server.port)
+        # session variables are per-session
+        a.sql("DECLARE OR REPLACE VARIABLE cutoff INT DEFAULT 10")
+        a.sql("SET VAR cutoff = 42")
+        assert a.sql("SELECT cutoff AS v")[0]["v"] == 42
+        try:
+            b.sql("SELECT cutoff AS v")
+            leaked = True
+        except Exception:
+            leaked = False
+        assert not leaked, "session variable visible across connections"
+
+        # WAP branch routing is per-session: a's staged write is invisible to b
+        a.sql("CREATE TABLE nyc.wt (id BIGINT)")
+        a.sql("INSERT INTO nyc.wt VALUES (1)")
+        a.sql("SET spark.wap.branch = audit")
+        a.sql("INSERT INTO nyc.wt VALUES (2)")
+        assert a.sql("SELECT COUNT(*) AS n FROM nyc.wt")[0]["n"] == 2  # branch view
+        assert b.sql("SELECT COUNT(*) AS n FROM nyc.wt")[0]["n"] == 1  # main view
+        a.close()
+        b.close()
+    finally:
+        server.stop()
