@@ -390,7 +390,14 @@ class Table:
             }
         )
         if branch is not None:
-            self.meta["refs"][branch] = {"snapshot_id": snapshot_id, "type": "branch"}
+            prev_ref = self.meta.get("refs", {}).get(branch) or {}
+            self.meta.setdefault("refs", {})[branch] = {
+                "snapshot_id": snapshot_id,
+                "type": "branch",
+                # advancing a branch is not re-creating it: keep its birth
+                # time (ref-age retention and .refs depend on it)
+                "created_ms": prev_ref.get("created_ms", int(time.time() * 1000)),
+            }
         else:
             self.meta["current_snapshot_id"] = snapshot_id
         self.meta["last_sequence_number"] = seq
@@ -400,7 +407,11 @@ class Table:
         return snapshot_id
 
     def append_files(
-        self, files: list[DataFileEntry], dedupe: bool = True, branch: str | None = None
+        self,
+        files: list[DataFileEntry],
+        dedupe: bool = True,
+        branch: str | None = None,
+        extra_properties: dict[str, str] | None = None,
     ) -> int:
         """Metadata-only append: one atomic commit registering data files
         in place (zero data movement — ImportParquetFolders.java:102-117).
@@ -427,6 +438,12 @@ class Table:
             new = [f for f in files if not (dedupe and f.path in known)]
             if not new and head is not None:
                 return head
+            # re-applied on EVERY attempt: refresh() after a lost CAS
+            # reloads metadata from disk, which would silently drop a
+            # caller's atomic property rider (e.g. the streaming sink's
+            # epoch marker) from the retried commit
+            if extra_properties:
+                self.properties.update(extra_properties)
             try:
                 return self._commit("append", new, branch=branch)
             except CommitConflictError:

@@ -161,6 +161,18 @@ _DML_UPDATE_RE = re.compile(
 )
 # DELETE ... WHERE col IN (SELECT ...) / (a, b) IN (SELECT ...): the
 # uncorrelated IN-subquery DELETE (the CDC tombstone shape)
+def _balanced(text: str) -> bool:
+    depth = 0
+    for ch in text:
+        if ch == "(":
+            depth += 1
+        elif ch == ")":
+            depth -= 1
+            if depth < 0:
+                return False
+    return depth == 0
+
+
 _DELETE_IN_SUBQ_RE = re.compile(
     rf"^\s*(?:\(\s*(?P<cols>{_IDENT}(?:\s*,\s*{_IDENT})*)\s*\)|(?P<col>{_IDENT}))"
     r"\s+IN\s*\(\s*(?P<sub>(?:SELECT|WITH)\b.+)\)\s*$",
@@ -837,6 +849,10 @@ def catalog_sql(catalog: Catalog, statement: str, _depth: int = 0) -> DataFrame:
         # cast to the table schema — SQL INSERT semantics
         src = catalog_sql(catalog, ins.group("body"), _depth=_depth + 1)
         fields = table.schema.fields
+        if ins.group("byname") and ins.group("cols"):
+            raise ValueError(
+                "INSERT cannot combine an explicit column list with BY NAME"
+            )
         if ins.group("byname"):
             # INSERT ... BY NAME (Spark 4): columns align by SOURCE NAME,
             # not position; unmentioned target columns get their declared
@@ -917,6 +933,11 @@ def catalog_sql(catalog: Catalog, statement: str, _depth: int = 0) -> DataFrame:
     if dml is not None:
         table = catalog.load_table(dml.group("ns"), dml.group("tbl"))
         insub = _DELETE_IN_SUBQ_RE.match(dml.group("cond"))
+        if insub is not None and not _balanced(insub.group("sub")):
+            raise ValueError(
+                "DELETE supports either a plain predicate or exactly one "
+                "IN (SELECT ...) predicate, not a compound of both"
+            )
         if insub is not None:
             # scale-true translation: materialize the subquery's key set
             # and commit it as an equality-delete file (merge-on-read) —
@@ -955,6 +976,11 @@ def catalog_sql(catalog: Catalog, statement: str, _depth: int = 0) -> DataFrame:
     if dml is not None:
         table = catalog.load_table(dml.group("ns"), dml.group("tbl"))
         insub = _DELETE_IN_SUBQ_RE.match(dml.group("cond"))
+        if insub is not None and not _balanced(insub.group("sub")):
+            raise ValueError(
+                "UPDATE supports either a plain predicate or exactly one "
+                "IN (SELECT ...) predicate, not a compound of both"
+            )
         if insub is not None:
             # UPDATE ... WHERE k IN (SELECT ...) rewrites to MERGE on the
             # key set: a shuffle join on the key, not a per-row subquery —

@@ -79,6 +79,12 @@ def cogroup_reconcile(orders: DataFrame, lineitem: DataFrame) -> DataFrame:
     over both sides at once, without materializing the joined width."""
 
     def reconcile(key, orders_pdf: pd.DataFrame, lines_pdf: pd.DataFrame) -> pd.DataFrame:
+        if orders_pdf.empty:
+            # cogroup iterates keys from EITHER side; detail rows without
+            # a header are out of scope (LEFT-join-from-orders semantics)
+            return pd.DataFrame(
+                {"o_orderkey": [], "n_lines": [], "total_qty": []}
+            )
         return pd.DataFrame(
             {
                 "o_orderkey": [key[0]],

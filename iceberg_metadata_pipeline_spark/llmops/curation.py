@@ -228,6 +228,13 @@ def evaluate_expectations(df: DataFrame, rules: dict[str, str]) -> DataFrame:
     is the declarative analogue of the one-pass column profiler. NULL
     predicate results count as violations (a rule that can't prove a row
     is an unproven row)."""
+    import re as _re
+
+    if not rules:
+        raise ValueError("evaluate_expectations needs at least one rule")
+    bad = [n for n in rules if not _re.fullmatch(r"[A-Za-z_][A-Za-z0-9_]*", n)]
+    if bad:
+        raise ValueError(f"rule names must be identifiers: {bad}")
     aggs = [F.count(F.lit(1)).alias("__n")]
     for name, pred in rules.items():
         aggs.append(

@@ -31,18 +31,27 @@ from iceberg_metadata_pipeline_spark.session import load_tables
 def _local_skyline(pdf: pd.DataFrame, minimize: list[str], maximize: list[str]) -> pd.DataFrame:
     import numpy as np
 
-    # normalize to all-minimize: negate maximized dims
-    cols = [pdf[c].to_numpy(dtype=float) for c in minimize]
-    cols += [-pdf[c].to_numpy(dtype=float) for c in maximize]
-    m = np.stack(cols, axis=1)  # (n, d), smaller-is-better everywhere
-    n = m.shape[0]
+    # NATIVE dtypes per dimension — coercing int64 to float64 would merge
+    # values above 2^53 and corrupt dominance verdicts; maximized dims
+    # flip the comparison direction instead of negating values
+    dims = [(pdf[c].to_numpy(), False) for c in minimize]
+    dims += [(pdf[c].to_numpy(), True) for c in maximize]
+    n = len(pdf)
     keep = np.ones(n, dtype=bool)
     for i in range(n):
         if not keep[i]:
             continue
-        # rows dominated by i: >= on every dim and > on at least one
-        worse_eq = (m >= m[i]).all(axis=1)
-        strictly = (m > m[i]).any(axis=1)
+        # rows dominated by i: i at-least-as-good on every dim, strictly
+        # better on at least one
+        worse_eq = np.ones(n, dtype=bool)
+        strictly = np.zeros(n, dtype=bool)
+        for a, is_max in dims:
+            if is_max:
+                worse_eq &= a <= a[i]
+                strictly |= a < a[i]
+            else:
+                worse_eq &= a >= a[i]
+                strictly |= a > a[i]
         dominated = worse_eq & strictly
         dominated[i] = False
         keep &= ~dominated

@@ -58,26 +58,61 @@ _EPOCH_PROP = "stream-sink-last-epoch"
 
 class CatalogTableStreamWriter(DataSourceStreamWriter):
     def __init__(self, schema, options):
-        self.location = options["location"]
-        if not self.location:
+        loc = options.get("location") or ""
+        if not loc:
             raise ValueError("metacat_table_sink requires option 'location'")
+        self.location = loc.rstrip("/")
         self.schema = schema
+        # epoch replay-protection is scoped per STREAM, not per table:
+        # batchIds restart at 0 for a fresh checkpoint and run
+        # independently for a second query into the same table — a single
+        # table-wide high-water mark would silently discard their batches
+        import hashlib
+
+        ckpt = options.get("checkpointlocation") or options.get(
+            "checkpointLocation"
+        )
+        scope = (
+            hashlib.sha1(ckpt.encode()).hexdigest()[:12] if ckpt else "default"
+        )
+        self.epoch_prop = f"{_EPOCH_PROP}.{scope}"
 
     # -- executor side -----------------------------------------------------
     def write(self, iterator) -> _FileCommit:
+        import itertools
+
         import pyarrow as pa
         import pyarrow.parquet as pq
 
-        rows = [r.asDict() for r in iterator]
+        from pyspark.sql.pandas.types import to_arrow_schema
+
         data_dir = os.path.join(self.location, "data")
         os.makedirs(data_dir, exist_ok=True)
         path = os.path.join(data_dir, f"stream-{uuid.uuid4().hex[:16]}.parquet")
         names = [f.name for f in self.schema.fields]
-        table = pa.Table.from_pydict(
-            {n: [r.get(n) for r in rows] for n in names}
-        )
-        pq.write_table(table, path)
-        return _FileCommit(path=path, rows=len(rows), size=os.path.getsize(path))
+        # the declared arrow schema drives every chunk — an all-NULL
+        # chunk must not infer a null type that mismatches the writer
+        arrow_schema = to_arrow_schema(self.schema)
+        # stream the partition in bounded row-group chunks — the executor
+        # never holds more than one chunk in Python memory
+        CHUNK = 65536
+        total = 0
+        with pq.ParquetWriter(path, arrow_schema) as writer:
+            while True:
+                chunk = list(itertools.islice(iterator, CHUNK))
+                if not chunk:
+                    break
+                rows = [r.asDict() for r in chunk]
+                writer.write_table(
+                    pa.Table.from_pydict(
+                        {n: [r.get(n) for r in rows] for n in names},
+                        schema=arrow_schema,
+                    )
+                )
+                total += len(rows)
+                if len(chunk) < CHUNK:
+                    break
+        return _FileCommit(path=path, rows=total, size=os.path.getsize(path))
 
     # -- driver side -------------------------------------------------------
     def _table(self):
@@ -97,7 +132,7 @@ class CatalogTableStreamWriter(DataSourceStreamWriter):
         # replay check from DISK state (not in-process memory): a batch
         # whose epoch is already recorded committed before the failure —
         # drop its rewritten files instead of double-appending
-        last = table.properties.get(_EPOCH_PROP)
+        last = table.properties.get(self.epoch_prop)
         if last is not None and batchId <= int(last):
             for m in messages:
                 if m is not None:
@@ -114,12 +149,15 @@ class CatalogTableStreamWriter(DataSourceStreamWriter):
             if m is not None and m.rows > 0
         ]
         if entries:
-            # the epoch marker rides the SAME commit as the data (the
-            # append's metadata write persists the in-memory property):
-            # either both become visible or neither — the stream.py
-            # foreachBatch sink's crash-consistency rule
-            table.properties[_EPOCH_PROP] = str(batchId)
-            table.append_files(entries, dedupe=False)
+            # the epoch marker rides the SAME commit as the data: either
+            # both become visible or neither — passed as an atomic
+            # property rider so append_files' conflict-retry loop
+            # re-applies it after every refresh()
+            table.append_files(
+                entries,
+                dedupe=False,
+                extra_properties={self.epoch_prop: str(batchId)},
+            )
         for m in messages:
             if m is not None and m.rows == 0:
                 try:

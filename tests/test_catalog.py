@@ -1828,3 +1828,22 @@ def test_maintain_expires_aged_refs(spark, catalog):
     assert report.get("ref_expiry", {}).get("dropped_refs") == ["old_tag"]
     t.refresh()
     assert set(t.meta.get("refs", {})) == {"young_branch"}
+
+
+def test_branch_write_preserves_created_ms(spark, catalog):
+    """Advancing a branch is not re-creating it: the ref keeps its birth
+    time through writes (ref-age retention and .refs depend on it)."""
+    from pyspark.sql import types as T
+
+    t = catalog.create_table(
+        "nyc", "refborn", T.StructType([T.StructField("id", T.LongType())])
+    )
+    t.append_dataframe(spark.createDataFrame([(1,)], t.schema))
+    t.refresh()
+    t.create_branch("b")
+    born = t.meta["refs"]["b"]["created_ms"]
+    t.append_dataframe(spark.createDataFrame([(2,)], t.schema), branch="b")
+    t.refresh()
+    assert t.meta["refs"]["b"]["created_ms"] == born
+    row = {r["name"]: r["created_ms"] for r in t.refs_df().collect()}
+    assert row["b"] == born

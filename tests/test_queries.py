@@ -29,3 +29,16 @@ def test_skyline_matches_naive_on_random_data(spark):
     want = {a[0] for a in rows if not any(dominated(a, b) for b in rows)}
     assert got == want
     assert 1000 in got and 1001 in got  # duplicate frontier points both kept
+
+
+def test_skyline_int64_beyond_float53(spark):
+    """Dominance uses native int64 comparisons: values differing only
+    past float64's 2^53 integer precision still order correctly."""
+    from iceberg_metadata_pipeline_spark.queries.skyline import skyline
+
+    big = 2**53
+    df = spark.createDataFrame(
+        [(1, big, 10), (2, big + 1, 10)], "id long, cost long, perf long"
+    )
+    got = {r["id"] for r in skyline(df, minimize=["cost"], maximize=["perf"]).collect()}
+    assert got == {1}  # row 2 costs strictly more at equal perf

@@ -1264,3 +1264,19 @@ def test_unset_tblproperties(catalog, spark, versioned_table):
     assert got == {"a": True, "nope": False}
     t.refresh()
     assert "a" not in t.properties and t.properties["b"] == "2"
+
+
+def test_in_subquery_compound_predicate_rejected(catalog, spark, versioned_table):
+    """A compound WHERE mixing an IN-subquery with other predicates is
+    rejected with a clear message (the alternative was a mangled
+    greedy-regex parse), and column list + BY NAME is contradictory."""
+    import pytest as _pytest
+
+    _t, _s1, _s2 = versioned_table
+    with _pytest.raises(ValueError, match="compound"):
+        catalog_sql(
+            catalog,
+            "DELETE FROM nyc.vt WHERE id IN (SELECT id FROM nyc.vt WHERE id >= 2) AND s IN (SELECT 'a')",
+        )
+    with _pytest.raises(ValueError, match="BY NAME"):
+        catalog_sql(catalog, "INSERT INTO nyc.vt (id) BY NAME SELECT 9 AS id")
