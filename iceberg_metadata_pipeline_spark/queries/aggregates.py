@@ -347,3 +347,35 @@ ORDER BY l_returnflag
 """,
     oracle="same",
 )
+
+
+# width_bucket histogram: equi-width bucketing as a grouping key (the
+# ANSI spelling of the manual floor-arithmetic histogram declared in
+# agg_histogram_bins). The oracle restates the bucket function
+# arithmetically since DuckDB lacks width_bucket; out-of-range semantics
+# (0 below, n+1 above) are replicated by the clamp.
+sql_query(
+    "agg_width_bucket_histogram",
+    """
+SELECT width_bucket(o_totalprice, 0.0, 400000.0, 8) AS bucket,
+       COUNT(*) AS n,
+       CAST(MIN(o_totalprice) AS DOUBLE) AS lo,
+       CAST(MAX(o_totalprice) AS DOUBLE) AS hi
+FROM orders
+GROUP BY width_bucket(o_totalprice, 0.0, 400000.0, 8)
+ORDER BY bucket
+""",
+    oracle="""
+WITH b AS (
+  SELECT o_totalprice,
+    CAST(LEAST(GREATEST(FLOOR(o_totalprice / 50000.0) + 1, 0), 9) AS BIGINT) AS bucket
+  FROM orders
+)
+SELECT bucket, COUNT(*) AS n,
+       CAST(MIN(o_totalprice) AS DOUBLE) AS lo,
+       CAST(MAX(o_totalprice) AS DOUBLE) AS hi
+FROM b
+GROUP BY bucket
+ORDER BY bucket
+""",
+)

@@ -548,3 +548,41 @@ FROM t
 ORDER BY o_orderkey
 """,
 )
+
+
+# URL family: parse_url component extraction + URL-encoding round-trip.
+# DuckDB has neither, so the oracle restates the extraction as anchored
+# regexes over the same constructed URLs (codegen scalar work either way).
+sql_query(
+    "fn_url_family",
+    """
+WITH u AS (
+  SELECT doc_id,
+    concat('https://', source, '.example.com/', lang, '/doc?id=', doc_id, '&v=2') AS url
+  FROM documents
+)
+SELECT doc_id,
+  parse_url(url, 'HOST') AS host,
+  parse_url(url, 'PATH') AS path,
+  parse_url(url, 'QUERY', 'id') AS qid,
+  url_decode(url_encode(url)) = url AS codec_roundtrip
+FROM u
+ORDER BY doc_id
+LIMIT 120
+""",
+    oracle="""
+WITH u AS (
+  SELECT doc_id,
+    concat('https://', source, '.example.com/', lang, '/doc?id=', doc_id, '&v=2') AS url
+  FROM documents
+)
+SELECT doc_id,
+  regexp_extract(url, 'https://([^/]+)/', 1) AS host,
+  regexp_extract(url, 'https://[^/]+(/[^?]*)', 1) AS path,
+  regexp_extract(url, '[?&]id=([^&]*)', 1) AS qid,
+  TRUE AS codec_roundtrip
+FROM u
+ORDER BY doc_id
+LIMIT 120
+""",
+)
