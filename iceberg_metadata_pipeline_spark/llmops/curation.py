@@ -301,3 +301,40 @@ def pipeline_data_expectations(spark: SparkSession, sf_dir: str) -> DataFrame:
             "priority_shape": "length(o_orderpriority) BETWEEN 5 AND 15",
         },
     )
+
+
+def apply_expectations_or_drop(
+    df: DataFrame, rules: dict[str, str]
+) -> tuple[DataFrame, DataFrame]:
+    """Row-level expectation enforcement (DLT's expect_or_drop): returns
+    (kept, quarantined) — kept rows satisfy every rule; quarantined rows
+    carry a ``failed_rules`` array naming each violated rule, the audit
+    trail a quarantine table needs.
+
+    One projection computes all rule verdicts (an array of failed names
+    via the same NULL-counts-as-violation rule as evaluate_expectations);
+    the two outputs are filters over it, so Catalyst plans each side as
+    scan→project→filter with every rule predicate eligible for pushdown.
+    At 100 TB route both to sinks in one job (df.persist or foreachBatch)
+    rather than triggering two scans."""
+    import re as _re
+
+    if not rules:
+        raise ValueError("apply_expectations_or_drop needs at least one rule")
+    bad = [n for n in rules if not _re.fullmatch(r"[A-Za-z_][A-Za-z0-9_]*", n)]
+    if bad:
+        raise ValueError(f"rule names must be identifiers: {bad}")
+    failed = F.array_compact(
+        F.array(
+            *[
+                F.when(
+                    ~F.coalesce(F.expr(pred), F.lit(False)), F.lit(name)
+                ).otherwise(F.lit(None))
+                for name, pred in rules.items()
+            ]
+        )
+    )
+    tagged = df.withColumn("failed_rules", failed)
+    kept = tagged.where(F.size("failed_rules") == 0).drop("failed_rules")
+    quarantined = tagged.where(F.size("failed_rules") > 0)
+    return kept, quarantined

@@ -379,3 +379,52 @@ GROUP BY bucket
 ORDER BY bucket
 """,
 )
+
+
+# checked variants of the engine-specific approximations: emit the EXACT
+# value plus a within-tolerance boolean for the sketch estimate, so the
+# approximate surface gets a full value-level oracle (the unchecked
+# rows-only variants remain for the raw estimates).
+sql_query(
+    "agg_approx_distinct_checked",
+    """
+WITH est AS (
+  SELECT l_returnflag,
+         approx_count_distinct(l_orderkey, 0.01) AS e,
+         COUNT(DISTINCT l_orderkey) AS exact_nd
+  FROM lineitem GROUP BY l_returnflag
+)
+SELECT l_returnflag, exact_nd,
+       abs(CAST(e AS DOUBLE) - exact_nd) / exact_nd < 0.05 AS est_ok
+FROM est
+ORDER BY l_returnflag
+""",
+    oracle="""
+SELECT l_returnflag, COUNT(DISTINCT l_orderkey) AS exact_nd, TRUE AS est_ok
+FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag
+""",
+)
+
+sql_query(
+    "agg_percentile_approx_checked",
+    """
+WITH v AS (
+  SELECT l_returnflag,
+         approx_percentile(l_extendedprice, 0.5, 10000) AS ap,
+         percentile(l_extendedprice, 0.5) AS ex
+  FROM lineitem GROUP BY l_returnflag
+)
+SELECT l_returnflag,
+       CAST(ex AS DOUBLE) AS exact_median,
+       abs(ap - ex) / ex < 0.01 AS est_ok
+FROM v
+ORDER BY l_returnflag
+""",
+    oracle="""
+SELECT l_returnflag,
+       CAST(percentile_cont(0.5) WITHIN GROUP (ORDER BY l_extendedprice) AS DOUBLE)
+         AS exact_median,
+       TRUE AS est_ok
+FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag
+""",
+)

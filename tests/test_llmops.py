@@ -665,3 +665,32 @@ def test_probe_dimensions_headers_only(spark, tables):
         assert pr["media_type"] == decoded[d]["media_type"]
         assert pr["width"] == decoded[d]["width"]
         assert pr["height"] == decoded[d]["height"]
+
+
+def test_expectations_or_drop_quarantine(spark):
+    """expect_or_drop semantics: clean rows pass through unchanged,
+    violating rows land in quarantine with every failed rule named
+    (NULL predicate results count as violations)."""
+    from iceberg_metadata_pipeline_spark.llmops.curation import (
+        apply_expectations_or_drop,
+    )
+
+    df = spark.createDataFrame(
+        [(1, 10, "ok"), (2, -5, "ok"), (3, 7, None), (4, -1, None)],
+        "id long, amount long, status string",
+    )
+    kept, quar = apply_expectations_or_drop(
+        df,
+        {"amount_positive": "amount > 0", "status_present": "status IS NOT NULL"},
+    )
+    assert {r["id"] for r in kept.collect()} == {1}
+    got = {r["id"]: sorted(r["failed_rules"]) for r in quar.collect()}
+    assert got == {
+        2: ["amount_positive"],
+        3: ["status_present"],
+        4: ["amount_positive", "status_present"],
+    }
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        apply_expectations_or_drop(df, {})
