@@ -476,3 +476,61 @@ def test_transform_with_state_protocol_level(spark, tables):
     assert (final["n_events"] == oracle["n_events"]).all()
     assert (final["total_value"] - oracle["total_value"]).abs().max() < 1e-9
     assert (final["max_value"] == oracle["max_value"]).all()
+
+
+def test_stream_stream_left_outer_join_emits_null_padded_after_watermark(
+    spark, tmp_path
+):
+    """LEFT OUTER stream-stream join: unmatched left rows are held in
+    state until BOTH watermarks pass their join window, then emit
+    null-padded — the semantics that make outer joins on streams need a
+    watermark on each side. A far-future sentinel row in batch 2 pushes
+    the watermark so every held row flushes."""
+    import json as _json
+
+    from pyspark.sql import functions as F
+
+    ldir, rdir = tmp_path / "L", tmp_path / "R"
+    ldir.mkdir(), rdir.mkdir()
+    t0 = "2024-01-01T00:{m:02d}:00"
+
+    def write(d, name, rows):
+        (d / name).write_text("\n".join(_json.dumps(r) for r in rows))
+
+    # batch 1: left users 1..4; right matches only users 1,2 (in-window)
+    write(ldir, "b1.json", [{"u": u, "lts": t0.format(m=1)} for u in (1, 2, 3, 4)])
+    write(rdir, "b1.json", [{"u": u, "rts": t0.format(m=2)} for u in (1, 2)])
+    # batch 2: sentinels hours later on both sides push both watermarks
+    write(ldir, "b2.json", [{"u": 99, "lts": "2024-01-01T06:00:00"}])
+    write(rdir, "b2.json", [{"u": 98, "rts": "2024-01-01T06:00:00"}])
+
+    lschema = "u long, lts string"
+    rschema = "u long, rts string"
+    left = (
+        spark.readStream.schema(lschema).option("maxFilesPerTrigger", 1)
+        .json(str(ldir))
+        .select("u", F.col("lts").cast("timestamp").alias("lts"))
+        .withWatermark("lts", "1 minute")
+    )
+    right = (
+        spark.readStream.schema(rschema).option("maxFilesPerTrigger", 1)
+        .json(str(rdir))
+        .select(F.col("u").alias("ru"), F.col("rts").cast("timestamp").alias("rts"))
+        .withWatermark("rts", "1 minute")
+    )
+    joined = left.join(
+        right,
+        F.expr("u = ru AND rts BETWEEN lts AND lts + INTERVAL 10 MINUTES"),
+        "leftOuter",
+    )
+    q = (
+        joined.writeStream.format("memory").queryName("ssoj")
+        .outputMode("append").trigger(availableNow=True).start()
+    )
+    q.awaitTermination(180)
+    rows = spark.sql("SELECT u, ru FROM ssoj").collect()
+    matched = {r["u"] for r in rows if r["ru"] is not None}
+    null_padded = {r["u"] for r in rows if r["ru"] is None}
+    assert matched == {1, 2}
+    # 3 and 4 closed by the watermark advance and emitted null-padded
+    assert {3, 4} <= null_padded
