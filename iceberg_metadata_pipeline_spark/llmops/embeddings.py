@@ -21,7 +21,12 @@ columns only (the driver's canonicalizer cannot hash arrays).
 
 from __future__ import annotations
 
-from iceberg_metadata_pipeline_spark.queries import sql_query
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from iceberg_metadata_pipeline_spark.queries import query, sql_query
+from iceberg_metadata_pipeline_spark.session import load_tables
 
 # L2 norm as a sequential double fold — identical association order in
 # both engines, so sqrt of bit-identical sums is bit-identical
@@ -121,3 +126,29 @@ GROUP BY label, pos
 ORDER BY label, pos
 """,
 )
+
+
+@query("embed_kmeans_clusters", None)  # ML-trained quantizer → rows-only
+def embed_kmeans_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus clustering profile: the IVF coarse quantizer's k-means
+    partitioning of the embedding space, reported as label-free ranked
+    cluster sizes (stable under centroid label permutation). The
+    data-curation read on this: cluster-size skew is the first signal of
+    duplicated/templated content regions. Training is the bounded-sample
+    Spark ML job the IVF index already uses; assignment is a pure JVM
+    map — no new scale surface."""
+    from iceberg_metadata_pipeline_spark.llmops.similarity import ivf_assignments
+
+    emb = load_tables(spark, sf_dir)["embeddings"]
+    assigned, _centroids = ivf_assignments(emb, nlist=8)
+    sizes = assigned.groupBy("list_id").agg(F.count(F.lit(1)).alias("cluster_size"))
+    total = emb.count()
+    w = Window.orderBy(F.desc("cluster_size"), "list_id")
+    return (
+        sizes.select(
+            F.row_number().over(w).alias("size_rank"),
+            F.col("cluster_size").cast("long").alias("cluster_size"),
+            F.round(F.col("cluster_size") / F.lit(total), 6).alias("share"),
+        )
+        .orderBy("size_rank")
+    )
