@@ -586,3 +586,36 @@ ORDER BY doc_id
 LIMIT 120
 """,
 )
+
+
+# higher-order array_sort with a CUSTOM comparator lambda (length, then
+# lexicographic) — the comparator executes in Catalyst's lambda
+# interpreter, not Python. DuckDB has no comparator lambdas; the oracle
+# rebuilds the same ordering by exploding and re-aggregating with a
+# multi-key ORDER BY inside list().
+sql_query(
+    "fn_array_sort_comparator",
+    """
+SELECT doc_id,
+  array_sort(
+    split(substr(text, 1, 60), ' '),
+    (l, r) -> CASE WHEN length(l) < length(r) THEN -1
+                   WHEN length(l) > length(r) THEN 1
+                   WHEN l < r THEN -1 WHEN l > r THEN 1 ELSE 0 END
+  ) AS toks_by_len
+FROM documents
+ORDER BY doc_id
+LIMIT 80
+""",
+    oracle="""
+WITH e AS (
+  SELECT doc_id, unnest(string_split(substr(text, 1, 60), ' ')) AS w
+  FROM documents
+)
+SELECT doc_id, list(w ORDER BY length(w), w) AS toks_by_len
+FROM e
+GROUP BY doc_id
+ORDER BY doc_id
+LIMIT 80
+""",
+)
