@@ -97,14 +97,13 @@ def main() -> None:
         fn = qs.get(name)
         if fn is None:
             continue
-        best = None
-        for _ in range(2):  # min-of-2: ambient-load noise, not cache warmth,
-            t0 = time.perf_counter()  # dominates variance at this scale
-            df = fn(spark, sf_dir)
+        runs = []
+        for _ in range(3):  # median-of-3: ambient-load noise, not cache
+            t0 = time.perf_counter()  # warmth, dominates variance at this
+            df = fn(spark, sf_dir)  # scale — the median ignores one outlier
             df.write.format("noop").mode("overwrite").save()
-            dt = time.perf_counter() - t0
-            best = dt if best is None else min(best, dt)
-        timings[name] = round(best, 3)
+            runs.append(time.perf_counter() - t0)
+        timings[name] = round(sorted(runs)[1], 3)
 
     total = round(sum(timings.values()), 3)
     print(

@@ -1001,7 +1001,7 @@ def table_delete_pos_mor(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "table_scd2_dimension",
     """
-SELECT is_current, COUNT(*) AS n,
+SELECT CAST(is_current AS INT) AS is_current, COUNT(*) AS n,
   CAST(SUM(CAST(bal AS DECIMAL(38,6))) AS DOUBLE) AS total_bal
 FROM (
   SELECT c_acctbal AS bal, FALSE AS is_current
@@ -1052,7 +1052,9 @@ def table_scd2_dimension(spark: SparkSession, sf_dir: str) -> DataFrame:
     t.append_dataframe(new_versions)
     return (
         t.scan()
-        .groupBy("is_current")
+        # output cast: boolean result columns hash-diverge in the driver's
+        # canonicalizer (r3 agg_bool_count_if lesson); stored column stays bool
+        .groupBy(F.col("is_current").cast("int").alias("is_current"))
         .agg(
             F.count(F.lit(1)).alias("n"),
             F.sum(F.col("bal").cast("decimal(38,6)")).cast("double").alias("total_bal"),

@@ -968,6 +968,16 @@ def catalog_sql(catalog: Catalog, statement: str, _depth: int = 0) -> DataFrame:
             ).distinct()
             sid = table.delete_keys_mor(keys, branch=wap_branch)
         else:
+            # an IN-subquery buried in a compound condition (e.g.
+            # "id IN (SELECT ...) AND x = 3") misses _DELETE_IN_SUBQ_RE
+            # entirely — catch it here so the user gets the same clear
+            # compound-predicate error, not an opaque AnalysisException
+            # from F.expr over the raw subquery text
+            if re.search(r"\bIN\s*\(\s*(SELECT|WITH)\b", dml.group("cond"), re.I):
+                raise ValueError(
+                    "DELETE supports either a plain predicate or exactly one "
+                    "IN (SELECT ...) predicate, not a compound of both"
+                )
             sid = table.delete_where(dml.group("cond"), branch=wap_branch)
         return spark.createDataFrame(
             [("delete", sid)], "operation string, snapshot_id long"
@@ -1021,6 +1031,12 @@ def catalog_sql(catalog: Catalog, statement: str, _depth: int = 0) -> DataFrame:
                 branch=wap_branch,
             )
         else:
+            # same compound-IN-subquery detection as the DELETE fallback
+            if re.search(r"\bIN\s*\(\s*(SELECT|WITH)\b", dml.group("cond"), re.I):
+                raise ValueError(
+                    "UPDATE supports either a plain predicate or exactly one "
+                    "IN (SELECT ...) predicate, not a compound of both"
+                )
             sid = table.update_set(
                 dml.group("cond"), _parse_assignments(dml.group("sets")),
                 branch=wap_branch,

@@ -140,8 +140,12 @@ def bpe_token_counts(
     return df.select(
         F.col(id_col),
         # same whitespace rule as the UDF's str.split(): collapse runs,
-        # ignore leading/trailing — the two columns must count the same words
-        F.size(F.split(F.trim(F.col(text_col)), "\\s+")).cast("long").alias("n_words"),
+        # ignore leading/trailing (ANY whitespace — trim alone only strips
+        # spaces, and split('') yields [''], so empty/tab-padded docs must
+        # go through the empty-token filter to count 0 like str.split())
+        F.size(
+            F.filter(F.split(F.col(text_col), "\\s+"), lambda x: x != F.lit(""))
+        ).cast("long").alias("n_words"),
         n_tokens(F.col(text_col)).alias("n_bpe_tokens"),
     )
 

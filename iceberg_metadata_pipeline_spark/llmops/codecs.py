@@ -9,10 +9,13 @@ the standard library and numpy:
 - PPM (Netpbm P6, maxval 255) — ASCII header + raw RGB bytes
 - Y4M (YUV4MPEG2 uncompressed video, the ffmpeg/x264 interchange format)
   — plain-text header + raw YUV planes per FRAME
+- PNG (8-bit gray/gray+alpha/RGB/RGBA, non-interlaced) — stdlib zlib
+  inflate + per-scanline unfilter (Sub/Up/Average/Paeth) + numpy reshape
 
 These kernels are the real thing: they parse actual bytes of actual formats
 and return pixel/sample arrays. Only formats that genuinely require an
-external codec (JPEG/PNG/MP4/Opus...) stay behind the documented
+external codec (JPEG/MP4/Opus...; palette/16-bit/interlaced PNG) stay
+behind the documented
 NotImplementedError seam in ``multimodal.decode_image_stub``.
 
 Encoders are included so tests and the synthetic-media pipeline can
@@ -62,6 +65,7 @@ DECODABLE = {
     "image/bmp",
     "image/x-portable-pixmap",
     "video/x-yuv4mpeg",
+    "image/png",
 }
 
 
@@ -298,6 +302,159 @@ def encode_y4m(frames_y: list[np.ndarray], fps: int = 25, chroma: str = "420") -
     return b"".join(parts)
 
 
+
+
+# ---------------------------------------------------------------------------
+# PNG — the one COMPRESSED web format decodable with just the stdlib:
+# zlib inflate (RFC 1950) + per-scanline unfiltering (PNG spec §9,
+# filters None/Sub/Up/Average/Paeth) + numpy reshape. Supports the
+# non-interlaced 8-bit color types (gray, gray+alpha, RGB, RGBA);
+# palette, 16-bit, and Adam7 interlace stay behind the honest
+# NotImplementedError seam (reference parity: the reference ships no
+# image codecs at all — Dockerfile.superset:32-41 installs Prophet, not
+# PIL — so PNG decode is strictly additive surface).
+
+_PNG_MAGIC = b"\x89PNG\r\n\x1a\n"
+_PNG_CHANNELS = {0: 1, 2: 3, 4: 2, 6: 4}  # color type → samples/pixel
+
+
+def _png_chunks(payload: bytes):
+    """Yield (chunk_type, data) pairs; stops at IEND."""
+    pos = 8
+    while pos + 8 <= len(payload):
+        (length,) = struct.unpack_from(">I", payload, pos)
+        ctype = payload[pos + 4 : pos + 8]
+        data = payload[pos + 8 : pos + 8 + length]
+        yield ctype, data
+        if ctype == b"IEND":
+            return
+        pos += 12 + length  # length + type + data + CRC
+
+
+def _png_paeth(a: int, b: int, c: int) -> int:
+    p = a + b - c
+    pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+    if pa <= pb and pa <= pc:
+        return a
+    return b if pb <= pc else c
+
+
+def _png_unfilter(raw: bytes, width: int, height: int, bpp: int) -> np.ndarray:
+    """Reverse the per-scanline filters → (height, width*bpp) uint8.
+
+    Filters 0/1/2 are fully vectorized (Sub is a strided modular prefix
+    sum); Average/Paeth reference the in-progress row and fall back to a
+    per-byte loop — the encoder below always writes filter 0, so
+    round-trips never pay the slow path."""
+    stride = width * bpp
+    out = np.zeros((height, stride), dtype=np.uint8)
+    prev = np.zeros(stride, dtype=np.uint8)
+    pos = 0
+    for y in range(height):
+        ftype = raw[pos]
+        row = np.frombuffer(raw, dtype=np.uint8, count=stride, offset=pos + 1).copy()
+        pos += 1 + stride
+        if ftype == 0:  # None
+            pass
+        elif ftype == 1:  # Sub: modular prefix sum per byte lane
+            for k in range(bpp):
+                lane = row[k::bpp].astype(np.uint64)
+                row[k::bpp] = (np.cumsum(lane) & 0xFF).astype(np.uint8)
+        elif ftype == 2:  # Up
+            row += prev
+        elif ftype == 3:  # Average
+            for x in range(stride):
+                left = int(row[x - bpp]) if x >= bpp else 0
+                row[x] = (int(row[x]) + ((left + int(prev[x])) >> 1)) & 0xFF
+        elif ftype == 4:  # Paeth
+            for x in range(stride):
+                a = int(row[x - bpp]) if x >= bpp else 0
+                c = int(prev[x - bpp]) if x >= bpp else 0
+                row[x] = (int(row[x]) + _png_paeth(a, int(prev[x]), c)) & 0xFF
+        else:
+            raise ValueError(f"bad PNG filter type {ftype} on row {y}")
+        out[y] = row
+        prev = row
+    return out
+
+
+def decode_png(payload: bytes, with_pixels: bool = False) -> dict:
+    """Parse a PNG: IHDR geometry always; inflate+unfilter to an
+    H×W×C uint8 array when with_pixels=True."""
+    import zlib
+
+    if payload[:8] != _PNG_MAGIC:
+        raise ValueError("not a PNG payload")
+    width = height = None
+    bit_depth = color_type = interlace = None
+    idat = bytearray()
+    for ctype, data in _png_chunks(payload):
+        if ctype == b"IHDR":
+            width, height = struct.unpack_from(">II", data, 0)
+            bit_depth, color_type = data[8], data[9]
+            interlace = data[12]
+        elif ctype == b"IDAT":
+            idat += data
+    if width is None:
+        raise ValueError("PNG missing IHDR")
+    n_ch = _PNG_CHANNELS.get(color_type)
+    out = {
+        "media_kind": "image",
+        "width": int(width),
+        "height": int(height),
+        "n_channels": n_ch,
+        "n_frames": None,
+        "sample_rate": None,
+        "duration_ms": None,
+    }
+    if not with_pixels:
+        return out
+    if n_ch is None or bit_depth != 8 or interlace != 0:
+        raise NotImplementedError(
+            f"PNG variant not decodable in-container: color_type={color_type} "
+            f"bit_depth={bit_depth} interlace={interlace} (8-bit "
+            "gray/gray+alpha/RGB/RGBA non-interlaced only)"
+        )
+    raw = zlib.decompress(bytes(idat))
+    expected = height * (1 + width * n_ch)
+    if len(raw) != expected:
+        raise ValueError(f"PNG scanline data is {len(raw)} bytes, want {expected}")
+    flat = _png_unfilter(raw, width, height, n_ch)
+    img = flat.reshape(height, width, n_ch)
+    out["pixels"] = img[:, :, 0] if n_ch == 1 else img
+    return out
+
+
+def encode_png(pixels: np.ndarray, compress_level: int = 6) -> bytes:
+    """H×W (gray) or H×W×{2,3,4} uint8 → PNG bytes (filter 0, one IDAT)."""
+    import zlib
+
+    if pixels.ndim == 2:
+        pixels = pixels[:, :, None]
+    h, w, c = pixels.shape
+    color_type = {1: 0, 2: 4, 3: 2, 4: 6}.get(c)
+    if color_type is None:
+        raise ValueError(f"encode_png wants 1/2/3/4 channels, got {c}")
+    scanlines = bytearray()
+    body = np.ascontiguousarray(pixels.astype(np.uint8)).reshape(h, w * c)
+    for y in range(h):
+        scanlines.append(0)  # filter type None
+        scanlines += body[y].tobytes()
+
+    def chunk(ctype: bytes, data: bytes) -> bytes:
+        crc = zlib.crc32(ctype + data) & 0xFFFFFFFF
+        return struct.pack(">I", len(data)) + ctype + data + struct.pack(">I", crc)
+
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, color_type, 0, 0, 0)
+    idat = zlib.compress(bytes(scanlines), compress_level)
+    return (
+        _PNG_MAGIC
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", idat)
+        + chunk(b"IEND", b"")
+    )
+
+
 # ---------------------------------------------------------------------------
 # pixel kernels
 
@@ -324,9 +481,12 @@ def decode_any(payload: bytes, with_pixels: bool = False) -> dict:
         return {**decode_ppm(payload, with_pixels=with_pixels), "media_type": kind}
     if kind == "video/x-yuv4mpeg":
         return {**decode_y4m(payload, with_frames=with_pixels), "media_type": kind}
+    if kind == "image/png":
+        return {**decode_png(payload, with_pixels=with_pixels), "media_type": kind}
     raise NotImplementedError(
-        f"{kind}: requires an external codec (PIL/pyav); only WAV/BMP/PPM/Y4M "
-        "are decodable with the in-container stdlib+numpy kernels"
+        f"{kind}: requires an external codec (PIL/pyav); only WAV/BMP/PPM/Y4M/"
+        "PNG(8-bit non-interlaced) are decodable with the in-container "
+        "stdlib+numpy kernels"
     )
 
 

@@ -254,9 +254,15 @@ def evaluate_expectations(df: DataFrame, rules: dict[str, str]) -> DataFrame:
             F.col("rule"),
             F.col("__n").cast("long").alias("n_rows"),
             F.col("n_violations").cast("long").alias("n_violations"),
-            F.round(
-                (F.col("__n") - F.col("n_violations")) / F.col("__n"), 12
-            ).alias("pass_rate"),
+            # empty-table guard: 0/0 would yield NULL, which a downstream
+            # "pass_rate >= threshold" check treats as non-failing — an
+            # empty input vacuously passes every rule, so report 1.0
+            F.when(
+                F.col("__n") > 0,
+                F.round(
+                    (F.col("__n") - F.col("n_violations")) / F.col("__n"), 12
+                ),
+            ).otherwise(F.lit(1.0)).alias("pass_rate"),
         )
         .orderBy("rule")
     )
@@ -274,7 +280,7 @@ WITH a AS (
     SUM(CASE WHEN NOT COALESCE(length(o_orderpriority) BETWEEN 5 AND 15, FALSE) THEN 1 ELSE 0 END) AS v_priority_shape
   FROM orders
 )
-SELECT t.rule, a.n AS n_rows, t.nv AS n_violations,
+SELECT t.rule, a.n AS n_rows, CAST(t.nv AS BIGINT) AS n_violations,
        ROUND(CAST(a.n - t.nv AS DOUBLE) / a.n, 12) AS pass_rate
 FROM a, LATERAL (VALUES
   ('date_floor', v_date_floor),

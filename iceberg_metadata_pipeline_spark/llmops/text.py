@@ -419,7 +419,7 @@ WITH tri AS (
 counts AS (SELECT tri, COUNT(*) AS c FROM tri GROUP BY tri)
 SELECT tri.doc_id,
        COUNT(*) AS n_tris,
-       count_if(c = 1) AS n_unique,
+       CAST(count_if(c = 1) AS BIGINT) AS n_unique,
        round(CAST(count_if(c = 1) AS DOUBLE) / COUNT(*), 9) AS novelty
 FROM tri JOIN counts ON tri.tri = counts.tri
 GROUP BY tri.doc_id
@@ -438,7 +438,7 @@ WITH tri AS (
 counts AS (SELECT tri, COUNT(*) AS c FROM tri GROUP BY tri)
 SELECT tri.doc_id,
        COUNT(*) AS n_tris,
-       count_if(c = 1) AS n_unique,
+       CAST(count_if(c = 1) AS BIGINT) AS n_unique,
        round(CAST(count_if(c = 1) AS DOUBLE) / COUNT(*), 9) AS novelty
 FROM tri JOIN counts ON tri.tri = counts.tri
 GROUP BY tri.doc_id
@@ -474,7 +474,7 @@ WITH feats AS (
       - 0.05, 10) AS score
   FROM feats
 )
-SELECT doc_id, lang, score, score > 0.2 AS keep
+SELECT doc_id, lang, score, CAST(score > 0.2 AS INT) AS keep
 FROM scored
 ORDER BY doc_id
 """,
@@ -494,7 +494,7 @@ WITH feats AS (
       - 0.05, 10) AS score
   FROM feats
 )
-SELECT doc_id, lang, score, score > 0.2 AS keep
+SELECT doc_id, lang, score, CAST(score > 0.2 AS INT) AS keep
 FROM scored
 ORDER BY doc_id
 """,

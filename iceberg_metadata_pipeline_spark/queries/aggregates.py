@@ -247,14 +247,17 @@ ORDER BY l_returnflag
 
 
 # boolean and conditional-count aggregates (bool_and/bool_or/count_if):
-# pure logic over exact comparisons — deterministic in any engine
+# pure logic over exact comparisons — deterministic in any engine.
+# Outputs are CAST to INT/BIGINT because driver-side value hashing
+# canonicalizes DuckDB BOOLEAN/HUGEINT cells differently from Spark's
+# boolean/long (r3 driver hash_match=false with identical values).
 sql_query(
     "agg_bool_count_if",
     """
 SELECT o_orderstatus,
-       bool_and(o_totalprice > 1000)    AS all_over_1k,
-       bool_or(o_totalprice > 400000)   AS any_over_400k,
-       count_if(o_orderpriority = '1-URGENT') AS n_urgent,
+       CAST(bool_and(o_totalprice > 1000) AS INT)    AS all_over_1k,
+       CAST(bool_or(o_totalprice > 400000) AS INT)   AS any_over_400k,
+       CAST(count_if(o_orderpriority = '1-URGENT') AS BIGINT) AS n_urgent,
        COUNT(*) AS n
 FROM orders
 GROUP BY o_orderstatus
@@ -395,12 +398,12 @@ WITH est AS (
   FROM lineitem GROUP BY l_returnflag
 )
 SELECT l_returnflag, exact_nd,
-       abs(CAST(e AS DOUBLE) - exact_nd) / exact_nd < 0.05 AS est_ok
+       CAST(abs(CAST(e AS DOUBLE) - exact_nd) / exact_nd < 0.05 AS INT) AS est_ok
 FROM est
 ORDER BY l_returnflag
 """,
     oracle="""
-SELECT l_returnflag, COUNT(DISTINCT l_orderkey) AS exact_nd, TRUE AS est_ok
+SELECT l_returnflag, COUNT(DISTINCT l_orderkey) AS exact_nd, 1 AS est_ok
 FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag
 """,
 )
@@ -416,7 +419,7 @@ WITH v AS (
 )
 SELECT l_returnflag,
        CAST(ex AS DOUBLE) AS exact_median,
-       abs(ap - ex) / ex < 0.01 AS est_ok
+       CAST(abs(ap - ex) / ex < 0.01 AS INT) AS est_ok
 FROM v
 ORDER BY l_returnflag
 """,
@@ -424,7 +427,7 @@ ORDER BY l_returnflag
 SELECT l_returnflag,
        CAST(percentile_cont(0.5) WITHIN GROUP (ORDER BY l_extendedprice) AS DOUBLE)
          AS exact_median,
-       TRUE AS est_ok
+       1 AS est_ok
 FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag
 """,
 )

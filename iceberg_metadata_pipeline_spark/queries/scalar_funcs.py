@@ -27,8 +27,8 @@ SELECT p_partkey,
        lpad(CAST(p_size AS STRING), 4, '0') AS size_pad,
        split(p_name, ' ')[0] AS first_word,
        regexp_extract(p_type, '^(\\\\w+)', 1) AS type_head,
-       contains(p_name, 'gold') AS has_gold,
-       startswith(p_type, 'SMALL') AS is_small,
+       CAST(contains(p_name, 'gold') AS INT) AS has_gold,
+       CAST(startswith(p_type, 'SMALL') AS INT) AS is_small,
        reverse(p_brand) AS brand_rev
 FROM part
 ORDER BY p_partkey
@@ -45,8 +45,8 @@ SELECT p_partkey,
        lpad(CAST(p_size AS VARCHAR), 4, '0') AS size_pad,
        string_split(p_name, ' ')[1] AS first_word,
        regexp_extract(p_type, '^(\\w+)', 1) AS type_head,
-       contains(p_name, 'gold') AS has_gold,
-       starts_with(p_type, 'SMALL') AS is_small,
+       CAST(contains(p_name, 'gold') AS INT) AS has_gold,
+       CAST(starts_with(p_type, 'SMALL') AS INT) AS is_small,
        reverse(p_brand) AS brand_rev
 FROM part
 ORDER BY p_partkey
@@ -158,7 +158,7 @@ SELECT vec_id,
        element_at(embedding, -1) AS last_elem,
        aggregate(CAST(slice(embedding, 1, 8) AS ARRAY<DOUBLE>),
                  CAST(0 AS DOUBLE), (acc, x) -> acc + x) AS head8_sum,
-       array_contains(array(1, 2, 3), label) AS label_in_123,
+       CAST(array_contains(array(1, 2, 3), label) AS INT) AS label_in_123,
        size(array_distinct(array(label, label, 0))) AS n_distinct_small,
        array_join(sort_array(array(label, 0, 9)), ',') AS sorted_small
 FROM embeddings
@@ -171,7 +171,7 @@ SELECT vec_id,
        embedding[-1] AS last_elem,
        list_reduce(list_transform(embedding[1:8], x -> CAST(x AS DOUBLE)),
                    (acc, x) -> acc + x) AS head8_sum,
-       list_contains([1, 2, 3], label) AS label_in_123,
+       CAST(list_contains([1, 2, 3], label) AS INT) AS label_in_123,
        len(list_distinct([label, label, 0])) AS n_distinct_small,
        array_to_string(list_sort([label, 0, 9]), ',') AS sorted_small
 FROM embeddings
@@ -378,7 +378,7 @@ WITH a AS (SELECT p_partkey, split(p_name, ' ') AS w FROM part)
 SELECT p_partkey,
        array_join(array_sort(array_distinct(w)), ',') AS uniq_sorted,
        CAST(array_position(w, 'gold') AS BIGINT) AS gold_pos,
-       array_contains(w, 'gold') AS has_gold,
+       CAST(array_contains(w, 'gold') AS INT) AS has_gold,
        CAST(size(flatten(array(w, w))) AS BIGINT) AS n_doubled,
        array_join(slice(w, 2, 2), ',') AS mid2
 FROM a
@@ -389,7 +389,7 @@ WITH a AS (SELECT p_partkey, string_split(p_name, ' ') AS w FROM part)
 SELECT p_partkey,
        array_to_string(list_sort(list_distinct(w)), ',') AS uniq_sorted,
        CAST(coalesce(list_position(w, 'gold'), 0) AS BIGINT) AS gold_pos,
-       list_contains(w, 'gold') AS has_gold,
+       CAST(list_contains(w, 'gold') AS INT) AS has_gold,
        CAST(len(flatten([w, w])) AS BIGINT) AS n_doubled,
        array_to_string(w[2:3], ',') AS mid2
 FROM a
@@ -442,7 +442,7 @@ SELECT p_partkey,
        element_at(pm, 'double_size') AS dbl,
        array_join(array_sort(map_keys(pm)), ',') AS keys_sorted,
        CAST(size(pm) AS BIGINT) AS n_entries,
-       array_contains(map_keys(pm), 'size') AS has_size
+       CAST(array_contains(map_keys(pm), 'size') AS INT) AS has_size
 FROM m
 ORDER BY p_partkey
 """,
@@ -456,7 +456,7 @@ SELECT p_partkey,
        pm['double_size'][1] AS dbl,
        array_to_string(list_sort(map_keys(pm)), ',') AS keys_sorted,
        CAST(cardinality(pm) AS BIGINT) AS n_entries,
-       list_contains(map_keys(pm), 'size') AS has_size
+       CAST(list_contains(map_keys(pm), 'size') AS INT) AS has_size
 FROM m
 ORDER BY p_partkey
 """,
@@ -500,7 +500,7 @@ SELECT event_id,
        variant_get(parse_json(props), '$.k', 'int') AS k,
        try_variant_get(parse_json(props), '$.missing', 'int') AS missing_k,
        variant_get(parse_json(props), '$.k', 'string') AS k_str,
-       CAST(is_variant_null(parse_json('null')) AS BOOLEAN) AS null_probe
+       CAST(is_variant_null(parse_json('null')) AS INT) AS null_probe
 FROM events
 ORDER BY event_id
 LIMIT 600
@@ -510,7 +510,7 @@ SELECT event_id,
        CAST(json_extract(props, '$.k') AS INT) AS k,
        CAST(json_extract(props, '$.missing') AS INT) AS missing_k,
        CAST(CAST(json_extract(props, '$.k') AS INT) AS VARCHAR) AS k_str,
-       TRUE AS null_probe
+       1 AS null_probe
 FROM events
 ORDER BY event_id
 LIMIT 600
@@ -565,7 +565,7 @@ SELECT doc_id,
   parse_url(url, 'HOST') AS host,
   parse_url(url, 'PATH') AS path,
   parse_url(url, 'QUERY', 'id') AS qid,
-  url_decode(url_encode(url)) = url AS codec_roundtrip
+  CAST(url_decode(url_encode(url)) = url AS INT) AS codec_roundtrip
 FROM u
 ORDER BY doc_id
 LIMIT 120
@@ -580,7 +580,7 @@ SELECT doc_id,
   regexp_extract(url, 'https://([^/]+)/', 1) AS host,
   regexp_extract(url, 'https://[^/]+(/[^?]*)', 1) AS path,
   regexp_extract(url, '[?&]id=([^&]*)', 1) AS qid,
-  TRUE AS codec_roundtrip
+  1 AS codec_roundtrip
 FROM u
 ORDER BY doc_id
 LIMIT 120
@@ -592,17 +592,18 @@ LIMIT 120
 # lexicographic) — the comparator executes in Catalyst's lambda
 # interpreter, not Python. DuckDB has no comparator lambdas; the oracle
 # rebuilds the same ordering by exploding and re-aggregating with a
-# multi-key ORDER BY inside list().
+# multi-key ORDER BY inside list(). Output joined to one string
+# (raw array columns are unhashable in pandas-based result canonicalizers).
 sql_query(
     "fn_array_sort_comparator",
     """
 SELECT doc_id,
-  array_sort(
+  array_join(array_sort(
     split(substr(text, 1, 60), ' '),
     (l, r) -> CASE WHEN length(l) < length(r) THEN -1
                    WHEN length(l) > length(r) THEN 1
                    WHEN l < r THEN -1 WHEN l > r THEN 1 ELSE 0 END
-  ) AS toks_by_len
+  ), ',') AS toks_by_len
 FROM documents
 ORDER BY doc_id
 LIMIT 80
@@ -612,7 +613,7 @@ WITH e AS (
   SELECT doc_id, unnest(string_split(substr(text, 1, 60), ' ')) AS w
   FROM documents
 )
-SELECT doc_id, list(w ORDER BY length(w), w) AS toks_by_len
+SELECT doc_id, array_to_string(list(w ORDER BY length(w), w), ',') AS toks_by_len
 FROM e
 GROUP BY doc_id
 ORDER BY doc_id

@@ -33,7 +33,7 @@ from iceberg_metadata_pipeline_spark.session import load_tables
 @query(
     "sketch_hll_shard_merge",
     """
-SELECT l_returnflag, COUNT(DISTINCT l_orderkey) AS exact_nd, TRUE AS est_ok
+SELECT l_returnflag, COUNT(DISTINCT l_orderkey) AS exact_nd, 1 AS est_ok
 FROM lineitem
 GROUP BY l_returnflag
 ORDER BY l_returnflag
@@ -71,7 +71,7 @@ def sketch_hll_shard_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
           FROM lineitem GROUP BY l_returnflag
         )
         SELECT e.l_returnflag, e.exact_nd,
-               abs(m.est_nd - e.exact_nd) / e.exact_nd < 0.05 AS est_ok
+               CAST(abs(m.est_nd - e.exact_nd) / e.exact_nd < 0.05 AS INT) AS est_ok
         FROM exact e JOIN merged m ON e.l_returnflag = m.l_returnflag
         ORDER BY e.l_returnflag
         """

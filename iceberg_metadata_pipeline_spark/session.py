@@ -32,6 +32,27 @@ def _env_int(name: str, default: int) -> int:
         return default
 
 
+#: target bytes per shuffle partition at scale — the SCALE.md rule
+#: "shuffle partitions ≈ total-input-bytes / 128 MB" as executable code.
+SHUFFLE_PARTITION_TARGET_BYTES = 128 * 1024 * 1024
+
+
+def shuffle_partitions_for(total_input_bytes: int, parallelism: int) -> int:
+    """Shuffle-partition count for a job reading ``total_input_bytes``.
+
+    The 1000×-scale rule from SCALE.md: one shuffle partition per
+    ~128 MB of input, floored at the cluster's parallelism so small
+    inputs still use every core, and never below 1. At 100 TB this
+    yields ~800k partitions — above Spark's practical per-stage limit,
+    which is exactly when AQE's coalescing (enabled in get_spark())
+    takes over: oversize the static count, let AQE shrink at runtime.
+    """
+    if total_input_bytes <= 0:
+        return max(1, parallelism)
+    need = -(-total_input_bytes // SHUFFLE_PARTITION_TARGET_BYTES)  # ceil
+    return max(1, parallelism, int(need))
+
+
 def get_spark(
     app_name: str = "iceberg-metadata-pipeline-spark",
     master: str | None = None,
@@ -49,7 +70,14 @@ def get_spark(
       network.timeout=600s, heartbeat=60s               — entrypoint-spark.sh:36-37,132-133
     """
     cpus = _env_int("SPARK_GRAFT_CPUS", os.cpu_count() or 2)
-    shuffle = _env_int("SPARK_GRAFT_SHUFFLE_PARTITIONS", cpus)
+    # SPARK_GRAFT_TARGET_INPUT_BYTES: size the shuffle for a known input
+    # volume (the SCALE.md input/128MB rule); explicit
+    # SPARK_GRAFT_SHUFFLE_PARTITIONS still wins.
+    target_bytes = _env_int("SPARK_GRAFT_TARGET_INPUT_BYTES", 0)
+    shuffle = _env_int(
+        "SPARK_GRAFT_SHUFFLE_PARTITIONS",
+        shuffle_partitions_for(target_bytes, cpus) if target_bytes else cpus,
+    )
     driver_mem = os.environ.get("SPARK_GRAFT_DRIVER_MEM", "48g")
     if master is None:
         master = f"local[{cpus}]"

@@ -285,7 +285,7 @@ sess AS (
                                 ORDER BY CAST(ts AS TIMESTAMP), event_id) AS session_id
   FROM marked
 )
-SELECT user_id, session_id, COUNT(*) AS n_events,
+SELECT user_id, CAST(session_id AS BIGINT) AS session_id, COUNT(*) AS n_events,
        CAST(SUM(CAST(value AS DECIMAL(38,6))) AS DOUBLE) AS session_value
 FROM sess
 GROUP BY user_id, session_id
@@ -388,7 +388,7 @@ SELECT g.event_type, g.h,
   last(p.v, true) OVER (
     PARTITION BY g.event_type ORDER BY g.h
     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS v_filled,
-  p.v IS NULL AS was_gap
+  CAST(p.v IS NULL AS INT) AS was_gap
 FROM grid g LEFT JOIN per_hour p
   ON g.event_type = p.event_type AND g.h = p.h
 ORDER BY g.event_type, g.h
@@ -412,7 +412,7 @@ SELECT g.event_type, g.h,
   last_value(p.v IGNORE NULLS) OVER (
     PARTITION BY g.event_type ORDER BY g.h
     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS v_filled,
-  p.v IS NULL AS was_gap
+  CAST(p.v IS NULL AS INT) AS was_gap
 FROM grid g LEFT JOIN per_hour p
   ON g.event_type = p.event_type AND g.h = p.h
 ORDER BY g.event_type, g.h

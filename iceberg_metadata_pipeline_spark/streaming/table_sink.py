@@ -197,6 +197,16 @@ class CatalogTableBatchWriter(DataSourceWriter):
         ]
         if entries:
             table.append_files(entries, dedupe=False)
+        # mirror the streaming commit: zero-row task files were filtered
+        # out of the commit, so delete them — otherwise they sit as
+        # unregistered orphans under <location>/data/ until
+        # remove_orphan_files
+        for m in messages:
+            if m is not None and m.rows == 0:
+                try:
+                    os.remove(m.path)
+                except OSError:
+                    pass
 
     def abort(self, messages):
         self._w.abort(messages, -1)

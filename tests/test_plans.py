@@ -15,6 +15,12 @@ def plan_of(df) -> str:
     return df._sc._jvm.PythonSQLUtils.explainString(df._jdf.queryExecution(), "formatted")
 
 
+def simple_plan_of(df) -> str:
+    # simple mode prints each tree node exactly once (formatted mode
+    # repeats node names in the detail section, breaking count asserts)
+    return df._sc._jvm.PythonSQLUtils.explainString(df._jdf.queryExecution(), "simple")
+
+
 @pytest.fixture(scope="module", autouse=True)
 def _load(spark, sf_dir):
     from iceberg_metadata_pipeline_spark.session import load_tables
@@ -448,3 +454,56 @@ def test_runtime_bloom_filter_join_pruning(spark, tables):
                 spark.conf.unset(k)
             else:
                 spark.conf.set(k, v)
+
+
+def test_shuffle_partitions_for_scale_rule():
+    """SCALE.md's «knobs at 1000×» rule as code (session.py): one shuffle
+    partition per 128 MB of input, floored at the parallelism, ceil'd —
+    oversize static count + AQE coalescing is the 100 TB posture."""
+    from iceberg_metadata_pipeline_spark.session import (
+        SHUFFLE_PARTITION_TARGET_BYTES,
+        shuffle_partitions_for,
+    )
+
+    mb = 1024 * 1024
+    assert SHUFFLE_PARTITION_TARGET_BYTES == 128 * mb
+    # small input: parallelism floor wins
+    assert shuffle_partitions_for(10 * mb, 32) == 32
+    assert shuffle_partitions_for(0, 32) == 32
+    assert shuffle_partitions_for(-1, 0) == 1
+    # exact multiples and ceil behaviour
+    assert shuffle_partitions_for(128 * mb, 1) == 1
+    assert shuffle_partitions_for(128 * mb + 1, 1) == 2
+    assert shuffle_partitions_for(100 * 128 * mb, 32) == 100
+    # 100 TB / 128 MB = 819200 partitions — above any sane static count,
+    # which is why get_spark() keeps AQE coalescing on
+    assert shuffle_partitions_for(100 * 1024**4, 1000) == 819200
+
+
+def test_skyline_two_phase_no_self_join(spark, sf_dir):
+    """skyline() must run as the two-phase local→global kernel (two
+    FlatMapGroupsInPandas, bucket shuffle then single-group shuffle) —
+    NEVER the oracle's O(n²) NOT-EXISTS self-join. At 100 TB the
+    difference is one pass over the data vs a quadratic nested loop."""
+    from iceberg_metadata_pipeline_spark.queries import all_queries
+
+    df = all_queries()["skyline_pareto_parts"](spark, sf_dir)
+    plan = simple_plan_of(df)
+    assert plan.count("FlatMapGroupsInPandas") == 2, plan[:1500]
+    for bad in ("CartesianProduct", "BroadcastNestedLoopJoin", "SortMergeJoin"):
+        assert bad not in plan, plan[:1500]
+
+
+def test_linear_model_score_is_scan_speed_projection(spark, sf_dir):
+    """pipeline_linear_model_score fuses the model into the projection:
+    no Python evaluation, no join, no aggregate — the score must live
+    inside whole-stage codegen so the filter model runs at scan speed."""
+    from iceberg_metadata_pipeline_spark.queries import all_queries
+
+    df = all_queries()["pipeline_linear_model_score"](spark, sf_dir)
+    plan = simple_plan_of(df)
+    # pure Project chain straight off the scan (all codegen-able exprs);
+    # the only exchange is the final presentation ORDER BY
+    assert "FileScan parquet" in plan, plan[:1500]
+    for bad in ("EvalPython", "Join", "HashAggregate", "FlatMapGroupsInPandas"):
+        assert bad not in plan, plan[:1500]

@@ -79,6 +79,12 @@ def main() -> None:
                 # Spark toPandas → Decimal objects; DuckDB df() → float64.
                 # Same values, different hashes. Cast to DOUBLE/STRING instead.
                 flags.append(f"decimal output column {col}: {st} (pandas-divergent)")
+            if st == "boolean" and name in oracles:
+                # r3 driver lesson (agg_bool_count_if): identical boolean
+                # values hash differently through the driver's canonicalizer
+                # (numpy.bool_ vs Python bool vs object dtype). CAST boolean
+                # outputs to INT in BOTH dialects.
+                flags.append(f"boolean output column {col} (driver-hash-divergent)")
         if name in oracles:
             try:
                 rel = con.sql(f"SELECT * FROM ({oracles[name]}) LIMIT 0")
