@@ -65,6 +65,7 @@ def test_rows_only_queries_are_documented_exceptions(registry):
         "multimodal_frame",
         "multimodal_resize",
         "multimodal_probe",   # python header parsers (PNG/JPEG/GIF walks)
+        "multimodal_png",     # stdlib-zlib PNG decode kernel (no SQL decode)
         "embed_kmeans",       # ML-trained quantizer (same rationale as IVF)
         "catalog_metadata",   # catalog metadata invisible to DuckDB
         "catalog_introspection",
