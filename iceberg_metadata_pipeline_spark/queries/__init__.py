@@ -110,6 +110,8 @@ def _load_all():
         aggregates,
         asof,
         extras,
+        funcs_ext,
+        graph,
         joins,
         modern_sql,
         relational,

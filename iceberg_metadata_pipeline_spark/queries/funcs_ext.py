@@ -1,0 +1,213 @@
+"""Scalar/aggregate function families, extension pack (round 4).
+
+Families the deployed Spark SQL surface serves that the registry did not
+yet pin: regular expressions, hashing/encoding/crypto round-trips, XPath
+extraction, map higher-order functions, string utility trio, and bitwise
+aggregates. Each query emits values BOTH engines can compute so the
+DuckDB oracle checks exact equality; where dialects differ (Spark
+``regexp_replace`` is global by default, DuckDB needs the ``'g'`` flag;
+Spark ``regexp_substr`` yields NULL on no-match where DuckDB's
+``regexp_extract`` yields ``''``; DuckDB has no xpath at all) the oracle
+recomputes the same value relationally, which doubles as the semantic
+proof that Spark's function did what it claims.
+
+All expressions are JVM-side Catalyst (whole-stage codegen) — nothing
+here leaves the executor, so every query is a scan-speed projection at
+any scale.
+"""
+
+from __future__ import annotations
+
+from iceberg_metadata_pipeline_spark.queries import sql_query
+
+# --- regular expressions ----------------------------------------------------
+# Patterns stay in the Java-regex ∩ RE2 common subset (character classes,
+# quantifiers — no backreferences/lookarounds, which RE2 rejects).
+
+sql_query(
+    "fn_regexp_family",
+    """
+SELECT p_partkey,
+       size(regexp_extract_all(p_name, '[a-z]+', 0)) AS n_words,
+       regexp_extract(p_name, '[a-z]+', 0) AS first_word,
+       regexp_replace(p_name, '[aeiou]', '') AS devoweled,
+       CAST(p_name RLIKE 'red|blue' AS INT) AS has_color,
+       regexp_count(p_name, '[aeiou]+') AS n_vowel_runs,
+       regexp_instr(p_name, 'o') AS first_o_pos,
+       regexp_substr(p_name, '[a-z]{9,}') AS long_word
+FROM part
+ORDER BY p_partkey
+LIMIT 500
+""",
+    oracle="""
+SELECT p_partkey,
+       len(regexp_extract_all(p_name, '[a-z]+')) AS n_words,
+       regexp_extract(p_name, '[a-z]+') AS first_word,
+       regexp_replace(p_name, '[aeiou]', '', 'g') AS devoweled,
+       CAST(regexp_matches(p_name, 'red|blue') AS INT) AS has_color,
+       len(regexp_extract_all(p_name, '[aeiou]+')) AS n_vowel_runs,
+       CASE WHEN regexp_matches(p_name, 'o')
+            THEN length(string_split(p_name, 'o')[1]) + 1 ELSE 0 END AS first_o_pos,
+       NULLIF(regexp_extract(p_name, '[a-z]{9,}'), '') AS long_word
+FROM part
+ORDER BY p_partkey
+LIMIT 500
+""",
+)
+
+# --- hashing / encoding / crypto round-trips --------------------------------
+# aes_decrypt(aes_encrypt(x)) == x proves the crypto pair end-to-end; the
+# oracle emits x directly (DuckDB has no AES, and doesn't need one to
+# check a round-trip). hex() case differs across engines — normalized.
+
+sql_query(
+    "fn_hash_encode_family",
+    """
+SELECT c_custkey,
+       md5(c_name) AS name_md5,
+       sha2(c_name, 256) AS name_sha256,
+       lower(hex(c_mktsegment)) AS seg_hex,
+       base64(c_name) AS name_b64,
+       CAST(unbase64(base64(c_name)) AS STRING) AS b64_roundtrip,
+       CAST(aes_decrypt(
+              aes_encrypt(c_name, '0123456789abcdef', 'ECB'),
+              '0123456789abcdef', 'ECB') AS STRING) AS aes_roundtrip
+FROM customer
+ORDER BY c_custkey
+LIMIT 400
+""",
+    oracle="""
+SELECT c_custkey,
+       md5(c_name) AS name_md5,
+       sha256(c_name) AS name_sha256,
+       lower(hex(c_mktsegment)) AS seg_hex,
+       to_base64(c_name::BLOB) AS name_b64,
+       c_name AS b64_roundtrip,
+       c_name AS aes_roundtrip
+FROM customer
+ORDER BY c_custkey
+LIMIT 400
+""",
+)
+
+# --- XPath extraction -------------------------------------------------------
+# Spark parses a constructed XML document and extracts typed values; the
+# oracle emits the source columns — equality proves the xpath_* family
+# round-trips structure faithfully.
+
+sql_query(
+    "fn_xpath_family",
+    """
+WITH x AS (
+  SELECT n_nationkey, n_name,
+         concat('<r><k>', n_nationkey, '</k><n>', n_name,
+                '</n><n>EXTRA</n></r>') AS xml
+  FROM nation
+)
+SELECT n_nationkey,
+       xpath_int(xml, '/r/k') AS k_int,
+       xpath_long(xml, '/r/k') AS k_long,
+       xpath_string(xml, '/r/n') AS n_first,
+       size(xpath(xml, '/r/n/text()')) AS n_tags,
+       CAST(xpath_boolean(xml, '/r/k') AS INT) AS has_k
+FROM x
+ORDER BY n_nationkey
+""",
+    oracle="""
+SELECT n_nationkey,
+       CAST(n_nationkey AS INT) AS k_int,
+       CAST(n_nationkey AS BIGINT) AS k_long,
+       n_name AS n_first,
+       2 AS n_tags,
+       1 AS has_k
+FROM nation
+ORDER BY n_nationkey
+""",
+)
+
+# --- map higher-order functions ---------------------------------------------
+# Build a per-region map, push it through transform_keys /
+# transform_values / map_filter / map_zip_with, explode back to rows.
+# The oracle states the same computation relationally — the lambda
+# pipeline must land exactly on the plain-SQL answer.
+
+sql_query(
+    "fn_map_higher_order",
+    """
+WITH m AS (
+  SELECT n_regionkey AS region,
+         map_from_entries(collect_list(struct(n_name, n_nationkey))) AS m0
+  FROM nation GROUP BY n_regionkey
+),
+hof AS (
+  SELECT region,
+         map_filter(
+           transform_values(
+             transform_keys(m0, (k, v) -> upper(k)),
+             (k, v) -> v * 2 + length(k)),
+           (k, v) -> v % 2 = 0) AS mf
+  FROM m
+),
+z AS (
+  SELECT region, map_zip_with(mf, mf, (k, a, b) -> a + b) AS mz FROM hof
+)
+SELECT region, key AS nation_uc, value AS v2
+FROM z LATERAL VIEW explode(mz) AS key, value
+ORDER BY region, nation_uc
+""",
+    oracle="""
+SELECT n_regionkey AS region,
+       upper(n_name) AS nation_uc,
+       (n_nationkey * 2 + length(n_name)) * 2 AS v2
+FROM nation
+WHERE (n_nationkey * 2 + length(n_name)) % 2 = 0
+ORDER BY region, nation_uc
+""",
+)
+
+# --- string utility trio ----------------------------------------------------
+
+sql_query(
+    "fn_string_family3",
+    """
+SELECT c_custkey,
+       str_to_map(concat('k1:', c_custkey, ',k2:', c_nationkey), ',', ':')['k1']
+         AS m_custkey,
+       str_to_map(concat('k1:', c_custkey, ',k2:', c_nationkey), ',', ':')['k2']
+         AS m_nationkey,
+       substring_index(c_name, '#', -1) AS name_suffix,
+       mask(c_name) AS name_masked
+FROM customer
+ORDER BY c_custkey
+LIMIT 400
+""",
+    oracle="""
+SELECT c_custkey,
+       CAST(c_custkey AS VARCHAR) AS m_custkey,
+       CAST(c_nationkey AS VARCHAR) AS m_nationkey,
+       split_part(c_name, '#', 2) AS name_suffix,
+       regexp_replace(regexp_replace(regexp_replace(
+         c_name, '[A-Z]', 'X', 'g'), '[a-z]', 'x', 'g'), '[0-9]', 'n', 'g')
+         AS name_masked
+FROM customer
+ORDER BY c_custkey
+LIMIT 400
+""",
+)
+
+# --- bitwise aggregates -----------------------------------------------------
+
+sql_query(
+    "agg_bitwise_aggs",
+    """
+SELECT o_orderpriority,
+       CAST(bit_and(o_custkey % 4096) AS BIGINT) AS key_bit_and,
+       CAST(bit_or(o_custkey % 4096) AS BIGINT) AS key_bit_or,
+       CAST(bit_xor(o_custkey % 4096) AS BIGINT) AS key_bit_xor,
+       COUNT(*) AS n
+FROM orders
+GROUP BY o_orderpriority
+ORDER BY o_orderpriority
+""",
+    oracle="same",
+)

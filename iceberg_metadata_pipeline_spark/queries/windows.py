@@ -225,3 +225,96 @@ LIMIT 200
 """,
     oracle="same",
 )
+
+
+def ewma(
+    df: DataFrame,
+    partition: str,
+    order: list[str],
+    value: str,
+    alpha: float = 0.5,
+    horizon: int = 16,
+) -> DataFrame:
+    """Exponentially-weighted moving average per partition key.
+
+    s_0 = x_0; s_t = alpha*x_t + (1-alpha)*s_{t-1}, evaluated with ONE
+    window scan (no per-row recursion): the closed form
+    s_t = (1-a)^t * (x_0 + a * sum_{i<=t} x_i / (1-a)^i) turns the
+    recurrence into a cumulative sum of a per-row scaled value — a
+    single shuffle on the partition key, the same cost as any running
+    sum. ``horizon`` bounds the lookback (rows past it start a fresh
+    value) so the 1/(1-a)^i scaling cannot overflow on long histories;
+    semantically that is EWMA-with-restart, the form used for bounded
+    state at scale.
+    """
+    w_rn = W.partitionBy(partition).orderBy(*order)
+    rn = F.row_number().over(w_rn) - 1
+    df = df.withColumn("__rn", rn).filter(F.col("__rn") < horizon)
+    decay = 1.0 - alpha
+    u = F.when(F.col("__rn") == 0, F.col(value)).otherwise(
+        F.col(value) * F.lit(alpha) / F.pow(F.lit(decay), F.col("__rn"))
+    )
+    cum = F.sum(u).over(
+        W.partitionBy(partition).orderBy(*order).rowsBetween(W.unboundedPreceding, 0)
+    )
+    return df.withColumn(
+        "ewma", cum * F.pow(F.lit(decay), F.col("__rn"))
+    ).drop("__rn")
+
+
+@query(
+    "window_ewma_halflife",
+    """
+WITH e AS (
+  SELECT user_id, event_id, value,
+         ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts, event_id) - 1 AS rn
+  FROM events
+),
+s AS (
+  SELECT user_id, event_id, rn,
+         CAST(FLOOR(value * 1000000) AS BIGINT)
+           * CASE WHEN rn = 0 THEN 1
+                  ELSE CAST(POWER(2, rn - 1) AS BIGINT) END AS u
+  FROM e WHERE rn < 16
+)
+SELECT user_id, event_id, rn,
+       CAST(SUM(u) OVER (PARTITION BY user_id ORDER BY rn
+                         ROWS UNBOUNDED PRECEDING)
+            // CAST(POWER(2, rn) AS BIGINT) AS BIGINT) AS ewma_micro
+FROM s
+ORDER BY user_id, rn
+LIMIT 3000
+""",
+)
+def window_ewma_halflife(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EWMA (alpha=1/2) of event values per user, first 16 events.
+
+    The registry variant runs the closed-form scan in integer
+    micro-units: with alpha=1/2 the per-row scaling is a power of two,
+    so u = floor(value*1e6) * 2^(rn-1) is an exact BIGINT, the window
+    SUM is order-independent integer arithmetic, and ewma_micro =
+    S DIV 2^rn truncates identically in Spark and DuckDB — bit-exact
+    cross-engine, no float-summation-order exposure. The general-alpha
+    float path is ``ewma()`` above (same single-scan plan).
+    """
+    t = load_tables(spark, sf_dir)
+    ev = t["events"]
+    w_rn = W.partitionBy("user_id").orderBy("ts", "event_id")
+    e = ev.withColumn("rn", F.row_number().over(w_rn) - 1).filter(F.col("rn") < 16)
+    u = (
+        F.floor(F.col("value") * 1_000_000).cast("long")
+        * F.when(F.col("rn") == 0, F.lit(1).cast("long")).otherwise(
+            F.pow(F.lit(2.0), F.col("rn") - 1).cast("long")
+        )
+    )
+    s = e.withColumn("u", u)
+    cum = F.sum("u").over(
+        W.partitionBy("user_id").orderBy("rn").rowsBetween(W.unboundedPreceding, 0)
+    )
+    return (
+        s.withColumn("cum", cum)
+        .withColumn("ewma_micro", F.expr("cum DIV CAST(POWER(2, rn) AS BIGINT)"))
+        .select("user_id", "event_id", "rn", "ewma_micro")
+        .orderBy("user_id", "rn")
+        .limit(3000)
+    )
