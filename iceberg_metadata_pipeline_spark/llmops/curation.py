@@ -14,6 +14,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window as W
 
 from iceberg_metadata_pipeline_spark.queries import query, sql_query
 from iceberg_metadata_pipeline_spark.session import load_tables
@@ -344,3 +345,103 @@ def apply_expectations_or_drop(
     kept = tagged.where(F.size("failed_rules") == 0).drop("failed_rules")
     quarantined = tagged.where(F.size("failed_rules") > 0)
     return kept, quarantined
+
+
+def token_budget_waterfill(
+    df: DataFrame,
+    domain_col: str,
+    tokens_col: str,
+    budget_num: int,
+    budget_den: int,
+) -> DataFrame:
+    """Allocate a global token budget across domains by two-round
+    waterfilling, in exact integer arithmetic.
+
+    Round 1 gives every domain an equal cap (budget DIV n_domains),
+    clipped to its supply; round 2 distributes the leftover to the
+    still-unfilled domains proportionally to remaining demand. All
+    divisions truncate, so the result is engine- and order-independent
+    (the few truncated remainder tokens stay unallocated — documented
+    semantics, not drift). The budget is expressed as a fraction
+    num/den of total corpus tokens so the operator is scale-free.
+
+    One aggregation shuffle (per-domain totals); everything after runs
+    on the tiny domain-cardinality frame with unpartitioned window
+    sums — the 100 TB cost is the groupBy, which is unavoidable and
+    map-side combined.
+    """
+    dom = df.groupBy(F.col(domain_col).alias("domain")).agg(
+        F.sum(F.col(tokens_col)).cast("long").alias("tokens")
+    )
+    w = W.partitionBy()
+    dom = dom.withColumn("total", F.sum("tokens").over(w)).withColumn(
+        "n_dom", F.count("*").over(w)
+    )
+    dom = dom.withColumn(
+        "budget", F.expr(f"(total * {budget_num}) DIV {budget_den}")
+    ).withColumn("cap1", F.expr("budget DIV n_dom"))
+    dom = dom.withColumn("alloc1", F.least("tokens", F.col("cap1")))
+    dom = dom.withColumn("leftover", F.col("budget") - F.sum("alloc1").over(w))
+    dom = dom.withColumn("demand", F.col("tokens") - F.col("alloc1"))
+    dom = dom.withColumn("demand_sum", F.sum("demand").over(w))
+    dom = dom.withColumn(
+        "alloc",
+        F.col("alloc1")
+        + F.when(
+            F.col("demand_sum") > 0,
+            F.least(
+                F.col("demand"),
+                F.expr("(leftover * demand) DIV demand_sum"),
+            ),
+        ).otherwise(F.lit(0)),
+    )
+    return dom.select(
+        "domain",
+        "tokens",
+        F.col("alloc1").cast("long").alias("alloc_equal_round"),
+        F.col("alloc").cast("long").alias("alloc_final"),
+    )
+
+
+@query(
+    "sample_token_budget_waterfill",
+    """
+WITH dom AS (
+  SELECT source AS domain, CAST(SUM(n_chars // 4) AS BIGINT) AS tokens
+  FROM documents GROUP BY source
+),
+tot AS (
+  SELECT domain, tokens,
+         SUM(tokens) OVER () AS total,
+         COUNT(*) OVER () AS n_dom
+  FROM dom
+),
+r1 AS (
+  SELECT domain, tokens,
+         (total * 2) // 5 AS budget,
+         LEAST(tokens, ((total * 2) // 5) // n_dom) AS alloc1
+  FROM tot
+),
+r2 AS (
+  SELECT domain, tokens, alloc1,
+         budget - SUM(alloc1) OVER () AS leftover,
+         tokens - alloc1 AS demand,
+         SUM(tokens - alloc1) OVER () AS demand_sum
+  FROM r1
+)
+SELECT domain, tokens,
+       CAST(alloc1 AS BIGINT) AS alloc_equal_round,
+       CAST(alloc1 + CASE WHEN demand_sum > 0
+                          THEN LEAST(demand, (leftover * demand) // demand_sum)
+                          ELSE 0 END AS BIGINT) AS alloc_final
+FROM r2
+ORDER BY domain
+""",
+)
+def sample_token_budget_waterfill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Budget 2/5 of corpus tokens (n_chars DIV 4 proxy) across sources
+    by exact-integer waterfilling; per-domain final allocations."""
+    t = load_tables(spark, sf_dir)
+    docs = t["documents"].withColumn("tok", F.expr("n_chars DIV 4"))
+    out = token_budget_waterfill(docs, "source", "tok", budget_num=2, budget_den=5)
+    return out.orderBy("domain")

@@ -211,3 +211,78 @@ ORDER BY o_orderpriority
 """,
     oracle="same",
 )
+
+# --- positional explode / array generators ----------------------------------
+# posexplode carries the element ordinal through the lateral view;
+# sequence/array_repeat/slice are the generator trio. The oracle
+# rebuilds the same rows from generate_series.
+
+sql_query(
+    "fn_posexplode_family",
+    """
+WITH s AS (
+  SELECT n_nationkey, sequence(1, CAST(n_nationkey % 4 + 1 AS INT)) AS seq
+  FROM nation
+)
+SELECT n_nationkey, pos, elem,
+       size(array_repeat('x', pos)) AS rep_len,
+       array_join(slice(seq, 1, 2), '-') AS head2
+FROM s LATERAL VIEW posexplode(seq) AS pos, elem
+ORDER BY n_nationkey, pos
+""",
+    oracle="""
+WITH s AS (
+  SELECT n_nationkey,
+         unnest(generate_series(1, CAST(n_nationkey % 4 + 1 AS INT))) AS elem
+  FROM nation
+)
+SELECT n_nationkey,
+       CAST(elem - 1 AS INT) AS pos,
+       CAST(elem AS INT) AS elem,
+       CAST(elem - 1 AS INT) AS rep_len,
+       CASE WHEN n_nationkey % 4 + 1 >= 2 THEN '1-2' ELSE '1' END AS head2
+FROM s
+ORDER BY n_nationkey, pos
+""",
+)
+
+# --- unionByName with missing columns ---------------------------------------
+# Schema-mismatched UNION: absent columns null-fill per side (the
+# DataFrame allowMissingColumns semantics, spelled as SQL by the oracle).
+
+from iceberg_metadata_pipeline_spark.queries import query as _query
+from iceberg_metadata_pipeline_spark.session import load_tables as _load_tables
+
+
+@_query(
+    "setop_union_by_name_missing",
+    """
+SELECT c_custkey AS id, c_acctbal AS bal, CAST(NULL AS VARCHAR) AS sname
+FROM customer WHERE c_custkey <= 200
+UNION ALL
+SELECT s_suppkey + 1000000 AS id, CAST(NULL AS DOUBLE) AS bal, s_name AS sname
+FROM supplier WHERE s_suppkey <= 50
+ORDER BY id
+""",
+)
+def setop_union_by_name_missing(spark, sf_dir):
+    """df.unionByName(other, allowMissingColumns=True): each side's
+    absent columns null-fill; column resolution is by NAME, not
+    position (the SQL UNION trap this API exists to avoid)."""
+    from pyspark.sql import functions as F
+
+    t = _load_tables(spark, sf_dir)
+    a = (
+        t["customer"]
+        .filter(F.col("c_custkey") <= 200)
+        .select(F.col("c_custkey").alias("id"), F.col("c_acctbal").alias("bal"))
+    )
+    b = (
+        t["supplier"]
+        .filter(F.col("s_suppkey") <= 50)
+        .select(
+            (F.col("s_suppkey") + 1000000).alias("id"),
+            F.col("s_name").alias("sname"),
+        )
+    )
+    return a.unionByName(b, allowMissingColumns=True).orderBy("id")
