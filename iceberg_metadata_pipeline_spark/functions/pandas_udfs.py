@@ -160,3 +160,95 @@ def udf_cogroup_reconcile(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("o_orderkey")
         .limit(500)
     )
+
+
+def embedding_norms_arrow(df: DataFrame) -> DataFrame:
+    """Per-vector squared-norm in integer micro-units via ``mapInArrow``.
+
+    Arrow-native map path: each batch arrives as a ``pyarrow.RecordBatch``
+    (zero pandas conversion — cheaper than mapInPandas for fixed-width
+    math), numpy computes per-DIMENSION ``floor(x_d^2 * 1e6)`` and sums
+    the resulting int64s. Flooring each term before the sum makes the
+    result order-independent exact integer arithmetic — the same value
+    on any engine, any partitioning, any SIMD summation order.
+    """
+    import pyarrow as pa
+
+    def kernel(batches):
+        import numpy as np
+
+        for batch in batches:
+            ids = batch.column("vec_id")
+            emb = batch.column("embedding")
+            mat = np.asarray(emb.to_pylist(), dtype=np.float64)
+            micro = np.floor(mat * mat * 1_000_000.0).astype(np.int64).sum(axis=1)
+            yield pa.RecordBatch.from_arrays(
+                [ids, pa.array(micro, type=pa.int64()),
+                 pa.array([mat.shape[1]] * len(micro), type=pa.int32())],
+                names=["vec_id", "norm_sq_micro", "n_dims"],
+            )
+
+    return df.mapInArrow(kernel, "vec_id long, norm_sq_micro long, n_dims int")
+
+
+@query(
+    "udf_map_in_arrow",
+    """
+SELECT vec_id,
+       CAST(list_sum(list_transform(embedding,
+              x -> CAST(FLOOR(CAST(x AS DOUBLE) * CAST(x AS DOUBLE) * 1000000) AS BIGINT)))
+            AS BIGINT) AS norm_sq_micro,
+       CAST(len(embedding) AS INT) AS n_dims
+FROM embeddings
+ORDER BY vec_id
+LIMIT 500
+""",
+)
+def udf_map_in_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """mapInArrow (Arrow-batch map, no pandas hop): exact integer
+    squared norms of the embedding column."""
+    t = load_tables(spark, sf_dir)
+    out = embedding_norms_arrow(t["embeddings"])
+    return out.orderBy("vec_id").limit(500)
+
+
+@query(
+    "udf_apply_in_arrow",
+    """
+SELECT label,
+       COUNT(*) AS n,
+       CAST(SUM(CAST(FLOOR(CAST(embedding[1] AS DOUBLE) * 1000000) AS BIGINT))
+            AS BIGINT) AS first_dim_micro_sum
+FROM embeddings
+GROUP BY label
+ORDER BY label
+""",
+)
+def udf_apply_in_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """groupBy().applyInArrow — grouped Arrow-table kernel (one shuffle
+    on the group key); integer micro-unit sums keep it engine-exact."""
+    import pyarrow as pa
+
+    def kernel(table: "pa.Table") -> "pa.Table":
+        import numpy as np
+
+        label = table.column("label")[0].as_py()
+        first = np.asarray(
+            [v[0] for v in table.column("embedding").to_pylist()], dtype=np.float64
+        )
+        micro = int(np.floor(first * 1_000_000.0).astype(np.int64).sum())
+        return pa.table(
+            {
+                "label": pa.array([label], type=pa.int32()),
+                "n": pa.array([table.num_rows], type=pa.int64()),
+                "first_dim_micro_sum": pa.array([micro], type=pa.int64()),
+            }
+        )
+
+    t = load_tables(spark, sf_dir)
+    out = (
+        t["embeddings"]
+        .groupBy("label")
+        .applyInArrow(kernel, "label int, n long, first_dim_micro_sum long")
+    )
+    return out.orderBy("label")

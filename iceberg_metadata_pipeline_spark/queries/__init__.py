@@ -11,6 +11,11 @@ Determinism rules for oracle parity (driver hash-compares values):
   bit-identical across engines.
 - Averages are expressed as exact-decimal-sum / count (double division of
   identical operands), never engine-native AVG over doubles.
+- Decimal casts must not truncate digits the value actually carries:
+  Spark rounds double→decimal HALF_UP, DuckDB HALF_EVEN, so a value with
+  k exact fractional digits cast to scale < k hits systematic tie
+  divergence (seen on price/1e5 at scale 6). Pick a scale ≥ the value's
+  exact digit count so the cast never rounds.
 - Every computed column is aliased identically in Spark and oracle SQL.
 """
 

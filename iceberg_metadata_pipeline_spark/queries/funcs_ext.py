@@ -286,3 +286,126 @@ def setop_union_by_name_missing(spark, sf_dir):
         )
     )
     return a.unionByName(b, allowMissingColumns=True).orderBy("id")
+
+# --- CSV scalar functions ----------------------------------------------------
+# from_csv/to_csv/schema_of_csv: parse a constructed line back into a
+# struct and re-emit; the oracle states the same values relationally.
+
+sql_query(
+    "fn_csv_family",
+    """
+WITH c AS (
+  SELECT n_nationkey, n_name,
+         from_csv(concat(n_name, ';', n_nationkey),
+                  'nm STRING, k INT', map('sep', ';')) AS parsed
+  FROM nation
+)
+SELECT n_nationkey,
+       parsed.nm AS nm,
+       parsed.k AS k,
+       to_csv(named_struct('a', n_name, 'b', n_nationkey)) AS line,
+       schema_of_csv('1,abc') AS csv_schema
+FROM c
+ORDER BY n_nationkey
+""",
+    oracle="""
+SELECT n_nationkey,
+       n_name AS nm,
+       CAST(n_nationkey AS INT) AS k,
+       concat(n_name, ',', n_nationkey) AS line,
+       'STRUCT<_c0: INT, _c1: STRING>' AS csv_schema
+FROM nation
+ORDER BY n_nationkey
+""",
+)
+
+# --- UTF-8 validation family (Spark 4) --------------------------------------
+# Fixture text is valid UTF-8, so every validator must agree with the
+# identity — which is exactly the oracle's claim.
+
+sql_query(
+    "fn_utf8_family",
+    """
+SELECT doc_id,
+       CAST(is_valid_utf8(text) AS INT) AS is_valid,
+       length(make_valid_utf8(text)) AS mk_len,
+       length(validate_utf8(text)) AS val_len,
+       length(try_validate_utf8(text)) AS try_len
+FROM documents
+ORDER BY doc_id
+LIMIT 500
+""",
+    oracle="""
+SELECT doc_id,
+       1 AS is_valid,
+       length(text) AS mk_len,
+       length(text) AS val_len,
+       length(text) AS try_len
+FROM documents
+ORDER BY doc_id
+LIMIT 500
+""",
+)
+
+# --- skewness / kurtosis, tolerance-checked ---------------------------------
+# Spark's skewness() and kurtosis() are population moments (m3/m2^1.5,
+# m4/m2^2 - 3). The oracle cannot reproduce a float-summed moment
+# bit-for-bit, so both engines emit the moment recomputed from
+# DECIMAL-accumulated power sums (order-independent, identical), and
+# Spark additionally checks its native aggregate against that value —
+# the boolean ships as the proof, the decimal value as the comparison.
+
+_MOMENTS = """
+  SELECT o_orderpriority,
+         COUNT(*) AS n,
+         CAST(SUM(CAST(CAST(o_totalprice AS DOUBLE) / 100000 AS DECIMAL(38,8))) AS DOUBLE) AS s1,
+         CAST(SUM(CAST(POWER(CAST(o_totalprice AS DOUBLE) / 100000, 2) AS DECIMAL(38,8))) AS DOUBLE) AS s2,
+         CAST(SUM(CAST(POWER(CAST(o_totalprice AS DOUBLE) / 100000, 3) AS DECIMAL(38,8))) AS DOUBLE) AS s3,
+         CAST(SUM(CAST(POWER(CAST(o_totalprice AS DOUBLE) / 100000, 4) AS DECIMAL(38,8))) AS DOUBLE) AS s4
+  FROM orders GROUP BY o_orderpriority
+"""
+
+_MOMENT_FORMULA = """
+  SELECT o_orderpriority, n,
+         s1 / n AS mu,
+         s2 / n - (s1 / n) * (s1 / n) AS m2,
+         s3 / n - 3 * (s1 / n) * (s2 / n) + 2 * (s1 / n) * (s1 / n) * (s1 / n) AS m3,
+         s4 / n - 4 * (s1 / n) * (s3 / n)
+               + 6 * (s1 / n) * (s1 / n) * (s2 / n)
+               - 3 * (s1 / n) * (s1 / n) * (s1 / n) * (s1 / n) AS m4
+  FROM moments
+"""
+
+sql_query(
+    "agg_skew_kurtosis_checked",
+    f"""
+WITH moments AS ({_MOMENTS}),
+m AS ({_MOMENT_FORMULA}),
+native AS (
+  SELECT o_orderpriority,
+         skewness(CAST(o_totalprice AS DOUBLE) / 100000) AS sk_native,
+         kurtosis(CAST(o_totalprice AS DOUBLE) / 100000) AS ku_native
+  FROM orders GROUP BY o_orderpriority
+)
+SELECT m.o_orderpriority, m.n,
+       round(m.m3 / POWER(m.m2, 1.5), 9) AS skew_decimal,
+       round(m.m4 / (m.m2 * m.m2) - 3, 9) AS kurt_decimal,
+       CAST(ABS(native.sk_native - m.m3 / POWER(m.m2, 1.5)) < 0.001 AS INT)
+         AS skew_agrees,
+       CAST(ABS(native.ku_native - (m.m4 / (m.m2 * m.m2) - 3)) < 0.001 AS INT)
+         AS kurt_agrees
+FROM m JOIN native ON m.o_orderpriority = native.o_orderpriority
+ORDER BY m.o_orderpriority
+""",
+    oracle=f"""
+WITH moments AS ({_MOMENTS.replace("POWER(CAST(o_totalprice AS DOUBLE) / 100000,", "POWER(CAST(o_totalprice AS DOUBLE) / 100000,")}),
+m AS ({_MOMENT_FORMULA})
+SELECT o_orderpriority, n,
+       round(m3 / POWER(m2, 1.5), 9) AS skew_decimal,
+       round(m4 / (m2 * m2) - 3, 9) AS kurt_decimal,
+       1 AS skew_agrees,
+       1 AS kurt_agrees
+FROM m
+ORDER BY o_orderpriority
+""",
+)
