@@ -68,6 +68,13 @@ HEADLINE = [
     "join_fuzzy_levenshtein",
     "events_gap_fill_resample",
     "multimodal_probe_headers",
+    # round-4 additions: graph operators, Arrow-native UDFs, exact EWMA,
+    # budget waterfilling
+    "graph_pagerank_interactions",
+    "graph_triangle_count",
+    "window_ewma_halflife",
+    "udf_map_in_arrow",
+    "sample_token_budget_waterfill",
 ]
 
 

@@ -39,6 +39,13 @@ from pyspark.sql import DataFrame, SparkSession
 
 from iceberg_metadata_pipeline_spark.catalog.metacat import Catalog
 from iceberg_metadata_pipeline_spark.catalog.sqlfront import catalog_sql
+from iceberg_metadata_pipeline_spark.serving.result_cache import (
+    TOO_BIG,
+    ResultCache,
+    catalog_fingerprint,
+    is_cacheable_statement,
+    is_tainting_statement,
+)
 
 
 class _Session:
@@ -57,6 +64,11 @@ class _Session:
         # targets; statement-scoped so canceling stmt N can never clip a
         # later stmt N+1 that starts after the cancel was issued
         self.running_group: str | None = None
+        # once the session holds ANY session-local state that could make
+        # a SELECT's answer differ from other sessions' (temp views, SET
+        # conf/variables, USE, EXECUTE IMMEDIATE), it permanently opts
+        # out of the shared result cache
+        self.cache_tainted = False
 
     def execute(self, statement: str) -> DataFrame:
         # scheduler pools are thread-local in Spark; tag every statement
@@ -76,12 +88,13 @@ class _Session:
 class SQLServingEngine:
     """Session manager: open/execute/close against one SparkSession."""
 
-    def __init__(self, spark: SparkSession, warehouse: str):
+    def __init__(self, spark: SparkSession, warehouse: str, result_cache: bool = True):
         self._spark = spark
         self._warehouse = warehouse
         self._sessions: dict[str, _Session] = {}
         self._lock = threading.Lock()
         self._next = 0
+        self.cache = ResultCache() if result_cache else None
 
     def open_session(self) -> str:
         with self._lock:
@@ -95,7 +108,30 @@ class SQLServingEngine:
             sess = self._sessions.get(session_id)
         if sess is None:
             raise KeyError(f"no open session {session_id}")
-        return sess.execute(statement)
+        if is_tainting_statement(statement):
+            sess.cache_tainted = True
+        if (
+            self.cache is None
+            or sess.cache_tainted
+            or not is_cacheable_statement(statement)
+        ):
+            return sess.execute(statement)
+        # snapshot-keyed cache: the fingerprint pins the exact warehouse
+        # state, so a hit is correct by construction (see result_cache.py)
+        fp = catalog_fingerprint(self._warehouse)
+        hit = self.cache.lookup(statement, fp)
+        if hit is TOO_BIG:
+            return sess.execute(statement)
+        if hit is not None:
+            schema, rows = hit
+            return sess.spark.createDataFrame(rows, schema)
+        df = sess.execute(statement)
+        rows = df.limit(self.cache.max_rows + 1).collect()
+        if len(rows) > self.cache.max_rows:
+            self.cache.store(statement, fp, TOO_BIG)
+            return df
+        self.cache.store(statement, fp, (df.schema, rows))
+        return sess.spark.createDataFrame(rows, df.schema)
 
     def cancel(self, session_id: str) -> None:
         """Cancel the session's RUNNING statement (issued from any other
