@@ -11,11 +11,13 @@ the standard library and numpy:
   — plain-text header + raw YUV planes per FRAME
 - PNG (8-bit gray/gray+alpha/RGB/RGBA, non-interlaced) — stdlib zlib
   inflate + per-scanline unfilter (Sub/Up/Average/Paeth) + numpy reshape
+- GIF (87a/89a first frame, global/local palettes, 4-pass interlace) —
+  from-scratch GIF-flavor LZW (LSB-first variable 3..12-bit codes)
 
 These kernels are the real thing: they parse actual bytes of actual formats
 and return pixel/sample arrays. Only formats that genuinely require an
-external codec (JPEG/MP4/Opus...; palette/16-bit/interlaced PNG) stay
-behind the documented
+external codec (JPEG/MP4/Opus...; palette/16-bit/interlaced PNG;
+GIF animation compositing) stay behind the documented
 NotImplementedError seam in ``multimodal.decode_image_stub``.
 
 Encoders are included so tests and the synthetic-media pipeline can
@@ -53,6 +55,8 @@ def sniff_media(payload: bytes) -> str:
         return "video/x-yuv4mpeg"
     if payload[:8] == b"\x89PNG\r\n\x1a\n":
         return "image/png"
+    if payload[:6] in (b"GIF87a", b"GIF89a"):
+        return "image/gif"
     if payload[:2] == b"\xff\xd8":
         return "image/jpeg"
     if payload[4:8] == b"ftyp":
@@ -483,10 +487,12 @@ def decode_any(payload: bytes, with_pixels: bool = False) -> dict:
         return {**decode_y4m(payload, with_frames=with_pixels), "media_type": kind}
     if kind == "image/png":
         return {**decode_png(payload, with_pixels=with_pixels), "media_type": kind}
+    if kind == "image/gif":
+        return {**decode_gif(payload, with_pixels=with_pixels), "media_type": kind}
     raise NotImplementedError(
         f"{kind}: requires an external codec (PIL/pyav); only WAV/BMP/PPM/Y4M/"
-        "PNG(8-bit non-interlaced) are decodable with the in-container "
-        "stdlib+numpy kernels"
+        "PNG(8-bit non-interlaced)/GIF(first frame) are decodable with the "
+        "in-container stdlib+numpy kernels"
     )
 
 
@@ -544,3 +550,222 @@ def probe_dimensions(payload: bytes) -> dict:
     except Exception:  # noqa: BLE001 — a truncated header probes as unknown
         pass
     return {"media_type": mt, "width": w, "height": h, "n_units": n}
+
+
+# ---------------------------------------------------------------------------
+# GIF — the second compressed format decodable with no external codec:
+# LZW (GIF flavor: LSB-first bit packing, variable 3..12-bit codes,
+# clear/end codes, 255-byte sub-block framing) is pure integer work.
+# Covers GIF87a/GIF89a, global+local color tables, the 4-pass interlace,
+# first frame (GIF animations carry independent frames; frame k>0 needs
+# disposal-method compositing, which stays behind the seam).
+# ---------------------------------------------------------------------------
+
+def _gif_subblocks(payload: bytes, off: int) -> tuple[bytes, int]:
+    """Concatenate data sub-blocks starting at off; returns (data, next_off)."""
+    out = bytearray()
+    while True:
+        if off >= len(payload):
+            raise ValueError("GIF truncated inside sub-blocks")
+        n = payload[off]
+        off += 1
+        if n == 0:
+            return bytes(out), off
+        out += payload[off : off + n]
+        off += n
+
+
+def _gif_lzw_decode(data: bytes, min_code_size: int, n_pixels: int) -> bytearray:
+    """GIF-flavor LZW: codes are packed LSB-first; width starts at
+    min_code_size+1 and grows after the table reaches 2^width, capped
+    at 12 bits until the next CLEAR."""
+    clear = 1 << min_code_size
+    end = clear + 1
+    base = [bytes([i]) for i in range(clear)] + [b"", b""]
+    table = list(base)
+    width = min_code_size + 1
+    out = bytearray()
+    prev: bytes | None = None
+    acc = bits = 0
+    pos = 0
+    while len(out) < n_pixels:
+        while bits < width:
+            if pos >= len(data):
+                return out  # tolerate missing END on truncated writers
+            acc |= data[pos] << bits
+            bits += 8
+            pos += 1
+        code = acc & ((1 << width) - 1)
+        acc >>= width
+        bits -= width
+        if code == clear:
+            table = list(base)
+            width = min_code_size + 1
+            prev = None
+            continue
+        if code == end:
+            break
+        if prev is None:
+            entry = table[code]
+        elif code < len(table):
+            entry = table[code]
+            table.append(prev + entry[:1])
+        elif code == len(table):  # the KwKwK case
+            entry = prev + prev[:1]
+            table.append(entry)
+        else:
+            raise ValueError(f"GIF LZW code {code} beyond table size {len(table)}")
+        out += entry
+        prev = entry
+        if len(table) == (1 << width) and width < 12:
+            width += 1
+    return out
+
+
+_GIF_INTERLACE_PASSES = ((0, 8), (4, 8), (2, 4), (1, 2))  # (start, step) rows
+
+
+def decode_gif(payload: bytes, with_pixels: bool = False) -> dict:
+    """Parse a GIF: logical-screen geometry always; LZW-decode the first
+    frame through its palette to an H×W×3 uint8 array on request."""
+    if payload[:6] not in (b"GIF87a", b"GIF89a"):
+        raise ValueError("not a GIF payload")
+    sw, sh = int.from_bytes(payload[6:8], "little"), int.from_bytes(payload[8:10], "little")
+    packed = payload[10]
+    off = 13
+    gct = None
+    if packed & 0x80:
+        n = 2 << (packed & 0x07)
+        gct = np.frombuffer(payload[off : off + 3 * n], dtype=np.uint8).reshape(n, 3)
+        off += 3 * n
+    n_frames = 0
+    first: dict | None = None
+    while off < len(payload):
+        b = payload[off]
+        if b == 0x3B:  # trailer
+            break
+        if b == 0x21:  # extension: label + sub-blocks
+            _, off = _gif_subblocks(payload, off + 2)
+            continue
+        if b != 0x2C:
+            raise ValueError(f"unexpected GIF block 0x{b:02x} at {off}")
+        left = int.from_bytes(payload[off + 1 : off + 3], "little")
+        top = int.from_bytes(payload[off + 3 : off + 5], "little")
+        w = int.from_bytes(payload[off + 5 : off + 7], "little")
+        h = int.from_bytes(payload[off + 7 : off + 9], "little")
+        ipacked = payload[off + 9]
+        off += 10
+        lct = None
+        if ipacked & 0x80:
+            n = 2 << (ipacked & 0x07)
+            lct = np.frombuffer(payload[off : off + 3 * n], dtype=np.uint8).reshape(n, 3)
+            off += 3 * n
+        min_code = payload[off]
+        data, off = _gif_subblocks(payload, off + 1)
+        n_frames += 1
+        if first is None:
+            first = {
+                "w": w, "h": h, "left": left, "top": top,
+                "interlaced": bool(ipacked & 0x40),
+                "palette": lct if lct is not None else gct,
+                "min_code": min_code, "data": data,
+            }
+    if first is None:
+        raise ValueError("GIF has no image frame")
+    meta = {
+        "format": "gif",
+        "width": sw,
+        "height": sh,
+        "n_frames": n_frames,
+        "interlaced": first["interlaced"],
+    }
+    if not with_pixels:
+        return meta
+    if first["palette"] is None:
+        raise ValueError("GIF frame has no color table")
+    idx = _gif_lzw_decode(first["data"], first["min_code"], first["w"] * first["h"])
+    if len(idx) < first["w"] * first["h"]:
+        raise ValueError(
+            f"GIF LZW stream yielded {len(idx)} pixels, want {first['w'] * first['h']}"
+        )
+    arr = np.frombuffer(bytes(idx[: first["w"] * first["h"]]), dtype=np.uint8).reshape(
+        first["h"], first["w"]
+    )
+    if first["interlaced"]:
+        out = np.empty_like(arr)
+        src = 0
+        for start, step in _GIF_INTERLACE_PASSES:
+            rows = range(start, first["h"], step)
+            for r in rows:
+                out[r] = arr[src]
+                src += 1
+        arr = out
+    pal = first["palette"]
+    if int(arr.max()) >= len(pal):
+        raise ValueError("GIF pixel index beyond palette")
+    meta["pixels"] = pal[arr]  # H×W×3 uint8
+    return meta
+
+
+def encode_gif(pixels: np.ndarray, interlaced: bool = False) -> bytes:
+    """H×W×3 uint8 (≤256 distinct colors) → single-frame GIF89a.
+
+    Writes literal LZW codes with a CLEAR before each table-growth point
+    (the classic 'uncompressed GIF' technique): decodes on any compliant
+    reader, no compression dictionary needed."""
+    if pixels.ndim != 3 or pixels.shape[2] != 3 or pixels.dtype != np.uint8:
+        raise ValueError("encode_gif wants H×W×3 uint8")
+    h, w = pixels.shape[:2]
+    flat = pixels.reshape(-1, 3)
+    colors, inverse = np.unique(flat, axis=0, return_inverse=True)
+    if len(colors) > 256:
+        raise ValueError(f"{len(colors)} distinct colors; GIF palette holds 256")
+    cbits = max(1, int(len(colors) - 1).bit_length())
+    pal_n = 1 << cbits
+    palette = np.zeros((pal_n, 3), dtype=np.uint8)
+    palette[: len(colors)] = colors
+    idx = inverse.astype(np.uint8).reshape(h, w)
+    if interlaced:
+        order = [r for start, step in _GIF_INTERLACE_PASSES for r in range(start, h, step)]
+        idx = idx[order]
+    min_code = max(2, cbits)
+    clear, end = 1 << min_code, (1 << min_code) + 1
+    width = min_code + 1
+    # literal codes only; CLEAR whenever the table would have grown past
+    # the current width, END at stream end
+    acc = bits = 0
+    body = bytearray()
+
+    def emit(code: int) -> None:
+        nonlocal acc, bits
+        acc |= code << bits
+        bits += width
+        while bits >= 8:
+            body.append(acc & 0xFF)
+            acc >>= 8
+            bits -= 8
+
+    emit(clear)
+    budget = (1 << width) - end - 1  # table slots before width would grow
+    for v in idx.reshape(-1).tolist():
+        if budget == 0:
+            emit(clear)
+            budget = (1 << width) - end - 1
+        emit(v)
+        budget -= 1
+    emit(end)
+    if bits:
+        body.append(acc & 0xFF)
+    out = bytearray()
+    out += b"GIF89a"
+    out += w.to_bytes(2, "little") + h.to_bytes(2, "little")
+    out += bytes([0x80 | (cbits - 1), 0, 0])
+    out += palette.tobytes()
+    out += b"\x2c" + b"\x00" * 4 + w.to_bytes(2, "little") + h.to_bytes(2, "little")
+    out += bytes([0x40 if interlaced else 0x00])
+    out += bytes([min_code])
+    for i in range(0, len(body), 255):
+        chunk = body[i : i + 255]
+        out += bytes([len(chunk)]) + chunk
+    out += b"\x00\x3b"
+    return bytes(out)

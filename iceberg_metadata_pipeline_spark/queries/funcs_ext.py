@@ -409,3 +409,104 @@ FROM m
 ORDER BY o_orderpriority
 """,
 )
+
+# --- extended linear-regression aggregates, tolerance-checked ---------------
+# Same pattern as skewness/kurtosis: both engines emit the statistics
+# rebuilt from DECIMAL-accumulated sums (exact, order-independent);
+# Spark additionally proves its native regr_* aggregates land on those
+# values. regr_count is exact and compared directly.
+
+_REGR_SUMS = """
+  SELECT l_returnflag,
+         COUNT(*) AS n,
+         CAST(SUM(CAST(CAST(l_quantity AS DOUBLE) AS DECIMAL(38,8))) AS DOUBLE) AS sx,
+         CAST(SUM(CAST(CAST(l_extendedprice AS DOUBLE) / 1000 AS DECIMAL(38,8))) AS DOUBLE) AS sy,
+         CAST(SUM(CAST(POWER(CAST(l_quantity AS DOUBLE), 2) AS DECIMAL(38,8))) AS DOUBLE) AS sxx,
+         CAST(SUM(CAST(POWER(CAST(l_extendedprice AS DOUBLE) / 1000, 2) AS DECIMAL(38,8))) AS DOUBLE) AS syy,
+         CAST(SUM(CAST(CAST(l_quantity AS DOUBLE) * (CAST(l_extendedprice AS DOUBLE) / 1000) AS DECIMAL(38,8))) AS DOUBLE) AS sxy
+  FROM lineitem GROUP BY l_returnflag
+"""
+
+_REGR_STATS = """
+  SELECT l_returnflag, n,
+         sx / n AS avgx,
+         sy / n AS avgy,
+         sxx - sx * sx / n AS cxx,
+         syy - sy * sy / n AS cyy,
+         sxy - sx * sy / n AS cxy
+  FROM sums
+"""
+
+sql_query(
+    "agg_regr_extended_checked",
+    f"""
+WITH sums AS ({_REGR_SUMS}),
+m AS ({_REGR_STATS}),
+native AS (
+  SELECT l_returnflag,
+         regr_count(CAST(l_extendedprice AS DOUBLE) / 1000,
+                    CAST(l_quantity AS DOUBLE)) AS n_native,
+         regr_avgx(CAST(l_extendedprice AS DOUBLE) / 1000,
+                   CAST(l_quantity AS DOUBLE)) AS avgx_native,
+         regr_avgy(CAST(l_extendedprice AS DOUBLE) / 1000,
+                   CAST(l_quantity AS DOUBLE)) AS avgy_native,
+         regr_sxx(CAST(l_extendedprice AS DOUBLE) / 1000,
+                  CAST(l_quantity AS DOUBLE)) AS sxx_native,
+         regr_syy(CAST(l_extendedprice AS DOUBLE) / 1000,
+                  CAST(l_quantity AS DOUBLE)) AS syy_native,
+         regr_sxy(CAST(l_extendedprice AS DOUBLE) / 1000,
+                  CAST(l_quantity AS DOUBLE)) AS sxy_native,
+         regr_r2(CAST(l_extendedprice AS DOUBLE) / 1000,
+                 CAST(l_quantity AS DOUBLE)) AS r2_native
+  FROM lineitem GROUP BY l_returnflag
+)
+SELECT m.l_returnflag,
+       CAST(native.n_native AS BIGINT) AS n,
+       round(m.avgx, 9) AS avgx,
+       round(m.avgy, 9) AS avgy,
+       round(m.cxx, 6) AS sxx,
+       round(m.cyy, 6) AS syy,
+       round(m.cxy, 6) AS sxy,
+       round(m.cxy * m.cxy / (m.cxx * m.cyy), 9) AS r2,
+       CAST(ABS(native.avgx_native - m.avgx) < 1e-6 AS INT) AS avgx_agrees,
+       CAST(ABS(native.sxx_native - m.cxx) / m.cxx < 1e-6 AS INT) AS sxx_agrees,
+       CAST(ABS(native.syy_native - m.cyy) / m.cyy < 1e-6 AS INT) AS syy_agrees,
+       CAST(ABS(native.sxy_native - m.cxy) / ABS(m.cxy) < 1e-4 AS INT) AS sxy_agrees,
+       CAST(ABS(native.r2_native - m.cxy * m.cxy / (m.cxx * m.cyy)) < 1e-6 AS INT)
+         AS r2_agrees
+FROM m JOIN native ON m.l_returnflag = native.l_returnflag
+ORDER BY m.l_returnflag
+""",
+    oracle=f"""
+WITH sums AS ({_REGR_SUMS}),
+m AS ({_REGR_STATS})
+SELECT l_returnflag,
+       CAST(n AS BIGINT) AS n,
+       round(avgx, 9) AS avgx,
+       round(avgy, 9) AS avgy,
+       round(cxx, 6) AS sxx,
+       round(cyy, 6) AS syy,
+       round(cxy, 6) AS sxy,
+       round(cxy * cxy / (cxx * cyy), 9) AS r2,
+       1 AS avgx_agrees, 1 AS sxx_agrees, 1 AS syy_agrees,
+       1 AS sxy_agrees, 1 AS r2_agrees
+FROM m
+ORDER BY l_returnflag
+""",
+)
+
+# --- LIMIT ... OFFSET + ORDER BY ALL ----------------------------------------
+# OFFSET pagination (Spark 3.4+) and the ORDER BY ALL shorthand; DuckDB
+# spells ORDER BY ALL identically.
+
+sql_query(
+    "order_by_offset_pagination",
+    """
+SELECT o_orderpriority, o_orderkey, o_totalprice
+FROM orders
+WHERE o_orderstatus = 'F'
+ORDER BY ALL
+LIMIT 50 OFFSET 100
+""",
+    oracle="same",
+)

@@ -224,9 +224,14 @@ def test_codec_resize_nearest_kernel():
 def test_codec_seam_still_raises_for_external_formats():
     from iceberg_metadata_pipeline_spark.llmops import codecs
 
-    png = b"\x89PNG\r\n\x1a\n" + b"\x00" * 16
-    assert codecs.sniff_media(png) == "image/png"
+    jpeg = b"\xff\xd8\xff\xe0" + b"\x00" * 16
+    assert codecs.sniff_media(jpeg) == "image/jpeg"
     with pytest.raises(NotImplementedError):
+        codecs.decode_any(jpeg)
+    # PNG/GIF are no longer behind the seam — a corrupt payload is a
+    # ValueError (bad bytes), never NotImplementedError (unsupported)
+    png = b"\x89PNG\r\n\x1a\n" + b"\x00" * 16
+    with pytest.raises(ValueError):
         codecs.decode_any(png)
 
 
@@ -812,3 +817,99 @@ def test_multimodal_png_decode_resize_pinned(spark, tables):
         assert (r["out_w"], r["out_h"], r["n_channels"]) == (ow, oh, n_ch)
         assert r["pixel_sum"] == int(np.sum(small, dtype=np.int64))
         assert r["out_bytes"] == len(codecs.encode_png(small))
+
+
+# --- GIF codec (round 4): from-scratch LZW ---------------------------------
+
+
+def _rand_rgb(h, w, n_colors, seed):
+    import numpy as np
+
+    rng = np.random.RandomState(seed)
+    palette = rng.randint(0, 256, size=(n_colors, 3), dtype=np.uint8)
+    idx = rng.randint(0, n_colors, size=(h, w))
+    return palette[idx]
+
+
+def test_gif_roundtrip_exact():
+    import numpy as np
+
+    from iceberg_metadata_pipeline_spark.llmops.codecs import decode_gif, encode_gif
+
+    px = _rand_rgb(23, 17, 13, seed=7)
+    blob = encode_gif(px)
+    meta = decode_gif(blob, with_pixels=True)
+    assert (meta["width"], meta["height"], meta["n_frames"]) == (17, 23, 1)
+    assert np.array_equal(meta["pixels"], px)
+
+
+def test_gif_interlaced_roundtrip():
+    import numpy as np
+
+    from iceberg_metadata_pipeline_spark.llmops.codecs import decode_gif, encode_gif
+
+    px = _rand_rgb(31, 9, 7, seed=11)
+    blob = encode_gif(px, interlaced=True)
+    meta = decode_gif(blob, with_pixels=True)
+    assert meta["interlaced"] is True
+    assert np.array_equal(meta["pixels"], px)
+
+
+def test_gif_large_body_subblock_framing():
+    import numpy as np
+
+    from iceberg_metadata_pipeline_spark.llmops.codecs import decode_gif, encode_gif
+
+    # > 255-byte LZW body forces multi-sub-block framing
+    px = _rand_rgb(64, 64, 256, seed=3)
+    blob = encode_gif(px)
+    meta = decode_gif(blob, with_pixels=True)
+    assert np.array_equal(meta["pixels"], px)
+
+
+def test_gif_two_color_minimum_code_size():
+    import numpy as np
+
+    from iceberg_metadata_pipeline_spark.llmops.codecs import decode_gif, encode_gif
+
+    px = np.zeros((5, 5, 3), dtype=np.uint8)
+    px[::2, ::2] = 255
+    meta = decode_gif(encode_gif(px), with_pixels=True)
+    assert np.array_equal(meta["pixels"], px)
+
+
+def test_gif_decode_any_dispatch_and_probe_parity():
+    from iceberg_metadata_pipeline_spark.llmops.codecs import (
+        decode_any,
+        encode_gif,
+        probe_dimensions,
+    )
+
+    px = _rand_rgb(12, 34, 5, seed=5)
+    blob = encode_gif(px)
+    meta = decode_any(blob, with_pixels=False)
+    assert meta["media_type"] == "image/gif"
+    probe = probe_dimensions(blob)
+    assert (probe["width"], probe["height"]) == (meta["width"], meta["height"]) == (34, 12)
+
+
+def test_gif_truncated_raises():
+    import pytest as _pytest
+
+    from iceberg_metadata_pipeline_spark.llmops.codecs import decode_gif, encode_gif
+
+    blob = encode_gif(_rand_rgb(8, 8, 4, seed=1))
+    with _pytest.raises(ValueError):
+        decode_gif(blob[:20], with_pixels=True)
+
+
+def test_gif_too_many_colors_refused():
+    import numpy as np
+    import pytest as _pytest
+
+    from iceberg_metadata_pipeline_spark.llmops.codecs import encode_gif
+
+    rng = np.random.RandomState(0)
+    px = rng.randint(0, 256, size=(32, 32, 3), dtype=np.uint8)  # ~1000 colors
+    with _pytest.raises(ValueError, match="palette"):
+        encode_gif(px)
