@@ -674,8 +674,10 @@ def decode_gif(payload: bytes, with_pixels: bool = False) -> dict:
         raise ValueError("GIF has no image frame")
     meta = {
         "format": "gif",
+        "media_kind": "image",
         "width": sw,
         "height": sh,
+        "n_channels": 3,
         "n_frames": n_frames,
         "interlaced": first["interlaced"],
     }

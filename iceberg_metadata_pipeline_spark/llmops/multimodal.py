@@ -243,12 +243,28 @@ def synthesize_media(docs: DataFrame) -> DataFrame:
                     n = 800 + (d * 37) % 1600
                     samples = ((np.arange(n, dtype=np.int64) * (7 + d % 13) + d * 31) % 1201 - 600) * 50
                     payload = codecs.encode_wav_pcm16(samples.astype("<i2"), rate=8000)
-                elif d % 3 == 0:  # image: gradient BMP, geometry varies by doc
+                elif d % 3 == 0:  # image: same geometry formula; BMP and
+                    # (every other image doc) palette-limited GIF, so the
+                    # pipeline carries BOTH an uncompressed and an
+                    # LZW-compressed real image format
                     w, h = 8 + d % 25, 8 + (d // 3) % 17
-                    r = np.arange(h, dtype=np.int64)[:, None, None]
-                    c = np.arange(w, dtype=np.int64)[None, :, None]
-                    ch = np.arange(3, dtype=np.int64)[None, None, :]
-                    payload = codecs.encode_bmp(((r * 13 + c * 7 + ch * 57 + d) % 256).astype(np.uint8))
+                    if d % 6 == 0:
+                        pal = np.stack(
+                            [
+                                (np.arange(8) * 37 + d) % 256,
+                                (np.arange(8) * 11) % 256,
+                                (np.arange(8) * 53 + 2 * d) % 256,
+                            ],
+                            axis=1,
+                        ).astype(np.uint8)
+                        r = np.arange(h, dtype=np.int64)[:, None]
+                        c = np.arange(w, dtype=np.int64)[None, :]
+                        payload = codecs.encode_gif(pal[(r * 13 + c * 7 + d) % 8])
+                    else:
+                        r = np.arange(h, dtype=np.int64)[:, None, None]
+                        c = np.arange(w, dtype=np.int64)[None, :, None]
+                        ch = np.arange(3, dtype=np.int64)[None, None, :]
+                        payload = codecs.encode_bmp(((r * 13 + c * 7 + ch * 57 + d) % 256).astype(np.uint8))
                 else:  # video: few-frame Y4M 4:2:0, 16×8 luma
                     frames = [
                         ((np.arange(8, dtype=np.int64)[:, None] * 11 + np.arange(16)[None, :] * 3 + d + fi * 29) % 256).astype(np.uint8)

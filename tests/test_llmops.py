@@ -254,6 +254,8 @@ def test_multimodal_decode_real_end_to_end(spark, tables):
         elif d % 3 == 0:  # image geometry from the formula
             assert r["media_kind"] == "image"
             assert (r["width"], r["height"]) == (8 + d % 25, 8 + (d // 3) % 17)
+            # even image docs are LZW GIFs, odd are BMPs — both real bytes
+            assert r["media_type"] == ("image/gif" if d % 6 == 0 else "image/bmp")
         else:  # video frame count from the formula
             assert r["media_kind"] == "video"
             assert r["n_frames"] == 2 + d % 4
