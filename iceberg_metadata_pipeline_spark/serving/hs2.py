@@ -18,13 +18,15 @@ FetchResults pulls pages through ``toLocalIterator`` — the engine never
 materializes a full result set for a paging client (the same
 incremental-delivery contract HiveThriftServer2 gives JDBC cursors).
 
+Catalog browsing (GetSchemas/GetTables/GetColumns — the JDBC/Superset
+schema-discovery path) returns real JDBC-shaped result sets through the
+same operation-handle/FetchResults flow as queries, with TCLIService
+LIKE patterns ('%'/'_') honored.
+
 Scope boundaries (documented, not hidden): protocol versions below V6
 are refused at OpenSession (row-based TRowSet is pre-2013 legacy);
 SASL/Kerberos transports are not offered (the reference itself runs
-NOSASL behind the compose network); catalog-browsing calls
-(GetTables/GetColumns/...) answer with an ERROR TStatus naming the SQL
-equivalent (SHOW TABLES / DESCRIBE) rather than a protocol error, so
-clients degrade gracefully.
+NOSASL behind the compose network).
 
 ``HS2Client`` is a from-scratch wire client used by the tests: it
 exercises the exact byte protocol an off-the-shelf client emits (the
@@ -35,6 +37,7 @@ pytest round-trip is a real Thrift frame conversation, not a mock.
 from __future__ import annotations
 
 import json
+import re
 import socket
 import socketserver
 import struct
@@ -419,15 +422,110 @@ class HiveServer2Front:
             2: (tp.STRUCT, {1: (tp.STRING, "Spark SQL")}),
         }
 
-    # catalog-browsing calls: steer the client to the SQL equivalents
-    def _do_GetTables(self, req: dict) -> dict:
-        return {1: _status_error("use SQL: SHOW TABLES IN <namespace>")}
+    # --- catalog browsing (the JDBC/Superset schema-discovery path) ---
+    # Each call materializes the JDBC-shaped result set as an operation
+    # handle fetched through the normal FetchResults flow, exactly like
+    # ExecuteStatement results. Patterns follow the TCLIService LIKE
+    # convention ('%' any run, '_' one char; empty/absent = match all).
+
+    @staticmethod
+    def _like_match(pattern: bytes | None, value: str) -> bool:
+        if not pattern:
+            return True
+        # re.escape leaves % and _ alone (not regex specials), so they can
+        # be rewritten to their LIKE meanings after everything else is
+        # neutralized
+        pat = re.escape(pattern.decode()).replace("%", ".*").replace("_", ".")
+        return re.fullmatch(pat, value) is not None
+
+    def _browse_operation(self, sid: str, rows: list, schema: str) -> dict:
+        # build on the session's isolated SparkSession (same as queries)
+        op_df = self.engine.session_spark(sid).createDataFrame(rows, schema)
+        guid = uuid.uuid4().bytes
+        with self._lock:
+            self._ops[guid] = _Operation(sid, op_df)
+        return {1: _status_ok(), 2: _op_handle(guid)}
+
+    def _namespaces(self, sid: str) -> list[str]:
+        df = self.engine.execute(sid, "SHOW NAMESPACES")
+        out = [r[0] for r in df.collect()]
+        self.engine.finish_statement(sid)
+        return out
 
     def _do_GetSchemas(self, req: dict) -> dict:
-        return {1: _status_error("use SQL: SHOW NAMESPACES")}
+        sid = self._session_of(req[1][1])
+        schema_pat = req.get(3, (tp.STRING, b""))[1]
+        rows = [
+            (ns, "spark")
+            for ns in sorted(self._namespaces(sid))
+            if self._like_match(schema_pat, ns)
+        ]
+        return self._browse_operation(
+            sid, rows, "TABLE_SCHEM string, TABLE_CATALOG string"
+        )
+
+    def _do_GetTables(self, req: dict) -> dict:
+        sid = self._session_of(req[1][1])
+        schema_pat = req.get(3, (tp.STRING, b""))[1]
+        table_pat = req.get(4, (tp.STRING, b""))[1]
+        rows = []
+        for ns in sorted(self._namespaces(sid)):
+            if not self._like_match(schema_pat, ns):
+                continue
+            df = self.engine.execute(sid, f"SHOW TABLES IN {ns}")
+            names = [r["tableName"] for r in df.collect()]
+            self.engine.finish_statement(sid)
+            rows += [
+                ("spark", ns, t, "TABLE", "")
+                for t in sorted(names)
+                if self._like_match(table_pat, t)
+            ]
+        return self._browse_operation(
+            sid,
+            rows,
+            "TABLE_CAT string, TABLE_SCHEM string, TABLE_NAME string, "
+            "TABLE_TYPE string, REMARKS string",
+        )
 
     def _do_GetColumns(self, req: dict) -> dict:
-        return {1: _status_error("use SQL: DESCRIBE <table>")}
+        sid = self._session_of(req[1][1])
+        schema_pat = req.get(3, (tp.STRING, b""))[1]
+        table_pat = req.get(4, (tp.STRING, b""))[1]
+        col_pat = req.get(5, (tp.STRING, b""))[1]
+        rows = []
+        for ns in sorted(self._namespaces(sid)):
+            if not self._like_match(schema_pat, ns):
+                continue
+            df = self.engine.execute(sid, f"SHOW TABLES IN {ns}")
+            names = [r["tableName"] for r in df.collect()]
+            self.engine.finish_statement(sid)
+            for t in sorted(names):
+                if not self._like_match(table_pat, t):
+                    continue
+                desc = self.engine.execute(sid, f"DESCRIBE {ns}.{t}")
+                cols = desc.collect()
+                self.engine.finish_statement(sid)
+                for pos, c in enumerate(cols, start=1):
+                    name = c["col_name"]
+                    if not name or name.startswith("#"):
+                        continue
+                    if not self._like_match(col_pat, name):
+                        continue
+                    base = _base_type(c["data_type"])
+                    rows.append(
+                        (
+                            "spark", ns, t, name,
+                            _TYPE_ID.get(base, 7), c["data_type"],
+                            1 if c["nullable"] else 0, pos,
+                        )
+                    )
+        return self._browse_operation(
+            sid,
+            rows,
+            "TABLE_CAT string, TABLE_SCHEM string, TABLE_NAME string, "
+            "COLUMN_NAME string, DATA_TYPE int, TYPE_NAME string, "
+            "NULLABLE int, ORDINAL_POSITION int",
+        )
 
 
 class _UnknownMethod(Exception):

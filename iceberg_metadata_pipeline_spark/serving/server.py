@@ -163,6 +163,15 @@ class SQLServingEngine:
         sc.cancelJobGroup(group)
         threading.Thread(target=_keep_canceling, daemon=True).start()
 
+    def session_spark(self, session_id: str) -> SparkSession:
+        """The session's isolated SparkSession (for building local result
+        sets — catalog browsing — in the session's own context)."""
+        with self._lock:
+            sess = self._sessions.get(session_id)
+        if sess is None:
+            raise KeyError(f"no open session {session_id}")
+        return sess.spark
+
     def finish_statement(self, session_id: str) -> None:
         """Handler calls this when a statement's collect returns or raises
         — clears the cancel target so sticky cancels stop."""

@@ -213,11 +213,43 @@ def test_unknown_method_is_application_exception(front):
     c.close()
 
 
-def test_catalog_browsing_calls_steer_to_sql(front):
+def test_get_schemas_tables_columns_browsing(front):
     c = _client(front)
-    resp = c.call("GetTables", {1: (tp.STRUCT, c._session)})
-    status = resp[1][1]
-    assert status[1][1] == 3 and b"SHOW TABLES" in status[5][1]
+    c.execute("CREATE TABLE nyc.browse_a (id BIGINT, name STRING)")
+    c.execute("CREATE TABLE nyc.browse_b (x DOUBLE)")
+
+    def browse(call, extra):
+        resp = c.call(call, {1: (tp.STRUCT, c._session), **extra})
+        HS2Client._check(resp)
+        op = resp[2][1]
+        names = [n for n, _ in c.result_schema(op)]
+        rows = c.fetch_all_rows(op)
+        c.close_operation(op)
+        return names, rows
+
+    names, rows = browse("GetSchemas", {})
+    assert names == ["TABLE_SCHEM", "TABLE_CATALOG"]
+    assert ("nyc", "spark") in rows
+
+    names, rows = browse("GetTables", {3: (tp.STRING, "nyc")})
+    assert names[:4] == ["TABLE_CAT", "TABLE_SCHEM", "TABLE_NAME", "TABLE_TYPE"]
+    tnames = [r[2] for r in rows]
+    assert "browse_a" in tnames and "browse_b" in tnames
+
+    # LIKE pattern: only browse_a
+    _, rows = browse("GetTables", {3: (tp.STRING, "nyc"), 4: (tp.STRING, "browse!_a".replace("!", "%"))})
+    assert [r[2] for r in rows] == ["browse_a"]
+
+    names, rows = browse(
+        "GetColumns", {3: (tp.STRING, "nyc"), 4: (tp.STRING, "browse_a")}
+    )
+    assert names == [
+        "TABLE_CAT", "TABLE_SCHEM", "TABLE_NAME", "COLUMN_NAME",
+        "DATA_TYPE", "TYPE_NAME", "NULLABLE", "ORDINAL_POSITION",
+    ]
+    cols = {r[3]: (r[4], r[5], r[7]) for r in rows}
+    assert cols["id"] == (4, "bigint", 1)  # TTypeId BIGINT=4, position 1
+    assert cols["name"] == (7, "string", 2)
     c.close()
 
 
