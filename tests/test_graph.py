@@ -145,3 +145,80 @@ def test_token_budget_waterfill_budget_exceeds_supply(spark):
         for r in token_budget_waterfill(df, "domain", "tok", 1, 1).collect()
     }
     assert got == {"a": 10, "b": 20}  # full supply allocated, nothing negative
+
+
+# --- property-based checks (hypothesis) -------------------------------------
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+
+@settings(
+    max_examples=20,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    tokens=st.lists(st.integers(min_value=0, max_value=10**9), min_size=1, max_size=12),
+    num=st.integers(min_value=0, max_value=5),
+    den=st.integers(min_value=1, max_value=5),
+)
+def test_waterfill_invariants(spark, tokens, num, den):
+    """For ANY domain mix and budget fraction: allocations never exceed
+    supply, never exceed the budget, are non-negative, and the final
+    round never takes from a domain (monotone vs round 1)."""
+    from iceberg_metadata_pipeline_spark.llmops.curation import token_budget_waterfill
+
+    rows = [(f"d{i}", t) for i, t in enumerate(tokens)]
+    df = spark.createDataFrame(rows, "domain: string, tok: long")
+    got = token_budget_waterfill(df, "domain", "tok", num, den).collect()
+    budget = (sum(tokens) * num) // den
+    assert sum(r["alloc_final"] for r in got) <= budget
+    by = {r["domain"]: r for r in got}
+    for i, t in enumerate(tokens):
+        r = by[f"d{i}"]
+        assert 0 <= r["alloc_equal_round"] <= r["alloc_final"] <= t
+
+
+@settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    edges=st.lists(
+        st.tuples(st.integers(0, 9), st.integers(0, 9)).filter(lambda e: e[0] != e[1]),
+        min_size=1,
+        max_size=15,
+        unique=True,
+    )
+)
+def test_pagerank_property_matches_reference(spark, edges):
+    """Any random small graph: the distributed integer fixed-point agrees
+    exactly with the dict-based reference (same recurrence, no float)."""
+    got = {
+        r["node"]: r["rank"]
+        for r in pagerank_fixed_point(_undirected(spark, edges), 2).collect()
+    }
+    assert got == _pagerank_reference(edges, 2)
+
+
+@settings(max_examples=25, deadline=None)
+@given(
+    h=st.integers(1, 12),
+    w=st.integers(1, 12),
+    n_colors=st.integers(1, 16),
+    seed=st.integers(0, 10**6),
+    interlaced=st.booleans(),
+)
+def test_gif_roundtrip_property(h, w, n_colors, seed, interlaced):
+    """encode→decode is pixel-exact for any geometry/palette/interlace."""
+    import numpy as np
+
+    from iceberg_metadata_pipeline_spark.llmops.codecs import decode_gif, encode_gif
+
+    rng = np.random.RandomState(seed)
+    palette = rng.randint(0, 256, size=(n_colors, 3), dtype=np.uint8)
+    px = palette[rng.randint(0, n_colors, size=(h, w))]
+    meta = decode_gif(encode_gif(px, interlaced=interlaced), with_pixels=True)
+    assert np.array_equal(meta["pixels"], px)
