@@ -510,3 +510,34 @@ LIMIT 50 OFFSET 100
 """,
     oracle="same",
 )
+
+# --- from_xml scalar parsing + inline ---------------------------------------
+# from_xml (Spark 4): schema-directed XML→struct in the projection (the
+# scalar sibling of the XML source); inline() explodes an array of
+# structs to columns. Oracle restates both relationally.
+
+sql_query(
+    "fn_from_xml_inline",
+    """
+WITH x AS (
+  SELECT n_nationkey,
+         from_xml(concat('<r><k>', n_nationkey, '</k><nm>', n_name, '</nm></r>'),
+                  'k INT, nm STRING') AS parsed,
+         array(named_struct('ord', 1, 'val', n_name),
+               named_struct('ord', 2, 'val', upper(n_name))) AS pair
+  FROM nation
+)
+SELECT n_nationkey, parsed.k AS k, parsed.nm AS nm, ord, val
+FROM x LATERAL VIEW inline(pair) AS ord, val
+ORDER BY n_nationkey, ord
+""",
+    oracle="""
+SELECT n_nationkey,
+       CAST(n_nationkey AS INT) AS k,
+       n_name AS nm,
+       ord,
+       CASE WHEN ord = 1 THEN n_name ELSE upper(n_name) END AS val
+FROM nation, (SELECT 1 AS ord UNION ALL SELECT 2) o
+ORDER BY n_nationkey, ord
+""",
+)

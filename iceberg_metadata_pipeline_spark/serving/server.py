@@ -69,6 +69,7 @@ class _Session:
         # conf/variables, USE, EXECUTE IMMEDIATE), it permanently opts
         # out of the shared result cache
         self.cache_tainted = False
+        self.last_used = time.monotonic()
 
     def execute(self, statement: str) -> DataFrame:
         # scheduler pools are thread-local in Spark; tag every statement
@@ -78,6 +79,7 @@ class _Session:
         self.spark.sparkContext.setLocalProperty(
             "spark.scheduler.pool", f"session-{self.session_id}"
         )
+        self.last_used = time.monotonic()
         self._stmt_seq += 1
         group = f"session-{self.session_id}-stmt-{self._stmt_seq}"
         self.running_group = group
@@ -183,6 +185,23 @@ class SQLServingEngine:
     def close_session(self, session_id: str) -> None:
         with self._lock:
             self._sessions.pop(session_id, None)
+
+    def reap_idle_sessions(self, max_idle_seconds: float) -> list[str]:
+        """Close sessions idle longer than the TTL (HiveServer2's
+        session-timeout semantics: abandoned JDBC connections must not
+        pin temp-view/conf state forever). A session that is mid-
+        statement counts as active (running_group set). Returns the
+        reaped session ids."""
+        cutoff = time.monotonic() - max_idle_seconds
+        with self._lock:
+            stale = [
+                sid
+                for sid, s in self._sessions.items()
+                if s.running_group is None and s.last_used < cutoff
+            ]
+            for sid in stale:
+                self._sessions.pop(sid, None)
+        return stale
 
 
 class SQLServer:

@@ -122,3 +122,31 @@ def test_eligibility_classifiers():
     assert is_tainting_statement("DECLARE x INT")
     assert not is_tainting_statement("SELECT 1")
     assert not is_tainting_statement("INSERT INTO t VALUES (1)")
+
+
+def test_reap_idle_sessions(engine):
+    s1 = engine.open_session()
+    s2 = engine.open_session()
+    engine.execute(s1, "SELECT 1 AS one").collect()
+    engine.finish_statement(s1)
+    # make s1 look idle past the TTL; s2 was just opened (fresh clock)
+    with engine._lock:
+        engine._sessions[s1].last_used -= 3600
+    reaped = engine.reap_idle_sessions(max_idle_seconds=600)
+    assert reaped == [s1]
+    with pytest.raises(KeyError):
+        engine.execute(s1, "SELECT 1")
+    # survivor still works
+    assert engine.execute(s2, "SELECT 2 AS two").collect()[0][0] == 2
+
+
+def test_reap_skips_mid_statement_sessions(engine):
+    s = engine.open_session()
+    engine.execute(s, "SELECT 1 AS one").collect()
+    with engine._lock:
+        sess = engine._sessions[s]
+        sess.last_used -= 3600
+        sess.running_group = "fake-running"  # mid-statement: must survive
+    assert engine.reap_idle_sessions(600) == []
+    engine.finish_statement(s)
+    assert engine.reap_idle_sessions(600) == [s]
