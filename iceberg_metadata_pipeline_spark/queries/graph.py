@@ -274,3 +274,101 @@ def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     edges = copurchase_edges(spark, sf_dir, min_weight=2).cache()
     tri = triangle_count(edges)
     return tri.withColumn("n_edges", F.lit(edges.count()).cast("long"))
+
+
+def label_propagation_min(edges: DataFrame, rounds: int) -> DataFrame:
+    """Connected-components by min-label propagation, FIXED round count.
+
+    label_0 = node id; each round every node takes the min of its own
+    label and its neighbors' — one co-partitioned join + one groupBy per
+    round, the hash-min building block the near-dup clusterer
+    (llmops/dedup.py) runs to convergence. A fixed round count keeps the
+    result a pure function of (graph, rounds) — exactly reproducible by
+    the unrolled oracle — while the production clusterer iterates until
+    a no-change round (O(diameter)).
+    Returns (node, lbl)."""
+    labels = (
+        edges.select("src")
+        .union(edges.select("dst"))
+        .distinct()
+        .select(F.col("src").alias("node"))
+        .withColumn("lbl", F.col("node"))
+    )
+    for _ in range(rounds):
+        nb = (
+            edges.join(labels.withColumnRenamed("node", "src"), "src")
+            .groupBy(F.col("dst").alias("node"))
+            .agg(F.min("lbl").alias("nb_min"))
+        )
+        labels = (
+            labels.join(nb, "node", "left")
+            .select(
+                "node",
+                F.least(F.col("lbl"), F.coalesce("nb_min", "lbl")).alias("lbl"),
+            )
+            # each round reads labels twice (own label + neighbor min);
+            # caching pins one materialization per round — without it the
+            # plan doubles every round (2^rounds recomputation), the same
+            # guard dedup.connected_components uses
+            .cache()
+        )
+    return labels
+
+
+def _cc_oracle(rounds: int = 4) -> str:
+    head = """
+WITH co AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+e0 AS (
+  SELECT a.l_partkey AS p1, b.l_partkey AS p2
+  FROM co a JOIN co b ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+  GROUP BY 1, 2 HAVING COUNT(*) >= 2
+),
+edges AS (
+  SELECT p1 AS src, p2 AS dst FROM e0
+  UNION ALL
+  SELECT p2 AS src, p1 AS dst FROM e0
+),
+l0 AS (SELECT DISTINCT src AS node, src AS lbl FROM edges)"""
+    steps = []
+    for i in range(1, rounds + 1):
+        steps.append(
+            f""",
+l{i} AS (
+  SELECT p.node, LEAST(p.lbl, COALESCE(nb.m, p.lbl)) AS lbl
+  FROM l{i - 1} p
+  LEFT JOIN (
+    SELECT e.dst AS node, MIN(l.lbl) AS m
+    FROM edges e JOIN l{i - 1} l ON l.node = e.src
+    GROUP BY e.dst
+  ) nb ON nb.node = p.node
+)"""
+        )
+    return (
+        head
+        + "".join(steps)
+        + f"""
+SELECT n_members, CAST(COUNT(*) AS BIGINT) AS n_labels
+FROM (SELECT lbl, COUNT(*) AS n_members FROM l{rounds} GROUP BY lbl)
+GROUP BY n_members ORDER BY n_members"""
+    )
+
+
+@query("graph_cc_label_propagation", _cc_oracle(2))
+def graph_cc_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Label-size histogram after 2 min-label rounds over the part
+    co-purchase graph: how concentrated the co-purchase communities are."""
+    base = copurchase_edges(spark, sf_dir, min_weight=2)
+    edges = base.select(
+        F.col("p1").alias("src"), F.col("p2").alias("dst")
+    ).unionByName(base.select(F.col("p2").alias("src"), F.col("p1").alias("dst")))
+    # materialize ONCE: every propagation round joins this edge list, and
+    # without the cache each round would recompute the quadratic
+    # co-purchase self-join upstream of it
+    edges.cache().count()
+    labels = label_propagation_min(edges, rounds=2)
+    sizes = labels.groupBy("lbl").agg(F.count("*").alias("n_members"))
+    return (
+        sizes.groupBy("n_members")
+        .agg(F.count("*").cast("long").alias("n_labels"))
+        .orderBy("n_members")
+    )

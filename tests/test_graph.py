@@ -222,3 +222,24 @@ def test_gif_roundtrip_property(h, w, n_colors, seed, interlaced):
     px = palette[rng.randint(0, n_colors, size=(h, w))]
     meta = decode_gif(encode_gif(px, interlaced=interlaced), with_pixels=True)
     assert np.array_equal(meta["pixels"], px)
+
+
+def test_label_propagation_bounded_rounds(spark):
+    from iceberg_metadata_pipeline_spark.queries.graph import label_propagation_min
+
+    # path 1-2-3-4-5 (undirected): labels travel one hop per round —
+    # round 1: [1,1,2,3,4]; round 2: [1,1,1,2,3] — bounded-round semantics
+    edges = _undirected(spark, [(1, 2), (2, 3), (3, 4), (4, 5)])
+    got = {r["node"]: r["lbl"] for r in label_propagation_min(edges, 2).collect()}
+    assert got == {1: 1, 2: 1, 3: 1, 4: 2, 5: 3}
+    # two more rounds finish the component
+    got4 = {r["node"]: r["lbl"] for r in label_propagation_min(edges, 4).collect()}
+    assert set(got4.values()) == {1}
+
+
+def test_label_propagation_two_components(spark):
+    from iceberg_metadata_pipeline_spark.queries.graph import label_propagation_min
+
+    edges = _undirected(spark, [(1, 2), (2, 3), (10, 11)])
+    got = {r["node"]: r["lbl"] for r in label_propagation_min(edges, 3).collect()}
+    assert got == {1: 1, 2: 1, 3: 1, 10: 10, 11: 10}
