@@ -70,6 +70,7 @@ DECODABLE = {
     "image/x-portable-pixmap",
     "video/x-yuv4mpeg",
     "image/png",
+    "image/gif",
 }
 
 

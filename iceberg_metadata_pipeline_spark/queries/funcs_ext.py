@@ -398,7 +398,7 @@ FROM m JOIN native ON m.o_orderpriority = native.o_orderpriority
 ORDER BY m.o_orderpriority
 """,
     oracle=f"""
-WITH moments AS ({_MOMENTS.replace("POWER(CAST(o_totalprice AS DOUBLE) / 100000,", "POWER(CAST(o_totalprice AS DOUBLE) / 100000,")}),
+WITH moments AS ({_MOMENTS}),
 m AS ({_MOMENT_FORMULA})
 SELECT o_orderpriority, n,
        round(m3 / POWER(m2, 1.5), 9) AS skew_decimal,

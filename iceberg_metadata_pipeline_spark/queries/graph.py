@@ -156,8 +156,14 @@ def graph_pagerank_interactions(spark: SparkSession, sf_dir: str) -> DataFrame:
 def bfs_hops(edges: DataFrame, seeds: DataFrame, max_hops: int) -> DataFrame:
     """Minimum-hop distance (≤ max_hops) from a seed set, by frontier
     expansion: visited stays a DataFrame, each superstep is one join +
-    distinct + anti-join. Returns (node, hops)."""
-    visited = seeds.select("node").distinct().withColumn("hops", F.lit(0))
+    distinct + anti-join. Returns (node, hops).
+
+    Edges and each hop's frontier are cached: every superstep reads
+    edges once and the prior visited set twice (anti-join + union), so
+    uncached lineage would recompute the upstream edge derivation
+    2^hops times — the same blowup label_propagation_min guards."""
+    edges = edges.cache()
+    visited = seeds.select("node").distinct().withColumn("hops", F.lit(0)).cache()
     frontier = visited.select("node")
     for h in range(1, max_hops + 1):
         nxt = (
@@ -165,9 +171,10 @@ def bfs_hops(edges: DataFrame, seeds: DataFrame, max_hops: int) -> DataFrame:
             .select(F.col("dst").alias("node"))
             .distinct()
             .join(visited.select("node"), "node", "left_anti")
+            .cache()
         )
         frontier = nxt
-        visited = visited.unionByName(nxt.withColumn("hops", F.lit(h)))
+        visited = visited.unionByName(nxt.withColumn("hops", F.lit(h))).cache()
     return visited
 
 

@@ -242,10 +242,12 @@ def ewma(
     s_t = (1-a)^t * (x_0 + a * sum_{i<=t} x_i / (1-a)^i) turns the
     recurrence into a cumulative sum of a per-row scaled value — a
     single shuffle on the partition key, the same cost as any running
-    sum. ``horizon`` bounds the lookback (rows past it start a fresh
-    value) so the 1/(1-a)^i scaling cannot overflow on long histories;
-    semantically that is EWMA-with-restart, the form used for bounded
-    state at scale.
+    sum. ``horizon`` bounds the lookback so the 1/(1-a)^i scaling
+    cannot overflow on long histories: rows past the horizon are
+    EXCLUDED from the result (bounded-lookback contract, pinned by
+    test_ewma_horizon_bounds_lookback) — callers needing values for a
+    longer tail should re-key the partition column into
+    horizon-sized segments first.
     """
     w_rn = W.partitionBy(partition).orderBy(*order)
     rn = F.row_number().over(w_rn) - 1

@@ -50,7 +50,23 @@ _TAINT_RE = re.compile(
 _VOLATILE_RE = re.compile(
     r"\b(rand|randn|random|uuid|shuffle|current_timestamp|current_date"
     r"|current_timezone|now|localtimestamp|unix_timestamp|session_user"
-    r"|monotonically_increasing_id|spark_partition_id|input_file_name)\b",
+    r"|monotonically_increasing_id|spark_partition_id|input_file_name"
+    # global temp views are CROSS-session state the catalog fingerprint
+    # does not cover — reads of them must never be cached
+    r"|global_temp)\b",
+    re.IGNORECASE,
+)
+
+# statements that mutate state SHARED BY ALL sessions outside the
+# warehouse (global temp views; non-temporary function definitions):
+# the catalog fingerprint cannot see these, so the whole cache must
+# flush — tainting only the issuing session would leave other sessions
+# reading stale entries
+_GLOBAL_MUTATION_RE = re.compile(
+    r"^\s*(CREATE\s+(OR\s+REPLACE\s+)?GLOBAL\s+TEMP(ORARY)?\s"
+    r"|CREATE\s+(OR\s+REPLACE\s+)?FUNCTION\b"
+    r"|DROP\s+FUNCTION\b"
+    r"|DROP\s+VIEW\s+global_temp\.)",
     re.IGNORECASE,
 )
 
@@ -61,6 +77,10 @@ def is_cacheable_statement(statement: str) -> bool:
 
 def is_tainting_statement(statement: str) -> bool:
     return bool(_TAINT_RE.match(statement))
+
+
+def is_global_mutation(statement: str) -> bool:
+    return bool(_GLOBAL_MUTATION_RE.match(statement))
 
 
 def catalog_fingerprint(warehouse: str) -> str:
@@ -131,3 +151,9 @@ class ResultCache:
             self._lru.move_to_end(key)
             while len(self._lru) > self.max_entries:
                 self._lru.popitem(last=False)
+
+    def clear(self) -> None:
+        """Flush everything — issued when cross-session state outside the
+        catalog fingerprint changes (global temp views, functions)."""
+        with self._lock:
+            self._lru.clear()

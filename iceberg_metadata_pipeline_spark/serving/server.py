@@ -44,6 +44,7 @@ from iceberg_metadata_pipeline_spark.serving.result_cache import (
     ResultCache,
     catalog_fingerprint,
     is_cacheable_statement,
+    is_global_mutation,
     is_tainting_statement,
 )
 
@@ -112,6 +113,10 @@ class SQLServingEngine:
             raise KeyError(f"no open session {session_id}")
         if is_tainting_statement(statement):
             sess.cache_tainted = True
+        if self.cache is not None and is_global_mutation(statement):
+            # cross-session state not covered by the catalog fingerprint
+            # changed — every cached entry is suspect
+            self.cache.clear()
         if (
             self.cache is None
             or sess.cache_tainted
@@ -125,6 +130,7 @@ class SQLServingEngine:
         if hit is TOO_BIG:
             return sess.execute(statement)
         if hit is not None:
+            sess.last_used = time.monotonic()  # a hit IS session activity
             schema, rows = hit
             return sess.spark.createDataFrame(rows, schema)
         df = sess.execute(statement)

@@ -150,3 +150,48 @@ def test_reap_skips_mid_statement_sessions(engine):
     assert engine.reap_idle_sessions(600) == []
     engine.finish_statement(s)
     assert engine.reap_idle_sessions(600) == [s]
+
+
+def test_global_temp_view_never_cached_and_mutation_flushes(engine):
+    from iceberg_metadata_pipeline_spark.serving.result_cache import (
+        is_cacheable_statement,
+        is_global_mutation,
+    )
+
+    # reads of cross-session global temp state are cache-ineligible
+    assert not is_cacheable_statement("SELECT * FROM global_temp.g")
+    # shared-state mutations flush the whole cache
+    assert is_global_mutation("CREATE GLOBAL TEMPORARY VIEW g AS SELECT 1")
+    assert is_global_mutation("CREATE OR REPLACE FUNCTION f AS 'x'")
+    assert is_global_mutation("DROP FUNCTION f")
+    assert not is_global_mutation("CREATE TEMPORARY VIEW v AS SELECT 1")
+    assert not is_global_mutation("SELECT 1")
+
+    s = engine.open_session()
+    engine.execute(s, "CREATE TABLE nyc.rcg (id BIGINT)").collect()
+    engine.execute(s, "INSERT INTO nyc.rcg VALUES (1)").collect()
+    q = "SELECT id FROM nyc.rcg"
+    engine.execute(s, q).collect()
+    assert len(engine.cache._lru) == 1
+    # a global mutation from ANY session wipes every entry
+    s2 = engine.open_session()
+    engine.execute(s2, "CREATE GLOBAL TEMPORARY VIEW gflush AS SELECT 9 AS x").collect()
+    assert len(engine.cache._lru) == 0
+    # and cross-session reads of the global view bypass the cache but work
+    assert engine.execute(s, "SELECT x FROM global_temp.gflush").collect()[0][0] == 9
+    assert all(
+        "global_temp" not in stmt for stmt, _ in engine.cache._lru
+    )
+
+
+def test_cache_hit_refreshes_idle_clock(engine):
+    s = engine.open_session()
+    q = "SELECT 11 AS v"
+    engine.execute(s, q).collect()
+    engine.finish_statement(s)
+    with engine._lock:
+        engine._sessions[s].last_used -= 3600
+    # a cache HIT is session activity: it must reset the idle clock
+    engine.execute(s, q).collect()
+    assert engine.cache.hits == 1
+    assert engine.reap_idle_sessions(600) == []
