@@ -541,3 +541,51 @@ FROM nation, (SELECT 1 AS ord UNION ALL SELECT 2) o
 ORDER BY n_nationkey, ord
 """,
 )
+
+# --- exists / forall / zip_with / reduce + array set ops --------------------
+# Arrays are sequences 1..k and 2..m, so every lambda result has a
+# closed form the oracle states directly: the lambda interpreter must
+# land exactly on arithmetic.
+
+sql_query(
+    "fn_hof_exists_forall",
+    """
+WITH s AS (
+  SELECT n_nationkey,
+         CAST(n_nationkey % 5 + 1 AS INT) AS k,
+         CAST(n_nationkey % 4 + 2 AS INT) AS bmax,
+         sequence(1, CAST(n_nationkey % 5 + 1 AS INT)) AS a,
+         sequence(2, CAST(n_nationkey % 4 + 2 AS INT)) AS b
+  FROM nation
+)
+SELECT n_nationkey,
+       CAST(exists(a, x -> x % 2 = 0) AS INT) AS has_even,
+       CAST(forall(a, x -> x > 0) AS INT) AS all_pos,
+       aggregate(zip_with(a, a, (x, y) -> x + y), 0, (acc, x) -> acc + x)
+         AS zipped_sum,
+       reduce(a, 0, (acc, x) -> acc + x, acc -> acc * 10) AS reduced_x10,
+       size(array_union(a, b)) AS n_union,
+       size(array_intersect(a, b)) AS n_intersect,
+       size(array_except(a, b)) AS n_except
+FROM s
+ORDER BY n_nationkey
+""",
+    oracle="""
+WITH s AS (
+  SELECT n_nationkey,
+         CAST(n_nationkey % 5 + 1 AS INT) AS k,
+         CAST(n_nationkey % 4 + 2 AS INT) AS bmax
+  FROM nation
+)
+SELECT n_nationkey,
+       CAST(k >= 2 AS INT) AS has_even,
+       1 AS all_pos,
+       k * (k + 1) AS zipped_sum,
+       (k * (k + 1) / 2) * 10 AS reduced_x10,
+       GREATEST(k, bmax) AS n_union,
+       GREATEST(LEAST(k, bmax) - 1, 0) AS n_intersect,
+       1 + GREATEST(k - bmax, 0) AS n_except
+FROM s
+ORDER BY n_nationkey
+""",
+)
