@@ -2,8 +2,12 @@
 
 Families the deployed Spark SQL surface serves that the registry did not
 yet pin: regular expressions, hashing/encoding/crypto round-trips, XPath
-extraction, map higher-order functions, string utility trio, and bitwise
-aggregates. Each query emits values BOTH engines can compute so the
+extraction, map higher-order functions, string utility trio, bitwise
+aggregates, positional explode/array generators, unionByName with
+missing columns, CSV and XML scalar parsing, UTF-8 validation, checked
+skewness/kurtosis and extended regr_* statistics, LIMIT..OFFSET, and the
+exists/forall/zip_with/reduce lambda family with array set ops.
+Each query emits values BOTH engines can compute so the
 DuckDB oracle checks exact equality; where dialects differ (Spark
 ``regexp_replace`` is global by default, DuckDB needs the ``'g'`` flag;
 Spark ``regexp_substr`` yields NULL on no-match where DuckDB's
