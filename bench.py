@@ -72,6 +72,8 @@ HEADLINE = [
     # budget waterfilling
     "graph_pagerank_interactions",
     "graph_triangle_count",
+    "graph_bfs_reachability",
+    "graph_cc_label_propagation",
     "window_ewma_halflife",
     "udf_map_in_arrow",
     "sample_token_budget_waterfill",
