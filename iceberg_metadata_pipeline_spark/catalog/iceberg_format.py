@@ -1,0 +1,576 @@
+"""Real Iceberg table-format (spec v2) writer + reader — no jar, no deps.
+
+The reference's warehouse is a genuine Iceberg HadoopCatalog
+(ImportParquetFolders.java:49-50): ``<table>/metadata/v{N}.metadata.json``
++ ``version-hint.text`` + avro manifest lists + avro manifests. The
+metacat catalog (metacat.py) reimplements the *semantics* over its own
+JSON; this module closes the *format* gap in both directions using the
+from-scratch avro codec (avro_io.py) and the public table spec:
+
+    https://iceberg.apache.org/spec/        (v2 tables)
+
+- ``export_iceberg_table(table, dest)`` — emit a complete, spec-v2
+  Iceberg table directory for a metacat table: metadata JSON (hyphenated
+  keys, per-field ids/required), one avro manifest with a
+  ``manifest_entry``/``data_file`` record per live data file, one avro
+  manifest list, ``version-hint.text``. METADATA-ONLY: data-file paths
+  point at the original parquet (absolute paths are legal per spec), the
+  same philosophy as the reference's no-copy registration
+  (ImportParquetFolders.java:102-117). A real Iceberg runtime pointed at
+  ``dest`` can open the table.
+- ``read_iceberg_table(location)`` — parse a real Iceberg table dir
+  (ours or one written by the actual runtime): latest metadata JSON →
+  current snapshot → manifest list → manifests → live data files +
+  Spark schema. Schema-driven avro decoding means stats maps written as
+  Iceberg's array<k/v-record> shape read fine.
+- ``import_iceberg_table(...)`` — register a real Iceberg table's live
+  files into metacat (the jar-free version of
+  tests/test_iceberg_interop.py's ingest direction).
+
+Deliberate scope bounds (documented, loud):
+
+- Export covers the CURRENT snapshot (plus ancestors' snapshot-log
+  entries in the metadata JSON only as history markers is NOT done —
+  every snapshot listed must have a readable manifest list, so only the
+  current snapshot is listed). Time travel stays a metacat feature.
+- Pending MOR deletes must be folded first (``rewrite_data_files``) —
+  metacat's delete entries are predicate/key JSON, not Iceberg
+  position-delete files; exporting them unresolved would silently
+  resurrect rows. ``export_iceberg_table`` raises until folded.
+- Hidden-partitioning metadata is not carried through (exported tables
+  declare the unpartitioned spec): metacat encodes calendar transforms
+  as strings where the Iceberg spec wants epoch-relative ints. Pruning
+  hints only — files and rows are exact.
+
+Scale note: this is driver-side metadata I/O — O(#files) tiny records,
+~100k entries for a 100 TB table, well under a second of avro encoding.
+"""
+
+from __future__ import annotations
+
+import glob
+import json
+import os
+import re
+import time
+import uuid
+from dataclasses import dataclass, field
+
+from pyspark.sql import SparkSession
+from pyspark.sql import types as T
+
+from iceberg_metadata_pipeline_spark.catalog import avro_io
+from iceberg_metadata_pipeline_spark.catalog.metacat import (
+    Catalog,
+    DataFileEntry,
+    Table,
+)
+
+# ---------------------------------------------------------------------------
+# schema conversion: Spark StructType <-> Iceberg schema JSON (with field ids)
+# ---------------------------------------------------------------------------
+
+_PRIM_TO_ICE = {
+    "boolean": "boolean",
+    "tinyint": "int",
+    "smallint": "int",
+    "integer": "int",
+    "int": "int",
+    "bigint": "long",
+    "long": "long",
+    "float": "float",
+    "double": "double",
+    "string": "string",
+    "binary": "binary",
+    "date": "date",
+    # Spark TimestampType is an instant (session-tz) → timestamptz;
+    # TimestampNTZ is the wall-clock 'timestamp'
+    "timestamp": "timestamptz",
+    "timestamp_ntz": "timestamp",
+}
+
+_ICE_TO_SPARK = {
+    "boolean": T.BooleanType(),
+    "int": T.IntegerType(),
+    "long": T.LongType(),
+    "float": T.FloatType(),
+    "double": T.DoubleType(),
+    "string": T.StringType(),
+    "binary": T.BinaryType(),
+    "date": T.DateType(),
+    "timestamptz": T.TimestampType(),
+    "timestamp": T.TimestampNTZType(),
+    "uuid": T.StringType(),
+    "time": T.LongType(),  # microseconds-of-day; no Spark TIME type
+}
+
+
+class _IdGen:
+    def __init__(self, start: int = 0):
+        self.last = start
+
+    def next(self) -> int:
+        self.last += 1
+        return self.last
+
+
+def _spark_type_to_ice(dt: T.DataType, ids: _IdGen):
+    s = dt.simpleString()
+    if s in _PRIM_TO_ICE:
+        return _PRIM_TO_ICE[s]
+    m = re.fullmatch(r"decimal\((\d+),(\d+)\)", s)
+    if m:
+        return f"decimal({m.group(1)}, {m.group(2)})"
+    if isinstance(dt, T.ArrayType):
+        eid = ids.next()
+        return {
+            "type": "list",
+            "element-id": eid,
+            "element": _spark_type_to_ice(dt.elementType, ids),
+            "element-required": not dt.containsNull,
+        }
+    if isinstance(dt, T.MapType):
+        kid, vid = ids.next(), ids.next()
+        return {
+            "type": "map",
+            "key-id": kid,
+            "key": _spark_type_to_ice(dt.keyType, ids),
+            "value-id": vid,
+            "value": _spark_type_to_ice(dt.valueType, ids),
+            "value-required": not dt.valueContainsNull,
+        }
+    if isinstance(dt, T.StructType):
+        return {"type": "struct", "fields": _ice_fields(dt, ids)}
+    raise ValueError(f"no Iceberg mapping for Spark type {s!r}")
+
+
+def _ice_fields(st: T.StructType, ids: _IdGen) -> list[dict]:
+    out = []
+    for f in st.fields:
+        fid = ids.next()  # parent field id assigned before nested ids, per spec examples
+        out.append(
+            {
+                "id": fid,
+                "name": f.name,
+                "required": not f.nullable,
+                "type": _spark_type_to_ice(f.dataType, ids),
+            }
+        )
+    return out
+
+
+def spark_schema_to_iceberg(st: T.StructType, schema_id: int = 0) -> tuple[dict, int]:
+    """→ (Iceberg schema JSON, last-column-id)."""
+    ids = _IdGen()
+    fields = _ice_fields(st, ids)
+    return {"type": "struct", "schema-id": schema_id, "fields": fields}, ids.last
+
+
+def _ice_type_to_spark(t) -> T.DataType:
+    if isinstance(t, str):
+        if t in _ICE_TO_SPARK:
+            return _ICE_TO_SPARK[t]
+        m = re.fullmatch(r"decimal\((\d+),\s*(\d+)\)", t)
+        if m:
+            return T.DecimalType(int(m.group(1)), int(m.group(2)))
+        m = re.fullmatch(r"fixed\[(\d+)\]", t)
+        if m:
+            return T.BinaryType()
+        raise ValueError(f"unknown Iceberg type {t!r}")
+    kind = t["type"]
+    if kind == "struct":
+        return T.StructType(
+            [
+                T.StructField(
+                    f["name"], _ice_type_to_spark(f["type"]), not f.get("required", False)
+                )
+                for f in t["fields"]
+            ]
+        )
+    if kind == "list":
+        return T.ArrayType(
+            _ice_type_to_spark(t["element"]), not t.get("element-required", False)
+        )
+    if kind == "map":
+        return T.MapType(
+            _ice_type_to_spark(t["key"]),
+            _ice_type_to_spark(t["value"]),
+            not t.get("value-required", False),
+        )
+    raise ValueError(f"unknown Iceberg type {t!r}")
+
+
+def iceberg_schema_to_spark(schema: dict) -> T.StructType:
+    return _ice_type_to_spark(dict(schema, type="struct"))
+
+
+# ---------------------------------------------------------------------------
+# avro schemas for manifests (field ids per the spec's Manifests section)
+# ---------------------------------------------------------------------------
+
+
+def _opt(name: str, typ, fid: int) -> dict:
+    return {"name": name, "type": ["null", typ], "default": None, "field-id": fid}
+
+
+def _req(name: str, typ, fid: int) -> dict:
+    return {"name": name, "type": typ, "field-id": fid}
+
+
+def manifest_entry_schema() -> dict:
+    """v2 ``manifest_entry`` avro schema. Partition struct r102 is the
+    unpartitioned (empty) record — see module docstring scope bounds."""
+    data_file = {
+        "type": "record",
+        "name": "r2",
+        "fields": [
+            _req("content", "int", 134),
+            _req("file_path", "string", 100),
+            _req("file_format", "string", 101),
+            _req("partition", {"type": "record", "name": "r102", "fields": []}, 102),
+            _req("record_count", "long", 103),
+            _req("file_size_in_bytes", "long", 104),
+            _opt("column_sizes", _kv_array("k117_v118", 117, 118, "long"), 108),
+            _opt("value_counts", _kv_array("k119_v120", 119, 120, "long"), 109),
+            _opt("null_value_counts", _kv_array("k121_v122", 121, 122, "long"), 110),
+            _opt("nan_value_counts", _kv_array("k138_v139", 138, 139, "long"), 137),
+            _opt("lower_bounds", _kv_array("k126_v127", 126, 127, "bytes"), 125),
+            _opt("upper_bounds", _kv_array("k129_v130", 129, 130, "bytes"), 128),
+            _opt("key_metadata", "bytes", 131),
+            _opt("split_offsets", {"type": "array", "items": "long"}, 132),
+            _opt("equality_ids", {"type": "array", "items": "int"}, 135),
+            _opt("sort_order_id", "int", 140),
+        ],
+    }
+    return {
+        "type": "record",
+        "name": "manifest_entry",
+        "fields": [
+            _req("status", "int", 0),
+            _opt("snapshot_id", "long", 1),
+            _opt("sequence_number", "long", 3),
+            _opt("file_sequence_number", "long", 4),
+            _req("data_file", data_file, 2),
+        ],
+    }
+
+
+def _kv_array(name: str, kid: int, vid: int, vtype: str) -> dict:
+    """Iceberg encodes int-keyed maps as array<record{key,value}> with
+    logicalType map (avro maps require string keys)."""
+    return {
+        "type": "array",
+        "items": {
+            "type": "record",
+            "name": name,
+            "fields": [_req("key", "int", kid), _req("value", vtype, vid)],
+        },
+        "logicalType": "map",
+    }
+
+
+def manifest_list_schema() -> dict:
+    field_summary = {
+        "type": "record",
+        "name": "r508",
+        "fields": [
+            _req("contains_null", "boolean", 509),
+            _opt("contains_nan", "boolean", 518),
+            _opt("lower_bound", "bytes", 510),
+            _opt("upper_bound", "bytes", 511),
+        ],
+    }
+    return {
+        "type": "record",
+        "name": "manifest_file",
+        "fields": [
+            _req("manifest_path", "string", 500),
+            _req("manifest_length", "long", 501),
+            _req("partition_spec_id", "int", 502),
+            _req("content", "int", 517),
+            _req("sequence_number", "long", 515),
+            _req("min_sequence_number", "long", 516),
+            _req("added_snapshot_id", "long", 503),
+            _req("added_files_count", "int", 504),
+            _req("existing_files_count", "int", 505),
+            _req("deleted_files_count", "int", 506),
+            _req("added_rows_count", "long", 512),
+            _req("existing_rows_count", "long", 513),
+            _req("deleted_rows_count", "long", 514),
+            _opt("partitions", {"type": "array", "items": field_summary}, 507),
+            _opt("key_metadata", "bytes", 519),
+        ],
+    }
+
+
+# ---------------------------------------------------------------------------
+# export: metacat table -> Iceberg v2 directory
+# ---------------------------------------------------------------------------
+
+
+def export_iceberg_table(table: Table, dest: str) -> str:
+    """Write a spec-v2 Iceberg table at ``dest`` mirroring ``table``'s
+    current snapshot (metadata-only — data paths point at the originals).
+    Returns the metadata JSON path. Idempotent per metacat version: each
+    call claims the next vN at dest."""
+    snap = table.current_snapshot
+    if snap is None:
+        files: list[DataFileEntry] = []
+        snapshot_id = None
+    else:
+        # refuse to export around pending MOR deletes (module docstring)
+        deletes = table._resolve_deletes(snap)
+        if deletes:
+            raise ValueError(
+                f"{len(deletes)} unresolved merge-on-read delete entries; run "
+                "rewrite_data_files() (compaction folds deletes into data) "
+                "before export — predicate/key deletes have no Iceberg "
+                "position-delete encoding here"
+            )
+        files = table.snapshot_files(snap["snapshot_id"])
+        snapshot_id = int(snap["snapshot_id"])
+
+    meta_dir = os.path.join(dest, "metadata")
+    os.makedirs(meta_dir, exist_ok=True)
+    now_ms = int(time.time() * 1000)
+    seq = int(table.meta.get("last_sequence_number", 0)) or 1
+
+    ice_schema, last_col = spark_schema_to_iceberg(table.schema)
+    snapshots = []
+    if snapshot_id is not None:
+        commit_uuid = str(uuid.uuid4())
+        # one manifest holding the snapshot's complete live file set
+        manifest_path = os.path.join(meta_dir, f"{commit_uuid}-m0.avro")
+        entries = [
+            {
+                "status": 1,  # ADDED (this list is the snapshot's full state)
+                "snapshot_id": snapshot_id,
+                "sequence_number": int(f.seq or seq),
+                "file_sequence_number": int(f.seq or seq),
+                "data_file": {
+                    "content": 0,  # DATA
+                    "file_path": os.path.abspath(f.path),
+                    "file_format": f.format or "PARQUET",
+                    "partition": {},
+                    "record_count": int(f.record_count),
+                    "file_size_in_bytes": int(f.file_size_bytes),
+                },
+            }
+            for f in files
+        ]
+        avro_io.write_container(
+            manifest_path,
+            manifest_entry_schema(),
+            entries,
+            extra_meta={
+                "schema": json.dumps(ice_schema, separators=(",", ":")).encode(),
+                "schema-id": b"0",
+                "partition-spec": b"[]",
+                "partition-spec-id": b"0",
+                "format-version": b"2",
+                "content": b"data",
+            },
+        )
+        mlist_path = os.path.join(meta_dir, f"snap-{snapshot_id}-1-{commit_uuid}.avro")
+        rows = sum(int(f.record_count) for f in files)
+        avro_io.write_container(
+            mlist_path,
+            manifest_list_schema(),
+            [
+                {
+                    "manifest_path": os.path.abspath(manifest_path),
+                    "manifest_length": os.path.getsize(manifest_path),
+                    "partition_spec_id": 0,
+                    "content": 0,
+                    "sequence_number": seq,
+                    "min_sequence_number": min(
+                        (int(f.seq or seq) for f in files), default=seq
+                    ),
+                    "added_snapshot_id": snapshot_id,
+                    "added_files_count": len(files),
+                    "existing_files_count": 0,
+                    "deleted_files_count": 0,
+                    "added_rows_count": rows,
+                    "existing_rows_count": 0,
+                    "deleted_rows_count": 0,
+                }
+            ],
+            extra_meta={
+                "format-version": b"2",
+                "snapshot-id": str(snapshot_id).encode(),
+                "parent-snapshot-id": b"null",
+                "sequence-number": str(seq).encode(),
+            },
+        )
+        snapshots = [
+            {
+                "snapshot-id": snapshot_id,
+                "sequence-number": seq,
+                "timestamp-ms": int(snap["timestamp_ms"]),
+                "manifest-list": os.path.abspath(mlist_path),
+                "summary": {
+                    "operation": "append",
+                    "added-data-files": str(len(files)),
+                    "added-records": str(rows),
+                    "total-records": str(rows),
+                    "total-data-files": str(len(files)),
+                },
+                "schema-id": 0,
+            }
+        ]
+
+    metadata = {
+        "format-version": 2,
+        "table-uuid": table.meta.get("table_uuid", str(uuid.uuid4())),
+        "location": os.path.abspath(dest),
+        "last-sequence-number": seq,
+        "last-updated-ms": now_ms,
+        "last-column-id": last_col,
+        "current-schema-id": 0,
+        "schemas": [ice_schema],
+        "default-spec-id": 0,
+        "partition-specs": [{"spec-id": 0, "fields": []}],
+        "last-partition-id": 999,  # spec: >= 1000 are assigned; none used
+        "default-sort-order-id": 0,
+        "sort-orders": [{"order-id": 0, "fields": []}],
+        "properties": {
+            str(k): str(v) for k, v in table.meta.get("properties", {}).items()
+        },
+        "current-snapshot-id": snapshot_id if snapshot_id is not None else -1,
+        "snapshots": snapshots,
+        "snapshot-log": [
+            {"timestamp-ms": s["timestamp-ms"], "snapshot-id": s["snapshot-id"]}
+            for s in snapshots
+        ],
+        "metadata-log": [],
+        "refs": (
+            {"main": {"snapshot-id": snapshot_id, "type": "branch"}}
+            if snapshot_id is not None
+            else {}
+        ),
+    }
+    # HadoopTableOperations naming: v<N>.metadata.json + version-hint.text
+    existing = glob.glob(os.path.join(meta_dir, "v*.metadata.json"))
+    next_v = 1 + max(
+        (
+            int(m.group(1))
+            for p in existing
+            if (m := re.fullmatch(r"v(\d+)\.metadata\.json", os.path.basename(p)))
+        ),
+        default=0,
+    )
+    meta_path = os.path.join(meta_dir, f"v{next_v}.metadata.json")
+    with open(meta_path + ".tmp", "w") as fh:
+        json.dump(metadata, fh, indent=2)
+    os.replace(meta_path + ".tmp", meta_path)
+    with open(os.path.join(meta_dir, "version-hint.text.tmp"), "w") as fh:
+        fh.write(str(next_v))
+    os.replace(
+        os.path.join(meta_dir, "version-hint.text.tmp"),
+        os.path.join(meta_dir, "version-hint.text"),
+    )
+    return meta_path
+
+
+# ---------------------------------------------------------------------------
+# read / import: Iceberg v2 directory -> files + schema -> metacat
+# ---------------------------------------------------------------------------
+
+
+@dataclass
+class IcebergTableInfo:
+    location: str
+    metadata_path: str
+    schema: T.StructType
+    snapshot_id: int | None
+    files: list[DataFileEntry] = field(default_factory=list)
+    metadata: dict = field(default_factory=dict)
+
+
+def _latest_metadata_path(location: str) -> str:
+    meta_dir = os.path.join(location, "metadata")
+    hint = os.path.join(meta_dir, "version-hint.text")
+    if os.path.exists(hint):
+        with open(hint) as fh:
+            v = int(fh.read().strip())
+        p = os.path.join(meta_dir, f"v{v}.metadata.json")
+        if os.path.exists(p):
+            return p
+    # metastore-style naming: 00000-<uuid>.metadata.json — newest by prefix
+    cands = sorted(glob.glob(os.path.join(meta_dir, "*.metadata.json")))
+    if not cands:
+        raise FileNotFoundError(f"no Iceberg metadata under {meta_dir}")
+    return cands[-1]
+
+
+def _clean_path(p: str) -> str:
+    return p.removeprefix("file:")
+
+
+def read_iceberg_table(location: str) -> IcebergTableInfo:
+    """Parse a real Iceberg v2 table directory into its live data files +
+    Spark schema. Works on tables written by export_iceberg_table AND by
+    the actual runtime (schema-driven avro decode; both stats-map shapes
+    fine because decoding follows the file's own embedded schema)."""
+    meta_path = _latest_metadata_path(location)
+    with open(meta_path) as fh:
+        md = json.load(fh)
+    if md.get("format-version") not in (1, 2, 3):
+        raise ValueError(f"unsupported format-version {md.get('format-version')!r}")
+    schemas = md.get("schemas") or ([md["schema"]] if "schema" in md else [])
+    cur_id = md.get("current-schema-id", 0)
+    schema_json = next(
+        (s for s in schemas if s.get("schema-id", 0) == cur_id), schemas[0]
+    )
+    spark_schema = iceberg_schema_to_spark(schema_json)
+
+    snap_id = md.get("current-snapshot-id")
+    if snap_id in (None, -1):
+        return IcebergTableInfo(location, meta_path, spark_schema, None, [], md)
+    snap = next(s for s in md["snapshots"] if int(s["snapshot-id"]) == int(snap_id))
+    mlist = _clean_path(snap["manifest-list"])
+    if not os.path.isabs(mlist):
+        mlist = os.path.join(location, "metadata", os.path.basename(mlist))
+    _, _, manifest_files = avro_io.read_container(mlist)
+
+    files: list[DataFileEntry] = []
+    for mf in manifest_files:
+        if int(mf.get("content", 0)) != 0:
+            continue  # delete manifests: importer handles data files only
+        mpath = _clean_path(mf["manifest_path"])
+        if not os.path.isabs(mpath):
+            mpath = os.path.join(location, "metadata", os.path.basename(mpath))
+        _, mmeta, entries = avro_io.read_container(mpath)
+        for e in entries:
+            if int(e.get("status", 0)) == 2:  # DELETED
+                continue
+            df = e["data_file"]
+            if int(df.get("content", 0)) != 0:
+                continue
+            files.append(
+                DataFileEntry(
+                    path=_clean_path(df["file_path"]),
+                    record_count=int(df["record_count"]),
+                    file_size_bytes=int(df["file_size_in_bytes"]),
+                    format=str(df.get("file_format", "PARQUET")),
+                    seq=int(e.get("sequence_number") or 0),
+                )
+            )
+    return IcebergTableInfo(location, meta_path, spark_schema, int(snap_id), files, md)
+
+
+def import_iceberg_table(
+    spark: SparkSession,
+    catalog: Catalog,
+    location: str,
+    namespace: str,
+    name: str,
+) -> Table:
+    """Register a real Iceberg table's live data files into metacat —
+    the jar-free twin of tests/test_iceberg_interop.py's ingest
+    direction. Metadata-only (no data copied), one atomic commit."""
+    info = read_iceberg_table(location)
+    table = catalog.create_table(namespace, name, info.schema)
+    if info.files:
+        table.append_files(info.files)
+    return table

@@ -99,11 +99,14 @@ def test_ingest_real_iceberg_table(tmp_path):
 
 
 def test_reverse_direction_is_documented():
-    """Iceberg-reads-metacat is a LIMITATION until the metadata layer
-    emits avro manifests; this test exists so the claim is checked, not
-    folklore: metacat's metadata dir must contain no files a real Iceberg
-    would mistake for its own (no .avro manifests, no metadata.json that
-    claims format-version compliance)."""
+    """Iceberg-reads-metacat is served by an EXPLICIT export
+    (catalog/iceberg_format.py: export_iceberg_table writes a spec-v2
+    mirror — metadata JSON + avro manifests — at a separate location;
+    tests/test_iceberg_format.py proves compliance). Metacat's OWN
+    metadata dir must still contain no files a real Iceberg would mistake
+    for its own (no .avro manifests, no metadata.json claiming
+    format-version compliance) — the two formats share file NAMES
+    (v{N}.metadata.json), so in-place mixing would corrupt both."""
     import json
     import tempfile
 
