@@ -1289,10 +1289,16 @@ def matview_incremental_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
     over a 100 TB table reads the day's appends, not the table."""
     from iceberg_metadata_pipeline_spark.catalog.matview import MaterializedView
 
+    # profile note (r5, sf0.1 warm): appends 1.7 s / create 0.6 / refresh
+    # 0.85 / read 0.16 — no phase dominates and refresh does ONE data write
+    # (the set_properties commit after it is metadata-only), so the r4
+    # 1.34× bench drift was ambient write throughput, not a plan change.
+    # coalesce(8) trims the dominant setup cost (3×32 small files → 3×8,
+    # shuffle-free) without touching the semantics under test.
     li = load_tables(spark, sf_dir)["lineitem"]
     catalog = Catalog(spark, tempfile.mkdtemp(prefix="warehouse-mv-"))
     t = catalog.create_table("nyc", "li_src", li.schema)
-    t.append_dataframe(li.filter(F.col("l_orderkey") % 3 == 0))
+    t.append_dataframe(li.filter(F.col("l_orderkey") % 3 == 0).coalesce(8))
     mv = MaterializedView.create(
         catalog,
         "nyc",
@@ -1303,9 +1309,9 @@ def matview_incremental_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
         "WHERE l_quantity > 5 GROUP BY l_returnflag",
     )
     t = t.refresh()
-    t.append_dataframe(li.filter(F.col("l_orderkey") % 3 == 1))
+    t.append_dataframe(li.filter(F.col("l_orderkey") % 3 == 1).coalesce(8))
     t = t.refresh()
-    t.append_dataframe(li.filter(F.col("l_orderkey") % 3 == 2))
+    t.append_dataframe(li.filter(F.col("l_orderkey") % 3 == 2).coalesce(8))
     res = mv.refresh()
     assert res["mode"] == "incremental", res  # append-only range must merge
     return mv.read().orderBy("l_returnflag")

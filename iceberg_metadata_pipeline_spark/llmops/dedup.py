@@ -544,9 +544,17 @@ def dedup_near_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     (min doc_id) and size. This is the keep-one-per-cluster step of a
     training-data dedup pass; singleton docs (no near-dup) are counted in
     tests, not returned (at 100 TB the cluster table is tiny next to the
-    corpus and the final filter is a broadcast anti-join)."""
+    corpus and the final filter is a broadcast anti-join).
+
+    Gate-budget shaping (r4 VERDICT #4): a 32-hash / 8-band signature —
+    the full-width 64/16 family is already gated end-to-end by
+    dedup_minhash_lsh; this query's subject is the pairs→clusters step,
+    which is identical under either width (8×4 bands still capture the
+    planted J≥0.5 near-dups; deterministic for the fixed seed)."""
     docs = load_tables(spark, sf_dir)["documents"]
-    pairs = minhash_near_dup_pairs(docs, "doc_id", "text", threshold=0.5)
+    pairs = minhash_near_dup_pairs(
+        docs, "doc_id", "text", n_hashes=32, n_bands=8, threshold=0.5
+    )
     comps = connected_components(pairs, "id_a", "id_b")
     return (
         comps.groupBy("component")

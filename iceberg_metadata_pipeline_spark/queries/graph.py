@@ -225,12 +225,21 @@ def graph_bfs_reachability(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def copurchase_edges(spark: SparkSession, sf_dir: str, min_weight: int = 2) -> DataFrame:
+def copurchase_edges(
+    spark: SparkSession,
+    sf_dir: str,
+    min_weight: int = 2,
+    sample_mod: int | None = None,
+) -> DataFrame:
     """Part co-purchase edges: (p1 < p2) appearing in ≥ min_weight
     common orders. The threshold is the sparsifier — the raw pair
-    expansion is quadratic per order, the kept edge list is tiny."""
+    expansion is quadratic per order, the kept edge list is tiny.
+    ``sample_mod`` keeps only orders with l_orderkey % sample_mod == 0
+    (deterministic sub-corpus — callers mirror it in their oracles)."""
     t = load_tables(spark, sf_dir)
     co = t["lineitem"].select("l_orderkey", "l_partkey").distinct()
+    if sample_mod:
+        co = co.filter(F.col("l_orderkey") % sample_mod == 0)
     a = co.select(F.col("l_orderkey").alias("k"), F.col("l_partkey").alias("p1"))
     b = co.select(F.col("l_orderkey").alias("k"), F.col("l_partkey").alias("p2"))
     return (
@@ -324,7 +333,10 @@ def label_propagation_min(edges: DataFrame, rounds: int) -> DataFrame:
 
 def _cc_oracle(rounds: int = 4) -> str:
     head = """
-WITH co AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+WITH co AS (
+  SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+  WHERE l_orderkey % 2 = 0
+),
 e0 AS (
   SELECT a.l_partkey AS p1, b.l_partkey AS p2
   FROM co a JOIN co b ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
@@ -363,8 +375,12 @@ GROUP BY n_members ORDER BY n_members"""
 @query("graph_cc_label_propagation", _cc_oracle(2))
 def graph_cc_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Label-size histogram after 2 min-label rounds over the part
-    co-purchase graph: how concentrated the co-purchase communities are."""
-    base = copurchase_edges(spark, sf_dir, min_weight=2)
+    co-purchase graph: how concentrated the co-purchase communities are.
+    Runs on the even-orderkey half of lineitem (oracle filters
+    identically) — the quadratic per-order pair build is the gate's
+    costliest step and halving orders quarters it (r4 VERDICT #4); the
+    propagation semantics under test are unchanged."""
+    base = copurchase_edges(spark, sf_dir, min_weight=2, sample_mod=2)
     edges = base.select(
         F.col("p1").alias("src"), F.col("p2").alias("dst")
     ).unionByName(base.select(F.col("p2").alias("src"), F.col("p1").alias("dst")))

@@ -147,6 +147,22 @@ ORDER BY c_custkey
 """,
 )
 
+# the scale-safe spelling of the above: CUME_DIST within mktsegment
+# partitions — each segment sorts independently (one shuffle on the
+# partition key, no global single-partition sort), which is the form a
+# 100 TB distribution query should take; window_cume_percent stays as the
+# declared global-semantics demo (r4 VERDICT #9)
+sql_query(
+    "window_cume_percent_grouped",
+    """
+SELECT c_mktsegment, c_custkey, c_acctbal,
+       CUME_DIST()    OVER (PARTITION BY c_mktsegment ORDER BY c_acctbal, c_custkey) AS cd,
+       PERCENT_RANK() OVER (PARTITION BY c_mktsegment ORDER BY c_acctbal, c_custkey) AS pr
+FROM customer
+ORDER BY c_mktsegment, c_custkey
+""",
+)
+
 # IGNORE NULLS placement differs by dialect: Spark puts it after the
 # closing paren, DuckDB inside the argument list — same semantics
 sql_query(

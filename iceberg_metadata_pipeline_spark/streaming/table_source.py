@@ -213,6 +213,7 @@ from iceberg_metadata_pipeline_spark.queries import query
 SELECT event_type, COUNT(*) AS n,
   CAST(SUM(CAST(value AS DECIMAL(38,6))) AS DOUBLE) AS total_value
 FROM events
+WHERE event_id % 2 = 0
 GROUP BY event_type
 ORDER BY event_type
 """,
@@ -221,7 +222,13 @@ def stream_table_source_feed(spark, sf_dir: str):
     """End-to-end: events land in a catalog table across two append
     commits; a metacat_table stream drains both via availableNow into a
     parquet sink; the sink must aggregate identically to the raw fixture
-    (nothing lost, nothing duplicated across the commit boundary)."""
+    (nothing lost, nothing duplicated across the commit boundary).
+
+    Gate-budget shaping (r4 VERDICT #4): only the even half of events
+    flows through (the oracle filters identically), split across the two
+    commits by ``event_id % 4``, and each commit coalesces to 4 files —
+    the commit-boundary semantics under test are unchanged, but the
+    Python-data-source scan reads 8 small files instead of 64."""
     import tempfile
 
     from pyspark.sql import functions as F
@@ -234,9 +241,9 @@ def stream_table_source_feed(spark, sf_dir: str):
     )
     catalog = Catalog(spark, tempfile.mkdtemp(prefix="wh-feed-"))
     t = catalog.create_table("nyc", "events_feed", events.schema)
-    t.append_dataframe(events.filter("event_id % 2 = 0"))
+    t.append_dataframe(events.filter("event_id % 4 = 0").repartition(4))
     t.refresh()
-    t.append_dataframe(events.filter("event_id % 2 = 1"))
+    t.append_dataframe(events.filter("event_id % 4 = 2").repartition(4))
 
     out = tempfile.mkdtemp(prefix="feed-out-") + "/sink"
     q = (
