@@ -84,3 +84,162 @@ def forecast_trend_per_type(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("intercept", 6).alias("intercept"),
         F.round("forecast_next", 6).alias("forecast_next"),
     ).orderBy("event_type")
+
+
+# ---------------------------------------------------------------------------
+# Holt-Winters (additive, fixed alpha=beta=gamma=1/2, season m=4) — the
+# "real seasonal kernel" upgrade of the forecasting seam (r4 VERDICT #7).
+# Same proof technique as the exact EWMA: the smoothing recurrence is a
+# deterministic sequential chain, so mirroring the EXACT floating-point
+# operation order between the pandas kernel and an unrolled SQL oracle
+# makes the doubles bit-identical across engines — a full value oracle
+# for an applyInPandas model fit, not a rows-only check.
+# ---------------------------------------------------------------------------
+
+HW_SCHEMA = (
+    "event_type string, level double, trend double, forecast_next double"
+)
+
+_HW_N = 12   # dense series length (days 0..11 of the events fixture)
+_HW_M = 4    # season period
+
+
+def fit_holt_winters_per_group(daily: DataFrame) -> DataFrame:
+    """daily: (event_type, b long in [0,_HW_N), y double, DENSE) → one row
+    per event_type: smoothed level/trend after the last step and the
+    one-step-ahead forecast level + trend + season[(n) % m].
+
+    Recurrences (additive Holt-Winters, alpha=beta=gamma=1/2):
+      L_t = 0.5*(y_t - s_{t%m}) + 0.5*(L + T)
+      T_t = 0.5*(L_t - L) + 0.5*T
+      s_{t%m} = 0.5*(y_t - L_t) + 0.5*s_{t%m}
+    init: L = mean(y_0..3); T = (sum(y_4..7) - sum(y_0..3))/16;
+    s_i = y_i - L. Expression shapes below MUST stay in lockstep with
+    _hw_oracle_sql() — that identity is what makes the oracle exact."""
+    import pandas as pd
+
+    def fit(pdf: "pd.DataFrame") -> "pd.DataFrame":
+        pdf = pdf.sort_values("b")
+        y = pdf["y"].to_list()
+        assert len(y) == _HW_N, f"series must be dense ({len(y)} != {_HW_N})"
+        L = (y[0] + y[1] + y[2] + y[3]) / 4.0
+        T = ((y[4] + y[5] + y[6] + y[7]) - (y[0] + y[1] + y[2] + y[3])) / 16.0
+        s = [y[i] - L for i in range(_HW_M)]
+        for t in range(_HW_M, _HW_N):
+            i = t % _HW_M
+            L_new = 0.5 * (y[t] - s[i]) + 0.5 * (L + T)
+            T_new = 0.5 * (L_new - L) + 0.5 * T
+            s[i] = 0.5 * (y[t] - L_new) + 0.5 * s[i]
+            L, T = L_new, T_new
+        fc = L + T + s[_HW_N % _HW_M]
+        return pd.DataFrame(
+            {
+                "event_type": [pdf["event_type"].iloc[0]],
+                "level": [L],
+                "trend": [T],
+                "forecast_next": [fc],
+            }
+        )
+
+    return daily.groupBy("event_type").applyInPandas(fit, HW_SCHEMA)
+
+
+def daily_event_values_dense(events: DataFrame, n: int = _HW_N) -> DataFrame:
+    """(event_type, b, y) for days 0..n-1 since 2024-01-01, zero-filled —
+    the dense spine both the kernel and the oracle require (missing
+    buckets would shift every recurrence index after them)."""
+    epoch0 = F.unix_timestamp(F.lit("2024-01-01 00:00:00").cast("timestamp"))
+    daily = (
+        events.select(
+            "event_type",
+            ((F.unix_timestamp("ts") - epoch0) / F.lit(86400)).cast("long").alias("b"),
+            "value",
+        )
+        .where((F.col("b") >= 0) & (F.col("b") < n))
+        .groupBy("event_type", "b")
+        .agg(F.sum(F.col("value").cast("decimal(38,6)")).cast("double").alias("y"))
+    )
+    spine = (
+        events.select("event_type")
+        .distinct()
+        .crossJoin(F.broadcast(
+            events.sparkSession.range(n).select(F.col("id").alias("b"))
+        ))
+    )
+    return spine.join(daily, ["event_type", "b"], "left").select(
+        "event_type", "b", F.coalesce("y", F.lit(0.0)).alias("y")
+    )
+
+
+def _hw_oracle_sql() -> str:
+    """Unrolled relational Holt-Winters: pivot the 12 daily values into
+    explicit columns (no aggregate-order ambiguity), then one CTE per
+    smoothing step t=4..11 — each a scalar expression copied shape-for-
+    shape from fit_holt_winters_per_group's kernel."""
+    pivots = ",\n    ".join(
+        f"COALESCE(MAX(CASE WHEN b = {i} THEN y END), 0.0) AS y{i}"
+        for i in range(_HW_N)
+    )
+    head = f"""
+WITH daily AS (
+  SELECT event_type,
+         (epoch_us(ts) // 1000000 - epoch_us(TIMESTAMP '2024-01-01 00:00:00') // 1000000) // 86400 AS b,
+         CAST(SUM(CAST(value AS DECIMAL(38,6))) AS DOUBLE) AS y
+  FROM events
+  WHERE ts >= TIMESTAMP '2024-01-01 00:00:00'
+  GROUP BY 1, 2
+),
+piv AS (
+  SELECT event_type,
+    {pivots}
+  FROM daily WHERE b BETWEEN 0 AND {_HW_N - 1} GROUP BY event_type
+),
+s3 AS (
+  SELECT event_type, y4, y5, y6, y7, y8, y9, y10, y11,
+    (y0 + y1 + y2 + y3) / 4.0 AS L,
+    ((y4 + y5 + y6 + y7) - (y0 + y1 + y2 + y3)) / 16.0 AS T,
+    y0 - (y0 + y1 + y2 + y3) / 4.0 AS s0,
+    y1 - (y0 + y1 + y2 + y3) / 4.0 AS s1,
+    y2 - (y0 + y1 + y2 + y3) / 4.0 AS s2,
+    y3 - (y0 + y1 + y2 + y3) / 4.0 AS s3
+  FROM piv
+)"""
+    steps = []
+    for t in range(_HW_M, _HW_N):
+        i = t % _HW_M
+        keep_s = ", ".join(f"s{j}" for j in range(_HW_M) if j != i)
+        keep_y = ", ".join(f"y{u}" for u in range(t + 1, _HW_N))
+        cols = ", ".join(c for c in (keep_y, keep_s) if c)
+        steps.append(
+            f""",
+s{t} AS (
+  SELECT event_type, {cols},
+    0.5 * (y{t} - s{i}) + 0.5 * (L + T) AS L,
+    0.5 * ((0.5 * (y{t} - s{i}) + 0.5 * (L + T)) - L) + 0.5 * T AS T,
+    0.5 * (y{t} - (0.5 * (y{t} - s{i}) + 0.5 * (L + T))) + 0.5 * s{i} AS s{i}
+  FROM s{t - 1}
+)"""
+        )
+    tail = f"""
+SELECT event_type,
+  ROUND(L, 6) AS level,
+  ROUND(T, 6) AS trend,
+  ROUND(L + T + s{_HW_N % _HW_M}, 6) AS forecast_next
+FROM s{_HW_N - 1}
+ORDER BY event_type"""
+    return head + "".join(steps) + tail
+
+
+@query("forecast_holt_winters_seasonal", _hw_oracle_sql())
+def forecast_holt_winters_seasonal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-type additive Holt-Winters over the first 12 days of events —
+    the applyInPandas per-group model-fitting seam, ORACLE-BACKED via the
+    unrolled recurrence (see _hw_oracle_sql)."""
+    events = load_tables(spark, sf_dir)["events"]
+    fits = fit_holt_winters_per_group(daily_event_values_dense(events))
+    return fits.select(
+        "event_type",
+        F.round("level", 6).alias("level"),
+        F.round("trend", 6).alias("trend"),
+        F.round("forecast_next", 6).alias("forecast_next"),
+    ).orderBy("event_type")

@@ -243,12 +243,18 @@ def synthesize_media(docs: DataFrame) -> DataFrame:
                     n = 800 + (d * 37) % 1600
                     samples = ((np.arange(n, dtype=np.int64) * (7 + d % 13) + d * 31) % 1201 - 600) * 50
                     payload = codecs.encode_wav_pcm16(samples.astype("<i2"), rate=8000)
-                elif d % 3 == 0:  # image: same geometry formula; BMP and
-                    # (every other image doc) palette-limited GIF, so the
-                    # pipeline carries BOTH an uncompressed and an
-                    # LZW-compressed real image format
+                elif d % 3 == 0:  # image: same geometry formula; the doc id
+                    # rotates the format — GIF (LZW), JPEG (DCT), BMP
+                    # (uncompressed) — so the pipeline carries all three
+                    # real image codec families
                     w, h = 8 + d % 25, 8 + (d // 3) % 17
-                    if d % 6 == 0:
+                    if d % 12 == 3:  # baseline JPEG (lossy DCT)
+                        r = np.arange(h, dtype=np.int64)[:, None, None]
+                        c = np.arange(w, dtype=np.int64)[None, :, None]
+                        ch = np.arange(3, dtype=np.int64)[None, None, :]
+                        px = ((r * 13 + c * 7 + ch * 57 + d) % 256).astype(np.uint8)
+                        payload = codecs.encode_jpeg(px, quality=90)
+                    elif d % 6 == 0:
                         pal = np.stack(
                             [
                                 (np.arange(8) * 37 + d) % 256,

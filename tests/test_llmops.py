@@ -224,15 +224,18 @@ def test_codec_resize_nearest_kernel():
 def test_codec_seam_still_raises_for_external_formats():
     from iceberg_metadata_pipeline_spark.llmops import codecs
 
-    jpeg = b"\xff\xd8\xff\xe0" + b"\x00" * 16
-    assert codecs.sniff_media(jpeg) == "image/jpeg"
+    mp4 = b"\x00\x00\x00\x18ftypisom" + b"\x00" * 16
+    assert codecs.sniff_media(mp4) == "video/mp4"
     with pytest.raises(NotImplementedError):
-        codecs.decode_any(jpeg)
-    # PNG/GIF are no longer behind the seam — a corrupt payload is a
+        codecs.decode_any(mp4)
+    # PNG/GIF/JPEG are no longer behind the seam — a corrupt payload is a
     # ValueError (bad bytes), never NotImplementedError (unsupported)
     png = b"\x89PNG\r\n\x1a\n" + b"\x00" * 16
     with pytest.raises(ValueError):
         codecs.decode_any(png)
+    jpeg = b"\xff\xd8\xff\xe0" + b"\x00" * 16
+    with pytest.raises(ValueError):
+        codecs.decode_any(jpeg)
 
 
 def test_multimodal_decode_real_end_to_end(spark, tables):
@@ -254,8 +257,13 @@ def test_multimodal_decode_real_end_to_end(spark, tables):
         elif d % 3 == 0:  # image geometry from the formula
             assert r["media_kind"] == "image"
             assert (r["width"], r["height"]) == (8 + d % 25, 8 + (d // 3) % 17)
-            # even image docs are LZW GIFs, odd are BMPs — both real bytes
-            assert r["media_type"] == ("image/gif" if d % 6 == 0 else "image/bmp")
+            # the doc id rotates the image codec family: GIF / JPEG / BMP
+            want = (
+                "image/gif" if d % 6 == 0
+                else "image/jpeg" if d % 12 == 3
+                else "image/bmp"
+            )
+            assert r["media_type"] == want
         else:  # video frame count from the formula
             assert r["media_kind"] == "video"
             assert r["n_frames"] == 2 + d % 4
@@ -915,3 +923,81 @@ def test_gif_too_many_colors_refused():
     px = rng.randint(0, 256, size=(32, 32, 3), dtype=np.uint8)  # ~1000 colors
     with _pytest.raises(ValueError, match="palette"):
         encode_gif(px)
+
+
+def test_codec_jpeg_roundtrip_baseline():
+    """encode_jpeg→decode_jpeg reproduces smooth images within quantization
+    tolerance (lossy format — exact identity is impossible by design), for
+    RGB and grayscale, including non-multiple-of-8 dimensions. The decoder
+    reads quant/huffman tables from the STREAM's DQT/DHT segments, as the
+    format requires."""
+    import numpy as np
+
+    from iceberg_metadata_pipeline_spark.llmops import codecs
+
+    x = np.linspace(0, 255, 48)
+    g = np.add.outer(x, x) / 2
+    img = np.stack([g, g[::-1], np.full_like(g, 128)], axis=-1).astype(np.uint8)
+    b = codecs.encode_jpeg(img, quality=95)
+    assert codecs.sniff_media(b) == "image/jpeg"
+    m = codecs.decode_jpeg(b, with_pixels=True)
+    assert m["mode"] == "RGB" and m["pixels"].shape == img.shape
+    assert np.abs(m["pixels"].astype(int) - img.astype(int)).max() <= 4
+
+    gray = g.astype(np.uint8)
+    mg = codecs.decode_jpeg(codecs.encode_jpeg(gray, quality=95), with_pixels=True)
+    assert mg["mode"] == "L"
+    assert np.abs(mg["pixels"].astype(int) - gray.astype(int)).max() <= 3
+
+    crop = img[:37, :43]
+    m2 = codecs.decode_jpeg(codecs.encode_jpeg(crop, quality=85), with_pixels=True)
+    assert m2["pixels"].shape == crop.shape
+    assert np.abs(m2["pixels"].astype(int) - crop.astype(int)).max() <= 8
+
+    # lower quality → smaller file, still structurally decodable
+    lo = codecs.encode_jpeg(img, quality=20)
+    assert len(lo) < len(b)
+    assert codecs.decode_jpeg(lo, with_pixels=True)["pixels"].shape == img.shape
+
+    # header-only decode + probe parity with the pixel path
+    meta = codecs.decode_jpeg(b)
+    assert (meta["width"], meta["height"]) == (48, 48) and "pixels" not in meta
+    p = codecs.probe_dimensions(b)
+    assert (p["media_type"], p["width"], p["height"]) == ("image/jpeg", 48, 48)
+    # decode_any dispatch is now total over baseline JPEG
+    any_m = codecs.decode_any(b, with_pixels=True)
+    assert any_m["media_type"] == "image/jpeg"
+    assert np.array_equal(any_m["pixels"], m["pixels"])
+
+
+def test_codec_jpeg_flat_color_is_near_exact():
+    """A flat color block survives quantization almost exactly (only DC
+    terms, rounding error ≤1) — pins DC prediction and EOB handling."""
+    import numpy as np
+
+    from iceberg_metadata_pipeline_spark.llmops import codecs
+
+    img = np.full((16, 24, 3), [200, 40, 90], dtype=np.uint8)
+    m = codecs.decode_jpeg(codecs.encode_jpeg(img, quality=90), with_pixels=True)
+    assert np.abs(m["pixels"].astype(int) - img.astype(int)).max() <= 1
+
+
+def test_codec_jpeg_unsupported_variants_raise():
+    """Progressive scans raise loudly (documented scope bound), and the
+    entropy decoder rejects truncated data instead of looping."""
+    import numpy as np
+    import pytest as _pytest
+
+    from iceberg_metadata_pipeline_spark.llmops import codecs
+
+    img = np.full((8, 8), 128, dtype=np.uint8)
+    b = bytearray(codecs.encode_jpeg(img, quality=90))
+    sof = b.find(b"\xff\xc0")
+    assert sof > 0
+    b[sof + 1] = 0xC2  # rewrite SOF0 → SOF2 (progressive)
+    with _pytest.raises(NotImplementedError, match="progressive"):
+        codecs.decode_jpeg(bytes(b), with_pixels=True)
+
+    good = codecs.encode_jpeg(img, quality=90)
+    with _pytest.raises(ValueError):
+        codecs.decode_jpeg(good[:-20] , with_pixels=True)
