@@ -77,6 +77,12 @@ HEADLINE = [
     "window_ewma_halflife",
     "udf_map_in_arrow",
     "sample_token_budget_waterfill",
+    # round-5 additions: real Iceberg-format round-trip, avro source,
+    # Holt-Winters fit, baseline JPEG decode
+    "catalog_iceberg_export_import",
+    "source_avro_roundtrip",
+    "forecast_holt_winters_seasonal",
+    "multimodal_jpeg_decode",
 ]
 
 

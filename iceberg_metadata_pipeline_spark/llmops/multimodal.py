@@ -3,13 +3,13 @@
 
 Two decode tiers:
 
-1. **Real kernels** (llmops/codecs.py): WAV, BMP, PPM, and Y4M are public
-   formats fully decodable with stdlib+numpy — ``synthesize_media`` /
-   ``decode_media_real`` below produce and parse genuine bytes of those
-   formats (samples, pixels, frames), so decode / feature-extract /
-   resize / frame-sample run for real end-to-end.
-2. **External-codec seam**: JPEG/PNG/MP4/... require libraries the
-   container lacks; ``decode_image_stub(real=True)`` raises
+1. **Real kernels** (llmops/codecs.py): WAV, BMP, PPM, Y4M, PNG, GIF,
+   and baseline JPEG are decodable with stdlib+numpy —
+   ``synthesize_media`` / ``decode_media_real`` below produce and parse
+   genuine bytes of those formats (samples, pixels, frames), so decode /
+   feature-extract / resize / frame-sample run for real end-to-end.
+2. **External-codec seam**: MP4/Opus/progressive-JPEG/... require
+   libraries the container lacks; ``decode_image_stub(real=True)`` raises
    NotImplementedError to mark that boundary explicitly, and the fake
    metadata path keeps the Spark plumbing testable for those types.
 
@@ -614,4 +614,30 @@ def multimodal_probe_headers(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("n_units").alias("max_units"),
         )
         .orderBy("media_type")
+    )
+
+
+@query(
+    "multimodal_jpeg_decode",
+    """
+SELECT doc_id,
+       'image/jpeg' AS media_type,
+       CAST(8 + doc_id % 25 AS INT) AS width,
+       CAST(8 + (doc_id // 3) % 17 AS INT) AS height
+FROM documents
+WHERE doc_id % 12 = 3
+ORDER BY doc_id
+""",
+)
+def multimodal_jpeg_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ORACLE-BACKED JPEG proof: the synthesis encodes each JPEG doc's
+    pixels at the formula-derived geometry; the from-scratch baseline
+    decoder (codecs.decode_jpeg) must recover exactly those dimensions
+    through real DCT-compressed JFIF bytes. The oracle recomputes the
+    geometry from the formula — any marker-walk / SOF-parse / dimension
+    bug diverges."""
+    docs = load_tables(spark, sf_dir)["documents"].filter("doc_id % 12 = 3")
+    decoded = decode_media_real(synthesize_media(docs))
+    return decoded.select("doc_id", "media_type", "width", "height").orderBy(
+        "doc_id"
     )

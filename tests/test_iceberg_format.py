@@ -353,3 +353,44 @@ def test_export_versions_monotonically(metacat_table, tmp_path):
     assert p1.endswith("v1.metadata.json") and p2.endswith("v2.metadata.json")
     with open(os.path.join(dest, "metadata", "version-hint.text")) as fh:
         assert fh.read().strip() == "2"
+
+
+# ---------------------------------------------------------------------------
+# 4. avro as a Spark source/sink (ingest/avro_source.py)
+# ---------------------------------------------------------------------------
+
+
+def test_avro_source_nulls_and_temporal_types(spark, tmp_path):
+    from iceberg_metadata_pipeline_spark.ingest.avro_source import (
+        read_avro,
+        write_avro,
+    )
+
+    df = spark.sql(
+        """
+        SELECT id,
+               CASE WHEN id % 3 = 0 THEN NULL ELSE CONCAT('s', id) END AS s,
+               CASE WHEN id % 4 = 0 THEN NULL
+                    ELSE DATE_ADD(DATE'2020-01-01', CAST(id AS INT)) END AS d,
+               TIMESTAMP'2021-06-01 12:00:00' + MAKE_INTERVAL(0,0,0,0,0,0,id) AS ts,
+               CAST(id AS DOUBLE) / 8 AS v,
+               id % 2 = 0 AS flag
+        FROM RANGE(50)
+        """
+    )
+    loc = str(tmp_path / "avro_rt")
+    n_files = write_avro(df.repartition(3), loc)
+    assert n_files == 3
+    back = read_avro(spark, loc)
+    assert back.schema == df.schema
+    a = sorted(df.collect(), key=lambda r: r["id"])
+    b = sorted(back.collect(), key=lambda r: r["id"])
+    assert a == b
+
+
+def test_avro_source_rejects_unmappable_types(spark, tmp_path):
+    from iceberg_metadata_pipeline_spark.ingest.avro_source import write_avro
+
+    df = spark.sql("SELECT CAST(1.5 AS DECIMAL(10,2)) AS dec_col")
+    with pytest.raises(ValueError, match="no mapping"):
+        write_avro(df, str(tmp_path / "nope"))

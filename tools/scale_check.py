@@ -1,0 +1,161 @@
+"""Directional scale check (r4 VERDICT #10): synthesize an sf1-sized
+fixture (10x sf0.1) under /tmp and measure how the heaviest headline
+queries scale, recording per-query scaling exponents for SCALE.md.
+
+exponent = log(t_sf1 / t_sf01) / log(10) — ~1.0 means linear in data
+size, >1.5 flags an accidental quadratic the sf0.1 bench can't see.
+(Wall-clock on local[32] under-reports small-SF times because of fixed
+job overhead, so exponents here are an UPPER-bound sanity signal, not a
+precise fit.)
+
+Synthesis: each table is replicated 10x with key shifts that preserve
+join relationships (orderkey shifts applied to both orders and
+lineitem); document text gets a per-replica token suffix so replicas are
+NOT near-duplicates of each other (otherwise minhash pair counts would
+grow quadratically by construction and misattribute the blowup to the
+operator). Run:
+
+    python tools/scale_check.py            # generate (if absent) + measure
+    python tools/scale_check.py --force    # regenerate fixture
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import math
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+SRC = "/root/testdata/sf0.1"
+DST = "/tmp/sf1"
+REPLICAS = 10
+
+QUERIES = [
+    "tpch_q1_pricing_summary",
+    "dedup_minhash_lsh",
+    "dedup_survivors",
+    "dedup_substring_spans",
+    "graph_pagerank_interactions",
+    "graph_cc_label_propagation",
+    "matview_incremental_refresh",
+    "window_topk_per_group",
+    "join_asof_events",
+    "agg_rollup",
+    "text_quality_signals",
+    "sim_cosine_topk_pq",
+]
+
+
+def generate(spark) -> None:
+    from pyspark.sql import functions as F
+
+    from iceberg_metadata_pipeline_spark.session import load_tables
+
+    os.makedirs(DST, exist_ok=True)
+    t = load_tables(spark, SRC)
+    reps = spark.range(REPLICAS).select(F.col("id").alias("__r"))
+
+    def replicate(df, shifts: dict[str, str], text_tag: str | None = None):
+        """Cross-join with the replica spine; shift key columns by
+        __r * (max+1) so keys stay unique and joins stay consistent."""
+        out = df.crossJoin(F.broadcast(reps))
+        for col, maxexpr in shifts.items():
+            out = out.withColumn(col, F.col(col) + F.col("__r") * F.lit(maxexpr))
+        if text_tag:
+            # suffix every token with the replica id: replicas share no
+            # 3-shingles, so near-dup structure matches the base corpus
+            out = out.withColumn(
+                text_tag,
+                F.array_join(
+                    F.transform(
+                        F.split(F.col(text_tag), " "),
+                        lambda x: F.concat(x, F.lit("_"), F.col("__r").cast("string")),
+                    ),
+                    " ",
+                ),
+            )
+        return out.drop("__r")
+
+    def maxv(df, col):
+        return df.agg(F.max(col)).collect()[0][0] + 1
+
+    lo = maxv(t["orders"], "o_orderkey")
+    ck = maxv(t["customer"], "c_custkey")
+    dk = maxv(t["documents"], "doc_id")
+    ek = maxv(t["events"], "event_id")
+
+    plans = {
+        "lineitem": replicate(t["lineitem"], {"l_orderkey": lo}),
+        "orders": replicate(t["orders"], {"o_orderkey": lo, "o_custkey": ck}),
+        "customer": replicate(t["customer"], {"c_custkey": ck}),
+        "documents": replicate(t["documents"], {"doc_id": dk}, text_tag="text"),
+        "embeddings": replicate(
+            t["embeddings"],
+            {"vec_id": maxv(t["embeddings"], "vec_id")},
+        ),
+        "events": replicate(t["events"], {"event_id": ek}),
+        # dimensions stay as-is (they are dimensions; 100 TB doesn't 10x
+        # the nation table either)
+        "part": t["part"],
+        "supplier": t["supplier"],
+        "nation": t["nation"],
+        "region": t["region"],
+    }
+    for name, df in plans.items():
+        path = os.path.join(DST, f"{name}.parquet")
+        if os.path.exists(path):
+            continue
+        df.write.mode("overwrite").parquet(path)
+        print(f"  wrote {name}: {spark.read.parquet(path).count()} rows")
+
+
+def measure(spark) -> dict:
+    from iceberg_metadata_pipeline_spark.queries import all_queries
+
+    qs = all_queries()
+    out = {}
+    for name in QUERIES:
+        if name not in qs:
+            print(f"  !! {name} not in registry, skipping")
+            continue
+        times = {}
+        for sf, d in (("sf0.1", SRC), ("sf1", DST)):
+            t0 = time.time()
+            qs[name](spark, d).collect()
+            times[sf] = time.time() - t0
+        exp = math.log(times["sf1"] / times["sf0.1"]) / math.log(REPLICAS)
+        out[name] = {
+            "sf0.1_s": round(times["sf0.1"], 2),
+            "sf1_s": round(times["sf1"], 2),
+            "exponent": round(exp, 2),
+        }
+        print(f"  {name}: {times['sf0.1']:.2f}s -> {times['sf1']:.2f}s  exp={exp:.2f}")
+    return out
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--force", action="store_true")
+    args = ap.parse_args()
+    from iceberg_metadata_pipeline_spark.session import get_spark
+
+    spark = get_spark("scale-check")
+    if args.force and os.path.exists(DST):
+        import shutil
+
+        shutil.rmtree(DST)
+    print("generating sf1 fixture (10x sf0.1) ...")
+    generate(spark)
+    print("measuring ...")
+    results = measure(spark)
+    with open("/tmp/scale_check.json", "w") as fh:
+        json.dump(results, fh, indent=1)
+    print(json.dumps(results))
+
+
+if __name__ == "__main__":
+    main()
