@@ -37,10 +37,15 @@ Deliberate scope bounds (documented, loud):
   metacat's delete entries are predicate/key JSON, not Iceberg
   position-delete files; exporting them unresolved would silently
   resurrect rows. ``export_iceberg_table`` raises until folded.
-- Hidden-partitioning metadata is not carried through (exported tables
-  declare the unpartitioned spec): metacat encodes calendar transforms
-  as strings where the Iceberg spec wants epoch-relative ints. Pruning
-  hints only — files and rows are exact.
+- Hidden partitioning: IDENTITY transform fields are carried through —
+  the exported spec declares them with proper source-ids/field-ids and
+  each data file's partition record holds its typed values, so a real
+  reader prunes on them. Non-identity transforms (bucket/truncate/
+  calendar) are dropped from the exported spec: metacat encodes calendar
+  values as strings where the Iceberg spec wants epoch-relative ints,
+  and its bucket hash is xxhash64, not murmur3 — exporting either would
+  make a real reader prune WRONGLY. Dropping them is pruning-neutral
+  (files and rows stay exact).
 
 Scale note: this is driver-side metadata I/O — O(#files) tiny records,
 ~100k entries for a 100 TB table, well under a second of avro encoding.
@@ -217,9 +222,19 @@ def _req(name: str, typ, fid: int) -> dict:
     return {"name": name, "type": typ, "field-id": fid}
 
 
-def manifest_entry_schema() -> dict:
-    """v2 ``manifest_entry`` avro schema. Partition struct r102 is the
-    unpartitioned (empty) record — see module docstring scope bounds."""
+def manifest_entry_schema(partition_fields: list[dict] | None = None) -> dict:
+    """v2 ``manifest_entry`` avro schema. Partition struct r102 carries
+    the identity partition fields (field-ids 1000+), or is the
+    unpartitioned empty record — see module docstring scope bounds."""
+    r102_fields = [
+        {
+            "name": pf["name"],
+            "type": ["null", _PART_AVRO.get(pf["source_type"], "string")],
+            "default": None,
+            "field-id": 1000 + i,
+        }
+        for i, pf in enumerate(partition_fields or [])
+    ]
     data_file = {
         "type": "record",
         "name": "r2",
@@ -227,7 +242,7 @@ def manifest_entry_schema() -> dict:
             _req("content", "int", 134),
             _req("file_path", "string", 100),
             _req("file_format", "string", 101),
-            _req("partition", {"type": "record", "name": "r102", "fields": []}, 102),
+            _req("partition", {"type": "record", "name": "r102", "fields": r102_fields}, 102),
             _req("record_count", "long", 103),
             _req("file_size_in_bytes", "long", 104),
             _opt("column_sizes", _kv_array("k117_v118", 117, 118, "long"), 108),
@@ -308,6 +323,54 @@ def manifest_list_schema() -> dict:
 # ---------------------------------------------------------------------------
 
 
+_PART_AVRO = {
+    "bigint": "long",
+    "long": "long",
+    "int": "int",
+    "integer": "int",
+    "smallint": "int",
+    "tinyint": "int",
+    "boolean": "boolean",
+    "double": "double",
+    "float": "float",
+    "date": {"type": "int", "logicalType": "date"},
+}
+
+
+def _identity_spec(table: Table) -> list[dict]:
+    """The exportable (identity-only) partition fields of the default
+    spec: [{name, source, source_type}] — see module docstring for why
+    non-identity transforms are dropped."""
+    from iceberg_metadata_pipeline_spark.catalog.partitioning import parse_transform
+
+    types = {f.name: f.dataType.simpleString() for f in table.schema.fields}
+    out = []
+    for pf in table.default_spec:
+        if parse_transform(pf.transform)[0] == "identity":
+            out.append(
+                {"name": pf.name, "source": pf.source, "source_type": types[pf.source]}
+            )
+    return out
+
+
+def _typed_partition_value(raw, source_type: str):
+    """metacat stores partition values as path-parsed strings; Iceberg
+    manifests store them typed."""
+    import datetime as _dt
+
+    if raw is None:
+        return None
+    if source_type in ("bigint", "long", "int", "integer", "smallint", "tinyint"):
+        return int(raw)
+    if source_type == "boolean":
+        return str(raw).lower() in ("true", "1")
+    if source_type in ("double", "float"):
+        return float(raw)
+    if source_type == "date":
+        return (_dt.date.fromisoformat(str(raw)) - _dt.date(1970, 1, 1)).days
+    return str(raw)
+
+
 def export_iceberg_table(table: Table, dest: str) -> str:
     """Write a spec-v2 Iceberg table at ``dest`` mirroring ``table``'s
     current snapshot (metadata-only — data paths point at the originals).
@@ -336,6 +399,17 @@ def export_iceberg_table(table: Table, dest: str) -> str:
     seq = int(table.meta.get("last_sequence_number", 0)) or 1
 
     ice_schema, last_col = spark_schema_to_iceberg(table.schema)
+    spec_fields = _identity_spec(table)
+    source_ids = {f["name"]: f["id"] for f in ice_schema["fields"]}
+    ice_spec = [
+        {
+            "name": pf["name"],
+            "transform": "identity",
+            "source-id": source_ids[pf["source"]],
+            "field-id": 1000 + i,
+        }
+        for i, pf in enumerate(spec_fields)
+    ]
     snapshots = []
     if snapshot_id is not None:
         commit_uuid = str(uuid.uuid4())
@@ -351,7 +425,14 @@ def export_iceberg_table(table: Table, dest: str) -> str:
                     "content": 0,  # DATA
                     "file_path": os.path.abspath(f.path),
                     "file_format": f.format or "PARQUET",
-                    "partition": {},
+                    # typed identity values; files registered before the
+                    # spec carry nulls (never pruned — matches metacat)
+                    "partition": {
+                        pf["name"]: _typed_partition_value(
+                            (f.partition or {}).get(pf["name"]), pf["source_type"]
+                        )
+                        for pf in spec_fields
+                    },
                     "record_count": int(f.record_count),
                     "file_size_in_bytes": int(f.file_size_bytes),
                 },
@@ -360,12 +441,14 @@ def export_iceberg_table(table: Table, dest: str) -> str:
         ]
         avro_io.write_container(
             manifest_path,
-            manifest_entry_schema(),
+            manifest_entry_schema(spec_fields),
             entries,
             extra_meta={
                 "schema": json.dumps(ice_schema, separators=(",", ":")).encode(),
                 "schema-id": b"0",
-                "partition-spec": b"[]",
+                "partition-spec": json.dumps(
+                    ice_spec, separators=(",", ":")
+                ).encode(),
                 "partition-spec-id": b"0",
                 "format-version": b"2",
                 "content": b"data",
@@ -429,8 +512,8 @@ def export_iceberg_table(table: Table, dest: str) -> str:
         "current-schema-id": 0,
         "schemas": [ice_schema],
         "default-spec-id": 0,
-        "partition-specs": [{"spec-id": 0, "fields": []}],
-        "last-partition-id": 999,  # spec: >= 1000 are assigned; none used
+        "partition-specs": [{"spec-id": 0, "fields": ice_spec}],
+        "last-partition-id": 999 + len(ice_spec),  # field-ids start at 1000
         "default-sort-order-id": 0,
         "sort-orders": [{"order-id": 0, "fields": []}],
         "properties": {
@@ -536,7 +619,15 @@ def read_iceberg_table(location: str) -> IcebergTableInfo:
     files: list[DataFileEntry] = []
     for mf in manifest_files:
         if int(mf.get("content", 0)) != 0:
-            continue  # delete manifests: importer handles data files only
+            # a DELETE manifest means live rows = data minus position/
+            # equality deletes; importing just the data files would
+            # RESURRECT deleted rows — refuse loudly instead of lying
+            raise NotImplementedError(
+                "table has merge-on-read delete manifests; compact it "
+                "(rewrite_position_delete_files + rewrite_data_files) in the "
+                "source engine before import — this reader imports data "
+                "manifests only"
+            )
         mpath = _clean_path(mf["manifest_path"])
         if not os.path.isabs(mpath):
             mpath = os.path.join(location, "metadata", os.path.basename(mpath))
@@ -546,7 +637,10 @@ def read_iceberg_table(location: str) -> IcebergTableInfo:
                 continue
             df = e["data_file"]
             if int(df.get("content", 0)) != 0:
-                continue
+                raise NotImplementedError(
+                    "delete file entry inside a data manifest; compact the "
+                    "source table before import"
+                )
             files.append(
                 DataFileEntry(
                     path=_clean_path(df["file_path"]),

@@ -394,3 +394,62 @@ def test_avro_source_rejects_unmappable_types(spark, tmp_path):
     df = spark.sql("SELECT CAST(1.5 AS DECIMAL(10,2)) AS dec_col")
     with pytest.raises(ValueError, match="no mapping"):
         write_avro(df, str(tmp_path / "nope"))
+
+
+def test_export_carries_identity_partition_spec(spark, tmp_path):
+    """Identity partition fields survive export: proper source-id/field-id
+    in the metadata JSON, typed values in each manifest entry's r102
+    record — so a real reader can prune on them. Non-identity transforms
+    are dropped by documented contract (module docstring)."""
+    from iceberg_metadata_pipeline_spark.catalog.partitioning import PartitionField
+
+    catalog = Catalog(spark, str(tmp_path / "whp"))
+    st = T.StructType(
+        [
+            T.StructField("id", T.LongType(), False),
+            T.StructField("cat", T.StringType(), True),
+            T.StructField("v", T.DoubleType(), True),
+        ]
+    )
+    t = catalog.create_table(
+        "nyc",
+        "part_ident",
+        st,
+        partition_spec=[
+            PartitionField("cat", "identity"),
+            PartitionField("id", "bucket[4]"),  # non-identity: must be dropped
+        ],
+    )
+    df = spark.createDataFrame(
+        [(i, "ab"[i % 2], i / 2.0) for i in range(12)], schema=st
+    )
+    t = t.refresh()
+    t.append_dataframe(df)
+    dest = str(tmp_path / "ice_part")
+    meta_path = export_iceberg_table(t, dest)
+
+    doc = json.load(open(meta_path))
+    spec = doc["partition-specs"][0]["fields"]
+    assert spec == [
+        {"name": "cat", "transform": "identity", "source-id": 2, "field-id": 1000}
+    ]
+    assert doc["last-partition-id"] == 1000
+
+    mlist = doc["snapshots"][0]["manifest-list"]
+    _, _, manifests = avro_io.read_container(mlist)
+    mschema, mmeta, entries = avro_io.read_container(manifests[0]["manifest_path"])
+    assert json.loads(mmeta["partition-spec"]) == spec
+    r102 = next(
+        f["type"]["fields"]
+        for f in mschema["fields"][4]["type"]["fields"]
+        if f["name"] == "partition"
+    )
+    assert [f["name"] for f in r102] == ["cat"]
+    vals = {e["data_file"]["partition"]["cat"] for e in entries}
+    assert vals == {"a", "b"}
+
+    # import round-trip still exact
+    t2 = import_iceberg_table(
+        spark, Catalog(spark, str(tmp_path / "whp2")), dest, "nyc", "part_rt2"
+    )
+    assert sorted(r["id"] for r in t2.scan().collect()) == list(range(12))
