@@ -568,6 +568,9 @@ class IcebergTableInfo:
     snapshot_id: int | None
     files: list[DataFileEntry] = field(default_factory=list)
     metadata: dict = field(default_factory=dict)
+    # identity partition fields of the default spec: [(field_name, source
+    # column)] — the subset metacat can prune on after import
+    identity_partition: list[tuple[str, str]] = field(default_factory=list)
 
 
 def _latest_metadata_path(location: str) -> str:
@@ -607,9 +610,34 @@ def read_iceberg_table(location: str) -> IcebergTableInfo:
     )
     spark_schema = iceberg_schema_to_spark(schema_json)
 
+    # identity fields of the default spec → (partition field name, source
+    # column name, source type) for value carry-through
+    field_names = {f["id"]: f["name"] for f in schema_json["fields"]}
+    field_types = {
+        f["id"]: (f["type"] if isinstance(f["type"], str) else "nested")
+        for f in schema_json["fields"]
+    }
+    default_spec_id = md.get("default-spec-id", 0)
+    spec_fields = next(
+        (
+            s["fields"]
+            for s in md.get("partition-specs", [])
+            if s.get("spec-id", 0) == default_spec_id
+        ),
+        [],
+    )
+    ident = [
+        (pf["name"], field_names[pf["source-id"]], field_types[pf["source-id"]])
+        for pf in spec_fields
+        if pf.get("transform") == "identity" and pf.get("source-id") in field_names
+    ]
+
     snap_id = md.get("current-snapshot-id")
     if snap_id in (None, -1):
-        return IcebergTableInfo(location, meta_path, spark_schema, None, [], md)
+        return IcebergTableInfo(
+            location, meta_path, spark_schema, None, [], md,
+            [(n, s) for n, s, _ in ident],
+        )
     snap = next(s for s in md["snapshots"] if int(s["snapshot-id"]) == int(snap_id))
     mlist = _clean_path(snap["manifest-list"])
     if not os.path.isabs(mlist):
@@ -641,6 +669,20 @@ def read_iceberg_table(location: str) -> IcebergTableInfo:
                     "delete file entry inside a data manifest; compact the "
                     "source table before import"
                 )
+            # carry identity partition values into metacat's string form
+            # (path-dir representation: ints as digits, dates as ISO) so
+            # imported files stay PRUNABLE under the declared spec
+            raw_part = df.get("partition") or {}
+            part: dict = {}
+            for pname, _src, styp in ident:
+                v = raw_part.get(pname)
+                if v is None:
+                    continue
+                if styp == "date" and isinstance(v, int):
+                    import datetime as _dt
+
+                    v = (_dt.date(1970, 1, 1) + _dt.timedelta(days=v)).isoformat()
+                part[pname] = str(v)
             files.append(
                 DataFileEntry(
                     path=_clean_path(df["file_path"]),
@@ -648,9 +690,13 @@ def read_iceberg_table(location: str) -> IcebergTableInfo:
                     file_size_bytes=int(df["file_size_in_bytes"]),
                     format=str(df.get("file_format", "PARQUET")),
                     seq=int(e.get("sequence_number") or 0),
+                    partition=part,
                 )
             )
-    return IcebergTableInfo(location, meta_path, spark_schema, int(snap_id), files, md)
+    return IcebergTableInfo(
+        location, meta_path, spark_schema, int(snap_id), files, md,
+        [(n, s) for n, s, _ in ident],
+    )
 
 
 def import_iceberg_table(
@@ -662,9 +708,23 @@ def import_iceberg_table(
 ) -> Table:
     """Register a real Iceberg table's live data files into metacat —
     the jar-free twin of tests/test_iceberg_interop.py's ingest
-    direction. Metadata-only (no data copied), one atomic commit."""
+    direction. Metadata-only (no data copied), one atomic commit.
+    Identity partition fields are re-declared and each file's values
+    carried, so partition pruning survives the import."""
+    from iceberg_metadata_pipeline_spark.catalog.partitioning import PartitionField
+
     info = read_iceberg_table(location)
     table = catalog.create_table(namespace, name, info.schema)
+    if info.identity_partition:
+        spec_id = table.set_partition_spec(
+            [
+                PartitionField(src, "identity", pname)
+                for pname, src in info.identity_partition
+            ]
+        )
+        for f in info.files:
+            if f.partition:
+                f.spec_id = spec_id
     if info.files:
         table.append_files(info.files)
     return table

@@ -448,8 +448,21 @@ def test_export_carries_identity_partition_spec(spark, tmp_path):
     vals = {e["data_file"]["partition"]["cat"] for e in entries}
     assert vals == {"a", "b"}
 
-    # import round-trip still exact
+    # import round-trip still exact, and PRUNING survives: the imported
+    # table re-declares the identity spec with carried per-file values
     t2 = import_iceberg_table(
         spark, Catalog(spark, str(tmp_path / "whp2")), dest, "nyc", "part_rt2"
     )
     assert sorted(r["id"] for r in t2.scan().collect()) == list(range(12))
+    from iceberg_metadata_pipeline_spark.catalog.partitioning import (
+        prune_files_by_partition,
+    )
+
+    all_files = t2.snapshot_files()
+    kept = prune_files_by_partition(
+        spark, all_files, t2.partition_specs, t2._schema_types(), "cat = 'a'"
+    )
+    assert 0 < len(kept) < len(all_files), "identity pruning must drop files"
+    assert sorted(r["id"] for r in t2.scan(filter="cat = 'a'").collect()) == [
+        i for i in range(12) if i % 2 == 0
+    ]
