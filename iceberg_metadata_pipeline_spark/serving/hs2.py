@@ -528,6 +528,89 @@ class HiveServer2Front:
         )
 
 
+    # --- the remaining connect-time JDBC metadata calls (beeline/DBeaver
+    # fire these right after OpenSession; all follow the same
+    # browse-operation flow) ---
+
+    def _do_GetCatalogs(self, req: dict) -> dict:
+        sid = self._session_of(req[1][1])
+        return self._browse_operation(sid, [("spark",)], "TABLE_CAT string")
+
+    def _do_GetTableTypes(self, req: dict) -> dict:
+        sid = self._session_of(req[1][1])
+        return self._browse_operation(
+            sid, [("TABLE",), ("VIEW",)], "TABLE_TYPE string"
+        )
+
+    def _do_GetTypeInfo(self, req: dict) -> dict:
+        """java.sql.DatabaseMetaData.getTypeInfo() — one row per SQL type
+        the engine serves, in the JDBC-mandated 18-column shape."""
+        sid = self._session_of(req[1][1])
+        #        name        jdbc  prec  params       searchable
+        types = [
+            ("BOOLEAN", 16, None, None, 2),
+            ("TINYINT", -6, 3, None, 2),
+            ("SMALLINT", 5, 5, None, 2),
+            ("INT", 4, 10, None, 2),
+            ("BIGINT", -5, 19, None, 2),
+            ("FLOAT", 6, 7, None, 2),
+            ("DOUBLE", 8, 15, None, 2),
+            ("DECIMAL", 3, 38, "precision,scale", 2),
+            ("STRING", 12, None, None, 3),
+            ("BINARY", -2, None, None, 0),
+            ("DATE", 91, None, None, 2),
+            ("TIMESTAMP", 93, None, None, 2),
+            ("ARRAY", 2003, None, None, 0),
+            ("MAP", 2000, None, None, 0),
+            ("STRUCT", 2002, None, None, 0),
+        ]
+        rows = [
+            (
+                name, jdbc, prec, None, None, params,
+                1,      # NULLABLE = typeNullable
+                name == "STRING",  # CASE_SENSITIVE
+                searchable,
+                False,  # UNSIGNED_ATTRIBUTE (all signed)
+                name == "DECIMAL",  # FIXED_PREC_SCALE
+                False,  # AUTO_INCREMENT
+                name, 0,
+                38 if name == "DECIMAL" else 0,
+                None, None,
+                10 if prec else None,
+            )
+            for name, jdbc, prec, params, searchable in types
+        ]
+        return self._browse_operation(
+            sid,
+            rows,
+            "TYPE_NAME string, DATA_TYPE int, PRECISION int, "
+            "LITERAL_PREFIX string, LITERAL_SUFFIX string, CREATE_PARAMS string, "
+            "NULLABLE int, CASE_SENSITIVE boolean, SEARCHABLE int, "
+            "UNSIGNED_ATTRIBUTE boolean, FIXED_PREC_SCALE boolean, "
+            "AUTO_INCREMENT boolean, LOCAL_TYPE_NAME string, MINIMUM_SCALE int, "
+            "MAXIMUM_SCALE int, SQL_DATA_TYPE int, SQL_DATETIME_SUB int, "
+            "NUM_PREC_RADIX int",
+        )
+
+    def _do_GetFunctions(self, req: dict) -> dict:
+        sid = self._session_of(req[1][1])
+        fn_pat = req.get(4, (tp.STRING, b""))[1]
+        df = self.engine.execute(sid, "SHOW FUNCTIONS")
+        names = [r[0] for r in df.collect()]
+        self.engine.finish_statement(sid)
+        rows = [
+            (None, None, f, "", 1, f)  # functionResultUnknown = 1
+            for f in sorted(names)
+            if self._like_match(fn_pat, f)
+        ]
+        return self._browse_operation(
+            sid,
+            rows,
+            "FUNCTION_CAT string, FUNCTION_SCHEM string, FUNCTION_NAME string, "
+            "REMARKS string, FUNCTION_TYPE int, SPECIFIC_NAME string",
+        )
+
+
 class _UnknownMethod(Exception):
     pass
 

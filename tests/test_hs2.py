@@ -287,3 +287,43 @@ def test_wire_bytes_strict_header(front):
     assert header & 0xFFFF0000 == 0x80010000
     assert header & 0xFF == tp.MSG_REPLY
     sock.close()
+
+
+def test_connect_time_jdbc_metadata_calls(front):
+    """GetCatalogs / GetTableTypes / GetTypeInfo / GetFunctions — the
+    remaining connect-time calls a JDBC client (beeline/DBeaver) fires
+    right after OpenSession."""
+    c = _client(front)
+
+    def browse(call, extra=None):
+        resp = c.call(call, {1: (tp.STRUCT, c._session), **(extra or {})})
+        HS2Client._check(resp)
+        op = resp[2][1]
+        names = [n for n, _ in c.result_schema(op)]
+        rows = c.fetch_all_rows(op)
+        c.close_operation(op)
+        return names, rows
+
+    names, rows = browse("GetCatalogs")
+    assert names == ["TABLE_CAT"] and rows == [("spark",)]
+
+    names, rows = browse("GetTableTypes")
+    assert names == ["TABLE_TYPE"] and rows == [("TABLE",), ("VIEW",)]
+
+    names, rows = browse("GetTypeInfo")
+    assert names[0] == "TYPE_NAME" and names[1] == "DATA_TYPE"
+    assert len(names) == 18  # full java.sql.DatabaseMetaData.getTypeInfo shape
+    by_name = {r[0]: r for r in rows}
+    assert by_name["BIGINT"][1] == -5  # java.sql.Types.BIGINT
+    assert by_name["STRING"][1] == 12  # VARCHAR
+    assert by_name["DECIMAL"][5] == "precision,scale"  # CREATE_PARAMS
+
+    names, rows = browse("GetFunctions", {4: (tp.STRING, "xx%")})
+    assert names == [
+        "FUNCTION_CAT", "FUNCTION_SCHEM", "FUNCTION_NAME",
+        "REMARKS", "FUNCTION_TYPE", "SPECIFIC_NAME",
+    ]
+    fns = [r[2] for r in rows]
+    assert "xxhash64" in fns
+    assert all(f.startswith("xx") for f in fns)
+    c.close()
