@@ -226,10 +226,18 @@ def manifest_entry_schema(partition_fields: list[dict] | None = None) -> dict:
     """v2 ``manifest_entry`` avro schema. Partition struct r102 carries
     the identity partition fields (field-ids 1000+), or is the
     unpartitioned empty record — see module docstring scope bounds."""
+    for pf in partition_fields or []:
+        if pf["source_type"] not in _PART_AVRO:
+            raise ValueError(
+                f"identity partition on unsupported source type "
+                f"{pf['source_type']!r}: no spec-typed manifest encoding "
+                "here (e.g. decimal needs fixed-bytes); drop the partition "
+                "field or widen _PART_AVRO"
+            )
     r102_fields = [
         {
             "name": pf["name"],
-            "type": ["null", _PART_AVRO.get(pf["source_type"], "string")],
+            "type": ["null", _PART_AVRO[pf["source_type"]]],
             "default": None,
             "field-id": 1000 + i,
         }
@@ -334,6 +342,19 @@ _PART_AVRO = {
     "double": "double",
     "float": "float",
     "date": {"type": "int", "logicalType": "date"},
+    # Spark TimestampType (instant) → timestamptz; NTZ → timestamp. Both
+    # are epoch-micros longs in manifests per the spec's Avro appendix.
+    "timestamp": {
+        "type": "long",
+        "logicalType": "timestamp-micros",
+        "adjust-to-utc": True,
+    },
+    "timestamp_ntz": {
+        "type": "long",
+        "logicalType": "timestamp-micros",
+        "adjust-to-utc": False,
+    },
+    "string": "string",
 }
 
 
@@ -368,7 +389,18 @@ def _typed_partition_value(raw, source_type: str):
         return float(raw)
     if source_type == "date":
         return (_dt.date.fromisoformat(str(raw)) - _dt.date(1970, 1, 1)).days
-    return str(raw)
+    if source_type in ("timestamp", "timestamp_ntz"):
+        # metacat stores the Spark partition-dir render (ISO, space sep);
+        # manifests store epoch micros (exact integer arithmetic)
+        ts = _dt.datetime.fromisoformat(str(raw))
+        return (ts - _dt.datetime(1970, 1, 1)) // _dt.timedelta(microseconds=1)
+    if source_type == "string":
+        return str(raw)
+    raise ValueError(
+        f"identity partition on unsupported source type {source_type!r}: "
+        "no spec-typed manifest encoding here (e.g. decimal needs "
+        "fixed-bytes); drop the partition field or widen _PART_AVRO"
+    )
 
 
 def export_iceberg_table(table: Table, dest: str) -> str:
@@ -582,8 +614,17 @@ def _latest_metadata_path(location: str) -> str:
         p = os.path.join(meta_dir, f"v{v}.metadata.json")
         if os.path.exists(p):
             return p
-    # metastore-style naming: 00000-<uuid>.metadata.json — newest by prefix
-    cands = sorted(glob.glob(os.path.join(meta_dir, "*.metadata.json")))
+    # Fall back to listing (the hint write is best-effort in the real
+    # runtime). Sort by the numeric version — 'v10' must beat 'v9', which
+    # plain lexicographic order gets wrong; metastore-style
+    # 00000-<uuid>.metadata.json names sort the same either way.
+    cands = sorted(
+        glob.glob(os.path.join(meta_dir, "*.metadata.json")),
+        key=lambda p: (
+            int(m.group(1)) if (m := re.match(r"v?(\d+)", os.path.basename(p))) else -1,
+            os.path.basename(p),
+        ),
+    )
     if not cands:
         raise FileNotFoundError(f"no Iceberg metadata under {meta_dir}")
     return cands[-1]
@@ -639,10 +680,22 @@ def read_iceberg_table(location: str) -> IcebergTableInfo:
             [(n, s) for n, s, _ in ident],
         )
     snap = next(s for s in md["snapshots"] if int(s["snapshot-id"]) == int(snap_id))
-    mlist = _clean_path(snap["manifest-list"])
-    if not os.path.isabs(mlist):
-        mlist = os.path.join(location, "metadata", os.path.basename(mlist))
-    _, _, manifest_files = avro_io.read_container(mlist)
+    if "manifest-list" in snap:
+        mlist = _clean_path(snap["manifest-list"])
+        if not os.path.isabs(mlist):
+            mlist = os.path.join(location, "metadata", os.path.basename(mlist))
+        _, _, manifest_files = avro_io.read_container(mlist)
+    elif "manifests" in snap:
+        # spec-v1 layout: manifest paths embedded in the snapshot, no
+        # manifest-list file; fabricate data-manifest descriptors (v1 has
+        # no delete manifests, so content=0 is exact)
+        manifest_files = [
+            {"manifest_path": p, "content": 0} for p in snap["manifests"]
+        ]
+    else:
+        raise ValueError(
+            f"snapshot {snap_id} has neither 'manifest-list' nor 'manifests'"
+        )
 
     files: list[DataFileEntry] = []
     for mf in manifest_files:
@@ -682,6 +735,13 @@ def read_iceberg_table(location: str) -> IcebergTableInfo:
                     import datetime as _dt
 
                     v = (_dt.date(1970, 1, 1) + _dt.timedelta(days=v)).isoformat()
+                elif styp in ("timestamp", "timestamptz") and isinstance(v, int):
+                    # manifests store epoch micros; metacat's pruner
+                    # (partitioning._comparable) compares ISO renders, so a
+                    # raw digit string would silently mis-prune every file
+                    import datetime as _dt
+
+                    v = str(_dt.datetime(1970, 1, 1) + _dt.timedelta(microseconds=v))
                 part[pname] = str(v)
             files.append(
                 DataFileEntry(

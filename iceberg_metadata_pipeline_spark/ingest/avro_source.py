@@ -121,6 +121,10 @@ def write_avro(df: DataFrame, path: str) -> int:
     import pandas as pd
 
     os.makedirs(path, exist_ok=True)
+    # overwrite semantics: a previous wider write would otherwise leave
+    # stale high-numbered part files that read_avro would pick back up
+    for stale in _glob.glob(os.path.join(path, "part-*.avro")):
+        os.remove(stale)
     schema = spark_schema_to_avro(df.schema)
     logical = {f.name: f.dataType.simpleString() for f in df.schema.fields}
 
@@ -140,7 +144,12 @@ def write_avro(df: DataFrame, path: str) -> int:
                         rec[name] = (d - _EPOCH_DATE).days
                     elif logical[name] in ("timestamp", "timestamp_ntz"):
                         ts = v.to_pydatetime() if hasattr(v, "to_pydatetime") else v
-                        rec[name] = int((ts - _EPOCH_TS).total_seconds() * 1_000_000)
+                        # timedelta floor-division is exact integer micros;
+                        # float total_seconds() has ~0.4 µs ulp at 2024-era
+                        # epochs and truncation would corrupt ~1% of values
+                        rec[name] = (ts - _EPOCH_TS) // datetime.timedelta(
+                            microseconds=1
+                        )
                     elif isinstance(v, (bool,)):
                         rec[name] = bool(v)
                     elif hasattr(v, "item"):  # numpy scalar → python

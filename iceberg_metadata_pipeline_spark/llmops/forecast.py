@@ -152,15 +152,21 @@ def daily_event_values_dense(events: DataFrame, n: int = _HW_N) -> DataFrame:
     daily = (
         events.select(
             "event_type",
-            ((F.unix_timestamp("ts") - epoch0) / F.lit(86400)).cast("long").alias("b"),
+            # floor, not cast('long'): double-division truncates toward
+            # zero, so an event up to 24h BEFORE the epoch would land in
+            # day 0 while the oracle's ts >= epoch filter excludes it
+            F.floor((F.unix_timestamp("ts") - epoch0) / F.lit(86400)).alias("b"),
             "value",
         )
         .where((F.col("b") >= 0) & (F.col("b") < n))
         .groupBy("event_type", "b")
         .agg(F.sum(F.col("value").cast("decimal(38,6)")).cast("double").alias("y"))
     )
+    # spine over event types WITH data in the window (the oracle groups the
+    # filtered rows, so a type absent from days 0..n-1 must yield no row,
+    # not an all-zero series)
     spine = (
-        events.select("event_type")
+        daily.select("event_type")
         .distinct()
         .crossJoin(F.broadcast(
             events.sparkSession.range(n).select(F.col("id").alias("b"))

@@ -599,7 +599,8 @@ class HiveServer2Front:
         names = [r[0] for r in df.collect()]
         self.engine.finish_statement(sid)
         rows = [
-            (None, None, f, "", 1, f)  # functionResultUnknown = 1
+            (None, None, f, "", 0, f)  # functionResultUnknown = 0 (what
+            # real HS2's GetFunctionsOperation emits for every function)
             for f in sorted(names)
             if self._like_match(fn_pat, f)
         ]

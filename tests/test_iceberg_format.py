@@ -466,3 +466,183 @@ def test_export_carries_identity_partition_spec(spark, tmp_path):
     assert sorted(r["id"] for r in t2.scan(filter="cat = 'a'").collect()) == [
         i for i in range(12) if i % 2 == 0
     ]
+
+
+# ---------------------------------------------------------------------------
+# regression tests from the round-5 self-review
+# ---------------------------------------------------------------------------
+
+
+def test_avro_timestamp_micros_exact(spark, tmp_path):
+    """Micros must go through exact integer arithmetic: float
+    total_seconds()*1e6 truncation corrupts ~1% of modern timestamps by
+    1 µs (ulp near 2e9 s is ~0.4 µs)."""
+    from iceberg_metadata_pipeline_spark.ingest.avro_source import (
+        read_avro,
+        write_avro,
+    )
+
+    # includes a value the float path reproducibly writes 1 µs low
+    df = spark.sql(
+        """
+        SELECT * FROM VALUES
+          (1, TIMESTAMP'2005-01-08 06:08:17.526635'),
+          (2, TIMESTAMP'2024-12-31 23:59:59.999999'),
+          (3, TIMESTAMP'1997-03-01 00:00:00.000001'),
+          (4, TIMESTAMP'2038-01-19 03:14:07.999999')
+        AS t(id, ts)
+        """
+    )
+    loc = str(tmp_path / "ts_exact")
+    write_avro(df, loc)
+    back = read_avro(spark, loc)
+    assert sorted(back.collect()) == sorted(df.collect())
+
+
+def test_write_avro_overwrite_clears_stale_parts(spark, tmp_path):
+    """A narrower re-write must not leave high-numbered part files from a
+    previous wider write (read_avro would silently union stale rows)."""
+    from iceberg_metadata_pipeline_spark.ingest.avro_source import (
+        read_avro,
+        write_avro,
+    )
+
+    loc = str(tmp_path / "ow")
+    df1 = spark.range(100).selectExpr("id", "CONCAT('old', id) AS s")
+    assert write_avro(df1.repartition(8), loc) == 8
+    df2 = spark.range(10).selectExpr("id + 1000 AS id", "CONCAT('new', id) AS s")
+    assert write_avro(df2.repartition(2), loc) == 2
+    back = read_avro(spark, loc)
+    assert sorted(r["id"] for r in back.collect()) == [i + 1000 for i in range(10)]
+
+
+def test_timestamp_identity_partition_round_trip(spark, tmp_path):
+    """Identity partitions on a timestamp column: manifests carry epoch-
+    micros longs (what a real reader expects for a timestamptz source),
+    and the importer renders them back to metacat's ISO form so pruning
+    still works after import."""
+    from iceberg_metadata_pipeline_spark.catalog.partitioning import PartitionField
+
+    catalog = Catalog(spark, str(tmp_path / "wht"))
+    st = T.StructType(
+        [
+            T.StructField("id", T.LongType(), False),
+            T.StructField("ts", T.TimestampType(), True),
+        ]
+    )
+    t = catalog.create_table(
+        "nyc", "ts_part", st, partition_spec=[PartitionField("ts", "identity")]
+    )
+    df = spark.sql(
+        "SELECT id, IF(id % 2 = 0, TIMESTAMP'2024-01-01 00:00:00', "
+        "TIMESTAMP'2024-06-15 12:30:45') AS ts FROM RANGE(10)"
+    )
+    t = t.refresh()
+    t.append_dataframe(df)
+    dest = str(tmp_path / "ice_ts")
+    meta_path = export_iceberg_table(t, dest)
+
+    # manifest values are epoch-micros longs, not strings
+    doc = json.load(open(meta_path))
+    mlist = doc["snapshots"][0]["manifest-list"]
+    _, _, manifests = avro_io.read_container(mlist)
+    _, _, entries = avro_io.read_container(manifests[0]["manifest_path"])
+    vals = {e["data_file"]["partition"]["ts"] for e in entries}
+    assert vals == {1704067200000000, 1718454645000000}
+
+    # import → values render back to ISO; a timestamp predicate prunes
+    t2 = import_iceberg_table(
+        spark, Catalog(spark, str(tmp_path / "wht2")), dest, "nyc", "ts_rt"
+    )
+    stored = {v for f in t2.snapshot_files() for v in (f.partition or {}).values()}
+    assert stored == {"2024-01-01 00:00:00", "2024-06-15 12:30:45"}
+    got = t2.scan(filter="ts = TIMESTAMP'2024-01-01 00:00:00'").collect()
+    assert sorted(r["id"] for r in got) == [0, 2, 4, 6, 8]
+
+
+def test_unsupported_identity_partition_type_raises(spark, tmp_path):
+    """Decimal identity partitions have no typed manifest encoding here —
+    export must refuse loudly, not emit string-typed values a real reader
+    can't resolve against the declared decimal source."""
+    from iceberg_metadata_pipeline_spark.catalog.partitioning import PartitionField
+
+    catalog = Catalog(spark, str(tmp_path / "whd"))
+    st = T.StructType(
+        [
+            T.StructField("id", T.LongType(), False),
+            T.StructField("amt", T.DecimalType(10, 2), True),
+        ]
+    )
+    t = catalog.create_table(
+        "nyc", "dec_part", st, partition_spec=[PartitionField("amt", "identity")]
+    )
+    t = t.refresh()
+    t.append_dataframe(
+        spark.sql("SELECT id, CAST(id AS DECIMAL(10,2)) AS amt FROM RANGE(4)")
+    )
+    with pytest.raises(ValueError, match="unsupported source type"):
+        export_iceberg_table(t, str(tmp_path / "ice_dec"))
+
+
+def test_latest_metadata_numeric_sort(tmp_path):
+    """v10 must beat v9 when version-hint.text is missing (plain
+    lexicographic sort gets this wrong)."""
+    from iceberg_metadata_pipeline_spark.catalog.iceberg_format import (
+        _latest_metadata_path,
+    )
+
+    meta = tmp_path / "tbl" / "metadata"
+    meta.mkdir(parents=True)
+    for v in list(range(1, 11)):
+        (meta / f"v{v}.metadata.json").write_text("{}")
+    assert _latest_metadata_path(str(tmp_path / "tbl")).endswith(
+        "v10.metadata.json"
+    )
+
+
+def test_read_v1_inline_manifests(tmp_path):
+    """Spec-v1 tables may embed manifest paths in the snapshot (no
+    manifest-list file) — the reader must follow them."""
+    meta = tmp_path / "v1tbl" / "metadata"
+    meta.mkdir(parents=True)
+    schema = {
+        "type": "struct",
+        "schema-id": 0,
+        "fields": [
+            {"id": 1, "name": "id", "required": True, "type": "long"},
+        ],
+    }
+    mpath = str(meta / "m0.avro")
+    avro_io.write_container(
+        mpath,
+        manifest_entry_schema([]),
+        [
+            {
+                "status": 1,
+                "snapshot_id": 7,
+                "data_file": {
+                    "content": 0,
+                    "file_path": "/data/a.parquet",
+                    "file_format": "PARQUET",
+                    "partition": {},
+                    "record_count": 5,
+                    "file_size_in_bytes": 100,
+                },
+            }
+        ],
+    )
+    md = {
+        "format-version": 1,
+        "table-uuid": "0" * 32,
+        "location": str(tmp_path / "v1tbl"),
+        "last-updated-ms": 0,
+        "last-column-id": 1,
+        "schema": schema,
+        "partition-spec": [],
+        "current-snapshot-id": 7,
+        "snapshots": [{"snapshot-id": 7, "timestamp-ms": 0, "manifests": [mpath]}],
+    }
+    (meta / "v1.metadata.json").write_text(json.dumps(md))
+    info = read_iceberg_table(str(tmp_path / "v1tbl"))
+    assert [f.path for f in info.files] == ["/data/a.parquet"]
+    assert info.files[0].record_count == 5
