@@ -119,6 +119,7 @@ def _load_all():
         graph,
         joins,
         modern_sql,
+        recursive_scripting,
         relational,
         scalar_funcs,
         setops,
