@@ -1,0 +1,429 @@
+"""`pyavro` — a full Python DataSource (Spark 4 API) over the
+from-scratch avro codec (catalog/avro_io.py).
+
+The reference's Spark distribution serves `USING avro` through its
+Thrift server (entrypoint-spark.sh:73); this container has no
+spark-avro jar, so ingest/avro_source.py provides the codec via
+mapInPandas helpers.  This module lifts that codec into a *first-class
+format*: after ``register(spark)``,
+
+- ``spark.read.format("pyavro").load(dir)`` — batch scan with real
+  split planning (one InputPartition per OCF file) and filter pushdown
+  (simple comparisons are applied during decode, so non-matching rows
+  never cross the Python→JVM boundary),
+- ``df.write.format("pyavro").save(dir)`` — two-phase-commit batch
+  sink: tasks write ``_tmp-*`` files, the driver commit renames them to
+  ``part-NNNNN.avro`` (task retries/speculation can never publish
+  partial output),
+- ``spark.readStream.format("pyavro")`` — micro-batch source over an
+  append-only directory with file-count offsets (checkpoint-resumable,
+  each batch's files decoded in executors, not on the driver — this is
+  the ``DataSourceStreamReader`` plan-partitions variant, not the
+  driver-side Simple reader),
+- ``df.writeStream.format("pyavro")`` — streaming sink, one avro file
+  per epoch+task, published only in ``commit``.
+
+Scale notes.  Split planning is per-file because an OCF file is the
+self-describing decode unit (header carries the schema; avro is a row
+format with no column pruning), matching how spark-avro itself splits
+small files; the read path is executor-parallel with no driver data
+motion.  The streaming offset is a monotone file count — the directory
+contract (documented on the reader) is append-only with
+sort-monotone names, exactly what the batch sink produces.  Filter
+pushdown happens inside the decode loop: at 100 TB a selective
+predicate cuts Arrow/pickle transfer proportionally, the same lever as
+parquet PushedFilters (stats-based whole-file skipping would need a
+footer we don't write — documented, not faked).
+"""
+
+from __future__ import annotations
+
+import datetime
+import glob as _glob
+import os
+import uuid
+from dataclasses import dataclass
+
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceReader,
+    DataSourceStreamReader,
+    DataSourceStreamWriter,
+    DataSourceWriter,
+    EqualTo,
+    GreaterThan,
+    GreaterThanOrEqual,
+    In,
+    InputPartition,
+    IsNotNull,
+    IsNull,
+    LessThan,
+    LessThanOrEqual,
+    WriterCommitMessage,
+)
+from pyspark.sql.types import StructType
+
+from iceberg_metadata_pipeline_spark.catalog import avro_io
+from iceberg_metadata_pipeline_spark.ingest.avro_source import (
+    _EPOCH_DATE,
+    _EPOCH_TS,
+    _branch,
+    avro_schema_to_spark,
+    spark_schema_to_avro,
+)
+
+_PART_GLOB = "part-*.avro"
+
+
+def _local(path: str) -> str:
+    return path[len("file:") :] if path.startswith("file:") else path
+
+
+def _decode_record(rec: dict, names: list[str], logical: dict[str, str | None]):
+    """One avro record dict → a tuple in schema order, logical types
+    rendered as the python values Spark expects (date / naive datetime)."""
+    out = []
+    for n in names:
+        v = rec.get(n)
+        if v is not None:
+            lt = logical[n]
+            if lt == "date":
+                v = _EPOCH_DATE + datetime.timedelta(days=v)
+            elif lt == "timestamp-micros":
+                v = _EPOCH_TS + datetime.timedelta(microseconds=v)
+            elif lt == "timestamp-millis":
+                v = _EPOCH_TS + datetime.timedelta(milliseconds=v)
+        out.append(v)
+    return tuple(out)
+
+
+def _encode_value(v, simple: str):
+    """One python Row value → the avro-codec value for its field type."""
+    if v is None:
+        return None
+    if simple == "date":
+        return (v - _EPOCH_DATE).days
+    if simple in ("timestamp", "timestamp_ntz"):
+        # exact integer micros (float total_seconds() truncates ~1µs)
+        return (v - _EPOCH_TS) // datetime.timedelta(microseconds=1)
+    if isinstance(v, bytearray):
+        return bytes(v)
+    return v
+
+
+# --- filter pushdown --------------------------------------------------
+
+_COMPARATORS = {
+    EqualTo: lambda v, x: v is not None and v == x,
+    GreaterThan: lambda v, x: v is not None and v > x,
+    GreaterThanOrEqual: lambda v, x: v is not None and v >= x,
+    LessThan: lambda v, x: v is not None and v < x,
+    LessThanOrEqual: lambda v, x: v is not None and v <= x,
+}
+
+
+def _compile_filter(f):
+    """A pushed Filter → row-predicate over the decoded record dict, or
+    None if this filter shape isn't handled here (Spark then applies it
+    post-scan — correctness never depends on pushdown)."""
+    if isinstance(f, IsNull) and len(f.attribute) == 1:
+        col = f.attribute[0]
+        return lambda rec: rec.get(col) is None
+    if isinstance(f, IsNotNull) and len(f.attribute) == 1:
+        col = f.attribute[0]
+        return lambda rec: rec.get(col) is not None
+    if isinstance(f, In) and len(f.attribute) == 1:
+        col = f.attribute[0]
+        vals = set(f.value)
+        return lambda rec: rec.get(col) in vals
+    for ftype, cmp in _COMPARATORS.items():
+        if type(f) is ftype and len(f.attribute) == 1:
+            col, x = f.attribute[0], f.value
+            return lambda rec: cmp(rec.get(col), x)
+    return None
+
+
+@dataclass
+class AvroFilePartition(InputPartition):
+    path: str
+
+
+class PyAvroBatchReader(DataSourceReader):
+    """One InputPartition per OCF file; simple filters applied inside
+    the decode loop (avro records are plain dicts — the predicate runs
+    before tuple materialization)."""
+
+    def __init__(self, options):
+        self.path = _local(options["path"])
+        files = sorted(_glob.glob(os.path.join(self.path, "*.avro")))
+        if not files:
+            raise FileNotFoundError(f"no .avro files under {self.path}")
+        self.files = files
+        schema, _, _ = avro_io.read_container(files[0])
+        self.names = [f["name"] for f in schema["fields"]]
+        self.logical = {f["name"]: _branch(f["type"])[1] for f in schema["fields"]}
+        self.predicates: list = []
+
+    def pushFilters(self, filters):
+        rest = []
+        for f in filters:
+            pred = _compile_filter(f)
+            if pred is None:
+                rest.append(f)  # same object by reference, per contract
+            else:
+                self.predicates.append(pred)
+        return rest
+
+    def partitions(self):
+        return [AvroFilePartition(p) for p in self.files]
+
+    def read(self, partition: AvroFilePartition):
+        _, _, records = avro_io.read_container(partition.path)
+        preds = self.predicates
+        for rec in records:
+            if all(p(rec) for p in preds):
+                yield _decode_record(rec, self.names, self.logical)
+
+
+@dataclass
+class AvroCommit(WriterCommitMessage):
+    tmp_path: str
+    rows: int
+
+
+class PyAvroBatchWriter(DataSourceWriter):
+    """Two-phase commit: tasks write ``_tmp-<uuid>.avro``; only the
+    driver-side ``commit`` publishes them as ``part-NNNNN.avro`` (and,
+    for overwrite mode, removes prior part files) — a failed or
+    speculative task can never leave a visible partial file."""
+
+    def __init__(self, schema: StructType, options, overwrite: bool):
+        self.dest = _local(options["path"])
+        self.overwrite = overwrite
+        self.avro_schema = spark_schema_to_avro(schema)
+        self.simple = {f.name: f.dataType.simpleString() for f in schema.fields}
+        self.names = [f.name for f in schema.fields]
+        os.makedirs(self.dest, exist_ok=True)
+
+    def write(self, iterator):
+        records = [
+            {
+                n: _encode_value(row[i], self.simple[n])
+                for i, n in enumerate(self.names)
+            }
+            for row in iterator
+        ]
+        tmp = os.path.join(self.dest, f"_tmp-{uuid.uuid4().hex}.avro")
+        avro_io.write_container(tmp, self.avro_schema, records)
+        return AvroCommit(tmp_path=tmp, rows=len(records))
+
+    def commit(self, messages):
+        if self.overwrite:
+            for old in _glob.glob(os.path.join(self.dest, _PART_GLOB)):
+                os.remove(old)
+        # append mode continues numbering after the existing max part —
+        # renaming onto part-00000 would silently clobber a prior write
+        existing = _glob.glob(os.path.join(self.dest, _PART_GLOB))
+        base = (
+            max(int(os.path.basename(p)[5:10]) for p in existing) + 1
+            if existing
+            else 0
+        )
+        for i, m in enumerate(sorted(messages, key=lambda m: m.tmp_path)):
+            os.rename(
+                m.tmp_path, os.path.join(self.dest, f"part-{base + i:05d}.avro")
+            )
+
+    def abort(self, messages):
+        for m in messages:
+            if m is not None and os.path.exists(m.tmp_path):
+                os.remove(m.tmp_path)
+
+
+class PyAvroStreamReader(DataSourceStreamReader):
+    """Micro-batch source over an append-only directory.
+
+    Offset = ``{"n": <file count>}`` over the name-sorted ``*.avro``
+    listing.  Directory contract: files are immutable once visible and
+    names are sort-monotone (part-00000 < part-00001 < …, what the
+    pyavro sinks emit), so ``sorted(files)[start:end]`` identifies each
+    batch's files stably across restarts.  Each file decodes in an
+    executor task (this is the partition-planning reader; the Simple
+    variant would funnel every byte through the driver)."""
+
+    def __init__(self, schema: StructType, options):
+        self.path = _local(options["path"])
+        self.names = [f.name for f in schema.fields]
+        # logical types recovered from the declared Spark schema (files
+        # may not exist yet when the stream starts)
+        self.logical = {
+            f.name: {
+                "date": "date",
+                "timestamp": "timestamp-micros",
+                "timestamp_ntz": "timestamp-micros",
+            }.get(f.dataType.simpleString())
+            for f in schema.fields
+        }
+
+    def _files(self) -> list[str]:
+        return sorted(_glob.glob(os.path.join(self.path, "*.avro")))
+
+    def initialOffset(self) -> dict:
+        return {"n": 0}
+
+    def latestOffset(self) -> dict:
+        return {"n": len(self._files())}
+
+    def partitions(self, start: dict, end: dict):
+        files = self._files()[start["n"] : end["n"]]
+        return [AvroFilePartition(p) for p in files]
+
+    def read(self, partition: AvroFilePartition):
+        _, _, records = avro_io.read_container(partition.path)
+        for rec in records:
+            yield _decode_record(rec, self.names, self.logical)
+
+    def commit(self, end: dict) -> None:
+        pass  # offsets live in the query checkpoint; nothing to retire
+
+
+class PyAvroStreamWriter(DataSourceStreamWriter):
+    """Streaming sink: per-epoch two-phase commit. Tasks write
+    ``_tmp-*``; ``commit(batchId)`` publishes ``part-<epoch>-NNNNN.avro``
+    — names stay sort-monotone, so a pyavro stream reader can tail the
+    output of a pyavro stream writer."""
+
+    def __init__(self, schema: StructType, options, overwrite: bool):
+        self.dest = _local(options["path"])
+        self.avro_schema = spark_schema_to_avro(schema)
+        self.simple = {f.name: f.dataType.simpleString() for f in schema.fields}
+        self.names = [f.name for f in schema.fields]
+        os.makedirs(self.dest, exist_ok=True)
+
+    def write(self, iterator):
+        records = [
+            {
+                n: _encode_value(row[i], self.simple[n])
+                for i, n in enumerate(self.names)
+            }
+            for row in iterator
+        ]
+        tmp = os.path.join(self.dest, f"_tmp-{uuid.uuid4().hex}.avro")
+        avro_io.write_container(tmp, self.avro_schema, records)
+        return AvroCommit(tmp_path=tmp, rows=len(records))
+
+    def commit(self, messages, batchId: int) -> None:
+        for i, m in enumerate(sorted(messages, key=lambda m: m.tmp_path)):
+            os.rename(
+                m.tmp_path,
+                os.path.join(self.dest, f"part-{batchId:08d}-{i:05d}.avro"),
+            )
+
+    def abort(self, messages, batchId: int) -> None:
+        for m in messages:
+            if m is not None and os.path.exists(m.tmp_path):
+                os.remove(m.tmp_path)
+
+
+class PyAvroDataSource(DataSource):
+    """``spark.dataSource.register(PyAvroDataSource)`` → the "pyavro"
+    format name works in batch read/write and readStream/writeStream."""
+
+    @classmethod
+    def name(cls) -> str:
+        return "pyavro"
+
+    def schema(self):
+        path = _local(self.options["path"])
+        files = sorted(_glob.glob(os.path.join(path, "*.avro")))
+        if not files:
+            raise FileNotFoundError(
+                f"pyavro: cannot infer schema, no .avro files under {path} "
+                "(pass .schema(...) explicitly for an empty directory)"
+            )
+        schema, _, _ = avro_io.read_container(files[0])
+        return avro_schema_to_spark(schema)
+
+    def reader(self, schema: StructType) -> DataSourceReader:
+        return PyAvroBatchReader(self.options)
+
+    def writer(self, schema: StructType, overwrite: bool) -> DataSourceWriter:
+        return PyAvroBatchWriter(schema, self.options, overwrite)
+
+    def streamReader(self, schema: StructType) -> DataSourceStreamReader:
+        return PyAvroStreamReader(schema, self.options)
+
+    def streamWriter(self, schema: StructType, overwrite: bool):
+        return PyAvroStreamWriter(schema, self.options, overwrite)
+
+
+def register(spark) -> None:
+    """Idempotent format registration (latest registration wins)."""
+    spark.dataSource.register(PyAvroDataSource)
+
+
+def _declare_queries() -> None:
+    from pyspark.sql import DataFrame, SparkSession
+    from pyspark.sql import functions as F
+
+    from iceberg_metadata_pipeline_spark.queries import query
+    from iceberg_metadata_pipeline_spark.session import load_tables
+
+    @query(
+        "source_pyavro_datasource",
+        """
+SELECT o_orderpriority, COUNT(*) AS n,
+  MIN(o_orderdate) AS first_date,
+  CAST(SUM(CAST(o_totalprice AS DECIMAL(38,6))) AS DOUBLE) AS revenue
+FROM orders
+WHERE o_orderkey % 4 = 0 AND o_orderstatus = 'F' AND o_totalprice > 1000
+GROUP BY o_orderpriority
+ORDER BY o_orderpriority
+""",
+    )
+    def source_pyavro_datasource(spark: SparkSession, sf_dir: str) -> DataFrame:
+        """Batch round-trip through the registered ``pyavro`` format:
+        df.write.format("pyavro") (two-phase commit) → spark.read
+        .format("pyavro") with BOTH predicates pushed into the Python
+        source (pushFilters consumes EqualTo + GreaterThan, so the
+        decode loop drops non-matching rows before the JVM boundary) →
+        aggregate. Proves the Spark 4 Python DataSource API end-to-end
+        against the same oracle shape as source_avro_roundtrip."""
+        import tempfile
+
+        register(spark)
+        # deterministic quarter-sample keeps the gate cost bounded while
+        # still exercising the full write→read path (oracle applies the
+        # same key filter)
+        orders = (
+            load_tables(spark, sf_dir)["orders"]
+            .where(F.col("o_orderkey") % 4 == 0)
+            .select(
+                "o_orderkey",
+                "o_orderstatus",
+                "o_orderpriority",
+                "o_orderdate",
+                "o_totalprice",
+            )
+        )
+        loc = tempfile.mkdtemp(prefix="pyavro-q-") + "/orders"
+        orders.repartition(4).write.format("pyavro").mode("append").save(loc)
+        back = (
+            spark.read.format("pyavro")
+            .load(loc)
+            .where((F.col("o_orderstatus") == "F") & (F.col("o_totalprice") > 1000))
+        )
+        return (
+            back.groupBy("o_orderpriority")
+            .agg(
+                F.count(F.lit(1)).alias("n"),
+                F.min("o_orderdate").alias("first_date"),
+                F.sum(F.col("o_totalprice").cast("decimal(38,6)"))
+                .cast("double")
+                .alias("revenue"),
+            )
+            .orderBy("o_orderpriority")
+        )
+
+
+_declare_queries()

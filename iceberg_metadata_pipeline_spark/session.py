@@ -97,6 +97,9 @@ def get_spark(
         .config("spark.sql.broadcastTimeout", "600")
         .config("spark.sql.parquet.enableVectorizedReader", "true")
         .config("spark.sql.parquet.filterPushdown", "true")
+        # Python DataSource API (ingest/pydatasource.py) declares
+        # pushFilters(); the capability is conf-gated in Spark 4.1
+        .config("spark.sql.python.filterPushdown.enabled", "true")
         .config("spark.sql.execution.useObjectHashAggregate", "false")
         .config("spark.sql.sources.parallelPartitionDiscovery.parallelism", "100")
         .config("spark.network.timeout", "600s")
