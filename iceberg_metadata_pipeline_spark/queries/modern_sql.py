@@ -126,3 +126,118 @@ GROUP BY l_returnflag
 ORDER BY l_returnflag
 """,
 )
+
+
+@query(
+    "udtf_table_partition_by",
+    """
+SELECT o_custkey, COUNT(*) AS n_orders,
+  MAX(gap) AS max_gap_days,
+  CAST(SUM(CAST(o_totalprice AS DECIMAL(38,6))) AS DOUBLE) AS spend
+FROM (
+  SELECT o_custkey, o_totalprice,
+    date_diff('day',
+      lag(CAST(o_orderdate AS DATE)) OVER (
+        PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey),
+      CAST(o_orderdate AS DATE)) AS gap
+  FROM orders
+) g
+GROUP BY o_custkey
+HAVING COUNT(*) >= 8
+ORDER BY o_custkey
+""",
+)
+def udtf_table_partition_by(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UDTF with a TABLE(...) PARTITION BY ... ORDER BY input (Spark 4):
+    each customer's orders arrive as one ordered group in a single UDTF
+    instance — the SQL-native sibling of applyInPandas for per-entity
+    sequential logic (sessionizers, gap analysis, chain validation).
+
+    Scale: TABLE(t) PARTITION BY k plans a hash shuffle on k, then
+    Arrow-batches each group through the Python worker — the same
+    distribution discipline as groupBy().applyInPandas; no driver-side
+    data motion. The max-gap statistic depends only on the sorted date
+    multiset, so same-date tie order cannot affect the result (the
+    oracle's lag() window states the identical semantics relationally).
+    """
+    from pyspark.sql.functions import udtf
+
+    @udtf(returnType="o_custkey bigint, n_orders bigint, max_gap_days int, spend double")
+    class OrderGaps:
+        def __init__(self):
+            self.dates: list = []
+            self.key = None
+            self.spend = 0  # exact integer cents
+
+        def eval(self, row):
+            self.key = row["o_custkey"]
+            self.dates.append(row["o_orderdate"].date())
+            self.spend += round(row["o_totalprice"] * 100)
+
+        def terminate(self):
+            if self.key is None:
+                return
+            n = len(self.dates)
+            if n >= 8:
+                gaps = [
+                    (b - a).days for a, b in zip(self.dates, self.dates[1:])
+                ]
+                yield self.key, n, max(gaps) if gaps else None, self.spend / 100.0
+
+    load_tables(spark, sf_dir)
+    spark.udtf.register("order_gaps", OrderGaps)
+    return spark.sql(
+        """
+        SELECT * FROM order_gaps(
+          TABLE(SELECT o_custkey, o_orderkey, o_orderdate, o_totalprice
+                FROM orders)
+          PARTITION BY o_custkey ORDER BY (o_orderdate, o_orderkey))
+        ORDER BY o_custkey
+        """
+    )
+
+
+@query(
+    "udtf_polymorphic_schema",
+    """
+SELECT c_custkey,
+  string_split(c_name, '#')[1] AS p0,
+  string_split(c_name, '#')[2] AS p1
+FROM customer
+WHERE c_custkey < 200
+ORDER BY c_custkey
+""",
+)
+def udtf_polymorphic_schema(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Polymorphic UDTF (Spark 4 analyze()): the output schema is
+    computed at plan time from a literal argument — here split_fixed's
+    column count p0..p{n-1} comes from n=2.  analyze() runs once on the
+    driver during analysis; execution then distributes normally, so the
+    dynamic schema costs nothing at runtime."""
+    from pyspark.sql.functions import udtf
+    from pyspark.sql.types import StringType, StructType
+    from pyspark.sql.udtf import AnalyzeArgument, AnalyzeResult
+
+    @udtf
+    class SplitFixed:
+        @staticmethod
+        def analyze(s: AnalyzeArgument, n: AnalyzeArgument) -> AnalyzeResult:
+            st = StructType()
+            for i in range(n.value):
+                st = st.add(f"p{i}", StringType())
+            return AnalyzeResult(schema=st)
+
+        def eval(self, s: str, n: int):
+            parts = (s or "").split("#")
+            yield tuple((parts + [None] * n)[:n])
+
+    load_tables(spark, sf_dir)
+    spark.udtf.register("split_fixed", SplitFixed)
+    return spark.sql(
+        """
+        SELECT c.c_custkey, s.p0, s.p1
+        FROM customer c, LATERAL split_fixed(c.c_name, 2) s
+        WHERE c.c_custkey < 200
+        ORDER BY c.c_custkey
+        """
+    )
