@@ -83,6 +83,11 @@ HEADLINE = [
     "source_avro_roundtrip",
     "forecast_holt_winters_seasonal",
     "multimodal_jpeg_decode",
+    # round-5 additions: recursive CTE (iterated-union execution), the
+    # pyavro Python DataSource, UDTF with TABLE(...) PARTITION BY input
+    "sql_recursive_hierarchy_rollup",
+    "source_pyavro_datasource",
+    "udtf_table_partition_by",
 ]
 
 
