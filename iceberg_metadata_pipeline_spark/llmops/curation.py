@@ -445,3 +445,42 @@ def sample_token_budget_waterfill(spark: SparkSession, sf_dir: str) -> DataFrame
     docs = t["documents"].withColumn("tok", F.expr("n_chars DIV 4"))
     out = token_budget_waterfill(docs, "source", "tok", budget_num=2, budget_den=5)
     return out.orderBy("domain")
+
+
+# ---------------------------------------------------------------------------
+# Deterministic train/val/test split — the pipeline op every pretraining
+# corpus needs before packing. Two properties the naive RNG split lacks:
+# (1) reproducible: assignment is a pure function of content, identical
+# across engines, reruns, and cluster topologies; (2) leakage-safe by
+# construction: the split key is md5 of the DOCUMENT CONTENT, so exact
+# duplicates (even under different doc_ids) always land in the same
+# split — train can never see a byte-identical copy of a test document.
+# Thresholds compare the first two hex chars lexicographically ('cc' =
+# 204/256 ≈ 79.7 % train, 'e6' = 230/256 ≈ 89.8 % cumulative val) — no
+# integer parsing, so the expression is dialect-shared verbatim. Plan:
+# map-only assignment fused into the scan, one aggregate shuffle over
+# (source, split) — at 100 TB the corpus is read once and shuffles only
+# the per-group partial aggregates.
+# ---------------------------------------------------------------------------
+
+sql_query(
+    "sample_train_val_test_split",
+    """
+WITH assigned AS (
+  SELECT source,
+    CASE
+      WHEN substring(md5(concat('split-seed0:', md5(text))), 1, 2) < 'cc'
+        THEN 'train'
+      WHEN substring(md5(concat('split-seed0:', md5(text))), 1, 2) < 'e6'
+        THEN 'val'
+      ELSE 'test'
+    END AS split,
+    n_chars
+  FROM documents
+)
+SELECT source, split, COUNT(*) AS n_docs, SUM(n_chars) AS total_chars
+FROM assigned
+GROUP BY source, split
+ORDER BY source, split
+""",
+)
