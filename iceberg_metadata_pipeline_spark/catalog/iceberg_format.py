@@ -593,6 +593,22 @@ def export_iceberg_table(table: Table, dest: str) -> str:
 
 
 @dataclass
+class DeleteFileEntry:
+    """A live merge-on-read delete file (v2 DELETE manifest content).
+
+    content 1 = position deletes (parquet with ``file_path``/``pos``
+    columns), content 2 = equality deletes (parquet holding the equality
+    columns themselves; ``equality_cols`` resolves the spec's field ids
+    against the current schema)."""
+
+    path: str
+    content: int
+    seq: int
+    record_count: int
+    equality_cols: list[str] = field(default_factory=list)
+
+
+@dataclass
 class IcebergTableInfo:
     location: str
     metadata_path: str
@@ -603,6 +619,10 @@ class IcebergTableInfo:
     # identity partition fields of the default spec: [(field_name, source
     # column)] — the subset metacat can prune on after import
     identity_partition: list[tuple[str, str]] = field(default_factory=list)
+    # live position/equality delete files (merge-on-read state); callers
+    # must apply these before trusting row contents — see
+    # import_iceberg_table's materializing path
+    delete_files: list[DeleteFileEntry] = field(default_factory=list)
 
 
 def _latest_metadata_path(location: str) -> str:
@@ -697,22 +717,46 @@ def read_iceberg_table(location: str) -> IcebergTableInfo:
             f"snapshot {snap_id} has neither 'manifest-list' nor 'manifests'"
         )
 
+    id_to_name = {f["id"]: f["name"] for f in schema_json["fields"]}
     files: list[DataFileEntry] = []
+    delete_files: list[DeleteFileEntry] = []
     for mf in manifest_files:
-        if int(mf.get("content", 0)) != 0:
-            # a DELETE manifest means live rows = data minus position/
-            # equality deletes; importing just the data files would
-            # RESURRECT deleted rows — refuse loudly instead of lying
-            raise NotImplementedError(
-                "table has merge-on-read delete manifests; compact it "
-                "(rewrite_position_delete_files + rewrite_data_files) in the "
-                "source engine before import — this reader imports data "
-                "manifests only"
-            )
         mpath = _clean_path(mf["manifest_path"])
         if not os.path.isabs(mpath):
             mpath = os.path.join(location, "metadata", os.path.basename(mpath))
         _, mmeta, entries = avro_io.read_container(mpath)
+        if int(mf.get("content", 0)) != 0:
+            # DELETE manifest: live rows = data minus these position/
+            # equality deletes. Surface them — import_iceberg_table
+            # applies them by materializing live rows (the alternative,
+            # importing data files alone, would RESURRECT deleted rows).
+            m_seq = int(mf.get("sequence_number") or 0)
+            for e in entries:
+                if int(e.get("status", 0)) == 2:  # DELETED
+                    continue
+                df = e["data_file"]
+                content = int(df.get("content", 0))
+                if content not in (1, 2):
+                    raise ValueError(
+                        f"delete manifest entry with content={content} "
+                        "(expected 1=position or 2=equality)"
+                    )
+                eq_ids = df.get("equality_ids") or []
+                missing = [i for i in eq_ids if i not in id_to_name]
+                if missing:
+                    raise ValueError(
+                        f"equality delete references unknown field ids {missing}"
+                    )
+                delete_files.append(
+                    DeleteFileEntry(
+                        path=_clean_path(df["file_path"]),
+                        content=content,
+                        seq=int(e.get("sequence_number") or m_seq),
+                        record_count=int(df["record_count"]),
+                        equality_cols=[id_to_name[i] for i in eq_ids],
+                    )
+                )
+            continue
         for e in entries:
             if int(e.get("status", 0)) == 2:  # DELETED
                 continue
@@ -755,8 +799,92 @@ def read_iceberg_table(location: str) -> IcebergTableInfo:
             )
     return IcebergTableInfo(
         location, meta_path, spark_schema, int(snap_id), files, md,
-        [(n, s) for n, s, _ in ident],
+        [(n, s) for n, s, _ in ident], delete_files,
     )
+
+
+def _normalize_uri(p: str) -> str:
+    """file:/a, file:///a, /a → /a (manifest paths and Spark's
+    ``_metadata.file_path`` render the scheme differently)."""
+    return re.sub(r"^file:/+", "/", p)
+
+
+def _live_rows_dataframe(spark: SparkSession, info: IcebergTableInfo):
+    """Materialize the live rows of a merge-on-read snapshot: data files
+    minus position deletes (delete.seq >= data.seq, matched on
+    (file, row position)) minus equality deletes (delete.seq > data.seq,
+    matched on the delete file's equality columns).
+
+    Fully distributed: data files scan with ``_metadata.file_path`` /
+    ``row_index`` (exact file-relative positions, no zipWithIndex
+    shuffle); the per-file sequence map is rows = #files and broadcast;
+    each delete set applies as one LEFT ANTI join. Position deletes
+    co-partition on (file, pos) — at 100 TB this is the same shape
+    Iceberg's own MOR scan plans."""
+    from pyspark.sql import functions as F
+
+    norm = lambda c: F.regexp_replace(c, r"^file:/+", "/")  # noqa: E731
+    cols = [f.name for f in info.schema.fields]
+    data = (
+        spark.read.schema(info.schema)
+        .parquet(*[f.path for f in info.files])
+        .withColumn("__file", norm(F.col("_metadata.file_path")))
+        .withColumn("__pos", F.col("_metadata.row_index"))
+    )
+    seq_map = spark.createDataFrame(
+        [(_normalize_uri(f.path), f.seq) for f in info.files],
+        "__file string, __data_seq long",
+    )
+    data = data.join(F.broadcast(seq_map), "__file")
+
+    pos_dels = [d for d in info.delete_files if d.content == 1]
+    if pos_dels:
+        parts = []
+        for d in pos_dels:
+            parts.append(
+                spark.read.parquet(d.path)
+                .select(
+                    norm(F.col("file_path")).alias("__file"),
+                    F.col("pos").cast("long").alias("__pos"),
+                )
+                .withColumn("__del_seq", F.lit(d.seq))
+            )
+        dels = parts[0]
+        for p in parts[1:]:
+            dels = dels.unionByName(p)
+        data = data.join(
+            dels,
+            (data["__file"] == dels["__file"])
+            & (data["__pos"] == dels["__pos"])
+            & (dels["__del_seq"] >= data["__data_seq"]),
+            "left_anti",
+        )
+
+    # group equality-delete files by their column tuple → one anti-join
+    # per distinct equality key shape
+    eq_groups: dict[tuple[str, ...], list[DeleteFileEntry]] = {}
+    for d in info.delete_files:
+        if d.content == 2:
+            if not d.equality_cols:
+                raise ValueError(f"equality delete {d.path} has no equality_ids")
+            eq_groups.setdefault(tuple(d.equality_cols), []).append(d)
+    for eq_cols, group in eq_groups.items():
+        parts = []
+        for d in group:
+            parts.append(
+                spark.read.parquet(d.path)
+                .select(*[F.col(c).alias(f"__eq_{c}") for c in eq_cols])
+                .withColumn("__del_seq", F.lit(d.seq))
+            )
+        dels = parts[0]
+        for p in parts[1:]:
+            dels = dels.unionByName(p)
+        cond = dels["__del_seq"] > data["__data_seq"]
+        for c in eq_cols:
+            cond = cond & data[c].eqNullSafe(dels[f"__eq_{c}"])
+        data = data.join(dels, cond, "left_anti")
+
+    return data.select(*cols)
 
 
 def import_iceberg_table(
@@ -770,11 +898,29 @@ def import_iceberg_table(
     the jar-free twin of tests/test_iceberg_interop.py's ingest
     direction. Metadata-only (no data copied), one atomic commit.
     Identity partition fields are re-declared and each file's values
-    carried, so partition pruning survives the import."""
+    carried, so partition pruning survives the import.
+
+    A snapshot with live merge-on-read delete files takes the
+    MATERIALIZING path instead: live rows (data minus position/equality
+    deletes, sequence-number-correct) are computed distributed and
+    written as fresh files — the import doubles as the compaction the
+    deletes would eventually need anyway. Partition pruning still works:
+    append_dataframe routes rows through the declared spec."""
     from iceberg_metadata_pipeline_spark.catalog.partitioning import PartitionField
 
     info = read_iceberg_table(location)
     table = catalog.create_table(namespace, name, info.schema)
+    if info.delete_files:
+        if info.identity_partition:
+            table.set_partition_spec(
+                [
+                    PartitionField(src, "identity", pname)
+                    for pname, src in info.identity_partition
+                ]
+            )
+            table = table.refresh()
+        table.append_dataframe(_live_rows_dataframe(spark, info))
+        return table
     if info.identity_partition:
         spec_id = table.set_partition_spec(
             [

@@ -646,3 +646,217 @@ def test_read_v1_inline_manifests(tmp_path):
     info = read_iceberg_table(str(tmp_path / "v1tbl"))
     assert [f.path for f in info.files] == ["/data/a.parquet"]
     assert info.files[0].record_count == 5
+
+
+# ---------------------------------------------------------------------------
+# merge-on-read import: position + equality delete application
+# ---------------------------------------------------------------------------
+
+
+def _append_mor_delete_snapshot(meta_path, *, pos_deletes=None, eq_deletes=None):
+    """Hand-append a DELETE-manifest snapshot to an exported Iceberg dir
+    (export refuses to write MOR state, so the fixture builds what a real
+    runtime's row-level DELETE commit would: delete parquet + delete
+    manifest + extended manifest-list + vN+1 metadata).
+
+    pos_deletes: list of (data_file_path, position); eq_deletes:
+    (equality_ids, parquet_path_of_values). Returns the new snapshot id.
+    """
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    with open(meta_path) as fh:
+        md = json.load(fh)
+    location = md["location"]
+    meta_dir = os.path.join(location, "metadata")
+    cur = next(
+        s for s in md["snapshots"]
+        if int(s["snapshot-id"]) == int(md["current-snapshot-id"])
+    )
+    old_seq = int(cur.get("sequence-number", 1))
+    new_seq = old_seq + 1
+    snap_id = 777000111
+
+    entries = []
+    if pos_deletes:
+        os.makedirs(os.path.join(location, "data"), exist_ok=True)
+        pd_path = os.path.join(location, "data", "pos-deletes-0.parquet")
+        pq.write_table(
+            pa.table(
+                {
+                    "file_path": pa.array(
+                        [p for p, _ in pos_deletes], pa.string()
+                    ),
+                    "pos": pa.array([i for _, i in pos_deletes], pa.int64()),
+                }
+            ),
+            pd_path,
+        )
+        entries.append(
+            {
+                "status": 1,
+                "snapshot_id": snap_id,
+                "sequence_number": new_seq,
+                "data_file": {
+                    "content": 1,
+                    "file_path": pd_path,
+                    "file_format": "PARQUET",
+                    "partition": {},
+                    "record_count": len(pos_deletes),
+                    "file_size_in_bytes": os.path.getsize(pd_path),
+                },
+            }
+        )
+    if eq_deletes:
+        eq_ids, eq_path = eq_deletes
+        entries.append(
+            {
+                "status": 1,
+                "snapshot_id": snap_id,
+                "sequence_number": new_seq,
+                "data_file": {
+                    "content": 2,
+                    "file_path": eq_path,
+                    "file_format": "PARQUET",
+                    "partition": {},
+                    "record_count": 1,
+                    "file_size_in_bytes": os.path.getsize(eq_path),
+                    "equality_ids": eq_ids,
+                },
+            }
+        )
+
+    dm_path = os.path.join(meta_dir, "delete-m0.avro")
+    avro_io.write_container(dm_path, manifest_entry_schema([]), entries)
+
+    old_mlist = cur["manifest-list"]
+    _, _, old_manifests = avro_io.read_container(old_mlist)
+    new_mlist = os.path.join(meta_dir, f"snap-{snap_id}.avro")
+    dm_record = {
+        "manifest_path": dm_path,
+        "manifest_length": os.path.getsize(dm_path),
+        "partition_spec_id": 0,
+        "content": 1,
+        "sequence_number": new_seq,
+        "min_sequence_number": new_seq,
+        "added_snapshot_id": snap_id,
+        "added_files_count": len(entries),
+        "existing_files_count": 0,
+        "deleted_files_count": 0,
+        "added_rows_count": sum(e["data_file"]["record_count"] for e in entries),
+        "existing_rows_count": 0,
+        "deleted_rows_count": 0,
+    }
+    avro_io.write_container(
+        new_mlist, manifest_list_schema(), list(old_manifests) + [dm_record]
+    )
+
+    md["snapshots"].append(
+        {
+            "snapshot-id": snap_id,
+            "sequence-number": new_seq,
+            "timestamp-ms": 1700000000000,
+            "manifest-list": new_mlist,
+            "summary": {"operation": "delete"},
+        }
+    )
+    md["current-snapshot-id"] = snap_id
+    md["last-sequence-number"] = new_seq
+    new_meta = os.path.join(meta_dir, "v99.metadata.json")
+    with open(new_meta, "w") as fh:
+        json.dump(md, fh)
+    hint = os.path.join(meta_dir, "version-hint.text")
+    with open(hint, "w") as fh:
+        fh.write("99")
+    return snap_id
+
+
+def _export_small_table(spark, tmp_path, rows=10):
+    catalog = Catalog(spark, str(tmp_path / "wh-mor"))
+    st = T.StructType(
+        [
+            T.StructField("id", T.LongType(), False),
+            T.StructField("cat", T.StringType(), True),
+        ]
+    )
+    t = catalog.create_table("nyc", "mor_src", st)
+    t = t.refresh()
+    t.append_dataframe(
+        spark.sql(
+            f"SELECT id, IF(id % 3 = 0, 'b', 'a') AS cat FROM RANGE({rows})"
+        ).repartition(2)
+    )
+    dest = str(tmp_path / "ice-mor")
+    meta_path = export_iceberg_table(t.refresh(), dest)
+    return meta_path
+
+
+def test_read_surfaces_delete_files(spark, tmp_path):
+    meta_path = _export_small_table(spark, tmp_path)
+    info0 = read_iceberg_table(os.path.dirname(os.path.dirname(meta_path)))
+    assert info0.delete_files == []
+    victim = info0.files[0].path
+    _append_mor_delete_snapshot(meta_path, pos_deletes=[(victim, 0)])
+    info = read_iceberg_table(os.path.dirname(os.path.dirname(meta_path)))
+    assert len(info.delete_files) == 1
+    d = info.delete_files[0]
+    assert d.content == 1 and d.record_count == 1 and d.seq == 2
+
+
+def test_import_applies_position_deletes(spark, tmp_path):
+    meta_path = _export_small_table(spark, tmp_path)
+    loc = os.path.dirname(os.path.dirname(meta_path))
+    info0 = read_iceberg_table(loc)
+    victim = sorted(f.path for f in info0.files)[0]
+    import duckdb
+
+    victim_ids = [
+        r[0]
+        for r in duckdb.sql(
+            f"SELECT id FROM read_parquet('{victim}') LIMIT 2"
+        ).fetchall()
+    ]
+    _append_mor_delete_snapshot(meta_path, pos_deletes=[(victim, 0), (victim, 1)])
+
+    t = import_iceberg_table(
+        spark, Catalog(spark, str(tmp_path / "wh2")), loc, "nyc", "mor_in"
+    )
+    got = sorted(r["id"] for r in t.scan().collect())
+    assert got == sorted(set(range(10)) - set(victim_ids))
+
+
+def test_import_applies_equality_deletes_with_sequence(spark, tmp_path):
+    """Equality delete (cat='b', field id 2) with seq 2 > data seq —
+    removes every 'b' row across all data files; position delete in the
+    same snapshot composes with it."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    meta_path = _export_small_table(spark, tmp_path)
+    loc = os.path.dirname(os.path.dirname(meta_path))
+    info0 = read_iceberg_table(loc)
+    victim = sorted(f.path for f in info0.files)[0]
+    import duckdb
+
+    first = duckdb.sql(
+        f"SELECT id, cat FROM read_parquet('{victim}') LIMIT 1"
+    ).fetchall()[0]
+
+    os.makedirs(os.path.join(loc, "data"), exist_ok=True)
+    eq_path = os.path.join(loc, "data", "eq-deletes-0.parquet")
+    pq.write_table(pa.table({"cat": pa.array(["b"], pa.string())}), eq_path)
+    _append_mor_delete_snapshot(
+        meta_path, pos_deletes=[(victim, 0)], eq_deletes=([2], eq_path)
+    )
+
+    t = import_iceberg_table(
+        spark, Catalog(spark, str(tmp_path / "wh3")), loc, "nyc", "mor_eq"
+    )
+    got = sorted(r["id"] for r in t.scan().collect())
+    expect = sorted(
+        i for i in range(10) if i % 3 != 0 and i != first[0]
+    )
+    # if the position-deleted row was a 'b' row it is removed either way
+    if first[1] == "b":
+        expect = sorted(i for i in range(10) if i % 3 != 0)
+    assert got == expect
