@@ -282,10 +282,22 @@ def write_container(
     os.replace(tmp, path)
 
 
-def read_container(path: str) -> tuple[Any, dict[str, bytes], list[Any]]:
+def read_container(
+    path: str, header_only: bool = False
+) -> tuple[Any, dict[str, bytes], list[Any]]:
     """Read an Avro OCF → (schema, file-metadata, records). Handles
     multi-block files and both null/deflate codecs, so it can read
-    manifests written by a REAL Iceberg as well as our own."""
+    manifests written by a REAL Iceberg as well as our own.
+
+    ``header_only=True`` parses just magic + file metadata (schema
+    validation pays header bytes, never data blocks) and returns
+    ``records=[]``."""
+    if header_only:
+        with open(path, "rb") as fh:
+            if fh.read(4) != MAGIC:
+                raise ValueError(f"{path}: not an avro object container file")
+            meta = read_datum(fh, _META_SCHEMA)
+        return json.loads(meta["avro.schema"].decode()), meta, []
     with open(path, "rb") as fh:
         data = fh.read()
     inp = io.BytesIO(data)

@@ -757,6 +757,12 @@ def read_iceberg_table(location: str) -> IcebergTableInfo:
                     )
                 )
             continue
+        # v2 sequence-number inheritance: ADDED entries written by real
+        # runtimes leave sequence_number null and inherit the manifest's
+        # (spec: "sequence number inheritance"); defaulting to 0 instead
+        # would make every equality delete (del_seq > data_seq) swallow
+        # rows committed at/after the delete, e.g. CDC re-inserted keys
+        m_seq = int(mf.get("sequence_number") or 0)
         for e in entries:
             if int(e.get("status", 0)) == 2:  # DELETED
                 continue
@@ -793,7 +799,7 @@ def read_iceberg_table(location: str) -> IcebergTableInfo:
                     record_count=int(df["record_count"]),
                     file_size_bytes=int(df["file_size_in_bytes"]),
                     format=str(df.get("file_format", "PARQUET")),
-                    seq=int(e.get("sequence_number") or 0),
+                    seq=int(e.get("sequence_number") or m_seq),
                     partition=part,
                 )
             )

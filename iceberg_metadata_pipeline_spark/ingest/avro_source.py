@@ -91,6 +91,27 @@ def _branch(t: object) -> tuple[str, str | None]:
     return t, None
 
 
+def check_schema_match(expected: dict, path: str) -> None:
+    """Raise if ``path``'s embedded writer schema differs from
+    ``expected`` (field names, order, or types). Without this, a
+    directory containing files with an evolved schema is silently
+    projected — missing fields become null via ``rec.get()`` and extra
+    fields are dropped — instead of failing loudly. Mixed-schema dirs
+    need explicit evolution handling upstream, not silent data loss."""
+    import json as _json
+
+    actual, _, _ = avro_io.read_container(path, header_only=True)
+    exp = [(f["name"], f["type"]) for f in expected["fields"]]
+    act = [(f["name"], f["type"]) for f in actual["fields"]]
+    if exp != act:
+        raise ValueError(
+            f"avro schema mismatch in {path}: file schema "
+            f"{_json.dumps(act, default=str)} != first-file schema "
+            f"{_json.dumps(exp, default=str)}; mixed-schema directories "
+            "require explicit schema evolution, refusing to project silently"
+        )
+
+
 def avro_schema_to_spark(schema: dict) -> T.StructType:
     inv = {
         "boolean": T.BooleanType(),
@@ -184,6 +205,7 @@ def read_avro(spark: SparkSession, path: str) -> DataFrame:
         for pdf in batches:
             for fpath in pdf["path"]:
                 local = fpath[len("file:") :] if fpath.startswith("file:") else fpath
+                check_schema_match(schema, local)
                 _, _, records = avro_io.read_container(local)
                 cols: dict[str, list] = {n: [] for n in names}
                 for rec in records:

@@ -75,6 +75,21 @@ from iceberg_metadata_pipeline_spark.ingest.avro_source import (
 _PART_GLOB = "part-*.avro"
 
 
+def _list_avro(path: str) -> list[str]:
+    """Visible ``*.avro`` files under ``path``, name-sorted. Hidden
+    files (leading ``_`` or ``.`` — Hadoop's hiddenFileFilter
+    convention) are excluded so the sinks' in-flight ``_tmp-*.avro``
+    never leak into a scan: ``_tmp-`` sorts before ``part-``, so
+    counting them would shift the streaming file-count offset across a
+    commit (double reads), and crashed writers' leftovers would read as
+    data."""
+    return sorted(
+        p
+        for p in _glob.glob(os.path.join(path, "*.avro"))
+        if not os.path.basename(p).startswith(("_", "."))
+    )
+
+
 def _local(path: str) -> str:
     return path[len("file:") :] if path.startswith("file:") else path
 
@@ -155,11 +170,12 @@ class PyAvroBatchReader(DataSourceReader):
 
     def __init__(self, options):
         self.path = _local(options["path"])
-        files = sorted(_glob.glob(os.path.join(self.path, "*.avro")))
+        files = _list_avro(self.path)
         if not files:
             raise FileNotFoundError(f"no .avro files under {self.path}")
         self.files = files
         schema, _, _ = avro_io.read_container(files[0])
+        self.avro_schema = schema
         self.names = [f["name"] for f in schema["fields"]]
         self.logical = {f["name"]: _branch(f["type"])[1] for f in schema["fields"]}
         self.predicates: list = []
@@ -178,6 +194,11 @@ class PyAvroBatchReader(DataSourceReader):
         return [AvroFilePartition(p) for p in self.files]
 
     def read(self, partition: AvroFilePartition):
+        from iceberg_metadata_pipeline_spark.ingest.avro_source import (
+            check_schema_match,
+        )
+
+        check_schema_match(self.avro_schema, partition.path)
         _, _, records = avro_io.read_container(partition.path)
         preds = self.predicates
         for rec in records:
@@ -266,7 +287,7 @@ class PyAvroStreamReader(DataSourceStreamReader):
         }
 
     def _files(self) -> list[str]:
-        return sorted(_glob.glob(os.path.join(self.path, "*.avro")))
+        return _list_avro(self.path)
 
     def initialOffset(self) -> dict:
         return {"n": 0}
@@ -335,7 +356,7 @@ class PyAvroDataSource(DataSource):
 
     def schema(self):
         path = _local(self.options["path"])
-        files = sorted(_glob.glob(os.path.join(path, "*.avro")))
+        files = _list_avro(path)
         if not files:
             raise FileNotFoundError(
                 f"pyavro: cannot infer schema, no .avro files under {path} "

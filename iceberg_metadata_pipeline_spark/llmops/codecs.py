@@ -1039,6 +1039,14 @@ def decode_jpeg(payload: bytes, with_pixels: bool = False) -> dict:
                 raise NotImplementedError("jpeg: only 8-bit precision")
             height, width = struct.unpack(">HH", seg[1:5])
             nc = seg[5]
+            if nc not in (1, 3):
+                # 4-component Adobe CMYK/YCCK would decode its first
+                # three planes as YCbCr and return wrong pixels labeled
+                # RGB; fail loudly per the module's policy
+                raise NotImplementedError(
+                    f"jpeg: {nc}-component images not supported "
+                    "(grayscale or YCbCr only; CMYK/YCCK out of scope)"
+                )
             comps = [
                 {
                     "id": seg[6 + 3 * i],

@@ -227,13 +227,17 @@ class Pipeline:
                     df = self._invoke(node, materialized)
                     if self.catalog.table_exists(self.namespace, name):
                         t = self.catalog.load_table(self.namespace, name)
-                        rows = t.overwrite_dataframe(df)
+                        t.overwrite_dataframe(df)
                     else:
                         t = self.catalog.create_table(
                             self.namespace, name, df.schema
                         ).refresh()
-                        rows = t.append_dataframe(df)
+                        t.append_dataframe(df)
                     t = self.catalog.load_table(self.namespace, name)
+                    # both branches leave the table holding exactly df's
+                    # rows, so the manifest sum IS the written row count
+                    # (append/overwrite return snapshot ids, not counts)
+                    rows = t.count_rows()
                     materialized[name] = t.scan()
                     report.results[name] = NodeResult(
                         status="ok",

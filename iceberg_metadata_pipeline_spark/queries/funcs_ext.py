@@ -585,7 +585,7 @@ SELECT n_nationkey,
        CAST(k >= 2 AS INT) AS has_even,
        1 AS all_pos,
        k * (k + 1) AS zipped_sum,
-       (k * (k + 1) / 2) * 10 AS reduced_x10,
+       (k * (k + 1) // 2) * 10 AS reduced_x10,
        GREATEST(k, bmax) AS n_union,
        GREATEST(LEAST(k, bmax) - 1, 0) AS n_intersect,
        1 + GREATEST(k - bmax, 0) AS n_except

@@ -113,7 +113,8 @@ def test_fault_isolation_skips_only_downstream(spark, catalog, sf_dir):
     r = report.results
     assert not report.ok
     assert r["good_a"].status == "ok"
-    assert r["down_of_good"].status == "ok" and r["down_of_good"].rows == 3
+    # good_a: v = id*2 over range(5) → {0,2,4,6,8}; v > 4 keeps {6,8}
+    assert r["down_of_good"].status == "ok" and r["down_of_good"].rows == 2
     assert r["boom"].status == "failed" and "synthetic" in r["boom"].error
     assert r["down_of_boom"].status == "skipped"
     assert not catalog.table_exists("iso", "down_of_boom")
