@@ -126,17 +126,22 @@ def main() -> None:
         timings[name] = round(sorted(runs)[1], 3)
 
     total = round(sum(timings.values()), 3)
-    print(
-        json.dumps(
-            {
-                "metric": "headline_queries_total_runtime",
-                "value": total,
-                "unit": "sec",
-                "queries": timings,
-                "sf": sf,
-            }
-        )
+    payload = json.dumps(
+        {
+            "metric": "headline_queries_total_runtime",
+            "value": total,
+            "unit": "sec",
+            "queries": timings,
+            "sf": sf,
+        }
     )
+    # the driver tail-captures stdout and has truncated the (long) JSON
+    # line before (BENCH_r05 "parsed": null) — also persist it to a file
+    # so the artifact stays machine-readable as the query list grows
+    with open(os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                           "BENCH_LOCAL.json"), "w") as fh:
+        fh.write(payload + "\n")
+    print(payload)
 
 
 if __name__ == "__main__":

@@ -390,17 +390,26 @@ ORDER BY bucket
 # rows-only variants remain for the raw estimates).
 sql_query(
     "agg_approx_distinct_checked",
+    # the HLL and the exact COUNT(DISTINCT) run as SEPARATE aggregates
+    # joined on the (tiny) group set: fusing them in one SELECT makes
+    # Spark's multi-distinct rewrite carry the HLL partial per (group,
+    # distinct-key) pair — at rsd=0.01 that is a 2^14-register buffer
+    # shuffled per distinct key (measured 3.4 s vs 0.9 s at sf0.01; at
+    # 100 TB it is the difference between shuffling kilobytes and
+    # shuffling HLL-buffer-x-cardinality)
     """
 WITH est AS (
-  SELECT l_returnflag,
-         approx_count_distinct(l_orderkey, 0.01) AS e,
-         COUNT(DISTINCT l_orderkey) AS exact_nd
+  SELECT l_returnflag, approx_count_distinct(l_orderkey, 0.01) AS e
+  FROM lineitem GROUP BY l_returnflag
+),
+ex AS (
+  SELECT l_returnflag, COUNT(DISTINCT l_orderkey) AS exact_nd
   FROM lineitem GROUP BY l_returnflag
 )
-SELECT l_returnflag, exact_nd,
+SELECT est.l_returnflag, exact_nd,
        CAST(abs(CAST(e AS DOUBLE) - exact_nd) / exact_nd < 0.05 AS INT) AS est_ok
-FROM est
-ORDER BY l_returnflag
+FROM est JOIN ex ON est.l_returnflag = ex.l_returnflag
+ORDER BY est.l_returnflag
 """,
     oracle="""
 SELECT l_returnflag, COUNT(DISTINCT l_orderkey) AS exact_nd, 1 AS est_ok
