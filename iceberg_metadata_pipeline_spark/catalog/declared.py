@@ -1506,3 +1506,56 @@ def catalog_iceberg_export_import(spark: SparkSession, sf_dir: str) -> DataFrame
         )
         .orderBy("p_brand")
     )
+
+
+@query(
+    "catalog_delta_export_import",
+    """
+SELECT s_nationkey, COUNT(*) AS n,
+  CAST(SUM(CAST(s_acctbal AS DECIMAL(38,6))) AS DOUBLE) AS total_bal
+FROM supplier
+GROUP BY s_nationkey
+ORDER BY s_nationkey
+""",
+)
+def catalog_delta_export_import(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Round-trip through the REAL Delta Lake log format (no jar, no
+    delta-rs): register the supplier fixture metadata-only, export as a
+    Delta table — _delta_log JSON commit with protocol/metaData/add
+    actions per the public PROTOCOL.md spec, written by
+    catalog/delta_format.py — write a parquet checkpoint, then re-import
+    by replaying checkpoint + log into a SECOND metacat catalog and
+    aggregate. Matching the raw-fixture oracle proves the log layer
+    preserved schema and the exact live-file set — the Delta twin of
+    catalog_iceberg_export_import."""
+    import os as _os
+    import tempfile as _tf
+
+    from iceberg_metadata_pipeline_spark.catalog.delta_format import (
+        export_delta_table,
+        import_delta_table,
+        write_checkpoint,
+    )
+    from iceberg_metadata_pipeline_spark.catalog.metacat import scan_parquet_footers
+
+    supplier = load_tables(spark, sf_dir)["supplier"]
+    catalog = Catalog(spark, _tf.mkdtemp(prefix="wh-delta-"))
+    t = catalog.create_table("nyc", "supplier_dl", supplier.schema)
+    t.append_files(scan_parquet_footers(_os.path.join(sf_dir, "supplier.parquet"), spark))
+    dest = _tf.mkdtemp(prefix="delta-mirror-")
+    export_delta_table(t.refresh(), dest)
+    write_checkpoint(dest)
+    t2 = import_delta_table(
+        spark, Catalog(spark, _tf.mkdtemp(prefix="wh-delta2-")), dest, "nyc", "supplier_rt"
+    )
+    return (
+        t2.scan()
+        .groupBy("s_nationkey")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("s_acctbal").cast("decimal(38,6)"))
+            .cast("double")
+            .alias("total_bal"),
+        )
+        .orderBy("s_nationkey")
+    )

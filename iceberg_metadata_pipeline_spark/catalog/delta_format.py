@@ -1,0 +1,438 @@
+"""From-scratch Delta Lake transaction-log format (read + write).
+
+Round 5 built the Iceberg v2 format layer (iceberg_format.py); this is
+the same capability for the OTHER mainstream open table format, written
+purely from the public Delta protocol spec
+(github.com/delta-io/delta PROTOCOL.md — "Delta Transaction Log
+Protocol"). No delta-spark jar, no delta-rs: the log is newline-
+delimited JSON actions, versioned as
+``_delta_log/<20-digit version>.json``, optionally compacted into
+``<version>.checkpoint.parquet`` + ``_last_checkpoint``.
+
+Supported (reader version 1 / writer version 2 envelope):
+- actions: ``protocol``, ``metaData``, ``add``, ``remove``,
+  ``commitInfo``, ``txn`` (replay keeps the protocol/metaData
+  last-writer-wins, file set = adds minus later removes keyed on path);
+- ``schemaString`` is Spark's own StructType JSON — parsed with
+  ``StructType.fromJson``, no translation layer needed (the one place
+  Delta is *easier* than Iceberg, which needed field-id mapping);
+- identity ``partitionColumns`` with spec-compliant string-encoded
+  ``partitionValues`` (null = JSON null);
+- per-file ``stats`` JSON (``numRecords`` written and consumed);
+- Parquet checkpoints: ``_last_checkpoint`` discovery, checkpoint
+  replay + incremental JSON commits after it, and checkpoint WRITING
+  (one row per action, the struct-per-action-type layout the spec
+  defines);
+- version-pinned reads (time travel: replay 0..version).
+
+Refused loudly (not silently misread):
+- ``deletionVector`` on any add/remove (reader feature from protocol
+  v3) — merge-on-read state this importer will not resurrect rows
+  around;
+- ``minReaderVersion`` > 1 unless every listed ``readerFeatures`` is in
+  the supported set (per the spec's capability negotiation rule).
+
+Scale notes: the log is O(commits + files) metadata, never data; replay
+is a driver-side dict fold exactly like Delta's own Snapshot
+construction, and import registers data files metadata-only into
+metacat (no rewrite — the same posture as ImportParquetFolders.java:
+49-50's metadata-only Iceberg registration, re-expressed for Delta).
+Checkpoint reading keeps log replay O(tail) instead of O(history).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+import uuid
+from dataclasses import dataclass, field
+
+from pyspark.sql import SparkSession
+from pyspark.sql import types as T
+
+_LOG_DIR = "_delta_log"
+_SUPPORTED_READER_FEATURES = {
+    # features whose on-disk effect this reader actually handles
+    "timestampNtz",  # plain timestamp columns in schemaString
+    "v2Checkpoint",  # we read classic checkpoints; v2 tables also keep them
+}
+
+
+def _version_name(v: int) -> str:
+    return f"{v:020d}.json"
+
+
+def _commit_path(location: str, v: int) -> str:
+    return os.path.join(location, _LOG_DIR, _version_name(v))
+
+
+def write_commit(location: str, actions: list[dict], version: int | None = None) -> int:
+    """Append one commit (newline-delimited JSON actions) as the next —
+    or the given — log version. Atomic via write-temp + rename; refuses
+    to overwrite an existing version (Delta's optimistic-concurrency
+    put-if-absent contract)."""
+    log_dir = os.path.join(location, _LOG_DIR)
+    os.makedirs(log_dir, exist_ok=True)
+    if version is None:
+        version = latest_version(location) + 1
+    dest = _commit_path(location, version)
+    if os.path.exists(dest):
+        raise FileExistsError(
+            f"delta log version {version} already exists at {dest} "
+            "(concurrent writer? retry against the new latest version)"
+        )
+    tmp = dest + f".tmp-{uuid.uuid4().hex[:8]}"
+    with open(tmp, "w") as fh:
+        for a in actions:
+            fh.write(json.dumps(a, separators=(",", ":")) + "\n")
+    os.replace(tmp, dest)
+    return version
+
+
+def latest_version(location: str) -> int:
+    """Highest committed version, or -1 for an empty/absent log."""
+    log_dir = os.path.join(location, _LOG_DIR)
+    if not os.path.isdir(log_dir):
+        return -1
+    best = -1
+    for n in os.listdir(log_dir):
+        if n.endswith(".json") and n[:20].isdigit() and len(n) == 25:
+            best = max(best, int(n[:20]))
+    return best
+
+
+@dataclass
+class DeltaTableState:
+    location: str
+    version: int
+    schema: T.StructType
+    partition_columns: list[str]
+    # path -> add action dict (live files after replay)
+    files: dict[str, dict] = field(default_factory=dict)
+    metadata: dict = field(default_factory=dict)
+    protocol: dict = field(default_factory=dict)
+
+
+def _check_protocol(protocol: dict) -> None:
+    r = int(protocol.get("minReaderVersion", 1))
+    if r <= 1:
+        return
+    feats = set(protocol.get("readerFeatures") or [])
+    if r == 2:
+        # reader v2 = column mapping; refuse unless explicitly 'none'
+        feats = feats or {"columnMapping"}
+    unsupported = feats - _SUPPORTED_READER_FEATURES
+    if unsupported:
+        raise NotImplementedError(
+            f"delta table requires reader features {sorted(unsupported)} "
+            f"(minReaderVersion={r}); this reader implements the v1 "
+            "envelope + timestampNtz — refusing rather than misreading"
+        )
+
+
+def _apply_action(state: DeltaTableState, a: dict) -> None:
+    if "protocol" in a:
+        _check_protocol(a["protocol"])
+        state.protocol = a["protocol"]
+    elif "metaData" in a:
+        md = a["metaData"]
+        fmt = (md.get("format") or {}).get("provider", "parquet")
+        if fmt.lower() != "parquet":
+            raise NotImplementedError(f"delta data format {fmt!r} (parquet only)")
+        state.metadata = md
+        state.schema = T.StructType.fromJson(json.loads(md["schemaString"]))
+        state.partition_columns = list(md.get("partitionColumns") or [])
+    elif "add" in a:
+        add = a["add"]
+        if add.get("deletionVector"):
+            raise NotImplementedError(
+                "add action carries a deletion vector (reader feature "
+                "deletionVectors); importing the file as-is would "
+                "resurrect deleted rows — compact with a real Delta "
+                "runtime first"
+            )
+        state.files[add["path"]] = add
+    elif "remove" in a:
+        state.files.pop(a["remove"]["path"], None)
+    # commitInfo / txn / cdc / domainMetadata: informational for replay
+
+
+def read_delta_table(location: str, version: int | None = None) -> DeltaTableState:
+    """Replay the log into a snapshot state. ``version=None`` reads the
+    latest; an explicit version is a time-travel read (replay 0..v).
+    Uses ``_last_checkpoint`` + the checkpoint parquet when present and
+    compatible with the requested version (replay = checkpoint rows +
+    JSON commits after it — O(tail), the spec's intended read path)."""
+    last = latest_version(location)
+    if last < 0:
+        raise FileNotFoundError(f"no {_LOG_DIR} under {location}")
+    target = last if version is None else int(version)
+    if target > last or target < 0:
+        raise ValueError(f"version {target} out of range [0, {last}]")
+
+    state = DeltaTableState(
+        location=location,
+        version=target,
+        schema=T.StructType([]),
+        partition_columns=[],
+    )
+    start = 0
+    ckpt = _read_last_checkpoint(location)
+    if ckpt is not None and ckpt["version"] <= target:
+        _replay_checkpoint(state, location, ckpt["version"])
+        start = ckpt["version"] + 1
+    for v in range(start, target + 1):
+        p = _commit_path(location, v)
+        if not os.path.exists(p):
+            raise FileNotFoundError(
+                f"missing delta log version {v} ({p}); log is not contiguous"
+            )
+        with open(p) as fh:
+            for line in fh:
+                line = line.strip()
+                if line:
+                    _apply_action(state, json.loads(line))
+    if not state.metadata:
+        raise ValueError(f"no metaData action in delta log at {location}")
+    return state
+
+
+# --- checkpointing ------------------------------------------------------
+
+
+def _read_last_checkpoint(location: str) -> dict | None:
+    p = os.path.join(location, _LOG_DIR, "_last_checkpoint")
+    if not os.path.exists(p):
+        return None
+    with open(p) as fh:
+        return json.load(fh)
+
+
+def _replay_checkpoint(state: DeltaTableState, location: str, version: int) -> None:
+    import pyarrow.parquet as pq
+
+    p = os.path.join(location, _LOG_DIR, f"{version:020d}.checkpoint.parquet")
+    tbl = pq.read_table(p)
+    rows = tbl.to_pylist()
+    # spec ordering: protocol/metaData first is NOT guaranteed in a
+    # checkpoint; actions are a set — apply protocol/metaData before
+    # file actions so schema exists when files land
+    for key in ("protocol", "metaData", "add", "remove"):
+        for r in rows:
+            a = r.get(key)
+            if a is not None:
+                _apply_action(state, {key: _strip_nulls(a)})
+
+
+def _strip_nulls(d: dict) -> dict:
+    return {
+        k: (_strip_nulls(v) if isinstance(v, dict) else v)
+        for k, v in d.items()
+        if v is not None
+    }
+
+
+def write_checkpoint(location: str, version: int | None = None) -> str:
+    """Compact the log at ``version`` (default: latest) into a classic
+    single-file parquet checkpoint + ``_last_checkpoint`` pointer —
+    one row per action, one struct column per action type (the spec's
+    checkpoint schema). Subsequent reads replay from here."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    state = read_delta_table(location, version)
+    rows: list[dict] = [
+        {"protocol": state.protocol or {"minReaderVersion": 1, "minWriterVersion": 2}},
+        {"metaData": state.metadata},
+    ]
+    rows.extend({"add": add} for add in state.files.values())
+    cols: dict[str, list] = {
+        k: [r.get(k) for r in rows] for k in ("protocol", "metaData", "add")
+    }
+    tbl = pa.table(
+        {
+            "protocol": pa.array(
+                cols["protocol"],
+                pa.struct(
+                    [("minReaderVersion", pa.int32()), ("minWriterVersion", pa.int32())]
+                ),
+            ),
+            "metaData": pa.array(
+                cols["metaData"],
+                pa.struct(
+                    [
+                        ("id", pa.string()),
+                        ("format", pa.struct([("provider", pa.string())])),
+                        ("schemaString", pa.string()),
+                        ("partitionColumns", pa.list_(pa.string())),
+                        ("configuration", pa.map_(pa.string(), pa.string())),
+                        ("createdTime", pa.int64()),
+                    ]
+                ),
+            ),
+            "add": pa.array(
+                cols["add"],
+                pa.struct(
+                    [
+                        ("path", pa.string()),
+                        ("partitionValues", pa.map_(pa.string(), pa.string())),
+                        ("size", pa.int64()),
+                        ("modificationTime", pa.int64()),
+                        ("dataChange", pa.bool_()),
+                        ("stats", pa.string()),
+                    ]
+                ),
+            ),
+        }
+    )
+    p = os.path.join(location, _LOG_DIR, f"{state.version:020d}.checkpoint.parquet")
+    pq.write_table(tbl, p)
+    with open(os.path.join(location, _LOG_DIR, "_last_checkpoint"), "w") as fh:
+        json.dump({"version": state.version, "size": len(rows)}, fh)
+    return p
+
+
+# --- export / import against metacat ------------------------------------
+
+
+def export_delta_table(table, dest: str) -> int:
+    """Mirror a metacat Table's current snapshot as a Delta table at
+    ``dest`` (metadata-only: add actions point at the original parquet,
+    exactly like the Iceberg exporter). Returns the committed version.
+    Each call appends one commit: version 0 carries protocol+metaData,
+    later calls re-state the full live set as adds after removing the
+    previous set (a full overwrite commit — the simplest correct
+    re-export; incremental exports would diff the snapshots)."""
+    snap = table.current_snapshot
+    if snap is not None and table._resolve_deletes(snap):
+        raise ValueError(
+            "unresolved merge-on-read delete entries; run "
+            "rewrite_data_files() before export — Delta encodes row-level "
+            "deletes as deletion vectors, which this writer does not emit"
+        )
+    files = [] if snap is None else table.snapshot_files(snap["snapshot_id"])
+    # identity transforms only (Delta partition columns ARE data columns;
+    # bucket/truncate/date transforms have no Delta encoding) — the same
+    # scope bound as the Iceberg exporter's _identity_spec
+    from iceberg_metadata_pipeline_spark.catalog.partitioning import parse_transform
+
+    ident = [
+        pf
+        for pf in (table.default_spec or [])
+        if parse_transform(pf.transform)[0] == "identity"
+    ]
+    part_cols = [pf.source for pf in ident]
+    now = int(time.time() * 1000)
+    actions: list[dict] = []
+    prev = latest_version(dest)
+    if prev < 0:
+        actions.append({"protocol": {"minReaderVersion": 1, "minWriterVersion": 2}})
+        actions.append(
+            {
+                "metaData": {
+                    "id": str(uuid.uuid4()),
+                    "format": {"provider": "parquet", "options": {}},
+                    "schemaString": json.dumps(table.schema.jsonValue()),
+                    "partitionColumns": part_cols,
+                    "configuration": {},
+                    "createdTime": now,
+                }
+            }
+        )
+    else:
+        prev_state = read_delta_table(dest)
+        actions.extend(
+            {
+                "remove": {
+                    "path": p,
+                    "deletionTimestamp": now,
+                    "dataChange": True,
+                }
+            }
+            for p in prev_state.files
+        )
+    for f in files:
+        actions.append(
+            {
+                "add": {
+                    "path": os.path.abspath(f.path),
+                    # keyed by COLUMN name (Delta spec); metacat keys its
+                    # partition tuple by partition-field name, which for
+                    # identity transforms equals the source column
+                    "partitionValues": {
+                        pf.source: (f.partition or {}).get(pf.name)
+                        for pf in ident
+                    },
+                    "size": int(f.file_size_bytes),
+                    "modificationTime": now,
+                    "dataChange": True,
+                    "stats": json.dumps({"numRecords": int(f.record_count)}),
+                }
+            }
+        )
+    actions.append(
+        {
+            "commitInfo": {
+                "timestamp": now,
+                "operation": "WRITE" if prev < 0 else "OVERWRITE",
+                "operationParameters": {},
+            }
+        }
+    )
+    return write_commit(dest, actions)
+
+
+def import_delta_table(
+    spark: SparkSession, catalog, location: str, namespace: str, name: str,
+    version: int | None = None,
+):
+    """Register a Delta table's live files into a metacat table
+    (metadata-only). Record counts come from each add's ``stats``
+    (numRecords); files without stats fall back to one parquet-footer
+    read (O(files) metadata IO, never data)."""
+    from iceberg_metadata_pipeline_spark.catalog.metacat import DataFileEntry
+
+    state = read_delta_table(location, version)
+    entries = []
+    for path, add in state.files.items():
+        if not os.path.isabs(path):
+            path = os.path.join(location, path)
+        n_records = None
+        stats = add.get("stats")
+        if stats:
+            n_records = json.loads(stats).get("numRecords")
+        if n_records is None:
+            import pyarrow.parquet as pq
+
+            n_records = pq.read_metadata(path).num_rows
+        part = {
+            k: v
+            for k, v in (add.get("partitionValues") or {}).items()
+            if v is not None
+        }
+        entries.append(
+            DataFileEntry(
+                path=path,
+                record_count=int(n_records),
+                file_size_bytes=int(add.get("size") or os.path.getsize(path)),
+                format="PARQUET",
+                partition=part,
+            )
+        )
+    t = catalog.create_table(namespace, name, state.schema).refresh()
+    if state.partition_columns:
+        # re-declare the identity spec so partition pruning survives the
+        # import (same as the Iceberg importer)
+        from iceberg_metadata_pipeline_spark.catalog.partitioning import (
+            PartitionField,
+        )
+
+        spec_id = t.set_partition_spec(
+            [PartitionField(c, "identity", c) for c in state.partition_columns]
+        )
+        for e in entries:
+            if e.partition:
+                e.spec_id = spec_id
+    t.append_files(entries, dedupe=False)
+    return t.refresh()

@@ -1,0 +1,244 @@
+"""Line-level corpus cleaning — the C4 / CCNet family of filters.
+
+The classic web-corpus cleaning recipes operate on LINES within a
+document (C4: drop short/junk lines, then drop gutted documents;
+CCNet: drop lines whose hash repeats across many documents —
+boilerplate headers, navbars, cookie banners). The fixture documents
+are single-line token streams, so the operators here define a line as
+a deterministic 10-token chunk (documented in each query); the SQL is
+otherwise exactly what you would run on newline-split text — swap the
+chunker for ``split(text, '\\n')`` and nothing else changes.
+
+Scale notes (100 TB):
+- The boilerplate pass groups by ``md5(line)`` — the corpus-wide
+  frequency shuffle carries 32-byte hashes + counts, never line text,
+  and the map-side partial count collapses each partition's repeats
+  first. The rejoin back to lines is hash-equi — co-partitioned with
+  the frequency table by construction.
+- The C4 line filters are pure per-row projections (map-only, no
+  shuffle until the per-doc rollup, which partial-aggregates).
+- BM25 is two aggregates (per-(doc,term) tf, per-term df) + a scalar
+  corpus-stats subquery — the same shape as TF-IDF; the df side is
+  tiny (query terms only) and broadcasts.
+
+All three carry exact DuckDB oracles. BM25 uses the *linear* idf
+variant ((N - df + 0.5) / (df + 0.5), no ln()) for the same reason
+text_tfidf_topterms does: rational arithmetic over identical operands
+is bit-identical across engines, while libm ln() differs in the last
+ulp; production swaps in the log in one line.
+"""
+
+from __future__ import annotations
+
+from iceberg_metadata_pipeline_spark.queries import sql_query
+
+# --- shared chunked-lines CTE, one spelling per engine ------------------
+# a "line" = 10 consecutive tokens; (n_tok + 9) div 10 chunks per doc
+
+_LINES_SPARK = """
+toks AS (SELECT doc_id, split(text, ' ') AS tk FROM documents),
+lines AS (
+  SELECT doc_id, i AS line_idx,
+         array_join(slice(tk, i * 10 + 1, 10), ' ') AS line
+  FROM toks
+  LATERAL VIEW explode(sequence(0, CAST((size(tk) + 9) / 10 AS INT) - 1)) t AS i
+)
+"""
+
+_LINES_DUCK = """
+toks AS (SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
+lines AS (
+  SELECT doc_id, i AS line_idx,
+         array_to_string(list_slice(tk, i * 10 + 1, i * 10 + 10), ' ') AS line
+  FROM toks, LATERAL unnest(range((len(tk) + 9) // 10)) AS t(i)
+)
+"""
+
+
+sql_query(
+    "text_boilerplate_line_dedup",
+    # CCNet-style boilerplate removal: a line whose hash occurs in >= 2
+    # distinct documents is boilerplate (in the fixture the planted
+    # near/exact-dup replicas make whole documents' chunk sets repeat —
+    # exactly the navbars-and-banners shape at web scale). Per doc:
+    # total lines, boilerplate lines, tokens surviving removal.
+    f"""
+WITH {_LINES_SPARK},
+freq AS (
+  SELECT md5(line) AS h, COUNT(DISTINCT doc_id) AS n_docs
+  FROM lines GROUP BY md5(line)
+)
+SELECT l.doc_id,
+       COUNT(*) AS n_lines,
+       CAST(SUM(CASE WHEN f.n_docs >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_boiler,
+       CAST(SUM(CASE WHEN f.n_docs >= 2 THEN 0
+                ELSE size(split(l.line, ' ')) END) AS BIGINT) AS n_tokens_kept
+FROM lines l JOIN freq f ON md5(l.line) = f.h
+GROUP BY l.doc_id
+ORDER BY l.doc_id
+""",
+    oracle=f"""
+WITH {_LINES_DUCK},
+freq AS (
+  SELECT md5(line) AS h, COUNT(DISTINCT doc_id) AS n_docs
+  FROM lines GROUP BY md5(line)
+)
+SELECT l.doc_id,
+       COUNT(*) AS n_lines,
+       CAST(SUM(CASE WHEN f.n_docs >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_boiler,
+       CAST(SUM(CASE WHEN f.n_docs >= 2 THEN 0
+                ELSE len(string_split(l.line, ' ')) END) AS BIGINT) AS n_tokens_kept
+FROM lines l JOIN freq f ON md5(l.line) = f.h
+GROUP BY l.doc_id
+ORDER BY l.doc_id
+""",
+)
+
+
+sql_query(
+    "text_c4_line_filters",
+    # C4's line-then-document rules, adapted to the fixture's
+    # punctuation-free token streams: a line survives if it has >= 10
+    # tokens (full chunk — C4's "at least 5 words"), mean token length
+    # >= 3.0 chars (C4 drops symbol soup), and stopword fraction <= 0.4
+    # (C4's policy/boilerplate heuristics); a document survives if >= 2
+    # lines survive (C4's ">= 3 sentences"). Terminal-punctuation and
+    # lorem-ipsum rules are vacuous on this fixture and omitted.
+    f"""
+WITH {_LINES_SPARK},
+judged AS (
+  SELECT doc_id, line_idx,
+         CASE WHEN n_tok >= 10
+                   AND (CAST(n_char - (n_tok - 1) AS DOUBLE) / n_tok) >= 3.0
+                   AND (CAST(n_stop AS DOUBLE) / n_tok) <= 0.4
+              THEN 1 ELSE 0 END AS keep_line
+  FROM (
+    SELECT doc_id, line_idx,
+           size(split(line, ' ')) AS n_tok,
+           length(line) AS n_char,
+           size(filter(split(line, ' '), x -> x IN ('a', 'the'))) AS n_stop
+    FROM lines
+  ) feats
+)
+SELECT doc_id,
+       COUNT(*) AS n_lines,
+       CAST(SUM(keep_line) AS BIGINT) AS n_kept,
+       CAST(SUM(keep_line) >= 2 AS INT) AS doc_kept
+FROM judged
+GROUP BY doc_id
+ORDER BY doc_id
+""",
+    oracle=f"""
+WITH {_LINES_DUCK},
+judged AS (
+  SELECT doc_id, line_idx,
+         CASE WHEN n_tok >= 10
+                   AND (CAST(n_char - (n_tok - 1) AS DOUBLE) / n_tok) >= 3.0
+                   AND (CAST(n_stop AS DOUBLE) / n_tok) <= 0.4
+              THEN 1 ELSE 0 END AS keep_line
+  FROM (
+    SELECT doc_id, line_idx,
+           len(string_split(line, ' ')) AS n_tok,
+           length(line) AS n_char,
+           len(list_filter(string_split(line, ' '),
+                           x -> x IN ('a', 'the'))) AS n_stop
+    FROM lines
+  ) feats
+)
+SELECT doc_id,
+       COUNT(*) AS n_lines,
+       CAST(SUM(keep_line) AS BIGINT) AS n_kept,
+       CAST(SUM(keep_line) >= 2 AS INT) AS doc_kept
+FROM judged
+GROUP BY doc_id
+ORDER BY doc_id
+""",
+)
+
+
+sql_query(
+    "text_bm25_rank",
+    # Okapi BM25 (k1=1.2, b=0.75) of every document against three query
+    # terms, top-5 docs per term (score desc, doc_id tiebreak). Linear
+    # idf — see module docstring. The per-term df aggregate is 3 rows
+    # and broadcasts; corpus stats (N, avgdl) are scalar subqueries.
+    """
+WITH dl AS (
+  SELECT doc_id, size(split(text, ' ')) AS dlen FROM documents
+),
+stats AS (
+  SELECT CAST(COUNT(*) AS DOUBLE) AS n_docs,
+         CAST(SUM(dlen) AS DOUBLE) / COUNT(*) AS avgdl
+  FROM dl
+),
+tf AS (
+  SELECT doc_id, tok AS term, CAST(COUNT(*) AS DOUBLE) AS tf
+  FROM (SELECT doc_id, explode(split(text, ' ')) AS tok FROM documents) x
+  WHERE tok IN ('table', 'scan', 'merge')
+  GROUP BY doc_id, tok
+),
+df AS (
+  SELECT term, CAST(COUNT(*) AS DOUBLE) AS df FROM tf GROUP BY term
+),
+scored AS (
+  SELECT tf.doc_id, tf.term,
+         ROUND(
+           ((s.n_docs - df.df + 0.5) / (df.df + 0.5))
+           * (tf.tf * (1.2 + 1.0))
+           / (tf.tf + 1.2 * (1.0 - 0.75 + 0.75 * (dl.dlen / s.avgdl))),
+           9) AS bm25
+  FROM tf
+  JOIN df ON tf.term = df.term
+  JOIN dl ON tf.doc_id = dl.doc_id
+  CROSS JOIN stats s
+)
+SELECT term, doc_id, bm25, rn
+FROM (
+  SELECT term, doc_id, bm25,
+         ROW_NUMBER() OVER (PARTITION BY term ORDER BY bm25 DESC, doc_id) AS rn
+  FROM scored
+) ranked
+WHERE rn <= 5
+ORDER BY term, rn
+""",
+    oracle="""
+WITH dl AS (
+  SELECT doc_id, len(string_split(text, ' ')) AS dlen FROM documents
+),
+stats AS (
+  SELECT CAST(COUNT(*) AS DOUBLE) AS n_docs,
+         CAST(SUM(dlen) AS DOUBLE) / COUNT(*) AS avgdl
+  FROM dl
+),
+tf AS (
+  SELECT doc_id, tok AS term, CAST(COUNT(*) AS DOUBLE) AS tf
+  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+        FROM documents) x
+  WHERE tok IN ('table', 'scan', 'merge')
+  GROUP BY doc_id, tok
+),
+df AS (
+  SELECT term, CAST(COUNT(*) AS DOUBLE) AS df FROM tf GROUP BY term
+),
+scored AS (
+  SELECT tf.doc_id, tf.term,
+         ROUND(
+           ((s.n_docs - df.df + 0.5) / (df.df + 0.5))
+           * (tf.tf * (1.2 + 1.0))
+           / (tf.tf + 1.2 * (1.0 - 0.75 + 0.75 * (dl.dlen / s.avgdl))),
+           9) AS bm25
+  FROM tf
+  JOIN df ON tf.term = df.term
+  JOIN dl ON tf.doc_id = dl.doc_id
+  CROSS JOIN stats s
+)
+SELECT term, doc_id, bm25, rn
+FROM (
+  SELECT term, doc_id, bm25,
+         ROW_NUMBER() OVER (PARTITION BY term ORDER BY bm25 DESC, doc_id) AS rn
+  FROM scored
+) ranked
+WHERE rn <= 5
+ORDER BY term, rn
+""",
+)

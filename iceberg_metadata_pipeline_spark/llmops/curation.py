@@ -478,7 +478,8 @@ WITH assigned AS (
     n_chars
   FROM documents
 )
-SELECT source, split, COUNT(*) AS n_docs, SUM(n_chars) AS total_chars
+SELECT source, split, COUNT(*) AS n_docs,
+  CAST(SUM(n_chars) AS BIGINT) AS total_chars
 FROM assigned
 GROUP BY source, split
 ORDER BY source, split

@@ -132,6 +132,7 @@ def _load_all():
     )
     from iceberg_metadata_pipeline_spark.llmops import (  # noqa: F401
         bpe,
+        cleaning,
         curation,
         dedup,
         embeddings,

@@ -437,3 +437,86 @@ ORDER BY o.o_orderpriority
 """,
     oracle="same",
 )
+
+
+def salted_join(
+    fact: DataFrame,
+    other: DataFrame,
+    fact_key: str,
+    other_key: str,
+    n_salt: int = 16,
+    how: str = "inner",
+) -> DataFrame:
+    """Skew-mitigating equi-join: the fact side gets a deterministic
+    salt in [0, n_salt) (hash of the whole fact row's key tuple — no
+    rand(), so retries/speculation reproduce the same placement) and the
+    other side is replicated n_salt times, joining on (key, salt).
+
+    A hot key's fact rows then land in n_salt different shuffle
+    partitions instead of one: at 100 TB a single key holding 1% of a
+    10 TB shuffle is a 100 GB straggler task — salting caps any task at
+    hot_key_volume / n_salt. Cost: the other side shuffles n_salt x its
+    size, so use it when the skewed side is the BIG one and the other
+    side is mid-sized (too big to broadcast, small enough to replicate).
+    This is the manual fallback for the cases AQE skew-join handling
+    does not cover (it only splits sort-merge/shuffle-hash join
+    partitions, not the hash-aggregate AFTER the join, and it needs
+    accurate size stats at runtime).
+
+    The salt hashes the WHOLE fact row, not the key — hashing the key
+    alone would send every row of the hot key to the same salt bucket
+    and change nothing. Full-row hashing spreads a hot key's rows
+    uniformly while staying deterministic across task retries.
+    """
+    salted_fact = fact.withColumn(
+        "__salt",
+        F.pmod(F.xxhash64(*[F.col(c) for c in fact.columns]), F.lit(n_salt)).cast(
+            "int"
+        ),
+    )
+    replicated = other.withColumn(
+        "__salt", F.explode(F.array(*[F.lit(i) for i in range(n_salt)]))
+    )
+    out = salted_fact.join(
+        replicated,
+        (F.col(fact_key) == F.col(other_key)) & (salted_fact["__salt"] == replicated["__salt"]),
+        how,
+    )
+    return out.drop("__salt")
+
+
+@query(
+    "join_skew_salted",
+    """
+SELECT o_orderpriority, COUNT(*) AS n_items,
+  CAST(SUM(CAST(l_extendedprice AS DECIMAL(38,6))) AS DOUBLE) AS revenue
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+WHERE o_orderstatus <> 'P'
+GROUP BY o_orderpriority
+ORDER BY o_orderpriority
+""",
+)
+def join_skew_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Salted skew join, result-identical to the plain join (the oracle
+    states the unsalted spelling): lineitem salted 8 ways, orders
+    replicated 8x, joined on (orderkey, salt). See salted_join for the
+    100 TB rationale; the equivalence IS the point — salting is a
+    physical rewrite, never a semantic one."""
+    t = load_tables(spark, sf_dir)
+    joined = salted_join(
+        t["lineitem"],
+        t["orders"].where(F.col("o_orderstatus") != "P"),
+        "l_orderkey",
+        "o_orderkey",
+        n_salt=8,
+    )
+    return (
+        joined.groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n_items"),
+            F.sum(F.col("l_extendedprice").cast("decimal(38,6)"))
+            .cast("double")
+            .alias("revenue"),
+        )
+        .orderBy("o_orderpriority")
+    )

@@ -136,7 +136,8 @@ closure(src, dst, hop) AS (
   FROM closure c JOIN edges e ON e.src = c.dst
   WHERE c.hop < 5
 )
-SELECT src, COUNT(*) AS n_reachable, SUM(min_hop) AS sum_min_hops
+SELECT src, COUNT(*) AS n_reachable,
+  CAST(SUM(min_hop) AS BIGINT) AS sum_min_hops
 FROM (
   SELECT src, dst, MIN(hop) AS min_hop
   FROM closure GROUP BY src, dst

@@ -1,0 +1,254 @@
+"""Delta Lake transaction-log format (catalog/delta_format.py): spec
+compliance of the written log, replay semantics (adds/removes/
+last-writer-wins metaData), checkpoints, time travel, partition
+carry-through, and the documented refusal paths."""
+
+from __future__ import annotations
+
+import json
+import os
+
+import pytest
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from iceberg_metadata_pipeline_spark.catalog.delta_format import (
+    export_delta_table,
+    import_delta_table,
+    latest_version,
+    read_delta_table,
+    write_checkpoint,
+    write_commit,
+)
+from iceberg_metadata_pipeline_spark.catalog.metacat import Catalog
+
+
+@pytest.fixture()
+def metacat_table(spark, tmp_path):
+    catalog = Catalog(spark, str(tmp_path / "wh"))
+    st = T.StructType(
+        [
+            T.StructField("id", T.LongType(), False),
+            T.StructField("name", T.StringType(), True),
+            T.StructField("score", T.DoubleType(), True),
+        ]
+    )
+    t = catalog.create_table("nyc", "delta_rt", st)
+    df = spark.createDataFrame([(i, f"n{i}", i / 4.0) for i in range(20)], schema=st)
+    t.append_dataframe(df)
+    t.append_dataframe(df.selectExpr("id + 100 as id", "name", "score"))
+    return catalog, t.refresh()
+
+
+def test_export_log_is_spec_shaped(metacat_table, tmp_path):
+    _, t = metacat_table
+    dest = str(tmp_path / "delta_mirror")
+    v = export_delta_table(t, dest)
+    assert v == 0
+    log = os.path.join(dest, "_delta_log", "00000000000000000000.json")
+    actions = [json.loads(x) for x in open(log) if x.strip()]
+    kinds = [next(iter(a)) for a in actions]
+    assert kinds[0] == "protocol" and kinds[1] == "metaData"
+    proto = actions[0]["protocol"]
+    assert proto == {"minReaderVersion": 1, "minWriterVersion": 2}
+    md = actions[1]["metaData"]
+    # schemaString is Spark's own schema JSON
+    assert T.StructType.fromJson(json.loads(md["schemaString"])) == t.schema
+    assert md["format"]["provider"] == "parquet"
+    adds = [a["add"] for a in actions if "add" in a]
+    assert len(adds) == len(t.snapshot_files())
+    for a in adds:
+        assert os.path.isabs(a["path"]) and a["size"] > 0
+    # empty shuffle partitions can legitimately produce 0-row files;
+    # the TOTAL must equal the table's rows
+    assert sum(json.loads(a["stats"])["numRecords"] for a in adds) == 40
+
+
+def test_round_trip_scan_matches(spark, metacat_table, tmp_path):
+    _, t = metacat_table
+    dest = str(tmp_path / "delta_m2")
+    export_delta_table(t, dest)
+    t2 = import_delta_table(
+        spark, Catalog(spark, str(tmp_path / "wh2")), dest, "nyc", "delta_in"
+    )
+    a = sorted(r["id"] for r in t.scan().collect())
+    b = sorted(r["id"] for r in t2.scan().collect())
+    assert a == b and len(a) == 40
+    assert t2.schema == t.schema
+
+
+def test_re_export_is_overwrite_commit(spark, metacat_table, tmp_path):
+    catalog, t = metacat_table
+    dest = str(tmp_path / "delta_m3")
+    export_delta_table(t, dest)
+    t.delete_where("id >= 100")
+    t = t.refresh()
+    t.rewrite_data_files()
+    t = t.refresh()
+    v = export_delta_table(t, dest)
+    assert v == 1
+    state = read_delta_table(dest)
+    assert state.version == 1
+    n = sum(
+        json.loads(a["stats"])["numRecords"] for a in state.files.values()
+    )
+    assert n == 20
+    # time travel: version 0 still sees all 40 rows
+    state0 = read_delta_table(dest, version=0)
+    n0 = sum(json.loads(a["stats"])["numRecords"] for a in state0.files.values())
+    assert n0 == 40
+
+
+def test_replay_add_then_remove(tmp_path):
+    loc = str(tmp_path / "handlog")
+    schema = T.StructType([T.StructField("x", T.LongType(), True)])
+    write_commit(
+        loc,
+        [
+            {"protocol": {"minReaderVersion": 1, "minWriterVersion": 2}},
+            {
+                "metaData": {
+                    "id": "m",
+                    "format": {"provider": "parquet"},
+                    "schemaString": json.dumps(schema.jsonValue()),
+                    "partitionColumns": [],
+                }
+            },
+            {"add": {"path": "a.parquet", "partitionValues": {}, "size": 1,
+                     "modificationTime": 0, "dataChange": True}},
+            {"add": {"path": "b.parquet", "partitionValues": {}, "size": 1,
+                     "modificationTime": 0, "dataChange": True}},
+        ],
+    )
+    write_commit(
+        loc,
+        [
+            {"remove": {"path": "a.parquet", "deletionTimestamp": 1,
+                        "dataChange": True}},
+            {"add": {"path": "c.parquet", "partitionValues": {}, "size": 1,
+                     "modificationTime": 0, "dataChange": True}},
+        ],
+    )
+    state = read_delta_table(loc)
+    assert sorted(state.files) == ["b.parquet", "c.parquet"]
+    assert sorted(read_delta_table(loc, version=0).files) == ["a.parquet", "b.parquet"]
+
+
+def test_checkpoint_replay_equals_full_replay(spark, metacat_table, tmp_path):
+    _, t = metacat_table
+    dest = str(tmp_path / "delta_ck")
+    export_delta_table(t, dest)
+    write_checkpoint(dest)
+    # a post-checkpoint JSON commit must still replay on top
+    extra = os.path.abspath(sorted(f.path for f in t.snapshot_files())[0])
+    write_commit(
+        dest,
+        [{"remove": {"path": extra, "deletionTimestamp": 5, "dataChange": True}}],
+    )
+    assert os.path.exists(
+        os.path.join(dest, "_delta_log", "_last_checkpoint")
+    )
+    state = read_delta_table(dest)
+    assert extra not in state.files
+    assert len(state.files) == len(t.snapshot_files()) - 1
+    assert state.schema == t.schema
+
+
+def test_import_prunes_on_partition(spark, tmp_path):
+    from iceberg_metadata_pipeline_spark.catalog.partitioning import PartitionField
+
+    catalog = Catalog(spark, str(tmp_path / "whp"))
+    st = T.StructType(
+        [
+            T.StructField("id", T.LongType(), False),
+            T.StructField("cat", T.StringType(), True),
+        ]
+    )
+    t = catalog.create_table("nyc", "part_src", st)
+    t.set_partition_spec([PartitionField("cat", "identity")])
+    t = t.refresh()
+    t.append_dataframe(
+        spark.sql("SELECT id, IF(id % 2 = 0, 'even', 'odd') AS cat FROM RANGE(10)")
+    )
+    t = t.refresh()
+    dest = str(tmp_path / "delta_part")
+    export_delta_table(t, dest)
+    state = read_delta_table(dest)
+    assert state.partition_columns == ["cat"]
+    vals = {a["partitionValues"]["cat"] for a in state.files.values()}
+    assert vals == {"even", "odd"}
+    t2 = import_delta_table(
+        spark, Catalog(spark, str(tmp_path / "whp2")), dest, "nyc", "part_in"
+    )
+    rows = sorted(r["id"] for r in t2.scan(filter="cat = 'even'").collect())
+    assert rows == [0, 2, 4, 6, 8]
+    # pruning metadata survived: the partition filter drops files before
+    # Spark ever lists them
+    from iceberg_metadata_pipeline_spark.catalog.partitioning import (
+        prune_files_by_partition,
+    )
+
+    all_files = t2.snapshot_files()
+    pruned = prune_files_by_partition(
+        spark, all_files, t2.partition_specs, t2._schema_types(), "cat = 'even'"
+    )
+    assert 0 < len(pruned) < len(all_files)
+
+
+def test_refuses_deletion_vectors(tmp_path):
+    loc = str(tmp_path / "dvlog")
+    schema = T.StructType([T.StructField("x", T.LongType(), True)])
+    write_commit(
+        loc,
+        [
+            {"protocol": {"minReaderVersion": 1, "minWriterVersion": 2}},
+            {
+                "metaData": {
+                    "id": "m",
+                    "format": {"provider": "parquet"},
+                    "schemaString": json.dumps(schema.jsonValue()),
+                    "partitionColumns": [],
+                }
+            },
+            {
+                "add": {
+                    "path": "a.parquet",
+                    "partitionValues": {},
+                    "size": 1,
+                    "modificationTime": 0,
+                    "dataChange": True,
+                    "deletionVector": {"storageType": "u", "pathOrInlineDv": "x",
+                                       "sizeInBytes": 1, "cardinality": 1},
+                }
+            },
+        ],
+    )
+    with pytest.raises(NotImplementedError, match="deletion vector"):
+        read_delta_table(loc)
+
+
+def test_refuses_unknown_reader_features(tmp_path):
+    loc = str(tmp_path / "featlog")
+    write_commit(
+        loc,
+        [
+            {
+                "protocol": {
+                    "minReaderVersion": 3,
+                    "minWriterVersion": 7,
+                    "readerFeatures": ["deletionVectors"],
+                    "writerFeatures": ["deletionVectors"],
+                }
+            }
+        ],
+    )
+    with pytest.raises(NotImplementedError, match="deletionVectors"):
+        read_delta_table(loc)
+
+
+def test_refuses_version_collision(tmp_path):
+    loc = str(tmp_path / "clash")
+    write_commit(loc, [{"commitInfo": {"timestamp": 0}}], version=0)
+    with pytest.raises(FileExistsError):
+        write_commit(loc, [{"commitInfo": {"timestamp": 1}}], version=0)
+    assert latest_version(loc) == 0
