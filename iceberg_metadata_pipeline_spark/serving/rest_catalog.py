@@ -1,0 +1,293 @@
+"""Iceberg REST catalog server — the public REST OpenAPI surface over
+metacat.
+
+The reference's catalog is Hadoop-warehouse-style (Spark conf
+``spark.sql.catalog.*.type=hadoop``, entrypoint-spark.sh:126-131); the
+ecosystem's interop point for everything else (pyiceberg, Trino,
+Snowflake, real Spark via ``type=rest``) is the Iceberg REST catalog
+protocol (apache/iceberg rest-catalog-open-api.yaml — public spec).
+This module serves that protocol from a metacat warehouse using the
+round-5 format layer: ``loadTable`` responses carry REAL spec-v2
+metadata produced by ``export_iceberg_table`` (field-id'd schema JSON +
+avro manifest list + manifests), so a spec-compliant client reads the
+warehouse with no knowledge of metacat.
+
+Served routes (all under ``/v1``, stdlib ThreadingHTTPServer — the same
+no-deps posture as the HS2 Thrift front in hs2.py):
+
+- ``GET  /v1/config``                         → CatalogConfig
+- ``GET  /v1/namespaces``                     → list namespaces
+- ``POST /v1/namespaces``                     → create namespace
+- ``GET  /v1/namespaces/{ns}``                → namespace + properties
+- ``GET  /v1/namespaces/{ns}/tables``         → list identifiers
+- ``POST /v1/namespaces/{ns}/tables``         → create table
+  (CreateTableRequest: iceberg schema JSON → Spark schema via
+  iceberg_schema_to_spark; identity partition specs honored)
+- ``GET  /v1/namespaces/{ns}/tables/{t}``     → LoadTableResult
+  (metadata-location + inline TableMetadata; re-exported only when the
+  metacat snapshot moved — cached by snapshot id)
+- ``HEAD /v1/namespaces/{ns}/tables/{t}``     → existence probe
+- ``DELETE /v1/namespaces/{ns}/tables/{t}``   → drop (purgeRequested
+  honored)
+- ``POST /v1/namespaces/{ns}/register``       → RegisterTableRequest:
+  adopt an EXISTING Iceberg table directory by metadata-location
+  (parsed by read_iceberg_table — the ingest direction of the format
+  layer)
+- ``POST /v1/tables/rename``                  → RenameTableRequest
+- ``POST /v1/namespaces/{ns}/tables/{t}/metrics`` → 204 (report sink)
+
+Scope bound (loud, not silent): ``POST .../tables/{t}`` (commitTable —
+requirements/updates transactions) returns 400 with a message; writes
+go through metacat's own commit path, and a serving front should not
+fork a second commit protocol around it.
+
+Scale notes: every response is O(metadata). loadTable re-export is
+cached per snapshot id (an unchanged table serves from disk);
+list/exists are directory metadata ops. Data bytes never transit the
+catalog — exactly the REST spec's design (clients get file paths and
+read storage directly), which is what makes a central catalog viable
+in front of a 100 TB warehouse.
+"""
+
+from __future__ import annotations
+
+import json
+import threading
+from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+from urllib.parse import unquote
+
+from iceberg_metadata_pipeline_spark.catalog.iceberg_format import (
+    export_iceberg_table,
+    iceberg_schema_to_spark,
+    import_iceberg_table,
+)
+
+
+class RestCatalogServer:
+    """Spec-shaped REST facade over a metacat Catalog."""
+
+    def __init__(self, catalog, mirror_dir: str, host: str = "127.0.0.1", port: int = 0):
+        self.catalog = catalog
+        self.mirror_dir = mirror_dir
+        # (ns, table) -> (snapshot_id, metadata_path) export cache
+        self._exports: dict[tuple[str, str], tuple[int | None, str]] = {}
+        self._lock = threading.Lock()
+        outer = self
+
+        class Handler(BaseHTTPRequestHandler):
+            server_version = "MetacatRestCatalog/1"
+
+            def log_message(self, *a):  # quiet test runs
+                pass
+
+            def _send(self, code: int, body: dict | None = None):
+                payload = b"" if body is None else json.dumps(body).encode()
+                self.send_response(code)
+                if payload:
+                    self.send_header("Content-Type", "application/json")
+                self.send_header("Content-Length", str(len(payload)))
+                self.end_headers()
+                if payload and self.command != "HEAD":
+                    self.wfile.write(payload)
+
+            def _error(self, code: int, msg: str, etype: str = "BadRequestException"):
+                # spec ErrorModel envelope
+                self._send(
+                    code,
+                    {"error": {"message": msg, "type": etype, "code": code}},
+                )
+
+            def _body(self) -> dict:
+                n = int(self.headers.get("Content-Length") or 0)
+                return json.loads(self.rfile.read(n) or b"{}")
+
+            def _route(self):
+                parts = [unquote(p) for p in self.path.split("?")[0].split("/") if p]
+                try:
+                    outer._dispatch(self, self.command, parts)
+                except Exception as e:  # noqa: BLE001 — serve, don't die
+                    self._error(500, f"{type(e).__name__}: {e}", "InternalError")
+
+            do_GET = do_POST = do_DELETE = do_HEAD = _route
+
+        self._server = ThreadingHTTPServer((host, port), Handler)
+        self.port = self._server.server_address[1]
+        self._thread = threading.Thread(target=self._server.serve_forever, daemon=True)
+
+    def start(self) -> "RestCatalogServer":
+        self._thread.start()
+        return self
+
+    def stop(self) -> None:
+        self._server.shutdown()
+        self._server.server_close()
+
+    # -- routing ---------------------------------------------------------
+
+    def _dispatch(self, h, method: str, p: list[str]):
+        if not p or p[0] != "v1":
+            return h._error(404, f"unknown path {h.path}", "NoSuchPathException")
+        p = p[1:]
+        if p == ["config"] and method == "GET":
+            return h._send(200, {"defaults": {}, "overrides": {}})
+        if p == ["namespaces"]:
+            if method == "GET":
+                return h._send(
+                    200,
+                    {"namespaces": [[ns] for ns in self.catalog.list_namespaces()]},
+                )
+            if method == "POST":
+                body = h._body()
+                ns = ".".join(body.get("namespace") or [])
+                if not ns:
+                    return h._error(400, "namespace required")
+                if ns in self.catalog.list_namespaces():
+                    return h._error(
+                        409, f"namespace {ns} exists", "AlreadyExistsException"
+                    )
+                self.catalog.ensure_namespace(ns)
+                return h._send(
+                    200, {"namespace": [ns], "properties": body.get("properties") or {}}
+                )
+        if p == ["tables", "rename"] and method == "POST":
+            body = h._body()
+            src, dst = body.get("source") or {}, body.get("destination") or {}
+            s_ns, s_t = ".".join(src.get("namespace") or []), src.get("name")
+            d_ns, d_t = ".".join(dst.get("namespace") or []), dst.get("name")
+            if not self.catalog.table_exists(s_ns, s_t):
+                return h._error(
+                    404, f"table {s_ns}.{s_t} not found", "NoSuchTableException"
+                )
+            self.catalog.rename_table(s_ns, s_t, d_ns, d_t)
+            with self._lock:
+                self._exports.pop((s_ns, s_t), None)
+            return h._send(204)
+        if len(p) >= 2 and p[0] == "namespaces":
+            ns = p[1]
+            if len(p) == 2:
+                if ns not in self.catalog.list_namespaces():
+                    return h._error(
+                        404, f"namespace {ns} not found", "NoSuchNamespaceException"
+                    )
+                if method == "GET":
+                    return h._send(200, {"namespace": [ns], "properties": {}})
+            if len(p) == 3 and p[2] == "tables":
+                if method == "GET":
+                    return h._send(
+                        200,
+                        {
+                            "identifiers": [
+                                {"namespace": [ns], "name": t}
+                                for t in self.catalog.list_tables(ns)
+                            ]
+                        },
+                    )
+                if method == "POST":
+                    return self._create_table(h, ns, h._body())
+            if len(p) == 3 and p[2] == "register" and method == "POST":
+                return self._register_table(h, ns, h._body())
+            if len(p) == 4 and p[2] == "tables":
+                name = p[3]
+                if method in ("GET", "HEAD"):
+                    if not self.catalog.table_exists(ns, name):
+                        return h._error(
+                            404, f"table {ns}.{name} not found", "NoSuchTableException"
+                        )
+                    if method == "HEAD":
+                        return h._send(200)
+                    return self._load_table(h, ns, name)
+                if method == "DELETE":
+                    purge = "purgeRequested=true" in h.path
+                    if not self.catalog.drop_table(ns, name, purge=purge):
+                        return h._error(
+                            404, f"table {ns}.{name} not found", "NoSuchTableException"
+                        )
+                    with self._lock:
+                        self._exports.pop((ns, name), None)
+                    return h._send(204)
+                if method == "POST":
+                    return h._error(
+                        400,
+                        "commitTable (requirements/updates) is not served: "
+                        "writes go through the warehouse's own commit path; "
+                        "this catalog will not fork a second commit protocol",
+                        "CommitNotSupportedException",
+                    )
+            if len(p) == 5 and p[2] == "tables" and p[4] == "metrics" and method == "POST":
+                return h._send(204)
+        return h._error(404, f"unknown route {method} {h.path}", "NoSuchPathException")
+
+    # -- handlers --------------------------------------------------------
+
+    def _metadata_for(self, ns: str, name: str) -> str:
+        """Current metadata path, re-exporting only when the snapshot
+        moved since the cached export."""
+        import os
+
+        t = self.catalog.load_table(ns, name)
+        snap = t.current_snapshot
+        snap_id = None if snap is None else int(snap["snapshot_id"])
+        key = (ns, name)
+        with self._lock:
+            cached = self._exports.get(key)
+            if cached is not None and cached[0] == snap_id:
+                return cached[1]
+            dest = os.path.join(self.mirror_dir, ns, name)
+            meta_path = export_iceberg_table(t, dest)
+            self._exports[key] = (snap_id, meta_path)
+            return meta_path
+
+    def _load_table(self, h, ns: str, name: str):
+        meta_path = self._metadata_for(ns, name)
+        with open(meta_path) as fh:
+            metadata = json.load(fh)
+        return h._send(
+            200,
+            {"metadata-location": meta_path, "metadata": metadata, "config": {}},
+        )
+
+    def _create_table(self, h, ns: str, body: dict):
+        name = body.get("name")
+        if not name or "schema" not in body:
+            return h._error(400, "name and schema required")
+        if self.catalog.table_exists(ns, name):
+            return h._error(409, f"table {ns}.{name} exists", "AlreadyExistsException")
+        schema = iceberg_schema_to_spark(body["schema"])
+        self.catalog.ensure_namespace(ns)
+        t = self.catalog.create_table(ns, name, schema)
+        spec = body.get("partition-spec") or {}
+        fields = spec.get("fields") or []
+        if fields:
+            from iceberg_metadata_pipeline_spark.catalog.partitioning import (
+                PartitionField,
+            )
+
+            id_to_name = {f["id"]: f["name"] for f in body["schema"]["fields"]}
+            ident = [
+                PartitionField(id_to_name[f["source-id"]], "identity", f["name"])
+                for f in fields
+                if f.get("transform") == "identity" and f.get("source-id") in id_to_name
+            ]
+            if len(ident) != len(fields):
+                return h._error(
+                    400,
+                    "only identity partition transforms are accepted here "
+                    f"({len(fields) - len(ident)} non-identity fields refused)",
+                )
+            t.refresh().set_partition_spec(ident)
+        return self._load_table(h, ns, name)
+
+    def _register_table(self, h, ns: str, body: dict):
+        name, loc = body.get("name"), body.get("metadata-location")
+        if not name or not loc:
+            return h._error(400, "name and metadata-location required")
+        if self.catalog.table_exists(ns, name):
+            return h._error(409, f"table {ns}.{name} exists", "AlreadyExistsException")
+        import os
+
+        # metadata-location points at vN.metadata.json inside
+        # <table>/metadata/ — adopt the table directory above it
+        table_dir = os.path.dirname(os.path.dirname(os.path.abspath(loc)))
+        self.catalog.ensure_namespace(ns)
+        import_iceberg_table(self.catalog.spark, self.catalog, table_dir, ns, name)
+        return self._load_table(h, ns, name)

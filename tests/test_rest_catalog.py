@@ -1,0 +1,185 @@
+"""Iceberg REST catalog server (serving/rest_catalog.py): spec-shaped
+HTTP conversation via stdlib urllib — no client library, so what is
+exercised is the exact wire surface a pyiceberg/Trino client would hit.
+The loadTable metadata round-trips through read_iceberg_table (the
+format layer is the interop proof, the server the transport)."""
+
+from __future__ import annotations
+
+import json
+import urllib.error
+import urllib.request
+
+import pytest
+from pyspark.sql import types as T
+
+from iceberg_metadata_pipeline_spark.catalog.iceberg_format import (
+    export_iceberg_table,
+    read_iceberg_table,
+)
+from iceberg_metadata_pipeline_spark.catalog.metacat import Catalog
+from iceberg_metadata_pipeline_spark.serving.rest_catalog import RestCatalogServer
+
+
+@pytest.fixture()
+def server(spark, tmp_path):
+    catalog = Catalog(spark, str(tmp_path / "wh"))
+    srv = RestCatalogServer(catalog, str(tmp_path / "mirror")).start()
+    yield catalog, srv, f"http://127.0.0.1:{srv.port}"
+    srv.stop()
+
+
+def _req(url: str, method: str = "GET", body: dict | None = None):
+    data = None if body is None else json.dumps(body).encode()
+    r = urllib.request.Request(url, data=data, method=method)
+    if data:
+        r.add_header("Content-Type", "application/json")
+    with urllib.request.urlopen(r) as resp:
+        raw = resp.read()
+        return resp.status, json.loads(raw) if raw else None
+
+
+def _status_of(url: str, method: str = "GET", body: dict | None = None) -> int:
+    try:
+        return _req(url, method, body)[0]
+    except urllib.error.HTTPError as e:
+        return e.code
+
+
+ICE_SCHEMA = {
+    "type": "struct",
+    "schema-id": 0,
+    "fields": [
+        {"id": 1, "name": "id", "required": False, "type": "long"},
+        {"id": 2, "name": "cat", "required": False, "type": "string"},
+    ],
+}
+
+
+def test_config_and_namespace_lifecycle(server):
+    _, _, base = server
+    code, cfg = _req(f"{base}/v1/config")
+    assert code == 200 and set(cfg) == {"defaults", "overrides"}
+    code, _ = _req(f"{base}/v1/namespaces", "POST", {"namespace": ["nyc"]})
+    assert code == 200
+    assert _status_of(f"{base}/v1/namespaces", "POST", {"namespace": ["nyc"]}) == 409
+    code, out = _req(f"{base}/v1/namespaces")
+    assert code == 200 and ["nyc"] in out["namespaces"]
+    code, out = _req(f"{base}/v1/namespaces/nyc")
+    assert code == 200 and out["namespace"] == ["nyc"]
+    assert _status_of(f"{base}/v1/namespaces/ghost") == 404
+
+
+def test_create_load_round_trip(spark, server):
+    catalog, _, base = server
+    code, result = _req(
+        f"{base}/v1/namespaces/nyc/tables",
+        "POST",
+        {"name": "events", "schema": ICE_SCHEMA},
+    )
+    assert code == 200
+    assert result["metadata"]["format-version"] == 2
+    # write through metacat, then loadTable must serve the NEW snapshot
+    t = catalog.load_table("nyc", "events")
+    t.append_dataframe(
+        spark.sql("SELECT id, IF(id % 2 = 0, 'e', 'o') AS cat FROM RANGE(10)")
+    )
+    code, loaded = _req(f"{base}/v1/namespaces/nyc/tables/events")
+    assert code == 200
+    # the served metadata parses with the format layer and sees the rows
+    info = read_iceberg_table(
+        loaded["metadata"]["location"]
+    )
+    assert sum(f.record_count for f in info.files) == 10
+    assert [f.name for f in info.schema.fields] == ["id", "cat"]
+    # identical snapshot → identical metadata-location (export cache)
+    code, again = _req(f"{base}/v1/namespaces/nyc/tables/events")
+    assert again["metadata-location"] == loaded["metadata-location"]
+    # next append moves the snapshot → new metadata version served
+    t.refresh().append_dataframe(spark.sql("SELECT id, 'x' AS cat FROM RANGE(3)"))
+    code, moved = _req(f"{base}/v1/namespaces/nyc/tables/events")
+    assert moved["metadata-location"] != loaded["metadata-location"]
+    info2 = read_iceberg_table(moved["metadata"]["location"])
+    assert sum(f.record_count for f in info2.files) == 13
+
+
+def test_list_head_drop(server):
+    _, _, base = server
+    _req(f"{base}/v1/namespaces", "POST", {"namespace": ["a"]})
+    _req(
+        f"{base}/v1/namespaces/a/tables",
+        "POST",
+        {"name": "t1", "schema": ICE_SCHEMA},
+    )
+    code, out = _req(f"{base}/v1/namespaces/a/tables")
+    assert out["identifiers"] == [{"namespace": ["a"], "name": "t1"}]
+    assert _status_of(f"{base}/v1/namespaces/a/tables/t1", "HEAD") == 200
+    assert _status_of(f"{base}/v1/namespaces/a/tables/nope", "HEAD") == 404
+    assert _status_of(f"{base}/v1/namespaces/a/tables/t1", "DELETE") == 204
+    assert _status_of(f"{base}/v1/namespaces/a/tables/t1", "HEAD") == 404
+
+
+def test_register_adopts_exported_table(spark, server, tmp_path):
+    catalog, _, base = server
+    # build + export a table OUTSIDE the served catalog
+    other = Catalog(spark, str(tmp_path / "wh-other"))
+    st = T.StructType([T.StructField("x", T.LongType(), True)])
+    t = other.create_table("src", "numbers", st).refresh()
+    t.append_dataframe(spark.range(7).selectExpr("id AS x"))
+    meta_path = export_iceberg_table(t.refresh(), str(tmp_path / "ice-out"))
+    _req(f"{base}/v1/namespaces", "POST", {"namespace": ["adopt"]})
+    code, result = _req(
+        f"{base}/v1/namespaces/adopt/register",
+        "POST",
+        {"name": "numbers", "metadata-location": meta_path},
+    )
+    assert code == 200
+    got = sorted(
+        r["x"] for r in catalog.load_table("adopt", "numbers").scan().collect()
+    )
+    assert got == list(range(7))
+
+
+def test_rename_and_refusals(server):
+    _, _, base = server
+    _req(f"{base}/v1/namespaces", "POST", {"namespace": ["r"]})
+    _req(
+        f"{base}/v1/namespaces/r/tables",
+        "POST",
+        {"name": "old", "schema": ICE_SCHEMA},
+    )
+    code = _status_of(
+        f"{base}/v1/tables/rename",
+        "POST",
+        {
+            "source": {"namespace": ["r"], "name": "old"},
+            "destination": {"namespace": ["r"], "name": "new"},
+        },
+    )
+    assert code == 204
+    assert _status_of(f"{base}/v1/namespaces/r/tables/new", "HEAD") == 200
+    # commitTable is a documented refusal, not a silent no-op
+    assert (
+        _status_of(
+            f"{base}/v1/namespaces/r/tables/new", "POST", {"updates": []}
+        )
+        == 400
+    )
+    # metrics sink accepts and discards
+    assert (
+        _status_of(
+            f"{base}/v1/namespaces/r/tables/new/metrics",
+            "POST",
+            {"report-type": "scan-report"},
+        )
+        == 204
+    )
+    # duplicate create refused
+    assert (
+        _status_of(
+            f"{base}/v1/namespaces/r/tables",
+            "POST",
+            {"name": "new", "schema": ICE_SCHEMA},
+        )
+        == 409
+    )
