@@ -88,6 +88,12 @@ HEADLINE = [
     "sql_recursive_hierarchy_rollup",
     "source_pyavro_datasource",
     "udtf_table_partition_by",
+    # round-6 additions: Delta-log round-trip, salted skew join, CCNet
+    # boilerplate line dedup, BM25 ranking
+    "catalog_delta_export_import",
+    "join_skew_salted",
+    "text_boilerplate_line_dedup",
+    "text_bm25_rank",
 ]
 
 

@@ -300,10 +300,14 @@ def export_delta_table(table, dest: str) -> int:
     """Mirror a metacat Table's current snapshot as a Delta table at
     ``dest`` (metadata-only: add actions point at the original parquet,
     exactly like the Iceberg exporter). Returns the committed version.
-    Each call appends one commit: version 0 carries protocol+metaData,
-    later calls re-state the full live set as adds after removing the
-    previous set (a full overwrite commit — the simplest correct
-    re-export; incremental exports would diff the snapshots)."""
+    Version 0 carries protocol+metaData+adds; later calls are
+    INCREMENTAL: the new commit holds only the delta vs the previous
+    replayed state — adds for files that appeared, removes for files
+    that vanished (O(changed files) per commit, so a daily re-export of
+    a 100 TB table writes a commit sized to the day's churn, and
+    downstream Delta readers tailing the log see exactly the change
+    set). An unchanged snapshot commits nothing and returns the current
+    version."""
     snap = table.current_snapshot
     if snap is not None and table._resolve_deletes(snap):
         raise ValueError(
@@ -326,6 +330,7 @@ def export_delta_table(table, dest: str) -> int:
     now = int(time.time() * 1000)
     actions: list[dict] = []
     prev = latest_version(dest)
+    prev_paths: set[str] = set()
     if prev < 0:
         actions.append({"protocol": {"minReaderVersion": 1, "minWriterVersion": 2}})
         actions.append(
@@ -341,22 +346,18 @@ def export_delta_table(table, dest: str) -> int:
             }
         )
     else:
-        prev_state = read_delta_table(dest)
-        actions.extend(
-            {
-                "remove": {
-                    "path": p,
-                    "deletionTimestamp": now,
-                    "dataChange": True,
-                }
-            }
-            for p in prev_state.files
-        )
-    for f in files:
+        prev_paths = set(read_delta_table(dest).files)
+    cur = {os.path.abspath(f.path): f for f in files}
+    actions.extend(
+        {"remove": {"path": p, "deletionTimestamp": now, "dataChange": True}}
+        for p in sorted(prev_paths - set(cur))
+    )
+    for path in sorted(set(cur) - prev_paths):
+        f = cur[path]
         actions.append(
             {
                 "add": {
-                    "path": os.path.abspath(f.path),
+                    "path": path,
                     # keyed by COLUMN name (Delta spec); metacat keys its
                     # partition tuple by partition-field name, which for
                     # identity transforms equals the source column
@@ -371,11 +372,13 @@ def export_delta_table(table, dest: str) -> int:
                 }
             }
         )
+    if prev >= 0 and len(actions) == 0:
+        return prev  # snapshot unchanged — nothing to commit
     actions.append(
         {
             "commitInfo": {
                 "timestamp": now,
-                "operation": "WRITE" if prev < 0 else "OVERWRITE",
+                "operation": "WRITE",
                 "operationParameters": {},
             }
         }

@@ -940,3 +940,86 @@ def import_iceberg_table(
     if info.files:
         table.append_files(info.files)
     return table
+
+
+# ---------------------------------------------------------------------------
+# Iceberg VIEW spec (public view-spec: format-version 1 view metadata)
+# ---------------------------------------------------------------------------
+
+
+def export_iceberg_view(catalog, namespace: str, name: str, dest: str) -> str:
+    """Write a metacat view as Iceberg view metadata (the public
+    view-spec's ``view-metadata.json``): one SQL representation
+    (dialect ``spark``), versioned — re-export of a changed definition
+    appends a new version entry and moves ``current-version-id``, so
+    version history accumulates exactly like the spec's version-log.
+    The view's output schema is planned with LIMIT 0 through the
+    catalog's SQL front (schema-only, no execution); a view whose
+    dependencies are gone exports with an empty schema rather than
+    failing (the spec allows schema evolution per version).
+    Returns the metadata JSON path."""
+    import glob as _glob
+
+    sql = catalog.view_definition(namespace, name)
+    try:
+        from iceberg_metadata_pipeline_spark.catalog.sqlfront import catalog_sql
+
+        df = catalog_sql(catalog, f"SELECT * FROM ({sql}) LIMIT 0")
+        ice_schema, _ = spark_schema_to_iceberg(df.schema)
+    except Exception:  # noqa: BLE001 — dependency gone; schema unknown
+        ice_schema = {"type": "struct", "schema-id": 0, "fields": []}
+
+    meta_dir = os.path.join(dest, "metadata")
+    os.makedirs(meta_dir, exist_ok=True)
+    now_ms = int(time.time() * 1000)
+    existing = sorted(
+        _glob.glob(os.path.join(meta_dir, "*.metadata.json")),
+        key=lambda p: int(re.match(r"v?(\d+)", os.path.basename(p)).group(1)),
+    )
+    if existing:
+        with open(existing[-1]) as fh:
+            md = json.load(fh)
+        cur = next(
+            v for v in md["versions"] if v["version-id"] == md["current-version-id"]
+        )
+        if any(
+            r.get("type") == "sql" and r.get("sql") == sql
+            for r in cur.get("representations", [])
+        ):
+            return existing[-1]  # definition unchanged — idempotent export
+        next_v = int(re.match(r"v?(\d+)", os.path.basename(existing[-1])).group(1)) + 1
+        version_id = max(v["version-id"] for v in md["versions"]) + 1
+    else:
+        md = {
+            "view-uuid": str(uuid.uuid4()),
+            "format-version": 1,
+            "location": os.path.abspath(dest),
+            "properties": {},
+            "schemas": [],
+            "versions": [],
+            "version-log": [],
+            "current-version-id": 0,
+        }
+        next_v, version_id = 1, 1
+    schema_id = len(md["schemas"])
+    ice_schema = dict(ice_schema, **{"schema-id": schema_id})
+    md["schemas"].append(ice_schema)
+    md["versions"].append(
+        {
+            "version-id": version_id,
+            "timestamp-ms": now_ms,
+            "schema-id": schema_id,
+            "summary": {"operation": "replace" if version_id > 1 else "create"},
+            "default-namespace": [namespace],
+            "representations": [
+                {"type": "sql", "sql": sql, "dialect": "spark"}
+            ],
+        }
+    )
+    md["version-log"].append({"timestamp-ms": now_ms, "version-id": version_id})
+    md["current-version-id"] = version_id
+    meta_path = os.path.join(meta_dir, f"v{next_v}.metadata.json")
+    with open(meta_path + ".tmp", "w") as fh:
+        json.dump(md, fh, indent=2)
+    os.replace(meta_path + ".tmp", meta_path)
+    return meta_path

@@ -35,6 +35,11 @@ no-deps posture as the HS2 Thrift front in hs2.py):
   layer)
 - ``POST /v1/tables/rename``                  → RenameTableRequest
 - ``POST /v1/namespaces/{ns}/tables/{t}/metrics`` → 204 (report sink)
+- ``GET/POST /v1/namespaces/{ns}/views`` and
+  ``GET/HEAD/DELETE /v1/namespaces/{ns}/views/{v}`` → view lifecycle;
+  loadView serves Iceberg view-spec metadata (format-version 1, SQL
+  representations, accumulated version history) via
+  ``export_iceberg_view`` — idempotent per definition
 
 Scope bound (loud, not silent): ``POST .../tables/{t}`` (commitTable —
 requirements/updates transactions) returns 400 with a message; writes
@@ -58,6 +63,7 @@ from urllib.parse import unquote
 
 from iceberg_metadata_pipeline_spark.catalog.iceberg_format import (
     export_iceberg_table,
+    export_iceberg_view,
     iceberg_schema_to_spark,
     import_iceberg_table,
 )
@@ -215,6 +221,36 @@ class RestCatalogServer:
                     )
             if len(p) == 5 and p[2] == "tables" and p[4] == "metrics" and method == "POST":
                 return h._send(204)
+            if len(p) == 3 and p[2] == "views":
+                if method == "GET":
+                    return h._send(
+                        200,
+                        {
+                            "identifiers": [
+                                {"namespace": [ns], "name": v}
+                                for v in self.catalog.list_views(ns)
+                            ]
+                        },
+                    )
+                if method == "POST":
+                    return self._create_view(h, ns, h._body())
+            if len(p) == 4 and p[2] == "views":
+                name = p[3]
+                exists = name in self.catalog.list_views(ns)
+                if method in ("GET", "HEAD"):
+                    if not exists:
+                        return h._error(
+                            404, f"view {ns}.{name} not found", "NoSuchViewException"
+                        )
+                    if method == "HEAD":
+                        return h._send(200)
+                    return self._load_view(h, ns, name)
+                if method == "DELETE":
+                    if not self.catalog.drop_view(ns, name):
+                        return h._error(
+                            404, f"view {ns}.{name} not found", "NoSuchViewException"
+                        )
+                    return h._send(204)
         return h._error(404, f"unknown route {method} {h.path}", "NoSuchPathException")
 
     # -- handlers --------------------------------------------------------
@@ -276,6 +312,41 @@ class RestCatalogServer:
                 )
             t.refresh().set_partition_spec(ident)
         return self._load_table(h, ns, name)
+
+    def _load_view(self, h, ns: str, name: str):
+        import os
+
+        meta_path = export_iceberg_view(
+            self.catalog, ns, name, os.path.join(self.mirror_dir, ns, f"__view_{name}")
+        )
+        with open(meta_path) as fh:
+            metadata = json.load(fh)
+        return h._send(
+            200,
+            {"metadata-location": meta_path, "metadata": metadata, "config": {}},
+        )
+
+    def _create_view(self, h, ns: str, body: dict):
+        name = body.get("name")
+        vv = body.get("view-version") or {}
+        reps = [
+            r
+            for r in (vv.get("representations") or [])
+            if r.get("type") == "sql"
+        ]
+        if not name or not reps:
+            return h._error(
+                400, "name and a sql representation in view-version required"
+            )
+        if name in self.catalog.list_views(ns):
+            return h._error(409, f"view {ns}.{name} exists", "AlreadyExistsException")
+        spark_sql = next(
+            (r["sql"] for r in reps if r.get("dialect", "spark") == "spark"),
+            reps[0]["sql"],
+        )
+        self.catalog.ensure_namespace(ns)
+        self.catalog.create_view(ns, name, spark_sql)
+        return self._load_view(h, ns, name)
 
     def _register_table(self, h, ns: str, body: dict):
         name, loc = body.get("name"), body.get("metadata-location")

@@ -77,6 +77,31 @@ def test_round_trip_scan_matches(spark, metacat_table, tmp_path):
     assert t2.schema == t.schema
 
 
+def test_incremental_export_appends_only_churn(spark, metacat_table, tmp_path):
+    _, t = metacat_table
+    dest = str(tmp_path / "delta_inc")
+    export_delta_table(t, dest)
+    # unchanged snapshot: nothing to commit, version stays
+    assert export_delta_table(t, dest) == 0
+    n_before = len(t.snapshot_files())
+    df = spark.createDataFrame([(500, "new", 1.0)], schema=t.schema)
+    t.append_dataframe(df)
+    t = t.refresh()
+    v = export_delta_table(t, dest)
+    assert v == 1
+    log = os.path.join(dest, "_delta_log", f"{1:020d}.json")
+    actions = [json.loads(x) for x in open(log) if x.strip()]
+    kinds = sorted(next(iter(a)) for a in actions)
+    # pure append → only adds (+commitInfo), never removes or re-stated
+    # metaData/protocol, and only the NEW files appear
+    assert "remove" not in kinds and "metaData" not in kinds
+    n_new = len(t.snapshot_files()) - n_before
+    assert kinds.count("add") == n_new > 0
+    state = read_delta_table(dest)
+    total = sum(json.loads(a["stats"])["numRecords"] for a in state.files.values())
+    assert total == 41
+
+
 def test_re_export_is_overwrite_commit(spark, metacat_table, tmp_path):
     catalog, t = metacat_table
     dest = str(tmp_path / "delta_m3")

@@ -183,3 +183,58 @@ def test_rename_and_refusals(server):
         )
         == 409
     )
+
+
+def test_view_lifecycle_and_spec_metadata(spark, server):
+    catalog, _, base = server
+    _req(f"{base}/v1/namespaces", "POST", {"namespace": ["v"]})
+    _req(
+        f"{base}/v1/namespaces/v/tables",
+        "POST",
+        {"name": "base_t", "schema": ICE_SCHEMA},
+    )
+    catalog.load_table("v", "base_t").append_dataframe(
+        spark.sql("SELECT id, 'c' AS cat FROM RANGE(4)")
+    )
+    code, created = _req(
+        f"{base}/v1/namespaces/v/views",
+        "POST",
+        {
+            "name": "evens",
+            "view-version": {
+                "representations": [
+                    {
+                        "type": "sql",
+                        "sql": "SELECT id FROM v.base_t WHERE id % 2 = 0",
+                        "dialect": "spark",
+                    }
+                ]
+            },
+        },
+    )
+    assert code == 200
+    md = created["metadata"]
+    assert md["format-version"] == 1 and md["current-version-id"] == 1
+    rep = md["versions"][0]["representations"][0]
+    assert rep["dialect"] == "spark" and "WHERE id % 2 = 0" in rep["sql"]
+    # planned output schema captured (id: long)
+    ver_schema = next(
+        s for s in md["schemas"]
+        if s["schema-id"] == md["versions"][0]["schema-id"]
+    )
+    assert [f["name"] for f in ver_schema["fields"]] == ["id"]
+    code, out = _req(f"{base}/v1/namespaces/v/views")
+    assert out["identifiers"] == [{"namespace": ["v"], "name": "evens"}]
+    assert _status_of(f"{base}/v1/namespaces/v/views/evens", "HEAD") == 200
+    # unchanged definition → identical metadata-location (idempotent)
+    code, again = _req(f"{base}/v1/namespaces/v/views/evens")
+    assert again["metadata-location"] == created["metadata-location"]
+    # replace the definition through metacat → loadView serves version 2
+    catalog.create_view(
+        "v", "evens", "SELECT id, cat FROM v.base_t WHERE id % 2 = 0", replace=True
+    )
+    code, v2 = _req(f"{base}/v1/namespaces/v/views/evens")
+    assert v2["metadata"]["current-version-id"] == 2
+    assert len(v2["metadata"]["versions"]) == 2
+    assert _status_of(f"{base}/v1/namespaces/v/views/evens", "DELETE") == 204
+    assert _status_of(f"{base}/v1/namespaces/v/views/evens", "HEAD") == 404

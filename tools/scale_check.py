@@ -47,6 +47,10 @@ QUERIES = [
     "agg_rollup",
     "text_quality_signals",
     "sim_cosine_topk_pq",
+    # r6 additions: corpus-wide line-hash dedup, salted join, BM25
+    "text_boilerplate_line_dedup",
+    "join_skew_salted",
+    "text_bm25_rank",
 ]
 
 
