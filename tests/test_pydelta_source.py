@@ -1,0 +1,151 @@
+"""pydelta Python DataSource (ingest/pydelta_source.py): batch read of
+a Delta snapshot (partition columns reconstructed from the log — they
+are NOT in the data files), versionAsOf time travel, streaming tail of
+the commit log, and the remove-action refusal."""
+
+from __future__ import annotations
+
+import os
+import tempfile
+
+import pytest
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from iceberg_metadata_pipeline_spark.catalog.delta_format import (
+    export_delta_table,
+    write_commit,
+)
+from iceberg_metadata_pipeline_spark.catalog.metacat import Catalog
+from iceberg_metadata_pipeline_spark.catalog.partitioning import PartitionField
+from iceberg_metadata_pipeline_spark.ingest.pydelta_source import register
+
+
+@pytest.fixture()
+def delta_dir(spark, tmp_path):
+    """A partitioned metacat table exported to a Delta log, twice (the
+    second export is the incremental commit)."""
+    catalog = Catalog(spark, str(tmp_path / "wh"))
+    st = T.StructType(
+        [
+            T.StructField("id", T.LongType(), False),
+            T.StructField("cat", T.StringType(), True),
+        ]
+    )
+    t = catalog.create_table("nyc", "src", st)
+    t.set_partition_spec([PartitionField("cat", "identity")])
+    t = t.refresh()
+    t.append_dataframe(
+        spark.sql("SELECT id, IF(id % 2 = 0, 'even', 'odd') AS cat FROM RANGE(10)")
+    )
+    t = t.refresh()
+    dest = str(tmp_path / "delta")
+    export_delta_table(t, dest)
+    t.append_dataframe(
+        spark.sql("SELECT id, 'late' AS cat FROM RANGE(10, 13)")
+    )
+    export_delta_table(t.refresh(), dest)
+    return dest
+
+
+def test_batch_read_reconstructs_partitions(spark, delta_dir):
+    register(spark)
+    df = spark.read.format("pydelta").load(delta_dir)
+    assert set(df.columns) == {"id", "cat"}
+    rows = {(r["id"], r["cat"]) for r in df.collect()}
+    expect = {(i, "even" if i % 2 == 0 else "odd") for i in range(10)} | {
+        (i, "late") for i in range(10, 13)
+    }
+    assert rows == expect
+
+
+def test_version_as_of(spark, delta_dir):
+    register(spark)
+    df0 = spark.read.format("pydelta").option("versionAsOf", "0").load(delta_dir)
+    assert df0.count() == 10
+    assert spark.read.format("pydelta").load(delta_dir).count() == 13
+
+
+def test_stream_tails_commits(spark, delta_dir, tmp_path):
+    register(spark)
+    out = str(tmp_path / "sink")
+    ckpt = str(tmp_path / "ckpt")
+    q = (
+        spark.readStream.format("pydelta")
+        .load(delta_dir)
+        .writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    assert spark.read.parquet(out).count() == 13
+    # a third commit lands; resuming the stream reads ONLY the new adds
+    sub = spark.createDataFrame([(99, "new")], "id long, cat string")
+    d = tempfile.mkdtemp(prefix="late-")
+    sub.coalesce(1).write.mode("overwrite").parquet(d)
+    f = next(
+        os.path.join(d, n) for n in os.listdir(d) if n.endswith(".parquet")
+    )
+    write_commit(
+        delta_dir,
+        [
+            {
+                "add": {
+                    "path": f,
+                    "partitionValues": {"cat": "new"},
+                    "size": os.path.getsize(f),
+                    "modificationTime": 0,
+                    "dataChange": True,
+                    "stats": '{"numRecords": 1}',
+                }
+            }
+        ],
+    )
+    q = (
+        spark.readStream.format("pydelta")
+        .load(delta_dir)
+        .writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    df = spark.read.parquet(out)
+    assert df.count() == 14
+    assert df.where(F.col("cat") == "new").count() == 1
+
+
+def test_stream_refuses_removes_without_option(spark, delta_dir, tmp_path):
+    register(spark)
+    write_commit(
+        delta_dir,
+        [{"remove": {"path": "gone.parquet", "deletionTimestamp": 1,
+                     "dataChange": True}}],
+    )
+    q = (
+        spark.readStream.format("pydelta")
+        .load(delta_dir)
+        .writeStream.format("noop")
+        .option("checkpointLocation", str(tmp_path / "ck2"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    with pytest.raises(Exception, match="ignoreDeletes"):
+        q.awaitTermination(120)
+        if q.exception() is not None:
+            raise q.exception()
+    # with the option, the remove is skipped and the stream drains fine
+    q2 = (
+        spark.readStream.format("pydelta")
+        .option("ignoreDeletes", "true")
+        .load(delta_dir)
+        .writeStream.format("noop")
+        .option("checkpointLocation", str(tmp_path / "ck3"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q2.awaitTermination(120)
+    assert q2.exception() is None
