@@ -18,6 +18,12 @@ table directory without delta-spark or delta-rs:
   unless ``.option("ignoreDeletes", "true")`` (mirroring Delta's
   option): silently skipping deletes would turn the stream into an
   at-least-once-with-phantoms feed.
+- ``df.write.format("pydelta").mode("append"|"overwrite")`` — writer
+  whose two-phase commit IS the Delta protocol: tasks write invisible
+  ``_tmp-*.parquet`` (the log names the visible set), the driver
+  renames and appends ONE commit (overwrite also removes the previous
+  live set in the same commit — atomic replace with time travel
+  intact).
 
 Scale notes: offsets and planning are O(log tail) driver-side metadata;
 each file decodes in one executor task via pyarrow (row-group batches,
@@ -38,7 +44,9 @@ from pyspark.sql.datasource import (
     DataSource,
     DataSourceReader,
     DataSourceStreamReader,
+    DataSourceWriter,
     InputPartition,
+    WriterCommitMessage,
 )
 from pyspark.sql import types as T
 
@@ -198,9 +206,123 @@ class PyDeltaStreamReader(DataSourceStreamReader, _DeltaReadMixin):
         pass  # offsets live in the query checkpoint
 
 
+@dataclass
+class DeltaWriteCommit(WriterCommitMessage):
+    tmp_path: str
+    rows: int
+    size: int
+
+
+class PyDeltaBatchWriter(DataSourceWriter):
+    """``df.write.format("pydelta")`` — the Delta commit protocol IS the
+    two-phase commit: tasks write ``_tmp-<uuid>.parquet`` (invisible —
+    Delta readers only see files the log names), the driver-side
+    ``commit`` renames them to ``part-*.parquet`` and appends ONE log
+    commit: protocol+metaData on first write, adds (+removes of the
+    previous live set for overwrite mode) after. A crashed or
+    speculative task leaves at most an unreferenced tmp file, never a
+    visible row — exactly the atomicity the log gives real Delta
+    writers."""
+
+    def __init__(self, schema: T.StructType, options, overwrite: bool):
+        self.dest = _local(options["path"])
+        self.overwrite = overwrite
+        self.schema = schema
+        os.makedirs(self.dest, exist_ok=True)
+
+    def write(self, iterator):
+        import uuid as _uuid
+
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        # explicit arrow schema: inference would type an all-null task
+        # partition's column as null and break the table schema
+        pa_types = {
+            "bigint": pa.int64(), "long": pa.int64(), "int": pa.int32(),
+            "smallint": pa.int16(), "tinyint": pa.int8(),
+            "double": pa.float64(), "float": pa.float32(),
+            "string": pa.string(), "boolean": pa.bool_(),
+            "date": pa.date32(), "binary": pa.binary(),
+            "timestamp": pa.timestamp("us"), "timestamp_ntz": pa.timestamp("us"),
+        }
+        fields = []
+        for f in self.schema.fields:
+            s = f.dataType.simpleString()
+            if s not in pa_types:
+                raise NotImplementedError(
+                    f"pydelta writer: no arrow mapping for column "
+                    f"{f.name}: {s} (flatten/cast upstream)"
+                )
+            fields.append(pa.field(f.name, pa_types[s]))
+        names = [f.name for f in self.schema.fields]
+        rows = [tuple(r) for r in iterator]
+        cols = {n: [r[i] for r in rows] for i, n in enumerate(names)}
+        tmp = os.path.join(self.dest, f"_tmp-{_uuid.uuid4().hex}.parquet")
+        pq.write_table(pa.table(cols, schema=pa.schema(fields)), tmp)
+        return DeltaWriteCommit(
+            tmp_path=tmp, rows=len(rows), size=os.path.getsize(tmp)
+        )
+
+    def commit(self, messages):
+        import time as _time
+        import uuid as _uuid
+
+        from iceberg_metadata_pipeline_spark.catalog.delta_format import (
+            write_commit,
+        )
+
+        now = int(_time.time() * 1000)
+        actions: list[dict] = []
+        prev = latest_version(self.dest)
+        if prev < 0:
+            actions.append(
+                {"protocol": {"minReaderVersion": 1, "minWriterVersion": 2}}
+            )
+            actions.append(
+                {
+                    "metaData": {
+                        "id": str(_uuid.uuid4()),
+                        "format": {"provider": "parquet", "options": {}},
+                        "schemaString": json.dumps(self.schema.jsonValue()),
+                        "partitionColumns": [],
+                        "configuration": {},
+                        "createdTime": now,
+                    }
+                }
+            )
+        elif self.overwrite:
+            actions.extend(
+                {"remove": {"path": p, "deletionTimestamp": now, "dataChange": True}}
+                for p in read_delta_table(self.dest).files
+            )
+        for m in sorted(messages, key=lambda m: m.tmp_path):
+            name = f"part-{_uuid.uuid4().hex}.parquet"
+            os.rename(m.tmp_path, os.path.join(self.dest, name))
+            actions.append(
+                {
+                    "add": {
+                        "path": name,  # relative, per spec's normal layout
+                        "partitionValues": {},
+                        "size": m.size,
+                        "modificationTime": now,
+                        "dataChange": True,
+                        "stats": json.dumps({"numRecords": m.rows}),
+                    }
+                }
+            )
+        actions.append({"commitInfo": {"timestamp": now, "operation": "WRITE"}})
+        write_commit(self.dest, actions)
+
+    def abort(self, messages):
+        for m in messages:
+            if m is not None and os.path.exists(m.tmp_path):
+                os.remove(m.tmp_path)
+
+
 class PyDeltaDataSource(DataSource):
     """``spark.dataSource.register(PyDeltaDataSource)`` → format name
-    "pydelta" for batch read and readStream."""
+    "pydelta" for batch read/write and readStream."""
 
     @classmethod
     def name(cls) -> str:
@@ -212,6 +334,9 @@ class PyDeltaDataSource(DataSource):
 
     def reader(self, schema: T.StructType) -> DataSourceReader:
         return PyDeltaBatchReader(self.options)
+
+    def writer(self, schema: T.StructType, overwrite: bool) -> DataSourceWriter:
+        return PyDeltaBatchWriter(schema, self.options, overwrite)
 
     def streamReader(self, schema: T.StructType) -> DataSourceStreamReader:
         return PyDeltaStreamReader(schema, self.options)

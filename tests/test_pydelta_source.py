@@ -149,3 +149,28 @@ def test_stream_refuses_removes_without_option(spark, delta_dir, tmp_path):
     )
     q2.awaitTermination(120)
     assert q2.exception() is None
+
+
+def test_writer_round_trip_append_overwrite(spark, tmp_path):
+    register(spark)
+    dest = str(tmp_path / "written")
+    df = spark.range(6).selectExpr(
+        "id", "CAST(id AS DOUBLE) / 2 AS half", "IF(id % 2 = 0, 'e', NULL) AS tag"
+    )
+    df.repartition(3).write.format("pydelta").mode("append").save(dest)
+    back = spark.read.format("pydelta").load(dest)
+    assert back.count() == 6
+    assert dict(back.dtypes)["half"] == "double"
+    # append accumulates a second commit
+    df.limit(2).write.format("pydelta").mode("append").save(dest)
+    assert spark.read.format("pydelta").load(dest).count() == 8
+    # overwrite removes the previous live set in ONE commit
+    df.limit(3).write.format("pydelta").mode("overwrite").save(dest)
+    assert spark.read.format("pydelta").load(dest).count() == 3
+    # older versions still time-travel
+    assert (
+        spark.read.format("pydelta").option("versionAsOf", "0").load(dest).count()
+        == 6
+    )
+    # no tmp litter after commits
+    assert not [n for n in os.listdir(dest) if n.startswith("_tmp-")]
