@@ -1559,3 +1559,55 @@ def catalog_delta_export_import(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("s_nationkey")
     )
+
+
+@query(
+    "catalog_puffin_ndv_stats",
+    """
+SELECT 'c_mktsegment' AS col, COUNT(DISTINCT c_mktsegment) AS ndv FROM customer
+UNION ALL
+SELECT 'c_nationkey' AS col, COUNT(DISTINCT c_nationkey) AS ndv FROM customer
+ORDER BY col
+""",
+)
+def catalog_puffin_ndv_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NDV statistics through the REAL Puffin format (public
+    puffin-spec): register customer metadata-only, export as Iceberg,
+    compute theta sketches for two columns in ONE aggregate pass
+    (Spark's theta_sketch_agg — genuine apache-datasketches-theta-v1
+    bytes), write the .stats puffin + the metadata 'statistics' entry,
+    then read the NDVs back THROUGH the puffin file. Matching the exact
+    COUNT(DISTINCT) oracle is deterministic: theta sketches are exact
+    below their nominal 4096 entries, and both columns are far below."""
+    import os as _os
+    import tempfile as _tf
+
+    from iceberg_metadata_pipeline_spark.catalog.iceberg_format import (
+        export_iceberg_table,
+    )
+    from iceberg_metadata_pipeline_spark.catalog.metacat import scan_parquet_footers
+    from iceberg_metadata_pipeline_spark.catalog.puffin import (
+        attach_ndv_statistics,
+        read_ndv_statistics,
+    )
+
+    customer = load_tables(spark, sf_dir)["customer"]
+    catalog = Catalog(spark, _tf.mkdtemp(prefix="wh-puffin-"))
+    t = catalog.create_table("nyc", "customer_st", customer.schema)
+    t.append_files(
+        scan_parquet_footers(_os.path.join(sf_dir, "customer.parquet"), spark)
+    )
+    t = t.refresh()
+    meta_path = export_iceberg_table(t, _tf.mkdtemp(prefix="ice-puffin-"))
+    attach_ndv_statistics(spark, t, meta_path, ["c_mktsegment", "c_nationkey"])
+    ndv = read_ndv_statistics(meta_path)
+    import json as _json
+
+    with open(meta_path) as fh:
+        md = _json.load(fh)
+    fids = {f["name"]: f["id"] for f in md["schemas"][0]["fields"]}
+    rows = [
+        ("c_mktsegment", ndv[fids["c_mktsegment"]]),
+        ("c_nationkey", ndv[fids["c_nationkey"]]),
+    ]
+    return spark.createDataFrame(rows, "col string, ndv bigint").orderBy("col")
