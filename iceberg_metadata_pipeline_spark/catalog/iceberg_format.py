@@ -606,6 +606,10 @@ class DeleteFileEntry:
     seq: int
     record_count: int
     equality_cols: list[str] = field(default_factory=list)
+    # v3 deletion vectors (PUFFIN-format position deletes): decoded
+    # [(referenced data file, row positions)] — set instead of reading
+    # the path as a position-delete parquet
+    dv: list[tuple[str, list[int]]] | None = None
 
 
 @dataclass
@@ -747,13 +751,45 @@ def read_iceberg_table(location: str) -> IcebergTableInfo:
                     raise ValueError(
                         f"equality delete references unknown field ids {missing}"
                     )
+                dpath = _clean_path(df["file_path"])
+                dv = None
+                if str(df.get("file_format", "")).upper() == "PUFFIN":
+                    # v3 deletion vector: decode the roaring bitmap(s)
+                    # here — O(deleted positions) driver-side metadata;
+                    # the anti-join applying them stays distributed
+                    if content != 1:
+                        raise ValueError(
+                            f"PUFFIN delete file with content={content} "
+                            "(deletion vectors are position deletes)"
+                        )
+                    from iceberg_metadata_pipeline_spark.catalog.puffin import (
+                        read_deletion_vectors,
+                    )
+
+                    ref = df.get("referenced_data_file")
+                    off = df.get("content_offset")
+                    dv = read_deletion_vectors(
+                        dpath, None if off is None else int(off)
+                    )
+                    if ref is not None:
+                        dv = [
+                            (r, p)
+                            for r, p in dv
+                            if _normalize_uri(r) == _normalize_uri(str(ref))
+                        ]
+                        if not dv:
+                            raise ValueError(
+                                f"{dpath}: no deletion vector for referenced "
+                                f"data file {ref}"
+                            )
                 delete_files.append(
                     DeleteFileEntry(
-                        path=_clean_path(df["file_path"]),
+                        path=dpath,
                         content=content,
                         seq=int(e.get("sequence_number") or m_seq),
                         record_count=int(df["record_count"]),
                         equality_cols=[id_to_name[i] for i in eq_ids],
+                        dv=dv,
                     )
                 )
             continue
@@ -847,6 +883,20 @@ def _live_rows_dataframe(spark: SparkSession, info: IcebergTableInfo):
     if pos_dels:
         parts = []
         for d in pos_dels:
+            if d.dv is not None:
+                # decoded deletion vector: positions are already in hand
+                rows = [
+                    (_normalize_uri(ref), int(pos), d.seq)
+                    for ref, positions in d.dv
+                    for pos in positions
+                ]
+                if rows:
+                    parts.append(
+                        spark.createDataFrame(
+                            rows, "__file string, __pos long, __del_seq long"
+                        )
+                    )
+                continue
             parts.append(
                 spark.read.parquet(d.path)
                 .select(

@@ -196,3 +196,103 @@ def read_ndv_statistics(meta_path: str) -> dict[int, int]:
                 if ndv is not None and len(bm["fields"]) == 1:
                     out[int(bm["fields"][0])] = int(ndv)
     return out
+
+
+# ---------------------------------------------------------------------------
+# Iceberg v3 deletion vectors ("deletion-vector-v1" blobs)
+# ---------------------------------------------------------------------------
+
+DV_MAGIC = b"\xd1\xd3\x39\x64"
+
+
+def encode_dv_payload(positions: list[int]) -> bytes:
+    """Row positions → the v3 spec's blob bytes: 4-byte big-endian
+    length of (magic + vector), magic ``D1 D3 39 64``, the portable
+    64-bit roaring bitmap, 4-byte big-endian CRC-32 of magic+vector."""
+    import struct as _struct
+    import zlib as _zlib
+
+    from iceberg_metadata_pipeline_spark.catalog import roaring
+
+    body = DV_MAGIC + roaring.serialize64(sorted(set(positions)))
+    return (
+        _struct.pack(">i", len(body)) + body + _struct.pack(">I", _zlib.crc32(body))
+    )
+
+
+def decode_dv_payload(data: bytes) -> list[int]:
+    """Inverse of encode_dv_payload, CRC-verified."""
+    import struct as _struct
+    import zlib as _zlib
+
+    from iceberg_metadata_pipeline_spark.catalog import roaring
+
+    (ln,) = _struct.unpack_from(">i", data, 0)
+    body = data[4 : 4 + ln]
+    if body[:4] != DV_MAGIC:
+        raise ValueError("deletion vector magic mismatch")
+    (crc,) = _struct.unpack_from(">I", data, 4 + ln)
+    if _zlib.crc32(body) != crc:
+        raise ValueError("deletion vector CRC mismatch")
+    return roaring.deserialize64(body[4:])
+
+
+def write_deletion_vectors(
+    path: str, dvs: dict[str, list[int]], snapshot_id: int = 0, seq: int = 0
+) -> dict[str, dict]:
+    """Write one puffin file holding a ``deletion-vector-v1`` blob per
+    referenced data file (the v3 layout: a commit's DVs share one
+    puffin). Returns per data file ``{"offset", "length",
+    "cardinality"}`` — what the delete manifest entry records in
+    ``content_offset`` / ``content_size_in_bytes``."""
+    blobs = []
+    order = sorted(dvs)
+    for data_file in order:
+        positions = sorted(set(dvs[data_file]))
+        blobs.append(
+            {
+                "type": "deletion-vector-v1",
+                "fields": [2147483546, 2147483545],  # pos, file_path reserved ids
+                "snapshot-id": snapshot_id,
+                "sequence-number": seq,
+                "payload": encode_dv_payload(positions),
+                "properties": {
+                    "referenced-data-file": data_file,
+                    "cardinality": str(len(positions)),
+                },
+            }
+        )
+    blob_meta, _ = write_puffin(path, blobs)
+    return {
+        df: {
+            "offset": bm["offset"],
+            "length": bm["length"],
+            "cardinality": int(bm["properties"]["cardinality"]),
+        }
+        for df, bm in zip(order, blob_meta)
+    }
+
+
+def read_deletion_vectors(
+    path: str, content_offset: int | None = None
+) -> list[tuple[str, list[int]]]:
+    """→ [(referenced data file, positions)]. With ``content_offset``
+    only the blob at that offset is decoded (what a manifest entry
+    pins); otherwise every deletion-vector-v1 blob in the file."""
+    blobs, _ = read_puffin(path)
+    out = []
+    for bm, payload in blobs:
+        if bm["type"] != "deletion-vector-v1":
+            continue
+        if content_offset is not None and int(bm["offset"]) != int(content_offset):
+            continue
+        ref = (bm.get("properties") or {}).get("referenced-data-file")
+        if ref is None:
+            raise ValueError(
+                f"{path}: deletion-vector blob at {bm['offset']} lacks the "
+                "referenced-data-file property"
+            )
+        out.append((ref, decode_dv_payload(payload)))
+    if content_offset is not None and not out:
+        raise ValueError(f"{path}: no deletion-vector blob at offset {content_offset}")
+    return out
