@@ -25,10 +25,14 @@ Supported (reader version 1 / writer version 2 envelope):
   defines);
 - version-pinned reads (time travel: replay 0..version).
 
-Refused loudly (not silently misread):
-- ``deletionVector`` on any add/remove (reader feature from protocol
-  v3) — merge-on-read state this importer will not resurrect rows
-  around;
+Deletion vectors: INLINE vectors (``storageType`` "i" — Z85-encoded
+RoaringBitmapArray in the add action itself) are decoded and APPLIED:
+the batch reader and the importer materialize live rows minus the
+vector's positions. File-based vectors ('u'/'p') are refused loudly —
+their container framing (version byte + per-DV checksums) is not
+implemented, and guessing would resurrect or lose rows silently.
+
+Also refused loudly (not silently misread):
 - ``minReaderVersion`` > 1 unless every listed ``readerFeatures`` is in
   the supported set (per the spec's capability negotiation rule).
 
@@ -56,6 +60,9 @@ _SUPPORTED_READER_FEATURES = {
     # features whose on-disk effect this reader actually handles
     "timestampNtz",  # plain timestamp columns in schemaString
     "v2Checkpoint",  # we read classic checkpoints; v2 tables also keep them
+    # inline vectors are decoded and applied; file-based vectors still
+    # refuse per-add inside _decode_dv_descriptor
+    "deletionVectors",
 }
 
 
@@ -146,12 +153,10 @@ def _apply_action(state: DeltaTableState, a: dict) -> None:
     elif "add" in a:
         add = a["add"]
         if add.get("deletionVector"):
-            raise NotImplementedError(
-                "add action carries a deletion vector (reader feature "
-                "deletionVectors); importing the file as-is would "
-                "resurrect deleted rows — compact with a real Delta "
-                "runtime first"
-            )
+            # decode NOW so a bad/unsupported descriptor fails at
+            # replay, loudly — inline ('i') vectors are applied; file-
+            # based ('u'/'p') refuse inside _decode_dv_descriptor
+            _decode_dv_descriptor(add["deletionVector"])
         state.files[add["path"]] = add
     elif "remove" in a:
         state.files.pop(a["remove"]["path"], None)
@@ -393,10 +398,29 @@ def import_delta_table(
     """Register a Delta table's live files into a metacat table
     (metadata-only). Record counts come from each add's ``stats``
     (numRecords); files without stats fall back to one parquet-footer
-    read (O(files) metadata IO, never data)."""
+    read (O(files) metadata IO, never data).
+
+    A snapshot carrying (inline) deletion vectors takes the
+    MATERIALIZING path instead: live rows = file rows minus each
+    vector's positions, computed distributed via ``_metadata.row_index``
+    and written fresh — registering the raw files would resurrect the
+    deleted rows."""
     from iceberg_metadata_pipeline_spark.catalog.metacat import DataFileEntry
 
     state = read_delta_table(location, version)
+    if any(a.get("deletionVector") for a in state.files.values()):
+        t = catalog.create_table(namespace, name, state.schema).refresh()
+        if state.partition_columns:
+            from iceberg_metadata_pipeline_spark.catalog.partitioning import (
+                PartitionField,
+            )
+
+            t.set_partition_spec(
+                [PartitionField(c, "identity", c) for c in state.partition_columns]
+            )
+            t = t.refresh()
+        t.append_dataframe(_live_rows_dataframe(spark, state))
+        return t.refresh()
     entries = []
     for path, add in state.files.items():
         if not os.path.isabs(path):
@@ -439,3 +463,207 @@ def import_delta_table(
                 e.spec_id = spec_id
     t.append_files(entries, dedupe=False)
     return t.refresh()
+
+
+# ---------------------------------------------------------------------------
+# deletion vectors — inline ("i") storage only; see _check for the bound
+# ---------------------------------------------------------------------------
+
+# Z85 (ZeroMQ spec 32/Z85): 4 bytes → 5 chars; Delta uses it for inline
+# DV payloads and path codecs
+_Z85_ALPHABET = (
+    "0123456789abcdefghijklmnopqrstuvwxyzABCDEFGHIJKLMNOPQRSTUVWXYZ"
+    ".-:+=^!/*?&<>()[]{}@%$#"
+)
+_Z85_DECODE = {c: i for i, c in enumerate(_Z85_ALPHABET)}
+
+
+def z85_encode(data: bytes) -> str:
+    if len(data) % 4:
+        raise ValueError("z85 input must be a multiple of 4 bytes")
+    out = []
+    for i in range(0, len(data), 4):
+        v = int.from_bytes(data[i : i + 4], "big")
+        chunk = []
+        for _ in range(5):
+            chunk.append(_Z85_ALPHABET[v % 85])
+            v //= 85
+        out.extend(reversed(chunk))
+    return "".join(out)
+
+
+def z85_decode(text: str) -> bytes:
+    if len(text) % 5:
+        raise ValueError("z85 input must be a multiple of 5 chars")
+    out = bytearray()
+    for i in range(0, len(text), 5):
+        v = 0
+        for c in text[i : i + 5]:
+            if c not in _Z85_DECODE:
+                raise ValueError(f"invalid z85 character {c!r}")
+            v = v * 85 + _Z85_DECODE[c]
+        out += v.to_bytes(4, "big")
+    return bytes(out)
+
+
+# Delta's RoaringBitmapArray "portable" serialization: 4-byte LE magic
+# then the 64-bit portable roaring body (8-byte LE bucket count, per
+# bucket a 4-byte LE key + standard 32-bit portable roaring) — i.e. the
+# RoaringFormatSpec 64-bit extension behind Delta's own magic number.
+_DELTA_DV_MAGIC = 1681511377
+
+
+def encode_delta_dv(positions: list[int]) -> bytes:
+    import struct as _struct
+
+    from iceberg_metadata_pipeline_spark.catalog import roaring
+
+    return _struct.pack("<i", _DELTA_DV_MAGIC) + roaring.serialize64(
+        sorted(set(positions))
+    )
+
+
+def decode_delta_dv(data: bytes) -> list[int]:
+    import struct as _struct
+
+    from iceberg_metadata_pipeline_spark.catalog import roaring
+
+    (magic,) = _struct.unpack_from("<i", data, 0)
+    if magic != _DELTA_DV_MAGIC:
+        raise ValueError(
+            f"deletion vector magic {magic} != {_DELTA_DV_MAGIC} "
+            "(not RoaringBitmapArray portable)"
+        )
+    return roaring.deserialize64(data[4:])
+
+
+def _decode_dv_descriptor(dv: dict) -> list[int]:
+    """An add action's deletionVector descriptor → row positions.
+    Inline storage only: 'u'/'p' point at DV *files* whose container
+    framing (version byte + per-DV checksums) this reader does not
+    implement — refused loudly, never guessed at."""
+    st = dv.get("storageType")
+    if st != "i":
+        raise NotImplementedError(
+            f"deletion vector storageType {st!r}: only inline ('i') vectors "
+            "are applied; compact the table with a real Delta runtime to "
+            "drop file-based vectors before import"
+        )
+    raw = z85_decode(dv["pathOrInlineDv"])
+    # Z85 works in 4-byte blocks, so encoders zero-pad and record the
+    # true length in sizeInBytes (Delta's Base85Codec.decodeBytes takes
+    # an outputLength and truncates — same contract here)
+    size = dv.get("sizeInBytes")
+    if size is not None:
+        if not len(raw) - 3 <= int(size) <= len(raw):
+            raise ValueError(
+                f"inline DV sizeInBytes={size} inconsistent with "
+                f"{len(raw)} decoded bytes"
+            )
+        raw = raw[: int(size)]
+    positions = decode_delta_dv(raw)
+    card = dv.get("cardinality")
+    if card is not None and int(card) != len(positions):
+        raise ValueError(
+            f"inline DV cardinality={card} but vector holds {len(positions)}"
+        )
+    return positions
+
+
+def attach_inline_dv(location: str, data_file: str, positions: list[int]) -> int:
+    """Commit a row-level delete the Delta way: remove the file's old
+    add, re-add it with an inline deletion vector (one atomic commit —
+    readers either see the file undeleted or with the vector, never a
+    torn state). Positions accumulate across calls (the new vector
+    holds the union)."""
+    import time as _time
+
+    state = read_delta_table(location)
+    key = next(
+        (p for p in state.files if p == data_file or os.path.basename(p) == data_file),
+        None,
+    )
+    if key is None:
+        raise FileNotFoundError(f"{data_file} is not a live file of {location}")
+    add = dict(state.files[key])
+    existing = (
+        _decode_dv_descriptor(add["deletionVector"])
+        if add.get("deletionVector")
+        else []
+    )
+    merged = sorted(set(existing) | set(int(p) for p in positions))
+    raw = encode_delta_dv(merged)
+    padded = raw + b"\x00" * (-len(raw) % 4)  # Z85 needs 4-byte blocks
+    add["deletionVector"] = {
+        "storageType": "i",
+        "pathOrInlineDv": z85_encode(padded),
+        "sizeInBytes": len(raw),
+        "cardinality": len(merged),
+    }
+    now = int(_time.time() * 1000)
+    return write_commit(
+        location,
+        [
+            {"remove": {"path": key, "deletionTimestamp": now, "dataChange": True}},
+            {"add": add},
+            {"commitInfo": {"timestamp": now, "operation": "DELETE"}},
+        ],
+    )
+
+
+def _live_rows_dataframe(spark: SparkSession, state: DeltaTableState):
+    """Materialize a DV-carrying snapshot's live rows, distributed:
+    files scan with ``_metadata.file_path``/``row_index`` (exact
+    file-relative positions, no shuffle to assign them), partition
+    columns rejoin from the log's per-file values (they are not in the
+    data files), and each file's deleted positions apply as ONE
+    broadcast anti-join on (file, position) — positions are O(deleted
+    rows) metadata already decoded at replay."""
+    from pyspark.sql import functions as F
+
+    norm = lambda c: F.regexp_replace(c, r"^file:/+", "/")  # noqa: E731
+    pcols = set(state.partition_columns)
+    file_fields = [f for f in state.schema.fields if f.name not in pcols]
+    abs_of = {
+        p: (p if os.path.isabs(p) else os.path.join(state.location, p))
+        for p in state.files
+    }
+    data = (
+        spark.read.schema(T.StructType(file_fields))
+        .parquet(*abs_of.values())
+        .withColumn("__file", norm(F.col("_metadata.file_path")))
+        .withColumn("__pos", F.col("_metadata.row_index"))
+    )
+    if state.partition_columns:
+        pmap = spark.createDataFrame(
+            [
+                (abs_of[p],)
+                + tuple(
+                    (a.get("partitionValues") or {}).get(c)
+                    for c in state.partition_columns
+                )
+                for p, a in state.files.items()
+            ],
+            ", ".join(
+                ["__file string"] + [f"__p_{c} string" for c in state.partition_columns]
+            ),
+        )
+        data = data.join(F.broadcast(pmap), "__file")
+        for c in state.partition_columns:
+            data = data.withColumn(
+                c, F.col(f"__p_{c}").cast(state.schema[c].dataType)
+            )
+    dv_rows = [
+        (abs_of[p], int(pos))
+        for p, a in state.files.items()
+        if a.get("deletionVector")
+        for pos in _decode_dv_descriptor(a["deletionVector"])
+    ]
+    if dv_rows:
+        dels = spark.createDataFrame(dv_rows, "__file string, __pos long")
+        data = data.join(
+            F.broadcast(dels),
+            (data["__file"] == dels["__file"]) & (data["__pos"] == dels["__pos"]),
+            "left_anti",
+        )
+    return data.select(*[f.name for f in state.schema.fields])

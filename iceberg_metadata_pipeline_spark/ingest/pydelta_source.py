@@ -86,11 +86,14 @@ def _coerce_partition(value: str | None, dt: T.DataType):
 class DeltaFilePartition(InputPartition):
     path: str
     partition_values: tuple  # aligned with the table's partition columns
+    deleted: tuple = ()  # inline-DV row positions to skip, sorted
 
 
 class _DeltaReadMixin:
     """Shared per-file decode: parquet row groups via pyarrow, partition
-    columns appended from the log's values."""
+    columns appended from the log's values, deletion-vector positions
+    skipped by running row index (pyarrow batches are sequential, so
+    the file-relative position is just a counter)."""
 
     schema: T.StructType
     partition_columns: list[str]
@@ -101,8 +104,10 @@ class _DeltaReadMixin:
         pcols = set(self.partition_columns)
         file_fields = [f for f in self.schema.fields if f.name not in pcols]
         pvals = dict(zip(self.partition_columns, part.partition_values))
+        dead = set(part.deleted)
         pf = pq.ParquetFile(part.path)
         names = [f.name for f in file_fields]
+        pos = 0
         for batch in pf.iter_batches(columns=names):
             cols = [batch.column(i).to_pylist() for i in range(batch.num_columns)]
             got = dict(zip(batch.schema.names, cols))
@@ -112,7 +117,10 @@ class _DeltaReadMixin:
                     ordered.append([pvals[f.name]] * batch.num_rows)
                 else:
                     ordered.append(got[f.name])
-            yield from zip(*ordered)
+            for row in zip(*ordered):
+                if pos not in dead:
+                    yield row
+                pos += 1
 
 
 class PyDeltaBatchReader(DataSourceReader, _DeltaReadMixin):
@@ -124,6 +132,10 @@ class PyDeltaBatchReader(DataSourceReader, _DeltaReadMixin):
         )
         self.schema = state.schema
         self.partition_columns = state.partition_columns
+        from iceberg_metadata_pipeline_spark.catalog.delta_format import (
+            _decode_dv_descriptor,
+        )
+
         self._parts = [
             DeltaFilePartition(
                 self._abs(p),
@@ -134,6 +146,9 @@ class PyDeltaBatchReader(DataSourceReader, _DeltaReadMixin):
                     )
                     for c in state.partition_columns
                 ),
+                tuple(_decode_dv_descriptor(a["deletionVector"]))
+                if a.get("deletionVector")
+                else (),
             )
             for p, a in sorted(state.files.items())
         ]
@@ -181,9 +196,20 @@ class PyDeltaStreamReader(DataSourceStreamReader, _DeltaReadMixin):
                     if "add" in a:
                         add = a["add"]
                         if add.get("deletionVector"):
-                            raise NotImplementedError(
-                                "add with deletion vector in tailed commit"
-                            )
+                            # a DV-carrying add RE-STATES an existing
+                            # file (delete commit) — emitting it would
+                            # double-read its live rows; same posture as
+                            # Delta's source (skipChangeCommits)
+                            if not self.ignore_deletes:
+                                raise ValueError(
+                                    f"delta commit {v} re-adds a file with "
+                                    "a deletion vector (row-level delete); "
+                                    "this source tails APPENDS — pass "
+                                    ".option('ignoreDeletes','true') to "
+                                    "skip delete commits, or re-process "
+                                    "as a batch"
+                                )
+                            continue  # ignoreDeletes: skip the re-add
                         p = add["path"]
                         parts.append(
                             DeltaFilePartition(

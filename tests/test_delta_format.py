@@ -261,13 +261,13 @@ def test_refuses_unknown_reader_features(tmp_path):
                 "protocol": {
                     "minReaderVersion": 3,
                     "minWriterVersion": 7,
-                    "readerFeatures": ["deletionVectors"],
-                    "writerFeatures": ["deletionVectors"],
+                    "readerFeatures": ["columnMapping"],
+                    "writerFeatures": ["columnMapping"],
                 }
             }
         ],
     )
-    with pytest.raises(NotImplementedError, match="deletionVectors"):
+    with pytest.raises(NotImplementedError, match="columnMapping"):
         read_delta_table(loc)
 
 
@@ -277,3 +277,107 @@ def test_refuses_version_collision(tmp_path):
     with pytest.raises(FileExistsError):
         write_commit(loc, [{"commitInfo": {"timestamp": 1}}], version=0)
     assert latest_version(loc) == 0
+
+
+def test_z85_golden_and_round_trip():
+    from iceberg_metadata_pipeline_spark.catalog.delta_format import (
+        z85_decode,
+        z85_encode,
+    )
+
+    # ZeroMQ spec 32/Z85 reference vector
+    assert z85_encode(bytes([0x86, 0x4F, 0xD2, 0x6F, 0xB5, 0x59, 0xF7, 0x5B])) == "HelloWorld"
+    assert z85_decode("HelloWorld") == bytes([0x86, 0x4F, 0xD2, 0x6F, 0xB5, 0x59, 0xF7, 0x5B])
+    for payload in (b"", b"abcd", bytes(range(32))):
+        assert z85_decode(z85_encode(payload)) == payload
+    with pytest.raises(ValueError, match="multiple of 4"):
+        z85_encode(b"abc")
+
+
+def test_inline_dv_applied_by_reader_and_import(spark, tmp_path):
+    from iceberg_metadata_pipeline_spark.catalog.delta_format import (
+        attach_inline_dv,
+        import_delta_table,
+        read_delta_table,
+    )
+    from iceberg_metadata_pipeline_spark.ingest.pydelta_source import register
+
+    # two 10-row files so multi-position vectors are meaningful
+    catalog = Catalog(spark, str(tmp_path / "wh-src"))
+    st = T.StructType([T.StructField("id", T.LongType(), False)])
+    t = catalog.create_table("nyc", "dv_src", st).refresh()
+    t.append_dataframe(spark.range(20).selectExpr("id").repartition(2))
+    t = t.refresh()
+    dest = str(tmp_path / "delta_dv")
+    export_delta_table(t, dest)
+    state = read_delta_table(dest)
+    victim = sorted(
+        p
+        for p in state.files
+        if json.loads(state.files[p]["stats"])["numRecords"] == 10
+    )[0]
+    import duckdb
+
+    victim_rows = [
+        r[0]
+        for r in duckdb.sql(f"SELECT id FROM read_parquet('{victim}')").fetchall()
+    ]
+    v = attach_inline_dv(dest, victim, [0, 1])
+    assert v == 1
+    # replay decodes the vector; reader (pydelta) excludes the rows
+    register(spark)
+    got = sorted(
+        r["id"] for r in spark.read.format("pydelta").load(dest).collect()
+    )
+    expect = sorted(set(range(20)) - set(victim_rows[:2]))
+    assert got == expect
+    # importer materializes (registering raw files would resurrect rows)
+    t2 = import_delta_table(
+        spark, Catalog(spark, str(tmp_path / "wh-dv")), dest, "nyc", "dv_in"
+    )
+    assert sorted(r["id"] for r in t2.scan().collect()) == expect
+    # vectors accumulate: a second delete on the same file unions
+    attach_inline_dv(dest, victim, [2])
+    got2 = sorted(
+        r["id"] for r in spark.read.format("pydelta").load(dest).collect()
+    )
+    assert got2 == sorted(set(range(20)) - set(victim_rows[:3]))
+
+
+def test_file_based_dv_refused(tmp_path):
+    from iceberg_metadata_pipeline_spark.catalog.delta_format import (
+        read_delta_table,
+    )
+
+    loc = str(tmp_path / "udv")
+    schema = T.StructType([T.StructField("x", T.LongType(), True)])
+    write_commit(
+        loc,
+        [
+            {"protocol": {"minReaderVersion": 3, "minWriterVersion": 7,
+                          "readerFeatures": ["deletionVectors"],
+                          "writerFeatures": ["deletionVectors"]}},
+            {
+                "metaData": {
+                    "id": "m",
+                    "format": {"provider": "parquet"},
+                    "schemaString": json.dumps(schema.jsonValue()),
+                    "partitionColumns": [],
+                }
+            },
+            {
+                "add": {
+                    "path": "a.parquet",
+                    "partitionValues": {},
+                    "size": 1,
+                    "modificationTime": 0,
+                    "dataChange": True,
+                    "deletionVector": {"storageType": "u",
+                                       "pathOrInlineDv": "ab<de12345",
+                                       "sizeInBytes": 40, "cardinality": 6},
+                }
+            },
+        ],
+    )
+    with pytest.raises(NotImplementedError, match="storageType 'u'"):
+        read_delta_table(loc)

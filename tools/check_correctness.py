@@ -123,6 +123,13 @@ def main():
     qs = entry_mod.queries()
     oracles = entry_mod.oracle_sql()
     names = args.names or list(qs)
+    # warm the session BEFORE timing: otherwise the first query's
+    # measured cost absorbs JVM start + fixture load (~6 s) and the
+    # cost-ordering that feeds on measured_costs.json gets skewed
+    from iceberg_metadata_pipeline_spark.session import load_tables
+
+    load_tables(spark, args.sf)
+    spark.sql("SELECT COUNT(*) FROM lineitem").collect()
     n_pass = n_fail = n_rows_only = 0
     timings: dict[str, float] = {}
     for name in names:
