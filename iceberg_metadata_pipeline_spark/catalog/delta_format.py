@@ -119,6 +119,9 @@ class DeltaTableState:
     files: dict[str, dict] = field(default_factory=dict)
     metadata: dict = field(default_factory=dict)
     protocol: dict = field(default_factory=dict)
+    # app transaction watermarks (txn actions): appId -> version — the
+    # spec's idempotent-writer mechanism (streaming exactly-once)
+    txns: dict = field(default_factory=dict)
 
 
 def _check_protocol(protocol: dict) -> None:
@@ -160,7 +163,11 @@ def _apply_action(state: DeltaTableState, a: dict) -> None:
         state.files[add["path"]] = add
     elif "remove" in a:
         state.files.pop(a["remove"]["path"], None)
-    # commitInfo / txn / cdc / domainMetadata: informational for replay
+    elif "txn" in a:
+        t = a["txn"]
+        if t.get("appId") is not None and t.get("version") is not None:
+            state.txns[str(t["appId"])] = int(t["version"])
+    # commitInfo / cdc / domainMetadata: informational for replay
 
 
 def read_delta_table(location: str, version: int | None = None) -> DeltaTableState:
@@ -223,7 +230,7 @@ def _replay_checkpoint(state: DeltaTableState, location: str, version: int) -> N
     # spec ordering: protocol/metaData first is NOT guaranteed in a
     # checkpoint; actions are a set — apply protocol/metaData before
     # file actions so schema exists when files land
-    for key in ("protocol", "metaData", "add", "remove"):
+    for key in ("protocol", "metaData", "txn", "add", "remove"):
         for r in rows:
             a = r.get(key)
             if a is not None:
@@ -251,9 +258,12 @@ def write_checkpoint(location: str, version: int | None = None) -> str:
         {"protocol": state.protocol or {"minReaderVersion": 1, "minWriterVersion": 2}},
         {"metaData": state.metadata},
     ]
+    rows.extend(
+        {"txn": {"appId": app, "version": v}} for app, v in sorted(state.txns.items())
+    )
     rows.extend({"add": add} for add in state.files.values())
     cols: dict[str, list] = {
-        k: [r.get(k) for r in rows] for k in ("protocol", "metaData", "add")
+        k: [r.get(k) for r in rows] for k in ("protocol", "metaData", "txn", "add")
     }
     tbl = pa.table(
         {
@@ -262,6 +272,10 @@ def write_checkpoint(location: str, version: int | None = None) -> str:
                 pa.struct(
                     [("minReaderVersion", pa.int32()), ("minWriterVersion", pa.int32())]
                 ),
+            ),
+            "txn": pa.array(
+                cols["txn"],
+                pa.struct([("appId", pa.string()), ("version", pa.int64())]),
             ),
             "metaData": pa.array(
                 cols["metaData"],

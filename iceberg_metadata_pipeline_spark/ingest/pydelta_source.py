@@ -44,6 +44,7 @@ from pyspark.sql.datasource import (
     DataSource,
     DataSourceReader,
     DataSourceStreamReader,
+    DataSourceStreamWriter,
     DataSourceWriter,
     InputPartition,
     WriterCommitMessage,
@@ -346,9 +347,85 @@ class PyDeltaBatchWriter(DataSourceWriter):
                 os.remove(m.tmp_path)
 
 
+class PyDeltaStreamWriter(PyDeltaBatchWriter, DataSourceStreamWriter):
+    """``df.writeStream.format("pydelta")`` — one Delta commit per
+    epoch, EXACTLY-ONCE via the spec's own ``txn`` mechanism: every
+    commit carries ``{"txn": {"appId", "version": batchId}}``, and a
+    re-delivered epoch (sink-side retry after a crash between commit
+    and checkpoint) is detected by replaying the log's txn watermark
+    and skipped — the same idempotent-writer protocol Delta's own
+    streaming sink runs. ``option("txnAppId", ...)`` names the writer
+    (default "pydelta-sink"); two different queries writing one table
+    need distinct appIds."""
+
+    def __init__(self, schema: T.StructType, options, overwrite: bool):
+        super().__init__(schema, options, overwrite)
+        self.app_id = options.get("txnAppId", "pydelta-sink")
+
+    def commit(self, messages, batchId: int) -> None:  # noqa: N803
+        import time as _time
+        import uuid as _uuid
+
+        from iceberg_metadata_pipeline_spark.catalog.delta_format import (
+            write_commit,
+        )
+
+        prev = latest_version(self.dest)
+        if prev >= 0:
+            state = read_delta_table(self.dest)
+            last = state.txns.get(self.app_id)
+            if last is not None and int(batchId) <= last:
+                # epoch already committed — drop the replayed files
+                self.abort(messages, batchId)
+                return
+        now = int(_time.time() * 1000)
+        actions: list[dict] = []
+        if prev < 0:
+            actions.append(
+                {"protocol": {"minReaderVersion": 1, "minWriterVersion": 2}}
+            )
+            actions.append(
+                {
+                    "metaData": {
+                        "id": str(_uuid.uuid4()),
+                        "format": {"provider": "parquet", "options": {}},
+                        "schemaString": json.dumps(self.schema.jsonValue()),
+                        "partitionColumns": [],
+                        "configuration": {},
+                        "createdTime": now,
+                    }
+                }
+            )
+        actions.append({"txn": {"appId": self.app_id, "version": int(batchId)}})
+        for m in sorted(messages, key=lambda m: m.tmp_path):
+            name = f"part-{int(batchId):08d}-{_uuid.uuid4().hex[:8]}.parquet"
+            os.rename(m.tmp_path, os.path.join(self.dest, name))
+            actions.append(
+                {
+                    "add": {
+                        "path": name,
+                        "partitionValues": {},
+                        "size": m.size,
+                        "modificationTime": now,
+                        "dataChange": True,
+                        "stats": json.dumps({"numRecords": m.rows}),
+                    }
+                }
+            )
+        actions.append(
+            {"commitInfo": {"timestamp": now, "operation": "STREAMING UPDATE"}}
+        )
+        write_commit(self.dest, actions)
+
+    def abort(self, messages, batchId: int) -> None:  # noqa: N803
+        for m in messages:
+            if m is not None and os.path.exists(m.tmp_path):
+                os.remove(m.tmp_path)
+
+
 class PyDeltaDataSource(DataSource):
     """``spark.dataSource.register(PyDeltaDataSource)`` → format name
-    "pydelta" for batch read/write and readStream."""
+    "pydelta" for batch read/write, readStream, and writeStream."""
 
     @classmethod
     def name(cls) -> str:
@@ -366,6 +443,9 @@ class PyDeltaDataSource(DataSource):
 
     def streamReader(self, schema: T.StructType) -> DataSourceStreamReader:
         return PyDeltaStreamReader(schema, self.options)
+
+    def streamWriter(self, schema: T.StructType, overwrite: bool):
+        return PyDeltaStreamWriter(schema, self.options, overwrite)
 
 
 def register(spark) -> None:

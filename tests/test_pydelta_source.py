@@ -5,6 +5,7 @@ the commit log, and the remove-action refusal."""
 
 from __future__ import annotations
 
+import json
 import os
 import tempfile
 
@@ -174,3 +175,65 @@ def test_writer_round_trip_append_overwrite(spark, tmp_path):
     )
     # no tmp litter after commits
     assert not [n for n in os.listdir(dest) if n.startswith("_tmp-")]
+
+
+def test_stream_writer_exactly_once(spark, tmp_path):
+    from iceberg_metadata_pipeline_spark.catalog.delta_format import (
+        read_delta_table,
+    )
+    from iceberg_metadata_pipeline_spark.ingest.pydelta_source import (
+        PyDeltaStreamWriter,
+    )
+
+    register(spark)
+    src = str(tmp_path / "src-avro")
+    # source: a delta table we tail (reuse pydelta stream reader)
+    spark.range(5).selectExpr("id").write.format("pydelta").mode("append").save(src)
+    dest = str(tmp_path / "sink-delta")
+    q = (
+        spark.readStream.format("pydelta")
+        .load(src)
+        .writeStream.format("pydelta")
+        .option("path", dest)
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    state = read_delta_table(dest)
+    assert (
+        sum(json.loads(a["stats"])["numRecords"] for a in state.files.values())
+        == 5
+    )
+    # every commit carries the txn watermark
+    assert state.txns.get("pydelta-sink") == 0
+    # re-delivered epoch (sink retry): same batchId commits nothing new
+    import types
+
+    w = PyDeltaStreamWriter(
+        spark.read.format("pydelta").load(dest).schema,
+        {"path": dest},
+        False,
+    )
+    fake = types.SimpleNamespace(tmp_path=str(tmp_path / "ghost.parquet"), rows=99, size=1)
+    open(fake.tmp_path, "wb").write(b"x")
+    w.commit([fake], batchId=0)  # duplicate epoch → dropped
+    state2 = read_delta_table(dest)
+    assert len(state2.files) == len(state.files)
+    assert not os.path.exists(fake.tmp_path)  # replayed tmp cleaned up
+    # a NEW epoch commits normally (the watermark advances)
+    sub = spark.createDataFrame([(7,)], "id long")
+    d2 = str(tmp_path / "one")
+    sub.coalesce(1).write.parquet(d2)
+    f2 = next(os.path.join(d2, n) for n in os.listdir(d2) if n.endswith(".parquet"))
+    import shutil
+
+    tmp2 = str(tmp_path / "epoch1.parquet")
+    shutil.copy(f2, tmp2)
+    w.commit(
+        [types.SimpleNamespace(tmp_path=tmp2, rows=1, size=os.path.getsize(tmp2))],
+        batchId=1,
+    )
+    state3 = read_delta_table(dest)
+    assert state3.txns["pydelta-sink"] == 1
+    assert spark.read.format("pydelta").load(dest).count() == 6
