@@ -1611,3 +1611,63 @@ def catalog_puffin_ndv_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         ("c_nationkey", ndv[fids["c_nationkey"]]),
     ]
     return spark.createDataFrame(rows, "col string, ndv bigint").orderBy("col")
+
+
+@query(
+    "catalog_format_bridge",
+    """
+SELECT r_regionkey, COUNT(*) AS n_nations, MIN(n_name) AS first_nation
+FROM region JOIN nation ON n_regionkey = r_regionkey
+GROUP BY r_regionkey
+ORDER BY r_regionkey
+""",
+)
+def catalog_format_bridge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The UniForm story end-to-end: ONE physical dataset served
+    through BOTH open table formats without copying data. nation
+    registers metadata-only in metacat → exports as a spec-v2 Iceberg
+    directory → re-imports from the Iceberg metadata into a second
+    catalog → exports THAT as a Delta log → reads back through the
+    pydelta DataSource, then joins against the raw region fixture.
+    Matching the oracle proves every metadata hop (iceberg write →
+    iceberg read → delta write → delta read) preserved the exact live
+    file set and schema; the parquet bytes never moved."""
+    import os as _os
+    import tempfile as _tf
+
+    from iceberg_metadata_pipeline_spark.catalog.delta_format import (
+        export_delta_table,
+    )
+    from iceberg_metadata_pipeline_spark.catalog.iceberg_format import (
+        export_iceberg_table,
+        import_iceberg_table,
+    )
+    from iceberg_metadata_pipeline_spark.catalog.metacat import scan_parquet_footers
+    from iceberg_metadata_pipeline_spark.ingest.pydelta_source import register
+
+    t_reg = load_tables(spark, sf_dir)
+    register(spark)
+    catalog = Catalog(spark, _tf.mkdtemp(prefix="wh-bridge-"))
+    t = catalog.create_table("nyc", "nation_b", t_reg["nation"].schema)
+    t.append_files(
+        scan_parquet_footers(_os.path.join(sf_dir, "nation.parquet"), spark)
+    )
+    ice_dir = _tf.mkdtemp(prefix="bridge-ice-")
+    export_iceberg_table(t.refresh(), ice_dir)
+    t2 = import_iceberg_table(
+        spark, Catalog(spark, _tf.mkdtemp(prefix="wh-bridge2-")), ice_dir,
+        "nyc", "nation_b2",
+    )
+    delta_dir = _tf.mkdtemp(prefix="bridge-delta-")
+    export_delta_table(t2, delta_dir)
+    nation = spark.read.format("pydelta").load(delta_dir)
+    region = t_reg["region"]
+    return (
+        nation.join(region, nation["n_regionkey"] == region["r_regionkey"])
+        .groupBy("r_regionkey")
+        .agg(
+            F.count(F.lit(1)).alias("n_nations"),
+            F.min("n_name").alias("first_nation"),
+        )
+        .orderBy("r_regionkey")
+    )
