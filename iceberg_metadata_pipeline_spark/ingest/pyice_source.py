@@ -1,0 +1,228 @@
+"""`pyice` — Spark 4 Python DataSource over real Iceberg table
+directories (catalog/iceberg_format.py's reader).
+
+``spark.read.format("pyice").load(table_dir)`` scans the CURRENT
+snapshot of any spec v1/v2 (+ v3 deletion-vector) Iceberg table with no
+jar and no import step: metadata JSON → manifest list → manifests →
+one input partition per live data file. Merge-on-read state applies
+per file with the spec's sequence rules:
+
+- position deletes (parquet ``file_path``/``pos`` files AND v3 puffin
+  deletion vectors) drop positions where ``delete.seq >= data.seq``;
+- equality deletes drop rows matching the delete file's column tuple
+  where ``delete.seq > data.seq`` (null-safe equality, per spec).
+
+Delete files are decoded DRIVER-side at plan time — they are O(deleted
+rows) metadata, exactly what Iceberg's own scan planner broadcasts to
+tasks — and shipped inside each InputPartition, so the per-file reader
+is a single sequential pyarrow pass with a position counter and a
+tuple-set probe: no shuffle anywhere.
+
+This is the tailing/read-anywhere twin of ``pydelta``: for heavy
+analytics, ``import_iceberg_table`` registers the files into metacat
+and Spark's vectorized parquet scan takes over; ``pyice`` is for
+reading a foreign warehouse in place.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+from pyspark.sql import types as T
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceReader,
+    InputPartition,
+)
+
+from iceberg_metadata_pipeline_spark.catalog.iceberg_format import (
+    read_iceberg_table,
+)
+
+
+def _local(path: str) -> str:
+    return path[len("file:") :] if path.startswith("file:") else path
+
+
+def _norm(p: str) -> str:
+    import re
+
+    return re.sub(r"^file:/+", "/", p)
+
+
+@dataclass
+class IceFilePartition(InputPartition):
+    path: str
+    data_seq: int
+    # positions dead under the seq rule (already filtered: del_seq >= data_seq)
+    deleted_pos: tuple = ()
+    # equality deletes applicable to this file (del_seq > data_seq):
+    # tuple of (columns, value-tuples)
+    eq_deletes: tuple = ()
+
+
+class PyIceBatchReader(DataSourceReader):
+    def __init__(self, options):
+        self.path = _local(options["path"])
+        info = read_iceberg_table(self.path)
+        self.schema = info.schema
+        self.names = [f.name for f in info.schema.fields]
+
+        # decode MOR delete files once, driver-side (O(deleted rows))
+        pos_by_file: dict[str, list[tuple[int, int]]] = {}  # file -> [(pos, seq)]
+        eq_sets: list[tuple[tuple[str, ...], tuple, int]] = []  # (cols, rows, seq)
+        for d in info.delete_files:
+            if d.content == 1:
+                if d.dv is not None:
+                    for ref, positions in d.dv:
+                        pos_by_file.setdefault(_norm(ref), []).extend(
+                            (int(p), d.seq) for p in positions
+                        )
+                else:
+                    import pyarrow.parquet as pq
+
+                    t = pq.read_table(d.path, columns=["file_path", "pos"])
+                    for fp, pos in zip(
+                        t.column("file_path").to_pylist(),
+                        t.column("pos").to_pylist(),
+                    ):
+                        pos_by_file.setdefault(_norm(fp), []).append(
+                            (int(pos), d.seq)
+                        )
+            elif d.content == 2:
+                import pyarrow.parquet as pq
+
+                t = pq.read_table(d.path, columns=list(d.equality_cols))
+                rows = tuple(
+                    tuple(t.column(c)[i].as_py() for c in d.equality_cols)
+                    for i in range(t.num_rows)
+                )
+                eq_sets.append((tuple(d.equality_cols), rows, d.seq))
+
+        self._parts = []
+        for f in info.files:
+            fnorm = _norm(f.path)
+            dead = tuple(
+                sorted(
+                    p
+                    for p, dseq in pos_by_file.get(fnorm, [])
+                    if dseq >= f.seq
+                )
+            )
+            eqs = tuple(
+                (cols, rows) for cols, rows, dseq in eq_sets if dseq > f.seq
+            )
+            self._parts.append(
+                IceFilePartition(f.path, f.seq, dead, eqs)
+            )
+
+    def partitions(self):
+        return self._parts
+
+    def read(self, partition: IceFilePartition):
+        import pyarrow.parquet as pq
+
+        dead = set(partition.deleted_pos)
+        # pre-index equality deletes: column tuple -> set of value rows
+        eq_probe = [
+            (cols, set(rows)) for cols, rows in partition.eq_deletes
+        ]
+        pf = pq.ParquetFile(partition.path)
+        pos = 0
+        name_idx = {n: i for i, n in enumerate(self.names)}
+        for batch in pf.iter_batches(columns=self.names):
+            got = dict(
+                zip(batch.schema.names,
+                    (batch.column(i).to_pylist() for i in range(batch.num_columns)))
+            )
+            ordered = [got[n] for n in self.names]
+            for row in zip(*ordered):
+                if pos in dead:
+                    pos += 1
+                    continue
+                alive = True
+                for cols, probe in eq_probe:
+                    if tuple(row[name_idx[c]] for c in cols) in probe:
+                        alive = False
+                        break
+                if alive:
+                    yield row
+                pos += 1
+
+
+class PyIceDataSource(DataSource):
+    """``spark.dataSource.register(PyIceDataSource)`` → format name
+    "pyice" for batch reads of Iceberg table directories."""
+
+    @classmethod
+    def name(cls) -> str:
+        return "pyice"
+
+    def schema(self):
+        return read_iceberg_table(_local(self.options["path"])).schema
+
+    def reader(self, schema: T.StructType) -> DataSourceReader:
+        return PyIceBatchReader(self.options)
+
+
+def register(spark) -> None:
+    """Idempotent format registration (latest registration wins)."""
+    spark.dataSource.register(PyIceDataSource)
+
+
+def _declare_queries() -> None:
+    from pyspark.sql import DataFrame, SparkSession
+    from pyspark.sql import functions as F
+
+    from iceberg_metadata_pipeline_spark.queries import query
+    from iceberg_metadata_pipeline_spark.session import load_tables
+
+    @query(
+        "source_pyice_datasource",
+        """
+SELECT p_brand, COUNT(*) AS n,
+  CAST(SUM(CAST(p_size AS BIGINT)) AS BIGINT) AS total_size
+FROM part
+GROUP BY p_brand
+ORDER BY p_brand
+""",
+    )
+    def source_pyice_datasource(spark: SparkSession, sf_dir: str) -> DataFrame:
+        """Read a REAL Iceberg directory with plain ``spark.read``: the
+        part fixture registers metadata-only, exports as spec-v2, and
+        the pyice DataSource scans the exported metadata (manifest
+        list → manifests → files, one task per file) with no import
+        step. Matching the raw-fixture oracle proves the whole
+        metadata chain and the DataSource plumbing."""
+        import os as _os
+        import tempfile as _tf
+
+        from iceberg_metadata_pipeline_spark.catalog.iceberg_format import (
+            export_iceberg_table,
+        )
+        from iceberg_metadata_pipeline_spark.catalog.metacat import (
+            Catalog,
+            scan_parquet_footers,
+        )
+
+        load_tables(spark, sf_dir)
+        register(spark)
+        catalog = Catalog(spark, _tf.mkdtemp(prefix="wh-pyice-"))
+        t = catalog.create_table("nyc", "part_ice", spark.table("part").schema)
+        t.append_files(
+            scan_parquet_footers(_os.path.join(sf_dir, "part.parquet"), spark)
+        )
+        dest = _tf.mkdtemp(prefix="pyice-q-")
+        export_iceberg_table(t.refresh(), dest)
+        back = spark.read.format("pyice").load(dest)
+        return (
+            back.groupBy("p_brand")
+            .agg(
+                F.count(F.lit(1)).alias("n"),
+                F.sum(F.col("p_size").cast("bigint")).alias("total_size"),
+            )
+            .orderBy("p_brand")
+        )
+
+
+_declare_queries()
