@@ -1252,6 +1252,12 @@ _PROC_POSITIONAL = {
         "changelog_view",
     ],
     "cherrypick_snapshot": ["table", "snapshot_id"],
+    # format-interop procedures (round 6): the Iceberg/Delta format
+    # layers reachable from plain SQL
+    "export_iceberg": ["table", "location"],
+    "import_iceberg": ["location", "table"],
+    "export_delta": ["table", "location"],
+    "import_delta": ["location", "table"],
 }
 
 
@@ -1305,11 +1311,52 @@ def _run_procedure(catalog: Catalog, proc: str, raw_args: str) -> DataFrame:
             [(sref, dref, len(files))],
             "source string, table string, imported_files_count int",
         )
+    if proc in ("import_iceberg", "import_delta"):
+        # target table does not exist yet — resolved here, not via load
+        dref = str(args["table"])
+        dns, dname = dref.split(".", 1)
+        loc = str(args["location"])
+        if proc == "import_iceberg":
+            from iceberg_metadata_pipeline_spark.catalog.iceberg_format import (
+                import_iceberg_table,
+            )
+
+            t = import_iceberg_table(spark, catalog, loc, dns, dname)
+        else:
+            from iceberg_metadata_pipeline_spark.catalog.delta_format import (
+                import_delta_table,
+            )
+
+            t = import_delta_table(spark, catalog, loc, dns, dname)
+        return spark.createDataFrame(
+            [(loc, dref, len(t.snapshot_files()))],
+            "location string, table string, imported_files_count int",
+        )
     tref = args.pop("table", None)
     if not isinstance(tref, str) or "." not in tref:
         raise ValueError(f"system.{proc} needs table => 'ns.name'")
     ns, name = tref.split(".", 1)
     table = catalog.load_table(ns, name)
+
+    if proc == "export_iceberg":
+        from iceberg_metadata_pipeline_spark.catalog.iceberg_format import (
+            export_iceberg_table,
+        )
+
+        meta_path = export_iceberg_table(table, str(args["location"]))
+        return spark.createDataFrame(
+            [(tref, meta_path)], "table string, metadata_path string"
+        )
+    if proc == "export_delta":
+        from iceberg_metadata_pipeline_spark.catalog.delta_format import (
+            export_delta_table,
+        )
+
+        v = export_delta_table(table, str(args["location"]))
+        return spark.createDataFrame(
+            [(tref, str(args["location"]), v)],
+            "table string, location string, version long",
+        )
 
     if proc == "rollback_to_snapshot":
         prev = table.meta.get("current_snapshot_id")

@@ -1280,3 +1280,41 @@ def test_in_subquery_compound_predicate_rejected(catalog, spark, versioned_table
         )
     with _pytest.raises(ValueError, match="BY NAME"):
         catalog_sql(catalog, "INSERT INTO nyc.vt (id) BY NAME SELECT 9 AS id")
+
+
+def test_call_format_interop_procedures(spark, tmp_path):
+    """CALL system.export_iceberg / import_delta etc. — the format
+    layers reachable from plain SQL (round-trip through BOTH formats
+    via four CALL statements)."""
+    from iceberg_metadata_pipeline_spark.catalog.metacat import Catalog
+    from iceberg_metadata_pipeline_spark.catalog.sqlfront import catalog_sql
+
+    catalog = Catalog(spark, str(tmp_path / "wh-proc"))
+    t = catalog.create_table(
+        "nyc", "proc_src", spark.range(12).selectExpr("id").schema
+    ).refresh()
+    t.append_dataframe(spark.range(12).selectExpr("id"))
+
+    ice = str(tmp_path / "ice-out")
+    row = catalog_sql(
+        catalog, f"CALL system.export_iceberg('nyc.proc_src', '{ice}')"
+    ).collect()[0]
+    assert row["metadata_path"].endswith(".metadata.json")
+
+    catalog_sql(
+        catalog, f"CALL system.import_iceberg('{ice}', 'nyc.proc_ice')"
+    ).collect()
+    assert catalog.load_table("nyc", "proc_ice").scan().count() == 12
+
+    delta = str(tmp_path / "delta-out")
+    row = catalog_sql(
+        catalog, f"CALL system.export_delta('nyc.proc_ice', '{delta}')"
+    ).collect()[0]
+    assert row["version"] == 0
+
+    catalog_sql(
+        catalog, f"CALL system.import_delta('{delta}', 'nyc.proc_dl')"
+    ).collect()
+    assert sorted(
+        r["id"] for r in catalog.load_table("nyc", "proc_dl").scan().collect()
+    ) == list(range(12))
