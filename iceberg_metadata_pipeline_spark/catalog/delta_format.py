@@ -681,3 +681,90 @@ def _live_rows_dataframe(spark: SparkSession, state: DeltaTableState):
             "left_anti",
         )
     return data.select(*[f.name for f in state.schema.fields])
+
+
+# ---------------------------------------------------------------------------
+# maintenance: vacuum, log cleanup, history
+# ---------------------------------------------------------------------------
+
+
+def delta_history(location: str) -> list[dict]:
+    """DESCRIBE HISTORY: one row per commit, newest first — version,
+    timestamp, operation (from commitInfo when present), and action
+    counts. O(log) driver-side metadata."""
+    out = []
+    for v in range(latest_version(location), -1, -1):
+        ops = {"add": 0, "remove": 0}
+        info: dict = {}
+        with open(_commit_path(location, v)) as fh:
+            for line in fh:
+                line = line.strip()
+                if not line:
+                    continue
+                a = json.loads(line)
+                if "commitInfo" in a:
+                    info = a["commitInfo"]
+                for k in ops:
+                    if k in a:
+                        ops[k] += 1
+        out.append(
+            {
+                "version": v,
+                "timestamp": info.get("timestamp"),
+                "operation": info.get("operation"),
+                "num_added_files": ops["add"],
+                "num_removed_files": ops["remove"],
+            }
+        )
+    return out
+
+
+def vacuum_delta(location: str, dry_run: bool = False) -> list[str]:
+    """VACUUM: delete data files under the table directory that no
+    RETAINED log version references (tmp litter from crashed writers,
+    files removed at every retained version). The full retained history
+    is consulted — not just the head — so time travel to any still-
+    replayable version keeps working; external (absolute-path) files
+    are never touched. Returns the deleted paths."""
+    referenced: set[str] = set()
+    for v in range(latest_version(location) + 1):
+        with open(_commit_path(location, v)) as fh:
+            for line in fh:
+                line = line.strip()
+                if not line:
+                    continue
+                a = json.loads(line)
+                for k in ("add", "remove"):
+                    if k in a:
+                        p = a[k]["path"]
+                        if not os.path.isabs(p):
+                            referenced.add(os.path.join(location, p))
+    victims = []
+    for root, dirs, names in os.walk(location):
+        if _LOG_DIR in root:
+            continue
+        for n in names:
+            p = os.path.join(root, n)
+            if p not in referenced:
+                victims.append(p)
+    victims.sort()
+    if not dry_run:
+        for p in victims:
+            os.remove(p)
+    return victims
+
+
+def cleanup_delta_log(location: str, keep_last: int = 10) -> list[str]:
+    """Log retention: checkpoint the current state, then delete JSON
+    commits older than the newest ``keep_last`` (the spec's metadata
+    cleanup — safe because replay restarts from the checkpoint).
+    Returns the removed commit paths."""
+    last = latest_version(location)
+    write_checkpoint(location)
+    removed = []
+    for v in range(0, max(0, last - keep_last + 1)):
+        p = _commit_path(location, v)
+        if os.path.exists(p):
+            os.remove(p)
+            removed.append(p)
+    return removed

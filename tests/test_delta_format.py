@@ -381,3 +381,98 @@ def test_file_based_dv_refused(tmp_path):
     )
     with pytest.raises(NotImplementedError, match="storageType 'u'"):
         read_delta_table(loc)
+
+
+def test_history_vacuum_and_log_cleanup(spark, metacat_table, tmp_path):
+    from iceberg_metadata_pipeline_spark.catalog.delta_format import (
+        cleanup_delta_log,
+        delta_history,
+        vacuum_delta,
+    )
+
+    _, t = metacat_table
+    dest = str(tmp_path / "delta_maint")
+    export_delta_table(t, dest)
+    df = spark.createDataFrame([(999, "x", 0.5)], schema=t.schema)
+    for _ in range(3):
+        t.append_dataframe(df)
+        t = t.refresh()
+        export_delta_table(t, dest)
+    hist = delta_history(dest)
+    assert [h["version"] for h in hist] == [3, 2, 1, 0]
+    assert hist[0]["operation"] == "WRITE" and hist[0]["num_added_files"] >= 1
+
+    # vacuum: un-referenced litter goes, referenced files stay
+    litter = os.path.join(dest, "_tmp-crashed.parquet")
+    open(litter, "wb").write(b"x")
+    victims = vacuum_delta(dest, dry_run=True)
+    assert victims == [litter] and os.path.exists(litter)
+    assert vacuum_delta(dest) == [litter] and not os.path.exists(litter)
+
+    # log cleanup: old commits go, state survives via the checkpoint
+    before = read_delta_table(dest)
+    removed = cleanup_delta_log(dest, keep_last=2)
+    assert len(removed) == 2  # versions 0 and 1
+    after = read_delta_table(dest)
+    assert after.files.keys() == before.files.keys()
+    assert after.schema == before.schema
+
+
+def test_fuzz_checkpoint_equals_json_replay(tmp_path):
+    """Invariant: state replayed through (checkpoint + tail) equals
+    state replayed through JSON commits alone, over randomized
+    add/remove/txn commit sequences and a random checkpoint position."""
+    import random
+
+    from iceberg_metadata_pipeline_spark.catalog.delta_format import (
+        write_checkpoint,
+    )
+
+    schema = T.StructType([T.StructField("x", T.LongType(), True)])
+    for seed in range(12):
+        rng = random.Random(3000 + seed)
+        loc = str(tmp_path / f"fz{seed}")
+        write_commit(
+            loc,
+            [
+                {"protocol": {"minReaderVersion": 1, "minWriterVersion": 2}},
+                {
+                    "metaData": {
+                        "id": "m",
+                        "format": {"provider": "parquet"},
+                        "schemaString": json.dumps(schema.jsonValue()),
+                        "partitionColumns": [],
+                    }
+                },
+            ],
+        )
+        live: set[str] = set()
+        for v in range(1, rng.randint(3, 7)):
+            actions = []
+            for _ in range(rng.randint(1, 4)):
+                if live and rng.random() < 0.35:
+                    p = rng.choice(sorted(live))
+                    live.discard(p)
+                    actions.append(
+                        {"remove": {"path": p, "deletionTimestamp": v,
+                                    "dataChange": True}}
+                    )
+                else:
+                    p = f"f{v}-{rng.randrange(1000)}.parquet"
+                    live.add(p)
+                    actions.append(
+                        {"add": {"path": p, "partitionValues": {}, "size": 1,
+                                 "modificationTime": v, "dataChange": True}}
+                    )
+            if rng.random() < 0.5:
+                actions.append(
+                    {"txn": {"appId": "app", "version": v}}
+                )
+            write_commit(loc, actions)
+        json_state = read_delta_table(loc)
+        ckpt_v = rng.randint(0, json_state.version)
+        write_checkpoint(loc, ckpt_v)
+        ckpt_state = read_delta_table(loc)
+        assert ckpt_state.files.keys() == json_state.files.keys(), seed
+        assert ckpt_state.txns == json_state.txns, seed
+        assert ckpt_state.schema == json_state.schema, seed
