@@ -89,11 +89,15 @@ HEADLINE = [
     "source_pyavro_datasource",
     "udtf_table_partition_by",
     # round-6 additions: Delta-log round-trip, salted skew join, CCNet
-    # boilerplate line dedup, BM25 ranking
+    # boilerplate line dedup, BM25 ranking, the pyice/pydelta
+    # DataSources, and the Iceberg->Delta format bridge
     "catalog_delta_export_import",
     "join_skew_salted",
     "text_boilerplate_line_dedup",
     "text_bm25_rank",
+    "source_pyice_datasource",
+    "source_pydelta_datasource",
+    "catalog_format_bridge",
 ]
 
 
