@@ -152,3 +152,75 @@ def embed_kmeans_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("size_rank")
     )
+
+
+# --- Matryoshka truncation evaluation --------------------------------------
+# MRL-style embeddings keep most retrieval quality in a prefix of the
+# dimensions; before switching a 100 TB ANN index to truncated vectors
+# (4x less memory at 16/64 dims) you measure retrieval overlap@k between
+# full-dim and truncated rankings. Both rankings are exact brute-force
+# cosine over a fixed query set (deterministic: ordered-fold arithmetic,
+# ties broken by cand_id), so the overlap count is oracle-exact.
+from iceberg_metadata_pipeline_spark.llmops.similarity import (  # noqa: E402
+    _DUCK_COS,
+    _SPARK_COS,
+)
+
+sql_query(
+    "embed_matryoshka_overlap",
+    f"""
+WITH trunc AS (
+  SELECT vec_id, slice(CAST(embedding AS ARRAY<DOUBLE>), 1, 16) AS embedding
+  FROM embeddings
+),
+fr AS (
+  SELECT q.vec_id AS query_id, c.vec_id AS cand_id,
+         ROW_NUMBER() OVER (PARTITION BY q.vec_id
+                            ORDER BY {_SPARK_COS} DESC, c.vec_id) AS rn
+  FROM embeddings q JOIN embeddings c
+    ON q.vec_id < 8 AND c.vec_id <> q.vec_id
+),
+hr AS (
+  SELECT q.vec_id AS query_id, c.vec_id AS cand_id,
+         ROW_NUMBER() OVER (PARTITION BY q.vec_id
+                            ORDER BY {_SPARK_COS} DESC, c.vec_id) AS rn
+  FROM trunc q JOIN trunc c
+    ON q.vec_id < 8 AND c.vec_id <> q.vec_id
+)
+SELECT f.query_id,
+       CAST(SUM(CASE WHEN h.cand_id IS NOT NULL THEN 1 ELSE 0 END) AS INT)
+         AS overlap_at_5
+FROM (SELECT * FROM fr WHERE rn <= 5) f
+LEFT JOIN (SELECT * FROM hr WHERE rn <= 5) h
+  ON f.query_id = h.query_id AND f.cand_id = h.cand_id
+GROUP BY f.query_id
+ORDER BY f.query_id
+""",
+    oracle=f"""
+WITH trunc AS (
+  SELECT vec_id, embedding[1:16] AS embedding FROM embeddings
+),
+fr AS (
+  SELECT q.vec_id AS query_id, c.vec_id AS cand_id,
+         ROW_NUMBER() OVER (PARTITION BY q.vec_id
+                            ORDER BY {_DUCK_COS} DESC, c.vec_id) AS rn
+  FROM embeddings q JOIN embeddings c
+    ON q.vec_id < 8 AND c.vec_id <> q.vec_id
+),
+hr AS (
+  SELECT q.vec_id AS query_id, c.vec_id AS cand_id,
+         ROW_NUMBER() OVER (PARTITION BY q.vec_id
+                            ORDER BY {_DUCK_COS} DESC, c.vec_id) AS rn
+  FROM trunc q JOIN trunc c
+    ON q.vec_id < 8 AND c.vec_id <> q.vec_id
+)
+SELECT f.query_id,
+       CAST(SUM(CASE WHEN h.cand_id IS NOT NULL THEN 1 ELSE 0 END) AS INT)
+         AS overlap_at_5
+FROM (SELECT * FROM fr WHERE rn <= 5) f
+LEFT JOIN (SELECT * FROM hr WHERE rn <= 5) h
+  ON f.query_id = h.query_id AND f.cand_id = h.cand_id
+GROUP BY f.query_id
+ORDER BY f.query_id
+""",
+)
