@@ -574,6 +574,33 @@ def export_iceberg_table(table: Table, dest: str) -> str:
         ),
         default=0,
     )
+    if existing and snapshot_id is not None:
+        # carry forward puffin statistics still valid for this snapshot
+        # (attach_ndv_statistics wrote them into a PREVIOUS vN; a fresh
+        # export must not silently drop table stats the CBO relies on)
+        prev_path = max(
+            existing,
+            key=lambda p: int(
+                re.fullmatch(
+                    r"v(\d+)\.metadata\.json", os.path.basename(p)
+                ).group(1)
+            )
+            if re.fullmatch(r"v(\d+)\.metadata\.json", os.path.basename(p))
+            else -1,
+        )
+        try:
+            with open(prev_path) as fh:
+                prev_md = json.load(fh)
+            kept = [
+                s
+                for s in prev_md.get("statistics", [])
+                if s.get("snapshot-id") == snapshot_id
+                and os.path.exists(s.get("statistics-path", ""))
+            ]
+            if kept:
+                metadata["statistics"] = kept
+        except (OSError, json.JSONDecodeError):
+            pass  # unreadable previous metadata: export fresh without stats
     meta_path = os.path.join(meta_dir, f"v{next_v}.metadata.json")
     with open(meta_path + ".tmp", "w") as fh:
         json.dump(metadata, fh, indent=2)

@@ -146,3 +146,25 @@ def test_attach_refuses_unknown_column(spark, tmp_path):
     meta_path = export_iceberg_table(t.refresh(), str(tmp_path / "ice2"))
     with pytest.raises(ValueError, match="not in exported schema"):
         attach_ndv_statistics(spark, t.refresh(), meta_path, ["ghost"])
+
+
+def test_statistics_survive_re_export(spark, tmp_path):
+    """A fresh export of the SAME snapshot carries the previously
+    attached statistics forward (dropping them silently would starve
+    the CBO); a new snapshot's export does not inherit stale stats."""
+    catalog = Catalog(spark, str(tmp_path / "wh3"))
+    st = T.StructType([T.StructField("x", T.LongType(), True)])
+    t = catalog.create_table("nyc", "s3", st).refresh()
+    t.append_dataframe(spark.range(50).selectExpr("id AS x"))
+    t = t.refresh()
+    dest = str(tmp_path / "ice3")
+    meta_path = export_iceberg_table(t, dest)
+    attach_ndv_statistics(spark, t, meta_path, ["x"])
+    meta2 = export_iceberg_table(t, dest)  # same snapshot, next vN
+    md2 = json.load(open(meta2))
+    assert len(md2.get("statistics", [])) == 1
+    assert read_ndv_statistics(meta2)  # readable through the new version
+    # snapshot moves -> stats for the OLD snapshot are not carried
+    t.append_dataframe(spark.range(3).selectExpr("id AS x"))
+    meta3 = export_iceberg_table(t.refresh(), dest)
+    assert json.load(open(meta3)).get("statistics", []) == []
