@@ -1562,6 +1562,62 @@ def catalog_delta_export_import(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "catalog_hudi_export_import",
+    """
+SELECT p_brand, COUNT(*) AS n,
+  CAST(SUM(CAST(p_retailprice AS DECIMAL(38,6))) AS DOUBLE) AS total_price
+FROM part
+GROUP BY p_brand
+ORDER BY p_brand
+""",
+)
+def catalog_hudi_export_import(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Round-trip through the REAL Apache Hudi COW format (no jar):
+    register the part fixture metadata-only, export as a Hudi table —
+    .hoodie timeline with requested/inflight/completed instants,
+    HoodieCommitMetadata write stats, canonical
+    <fileId>_<token>_<instant>.parquet base-file names symlinked to the
+    original parquet per catalog/hudi_format.py — then compact the
+    source and RE-export (exercising the incremental replacecommit +
+    commit path), re-import the latest snapshot into a SECOND metacat
+    catalog and aggregate. Matching the raw-fixture oracle proves the
+    timeline replay resolved file groups/slices to the exact live set —
+    the Hudi leg of the open-table-format trio (Iceberg r5, Delta r6)."""
+    import os as _os
+    import tempfile as _tf
+
+    from iceberg_metadata_pipeline_spark.catalog.hudi_format import (
+        export_hudi_table,
+        import_hudi_table,
+    )
+    from iceberg_metadata_pipeline_spark.catalog.metacat import scan_parquet_footers
+
+    part = load_tables(spark, sf_dir)["part"]
+    catalog = Catalog(spark, _tf.mkdtemp(prefix="wh-hudi-"))
+    t = catalog.create_table("nyc", "part_hd", part.schema)
+    t.append_files(scan_parquet_footers(_os.path.join(sf_dir, "part.parquet"), spark))
+    dest = _tf.mkdtemp(prefix="hudi-mirror-")
+    export_hudi_table(t.refresh(), dest)
+    t = t.refresh()
+    t.rewrite_data_files(target_num_files=2)
+    export_hudi_table(t.refresh(), dest)  # replacecommit + commit
+    t2 = import_hudi_table(
+        spark, Catalog(spark, _tf.mkdtemp(prefix="wh-hudi2-")), dest, "nyc", "part_rt"
+    )
+    return (
+        t2.scan()
+        .groupBy("p_brand")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("p_retailprice").cast("decimal(38,6)"))
+            .cast("double")
+            .alias("total_price"),
+        )
+        .orderBy("p_brand")
+    )
+
+
+@query(
     "catalog_puffin_ndv_stats",
     """
 SELECT 'c_mktsegment' AS col, COUNT(DISTINCT c_mktsegment) AS ndv FROM customer

@@ -1258,6 +1258,8 @@ _PROC_POSITIONAL = {
     "import_iceberg": ["location", "table"],
     "export_delta": ["table", "location"],
     "import_delta": ["location", "table"],
+    "export_hudi": ["table", "location"],
+    "import_hudi": ["location", "table"],
 }
 
 
@@ -1311,7 +1313,7 @@ def _run_procedure(catalog: Catalog, proc: str, raw_args: str) -> DataFrame:
             [(sref, dref, len(files))],
             "source string, table string, imported_files_count int",
         )
-    if proc in ("import_iceberg", "import_delta"):
+    if proc in ("import_iceberg", "import_delta", "import_hudi"):
         # target table does not exist yet — resolved here, not via load
         dref = str(args["table"])
         dns, dname = dref.split(".", 1)
@@ -1322,6 +1324,12 @@ def _run_procedure(catalog: Catalog, proc: str, raw_args: str) -> DataFrame:
             )
 
             t = import_iceberg_table(spark, catalog, loc, dns, dname)
+        elif proc == "import_hudi":
+            from iceberg_metadata_pipeline_spark.catalog.hudi_format import (
+                import_hudi_table,
+            )
+
+            t = import_hudi_table(spark, catalog, loc, dns, dname)
         else:
             from iceberg_metadata_pipeline_spark.catalog.delta_format import (
                 import_delta_table,
@@ -1356,6 +1364,16 @@ def _run_procedure(catalog: Catalog, proc: str, raw_args: str) -> DataFrame:
         return spark.createDataFrame(
             [(tref, str(args["location"]), v)],
             "table string, location string, version long",
+        )
+    if proc == "export_hudi":
+        from iceberg_metadata_pipeline_spark.catalog.hudi_format import (
+            export_hudi_table,
+        )
+
+        instant = export_hudi_table(table, str(args["location"]))
+        return spark.createDataFrame(
+            [(tref, str(args["location"]), instant)],
+            "table string, location string, instant string",
         )
 
     if proc == "rollback_to_snapshot":

@@ -1318,3 +1318,17 @@ def test_call_format_interop_procedures(spark, tmp_path):
     assert sorted(
         r["id"] for r in catalog.load_table("nyc", "proc_dl").scan().collect()
     ) == list(range(12))
+
+    # third format: the Delta import round-trips onward through Hudi
+    hudi = str(tmp_path / "hudi-out")
+    row = catalog_sql(
+        catalog, f"CALL system.export_hudi('nyc.proc_dl', '{hudi}')"
+    ).collect()[0]
+    assert len(row["instant"]) == 17 and row["instant"].isdigit()
+
+    catalog_sql(
+        catalog, f"CALL system.import_hudi('{hudi}', 'nyc.proc_hd')"
+    ).collect()
+    assert sorted(
+        r["id"] for r in catalog.load_table("nyc", "proc_hd").scan().collect()
+    ) == list(range(12))
