@@ -1562,6 +1562,65 @@ def catalog_delta_export_import(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "catalog_delta_cdf",
+    """
+SELECT * FROM (
+  SELECT 'delete' AS change_type, COUNT(*) AS n,
+    CAST(SUM(CAST(c_acctbal AS DECIMAL(38,6))) AS DOUBLE) AS bal
+  FROM customer
+  UNION ALL
+  SELECT 'insert' AS change_type, COUNT(*) AS n,
+    CAST(SUM(CAST(c_acctbal AS DECIMAL(38,6))) AS DOUBLE) AS bal
+  FROM customer WHERE c_acctbal > 0
+) ORDER BY change_type
+""",
+)
+def catalog_delta_cdf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Delta Change Data Feed over an exported mirror: customer
+    registers metadata-only → Delta export v0 → the table is
+    overwritten down to positive-balance rows → incremental re-export
+    (v1 = removes for the old file set + adds for the new) →
+    ``table_changes(v1)`` derives the change rows per the protocol
+    (adds read as inserts, removed files as deletes) and the query
+    aggregates count+balance per change type. Matching the oracle —
+    deletes cover ALL original rows, inserts exactly the survivors —
+    proves the CDF read reconstructs the commit's full row-level change
+    set. At 100 TB this is the O(churn) downstream-sync primitive: a
+    consumer reads only the files the commit touched."""
+    import os as _os
+    import tempfile as _tf
+
+    from iceberg_metadata_pipeline_spark.catalog.delta_format import (
+        export_delta_table,
+        table_changes,
+    )
+    from iceberg_metadata_pipeline_spark.catalog.metacat import scan_parquet_footers
+
+    customer = load_tables(spark, sf_dir)["customer"]
+    catalog = Catalog(spark, _tf.mkdtemp(prefix="wh-cdf-"))
+    t = catalog.create_table("nyc", "customer_cdf", customer.schema)
+    t.append_files(
+        scan_parquet_footers(_os.path.join(sf_dir, "customer.parquet"), spark)
+    )
+    dest = _tf.mkdtemp(prefix="delta-cdf-")
+    export_delta_table(t.refresh(), dest)
+    t = t.refresh()
+    t.overwrite_dataframe(t.scan().where("c_acctbal > 0"))
+    v = export_delta_table(t.refresh(), dest)
+    ch = table_changes(spark, dest, v, v)
+    return (
+        ch.groupBy(F.col("_change_type").alias("change_type"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("c_acctbal").cast("decimal(38,6)"))
+            .cast("double")
+            .alias("bal"),
+        )
+        .orderBy("change_type")
+    )
+
+
+@query(
     "catalog_hudi_export_import",
     """
 SELECT p_brand, COUNT(*) AS n,

@@ -768,3 +768,176 @@ def cleanup_delta_log(location: str, keep_last: int = 10) -> list[str]:
             os.remove(p)
             removed.append(p)
     return removed
+
+
+# ---------------------------------------------------------------------------
+# Change Data Feed (protocol "Change Data Files" / cdc actions)
+# ---------------------------------------------------------------------------
+
+_CDC_DIR = "_change_data"
+_CDF_COLS = ("_change_type", "_commit_version", "_commit_timestamp")
+
+
+def enable_cdf(location: str) -> int:
+    """Commit a metaData update setting
+    ``delta.enableChangeDataFeed=true`` (replay is last-writer-wins, so
+    re-committing the current metaData with the flag is the spec's own
+    ALTER TABLE SET TBLPROPERTIES path) plus the protocol bump to
+    writerVersion 4 that the feature requires."""
+    state = read_delta_table(location)
+    md = dict(state.metadata)
+    conf = dict(md.get("configuration") or {})
+    conf["delta.enableChangeDataFeed"] = "true"
+    md["configuration"] = conf
+    return write_commit(
+        location,
+        [
+            {"protocol": {"minReaderVersion": 1, "minWriterVersion": 4}},
+            {"metaData": md},
+            {"commitInfo": {"timestamp": int(time.time() * 1000),
+                            "operation": "SET TBLPROPERTIES",
+                            "operationParameters": {}}},
+        ],
+    )
+
+
+def write_cdc_files(spark: SparkSession, location: str, changes) -> list[dict]:
+    """Write a change DataFrame (must carry ``_change_type``:
+    insert | update_preimage | update_postimage | delete) as parquet
+    under ``_change_data/`` and return the ``cdc`` actions to include
+    in the commit. Change files here hold ALL columns including
+    partition columns (``partitionValues`` stays empty — legal: cdc
+    partitioning mirrors the writer's choice, and unpartitioned change
+    files keep the reader a plain parquet scan)."""
+    if "_change_type" not in changes.columns:
+        raise ValueError("changes DataFrame must carry _change_type")
+    cdc_dir = os.path.join(location, _CDC_DIR)
+    os.makedirs(cdc_dir, exist_ok=True)
+    out = os.path.join(cdc_dir, f"cdc-{uuid.uuid4().hex}")
+    changes.write.mode("overwrite").parquet(out)
+    actions = []
+    for root, _dirs, names in os.walk(out):
+        for n in sorted(names):
+            if not n.endswith(".parquet"):
+                continue
+            p = os.path.join(root, n)
+            actions.append(
+                {
+                    "cdc": {
+                        "path": os.path.relpath(p, location),
+                        "partitionValues": {},
+                        "size": os.path.getsize(p),
+                        "dataChange": False,
+                    }
+                }
+            )
+    return actions
+
+
+def table_changes(
+    spark: SparkSession, location: str, start_version: int, end_version: int | None = None
+):
+    """The CDF read: one row per change in commits
+    ``start_version..end_version`` with ``_change_type``,
+    ``_commit_version``, ``_commit_timestamp`` appended — the Delta
+    ``table_changes(...)`` TVF. Per the protocol, a commit that wrote
+    ``cdc`` actions is AUTHORITATIVE for its changes (its add/remove
+    actions must not be re-derived, or updates double-count);
+    commits without cdc actions derive changes from data actions:
+    ``add(dataChange=true)`` files read as inserts,
+    ``remove(dataChange=true)`` files read as deletes (requires the
+    removed file to still exist, i.e. not yet vacuumed — the same
+    bound real Delta documents for CDF-before-vacuum reads).
+
+    Scale: per-commit file lists are O(churn) metadata; the result is a
+    union of parquet scans, no shuffle — downstream incremental
+    consumers aggregate or merge as they choose."""
+    from pyspark.sql import functions as F
+
+    state = read_delta_table(location)  # schema + partition columns
+    last = latest_version(location)
+    if end_version is None:
+        end_version = last
+    if start_version > end_version:
+        raise ValueError(f"empty version range {start_version}..{end_version}")
+    pcols = set(state.partition_columns)
+    file_fields = [f for f in state.schema.fields if f.name not in pcols]
+    parts = []
+
+    def _with_partitions(df, pvals: dict):
+        for c in state.partition_columns:
+            df = df.withColumn(c, F.lit(pvals.get(c)).cast(state.schema[c].dataType))
+        return df.select(
+            *[f.name for f in state.schema.fields],
+            *[c for c in df.columns if c in _CDF_COLS],
+        )
+
+    for v in range(start_version, end_version + 1):
+        path = _commit_path(location, v)
+        if not os.path.exists(path):
+            raise FileNotFoundError(
+                f"commit {v} missing from the log (cleaned up?) — CDF "
+                "reads need the JSON commits for the requested range"
+            )
+        actions = [json.loads(x) for x in open(path) if x.strip()]
+        ts = next(
+            (a["commitInfo"].get("timestamp") for a in actions if "commitInfo" in a),
+            int(os.path.getmtime(path) * 1000),
+        )
+        stamp = (
+            lambda df, ct: df.withColumn("_change_type", F.lit(ct))
+            .withColumn("_commit_version", F.lit(v).cast("long"))
+            .withColumn(
+                "_commit_timestamp",
+                F.lit(ts).cast("long"),
+            )
+        )
+        cdc = [a["cdc"] for a in actions if "cdc" in a]
+        if cdc:
+            files = [os.path.join(location, c["path"]) for c in cdc]
+            df = spark.read.parquet(*files)
+            df = (
+                df.withColumn("_commit_version", F.lit(v).cast("long"))
+                .withColumn("_commit_timestamp", F.lit(ts).cast("long"))
+                .select(
+                    *[f.name for f in state.schema.fields], *_CDF_COLS
+                )
+            )
+            parts.append(df)
+            continue
+        for a in actions:
+            if "add" in a and a["add"].get("dataChange"):
+                ad = a["add"]
+                p = ad["path"]
+                p = p if os.path.isabs(p) else os.path.join(location, p)
+                df = stamp(
+                    spark.read.schema(T.StructType(file_fields)).parquet(p), "insert"
+                )
+                parts.append(_with_partitions(df, ad.get("partitionValues") or {}))
+            elif "remove" in a and a["remove"].get("dataChange", True):
+                rm = a["remove"]
+                p = rm["path"]
+                p = p if os.path.isabs(p) else os.path.join(location, p)
+                if not os.path.exists(p):
+                    raise FileNotFoundError(
+                        f"removed file {p} no longer exists; CDF derive for "
+                        f"version {v} is impossible post-vacuum"
+                    )
+                df = stamp(
+                    spark.read.schema(T.StructType(file_fields)).parquet(p), "delete"
+                )
+                parts.append(_with_partitions(df, rm.get("partitionValues") or {}))
+    if not parts:
+        schema = T.StructType(
+            list(state.schema.fields)
+            + [
+                T.StructField("_change_type", T.StringType()),
+                T.StructField("_commit_version", T.LongType()),
+                T.StructField("_commit_timestamp", T.LongType()),
+            ]
+        )
+        return spark.createDataFrame([], schema)
+    out = parts[0]
+    for df in parts[1:]:
+        out = out.unionByName(df)
+    return out

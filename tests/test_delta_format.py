@@ -476,3 +476,106 @@ def test_fuzz_checkpoint_equals_json_replay(tmp_path):
         assert ckpt_state.files.keys() == json_state.files.keys(), seed
         assert ckpt_state.txns == json_state.txns, seed
         assert ckpt_state.schema == json_state.schema, seed
+
+
+# ---------------------------------------------------------------------------
+# Change Data Feed
+# ---------------------------------------------------------------------------
+
+
+def test_cdf_derives_inserts_and_deletes(spark, metacat_table, tmp_path):
+    """Commits without cdc actions derive: adds read as inserts,
+    removes as deletes (pre-vacuum)."""
+    from iceberg_metadata_pipeline_spark.catalog.delta_format import table_changes
+
+    _, t = metacat_table
+    dest = str(tmp_path / "cdf1")
+    export_delta_table(t, dest)  # v0: all adds
+    df = t.scan().where("id < 10")
+    t.overwrite_dataframe(df)
+    t = t.refresh()
+    export_delta_table(t, dest)  # v1: removes (old files) + adds (new)
+    ch = table_changes(spark, dest, 1, 1)
+    counts = {r["_change_type"]: r["n"] for r in
+              ch.groupBy("_change_type").agg(F.count(F.lit(1)).alias("n")).collect()}
+    assert counts == {"delete": 40, "insert": 10}
+    assert set(ch.columns) >= {"id", "name", "score",
+                               "_change_type", "_commit_version", "_commit_timestamp"}
+    assert ch.select("_commit_version").distinct().collect()[0][0] == 1
+    # full-range read sees v0's 40 inserts too
+    all_ch = table_changes(spark, dest, 0)
+    assert all_ch.count() == 40 + 50
+
+
+def test_cdf_cdc_actions_are_authoritative(spark, tmp_path):
+    """A commit carrying cdc actions must NOT have its add/remove
+    re-derived (updates would double-count)."""
+    from iceberg_metadata_pipeline_spark.catalog.delta_format import (
+        enable_cdf,
+        table_changes,
+        write_cdc_files,
+        write_commit,
+    )
+    import pyspark.sql.types as T
+
+    st = T.StructType([T.StructField("k", T.LongType()), T.StructField("v", T.StringType())])
+    dest = str(tmp_path / "cdf2")
+    base = spark.createDataFrame([(1, "a"), (2, "b")], schema=st)
+    data_path = str(tmp_path / "d0.parquet")
+    base.coalesce(1).write.parquet(data_path)
+    import glob as _g, os as _os, json as _json
+
+    f0 = _g.glob(_os.path.join(data_path, "*.parquet"))[0]
+    write_commit(dest, [
+        {"protocol": {"minReaderVersion": 1, "minWriterVersion": 2}},
+        {"metaData": {"id": "t", "format": {"provider": "parquet", "options": {}},
+                      "schemaString": _json.dumps(st.jsonValue()),
+                      "partitionColumns": [], "configuration": {}}},
+        {"add": {"path": f0, "partitionValues": {}, "size": _os.path.getsize(f0),
+                 "modificationTime": 0, "dataChange": True,
+                 "stats": _json.dumps({"numRecords": 2})}},
+    ])
+    enable_cdf(dest)
+    # an UPDATE commit: cdc pre/post images + a rewritten add
+    changes = spark.createDataFrame(
+        [(2, "b", "update_preimage"), (2, "B", "update_postimage")],
+        "k long, v string, _change_type string",
+    )
+    upd = spark.createDataFrame([(1, "a"), (2, "B")], schema=st)
+    p1 = str(tmp_path / "d1.parquet")
+    upd.coalesce(1).write.parquet(p1)
+    f1 = _g.glob(_os.path.join(p1, "*.parquet"))[0]
+    cdc_actions = write_cdc_files(spark, dest, changes)
+    v = write_commit(dest, cdc_actions + [
+        {"remove": {"path": f0, "deletionTimestamp": 1, "dataChange": True}},
+        {"add": {"path": f1, "partitionValues": {}, "size": _os.path.getsize(f1),
+                 "modificationTime": 0, "dataChange": True,
+                 "stats": _json.dumps({"numRecords": 2})}},
+    ])
+    ch = table_changes(spark, dest, v, v)
+    rows = sorted((r["k"], r["v"], r["_change_type"]) for r in ch.collect())
+    assert rows == [(2, "B", "update_postimage"), (2, "b", "update_preimage")]
+    # the cdf-enabling commit itself: metaData+protocol only, no changes
+    assert table_changes(spark, dest, 1, 1).count() == 0
+    # property + protocol bump landed
+    state = read_delta_table(dest)
+    assert state.metadata["configuration"]["delta.enableChangeDataFeed"] == "true"
+
+
+def test_cdf_post_vacuum_refuses(spark, metacat_table, tmp_path):
+    from iceberg_metadata_pipeline_spark.catalog.delta_format import table_changes
+
+    _, t = metacat_table
+    dest = str(tmp_path / "cdf3")
+    export_delta_table(t, dest)
+    import os as _os
+
+    # simulate a vacuumed remove: point v1's remove at a gone file
+    write_commit(dest, [
+        {"remove": {"path": _os.path.join(dest, "gone.parquet"),
+                    "deletionTimestamp": 1, "dataChange": True}},
+        {"commitInfo": {"timestamp": 1, "operation": "DELETE",
+                        "operationParameters": {}}},
+    ])
+    with pytest.raises(FileNotFoundError, match="post-vacuum"):
+        table_changes(spark, dest, 1, 1).count()
