@@ -1,0 +1,133 @@
+"""Metric history + anomaly detection (the Deequ repository model).
+
+A verification run's metrics persist to a FileMetricsRepository keyed
+by tags + timestamp; anomaly detection then judges TODAY's metric
+against the history — the guard that catches "the feed shrank 40%
+overnight" before it poisons downstream training data.
+
+Detection strategies (all window functions over the history — one
+pass, no collect of unbounded data):
+- rate_of_change: |current/previous - 1| bounded
+- absolute_bounds: metric within [lo, hi]
+- stddev_bounds: |metric - trailing mean| <= k * trailing stddev
+  (trailing = preceding rows only, so each row is judged against its
+  own past — no leakage from the future)
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+
+class FileMetricsRepository:
+    """Append-only newline-JSON metric log (one line per metric per
+    run): tiny driver-side metadata, loadable as a DataFrame for the
+    window-based detectors."""
+
+    def __init__(self, path: str):
+        self.path = path
+        os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
+
+    def save(self, results, tags: dict[str, str] | None = None, ts: int | None = None):
+        ts = int(time.time() * 1000) if ts is None else ts
+        with open(self.path, "a") as fh:
+            for r in results:
+                fh.write(
+                    json.dumps(
+                        {
+                            "ts": ts,
+                            "check": r.check,
+                            "constraint": r.constraint,
+                            "value": r.value,
+                            "status": r.status,
+                            "tags": tags or {},
+                            "run_id": uuid.uuid4().hex[:12],
+                        }
+                    )
+                    + "\n"
+                )
+        return ts
+
+    def load(self, spark: SparkSession) -> DataFrame:
+        return spark.read.json(self.path)
+
+
+def rate_of_change_anomalies(
+    history: DataFrame,
+    order_col: str,
+    value_col: str,
+    max_rate: float,
+    partition_cols: list[str] | None = None,
+) -> DataFrame:
+    """Rows whose value moved more than ``max_rate`` (fractional) vs
+    the previous observation in ``order_col`` order. Output adds
+    prev_value + change_rate; the first observation (no previous) is
+    never anomalous."""
+    w = Window.orderBy(order_col)
+    if partition_cols:
+        w = Window.partitionBy(*partition_cols).orderBy(order_col)
+    prev = F.lag(F.col(value_col)).over(w)
+    rate = F.when(
+        prev.isNotNull() & (prev != 0),
+        F.abs(F.col(value_col).cast("double") / prev.cast("double") - 1.0),
+    )
+    return (
+        history.withColumn("prev_value", prev)
+        .withColumn("change_rate", rate)
+        .where(F.col("change_rate") > max_rate)
+    )
+
+
+def stddev_bounds_anomalies(
+    history: DataFrame,
+    order_col: str,
+    value_col: str,
+    k: float,
+    min_history: int = 3,
+    partition_cols: list[str] | None = None,
+) -> DataFrame:
+    """Rows further than k trailing standard deviations from the
+    trailing mean (both computed over ALL PRECEDING rows — the row
+    under test never sees itself or the future)."""
+    w = Window.orderBy(order_col).rowsBetween(Window.unboundedPreceding, -1)
+    cnt_w = w
+    if partition_cols:
+        w = (
+            Window.partitionBy(*partition_cols)
+            .orderBy(order_col)
+            .rowsBetween(Window.unboundedPreceding, -1)
+        )
+        cnt_w = w
+    mu = F.avg(F.col(value_col).cast("double")).over(w)
+    sd = F.stddev_samp(F.col(value_col).cast("double")).over(w)
+    n = F.count(F.col(value_col)).over(cnt_w)
+    return (
+        history.withColumn("trailing_mean", mu)
+        .withColumn("trailing_stddev", sd)
+        .withColumn("n_history", n)
+        .where(
+            (F.col("n_history") >= min_history)
+            & F.col("trailing_stddev").isNotNull()
+            & (
+                F.abs(F.col(value_col).cast("double") - F.col("trailing_mean"))
+                > k * F.col("trailing_stddev")
+            )
+        )
+    )
+
+
+def absolute_bounds_anomalies(
+    history: DataFrame, value_col: str, lo: float | None = None, hi: float | None = None
+) -> DataFrame:
+    cond = F.lit(False)
+    if lo is not None:
+        cond = cond | (F.col(value_col) < lo)
+    if hi is not None:
+        cond = cond | (F.col(value_col) > hi)
+    return history.where(cond)

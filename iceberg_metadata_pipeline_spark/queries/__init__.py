@@ -119,6 +119,7 @@ def _load_all():
         graph,
         joins,
         modern_sql,
+        quality_queries,
         recursive_scripting,
         relational,
         scalar_funcs,

@@ -1,0 +1,132 @@
+"""Data-quality verification queries (quality/checks.py, quality/anomaly.py).
+
+The reference has no quality layer; these register the Deequ-style
+suite as first-class, oracle-backed operators. Every metric a
+constraint verifies is an exact integer-count ratio (or min/max), so
+the whole verification result — values AND pass/fail statuses —
+hash-matches a plain-SQL oracle."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from iceberg_metadata_pipeline_spark.queries import query
+from iceberg_metadata_pipeline_spark.session import load_tables
+
+
+@query(
+    "quality_verification_suite",
+    """
+WITH m AS (
+  SELECT
+    CAST(COUNT(*) AS DOUBLE) AS size_v,
+    CAST(COUNT(o_orderpriority) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS completeness_v,
+    CAST(COUNT(*) FILTER (WHERE o_totalprice > 0) AS DOUBLE)
+      / CAST(COUNT(*) AS DOUBLE) AS compliance_v,
+    CAST(COUNT(*) FILTER (WHERE o_orderstatus IN ('O','F','P')) AS DOUBLE)
+      / CAST(COUNT(*) AS DOUBLE) AS membership_v,
+    CAST(MIN(o_totalprice) AS DOUBLE) AS min_v,
+    CAST(COUNT(*) FILTER (WHERE o_custkey IN (SELECT c_custkey FROM customer)) AS DOUBLE)
+      / CAST(COUNT(*) AS DOUBLE) AS ref_v
+  FROM orders
+), u AS (
+  SELECT
+    CAST(COUNT(*) FILTER (WHERE n = 1) AS DOUBLE) / CAST(SUM(n) AS DOUBLE) AS uniq_v,
+    CAST(COUNT(*) AS DOUBLE) / CAST(SUM(n) AS DOUBLE) AS dist_v
+  FROM (SELECT o_orderkey, COUNT(*) AS n FROM orders GROUP BY o_orderkey)
+)
+SELECT constraint_name, value,
+  CASE WHEN ok THEN 'pass' ELSE 'fail' END AS status
+FROM (
+  SELECT 'size' AS constraint_name, size_v AS value, size_v > 0 AS ok FROM m
+  UNION ALL
+  SELECT 'completeness(o_orderpriority)', completeness_v, completeness_v = 1.0 FROM m
+  UNION ALL
+  SELECT 'compliance(positive total price)', compliance_v, compliance_v = 1.0 FROM m
+  UNION ALL
+  SELECT 'membership(o_orderstatus)', membership_v, membership_v = 1.0 FROM m
+  UNION ALL
+  SELECT 'min(o_totalprice)', min_v, min_v > 0.0 FROM m
+  UNION ALL
+  SELECT 'ref_integrity(o_custkey)', ref_v, ref_v = 1.0 FROM m
+  UNION ALL
+  SELECT 'uniqueness(o_orderkey)', uniq_v, uniq_v = 1.0 FROM u
+  UNION ALL
+  SELECT 'distinctness(o_orderkey)', dist_v, dist_v = 1.0 FROM u
+)
+ORDER BY constraint_name
+""",
+)
+def quality_verification_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deequ-model verification over orders: eight constraints —
+    size, completeness, predicate compliance, value membership, min
+    bound, FK referential integrity against customer, uniqueness +
+    distinctness of the key — where all ROW-LEVEL metrics fuse into
+    ONE aggregate scan, uniqueness/distinctness share one
+    hash-aggregate on the key, and referential integrity is one
+    broadcast semi-join (quality/checks.py). The oracle recomputes
+    every metric AND the pass/fail verdicts in plain SQL; hash-match
+    proves both the metric math and the assertion evaluation."""
+    from iceberg_metadata_pipeline_spark.quality import Check, VerificationSuite
+
+    t = load_tables(spark, sf_dir)
+    orders, customer = t["orders"], t["customer"]
+    check = (
+        Check("orders")
+        .has_size(lambda v: v > 0)
+        .is_complete("o_orderpriority")
+        .satisfies("o_totalprice > 0", "positive total price")
+        .is_contained_in("o_orderstatus", ["O", "F", "P"])
+        .has_min("o_totalprice", lambda v: v > 0.0)
+        .is_referentially_valid("o_custkey", customer, "c_custkey")
+        .is_unique("o_orderkey")
+        .has_distinctness(["o_orderkey"], lambda v: v == 1.0)
+    )
+    return (
+        VerificationSuite(orders)
+        .run_as_dataframe(spark, [check])
+        .select(F.col("constraint").alias("constraint_name"), "value", "status")
+        .orderBy("constraint_name")
+    )
+
+
+@query(
+    "quality_anomaly_rate_of_change",
+    """
+WITH daily AS (
+  SELECT CAST(ts AS DATE) AS day, COUNT(*) AS n
+  FROM events GROUP BY CAST(ts AS DATE)
+), flagged AS (
+  SELECT day, n,
+    LAG(n) OVER (ORDER BY day) AS prev_value,
+    ABS(CAST(n AS DOUBLE) / CAST(LAG(n) OVER (ORDER BY day) AS DOUBLE) - 1.0)
+      AS change_rate
+  FROM daily
+)
+SELECT day, n, prev_value, change_rate
+FROM flagged
+WHERE change_rate > 0.08
+ORDER BY day
+""",
+)
+def quality_anomaly_rate_of_change(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Metric-history anomaly detection (quality/anomaly.py): the daily
+    event count is the monitored metric; days moving more than 8% vs
+    the previous day flag as anomalies via a lag window — one
+    aggregate + one window, no driver-side history materialization.
+    This is the 'feed shrank overnight' guard a 100 TB ingest runs
+    before promoting a day's partition."""
+    from iceberg_metadata_pipeline_spark.quality.anomaly import (
+        rate_of_change_anomalies,
+    )
+
+    events = load_tables(spark, sf_dir)["events"]
+    daily = events.groupBy(
+        F.col("ts").cast("date").alias("day")
+    ).agg(F.count(F.lit(1)).alias("n"))
+    return (
+        rate_of_change_anomalies(daily, "day", "n", max_rate=0.08)
+        .select("day", "n", "prev_value", "change_rate")
+        .orderBy("day")
+    )
