@@ -116,6 +116,7 @@ def _load_all():
         asof,
         extras,
         funcs_ext,
+        geo,
         graph,
         joins,
         modern_sql,
