@@ -138,6 +138,7 @@ def _load_all():
         curation,
         dedup,
         embeddings,
+        entity,
         forecast,
         incremental,
         multimodal,
