@@ -119,6 +119,7 @@ def _load_all():
         geo,
         graph,
         joins,
+        mining,
         modern_sql,
         quality_queries,
         recursive_scripting,

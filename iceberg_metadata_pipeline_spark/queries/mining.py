@@ -1,0 +1,297 @@
+"""Distributed data mining + statistical testing: market-basket
+association rules, chi-square independence, two-sample KS, Markov
+transition matrices — the exploratory-analytics layer over the star
+schema, expressed as Catalyst-friendly joins/windows/aggregates.
+
+Cross-engine exactness notes (the oracle hash-compares doubles):
+- association confidence / transition probability / empirical CDFs are a
+  SINGLE division of exact integer counts — correctly rounded, identical
+  in Spark and DuckDB, so no rounding is needed anywhere;
+- the chi-square statistic is a SUM of double terms, and double addition
+  is order-sensitive — both sides fold the terms in SORTED order
+  (Spark ``reduce(array_sort(collect_list(..)))``, DuckDB
+  ``list_reduce(list_sort(list(..)))``; the fold is sequential, so the
+  bits match exactly). The per-cell term is rationalized to integer
+  numerator/denominator first — ``(obs·tot − rt·ct)² / (tot·rt·ct)`` —
+  one exact bigint numerator, one correctly-rounded division.
+
+Scale design: the basket self-join shuffles on the order key and is
+quadratic only in basket size (bounded ~7 in TPC-H-shaped data, never
+in table size); the contingency/CDF/transition queries are single hash
+or window aggregates over co-partitioned keys. Nothing here collects
+data to the driver.
+
+The reference repo ships no mining operators; SURVEY.md §2.G build-out.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from iceberg_metadata_pipeline_spark.queries import query
+from iceberg_metadata_pipeline_spark.session import load_tables
+
+
+@query(
+    "mining_basket_pair_rules",
+    """
+WITH items AS (
+  SELECT DISTINCT CAST(l_orderkey AS BIGINT) AS okey, CAST(l_partkey AS BIGINT) AS pkey
+  FROM lineitem
+), part_cnt AS (
+  SELECT pkey, COUNT(*) AS cnt FROM items GROUP BY pkey
+), pairs AS (
+  SELECT a.pkey AS part_a, b.pkey AS part_b, COUNT(*) AS pair_cnt
+  FROM items a JOIN items b ON a.okey = b.okey AND a.pkey < b.pkey
+  GROUP BY a.pkey, b.pkey
+  HAVING COUNT(*) >= 2
+)
+SELECT p.part_a, p.part_b, p.pair_cnt,
+       CAST(p.pair_cnt AS DOUBLE) / CAST(ca.cnt AS DOUBLE) AS conf_a_to_b,
+       CAST(p.pair_cnt AS DOUBLE) / CAST(cb.cnt AS DOUBLE) AS conf_b_to_a
+FROM pairs p
+JOIN part_cnt ca ON p.part_a = ca.pkey
+JOIN part_cnt cb ON p.part_b = cb.pkey
+ORDER BY p.pair_cnt DESC, p.part_a, p.part_b
+""",
+)
+def mining_basket_pair_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise association rules (A ⇒ B) from order baskets: support =
+    co-occurrence count, confidence = support / item frequency. The
+    self-join runs inside each order (shuffle on okey; work is quadratic
+    in basket size only), then two broadcast-able joins attach the item
+    frequencies. Confidence is one exact integer division — bit-equal to
+    the oracle without rounding."""
+    li = load_tables(spark, sf_dir)["lineitem"]
+    items = li.selectExpr(
+        "CAST(l_orderkey AS BIGINT) AS okey", "CAST(l_partkey AS BIGINT) AS pkey"
+    ).distinct()
+    part_cnt = items.groupBy("pkey").agg(F.count(F.lit(1)).alias("cnt"))
+    a = items.alias("a")
+    b = items.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.okey") == F.col("b.okey")) & (F.col("a.pkey") < F.col("b.pkey")),
+        )
+        .groupBy(F.col("a.pkey").alias("part_a"), F.col("b.pkey").alias("part_b"))
+        .agg(F.count(F.lit(1)).alias("pair_cnt"))
+        .filter("pair_cnt >= 2")
+    )
+    ca = part_cnt.withColumnRenamed("pkey", "part_a").withColumnRenamed("cnt", "cnt_a")
+    cb = part_cnt.withColumnRenamed("pkey", "part_b").withColumnRenamed("cnt", "cnt_b")
+    return (
+        pairs.join(ca, "part_a")
+        .join(cb, "part_b")
+        .select(
+            "part_a",
+            "part_b",
+            "pair_cnt",
+            (F.col("pair_cnt").cast("double") / F.col("cnt_a").cast("double")).alias(
+                "conf_a_to_b"
+            ),
+            (F.col("pair_cnt").cast("double") / F.col("cnt_b").cast("double")).alias(
+                "conf_b_to_a"
+            ),
+        )
+        .orderBy(F.desc("pair_cnt"), "part_a", "part_b")
+    )
+
+
+_CHI2_CELLS = """
+WITH joined AS (
+  SELECT c.c_mktsegment AS seg, o.o_orderpriority AS pri
+  FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+), obs AS (
+  SELECT seg, pri, COUNT(*) AS n FROM joined GROUP BY seg, pri
+), rt AS (SELECT seg, CAST(SUM(n) AS BIGINT) AS row_tot FROM obs GROUP BY seg),
+  ct AS (SELECT pri, CAST(SUM(n) AS BIGINT) AS col_tot FROM obs GROUP BY pri),
+  tt AS (SELECT CAST(SUM(n) AS BIGINT) AS tot FROM obs),
+cells AS (
+  SELECT
+    CAST((o.n * t.tot - r.row_tot * c.col_tot) AS DOUBLE)
+      * CAST((o.n * t.tot - r.row_tot * c.col_tot) AS DOUBLE)
+      / (CAST(t.tot AS DOUBLE) * CAST(r.row_tot AS DOUBLE) * CAST(c.col_tot AS DOUBLE))
+      AS term
+  FROM obs o
+  JOIN rt r ON o.seg = r.seg
+  JOIN ct c ON o.pri = c.pri
+  CROSS JOIN tt t
+)
+"""
+
+@query(
+    "stat_chi_square_independence",
+    _CHI2_CELLS
+    + """
+SELECT CAST((SELECT COUNT(*) FROM rt) AS BIGINT) AS n_seg,
+       CAST((SELECT COUNT(*) FROM ct) AS BIGINT) AS n_pri,
+       list_reduce(list_sort(list(term)), (a, x) -> a + x) AS chi2
+FROM cells
+""",
+)
+def stat_chi_square_independence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chi-square test of independence (market segment × order
+    priority). Per-cell term rationalized to (obs·tot − rt·ct)²/(tot·
+    rt·ct): the numerator is exact integer arithmetic before ONE double
+    conversion, so each term is identical cross-engine; the statistic
+    folds the 25 terms in sorted order (sequential lambda, not an
+    unordered SUM) so the double addition order — and hence every bit —
+    matches the oracle. At scale the contingency table is tiny after one
+    hash aggregate; everything downstream is constant work."""
+    t = load_tables(spark, sf_dir)
+    joined = t["orders"].join(
+        t["customer"], F.col("o_custkey") == F.col("c_custkey")
+    ).select(F.col("c_mktsegment").alias("seg"), F.col("o_orderpriority").alias("pri"))
+    obs = joined.groupBy("seg", "pri").agg(F.count(F.lit(1)).alias("n"))
+    rt = obs.groupBy("seg").agg(F.sum("n").alias("row_tot"))
+    ct = obs.groupBy("pri").agg(F.sum("n").alias("col_tot"))
+    tt = obs.agg(F.sum("n").alias("tot"))
+    cells = (
+        obs.join(rt, "seg")
+        .join(ct, "pri")
+        .crossJoin(F.broadcast(tt))
+        .selectExpr(
+            "CAST((n * tot - row_tot * col_tot) AS DOUBLE)"
+            " * CAST((n * tot - row_tot * col_tot) AS DOUBLE)"
+            " / (CAST(tot AS DOUBLE) * CAST(row_tot AS DOUBLE)"
+            "    * CAST(col_tot AS DOUBLE)) AS term"
+        )
+    )
+    n_seg = rt.count()
+    n_pri = ct.count()
+    return cells.agg(
+        F.lit(n_seg).cast("long").alias("n_seg"),
+        F.lit(n_pri).cast("long").alias("n_pri"),
+        F.expr(
+            "reduce(array_sort(collect_list(term)), CAST(0.0E0 AS DOUBLE),"
+            " (a, x) -> a + x)"
+        ).alias("chi2"),
+    )
+
+
+@query(
+    "stat_ks_two_sample",
+    """
+WITH s AS (
+  SELECT CAST(o.o_totalprice AS DOUBLE) AS v,
+         CASE WHEN c.c_mktsegment = 'BUILDING' THEN 1 ELSE 0 END AS g
+  FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+  WHERE c.c_mktsegment IN ('BUILDING', 'MACHINERY')
+), tot AS (
+  SELECT CAST(SUM(g) AS BIGINT) AS n1,
+         CAST(COUNT(*) - SUM(g) AS BIGINT) AS n2
+  FROM s
+), cdf AS (
+  SELECT SUM(g) OVER (ORDER BY v) AS c1,
+         SUM(1 - g) OVER (ORDER BY v) AS c2
+  FROM s
+)
+SELECT t.n1, t.n2,
+       MAX(ABS(CAST(c.c1 AS DOUBLE) / CAST(t.n1 AS DOUBLE)
+             - CAST(c.c2 AS DOUBLE) / CAST(t.n2 AS DOUBLE))) AS ks_stat
+FROM cdf c CROSS JOIN tot t
+GROUP BY t.n1, t.n2
+""",
+)
+def stat_ks_two_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-sample Kolmogorov-Smirnov statistic between the order-price
+    distributions of two customer segments. Empirical CDFs come from a
+    cumulative window with the default RANGE frame, so tied prices share
+    one cumulative value (the CDF is well-defined and order-stable); the
+    statistic is MAX over |n1-normalized − n2-normalized| — each term is
+    two exact integer divisions and a subtraction, all correctly rounded,
+    so the result is bit-identical to the oracle. The global ORDER BY
+    window is the scale bottleneck by design — the exact KS needs a full
+    sort; at 100 TB you'd bucket prices first (the histogram-KS variant
+    of events_zscore_outliers' shape)."""
+    t = load_tables(spark, sf_dir)
+    s = (
+        t["orders"]
+        .join(t["customer"], F.col("o_custkey") == F.col("c_custkey"))
+        .filter(F.col("c_mktsegment").isin("BUILDING", "MACHINERY"))
+        .selectExpr(
+            "CAST(o_totalprice AS DOUBLE) AS v",
+            "CASE WHEN c_mktsegment = 'BUILDING' THEN 1 ELSE 0 END AS g",
+        )
+    )
+    from pyspark.sql import Window
+
+    w = Window.orderBy("v")  # default frame: RANGE UNBOUNDED PRECEDING
+    tot = s.agg(
+        F.sum("g").cast("long").alias("n1"),
+        (F.count(F.lit(1)) - F.sum("g")).cast("long").alias("n2"),
+    )
+    cdf = s.select(
+        F.sum("g").over(w).alias("c1"), F.sum(F.expr("1 - g")).over(w).alias("c2")
+    )
+    return (
+        cdf.crossJoin(F.broadcast(tot))
+        .groupBy("n1", "n2")
+        .agg(
+            F.max(
+                F.abs(
+                    F.col("c1").cast("double") / F.col("n1").cast("double")
+                    - F.col("c2").cast("double") / F.col("n2").cast("double")
+                )
+            ).alias("ks_stat")
+        )
+        .select("n1", "n2", "ks_stat")
+    )
+
+
+@query(
+    "mining_markov_transitions",
+    """
+WITH seq AS (
+  SELECT user_id, event_type AS cur,
+         LEAD(event_type) OVER (
+           PARTITION BY user_id ORDER BY ts, event_id
+         ) AS nxt
+  FROM events
+), trans AS (
+  SELECT cur, nxt, COUNT(*) AS n
+  FROM seq WHERE nxt IS NOT NULL
+  GROUP BY cur, nxt
+), totals AS (
+  SELECT cur, CAST(SUM(n) AS BIGINT) AS out_n FROM trans GROUP BY cur
+)
+SELECT t.cur, t.nxt, t.n,
+       CAST(t.n AS DOUBLE) / CAST(tt.out_n AS DOUBLE) AS p
+FROM trans t JOIN totals tt ON t.cur = tt.cur
+ORDER BY t.cur, t.nxt
+""",
+)
+def mining_markov_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order Markov transition matrix over per-user event streams:
+    LEAD within (user, time) gives consecutive pairs — one shuffle on
+    user_id, totally ordered by (ts, event_id) so ties are stable — then
+    a hash aggregate and one exact division per transition probability.
+    The per-user window partitioning is the 100 TB plan: no global sort,
+    state bounded by a user's own history."""
+    t = load_tables(spark, sf_dir)
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = t["events"].select(
+        "user_id",
+        F.col("event_type").alias("cur"),
+        F.lead("event_type").over(w).alias("nxt"),
+    )
+    trans = (
+        seq.filter(F.col("nxt").isNotNull())
+        .groupBy("cur", "nxt")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    totals = trans.groupBy("cur").agg(F.sum("n").cast("long").alias("out_n"))
+    return (
+        trans.join(totals, "cur")
+        .select(
+            "cur",
+            "nxt",
+            "n",
+            (F.col("n").cast("double") / F.col("out_n").cast("double")).alias("p"),
+        )
+        .orderBy("cur", "nxt")
+    )

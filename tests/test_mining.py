@@ -1,0 +1,91 @@
+"""Mining/statistics tests (queries/mining.py): independent pure-Python
+references for the chi-square statistic, the KS distance, basket rules,
+and the Markov transition matrix — the oracle gate proves Spark↔DuckDB
+parity, these prove the math."""
+
+from __future__ import annotations
+
+import itertools
+import math
+from collections import Counter, defaultdict
+
+from iceberg_metadata_pipeline_spark.queries.mining import (
+    mining_basket_pair_rules,
+    mining_markov_transitions,
+    stat_chi_square_independence,
+    stat_ks_two_sample,
+)
+
+
+def test_chi_square_matches_reference(spark, sf_dir, tables):
+    row = stat_chi_square_independence(spark, sf_dir).collect()[0]
+    joined = (
+        tables["orders"]
+        .join(tables["customer"], tables["orders"].o_custkey == tables["customer"].c_custkey)
+        .select("c_mktsegment", "o_orderpriority")
+        .collect()
+    )
+    obs = Counter((r.c_mktsegment, r.o_orderpriority) for r in joined)
+    rows = Counter(k[0] for k in obs.elements())
+    cols = Counter(k[1] for k in obs.elements())
+    tot = sum(obs.values())
+    chi2 = 0.0
+    for (s, p), n in sorted(obs.items()):
+        exp = rows[s] * cols[p] / tot
+        chi2 += (n - exp) ** 2 / exp
+    assert row.n_seg == len(rows) and row.n_pri == len(cols)
+    assert math.isclose(row.chi2, chi2, rel_tol=1e-9), (row.chi2, chi2)
+
+
+def test_ks_matches_reference(spark, sf_dir, tables):
+    row = stat_ks_two_sample(spark, sf_dir).collect()[0]
+    joined = (
+        tables["orders"]
+        .join(tables["customer"], tables["orders"].o_custkey == tables["customer"].c_custkey)
+        .select("o_totalprice", "c_mktsegment")
+        .collect()
+    )
+    a = sorted(float(r.o_totalprice) for r in joined if r.c_mktsegment == "BUILDING")
+    b = sorted(float(r.o_totalprice) for r in joined if r.c_mktsegment == "MACHINERY")
+    assert row.n1 == len(a) and row.n2 == len(b)
+    xs = sorted(set(a) | set(b))
+    d = 0.0
+    ia = ib = 0
+    for x in xs:
+        while ia < len(a) and a[ia] <= x:
+            ia += 1
+        while ib < len(b) and b[ib] <= x:
+            ib += 1
+        d = max(d, abs(ia / len(a) - ib / len(b)))
+    assert math.isclose(row.ks_stat, d, rel_tol=1e-12), (row.ks_stat, d)
+
+
+def test_basket_rules_match_bruteforce(spark, sf_dir, tables):
+    res = mining_basket_pair_rules(spark, sf_dir).collect()
+    li = tables["lineitem"].select("l_orderkey", "l_partkey").collect()
+    baskets = defaultdict(set)
+    for r in li:
+        baskets[r.l_orderkey].add(r.l_partkey)
+    item_cnt = Counter(p for parts in baskets.values() for p in parts)
+    pair_cnt = Counter(
+        pair
+        for parts in baskets.values()
+        for pair in itertools.combinations(sorted(parts), 2)
+    )
+    want = {k: v for k, v in pair_cnt.items() if v >= 2}
+    got = {(r.part_a, r.part_b): r.pair_cnt for r in res}
+    assert got == want
+    for r in res:
+        assert r.conf_a_to_b == r.pair_cnt / item_cnt[r.part_a]
+        assert r.conf_b_to_a == r.pair_cnt / item_cnt[r.part_b]
+
+
+def test_markov_rows_are_distributions(spark, sf_dir):
+    res = mining_markov_transitions(spark, sf_dir).collect()
+    assert res, "no transitions in fixture"
+    by_cur = defaultdict(float)
+    for r in res:
+        assert 0.0 < r.p <= 1.0
+        by_cur[r.cur] += r.p
+    for cur, s in by_cur.items():
+        assert math.isclose(s, 1.0, rel_tol=1e-9), (cur, s)
