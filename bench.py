@@ -98,6 +98,15 @@ HEADLINE = [
     "source_pyice_datasource",
     "source_pydelta_datasource",
     "catalog_format_bridge",
+    # round-6 continuation: Hudi round-trip, Delta CDF, grid spatial join,
+    # blocked entity resolution, basket mining, Markov transitions
+    "catalog_hudi_export_import",
+    "catalog_delta_cdf",
+    "geo_grid_radius_join",
+    "geo_geohash_cell_agg",
+    "er_blocked_best_match",
+    "mining_basket_pair_rules",
+    "mining_markov_transitions",
 ]
 
 

@@ -395,3 +395,102 @@ def graph_cc_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").cast("long").alias("n_labels"))
         .orderBy("n_members")
     )
+
+
+def weighted_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Undirected customer↔supplier edges weighted by the minimum
+    lineitem quantity on the relationship — integer weights (TPC-H
+    quantities are integral 1..50), so every path cost is exact BIGINT
+    arithmetic and the oracle compares without any float concern."""
+    t = load_tables(spark, sf_dir)
+    pairs = (
+        t["orders"]
+        .join(t["lineitem"], F.col("o_orderkey") == F.col("l_orderkey"))
+        .groupBy(
+            F.col("o_custkey").alias("cust"),
+            (F.col("l_suppkey") + F.lit(_SUPP_OFFSET)).alias("supp"),
+        )
+        .agg(F.min(F.col("l_quantity").cast("long")).alias("w"))
+    )
+    fwd = pairs.select(F.col("cust").alias("src"), F.col("supp").alias("dst"), "w")
+    rev = pairs.select(F.col("supp").alias("src"), F.col("cust").alias("dst"), "w")
+    return fwd.unionByName(rev)
+
+
+def sssp_relax(edges: DataFrame, seeds: DataFrame, rounds: int) -> DataFrame:
+    """Bellman-Ford supersteps: after K rounds, dist(node) is the exact
+    minimum cost over walks of ≤ K edges from the seed set (the bounded
+    single-source-shortest-path the recursive-CTE oracle restates).
+    Each round is one join + union + min-aggregate — the standard
+    message-passing shape (Pregel on DataFrames); edges are cached so a
+    round never recomputes the upstream weighted-edge derivation."""
+    edges = edges.cache()
+    dist = seeds.select("node").distinct().withColumn("cost", F.lit(0).cast("long"))
+    for _ in range(rounds):
+        relax = (
+            edges.join(dist.withColumnRenamed("node", "src"), "src")
+            .select(F.col("dst").alias("node"), (F.col("cost") + F.col("w")).alias("cost"))
+        )
+        dist = (
+            dist.unionByName(relax)
+            .groupBy("node")
+            .agg(F.min("cost").alias("cost"))
+            .cache()
+        )
+    return dist
+
+
+@query(
+    "graph_sssp_weighted",
+    f"""
+WITH RECURSIVE pairs AS (
+  SELECT o_custkey AS cust, l_suppkey + {_SUPP_OFFSET} AS supp,
+         CAST(MIN(l_quantity) AS BIGINT) AS w
+  FROM orders JOIN lineitem ON l_orderkey = o_orderkey
+  GROUP BY o_custkey, l_suppkey + {_SUPP_OFFSET}
+),
+edges AS (
+  SELECT cust AS src, supp AS dst, w FROM pairs
+  UNION ALL
+  SELECT supp AS src, cust AS dst, w FROM pairs
+),
+seeds AS (
+  SELECT s_suppkey + {_SUPP_OFFSET} AS node FROM supplier
+  JOIN nation ON s_nationkey = n_nationkey WHERE n_name = 'ETHIOPIA'
+),
+paths(node, cost, hops) AS (
+  SELECT node, CAST(0 AS BIGINT), 0 FROM seeds
+  UNION ALL
+  SELECT e.dst, p.cost + e.w, p.hops + 1
+  FROM paths p JOIN edges e ON e.src = p.node
+  WHERE p.hops < 2
+)
+SELECT node, MIN(cost) AS best_cost
+FROM paths
+GROUP BY node
+ORDER BY best_cost, node
+LIMIT 20
+""",
+)
+def graph_sssp_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bounded weighted single-source shortest path (2 Bellman-Ford
+    rounds) from Ethiopian suppliers over quantity-weighted interaction
+    edges; top-20 closest nodes with a total (cost, node) order. The
+    oracle's recursive CTE enumerates all ≤2-edge walks — exponential in
+    general, exact at fixture scale; the operator's relaxation loop is
+    the at-scale plan (state is one row per node, each round one
+    co-partitioned join)."""
+    t = load_tables(spark, sf_dir)
+    edges = weighted_edges(spark, sf_dir)
+    seeds = (
+        t["supplier"]
+        .join(t["nation"], F.col("s_nationkey") == F.col("n_nationkey"))
+        .filter(F.col("n_name") == "ETHIOPIA")
+        .select((F.col("s_suppkey") + F.lit(_SUPP_OFFSET)).alias("node"))
+    )
+    dist = sssp_relax(edges, seeds, rounds=2)
+    return (
+        dist.select("node", F.col("cost").alias("best_cost"))
+        .orderBy("best_cost", "node")
+        .limit(20)
+    )

@@ -130,3 +130,67 @@ def quality_anomaly_rate_of_change(spark: SparkSession, sf_dir: str) -> DataFram
         .select("day", "n", "prev_value", "change_rate")
         .orderBy("day")
     )
+
+
+@query(
+    "quality_mad_outliers",
+    """
+WITH prices AS (
+  SELECT o_orderpriority AS pri, CAST(o_totalprice AS DOUBLE) AS v FROM orders
+), med AS (
+  SELECT pri, PERCENTILE_DISC(0.5) WITHIN GROUP (ORDER BY v) AS med FROM prices
+  GROUP BY pri
+), dev AS (
+  SELECT p.pri, p.v, m.med, ABS(p.v - m.med) AS adev
+  FROM prices p JOIN med m ON p.pri = m.pri
+), mad AS (
+  SELECT pri, PERCENTILE_DISC(0.5) WITHIN GROUP (ORDER BY adev) AS mad FROM dev
+  GROUP BY pri
+)
+SELECT d.pri, COUNT(*) AS n, MIN(d.med) AS med, MIN(m.mad) AS mad,
+       CAST(SUM(CASE WHEN d.adev > 3.0E0 * m.mad THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_outliers
+FROM dev d JOIN mad m ON d.pri = m.pri
+GROUP BY d.pri
+ORDER BY d.pri
+""",
+)
+def quality_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust outlier detection via median absolute deviation: per
+    order-priority group, flag prices beyond 3×MAD of the median.
+    PERCENTILE_DISC (not _CONT) on both engines so the medians are
+    actual data values — no interpolation formula to diverge by an ulp;
+    the deviation/threshold arithmetic is then single correctly-rounded
+    double ops. Plan shape: two grouped sorts over co-partitioned keys
+    plus one broadcast-back join per level — group cardinality (5) is
+    trivially broadcastable at any scale."""
+    from pyspark.sql import functions as F
+
+    from iceberg_metadata_pipeline_spark.session import load_tables
+
+    orders = load_tables(spark, sf_dir)["orders"]
+    prices = orders.selectExpr(
+        "o_orderpriority AS pri", "CAST(o_totalprice AS DOUBLE) AS v"
+    )
+    med = prices.groupBy("pri").agg(
+        F.expr("PERCENTILE_DISC(0.5) WITHIN GROUP (ORDER BY v)").alias("med")
+    )
+    dev = prices.join(F.broadcast(med), "pri").withColumn(
+        "adev", F.abs(F.col("v") - F.col("med"))
+    )
+    mad = dev.groupBy("pri").agg(
+        F.expr("PERCENTILE_DISC(0.5) WITHIN GROUP (ORDER BY adev)").alias("mad")
+    )
+    return (
+        dev.join(F.broadcast(mad), "pri")
+        .groupBy("pri")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.min("med").alias("med"),
+            F.min("mad").alias("mad"),
+            F.sum(
+                F.expr("CASE WHEN adev > 3.0E0 * mad THEN 1 ELSE 0 END")
+            ).cast("long").alias("n_outliers"),
+        )
+        .orderBy("pri")
+    )
