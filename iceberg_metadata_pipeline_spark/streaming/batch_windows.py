@@ -418,3 +418,42 @@ FROM grid g LEFT JOIN per_hour p
 ORDER BY g.event_type, g.h
 """,
 )
+
+
+# Marketing attribution: for every purchase, the first- and last-touch
+# marketing events (click/view) of its journey — journey = the span
+# since the user's previous purchase, derived as a running count of
+# purchases strictly before the row (ROWS frame over a total
+# (ts, event_id) order, so ties cannot reorder cross-engine). All
+# outputs are exact integers; the shuffles are per-user windows plus
+# two journey-key joins — no global sort, state bounded per user.
+sql_query(
+    "events_attribution_touch",
+    """
+WITH marked AS (
+  SELECT user_id, ts, event_id, event_type,
+         COALESCE(CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+           OVER (PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS BIGINT),
+           CAST(0 AS BIGINT)) AS journey
+  FROM events
+), mk AS (
+  SELECT user_id, journey, event_id,
+         ROW_NUMBER() OVER (PARTITION BY user_id, journey
+                            ORDER BY ts, event_id) AS rn_a,
+         ROW_NUMBER() OVER (PARTITION BY user_id, journey
+                            ORDER BY ts DESC, event_id DESC) AS rn_d
+  FROM marked WHERE event_type IN ('click', 'view')
+), purch AS (
+  SELECT user_id, journey, event_id AS purchase_id
+  FROM marked WHERE event_type = 'purchase'
+)
+SELECT p.user_id, p.purchase_id,
+       f.event_id AS first_touch, l.event_id AS last_touch
+FROM purch p
+LEFT JOIN mk f ON p.user_id = f.user_id AND p.journey = f.journey AND f.rn_a = 1
+LEFT JOIN mk l ON p.user_id = l.user_id AND p.journey = l.journey AND l.rn_d = 1
+ORDER BY p.user_id, p.purchase_id
+""",
+    oracle="same",
+)
