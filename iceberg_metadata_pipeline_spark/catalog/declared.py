@@ -1509,6 +1509,54 @@ def catalog_iceberg_export_import(spark: SparkSession, sf_dir: str) -> DataFrame
 
 
 @query(
+    "catalog_iceberg_v3_row_lineage",
+    """
+SELECT COUNT(*) AS n_rows,
+       COUNT(*) AS n_row_ids,
+       CAST(0 AS BIGINT) AS min_row_id,
+       CAST(COUNT(*) - 1 AS BIGINT) AS max_row_id,
+       CAST(SUM(CAST(p_retailprice AS DECIMAL(38,6))) AS DOUBLE) AS total_price
+FROM part
+""",
+)
+def catalog_iceberg_v3_row_lineage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Iceberg spec-v3 ROW LINEAGE round-trip: register the part fixture,
+    export as a format-version-3 table (explicit per-file first_row_id
+    carried from metacat's own lineage blocks + metadata next-row-id),
+    then scan it back with the spec's ``_row_id`` metadata column. The
+    oracle pins the lineage invariants — ids are dense [0, n): distinct
+    count == row count, min 0, max n-1 — plus a content aggregate proving
+    the rows themselves survived. Entirely metadata-plane at scale: the
+    id map is O(#files) broadcast, ids derive from the parquet reader's
+    row_index, no shuffle added to the scan."""
+    import os as _os
+    import tempfile as _tf
+
+    from iceberg_metadata_pipeline_spark.catalog.iceberg_format import (
+        export_iceberg_table,
+        read_iceberg_with_lineage,
+    )
+    from iceberg_metadata_pipeline_spark.catalog.metacat import scan_parquet_footers
+
+    part = load_tables(spark, sf_dir)["part"]
+    catalog = Catalog(spark, _tf.mkdtemp(prefix="wh-icev3-"))
+    t = catalog.create_table("nyc", "part_v3", part.schema)
+    t.append_files(scan_parquet_footers(_os.path.join(sf_dir, "part.parquet"), spark))
+    dest = _tf.mkdtemp(prefix="ice-v3-")
+    export_iceberg_table(t.refresh(), dest, format_version=3)
+    rows = read_iceberg_with_lineage(spark, dest)
+    return rows.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.countDistinct("_row_id").alias("n_row_ids"),
+        F.min("_row_id").alias("min_row_id"),
+        F.max("_row_id").alias("max_row_id"),
+        F.sum(F.col("p_retailprice").cast("decimal(38,6)"))
+        .cast("double")
+        .alias("total_price"),
+    )
+
+
+@query(
     "catalog_delta_export_import",
     """
 SELECT s_nationkey, COUNT(*) AS n,

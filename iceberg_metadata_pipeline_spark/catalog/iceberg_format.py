@@ -222,10 +222,14 @@ def _req(name: str, typ, fid: int) -> dict:
     return {"name": name, "type": typ, "field-id": fid}
 
 
-def manifest_entry_schema(partition_fields: list[dict] | None = None) -> dict:
+def manifest_entry_schema(
+    partition_fields: list[dict] | None = None, format_version: int = 2
+) -> dict:
     """v2 ``manifest_entry`` avro schema. Partition struct r102 carries
     the identity partition fields (field-ids 1000+), or is the
-    unpartitioned empty record — see module docstring scope bounds."""
+    unpartitioned empty record — see module docstring scope bounds.
+    ``format_version=3`` adds the row-lineage ``first_row_id`` data-file
+    field (spec v3, field-id 142)."""
     for pf in partition_fields or []:
         if pf["source_type"] not in _PART_AVRO:
             raise ValueError(
@@ -265,6 +269,8 @@ def manifest_entry_schema(partition_fields: list[dict] | None = None) -> dict:
             _opt("sort_order_id", "int", 140),
         ],
     }
+    if format_version >= 3:
+        data_file["fields"].append(_opt("first_row_id", "long", 142))
     return {
         "type": "record",
         "name": "manifest_entry",
@@ -292,7 +298,10 @@ def _kv_array(name: str, kid: int, vid: int, vtype: str) -> dict:
     }
 
 
-def manifest_list_schema() -> dict:
+def manifest_list_schema(format_version: int = 2) -> dict:
+    """``format_version=3`` adds the row-lineage ``first_row_id``
+    manifest field (spec v3, field-id 520): the starting row id to
+    assign to null-``first_row_id`` ADDED data files in the manifest."""
     field_summary = {
         "type": "record",
         "name": "r508",
@@ -322,7 +331,8 @@ def manifest_list_schema() -> dict:
             _req("deleted_rows_count", "long", 514),
             _opt("partitions", {"type": "array", "items": field_summary}, 507),
             _opt("key_metadata", "bytes", 519),
-        ],
+        ]
+        + ([_opt("first_row_id", "long", 520)] if format_version >= 3 else []),
     }
 
 
@@ -403,11 +413,22 @@ def _typed_partition_value(raw, source_type: str):
     )
 
 
-def export_iceberg_table(table: Table, dest: str) -> str:
+def export_iceberg_table(table: Table, dest: str, format_version: int = 2) -> str:
     """Write a spec-v2 Iceberg table at ``dest`` mirroring ``table``'s
     current snapshot (metadata-only — data paths point at the originals).
     Returns the metadata JSON path. Idempotent per metacat version: each
-    call claims the next vN at dest."""
+    call claims the next vN at dest.
+
+    ``format_version=3`` additionally mints ROW LINEAGE (spec v3): each
+    data file gets an explicit ``first_row_id`` (a running prefix sum of
+    record counts, starting at the snapshot's ``first-row-id`` = 0), the
+    manifest-list entry carries the manifest's ``first_row_id``, and the
+    table metadata records ``next-row-id`` — the id the next commit
+    would assign from. metacat tables don't track lineage internally, so
+    the export MINTS ids (exactly what a real v3 writer does on the
+    first commit after upgrading a v2 table)."""
+    if format_version not in (2, 3):
+        raise ValueError(f"unsupported export format-version {format_version}")
     snap = table.current_snapshot
     if snap is None:
         files: list[DataFileEntry] = []
@@ -471,9 +492,24 @@ def export_iceberg_table(table: Table, dest: str) -> str:
             }
             for f in files
         ]
+        if format_version >= 3:
+            # carry the table's REAL row lineage (metacat mints
+            # first_row_id blocks at commit, metacat.py:356-361) into the
+            # spec field. Rewritten files materialize __row_id physically
+            # and carry None — inheritance would re-mint DIFFERENT ids,
+            # so refuse loudly rather than silently corrupt lineage.
+            for e, f in zip(entries, files):
+                if f.first_row_id is None:
+                    raise ValueError(
+                        f"{f.path}: no first_row_id (rewritten files track "
+                        "lineage via a materialized __row_id column, which "
+                        "Iceberg v3 cannot express as metadata) — v3 export "
+                        "requires explicit per-file lineage"
+                    )
+                e["data_file"]["first_row_id"] = int(f.first_row_id)
         avro_io.write_container(
             manifest_path,
-            manifest_entry_schema(spec_fields),
+            manifest_entry_schema(spec_fields, format_version),
             entries,
             extra_meta={
                 "schema": json.dumps(ice_schema, separators=(",", ":")).encode(),
@@ -482,15 +518,16 @@ def export_iceberg_table(table: Table, dest: str) -> str:
                     ice_spec, separators=(",", ":")
                 ).encode(),
                 "partition-spec-id": b"0",
-                "format-version": b"2",
+                "format-version": str(format_version).encode(),
                 "content": b"data",
             },
         )
         mlist_path = os.path.join(meta_dir, f"snap-{snapshot_id}-1-{commit_uuid}.avro")
         rows = sum(int(f.record_count) for f in files)
+        mlist_first_row = {"first_row_id": 0} if format_version >= 3 else {}
         avro_io.write_container(
             mlist_path,
-            manifest_list_schema(),
+            manifest_list_schema(format_version),
             [
                 {
                     "manifest_path": os.path.abspath(manifest_path),
@@ -508,10 +545,11 @@ def export_iceberg_table(table: Table, dest: str) -> str:
                     "added_rows_count": rows,
                     "existing_rows_count": 0,
                     "deleted_rows_count": 0,
+                    **mlist_first_row,
                 }
             ],
             extra_meta={
-                "format-version": b"2",
+                "format-version": str(format_version).encode(),
                 "snapshot-id": str(snapshot_id).encode(),
                 "parent-snapshot-id": b"null",
                 "sequence-number": str(seq).encode(),
@@ -521,6 +559,7 @@ def export_iceberg_table(table: Table, dest: str) -> str:
             {
                 "snapshot-id": snapshot_id,
                 "sequence-number": seq,
+                **({"first-row-id": 0} if format_version >= 3 else {}),
                 "timestamp-ms": int(snap["timestamp_ms"]),
                 "manifest-list": os.path.abspath(mlist_path),
                 "summary": {
@@ -535,7 +574,7 @@ def export_iceberg_table(table: Table, dest: str) -> str:
         ]
 
     metadata = {
-        "format-version": 2,
+        "format-version": format_version,
         "table-uuid": table.meta.get("table_uuid", str(uuid.uuid4())),
         "location": os.path.abspath(dest),
         "last-sequence-number": seq,
@@ -552,6 +591,11 @@ def export_iceberg_table(table: Table, dest: str) -> str:
             str(k): str(v) for k, v in table.meta.get("properties", {}).items()
         },
         "current-snapshot-id": snapshot_id if snapshot_id is not None else -1,
+        **(
+            {"next-row-id": int(table.meta.get("next_row_id", 0))}
+            if format_version >= 3
+            else {}
+        ),
         "snapshots": snapshots,
         "snapshot-log": [
             {"timestamp-ms": s["timestamp-ms"], "snapshot-id": s["snapshot-id"]}
@@ -826,6 +870,11 @@ def read_iceberg_table(location: str) -> IcebergTableInfo:
         # would make every equality delete (del_seq > data_seq) swallow
         # rows committed at/after the delete, e.g. CDC re-inserted keys
         m_seq = int(mf.get("sequence_number") or 0)
+        # v3 row-lineage inheritance: an ADDED data file with a null
+        # first_row_id is assigned the manifest's first_row_id plus the
+        # record counts of the ADDED files before it in the manifest
+        m_first = mf.get("first_row_id")
+        next_row = int(m_first) if m_first is not None else None
         for e in entries:
             if int(e.get("status", 0)) == 2:  # DELETED
                 continue
@@ -856,6 +905,11 @@ def read_iceberg_table(location: str) -> IcebergTableInfo:
 
                     v = str(_dt.datetime(1970, 1, 1) + _dt.timedelta(microseconds=v))
                 part[pname] = str(v)
+            fr = df.get("first_row_id")
+            if fr is None and next_row is not None and int(e.get("status", 0)) == 1:
+                fr = next_row
+            if next_row is not None and int(e.get("status", 0)) == 1:
+                next_row += int(df["record_count"])
             files.append(
                 DataFileEntry(
                     path=_clean_path(df["file_path"]),
@@ -864,6 +918,7 @@ def read_iceberg_table(location: str) -> IcebergTableInfo:
                     format=str(df.get("file_format", "PARQUET")),
                     seq=int(e.get("sequence_number") or m_seq),
                     partition=part,
+                    first_row_id=None if fr is None else int(fr),
                 )
             )
     return IcebergTableInfo(
@@ -878,7 +933,9 @@ def _normalize_uri(p: str) -> str:
     return re.sub(r"^file:/+", "/", p)
 
 
-def _live_rows_dataframe(spark: SparkSession, info: IcebergTableInfo):
+def _live_rows_dataframe(
+    spark: SparkSession, info: IcebergTableInfo, lineage: bool = False
+):
     """Materialize the live rows of a merge-on-read snapshot: data files
     minus position deletes (delete.seq >= data.seq, matched on
     (file, row position)) minus equality deletes (delete.seq > data.seq,
@@ -900,10 +957,22 @@ def _live_rows_dataframe(spark: SparkSession, info: IcebergTableInfo):
         .withColumn("__file", norm(F.col("_metadata.file_path")))
         .withColumn("__pos", F.col("_metadata.row_index"))
     )
-    seq_map = spark.createDataFrame(
-        [(_normalize_uri(f.path), f.seq) for f in info.files],
-        "__file string, __data_seq long",
-    )
+    if lineage:
+        missing = [f.path for f in info.files if f.first_row_id is None]
+        if missing:
+            raise ValueError(
+                f"row lineage requested but {len(missing)} data files carry "
+                f"no first_row_id (not a v3 lineage table?): {missing[:3]}"
+            )
+        seq_map = spark.createDataFrame(
+            [(_normalize_uri(f.path), f.seq, int(f.first_row_id)) for f in info.files],
+            "__file string, __data_seq long, __frid long",
+        )
+    else:
+        seq_map = spark.createDataFrame(
+            [(_normalize_uri(f.path), f.seq) for f in info.files],
+            "__file string, __data_seq long",
+        )
     data = data.join(F.broadcast(seq_map), "__file")
 
     pos_dels = [d for d in info.delete_files if d.content == 1]
@@ -967,6 +1036,17 @@ def _live_rows_dataframe(spark: SparkSession, info: IcebergTableInfo):
             cond = cond & data[c].eqNullSafe(dels[f"__eq_{c}"])
         data = data.join(dels, cond, "left_anti")
 
+    if lineage:
+        # spec v3 metadata columns: _row_id = the file's first_row_id +
+        # the row's position; MOR-deleted rows are already gone, and the
+        # SURVIVORS keep their original ids (positions are file-relative,
+        # deletes don't renumber) — exactly the stable-identity guarantee
+        # row lineage exists for
+        return data.select(
+            *cols,
+            (F.col("__frid") + F.col("__pos")).alias("_row_id"),
+            F.col("__data_seq").alias("_last_updated_sequence_number"),
+        )
     return data.select(*cols)
 
 
@@ -1017,6 +1097,20 @@ def import_iceberg_table(
     if info.files:
         table.append_files(info.files)
     return table
+
+
+def read_iceberg_with_lineage(spark: SparkSession, location: str):
+    """Scan a v3 Iceberg table's live rows WITH the spec's row-lineage
+    metadata columns: ``_row_id`` (stable table-wide row identity —
+    first_row_id + file-relative position, null-inherited per spec) and
+    ``_last_updated_sequence_number`` (the data file's sequence number).
+    MOR deletes apply first; surviving rows keep their original ids.
+
+    Scale shape identical to the plain import scan: one broadcast of the
+    O(#files) (path, seq, first_row_id) map, positions from the parquet
+    reader's ``_metadata.row_index`` (no zipWithIndex shuffle)."""
+    info = read_iceberg_table(location)
+    return _live_rows_dataframe(spark, info, lineage=True)
 
 
 # ---------------------------------------------------------------------------

@@ -358,6 +358,11 @@ class Table:
             if f.first_row_id is None:
                 f.first_row_id = next_row_id
                 next_row_id += f.record_count
+            else:
+                # files registered WITH explicit lineage (e.g. imported
+                # from an Iceberg v3 table) must push next-row-id past
+                # their block, or a later append would mint overlapping ids
+                next_row_id = max(next_row_id, int(f.first_row_id) + f.record_count)
         self.meta["next_row_id"] = next_row_id
         # preserve_seq: a metadata-only re-registration (stats update)
         # keeps each file's original sequence — re-stamping would exempt
