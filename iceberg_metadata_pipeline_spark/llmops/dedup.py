@@ -669,3 +669,77 @@ def dedup_substring_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     shuffle payload, not the counts."""
     docs = load_tables(spark, sf_dir)["documents"]
     return duplicated_span_stats(docs, "doc_id", "text", n=8).orderBy("doc_id")
+
+
+def semdedup(
+    emb: DataFrame, nlist: int = 8, tau: float = 0.97, seed: int = 7
+) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023, arXiv:2303.09540): cluster the
+    embedding space with a k-means coarse quantizer, then inside each
+    cluster drop every vector that has a LOWER-id neighbor with cosine
+    above ``tau`` (the paper keeps one representative per semantic
+    duplicate set; lowest-id is the deterministic tiebreak). Returns
+    (vec_id, list_id, kept).
+
+    Scale shape — the whole point of clustering first: pairwise cosine
+    runs only inside clusters (the within-cluster self-join shuffles on
+    list_id), so the comparison count is Σ|cluster|² instead of n² —
+    with nlist ≈ n/1000 clusters this is the paper's tractable regime at
+    100 TB. Cluster imbalance is the skew hazard; same remediation as
+    IVF hot lists (more lists / AQE skew split).
+    """
+    from iceberg_metadata_pipeline_spark.llmops.similarity import ivf_assignments
+
+    assigned, _ = ivf_assignments(emb, nlist=nlist, seed=seed)
+    v = assigned.select(
+        "vec_id", "list_id", F.col("embedding").cast("array<double>").alias("e")
+    )
+    a = v.alias("a")
+    b = v.alias("b")
+    cos = (
+        "aggregate(zip_with(a.e, b.e, (x, y) -> x * y), CAST(0 AS DOUBLE),"
+        " (acc, x) -> acc + x)"
+        " / (sqrt(aggregate(transform(a.e, x -> x * x), CAST(0 AS DOUBLE),"
+        "          (acc, x) -> acc + x))"
+        "  * sqrt(aggregate(transform(b.e, x -> x * x), CAST(0 AS DOUBLE),"
+        "          (acc, x) -> acc + x)))"
+    )
+    dropped = (
+        a.join(
+            b,
+            (F.col("a.list_id") == F.col("b.list_id"))
+            & (F.col("a.vec_id") < F.col("b.vec_id")),
+        )
+        .filter(F.expr(cos) > tau)
+        .select(F.col("b.vec_id").alias("vec_id"))
+        .distinct()
+    )
+    return (
+        v.join(dropped.withColumn("__drop", F.lit(True)), "vec_id", "left")
+        .select(
+            "vec_id",
+            "list_id",
+            F.coalesce(~F.col("__drop"), F.lit(True)).alias("kept"),
+        )
+    )
+
+
+@query("dedup_semantic_semdedup", None)  # k-means clustering (Spark ML) → rows-only
+def dedup_semantic_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup profile over the embeddings fixture: per-cluster kept/
+    dropped counts. Rows-only by design — the k-means quantizer is a
+    trained model (float partial-sum order varies), so cluster labels
+    aren't oracle-reproducible; the dedup INVARIANTS (every dropped
+    vector has a lower-id in-cluster neighbor above tau, every kept one
+    has none) are asserted row-by-row in tests/test_llmops.py against
+    Spark's own assignments."""
+    emb = load_tables(spark, sf_dir)["embeddings"]
+    res = semdedup(emb, nlist=8, tau=0.97)
+    return (
+        res.groupBy("list_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_vectors"),
+            F.sum(F.when(F.col("kept"), 0).otherwise(1)).cast("long").alias("n_dropped"),
+        )
+        .orderBy("list_id")
+    )

@@ -1001,3 +1001,37 @@ def test_codec_jpeg_unsupported_variants_raise():
     good = codecs.encode_jpeg(img, quality=90)
     with _pytest.raises(ValueError):
         codecs.decode_jpeg(good[:-20] , with_pixels=True)
+
+
+def test_semdedup_invariants(spark, sf_dir, tables):
+    """SemDeDup property check against Spark's own cluster assignments:
+    a vector is dropped IFF a lower-id vector in its cluster has cosine
+    above tau."""
+    import math
+
+    from iceberg_metadata_pipeline_spark.llmops.dedup import semdedup
+
+    emb = tables["embeddings"]
+    res = {r.vec_id: r for r in semdedup(emb, nlist=8, tau=0.3).collect()}
+    vecs = {r.vec_id: [float(x) for x in r.embedding] for r in emb.collect()}
+    assert set(res) == set(vecs)
+
+    def cos(a, b):
+        dot = sum(x * y for x, y in zip(a, b))
+        na = math.sqrt(sum(x * x for x in a))
+        nb = math.sqrt(sum(x * x for x in b))
+        return dot / (na * nb)
+
+    by_cluster: dict[int, list[int]] = {}
+    for vid, r in res.items():
+        by_cluster.setdefault(r.list_id, []).append(vid)
+    n_dropped = 0
+    for _cid, members in by_cluster.items():
+        for vid in members:
+            has_lower_dup = any(
+                o < vid and cos(vecs[o], vecs[vid]) > 0.3 for o in members
+            )
+            assert res[vid].kept == (not has_lower_dup), vid
+            n_dropped += 0 if res[vid].kept else 1
+    # tau is set under the fixture's max pairwise cosine so drops occur
+    assert n_dropped > 0

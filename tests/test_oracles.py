@@ -67,6 +67,7 @@ def test_rows_only_queries_are_documented_exceptions(registry):
         "multimodal_probe",   # python header parsers (PNG/JPEG/GIF walks)
         "multimodal_png",     # stdlib-zlib PNG decode kernel (no SQL decode)
         "embed_kmeans",       # ML-trained quantizer (same rationale as IVF)
+        "dedup_semantic",     # SemDeDup: k-means clustering (same rationale)
         "catalog_metadata",   # catalog metadata invisible to DuckDB
         "catalog_introspection",
         "agg_approx",         # engine-specific sketches
