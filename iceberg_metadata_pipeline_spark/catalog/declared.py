@@ -1557,6 +1557,59 @@ def catalog_iceberg_v3_row_lineage(spark: SparkSession, sf_dir: str) -> DataFram
 
 
 @query(
+    "catalog_delta_column_mapping",
+    """
+SELECT s_nationkey, COUNT(*) AS n,
+  CAST(SUM(CAST(s_acctbal AS DECIMAL(38,6))) AS DOUBLE) AS total_balance
+FROM supplier
+GROUP BY s_nationkey
+ORDER BY s_nationkey
+""",
+)
+def catalog_delta_column_mapping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Delta COLUMN MAPPING ('name' mode, protocol reader 2/writer 5):
+    export supplier as a Delta table, upgrade it to column mapping, then
+    RENAME s_acctbal → account_balance — one JSON commit, ZERO parquet
+    rewritten (physicalName keeps pointing at the on-disk bytes; at
+    100 TB this is the difference between a metadata commit and a full
+    table rewrite). The pydelta reader maps physical → logical names and
+    the aggregate over the renamed column must equal the raw-fixture
+    oracle over the original one."""
+    import os as _os
+    import tempfile as _tf
+
+    from iceberg_metadata_pipeline_spark.catalog.delta_format import (
+        enable_column_mapping,
+        export_delta_table,
+        rename_delta_column,
+    )
+    from iceberg_metadata_pipeline_spark.catalog.metacat import scan_parquet_footers
+
+    supplier = load_tables(spark, sf_dir)["supplier"]
+    catalog = Catalog(spark, _tf.mkdtemp(prefix="wh-dcm-"))
+    t = catalog.create_table("nyc", "supplier_cm", supplier.schema)
+    t.append_files(scan_parquet_footers(_os.path.join(sf_dir, "supplier.parquet"), spark))
+    dest = _tf.mkdtemp(prefix="delta-cm-")
+    export_delta_table(t.refresh(), dest)
+    enable_column_mapping(dest)
+    rename_delta_column(dest, "s_acctbal", "account_balance")
+    from iceberg_metadata_pipeline_spark.ingest.pydelta_source import register
+
+    register(spark)
+    back = spark.read.format("pydelta").load(dest)
+    return (
+        back.groupBy("s_nationkey")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("account_balance").cast("decimal(38,6)"))
+            .cast("double")
+            .alias("total_balance"),
+        )
+        .orderBy("s_nationkey")
+    )
+
+
+@query(
     "catalog_delta_export_import",
     """
 SELECT s_nationkey, COUNT(*) AS n,

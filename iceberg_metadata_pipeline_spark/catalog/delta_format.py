@@ -63,6 +63,9 @@ _SUPPORTED_READER_FEATURES = {
     # inline vectors are decoded and applied; file-based vectors still
     # refuse per-add inside _decode_dv_descriptor
     "deletionVectors",
+    # 'name'/'id' mode: parquet stores physical names, the reader maps
+    # them back to logical ones (column_mapping helpers below)
+    "columnMapping",
 }
 
 
@@ -625,6 +628,103 @@ def attach_inline_dv(location: str, data_file: str, positions: list[int]) -> int
     )
 
 
+def column_mapping_mode(state: DeltaTableState) -> str:
+    return (state.metadata.get("configuration") or {}).get(
+        "delta.columnMapping.mode", "none"
+    )
+
+
+def physical_names(state: DeltaTableState) -> dict:
+    """logical column → the name actually stored in parquet files and
+    ``partitionValues`` keys. Identity unless column mapping is on (the
+    protocol: each field's metadata carries
+    ``delta.columnMapping.physicalName``)."""
+    if column_mapping_mode(state) == "none":
+        return {f.name: f.name for f in state.schema.fields}
+    return {
+        f.name: (f.metadata or {}).get("delta.columnMapping.physicalName", f.name)
+        for f in state.schema.fields
+    }
+
+
+def enable_column_mapping(location: str) -> int:
+    """Upgrade a table to column-mapping 'name' mode (protocol reader 2 /
+    writer 5): every field gets a stable ``delta.columnMapping.id`` and a
+    ``physicalName`` pinned to its CURRENT name — the layout already in
+    the data files — so existing files stay readable and later renames
+    become metadata-only commits. Returns the commit version."""
+    state = read_delta_table(location)
+    if column_mapping_mode(state) != "none":
+        return state.version
+    fields = []
+    for i, f in enumerate(state.schema.fields, start=1):
+        m = dict(f.metadata or {})
+        m["delta.columnMapping.id"] = i
+        m["delta.columnMapping.physicalName"] = f.name
+        fields.append(T.StructField(f.name, f.dataType, f.nullable, m))
+    conf = dict(state.metadata.get("configuration") or {})
+    conf["delta.columnMapping.mode"] = "name"
+    conf["delta.columnMapping.maxColumnId"] = str(len(fields))
+    md = dict(
+        state.metadata,
+        schemaString=json.dumps(T.StructType(fields).jsonValue()),
+        configuration=conf,
+    )
+    return write_commit(
+        location,
+        [
+            {"protocol": {"minReaderVersion": 2, "minWriterVersion": 5}},
+            {"metaData": md},
+            {
+                "commitInfo": {
+                    "operation": "UPGRADE COLUMN MAPPING",
+                    "operationParameters": {"mode": "name"},
+                }
+            },
+        ],
+    )
+
+
+def rename_delta_column(location: str, old: str, new: str) -> int:
+    """Metadata-only column rename — THE operation column mapping exists
+    for: the logical name changes in the schema while ``physicalName``
+    keeps pointing at the bytes already on disk, so zero data files are
+    rewritten (at 100 TB, a rename costs one JSON commit). Returns the
+    commit version."""
+    state = read_delta_table(location)
+    if column_mapping_mode(state) == "none":
+        raise ValueError(
+            "column rename requires column mapping (enable_column_mapping "
+            "first) — without it the logical name IS the parquet name and "
+            "a rename would need a full rewrite"
+        )
+    if old not in [f.name for f in state.schema.fields]:
+        raise ValueError(f"no column {old!r}")
+    if new in [f.name for f in state.schema.fields]:
+        raise ValueError(f"column {new!r} already exists")
+    fields = [
+        T.StructField(new if f.name == old else f.name, f.dataType, f.nullable, f.metadata)
+        for f in state.schema.fields
+    ]
+    md = dict(state.metadata, schemaString=json.dumps(T.StructType(fields).jsonValue()))
+    if old in (state.metadata.get("partitionColumns") or []):
+        md["partitionColumns"] = [
+            new if c == old else c for c in state.metadata["partitionColumns"]
+        ]
+    return write_commit(
+        location,
+        [
+            {"metaData": md},
+            {
+                "commitInfo": {
+                    "operation": "RENAME COLUMN",
+                    "operationParameters": {"from": old, "to": new},
+                }
+            },
+        ],
+    )
+
+
 def _live_rows_dataframe(spark: SparkSession, state: DeltaTableState):
     """Materialize a DV-carrying snapshot's live rows, distributed:
     files scan with ``_metadata.file_path``/``row_index`` (exact
@@ -637,23 +737,32 @@ def _live_rows_dataframe(spark: SparkSession, state: DeltaTableState):
 
     norm = lambda c: F.regexp_replace(c, r"^file:/+", "/")  # noqa: E731
     pcols = set(state.partition_columns)
+    phys = physical_names(state)
     file_fields = [f for f in state.schema.fields if f.name not in pcols]
     abs_of = {
         p: (p if os.path.isabs(p) else os.path.join(state.location, p))
         for p in state.files
     }
     data = (
-        spark.read.schema(T.StructType(file_fields))
+        # parquet stores PHYSICAL names (identity unless column mapping)
+        spark.read.schema(
+            T.StructType(
+                [T.StructField(phys[f.name], f.dataType, f.nullable) for f in file_fields]
+            )
+        )
         .parquet(*abs_of.values())
         .withColumn("__file", norm(F.col("_metadata.file_path")))
         .withColumn("__pos", F.col("_metadata.row_index"))
     )
+    for f in file_fields:
+        if phys[f.name] != f.name:
+            data = data.withColumnRenamed(phys[f.name], f.name)
     if state.partition_columns:
         pmap = spark.createDataFrame(
             [
                 (abs_of[p],)
                 + tuple(
-                    (a.get("partitionValues") or {}).get(c)
+                    (a.get("partitionValues") or {}).get(phys[c])
                     for c in state.partition_columns
                 )
                 for p, a in state.files.items()

@@ -98,6 +98,8 @@ class _DeltaReadMixin:
 
     schema: T.StructType
     partition_columns: list[str]
+    # logical -> parquet (physical) name; identity unless column mapping
+    physical: dict
 
     def _rows(self, part: DeltaFilePartition):
         import pyarrow.parquet as pq
@@ -107,7 +109,7 @@ class _DeltaReadMixin:
         pvals = dict(zip(self.partition_columns, part.partition_values))
         dead = set(part.deleted)
         pf = pq.ParquetFile(part.path)
-        names = [f.name for f in file_fields]
+        names = [self.physical.get(f.name, f.name) for f in file_fields]
         pos = 0
         for batch in pf.iter_batches(columns=names):
             cols = [batch.column(i).to_pylist() for i in range(batch.num_columns)]
@@ -117,7 +119,7 @@ class _DeltaReadMixin:
                 if f.name in pcols:
                     ordered.append([pvals[f.name]] * batch.num_rows)
                 else:
-                    ordered.append(got[f.name])
+                    ordered.append(got[self.physical.get(f.name, f.name)])
             for row in zip(*ordered):
                 if pos not in dead:
                     yield row
@@ -135,14 +137,16 @@ class PyDeltaBatchReader(DataSourceReader, _DeltaReadMixin):
         self.partition_columns = state.partition_columns
         from iceberg_metadata_pipeline_spark.catalog.delta_format import (
             _decode_dv_descriptor,
+            physical_names,
         )
 
+        self.physical = physical_names(state)
         self._parts = [
             DeltaFilePartition(
                 self._abs(p),
                 tuple(
                     _coerce_partition(
-                        (a.get("partitionValues") or {}).get(c),
+                        (a.get("partitionValues") or {}).get(self.physical.get(c, c)),
                         self.schema[c].dataType,
                     )
                     for c in state.partition_columns
@@ -171,6 +175,11 @@ class PyDeltaStreamReader(DataSourceStreamReader, _DeltaReadMixin):
         state = read_delta_table(self.path)  # schema + partitioning from the log
         self.schema = state.schema
         self.partition_columns = state.partition_columns
+        from iceberg_metadata_pipeline_spark.catalog.delta_format import (
+            physical_names,
+        )
+
+        self.physical = physical_names(state)
 
     def initialOffset(self) -> dict:
         return {"v": -1}
@@ -217,7 +226,9 @@ class PyDeltaStreamReader(DataSourceStreamReader, _DeltaReadMixin):
                                 p if os.path.isabs(p) else os.path.join(self.path, p),
                                 tuple(
                                     _coerce_partition(
-                                        (add.get("partitionValues") or {}).get(c),
+                                        (add.get("partitionValues") or {}).get(
+                                            self.physical.get(c, c)
+                                        ),
                                         self.schema[c].dataType,
                                     )
                                     for c in self.partition_columns
@@ -302,6 +313,18 @@ class PyDeltaBatchWriter(DataSourceWriter):
         now = int(_time.time() * 1000)
         actions: list[dict] = []
         prev = latest_version(self.dest)
+        if prev >= 0:
+            from iceberg_metadata_pipeline_spark.catalog.delta_format import (
+                column_mapping_mode,
+            )
+
+            if column_mapping_mode(read_delta_table(self.dest)) != "none":
+                raise NotImplementedError(
+                    "pydelta writer: appending to a column-mapping table "
+                    "would need physical-name parquet writes; read paths "
+                    "support mapping, the writer refuses rather than "
+                    "corrupting the layout"
+                )
         if prev < 0:
             actions.append(
                 {"protocol": {"minReaderVersion": 1, "minWriterVersion": 2}}

@@ -672,7 +672,11 @@ def dedup_substring_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def semdedup(
-    emb: DataFrame, nlist: int = 8, tau: float = 0.97, seed: int = 7
+    emb: DataFrame,
+    nlist: int | None = None,
+    tau: float = 0.97,
+    seed: int = 7,
+    target_cluster: int = 250,
 ) -> DataFrame:
     """SemDeDup (Abbas et al. 2023, arXiv:2303.09540): cluster the
     embedding space with a k-means coarse quantizer, then inside each
@@ -683,13 +687,21 @@ def semdedup(
 
     Scale shape — the whole point of clustering first: pairwise cosine
     runs only inside clusters (the within-cluster self-join shuffles on
-    list_id), so the comparison count is Σ|cluster|² instead of n² —
-    with nlist ≈ n/1000 clusters this is the paper's tractable regime at
-    100 TB. Cluster imbalance is the skew hazard; same remediation as
-    IVF hot lists (more lists / AQE skew split).
+    list_id), so the comparison count is Σ|cluster|² instead of n².
+    CRITICAL scaling rule (measured: a FIXED nlist gives exponent ~1.7,
+    i.e. quadratic wall-clock growth, because cluster sizes track corpus
+    size): ``nlist`` must grow with the corpus so the MEAN cluster size
+    stays constant — then Σ|cluster|² ≈ n·target_cluster, LINEAR in n.
+    Default sizes nlist = n / target_cluster (one O(1) count; at 100 TB
+    you'd size from catalog row counts instead). Cluster imbalance is
+    the residual skew hazard; same remediation as IVF hot lists (more
+    lists / AQE skew split).
     """
     from iceberg_metadata_pipeline_spark.llmops.similarity import ivf_assignments
 
+    if nlist is None:
+        n = emb.count()
+        nlist = max(8, n // target_cluster)
     assigned, _ = ivf_assignments(emb, nlist=nlist, seed=seed)
     v = assigned.select(
         "vec_id", "list_id", F.col("embedding").cast("array<double>").alias("e")
@@ -734,7 +746,7 @@ def dedup_semantic_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     has none) are asserted row-by-row in tests/test_llmops.py against
     Spark's own assignments."""
     emb = load_tables(spark, sf_dir)["embeddings"]
-    res = semdedup(emb, nlist=8, tau=0.97)
+    res = semdedup(emb, tau=0.97)  # nlist auto-sized: n / target_cluster
     return (
         res.groupBy("list_id")
         .agg(

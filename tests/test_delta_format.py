@@ -261,13 +261,13 @@ def test_refuses_unknown_reader_features(tmp_path):
                 "protocol": {
                     "minReaderVersion": 3,
                     "minWriterVersion": 7,
-                    "readerFeatures": ["columnMapping"],
-                    "writerFeatures": ["columnMapping"],
+                    "readerFeatures": ["variantType"],
+                    "writerFeatures": ["variantType"],
                 }
             }
         ],
     )
-    with pytest.raises(NotImplementedError, match="columnMapping"):
+    with pytest.raises(NotImplementedError, match="variantType"):
         read_delta_table(loc)
 
 
@@ -579,3 +579,82 @@ def test_cdf_post_vacuum_refuses(spark, metacat_table, tmp_path):
     ])
     with pytest.raises(FileNotFoundError, match="post-vacuum"):
         table_changes(spark, dest, 1, 1).count()
+
+
+# ---------------------------------------------------------------------------
+# column mapping ('name' mode): metadata-only renames
+# ---------------------------------------------------------------------------
+
+
+def test_column_mapping_rename_is_metadata_only(spark, metacat_table, tmp_path):
+    from iceberg_metadata_pipeline_spark.catalog.delta_format import (
+        column_mapping_mode,
+        enable_column_mapping,
+        physical_names,
+        rename_delta_column,
+        _live_rows_dataframe,
+    )
+
+    _catalog, t = metacat_table
+    dest = str(tmp_path / "delta-cm")
+    export_delta_table(t, dest)
+    data_files_before = sorted(read_delta_table(dest).files)
+
+    enable_column_mapping(dest)
+    state = read_delta_table(dest)
+    assert column_mapping_mode(state) == "name"
+    assert state.protocol["minReaderVersion"] == 2
+
+    rename_delta_column(dest, "score", "quality_score")
+    state = read_delta_table(dest)
+    assert [f.name for f in state.schema.fields] == ["id", "name", "quality_score"]
+    # physicalName still points at the on-disk column
+    assert physical_names(state)["quality_score"] == "score"
+    # zero data files touched: same add set, rename was one JSON commit
+    assert sorted(state.files) == data_files_before
+
+    rows = _live_rows_dataframe(spark, state).collect()
+    assert {r.id: r.quality_score for r in rows} == {
+        i: (i % 100) / 4.0 for i in list(range(20)) + list(range(100, 120))
+    }
+
+
+def test_column_mapping_pydelta_reader_and_writer_guard(spark, metacat_table, tmp_path):
+    import pytest as _pytest
+
+    from iceberg_metadata_pipeline_spark.catalog.delta_format import (
+        enable_column_mapping,
+        rename_delta_column,
+    )
+
+    _catalog, t = metacat_table
+    dest = str(tmp_path / "delta-cm2")
+    export_delta_table(t, dest)
+    enable_column_mapping(dest)
+    rename_delta_column(dest, "name", "label")
+
+    back = spark.read.format("pydelta").load(dest)
+    assert set(back.columns) == {"id", "label", "score"}
+    got = {r.id: r.label for r in back.collect()}
+    assert got[0] == "n0" and got[119] == "n19" and len(got) == 40
+
+    # appending logical-named parquet to a mapped table would corrupt the
+    # physical layout — the writer must refuse
+    with _pytest.raises(Exception, match="column-mapping"):
+        spark.createDataFrame(
+            [(999, "x", 0.0)], "id long, label string, score double"
+        ).write.format("pydelta").mode("append").save(dest)
+
+
+def test_rename_without_mapping_refuses(spark, metacat_table, tmp_path):
+    import pytest as _pytest
+
+    from iceberg_metadata_pipeline_spark.catalog.delta_format import (
+        rename_delta_column,
+    )
+
+    _catalog, t = metacat_table
+    dest = str(tmp_path / "delta-nomap")
+    export_delta_table(t, dest)
+    with _pytest.raises(ValueError, match="column mapping"):
+        rename_delta_column(dest, "score", "s2")

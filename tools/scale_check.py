@@ -51,6 +51,13 @@ QUERIES = [
     "text_boilerplate_line_dedup",
     "join_skew_salted",
     "text_bm25_rank",
+    # r6 continuation: grid spatial join, blocked ER, basket mining,
+    # weighted SSSP, semantic dedup
+    "geo_grid_radius_join",
+    "er_blocked_best_match",
+    "mining_basket_pair_rules",
+    "graph_sssp_weighted",
+    "dedup_semantic_semdedup",
 ]
 
 
