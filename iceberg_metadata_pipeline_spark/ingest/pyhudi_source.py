@@ -1,0 +1,266 @@
+"""``pyhudi`` — a Spark-4 Python DataSource over the from-scratch Hudi
+COW layer (catalog/hudi_format.py), completing the DataSource trio with
+``pyice`` and ``pydelta``: plain ``spark.read.format("pyhudi")`` over a
+real Hudi table directory, with
+
+- snapshot reads of the latest completed instant,
+- ``asOfInstant`` time travel (any completed instant time),
+- a STREAMING source whose offset is the timeline instant itself —
+  ``readStream`` tails completed commits and each micro-batch emits
+  exactly the base files those commits wrote (Hudi's incremental-pull
+  primitive as a Structured Streaming source; the checkpoint stores the
+  last consumed instant, so restart resumes from the timeline position).
+
+Schema comes from the first live base file's parquet footer (arrow →
+Spark types); hive-encoded partition-path columns that are NOT present
+in the data files are appended as typed-by-parse strings — the COW
+export path symlinks foreign parquet, so partition values live only in
+the path, exactly like Hudi bootstrap tables.
+
+Scale: planning is O(timeline + files) driver-side metadata; each base
+file is one input partition (pyarrow batch reads inside the worker);
+the stream reads only O(churn) files per micro-batch.
+"""
+
+from __future__ import annotations
+
+import os
+from dataclasses import dataclass
+
+from pyspark.sql import types as T
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceReader,
+    DataSourceStreamReader,
+    InputPartition,
+)
+
+from iceberg_metadata_pipeline_spark.catalog.hudi_format import (
+    completed_instants,
+    incremental_files,
+    read_hudi_table,
+)
+
+
+def _local(path: str) -> str:
+    return path[len("file:") :] if path.startswith("file:") else path
+
+
+_ARROW_TO_SPARK = {
+    "int8": T.ByteType(), "int16": T.ShortType(), "int32": T.IntegerType(),
+    "int64": T.LongType(), "float": T.FloatType(), "double": T.DoubleType(),
+    "string": T.StringType(), "large_string": T.StringType(),
+    "bool": T.BooleanType(), "date32[day]": T.DateType(),
+    "binary": T.BinaryType(), "timestamp[us]": T.TimestampType(),
+}
+
+
+def _file_schema(path: str) -> T.StructType:
+    import pyarrow.parquet as pq
+
+    fields = []
+    for f in pq.read_schema(path):
+        dt = _ARROW_TO_SPARK.get(str(f.type))
+        if dt is None:
+            raise NotImplementedError(
+                f"pyhudi: no Spark mapping for arrow type {f.type} "
+                f"(column {f.name}); flatten/cast before export"
+            )
+        fields.append(T.StructField(f.name, dt))
+    return T.StructType(fields)
+
+
+def _parse_partition_path(ppath: str) -> dict[str, str]:
+    """hive-style 'a=1/b=x' → {'a': '1', 'b': 'x'} ('' → {})."""
+    out: dict[str, str] = {}
+    for seg in ppath.split("/"):
+        if "=" in seg:
+            k, v = seg.split("=", 1)
+            out[k] = v
+    return out
+
+
+@dataclass
+class HudiFilePartition(InputPartition):
+    path: str
+    partition_values: tuple
+
+
+class _HudiReadMixin:
+    schema: T.StructType
+    file_cols: list[str]  # columns physically in the parquet files
+    part_cols: list[str]  # appended from the partition path
+
+    def _rows(self, part: HudiFilePartition):
+        import pyarrow.parquet as pq
+
+        pvals = dict(zip(self.part_cols, part.partition_values))
+        pf = pq.ParquetFile(part.path)
+        for batch in pf.iter_batches(columns=self.file_cols):
+            cols = [batch.column(i).to_pylist() for i in range(batch.num_columns)]
+            got = dict(zip(batch.schema.names, cols))
+            ordered = []
+            for f in self.schema.fields:
+                if f.name in pvals:
+                    ordered.append([pvals[f.name]] * batch.num_rows)
+                else:
+                    ordered.append(got[f.name])
+            yield from zip(*ordered)
+
+
+def _resolve_schema(state) -> tuple[T.StructType, list[str], list[str]]:
+    first = next(iter(state.files.values()))
+    fschema = _file_schema(first.path)
+    file_cols = [f.name for f in fschema.fields]
+    part_cols = [c for c in state.partition_fields if c not in file_cols]
+    full = T.StructType(
+        list(fschema.fields)
+        + [T.StructField(c, T.StringType(), True) for c in part_cols]
+    )
+    return full, file_cols, part_cols
+
+
+class PyHudiBatchReader(DataSourceReader, _HudiReadMixin):
+    def __init__(self, options):
+        self.path = _local(options["path"])
+        state = read_hudi_table(self.path, options.get("asOfInstant"))
+        self.schema, self.file_cols, self.part_cols = _resolve_schema(state)
+        self._parts = [
+            HudiFilePartition(
+                bf.path,
+                tuple(
+                    _parse_partition_path(bf.partition_path).get(c)
+                    for c in self.part_cols
+                ),
+            )
+            for _key, bf in sorted(state.files.items())
+        ]
+
+    def partitions(self):
+        return self._parts
+
+    def read(self, partition: HudiFilePartition):
+        yield from self._rows(partition)
+
+
+class PyHudiStreamReader(DataSourceStreamReader, _HudiReadMixin):
+    """Offset = the last consumed completed instant time (lexicographic —
+    Hudi instants are yyyyMMddHHmmssSSS, so string order IS time order).
+    Each batch emits the base files written by instants in
+    (start, end] — the incremental-pull contract."""
+
+    def __init__(self, schema: T.StructType, options):
+        self.path = _local(options["path"])
+        state = read_hudi_table(self.path)
+        self.schema, self.file_cols, self.part_cols = _resolve_schema(state)
+
+    def initialOffset(self) -> dict:
+        return {"t": ""}
+
+    def latestOffset(self) -> dict:
+        done = completed_instants(self.path)
+        return {"t": done[-1].time if done else ""}
+
+    def partitions(self, start: dict, end: dict):
+        files = incremental_files(self.path, begin=start["t"], end=end["t"] or None)
+        return [
+            HudiFilePartition(
+                bf.path,
+                tuple(
+                    _parse_partition_path(bf.partition_path).get(c)
+                    for c in self.part_cols
+                ),
+            )
+            for bf in files
+        ]
+
+    def read(self, partition: HudiFilePartition):
+        yield from self._rows(partition)
+
+    def commit(self, end: dict) -> None:
+        pass  # offsets live in the query checkpoint
+
+
+class PyHudiDataSource(DataSource):
+    """``spark.dataSource.register(PyHudiDataSource)`` → format name
+    "pyhudi" for batch read and readStream over Hudi COW tables."""
+
+    @classmethod
+    def name(cls) -> str:
+        return "pyhudi"
+
+    def schema(self):
+        state = read_hudi_table(_local(self.options["path"]))
+        schema, _fc, _pc = _resolve_schema(state)
+        return schema
+
+    def reader(self, schema: T.StructType) -> DataSourceReader:
+        return PyHudiBatchReader(self.options)
+
+    def streamReader(self, schema: T.StructType) -> DataSourceStreamReader:
+        return PyHudiStreamReader(schema, self.options)
+
+
+def register(spark) -> None:
+    """Idempotent format registration (latest registration wins)."""
+    spark.dataSource.register(PyHudiDataSource)
+
+
+def _declare_queries() -> None:
+    from pyspark.sql import DataFrame, SparkSession
+    from pyspark.sql import functions as F
+
+    from iceberg_metadata_pipeline_spark.queries import query
+    from iceberg_metadata_pipeline_spark.session import load_tables
+
+    @query(
+        "source_pyhudi_datasource",
+        """
+SELECT p_brand, COUNT(*) AS n,
+  CAST(SUM(CAST(p_retailprice AS DECIMAL(38,6))) AS DOUBLE) AS total_price
+FROM part
+GROUP BY p_brand
+ORDER BY p_brand
+""",
+    )
+    def source_pyhudi_datasource(spark: SparkSession, sf_dir: str) -> DataFrame:
+        """Register the part fixture into metacat, export it as a REAL
+        Hudi COW table (timeline + bootstrap-style symlinked base files),
+        then read it back through plain ``spark.read.format("pyhudi")``
+        and aggregate — proving a Spark user needs no hudi jar to query
+        the exported table. The DataSource plans one input partition per
+        base file from O(timeline) driver metadata."""
+        import os as _os
+        import tempfile as _tf
+
+        from iceberg_metadata_pipeline_spark.catalog.hudi_format import (
+            export_hudi_table,
+        )
+        from iceberg_metadata_pipeline_spark.catalog.metacat import (
+            Catalog,
+            scan_parquet_footers,
+        )
+
+        part = load_tables(spark, sf_dir)["part"]
+        catalog = Catalog(spark, _tf.mkdtemp(prefix="wh-pyhudi-"))
+        t = catalog.create_table("nyc", "part_hudi", part.schema)
+        t.append_files(
+            scan_parquet_footers(_os.path.join(sf_dir, "part.parquet"), spark)
+        )
+        dest = _tf.mkdtemp(prefix="hudi-pyds-") + "/part_hudi"
+        export_hudi_table(t.refresh(), dest)
+        register(spark)
+        back = spark.read.format("pyhudi").load(dest)
+        return (
+            back.groupBy("p_brand")
+            .agg(
+                F.count(F.lit(1)).alias("n"),
+                F.sum(F.col("p_retailprice").cast("decimal(38,6)"))
+                .cast("double")
+                .alias("total_price"),
+            )
+            .orderBy("p_brand")
+        )
+
+
+_declare_queries()

@@ -242,3 +242,61 @@ WHERE rn <= 5
 ORDER BY term, rn
 """,
 )
+
+
+sql_query(
+    "text_gopher_quality_rules",
+    # Gopher quality rules (Rae et al. 2021, arXiv:2112.11446 table A1),
+    # document-level subset applicable to the fixture's single-line
+    # punctuation-free token streams: word count in [50, 100k], mean
+    # word length in [3, 10], >= 80% of words contain an alphabetic
+    # char, and >= 2 distinct stopwords from the paper's 8-word list
+    # (bullet/ellipsis line rules are vacuous here — documents carry no
+    # newlines — and symbol ratios are zero on alnum tokens; omitted).
+    # Pure map-side token arithmetic: the filter pushes to the scan at
+    # any scale, no shuffle before the final sort.
+    """
+SELECT doc_id, n_words,
+       CAST(n_chars AS DOUBLE) / n_words AS mean_word_len,
+       CAST(n_alpha AS DOUBLE) / n_words AS alpha_frac,
+       n_stop_kinds,
+       CAST(n_words >= 50 AND n_words <= 100000
+            AND (CAST(n_chars AS DOUBLE) / n_words) >= 3.0E0
+            AND (CAST(n_chars AS DOUBLE) / n_words) <= 10.0E0
+            AND (CAST(n_alpha AS DOUBLE) / n_words) >= 0.8E0
+            AND n_stop_kinds >= 2 AS INT) AS gopher_pass
+FROM (
+  SELECT doc_id,
+         size(toks) AS n_words,
+         length(text) - (size(toks) - 1) AS n_chars,
+         size(filter(toks, x -> x rlike '[a-z]')) AS n_alpha,
+         size(array_intersect(array_distinct(toks),
+              array('the', 'be', 'to', 'of', 'and', 'that', 'have', 'with')))
+           AS n_stop_kinds
+  FROM (SELECT doc_id, text, split(text, ' ') AS toks FROM documents) t
+) feats
+ORDER BY doc_id
+""",
+    oracle="""
+SELECT doc_id, n_words,
+       CAST(n_chars AS DOUBLE) / n_words AS mean_word_len,
+       CAST(n_alpha AS DOUBLE) / n_words AS alpha_frac,
+       n_stop_kinds,
+       CAST(n_words >= 50 AND n_words <= 100000
+            AND (CAST(n_chars AS DOUBLE) / n_words) >= 3.0E0
+            AND (CAST(n_chars AS DOUBLE) / n_words) <= 10.0E0
+            AND (CAST(n_alpha AS DOUBLE) / n_words) >= 0.8E0
+            AND n_stop_kinds >= 2 AS INT) AS gopher_pass
+FROM (
+  SELECT doc_id,
+         len(toks) AS n_words,
+         length(text) - (len(toks) - 1) AS n_chars,
+         len(list_filter(toks, x -> regexp_matches(x, '[a-z]'))) AS n_alpha,
+         len(list_intersect(list_distinct(toks),
+             ['the', 'be', 'to', 'of', 'and', 'that', 'have', 'with']))
+           AS n_stop_kinds
+  FROM (SELECT doc_id, text, string_split(text, ' ') AS toks FROM documents) t
+) feats
+ORDER BY doc_id
+""",
+)
