@@ -107,6 +107,9 @@ HEADLINE = [
     "er_blocked_best_match",
     "mining_basket_pair_rules",
     "mining_markov_transitions",
+    "source_pyhudi_datasource",
+    "catalog_iceberg_v3_row_lineage",
+    "catalog_delta_column_mapping",
 ]
 
 

@@ -1557,6 +1557,52 @@ def catalog_iceberg_v3_row_lineage(spark: SparkSession, sf_dir: str) -> DataFram
 
 
 @query(
+    "catalog_iceberg_v3_default_values",
+    """
+SELECT n_regionkey,
+       'pending-review' AS review_status,
+       COUNT(*) AS n,
+       MIN(n_name) AS first_name
+FROM nation
+GROUP BY n_regionkey
+ORDER BY n_regionkey
+""",
+)
+def catalog_iceberg_v3_default_values(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Iceberg v3 DEFAULT VALUES: export nation as a v3 table, ADD a
+    column with an ``initial-default`` (one metadata JSON write — the
+    existing data files are never touched, which at 100 TB replaces a
+    full-table backfill), then scan: every pre-existing row materializes
+    the default because its file predates the column. The oracle pins
+    the constant; grouping over original columns proves the rest of the
+    row survived the schema evolution."""
+    import os as _os
+    import tempfile as _tf
+
+    from iceberg_metadata_pipeline_spark.catalog.iceberg_format import (
+        add_column_with_default,
+        export_iceberg_table,
+        read_iceberg_snapshot,
+    )
+    from iceberg_metadata_pipeline_spark.catalog.metacat import scan_parquet_footers
+
+    nation = load_tables(spark, sf_dir)["nation"]
+    catalog = Catalog(spark, _tf.mkdtemp(prefix="wh-icedflt-"))
+    t = catalog.create_table("nyc", "nation_v3", nation.schema)
+    t.append_files(scan_parquet_footers(_os.path.join(sf_dir, "nation.parquet"), spark))
+    dest = _tf.mkdtemp(prefix="ice-dflt-")
+    export_iceberg_table(t.refresh(), dest, format_version=3)
+    add_column_with_default(dest, "review_status", "string", "pending-review")
+    rows = read_iceberg_snapshot(spark, dest)
+    return (
+        rows.groupBy("n_regionkey", "review_status")
+        .agg(F.count(F.lit(1)).alias("n"), F.min("n_name").alias("first_name"))
+        .select("n_regionkey", "review_status", "n", "first_name")
+        .orderBy("n_regionkey")
+    )
+
+
+@query(
     "catalog_delta_column_mapping",
     """
 SELECT s_nationkey, COUNT(*) AS n,

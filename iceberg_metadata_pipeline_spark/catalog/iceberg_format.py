@@ -698,6 +698,9 @@ class IcebergTableInfo:
     # must apply these before trusting row contents — see
     # import_iceberg_table's materializing path
     delete_files: list[DeleteFileEntry] = field(default_factory=list)
+    # v3 default values: column name -> typed initial-default — applied
+    # to rows from data files written BEFORE the column existed
+    defaults: dict = field(default_factory=dict)
 
 
 def _latest_metadata_path(location: str) -> str:
@@ -745,6 +748,11 @@ def read_iceberg_table(location: str) -> IcebergTableInfo:
         (s for s in schemas if s.get("schema-id", 0) == cur_id), schemas[0]
     )
     spark_schema = iceberg_schema_to_spark(schema_json)
+    defaults = {
+        f["name"]: f["initial-default"]
+        for f in schema_json["fields"]
+        if "initial-default" in f and f["initial-default"] is not None
+    }
 
     # identity fields of the default spec → (partition field name, source
     # column name, source type) for value carry-through
@@ -772,7 +780,7 @@ def read_iceberg_table(location: str) -> IcebergTableInfo:
     if snap_id in (None, -1):
         return IcebergTableInfo(
             location, meta_path, spark_schema, None, [], md,
-            [(n, s) for n, s, _ in ident],
+            [(n, s) for n, s, _ in ident], defaults=defaults,
         )
     snap = next(s for s in md["snapshots"] if int(s["snapshot-id"]) == int(snap_id))
     if "manifest-list" in snap:
@@ -923,7 +931,7 @@ def read_iceberg_table(location: str) -> IcebergTableInfo:
             )
     return IcebergTableInfo(
         location, meta_path, spark_schema, int(snap_id), files, md,
-        [(n, s) for n, s, _ in ident], delete_files,
+        [(n, s) for n, s, _ in ident], delete_files, defaults=defaults,
     )
 
 
@@ -974,6 +982,35 @@ def _live_rows_dataframe(
             "__file string, __data_seq long",
         )
     data = data.join(F.broadcast(seq_map), "__file")
+
+    if info.defaults:
+        # v3 initial-default: rows from files written BEFORE a column
+        # existed materialize the default — per-file column presence
+        # comes from the parquet footers (O(#files) driver metadata, the
+        # module's standing posture) and ships as one broadcast flag map;
+        # files that HAVE the column keep their values, including
+        # explicit nulls (the spec's distinction the naive coalesce()
+        # would get wrong)
+        import pyarrow.parquet as pq
+
+        dcols = [c for c in info.defaults if c in {f.name for f in info.schema.fields}]
+        have = {f.path: set(pq.read_schema(f.path).names) for f in info.files}
+        flag_rows = [
+            tuple([_normalize_uri(f.path)] + [c in have[f.path] for c in dcols])
+            for f in info.files
+        ]
+        flags = spark.createDataFrame(
+            flag_rows,
+            ", ".join(["__file string"] + [f"__has_{i} boolean" for i in range(len(dcols))]),
+        )
+        data = data.join(F.broadcast(flags), "__file")
+        for i, c in enumerate(dcols):
+            data = data.withColumn(
+                c,
+                F.when(F.col(f"__has_{i}"), F.col(c)).otherwise(
+                    F.lit(info.defaults[c]).cast(info.schema[c].dataType)
+                ),
+            )
 
     pos_dels = [d for d in info.delete_files if d.content == 1]
     if pos_dels:
@@ -1097,6 +1134,80 @@ def import_iceberg_table(
     if info.files:
         table.append_files(info.files)
     return table
+
+
+def add_column_with_default(
+    location: str, name: str, ice_type: str, initial_default
+) -> str:
+    """Iceberg v3 DEFAULT VALUES: add an optional column to an existing
+    v3 table as a pure metadata commit — the new field carries
+    ``initial-default`` (what readers materialize for rows in data files
+    written BEFORE the column existed) and ``write-default``. No data
+    file is touched; at 100 TB this is the difference between a JSON
+    write and a full-table backfill. Returns the new metadata path."""
+    meta_path = _latest_metadata_path(location)
+    with open(meta_path) as fh:
+        md = json.load(fh)
+    if int(md.get("format-version", 2)) < 3:
+        raise ValueError(
+            "initial-default requires format-version 3 (v2 readers would "
+            "silently show null); re-export with format_version=3"
+        )
+    schemas = md.get("schemas") or []
+    cur_id = md.get("current-schema-id", 0)
+    schema_json = next(s for s in schemas if s.get("schema-id", 0) == cur_id)
+    if any(f["name"] == name for f in schema_json["fields"]):
+        raise ValueError(f"column {name!r} already exists")
+    if not isinstance(ice_type, str) or ice_type not in (
+        "boolean", "int", "long", "float", "double", "string", "date",
+        "timestamp", "timestamptz",
+    ):
+        raise NotImplementedError(
+            f"initial-default on type {ice_type!r}: JSON-literal primitives "
+            "only (binary/uuid/nested need the spec's single-value "
+            "serialization, not implemented)"
+        )
+    new_fid = int(md["last-column-id"]) + 1
+    new_schema = {
+        "type": "struct",
+        "schema-id": cur_id + 1,
+        "fields": schema_json["fields"]
+        + [
+            {
+                "id": new_fid,
+                "name": name,
+                "required": False,
+                "type": ice_type,
+                "initial-default": initial_default,
+                "write-default": initial_default,
+            }
+        ],
+    }
+    md2 = dict(
+        md,
+        schemas=schemas + [new_schema],
+        **{
+            "current-schema-id": cur_id + 1,
+            "last-column-id": new_fid,
+            "last-updated-ms": int(time.time() * 1000),
+        },
+    )
+    meta_dir = os.path.join(location, "metadata")
+    m = re.match(r"v(\d+)\.metadata\.json", os.path.basename(meta_path))
+    ver = (int(m.group(1)) if m else 0) + 1
+    out = os.path.join(meta_dir, f"v{ver}.metadata.json")
+    with open(out, "w") as fh:
+        json.dump(md2, fh)
+    with open(os.path.join(meta_dir, "version-hint.text"), "w") as fh:
+        fh.write(str(ver))
+    return out
+
+
+def read_iceberg_snapshot(spark: SparkSession, location: str):
+    """Scan an Iceberg table's live rows (MOR deletes applied,
+    v3 initial-defaults materialized) without lineage columns."""
+    info = read_iceberg_table(location)
+    return _live_rows_dataframe(spark, info)
 
 
 def read_iceberg_with_lineage(spark: SparkSession, location: str):
