@@ -295,3 +295,148 @@ def mining_markov_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("cur", "nxt")
     )
+
+
+@query(
+    "events_time_weighted_avg",
+    """
+WITH seq AS (
+  SELECT user_id,
+         CAST(value AS DOUBLE) AS v,
+         epoch_us(CAST(ts AS TIMESTAMP)) AS ts_us,
+         LEAD(epoch_us(CAST(ts AS TIMESTAMP))) OVER (
+           PARTITION BY user_id ORDER BY ts, event_id
+         ) AS next_us
+  FROM events
+), terms AS (
+  SELECT user_id,
+         v * CAST(next_us - ts_us AS DOUBLE) AS w_term,
+         next_us - ts_us AS dt_us
+  FROM seq WHERE next_us IS NOT NULL
+)
+SELECT user_id,
+       list_reduce(list_sort(list(w_term)), (a, x) -> a + x)
+         / CAST(CAST(SUM(dt_us) AS BIGINT) AS DOUBLE) AS twap,
+       CAST(SUM(dt_us) AS BIGINT) AS span_us,
+       COUNT(*) AS n_intervals
+FROM terms
+GROUP BY user_id
+ORDER BY user_id
+""",
+)
+def events_time_weighted_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-weighted average of each user's event value (TWAP): each
+    reading holds until the next event, so its weight is the interval
+    length in epoch-microseconds (exact bigint arithmetic cross-engine).
+    The weighted sum is doubles — order-sensitive — so both engines fold
+    the per-interval terms in SORTED order (the chi-square pattern);
+    the denominator is an exact integer sum, and the final division is
+    one correctly-rounded op. Per-user windows: no global sort, state
+    bounded by a user's own history."""
+    from pyspark.sql import Window
+
+    t = load_tables(spark, sf_dir)
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = t["events"].select(
+        "user_id",
+        F.col("value").cast("double").alias("v"),
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("ts_us"),
+        F.lead(F.unix_micros(F.col("ts").cast("timestamp"))).over(w).alias("next_us"),
+    )
+    terms = seq.filter(F.col("next_us").isNotNull()).select(
+        "user_id",
+        (F.col("v") * (F.col("next_us") - F.col("ts_us")).cast("double")).alias(
+            "w_term"
+        ),
+        (F.col("next_us") - F.col("ts_us")).alias("dt_us"),
+    )
+    return (
+        terms.groupBy("user_id")
+        .agg(
+            (
+                F.expr(
+                    "reduce(array_sort(collect_list(w_term)), CAST(0.0E0 AS DOUBLE),"
+                    " (a, x) -> a + x)"
+                )
+                / F.sum("dt_us").cast("long").cast("double")
+            ).alias("twap"),
+            F.sum("dt_us").cast("long").alias("span_us"),
+            F.count(F.lit(1)).alias("n_intervals"),
+        )
+        .orderBy("user_id")
+    )
+
+
+@query(
+    "stat_ab_proportion_ztest",
+    """
+WITH arms AS (
+  SELECT user_id, CAST(user_id % 2 AS INT) AS arm,
+         CASE WHEN SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) >= 14
+              THEN 1 ELSE 0 END AS converted
+  FROM events
+  GROUP BY user_id
+), agg AS (
+  SELECT CAST(SUM(CASE WHEN arm = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n0,
+         CAST(SUM(CASE WHEN arm = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n1,
+         CAST(SUM(CASE WHEN arm = 0 THEN converted ELSE 0 END) AS BIGINT) AS c0,
+         CAST(SUM(CASE WHEN arm = 1 THEN converted ELSE 0 END) AS BIGINT) AS c1
+  FROM arms
+)
+SELECT n0, n1, c0, c1,
+       CAST(c0 AS DOUBLE) / CAST(n0 AS DOUBLE) AS p0,
+       CAST(c1 AS DOUBLE) / CAST(n1 AS DOUBLE) AS p1,
+       (CAST(c0 AS DOUBLE) / CAST(n0 AS DOUBLE)
+        - CAST(c1 AS DOUBLE) / CAST(n1 AS DOUBLE))
+       / SQRT(
+           (CAST(c0 + c1 AS DOUBLE) / CAST(n0 + n1 AS DOUBLE))
+           * (1.0E0 - CAST(c0 + c1 AS DOUBLE) / CAST(n0 + n1 AS DOUBLE))
+           * (1.0E0 / CAST(n0 AS DOUBLE) + 1.0E0 / CAST(n1 AS DOUBLE))
+         ) AS z_score
+FROM agg
+""",
+)
+def stat_ab_proportion_ztest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-proportion z-test (A/B testing): arms by user-id parity,
+    conversion = user crossed a purchase-count threshold set near the
+    fixture median (every user purchases at least once, so ever-purchased
+    would degenerate to p=1 and a zero denominator); z from the
+    pooled-proportion formula. Every intermediate is a single correctly-rounded double op
+    over exact integer counts — bit-identical cross-engine with no
+    rounding. One hash aggregate per level; constant-size output."""
+    t = load_tables(spark, sf_dir)
+    arms = (
+        t["events"]
+        .groupBy("user_id")
+        .agg(
+            F.expr(
+                "CASE WHEN SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)"
+                " >= 14 THEN 1 ELSE 0 END"
+            ).alias("converted")
+        )
+        .withColumn("arm", F.expr("CAST(user_id % 2 AS INT)"))
+    )
+    agg = arms.agg(
+        F.sum(F.expr("CASE WHEN arm = 0 THEN 1 ELSE 0 END")).cast("long").alias("n0"),
+        F.sum(F.expr("CASE WHEN arm = 1 THEN 1 ELSE 0 END")).cast("long").alias("n1"),
+        F.sum(F.expr("CASE WHEN arm = 0 THEN converted ELSE 0 END"))
+        .cast("long")
+        .alias("c0"),
+        F.sum(F.expr("CASE WHEN arm = 1 THEN converted ELSE 0 END"))
+        .cast("long")
+        .alias("c1"),
+    )
+    return agg.selectExpr(
+        "n0", "n1", "c0", "c1",
+        "CAST(c0 AS DOUBLE) / CAST(n0 AS DOUBLE) AS p0",
+        "CAST(c1 AS DOUBLE) / CAST(n1 AS DOUBLE) AS p1",
+        """
+        (CAST(c0 AS DOUBLE) / CAST(n0 AS DOUBLE)
+         - CAST(c1 AS DOUBLE) / CAST(n1 AS DOUBLE))
+        / SQRT(
+            (CAST(c0 + c1 AS DOUBLE) / CAST(n0 + n1 AS DOUBLE))
+            * (1.0E0 - CAST(c0 + c1 AS DOUBLE) / CAST(n0 + n1 AS DOUBLE))
+            * (1.0E0 / CAST(n0 AS DOUBLE) + 1.0E0 / CAST(n1 AS DOUBLE))
+          ) AS z_score
+        """,
+    )
