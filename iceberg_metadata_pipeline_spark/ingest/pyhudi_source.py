@@ -153,15 +153,46 @@ class PyHudiStreamReader(DataSourceStreamReader, _HudiReadMixin):
         self.path = _local(options["path"])
         state = read_hudi_table(self.path)
         self.schema, self.file_cols, self.part_cols = _resolve_schema(state)
+        lim = int(options.get("maxFilesPerTrigger", 0) or 0)
+        self._limit = lim if lim > 0 else None
+        # engine-confirmed position: set by partitions()/commit(). The
+        # Python DataSource API has no ReadLimit handshake, so throttling
+        # starts at the SECOND micro-batch of a reader instance — bounding
+        # before the engine reveals its checkpointed start could return an
+        # offset BEHIND it and regress the offset log (duplicates on a
+        # later restart). First batch unthrottled is safe, never wrong.
+        self._pos: str | None = None
 
     def initialOffset(self) -> dict:
         return {"t": ""}
 
     def latestOffset(self) -> dict:
         done = completed_instants(self.path)
-        return {"t": done[-1].time if done else ""}
+        if not done:
+            return {"t": ""}
+        if self._limit is None or self._pos is None:
+            return {"t": done[-1].time}
+        from iceberg_metadata_pipeline_spark.catalog.hudi_format import (
+            read_instant_metadata,
+        )
+
+        n = 0
+        end = self._pos
+        for ins in done:
+            if ins.time <= self._pos:
+                continue
+            md = read_instant_metadata(self.path, ins)
+            n += sum(
+                len(stats)
+                for stats in (md.get("partitionToWriteStats") or {}).values()
+            )
+            end = ins.time  # instants are atomic: never split one
+            if n >= self._limit:
+                break
+        return {"t": end}
 
     def partitions(self, start: dict, end: dict):
+        self._pos = max(self._pos or "", start["t"])
         files = incremental_files(self.path, begin=start["t"], end=end["t"] or None)
         return [
             HudiFilePartition(
@@ -178,7 +209,9 @@ class PyHudiStreamReader(DataSourceStreamReader, _HudiReadMixin):
         yield from self._rows(partition)
 
     def commit(self, end: dict) -> None:
-        pass  # offsets live in the query checkpoint
+        # offsets live in the query checkpoint; track locally for the
+        # maxFilesPerTrigger bound
+        self._pos = max(self._pos or "", end["t"])
 
 
 class PyHudiDataSource(DataSource):

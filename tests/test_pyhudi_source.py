@@ -84,3 +84,51 @@ def test_stream_tails_incremental_commits(spark, hudi_dir, tmp_path):
     run_once()
     got = spark.read.parquet(out)
     assert sorted(r.id for r in got.collect()) == list(range(10)) + [500]
+
+
+def test_max_files_per_trigger_bounds_batches(spark, hudi_dir):
+    """Admission control: once the engine's position is known (from the
+    second micro-batch of a reader instance — the Python DataSource API
+    has no ReadLimit handshake), latestOffset advances at most
+    maxFilesPerTrigger files per batch, never splitting an instant and
+    never regressing."""
+    from iceberg_metadata_pipeline_spark.ingest.pyhudi_source import (
+        PyHudiStreamReader,
+    )
+
+    t, dest = hudi_dir
+    # three more single-file commits → 4 instants total
+    for k in range(3):
+        t.append_dataframe(
+            spark.createDataFrame([(1000 + k, "z")], "id long, name string")
+        )
+        t = t.refresh()
+        export_hudi_table(t, dest)
+    instants = [i.time for i in completed_instants(dest)]
+    assert len(instants) == 4
+
+    r = PyHudiStreamReader(None, {"path": dest, "maxFilesPerTrigger": "1"})
+    # batch 1: position unknown → unthrottled (documented)
+    o0 = r.initialOffset()
+    e1 = r.latestOffset()
+    assert e1["t"] == instants[-1]
+    # simulate the engine having checkpointed after instant 1, then
+    # replaying: partitions() reveals the position, throttling engages
+    r2 = PyHudiStreamReader(None, {"path": dest, "maxFilesPerTrigger": "1"})
+    r2.partitions({"t": o0["t"]}, {"t": instants[0]})
+    r2.commit({"t": instants[0]})
+    seen = [instants[0]]
+    while True:
+        e = r2.latestOffset()
+        if e["t"] == seen[-1]:
+            break
+        # exactly ONE instant per batch: every instant carries >= 1 file,
+        # so the 1-file limit stops at the first uncommitted instant
+        # (instants are atomic — never split, so a multi-file commit can
+        # exceed the limit by design)
+        assert instants.index(e["t"]) == instants.index(seen[-1]) + 1
+        parts = r2.partitions({"t": seen[-1]}, e)
+        assert len(parts) >= 1
+        r2.commit(e)
+        seen.append(e["t"])
+    assert seen == instants
