@@ -507,3 +507,46 @@ def test_linear_model_score_is_scan_speed_projection(spark, sf_dir):
     assert "FileScan parquet" in plan, plan[:1500]
     for bad in ("EvalPython", "Join", "HashAggregate", "FlatMapGroupsInPandas"):
         assert bad not in plan, plan[:1500]
+
+
+def test_geo_radius_join_broadcasts_on_cells(spark, sf_dir):
+    """Grid radius join: supplier side broadcasts and joins on the cell
+    key — never a cartesian (the naive spatial plan) — and the distance
+    filter stays a JVM-side post-join predicate."""
+    from iceberg_metadata_pipeline_spark.queries.geo import geo_grid_radius_join
+
+    plan = plan_of(geo_grid_radius_join(spark, sf_dir))
+    assert "BroadcastHashJoin" in plan or "ShuffledHashJoin" in plan or "SortMergeJoin" in plan
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
+
+
+def test_er_blocked_match_joins_on_block_key(spark, sf_dir):
+    """Blocked ER: the join is an equi-join on (nation, suffix) — the
+    levenshtein comparator must NOT appear in the join condition (that
+    would force a nested-loop over the cross product)."""
+    from iceberg_metadata_pipeline_spark.llmops.entity import er_blocked_best_match
+
+    plan = plan_of(er_blocked_best_match(spark, sf_dir))
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
+    assert "WindowGroupLimit" in plan or "Window" in plan
+
+
+def test_gopher_rules_are_map_only_before_sort(spark, sf_dir):
+    """Gopher quality filter: token arithmetic runs map-side — no
+    aggregate or join anywhere; the only exchange is the final sort."""
+    from iceberg_metadata_pipeline_spark.queries import all_queries
+
+    plan = simple_plan_of(all_queries()["text_gopher_quality_rules"](spark, sf_dir))
+    assert "Join" not in plan and "HashAggregate" not in plan
+    assert plan.count("Exchange") == 1  # rangepartitioning for ORDER BY
+
+
+def test_markov_transitions_window_is_per_user(spark, sf_dir):
+    """The LEAD window partitions by user_id — no 'moving all data to a
+    single partition' global sort in the plan."""
+    from iceberg_metadata_pipeline_spark.queries.mining import (
+        mining_markov_transitions,
+    )
+
+    plan = plan_of(mining_markov_transitions(spark, sf_dir))
+    assert "hashpartitioning(user_id" in plan
