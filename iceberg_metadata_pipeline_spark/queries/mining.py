@@ -29,7 +29,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from iceberg_metadata_pipeline_spark.queries import query
+from iceberg_metadata_pipeline_spark.queries import query, sql_query
 from iceberg_metadata_pipeline_spark.session import load_tables
 
 
@@ -440,3 +440,63 @@ def stat_ab_proportion_ztest(spark: SparkSession, sf_dir: str) -> DataFrame:
           ) AS z_score
         """,
     )
+
+
+_OLS_SQL = """
+WITH t AS (
+  SELECT CAST(l_quantity AS DOUBLE) AS q,
+         CAST(l_discount AS DOUBLE) AS d,
+         CAST(l_extendedprice AS DOUBLE) AS y
+  FROM lineitem
+), g AS (
+  SELECT CAST(COUNT(*) AS DOUBLE) AS s00,
+         (CAST(CAST(FLOOR(SUM(CAST(q AS DECIMAL(38,12)))) AS BIGINT) AS DOUBLE) + CAST(SUM(CAST(q AS DECIMAL(38,12))) - FLOOR(SUM(CAST(q AS DECIMAL(38,12)))) AS DOUBLE)) AS s01,
+         (CAST(CAST(FLOOR(SUM(CAST(d AS DECIMAL(38,12)))) AS BIGINT) AS DOUBLE) + CAST(SUM(CAST(d AS DECIMAL(38,12))) - FLOOR(SUM(CAST(d AS DECIMAL(38,12)))) AS DOUBLE)) AS s02,
+         (CAST(CAST(FLOOR(SUM(CAST(q * q AS DECIMAL(38,12)))) AS BIGINT) AS DOUBLE) + CAST(SUM(CAST(q * q AS DECIMAL(38,12))) - FLOOR(SUM(CAST(q * q AS DECIMAL(38,12)))) AS DOUBLE)) AS s11,
+         (CAST(CAST(FLOOR(SUM(CAST(q * d AS DECIMAL(38,12)))) AS BIGINT) AS DOUBLE) + CAST(SUM(CAST(q * d AS DECIMAL(38,12))) - FLOOR(SUM(CAST(q * d AS DECIMAL(38,12)))) AS DOUBLE)) AS s12,
+         (CAST(CAST(FLOOR(SUM(CAST(d * d AS DECIMAL(38,12)))) AS BIGINT) AS DOUBLE) + CAST(SUM(CAST(d * d AS DECIMAL(38,12))) - FLOOR(SUM(CAST(d * d AS DECIMAL(38,12)))) AS DOUBLE)) AS s22,
+         (CAST(CAST(FLOOR(SUM(CAST(y AS DECIMAL(38,12)))) AS BIGINT) AS DOUBLE) + CAST(SUM(CAST(y AS DECIMAL(38,12))) - FLOOR(SUM(CAST(y AS DECIMAL(38,12)))) AS DOUBLE)) AS b0,
+         (CAST(CAST(FLOOR(SUM(CAST(q * y AS DECIMAL(38,12)))) AS BIGINT) AS DOUBLE) + CAST(SUM(CAST(q * y AS DECIMAL(38,12))) - FLOOR(SUM(CAST(q * y AS DECIMAL(38,12)))) AS DOUBLE)) AS b1,
+         (CAST(CAST(FLOOR(SUM(CAST(d * y AS DECIMAL(38,12)))) AS BIGINT) AS DOUBLE) + CAST(SUM(CAST(d * y AS DECIMAL(38,12))) - FLOOR(SUM(CAST(d * y AS DECIMAL(38,12)))) AS DOUBLE)) AS b2,
+         (CAST(CAST(FLOOR(SUM(CAST(y * y AS DECIMAL(38,12)))) AS BIGINT) AS DOUBLE) + CAST(SUM(CAST(y * y AS DECIMAL(38,12))) - FLOOR(SUM(CAST(y * y AS DECIMAL(38,12)))) AS DOUBLE)) AS syy,
+         COUNT(*) AS n
+  FROM t
+), dets AS (
+  SELECT n, s00, s01, s02, s11, s12, s22, b0, b1, b2, syy,
+         (s00 * (s11 * s22 - s12 * s12)
+          - s01 * (s01 * s22 - s12 * s02)
+          + s02 * (s01 * s12 - s11 * s02)) AS det_a,
+         (b0 * (s11 * s22 - s12 * s12)
+          - s01 * (b1 * s22 - s12 * b2)
+          + s02 * (b1 * s12 - s11 * b2)) AS det0,
+         (s00 * (b1 * s22 - s12 * b2)
+          - b0 * (s01 * s22 - s12 * s02)
+          + s02 * (s01 * b2 - b1 * s02)) AS det1,
+         (s00 * (s11 * b2 - b1 * s12)
+          - s01 * (s01 * b2 - b1 * s02)
+          + b0 * (s01 * s12 - s11 * s02)) AS det2
+  FROM g
+)
+SELECT n,
+       det0 / det_a AS beta_intercept,
+       det1 / det_a AS beta_quantity,
+       det2 / det_a AS beta_discount,
+       1.0E0 - (syy - ((det0 / det_a) * b0 + (det1 / det_a) * b1
+                       + (det2 / det_a) * b2))
+             / (syy - (b0 * b0) / s00) AS r2
+FROM dets
+"""
+
+# Distributed OLS via NORMAL EQUATIONS: ONE aggregate pass builds the
+# exact Gram matrix X'X and moment vector X'y (every sum accumulates in
+# DECIMAL(38,12) — order-independent and bit-identical cross-engine —
+# then converts to double through an exact integer/fraction SPLIT —
+# DuckDB's decimal→double goes via double(int128)/10^scale, which loses
+# bits once the scaled value passes 2^53, while Spark's BigDecimal path
+# is correctly rounded; splitting floor+fraction makes both sides do
+# only correctly-rounded conversions), and a constant-size Cramer solve
+# runs as identical double expression trees on both engines. THE scale
+# pattern for linear models at 100 TB: the data is touched once,
+# map-side-combined, and the solve is O(k³) on k=3 numbers — no
+# iterative passes, no driver-side data. r² from the same moments.
+sql_query("ml_ols_normal_equations", _OLS_SQL, oracle="same")

@@ -89,3 +89,25 @@ def test_markov_rows_are_distributions(spark, sf_dir):
         by_cur[r.cur] += r.p
     for cur, s in by_cur.items():
         assert math.isclose(s, 1.0, rel_tol=1e-9), (cur, s)
+
+
+def test_ols_matches_numpy_lstsq(spark, sf_dir, tables):
+    import numpy as np
+
+    from iceberg_metadata_pipeline_spark.queries import all_queries
+
+    row = all_queries()["ml_ols_normal_equations"](spark, sf_dir).collect()[0]
+    rows = tables["lineitem"].select(
+        "l_quantity", "l_discount", "l_extendedprice"
+    ).collect()
+    X = np.array([[1.0, float(r.l_quantity), float(r.l_discount)] for r in rows])
+    y = np.array([float(r.l_extendedprice) for r in rows])
+    beta, *_ = np.linalg.lstsq(X, y, rcond=None)
+    assert row.n == len(rows)
+    assert abs(row.beta_intercept - beta[0]) < 1e-6 * max(1.0, abs(beta[0]))
+    assert abs(row.beta_quantity - beta[1]) < 1e-6 * max(1.0, abs(beta[1]))
+    assert abs(row.beta_discount - beta[2]) < 1e-6 * max(1.0, abs(beta[2]))
+    pred = X @ beta
+    ss_res = float(((y - pred) ** 2).sum())
+    ss_tot = float(((y - y.mean()) ** 2).sum())
+    assert abs(row.r2 - (1 - ss_res / ss_tot)) < 1e-6
