@@ -172,6 +172,14 @@ class PyDeltaStreamReader(DataSourceStreamReader, _DeltaReadMixin):
     def __init__(self, schema: T.StructType, options):
         self.path = _local(options["path"])
         self.ignore_deletes = str(options.get("ignoreDeletes", "false")).lower() == "true"
+        lim = int(options.get("maxFilesPerTrigger", 0) or 0)
+        self._limit = lim if lim > 0 else None
+        # engine-confirmed position (same contract as pyhudi_source):
+        # throttling starts at the SECOND micro-batch of a reader
+        # instance — the Python DataSource API has no ReadLimit
+        # handshake, and bounding before the engine reveals its
+        # checkpointed start could regress the offset log
+        self._pos: int | None = None
         state = read_delta_table(self.path)  # schema + partitioning from the log
         self.schema = state.schema
         self.partition_columns = state.partition_columns
@@ -185,9 +193,26 @@ class PyDeltaStreamReader(DataSourceStreamReader, _DeltaReadMixin):
         return {"v": -1}
 
     def latestOffset(self) -> dict:
-        return {"v": latest_version(self.path)}
+        last = latest_version(self.path)
+        if self._limit is None or self._pos is None:
+            return {"v": last}
+        n = 0
+        end = self._pos
+        for v in range(self._pos + 1, last + 1):
+            adds = 0
+            with open(_commit_path(self.path, v)) as fh:
+                for line in fh:
+                    line = line.strip()
+                    if line and "add" in json.loads(line):
+                        adds += 1
+            n += adds
+            end = v  # commits are atomic: never split one
+            if n >= self._limit:
+                break
+        return {"v": end}
 
     def partitions(self, start: dict, end: dict):
+        self._pos = max(self._pos if self._pos is not None else -1, start["v"])
         parts = []
         for v in range(start["v"] + 1, end["v"] + 1):
             with open(_commit_path(self.path, v)) as fh:
@@ -241,7 +266,9 @@ class PyDeltaStreamReader(DataSourceStreamReader, _DeltaReadMixin):
         yield from self._rows(partition)
 
     def commit(self, end: dict) -> None:
-        pass  # offsets live in the query checkpoint
+        # offsets live in the query checkpoint; track locally for the
+        # maxFilesPerTrigger bound
+        self._pos = max(self._pos if self._pos is not None else -1, end["v"])
 
 
 @dataclass
@@ -295,6 +322,11 @@ class PyDeltaBatchWriter(DataSourceWriter):
             fields.append(pa.field(f.name, pa_types[s]))
         names = [f.name for f in self.schema.fields]
         rows = [tuple(r) for r in iterator]
+        if not rows:
+            # empty task partition: writing a 0-row file per task would
+            # bloat the table's file count (32 files for a 1-row commit
+            # on local[32]); the log only needs files that hold rows
+            return DeltaWriteCommit(tmp_path="", rows=0, size=0)
         cols = {n: [r[i] for r in rows] for i, n in enumerate(names)}
         tmp = os.path.join(self.dest, f"_tmp-{_uuid.uuid4().hex}.parquet")
         pq.write_table(pa.table(cols, schema=pa.schema(fields)), tmp)
@@ -347,6 +379,8 @@ class PyDeltaBatchWriter(DataSourceWriter):
                 for p in read_delta_table(self.dest).files
             )
         for m in sorted(messages, key=lambda m: m.tmp_path):
+            if not m.tmp_path:
+                continue  # empty task partition — nothing written
             name = f"part-{_uuid.uuid4().hex}.parquet"
             os.rename(m.tmp_path, os.path.join(self.dest, name))
             actions.append(
@@ -421,6 +455,8 @@ class PyDeltaStreamWriter(PyDeltaBatchWriter, DataSourceStreamWriter):
             )
         actions.append({"txn": {"appId": self.app_id, "version": int(batchId)}})
         for m in sorted(messages, key=lambda m: m.tmp_path):
+            if not m.tmp_path:
+                continue  # empty task partition — nothing written
             name = f"part-{int(batchId):08d}-{_uuid.uuid4().hex[:8]}.parquet"
             os.rename(m.tmp_path, os.path.join(self.dest, name))
             actions.append(

@@ -237,3 +237,38 @@ def test_stream_writer_exactly_once(spark, tmp_path):
     state3 = read_delta_table(dest)
     assert state3.txns["pydelta-sink"] == 1
     assert spark.read.format("pydelta").load(dest).count() == 6
+
+
+def test_max_files_per_trigger_bounds_batches(spark, tmp_path):
+    """pydelta admission control, mirroring pyhudi: once the engine's
+    position is known, latestOffset advances at most maxFilesPerTrigger
+    add-actions per batch, on whole-commit boundaries, never regressing."""
+    from iceberg_metadata_pipeline_spark.ingest.pydelta_source import (
+        PyDeltaStreamReader,
+        register,
+    )
+
+    register(spark)
+    dest = str(tmp_path / "throttle")
+    st = "id long, name string"
+    for k in range(4):
+        spark.createDataFrame([(k, f"n{k}")], st).coalesce(1).write.format(
+            "pydelta"
+        ).mode("append").save(dest)
+
+    r = PyDeltaStreamReader(None, {"path": dest, "maxFilesPerTrigger": "1"})
+    assert r.latestOffset() == {"v": 3}  # first batch unthrottled (documented)
+    r2 = PyDeltaStreamReader(None, {"path": dest, "maxFilesPerTrigger": "1"})
+    r2.partitions({"v": -1}, {"v": 0})
+    r2.commit({"v": 0})
+    seen = [0]
+    while True:
+        e = r2.latestOffset()
+        if e["v"] == seen[-1]:
+            break
+        assert e["v"] == seen[-1] + 1  # one single-file commit per batch
+        parts = r2.partitions({"v": seen[-1]}, e)
+        assert len(parts) == 1
+        r2.commit(e)
+        seen.append(e["v"])
+    assert seen == [0, 1, 2, 3]
