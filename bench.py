@@ -110,6 +110,9 @@ HEADLINE = [
     "source_pyhudi_datasource",
     "catalog_iceberg_v3_row_lineage",
     "catalog_delta_column_mapping",
+    "ml_ols_normal_equations",
+    "stat_chi_square_independence",
+    "events_time_weighted_avg",
 ]
 
 
