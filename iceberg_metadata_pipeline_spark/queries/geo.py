@@ -344,3 +344,64 @@ ORDER BY c_mktsegment
 # is a handful of constants folded into the scan filter — pushdown-able,
 # map-only, zero shuffle before the tiny aggregate.
 sql_query("geo_point_in_polygon", _PIP_SQL, oracle="same")
+
+
+def _char_index_expr(gh: str, j: int) -> str:
+    """0-based alphabet index of geohash char j (POSITION is ANSI —
+    identical in both dialects)."""
+    return f"(position(substr({gh}, {j + 1}, 1) IN '{_GEOHASH32}') - 1)"
+
+
+def _decode_value_expr(gh: str, chars: int) -> str:
+    parts = [
+        f"(CAST({_char_index_expr(gh, j)} AS BIGINT) << {25 - 5 * j})"
+        for j in range(chars)
+    ]
+    return "(" + " + ".join(parts) + ")"
+
+
+def _deinterleave_expr(v: str, even: bool) -> str:
+    """Recover the 15 lon (even=True) or lat bits from the 30-bit value."""
+    first = 29 if even else 28
+    terms = [f"((({v} >> {first - 2 * i}) & 1) << {14 - i})" for i in range(15)]
+    return "(" + " + ".join(terms) + ")"
+
+
+_GEOHASH_DECODE_SQL = f"""
+WITH pts AS (
+  SELECT CAST(c_custkey AS BIGINT) AS c_custkey,
+         {_lat('c_custkey')} AS lat,
+         {_lon('c_custkey')} AS lon
+  FROM customer
+), q AS (
+  SELECT c_custkey, lat, lon,
+         CAST(FLOOR(((lat + 90.0E0) / 180.0E0) * 32768.0E0) AS BIGINT) AS latq,
+         CAST(FLOOR(((lon + 180.0E0) / 360.0E0) * 32768.0E0) AS BIGINT) AS lonq
+  FROM pts
+), enc AS (
+  SELECT c_custkey, lat, lon, latq, lonq,
+         {_base32_expr(_interleave_expr('lonq', 'latq'), 6)} AS geohash6
+  FROM q
+), dec AS (
+  SELECT c_custkey, lat, lon, latq, lonq, geohash6,
+         {_deinterleave_expr(_decode_value_expr('geohash6', 6), False)} AS latq_rt,
+         {_deinterleave_expr(_decode_value_expr('geohash6', 6), True)} AS lonq_rt
+  FROM enc
+)
+SELECT c_custkey, geohash6,
+       CAST(latq_rt = latq AND lonq_rt = lonq AS INT) AS round_trips,
+       ((CAST(latq_rt * 2 + 1 AS DOUBLE) / 65536.0E0) * 180.0E0) - 90.0E0
+         AS cell_center_lat,
+       ((CAST(lonq_rt * 2 + 1 AS DOUBLE) / 65536.0E0) * 360.0E0) - 180.0E0
+         AS cell_center_lon,
+       CAST(ABS(lat - (((CAST(latq_rt * 2 + 1 AS DOUBLE) / 65536.0E0) * 180.0E0)
+                        - 90.0E0)) <= 180.0E0 / 65536.0E0 AS INT) AS lat_in_cell
+FROM dec
+ORDER BY c_custkey
+"""
+
+# Geohash DECODE (the inverse: base32 → bit de-interleave → cell
+# center) proving encode/decode round-trips exactly and the original
+# point lies inside the decoded cell — all integer/shift arithmetic plus
+# exact power-of-two divisions, so the oracle is the identical string.
+sql_query("geo_geohash_decode", _GEOHASH_DECODE_SQL, oracle="same")

@@ -132,3 +132,17 @@ def test_point_in_polygon_matches_ray_casting(spark, sf_dir, tables):
         if ray_cast(lon, lat):
             want[r.c_mktsegment] = want.get(r.c_mktsegment, 0) + 1
     assert got == want
+
+
+def test_geohash_decode_round_trips(spark, sf_dir):
+    """Oracle parity can't catch encode/decode being wrong the same way
+    on both engines — assert the semantic truth directly: every decode
+    recovers the quantized cell and the original point lies inside it."""
+    from iceberg_metadata_pipeline_spark.queries import all_queries
+
+    rows = all_queries()["geo_geohash_decode"](spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert r.round_trips == 1 and r.lat_in_cell == 1, r
+        lat, lon = _synth(r.c_custkey)
+        assert abs(r.cell_center_lon - lon) <= 360.0 / 65536.0, r
