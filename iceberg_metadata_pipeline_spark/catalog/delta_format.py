@@ -634,13 +634,41 @@ def column_mapping_mode(state: DeltaTableState) -> str:
     )
 
 
+def _has_nested_mapping(dtype) -> bool:
+    """True if any NESTED field below ``dtype`` carries columnMapping
+    metadata — the protocol applies physicalName recursively, and this
+    reader only maps top-level fields, so a real-writer table with
+    renamed nested fields must refuse rather than read wrong names."""
+    if isinstance(dtype, T.StructType):
+        for f in dtype.fields:
+            if "delta.columnMapping.physicalName" in (f.metadata or {}):
+                return True
+            if _has_nested_mapping(f.dataType):
+                return True
+        return False
+    if isinstance(dtype, T.ArrayType):
+        return _has_nested_mapping(dtype.elementType)
+    if isinstance(dtype, T.MapType):
+        return _has_nested_mapping(dtype.keyType) or _has_nested_mapping(dtype.valueType)
+    return False
+
+
 def physical_names(state: DeltaTableState) -> dict:
     """logical column → the name actually stored in parquet files and
     ``partitionValues`` keys. Identity unless column mapping is on (the
     protocol: each field's metadata carries
-    ``delta.columnMapping.physicalName``)."""
+    ``delta.columnMapping.physicalName``). Nested-field mapping (legal
+    for real Delta writers) is refused loudly — applying only the
+    top-level map would silently read wrong nested columns."""
     if column_mapping_mode(state) == "none":
         return {f.name: f.name for f in state.schema.fields}
+    for f in state.schema.fields:
+        if _has_nested_mapping(f.dataType):
+            raise NotImplementedError(
+                f"column {f.name!r} carries columnMapping metadata on "
+                "NESTED fields; this reader maps top-level columns only — "
+                "flatten the table or read it with a full Delta runtime"
+            )
     return {
         f.name: (f.metadata or {}).get("delta.columnMapping.physicalName", f.name)
         for f in state.schema.fields
@@ -754,9 +782,15 @@ def _live_rows_dataframe(spark: SparkSession, state: DeltaTableState):
         .withColumn("__file", norm(F.col("_metadata.file_path")))
         .withColumn("__pos", F.col("_metadata.row_index"))
     )
-    for f in file_fields:
-        if phys[f.name] != f.name:
-            data = data.withColumnRenamed(phys[f.name], f.name)
+    # single-select projection, not sequential withColumnRenamed: logical
+    # and physical namespaces are independent under the protocol, so a
+    # swap rename (a↔b) is legal — one-at-a-time renames would clobber
+    if any(phys[f.name] != f.name for f in file_fields):
+        data = data.select(
+            *[F.col(phys[f.name]).alias(f.name) for f in file_fields],
+            F.col("__file"),
+            F.col("__pos"),
+        )
     if state.partition_columns:
         pmap = spark.createDataFrame(
             [

@@ -913,10 +913,15 @@ def read_iceberg_table(location: str) -> IcebergTableInfo:
 
                     v = str(_dt.datetime(1970, 1, 1) + _dt.timedelta(microseconds=v))
                 part[pname] = str(v)
+            # the running counter advances ONLY for entries whose
+            # first_row_id inheritance actually assigned (spec: explicit
+            # first_row_id entries do not consume from the manifest's
+            # inherited range — a spec-valid external manifest may mix
+            # explicit and null entries, and advancing on explicit ones
+            # would shift every later null entry's _row_id)
             fr = df.get("first_row_id")
             if fr is None and next_row is not None and int(e.get("status", 0)) == 1:
                 fr = next_row
-            if next_row is not None and int(e.get("status", 0)) == 1:
                 next_row += int(df["record_count"])
             files.append(
                 DataFileEntry(

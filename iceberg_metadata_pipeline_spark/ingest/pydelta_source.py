@@ -180,6 +180,12 @@ class PyDeltaStreamReader(DataSourceStreamReader, _DeltaReadMixin):
         # handshake, and bounding before the engine reveals its
         # checkpointed start could regress the offset log
         self._pos: int | None = None
+        # version → add-count memo: with maxFilesPerTrigger a long
+        # backlog would otherwise re-parse every commit JSON from the
+        # checkpoint position on EVERY trigger (O(backlog) per batch);
+        # commits are immutable, so each file is parsed at most once per
+        # reader instance
+        self._add_counts: dict[int, int] = {}
         state = read_delta_table(self.path)  # schema + partitioning from the log
         self.schema = state.schema
         self.partition_columns = state.partition_columns
@@ -199,12 +205,15 @@ class PyDeltaStreamReader(DataSourceStreamReader, _DeltaReadMixin):
         n = 0
         end = self._pos
         for v in range(self._pos + 1, last + 1):
-            adds = 0
-            with open(_commit_path(self.path, v)) as fh:
-                for line in fh:
-                    line = line.strip()
-                    if line and "add" in json.loads(line):
-                        adds += 1
+            adds = self._add_counts.get(v)
+            if adds is None:
+                adds = 0
+                with open(_commit_path(self.path, v)) as fh:
+                    for line in fh:
+                        line = line.strip()
+                        if line and "add" in json.loads(line):
+                            adds += 1
+                self._add_counts[v] = adds
             n += adds
             end = v  # commits are atomic: never split one
             if n >= self._limit:

@@ -109,7 +109,16 @@ class _HudiReadMixin:
 
 
 def _resolve_schema(state) -> tuple[T.StructType, list[str], list[str]]:
-    first = next(iter(state.files.values()))
+    if not state.files:
+        raise ValueError(
+            f"pyhudi: {state.location} has no live base files at instant "
+            f"{state.instant or '<none>'} — nothing to derive a schema "
+            "from (empty or just-created table)"
+        )
+    # deterministic pick: lowest (partition_path, file_id) key, not dict
+    # iteration order — file schemas are expected identical, but the
+    # chosen footer should not depend on insertion order
+    first = state.files[min(state.files)]
     fschema = _file_schema(first.path)
     file_cols = [f.name for f in fschema.fields]
     part_cols = [c for c in state.partition_fields if c not in file_cols]

@@ -646,6 +646,101 @@ def test_column_mapping_pydelta_reader_and_writer_guard(spark, metacat_table, tm
         ).write.format("pydelta").mode("append").save(dest)
 
 
+def test_column_mapping_swap_rename_reads_right_columns(spark, metacat_table, tmp_path):
+    """Logical and physical namespaces are independent under the
+    protocol, so a SWAP rename (name↔score via a temp name) is legal:
+    after it, logical 'name' must read the bytes of physical 'score'
+    and vice versa — a sequential one-at-a-time rename would clobber."""
+    from iceberg_metadata_pipeline_spark.catalog.delta_format import (
+        _live_rows_dataframe,
+        enable_column_mapping,
+        physical_names,
+        rename_delta_column,
+    )
+
+    _catalog, t = metacat_table
+    dest = str(tmp_path / "delta-swap")
+    export_delta_table(t, dest)
+    enable_column_mapping(dest)
+    rename_delta_column(dest, "name", "__tmp")
+    rename_delta_column(dest, "score", "name")
+    rename_delta_column(dest, "__tmp", "score")
+    state = read_delta_table(dest)
+    phys = physical_names(state)
+    assert phys["name"] == "score" and phys["score"] == "name"
+    rows = _live_rows_dataframe(spark, state).collect()
+    by_id = {r.id: r for r in rows}
+    # logical 'name' now carries the double values; logical 'score' the strings
+    assert by_id[4].name == 1.0 and by_id[4].score == "n4"
+    # pydelta reader agrees
+    from iceberg_metadata_pipeline_spark.ingest.pydelta_source import (
+        register as _register_pydelta,
+    )
+
+    _register_pydelta(spark)
+    back = {r.id: r for r in spark.read.format("pydelta").load(dest).collect()}
+    assert back[4].name == 1.0 and back[4].score == "n4"
+
+
+def test_nested_column_mapping_refused(tmp_path):
+    """The protocol applies physicalName recursively; this reader maps
+    top-level fields only, so nested-field mapping metadata written by a
+    real Delta writer must refuse loudly, not silently read wrong names."""
+    from iceberg_metadata_pipeline_spark.catalog.delta_format import (
+        physical_names,
+    )
+
+    loc = str(tmp_path / "nestedcm")
+    inner = T.StructType(
+        [
+            T.StructField(
+                "a",
+                T.LongType(),
+                True,
+                {"delta.columnMapping.physicalName": "col-xyz",
+                 "delta.columnMapping.id": 2},
+            )
+        ]
+    )
+    schema = T.StructType(
+        [
+            T.StructField(
+                "s",
+                inner,
+                True,
+                {"delta.columnMapping.physicalName": "s",
+                 "delta.columnMapping.id": 1},
+            )
+        ]
+    )
+    write_commit(
+        loc,
+        [
+            {"protocol": {"minReaderVersion": 2, "minWriterVersion": 5}},
+            {
+                "metaData": {
+                    "id": "m",
+                    "format": {"provider": "parquet"},
+                    "schemaString": json.dumps(schema.jsonValue()),
+                    "partitionColumns": [],
+                    "configuration": {"delta.columnMapping.mode": "name"},
+                }
+            },
+        ],
+    )
+    state = read_delta_table(loc)
+    with pytest.raises(NotImplementedError, match="NESTED"):
+        physical_names(state)
+    # array-of-struct and map-value nesting are caught too
+    from iceberg_metadata_pipeline_spark.catalog.delta_format import (
+        _has_nested_mapping,
+    )
+
+    assert _has_nested_mapping(T.ArrayType(inner))
+    assert _has_nested_mapping(T.MapType(T.StringType(), inner))
+    assert not _has_nested_mapping(T.ArrayType(T.LongType()))
+
+
 def test_rename_without_mapping_refuses(spark, metacat_table, tmp_path):
     import pytest as _pytest
 

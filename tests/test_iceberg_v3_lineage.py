@@ -158,6 +158,106 @@ def test_v3_reader_inherits_null_first_row_id(tmp_path):
     assert by_path == {"/data/a.parquet": 100, "/data/b.parquet": 104}
 
 
+def test_v3_inheritance_skips_explicit_first_row_ids(tmp_path):
+    """Spec: only NULL first_row_id entries consume from the manifest's
+    inherited range — an explicit entry keeps its id AND does not advance
+    the running counter, so a spec-valid external manifest mixing
+    explicit and null entries assigns the null ones contiguous ids from
+    the manifest's first_row_id (not shifted by the explicit ones)."""
+    meta = tmp_path / "tbl" / "metadata"
+    meta.mkdir(parents=True)
+    schema = {
+        "type": "struct",
+        "schema-id": 0,
+        "fields": [{"id": 1, "name": "id", "required": True, "type": "long"}],
+    }
+    mpath = str(meta / "m0.avro")
+
+    def mk(p, rc, fr=None):
+        df = {
+            "content": 0,
+            "file_path": p,
+            "file_format": "PARQUET",
+            "partition": {},
+            "record_count": rc,
+            "file_size_in_bytes": 1,
+        }
+        if fr is not None:
+            df["first_row_id"] = fr
+        return {
+            "status": 1,
+            "snapshot_id": 5,
+            "sequence_number": 1,
+            "data_file": df,
+        }
+
+    avro_io.write_container(
+        mpath,
+        manifest_entry_schema([], format_version=3),
+        [
+            mk("/data/a.parquet", 4, fr=500),
+            mk("/data/b.parquet", 6),
+            mk("/data/c.parquet", 2, fr=900),
+            mk("/data/d.parquet", 3),
+        ],
+    )
+    mlist = str(meta / "snap-5.avro")
+    avro_io.write_container(
+        mlist,
+        manifest_list_schema(format_version=3),
+        [
+            {
+                "manifest_path": mpath,
+                "manifest_length": os.path.getsize(mpath),
+                "partition_spec_id": 0,
+                "content": 0,
+                "sequence_number": 1,
+                "min_sequence_number": 1,
+                "added_snapshot_id": 5,
+                "added_files_count": 4,
+                "existing_files_count": 0,
+                "deleted_files_count": 0,
+                "added_rows_count": 15,
+                "existing_rows_count": 0,
+                "deleted_rows_count": 0,
+                "first_row_id": 100,
+            }
+        ],
+    )
+    md = {
+        "format-version": 3,
+        "table-uuid": "0" * 32,
+        "location": str(tmp_path / "tbl"),
+        "last-updated-ms": 0,
+        "last-column-id": 1,
+        "current-schema-id": 0,
+        "schemas": [schema],
+        "default-spec-id": 0,
+        "partition-specs": [{"spec-id": 0, "fields": []}],
+        "last-partition-id": 999,
+        "next-row-id": 1000,
+        "current-snapshot-id": 5,
+        "snapshots": [
+            {
+                "snapshot-id": 5,
+                "sequence-number": 1,
+                "first-row-id": 100,
+                "timestamp-ms": 0,
+                "manifest-list": mlist,
+            }
+        ],
+    }
+    (meta / "v1.metadata.json").write_text(json.dumps(md))
+    info = read_iceberg_table(str(tmp_path / "tbl"))
+    by_path = {f.path: f.first_row_id for f in info.files}
+    assert by_path == {
+        "/data/a.parquet": 500,  # explicit, untouched
+        "/data/b.parquet": 100,  # first null entry: manifest base
+        "/data/c.parquet": 900,  # explicit, untouched
+        "/data/d.parquet": 106,  # second null: base + b's 6 rows only
+    }
+
+
 def test_v3_export_refuses_unlineaged_files(spark, tmp_path):
     t = _small_table(spark, tmp_path)
     snap = t.current_snapshot

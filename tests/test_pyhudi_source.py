@@ -132,3 +132,42 @@ def test_max_files_per_trigger_bounds_batches(spark, hudi_dir):
         r2.commit(e)
         seen.append(e["t"])
     assert seen == instants
+
+
+def test_empty_table_schema_resolve_fails_clearly(tmp_path):
+    """A just-created Hudi table (properties, no commits) has no base
+    file to derive a schema from — the reader must raise a clear
+    ValueError, not a bare StopIteration from dict iteration."""
+    from iceberg_metadata_pipeline_spark.catalog.hudi_format import (
+        create_hudi_table,
+        read_hudi_table,
+    )
+    from iceberg_metadata_pipeline_spark.ingest.pyhudi_source import (
+        _resolve_schema,
+    )
+
+    loc = str(tmp_path / "empty_hudi")
+    create_hudi_table(loc, "empty", [])
+    state = read_hudi_table(loc)
+    with pytest.raises(ValueError, match="no live base files"):
+        _resolve_schema(state)
+
+
+def test_schema_pick_is_deterministic(spark, hudi_dir):
+    """_resolve_schema reads the footer of the LOWEST (partition, fileId)
+    key, not whatever dict insertion order yields — same table state must
+    always pick the same file."""
+    from iceberg_metadata_pipeline_spark.catalog.hudi_format import (
+        read_hudi_table,
+    )
+    from iceberg_metadata_pipeline_spark.ingest.pyhudi_source import (
+        _resolve_schema,
+    )
+
+    _t, dest = hudi_dir
+    state = read_hudi_table(dest)
+    s1, fc1, pc1 = _resolve_schema(state)
+    # re-insert the file map in reversed order: resolution must not change
+    state.files = dict(sorted(state.files.items(), reverse=True))
+    s2, fc2, pc2 = _resolve_schema(state)
+    assert (s1, fc1, pc1) == (s2, fc2, pc2)
