@@ -197,15 +197,22 @@ GROUP BY t.n1, t.n2
 )
 def stat_ks_two_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Two-sample Kolmogorov-Smirnov statistic between the order-price
-    distributions of two customer segments. Empirical CDFs come from a
-    cumulative window with the default RANGE frame, so tied prices share
-    one cumulative value (the CDF is well-defined and order-stable); the
-    statistic is MAX over |n1-normalized − n2-normalized| — each term is
-    two exact integer divisions and a subtraction, all correctly rounded,
-    so the result is bit-identical to the oracle. The global ORDER BY
-    window is the scale bottleneck by design — the exact KS needs a full
-    sort; at 100 TB you'd bucket prices first (the histogram-KS variant
-    of events_zscore_outliers' shape)."""
+    distributions of two customer segments — EXACT, with no global
+    unpartitioned window (the r6 scale finding): the empirical CDF is
+    computed two-phase. Phase 1 hash-aggregates per-distinct-value class
+    counts (the CDF only changes at distinct values, and with the RANGE
+    frame all tied rows share one cumulative value, so distinct-value
+    granularity is lossless). Phase 2 buckets the distinct values into
+    1024 width_bucket ranges: per-bucket totals are a second tiny hash
+    aggregate whose ≤1026-row prefix sum is the only unpartitioned
+    window (post-aggregation, constant-size — the accepted shape); the
+    within-bucket cumulative sums run under a window PARTITIONED BY
+    bucket, so no task ever sorts more than one bucket's distinct
+    values. c1/c2 are exact integer counts — identical to the single-
+    window formulation, so |c1/n1 − c2/n2| stays bit-identical to the
+    oracle's. At 100 TB each of the 1024 bucket partitions holds ~1/1024
+    of the distinct values: the former single-task global sort becomes
+    1024 independent window tasks."""
     t = load_tables(spark, sf_dir)
     s = (
         t["orders"]
@@ -218,13 +225,39 @@ def stat_ks_two_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     from pyspark.sql import Window
 
-    w = Window.orderBy("v")  # default frame: RANGE UNBOUNDED PRECEDING
     tot = s.agg(
         F.sum("g").cast("long").alias("n1"),
         (F.count(F.lit(1)) - F.sum("g")).cast("long").alias("n2"),
     )
-    cdf = s.select(
-        F.sum("g").over(w).alias("c1"), F.sum(F.expr("1 - g")).over(w).alias("c2")
+    # phase 1: distinct-value class counts (one hash aggregate)
+    per_v = s.groupBy("v").agg(
+        F.sum("g").alias("g1"), F.sum(F.expr("1 - g")).alias("g2")
+    )
+    bounds = s.agg(F.min("v").alias("vmin"), F.max("v").alias("vmax"))
+    # vmax + 1.0 keeps min < max even when all values tie, and puts the
+    # max value in a regular bucket instead of width_bucket's overflow
+    bucketed = per_v.crossJoin(F.broadcast(bounds)).withColumn(
+        "bucket", F.expr("width_bucket(v, vmin, vmax + 1.0d, 1024)")
+    )
+    # phase 2a: per-bucket totals → EXCLUSIVE prefix offsets; the window
+    # runs over the ≤1024-row bucket aggregate, never raw rows
+    w_bkt = Window.orderBy("bucket").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    offs = (
+        bucketed.groupBy("bucket")
+        .agg(F.sum("g1").alias("b1"), F.sum("g2").alias("b2"))
+        .select(
+            "bucket",
+            F.coalesce(F.sum("b1").over(w_bkt), F.lit(0)).alias("o1"),
+            F.coalesce(F.sum("b2").over(w_bkt), F.lit(0)).alias("o2"),
+        )
+    )
+    # phase 2b: within-bucket cumulative counts, PARTITIONED BY bucket
+    w_in = Window.partitionBy("bucket").orderBy("v")
+    cdf = bucketed.join(F.broadcast(offs), "bucket").select(
+        (F.col("o1") + F.sum("g1").over(w_in)).alias("c1"),
+        (F.col("o2") + F.sum("g2").over(w_in)).alias("c2"),
     )
     return (
         cdf.crossJoin(F.broadcast(tot))

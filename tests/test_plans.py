@@ -550,3 +550,32 @@ def test_markov_transitions_window_is_per_user(spark, sf_dir):
 
     plan = plan_of(mining_markov_transitions(spark, sf_dir))
     assert "hashpartitioning(user_id" in plan
+
+
+def test_ks_raw_windows_are_partitioned(spark, sf_dir):
+    """The r6 scale finding: stat_ks_two_sample's cumulative CDF must not
+    run a global unpartitioned window over the raw joined rows. Every
+    windowspecdefinition that ORDERS BY the value column v must be
+    PARTITIONED (by bucket); unpartitioned windows may only order by the
+    bucket id — the ≤1024-row post-aggregation prefix sum."""
+    import re
+
+    from iceberg_metadata_pipeline_spark.queries import REGISTRY
+
+    df = REGISTRY["stat_ks_two_sample"].fn(spark, sf_dir)
+    plan = plan_of(df)
+    specs = re.findall(r"windowspecdefinition\(([^)]*)\)", plan)
+    assert specs, "expected window specs in the KS plan"
+    for spec in specs:
+        args = [a.strip() for a in spec.split(",")]
+        # spec shape: [partition cols...,] <order col> ASC ..., frame...
+        order_idx = next(
+            i for i, a in enumerate(args) if " ASC" in a or " DESC" in a
+        )
+        order_col = args[order_idx]
+        partitions = args[:order_idx]
+        if order_col.startswith("v#"):
+            assert partitions, f"raw-value window is unpartitioned: {spec}"
+        else:
+            # the only permitted unpartitioned window orders by bucket
+            assert order_col.startswith("bucket#"), spec
