@@ -679,8 +679,17 @@ class DeleteFileEntry:
     equality_cols: list[str] = field(default_factory=list)
     # v3 deletion vectors (PUFFIN-format position deletes): decoded
     # [(referenced data file, row positions)] — set instead of reading
-    # the path as a position-delete parquet
+    # the path as a position-delete parquet. None when the file is not a
+    # DV, or when the caller asked for descriptors only
+    # (``read_iceberg_table(decode_dvs=False)`` — the executor-side
+    # decode path: a task resolves the blob itself from the descriptor)
     dv: list[tuple[str, list[int]]] | None = None
+    # DV descriptor (always populated for PUFFIN files): blob offset in
+    # the puffin file + the single data file it applies to (None = the
+    # blob file may cover several data files; readers filter by ref)
+    content_offset: int | None = None
+    referenced_data_file: str | None = None
+    is_dv: bool = False
 
 
 @dataclass
@@ -732,11 +741,17 @@ def _clean_path(p: str) -> str:
     return p.removeprefix("file:")
 
 
-def read_iceberg_table(location: str) -> IcebergTableInfo:
+def read_iceberg_table(location: str, decode_dvs: bool = True) -> IcebergTableInfo:
     """Parse a real Iceberg v2 table directory into its live data files +
     Spark schema. Works on tables written by export_iceberg_table AND by
     the actual runtime (schema-driven avro decode; both stats-map shapes
-    fine because decoding follows the file's own embedded schema)."""
+    fine because decoding follows the file's own embedded schema).
+
+    ``decode_dvs=False`` returns puffin deletion-vector entries as
+    DESCRIPTORS only (path + content_offset + referenced_data_file, no
+    decoded positions) — plan-time state stays O(#delete files) so a
+    distributed reader can decode per task instead of shipping billions
+    of positions from the driver."""
     meta_path = _latest_metadata_path(location)
     with open(meta_path) as fh:
         md = json.load(fh)
@@ -832,35 +847,37 @@ def read_iceberg_table(location: str) -> IcebergTableInfo:
                     )
                 dpath = _clean_path(df["file_path"])
                 dv = None
-                if str(df.get("file_format", "")).upper() == "PUFFIN":
-                    # v3 deletion vector: decode the roaring bitmap(s)
-                    # here — O(deleted positions) driver-side metadata;
-                    # the anti-join applying them stays distributed
+                is_dv = str(df.get("file_format", "")).upper() == "PUFFIN"
+                ref = df.get("referenced_data_file")
+                off = df.get("content_offset")
+                if is_dv:
                     if content != 1:
                         raise ValueError(
                             f"PUFFIN delete file with content={content} "
                             "(deletion vectors are position deletes)"
                         )
-                    from iceberg_metadata_pipeline_spark.catalog.puffin import (
-                        read_deletion_vectors,
-                    )
+                    if decode_dvs:
+                        # decode the roaring bitmap(s) here — O(deleted
+                        # positions) driver-side metadata; the anti-join
+                        # applying them stays distributed
+                        from iceberg_metadata_pipeline_spark.catalog.puffin import (
+                            read_deletion_vectors,
+                        )
 
-                    ref = df.get("referenced_data_file")
-                    off = df.get("content_offset")
-                    dv = read_deletion_vectors(
-                        dpath, None if off is None else int(off)
-                    )
-                    if ref is not None:
-                        dv = [
-                            (r, p)
-                            for r, p in dv
-                            if _normalize_uri(r) == _normalize_uri(str(ref))
-                        ]
-                        if not dv:
-                            raise ValueError(
-                                f"{dpath}: no deletion vector for referenced "
-                                f"data file {ref}"
-                            )
+                        dv = read_deletion_vectors(
+                            dpath, None if off is None else int(off)
+                        )
+                        if ref is not None:
+                            dv = [
+                                (r, p)
+                                for r, p in dv
+                                if _normalize_uri(r) == _normalize_uri(str(ref))
+                            ]
+                            if not dv:
+                                raise ValueError(
+                                    f"{dpath}: no deletion vector for referenced "
+                                    f"data file {ref}"
+                                )
                 delete_files.append(
                     DeleteFileEntry(
                         path=dpath,
@@ -869,6 +886,9 @@ def read_iceberg_table(location: str) -> IcebergTableInfo:
                         record_count=int(df["record_count"]),
                         equality_cols=[id_to_name[i] for i in eq_ids],
                         dv=dv,
+                        content_offset=None if off is None else int(off),
+                        referenced_data_file=None if ref is None else str(ref),
+                        is_dv=is_dv,
                     )
                 )
             continue

@@ -12,11 +12,18 @@ per file with the spec's sequence rules:
 - equality deletes drop rows matching the delete file's column tuple
   where ``delete.seq > data.seq`` (null-safe equality, per spec).
 
-Delete files are decoded DRIVER-side at plan time — they are O(deleted
-rows) metadata, exactly what Iceberg's own scan planner broadcasts to
-tasks — and shipped inside each InputPartition, so the per-file reader
-is a single sequential pyarrow pass with a position counter and a
-tuple-set probe: no shuffle anywhere.
+Delete files decode EXECUTOR-side by default: the driver ships only
+O(#delete files) DESCRIPTORS (path + format + sequence + puffin blob
+offset) inside each InputPartition, and the task resolves its own
+delete state — a puffin DV blob decodes in the task, a position-delete
+parquet reads its two columns in the task, an equality-delete parquet
+reads its key columns in the task. This is the real iceberg-spark
+shape: a table with billions of accumulated deletes never
+materializes them on the driver at plan time, and nothing data-sized
+is pickled per partition. Small delete sets (total record_count ≤
+``deleteDecodeThreshold``, default 10 000) keep the round-6 fast path:
+decoded once on the driver, positions shipped directly, so tiny MOR
+tables don't pay a per-task delete-file re-read.
 
 This is the tailing/read-anywhere twin of ``pydelta``: for heavy
 analytics, ``import_iceberg_table`` registers the files into metacat
@@ -54,33 +61,63 @@ def _norm(p: str) -> str:
 class IceFilePartition(InputPartition):
     path: str
     data_seq: int
-    # positions dead under the seq rule (already filtered: del_seq >= data_seq)
+    # FAST PATH (small delete sets): positions dead under the seq rule
+    # (already filtered: del_seq >= data_seq)
     deleted_pos: tuple = ()
-    # equality deletes applicable to this file (del_seq > data_seq):
-    # tuple of (columns, value-tuples)
+    # fast path equality deletes applicable to this file
+    # (del_seq > data_seq): tuple of (columns, value-tuples)
     eq_deletes: tuple = ()
+    # SCALE PATH: O(#delete files) descriptors, decoded in the task.
+    # position/DV descriptors: (path, is_dv, content_offset) — the seq
+    # rule (del_seq >= data_seq) is applied at planning, so only
+    # applicable descriptors ship
+    pos_descriptors: tuple = ()
+    # equality descriptors: (path, columns) with del_seq > data_seq
+    eq_descriptors: tuple = ()
 
 
 class PyIceBatchReader(DataSourceReader):
     def __init__(self, options):
         self.path = _local(options["path"])
-        info = read_iceberg_table(self.path)
+        # descriptors only: plan-time state stays O(#delete files), never
+        # O(deleted rows) — the r6 'weak' finding was driver-side decode
+        info = read_iceberg_table(self.path, decode_dvs=False)
         self.schema = info.schema
         self.names = [f.name for f in info.schema.fields]
+        threshold = int(options.get("deleteDecodeThreshold", 10_000))
+        total_deleted = sum(d.record_count for d in info.delete_files)
 
-        # decode MOR delete files once, driver-side (O(deleted rows))
+        if info.delete_files and total_deleted <= threshold:
+            self._plan_small(info)
+        else:
+            self._plan_descriptors(info)
+
+    def _plan_small(self, info) -> None:
+        """Fast path: decode once on the driver, ship positions. Only for
+        delete sets whose TOTAL record count is under the threshold —
+        saves every task a delete-file re-read on tiny MOR tables."""
+        import pyarrow.parquet as pq
+
+        from iceberg_metadata_pipeline_spark.catalog.puffin import (
+            read_deletion_vectors,
+        )
+
         pos_by_file: dict[str, list[tuple[int, int]]] = {}  # file -> [(pos, seq)]
         eq_sets: list[tuple[tuple[str, ...], tuple, int]] = []  # (cols, rows, seq)
         for d in info.delete_files:
             if d.content == 1:
-                if d.dv is not None:
-                    for ref, positions in d.dv:
+                if d.is_dv:
+                    for ref, positions in read_deletion_vectors(
+                        d.path, d.content_offset
+                    ):
+                        if d.referenced_data_file is not None and _norm(
+                            ref
+                        ) != _norm(d.referenced_data_file):
+                            continue
                         pos_by_file.setdefault(_norm(ref), []).extend(
                             (int(p), d.seq) for p in positions
                         )
                 else:
-                    import pyarrow.parquet as pq
-
                     t = pq.read_table(d.path, columns=["file_path", "pos"])
                     for fp, pos in zip(
                         t.column("file_path").to_pylist(),
@@ -90,8 +127,6 @@ class PyIceBatchReader(DataSourceReader):
                             (int(pos), d.seq)
                         )
             elif d.content == 2:
-                import pyarrow.parquet as pq
-
                 t = pq.read_table(d.path, columns=list(d.equality_cols))
                 rows = tuple(
                     tuple(t.column(c)[i].as_py() for c in d.equality_cols)
@@ -112,8 +147,38 @@ class PyIceBatchReader(DataSourceReader):
             eqs = tuple(
                 (cols, rows) for cols, rows, dseq in eq_sets if dseq > f.seq
             )
+            self._parts.append(IceFilePartition(f.path, f.seq, dead, eqs))
+
+    def _plan_descriptors(self, info) -> None:
+        """Scale path: each InputPartition carries only the descriptors
+        of delete files applicable under the sequence rules; the task
+        decodes them itself. A DV descriptor with a referenced_data_file
+        routes only to that file; position-delete parquets (which may
+        reference any data file) route to every file with data_seq ≤
+        delete seq and the task filters rows to its own path."""
+        self._parts = []
+        for f in info.files:
+            fnorm = _norm(f.path)
+            pos_desc = tuple(
+                (d.path, d.is_dv, d.content_offset)
+                for d in info.delete_files
+                if d.content == 1
+                and d.seq >= f.seq
+                and (
+                    d.referenced_data_file is None
+                    or _norm(d.referenced_data_file) == fnorm
+                )
+            )
+            eq_desc = tuple(
+                (d.path, tuple(d.equality_cols))
+                for d in info.delete_files
+                if d.content == 2 and d.seq > f.seq
+            )
             self._parts.append(
-                IceFilePartition(f.path, f.seq, dead, eqs)
+                IceFilePartition(
+                    f.path, f.seq,
+                    pos_descriptors=pos_desc, eq_descriptors=eq_desc,
+                )
             )
 
     def partitions(self):
@@ -123,10 +188,40 @@ class PyIceBatchReader(DataSourceReader):
         import pyarrow.parquet as pq
 
         dead = set(partition.deleted_pos)
-        # pre-index equality deletes: column tuple -> set of value rows
         eq_probe = [
             (cols, set(rows)) for cols, rows in partition.eq_deletes
         ]
+        # scale path: decode this task's delete state from descriptors
+        me = _norm(partition.path)
+        for dpath, is_dv, offset in partition.pos_descriptors:
+            if is_dv:
+                from iceberg_metadata_pipeline_spark.catalog.puffin import (
+                    read_deletion_vectors,
+                )
+
+                for ref, positions in read_deletion_vectors(dpath, offset):
+                    if _norm(ref) == me:
+                        dead.update(int(p) for p in positions)
+            else:
+                # two-column columnar read; rows for other data files are
+                # dropped here (real iceberg readers prune by delete-file
+                # bounds at plan time — our manifests don't carry
+                # file_path bounds, so the filter runs in the task)
+                t = pq.read_table(dpath, columns=["file_path", "pos"])
+                for fp, pos in zip(
+                    t.column("file_path").to_pylist(),
+                    t.column("pos").to_pylist(),
+                ):
+                    if _norm(fp) == me:
+                        dead.add(int(pos))
+        for dpath, cols in partition.eq_descriptors:
+            t = pq.read_table(dpath, columns=list(cols))
+            rows = set(
+                tuple(t.column(c)[i].as_py() for c in cols)
+                for i in range(t.num_rows)
+            )
+            eq_probe.append((cols, rows))
+
         pf = pq.ParquetFile(partition.path)
         pos = 0
         name_idx = {n: i for i, n in enumerate(self.names)}
@@ -159,7 +254,9 @@ class PyIceDataSource(DataSource):
         return "pyice"
 
     def schema(self):
-        return read_iceberg_table(_local(self.options["path"])).schema
+        return read_iceberg_table(
+            _local(self.options["path"]), decode_dvs=False
+        ).schema
 
     def reader(self, schema: T.StructType) -> DataSourceReader:
         return PyIceBatchReader(self.options)

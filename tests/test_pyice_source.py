@@ -183,3 +183,94 @@ def test_puffin_dv_applied(spark, tmp_path):
     register(spark)
     got = sorted(r["id"] for r in spark.read.format("pyice").load(loc).collect())
     assert got == sorted(set(range(10)) - set(victim_ids))
+
+
+def test_large_delete_set_ships_descriptors_not_positions(spark, tmp_path):
+    """The r6 scale finding: with a delete set over the threshold, the
+    driver must plan O(#delete files) descriptors — never pickle the
+    decoded position set into every InputPartition — and the task-side
+    decode must still produce the right rows."""
+    import pickle
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from iceberg_metadata_pipeline_spark.catalog.iceberg_format import (
+        read_iceberg_table,
+    )
+    from iceberg_metadata_pipeline_spark.ingest.pyice_source import (
+        PyIceBatchReader,
+    )
+
+    meta_path = _export_small_table(spark, tmp_path, rows=120)
+    loc = os.path.dirname(os.path.dirname(meta_path))
+    info0 = read_iceberg_table(loc)
+    victim = sorted(f.path for f in info0.files)[0]
+    import duckdb
+
+    n_victim = duckdb.sql(
+        f"SELECT COUNT(*) FROM read_parquet('{victim}')"
+    ).fetchone()[0]
+    # 50k-row delete file: real positions for the victim's even rows plus
+    # bulk rows against a phantom path (same shape as a delete file
+    # covering many data files)
+    real = [(victim, i) for i in range(0, n_victim, 2)]
+    bulk = [("/data/phantom.parquet", i) for i in range(50_000 - len(real))]
+    _append_mor_delete_snapshot(meta_path, pos_deletes=real + bulk)
+
+    reader = PyIceBatchReader({"path": loc})
+    parts = reader.partitions()
+    payload = max(len(pickle.dumps(p)) for p in parts)
+    assert payload < 2_000, f"partition payload {payload}B is data-sized"
+    assert all(p.deleted_pos == () for p in parts)
+    assert any(p.pos_descriptors for p in parts)
+
+    victim_survivors = [
+        r[0]
+        for r in duckdb.sql(
+            f"SELECT id FROM read_parquet('{victim}')"
+        ).fetchall()
+    ][1::2]
+    register(spark)
+    got = sorted(r["id"] for r in spark.read.format("pyice").load(loc).collect())
+    all_ids = [r["id"] for r in spark.read.parquet(*[f.path for f in info0.files]).collect()]
+    victim_ids = [
+        r[0]
+        for r in duckdb.sql(f"SELECT id FROM read_parquet('{victim}')").fetchall()
+    ]
+    expect = sorted(set(all_ids) - set(victim_ids[0::2]))
+    assert got == expect
+
+
+def test_threshold_zero_forces_descriptor_path(spark, tmp_path):
+    """deleteDecodeThreshold=0 exercises the executor-side decode on the
+    small fixtures too — results must match the fast path exactly."""
+    meta_path = _export_small_table(spark, tmp_path)
+    loc = os.path.dirname(os.path.dirname(meta_path))
+    from iceberg_metadata_pipeline_spark.catalog.iceberg_format import (
+        read_iceberg_table,
+    )
+
+    info0 = read_iceberg_table(loc)
+    victim = sorted(f.path for f in info0.files)[0]
+    import duckdb
+
+    victim_ids = [
+        r[0]
+        for r in duckdb.sql(
+            f"SELECT id FROM read_parquet('{victim}') LIMIT 2"
+        ).fetchall()
+    ]
+    _append_mor_delete_snapshot(meta_path, pos_deletes=[(victim, 0), (victim, 1)])
+    register(spark)
+    fast = sorted(
+        r["id"] for r in spark.read.format("pyice").load(loc).collect()
+    )
+    slow = sorted(
+        r["id"]
+        for r in spark.read.format("pyice")
+        .option("deleteDecodeThreshold", "0")
+        .load(loc)
+        .collect()
+    )
+    assert fast == slow == sorted(set(range(10)) - set(victim_ids))
