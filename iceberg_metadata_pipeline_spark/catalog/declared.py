@@ -1768,6 +1768,76 @@ def catalog_delta_cdf(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "catalog_delta_file_dv",
+    """
+SELECT s_nationkey, COUNT(*) AS n,
+  CAST(SUM(CAST(s_acctbal AS DECIMAL(38,6))) AS DOUBLE) AS total_bal
+FROM supplier
+WHERE s_acctbal >= 0
+GROUP BY s_nationkey
+ORDER BY s_nationkey
+""",
+)
+def catalog_delta_file_dv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FILE-based ('u' storage) Delta deletion vectors end-to-end: the
+    supplier fixture exports as a Delta table, a row-level DELETE of the
+    negative-balance rows commits ONE sidecar deletion-vector file
+    (PROTOCOL.md container: version byte + per-vector size/data/CRC-32
+    framing) whose descriptors re-add every touched data file
+    atomically, and ``spark.read.format("pydelta")`` reads the live rows
+    back — positions decode IN THE TASK from the shipped descriptor,
+    never driver-side. Matching the WHERE-filtered oracle proves write,
+    uuid path resolution, framing, and read-side application. Position
+    discovery here is a per-file footer loop (fixture building); a real
+    engine computes positions distributed with _metadata.row_index, as
+    metacat.delete_where does."""
+    import os as _os
+    import tempfile as _tf
+
+    from iceberg_metadata_pipeline_spark.catalog.delta_format import (
+        attach_file_dvs,
+        export_delta_table,
+        read_delta_table,
+    )
+    from iceberg_metadata_pipeline_spark.catalog.metacat import scan_parquet_footers
+    from iceberg_metadata_pipeline_spark.ingest.pydelta_source import (
+        register as _register_pydelta,
+    )
+
+    supplier = load_tables(spark, sf_dir)["supplier"]
+    catalog = Catalog(spark, _tf.mkdtemp(prefix="wh-fdv-"))
+    t = catalog.create_table("nyc", "supplier_fdv", supplier.schema)
+    t.append_files(
+        scan_parquet_footers(_os.path.join(sf_dir, "supplier.parquet"), spark)
+    )
+    dest = _tf.mkdtemp(prefix="delta-fdv-")
+    export_delta_table(t.refresh(), dest)
+
+    import pyarrow.parquet as _pq
+
+    deletes: dict[str, list[int]] = {}
+    for path in read_delta_table(dest).files:
+        bal = _pq.read_table(path, columns=["s_acctbal"]).column("s_acctbal")
+        pos = [i for i, v in enumerate(bal.to_pylist()) if float(v) < 0]
+        if pos:
+            deletes[path] = pos
+    if deletes:
+        attach_file_dvs(dest, deletes, prefix="dv")
+    _register_pydelta(spark)
+    back = spark.read.format("pydelta").load(dest)
+    return (
+        back.groupBy("s_nationkey")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("s_acctbal").cast("decimal(38,6)"))
+            .cast("double")
+            .alias("total_bal"),
+        )
+        .orderBy("s_nationkey")
+    )
+
+
+@query(
     "catalog_hudi_export_import",
     """
 SELECT p_brand, COUNT(*) AS n,

@@ -159,10 +159,11 @@ def _apply_action(state: DeltaTableState, a: dict) -> None:
     elif "add" in a:
         add = a["add"]
         if add.get("deletionVector"):
-            # decode NOW so a bad/unsupported descriptor fails at
-            # replay, loudly — inline ('i') vectors are applied; file-
-            # based ('u'/'p') refuse inside _decode_dv_descriptor
-            _decode_dv_descriptor(add["deletionVector"])
+            # validate NOW so a bad/unsupported descriptor fails at
+            # replay, loudly — inline ('i') decodes fully, file-based
+            # ('u'/'p') checks existence only (decode is deferred to the
+            # apply sites: replay must stay O(log), not O(deleted rows))
+            _validate_dv_descriptor(add["deletionVector"], state.location)
         state.files[add["path"]] = add
     elif "remove" in a:
         state.files.pop(a["remove"]["path"], None)
@@ -554,37 +555,188 @@ def decode_delta_dv(data: bytes) -> list[int]:
     return roaring.deserialize64(data[4:])
 
 
-def _decode_dv_descriptor(dv: dict) -> list[int]:
-    """An add action's deletionVector descriptor → row positions.
-    Inline storage only: 'u'/'p' point at DV *files* whose container
-    framing (version byte + per-DV checksums) this reader does not
-    implement — refused loudly, never guessed at."""
-    st = dv.get("storageType")
-    if st != "i":
-        raise NotImplementedError(
-            f"deletion vector storageType {st!r}: only inline ('i') vectors "
-            "are applied; compact the table with a real Delta runtime to "
-            "drop file-based vectors before import"
+# --- deletion vector FILES ('u'/'p' storage, PROTOCOL.md "Deletion
+# Vector Format") ---------------------------------------------------------
+#
+# On-disk container: a 1-byte format version (1) at offset 0, then each
+# vector stored as [4-byte big-endian size][bitmap data][4-byte
+# big-endian CRC-32 of the data]. A descriptor's ``offset`` points at
+# the size field; ``sizeInBytes`` is the data length (size field and
+# checksum excluded). storageType 'u': ``pathOrInlineDv`` is
+# ``<optional random prefix><20-char z85 uuid>`` (the uuid is ALWAYS
+# the last 20 characters) and the file lives at
+# ``<table>/<prefix>/deletion_vector_<canonical uuid>.bin``;
+# storageType 'p' carries the path itself.
+
+_DV_FILE_FORMAT_VERSION = 1
+
+
+def _dv_uuid_split(path_or_inline: str) -> tuple[str, str]:
+    import uuid as _uuid
+
+    if len(path_or_inline) < 20:
+        raise ValueError(
+            f"'u' pathOrInlineDv {path_or_inline!r} shorter than the "
+            "20-char z85 uuid it must end with"
         )
-    raw = z85_decode(dv["pathOrInlineDv"])
-    # Z85 works in 4-byte blocks, so encoders zero-pad and record the
-    # true length in sizeInBytes (Delta's Base85Codec.decodeBytes takes
-    # an outputLength and truncates — same contract here)
-    size = dv.get("sizeInBytes")
-    if size is not None:
-        if not len(raw) - 3 <= int(size) <= len(raw):
-            raise ValueError(
-                f"inline DV sizeInBytes={size} inconsistent with "
-                f"{len(raw)} decoded bytes"
+    prefix, enc = path_or_inline[:-20], path_or_inline[-20:]
+    return prefix, str(_uuid.UUID(bytes=z85_decode(enc)))
+
+
+def dv_file_path(location: str, dv: dict) -> str:
+    """Resolve a file-based descriptor to the DV file's absolute path."""
+    st = dv.get("storageType")
+    if st == "p":
+        p = dv["pathOrInlineDv"]
+        return p if os.path.isabs(p) else os.path.join(location, p)
+    if st == "u":
+        prefix, u = _dv_uuid_split(dv["pathOrInlineDv"])
+        name = f"deletion_vector_{u}.bin"
+        return os.path.join(location, prefix, name) if prefix else os.path.join(
+            location, name
+        )
+    raise ValueError(f"not a file-based DV descriptor (storageType {st!r})")
+
+
+def write_dv_file(
+    location: str, vectors: list[list[int]], prefix: str = ""
+) -> list[dict]:
+    """Write ONE deletion-vector file holding every vector in
+    ``vectors`` and return one 'u' descriptor per vector (offsets into
+    the shared file — the layout real Delta writers produce when a
+    DELETE touches several data files in one commit)."""
+    import struct as _struct
+    import uuid as _uuid
+    import zlib as _zlib
+
+    u = _uuid.uuid4()
+    dirp = os.path.join(location, prefix) if prefix else location
+    os.makedirs(dirp, exist_ok=True)
+    path = os.path.join(dirp, f"deletion_vector_{u}.bin")
+    descs: list[dict] = []
+    with open(path, "wb") as fh:
+        fh.write(bytes([_DV_FILE_FORMAT_VERSION]))
+        off = 1
+        for positions in vectors:
+            uniq = sorted(set(int(p) for p in positions))
+            data = encode_delta_dv(uniq)
+            fh.write(_struct.pack(">i", len(data)))
+            fh.write(data)
+            fh.write(_struct.pack(">I", _zlib.crc32(data) & 0xFFFFFFFF))
+            descs.append(
+                {
+                    "storageType": "u",
+                    "pathOrInlineDv": prefix + z85_encode(u.bytes),
+                    "offset": off,
+                    "sizeInBytes": len(data),
+                    "cardinality": len(uniq),
+                }
             )
-        raw = raw[: int(size)]
-    positions = decode_delta_dv(raw)
+            off += 4 + len(data) + 4
+    return descs
+
+
+def read_dv_from_file(
+    path: str, offset: int, size_expected: int | None = None
+) -> list[int]:
+    """Read + verify one vector from a DV file: version byte, length
+    prefix vs descriptor sizeInBytes, CRC-32 — every mismatch is a
+    loud error, never a silent short read."""
+    import struct as _struct
+    import zlib as _zlib
+
+    with open(path, "rb") as fh:
+        ver = fh.read(1)
+        if not ver or ver[0] != _DV_FILE_FORMAT_VERSION:
+            raise ValueError(
+                f"{path}: DV file format version "
+                f"{ver[0] if ver else '<empty>'} (expected "
+                f"{_DV_FILE_FORMAT_VERSION})"
+            )
+        fh.seek(offset)
+        (size,) = _struct.unpack(">i", fh.read(4))
+        if size_expected is not None and size != int(size_expected):
+            raise ValueError(
+                f"{path}@{offset}: stored DV size {size} != descriptor "
+                f"sizeInBytes {size_expected}"
+            )
+        data = fh.read(size)
+        if len(data) != size:
+            raise ValueError(f"{path}@{offset}: truncated DV data")
+        (crc,) = _struct.unpack(">I", fh.read(4))
+        if _zlib.crc32(data) & 0xFFFFFFFF != crc:
+            raise ValueError(f"{path}@{offset}: DV checksum mismatch")
+    return decode_delta_dv(data)
+
+
+def _decode_dv_descriptor(dv: dict, location: str | None = None) -> list[int]:
+    """An add action's deletionVector descriptor → row positions.
+    Inline ('i') vectors decode from the action itself; file-based
+    ('u'/'p') vectors resolve against the table location and decode
+    from the DV file container. Unknown storage types refuse loudly."""
+    st = dv.get("storageType")
+    if st in ("u", "p"):
+        if location is None:
+            raise ValueError(
+                f"storageType {st!r} needs the table location to resolve "
+                "the DV file"
+            )
+        positions = read_dv_from_file(
+            dv_file_path(location, dv),
+            int(dv["offset"]),
+            dv.get("sizeInBytes"),
+        )
+    elif st == "i":
+        raw = z85_decode(dv["pathOrInlineDv"])
+        # Z85 works in 4-byte blocks, so encoders zero-pad and record the
+        # true length in sizeInBytes (Delta's Base85Codec.decodeBytes takes
+        # an outputLength and truncates — same contract here)
+        size = dv.get("sizeInBytes")
+        if size is not None:
+            if not len(raw) - 3 <= int(size) <= len(raw):
+                raise ValueError(
+                    f"inline DV sizeInBytes={size} inconsistent with "
+                    f"{len(raw)} decoded bytes"
+                )
+            raw = raw[: int(size)]
+        positions = decode_delta_dv(raw)
+    else:
+        raise NotImplementedError(
+            f"deletion vector storageType {st!r}: this reader implements "
+            "inline ('i') and file-based ('u'/'p') vectors per PROTOCOL.md"
+        )
     card = dv.get("cardinality")
     if card is not None and int(card) != len(positions):
         raise ValueError(
-            f"inline DV cardinality={card} but vector holds {len(positions)}"
+            f"DV cardinality={card} but vector holds {len(positions)}"
         )
     return positions
+
+
+def _validate_dv_descriptor(dv: dict, location: str | None) -> None:
+    """Replay-time check: inline vectors decode fully (they are already
+    in memory); file-based vectors verify the file exists without
+    decoding — a snapshot with millions of deleted rows must not pay
+    O(deleted rows) driver IO just to REPLAY the log. Full decode +
+    CRC happens where the vector is applied."""
+    st = dv.get("storageType")
+    if st == "i":
+        _decode_dv_descriptor(dv)
+        return
+    if st in ("u", "p"):
+        if location is not None:
+            p = dv_file_path(location, dv)
+            if not os.path.exists(p):
+                raise FileNotFoundError(
+                    f"deletion vector file {p} referenced by the log is "
+                    "missing (vacuum raced a reader, or the descriptor is "
+                    "corrupt)"
+                )
+        return
+    raise NotImplementedError(
+        f"deletion vector storageType {st!r}: this reader implements "
+        "inline ('i') and file-based ('u'/'p') vectors per PROTOCOL.md"
+    )
 
 
 def attach_inline_dv(location: str, data_file: str, positions: list[int]) -> int:
@@ -604,7 +756,7 @@ def attach_inline_dv(location: str, data_file: str, positions: list[int]) -> int
         raise FileNotFoundError(f"{data_file} is not a live file of {location}")
     add = dict(state.files[key])
     existing = (
-        _decode_dv_descriptor(add["deletionVector"])
+        _decode_dv_descriptor(add["deletionVector"], location)
         if add.get("deletionVector")
         else []
     )
@@ -626,6 +778,54 @@ def attach_inline_dv(location: str, data_file: str, positions: list[int]) -> int
             {"commitInfo": {"timestamp": now, "operation": "DELETE"}},
         ],
     )
+
+
+def attach_file_dvs(
+    location: str, deletes: dict[str, list[int]], prefix: str = ""
+) -> int:
+    """Commit row-level deletes the way real Delta writers default to:
+    positions go to ONE on-disk deletion-vector file (storageType 'u'),
+    and every touched data file is re-added with its descriptor in a
+    single atomic commit. Existing vectors (inline or file-based) union
+    in, so deletes accumulate exactly like attach_inline_dv. At scale
+    this is the representation that keeps the log small: the commit
+    carries descriptors, the positions live in the sidecar file."""
+    import time as _time
+
+    state = read_delta_table(location)
+    resolved: dict[str, tuple[dict, list[int]]] = {}
+    for df_path, positions in deletes.items():
+        key = next(
+            (
+                p
+                for p in state.files
+                if p == df_path or os.path.basename(p) == df_path
+            ),
+            None,
+        )
+        if key is None:
+            raise FileNotFoundError(f"{df_path} is not a live file of {location}")
+        add = dict(state.files[key])
+        existing = (
+            _decode_dv_descriptor(add["deletionVector"], location)
+            if add.get("deletionVector")
+            else []
+        )
+        merged = sorted(set(existing) | set(int(p) for p in positions))
+        resolved[key] = (add, merged)
+    keys = sorted(resolved)
+    descs = write_dv_file(location, [resolved[k][1] for k in keys], prefix)
+    now = int(_time.time() * 1000)
+    actions: list[dict] = []
+    for k, desc in zip(keys, descs):
+        add, _merged = resolved[k]
+        add["deletionVector"] = desc
+        actions.append(
+            {"remove": {"path": k, "deletionTimestamp": now, "dataChange": True}}
+        )
+        actions.append({"add": add})
+    actions.append({"commitInfo": {"timestamp": now, "operation": "DELETE"}})
+    return write_commit(location, actions)
 
 
 def column_mapping_mode(state: DeltaTableState) -> str:
@@ -814,7 +1014,7 @@ def _live_rows_dataframe(spark: SparkSession, state: DeltaTableState):
         (abs_of[p], int(pos))
         for p, a in state.files.items()
         if a.get("deletionVector")
-        for pos in _decode_dv_descriptor(a["deletionVector"])
+        for pos in _decode_dv_descriptor(a["deletionVector"], state.location)
     ]
     if dv_rows:
         dels = spark.createDataFrame(dv_rows, "__file string, __pos long")

@@ -88,6 +88,11 @@ class DeltaFilePartition(InputPartition):
     path: str
     partition_values: tuple  # aligned with the table's partition columns
     deleted: tuple = ()  # inline-DV row positions to skip, sorted
+    # file-based ('u'/'p') DV descriptor, decoded IN THE TASK — the
+    # driver ships only (dv_path, offset, sizeInBytes), never the
+    # positions, so a table with billions of deleted rows plans in
+    # O(#files) driver memory
+    dv_file: tuple = ()
 
 
 class _DeltaReadMixin:
@@ -108,6 +113,13 @@ class _DeltaReadMixin:
         file_fields = [f for f in self.schema.fields if f.name not in pcols]
         pvals = dict(zip(self.partition_columns, part.partition_values))
         dead = set(part.deleted)
+        if part.dv_file:
+            from iceberg_metadata_pipeline_spark.catalog.delta_format import (
+                read_dv_from_file,
+            )
+
+            dv_path, offset, size = part.dv_file
+            dead.update(read_dv_from_file(dv_path, int(offset), size))
         pf = pq.ParquetFile(part.path)
         names = [self.physical.get(f.name, f.name) for f in file_fields]
         pos = 0
@@ -141,6 +153,26 @@ class PyDeltaBatchReader(DataSourceReader, _DeltaReadMixin):
         )
 
         self.physical = physical_names(state)
+        from iceberg_metadata_pipeline_spark.catalog.delta_format import (
+            dv_file_path,
+        )
+
+        def _dv_fields(a: dict) -> tuple[tuple, tuple]:
+            """(inline positions, file descriptor) for the partition:
+            inline vectors are already O(positions) in the log and ship
+            decoded; file-based vectors ship as a descriptor and decode
+            in the task."""
+            dv = a.get("deletionVector")
+            if not dv:
+                return (), ()
+            if dv.get("storageType") == "i":
+                return tuple(_decode_dv_descriptor(dv)), ()
+            return (), (
+                dv_file_path(self.path, dv),
+                int(dv["offset"]),
+                dv.get("sizeInBytes"),
+            )
+
         self._parts = [
             DeltaFilePartition(
                 self._abs(p),
@@ -151,9 +183,7 @@ class PyDeltaBatchReader(DataSourceReader, _DeltaReadMixin):
                     )
                     for c in state.partition_columns
                 ),
-                tuple(_decode_dv_descriptor(a["deletionVector"]))
-                if a.get("deletionVector")
-                else (),
+                *_dv_fields(a),
             )
             for p, a in sorted(state.files.items())
         ]

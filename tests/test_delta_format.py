@@ -220,7 +220,10 @@ def test_import_prunes_on_partition(spark, tmp_path):
     assert 0 < len(pruned) < len(all_files)
 
 
-def test_refuses_deletion_vectors(tmp_path):
+def test_malformed_dv_descriptor_fails_loudly(tmp_path):
+    """'u' vectors are supported now (round 7) — a descriptor whose
+    pathOrInlineDv cannot even carry the 20-char uuid must still fail
+    the replay loudly rather than read the table as undeleted."""
     loc = str(tmp_path / "dvlog")
     schema = T.StructType([T.StructField("x", T.LongType(), True)])
     write_commit(
@@ -248,7 +251,7 @@ def test_refuses_deletion_vectors(tmp_path):
             },
         ],
     )
-    with pytest.raises(NotImplementedError, match="deletion vector"):
+    with pytest.raises(ValueError, match="20-char"):
         read_delta_table(loc)
 
 
@@ -344,12 +347,7 @@ def test_inline_dv_applied_by_reader_and_import(spark, tmp_path):
     assert got2 == sorted(set(range(20)) - set(victim_rows[:3]))
 
 
-def test_file_based_dv_refused(tmp_path):
-    from iceberg_metadata_pipeline_spark.catalog.delta_format import (
-        read_delta_table,
-    )
-
-    loc = str(tmp_path / "udv")
+def _dv_table_commit(loc, dv_descriptor):
     schema = T.StructType([T.StructField("x", T.LongType(), True)])
     write_commit(
         loc,
@@ -372,14 +370,33 @@ def test_file_based_dv_refused(tmp_path):
                     "size": 1,
                     "modificationTime": 0,
                     "dataChange": True,
-                    "deletionVector": {"storageType": "u",
-                                       "pathOrInlineDv": "ab<de12345",
-                                       "sizeInBytes": 40, "cardinality": 6},
+                    "deletionVector": dv_descriptor,
                 }
             },
         ],
     )
-    with pytest.raises(NotImplementedError, match="storageType 'u'"):
+
+
+def test_unknown_dv_storage_type_refused(tmp_path):
+    loc = str(tmp_path / "xdv")
+    _dv_table_commit(loc, {"storageType": "x", "pathOrInlineDv": "????",
+                           "sizeInBytes": 40, "cardinality": 6})
+    with pytest.raises(NotImplementedError, match="storageType 'x'"):
+        read_delta_table(loc)
+
+
+def test_missing_dv_file_fails_at_replay(tmp_path):
+    """A 'u' descriptor whose sidecar file does not exist must fail the
+    replay loudly, not read the table as if nothing were deleted."""
+    from iceberg_metadata_pipeline_spark.catalog.delta_format import (
+        z85_encode,
+    )
+
+    loc = str(tmp_path / "udv")
+    enc = z85_encode(bytes(16))  # valid uuid encoding, no such file
+    _dv_table_commit(loc, {"storageType": "u", "pathOrInlineDv": enc,
+                           "offset": 1, "sizeInBytes": 40, "cardinality": 6})
+    with pytest.raises(FileNotFoundError, match="deletion_vector_"):
         read_delta_table(loc)
 
 
@@ -753,3 +770,135 @@ def test_rename_without_mapping_refuses(spark, metacat_table, tmp_path):
     export_delta_table(t, dest)
     with _pytest.raises(ValueError, match="column mapping"):
         rename_delta_column(dest, "score", "s2")
+
+
+def test_dv_file_container_round_trip_and_framing(tmp_path):
+    """DV FILE storage format (PROTOCOL.md): version byte 1, then per
+    vector [4-byte BE size][data][4-byte BE CRC-32]. Descriptors carry
+    'u' + prefix + z85 uuid; resolution, offsets, checksums and
+    corruption detection all verified byte-level."""
+    import struct
+    import zlib
+
+    from iceberg_metadata_pipeline_spark.catalog.delta_format import (
+        decode_delta_dv,
+        dv_file_path,
+        read_dv_from_file,
+        write_dv_file,
+    )
+
+    loc = str(tmp_path / "tbl")
+    vecs = [[0, 5, 9], list(range(100, 164)), [2**33, 2**33 + 7]]
+    descs = write_dv_file(loc, vecs, prefix="ab")
+    assert [d["cardinality"] for d in descs] == [3, 64, 2]
+    assert all(d["storageType"] == "u" for d in descs)
+    assert all(d["pathOrInlineDv"].startswith("ab") for d in descs)
+    path = dv_file_path(loc, descs[0])
+    assert os.path.basename(path).startswith("deletion_vector_")
+    assert os.path.dirname(path) == os.path.join(loc, "ab")
+    # all three vectors share one file, offsets strictly increasing
+    assert len({dv_file_path(loc, d) for d in descs}) == 1
+    assert descs[0]["offset"] == 1
+    assert [read_dv_from_file(path, d["offset"], d["sizeInBytes"]) for d in descs] == [
+        sorted(v) for v in vecs
+    ]
+    # framing bytes: version, size prefix, CRC-32 of the data
+    raw = open(path, "rb").read()
+    assert raw[0] == 1
+    (size0,) = struct.unpack(">i", raw[1:5])
+    assert size0 == descs[0]["sizeInBytes"]
+    data0 = raw[5 : 5 + size0]
+    (crc0,) = struct.unpack(">I", raw[5 + size0 : 9 + size0])
+    assert crc0 == zlib.crc32(data0) & 0xFFFFFFFF
+    assert decode_delta_dv(data0) == [0, 5, 9]
+    # corruption: flip a data byte -> checksum mismatch, loud
+    broken = bytearray(raw)
+    broken[7] ^= 0xFF
+    bpath = str(tmp_path / "broken.bin")
+    open(bpath, "wb").write(bytes(broken))
+    with pytest.raises(ValueError, match="checksum"):
+        read_dv_from_file(bpath, descs[0]["offset"], descs[0]["sizeInBytes"])
+    # size mismatch vs descriptor is loud too
+    with pytest.raises(ValueError, match="size"):
+        read_dv_from_file(path, descs[0]["offset"], descs[0]["sizeInBytes"] + 1)
+
+
+def test_file_dv_applied_by_readers_and_import(spark, tmp_path):
+    """attach_file_dvs commits 'u' vectors; replay validates without
+    decoding, _live_rows_dataframe / pydelta / the importer all apply
+    them, 'p' (absolute path) descriptors read identically, and file +
+    inline vectors accumulate by union."""
+    from iceberg_metadata_pipeline_spark.catalog.delta_format import (
+        _live_rows_dataframe,
+        attach_file_dvs,
+        attach_inline_dv,
+        dv_file_path,
+        import_delta_table,
+    )
+    from iceberg_metadata_pipeline_spark.ingest.pydelta_source import register
+
+    catalog = Catalog(spark, str(tmp_path / "wh-src"))
+    st = T.StructType([T.StructField("id", T.LongType(), False)])
+    t = catalog.create_table("nyc", "fdv_src", st).refresh()
+    t.append_dataframe(spark.range(20).selectExpr("id").repartition(2))
+    t = t.refresh()
+    dest = str(tmp_path / "delta_fdv")
+    export_delta_table(t, dest)
+    state = read_delta_table(dest)
+    files = sorted(
+        p
+        for p in state.files
+        if json.loads(state.files[p]["stats"])["numRecords"] == 10
+    )
+    import duckdb
+
+    rows_of = {
+        f: [r[0] for r in duckdb.sql(f"SELECT id FROM read_parquet('{f}')").fetchall()]
+        for f in files
+    }
+    # one DELETE commit touching BOTH files -> one DV file, two vectors
+    v = attach_file_dvs(dest, {files[0]: [0, 1], files[1]: [3]}, prefix="q1")
+    assert v == 1
+    state = read_delta_table(dest)
+    descs = [a["deletionVector"] for a in state.files.values()]
+    assert all(d["storageType"] == "u" for d in descs)
+    assert len({dv_file_path(dest, d) for d in descs}) == 1
+    killed = set(rows_of[files[0]][:2]) | {rows_of[files[1]][3]}
+    expect = sorted(set(range(20)) - killed)
+    assert sorted(
+        r.id for r in _live_rows_dataframe(spark, state).collect()
+    ) == expect
+    register(spark)
+    assert sorted(
+        r.id for r in spark.read.format("pydelta").load(dest).collect()
+    ) == expect
+    t2 = import_delta_table(
+        spark, Catalog(spark, str(tmp_path / "wh-fdv")), dest, "nyc", "fdv_in"
+    )
+    assert sorted(r.id for r in t2.scan().collect()) == expect
+    # accumulation across storage types: an inline delete on file[0]
+    # unions with its file-based vector
+    attach_inline_dv(dest, files[0], [2])
+    killed.add(rows_of[files[0]][2])
+    got = sorted(r.id for r in spark.read.format("pydelta").load(dest).collect())
+    assert got == sorted(set(range(20)) - killed)
+    # 'p' storage: rewrite file[1]'s descriptor as an absolute path
+    state = read_delta_table(dest)
+    add = dict(state.files[files[1]])
+    u_desc = add["deletionVector"]
+    add["deletionVector"] = {
+        "storageType": "p",
+        "pathOrInlineDv": dv_file_path(dest, u_desc),
+        "offset": u_desc["offset"],
+        "sizeInBytes": u_desc["sizeInBytes"],
+        "cardinality": u_desc["cardinality"],
+    }
+    write_commit(
+        dest,
+        [
+            {"remove": {"path": files[1], "deletionTimestamp": 0, "dataChange": True}},
+            {"add": add},
+        ],
+    )
+    got_p = sorted(r.id for r in spark.read.format("pydelta").load(dest).collect())
+    assert got_p == got
