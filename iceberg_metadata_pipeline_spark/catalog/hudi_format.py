@@ -188,7 +188,10 @@ def list_timeline(location: str) -> list[Instant]:
     return out
 
 
-def completed_instants(location: str, actions: tuple[str, ...] = ("commit", "replacecommit")) -> list[Instant]:
+def completed_instants(
+    location: str,
+    actions: tuple[str, ...] = ("commit", "replacecommit", "deltacommit"),
+) -> list[Instant]:
     return [i for i in list_timeline(location) if i.state == "completed" and i.action in actions]
 
 
@@ -253,42 +256,97 @@ class BaseFile:
 
 
 @dataclass
+class LogFile:
+    """A MOR delta-log file: updates/deletes against one file group's
+    base slice, named ``.<fileId>_<baseInstant>.log.<version>_<token>``
+    (dot-prefixed = hidden from plain directory listings, per the
+    spec's file layout)."""
+
+    partition_path: str
+    file_id: str
+    base_instant: str  # the base-file slice this log attaches to
+    version: int
+    path: str  # absolute
+    instant_time: str  # deltacommit that wrote it
+
+
+@dataclass
 class HudiTableState:
     location: str
     instant: str  # as-of completed instant time
     properties: dict[str, str]
     # (partition_path, file_id) -> latest live BaseFile
     files: dict[tuple[str, str], BaseFile] = field(default_factory=dict)
+    # (partition_path, file_id) -> log files attached to the CURRENT base
+    # slice, sorted by (instant_time, version) — MOR tables only
+    log_files: dict[tuple[str, str], list[LogFile]] = field(default_factory=dict)
+    # completed instant times ≤ as-of: the block-level commit filter
+    # (log blocks from crashed/uncommitted writes must not merge)
+    valid_instants: frozenset = frozenset()
+    table_type: str = "COPY_ON_WRITE"
 
     @property
     def partition_fields(self) -> list[str]:
         raw = self.properties.get("hoodie.table.partition.fields", "")
         return [c for c in raw.split(",") if c]
 
+    @property
+    def record_key_field(self) -> str:
+        return self.properties.get("hoodie.table.recordkey.fields", "")
+
+    def has_live_logs(self) -> bool:
+        return any(self.log_files.values())
+
 
 def _base_file_name(file_id: str, instant_time: str) -> str:
     return f"{file_id}_{_WRITE_TOKEN}_{instant_time}.parquet"
 
 
+def _log_file_name(file_id: str, base_instant: str, version: int) -> str:
+    return f".{file_id}_{base_instant}.log.{version}_{_WRITE_TOKEN}"
+
+
+def _parse_log_file_name(name: str) -> tuple[str, str, int] | None:
+    """'.<fileId>_<baseInstant>.log.<version>_<token>' →
+    (file_id, base_instant, version)."""
+    if not name.startswith(".") or ".log." not in name:
+        return None
+    head, _, tail = name[1:].partition(".log.")
+    fid, _, base = head.rpartition("_")
+    ver = tail.split("_", 1)[0]
+    if not fid or not base.isdigit() or not ver.isdigit():
+        return None
+    return fid, base, int(ver)
+
+
 def read_hudi_table(location: str, instant: str | None = None) -> HudiTableState:
     """Replay the timeline up to ``instant`` (default: latest completed)
-    into the live file set. COW only — a MOR table refuses loudly."""
+    into the live file set. COPY_ON_WRITE resolves per file group to the
+    newest base slice; MERGE_ON_READ additionally attaches each group's
+    delta-log files (written by ``deltacommit`` instants) to its CURRENT
+    base slice — logs referencing an older base instant drop out, which
+    is exactly how compaction retires them. File discovery is
+    timeline-driven (write stats), not directory listing; Hudi's
+    metadata table (``.hoodie/metadata``) is not read — a listing-free
+    optimization this layer does not need because the replay already
+    carries every path."""
     props = read_properties(location)
     ttype = props.get("hoodie.table.type", "COPY_ON_WRITE")
-    if ttype != "COPY_ON_WRITE":
-        raise NotImplementedError(
-            f"hoodie.table.type={ttype}: merge-on-read log files are not "
-            "implemented; reading a MOR table as COW would drop "
-            "un-compacted updates"
-        )
+    if ttype not in ("COPY_ON_WRITE", "MERGE_ON_READ"):
+        raise NotImplementedError(f"hoodie.table.type={ttype}")
     done = completed_instants(location)
     if instant is not None:
         done = [i for i in done if i.time <= instant]
         if not done:
             raise ValueError(f"no completed instant at or before {instant}")
     as_of = done[-1].time if done else ""
-    state = HudiTableState(location, as_of, props)
+    state = HudiTableState(
+        location, as_of, props,
+        valid_instants=frozenset(i.time for i in done),
+        table_type=ttype,
+    )
     replaced: set[tuple[str, str]] = set()
+    raw_logs: dict[tuple[str, str], list[LogFile]] = {}
     for ins in done:
         md = read_instant_metadata(location, ins)
         if ins.action == "replacecommit":
@@ -300,6 +358,18 @@ def read_hudi_table(location: str, instant: str | None = None) -> HudiTableState
                 path = st["path"]
                 if not os.path.isabs(path):
                     path = os.path.join(location, path)
+                parsed = _parse_log_file_name(os.path.basename(path))
+                if parsed is not None:
+                    if ttype != "MERGE_ON_READ":
+                        raise ValueError(
+                            f"log file {path} in a COPY_ON_WRITE timeline "
+                            "(corrupt table?)"
+                        )
+                    lfid, base, ver = parsed
+                    raw_logs.setdefault((part, fid), []).append(
+                        LogFile(part, fid, base, ver, path, ins.time)
+                    )
+                    continue
                 bf = BaseFile(
                     partition_path=part,
                     file_id=fid,
@@ -309,7 +379,8 @@ def read_hudi_table(location: str, instant: str | None = None) -> HudiTableState
                     size_bytes=int(st.get("fileSizeInBytes") or 0),
                 )
                 cur = state.files.get((part, fid))
-                # newer slice in the same file group wins (COW overwrite)
+                # newer slice in the same file group wins (COW overwrite /
+                # MOR compaction)
                 if cur is None or bf.instant_time > cur.instant_time:
                     state.files[(part, fid)] = bf
                 # a group re-written after its replacecommit is live again
@@ -319,15 +390,33 @@ def read_hudi_table(location: str, instant: str | None = None) -> HudiTableState
                     replaced.discard((part, fid))
     for key in replaced:
         state.files.pop(key, None)
+    for key, logs in raw_logs.items():
+        bf = state.files.get(key)
+        if bf is None:
+            raise ValueError(
+                f"log files for file group {key} with no base file — "
+                "log-only file groups are not supported; bulk_insert_mor "
+                "writes base files first"
+            )
+        live = sorted(
+            (lg for lg in logs if lg.base_instant == bf.instant_time),
+            key=lambda lg: (lg.instant_time, lg.version),
+        )
+        if live:
+            state.log_files[key] = live
     return state
 
 
-def incremental_files(location: str, begin: str, end: str | None = None) -> list[BaseFile]:
-    """The Hudi incremental-pull primitive: base files WRITTEN by
-    completed commits with begin < instant ≤ end. At 100 TB this is the
-    O(churn) sync path — a consumer remembers its last instant and
-    reads only the new slices."""
-    out = []
+def incremental_slices(
+    location: str, begin: str, end: str | None = None
+) -> tuple[list[BaseFile], list[LogFile]]:
+    """The Hudi incremental-pull primitive: base files AND log files
+    WRITTEN by completed instants with begin < instant ≤ end. At 100 TB
+    this is the O(churn) sync path — a consumer remembers its last
+    instant and reads only the new slices (for MOR, the new log
+    records)."""
+    bases: list[BaseFile] = []
+    logs: list[LogFile] = []
     for ins in completed_instants(location):
         if ins.time <= begin or (end is not None and ins.time > end):
             continue
@@ -337,19 +426,42 @@ def incremental_files(location: str, begin: str, end: str | None = None) -> list
                 path = st["path"]
                 if not os.path.isabs(path):
                     path = os.path.join(location, path)
-                out.append(
-                    BaseFile(part, st["fileId"], ins.time, path,
-                             int(st.get("numWrites") or 0),
-                             int(st.get("fileSizeInBytes") or 0))
-                )
-    return out
+                parsed = _parse_log_file_name(os.path.basename(path))
+                if parsed is not None:
+                    lfid, base, ver = parsed
+                    logs.append(
+                        LogFile(part, st["fileId"], base, ver, path, ins.time)
+                    )
+                else:
+                    bases.append(
+                        BaseFile(part, st["fileId"], ins.time, path,
+                                 int(st.get("numWrites") or 0),
+                                 int(st.get("fileSizeInBytes") or 0))
+                    )
+    return bases, logs
+
+
+def incremental_files(location: str, begin: str, end: str | None = None) -> list[BaseFile]:
+    """Base files written in (begin, end] — the COW incremental pull."""
+    bases, _logs = incremental_slices(location, begin, end)
+    return bases
 
 
 def hudi_snapshot_dataframe(spark: SparkSession, state: HudiTableState):
     """Read the live snapshot as a DataFrame — one parquet read over the
     live base files; hive-style partition dirs rejoin partition columns
     via the encoded path values (they are in the path, not the files,
-    when exported from an identity-partitioned source)."""
+    when exported from an identity-partitioned source). A MOR snapshot
+    with un-compacted logs must merge per slice — that happens inside
+    the pyhudi DataSource tasks (one task per file slice), so this
+    parquet-only fast path refuses rather than silently dropping
+    updates."""
+    if state.has_live_logs():
+        raise ValueError(
+            "MOR snapshot has un-compacted log files; read it with "
+            'spark.read.format("pyhudi") (per-slice merge in tasks) or '
+            "run compact_mor() first"
+        )
     paths = [bf.path for bf in state.files.values()]
     if not paths:
         raise ValueError("empty hudi snapshot")
@@ -517,6 +629,13 @@ def import_hudi_table(
     from iceberg_metadata_pipeline_spark.catalog.metacat import DataFileEntry
 
     state = read_hudi_table(location, instant)
+    if state.has_live_logs():
+        raise ValueError(
+            "MOR snapshot has un-compacted log files; a metadata-only "
+            "import would register base files and RESURRECT rows the logs "
+            "update or delete — run compact_mor() first, or query in "
+            'place with spark.read.format("pyhudi")'
+        )
     # schema from the latest commit that recorded one; else parquet footer
     schema = None
     for ins in reversed(completed_instants(location, ("commit",))):
@@ -655,3 +774,602 @@ def rollback_hudi(location: str, instant: str) -> list[str]:
         },
     )
     return removed
+
+
+# ---------------------------------------------------------------------------
+# MERGE_ON_READ: log-block format, delta writes, per-slice merge, compaction
+# ---------------------------------------------------------------------------
+#
+# The Hudi log-file format (hudi.apache.org/tech-specs "Log File Format"):
+# a log file is a sequence of blocks, each
+#
+#   MAGIC "#HUDI#" (6 bytes)
+#   u64 BE block size        (bytes from after this field through the
+#                             trailing length, inclusive)
+#   u32 BE log format version (1)
+#   u32 BE block type ordinal
+#   header map               (u32 count, then per entry u32 key ordinal,
+#                             u32 byte length, UTF-8 value)
+#   u64 BE content length
+#   content bytes
+#   footer map               (same serde as the header)
+#   u64 BE total block length (same value as block size — lets readers
+#                             traverse the file backwards)
+#
+# Block types used here: COMMAND (0, rollback markers), DELETE (1),
+# AVRO_DATA (3). An AVRO_DATA content is [u32 version][u32 record count]
+# then per record [u32 size][avro binary datum] — the record schema rides
+# in the SCHEMA header. A DELETE content is [u32 version][u32 count] then
+# per key [u32 size][UTF-8 record key]; real Hudi wraps delete keys in a
+# HoodieDeleteRecordList avro — ours is self-consistent writer/reader
+# serde of the same information, documented divergence.
+#
+# Correctness rules the reader enforces (the MOR crux):
+# - a block merges ONLY if its INSTANT_TIME header names a COMPLETED
+#   timeline instant ≤ the as-of time (blocks from crashed/in-flight
+#   writers are invisible — the timeline, not the file, is the commit);
+# - a COMMAND block with TARGET_INSTANT_TIME masks earlier blocks of
+#   that instant in the same file (log-level rollback marker);
+# - within a slice, blocks apply in (instant_time, log version) order;
+#   the last writer of a record key wins, delete beats earlier upsert.
+
+_LOG_MAGIC = b"#HUDI#"
+_LOG_FORMAT_VERSION = 1
+BLOCK_COMMAND, BLOCK_DELETE, BLOCK_CORRUPT, BLOCK_AVRO_DATA = 0, 1, 2, 3
+(
+    HEADER_INSTANT_TIME,
+    HEADER_TARGET_INSTANT_TIME,
+    HEADER_SCHEMA,
+    HEADER_COMMAND_BLOCK_TYPE,
+) = 0, 1, 2, 3
+
+
+def _write_meta_map(out, entries: dict[int, str]) -> None:
+    import struct
+
+    out.write(struct.pack(">I", len(entries)))
+    for k in sorted(entries):
+        v = entries[k].encode()
+        out.write(struct.pack(">II", k, len(v)))
+        out.write(v)
+
+
+def _read_meta_map(inp) -> dict[int, str]:
+    import struct
+
+    (n,) = struct.unpack(">I", inp.read(4))
+    out: dict[int, str] = {}
+    for _ in range(n):
+        k, ln = struct.unpack(">II", inp.read(8))
+        out[k] = inp.read(ln).decode()
+    return out
+
+
+def append_log_block(
+    path: str,
+    block_type: int,
+    headers: dict[int, str],
+    content: bytes,
+    footers: dict[int, str] | None = None,
+) -> None:
+    """Append one block to a log file (create if absent). Appends are
+    the only write mode — Hudi log files are append-only by design."""
+    import io
+    import struct
+
+    body = io.BytesIO()
+    body.write(struct.pack(">II", _LOG_FORMAT_VERSION, block_type))
+    _write_meta_map(body, headers)
+    body.write(struct.pack(">Q", len(content)))
+    body.write(content)
+    _write_meta_map(body, footers or {})
+    payload = body.getvalue()
+    size = len(payload) + 8  # + trailing total-length field
+    with open(path, "ab") as fh:
+        fh.write(_LOG_MAGIC)
+        fh.write(struct.pack(">Q", size))
+        fh.write(payload)
+        fh.write(struct.pack(">Q", size))
+
+
+def read_log_blocks(path: str) -> list[tuple[int, dict[int, str], bytes]]:
+    """Parse every block of a log file → [(type, headers, content)].
+    Corruption (bad magic, truncated block, trailer mismatch) raises —
+    never silently skipped."""
+    import io
+    import struct
+
+    with open(path, "rb") as fh:
+        data = fh.read()
+    out: list[tuple[int, dict[int, str], bytes]] = []
+    pos = 0
+    while pos < len(data):
+        if data[pos : pos + 6] != _LOG_MAGIC:
+            raise ValueError(f"{path}@{pos}: bad log block magic")
+        pos += 6
+        (size,) = struct.unpack_from(">Q", data, pos)
+        pos += 8
+        block = data[pos : pos + size]
+        if len(block) != size:
+            raise ValueError(f"{path}@{pos}: truncated log block")
+        pos += size
+        b = io.BytesIO(block)
+        ver, btype = struct.unpack(">II", b.read(8))
+        if ver != _LOG_FORMAT_VERSION:
+            raise ValueError(f"{path}: log format version {ver}")
+        headers = _read_meta_map(b)
+        (clen,) = struct.unpack(">Q", b.read(8))
+        content = b.read(clen)
+        if len(content) != clen:
+            raise ValueError(f"{path}: truncated block content")
+        _footers = _read_meta_map(b)
+        (trailer,) = struct.unpack(">Q", b.read(8))
+        if trailer != size:
+            raise ValueError(
+                f"{path}: block trailer {trailer} != size {size}"
+            )
+        out.append((btype, headers, content))
+    return out
+
+
+# --- record serde (flat primitive schemas) --------------------------------
+
+_SPARK_TO_AVRO = {
+    "long": "long", "integer": "int", "double": "double", "float": "float",
+    "string": "string", "boolean": "boolean", "binary": "bytes",
+}
+
+
+def _avro_schema_of(schema: T.StructType) -> dict:
+    fields = []
+    for f in schema.fields:
+        t = _SPARK_TO_AVRO.get(f.dataType.typeName())
+        if t is None:
+            raise NotImplementedError(
+                f"MOR record serde: column {f.name} has type "
+                f"{f.dataType.simpleString()} — flat primitives only; "
+                "cast/flatten before writing"
+            )
+        fields.append({"name": f.name, "type": ["null", t] if f.nullable else t})
+    return {"type": "record", "name": "HoodieRecord", "fields": fields}
+
+
+def _encode_data_block(records: list[dict], avro_schema: dict) -> bytes:
+    import io
+    import struct
+
+    from iceberg_metadata_pipeline_spark.catalog import avro_io
+
+    out = io.BytesIO()
+    out.write(struct.pack(">II", 1, len(records)))
+    for rec in records:
+        buf = io.BytesIO()
+        avro_io.write_datum(buf, avro_schema, rec)
+        payload = buf.getvalue()
+        out.write(struct.pack(">I", len(payload)))
+        out.write(payload)
+    return out.getvalue()
+
+
+def _decode_data_block(content: bytes, headers: dict[int, str]) -> list[dict]:
+    import io
+    import json as _json
+    import struct
+
+    from iceberg_metadata_pipeline_spark.catalog import avro_io
+
+    schema = _json.loads(headers[HEADER_SCHEMA])
+    b = io.BytesIO(content)
+    _ver, count = struct.unpack(">II", b.read(8))
+    recs = []
+    for _ in range(count):
+        (sz,) = struct.unpack(">I", b.read(4))
+        recs.append(avro_io.read_datum(io.BytesIO(b.read(sz)), schema))
+    return recs
+
+
+def _encode_delete_block(keys: list[str]) -> bytes:
+    import io
+    import struct
+
+    out = io.BytesIO()
+    out.write(struct.pack(">II", 1, len(keys)))
+    for k in keys:
+        kb = str(k).encode()
+        out.write(struct.pack(">I", len(kb)))
+        out.write(kb)
+    return out.getvalue()
+
+
+def _decode_delete_block(content: bytes) -> list[str]:
+    import io
+    import struct
+
+    b = io.BytesIO(content)
+    _ver, count = struct.unpack(">II", b.read(8))
+    keys = []
+    for _ in range(count):
+        (sz,) = struct.unpack(">I", b.read(4))
+        keys.append(b.read(sz).decode())
+    return keys
+
+
+# --- per-slice merge (the MOR read path) -----------------------------------
+
+
+def merge_file_slice(
+    base_path: str | None,
+    logs: list[tuple[str, str]],
+    key_field: str,
+    valid_instants: frozenset | set,
+    as_of: str = "",
+):
+    """Merge one file slice: base parquet rows + its log blocks, by
+    record key. ``logs`` is [(path, deltacommit instant)] already sorted
+    in apply order. Yields plain dict rows — base rows keep their file
+    order (updates in place), log-only inserts append in first-seen
+    order. This runs INSIDE a reader task (one task per slice): the
+    distributed-read unit is the file slice, exactly like Hudi's own
+    MOR scan, so nothing here is driver-sized."""
+    rows: dict[str, dict] = {}
+    if base_path is not None:
+        import pyarrow.parquet as pq
+
+        for rec in pq.read_table(base_path).to_pylist():
+            rows[str(rec[key_field])] = rec
+    for lpath, _linstant in logs:
+        blocks = read_log_blocks(lpath)
+        rolled = {
+            h.get(HEADER_TARGET_INSTANT_TIME)
+            for bt, h, _c in blocks
+            if bt == BLOCK_COMMAND
+        }
+        for bt, h, content in blocks:
+            it = h.get(HEADER_INSTANT_TIME)
+            if (
+                it is None
+                or it not in valid_instants
+                or (as_of and it > as_of)
+                or it in rolled
+            ):
+                continue
+            if bt == BLOCK_AVRO_DATA:
+                for rec in _decode_data_block(content, h):
+                    rows[str(rec[key_field])] = rec
+            elif bt == BLOCK_DELETE:
+                for k in _decode_delete_block(content):
+                    rows.pop(k, None)
+            elif bt == BLOCK_COMMAND:
+                continue
+            else:
+                raise NotImplementedError(
+                    f"{lpath}: log block type {bt} (COMMAND/DELETE/"
+                    "AVRO_DATA implemented)"
+                )
+    yield from rows.values()
+
+
+# --- MOR write path ---------------------------------------------------------
+
+_SPARK_TO_ARROW_NAME = {
+    "long": "int64", "integer": "int32", "double": "float64",
+    "float": "float32", "string": "string", "boolean": "bool",
+    "binary": "binary",
+}
+
+
+def _arrow_schema_of(schema: T.StructType):
+    import pyarrow as pa
+
+    fields = []
+    for f in schema.fields:
+        nm = _SPARK_TO_ARROW_NAME.get(f.dataType.typeName())
+        if nm is None:
+            raise NotImplementedError(
+                f"MOR base-file writer: column {f.name} has type "
+                f"{f.dataType.simpleString()} — flat primitives only"
+            )
+        fields.append(pa.field(f.name, getattr(pa, nm)(), f.nullable))
+    return pa.schema(fields)
+
+
+def create_mor_table(
+    location: str,
+    name: str,
+    partition_fields: list[str],
+    record_key_field: str,
+    schema: T.StructType,
+) -> None:
+    """A MERGE_ON_READ table needs what COW does not: a record key (the
+    merge identity) and a create schema (log blocks carry rows, so the
+    row shape must be pinned before the first base file exists)."""
+    if record_key_field not in [f.name for f in schema.fields]:
+        raise ValueError(f"record key {record_key_field!r} not in schema")
+    _avro_schema_of(schema)  # fail fast on unsupported types
+    write_properties(
+        location,
+        {
+            "hoodie.table.name": name,
+            "hoodie.table.type": "MERGE_ON_READ",
+            "hoodie.table.version": "6",
+            "hoodie.timeline.layout.version": "1",
+            "hoodie.table.base.file.format": "PARQUET",
+            "hoodie.populate.meta.fields": "false",
+            "hoodie.datasource.write.hive_style_partitioning": "true",
+            "hoodie.table.partition.fields": ",".join(partition_fields),
+            "hoodie.table.recordkey.fields": record_key_field,
+            "hoodie.table.create.schema": json.dumps(schema.jsonValue()),
+            "hoodie.table.checksum": "0",
+        },
+    )
+
+
+def _mor_schema(props: dict[str, str]) -> T.StructType:
+    raw = props.get("hoodie.table.create.schema")
+    if not raw:
+        raise ValueError("hoodie.table.create.schema missing (not a table "
+                         "created by create_mor_table?)")
+    return T.StructType.fromJson(json.loads(raw))
+
+
+def _group_file_id(partition_path: str, idx: int) -> str:
+    return (
+        str(uuid.UUID(hashlib.md5(f"{partition_path}#{idx}".encode()).hexdigest()))
+        + "-0"
+    )
+
+
+def bulk_insert_mor(
+    location: str, rows: list[dict], n_file_groups: int = 2
+) -> str:
+    """Initial load: split rows per partition into ``n_file_groups``
+    file groups by record-key hash, write parquet base files, record one
+    ``deltacommit``. (Writer-side fixture plumbing — the distributed
+    twin is a partitioned DataFrame write; the READ path is where MOR
+    semantics live.)"""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    props = read_properties(location)
+    schema = _mor_schema(props)
+    key_field = props["hoodie.table.recordkey.fields"]
+    part_fields = [c for c in props.get("hoodie.table.partition.fields", "").split(",") if c]
+    arrow_schema = _arrow_schema_of(schema)
+    t = begin_instant(location, "deltacommit")
+    by_group: dict[tuple[str, int], list[dict]] = {}
+    for r in rows:
+        ppath = _hive_partition_path({c: r.get(c) for c in part_fields}, part_fields)
+        g = int(hashlib.md5(str(r[key_field]).encode()).hexdigest(), 16) % n_file_groups
+        by_group.setdefault((ppath, g), []).append(r)
+    stats: dict[str, list[dict]] = {}
+    for (ppath, g), group_rows in sorted(by_group.items()):
+        _ensure_partition_metadata(location, ppath, t)
+        fid = _group_file_id(ppath, g)
+        rel = os.path.join(ppath, _base_file_name(fid, t)) if ppath else _base_file_name(fid, t)
+        dest = os.path.join(location, rel)
+        pq.write_table(pa.Table.from_pylist(group_rows, schema=arrow_schema), dest)
+        stats.setdefault(ppath, []).append(
+            {
+                "fileId": fid,
+                "path": rel,
+                "prevCommit": "null",
+                "numWrites": len(group_rows),
+                "numDeletes": 0,
+                "numUpdateWrites": 0,
+                "numInserts": len(group_rows),
+                "totalWriteBytes": os.path.getsize(dest),
+                "fileSizeInBytes": os.path.getsize(dest),
+                "partitionPath": ppath,
+            }
+        )
+    complete_instant(
+        location, t, "deltacommit",
+        {
+            "partitionToWriteStats": stats,
+            "compacted": False,
+            "operationType": "BULK_INSERT",
+            "extraMetadata": {"schema": json.dumps(schema.jsonValue())},
+        },
+    )
+    return t
+
+
+def _key_index(state: HudiTableState) -> dict[str, tuple[str, str]]:
+    """record key → owning (partition_path, file_id). Base-file keys via
+    a single-column columnar read per group plus keys upserted through
+    logs — the simple index (real Hudi: bloom filters in base-file
+    footers; same contract, cheaper plumbing)."""
+    import pyarrow.parquet as pq
+
+    key_field = state.record_key_field
+    idx: dict[str, tuple[str, str]] = {}
+    for key, bf in state.files.items():
+        for v in pq.read_table(bf.path, columns=[key_field]).column(key_field).to_pylist():
+            idx[str(v)] = key
+        for lg in state.log_files.get(key, []):
+            for bt, h, content in read_log_blocks(lg.path):
+                if bt == BLOCK_AVRO_DATA and h.get(HEADER_INSTANT_TIME) in state.valid_instants:
+                    for rec in _decode_data_block(content, h):
+                        idx[str(rec[key_field])] = key
+    return idx
+
+
+def _next_log_version(state: HudiTableState, key: tuple[str, str]) -> int:
+    return 1 + max((lg.version for lg in state.log_files.get(key, [])), default=0)
+
+
+def _append_delta_write(
+    location: str,
+    route: dict[tuple[str, str], tuple[int, bytes]],
+    op: str,
+    n_updates: dict[tuple[str, str], int],
+    n_deletes: dict[tuple[str, str], int],
+    state: HudiTableState,
+    block_type: int,
+    headers_extra: dict[int, str],
+) -> str:
+    """Shared deltacommit tail: one new log file per touched group, one
+    completed instant listing them."""
+    t = begin_instant(location, "deltacommit")
+    stats: dict[str, list[dict]] = {}
+    for key, (version, content) in sorted(route.items()):
+        ppath, fid = key
+        base_instant = state.files[key].instant_time
+        rel = os.path.join(ppath, _log_file_name(fid, base_instant, version)) if ppath else _log_file_name(fid, base_instant, version)
+        dest = os.path.join(location, rel)
+        append_log_block(
+            dest, block_type,
+            {HEADER_INSTANT_TIME: t, **headers_extra},
+            content,
+        )
+        stats.setdefault(ppath, []).append(
+            {
+                "fileId": fid,
+                "path": rel,
+                "prevCommit": base_instant,
+                "numWrites": n_updates.get(key, 0),
+                "numDeletes": n_deletes.get(key, 0),
+                "numUpdateWrites": n_updates.get(key, 0),
+                "numInserts": 0,
+                "totalWriteBytes": os.path.getsize(dest),
+                "fileSizeInBytes": os.path.getsize(dest),
+                "logVersion": version,
+                "partitionPath": ppath,
+            }
+        )
+    complete_instant(
+        location, t, "deltacommit",
+        {
+            "partitionToWriteStats": stats,
+            "compacted": False,
+            "operationType": op,
+            "extraMetadata": {},
+        },
+    )
+    return t
+
+
+def upsert_mor(location: str, rows: list[dict]) -> str:
+    """UPSERT: each record routes to the file group owning its key (new
+    keys hash among the groups of their partition) and lands as an
+    AVRO_DATA block in a NEW log-file version of that group's current
+    slice — no base file is rewritten; that is the point of MOR."""
+    props = read_properties(location)
+    schema = _mor_schema(props)
+    key_field = props["hoodie.table.recordkey.fields"]
+    part_fields = [c for c in props.get("hoodie.table.partition.fields", "").split(",") if c]
+    avro_schema = _avro_schema_of(schema)
+    state = read_hudi_table(location)
+    idx = _key_index(state)
+    groups_of_part: dict[str, list[tuple[str, str]]] = {}
+    for key in state.files:
+        groups_of_part.setdefault(key[0], []).append(key)
+    per_group: dict[tuple[str, str], list[dict]] = {}
+    for r in rows:
+        k = str(r[key_field])
+        key = idx.get(k)
+        if key is None:
+            ppath = _hive_partition_path({c: r.get(c) for c in part_fields}, part_fields)
+            cands = sorted(groups_of_part.get(ppath, []))
+            if not cands:
+                raise ValueError(
+                    f"no file group in partition {ppath!r}; bulk_insert_mor first"
+                )
+            key = cands[int(hashlib.md5(k.encode()).hexdigest(), 16) % len(cands)]
+        per_group.setdefault(key, []).append(r)
+    route = {
+        key: (
+            _next_log_version(state, key),
+            _encode_data_block(recs, avro_schema),
+        )
+        for key, recs in per_group.items()
+    }
+    return _append_delta_write(
+        location, route, "UPSERT",
+        {k: len(v) for k, v in per_group.items()}, {}, state,
+        BLOCK_AVRO_DATA,
+        {HEADER_SCHEMA: json.dumps(avro_schema, separators=(",", ":"))},
+    )
+
+
+def delete_mor(location: str, keys: list) -> str:
+    """Row-level DELETE: record keys land as a DELETE block in the
+    owning group's log. Keys not present anywhere are a no-op (SQL
+    DELETE semantics)."""
+    state = read_hudi_table(location)
+    idx = _key_index(state)
+    per_group: dict[tuple[str, str], list[str]] = {}
+    for k in keys:
+        key = idx.get(str(k))
+        if key is not None:
+            per_group.setdefault(key, []).append(str(k))
+    route = {
+        key: (_next_log_version(state, key), _encode_delete_block(ks))
+        for key, ks in per_group.items()
+    }
+    return _append_delta_write(
+        location, route, "DELETE", {},
+        {k: len(v) for k, v in per_group.items()}, state,
+        BLOCK_DELETE, {},
+    )
+
+
+def compact_mor(location: str) -> str:
+    """Compaction: per file group with live logs, merge the slice and
+    write a NEW base file under a ``commit`` instant (a compaction's
+    completed action on a MOR timeline IS ``commit``). Readers at
+    instants ≥ t pick the new base and the old logs detach (their
+    base_instant no longer matches); time travel before t still merges
+    the old slice. Groups run independently — the distributed form is
+    one task per group, same unit as the read path."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    props = read_properties(location)
+    schema = _mor_schema(props)
+    key_field = props["hoodie.table.recordkey.fields"]
+    arrow_schema = _arrow_schema_of(schema)
+    state = read_hudi_table(location)
+    if not state.has_live_logs():
+        raise ValueError("nothing to compact: no live log files")
+    t = begin_instant(location, "commit")
+    stats: dict[str, list[dict]] = {}
+    for key in sorted(state.log_files):
+        ppath, fid = key
+        bf = state.files[key]
+        merged = list(
+            merge_file_slice(
+                bf.path,
+                [(lg.path, lg.instant_time) for lg in state.log_files[key]],
+                key_field,
+                state.valid_instants,
+                state.instant,
+            )
+        )
+        rel = os.path.join(ppath, _base_file_name(fid, t)) if ppath else _base_file_name(fid, t)
+        dest = os.path.join(location, rel)
+        pq.write_table(pa.Table.from_pylist(merged, schema=arrow_schema), dest)
+        stats.setdefault(ppath, []).append(
+            {
+                "fileId": fid,
+                "path": rel,
+                "prevCommit": bf.instant_time,
+                "numWrites": len(merged),
+                "numDeletes": 0,
+                "numUpdateWrites": 0,
+                "numInserts": 0,
+                "totalWriteBytes": os.path.getsize(dest),
+                "fileSizeInBytes": os.path.getsize(dest),
+                "partitionPath": ppath,
+            }
+        )
+    complete_instant(
+        location, t, "commit",
+        {
+            "partitionToWriteStats": stats,
+            "compacted": True,
+            "operationType": "COMPACT",
+            "extraMetadata": {"schema": json.dumps(schema.jsonValue())},
+        },
+    )
+    return t

@@ -37,7 +37,6 @@ from pyspark.sql.datasource import (
 
 from iceberg_metadata_pipeline_spark.catalog.hudi_format import (
     completed_instants,
-    incremental_files,
     read_hudi_table,
 )
 
@@ -84,6 +83,20 @@ def _parse_partition_path(ppath: str) -> dict[str, str]:
 class HudiFilePartition(InputPartition):
     path: str
     partition_values: tuple
+    # MOR snapshot: this slice's log files ((path, deltacommit), ...) —
+    # the task merges base + logs by record key (one task per FILE
+    # SLICE, the same distributed unit as Hudi's own MOR scan; the
+    # driver ships O(#log files) paths, never rows)
+    logs: tuple = ()
+    key_field: str = ""
+    valid_instants: tuple = ()
+    as_of: str = ""
+    # MOR incremental stream: emit the data-block records of ONE log
+    # file for the instants of this micro-batch (delete blocks are
+    # skipped — the stream is an append/upsert change feed, the same
+    # appends-only contract as pydelta's ignoreDeletes)
+    stream_log: str = ""
+    stream_instants: tuple = ()
 
 
 class _HudiReadMixin:
@@ -91,10 +104,44 @@ class _HudiReadMixin:
     file_cols: list[str]  # columns physically in the parquet files
     part_cols: list[str]  # appended from the partition path
 
+    def _ordered(self, rec: dict, pvals: dict):
+        return tuple(
+            pvals[f.name] if f.name in pvals else rec.get(f.name)
+            for f in self.schema.fields
+        )
+
     def _rows(self, part: HudiFilePartition):
         import pyarrow.parquet as pq
 
         pvals = dict(zip(self.part_cols, part.partition_values))
+        if part.stream_log:
+            from iceberg_metadata_pipeline_spark.catalog.hudi_format import (
+                BLOCK_AVRO_DATA,
+                HEADER_INSTANT_TIME,
+                _decode_data_block,
+                read_log_blocks,
+            )
+
+            live = set(part.stream_instants)
+            for bt, h, content in read_log_blocks(part.stream_log):
+                if bt == BLOCK_AVRO_DATA and h.get(HEADER_INSTANT_TIME) in live:
+                    for rec in _decode_data_block(content, h):
+                        yield self._ordered(rec, pvals)
+            return
+        if part.logs:
+            from iceberg_metadata_pipeline_spark.catalog.hudi_format import (
+                merge_file_slice,
+            )
+
+            for rec in merge_file_slice(
+                part.path or None,
+                list(part.logs),
+                part.key_field,
+                frozenset(part.valid_instants),
+                part.as_of,
+            ):
+                yield self._ordered(rec, pvals)
+            return
         pf = pq.ParquetFile(part.path)
         for batch in pf.iter_batches(columns=self.file_cols):
             cols = [batch.column(i).to_pylist() for i in range(batch.num_columns)]
@@ -134,16 +181,22 @@ class PyHudiBatchReader(DataSourceReader, _HudiReadMixin):
         self.path = _local(options["path"])
         state = read_hudi_table(self.path, options.get("asOfInstant"))
         self.schema, self.file_cols, self.part_cols = _resolve_schema(state)
-        self._parts = [
-            HudiFilePartition(
-                bf.path,
-                tuple(
-                    _parse_partition_path(bf.partition_path).get(c)
-                    for c in self.part_cols
-                ),
+        self._parts = []
+        for key, bf in sorted(state.files.items()):
+            logs = state.log_files.get(key, [])
+            self._parts.append(
+                HudiFilePartition(
+                    bf.path,
+                    tuple(
+                        _parse_partition_path(bf.partition_path).get(c)
+                        for c in self.part_cols
+                    ),
+                    logs=tuple((lg.path, lg.instant_time) for lg in logs),
+                    key_field=state.record_key_field if logs else "",
+                    valid_instants=tuple(sorted(state.valid_instants)) if logs else (),
+                    as_of=state.instant if logs else "",
+                )
             )
-            for _key, bf in sorted(state.files.items())
-        ]
 
     def partitions(self):
         return self._parts
@@ -202,8 +255,14 @@ class PyHudiStreamReader(DataSourceStreamReader, _HudiReadMixin):
 
     def partitions(self, start: dict, end: dict):
         self._pos = max(self._pos or "", start["t"])
-        files = incremental_files(self.path, begin=start["t"], end=end["t"] or None)
-        return [
+        from iceberg_metadata_pipeline_spark.catalog.hudi_format import (
+            incremental_slices,
+        )
+
+        bases, logs = incremental_slices(
+            self.path, begin=start["t"], end=end["t"] or None
+        )
+        parts = [
             HudiFilePartition(
                 bf.path,
                 tuple(
@@ -211,8 +270,24 @@ class PyHudiStreamReader(DataSourceStreamReader, _HudiReadMixin):
                     for c in self.part_cols
                 ),
             )
-            for bf in files
+            for bf in bases
         ]
+        # MOR: each log file written in range emits its data-block
+        # records for exactly its own deltacommit — the incremental-pull
+        # contract extended to upserts (deletes skipped: append feed)
+        parts.extend(
+            HudiFilePartition(
+                "",
+                tuple(
+                    _parse_partition_path(lg.partition_path).get(c)
+                    for c in self.part_cols
+                ),
+                stream_log=lg.path,
+                stream_instants=(lg.instant_time,),
+            )
+            for lg in logs
+        )
+        return parts
 
     def read(self, partition: HudiFilePartition):
         yield from self._rows(partition)

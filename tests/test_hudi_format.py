@@ -250,13 +250,15 @@ def test_rollback_undoes_latest_commit(spark, metacat_table, tmp_path):
     assert actions == ["rollback"]
 
 
-def test_mor_table_refused(tmp_path):
-    loc = str(tmp_path / "mor")
+def test_unknown_table_type_refused(tmp_path):
+    """MERGE_ON_READ reads are implemented (round 7, test_hudi_mor.py);
+    an unrecognized table type must still refuse loudly."""
+    loc = str(tmp_path / "weird")
     create_hudi_table(loc, "t", [])
     props = read_properties(loc)
-    props["hoodie.table.type"] = "MERGE_ON_READ"
+    props["hoodie.table.type"] = "SOMETHING_ELSE"
     from iceberg_metadata_pipeline_spark.catalog.hudi_format import write_properties
 
     write_properties(loc, props)
-    with pytest.raises(NotImplementedError, match="MERGE_ON_READ|merge-on-read"):
+    with pytest.raises(NotImplementedError, match="SOMETHING_ELSE"):
         read_hudi_table(loc)
