@@ -113,7 +113,30 @@ HEADLINE = [
     "ml_ols_normal_equations",
     "stat_chi_square_independence",
     "events_time_weighted_avg",
+    # round-7: Hudi MOR read, Delta file DVs, bucketed exact KS,
+    # scale-aware ER blocking
+    "catalog_hudi_mor_read",
+    "catalog_delta_file_dv",
+    "stat_ks_two_sample",
+    "er_blocked_best_match_scaled",
 ]
+
+
+def _sentinel_seconds(spark) -> float:
+    """A fixed pure-JVM workload (range → hash-agg, whole-stage codegen,
+    no IO, no Python) timed median-of-3. Its runtime tracks HOST noise
+    only — the repo's code never touches it — so round-over-round bench
+    drift can be normalized: ratio = total/sentinel cancels uniform
+    slowdowns from noisy neighbors (NOTES_r6 measured 1.4x swings)."""
+    runs = []
+    for _ in range(3):
+        t0 = time.perf_counter()
+        spark.range(100_000_000).selectExpr(
+            "sum(id * 2654435761 % 1000003) AS h",
+            "count(distinct id % 4096) AS d",
+        ).collect()
+        runs.append(time.perf_counter() - t0)
+    return round(sorted(runs)[1], 3)
 
 
 def main() -> None:
@@ -137,6 +160,9 @@ def main() -> None:
     tables["region"].count()
     tables["lineitem"].count()  # biggest table: pays listing + footer reads
 
+    load_before = os.getloadavg()
+    sentinel = _sentinel_seconds(spark)
+
     timings: dict[str, float] = {}
     for name in HEADLINE:
         fn = qs.get(name)
@@ -158,6 +184,15 @@ def main() -> None:
             "unit": "sec",
             "queries": timings,
             "sf": sf,
+            # host-noise context (VERDICT r6 #8): loadavg around the run
+            # and a fixed pure-JVM sentinel; compare totals ACROSS rounds
+            # via total/sentinel_sec to cancel uniform host slowdowns
+            "host_load": {
+                "before": [round(x, 2) for x in load_before],
+                "after": [round(x, 2) for x in os.getloadavg()],
+            },
+            "sentinel_sec": sentinel,
+            "total_over_sentinel": round(total / sentinel, 2) if sentinel else None,
         }
     )
     # the driver tail-captures stdout and has truncated the (long) JSON

@@ -697,13 +697,28 @@ def clean_hudi(location: str, retain_slices: int = 1, dry_run: bool = False) -> 
     state = read_hudi_table(location)
     live_groups = set(state.files)
     live_paths = {os.path.abspath(bf.path) for bf in state.files.values()}
+    live_paths.update(
+        os.path.abspath(lg.path)
+        for logs in state.log_files.values()
+        for lg in logs
+    )
     by_group: dict[tuple[str, str], list[BaseFile]] = {}
+    # MOR: log files are not slices themselves — they ride with the base
+    # slice whose instant they attach to, and die exactly when it does
+    logs_by_slice: dict[tuple[str, str, str], list[str]] = {}
     for ins in completed_instants(location):
         md = read_instant_metadata(location, ins)
         for part, stats in (md.get("partitionToWriteStats") or {}).items():
             for st in stats:
                 path = st["path"]
                 apath = path if os.path.isabs(path) else os.path.join(location, path)
+                parsed = _parse_log_file_name(os.path.basename(path))
+                if parsed is not None:
+                    _fid, base, _ver = parsed
+                    logs_by_slice.setdefault(
+                        (part, st["fileId"], base), []
+                    ).append(apath)
+                    continue
                 by_group.setdefault((part, st["fileId"]), []).append(
                     BaseFile(part, st["fileId"], ins.time, apath, 0, 0)
                 )
@@ -718,6 +733,13 @@ def clean_hudi(location: str, retain_slices: int = 1, dry_run: bool = False) -> 
             p = os.path.abspath(bf.path)
             if p not in live_paths and os.path.lexists(p):
                 doomed.append(p)
+                # a reclaimed base slice takes its attached logs with it
+                for lp in logs_by_slice.get(
+                    (key[0], key[1], bf.instant_time), []
+                ):
+                    lp = os.path.abspath(lp)
+                    if lp not in live_paths and os.path.lexists(lp):
+                        doomed.append(lp)
     if dry_run:
         return doomed
     for p in doomed:

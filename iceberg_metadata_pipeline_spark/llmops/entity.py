@@ -106,6 +106,86 @@ def er_blocked_best_match(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "er_blocked_best_match_scaled",
+    f"""
+WITH p AS (
+  SELECT 3 + GREATEST(0, CAST(ROUND(LOG10(CAST(COUNT(*) AS DOUBLE) / 15000.0))
+                              AS INT)) AS k
+  FROM customer
+), dirty AS (
+  SELECT CAST(c_custkey AS BIGINT) AS dirty_id,
+         CAST(c_nationkey AS BIGINT) AS d_nation,
+         trim({_DIRTY_NAME}) AS d_name
+  FROM customer
+), clean AS (
+  SELECT CAST(c_custkey AS BIGINT) AS c_custkey,
+         CAST(c_nationkey AS BIGINT) AS c_nation,
+         c_name
+  FROM customer
+), scored AS (
+  SELECT d.dirty_id, c.c_custkey,
+         levenshtein(lower(d.d_name), lower(c.c_name)) AS edit_dist,
+         ROW_NUMBER() OVER (
+           PARTITION BY d.dirty_id
+           ORDER BY levenshtein(lower(d.d_name), lower(c.c_name)), c.c_custkey
+         ) AS rn
+  FROM dirty d
+  JOIN clean c
+    ON d.d_nation = c.c_nation
+   AND right(d.d_name, (SELECT k FROM p)) = right(c.c_name, (SELECT k FROM p))
+)
+SELECT dirty_id, c_custkey AS matched_custkey, edit_dist
+FROM scored
+WHERE rn = 1 AND edit_dist <= 9
+ORDER BY dirty_id
+""",
+)
+def er_blocked_best_match_scaled(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """er_blocked_best_match with a SCALE-AWARE blocking key: the suffix
+    length grows one character per 10× data (k = 3 + log10(n/15000),
+    floored at 3), so block cardinality grows with n and mean block size
+    — hence Σ|block|² per record — stays CONSTANT as the table grows.
+    This is the discipline the base query's docstring prescribes and the
+    r6 verdict asked the harness to demonstrate: the fixed-key variant
+    measures exponent ~1.05 (in-block pairs grow linearly with n); this
+    one keeps per-record work flat. Customer names end in 9 digits, so
+    longer suffixes remain case-insensitive-safe and survive the dirty
+    mangles. k derives from COUNT(*) in both engines (Spark computes the
+    same deterministic scalar driver-side), so the oracle stays exact at
+    any SF."""
+    import math
+
+    from pyspark.sql import Window
+
+    t = load_tables(spark, sf_dir)
+    cust = t["customer"]
+    n = cust.count()
+    k = 3 + max(0, int(round(math.log10(max(n, 1) / 15000.0)))) if n > 15000 else 3
+    dirty = cust.selectExpr(
+        "CAST(c_custkey AS BIGINT) AS dirty_id",
+        "CAST(c_nationkey AS BIGINT) AS d_nation",
+        f"trim({_DIRTY_NAME}) AS d_name",
+    )
+    clean = cust.selectExpr(
+        "CAST(c_custkey AS BIGINT) AS c_custkey",
+        "CAST(c_nationkey AS BIGINT) AS c_nation",
+        "c_name",
+    )
+    scored = dirty.join(
+        clean,
+        (F.col("d_nation") == F.col("c_nation"))
+        & (F.expr(f"right(d_name, {k})") == F.expr(f"right(c_name, {k})")),
+    ).withColumn("edit_dist", F.expr("levenshtein(lower(d_name), lower(c_name))"))
+    w = Window.partitionBy("dirty_id").orderBy("edit_dist", "c_custkey")
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter("rn = 1 AND edit_dist <= 9")
+        .select("dirty_id", F.col("c_custkey").alias("matched_custkey"), "edit_dist")
+        .orderBy("dirty_id")
+    )
+
+
+@query(
     "er_survivorship_merge",
     f"""
 WITH dirty AS (

@@ -317,3 +317,30 @@ def test_stream_skips_rolled_back_instant(spark, tmp_path):
     assert _read_all(spark, loc) == _mor_oracle(
         _rows(10), [("upsert", [{"id": 1, "cat": "good", "score": 1.0}])]
     )
+
+
+def test_clean_never_touches_live_logs_and_reclaims_with_slice(spark, mor_table):
+    """clean_hudi on a MOR table: live log files are NOT slices and must
+    survive cleaning; after compaction retires a base slice, cleaning
+    reclaims that slice's logs together with it."""
+    from iceberg_metadata_pipeline_spark.catalog.hudi_format import (
+        clean_hudi,
+    )
+
+    loc = mor_table
+    upsert_mor(loc, [{"id": 4, "cat": "live", "score": 4.0}])
+    state = read_hudi_table(loc)
+    live_log_paths = {
+        lg.path for logs in state.log_files.values() for lg in logs
+    }
+    assert live_log_paths
+    doomed = clean_hudi(loc, retain_slices=1, dry_run=True)
+    assert not set(doomed) & live_log_paths
+    register(spark)
+    before = _read_all(spark, loc)
+    compact_mor(loc)
+    doomed = clean_hudi(loc, retain_slices=1)
+    # the old base slice AND its attached logs are gone
+    assert live_log_paths <= set(doomed)
+    assert not any(os.path.exists(p) for p in live_log_paths)
+    assert _read_all(spark, loc) == before

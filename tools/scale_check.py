@@ -58,6 +58,9 @@ QUERIES = [
     "mining_basket_pair_rules",
     "graph_sssp_weighted",
     "dedup_semantic_semdedup",
+    # r7: scale-aware blocking key (suffix grows with n) vs the fixed key
+    "er_blocked_best_match_scaled",
+    "stat_ks_two_sample",
 ]
 
 
@@ -102,7 +105,14 @@ def generate(spark) -> None:
     plans = {
         "lineitem": replicate(t["lineitem"], {"l_orderkey": lo}),
         "orders": replicate(t["orders"], {"o_orderkey": lo, "o_custkey": ck}),
-        "customer": replicate(t["customer"], {"c_custkey": ck}),
+        # c_name is rebuilt from the SHIFTED key: a real 10x customer
+        # table has 10x distinct names, not every name duplicated 10x —
+        # duplicated names would grow every name-blocked ER block 10x by
+        # construction and misattribute the blowup to the operator (the
+        # same reasoning as the documents text tag below)
+        "customer": replicate(t["customer"], {"c_custkey": ck}).withColumn(
+            "c_name", F.format_string("Customer#%09d", F.col("c_custkey"))
+        ),
         "documents": replicate(t["documents"], {"doc_id": dk}, text_tag="text"),
         "embeddings": replicate(
             t["embeddings"],
@@ -124,12 +134,12 @@ def generate(spark) -> None:
         print(f"  wrote {name}: {spark.read.parquet(path).count()} rows")
 
 
-def measure(spark) -> dict:
+def measure(spark, only: list[str] | None = None) -> dict:
     from iceberg_metadata_pipeline_spark.queries import all_queries
 
     qs = all_queries()
     out = {}
-    for name in QUERIES:
+    for name in only or QUERIES:
         if name not in qs:
             print(f"  !! {name} not in registry, skipping")
             continue
@@ -151,6 +161,7 @@ def measure(spark) -> dict:
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--force", action="store_true")
+    ap.add_argument("--only", nargs="*", help="measure only these queries")
     args = ap.parse_args()
     from iceberg_metadata_pipeline_spark.session import get_spark
 
@@ -162,7 +173,7 @@ def main() -> None:
     print("generating sf1 fixture (10x sf0.1) ...")
     generate(spark)
     print("measuring ...")
-    results = measure(spark)
+    results = measure(spark, args.only)
     with open("/tmp/scale_check.json", "w") as fh:
         json.dump(results, fh, indent=1)
     print(json.dumps(results))
