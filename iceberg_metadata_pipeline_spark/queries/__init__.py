@@ -129,6 +129,7 @@ def _load_all():
         sketches,
         skyline,
         spark4_sql,
+        stats_ext,
         tpch,
         tpch_full,
         windows,

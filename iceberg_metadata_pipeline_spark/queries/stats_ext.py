@@ -1,0 +1,451 @@
+"""Distributed statistics, round 7: Welch t-test, one-way ANOVA,
+Mann-Whitney U, Spearman rank correlation, lag-1 autocorrelation.
+
+Design rules (shared with mining.py's chi-square/KS/OLS):
+
+- Heavy work happens in ONE hash aggregate per input pass: per-group
+  moments (n, Σx, Σx²) in exact decimal arithmetic, converted to double
+  once. Scalar formulas downstream are written as the SAME textual
+  expression in Spark and the DuckDB oracle, so IEEE evaluation is
+  bit-identical.
+- Rank statistics never sort globally: ranks only change at distinct
+  values, so a hash aggregate per distinct value + the bucketed
+  two-phase prefix sum (1024 width_bucket ranges, windows PARTITIONED
+  BY bucket — the stat_ks_two_sample shape) produces exact midranks
+  with no single-task window. The DuckDB oracle may use the plain
+  global window — it is the single-node referee, not the scale plan.
+- Unordered SUMs stay in integers/decimals (exact, order-free); the few
+  constant-size double reductions (5 ANOVA groups, ~2.4k daily lag
+  pairs) fold in SORTED order via reduce(array_sort(collect_list())) /
+  list_reduce(list_sort(list())) so addition order matches bit-for-bit.
+
+Reference parity: the reference ships no statistics operators; this is
+SURVEY.md §2.H build-out on the fixture tables.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from iceberg_metadata_pipeline_spark.queries import query
+from iceberg_metadata_pipeline_spark.session import load_tables
+
+def _d2d(expr: str) -> str:
+    """Exact-decimal → double conversion that is bit-identical across
+    engines (the ml_ols_normal_equations pattern): DuckDB converts its
+    int128-scaled decimal to double via (double)int / 10^scale — TWO
+    roundings — while Spark's BigDecimal→double is correctly rounded
+    once, so a direct CAST can differ in the last ulp. Splitting into
+    FLOOR (exact integer → exact double) + fraction (< 1, exact at the
+    decimal's scale) and adding makes both engines perform the same
+    single rounding."""
+    return (
+        f"(CAST(CAST(FLOOR({expr}) AS BIGINT) AS DOUBLE)"
+        f" + CAST({expr} - FLOOR({expr}) AS DOUBLE))"
+    )
+
+
+# Shared two-group source: BUILDING vs MACHINERY order prices (the KS
+# fixture), g = 1 for BUILDING.
+_TWO_GROUP_SQL = """
+  SELECT CAST(o.o_totalprice AS DOUBLE) AS v,
+         CASE WHEN c.c_mktsegment = 'BUILDING' THEN 1 ELSE 0 END AS g
+  FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+  WHERE c.c_mktsegment IN ('BUILDING', 'MACHINERY')
+"""
+
+
+def _two_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir)
+    return (
+        t["orders"]
+        .join(t["customer"], F.col("o_custkey") == F.col("c_custkey"))
+        .filter(F.col("c_mktsegment").isin("BUILDING", "MACHINERY"))
+        .selectExpr(
+            "CAST(o_totalprice AS DOUBLE) AS v",
+            "CASE WHEN c_mktsegment = 'BUILDING' THEN 1 ELSE 0 END AS g",
+        )
+    )
+
+
+# --- Welch's t-test ---------------------------------------------------------
+
+_WELCH_FORMULA = """
+  CAST(n1 AS BIGINT) AS n1,
+  CAST(n2 AS BIGINT) AS n2,
+  (s1 / n1 - s2 / n2)
+    / SQRT( ((q1 - s1 * s1 / n1) / (n1 - 1)) / n1
+          + ((q2 - s2 * s2 / n2) / (n2 - 1)) / n2 ) AS t_stat,
+  POWER( ((q1 - s1 * s1 / n1) / (n1 - 1)) / n1
+       + ((q2 - s2 * s2 / n2) / (n2 - 1)) / n2, 2 )
+    / ( POWER(((q1 - s1 * s1 / n1) / (n1 - 1)) / n1, 2) / (n1 - 1)
+      + POWER(((q2 - s2 * s2 / n2) / (n2 - 1)) / n2, 2) / (n2 - 1) ) AS df
+"""
+
+_WELCH_MOMENTS = f"""
+WITH s AS ({_TWO_GROUP_SQL}),
+m AS (
+  SELECT
+    CAST(SUM(g) AS DOUBLE) AS n1,
+    CAST(COUNT(*) - SUM(g) AS DOUBLE) AS n2,
+    {_d2d("SUM(CASE WHEN g = 1 THEN CAST(v AS DECIMAL(38,12)) END)")} AS s1,
+    {_d2d("SUM(CASE WHEN g = 0 THEN CAST(v AS DECIMAL(38,12)) END)")} AS s2,
+    {_d2d("SUM(CASE WHEN g = 1 THEN CAST(v * v AS DECIMAL(38,12)) END)")} AS q1,
+    {_d2d("SUM(CASE WHEN g = 0 THEN CAST(v * v AS DECIMAL(38,12)) END)")} AS q2
+  FROM s
+)
+"""
+
+
+@query(
+    "stat_welch_ttest",
+    _WELCH_MOMENTS + f"SELECT {_WELCH_FORMULA} FROM m",
+)
+def stat_welch_ttest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Welch's unequal-variance t-test between two segments' order
+    prices, with the Welch–Satterthwaite degrees of freedom. ONE hash
+    aggregate computes both groups' moments via conditional exact-
+    decimal sums (v has ≤2 fractional digits, v² ≤4, so DECIMAL(38,6)
+    never rounds); the t statistic and df are a fixed scalar formula
+    over six doubles, written as the identical expression text in both
+    engines → bit-identical. At 100 TB this is one map-side-combinable
+    aggregate and constant driver math."""
+    load_tables(spark, sf_dir)
+    return spark.sql(_WELCH_MOMENTS + f"SELECT {_WELCH_FORMULA} FROM m")
+
+
+# --- one-way ANOVA -----------------------------------------------------------
+
+_ANOVA_GROUPS = f"""
+WITH s AS (
+  SELECT c.c_mktsegment AS seg, CAST(o.o_totalprice AS DOUBLE) AS v
+  FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+), grp AS (
+  SELECT seg,
+    CAST(COUNT(*) AS BIGINT) AS n_g,
+    {_d2d("SUM(CAST(v AS DECIMAL(38,12)))")} AS s_g,
+    SUM(CAST(v * v AS DECIMAL(38,12))) AS q_dec
+  FROM s GROUP BY seg
+), m AS (
+  SELECT
+    CAST(COUNT(*) AS BIGINT) AS k,
+    CAST(SUM(n_g) AS BIGINT) AS n,
+    {{SFOLD}} AS s_tot,
+    {_d2d("SUM(q_dec)")} AS q_tot,
+    {{FOLD}} AS ss_groups
+  FROM grp
+)
+SELECT k, n,
+  ( (ss_groups - s_tot * s_tot / n) / (k - 1) )
+  / ( (q_tot - ss_groups) / (n - k) ) AS f_stat
+FROM m
+"""
+
+# per-group s_g is already a double (split-converted), so both Σ s_g and
+# Σ s_g²/n_g are 5-element double sums → sorted folds
+_ANOVA_FOLD_TERM = "s_g * s_g / CAST(n_g AS DOUBLE)"
+
+
+@query(
+    "stat_anova_f_oneway",
+    _ANOVA_GROUPS.replace(
+        "{FOLD}",
+        f"list_reduce(list_sort(list({_ANOVA_FOLD_TERM})), (a, x) -> a + x)",
+    ).replace(
+        "{SFOLD}",
+        "list_reduce(list_sort(list(s_g)), (a, x) -> a + x)",
+    ),
+)
+def stat_anova_f_oneway(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-way ANOVA F statistic of order price across the five market
+    segments. Per-group moments are exact decimal sums (order-free);
+    the only unordered-double hazard — Σ S_g²/n_g over the k=5 groups —
+    folds in SORTED order (the chi-square pattern) so the addition
+    order matches the oracle bit-for-bit. F = (SSB/(k−1))/(SSW/(N−k))
+    from the standard moment identities; everything after the single
+    hash aggregate is constant work."""
+    load_tables(spark, sf_dir)
+    return spark.sql(
+        _ANOVA_GROUPS.replace(
+            "{FOLD}",
+            f"reduce(array_sort(collect_list({_ANOVA_FOLD_TERM})),"
+            " CAST(0.0E0 AS DOUBLE), (a, x) -> a + x)",
+        ).replace(
+            "{SFOLD}",
+            "reduce(array_sort(collect_list(s_g)),"
+            " CAST(0.0E0 AS DOUBLE), (a, x) -> a + x)",
+        )
+    )
+
+
+# --- Mann-Whitney U ----------------------------------------------------------
+
+_MW_FINAL = """
+  CAST((r1x2 - n1 * (n1 + 1)) AS DOUBLE) / 2.0E0 AS u1,
+  ( CAST((r1x2 - n1 * (n1 + 1)) AS DOUBLE) / 2.0E0
+    - CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE) / 2.0E0 )
+  / SQRT( CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE) / 12.0E0
+        * ( CAST(n1 + n2 + 1 AS DOUBLE)
+          - CAST(ties AS DOUBLE)
+            / (CAST(n1 + n2 AS DOUBLE) * CAST(n1 + n2 - 1 AS DOUBLE)) ) ) AS z
+"""
+
+
+@query(
+    "stat_mann_whitney_u",
+    f"""
+WITH s AS ({_TWO_GROUP_SQL}),
+pv AS (
+  SELECT v, CAST(COUNT(*) AS BIGINT) AS n_v, CAST(SUM(g) AS BIGINT) AS g1
+  FROM s GROUP BY v
+), c AS (
+  SELECT n_v, g1,
+    COALESCE(SUM(n_v) OVER (
+      ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+    ), 0) AS cb
+  FROM pv
+), agg AS (
+  SELECT
+    CAST(SUM(g1 * (2 * cb + n_v + 1)) AS BIGINT) AS r1x2,
+    CAST(SUM(n_v * n_v * n_v - n_v) AS BIGINT) AS ties
+  FROM c
+), tot AS (
+  SELECT CAST(SUM(g) AS BIGINT) AS n1,
+         CAST(COUNT(*) - SUM(g) AS BIGINT) AS n2
+  FROM s
+)
+SELECT {_MW_FINAL}
+FROM agg CROSS JOIN tot
+""",
+)
+def stat_mann_whitney_u(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mann-Whitney U (Wilcoxon rank-sum) with midrank tie handling and
+    the tie-corrected normal approximation z. Ranks never materialize
+    per row: midrank·2 = 2·(count below) + n_v + 1 is an INTEGER per
+    distinct value, so R1 accumulates as an exact bigint — no double
+    order sensitivity anywhere until the final scalar formula (same
+    text both engines). The cumulative 'count below' uses the bucketed
+    two-phase prefix (1024 width_bucket ranges, windows partitioned by
+    bucket — stat_ks_two_sample's scale shape): no task ever sorts more
+    than one bucket of distinct values."""
+    from pyspark.sql import Window
+
+    s = _two_group(spark, sf_dir)
+    tot = s.agg(
+        F.sum("g").cast("long").alias("n1"),
+        (F.count(F.lit(1)) - F.sum("g")).cast("long").alias("n2"),
+    )
+    pv = s.groupBy("v").agg(
+        F.count(F.lit(1)).cast("long").alias("n_v"),
+        F.sum("g").cast("long").alias("g1"),
+    )
+    bounds = s.agg(F.min("v").alias("vmin"), F.max("v").alias("vmax"))
+    b = pv.crossJoin(F.broadcast(bounds)).withColumn(
+        "bucket", F.expr("width_bucket(v, vmin, vmax + 1.0d, 1024)")
+    )
+    w_bkt = Window.orderBy("bucket").rowsBetween(Window.unboundedPreceding, -1)
+    offs = (
+        b.groupBy("bucket")
+        .agg(F.sum("n_v").alias("bn"))
+        .select(
+            "bucket",
+            F.coalesce(F.sum("bn").over(w_bkt), F.lit(0)).alias("off"),
+        )
+    )
+    w_in = Window.partitionBy("bucket").orderBy("v")
+    ranked = b.join(F.broadcast(offs), "bucket").select(
+        "n_v", "g1",
+        (F.col("off") + F.sum("n_v").over(w_in) - F.col("n_v")).alias("cb"),
+    )
+    agg = ranked.agg(
+        F.sum(F.expr("g1 * (2 * cb + n_v + 1)")).cast("long").alias("r1x2"),
+        F.sum(F.expr("n_v * n_v * n_v - n_v")).cast("long").alias("ties"),
+    )
+    return agg.crossJoin(F.broadcast(tot)).selectExpr(
+        *[e.strip() for e in _MW_FINAL.split(",\n")]
+    )
+
+
+# --- Spearman rank correlation ----------------------------------------------
+
+_SPEARMAN_FINAL = """
+  CAST(n AS BIGINT) AS n,
+  ( CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+    - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE) )
+  / ( SQRT(CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+         - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+    * SQRT(CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
+         - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)) ) AS rho
+"""
+
+
+@query(
+    "stat_spearman_corr",
+    f"""
+WITH li AS (
+  SELECT CAST(l_quantity AS DOUBLE) AS x, CAST(l_extendedprice AS DOUBLE) AS y
+  FROM lineitem
+), rx AS (
+  SELECT x, 2 * COALESCE(SUM(n_v) OVER (
+           ORDER BY x ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+         ), 0) + n_v + 1 AS rank2x
+  FROM (SELECT x, CAST(COUNT(*) AS BIGINT) AS n_v FROM li GROUP BY x)
+), ry AS (
+  SELECT y, 2 * COALESCE(SUM(n_v) OVER (
+           ORDER BY y ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+         ), 0) + n_v + 1 AS rank2y
+  FROM (SELECT y, CAST(COUNT(*) AS BIGINT) AS n_v FROM li GROUP BY y)
+), paired AS (
+  SELECT rank2x, rank2y
+  FROM li JOIN rx USING (x) JOIN ry USING (y)
+), m AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n,
+    CAST(SUM(CAST(rank2x AS DECIMAL(19,0))) AS DECIMAL(38,0)) AS sx,
+    CAST(SUM(CAST(rank2y AS DECIMAL(19,0))) AS DECIMAL(38,0)) AS sy,
+    CAST(SUM(CAST(rank2x AS DECIMAL(19,0)) * CAST(rank2x AS DECIMAL(19,0)))
+         AS DECIMAL(38,0)) AS sxx,
+    CAST(SUM(CAST(rank2y AS DECIMAL(19,0)) * CAST(rank2y AS DECIMAL(19,0)))
+         AS DECIMAL(38,0)) AS syy,
+    CAST(SUM(CAST(rank2x AS DECIMAL(19,0)) * CAST(rank2y AS DECIMAL(19,0)))
+         AS DECIMAL(38,0)) AS sxy
+  FROM paired
+)
+SELECT {_SPEARMAN_FINAL}
+FROM m
+""",
+)
+def stat_spearman_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spearman rank correlation between lineitem quantity and extended
+    price: Pearson over MIDRANKS with exact tie handling. Doubled
+    midranks are integers per distinct value (the Mann-Whitney trick),
+    so every moment accumulates in exact DECIMAL(38,0) — the doubling
+    cancels in the correlation. Scale shape: two distinct-value hash
+    aggregates + bucketed prefix sums build the rank maps; the quantity
+    map (50 ranks) broadcasts, the price map joins on the value (one
+    shuffle); one moments aggregate ends the plan. The oracle uses the
+    plain single-node window — same midranks, exact same moments."""
+    from pyspark.sql import Window
+
+    t = load_tables(spark, sf_dir)
+    li = t["lineitem"].selectExpr(
+        "CAST(l_quantity AS DOUBLE) AS x", "CAST(l_extendedprice AS DOUBLE) AS y"
+    )
+
+    def rank_map(col: str):
+        pv = li.groupBy(col).agg(F.count(F.lit(1)).cast("long").alias("n_v"))
+        bounds = li.agg(
+            F.min(col).alias("vmin"), F.max(col).alias("vmax")
+        )
+        b = pv.crossJoin(F.broadcast(bounds)).withColumn(
+            "bucket", F.expr(f"width_bucket({col}, vmin, vmax + 1.0d, 1024)")
+        )
+        w_bkt = Window.orderBy("bucket").rowsBetween(
+            Window.unboundedPreceding, -1
+        )
+        offs = (
+            b.groupBy("bucket")
+            .agg(F.sum("n_v").alias("bn"))
+            .select(
+                "bucket",
+                F.coalesce(F.sum("bn").over(w_bkt), F.lit(0)).alias("off"),
+            )
+        )
+        w_in = Window.partitionBy("bucket").orderBy(col)
+        return b.join(F.broadcast(offs), "bucket").select(
+            col,
+            (
+                2 * (F.col("off") + F.sum("n_v").over(w_in) - F.col("n_v"))
+                + F.col("n_v")
+                + 1
+            ).alias(f"rank2{col}"),
+        )
+
+    paired = li.join(F.broadcast(rank_map("x")), "x").join(rank_map("y"), "y")
+    m = paired.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum(F.expr("CAST(rank2x AS DECIMAL(19,0))")).cast("decimal(38,0)").alias("sx"),
+        F.sum(F.expr("CAST(rank2y AS DECIMAL(19,0))")).cast("decimal(38,0)").alias("sy"),
+        F.sum(
+            F.expr("CAST(rank2x AS DECIMAL(19,0)) * CAST(rank2x AS DECIMAL(19,0))")
+        ).cast("decimal(38,0)").alias("sxx"),
+        F.sum(
+            F.expr("CAST(rank2y AS DECIMAL(19,0)) * CAST(rank2y AS DECIMAL(19,0))")
+        ).cast("decimal(38,0)").alias("syy"),
+        F.sum(
+            F.expr("CAST(rank2x AS DECIMAL(19,0)) * CAST(rank2y AS DECIMAL(19,0))")
+        ).cast("decimal(38,0)").alias("sxy"),
+    )
+    return m.selectExpr(*[e.strip() for e in _SPEARMAN_FINAL.split(",\n")])
+
+
+# --- lag-1 autocorrelation ---------------------------------------------------
+
+_ACF_SERIES = f"""
+WITH daily AS (
+  SELECT CAST(o_orderdate AS DATE) AS d,
+    {_d2d("SUM(CAST(o_totalprice AS DECIMAL(38,12)))")} AS rev
+  FROM orders GROUP BY CAST(o_orderdate AS DATE)
+), lagged AS (
+  SELECT rev AS y, LAG(rev) OVER (ORDER BY d) AS x FROM daily
+), pairs AS (
+  SELECT x, y FROM lagged WHERE x IS NOT NULL
+)
+"""
+
+_ACF_FINAL = """
+  CAST(n AS BIGINT) AS n,
+  (n * sxy - sx * sy)
+  / (SQRT(n * sxx - sx * sx) * SQRT(n * syy - sy * sy)) AS r1
+"""
+
+
+@query(
+    "stat_autocorr_lag1",
+    _ACF_SERIES
+    + """
+, m AS (
+  SELECT CAST(COUNT(*) AS DOUBLE) AS n,
+    list_reduce(list_sort(list(x)), (a, v) -> a + v) AS sx,
+    list_reduce(list_sort(list(y)), (a, v) -> a + v) AS sy,
+    list_reduce(list_sort(list(x * x)), (a, v) -> a + v) AS sxx,
+    list_reduce(list_sort(list(y * y)), (a, v) -> a + v) AS syy,
+    list_reduce(list_sort(list(x * y)), (a, v) -> a + v) AS sxy
+  FROM pairs
+)
+SELECT
+"""
+    + _ACF_FINAL
+    + "FROM m",
+)
+def stat_autocorr_lag1(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lag-1 autocorrelation of the daily order-revenue series: Pearson
+    over ~2.4k (rev_t, rev_{t−1}) pairs. The raw pass is one hash
+    aggregate per day (exact decimal revenue → one double); the LAG and
+    the five moment sums run over the tiny per-day AGGREGATE (the
+    accepted post-aggregation shape — constant cardinality in the data
+    size), and every double sum folds in SORTED order so addition order
+    is bit-identical cross-engine. Detects week/seasonality structure
+    in one pass + constant work."""
+    load_tables(spark, sf_dir)
+    fold = (
+        lambda e: f"reduce(array_sort(collect_list({e})),"
+        " CAST(0.0E0 AS DOUBLE), (a, v) -> a + v)"
+    )
+    return spark.sql(
+        _ACF_SERIES
+        + f"""
+, m AS (
+  SELECT CAST(COUNT(*) AS DOUBLE) AS n,
+    {fold('x')} AS sx,
+    {fold('y')} AS sy,
+    {fold('x * x')} AS sxx,
+    {fold('y * y')} AS syy,
+    {fold('x * y')} AS sxy
+  FROM pairs
+)
+SELECT
+"""
+        + _ACF_FINAL
+        + "FROM m"
+    )
