@@ -1,0 +1,207 @@
+"""``pywds`` — WebDataset-style tar-shard source + distributed shard
+writer.
+
+Large-scale training corpora ship as directories of ``.tar`` shards
+whose members are named ``<key>.<ext>`` (``000017.txt``,
+``000017.json``, ``000017.jpg`` — the WebDataset convention: everything
+up to the FIRST dot is the sample key, the rest is the extension, so
+``000017.seg.png`` has ext ``seg.png``). The shard is the unit of
+sequential IO and of parallelism.
+
+Read path: ``spark.read.format("pywds").load(dir)`` plans ONE input
+partition per shard — exactly the WebDataset contract (a shard is read
+start-to-finish by one worker; no random access inside a tar) — and
+yields one row per member: (shard, key, ext, data binary). Grouping
+members into samples is a plain ``groupBy("key")`` downstream, i.e. a
+Spark aggregate, not reader magic.
+
+Write path: ``write_webdataset_shards(df, dest)`` writes one shard per
+Spark partition inside ``mapInPandas`` — the tar bytes never touch the
+driver; the returned DataFrame is the shard manifest (path, members,
+bytes), which is also what forces the distributed write when consumed.
+
+Scale: shards are the classic 100 TB layout precisely because each is
+an independent sequential stream; planning is O(#shards) driver-side
+listing and both paths move bytes only inside tasks.
+
+Reference parity: the reference ships no archive sources; SURVEY.md
+§2.H build-out for the training-data pipeline surface.
+"""
+
+from __future__ import annotations
+
+import glob
+import os
+from dataclasses import dataclass
+
+from pyspark.sql import types as T
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceReader,
+    InputPartition,
+)
+
+_SCHEMA = T.StructType(
+    [
+        T.StructField("shard", T.StringType(), False),
+        T.StructField("key", T.StringType(), False),
+        T.StructField("ext", T.StringType(), False),
+        T.StructField("data", T.BinaryType(), True),
+    ]
+)
+
+
+def _local(path: str) -> str:
+    return path[len("file:") :] if path.startswith("file:") else path
+
+
+@dataclass
+class TarShardPartition(InputPartition):
+    path: str
+
+
+class PyWdsReader(DataSourceReader):
+    def __init__(self, options):
+        root = _local(options["path"])
+        if os.path.isfile(root):
+            self._shards = [root]
+        else:
+            self._shards = sorted(glob.glob(os.path.join(root, "*.tar")))
+        if not self._shards:
+            raise FileNotFoundError(f"pywds: no .tar shards under {root}")
+
+    def partitions(self):
+        return [TarShardPartition(p) for p in self._shards]
+
+    def read(self, partition: TarShardPartition):
+        import tarfile
+
+        shard = os.path.basename(partition.path)
+        with tarfile.open(partition.path, "r") as tf:
+            for m in tf:
+                if not m.isfile():
+                    continue
+                base = os.path.basename(m.name)
+                key, dot, ext = base.partition(".")
+                if not dot:
+                    key, ext = base, ""
+                fh = tf.extractfile(m)
+                yield (shard, key, ext, fh.read() if fh is not None else None)
+
+
+class PyWdsDataSource(DataSource):
+    """``spark.dataSource.register(PyWdsDataSource)`` → format name
+    "pywds" for batch reads of WebDataset tar-shard directories."""
+
+    @classmethod
+    def name(cls) -> str:
+        return "pywds"
+
+    def schema(self):
+        return _SCHEMA
+
+    def reader(self, schema: T.StructType) -> DataSourceReader:
+        return PyWdsReader(self.options)
+
+
+def register(spark) -> None:
+    """Idempotent format registration (latest registration wins)."""
+    spark.dataSource.register(PyWdsDataSource)
+
+
+def write_webdataset_shards(df, dest: str, key_col: str = "key"):
+    """Write ``df`` as WebDataset tar shards under ``dest`` — one shard
+    per Spark partition, built INSIDE mapInPandas (no driver bytes).
+    Every non-key column becomes a member ``<key>.<col>`` (string
+    columns encode UTF-8, binary columns pass through). Returns the
+    shard-manifest DataFrame; consuming it (collect/count) is what runs
+    the distributed write. Deterministic member metadata (mtime 0,
+    uid/gid 0) so identical inputs produce identical shard bytes."""
+    member_cols = [c for c in df.columns if c != key_col]
+    if not member_cols:
+        raise ValueError("need at least one member column besides the key")
+    os.makedirs(dest, exist_ok=True)
+
+    def _write(iterator):
+        import io
+        import tarfile
+
+        import pandas as pd
+        from pyspark import TaskContext
+
+        pid = TaskContext.get().partitionId()
+        path = os.path.join(dest, f"shard-{pid:06d}.tar")
+        n = 0
+        with tarfile.open(path, "w") as tf:
+            for pdf in iterator:
+                for _, row in pdf.iterrows():
+                    for col in member_cols:
+                        v = row[col]
+                        if v is None:
+                            continue
+                        data = v if isinstance(v, (bytes, bytearray)) else str(v).encode()
+                        ti = tarfile.TarInfo(f"{row[key_col]}.{col}")
+                        ti.size = len(data)
+                        ti.mtime = 0
+                        tf.addfile(ti, io.BytesIO(bytes(data)))
+                        n += 1
+        yield pd.DataFrame(
+            {"shard": [path], "n_members": [n], "bytes": [os.path.getsize(path)]}
+        )
+
+    return df.mapInPandas(_write, "shard string, n_members long, bytes long")
+
+
+def _declare_queries() -> None:
+    from pyspark.sql import DataFrame, SparkSession
+    from pyspark.sql import functions as F
+
+    from iceberg_metadata_pipeline_spark.queries import query
+    from iceberg_metadata_pipeline_spark.session import load_tables
+
+    @query(
+        "source_webdataset_tar",
+        """
+SELECT ext, n, total_bytes FROM (
+  SELECT 'lang' AS ext, CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(strlen(lang)) AS BIGINT) AS total_bytes
+  FROM documents
+  UNION ALL
+  SELECT 'text' AS ext, CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(strlen(text)) AS BIGINT) AS total_bytes
+  FROM documents
+) ORDER BY ext
+""",
+    )
+    def source_webdataset_tar(spark: SparkSession, sf_dir: str) -> DataFrame:
+        """WebDataset round-trip: the documents fixture writes out as 4
+        tar shards (two members per sample: <doc_id>.text and
+        <doc_id>.lang, built inside mapInPandas — one shard per
+        partition, no driver bytes), then reads back through plain
+        ``spark.read.format("pywds")`` with one task per shard and
+        aggregates member counts + byte totals per extension. Matching
+        the fixture oracle (DuckDB strlen = UTF-8 bytes = octet_length
+        of the tar member) proves both directions of the shard layout."""
+        import tempfile as _tf
+
+        docs = load_tables(spark, sf_dir)["documents"]
+        dest = _tf.mkdtemp(prefix="wds-")
+        manifest = write_webdataset_shards(
+            docs.selectExpr("CAST(doc_id AS STRING) AS key", "text", "lang")
+            .repartition(4),
+            dest,
+        )
+        assert manifest.count() == 4  # materializes the write
+        register(spark)
+        back = spark.read.format("pywds").load(dest)
+        return (
+            back.groupBy("ext")
+            .agg(
+                F.count(F.lit(1)).alias("n"),
+                F.sum(F.expr("octet_length(data)")).cast("bigint").alias("total_bytes"),
+            )
+            .orderBy("ext")
+        )
+
+
+_declare_queries()
