@@ -304,6 +304,22 @@ def write_checkpoint(location: str, version: int | None = None) -> str:
                         ("modificationTime", pa.int64()),
                         ("dataChange", pa.bool_()),
                         ("stats", pa.string()),
+                        # the spec's checkpoint add schema CARRIES the DV
+                        # descriptor — dropping it here would silently
+                        # resurrect deleted rows on every checkpoint-based
+                        # replay (caught live in round 7)
+                        (
+                            "deletionVector",
+                            pa.struct(
+                                [
+                                    ("storageType", pa.string()),
+                                    ("pathOrInlineDv", pa.string()),
+                                    ("offset", pa.int32()),
+                                    ("sizeInBytes", pa.int32()),
+                                    ("cardinality", pa.int64()),
+                                ]
+                            ),
+                        ),
                     ]
                 ),
             ),
