@@ -1081,13 +1081,42 @@ def delta_history(location: str) -> list[dict]:
 def vacuum_delta(location: str, dry_run: bool = False) -> list[str]:
     """VACUUM: delete data files under the table directory that no
     RETAINED log version references (tmp litter from crashed writers,
-    files removed at every retained version). The full retained history
-    is consulted — not just the head — so time travel to any still-
-    replayable version keeps working; external (absolute-path) files
-    are never touched. Returns the deleted paths."""
+    files removed at every retained version). Every still-present JSON
+    commit AND the checkpoint (which may be the only record of history
+    whose commits log-retention already removed) are consulted, so time
+    travel to any still-replayable version keeps working; external
+    (absolute-path) files are never touched. Returns the deleted
+    paths."""
     referenced: set[str] = set()
+
+    def _ref(action: dict) -> None:
+        p = action["path"]
+        if not os.path.isabs(p):
+            referenced.add(os.path.join(location, p))
+        # DV sidecar files are referenced through the descriptor, not as
+        # an action path — vacuuming them would destroy live row-level
+        # deletes
+        dv = action.get("deletionVector")
+        if dv and dv.get("storageType") in ("u", "p"):
+            referenced.add(dv_file_path(location, dv))
+
+    ckpt = _read_last_checkpoint(location)
+    if ckpt is not None:
+        import pyarrow.parquet as pq
+
+        cp = os.path.join(
+            location, _LOG_DIR, f"{ckpt['version']:020d}.checkpoint.parquet"
+        )
+        for r in pq.read_table(cp).to_pylist():
+            if r.get("add") is not None:
+                _ref(_strip_nulls(r["add"]))
     for v in range(latest_version(location) + 1):
-        with open(_commit_path(location, v)) as fh:
+        cpath = _commit_path(location, v)
+        if not os.path.exists(cpath):
+            # cleaned up by log retention: that history replays from the
+            # checkpoint, already folded in above
+            continue
+        with open(cpath) as fh:
             for line in fh:
                 line = line.strip()
                 if not line:
@@ -1095,9 +1124,7 @@ def vacuum_delta(location: str, dry_run: bool = False) -> list[str]:
                 a = json.loads(line)
                 for k in ("add", "remove"):
                     if k in a:
-                        p = a[k]["path"]
-                        if not os.path.isabs(p):
-                            referenced.add(os.path.join(location, p))
+                        _ref(a[k])
     victims = []
     for root, dirs, names in os.walk(location):
         if _LOG_DIR in root:

@@ -952,3 +952,45 @@ def test_checkpoint_preserves_deletion_vectors(spark, tmp_path):
     assert sorted(
         r.id for r in spark.read.format("pydelta").load(dest).collect()
     ) == expect
+
+
+def test_vacuum_keeps_dv_sidecars_and_survives_log_cleanup(spark, tmp_path):
+    """Round-7 live catches, part 2: (a) VACUUM must treat DV sidecar
+    files as referenced (they appear only inside descriptors, never as
+    action paths); (b) VACUUM after log retention must not crash on the
+    cleaned commits and must keep everything the checkpoint references."""
+    from iceberg_metadata_pipeline_spark.catalog.delta_format import (
+        attach_file_dvs,
+        cleanup_delta_log,
+        dv_file_path,
+        vacuum_delta,
+    )
+    from iceberg_metadata_pipeline_spark.ingest.pydelta_source import (
+        register as _reg,
+    )
+
+    catalog = Catalog(spark, str(tmp_path / "wh-vdv"))
+    st = T.StructType([T.StructField("id", T.LongType(), False)])
+    t = catalog.create_table("nyc", "vdv", st).refresh()
+    t.append_dataframe(spark.range(20).selectExpr("id").repartition(2))
+    t = t.refresh()
+    dest = str(tmp_path / "delta-vdv")
+    export_delta_table(t, dest)
+    f = sorted(read_delta_table(dest).files)[0]
+    attach_file_dvs(dest, {f: [0, 1]}, prefix="vz")
+    dvp = dv_file_path(
+        dest, read_delta_table(dest).files[f]["deletionVector"]
+    )
+    assert os.path.exists(dvp)
+    victims = vacuum_delta(dest, dry_run=True)
+    assert dvp not in victims
+    _reg(spark)
+    expect = sorted(r.id for r in spark.read.format("pydelta").load(dest).collect())
+    vacuum_delta(dest)
+    assert os.path.exists(dvp)
+    # now retire the early commits; vacuum must use the checkpoint
+    cleanup_delta_log(dest, keep_last=1)
+    victims2 = vacuum_delta(dest)
+    assert dvp not in victims2 and os.path.exists(dvp)
+    got = sorted(r.id for r in spark.read.format("pydelta").load(dest).collect())
+    assert got == expect
