@@ -786,10 +786,16 @@ def attach_inline_dv(location: str, data_file: str, positions: list[int]) -> int
         "cardinality": len(merged),
     }
     now = int(_time.time() * 1000)
+    # the remove RE-STATES the replaced file version's descriptor (spec:
+    # remove carries deletionVector) — that is what lets CDF derive the
+    # newly-deleted positions as new DV minus old DV
+    remove: dict = {"path": key, "deletionTimestamp": now, "dataChange": True}
+    if state.files[key].get("deletionVector"):
+        remove["deletionVector"] = state.files[key]["deletionVector"]
     return write_commit(
         location,
         [
-            {"remove": {"path": key, "deletionTimestamp": now, "dataChange": True}},
+            {"remove": remove},
             {"add": add},
             {"commitInfo": {"timestamp": now, "operation": "DELETE"}},
         ],
@@ -835,10 +841,13 @@ def attach_file_dvs(
     actions: list[dict] = []
     for k, desc in zip(keys, descs):
         add, _merged = resolved[k]
-        add["deletionVector"] = desc
-        actions.append(
-            {"remove": {"path": k, "deletionTimestamp": now, "dataChange": True}}
-        )
+        remove: dict = {"path": k, "deletionTimestamp": now, "dataChange": True}
+        if add.get("deletionVector"):
+            # re-state the replaced version's descriptor (spec shape;
+            # CDF derives newly-deleted = new DV minus old DV from it)
+            remove["deletionVector"] = add["deletionVector"]
+        add = dict(add, deletionVector=desc)
+        actions.append({"remove": remove})
         actions.append({"add": add})
     actions.append({"commitInfo": {"timestamp": now, "operation": "DELETE"}})
     return write_commit(location, actions)
@@ -1291,28 +1300,82 @@ def table_changes(
             )
             parts.append(df)
             continue
-        for a in actions:
-            if "add" in a and a["add"].get("dataChange"):
-                ad = a["add"]
-                p = ad["path"]
-                p = p if os.path.isabs(p) else os.path.join(location, p)
-                df = stamp(
-                    spark.read.schema(T.StructType(file_fields)).parquet(p), "insert"
+        adds = {
+            a["add"]["path"]: a["add"]
+            for a in actions
+            if "add" in a and a["add"].get("dataChange")
+        }
+        removes = {
+            a["remove"]["path"]: a["remove"]
+            for a in actions
+            if "remove" in a and a["remove"].get("dataChange", True)
+        }
+
+        def _dv_positions(action: dict) -> set[int]:
+            dv = action.get("deletionVector")
+            return set(_decode_dv_descriptor(dv, location)) if dv else set()
+
+        def _scan_positions(p: str, positions, ct: str, pvals: dict) -> None:
+            """Emit rows of file p at exactly ``positions`` as change
+            type ``ct`` (None = all rows). Position filter applies as a
+            broadcast semi-join on _metadata.row_index — the change set
+            is O(churn) metadata."""
+            df = spark.read.schema(T.StructType(file_fields)).parquet(p)
+            if positions is not None:
+                if not positions:
+                    return
+                df = df.withColumn("__pos", F.col("_metadata.row_index"))
+                sel = spark.createDataFrame(
+                    [(int(x),) for x in sorted(positions)], "__pos long"
                 )
-                parts.append(_with_partitions(df, ad.get("partitionValues") or {}))
-            elif "remove" in a and a["remove"].get("dataChange", True):
-                rm = a["remove"]
-                p = rm["path"]
-                p = p if os.path.isabs(p) else os.path.join(location, p)
-                if not os.path.exists(p):
-                    raise FileNotFoundError(
-                        f"removed file {p} no longer exists; CDF derive for "
-                        f"version {v} is impossible post-vacuum"
-                    )
-                df = stamp(
-                    spark.read.schema(T.StructType(file_fields)).parquet(p), "delete"
+                df = df.join(F.broadcast(sel), "__pos", "left_semi").drop("__pos")
+            parts.append(_with_partitions(stamp(df, ct), pvals))
+
+        for p, ad in adds.items():
+            ap = p if os.path.isabs(p) else os.path.join(location, p)
+            pvals = ad.get("partitionValues") or {}
+            new_dv = _dv_positions(ad)
+            rm = removes.get(p)
+            if rm is not None:
+                # same-path remove+add = a row-level rewrite (DV delete):
+                # the change is the POSITION DELTA, not the whole file
+                old_dv = _dv_positions(rm)
+                _scan_positions(ap, new_dv - old_dv, "delete", pvals)
+                _scan_positions(ap, old_dv - new_dv, "insert", pvals)
+            elif new_dv:
+                # fresh add carrying a DV: only its live rows are inserts
+                df = spark.read.schema(T.StructType(file_fields)).parquet(ap)
+                df = df.withColumn("__pos", F.col("_metadata.row_index"))
+                sel = spark.createDataFrame(
+                    [(int(x),) for x in sorted(new_dv)], "__pos long"
                 )
-                parts.append(_with_partitions(df, rm.get("partitionValues") or {}))
+                df = df.join(F.broadcast(sel), "__pos", "left_anti").drop("__pos")
+                parts.append(_with_partitions(stamp(df, "insert"), pvals))
+            else:
+                _scan_positions(ap, None, "insert", pvals)
+        for p, rm in removes.items():
+            if p in adds:
+                continue  # handled as a paired rewrite above
+            ap = p if os.path.isabs(p) else os.path.join(location, p)
+            if not os.path.exists(ap):
+                raise FileNotFoundError(
+                    f"removed file {ap} no longer exists; CDF derive for "
+                    f"version {v} is impossible post-vacuum"
+                )
+            old_dv = _dv_positions(rm)
+            pvals = rm.get("partitionValues") or {}
+            if old_dv:
+                # rows already dead under the file's DV were deleted in
+                # an EARLIER commit — only live rows delete now
+                df = spark.read.schema(T.StructType(file_fields)).parquet(ap)
+                df = df.withColumn("__pos", F.col("_metadata.row_index"))
+                sel = spark.createDataFrame(
+                    [(int(x),) for x in sorted(old_dv)], "__pos long"
+                )
+                df = df.join(F.broadcast(sel), "__pos", "left_anti").drop("__pos")
+                parts.append(_with_partitions(stamp(df, "delete"), pvals))
+            else:
+                _scan_positions(ap, None, "delete", pvals)
     if not parts:
         schema = T.StructType(
             list(state.schema.fields)

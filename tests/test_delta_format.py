@@ -994,3 +994,48 @@ def test_vacuum_keeps_dv_sidecars_and_survives_log_cleanup(spark, tmp_path):
     assert dvp not in victims2 and os.path.exists(dvp)
     got = sorted(r.id for r in spark.read.format("pydelta").load(dest).collect())
     assert got == expect
+
+
+def test_cdf_derives_dv_commit_as_position_delta(spark, tmp_path):
+    """Round-7 live catch, part 3: a DV delete commit (remove+re-add of
+    the same path) must derive as EXACTLY the newly deleted rows — not a
+    whole-file delete plus a whole-file insert — and a second DV commit
+    on the same file must emit only the incremental positions."""
+    import duckdb
+
+    from iceberg_metadata_pipeline_spark.catalog.delta_format import (
+        attach_file_dvs,
+        attach_inline_dv,
+        table_changes,
+    )
+
+    catalog = Catalog(spark, str(tmp_path / "wh-cdfdv"))
+    st = T.StructType([T.StructField("id", T.LongType(), False)])
+    t = catalog.create_table("nyc", "cdfdv", st).refresh()
+    t.append_dataframe(spark.range(20).selectExpr("id").repartition(2))
+    t = t.refresh()
+    dest = str(tmp_path / "delta-cdfdv")
+    export_delta_table(t, dest)
+    f = sorted(read_delta_table(dest).files)[0]
+    ids = [r[0] for r in duckdb.sql(f"SELECT id FROM read_parquet('{f}')").fetchall()]
+
+    v1 = attach_file_dvs(dest, {f: [0, 2]}, prefix="c")
+    ch1 = table_changes(spark, dest, v1, v1).collect()
+    assert {(r._change_type, r.id) for r in ch1} == {
+        ("delete", ids[0]), ("delete", ids[2])
+    }
+    # incremental: second commit deletes position 1 only
+    v2 = attach_inline_dv(dest, f, [1])
+    ch2 = table_changes(spark, dest, v2, v2).collect()
+    assert {(r._change_type, r.id) for r in ch2} == {("delete", ids[1])}
+    # an unpaired remove of a DV-carrying file deletes only LIVE rows
+    now_add = read_delta_table(dest).files[f]
+    write_commit(
+        dest,
+        [{"remove": {"path": f, "deletionTimestamp": 0, "dataChange": True,
+                     "deletionVector": now_add["deletionVector"]}}],
+    )
+    v3 = latest_version(dest)
+    ch3 = table_changes(spark, dest, v3, v3).collect()
+    assert {r._change_type for r in ch3} == {"delete"}
+    assert sorted(r.id for r in ch3) == sorted(set(ids) - {ids[0], ids[1], ids[2]})

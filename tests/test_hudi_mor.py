@@ -344,3 +344,36 @@ def test_clean_never_touches_live_logs_and_reclaims_with_slice(spark, mor_table)
     assert live_log_paths <= set(doomed)
     assert not any(os.path.exists(p) for p in live_log_paths)
     assert _read_all(spark, loc) == before
+
+
+def test_partitioned_mor_end_to_end(spark, tmp_path):
+    """MOR with hive-style partitions: base files land under cat=…/
+    dirs, upserts route to the right partition's file groups, new keys
+    hash into their partition, and compaction rewrites per group —
+    snapshot equals the oracle at every step."""
+    from iceberg_metadata_pipeline_spark.catalog.hudi_format import (
+        read_properties,
+    )
+
+    loc = str(tmp_path / "mor_part")
+    create_mor_table(loc, "mor_part", ["cat"], "id", SCHEMA)
+    assert read_properties(loc)["hoodie.table.partition.fields"] == "cat"
+    bulk_insert_mor(loc, _rows(), n_file_groups=2)
+    assert os.path.isdir(os.path.join(loc, "cat=a"))
+    assert os.path.exists(os.path.join(loc, "cat=a", ".hoodie_partition_metadata"))
+    ops = [
+        ("upsert", [{"id": 3, "cat": "b", "score": 33.0},   # existing key
+                    {"id": 50, "cat": "a", "score": 5.0}]),  # new key, cat=a
+        ("delete", [0, 12]),
+    ]
+    for kind, payload in ops:
+        (upsert_mor if kind == "upsert" else delete_mor)(loc, payload)
+    register(spark)
+    assert _read_all(spark, loc) == _mor_oracle(_rows(), ops)
+    state = read_hudi_table(loc)
+    # logs live inside the partition dirs of their file groups
+    for logs in state.log_files.values():
+        for lg in logs:
+            assert "/cat=" in lg.path
+    compact_mor(loc)
+    assert _read_all(spark, loc) == _mor_oracle(_rows(), ops)
