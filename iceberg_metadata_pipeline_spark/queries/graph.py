@@ -494,3 +494,4 @@ def graph_sssp_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("best_cost", "node")
         .limit(20)
     )
+

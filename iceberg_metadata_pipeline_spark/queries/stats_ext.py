@@ -449,3 +449,45 @@ SELECT
         + _ACF_FINAL
         + "FROM m"
     )
+
+
+# --- CUSUM changepoint -------------------------------------------------------
+
+_CUSUM_SQL = """
+WITH daily AS (
+  SELECT CAST(o_orderdate AS DATE) AS d,
+    CAST(SUM(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS DECIMAL(38,0)))
+         AS BIGINT) AS cents
+  FROM orders GROUP BY CAST(o_orderdate AS DATE)
+), tot AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n, CAST(SUM(cents) AS BIGINT) AS total
+  FROM daily
+), walk AS (
+  SELECT d,
+    CAST(ROW_NUMBER() OVER (ORDER BY d) AS BIGINT) AS k,
+    CAST(SUM(cents) OVER (ORDER BY d) AS BIGINT) AS run
+  FROM daily
+)
+SELECT w.d AS day,
+  CAST(t.n * w.run - w.k * t.total AS BIGINT) AS cusum_scaled
+FROM walk w CROSS JOIN tot t
+ORDER BY ABS(CAST(t.n * w.run - w.k * t.total AS BIGINT)) DESC, w.d
+LIMIT 5
+"""
+
+
+@query("stat_cusum_changepoint", _CUSUM_SQL)
+def stat_cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUSUM changepoint scan over the daily revenue series — the five
+    days where the cumulative deviation from the global mean peaks
+    (Page's statistic argmax = the most likely level-shift points).
+    EXACT integer arithmetic throughout: revenue in cents (decimal-
+    scaled, never a double), and the mean-free cumulative sum is
+    rationalized as N·(Σ_{i≤k} x_i) − k·total, avoiding any division —
+    no float enters until nothing is left to compute, so rows are
+    bit-trivially comparable. The raw pass is one per-day hash
+    aggregate; the running sum windows over the ~2.4k-row per-day
+    AGGREGATE (constant cardinality in data size — the accepted
+    post-aggregation shape)."""
+    load_tables(spark, sf_dir)
+    return spark.sql(_CUSUM_SQL)
