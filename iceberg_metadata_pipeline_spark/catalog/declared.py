@@ -1908,6 +1908,77 @@ def catalog_delta_file_dv(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "catalog_delta_optimize",
+    """
+SELECT s_nationkey, COUNT(*) AS n,
+  CAST(SUM(CAST(s_acctbal AS DECIMAL(38,6))) AS DOUBLE) AS total_bal
+FROM supplier
+WHERE s_acctbal >= 0
+GROUP BY s_nationkey
+ORDER BY s_nationkey
+""",
+)
+def catalog_delta_optimize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OPTIMIZE end-to-end on a DV-laden Delta table: the supplier
+    fixture exports, a file-based DV delete drops the negative-balance
+    rows, then ``optimize_delta`` bin-packs every small/vectored file —
+    materializing live rows distributed, shedding the deletion vectors,
+    committing one atomic OPTIMIZE (removes + packed adds, row count
+    asserted unchanged inside). The pydelta read of the optimized
+    snapshot must still match the WHERE-filtered oracle: compaction
+    changed the file layout, never the rows. This is the maintenance
+    verb that keeps a 100 TB table's file count and DV debt bounded."""
+    import os as _os
+    import tempfile as _tf
+
+    from iceberg_metadata_pipeline_spark.catalog.delta_format import (
+        attach_file_dvs,
+        export_delta_table,
+        optimize_delta,
+        read_delta_table,
+    )
+    from iceberg_metadata_pipeline_spark.catalog.metacat import scan_parquet_footers
+    from iceberg_metadata_pipeline_spark.ingest.pydelta_source import (
+        register as _register_pydelta,
+    )
+
+    supplier = load_tables(spark, sf_dir)["supplier"]
+    catalog = Catalog(spark, _tf.mkdtemp(prefix="wh-dopt-"))
+    t = catalog.create_table("nyc", "supplier_opt", supplier.schema)
+    t.append_files(
+        scan_parquet_footers(_os.path.join(sf_dir, "supplier.parquet"), spark)
+    )
+    dest = _tf.mkdtemp(prefix="delta-opt-")
+    export_delta_table(t.refresh(), dest)
+
+    import pyarrow.parquet as _pq
+
+    deletes: dict[str, list[int]] = {}
+    for path in read_delta_table(dest).files:
+        bal = _pq.read_table(path, columns=["s_acctbal"]).column("s_acctbal")
+        pos = [i for i, v in enumerate(bal.to_pylist()) if float(v) < 0]
+        if pos:
+            deletes[path] = pos
+    if deletes:
+        attach_file_dvs(dest, deletes, prefix="dv")
+    optimize_delta(spark, dest, target_file_rows=100_000)
+    state = read_delta_table(dest)
+    assert not any(a.get("deletionVector") for a in state.files.values())
+    _register_pydelta(spark)
+    back = spark.read.format("pydelta").load(dest)
+    return (
+        back.groupBy("s_nationkey")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("s_acctbal").cast("decimal(38,6)"))
+            .cast("double")
+            .alias("total_bal"),
+        )
+        .orderBy("s_nationkey")
+    )
+
+
+@query(
     "catalog_hudi_export_import",
     """
 SELECT p_brand, COUNT(*) AS n,

@@ -425,6 +425,238 @@ def export_delta_table(table, dest: str) -> int:
     return write_commit(dest, actions)
 
 
+def optimize_delta(
+    spark: SparkSession,
+    location: str,
+    target_file_rows: int = 1_000_000,
+    small_file_rows: int | None = None,
+    order_by: list[str] | None = None,
+) -> int:
+    """OPTIMIZE: bin-pack small files into ~``target_file_rows`` files
+    and FOLD DELETION VECTORS IN — the rewrite materializes each
+    victim's live rows, so the new files carry no DV (this is the
+    operation real Delta users run to shed accumulated vectors; our old
+    'u'-refusal error message used to point at it). One atomic commit:
+    removes for every rewritten file + adds for the packed output, all
+    with ``dataChange=false``-equivalent semantics per the spec —
+    OPTIMIZE must not change the table's rows, asserted here by exact
+    row-count accounting. ``order_by`` optionally sorts rows inside the
+    rewrite (single-dimension clustering; pair it with a computed
+    interleave column for Z-order-style multi-column locality).
+
+    Files selected: any file smaller than ``small_file_rows`` (default
+    target/2) OR carrying a deletion vector. Partitioned tables pack
+    within a partition only (the spec's OPTIMIZE unit). Returns the
+    commit version, or the current version if nothing qualifies."""
+    import time as _time
+
+    from pyspark.sql import functions as F
+
+    state = read_delta_table(location)
+    if small_file_rows is None:
+        small_file_rows = target_file_rows // 2
+
+    def _rows_of(add: dict) -> int:
+        stats = add.get("stats")
+        if stats and json.loads(stats).get("numRecords") is not None:
+            return int(json.loads(stats)["numRecords"])
+        import pyarrow.parquet as pq
+
+        p = add["path"]
+        return pq.read_metadata(
+            p if os.path.isabs(p) else os.path.join(location, p)
+        ).num_rows
+
+    by_part: dict[tuple, list[str]] = {}
+    for p, a in state.files.items():
+        dead = 0
+        if a.get("deletionVector"):
+            dead = int(a["deletionVector"].get("cardinality") or 0)
+        if a.get("deletionVector") or _rows_of(a) - dead < small_file_rows:
+            pv = tuple(sorted((a.get("partitionValues") or {}).items()))
+            by_part.setdefault(pv, []).append(p)
+    victims = {p for ps in by_part.values() for p in ps if len(ps) > 1 or
+               state.files[p].get("deletionVector")}
+    if not victims:
+        return state.version
+
+    phys = physical_names(state)
+    pcols = set(state.partition_columns)
+    file_fields = [f for f in state.schema.fields if f.name not in pcols]
+    out_dir = os.path.join(location, "optimized")
+    os.makedirs(out_dir, exist_ok=True)
+    now = int(_time.time() * 1000)
+    actions: list[dict] = []
+    n_before = 0
+    n_after = 0
+    for pv, paths in sorted(by_part.items()):
+        group = [p for p in paths if p in victims]
+        if not group:
+            continue
+        sub = DeltaTableState(
+            location=state.location,
+            version=state.version,
+            schema=state.schema,
+            partition_columns=state.partition_columns,
+            files={p: state.files[p] for p in group},
+            metadata=state.metadata,
+            protocol=state.protocol,
+        )
+        live = _live_rows_dataframe(spark, sub).select(
+            *[F.col(f.name).alias(phys[f.name]) for f in file_fields]
+        )
+        rows = live.count()
+        n_before += rows
+        n_files = max(1, -(-rows // target_file_rows))
+        import hashlib as _hashlib
+
+        tag = f"{now}-{_hashlib.md5(repr(pv).encode()).hexdigest()[:8]}"
+        dest = os.path.join(out_dir, f"pack-{tag}")
+        if order_by:
+            # range-partition then sort inside each output file: global
+            # clustering on the order key without a single-task sort
+            live = live.repartitionByRange(n_files, *order_by).sortWithinPartitions(
+                *order_by
+            )
+        else:
+            live = live.repartition(n_files)
+        live.write.mode("overwrite").parquet(dest)
+        for p in group:
+            rm: dict = {
+                "path": p,
+                "deletionTimestamp": now,
+                "dataChange": False,
+            }
+            if state.files[p].get("deletionVector"):
+                rm["deletionVector"] = state.files[p]["deletionVector"]
+            actions.append({"remove": rm})
+        import glob as _glob
+
+        for fp in sorted(_glob.glob(os.path.join(dest, "*.parquet"))):
+            import pyarrow.parquet as pq
+
+            nrec = pq.read_metadata(fp).num_rows
+            if nrec == 0:
+                os.remove(fp)
+                continue
+            n_after += nrec
+            actions.append(
+                {
+                    "add": {
+                        "path": fp,
+                        "partitionValues": dict(pv),
+                        "size": os.path.getsize(fp),
+                        "modificationTime": now,
+                        "dataChange": False,
+                        "stats": json.dumps({"numRecords": int(nrec)}),
+                    }
+                }
+            )
+    if n_after != n_before:
+        raise RuntimeError(
+            f"OPTIMIZE row-count mismatch: {n_before} live rows in, "
+            f"{n_after} packed out — refusing to commit"
+        )
+    actions.append(
+        {
+            "commitInfo": {
+                "timestamp": now,
+                "operation": "OPTIMIZE",
+                "operationParameters": {
+                    "targetFileRows": target_file_rows,
+                    "zOrderBy": order_by or [],
+                },
+            }
+        }
+    )
+    return write_commit(location, actions)
+
+
+def restore_delta(location: str, version: int) -> int:
+    """RESTORE TABLE ... TO VERSION AS OF: one commit that removes the
+    files the target version doesn't have and re-adds the ones it does
+    — history is preserved (restore is itself a new version; time
+    travel to the un-restored state keeps working), which is exactly
+    how the spec's RESTORE differs from rolling the log back."""
+    import time as _time
+
+    cur = read_delta_table(location)
+    old = read_delta_table(location, version)
+    now = int(_time.time() * 1000)
+    actions: list[dict] = []
+    for p, a in sorted(cur.files.items()):
+        if p not in old.files or old.files[p] != a:
+            rm: dict = {"path": p, "deletionTimestamp": now, "dataChange": True}
+            if a.get("deletionVector"):
+                rm["deletionVector"] = a["deletionVector"]
+            actions.append({"remove": rm})
+    for p, a in sorted(old.files.items()):
+        if cur.files.get(p) != a:
+            actions.append({"add": a})
+    if old.metadata != cur.metadata:
+        actions.append({"metaData": old.metadata})
+    if not actions:
+        return cur.version  # already at the target state
+    actions.append(
+        {
+            "commitInfo": {
+                "timestamp": now,
+                "operation": "RESTORE",
+                "operationParameters": {"version": version},
+            }
+        }
+    )
+    return write_commit(location, actions)
+
+
+def clone_delta(location: str, dest: str, version: int | None = None) -> int:
+    """SHALLOW CLONE: a new table whose v0 commit references the SOURCE
+    table's data files (absolute paths — zero bytes copied). Writes to
+    the clone never touch the source's log; vacuuming the clone never
+    deletes source files (they are external/absolute, which
+    vacuum_delta already refuses to touch). DV descriptors are
+    rewritten to storageType 'p' absolute paths so the clone resolves
+    them without the source's table root."""
+    import time as _time
+
+    state = read_delta_table(location, version)
+    if os.path.exists(os.path.join(dest, _LOG_DIR)):
+        raise FileExistsError(f"{dest} already has a delta log")
+    now = int(_time.time() * 1000)
+    actions: list[dict] = [
+        {
+            "protocol": state.protocol
+            or {"minReaderVersion": 1, "minWriterVersion": 2}
+        },
+        {"metaData": state.metadata},
+    ]
+    for p, a in sorted(state.files.items()):
+        a = dict(a)
+        if not os.path.isabs(p):
+            a["path"] = os.path.join(location, p)
+        dv = a.get("deletionVector")
+        if dv and dv.get("storageType") in ("u", "p"):
+            a["deletionVector"] = dict(
+                dv,
+                storageType="p",
+                pathOrInlineDv=dv_file_path(location, dv),
+            )
+        actions.append({"add": a})
+    actions.append(
+        {
+            "commitInfo": {
+                "timestamp": now,
+                "operation": "CLONE",
+                "operationParameters": {
+                    "source": location,
+                    "sourceVersion": state.version,
+                },
+            }
+        }
+    )
+    return write_commit(dest, actions)
+
+
 def import_delta_table(
     spark: SparkSession, catalog, location: str, namespace: str, name: str,
     version: int | None = None,

@@ -1039,3 +1039,145 @@ def test_cdf_derives_dv_commit_as_position_delta(spark, tmp_path):
     ch3 = table_changes(spark, dest, v3, v3).collect()
     assert {r._change_type for r in ch3} == {"delete"}
     assert sorted(r.id for r in ch3) == sorted(set(ids) - {ids[0], ids[1], ids[2]})
+
+
+def test_optimize_folds_dvs_and_preserves_rows(spark, tmp_path):
+    """OPTIMIZE bin-packs small files and materializes DV-carrying
+    files' live rows — the rewrite sheds the vectors, row set unchanged,
+    one atomic commit with remove+add (dataChange=false) + commitInfo
+    OPTIMIZE."""
+    import duckdb
+
+    from iceberg_metadata_pipeline_spark.catalog.delta_format import (
+        attach_file_dvs,
+        delta_history,
+        optimize_delta,
+    )
+    from iceberg_metadata_pipeline_spark.ingest.pydelta_source import register
+
+    catalog = Catalog(spark, str(tmp_path / "wh-opt"))
+    st = T.StructType([T.StructField("id", T.LongType(), False)])
+    t = catalog.create_table("nyc", "opt", st).refresh()
+    t.append_dataframe(spark.range(100).selectExpr("id").repartition(8))
+    t = t.refresh()
+    dest = str(tmp_path / "delta-opt")
+    export_delta_table(t, dest)
+    files = sorted(read_delta_table(dest).files)
+    assert len(files) == 8
+    k0 = [r[0] for r in duckdb.sql(f"SELECT id FROM read_parquet('{files[0]}')").fetchall()]
+    attach_file_dvs(dest, {files[0]: [0, 1]}, prefix="op")
+    v = optimize_delta(spark, dest, target_file_rows=1000)
+    state = read_delta_table(dest, v)
+    assert len(state.files) == 1
+    assert not any(a.get("deletionVector") for a in state.files.values())
+    register(spark)
+    got = sorted(r.id for r in spark.read.format("pydelta").load(dest).collect())
+    assert got == sorted(set(range(100)) - {k0[0], k0[1]})
+    assert delta_history(dest)[0]["operation"] == "OPTIMIZE"
+    # idempotent: nothing small or vectored left -> no new commit
+    assert optimize_delta(spark, dest, target_file_rows=1000) == v
+    # time travel before the optimize still sees the DV state
+    before = read_delta_table(dest, v - 1)
+    assert any(a.get("deletionVector") for a in before.files.values())
+
+
+def test_optimize_clusters_with_order_by(spark, tmp_path):
+    """order_by clustering: output files are range-partitioned and
+    internally sorted on the key — every file's [min,max] id range is
+    disjoint, which is what makes data skipping work after OPTIMIZE."""
+    import duckdb
+
+    from iceberg_metadata_pipeline_spark.catalog.delta_format import (
+        optimize_delta,
+    )
+
+    catalog = Catalog(spark, str(tmp_path / "wh-opt2"))
+    st = T.StructType([T.StructField("id", T.LongType(), False)])
+    t = catalog.create_table("nyc", "opt2", st).refresh()
+    t.append_dataframe(spark.range(1000).selectExpr("id").repartition(10))
+    t = t.refresh()
+    dest = str(tmp_path / "delta-opt2")
+    export_delta_table(t, dest)
+    v = optimize_delta(spark, dest, target_file_rows=250, order_by=["id"])
+    state = read_delta_table(dest, v)
+    ranges = []
+    for p in state.files:
+        ids = [r[0] for r in duckdb.sql(f"SELECT id FROM read_parquet('{p}')").fetchall()]
+        assert ids == sorted(ids), "file not internally sorted"
+        ranges.append((min(ids), max(ids)))
+    ranges.sort()
+    for (lo1, hi1), (lo2, _hi2) in zip(ranges, ranges[1:]):
+        assert hi1 < lo2, "file ranges overlap"
+    total = sum(
+        duckdb.sql(f"SELECT COUNT(*) FROM read_parquet('{p}')").fetchone()[0]
+        for p in state.files
+    )
+    assert total == 1000
+
+
+def test_restore_to_old_version_preserves_history(spark, tmp_path):
+    from iceberg_metadata_pipeline_spark.catalog.delta_format import (
+        attach_file_dvs,
+        delta_history,
+        restore_delta,
+    )
+    from iceberg_metadata_pipeline_spark.ingest.pydelta_source import register
+
+    catalog = Catalog(spark, str(tmp_path / "wh-rst"))
+    st = T.StructType([T.StructField("id", T.LongType(), False)])
+    t = catalog.create_table("nyc", "rst", st).refresh()
+    t.append_dataframe(spark.range(20).selectExpr("id").repartition(2))
+    t = t.refresh()
+    dest = str(tmp_path / "delta-rst")
+    export_delta_table(t, dest)  # v0: 20 rows
+    f = sorted(read_delta_table(dest).files)[0]
+    attach_file_dvs(dest, {f: [0, 1]}, prefix="r")  # v1: 18 rows
+    register(spark)
+    assert spark.read.format("pydelta").load(dest).count() == 18
+    v = restore_delta(dest, 0)
+    assert v == 2
+    assert spark.read.format("pydelta").load(dest).count() == 20
+    # history preserved: the DV state is still time-travelable
+    assert (
+        spark.read.format("pydelta").option("versionAsOf", "1").load(dest).count()
+        == 18
+    )
+    assert delta_history(dest)[0]["operation"] == "RESTORE"
+    # restoring to the current state is a no-op
+    assert restore_delta(dest, 2) == 2
+
+
+def test_shallow_clone_shares_files_and_diverges(spark, tmp_path):
+    from iceberg_metadata_pipeline_spark.catalog.delta_format import (
+        attach_file_dvs,
+        clone_delta,
+        vacuum_delta,
+    )
+    from iceberg_metadata_pipeline_spark.ingest.pydelta_source import register
+
+    catalog = Catalog(spark, str(tmp_path / "wh-cl"))
+    st = T.StructType([T.StructField("id", T.LongType(), False)])
+    t = catalog.create_table("nyc", "cl", st).refresh()
+    t.append_dataframe(spark.range(20).selectExpr("id").repartition(2))
+    t = t.refresh()
+    src = str(tmp_path / "delta-src")
+    export_delta_table(t, src)
+    f = sorted(read_delta_table(src).files)[0]
+    attach_file_dvs(src, {f: [0]}, prefix="c")  # clone must resolve this DV
+    dest = str(tmp_path / "delta-clone")
+    v = clone_delta(src, dest)
+    assert v == 0
+    register(spark)
+    src_rows = sorted(r.id for r in spark.read.format("pydelta").load(src).collect())
+    cl_rows = sorted(r.id for r in spark.read.format("pydelta").load(dest).collect())
+    assert cl_rows == src_rows and len(cl_rows) == 19
+    # diverge: a delete in the clone leaves the source untouched
+    cf = sorted(read_delta_table(dest).files)[1]
+    attach_file_dvs(dest, {cf: [0]}, prefix="cc")
+    assert spark.read.format("pydelta").load(dest).count() == 18
+    assert spark.read.format("pydelta").load(src).count() == 19
+    # vacuuming the clone never touches the source's (external) files
+    victims = vacuum_delta(dest, dry_run=True)
+    assert not any(v.startswith(src) for v in victims)
+    with pytest.raises(FileExistsError):
+        clone_delta(src, dest)
