@@ -702,6 +702,8 @@ def clean_hudi(location: str, retain_slices: int = 1, dry_run: bool = False) -> 
         for logs in state.log_files.values()
         for lg in logs
     )
+    # savepointed snapshots are pinned: their files are never reclaimed
+    live_paths.update(_savepointed_paths(location))
     by_group: dict[tuple[str, str], list[BaseFile]] = {}
     # MOR: log files are not slices themselves — they ride with the base
     # slice whose instant they attach to, and die exactly when it does
@@ -1395,3 +1397,76 @@ def compact_mor(location: str) -> str:
         },
     )
     return t
+
+
+# ---------------------------------------------------------------------------
+# savepoint + restore
+# ---------------------------------------------------------------------------
+
+
+def savepoint_hudi(location: str, instant: str | None = None) -> str:
+    """SAVEPOINT: mark a completed instant's snapshot as protected —
+    clean_hudi will not reclaim any base file (or attached log) that
+    snapshot references, and restore_hudi can come back to it. Records
+    a ``<t>.savepoint`` instant whose metadata pins the protected file
+    list (the same shape real Hudi's savepoint metadata carries)."""
+    done = completed_instants(location)
+    if not done:
+        raise ValueError("nothing to savepoint: no completed instants")
+    target = instant or done[-1].time
+    if target not in {i.time for i in done}:
+        raise ValueError(f"no completed instant {target}")
+    state = read_hudi_table(location, target)
+    pinned = sorted(
+        [os.path.relpath(bf.path, location) for bf in state.files.values()]
+        + [
+            os.path.relpath(lg.path, location)
+            for logs in state.log_files.values()
+            for lg in logs
+        ]
+    )
+    t = begin_instant(location, "savepoint")
+    complete_instant(
+        location, t, "savepoint",
+        {
+            "savepointedAt": target,
+            "comments": "savepoint_hudi",
+            "partitionMetadata": {},
+            "pinnedFiles": pinned,
+        },
+    )
+    return t
+
+
+def _savepointed_paths(location: str) -> set[str]:
+    out: set[str] = set()
+    for ins in [i for i in list_timeline(location)
+                if i.state == "completed" and i.action == "savepoint"]:
+        md = read_instant_metadata(location, ins)
+        for rel in md.get("pinnedFiles") or []:
+            out.add(os.path.abspath(os.path.join(location, rel)))
+    return out
+
+
+def restore_hudi(location: str, savepoint_time: str) -> list[str]:
+    """RESTORE to a savepoint: roll back every completed write instant
+    AFTER the savepointed snapshot (newest first, reusing the rollback
+    guard), deleting the files those instants wrote. DESTRUCTIVE by
+    design — Hudi's restore rewinds the timeline, unlike Delta's
+    RESTORE which appends a compensating commit; that difference is the
+    two formats' actual semantics, kept faithfully."""
+    sps = [
+        i for i in list_timeline(location)
+        if i.state == "completed" and i.action == "savepoint"
+        and i.time == savepoint_time
+    ]
+    if not sps:
+        raise ValueError(f"no savepoint {savepoint_time}")
+    target = read_instant_metadata(location, sps[0])["savepointedAt"]
+    removed: list[str] = []
+    while True:
+        done = completed_instants(location)
+        if not done or done[-1].time <= target:
+            break
+        removed.extend(rollback_hudi(location, done[-1].time))
+    return removed

@@ -377,3 +377,43 @@ def test_partitioned_mor_end_to_end(spark, tmp_path):
             assert "/cat=" in lg.path
     compact_mor(loc)
     assert _read_all(spark, loc) == _mor_oracle(_rows(), ops)
+
+
+def test_savepoint_pins_files_and_restore_rewinds(spark, mor_table):
+    """Savepoint protects a snapshot's files from clean; restore rolls
+    the timeline back to it (Hudi's restore is destructive-by-design,
+    unlike Delta's compensating RESTORE commit)."""
+    from iceberg_metadata_pipeline_spark.catalog.hudi_format import (
+        clean_hudi,
+        completed_instants,
+        restore_hudi,
+        savepoint_hudi,
+    )
+
+    loc = mor_table
+    ups = [{"id": 2, "cat": "kept", "score": 2.0}]
+    upsert_mor(loc, ups)
+    register(spark)
+    at_savepoint = _read_all(spark, loc)
+    sp = savepoint_hudi(loc)
+    # diverge: delete + compact (compaction would normally retire the
+    # savepointed base slices)
+    delete_mor(loc, [1, 2, 3])
+    compact_mor(loc)
+    assert _read_all(spark, loc) != at_savepoint
+    # clean keeps the savepointed snapshot's files
+    doomed = clean_hudi(loc, retain_slices=1, dry_run=True)
+    state_sp = read_hudi_table(
+        loc,
+        instant=max(
+            i.time for i in completed_instants(loc)
+            if i.time <= sp
+        ),
+    )
+    pinned = {bf.path for bf in state_sp.files.values()}
+    assert not pinned & set(doomed)
+    # restore: timeline rewinds to the savepointed snapshot
+    restore_hudi(loc, sp)
+    assert _read_all(spark, loc) == at_savepoint
+    with pytest.raises(ValueError, match="no savepoint"):
+        restore_hudi(loc, "00000000000000000")
