@@ -81,11 +81,29 @@ def write_commit(location: str, actions: list[dict], version: int | None = None)
     """Append one commit (newline-delimited JSON actions) as the next —
     or the given — log version. Atomic via write-temp + rename; refuses
     to overwrite an existing version (Delta's optimistic-concurrency
-    put-if-absent contract)."""
+    put-if-absent contract). Tables configured ``delta.appendOnly=true``
+    refuse any remove with ``dataChange`` (deletes/overwrites) at this
+    choke point — layout-only removes (OPTIMIZE's dataChange=false)
+    stay legal, matching the protocol's enforcement rule."""
     log_dir = os.path.join(location, _LOG_DIR)
     os.makedirs(log_dir, exist_ok=True)
     if version is None:
         version = latest_version(location) + 1
+    if version > 0 and any(
+        "remove" in a and a["remove"].get("dataChange", True) for a in actions
+    ):
+        # only replay when the commit actually needs the check; the new
+        # commit itself may flip the flag, so read the PRIOR state
+        conf = (
+            read_delta_table(location, version - 1).metadata.get("configuration")
+            or {}
+        )
+        if str(conf.get("delta.appendOnly", "false")).lower() == "true":
+            raise PermissionError(
+                "delta.appendOnly=true: this table refuses data-changing "
+                "removes (deletes/overwrites); layout-only maintenance "
+                "(OPTIMIZE) is still allowed"
+            )
     dest = _commit_path(location, version)
     if os.path.exists(dest):
         raise FileExistsError(

@@ -1181,3 +1181,41 @@ def test_shallow_clone_shares_files_and_diverges(spark, tmp_path):
     assert not any(v.startswith(src) for v in victims)
     with pytest.raises(FileExistsError):
         clone_delta(src, dest)
+
+
+def test_append_only_refuses_data_changing_removes(spark, tmp_path):
+    """delta.appendOnly=true: DV deletes and overwrites refuse at the
+    commit choke point; appends and OPTIMIZE (dataChange=false removes)
+    stay legal."""
+    from iceberg_metadata_pipeline_spark.catalog.delta_format import (
+        attach_inline_dv,
+        optimize_delta,
+    )
+
+    catalog = Catalog(spark, str(tmp_path / "wh-ao"))
+    st = T.StructType([T.StructField("id", T.LongType(), False)])
+    t = catalog.create_table("nyc", "ao", st).refresh()
+    t.append_dataframe(spark.range(40).selectExpr("id").repartition(4))
+    t = t.refresh()
+    dest = str(tmp_path / "delta-ao")
+    export_delta_table(t, dest)
+    state = read_delta_table(dest)
+    md = dict(state.metadata)
+    md["configuration"] = dict(
+        md.get("configuration") or {}, **{"delta.appendOnly": "true"}
+    )
+    write_commit(dest, [{"metaData": md}])
+    f = sorted(read_delta_table(dest).files)[0]
+    with pytest.raises(PermissionError, match="appendOnly"):
+        attach_inline_dv(dest, f, [0])
+    # appends still fine
+    t.append_dataframe(spark.createDataFrame([(999,)], st))
+    assert export_delta_table(t.refresh(), dest) > 1
+    # OPTIMIZE (layout-only) still fine
+    v = optimize_delta(spark, dest, target_file_rows=1000)
+    assert read_delta_table(dest, v).version == v
+    from iceberg_metadata_pipeline_spark.ingest.pydelta_source import register
+
+    register(spark)
+    got = sorted(r.id for r in spark.read.format("pydelta").load(dest).collect())
+    assert got == sorted(list(range(40)) + [999])
