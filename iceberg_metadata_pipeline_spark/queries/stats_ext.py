@@ -491,3 +491,164 @@ def stat_cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
     post-aggregation shape)."""
     load_tables(spark, sf_dir)
     return spark.sql(_CUSUM_SQL)
+
+
+# --- Benford first-digit test -------------------------------------------------
+
+_BENFORD_OBS = """
+WITH s AS (
+  SELECT CAST(SUBSTRING(CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS STRING), 1, 1)
+              AS BIGINT) AS d
+  FROM orders WHERE o_totalprice > 0
+), obs AS (
+  SELECT d, CAST(COUNT(*) AS BIGINT) AS n_d FROM s GROUP BY d
+), tot AS (SELECT CAST(SUM(n_d) AS BIGINT) AS n FROM obs),
+terms AS (
+  SELECT
+    (CAST(o.n_d AS DOUBLE) - CAST(t.n AS DOUBLE) * LOG10(1.0E0 + 1.0E0 / d))
+    * (CAST(o.n_d AS DOUBLE) - CAST(t.n AS DOUBLE) * LOG10(1.0E0 + 1.0E0 / d))
+    / (CAST(t.n AS DOUBLE) * LOG10(1.0E0 + 1.0E0 / d)) AS term
+  FROM obs o CROSS JOIN tot t
+)
+SELECT (SELECT n FROM tot) AS n,
+       {FOLD} AS chi2_benford
+FROM terms
+"""
+
+
+@query(
+    "stat_benford_first_digit",
+    _BENFORD_OBS.replace(
+        "{FOLD}", "list_reduce(list_sort(list(term)), (a, x) -> a + x)"
+    ),
+)
+def stat_benford_first_digit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benford's-law first-digit audit of order prices: χ² between the
+    observed leading-digit distribution and log10(1+1/d). The leading
+    digit comes from the DECIMAL(18,2) string render — identical in
+    both engines — never from floor(log10(v)), whose 1-ulp libm
+    wobble at exact powers of ten would flip digits. Nine χ² terms are
+    identical doubles (integer counts, same LOG10 argument) folded in
+    sorted order. One hash aggregate over the scan; the classic
+    fabricated-data / ETL-corruption smoke alarm at any scale."""
+    load_tables(spark, sf_dir)
+    return spark.sql(
+        _BENFORD_OBS.replace(
+            "{FOLD}",
+            "reduce(array_sort(collect_list(term)),"
+            " CAST(0.0E0 AS DOUBLE), (a, x) -> a + x)",
+        )
+    )
+
+
+# --- Gini coefficient ----------------------------------------------------------
+
+
+@query(
+    "stat_gini_customer_spend",
+    """
+WITH spend AS (
+  SELECT o_custkey,
+    CAST(SUM(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS DECIMAL(38,0)))
+         AS BIGINT) AS cents
+  FROM orders GROUP BY o_custkey
+), pv AS (
+  SELECT cents AS x, CAST(COUNT(*) AS BIGINT) AS cnt
+  FROM spend GROUP BY cents
+), c AS (
+  SELECT x, cnt,
+    COALESCE(SUM(cnt) OVER (
+      ORDER BY x ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+    ), 0) AS cb
+  FROM pv
+), tot AS (
+  SELECT CAST(SUM(cnt) AS BIGINT) AS n,
+         CAST(SUM(CAST(x AS DECIMAL(38,0)) * cnt) AS DECIMAL(38,0)) AS total
+  FROM pv
+), s AS (
+  SELECT CAST(SUM(
+    CAST(x AS DECIMAL(38,0))
+    * (2 * (cnt * cb + cnt * (cnt + 1) / 2) - cnt * (t.n + 1))
+  ) AS DECIMAL(38,0)) AS rank_weighted
+  FROM c CROSS JOIN tot t
+)
+SELECT t.n,
+  CAST(s.rank_weighted AS DOUBLE)
+    / (CAST(t.n AS DOUBLE) * CAST(t.total AS DOUBLE)) AS gini
+FROM s CROSS JOIN tot t
+""",
+)
+def stat_gini_customer_spend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gini coefficient of per-customer spend — EXACT integer
+    arithmetic end to end: spend in cents, and the sorted-order
+    rank-weighted sum Σ(2i−n−1)·x_(i) collapses per DISTINCT value
+    (within a tie run the x is constant, so Σ(2i) over the run is
+    2·cnt·cum_before + cnt(cnt+1), closed-form) — no per-row rank ever
+    materializes. The Spark plan uses the bucketed two-phase prefix for
+    cum_before (windows partitioned by bucket); DECIMAL(38,0) sums keep
+    every intermediate exact; one double division at the end. The
+    standard concentration/skew audit for a revenue (or token-count)
+    distribution."""
+    from pyspark.sql import Window
+
+    t = load_tables(spark, sf_dir)
+    spend = (
+        t["orders"]
+        .groupBy("o_custkey")
+        .agg(
+            F.sum(
+                F.expr(
+                    "CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100"
+                    " AS DECIMAL(38,0))"
+                )
+            )
+            .cast("long")
+            .alias("cents")
+        )
+    )
+    pv = spend.groupBy(F.col("cents").alias("x")).agg(
+        F.count(F.lit(1)).cast("long").alias("cnt")
+    )
+    tot = pv.agg(
+        F.sum("cnt").cast("long").alias("n"),
+        F.sum(F.expr("CAST(x AS DECIMAL(38,0)) * cnt"))
+        .cast("decimal(38,0)")
+        .alias("total"),
+    )
+    bounds = pv.agg(F.min("x").alias("vmin"), F.max("x").alias("vmax"))
+    b = pv.crossJoin(F.broadcast(bounds)).withColumn(
+        "bucket",
+        F.expr(
+            "width_bucket(CAST(x AS DOUBLE), CAST(vmin AS DOUBLE),"
+            " CAST(vmax AS DOUBLE) + 1.0d, 1024)"
+        ),
+    )
+    w_bkt = Window.orderBy("bucket").rowsBetween(Window.unboundedPreceding, -1)
+    offs = (
+        b.groupBy("bucket")
+        .agg(F.sum("cnt").alias("bn"))
+        .select(
+            "bucket",
+            F.coalesce(F.sum("bn").over(w_bkt), F.lit(0)).alias("off"),
+        )
+    )
+    w_in = Window.partitionBy("bucket").orderBy("x")
+    ranked = b.join(F.broadcast(offs), "bucket").select(
+        "x", "cnt",
+        (F.col("off") + F.sum("cnt").over(w_in) - F.col("cnt")).alias("cb"),
+    )
+    s = ranked.crossJoin(F.broadcast(tot)).agg(
+        F.sum(
+            F.expr(
+                "CAST(x AS DECIMAL(38,0))"
+                " * (2 * (cnt * cb + cnt * (cnt + 1) / 2) - cnt * (n + 1))"
+            )
+        )
+        .cast("decimal(38,0)")
+        .alias("rank_weighted")
+    )
+    return s.crossJoin(F.broadcast(tot)).selectExpr(
+        "n",
+        "CAST(rank_weighted AS DOUBLE)"
+        " / (CAST(n AS DOUBLE) * CAST(total AS DOUBLE)) AS gini",
+    )
