@@ -417,3 +417,105 @@ def test_savepoint_pins_files_and_restore_rewinds(spark, mor_table):
     assert _read_all(spark, loc) == at_savepoint
     with pytest.raises(ValueError, match="no savepoint"):
         restore_hudi(loc, "00000000000000000")
+
+
+def test_log_block_golden_bytes(tmp_path):
+    """Hand-derived golden bytes for one DELETE block: #HUDI# magic,
+    u64 size, u32 version=1, u32 type=1, header map {0: '777'},
+    content = [u32 1][u32 count 1][u32 len 1]['7'], empty footer,
+    trailing length — byte-for-byte, so the serde can never drift
+    silently."""
+    import struct
+
+    path = str(tmp_path / ".g_001.log.1_0-1-0")
+    append_log_block(
+        path, BLOCK_DELETE, {HEADER_INSTANT_TIME: "777"},
+        b"\x00\x00\x00\x01\x00\x00\x00\x01\x00\x00\x00\x017",
+    )
+    raw = open(path, "rb").read()
+    header_map = struct.pack(">I", 1) + struct.pack(">II", 0, 3) + b"777"
+    content = b"\x00\x00\x00\x01\x00\x00\x00\x01\x00\x00\x00\x017"
+    body = (
+        struct.pack(">II", 1, 1)          # version, type=DELETE
+        + header_map
+        + struct.pack(">Q", len(content))
+        + content
+        + struct.pack(">I", 0)            # empty footer map
+    )
+    size = len(body) + 8
+    expected = b"#HUDI#" + struct.pack(">Q", size) + body + struct.pack(">Q", size)
+    assert raw == expected
+
+
+def test_mor_randomized_sequences_vs_oracle(tmp_path):
+    """Seeded fuzz: 25 random upsert/delete/compact/rollback sequences,
+    each replayed through the format writers and read back via the
+    per-slice merge (no Spark needed — the merge is plain Python inside
+    the reader task), compared against the independent dict oracle."""
+    import random
+
+    from iceberg_metadata_pipeline_spark.catalog.hudi_format import (
+        completed_instants,
+        rollback_hudi,
+    )
+
+    def read_merged(loc):
+        state = read_hudi_table(loc)
+        rows = []
+        for key, bf in state.files.items():
+            logs = [
+                (lg.path, lg.instant_time)
+                for lg in state.log_files.get(key, [])
+            ]
+            rows.extend(
+                merge_file_slice(
+                    bf.path, logs, "id", state.valid_instants, state.instant
+                )
+            )
+        return sorted((r["id"], r["cat"], r["score"]) for r in rows)
+
+    for seed in range(25):
+        rng = random.Random(seed)
+        loc = str(tmp_path / f"fz{seed}")
+        create_mor_table(loc, f"fz{seed}", [], "id", SCHEMA)
+        base = _rows(rng.randint(5, 30))
+        bulk_insert_mor(loc, base, n_file_groups=rng.randint(1, 3))
+        ops = []
+        history = []  # (kind, payload, instant) for rollback replay
+        for _step in range(rng.randint(1, 6)):
+            kind = rng.choice(["upsert", "delete", "compact", "rollback"])
+            if kind == "upsert":
+                payload = [
+                    {
+                        "id": rng.randint(0, 40),
+                        "cat": rng.choice(["a", "b", "z"]),
+                        "score": float(rng.randint(0, 99)),
+                    }
+                    for _ in range(rng.randint(1, 5))
+                ]
+                # same key twice in one batch: last one wins in both
+                t = upsert_mor(loc, payload)
+                dedup = {str(r["id"]): r for r in payload}
+                ops.append(("upsert", list(dedup.values())))
+                history.append(("upsert", list(dedup.values()), t))
+            elif kind == "delete":
+                payload = [rng.randint(0, 40) for _ in range(rng.randint(1, 4))]
+                t = delete_mor(loc, payload)
+                ops.append(("delete", payload))
+                history.append(("delete", payload, t))
+            elif kind == "compact":
+                state = read_hudi_table(loc)
+                if state.has_live_logs():
+                    compact_mor(loc)
+                    history.append(("compact", None, None))
+            else:
+                done = completed_instants(loc)
+                # only roll back a write instant that is still latest and
+                # not the bulk insert
+                if history and history[-1][2] is not None and history[-1][2] == done[-1].time:
+                    rollback_hudi(loc, done[-1].time)
+                    history.pop()
+                    ops.pop()
+        got = read_merged(loc)
+        expect = _mor_oracle(base, ops)
+        assert got == expect, f"seed {seed}: {got} != {expect}"
