@@ -38,6 +38,7 @@ from pyspark.sql import types as T
 from pyspark.sql.datasource import (
     DataSource,
     DataSourceReader,
+    DataSourceStreamReader,
     InputPartition,
 )
 
@@ -89,9 +90,77 @@ class PyWdsReader(DataSourceReader):
                 yield (shard, key, ext, fh.read() if fh is not None else None)
 
 
+class PyWdsStreamReader(DataSourceStreamReader):
+    """Tail a GROWING shard directory: the offset is the sorted list
+    position of the last consumed shard name, so each micro-batch emits
+    exactly the shards that appeared since — the arrival pattern of a
+    corpus being produced shard-by-shard upstream. Shards are assumed
+    immutable once present (the WebDataset contract: writers create
+    under a temp name and rename). Lexicographic shard order IS the
+    offset order, matching write_webdataset_shards' zero-padded names."""
+
+    def __init__(self, options):
+        self.root = _local(options["path"])
+        lim = int(options.get("maxShardsPerTrigger", 0) or 0)
+        self._limit = lim if lim > 0 else None
+        # engine-confirmed position (same contract as pyhudi/pydelta):
+        # throttling starts at the SECOND micro-batch of a reader
+        # instance — bounding before the engine reveals its checkpointed
+        # start could regress the offset log
+        self._pos: str | None = None
+
+    def _shards(self) -> list[str]:
+        return sorted(
+            os.path.basename(p)
+            for p in glob.glob(os.path.join(self.root, "*.tar"))
+        )
+
+    def initialOffset(self) -> dict:
+        return {"last": ""}
+
+    def latestOffset(self) -> dict:
+        names = self._shards()
+        if not names:
+            return {"last": self._pos or ""}
+        if self._limit is None or self._pos is None:
+            return {"last": names[-1]}
+        fresh = [n for n in names if n > self._pos]
+        take = fresh[: self._limit]
+        return {"last": take[-1] if take else self._pos}
+
+    def partitions(self, start: dict, end: dict):
+        self._pos = max(self._pos or "", start["last"])
+        lo, hi = start["last"], end["last"]
+        fresh = [n for n in self._shards() if lo < n <= hi]
+        return [
+            TarShardPartition(os.path.join(self.root, n)) for n in fresh
+        ]
+
+    def read(self, partition: TarShardPartition):
+        import tarfile
+
+        shard = os.path.basename(partition.path)
+        with tarfile.open(partition.path, "r") as tf:
+            for m in tf:
+                if not m.isfile():
+                    continue
+                base = os.path.basename(m.name)
+                key, dot, ext = base.partition(".")
+                if not dot:
+                    key, ext = base, ""
+                fh = tf.extractfile(m)
+                yield (shard, key, ext, fh.read() if fh is not None else None)
+
+    def commit(self, end: dict) -> None:
+        # offsets live in the query checkpoint; track locally for the
+        # maxShardsPerTrigger bound
+        self._pos = max(self._pos or "", end["last"])
+
+
 class PyWdsDataSource(DataSource):
     """``spark.dataSource.register(PyWdsDataSource)`` → format name
-    "pywds" for batch reads of WebDataset tar-shard directories."""
+    "pywds" for batch reads and readStream tailing of WebDataset
+    tar-shard directories."""
 
     @classmethod
     def name(cls) -> str:
@@ -102,6 +171,9 @@ class PyWdsDataSource(DataSource):
 
     def reader(self, schema: T.StructType) -> DataSourceReader:
         return PyWdsReader(self.options)
+
+    def streamReader(self, schema: T.StructType) -> DataSourceStreamReader:
+        return PyWdsStreamReader(self.options)
 
 
 def register(spark) -> None:

@@ -89,3 +89,64 @@ def test_missing_dir_and_no_members_fail_loudly(spark, tmp_path):
     df = spark.createDataFrame([("k",)], "key string")
     with pytest.raises(ValueError, match="member column"):
         write_webdataset_shards(df, str(tmp_path / "x"))
+
+
+def test_stream_tails_new_shards(spark, tmp_path):
+    """readStream over a growing shard directory: first run drains the
+    existing shards; a shard that appears later is emitted exactly once
+    on restart (offset = sorted shard-name position in the checkpoint)."""
+    d = str(tmp_path / "grow")
+    os.makedirs(d)
+    _hand_shard(os.path.join(d, "shard-000000.tar"), {"a.txt": b"1", "b.txt": b"2"})
+    _hand_shard(os.path.join(d, "shard-000001.tar"), {"c.txt": b"3"})
+    register(spark)
+    out = str(tmp_path / "sink")
+    ckpt = str(tmp_path / "ckpt")
+
+    def run_once():
+        q = (
+            spark.readStream.format("pywds")
+            .load(d)
+            .writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    run_once()
+    assert spark.read.parquet(out).count() == 3
+    _hand_shard(os.path.join(d, "shard-000002.tar"), {"d.txt": b"4", "e.txt": b"5"})
+    run_once()
+    got = spark.read.parquet(out)
+    assert got.count() == 5
+    assert sorted(r.key for r in got.collect()) == ["a", "b", "c", "d", "e"]
+
+
+def test_stream_max_shards_per_trigger(spark, tmp_path):
+    """maxShardsPerTrigger bounds each batch after the first: 3 new
+    shards drain over multiple availableNow micro-batches, never more
+    than one shard per batch past the checkpointed start."""
+    d = str(tmp_path / "throttle")
+    os.makedirs(d)
+    for i in range(4):
+        _hand_shard(
+            os.path.join(d, f"shard-{i:06d}.tar"), {f"k{i}.txt": str(i).encode()}
+        )
+    register(spark)
+    out = str(tmp_path / "sink2")
+    q = (
+        spark.readStream.format("pywds")
+        .option("maxShardsPerTrigger", "1")
+        .load(d)
+        .writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", str(tmp_path / "ckpt2"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    got = spark.read.parquet(out)
+    assert got.count() == 4
+    assert sorted(r.key for r in got.collect()) == ["k0", "k1", "k2", "k3"]
