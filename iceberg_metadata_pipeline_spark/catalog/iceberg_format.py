@@ -658,6 +658,91 @@ def export_iceberg_table(table: Table, dest: str, format_version: int = 2) -> st
     return meta_path
 
 
+def _metadata_reachable_paths(meta_path: str) -> set[str]:
+    """Every file a metadata version keeps alive: its manifest lists,
+    the manifests those lists reference, puffin statistics files, and
+    data/delete files that live UNDER the table location (external
+    absolute paths are never the table's to reclaim — same rule as
+    delta's vacuum)."""
+    out: set[str] = set()
+    with open(meta_path) as fh:
+        md = json.load(fh)
+    location = md.get("location", os.path.dirname(os.path.dirname(meta_path)))
+    for s in md.get("snapshots", []):
+        ml = _clean_path(s.get("manifest-list", ""))
+        if not ml:
+            continue
+        out.add(os.path.abspath(ml))
+        if not os.path.exists(ml):
+            continue
+        _, _, mrows = avro_io.read_container(ml)
+        for mf in mrows:
+            mp = _clean_path(mf["manifest_path"])
+            if not os.path.isabs(mp):
+                mp = os.path.join(location, "metadata", os.path.basename(mp))
+            out.add(os.path.abspath(mp))
+            if not os.path.exists(mp):
+                continue
+            _, _, entries = avro_io.read_container(mp)
+            for e in entries:
+                fp = _clean_path(e["data_file"]["file_path"])
+                out.add(os.path.abspath(fp))
+    for st in md.get("statistics", []):
+        p = st.get("statistics-path")
+        if p:
+            out.add(os.path.abspath(_clean_path(p)))
+    return out
+
+
+def expire_iceberg_metadata(
+    location: str, keep_last: int = 2, dry_run: bool = False
+) -> list[str]:
+    """Expire old metadata VERSIONS of an exported Iceberg dir (the
+    HadoopTableOperations layout): keep the newest ``keep_last``
+    vN.metadata.json files, delete older ones plus every manifest list /
+    manifest / puffin stats / location-internal data file reachable
+    ONLY from the dropped versions. Files reachable from any kept
+    version survive, so current reads and time travel within the
+    retained window are untouched; files OUTSIDE the table location are
+    never deleted (metadata-only exports point at foreign parquet — the
+    table does not own those bytes). Returns the deleted paths."""
+    meta_dir = os.path.join(location, "metadata")
+    versions = sorted(
+        (
+            int(m.group(1)),
+            os.path.join(meta_dir, f"v{m.group(1)}.metadata.json"),
+        )
+        for p in glob.glob(os.path.join(meta_dir, "v*.metadata.json"))
+        if (m := re.fullmatch(r"v(\d+)\.metadata\.json", os.path.basename(p)))
+    )
+    if keep_last < 1:
+        raise ValueError("keep_last must be >= 1 (the current version stays)")
+    dropped = versions[:-keep_last]
+    if not dropped:
+        return []
+    kept_paths: set[str] = set()
+    for _v, p in versions[-keep_last:]:
+        kept_paths |= _metadata_reachable_paths(p)
+    loc_abs = os.path.abspath(location) + os.sep
+    victims: list[str] = []
+    for _v, p in dropped:
+        for f in sorted(_metadata_reachable_paths(p)):
+            if (
+                f.startswith(loc_abs)
+                and f not in kept_paths
+                and os.path.lexists(f)
+            ):
+                victims.append(f)
+        victims.append(os.path.abspath(p))
+    # dedupe, preserve order
+    seen: set[str] = set()
+    victims = [v for v in victims if not (v in seen or seen.add(v))]
+    if not dry_run:
+        for v in victims:
+            os.remove(v)
+    return victims
+
+
 # ---------------------------------------------------------------------------
 # read / import: Iceberg v2 directory -> files + schema -> metacat
 # ---------------------------------------------------------------------------

@@ -860,3 +860,52 @@ def test_import_applies_equality_deletes_with_sequence(spark, tmp_path):
     if first[1] == "b":
         expect = sorted(i for i in range(10) if i % 3 != 0)
     assert got == expect
+
+
+def test_expire_metadata_versions(spark, tmp_path):
+    """expire_iceberg_metadata keeps the newest N versions and their
+    reachable files; dropped versions' manifest lists/manifests go,
+    EXTERNAL data files are never touched, the current read (pyice +
+    importer) is unaffected, and time travel to an expired version is
+    impossible because its metadata is gone."""
+    import glob as _glob
+
+    from iceberg_metadata_pipeline_spark.catalog.iceberg_format import (
+        expire_iceberg_metadata,
+        export_iceberg_table,
+        read_iceberg_table,
+    )
+
+    catalog = Catalog(spark, str(tmp_path / "wh-exp"))
+    st = T.StructType([T.StructField("id", T.LongType(), False)])
+    t = catalog.create_table("nyc", "expire_src", st).refresh()
+    t.append_dataframe(spark.range(10).selectExpr("id"))
+    t = t.refresh()
+    dest = str(tmp_path / "ice-exp")
+    export_iceberg_table(t, dest)  # v1
+    for k in (100, 200):  # v2, v3
+        t.append_dataframe(spark.createDataFrame([(k,)], st))
+        t = t.refresh()
+        export_iceberg_table(t, dest)
+    meta_dir = os.path.join(dest, "metadata")
+    assert len(_glob.glob(os.path.join(meta_dir, "v*.metadata.json"))) == 3
+    n_avro_before = len(_glob.glob(os.path.join(meta_dir, "*.avro")))
+
+    preview = expire_iceberg_metadata(dest, keep_last=1, dry_run=True)
+    assert os.path.join(meta_dir, "v1.metadata.json") in preview
+    assert all(os.path.exists(p) for p in preview)  # dry run deletes nothing
+
+    victims = expire_iceberg_metadata(dest, keep_last=1)
+    assert sorted(victims) == sorted(preview)
+    assert len(_glob.glob(os.path.join(meta_dir, "v*.metadata.json"))) == 1
+    # v3's manifest list + manifest survive; older ones are gone
+    n_avro_after = len(_glob.glob(os.path.join(meta_dir, "*.avro")))
+    assert n_avro_after == 2 and n_avro_before == 6
+    # external (fixture/warehouse) data files untouched, current read fine
+    info = read_iceberg_table(dest)
+    assert all(os.path.exists(f.path) for f in info.files)
+    assert sum(f.record_count for f in info.files) == 12
+    # idempotent
+    assert expire_iceberg_metadata(dest, keep_last=1) == []
+    with pytest.raises(ValueError, match="keep_last"):
+        expire_iceberg_metadata(dest, keep_last=0)
