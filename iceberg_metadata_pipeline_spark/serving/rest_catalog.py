@@ -212,13 +212,7 @@ class RestCatalogServer:
                         self._exports.pop((ns, name), None)
                     return h._send(204)
                 if method == "POST":
-                    return h._error(
-                        400,
-                        "commitTable (requirements/updates) is not served: "
-                        "writes go through the warehouse's own commit path; "
-                        "this catalog will not fork a second commit protocol",
-                        "CommitNotSupportedException",
-                    )
+                    return self._commit_table(h, ns, name, h._body())
             if len(p) == 5 and p[2] == "tables" and p[4] == "metrics" and method == "POST":
                 return h._send(204)
             if len(p) == 3 and p[2] == "views":
@@ -281,6 +275,78 @@ class RestCatalogServer:
             200,
             {"metadata-location": meta_path, "metadata": metadata, "config": {}},
         )
+
+    def _commit_table(self, h, ns: str, name: str, body: dict):
+        """commitTable, METADATA-ONLY subset: requirements are checked
+        (assert-table-uuid / assert-ref-snapshot-id — the optimistic-
+        concurrency handshake pyiceberg sends for ALTER TABLE SET
+        TBLPROPERTIES), and set-properties / remove-properties updates
+        apply through metacat's own property commit. Data and schema
+        commits (add-snapshot, set-snapshot-ref, add-schema, …) still
+        refuse loudly: those go through the warehouse's own commit
+        path — this catalog will not fork a second commit protocol."""
+        if not self.catalog.table_exists(ns, name):
+            return h._error(
+                404, f"table {ns}.{name} not found", "NoSuchTableException"
+            )
+        t = self.catalog.load_table(ns, name)
+        snap = t.current_snapshot
+        cur_sid = None if snap is None else int(snap["snapshot_id"])
+        for req in body.get("requirements") or []:
+            typ = req.get("type")
+            if typ == "assert-create":
+                return h._error(
+                    409, f"table {ns}.{name} already exists",
+                    "CommitFailedException",
+                )
+            if typ == "assert-table-uuid":
+                have = str(t.meta.get("table_uuid", ""))
+                if str(req.get("uuid", "")) != have:
+                    return h._error(
+                        409,
+                        f"table uuid mismatch: {req.get('uuid')} != {have}",
+                        "CommitFailedException",
+                    )
+            elif typ == "assert-ref-snapshot-id":
+                want = req.get("snapshot-id")
+                if (want is None) != (cur_sid is None) or (
+                    want is not None and int(want) != cur_sid
+                ):
+                    return h._error(
+                        409,
+                        f"ref {req.get('ref', 'main')} is at {cur_sid}, "
+                        f"not {want}",
+                        "CommitFailedException",
+                    )
+            else:
+                return h._error(
+                    400, f"unsupported commit requirement {typ!r}",
+                    "BadRequestException",
+                )
+        sets: dict = {}
+        removals: list[str] = []
+        for u in body.get("updates") or []:
+            action = u.get("action")
+            if action == "set-properties":
+                sets.update(u.get("updates") or {})
+            elif action == "remove-properties":
+                removals.extend(u.get("removals") or [])
+            else:
+                return h._error(
+                    400,
+                    f"commit update {action!r} is not served: data/schema "
+                    "commits go through the warehouse's own commit path; "
+                    "this catalog serves metadata-only property commits",
+                    "CommitNotSupportedException",
+                )
+        removed = [k for k in removals if t.properties.pop(k, None) is not None]
+        if sets or removed:
+            t.set_properties({str(k): str(v) for k, v in sets.items()})
+        with self._lock:
+            # properties don't move the snapshot id, so the cached export
+            # would serve stale metadata — drop it
+            self._exports.pop((ns, name), None)
+        return self._load_table(h, ns, name)
 
     def _create_table(self, h, ns: str, body: dict):
         name = body.get("name")

@@ -158,10 +158,13 @@ def test_rename_and_refusals(server):
     )
     assert code == 204
     assert _status_of(f"{base}/v1/namespaces/r/tables/new", "HEAD") == 200
-    # commitTable is a documented refusal, not a silent no-op
+    # commitTable serves metadata-only property commits (r7); data and
+    # schema commits remain a documented refusal, not a silent no-op
     assert (
         _status_of(
-            f"{base}/v1/namespaces/r/tables/new", "POST", {"updates": []}
+            f"{base}/v1/namespaces/r/tables/new",
+            "POST",
+            {"updates": [{"action": "add-snapshot", "snapshot": {}}]},
         )
         == 400
     )
@@ -238,3 +241,69 @@ def test_view_lifecycle_and_spec_metadata(spark, server):
     assert len(v2["metadata"]["versions"]) == 2
     assert _status_of(f"{base}/v1/namespaces/v/views/evens", "DELETE") == 204
     assert _status_of(f"{base}/v1/namespaces/v/views/evens", "HEAD") == 404
+
+
+def test_commit_table_property_updates(spark, server):
+    """commitTable metadata-only subset: set/remove properties apply
+    through metacat's property commit, requirement mismatches are 409
+    CommitFailedException, data commits still refuse, and loadTable
+    serves the NEW properties (export cache invalidated)."""
+    catalog, _, base = server
+    _req(f"{base}/v1/namespaces", "POST", {"namespace": ["c"]})
+    _req(
+        f"{base}/v1/namespaces/c/tables",
+        "POST",
+        {"name": "pc", "schema": ICE_SCHEMA},
+    )
+    url = f"{base}/v1/namespaces/c/tables/pc"
+    code, out = _req(
+        url,
+        "POST",
+        {
+            "requirements": [{"type": "assert-ref-snapshot-id", "ref": "main",
+                              "snapshot-id": None}],
+            "updates": [
+                {"action": "set-properties",
+                 "updates": {"owner": "etl", "comment": "hello"}},
+            ],
+        },
+    )
+    assert code == 200
+    assert out["metadata"]["properties"]["owner"] == "etl"
+    t = catalog.load_table("c", "pc")
+    assert t.properties["owner"] == "etl" and t.properties["comment"] == "hello"
+    # remove-properties
+    code, out = _req(
+        url, "POST",
+        {"updates": [{"action": "remove-properties", "removals": ["comment"]}]},
+    )
+    assert code == 200 and "comment" not in out["metadata"]["properties"]
+    # loadTable reflects the change (cache dropped despite unchanged snapshot)
+    code, loaded = _req(url)
+    assert code == 200 and loaded["metadata"]["properties"].get("owner") == "etl"
+    assert "comment" not in loaded["metadata"]["properties"]
+    # requirement mismatch -> 409
+    assert (
+        _status_of(
+            url, "POST",
+            {"requirements": [{"type": "assert-ref-snapshot-id",
+                               "ref": "main", "snapshot-id": 12345}],
+             "updates": [{"action": "set-properties", "updates": {"x": "1"}}]},
+        )
+        == 409
+    )
+    # unsupported requirement types are loud too
+    assert (
+        _status_of(
+            url, "POST",
+            {"requirements": [{"type": "assert-last-assigned-field-id",
+                               "last-assigned-field-id": 2}],
+             "updates": []},
+        )
+        == 400
+    )
+    # unknown table -> 404
+    assert (
+        _status_of(f"{base}/v1/namespaces/c/tables/ghost", "POST", {"updates": []})
+        == 404
+    )
