@@ -1260,6 +1260,14 @@ _PROC_POSITIONAL = {
     "import_delta": ["location", "table"],
     "export_hudi": ["table", "location"],
     "import_hudi": ["location", "table"],
+    # format-directory maintenance verbs (round 7)
+    "optimize_delta": ["location", "target_file_rows"],
+    "restore_delta": ["location", "version"],
+    "clone_delta": ["location", "dest"],
+    "compact_hudi": ["location"],
+    "savepoint_hudi": ["location", "instant"],
+    "restore_hudi": ["location", "savepoint"],
+    "expire_iceberg_metadata": ["location", "keep_last"],
 }
 
 
@@ -1340,6 +1348,88 @@ def _run_procedure(catalog: Catalog, proc: str, raw_args: str) -> DataFrame:
             [(loc, dref, len(t.snapshot_files()))],
             "location string, table string, imported_files_count int",
         )
+    if proc in (
+        "optimize_delta",
+        "restore_delta",
+        "clone_delta",
+        "compact_hudi",
+        "savepoint_hudi",
+        "restore_hudi",
+        "expire_iceberg_metadata",
+    ):
+        # format-directory maintenance verbs: these act on a LOCATION
+        # (an exported/foreign table dir), not a metacat table
+        loc = str(args["location"])
+        if proc == "optimize_delta":
+            from iceberg_metadata_pipeline_spark.catalog.delta_format import (
+                optimize_delta,
+            )
+
+            v = optimize_delta(
+                spark, loc,
+                target_file_rows=int(args.get("target_file_rows", 1_000_000)),
+            )
+            return spark.createDataFrame(
+                [(loc, v)], "location string, version long"
+            )
+        if proc == "restore_delta":
+            from iceberg_metadata_pipeline_spark.catalog.delta_format import (
+                restore_delta,
+            )
+
+            v = restore_delta(loc, int(args["version"]))
+            return spark.createDataFrame(
+                [(loc, int(args["version"]), v)],
+                "location string, restored_version long, commit_version long",
+            )
+        if proc == "clone_delta":
+            from iceberg_metadata_pipeline_spark.catalog.delta_format import (
+                clone_delta,
+            )
+
+            dest = str(args["dest"])
+            clone_delta(loc, dest)
+            return spark.createDataFrame(
+                [(loc, dest)], "source string, dest string"
+            )
+        if proc == "compact_hudi":
+            from iceberg_metadata_pipeline_spark.catalog.hudi_format import (
+                compact_mor,
+            )
+
+            instant = compact_mor(loc)
+            return spark.createDataFrame(
+                [(loc, instant)], "location string, instant string"
+            )
+        if proc == "savepoint_hudi":
+            from iceberg_metadata_pipeline_spark.catalog.hudi_format import (
+                savepoint_hudi,
+            )
+
+            instant = savepoint_hudi(loc, args.get("instant"))
+            return spark.createDataFrame(
+                [(loc, instant)], "location string, savepoint string"
+            )
+        if proc == "restore_hudi":
+            from iceberg_metadata_pipeline_spark.catalog.hudi_format import (
+                restore_hudi,
+            )
+
+            removed = restore_hudi(loc, str(args["savepoint"]))
+            return spark.createDataFrame(
+                [(loc, len(removed))], "location string, files_removed int"
+            )
+        from iceberg_metadata_pipeline_spark.catalog.iceberg_format import (
+            expire_iceberg_metadata,
+        )
+
+        removed = expire_iceberg_metadata(
+            loc, keep_last=int(args.get("keep_last", 2))
+        )
+        return spark.createDataFrame(
+            [(loc, len(removed))], "location string, files_removed int"
+        )
+
     tref = args.pop("table", None)
     if not isinstance(tref, str) or "." not in tref:
         raise ValueError(f"system.{proc} needs table => 'ns.name'")

@@ -1332,3 +1332,89 @@ def test_call_format_interop_procedures(spark, tmp_path):
     assert sorted(
         r["id"] for r in catalog.load_table("nyc", "proc_hd").scan().collect()
     ) == list(range(12))
+
+
+def test_call_format_maintenance_procedures(catalog, spark, tmp_path):
+    """The round-7 maintenance verbs through CALL system.*: export a
+    table to Delta and Hudi-MOR locations, then optimize / restore /
+    clone (Delta) and compact / savepoint / restore (Hudi) and
+    expire_iceberg_metadata — each returns its small Iceberg-style
+    result row."""
+    from pyspark.sql import types as T
+
+    from iceberg_metadata_pipeline_spark.catalog.delta_format import (
+        attach_file_dvs,
+        read_delta_table,
+    )
+    from iceberg_metadata_pipeline_spark.catalog.hudi_format import (
+        bulk_insert_mor,
+        create_mor_table,
+        read_hudi_table,
+        upsert_mor,
+    )
+
+    st = T.StructType([T.StructField("id", T.LongType(), False)])
+    t = catalog.create_table("nyc", "fm", st).refresh()
+    t.append_dataframe(spark.range(20).selectExpr("id").repartition(4))
+    t = t.refresh()
+
+    # --- delta ---
+    ddir = str(tmp_path / "d")
+    catalog_sql(
+        catalog, f"CALL system.export_delta(table => 'nyc.fm', location => '{ddir}')"
+    )
+    f = sorted(read_delta_table(ddir).files)[0]
+    attach_file_dvs(ddir, {f: [0]}, prefix="q")
+    out = catalog_sql(
+        catalog,
+        f"CALL system.optimize_delta(location => '{ddir}', target_file_rows => 1000)",
+    ).collect()
+    assert out[0]["version"] == 2
+    assert not any(
+        a.get("deletionVector") for a in read_delta_table(ddir).files.values()
+    )
+    out = catalog_sql(
+        catalog, f"CALL system.restore_delta(location => '{ddir}', version => 1)"
+    ).collect()
+    assert out[0]["commit_version"] == 3
+    cdir = str(tmp_path / "dc")
+    catalog_sql(
+        catalog,
+        f"CALL system.clone_delta(location => '{ddir}', dest => '{cdir}')",
+    )
+    assert read_delta_table(cdir).files
+
+    # --- hudi MOR ---
+    hdir = str(tmp_path / "h")
+    create_mor_table(hdir, "fm_mor", [], "id", st)
+    bulk_insert_mor(hdir, [{"id": i} for i in range(10)], n_file_groups=1)
+    upsert_mor(hdir, [{"id": 3}])
+    sp = catalog_sql(
+        catalog, f"CALL system.savepoint_hudi(location => '{hdir}')"
+    ).collect()[0]["savepoint"]
+    out = catalog_sql(
+        catalog, f"CALL system.compact_hudi(location => '{hdir}')"
+    ).collect()
+    assert out[0]["instant"]
+    assert not read_hudi_table(hdir).has_live_logs()
+    catalog_sql(
+        catalog,
+        f"CALL system.restore_hudi(location => '{hdir}', savepoint => '{sp}')",
+    )
+    assert read_hudi_table(hdir).has_live_logs()  # compaction rolled back
+
+    # --- iceberg metadata expiry ---
+    idir = str(tmp_path / "i")
+    catalog_sql(
+        catalog, f"CALL system.export_iceberg(table => 'nyc.fm', location => '{idir}')"
+    )
+    t.append_dataframe(spark.createDataFrame([(99,)], st))
+    t.refresh()
+    catalog_sql(
+        catalog, f"CALL system.export_iceberg(table => 'nyc.fm', location => '{idir}')"
+    )
+    out = catalog_sql(
+        catalog,
+        f"CALL system.expire_iceberg_metadata(location => '{idir}', keep_last => 1)",
+    ).collect()
+    assert out[0]["files_removed"] > 0
