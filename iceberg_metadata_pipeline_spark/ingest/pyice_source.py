@@ -76,6 +76,27 @@ class IceFilePartition(InputPartition):
     eq_descriptors: tuple = ()
 
 
+def _py_default(value, dtype: T.DataType):
+    """An initial-default JSON literal → the Python value the DataSource
+    row must carry for the matching Spark type."""
+    import datetime as _dt
+
+    if value is None:
+        return None
+    t = dtype.typeName()
+    if t in ("long", "integer", "short", "byte"):
+        return int(value)
+    if t in ("double", "float"):
+        return float(value)
+    if t == "boolean":
+        return bool(value)
+    if t == "date":
+        return _dt.date.fromisoformat(str(value))
+    if t in ("timestamp", "timestamp_ntz"):
+        return _dt.datetime.fromisoformat(str(value))
+    return str(value)
+
+
 class PyIceBatchReader(DataSourceReader):
     def __init__(self, options):
         self.path = _local(options["path"])
@@ -84,6 +105,14 @@ class PyIceBatchReader(DataSourceReader):
         info = read_iceberg_table(self.path, decode_dvs=False)
         self.schema = info.schema
         self.names = [f.name for f in info.schema.fields]
+        # v3 initial-defaults (and plain schema evolution): a column
+        # missing from a data file fills per batch — the default when
+        # one is declared, else null; files that HAVE the column keep
+        # their values including explicit nulls (the spec distinction)
+        self.fill = {
+            f.name: _py_default(info.defaults.get(f.name), f.dataType)
+            for f in info.schema.fields
+        }
         threshold = int(options.get("deleteDecodeThreshold", 10_000))
         total_deleted = sum(d.record_count for d in info.delete_files)
 
@@ -225,12 +254,17 @@ class PyIceBatchReader(DataSourceReader):
         pf = pq.ParquetFile(partition.path)
         pos = 0
         name_idx = {n: i for i, n in enumerate(self.names)}
-        for batch in pf.iter_batches(columns=self.names):
+        file_cols = set(pf.schema_arrow.names)
+        want = [n for n in self.names if n in file_cols]
+        for batch in pf.iter_batches(columns=want):
             got = dict(
                 zip(batch.schema.names,
                     (batch.column(i).to_pylist() for i in range(batch.num_columns)))
             )
-            ordered = [got[n] for n in self.names]
+            ordered = [
+                got[n] if n in got else [self.fill[n]] * batch.num_rows
+                for n in self.names
+            ]
             for row in zip(*ordered):
                 if pos in dead:
                     pos += 1

@@ -274,3 +274,39 @@ def test_threshold_zero_forces_descriptor_path(spark, tmp_path):
         .collect()
     )
     assert fast == slow == sorted(set(range(10)) - set(victim_ids))
+
+
+def test_v3_defaults_and_schema_evolution(spark, tmp_path):
+    """A column added with an initial-default (v3 metadata-only commit)
+    must materialize for rows whose files predate it; files that HAVE
+    the column keep their values including explicit nulls — through the
+    pyice DataSource, agreeing with read_iceberg_snapshot (the import
+    path, independently tested in test_iceberg_defaults.py)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from iceberg_metadata_pipeline_spark.catalog.iceberg_format import (
+        add_column_with_default,
+        export_iceberg_table,
+        read_iceberg_snapshot,
+    )
+    from iceberg_metadata_pipeline_spark.catalog.metacat import Catalog
+
+    catalog = Catalog(spark, str(tmp_path / "wh"))
+    st = T.StructType([T.StructField("id", T.LongType(), False)])
+    t = catalog.create_table("nyc", "dflt", st).refresh()
+    t.append_dataframe(spark.range(5).selectExpr("id"))
+    dest = str(tmp_path / "ice-dflt")
+    export_iceberg_table(t.refresh(), dest, format_version=3)
+    add_column_with_default(dest, "tier", "string", "bronze")
+    register(spark)
+    got = sorted(
+        (r.id, r.tier)
+        for r in spark.read.format("pyice").load(dest).collect()
+    )
+    assert got == [(i, "bronze") for i in range(5)]
+    # agrees with the distributed import-path reader
+    ref = sorted(
+        (r.id, r.tier) for r in read_iceberg_snapshot(spark, dest).collect()
+    )
+    assert got == ref
