@@ -121,7 +121,12 @@ class _DeltaReadMixin:
             dv_path, offset, size = part.dv_file
             dead.update(read_dv_from_file(dv_path, int(offset), size))
         pf = pq.ParquetFile(part.path)
-        names = [self.physical.get(f.name, f.name) for f in file_fields]
+        file_cols = set(pf.schema_arrow.names)
+        names = [
+            n
+            for f in file_fields
+            if (n := self.physical.get(f.name, f.name)) in file_cols
+        ]
         pos = 0
         for batch in pf.iter_batches(columns=names):
             cols = [batch.column(i).to_pylist() for i in range(batch.num_columns)]
@@ -131,7 +136,15 @@ class _DeltaReadMixin:
                 if f.name in pcols:
                     ordered.append([pvals[f.name]] * batch.num_rows)
                 else:
-                    ordered.append(got[self.physical.get(f.name, f.name)])
+                    # columns ADDED after this file was written are null
+                    # for its rows (Delta's add-column semantics: no
+                    # rewrite, readers project missing columns as null)
+                    ordered.append(
+                        got.get(
+                            self.physical.get(f.name, f.name),
+                            [None] * batch.num_rows,
+                        )
+                    )
             for row in zip(*ordered):
                 if pos not in dead:
                     yield row

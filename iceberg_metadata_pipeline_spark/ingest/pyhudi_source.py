@@ -143,7 +143,10 @@ class _HudiReadMixin:
                 yield self._ordered(rec, pvals)
             return
         pf = pq.ParquetFile(part.path)
-        for batch in pf.iter_batches(columns=self.file_cols):
+        present = set(pf.schema_arrow.names)
+        for batch in pf.iter_batches(
+            columns=[c for c in self.file_cols if c in present]
+        ):
             cols = [batch.column(i).to_pylist() for i in range(batch.num_columns)]
             got = dict(zip(batch.schema.names, cols))
             ordered = []
@@ -151,7 +154,8 @@ class _HudiReadMixin:
                 if f.name in pvals:
                     ordered.append([pvals[f.name]] * batch.num_rows)
                 else:
-                    ordered.append(got[f.name])
+                    # files predating an added column project null
+                    ordered.append(got.get(f.name, [None] * batch.num_rows))
             yield from zip(*ordered)
 
 

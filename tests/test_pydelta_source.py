@@ -272,3 +272,40 @@ def test_max_files_per_trigger_bounds_batches(spark, tmp_path):
         r2.commit(e)
         seen.append(e["v"])
     assert seen == [0, 1, 2, 3]
+
+
+def test_add_column_projects_null_for_old_files(spark, tmp_path):
+    """ALTER TABLE ADD COLUMN is a metadata-only commit; files written
+    before the column project null for its rows — the reader must not
+    crash on the absent parquet column."""
+    import json as _json
+
+    from pyspark.sql import types as T
+
+    from iceberg_metadata_pipeline_spark.catalog.delta_format import (
+        export_delta_table,
+        read_delta_table,
+        write_commit,
+    )
+    from iceberg_metadata_pipeline_spark.catalog.metacat import Catalog
+
+    catalog = Catalog(spark, str(tmp_path / "wh-evo"))
+    st = T.StructType([T.StructField("id", T.LongType(), False)])
+    t = catalog.create_table("nyc", "evo", st).refresh()
+    t.append_dataframe(spark.range(5).selectExpr("id"))
+    dest = str(tmp_path / "delta-evo")
+    export_delta_table(t.refresh(), dest)
+    state = read_delta_table(dest)
+    widened = T.StructType(
+        list(state.schema.fields) + [T.StructField("tag", T.StringType(), True)]
+    )
+    write_commit(
+        dest,
+        [{"metaData": dict(state.metadata,
+                           schemaString=_json.dumps(widened.jsonValue()))}],
+    )
+    register(spark)
+    got = sorted(
+        (r.id, r.tag) for r in spark.read.format("pydelta").load(dest).collect()
+    )
+    assert got == [(i, None) for i in range(5)]
