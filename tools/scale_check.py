@@ -61,6 +61,9 @@ QUERIES = [
     # r7: scale-aware blocking key (suffix grows with n) vs the fixed key
     "er_blocked_best_match_scaled",
     "stat_ks_two_sample",
+    "stat_mann_whitney_u",
+    "stat_spearman_corr",
+    "stat_gini_customer_spend",
 ]
 
 
