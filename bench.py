@@ -119,6 +119,11 @@ HEADLINE = [
     "catalog_delta_file_dv",
     "stat_ks_two_sample",
     "er_blocked_best_match_scaled",
+    # round-7 continuation: OPTIMIZE e2e, rank statistics, WebDataset
+    "catalog_delta_optimize",
+    "stat_mann_whitney_u",
+    "stat_gini_customer_spend",
+    "source_webdataset_tar",
 ]
 
 

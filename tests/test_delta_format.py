@@ -1219,3 +1219,49 @@ def test_append_only_refuses_data_changing_removes(spark, tmp_path):
     register(spark)
     got = sorted(r.id for r in spark.read.format("pydelta").load(dest).collect())
     assert got == sorted(list(range(40)) + [999])
+
+
+def test_optimize_packs_within_partitions(spark, tmp_path):
+    """OPTIMIZE packs per PARTITION (the spec's unit): each partition's
+    small files merge into that partition's output; partitionValues
+    carry through and pydelta reads the same rows."""
+    from iceberg_metadata_pipeline_spark.catalog.delta_format import (
+        optimize_delta,
+    )
+    from iceberg_metadata_pipeline_spark.catalog.partitioning import (
+        PartitionField,
+    )
+    from iceberg_metadata_pipeline_spark.ingest.pydelta_source import register
+
+    catalog = Catalog(spark, str(tmp_path / "wh-optp"))
+    st = T.StructType(
+        [
+            T.StructField("id", T.LongType(), False),
+            T.StructField("cat", T.StringType(), True),
+        ]
+    )
+    t = catalog.create_table("nyc", "optp", st)
+    t.set_partition_spec([PartitionField("cat", "identity")])
+    t = t.refresh()
+    t.append_dataframe(
+        spark.sql(
+            "SELECT id, IF(id % 2 = 0, 'even', 'odd') AS cat FROM RANGE(40)"
+        ).repartition(6)
+    )
+    t = t.refresh()
+    dest = str(tmp_path / "delta-optp")
+    export_delta_table(t, dest)
+    n_before = len(read_delta_table(dest).files)
+    v = optimize_delta(spark, dest, target_file_rows=1000)
+    state = read_delta_table(dest, v)
+    pvals = sorted(
+        (a.get("partitionValues") or {}).get("cat")
+        for a in state.files.values()
+    )
+    assert pvals == ["even", "odd"] and n_before > 2
+    register(spark)
+    got = sorted(
+        (r.id, r.cat)
+        for r in spark.read.format("pydelta").load(dest).collect()
+    )
+    assert got == [(i, "even" if i % 2 == 0 else "odd") for i in range(40)]
