@@ -634,7 +634,13 @@ def clone_delta(location: str, dest: str, version: int | None = None) -> int:
     deletes source files (they are external/absolute, which
     vacuum_delta already refuses to touch). DV descriptors are
     rewritten to storageType 'p' absolute paths so the clone resolves
-    them without the source's table root."""
+    them without the source's table root.
+
+    Documented hazard (real Delta shares it): the SOURCE's vacuum does
+    not know about clones — if the source rewrites files (OPTIMIZE /
+    overwrite) and then vacuums past its retained history, files the
+    clone still references can disappear. Deep-copy (import + re-export)
+    a clone that must outlive its source's maintenance."""
     import time as _time
 
     state = read_delta_table(location, version)
