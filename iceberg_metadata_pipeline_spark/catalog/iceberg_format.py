@@ -826,7 +826,19 @@ def _clean_path(p: str) -> str:
     return p.removeprefix("file:")
 
 
-def read_iceberg_table(location: str, decode_dvs: bool = True) -> IcebergTableInfo:
+def list_metadata_versions(location: str) -> list[int]:
+    """Sorted vN metadata versions present (HadoopTableOperations
+    layout) — the offset axis for incremental tailing."""
+    return sorted(
+        int(m.group(1))
+        for p in glob.glob(os.path.join(location, "metadata", "v*.metadata.json"))
+        if (m := re.fullmatch(r"v(\d+)\.metadata\.json", os.path.basename(p)))
+    )
+
+
+def read_iceberg_table(
+    location: str, decode_dvs: bool = True, version: int | None = None
+) -> IcebergTableInfo:
     """Parse a real Iceberg v2 table directory into its live data files +
     Spark schema. Works on tables written by export_iceberg_table AND by
     the actual runtime (schema-driven avro decode; both stats-map shapes
@@ -836,8 +848,19 @@ def read_iceberg_table(location: str, decode_dvs: bool = True) -> IcebergTableIn
     DESCRIPTORS only (path + content_offset + referenced_data_file, no
     decoded positions) — plan-time state stays O(#delete files) so a
     distributed reader can decode per task instead of shipping billions
-    of positions from the driver."""
-    meta_path = _latest_metadata_path(location)
+    of positions from the driver.
+
+    ``version=N`` reads the pinned vN.metadata.json instead of the
+    version-hint's latest — the time-travel axis the incremental stream
+    diffs along."""
+    if version is not None:
+        meta_path = os.path.join(
+            location, "metadata", f"v{int(version)}.metadata.json"
+        )
+        if not os.path.exists(meta_path):
+            raise FileNotFoundError(f"no metadata version v{version} at {location}")
+    else:
+        meta_path = _latest_metadata_path(location)
     with open(meta_path) as fh:
         md = json.load(fh)
     if md.get("format-version") not in (1, 2, 3):

@@ -39,10 +39,12 @@ from pyspark.sql import types as T
 from pyspark.sql.datasource import (
     DataSource,
     DataSourceReader,
+    DataSourceStreamReader,
     InputPartition,
 )
 
 from iceberg_metadata_pipeline_spark.catalog.iceberg_format import (
+    list_metadata_versions,
     read_iceberg_table,
 )
 
@@ -279,9 +281,104 @@ class PyIceBatchReader(DataSourceReader):
                 pos += 1
 
 
+class PyIceStreamReader(DataSourceStreamReader):
+    """Tail an Iceberg table directory (HadoopTableOperations layout):
+    the offset is the METADATA VERSION number, and each micro-batch
+    emits the data files that version range ADDED — the append-tailing
+    contract of the pydelta/pyhudi stream twins. A version whose diff
+    REMOVES files (overwrite/compaction) or that carries merge-on-read
+    delete files refuses loudly unless ``ignoreDeletes`` is set (same
+    semantics as pydelta's source: this tails appends; re-process as a
+    batch for row-level change feeds)."""
+
+    def __init__(self, options):
+        self.path = _local(options["path"])
+        self.ignore_deletes = (
+            str(options.get("ignoreDeletes", "false")).lower() == "true"
+        )
+        info = read_iceberg_table(self.path, decode_dvs=False)
+        self.schema = info.schema
+        self.names = [f.name for f in info.schema.fields]
+        self.fill = {
+            f.name: _py_default(info.defaults.get(f.name), f.dataType)
+            for f in info.schema.fields
+        }
+        lim = int(options.get("maxVersionsPerTrigger", 0) or 0)
+        self._limit = lim if lim > 0 else None
+        # engine-confirmed position (pyhudi/pydelta contract: first
+        # batch unthrottled, never bound behind the checkpointed start)
+        self._pos: int | None = None
+
+    def initialOffset(self) -> dict:
+        return {"v": 0}  # before the first metadata version
+
+    def latestOffset(self) -> dict:
+        versions = list_metadata_versions(self.path)
+        if not versions:
+            return {"v": self._pos or 0}
+        if self._limit is None or self._pos is None:
+            return {"v": versions[-1]}
+        fresh = [v for v in versions if v > self._pos]
+        take = fresh[: self._limit]
+        return {"v": take[-1] if take else self._pos}
+
+    def _files_at(self, v: int) -> dict[str, object]:
+        if v <= 0:
+            return {}
+        info = read_iceberg_table(self.path, decode_dvs=False, version=v)
+        if info.delete_files and not self.ignore_deletes:
+            raise ValueError(
+                f"metadata v{v} carries merge-on-read delete files; this "
+                "source tails APPENDS — pass .option('ignoreDeletes',"
+                "'true') to skip them, or re-process the table as a batch"
+            )
+        return {_norm(f.path): f for f in info.files}
+
+    def partitions(self, start: dict, end: dict):
+        self._pos = max(self._pos or 0, int(start["v"]))
+        lo, hi = int(start["v"]), int(end["v"])
+        before = self._files_at(lo)
+        after = self._files_at(hi)
+        vanished = sorted(set(before) - set(after))
+        if vanished and not self.ignore_deletes:
+            raise ValueError(
+                f"metadata v{lo}→v{hi} removes {len(vanished)} file(s) "
+                "(overwrite/compaction); this source tails APPENDS — pass "
+                ".option('ignoreDeletes','true') to skip removals, or "
+                "re-process the table as a batch"
+            )
+        return [
+            IceFilePartition(after[p].path, after[p].seq)
+            for p in sorted(set(after) - set(before))
+        ]
+
+    def read(self, partition: IceFilePartition):
+        # appended files have no applicable deletes by construction
+        # (delete-carrying versions refuse above); plain columnar pass
+        import pyarrow.parquet as pq
+
+        pf = pq.ParquetFile(partition.path)
+        file_cols = set(pf.schema_arrow.names)
+        want = [n for n in self.names if n in file_cols]
+        for batch in pf.iter_batches(columns=want):
+            got = dict(
+                zip(batch.schema.names,
+                    (batch.column(i).to_pylist() for i in range(batch.num_columns)))
+            )
+            ordered = [
+                got[n] if n in got else [self.fill[n]] * batch.num_rows
+                for n in self.names
+            ]
+            yield from zip(*ordered)
+
+    def commit(self, end: dict) -> None:
+        self._pos = max(self._pos or 0, int(end["v"]))
+
+
 class PyIceDataSource(DataSource):
     """``spark.dataSource.register(PyIceDataSource)`` → format name
-    "pyice" for batch reads of Iceberg table directories."""
+    "pyice" for batch reads and readStream tailing of Iceberg table
+    directories."""
 
     @classmethod
     def name(cls) -> str:
@@ -294,6 +391,9 @@ class PyIceDataSource(DataSource):
 
     def reader(self, schema: T.StructType) -> DataSourceReader:
         return PyIceBatchReader(self.options)
+
+    def streamReader(self, schema: T.StructType) -> DataSourceStreamReader:
+        return PyIceStreamReader(self.options)
 
 
 def register(spark) -> None:

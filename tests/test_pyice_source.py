@@ -8,6 +8,7 @@ from __future__ import annotations
 
 import os
 
+import pytest
 from pyspark.sql import types as T
 
 from iceberg_metadata_pipeline_spark.catalog.metacat import Catalog
@@ -310,3 +311,81 @@ def test_v3_defaults_and_schema_evolution(spark, tmp_path):
         (r.id, r.tier) for r in read_iceberg_snapshot(spark, dest).collect()
     )
     assert got == ref
+
+
+def test_stream_tails_appended_versions(spark, tmp_path):
+    """readStream over an Iceberg dir: offset = metadata version; the
+    first run drains v1, a new export (append) emits ONLY the appended
+    files on restart; an overwrite version refuses without
+    ignoreDeletes and is skipped with it."""
+    from pyspark.sql import types as T
+
+    from iceberg_metadata_pipeline_spark.catalog.iceberg_format import (
+        export_iceberg_table,
+    )
+    from iceberg_metadata_pipeline_spark.catalog.metacat import Catalog
+
+    catalog = Catalog(spark, str(tmp_path / "wh-st"))
+    st = T.StructType([T.StructField("id", T.LongType(), False)])
+    t = catalog.create_table("nyc", "st_src", st).refresh()
+    t.append_dataframe(spark.range(10).selectExpr("id"))
+    t = t.refresh()
+    dest = str(tmp_path / "ice-st")
+    export_iceberg_table(t, dest)  # v1
+    register(spark)
+    out = str(tmp_path / "sink")
+    ckpt = str(tmp_path / "ckpt")
+
+    def run_once():
+        q = (
+            spark.readStream.format("pyice")
+            .load(dest)
+            .writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    run_once()
+    assert sorted(r.id for r in spark.read.parquet(out).collect()) == list(range(10))
+    t.append_dataframe(spark.createDataFrame([(100,), (101,)], st))
+    t = t.refresh()
+    export_iceberg_table(t, dest)  # v2: +2 rows
+    run_once()
+    got = sorted(r.id for r in spark.read.parquet(out).collect())
+    assert got == list(range(10)) + [100, 101]
+    # overwrite: v3 removes files -> the appends-only stream refuses
+    t.overwrite_dataframe(t.scan().where("id >= 5"))
+    t = t.refresh()
+    export_iceberg_table(t, dest)  # v3
+    import pyspark.errors
+
+    q = (
+        spark.readStream.format("pyice")
+        .load(dest)
+        .writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    with pytest.raises(Exception, match="APPENDS"):
+        q.awaitTermination(120)
+    # with ignoreDeletes the removal is skipped and the stream continues
+    q2 = (
+        spark.readStream.format("pyice")
+        .option("ignoreDeletes", "true")
+        .load(dest)
+        .writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q2.awaitTermination(120)
+    # the overwrite wrote fresh files for the surviving rows: they emit
+    # as appends (change-feed consumers should use CDF, not this source)
+    final = spark.read.parquet(out)
+    assert final.count() >= 12
