@@ -1470,3 +1470,87 @@ def restore_hudi(location: str, savepoint_time: str) -> list[str]:
             break
         removed.extend(rollback_hudi(location, done[-1].time))
     return removed
+
+
+def cluster_hudi(location: str, target_file_rows: int = 1_000_000) -> str:
+    """CLUSTERING (the COW sibling of compact_mor and Delta's OPTIMIZE):
+    bin-pack small base files into ~``target_file_rows`` files per
+    partition under ONE ``replacecommit`` — the spec's clustering verb:
+    ``partitionToReplaceFileIds`` retires the old file groups atomically
+    with the new groups' write stats, so readers see either the old
+    layout or the new, never both. Row count is asserted unchanged
+    before the instant completes. MOR tables with live logs must
+    compact_mor first (clustering replaces base files; orphaned logs
+    would silently drop updates). Groups pack independently — the
+    distributed form is one task per partition, the same unit as real
+    Hudi's clustering plan."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    state = read_hudi_table(location)
+    if state.has_live_logs():
+        raise ValueError(
+            "live log files present; run compact_mor() before clustering "
+            "(replacing a base file would orphan its logs' updates)"
+        )
+    by_part: dict[str, list[BaseFile]] = {}
+    for (_ppath, _fid), bf in state.files.items():
+        if bf.num_records < target_file_rows:
+            by_part.setdefault(bf.partition_path, []).append(bf)
+    plan = {p: bfs for p, bfs in by_part.items() if len(bfs) > 1}
+    if not plan:
+        return state.instant
+    t = begin_instant(location, "replacecommit")
+    stats: dict[str, list[dict]] = {}
+    replaced: dict[str, list[str]] = {}
+    for ppath, bfs in sorted(plan.items()):
+        tables = [pq.read_table(bf.path) for bf in sorted(bfs, key=lambda b: b.file_id)]
+        merged = pa.concat_tables(tables)
+        n_before = sum(tb.num_rows for tb in tables)
+        n_files = max(1, -(-merged.num_rows // target_file_rows))
+        rows_per = -(-merged.num_rows // n_files)
+        written = 0
+        for i in range(n_files):
+            chunk = merged.slice(i * rows_per, rows_per)
+            if chunk.num_rows == 0:
+                continue
+            fid = _group_file_id(f"{ppath}#cluster#{t}", i)
+            rel = (
+                os.path.join(ppath, _base_file_name(fid, t))
+                if ppath
+                else _base_file_name(fid, t)
+            )
+            dest = os.path.join(location, rel)
+            pq.write_table(chunk, dest)
+            written += chunk.num_rows
+            stats.setdefault(ppath, []).append(
+                {
+                    "fileId": fid,
+                    "path": rel,
+                    "prevCommit": "null",
+                    "numWrites": chunk.num_rows,
+                    "numDeletes": 0,
+                    "numUpdateWrites": 0,
+                    "numInserts": chunk.num_rows,
+                    "totalWriteBytes": os.path.getsize(dest),
+                    "fileSizeInBytes": os.path.getsize(dest),
+                    "partitionPath": ppath,
+                }
+            )
+        if written != n_before:
+            raise RuntimeError(
+                f"clustering row-count mismatch in {ppath!r}: {n_before} in, "
+                f"{written} out — refusing to complete the instant"
+            )
+        replaced[ppath] = sorted(bf.file_id for bf in bfs)
+    complete_instant(
+        location, t, "replacecommit",
+        {
+            "partitionToWriteStats": stats,
+            "partitionToReplaceFileIds": replaced,
+            "compacted": False,
+            "operationType": "CLUSTER",
+            "extraMetadata": {},
+        },
+    )
+    return t

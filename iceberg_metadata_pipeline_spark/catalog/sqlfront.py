@@ -1265,6 +1265,7 @@ _PROC_POSITIONAL = {
     "restore_delta": ["location", "version"],
     "clone_delta": ["location", "dest"],
     "compact_hudi": ["location"],
+    "cluster_hudi": ["location", "target_file_rows"],
     "savepoint_hudi": ["location", "instant"],
     "restore_hudi": ["location", "savepoint"],
     "expire_iceberg_metadata": ["location", "keep_last"],
@@ -1353,6 +1354,7 @@ def _run_procedure(catalog: Catalog, proc: str, raw_args: str) -> DataFrame:
         "restore_delta",
         "clone_delta",
         "compact_hudi",
+        "cluster_hudi",
         "savepoint_hudi",
         "restore_hudi",
         "expire_iceberg_metadata",
@@ -1398,6 +1400,17 @@ def _run_procedure(catalog: Catalog, proc: str, raw_args: str) -> DataFrame:
             )
 
             instant = compact_mor(loc)
+            return spark.createDataFrame(
+                [(loc, instant)], "location string, instant string"
+            )
+        if proc == "cluster_hudi":
+            from iceberg_metadata_pipeline_spark.catalog.hudi_format import (
+                cluster_hudi,
+            )
+
+            instant = cluster_hudi(
+                loc, target_file_rows=int(args.get("target_file_rows", 1_000_000))
+            )
             return spark.createDataFrame(
                 [(loc, instant)], "location string, instant string"
             )

@@ -519,3 +519,34 @@ def test_mor_randomized_sequences_vs_oracle(tmp_path):
         got = read_merged(loc)
         expect = _mor_oracle(base, ops)
         assert got == expect, f"seed {seed}: {got} != {expect}"
+
+
+def test_cluster_hudi_binpacks_under_replacecommit(spark, tmp_path):
+    """Clustering packs small base files per partition under one
+    replacecommit; rows unchanged, old groups retired, time travel to
+    the pre-clustering instant still sees the old layout, and a MOR
+    table with live logs refuses."""
+    from iceberg_metadata_pipeline_spark.catalog.hudi_format import (
+        cluster_hudi,
+        completed_instants,
+    )
+
+    loc = str(tmp_path / "cl")
+    create_mor_table(loc, "cl", [], "id", SCHEMA)
+    t0 = bulk_insert_mor(loc, _rows(30), n_file_groups=5)
+    register(spark)
+    before = _read_all(spark, loc)
+    t1 = cluster_hudi(loc, target_file_rows=1000)
+    assert t1 > t0
+    state = read_hudi_table(loc)
+    assert len(state.files) == 1
+    assert _read_all(spark, loc) == before
+    # time travel before the clustering sees the 5-file layout
+    assert len(read_hudi_table(loc, instant=t0).files) == 5
+    assert [i.action for i in completed_instants(loc)][-1] == "replacecommit"
+    # idempotent: a single packed file has nothing to cluster with
+    assert cluster_hudi(loc, target_file_rows=1000) == read_hudi_table(loc).instant
+    # MOR with live logs refuses
+    upsert_mor(loc, [{"id": 1, "cat": "x", "score": 1.0}])
+    with pytest.raises(ValueError, match="compact_mor"):
+        cluster_hudi(loc)
