@@ -561,7 +561,12 @@ def optimize_delta(
             actions.append(
                 {
                     "add": {
-                        "path": fp,
+                        # relative to the table root: vacuum's referenced-set
+                        # keys on relative paths, and absolute paths read as
+                        # "external" — recording fp verbatim made the packed
+                        # output a VACUUM victim (permanent data loss on the
+                        # standard OPTIMIZE-then-VACUUM sequence)
+                        "path": os.path.relpath(fp, location),
                         "partitionValues": dict(pv),
                         "size": os.path.getsize(fp),
                         "modificationTime": now,
@@ -590,16 +595,44 @@ def optimize_delta(
     return write_commit(location, actions)
 
 
-def restore_delta(location: str, version: int) -> int:
+def restore_delta(
+    location: str, version: int, ignore_missing_files: bool = False
+) -> int:
     """RESTORE TABLE ... TO VERSION AS OF: one commit that removes the
     files the target version doesn't have and re-adds the ones it does
     — history is preserved (restore is itself a new version; time
     travel to the un-restored state keeps working), which is exactly
-    how the spec's RESTORE differs from rolling the log back."""
+    how the spec's RESTORE differs from rolling the log back.
+
+    Like real Delta, the RESTORE itself fails if any re-added data file
+    (or its file-based DV sidecar) was already VACUUMed away — a restore
+    that commits then fails every read is worse than one that refuses —
+    unless ``ignore_missing_files=True`` (the spec's
+    ``spark.sql.files.ignoreMissingFiles`` escape hatch), which restores
+    only the surviving files."""
     import time as _time
 
     cur = read_delta_table(location)
     old = read_delta_table(location, version)
+    missing: list[str] = []
+    survivors: set[str] = set()
+    for p, a in old.files.items():
+        fp = p if os.path.isabs(p) else os.path.join(location, p)
+        ok = os.path.exists(fp)
+        dv = a.get("deletionVector")
+        if ok and dv and dv.get("storageType") in ("u", "p"):
+            ok = os.path.exists(dv_file_path(location, dv))
+        if ok:
+            survivors.add(p)
+        else:
+            missing.append(p)
+    if missing and not ignore_missing_files:
+        raise FileNotFoundError(
+            f"RESTORE to version {version} references "
+            f"{len(missing)} data/DV file(s) removed by VACUUM: "
+            f"{sorted(missing)[:5]}... — pass ignore_missing_files=True "
+            "to restore only the surviving files"
+        )
     now = int(_time.time() * 1000)
     actions: list[dict] = []
     for p, a in sorted(cur.files.items()):
@@ -609,7 +642,7 @@ def restore_delta(location: str, version: int) -> int:
                 rm["deletionVector"] = a["deletionVector"]
             actions.append({"remove": rm})
     for p, a in sorted(old.files.items()):
-        if cur.files.get(p) != a:
+        if p in survivors and cur.files.get(p) != a:
             actions.append({"add": a})
     if old.metadata != cur.metadata:
         actions.append({"metaData": old.metadata})
@@ -1354,10 +1387,19 @@ def vacuum_delta(location: str, dry_run: bool = False) -> list[str]:
     paths."""
     referenced: set[str] = set()
 
+    loc_real = os.path.realpath(location)
+
     def _ref(action: dict) -> None:
         p = action["path"]
         if not os.path.isabs(p):
             referenced.add(os.path.join(location, p))
+        elif os.path.realpath(p).startswith(loc_real + os.sep):
+            # absolute path that lands INSIDE the table root (e.g. a
+            # historical commit written before paths were normalized to
+            # relative): the os.walk sweep below would list it, so it must
+            # count as referenced — treating it as external deleted live
+            # OPTIMIZE output
+            referenced.add(os.path.join(location, os.path.relpath(p, location)))
         # DV sidecar files are referenced through the descriptor, not as
         # an action path — vacuuming them would destroy live row-level
         # deletes

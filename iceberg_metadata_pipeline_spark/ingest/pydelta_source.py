@@ -109,6 +109,8 @@ class _DeltaReadMixin:
     def _rows(self, part: DeltaFilePartition):
         import pyarrow.parquet as pq
 
+        if part is None or not part.path:
+            return  # empty-table sentinel (zero live files)
         pcols = set(self.partition_columns)
         file_fields = [f for f in self.schema.fields if f.name not in pcols]
         pvals = dict(zip(self.partition_columns, part.partition_values))
@@ -205,7 +207,10 @@ class PyDeltaBatchReader(DataSourceReader, _DeltaReadMixin):
         return p if os.path.isabs(p) else os.path.join(self.path, p)
 
     def partitions(self):
-        return self._parts
+        # a table whose current version has zero live files is still a
+        # valid (empty) table: the DataSource API needs >=1 partition, so
+        # ship one sentinel the decode path skips
+        return self._parts or [DeltaFilePartition("", ())]
 
     def read(self, partition: DeltaFilePartition):
         yield from self._rows(partition)

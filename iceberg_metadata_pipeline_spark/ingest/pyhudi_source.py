@@ -92,11 +92,14 @@ class HudiFilePartition(InputPartition):
     valid_instants: tuple = ()
     as_of: str = ""
     # MOR incremental stream: emit the data-block records of ONE log
-    # file for the instants of this micro-batch (delete blocks are
-    # skipped — the stream is an append/upsert change feed, the same
-    # appends-only contract as pydelta's ignoreDeletes)
+    # file for the instants of this micro-batch. DELETE blocks refuse
+    # loudly unless the caller opted in with .option('ignoreDeletes',
+    # 'true') — the same appends-only contract as pydelta/pyice:
+    # silently dropping row-level deletes would make the tailing
+    # consumer diverge from the table with no signal.
     stream_log: str = ""
     stream_instants: tuple = ()
+    stream_ignore_deletes: bool = False
 
 
 class _HudiReadMixin:
@@ -117,6 +120,7 @@ class _HudiReadMixin:
         if part.stream_log:
             from iceberg_metadata_pipeline_spark.catalog.hudi_format import (
                 BLOCK_AVRO_DATA,
+                BLOCK_DELETE,
                 HEADER_INSTANT_TIME,
                 _decode_data_block,
                 read_log_blocks,
@@ -124,7 +128,18 @@ class _HudiReadMixin:
 
             live = set(part.stream_instants)
             for bt, h, content in read_log_blocks(part.stream_log):
-                if bt == BLOCK_AVRO_DATA and h.get(HEADER_INSTANT_TIME) in live:
+                if h.get(HEADER_INSTANT_TIME) not in live:
+                    continue
+                if bt == BLOCK_DELETE and not part.stream_ignore_deletes:
+                    raise ValueError(
+                        f"pyhudi stream: {part.stream_log} carries a DELETE "
+                        f"log block at instant {h.get(HEADER_INSTANT_TIME)} — "
+                        "this source tails APPENDS/UPSERTS; pass "
+                        ".option('ignoreDeletes','true') to skip row-level "
+                        "deletes, or consume the table with batch snapshot "
+                        "reads"
+                    )
+                if bt == BLOCK_AVRO_DATA:
                     for rec in _decode_data_block(content, h):
                         yield self._ordered(rec, pvals)
             return
@@ -221,6 +236,9 @@ class PyHudiStreamReader(DataSourceStreamReader, _HudiReadMixin):
         self.schema, self.file_cols, self.part_cols = _resolve_schema(state)
         lim = int(options.get("maxFilesPerTrigger", 0) or 0)
         self._limit = lim if lim > 0 else None
+        self.ignore_deletes = (
+            str(options.get("ignoreDeletes", "false")).lower() == "true"
+        )
         # engine-confirmed position: set by partitions()/commit(). The
         # Python DataSource API has no ReadLimit handshake, so throttling
         # starts at the SECOND micro-batch of a reader instance — bounding
@@ -278,7 +296,34 @@ class PyHudiStreamReader(DataSourceStreamReader, _HudiReadMixin):
         ]
         # MOR: each log file written in range emits its data-block
         # records for exactly its own deltacommit — the incremental-pull
-        # contract extended to upserts (deletes skipped: append feed)
+        # contract extended to upserts. Row-level deletes refuse at
+        # PLANNING time when the commit metadata records them (cheap:
+        # O(instants in batch) stats reads, no log bytes); the executor
+        # keeps an authoritative guard for foreign-written logs whose
+        # stats omit numDeletes.
+        if logs and not self.ignore_deletes:
+            from iceberg_metadata_pipeline_spark.catalog.hudi_format import (
+                read_instant_metadata,
+            )
+
+            batch_times = {lg.instant_time for lg in logs}
+            for ins in completed_instants(self.path):
+                if ins.time not in batch_times:
+                    continue
+                md = read_instant_metadata(self.path, ins) or {}
+                n_del = sum(
+                    int(st.get("numDeletes") or 0)
+                    for stats in (md.get("partitionToWriteStats") or {}).values()
+                    for st in stats
+                )
+                if n_del:
+                    raise ValueError(
+                        f"pyhudi stream: instant {ins.time} deletes {n_del} "
+                        "row(s) — this source tails APPENDS/UPSERTS; pass "
+                        ".option('ignoreDeletes','true') to skip row-level "
+                        "deletes, or consume the table with batch snapshot "
+                        "reads"
+                    )
         parts.extend(
             HudiFilePartition(
                 "",
@@ -288,6 +333,7 @@ class PyHudiStreamReader(DataSourceStreamReader, _HudiReadMixin):
                 ),
                 stream_log=lg.path,
                 stream_instants=(lg.instant_time,),
+                stream_ignore_deletes=self.ignore_deletes,
             )
             for lg in logs
         )

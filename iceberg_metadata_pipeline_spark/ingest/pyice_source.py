@@ -305,6 +305,13 @@ class PyIceStreamReader(DataSourceStreamReader):
         }
         lim = int(options.get("maxVersionsPerTrigger", 0) or 0)
         self._limit = lim if lim > 0 else None
+        # Kafka-source naming: when a checkpointed offset points below the
+        # expire_iceberg_metadata horizon, failOnDataLoss=false resumes
+        # from the oldest retained version (accepting the gap) instead of
+        # failing the stream with no recovery path
+        self._fail_on_data_loss = (
+            str(options.get("failOnDataLoss", "true")).lower() != "false"
+        )
         # engine-confirmed position (pyhudi/pydelta contract: first
         # batch unthrottled, never bound behind the checkpointed start)
         self._pos: int | None = None
@@ -325,6 +332,22 @@ class PyIceStreamReader(DataSourceStreamReader):
     def _files_at(self, v: int) -> dict[str, object]:
         if v <= 0:
             return {}
+        retained = list_metadata_versions(self.path)
+        if retained and v < retained[0]:
+            # checkpointed offset below the expiration horizon: the
+            # vN.metadata.json this offset names was deleted by
+            # expire_iceberg_metadata
+            if self._fail_on_data_loss:
+                raise FileNotFoundError(
+                    f"pyice stream: checkpointed metadata version v{v} was "
+                    f"expired (oldest retained is v{retained[0]}) — "
+                    "expire_iceberg_metadata removed it. Restart with "
+                    ".option('failOnDataLoss','false') to resume from the "
+                    "oldest retained version (files added in the expired "
+                    "gap are NOT replayed), or start a fresh checkpoint "
+                    "with startingVersion."
+                )
+            v = retained[0]
         info = read_iceberg_table(self.path, decode_dvs=False, version=v)
         if info.delete_files and not self.ignore_deletes:
             raise ValueError(

@@ -323,14 +323,18 @@ class RestCatalogServer:
                     400, f"unsupported commit requirement {typ!r}",
                     "BadRequestException",
                 )
-        sets: dict = {}
-        removals: list[str] = []
+        # fold updates IN LIST ORDER into one final per-key state (None =
+        # remove): [set k=v, remove k] must end with k absent, and nothing
+        # mutates the table until every update has validated
+        pending: dict[str, str | None] = {}
         for u in body.get("updates") or []:
             action = u.get("action")
             if action == "set-properties":
-                sets.update(u.get("updates") or {})
+                for k, v in (u.get("updates") or {}).items():
+                    pending[str(k)] = str(v)
             elif action == "remove-properties":
-                removals.extend(u.get("removals") or [])
+                for k in u.get("removals") or []:
+                    pending[str(k)] = None
             else:
                 return h._error(
                     400,
@@ -339,9 +343,14 @@ class RestCatalogServer:
                     "this catalog serves metadata-only property commits",
                     "CommitNotSupportedException",
                 )
-        removed = [k for k in removals if t.properties.pop(k, None) is not None]
+        sets = {k: v for k, v in pending.items() if v is not None}
+        removed = [
+            k
+            for k, v in pending.items()
+            if v is None and t.properties.pop(k, None) is not None
+        ]
         if sets or removed:
-            t.set_properties({str(k): str(v) for k, v in sets.items()})
+            t.set_properties(sets)  # one persisting commit for the whole fold
         with self._lock:
             # properties don't move the snapshot id, so the cached export
             # would serve stale metadata — drop it

@@ -1102,6 +1102,8 @@ def test_optimize_clusters_with_order_by(spark, tmp_path):
     state = read_delta_table(dest, v)
     ranges = []
     for p in state.files:
+        # OPTIMIZE output is recorded relative to the table root
+        p = p if os.path.isabs(p) else os.path.join(dest, p)
         ids = [r[0] for r in duckdb.sql(f"SELECT id FROM read_parquet('{p}')").fetchall()]
         assert ids == sorted(ids), "file not internally sorted"
         ranges.append((min(ids), max(ids)))
@@ -1109,7 +1111,10 @@ def test_optimize_clusters_with_order_by(spark, tmp_path):
     for (lo1, hi1), (lo2, _hi2) in zip(ranges, ranges[1:]):
         assert hi1 < lo2, "file ranges overlap"
     total = sum(
-        duckdb.sql(f"SELECT COUNT(*) FROM read_parquet('{p}')").fetchone()[0]
+        duckdb.sql(
+            "SELECT COUNT(*) FROM read_parquet("
+            f"'{p if os.path.isabs(p) else os.path.join(dest, p)}')"
+        ).fetchone()[0]
         for p in state.files
     )
     assert total == 1000
@@ -1265,3 +1270,137 @@ def test_optimize_packs_within_partitions(spark, tmp_path):
         for r in spark.read.format("pydelta").load(dest).collect()
     )
     assert got == [(i, "even" if i % 2 == 0 else "odd") for i in range(40)]
+
+
+def test_vacuum_after_optimize_keeps_packed_files(spark, tmp_path):
+    """Round-8 advisor catch (data loss): OPTIMIZE's packed output lives
+    under the table root and MUST survive VACUUM — the r7 code recorded
+    it with absolute paths, which vacuum classified as external (never
+    referenced) while its os.walk sweep still listed them, so the
+    standard OPTIMIZE-then-VACUUM maintenance sequence deleted the live
+    packed files. Adds are now relative; vacuum also defends against
+    historical absolute-under-root commits."""
+    from iceberg_metadata_pipeline_spark.catalog.delta_format import (
+        attach_file_dvs,
+        optimize_delta,
+        vacuum_delta,
+    )
+    from iceberg_metadata_pipeline_spark.ingest.pydelta_source import (
+        register as _reg,
+    )
+
+    catalog = Catalog(spark, str(tmp_path / "wh-ov"))
+    st = T.StructType([T.StructField("id", T.LongType(), False)])
+    t = catalog.create_table("nyc", "ov", st).refresh()
+    t.append_dataframe(spark.range(50).selectExpr("id").repartition(5))
+    t = t.refresh()
+    dest = str(tmp_path / "delta-ov")
+    export_delta_table(t, dest)
+    f = sorted(read_delta_table(dest).files)[0]
+    attach_file_dvs(dest, {f: [0]}, prefix="ov")
+    v = optimize_delta(spark, dest, target_file_rows=1000)
+    state = read_delta_table(dest, v)
+    packed = [p for p in state.files if not os.path.isabs(p)]
+    assert packed, "OPTIMIZE output must be recorded relative to the root"
+    _reg(spark)
+    expect = sorted(r.id for r in spark.read.format("pydelta").load(dest).collect())
+    assert len(expect) == 49
+    victims = vacuum_delta(dest, dry_run=True)
+    live_abs = {os.path.join(dest, p) for p in packed}
+    assert not live_abs & set(victims), "VACUUM would delete live OPTIMIZE output"
+    vacuum_delta(dest)
+    got = sorted(r.id for r in spark.read.format("pydelta").load(dest).collect())
+    assert got == expect
+
+
+def test_vacuum_refs_absolute_paths_under_root(spark, tmp_path):
+    """Defense-in-depth half of the same catch: a commit that recorded a
+    under-root file with an ABSOLUTE path (r7 OPTIMIZE output, or a
+    foreign writer) must still pin the file against VACUUM."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from iceberg_metadata_pipeline_spark.catalog.delta_format import (
+        vacuum_delta,
+        write_commit,
+    )
+
+    dest = str(tmp_path / "delta-abs")
+    os.makedirs(os.path.join(dest, "data"))
+    fp = os.path.join(dest, "data", "part-0.parquet")
+    pq.write_table(pa.table({"id": list(range(7))}), fp)
+    write_commit(
+        dest,
+        [
+            {"protocol": {"minReaderVersion": 1, "minWriterVersion": 2}},
+            {
+                "metaData": {
+                    "id": "abs-test",
+                    "format": {"provider": "parquet", "options": {}},
+                    "schemaString": json.dumps(
+                        T.StructType(
+                            [T.StructField("id", T.LongType(), True)]
+                        ).jsonValue()
+                    ),
+                    "partitionColumns": [],
+                    "configuration": {},
+                    "createdTime": 0,
+                }
+            },
+            {
+                "add": {
+                    "path": fp,  # absolute, but inside the table root
+                    "partitionValues": {},
+                    "size": os.path.getsize(fp),
+                    "modificationTime": 0,
+                    "dataChange": True,
+                }
+            },
+            {"commitInfo": {"timestamp": 0, "operation": "WRITE"}},
+        ],
+    )
+    victims = vacuum_delta(dest, dry_run=True)
+    assert fp not in victims
+    vacuum_delta(dest)
+    assert os.path.exists(fp)
+
+
+def test_restore_past_vacuum_refuses_then_opts_in(spark, tmp_path):
+    """Round-8 advisor catch: RESTORE to a version whose files VACUUM
+    already deleted must fail the RESTORE itself (a restore that commits
+    and then fails every read is worse), unless ignore_missing_files=True
+    — which restores only the surviving files."""
+    from iceberg_metadata_pipeline_spark.catalog.delta_format import (
+        restore_delta,
+        vacuum_delta,
+    )
+    from iceberg_metadata_pipeline_spark.ingest.pydelta_source import (
+        register as _reg,
+    )
+
+    _reg(spark)
+    dest = str(tmp_path / "delta-rpv")
+    spark.range(10).selectExpr("id").coalesce(1).write.format("pydelta").mode(
+        "append"
+    ).save(dest)  # v0: one file inside the root
+    spark.range(10, 15).selectExpr("id").coalesce(1).write.format(
+        "pydelta"
+    ).mode("overwrite").save(dest)  # v1: removes (tombstones) v0's file
+    # our own vacuum keeps tombstoned files while the removing commit is
+    # retained, so simulate the interop hazard directly: a foreign
+    # engine's VACUUM RETAIN 0 HOURS deletes tombstoned data files even
+    # though v0 is still replayable from the log
+    from iceberg_metadata_pipeline_spark.catalog.delta_format import (
+        read_delta_table,
+    )
+
+    v0_files = read_delta_table(dest, 0).files
+    for p in v0_files:
+        os.remove(p if os.path.isabs(p) else os.path.join(dest, p))
+    assert vacuum_delta(dest, dry_run=True) == []  # ours would not have
+    with pytest.raises(FileNotFoundError, match="VACUUM"):
+        restore_delta(dest, 0)
+    v = restore_delta(dest, 0, ignore_missing_files=True)
+    assert v == read_delta_table(dest).version
+    # only survivors restored: v0 had one (now-gone) file -> empty table
+    assert spark.read.format("pydelta").load(dest).count() == 0

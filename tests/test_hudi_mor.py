@@ -550,3 +550,62 @@ def test_cluster_hudi_binpacks_under_replacecommit(spark, tmp_path):
     upsert_mor(loc, [{"id": 1, "cat": "x", "score": 1.0}])
     with pytest.raises(ValueError, match="compact_mor"):
         cluster_hudi(loc)
+
+
+def test_stream_refuses_deletes_unless_opted_in(spark, mor_table, tmp_path):
+    """Round-8 advisor catch: the MOR stream silently skipped DELETE log
+    blocks, so a tailing consumer diverged from the table with no signal.
+    Contract now matches pydelta/pyice: a micro-batch whose instants
+    delete rows refuses at PLANNING time (commit-metadata numDeletes)
+    unless .option('ignoreDeletes','true'); with the opt-in the stream
+    emits the batch's upserts and skips the deletes."""
+    from iceberg_metadata_pipeline_spark.catalog.hudi_format import (
+        completed_instants,
+    )
+    from iceberg_metadata_pipeline_spark.ingest.pyhudi_source import (
+        PyHudiStreamReader,
+    )
+
+    loc = mor_table
+    t0 = completed_instants(loc)[-1].time
+    delete_mor(loc, [5, 6])
+    t1 = completed_instants(loc)[-1].time
+    upsert_mor(loc, [{"id": 99, "cat": "new", "score": 9.9}])
+    t2 = completed_instants(loc)[-1].time
+
+    r = PyHudiStreamReader(None, {"path": loc})
+    with pytest.raises(ValueError, match="ignoreDeletes"):
+        r.partitions({"t": t0}, {"t": t2})
+
+    # executor-side guard is authoritative even when planning stats are
+    # absent (foreign-written logs): force a partition through directly
+    parts = PyHudiStreamReader(
+        None, {"path": loc, "ignoreDeletes": "true"}
+    ).partitions({"t": t0}, {"t": t2})
+    log_parts = [p for p in parts if p.stream_log]
+    assert log_parts
+    from dataclasses import replace
+
+    strict = replace(log_parts[0], stream_ignore_deletes=False)
+    rd = PyHudiStreamReader(None, {"path": loc})
+    with pytest.raises(ValueError, match="DELETE"):
+        list(rd.read(strict))
+
+    # opted-in end-to-end: upserts flow, deletes skipped, no failure
+    register(spark)
+    out = str(tmp_path / "sink_del")
+    q = (
+        spark.readStream.format("pyhudi")
+        .option("ignoreDeletes", "true")
+        .load(loc)
+        .writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", str(tmp_path / "ckpt_del"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = spark.read.parquet(out)
+    assert got.where("id = 99").count() == 1
+    assert got.count() == 21  # 20 bulk rows + the upsert; deletes skipped
+    assert t1 <= t2  # fixture sanity: delete instant precedes the upsert

@@ -389,3 +389,47 @@ def test_stream_tails_appended_versions(spark, tmp_path):
     # as appends (change-feed consumers should use CDF, not this source)
     final = spark.read.parquet(out)
     assert final.count() >= 12
+
+
+def test_stream_recovers_from_expired_offset(spark, tmp_path):
+    """Round-8 advisor catch: a checkpointed stream offset below the
+    expire_iceberg_metadata horizon used to die in FileNotFoundError
+    with no recovery path. Now: failOnDataLoss=true (default) raises a
+    descriptive error naming the oldest retained version and the
+    options; failOnDataLoss=false resumes from the oldest retained
+    version (files added inside the expired gap are not replayed)."""
+    import pytest
+    from pyspark.sql import types as T
+
+    from iceberg_metadata_pipeline_spark.catalog.iceberg_format import (
+        expire_iceberg_metadata,
+        export_iceberg_table,
+    )
+    from iceberg_metadata_pipeline_spark.catalog.metacat import Catalog
+    from iceberg_metadata_pipeline_spark.ingest.pyice_source import (
+        PyIceStreamReader,
+        list_metadata_versions,
+    )
+
+    catalog = Catalog(spark, str(tmp_path / "wh-exp"))
+    st = T.StructType([T.StructField("id", T.LongType(), False)])
+    t = catalog.create_table("nyc", "exp_src", st).refresh()
+    dest = str(tmp_path / "ice-exp")
+    for lo in (0, 10, 20):
+        t.append_dataframe(
+            spark.range(lo, lo + 5).selectExpr("id")
+        )
+        t = t.refresh()
+        export_iceberg_table(t, dest)  # v1, v2, v3
+    expire_iceberg_metadata(dest, keep_last=1)
+    retained = list_metadata_versions(dest)
+    assert retained and retained[0] >= 3
+
+    r = PyIceStreamReader({"path": dest})
+    with pytest.raises(FileNotFoundError, match="failOnDataLoss"):
+        r.partitions({"v": 1}, {"v": retained[-1]})
+
+    r2 = PyIceStreamReader({"path": dest, "failOnDataLoss": "false"})
+    # v1 falls back to the oldest retained version: before == after set,
+    # so nothing replays (the gap's additions are acknowledged as lost)
+    assert r2.partitions({"v": 1}, {"v": retained[0]}) == []

@@ -307,3 +307,50 @@ def test_commit_table_property_updates(spark, server):
         _status_of(f"{base}/v1/namespaces/c/tables/ghost", "POST", {"updates": []})
         == 404
     )
+
+
+def test_commit_table_updates_fold_in_list_order(spark, server):
+    """Round-8 advisor catch: updates must apply in LIST order — a
+    spec-ordered commit [set k=v, remove k] ends with k ABSENT (the old
+    code applied all removals before all sets, resurrecting k), and
+    [remove k, set k=v] ends with k=v."""
+    catalog, _, base = server
+    _req(f"{base}/v1/namespaces", "POST", {"namespace": ["o"]})
+    _req(
+        f"{base}/v1/namespaces/o/tables",
+        "POST",
+        {"name": "ord", "schema": ICE_SCHEMA},
+    )
+    url = f"{base}/v1/namespaces/o/tables/ord"
+    code, out = _req(
+        url, "POST",
+        {"updates": [
+            {"action": "set-properties", "updates": {"k": "v", "keep": "1"}},
+            {"action": "remove-properties", "removals": ["k"]},
+        ]},
+    )
+    assert code == 200
+    props = out["metadata"]["properties"]
+    assert "k" not in props and props.get("keep") == "1"
+    t = catalog.load_table("o", "ord")
+    assert "k" not in t.properties
+
+    code, out = _req(
+        url, "POST",
+        {"updates": [
+            {"action": "remove-properties", "removals": ["keep"]},
+            {"action": "set-properties", "updates": {"keep": "2"}},
+        ]},
+    )
+    assert code == 200
+    assert out["metadata"]["properties"].get("keep") == "2"
+    # invalid update later in the list leaves the table untouched
+    code = _status_of(
+        url, "POST",
+        {"updates": [
+            {"action": "set-properties", "updates": {"keep": "3"}},
+            {"action": "add-snapshot", "snapshot": {}},
+        ]},
+    )
+    assert code == 400
+    assert catalog.load_table("o", "ord").properties.get("keep") == "2"
