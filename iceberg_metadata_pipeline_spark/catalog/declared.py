@@ -1792,10 +1792,10 @@ def catalog_hudi_mor_read(spark: SparkSession, sf_dir: str) -> DataFrame:
     record key, commit-filtered against the timeline). Matching the
     CASE/WHERE oracle proves un-compacted updates and deletes are
     visible, which is exactly what reading MOR as COW would get wrong.
-    Fixture building collects the part rows driver-side (bounded
-    fixture plumbing); the read path — where MOR semantics live — is
-    one task per file slice, the same distributed unit as Hudi's own
-    scan."""
+    Both directions are distributed: writes take DataFrames (one Spark
+    task per file group — hudi_mor_dist; no driver-side row
+    materialization) and the read path is one task per file slice, the
+    same units as Hudi's own writer and scan."""
     import tempfile as _tf
 
     from iceberg_metadata_pipeline_spark.catalog.hudi_format import (
@@ -1809,19 +1809,16 @@ def catalog_hudi_mor_read(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     part = load_tables(spark, sf_dir)["part"]
-    rows = [r.asDict() for r in part.collect()]
     loc = _tf.mkdtemp(prefix="hudi-mor-") + "/part_mor"
     create_mor_table(loc, "part_mor", [], "p_partkey", part.schema)
-    bulk_insert_mor(loc, rows, n_file_groups=4)
+    bulk_insert_mor(loc, part, n_file_groups=4)
     upsert_mor(
         loc,
-        [
-            dict(r, p_retailprice=r["p_size"] * 1.5)
-            for r in rows
-            if r["p_size"] > 40
-        ],
+        part.where("p_size > 40").withColumn(
+            "p_retailprice", F.col("p_size").cast("double") * F.lit(1.5)
+        ),
     )
-    delete_mor(loc, [r["p_partkey"] for r in rows if r["p_brand"] == "Brand#23"])
+    delete_mor(loc, part.where("p_brand = 'Brand#23'").select("p_partkey"))
     _register_pyhudi(spark)
     back = spark.read.format("pyhudi").load(loc)
     return (

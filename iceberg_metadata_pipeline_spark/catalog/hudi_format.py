@@ -388,16 +388,32 @@ def read_hudi_table(location: str, instant: str | None = None) -> HudiTableState
                     (i.time for i in done if i.action == "replacecommit"), default=""
                 ):
                     replaced.discard((part, fid))
+    retired = set(replaced)
     for key in replaced:
         state.files.pop(key, None)
     for key, logs in raw_logs.items():
         bf = state.files.get(key)
         if bf is None:
-            raise ValueError(
-                f"log files for file group {key} with no base file — "
-                "log-only file groups are not supported; bulk_insert_mor "
-                "writes base files first"
+            if key in retired:
+                # group retired by a replacecommit (clustering): its logs
+                # were folded by the pre-clustering compaction — history,
+                # not a live slice
+                continue
+            # LOG-ONLY file group (real Hudi creates these via Flink /
+            # bucket-index pipelines: the first slice is a log file, no
+            # base parquet). Its virtual slice anchors at the creation
+            # instant carried in the log name; merge_file_slice already
+            # merges a null base.
+            base_instant = min(lg.base_instant for lg in logs)
+            bf = BaseFile(
+                partition_path=key[0],
+                file_id=key[1],
+                instant_time=base_instant,
+                path="",  # null-base slice
+                num_records=0,
+                size_bytes=0,
             )
+            state.files[key] = bf
         live = sorted(
             (lg for lg in logs if lg.base_instant == bf.instant_time),
             key=lambda lg: (lg.instant_time, lg.version),
@@ -481,10 +497,17 @@ def _ensure_partition_metadata(location: str, partition_path: str, instant: str)
     if os.path.exists(marker):
         return
     depth = len([p for p in partition_path.split("/") if p])
-    with open(marker, "w") as fh:
+    # tmp + atomic rename: concurrent tasks of a distributed write may
+    # race on the same partition's marker; both write identical content,
+    # rename makes the winner whole
+    import uuid as _uuid
+
+    tmp = f"{marker}._tmp-{_uuid.uuid4().hex}"
+    with open(tmp, "w") as fh:
         fh.write("#partition metadata\n")
         fh.write(f"commitTime={instant}\n")
         fh.write(f"partitionDepth={depth}\n")
+    os.replace(tmp, marker)
 
 
 # ---------------------------------------------------------------------------
@@ -1143,14 +1166,20 @@ def _group_file_id(partition_path: str, idx: int) -> str:
     )
 
 
-def bulk_insert_mor(
-    location: str, rows: list[dict], n_file_groups: int = 2
-) -> str:
+def bulk_insert_mor(location: str, rows, n_file_groups: int = 2) -> str:
     """Initial load: split rows per partition into ``n_file_groups``
     file groups by record-key hash, write parquet base files, record one
-    ``deltacommit``. (Writer-side fixture plumbing — the distributed
-    twin is a partitioned DataFrame write; the READ path is where MOR
-    semantics live.)"""
+    ``deltacommit``. A DataFrame input takes the DISTRIBUTED path (one
+    Spark task per file group — hudi_mor_dist.bulk_insert_mor_df); a
+    list[dict] runs in-process, kept for the pure-Python oracle fuzz
+    (tests/test_hudi_mor.py) and byte-parity with the distributed twin
+    (same md5 placement, same naming, same stats)."""
+    if not isinstance(rows, list):
+        from iceberg_metadata_pipeline_spark.catalog.hudi_mor_dist import (
+            bulk_insert_mor_df,
+        )
+
+        return bulk_insert_mor_df(rows, location, n_file_groups)
     import pyarrow as pa
     import pyarrow.parquet as pq
 
@@ -1208,8 +1237,9 @@ def _key_index(state: HudiTableState) -> dict[str, tuple[str, str]]:
     key_field = state.record_key_field
     idx: dict[str, tuple[str, str]] = {}
     for key, bf in state.files.items():
-        for v in pq.read_table(bf.path, columns=[key_field]).column(key_field).to_pylist():
-            idx[str(v)] = key
+        if bf.path:  # a log-only group's keys live in its logs below
+            for v in pq.read_table(bf.path, columns=[key_field]).column(key_field).to_pylist():
+                idx[str(v)] = key
         for lg in state.log_files.get(key, []):
             for bt, h, content in read_log_blocks(lg.path):
                 if bt == BLOCK_AVRO_DATA and h.get(HEADER_INSTANT_TIME) in state.valid_instants:
@@ -1220,6 +1250,19 @@ def _key_index(state: HudiTableState) -> dict[str, tuple[str, str]]:
 
 def _next_log_version(state: HudiTableState, key: tuple[str, str]) -> int:
     return 1 + max((lg.version for lg in state.log_files.get(key, [])), default=0)
+
+
+def _new_log_only_fid_from_count(ppath: str, n_existing: int) -> str:
+    """Deterministic fileId for a log-only group created in partition
+    ``ppath``: seeded by the partition and how many groups it already
+    has, so re-running the same sequence reproduces the layout — and so
+    distributed writer tasks derive the SAME id without coordination."""
+    return _group_file_id(f"{ppath}#logonly", n_existing)
+
+
+def _new_log_only_fid(ppath: str, state: HudiTableState) -> str:
+    n = sum(1 for (p, _f) in state.files if p == ppath)
+    return _new_log_only_fid_from_count(ppath, n)
 
 
 def _append_delta_write(
@@ -1233,12 +1276,17 @@ def _append_delta_write(
     headers_extra: dict[int, str],
 ) -> str:
     """Shared deltacommit tail: one new log file per touched group, one
-    completed instant listing them."""
+    completed instant listing them. Groups absent from ``state.files``
+    are being CREATED by this commit as log-only groups — their slice
+    anchors at this instant."""
     t = begin_instant(location, "deltacommit")
     stats: dict[str, list[dict]] = {}
     for key, (version, content) in sorted(route.items()):
         ppath, fid = key
-        base_instant = state.files[key].instant_time
+        bf = state.files.get(key)
+        base_instant = bf.instant_time if bf is not None else t
+        if bf is None:
+            _ensure_partition_metadata(location, ppath, t)
         rel = os.path.join(ppath, _log_file_name(fid, base_instant, version)) if ppath else _log_file_name(fid, base_instant, version)
         dest = os.path.join(location, rel)
         append_log_block(
@@ -1250,11 +1298,11 @@ def _append_delta_write(
             {
                 "fileId": fid,
                 "path": rel,
-                "prevCommit": base_instant,
+                "prevCommit": base_instant if bf is not None else "null",
                 "numWrites": n_updates.get(key, 0),
                 "numDeletes": n_deletes.get(key, 0),
-                "numUpdateWrites": n_updates.get(key, 0),
-                "numInserts": 0,
+                "numUpdateWrites": n_updates.get(key, 0) if bf is not None else 0,
+                "numInserts": 0 if bf is not None else n_updates.get(key, 0),
                 "totalWriteBytes": os.path.getsize(dest),
                 "fileSizeInBytes": os.path.getsize(dest),
                 "logVersion": version,
@@ -1273,11 +1321,19 @@ def _append_delta_write(
     return t
 
 
-def upsert_mor(location: str, rows: list[dict]) -> str:
+def upsert_mor(location: str, rows) -> str:
     """UPSERT: each record routes to the file group owning its key (new
     keys hash among the groups of their partition) and lands as an
     AVRO_DATA block in a NEW log-file version of that group's current
-    slice — no base file is rewritten; that is the point of MOR."""
+    slice — no base file is rewritten; that is the point of MOR.
+    DataFrame input → distributed path (key-index join + one task per
+    touched group); list[dict] → in-process fixture path."""
+    if not isinstance(rows, list):
+        from iceberg_metadata_pipeline_spark.catalog.hudi_mor_dist import (
+            upsert_mor_df,
+        )
+
+        return upsert_mor_df(rows, location)
     props = read_properties(location)
     schema = _mor_schema(props)
     key_field = props["hoodie.table.recordkey.fields"]
@@ -1296,10 +1352,14 @@ def upsert_mor(location: str, rows: list[dict]) -> str:
             ppath = _hive_partition_path({c: r.get(c) for c in part_fields}, part_fields)
             cands = sorted(groups_of_part.get(ppath, []))
             if not cands:
-                raise ValueError(
-                    f"no file group in partition {ppath!r}; bulk_insert_mor first"
-                )
-            key = cands[int(hashlib.md5(k.encode()).hexdigest(), 16) % len(cands)]
+                # empty/partial table: CREATE a log-only file group for
+                # this partition (real Hudi's Flink/bucket-index posture —
+                # first slice is a log file; compaction writes the first
+                # base). One new group per partition per commit.
+                key = (ppath, _new_log_only_fid(ppath, state))
+                groups_of_part.setdefault(ppath, []).append(key)
+            else:
+                key = cands[int(hashlib.md5(k.encode()).hexdigest(), 16) % len(cands)]
         per_group.setdefault(key, []).append(r)
     route = {
         key: (
@@ -1316,10 +1376,17 @@ def upsert_mor(location: str, rows: list[dict]) -> str:
     )
 
 
-def delete_mor(location: str, keys: list) -> str:
+def delete_mor(location: str, keys) -> str:
     """Row-level DELETE: record keys land as a DELETE block in the
     owning group's log. Keys not present anywhere are a no-op (SQL
-    DELETE semantics)."""
+    DELETE semantics). DataFrame input → distributed path; list →
+    in-process fixture path."""
+    if not isinstance(keys, list):
+        from iceberg_metadata_pipeline_spark.catalog.hudi_mor_dist import (
+            delete_mor_df,
+        )
+
+        return delete_mor_df(keys, location)
     state = read_hudi_table(location)
     idx = _key_index(state)
     per_group: dict[tuple[str, str], list[str]] = {}
@@ -1338,14 +1405,21 @@ def delete_mor(location: str, keys: list) -> str:
     )
 
 
-def compact_mor(location: str) -> str:
+def compact_mor(location: str, spark=None) -> str:
     """Compaction: per file group with live logs, merge the slice and
     write a NEW base file under a ``commit`` instant (a compaction's
     completed action on a MOR timeline IS ``commit``). Readers at
     instants ≥ t pick the new base and the old logs detach (their
     base_instant no longer matches); time travel before t still merges
-    the old slice. Groups run independently — the distributed form is
-    one task per group, same unit as the read path."""
+    the old slice. With a SparkSession, groups compact as one Spark
+    task each (hudi_mor_dist.compact_mor_dist — same unit as the read
+    path); without one, in-process (fixture/fuzz path)."""
+    if spark is not None:
+        from iceberg_metadata_pipeline_spark.catalog.hudi_mor_dist import (
+            compact_mor_dist,
+        )
+
+        return compact_mor_dist(spark, location)
     import pyarrow as pa
     import pyarrow.parquet as pq
 
@@ -1363,7 +1437,7 @@ def compact_mor(location: str) -> str:
         bf = state.files[key]
         merged = list(
             merge_file_slice(
-                bf.path,
+                bf.path or None,  # None: log-only group's first base
                 [(lg.path, lg.instant_time) for lg in state.log_files[key]],
                 key_field,
                 state.valid_instants,
@@ -1472,7 +1546,9 @@ def restore_hudi(location: str, savepoint_time: str) -> list[str]:
     return removed
 
 
-def cluster_hudi(location: str, target_file_rows: int = 1_000_000) -> str:
+def cluster_hudi(
+    location: str, target_file_rows: int = 1_000_000, spark=None
+) -> str:
     """CLUSTERING (the COW sibling of compact_mor and Delta's OPTIMIZE):
     bin-pack small base files into ~``target_file_rows`` files per
     partition under ONE ``replacecommit`` — the spec's clustering verb:
@@ -1483,7 +1559,15 @@ def cluster_hudi(location: str, target_file_rows: int = 1_000_000) -> str:
     compact_mor first (clustering replaces base files; orphaned logs
     would silently drop updates). Groups pack independently — the
     distributed form is one task per partition, the same unit as real
-    Hudi's clustering plan."""
+    Hudi's clustering plan — taken when a SparkSession is passed
+    (hudi_mor_dist.cluster_hudi_dist); the in-process loop remains as
+    the fixture/fuzz path."""
+    if spark is not None:
+        from iceberg_metadata_pipeline_spark.catalog.hudi_mor_dist import (
+            cluster_hudi_dist,
+        )
+
+        return cluster_hudi_dist(spark, location, target_file_rows)
     import pyarrow as pa
     import pyarrow.parquet as pq
 

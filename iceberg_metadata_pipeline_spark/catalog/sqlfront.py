@@ -1399,7 +1399,7 @@ def _run_procedure(catalog: Catalog, proc: str, raw_args: str) -> DataFrame:
                 compact_mor,
             )
 
-            instant = compact_mor(loc)
+            instant = compact_mor(loc, spark=spark)
             return spark.createDataFrame(
                 [(loc, instant)], "location string, instant string"
             )
@@ -1409,7 +1409,9 @@ def _run_procedure(catalog: Catalog, proc: str, raw_args: str) -> DataFrame:
             )
 
             instant = cluster_hudi(
-                loc, target_file_rows=int(args.get("target_file_rows", 1_000_000))
+                loc,
+                target_file_rows=int(args.get("target_file_rows", 1_000_000)),
+                spark=spark,
             )
             return spark.createDataFrame(
                 [(loc, instant)], "location string, instant string"

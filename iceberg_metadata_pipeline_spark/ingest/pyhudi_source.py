@@ -157,6 +157,8 @@ class _HudiReadMixin:
             ):
                 yield self._ordered(rec, pvals)
             return
+        if not part.path:
+            return  # log-only group whose logs all filtered out
         pf = pq.ParquetFile(part.path)
         present = set(pf.schema_arrow.names)
         for batch in pf.iter_batches(
@@ -181,11 +183,24 @@ def _resolve_schema(state) -> tuple[T.StructType, list[str], list[str]]:
             f"{state.instant or '<none>'} — nothing to derive a schema "
             "from (empty or just-created table)"
         )
-    # deterministic pick: lowest (partition_path, file_id) key, not dict
-    # iteration order — file schemas are expected identical, but the
-    # chosen footer should not depend on insertion order
-    first = state.files[min(state.files)]
-    fschema = _file_schema(first.path)
+    # deterministic pick: lowest (partition_path, file_id) key WITH a
+    # base file, not dict iteration order — file schemas are expected
+    # identical, but the chosen footer should not depend on insertion
+    # order. A table whose live groups are all LOG-ONLY (no base parquet
+    # yet) resolves from the MOR create schema instead.
+    with_base = sorted(k for k, bf in state.files.items() if bf.path)
+    if with_base:
+        fschema = _file_schema(state.files[with_base[0]].path)
+    else:
+        import json as _json
+
+        raw = state.properties.get("hoodie.table.create.schema")
+        if not raw:
+            raise ValueError(
+                f"pyhudi: {state.location} has only log-only file groups "
+                "and no create schema — cannot resolve a read schema"
+            )
+        fschema = T.StructType.fromJson(_json.loads(raw))
     file_cols = [f.name for f in fschema.fields]
     part_cols = [c for c in state.partition_fields if c not in file_cols]
     full = T.StructType(
