@@ -200,13 +200,41 @@ def main() -> None:
             "total_over_sentinel": round(total / sentinel, 2) if sentinel else None,
         }
     )
-    # the driver tail-captures stdout and has truncated the (long) JSON
-    # line before (BENCH_r05 "parsed": null) — also persist it to a file
-    # so the artifact stays machine-readable as the query list grows
+    # the driver tail-captures only the LAST ~2000 chars of stdout, so a
+    # full 80+-query JSON line always truncates (BENCH_r05/r07 "parsed":
+    # null). Persist the complete payload to BENCH_LOCAL.json, then print
+    # a final line GUARANTEED to fit the capture window: totals + sentinel
+    # + the slowest queries, trimmed until the serialized line is under
+    # budget — the driver gets a parseable object every round.
     with open(os.path.join(os.path.dirname(os.path.abspath(__file__)),
                            "BENCH_LOCAL.json"), "w") as fh:
         fh.write(payload + "\n")
-    print(payload)
+
+    budget = 1800  # under the driver's 2000-char tail, with margin
+    by_cost = sorted(timings.items(), key=lambda kv: -kv[1])
+    k = len(by_cost)
+    while k > 0:
+        compact = json.dumps(
+            {
+                "metric": "headline_queries_total_runtime",
+                "value": total,
+                "unit": "sec",
+                "queries": dict(sorted(by_cost[:k])),
+                "n_queries": len(timings),
+                "queries_shown": k,
+                "sf": sf,
+                "sentinel_sec": sentinel,
+                "total_over_sentinel": (
+                    round(total / sentinel, 2) if sentinel else None
+                ),
+                "full": "BENCH_LOCAL.json",
+            },
+            separators=(",", ":"),
+        )
+        if len(compact) <= budget:
+            break
+        k -= max(1, k // 8)
+    print(compact)
 
 
 if __name__ == "__main__":

@@ -521,7 +521,14 @@ def optimize_delta(
             protocol=state.protocol,
         )
         live = _live_rows_dataframe(spark, sub).select(
-            *[F.col(f.name).alias(phys[f.name]) for f in file_fields]
+            # logical → PHYSICAL, recursively: packed files must store
+            # the same (nested) parquet names as the files they replace
+            *[
+                rename_expr(
+                    F.col(f.name), f.dataType, physical_type(f.dataType)
+                ).alias(phys[f.name])
+                for f in file_fields
+            ]
         )
         rows = live.count()
         n_before += rows
@@ -727,11 +734,19 @@ def import_delta_table(
     MATERIALIZING path instead: live rows = file rows minus each
     vector's positions, computed distributed via ``_metadata.row_index``
     and written fresh — registering the raw files would resurrect the
-    deleted rows."""
+    deleted rows. A column-mapping table whose physical names diverge
+    from the logical schema (any rename, top-level or nested) also
+    materializes: metacat scans parquet by LOGICAL name, so registering
+    the raw physical-named files would silently read nulls."""
     from iceberg_metadata_pipeline_spark.catalog.metacat import DataFileEntry
 
     state = read_delta_table(location, version)
-    if any(a.get("deletionVector") for a in state.files.values()):
+    renamed = column_mapping_mode(state) != "none" and any(
+        physical_names(state)[f.name] != f.name
+        or physical_type(f.dataType) != _strip_field_metadata(f.dataType)
+        for f in state.schema.fields
+    )
+    if renamed or any(a.get("deletionVector") for a in state.files.values()):
         t = catalog.create_table(namespace, name, state.schema).refresh()
         if state.partition_columns:
             from iceberg_metadata_pipeline_spark.catalog.partitioning import (
@@ -1150,9 +1165,7 @@ def column_mapping_mode(state: DeltaTableState) -> str:
 
 def _has_nested_mapping(dtype) -> bool:
     """True if any NESTED field below ``dtype`` carries columnMapping
-    metadata — the protocol applies physicalName recursively, and this
-    reader only maps top-level fields, so a real-writer table with
-    renamed nested fields must refuse rather than read wrong names."""
+    metadata (the protocol applies physicalName recursively)."""
     if isinstance(dtype, T.StructType):
         for f in dtype.fields:
             if "delta.columnMapping.physicalName" in (f.metadata or {}):
@@ -1167,22 +1180,141 @@ def _has_nested_mapping(dtype) -> bool:
     return False
 
 
+def _strip_field_metadata(dtype):
+    """Same shape as ``dtype`` with all StructField metadata dropped —
+    comparing this against ``physical_type`` answers "does any nested
+    field rename?" without a bespoke walker."""
+    if isinstance(dtype, T.StructType):
+        return T.StructType(
+            [
+                T.StructField(f.name, _strip_field_metadata(f.dataType), f.nullable)
+                for f in dtype.fields
+            ]
+        )
+    if isinstance(dtype, T.ArrayType):
+        return T.ArrayType(_strip_field_metadata(dtype.elementType), dtype.containsNull)
+    if isinstance(dtype, T.MapType):
+        return T.MapType(
+            _strip_field_metadata(dtype.keyType),
+            _strip_field_metadata(dtype.valueType),
+            dtype.valueContainsNull,
+        )
+    return dtype
+
+
+def physical_type(dtype):
+    """The physical twin of a logical type: every StructField renamed to
+    its ``delta.columnMapping.physicalName`` (identity when absent),
+    RECURSIVELY — arrays and maps descend. Field metadata is dropped on
+    the physical side (parquet files carry names, not Delta metadata)."""
+    if isinstance(dtype, T.StructType):
+        return T.StructType(
+            [
+                T.StructField(
+                    (f.metadata or {}).get(
+                        "delta.columnMapping.physicalName", f.name
+                    ),
+                    physical_type(f.dataType),
+                    f.nullable,
+                )
+                for f in dtype.fields
+            ]
+        )
+    if isinstance(dtype, T.ArrayType):
+        return T.ArrayType(physical_type(dtype.elementType), dtype.containsNull)
+    if isinstance(dtype, T.MapType):
+        return T.MapType(
+            physical_type(dtype.keyType),
+            physical_type(dtype.valueType),
+            dtype.valueContainsNull,
+        )
+    return dtype
+
+
+def rename_expr(col, src_type, dst_type):
+    """Column expression renaming struct fields POSITIONALLY from
+    ``src_type``'s names to ``dst_type``'s names, recursing through
+    arrays and maps — logical→physical and physical→logical are the
+    same rebuild with the argument order swapped. Identity (no new
+    expression) when the two types already agree, so unmapped columns
+    stay zero-cost; null structs stay null (a naive F.struct rebuild
+    would turn them into structs of nulls)."""
+    from pyspark.sql import functions as F
+
+    if _strip_field_metadata(src_type) == _strip_field_metadata(dst_type):
+        return col
+    if isinstance(src_type, T.StructType):
+        built = F.struct(
+            *[
+                rename_expr(col.getField(sf.name), sf.dataType, df.dataType).alias(
+                    df.name
+                )
+                for sf, df in zip(src_type.fields, dst_type.fields)
+            ]
+        )
+        plain = T.StructType(
+            [T.StructField(f.name, f.dataType, f.nullable) for f in dst_type.fields]
+        )
+        return F.when(col.isNull(), F.lit(None).cast(plain)).otherwise(built)
+    if isinstance(src_type, T.ArrayType):
+        return F.transform(
+            col, lambda x: rename_expr(x, src_type.elementType, dst_type.elementType)
+        )
+    if isinstance(src_type, T.MapType):
+        return F.map_from_arrays(
+            F.transform(
+                F.map_keys(col),
+                lambda k: rename_expr(k, src_type.keyType, dst_type.keyType),
+            ),
+            F.transform(
+                F.map_values(col),
+                lambda v: rename_expr(v, src_type.valueType, dst_type.valueType),
+            ),
+        )
+    return col
+
+
+def to_logical_py(v, ltype):
+    """Python-side twin of ``rename_expr`` for the pydelta reader: a
+    value decoded by pyarrow under PHYSICAL names (structs arrive as
+    dicts keyed by parquet field names) converts to logical shape —
+    structs become tuples in logical field order, which the Python
+    DataSource maps onto the declared schema."""
+    if v is None:
+        return None
+    if isinstance(ltype, T.StructType):
+        ptype = physical_type(ltype)
+        return tuple(
+            to_logical_py(v.get(pf.name), lf.dataType)
+            for lf, pf in zip(ltype.fields, ptype.fields)
+        )
+    if isinstance(ltype, T.ArrayType):
+        return [to_logical_py(x, ltype.elementType) for x in v]
+    if isinstance(ltype, T.MapType):
+        return {
+            to_logical_py(k, ltype.keyType): to_logical_py(x, ltype.valueType)
+            for k, x in v.items()
+        }
+    return v
+
+
 def physical_names(state: DeltaTableState) -> dict:
     """logical column → the name actually stored in parquet files and
-    ``partitionValues`` keys. Identity unless column mapping is on (the
-    protocol: each field's metadata carries
-    ``delta.columnMapping.physicalName``). Nested-field mapping (legal
-    for real Delta writers) is refused loudly — applying only the
-    top-level map would silently read wrong nested columns."""
-    if column_mapping_mode(state) == "none":
+    ``partitionValues`` keys (top level; nested fields map through
+    ``physical_type``/``rename_expr``/``to_logical_py``). Identity
+    unless column mapping is on (the protocol: each field's metadata
+    carries ``delta.columnMapping.physicalName``). 'id' mode — parquet
+    field-id resolution — is refused: name resolution would silently
+    read wrong columns on id-mode tables."""
+    mode = column_mapping_mode(state)
+    if mode == "none":
         return {f.name: f.name for f in state.schema.fields}
-    for f in state.schema.fields:
-        if _has_nested_mapping(f.dataType):
-            raise NotImplementedError(
-                f"column {f.name!r} carries columnMapping metadata on "
-                "NESTED fields; this reader maps top-level columns only — "
-                "flatten the table or read it with a full Delta runtime"
-            )
+    if mode == "id":
+        raise NotImplementedError(
+            "delta.columnMapping.mode='id' resolves parquet columns by "
+            "field id, which this reader does not implement — only 'name' "
+            "mode is served; read id-mode tables with a full Delta runtime"
+        )
     return {
         f.name: (f.metadata or {}).get("delta.columnMapping.physicalName", f.name)
         for f in state.schema.fields
@@ -1198,15 +1330,36 @@ def enable_column_mapping(location: str) -> int:
     state = read_delta_table(location)
     if column_mapping_mode(state) != "none":
         return state.version
-    fields = []
-    for i, f in enumerate(state.schema.fields, start=1):
-        m = dict(f.metadata or {})
-        m["delta.columnMapping.id"] = i
-        m["delta.columnMapping.physicalName"] = f.name
-        fields.append(T.StructField(f.name, f.dataType, f.nullable, m))
+    counter = iter(range(1, 1 << 31))
+
+    def _map_type(dtype):
+        # the protocol assigns ids/physicalNames RECURSIVELY — nested
+        # struct fields are renameable too
+        if isinstance(dtype, T.StructType):
+            out = []
+            for f in dtype.fields:
+                m = dict(f.metadata or {})
+                m["delta.columnMapping.id"] = next(counter)
+                m["delta.columnMapping.physicalName"] = f.name
+                out.append(
+                    T.StructField(f.name, _map_type(f.dataType), f.nullable, m)
+                )
+            return T.StructType(out)
+        if isinstance(dtype, T.ArrayType):
+            return T.ArrayType(_map_type(dtype.elementType), dtype.containsNull)
+        if isinstance(dtype, T.MapType):
+            return T.MapType(
+                _map_type(dtype.keyType),
+                _map_type(dtype.valueType),
+                dtype.valueContainsNull,
+            )
+        return dtype
+
+    fields = _map_type(state.schema).fields
+    n_ids = next(counter) - 1
     conf = dict(state.metadata.get("configuration") or {})
     conf["delta.columnMapping.mode"] = "name"
-    conf["delta.columnMapping.maxColumnId"] = str(len(fields))
+    conf["delta.columnMapping.maxColumnId"] = str(n_ids)
     md = dict(
         state.metadata,
         schemaString=json.dumps(T.StructType(fields).jsonValue()),
@@ -1231,8 +1384,9 @@ def rename_delta_column(location: str, old: str, new: str) -> int:
     """Metadata-only column rename — THE operation column mapping exists
     for: the logical name changes in the schema while ``physicalName``
     keeps pointing at the bytes already on disk, so zero data files are
-    rewritten (at 100 TB, a rename costs one JSON commit). Returns the
-    commit version."""
+    rewritten (at 100 TB, a rename costs one JSON commit). ``old`` may
+    be a dotted NESTED path (``parent.child``); ``new`` is the new leaf
+    name. Returns the commit version."""
     state = read_delta_table(location)
     if column_mapping_mode(state) == "none":
         raise ValueError(
@@ -1240,14 +1394,48 @@ def rename_delta_column(location: str, old: str, new: str) -> int:
             "first) — without it the logical name IS the parquet name and "
             "a rename would need a full rewrite"
         )
-    if old not in [f.name for f in state.schema.fields]:
-        raise ValueError(f"no column {old!r}")
-    if new in [f.name for f in state.schema.fields]:
-        raise ValueError(f"column {new!r} already exists")
-    fields = [
-        T.StructField(new if f.name == old else f.name, f.dataType, f.nullable, f.metadata)
-        for f in state.schema.fields
-    ]
+
+    def _rename_in(struct: T.StructType, path: list[str]) -> T.StructType:
+        head, rest = path[0], path[1:]
+        names = [f.name for f in struct.fields]
+        if head not in names:
+            raise ValueError(f"no column {old!r}")
+        out = []
+        for f in struct.fields:
+            if f.name != head:
+                out.append(f)
+            elif rest:
+                dt = f.dataType
+                # descend through array/map wrappers to the struct level
+                unwrap = []
+                while True:
+                    if isinstance(dt, T.ArrayType):
+                        unwrap.append(("a", dt.containsNull))
+                        dt = dt.elementType
+                    elif isinstance(dt, T.MapType):
+                        unwrap.append(("m", dt.keyType, dt.valueContainsNull))
+                        dt = dt.valueType
+                    else:
+                        break
+                if not isinstance(dt, T.StructType):
+                    raise ValueError(
+                        f"{'.'.join(path)}: {f.name!r} is not a struct"
+                    )
+                dt = _rename_in(dt, rest)
+                for w in reversed(unwrap):
+                    dt = (
+                        T.ArrayType(dt, w[1])
+                        if w[0] == "a"
+                        else T.MapType(w[1], dt, w[2])
+                    )
+                out.append(T.StructField(f.name, dt, f.nullable, f.metadata))
+            else:
+                if new in names:
+                    raise ValueError(f"column {new!r} already exists")
+                out.append(T.StructField(new, f.dataType, f.nullable, f.metadata))
+        return T.StructType(out)
+
+    fields = _rename_in(state.schema, old.split(".")).fields
     md = dict(state.metadata, schemaString=json.dumps(T.StructType(fields).jsonValue()))
     if old in (state.metadata.get("partitionColumns") or []):
         md["partitionColumns"] = [
@@ -1285,11 +1473,16 @@ def _live_rows_dataframe(spark: SparkSession, state: DeltaTableState):
         p: (p if os.path.isabs(p) else os.path.join(state.location, p))
         for p in state.files
     }
+    ptypes = {f.name: physical_type(f.dataType) for f in file_fields}
     data = (
-        # parquet stores PHYSICAL names (identity unless column mapping)
+        # parquet stores PHYSICAL names (identity unless column mapping),
+        # recursively — nested struct fields rename too
         spark.read.schema(
             T.StructType(
-                [T.StructField(phys[f.name], f.dataType, f.nullable) for f in file_fields]
+                [
+                    T.StructField(phys[f.name], ptypes[f.name], f.nullable)
+                    for f in file_fields
+                ]
             )
         )
         .parquet(*abs_of.values())
@@ -1298,10 +1491,20 @@ def _live_rows_dataframe(spark: SparkSession, state: DeltaTableState):
     )
     # single-select projection, not sequential withColumnRenamed: logical
     # and physical namespaces are independent under the protocol, so a
-    # swap rename (a↔b) is legal — one-at-a-time renames would clobber
-    if any(phys[f.name] != f.name for f in file_fields):
+    # swap rename (a↔b) is legal — one-at-a-time renames would clobber.
+    # Nested renames rebuild the struct positionally (rename_expr).
+    if any(
+        phys[f.name] != f.name
+        or ptypes[f.name] != _strip_field_metadata(f.dataType)
+        for f in file_fields
+    ):
         data = data.select(
-            *[F.col(phys[f.name]).alias(f.name) for f in file_fields],
+            *[
+                rename_expr(
+                    F.col(phys[f.name]), ptypes[f.name], f.dataType
+                ).alias(f.name)
+                for f in file_fields
+            ],
             F.col("__file"),
             F.col("__pos"),
         )

@@ -109,6 +109,11 @@ class _DeltaReadMixin:
     def _rows(self, part: DeltaFilePartition):
         import pyarrow.parquet as pq
 
+        from iceberg_metadata_pipeline_spark.catalog.delta_format import (
+            _has_nested_mapping,
+            to_logical_py,
+        )
+
         if part is None or not part.path:
             return  # empty-table sentinel (zero live files)
         pcols = set(self.partition_columns)
@@ -141,12 +146,16 @@ class _DeltaReadMixin:
                     # columns ADDED after this file was written are null
                     # for its rows (Delta's add-column semantics: no
                     # rewrite, readers project missing columns as null)
-                    ordered.append(
-                        got.get(
-                            self.physical.get(f.name, f.name),
-                            [None] * batch.num_rows,
-                        )
+                    vals = got.get(
+                        self.physical.get(f.name, f.name),
+                        [None] * batch.num_rows,
                     )
+                    if _has_nested_mapping(f.dataType):
+                        # struct values decode as dicts keyed by the
+                        # parquet (PHYSICAL) nested names — rebuild to
+                        # logical shape, recursively
+                        vals = [to_logical_py(v, f.dataType) for v in vals]
+                    ordered.append(vals)
             for row in zip(*ordered):
                 if pos not in dead:
                     yield row

@@ -699,37 +699,91 @@ def test_column_mapping_swap_rename_reads_right_columns(spark, metacat_table, tm
     assert back[4].name == 1.0 and back[4].score == "n4"
 
 
-def test_nested_column_mapping_refused(tmp_path):
-    """The protocol applies physicalName recursively; this reader maps
-    top-level fields only, so nested-field mapping metadata written by a
-    real Delta writer must refuse loudly, not silently read wrong names."""
+def test_nested_column_mapping_round_trip(spark, tmp_path):
+    """Round-8 brief item: nested-field physicalName is now SUPPORTED
+    (the protocol applies it recursively). A struct-column table renamed
+    at BOTH the top level and a nested level reads correctly through
+    both paths — the pydelta DataSource and the importer's
+    _live_rows_dataframe — with zero data files rewritten."""
+    from iceberg_metadata_pipeline_spark.catalog.delta_format import (
+        enable_column_mapping,
+        import_delta_table,
+        rename_delta_column,
+    )
+    from iceberg_metadata_pipeline_spark.ingest.pydelta_source import (
+        register as _reg,
+    )
+
+    catalog = Catalog(spark, str(tmp_path / "wh-ncm"))
+    st = T.StructType(
+        [
+            T.StructField("id", T.LongType(), False),
+            T.StructField(
+                "s",
+                T.StructType(
+                    [
+                        T.StructField("a", T.LongType(), True),
+                        T.StructField("b", T.StringType(), True),
+                    ]
+                ),
+                True,
+            ),
+        ]
+    )
+    t = catalog.create_table("nyc", "ncm", st).refresh()
+    t.append_dataframe(
+        spark.createDataFrame([(i, (i * 10, f"x{i}")) for i in range(6)], st)
+    )
+    dest = str(tmp_path / "delta-ncm")
+    export_delta_table(t.refresh(), dest)
+    n_files = {
+        f for f in os.listdir(dest) if f.endswith(".parquet")
+    }  # no rewrites expected (export is metadata-only anyway)
+    enable_column_mapping(dest)
+    rename_delta_column(dest, "s", "info")  # top-level
+    rename_delta_column(dest, "info.a", "alpha")  # nested
+    state = read_delta_table(dest)
+    assert [f.name for f in state.schema.fields] == ["id", "info"]
+    info = state.schema["info"]
+    assert info.metadata["delta.columnMapping.physicalName"] == "s"
+    nested = {f.name: f for f in info.dataType.fields}
+    assert set(nested) == {"alpha", "b"}
+    assert nested["alpha"].metadata["delta.columnMapping.physicalName"] == "a"
+    expect = [(i, (i * 10, f"x{i}")) for i in range(6)]
+
+    # path 1: pydelta DataSource (executor-side dict→logical rebuild)
+    _reg(spark)
+    back = spark.read.format("pydelta").load(dest)
+    assert [f.name for f in back.schema["info"].dataType.fields] == ["alpha", "b"]
+    got = sorted((r.id, (r.info.alpha, r.info.b)) for r in back.collect())
+    assert got == expect
+
+    # path 2: the format reader (importer materializes renamed tables)
+    t2 = import_delta_table(
+        spark, Catalog(spark, str(tmp_path / "wh-ncm2")), dest, "nyc", "ncm_in"
+    )
+    got2 = sorted((r.id, (r.info.alpha, r.info.b)) for r in t2.scan().collect())
+    assert got2 == expect
+    assert {f for f in os.listdir(dest) if f.endswith(".parquet")} == n_files
+
+    # swap rename at the NESTED level is safe too (positional rebuild)
+    rename_delta_column(dest, "info.alpha", "tmp")
+    rename_delta_column(dest, "info.b", "alpha")
+    rename_delta_column(dest, "info.tmp", "b")
+    swapped = spark.read.format("pydelta").load(dest)
+    got3 = sorted((r.id, (r.info.b, r.info.alpha)) for r in swapped.collect())
+    assert got3 == expect  # b now holds the numbers, alpha the strings
+
+
+def test_id_mode_column_mapping_refused(tmp_path):
+    """Refusal narrows to what stays unimplemented: 'id' mode resolves
+    parquet columns by field id, so name resolution must refuse."""
     from iceberg_metadata_pipeline_spark.catalog.delta_format import (
         physical_names,
     )
 
-    loc = str(tmp_path / "nestedcm")
-    inner = T.StructType(
-        [
-            T.StructField(
-                "a",
-                T.LongType(),
-                True,
-                {"delta.columnMapping.physicalName": "col-xyz",
-                 "delta.columnMapping.id": 2},
-            )
-        ]
-    )
-    schema = T.StructType(
-        [
-            T.StructField(
-                "s",
-                inner,
-                True,
-                {"delta.columnMapping.physicalName": "s",
-                 "delta.columnMapping.id": 1},
-            )
-        ]
-    )
+    loc = str(tmp_path / "idcm")
+    schema = T.StructType([T.StructField("a", T.LongType(), True)])
     write_commit(
         loc,
         [
@@ -740,22 +794,13 @@ def test_nested_column_mapping_refused(tmp_path):
                     "format": {"provider": "parquet"},
                     "schemaString": json.dumps(schema.jsonValue()),
                     "partitionColumns": [],
-                    "configuration": {"delta.columnMapping.mode": "name"},
+                    "configuration": {"delta.columnMapping.mode": "id"},
                 }
             },
         ],
     )
-    state = read_delta_table(loc)
-    with pytest.raises(NotImplementedError, match="NESTED"):
-        physical_names(state)
-    # array-of-struct and map-value nesting are caught too
-    from iceberg_metadata_pipeline_spark.catalog.delta_format import (
-        _has_nested_mapping,
-    )
-
-    assert _has_nested_mapping(T.ArrayType(inner))
-    assert _has_nested_mapping(T.MapType(T.StringType(), inner))
-    assert not _has_nested_mapping(T.ArrayType(T.LongType()))
+    with pytest.raises(NotImplementedError, match="'id'"):
+        physical_names(read_delta_table(loc))
 
 
 def test_rename_without_mapping_refuses(spark, metacat_table, tmp_path):
