@@ -278,13 +278,19 @@ class RestCatalogServer:
 
     def _commit_table(self, h, ns: str, name: str, body: dict):
         """commitTable, METADATA-ONLY subset: requirements are checked
-        (assert-table-uuid / assert-ref-snapshot-id — the optimistic-
-        concurrency handshake pyiceberg sends for ALTER TABLE SET
-        TBLPROPERTIES), and set-properties / remove-properties updates
-        apply through metacat's own property commit. Data and schema
-        commits (add-snapshot, set-snapshot-ref, add-schema, …) still
-        refuse loudly: those go through the warehouse's own commit
-        path — this catalog will not fork a second commit protocol."""
+        (assert-table-uuid / assert-ref-snapshot-id /
+        assert-current-schema-id — the optimistic-concurrency handshake
+        pyiceberg sends), set-properties / remove-properties apply
+        through metacat's property commit, and SCHEMA EVOLUTION commits
+        (add-schema + set-current-schema-id) map onto metacat's own
+        add/rename/promote/drop by diffing field IDs — the ids the new
+        schema carries are the ones loadTable served, which this server
+        derives deterministically via spark_schema_to_iceberg. Partition
+        evolution (add-spec + set-default-spec-id, identity transforms)
+        maps onto set_partition_spec. Data commits (add-snapshot,
+        set-snapshot-ref, …) still refuse loudly: those go through the
+        warehouse's own commit path — this catalog will not fork a
+        second commit protocol."""
         if not self.catalog.table_exists(ns, name):
             return h._error(
                 404, f"table {ns}.{name} not found", "NoSuchTableException"
@@ -318,6 +324,15 @@ class RestCatalogServer:
                         f"not {want}",
                         "CommitFailedException",
                     )
+            elif typ == "assert-current-schema-id":
+                # the export always serves the current schema as id 0
+                if int(req.get("current-schema-id", -1)) != 0:
+                    return h._error(
+                        409,
+                        "current schema id is 0, not "
+                        f"{req.get('current-schema-id')}",
+                        "CommitFailedException",
+                    )
             else:
                 return h._error(
                     400, f"unsupported commit requirement {typ!r}",
@@ -327,6 +342,10 @@ class RestCatalogServer:
         # remove): [set k=v, remove k] must end with k absent, and nothing
         # mutates the table until every update has validated
         pending: dict[str, str | None] = {}
+        new_schema = None
+        set_schema_id = None
+        new_spec = None
+        set_spec_id = None
         for u in body.get("updates") or []:
             action = u.get("action")
             if action == "set-properties":
@@ -335,14 +354,49 @@ class RestCatalogServer:
             elif action == "remove-properties":
                 for k in u.get("removals") or []:
                     pending[str(k)] = None
+            elif action == "add-schema":
+                new_schema = u.get("schema") or {}
+            elif action == "set-current-schema-id":
+                set_schema_id = int(u.get("schema-id", -1))
+            elif action == "add-spec":
+                new_spec = u.get("spec") or {}
+            elif action == "set-default-spec-id":
+                set_spec_id = int(u.get("spec-id", -1))
             else:
                 return h._error(
                     400,
-                    f"commit update {action!r} is not served: data/schema "
+                    f"commit update {action!r} is not served: data "
                     "commits go through the warehouse's own commit path; "
-                    "this catalog serves metadata-only property commits",
+                    "this catalog serves metadata-only property and "
+                    "schema/spec-evolution commits",
                     "CommitNotSupportedException",
                 )
+        if (new_schema is None) != (set_schema_id is None):
+            return h._error(
+                400,
+                "schema evolution needs BOTH add-schema and "
+                "set-current-schema-id in one commit",
+            )
+        if (new_spec is None) != (set_spec_id is None):
+            return h._error(
+                400,
+                "partition evolution needs BOTH add-spec and "
+                "set-default-spec-id in one commit",
+            )
+        if new_schema is not None:
+            if set_schema_id not in (-1, int(new_schema.get("schema-id", -1))):
+                return h._error(
+                    400,
+                    f"set-current-schema-id {set_schema_id} does not name "
+                    "the added schema (-1 = last added)",
+                )
+            err = self._evolve_schema(t, new_schema)
+            if err:
+                return h._error(400, err)
+        if new_spec is not None:
+            err = self._evolve_spec(t, new_spec, set_spec_id)
+            if err:
+                return h._error(400, err)
         sets = {k: v for k, v in pending.items() if v is not None}
         removed = [
             k
@@ -356,6 +410,117 @@ class RestCatalogServer:
             # would serve stale metadata — drop it
             self._exports.pop((ns, name), None)
         return self._load_table(h, ns, name)
+
+    def _evolve_schema(self, t, new_schema: dict) -> str | None:
+        """Diff the committed schema against the CURRENT one by field ID
+        (the ids loadTable served — rebuilt deterministically with
+        spark_schema_to_iceberg) and replay the difference through
+        metacat's evolution verbs: same id + new name → rename, same id
+        + promotable type → promote, new id → add, missing id → drop.
+        Returns an error string (nothing applied) or None on success —
+        every step is validated before the first mutation."""
+        from iceberg_metadata_pipeline_spark.catalog.iceberg_format import (
+            _ice_type_to_spark,
+            spark_schema_to_iceberg,
+        )
+
+        old_fields = spark_schema_to_iceberg(t.schema)[0]["fields"]
+        old_by_id = {f["id"]: f for f in old_fields}
+        new_fields = new_schema.get("fields") or []
+        plan: list[tuple] = []
+        seen_ids = set()
+        live_names = {f["name"] for f in old_fields}
+        for nf in new_fields:
+            fid = nf.get("id")
+            of = old_by_id.get(fid) if fid is not None else None
+            try:
+                spark_t = _ice_type_to_spark(nf["type"])
+            except ValueError as e:
+                return str(e)
+            if of is None:
+                plan.append(("add", nf["name"], spark_t.simpleString()))
+            else:
+                seen_ids.add(fid)
+                if of["name"] != nf["name"]:
+                    if nf["name"] in live_names:
+                        return (
+                            f"rename {of['name']!r} -> {nf['name']!r} "
+                            "collides with an existing column (swap "
+                            "renames need two commits)"
+                        )
+                    plan.append(("rename", of["name"], nf["name"]))
+                if of["type"] != nf["type"]:
+                    if not isinstance(of["type"], str) or not isinstance(
+                        nf["type"], str
+                    ):
+                        return (
+                            f"column {nf['name']!r}: only primitive type "
+                            "promotion is served"
+                        )
+                    plan.append(("promote", nf["name"], spark_t.simpleString()))
+        for fid, of in old_by_id.items():
+            if fid not in seen_ids:
+                plan.append(("drop", of["name"]))
+        # validate promotions up front (metacat's _can_promote is the
+        # authority); adds/renames/drops were checked above
+        for step in plan:
+            if step[0] == "promote":
+                from iceberg_metadata_pipeline_spark.catalog.metacat import (
+                    _can_promote,
+                )
+
+                cur = next(
+                    (f for f in old_fields if f["name"] == step[1]), None
+                )
+                cur_ddl = (
+                    _ice_type_to_spark(cur["type"]).simpleString() if cur else "?"
+                )
+                if not _can_promote(cur_ddl, step[2]):
+                    return f"cannot promote {step[1]}: {cur_ddl} -> {step[2]}"
+        for step in plan:
+            kind = step[0]
+            if kind == "add":
+                t.add_column(step[1], step[2])
+            elif kind == "rename":
+                t.rename_column(step[1], step[2])
+            elif kind == "promote":
+                t.promote_column(step[1], step[2])
+            else:
+                t.drop_column(step[1])
+        return None
+
+    def _evolve_spec(self, t, spec: dict, spec_id: int) -> str | None:
+        """add-spec/set-default-spec-id → metacat set_partition_spec
+        (identity transforms only, same bound as createTable)."""
+        from iceberg_metadata_pipeline_spark.catalog.iceberg_format import (
+            spark_schema_to_iceberg,
+        )
+        from iceberg_metadata_pipeline_spark.catalog.partitioning import (
+            PartitionField,
+        )
+
+        if spec_id not in (-1, int(spec.get("spec-id", -1))):
+            return (
+                f"set-default-spec-id {spec_id} does not name the added "
+                "spec (-1 = last added)"
+            )
+        id_to_name = {
+            f["id"]: f["name"]
+            for f in spark_schema_to_iceberg(t.schema)[0]["fields"]
+        }
+        fields = spec.get("fields") or []
+        ident = [
+            PartitionField(id_to_name[f["source-id"]], "identity", f["name"])
+            for f in fields
+            if f.get("transform") == "identity" and f.get("source-id") in id_to_name
+        ]
+        if len(ident) != len(fields):
+            return (
+                "only identity partition transforms on known source ids "
+                f"are accepted ({len(fields) - len(ident)} field(s) refused)"
+            )
+        t.set_partition_spec(ident)
+        return None
 
     def _create_table(self, h, ns: str, body: dict):
         name = body.get("name")

@@ -354,3 +354,140 @@ def test_commit_table_updates_fold_in_list_order(spark, server):
     )
     assert code == 400
     assert catalog.load_table("o", "ord").properties.get("keep") == "2"
+
+
+def test_commit_table_schema_evolution(spark, server):
+    """Round-8 brief item: commitTable serves add-schema +
+    set-current-schema-id by diffing field IDs against the schema
+    loadTable served — rename (same id, new name), type promotion
+    (int->long family), add (new id), drop (missing id) — plus
+    add-spec/set-default-spec-id for identity partition evolution;
+    stale requirements still 409 and data commits still refuse."""
+    catalog, _, base = server
+    _req(f"{base}/v1/namespaces", "POST", {"namespace": ["ev"]})
+    _req(
+        f"{base}/v1/namespaces/ev/tables",
+        "POST",
+        {
+            "name": "sch",
+            "schema": {
+                "type": "struct",
+                "schema-id": 0,
+                "fields": [
+                    {"id": 1, "name": "id", "required": False, "type": "int"},
+                    {"id": 2, "name": "cat", "required": False, "type": "string"},
+                    {"id": 3, "name": "old", "required": False, "type": "double"},
+                ],
+            },
+        },
+    )
+    url = f"{base}/v1/namespaces/ev/tables/sch"
+    code, out = _req(url)
+    served = out["metadata"]["schemas"][0]["fields"] if "schemas" in out["metadata"] else None
+    # evolve: rename cat->category, promote id int->long, add score, drop old
+    code, out = _req(
+        url,
+        "POST",
+        {
+            "requirements": [
+                {"type": "assert-current-schema-id", "current-schema-id": 0}
+            ],
+            "updates": [
+                {
+                    "action": "add-schema",
+                    "schema": {
+                        "type": "struct",
+                        "schema-id": 1,
+                        "fields": [
+                            {"id": 1, "name": "id", "required": False,
+                             "type": "long"},
+                            {"id": 2, "name": "category", "required": False,
+                             "type": "string"},
+                            {"id": 4, "name": "score", "required": False,
+                             "type": "double"},
+                        ],
+                    },
+                },
+                {"action": "set-current-schema-id", "schema-id": -1},
+            ],
+        },
+    )
+    assert code == 200
+    t = catalog.load_table("ev", "sch")
+    got = {f.name: f.dataType.simpleString() for f in t.schema.fields}
+    assert got == {"id": "bigint", "category": "string", "score": "double"}
+    # subsequent loadTable serves the NEW schema
+    code, loaded = _req(url)
+    cur = loaded["metadata"]["schemas"][0]
+    names = {f["name"]: f["type"] for f in cur["fields"]}
+    assert names == {"id": "long", "category": "string", "score": "double"}
+
+    # partition evolution: identity on category (source-id 2 of the
+    # SERVED schema — ids re-derive deterministically)
+    code, out = _req(
+        url,
+        "POST",
+        {
+            "updates": [
+                {
+                    "action": "add-spec",
+                    "spec": {
+                        "spec-id": 1,
+                        "fields": [
+                            {"source-id": 2, "transform": "identity",
+                             "name": "category"}
+                        ],
+                    },
+                },
+                {"action": "set-default-spec-id", "spec-id": -1},
+            ]
+        },
+    )
+    assert code == 200
+    t = catalog.load_table("ev", "sch")
+    assert [pf.source for pf in t.default_spec] == ["category"]
+
+    # invalid promotions refuse with nothing applied
+    code = _status_of(
+        url,
+        "POST",
+        {
+            "updates": [
+                {
+                    "action": "add-schema",
+                    "schema": {
+                        "type": "struct",
+                        "schema-id": 2,
+                        "fields": [
+                            {"id": 1, "name": "id", "required": False,
+                             "type": "string"},  # long -> string: illegal
+                            {"id": 2, "name": "category", "required": False,
+                             "type": "string"},
+                            {"id": 3, "name": "score", "required": False,
+                             "type": "double"},
+                        ],
+                    },
+                },
+                {"action": "set-current-schema-id", "schema-id": -1},
+            ]
+        },
+    )
+    assert code == 400
+    t = catalog.load_table("ev", "sch")
+    assert t.schema["id"].dataType.simpleString() == "bigint"
+    # data commits still refuse
+    assert (
+        _status_of(url, "POST",
+                   {"updates": [{"action": "add-snapshot", "snapshot": {}}]})
+        == 400
+    )
+    # stale schema requirement 409s
+    assert (
+        _status_of(
+            url, "POST",
+            {"requirements": [{"type": "assert-current-schema-id",
+                               "current-schema-id": 7}],
+             "updates": []},
+        )
+        == 409
+    )
