@@ -537,12 +537,28 @@ def optimize_delta(
 
         tag = f"{now}-{_hashlib.md5(repr(pv).encode()).hexdigest()[:8]}"
         dest = os.path.join(out_dir, f"pack-{tag}")
-        if order_by:
-            # range-partition then sort inside each output file: global
-            # clustering on the order key without a single-task sort
-            live = live.repartitionByRange(n_files, *order_by).sortWithinPartitions(
-                *order_by
+        if order_by and len(order_by) > 1:
+            # OPTIMIZE ... ZORDER BY (a, b[, c]): cluster on the
+            # bit-interleaved curve value (metacat's _zvalue_column — JVM
+            # bitwise expressions in whole-stage codegen, no UDF), so
+            # file min/max ranges prune on EVERY named column, matching
+            # real Delta's multi-column ZORDER
+            from iceberg_metadata_pipeline_spark.catalog.metacat import (
+                _zvalue_column,
             )
+
+            zcols = [phys.get(c, c) for c in order_by]
+            live = (
+                live.withColumn("__z", _zvalue_column(live, zcols))
+                .repartitionByRange(n_files, "__z")
+                .sortWithinPartitions("__z")
+                .drop("__z")
+            )
+        elif order_by:
+            # single column: plain range clustering (a 1-D z-curve IS the
+            # sort order) — global clustering without a single-task sort
+            key = phys.get(order_by[0], order_by[0])
+            live = live.repartitionByRange(n_files, key).sortWithinPartitions(key)
         else:
             live = live.repartition(n_files)
         live.write.mode("overwrite").parquet(dest)
