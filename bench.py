@@ -124,6 +124,9 @@ HEADLINE = [
     "stat_mann_whitney_u",
     "stat_gini_customer_spend",
     "source_webdataset_tar",
+    # round-8: distributed MOR write path, cells-collapsed pair stats
+    "catalog_hudi_mor_write_dist",
+    "stat_kendall_tau_b",
 ]
 
 

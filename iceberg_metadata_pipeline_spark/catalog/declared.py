@@ -2141,3 +2141,128 @@ def catalog_format_bridge(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("r_regionkey")
     )
+
+
+@query(
+    "catalog_hudi_mor_write_dist",
+    """
+SELECT p_brand, COUNT(*) AS n,
+  CAST(SUM(CAST(p_size AS BIGINT)) AS BIGINT) AS total_size,
+  CAST(SUM(CAST(CASE WHEN p_size > 40 THEN p_size * 1.5
+                     ELSE p_retailprice END AS DECIMAL(38,6))) AS DOUBLE)
+    AS total_price
+FROM part
+WHERE p_brand <> 'Brand#23'
+GROUP BY p_brand
+ORDER BY p_brand
+""",
+)
+def catalog_hudi_mor_write_dist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The round-8 distributed MOR WRITE path end-to-end, oracle-gated:
+    bulk insert / upsert / row-level delete all take DataFrames (one
+    Spark task per file group writes its base/log file; the driver
+    only opens and completes instants — hudi_mor_dist), then
+    ``compact_mor(spark=...)`` folds every slice one-task-per-group and
+    ``cluster_hudi(spark=...)`` bin-packs one-task-per-partition under
+    a replacecommit. The final pyhudi snapshot — read AFTER both
+    maintenance verbs rewrote the physical layout twice — must still
+    match the logical CASE/WHERE oracle exactly: same rows through
+    bulk+log state, compacted state, and clustered state."""
+    import tempfile as _tf
+
+    from iceberg_metadata_pipeline_spark.catalog.hudi_format import (
+        bulk_insert_mor,
+        cluster_hudi,
+        compact_mor,
+        create_mor_table,
+        delete_mor,
+        upsert_mor,
+    )
+    from iceberg_metadata_pipeline_spark.ingest.pyhudi_source import (
+        register as _register_pyhudi,
+    )
+
+    part = load_tables(spark, sf_dir)["part"]
+    loc = _tf.mkdtemp(prefix="hudi-mord-") + "/part_mord"
+    create_mor_table(loc, "part_mord", [], "p_partkey", part.schema)
+    bulk_insert_mor(loc, part, n_file_groups=4)
+    upsert_mor(
+        loc,
+        part.where("p_size > 40").withColumn(
+            "p_retailprice", F.col("p_size").cast("double") * F.lit(1.5)
+        ),
+    )
+    delete_mor(loc, part.where("p_brand = 'Brand#23'").select("p_partkey"))
+    compact_mor(loc, spark=spark)
+    cluster_hudi(loc, target_file_rows=1_000_000, spark=spark)
+    _register_pyhudi(spark)
+    back = spark.read.format("pyhudi").load(loc)
+    return (
+        back.groupBy("p_brand")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("p_size").cast("bigint")).alias("total_size"),
+            F.sum(F.col("p_retailprice").cast("decimal(38,6)"))
+            .cast("double")
+            .alias("total_price"),
+        )
+        .orderBy("p_brand")
+    )
+
+
+@query(
+    "catalog_delta_restore_read",
+    """
+SELECT c_mktsegment, COUNT(*) AS n,
+  CAST(SUM(CAST(c_acctbal AS DECIMAL(38,6))) AS DOUBLE) AS total_bal
+FROM customer
+GROUP BY c_mktsegment
+ORDER BY c_mktsegment
+""",
+)
+def catalog_delta_restore_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RESTORE end-to-end: export customer as Delta (v0), OVERWRITE it
+    down to the positive balances (v1), then RESTORE to v0 — a new
+    commit that re-adds v0's files and removes v1's, with history
+    preserved (v1 stays time-travelable). The pydelta read of the
+    restored head must equal the UNFILTERED oracle: restore undid the
+    overwrite without rewriting a byte of data. The missing-file guard
+    (restore past VACUUM refuses) is pinned in test_delta_format."""
+    import os as _os
+    import tempfile as _tf
+
+    from iceberg_metadata_pipeline_spark.catalog.delta_format import (
+        export_delta_table,
+        read_delta_table,
+        restore_delta,
+    )
+    from iceberg_metadata_pipeline_spark.catalog.metacat import scan_parquet_footers
+    from iceberg_metadata_pipeline_spark.ingest.pydelta_source import (
+        register as _register_pydelta,
+    )
+
+    customer = load_tables(spark, sf_dir)["customer"]
+    catalog = Catalog(spark, _tf.mkdtemp(prefix="wh-rst-"))
+    t = catalog.create_table("nyc", "customer_rst", customer.schema)
+    t.append_files(
+        scan_parquet_footers(_os.path.join(sf_dir, "customer.parquet"), spark)
+    )
+    dest = _tf.mkdtemp(prefix="delta-rst-")
+    t = t.refresh()
+    export_delta_table(t, dest)  # v0: all rows
+    t.overwrite_dataframe(t.scan().where("c_acctbal > 0"))
+    export_delta_table(t.refresh(), dest)  # v1: filtered
+    v = restore_delta(dest, 0)
+    assert v == 2 and read_delta_table(dest, 1) is not None  # history kept
+    _register_pydelta(spark)
+    back = spark.read.format("pydelta").load(dest)
+    return (
+        back.groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("c_acctbal").cast("decimal(38,6)"))
+            .cast("double")
+            .alias("total_bal"),
+        )
+        .orderBy("c_mktsegment")
+    )

@@ -652,3 +652,180 @@ def stat_gini_customer_spend(spark: SparkSession, sf_dir: str) -> DataFrame:
         "CAST(rank_weighted AS DOUBLE)"
         " / (CAST(n AS DOUBLE) * CAST(total AS DOUBLE)) AS gini",
     )
+
+
+# ---------------------------------------------------------------------------
+# round 8: Kendall tau-b, Theil-Sen slope
+# ---------------------------------------------------------------------------
+
+# tau-b denominator and final division written once, textually identical
+# in Spark and the oracle (IEEE ops over the same exact-integer inputs)
+_KENDALL_FINAL = """
+  CAST(n AS BIGINT) AS n,
+  CAST(c AS BIGINT) AS concordant,
+  CAST(d AS BIGINT) AS discordant,
+  CAST(CAST(c AS DOUBLE) - CAST(d AS DOUBLE) AS DOUBLE)
+    / SQRT( (CAST(n0 AS DOUBLE) - CAST(t1 AS DOUBLE))
+          * (CAST(n0 AS DOUBLE) - CAST(t2 AS DOUBLE)) ) AS tau_b
+"""
+
+
+@query(
+    "stat_kendall_tau_b",
+    f"""
+WITH li AS (
+  SELECT CAST(l_quantity AS BIGINT) AS x,
+         CAST(CAST(l_discount AS DECIMAL(12,2)) * 100 AS BIGINT) AS y
+  FROM lineitem
+), cells AS (
+  SELECT x, y, CAST(COUNT(*) AS BIGINT) AS cn FROM li GROUP BY x, y
+), pairs AS (
+  SELECT
+    CAST(SUM(CASE WHEN b.y > a.y THEN CAST(a.cn AS DECIMAL(19,0)) * b.cn
+                  ELSE 0 END) AS DECIMAL(38,0)) AS c,
+    CAST(SUM(CASE WHEN b.y < a.y THEN CAST(a.cn AS DECIMAL(19,0)) * b.cn
+                  ELSE 0 END) AS DECIMAL(38,0)) AS d
+  FROM cells a JOIN cells b ON b.x > a.x
+), marg AS (
+  SELECT
+    CAST(SUM(CAST(cn AS DECIMAL(19,0))) AS DECIMAL(38,0)) AS n,
+    CAST(SUM(CAST(cn AS DECIMAL(19,0)) * (cn - 1) / 2) AS DECIMAL(38,0)) AS tj
+  FROM cells
+), tx AS (
+  SELECT CAST(SUM(CAST(nx AS DECIMAL(19,0)) * (nx - 1) / 2) AS DECIMAL(38,0)) AS t1
+  FROM (SELECT CAST(SUM(cn) AS BIGINT) AS nx FROM cells GROUP BY x)
+), ty AS (
+  SELECT CAST(SUM(CAST(ny AS DECIMAL(19,0)) * (ny - 1) / 2) AS DECIMAL(38,0)) AS t2
+  FROM (SELECT CAST(SUM(cn) AS BIGINT) AS ny FROM cells GROUP BY y)
+), m AS (
+  SELECT n, c, d, t1, t2, CAST(n * (n - 1) / 2 AS DECIMAL(38,0)) AS n0
+  FROM pairs, marg, tx, ty
+)
+SELECT {_KENDALL_FINAL}
+FROM m
+""",
+)
+def stat_kendall_tau_b(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kendall's tau-b (tie-corrected) between lineitem quantity and
+    discount, EXACT: one O(rows) hash aggregate collapses the data to
+    the joint distribution's cells (quantity has 50 distinct values,
+    discount 11 → ≤550 cells), then concordant/discordant pair MASSES
+    come from a cells×cells join — O(cells²) ≈ 300k combinations that
+    never grows with row count, the correct 100 TB shape (a row-level
+    pair join would be O(n²)). All pair counts accumulate in
+    DECIMAL(38,0); the tau division is the only double op and is
+    textually identical to the oracle's."""
+    t = load_tables(spark, sf_dir)
+    li = t["lineitem"].selectExpr(
+        "CAST(l_quantity AS BIGINT) AS x",
+        "CAST(CAST(l_discount AS DECIMAL(12,2)) * 100 AS BIGINT) AS y",
+    )
+    cells = li.groupBy("x", "y").agg(F.count(F.lit(1)).cast("long").alias("cn"))
+    cells.cache()
+    a, b = cells.alias("a"), cells.alias("b")
+    pairs = (
+        a.join(F.broadcast(b), F.col("b.x") > F.col("a.x"))
+        .agg(
+            F.sum(
+                F.expr(
+                    "CASE WHEN b.y > a.y THEN CAST(a.cn AS DECIMAL(19,0)) * b.cn "
+                    "ELSE 0 END"
+                )
+            ).cast("decimal(38,0)").alias("c"),
+            F.sum(
+                F.expr(
+                    "CASE WHEN b.y < a.y THEN CAST(a.cn AS DECIMAL(19,0)) * b.cn "
+                    "ELSE 0 END"
+                )
+            ).cast("decimal(38,0)").alias("d"),
+        )
+    )
+    marg = cells.agg(
+        F.sum(F.expr("CAST(cn AS DECIMAL(19,0))")).cast("decimal(38,0)").alias("n")
+    )
+    tx = (
+        cells.groupBy("x").agg(F.sum("cn").cast("long").alias("nx"))
+        .agg(F.sum(F.expr("CAST(nx AS DECIMAL(19,0)) * (nx - 1) / 2"))
+             .cast("decimal(38,0)").alias("t1"))
+    )
+    ty = (
+        cells.groupBy("y").agg(F.sum("cn").cast("long").alias("ny"))
+        .agg(F.sum(F.expr("CAST(ny AS DECIMAL(19,0)) * (ny - 1) / 2"))
+             .cast("decimal(38,0)").alias("t2"))
+    )
+    m = (
+        pairs.crossJoin(F.broadcast(marg))
+        .crossJoin(F.broadcast(tx))
+        .crossJoin(F.broadcast(ty))
+        .withColumn("n0", F.expr("CAST(n * (n - 1) / 2 AS DECIMAL(38,0))"))
+    )
+    return m.selectExpr(*[s.strip() for s in _KENDALL_FINAL.split(",\n")])
+
+
+@query(
+    "stat_theil_sen_slope",
+    """
+WITH pts AS (
+  SELECT CAST(p_size AS BIGINT) AS x,
+    CAST(SUM(CAST(p_retailprice AS DECIMAL(38,6))) AS DOUBLE)
+      / CAST(COUNT(*) AS DOUBLE) AS y
+  FROM part GROUP BY p_size
+), slopes AS (
+  SELECT (b.y - a.y) / (CAST(b.x AS DOUBLE) - CAST(a.x AS DOUBLE)) AS s
+  FROM pts a JOIN pts b ON b.x > a.x
+), ranked AS (
+  SELECT s,
+    ROW_NUMBER() OVER (ORDER BY s) AS r,
+    COUNT(*) OVER () AS m
+  FROM slopes
+)
+SELECT
+  CAST(MIN(m) AS BIGINT) AS n_slopes,
+  CAST(SUM(CASE WHEN 2 * r IN (m, m + 1, m + 2) THEN s ELSE 0 END)
+    / SUM(CASE WHEN 2 * r IN (m, m + 1, m + 2) THEN 1 ELSE 0 END) AS DOUBLE)
+    AS theil_sen_slope
+FROM ranked
+""",
+)
+def stat_theil_sen_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Theil-Sen robust slope of mean retail price vs part size: the
+    median of all pairwise slopes. The O(rows) pass is one hash
+    aggregate to ≤50 (size, mean-price) points; pairwise slopes are a
+    bounded 50×50 self-join (1225 slopes) — constant work regardless of
+    table size, the same collapse-then-pair shape as Kendall. The
+    median is the mean of the middle one/two ranked slopes (exact
+    row-number rule, no percentile interpolation ambiguity); means
+    accumulate in DECIMAL(38,6) before the single double division."""
+    from pyspark.sql import Window
+
+    t = load_tables(spark, sf_dir)
+    pts = (
+        t["part"]
+        .groupBy(F.col("p_size").cast("bigint").alias("x"))
+        .agg(
+            (
+                F.sum(F.col("p_retailprice").cast("decimal(38,6)")).cast("double")
+                / F.count(F.lit(1)).cast("double")
+            ).alias("y")
+        )
+    )
+    a, b = pts.alias("a"), pts.alias("b")
+    slopes = a.join(F.broadcast(b), F.col("b.x") > F.col("a.x")).select(
+        (
+            (F.col("b.y") - F.col("a.y"))
+            / (F.col("b.x").cast("double") - F.col("a.x").cast("double"))
+        ).alias("s")
+    )
+    w = Window.orderBy("s")  # ≤1225 rows: single-task window is the plan
+    ranked = slopes.select(
+        "s", F.row_number().over(w).alias("r"), F.count(F.lit(1)).over(
+            Window.partitionBy()
+        ).alias("m")
+    )
+    return ranked.agg(
+        F.min("m").cast("long").alias("n_slopes"),
+        (
+            F.sum(F.expr("CASE WHEN 2 * r IN (m, m + 1, m + 2) THEN s ELSE 0 END"))
+            / F.sum(F.expr("CASE WHEN 2 * r IN (m, m + 1, m + 2) THEN 1 ELSE 0 END"))
+        ).cast("double").alias("theil_sen_slope"),
+    )
