@@ -28,7 +28,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from iceberg_metadata_pipeline_spark.queries import query
+from iceberg_metadata_pipeline_spark.queries import query, sql_query
 from iceberg_metadata_pipeline_spark.session import load_tables
 
 def _d2d(expr: str) -> str:
@@ -829,3 +829,66 @@ def stat_theil_sen_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
             / F.sum(F.expr("CASE WHEN 2 * r IN (m, m + 1, m + 2) THEN 1 ELSE 0 END"))
         ).cast("double").alias("theil_sen_slope"),
     )
+
+
+# Kaplan-Meier: the survival product folds in ASCENDING factor order on
+# both engines (array_sort / list_sort) so IEEE multiplication order is
+# bit-identical; everything upstream is integer counting.
+_KM_TEMPLATE = """
+WITH pu AS (
+  SELECT user_id, MIN(ts) AS t0, MAX(ts) AS t1 FROM events GROUP BY user_id
+), hz AS (
+  SELECT MAX(ts) AS h FROM events
+), obs AS (
+  SELECT {DATEDIFF} AS dur,
+         CASE WHEN t1 < h - INTERVAL '7' DAY THEN 1 ELSE 0 END AS ev
+  FROM pu CROSS JOIN hz
+), tot AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n FROM obs
+), risk AS (
+  SELECT dur AS t,
+         CAST(SUM(ev) AS BIGINT) AS d,
+         CAST(COUNT(*) AS BIGINT) AS leaving
+  FROM obs GROUP BY dur
+), at_risk AS (
+  SELECT t, d,
+         n - COALESCE(SUM(leaving) OVER (
+               ORDER BY t ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+             ), 0) AS n_risk
+  FROM risk CROSS JOIN tot
+), fact AS (
+  SELECT t, d, n_risk,
+         1.0E0 - CAST(d AS DOUBLE) / CAST(n_risk AS DOUBLE) AS f
+  FROM at_risk
+)
+SELECT a.t AS t_days, CAST(a.d AS BIGINT) AS events,
+       CAST(a.n_risk AS BIGINT) AS at_risk,
+       {FOLD} AS survival
+FROM fact a JOIN fact b ON b.t <= a.t
+WHERE a.d > 0
+GROUP BY a.t, a.d, a.n_risk
+ORDER BY t_days
+"""
+
+# Distributed Kaplan-Meier estimator over per-user event spans: users
+# whose last activity predates the 7-day horizon are churn EVENTS,
+# still-active users are right-CENSORED at their span. One hash
+# aggregate per user, one per distinct duration (risk table is O(days),
+# not O(users)), a prefix sum for the at-risk counts, and the product-
+# limit estimate as a sorted double fold per event time — all row-scale
+# work is counting; only the final 1 - d/n and the product are doubles,
+# evaluated in identical order on both engines. The t×t factor join is
+# bounded by distinct DAYS (≤ observation window), constant in table
+# size — the collapse-then-pair shape again.
+sql_query(
+    "stat_kaplan_meier_churn",
+    _KM_TEMPLATE.format(
+        DATEDIFF="datediff(CAST(t1 AS DATE), CAST(t0 AS DATE))",
+        FOLD="reduce(array_sort(collect_list(b.f)), CAST(1.0 AS DOUBLE),"
+             " (acc, x) -> acc * x)",
+    ),
+    oracle=_KM_TEMPLATE.format(
+        DATEDIFF="datediff('day', CAST(t0 AS DATE), CAST(t1 AS DATE))",
+        FOLD="list_reduce(list_sort(list(b.f)), (acc, x) -> acc * x)",
+    ),
+)
