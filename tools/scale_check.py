@@ -64,6 +64,12 @@ QUERIES = [
     "stat_mann_whitney_u",
     "stat_spearman_corr",
     "stat_gini_customer_spend",
+    # r8: distributed MOR write path (bulk insert + key-index-join
+    # upsert + delete + one-task-per-group compact + cluster) and the
+    # collapse-then-pair statistics
+    "catalog_hudi_mor_write_dist",
+    "stat_kendall_tau_b",
+    "stat_kaplan_meier_churn",
 ]
 
 
