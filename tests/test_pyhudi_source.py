@@ -171,3 +171,79 @@ def test_schema_pick_is_deterministic(spark, hudi_dir):
     state.files = dict(sorted(state.files.items(), reverse=True))
     s2, fc2, pc2 = _resolve_schema(state)
     assert (s1, fc1, pc1) == (s2, fc2, pc2)
+
+
+def test_batch_writer_append_overwrite_time_travel(spark, tmp_path):
+    """df.write.format('pyhudi'): the two-phase COW writer — tasks
+    write invisible tmp files, the driver commits ONE timeline instant
+    (commit for append, replacecommit retiring the previous groups for
+    overwrite). Reads, time travel, and the streaming tail all see the
+    writer's commits like any other Hudi instant."""
+    import os
+    from iceberg_metadata_pipeline_spark.catalog.hudi_format import (
+        read_hudi_table,
+    )
+
+    register(spark)
+    dest = str(tmp_path / "hudi_w")
+    spark.range(10).selectExpr("id").repartition(3).write.format(
+        "pyhudi"
+    ).mode("append").save(dest)
+    got = spark.read.format("pyhudi").load(dest)
+    assert sorted(r.id for r in got.collect()) == list(range(10))
+    t1 = completed_instants(dest)[-1].time
+
+    spark.range(10, 15).selectExpr("id").write.format("pyhudi").mode(
+        "append"
+    ).save(dest)
+    assert spark.read.format("pyhudi").load(dest).count() == 15
+
+    spark.range(100, 103).selectExpr("id").write.format("pyhudi").mode(
+        "overwrite"
+    ).save(dest)
+    ins = completed_instants(dest)
+    assert ins[-1].action == "replacecommit"
+    assert sorted(
+        r.id for r in spark.read.format("pyhudi").load(dest).collect()
+    ) == [100, 101, 102]
+    # time travel to before the overwrite still sees the first append
+    old = spark.read.format("pyhudi").option("asOfInstant", t1).load(dest)
+    assert sorted(r.id for r in old.collect()) == list(range(10))
+    # no tmp litter after commits
+    assert not [f for f in os.listdir(dest) if f.startswith("_tmp-")]
+
+
+def test_batch_writer_refusals(spark, tmp_path):
+    """Writer bounds refuse loudly: MOR tables (log-append protocol
+    owns writes) and partitioned COW tables (no partition-path layout
+    here)."""
+    import pytest
+    from pyspark.sql import types as T
+
+    from iceberg_metadata_pipeline_spark.catalog.hudi_format import (
+        bulk_insert_mor,
+        create_hudi_table,
+        create_mor_table,
+    )
+
+    register(spark)
+    sch = T.StructType(
+        [
+            T.StructField("id", T.LongType(), False),
+            T.StructField("cat", T.StringType(), True),
+            T.StructField("score", T.DoubleType(), True),
+        ]
+    )
+    mor = str(tmp_path / "morw")
+    create_mor_table(mor, "morw", [], "id", sch)
+    bulk_insert_mor(mor, [{"id": 1, "cat": "a", "score": 0.1}])
+    with pytest.raises(Exception, match="MERGE_ON_READ"):
+        spark.range(1).selectExpr("id").write.format("pyhudi").mode(
+            "append"
+        ).save(mor)
+    part = str(tmp_path / "partw")
+    create_hudi_table(part, "partw", ["cat"])
+    with pytest.raises(Exception, match="partitioned"):
+        spark.range(1).selectExpr("id").write.format("pyhudi").mode(
+            "append"
+        ).save(part)
