@@ -533,3 +533,73 @@ FROM dets
 # map-side-combined, and the solve is O(k³) on k=3 numbers — no
 # iterative passes, no driver-side data. r² from the same moments.
 sql_query("ml_ols_normal_equations", _OLS_SQL, oracle="same")
+
+
+# Funnel analysis: strictly-ordered stage progression per user. One
+# conditional aggregate per user collapses the event stream to first-
+# occurrence timestamps (min-by-type — O(rows) map-side combinable),
+# then the stage tests are pure timestamp comparisons; counting is
+# exact integers. The user-level pivot is the 100 TB shape: no
+# event-to-event self-join, no window over the raw stream — a funnel
+# over 10^12 events is one hash aggregate on user_id plus a constant-
+# width reduction. Conversion ratio = single double division.
+sql_query(
+    "events_funnel_conversion",
+    """
+WITH stages AS (
+  SELECT user_id,
+         MIN(CASE WHEN event_type = 'signup' THEN ts END) AS t_signup,
+         MIN(CASE WHEN event_type = 'view' THEN ts END) AS t_view,
+         MIN(CASE WHEN event_type = 'click' THEN ts END) AS t_click,
+         MIN(CASE WHEN event_type = 'purchase' THEN ts END) AS t_purchase
+  FROM events
+  GROUP BY user_id
+), flags AS (
+  SELECT
+    CASE WHEN t_signup IS NOT NULL THEN 1 ELSE 0 END AS s0,
+    CASE WHEN t_signup IS NOT NULL AND t_view > t_signup
+         THEN 1 ELSE 0 END AS s1,
+    CASE WHEN t_signup IS NOT NULL AND t_view > t_signup
+          AND t_click > t_view THEN 1 ELSE 0 END AS s2,
+    CASE WHEN t_signup IS NOT NULL AND t_view > t_signup
+          AND t_click > t_view AND t_purchase > t_click
+         THEN 1 ELSE 0 END AS s3
+  FROM stages
+)
+SELECT CAST(SUM(s0) AS BIGINT) AS n_signup,
+       CAST(SUM(s1) AS BIGINT) AS n_viewed_after_signup,
+       CAST(SUM(s2) AS BIGINT) AS n_clicked_after_view,
+       CAST(SUM(s3) AS BIGINT) AS n_purchased_after_click,
+       CAST(SUM(s3) AS DOUBLE) / CAST(SUM(s0) AS DOUBLE) AS conversion
+FROM flags
+""",
+)
+
+
+_COHORT_TEMPLATE = """
+WITH first_seen AS (
+  SELECT user_id, CAST(date_trunc('week', MIN(ts)) AS DATE) AS cohort
+  FROM events GROUP BY user_id
+), activity AS (
+  SELECT DISTINCT user_id, CAST(date_trunc('week', ts) AS DATE) AS wk
+  FROM events
+)
+SELECT f.cohort,
+       CAST({WEEKDIFF} AS INT) AS week_n,
+       CAST(COUNT(*) AS BIGINT) AS active_users
+FROM first_seen f JOIN activity a ON f.user_id = a.user_id
+GROUP BY f.cohort, {WEEKDIFF}
+ORDER BY cohort, week_n
+"""
+
+# Retention cohorts: signup week × weeks-since-signup retention
+# triangle. Two hash aggregates (first-seen per user; distinct
+# user-weeks — both map-side combinable) and one join keyed on user_id
+# — co-partitioned, no row-pair blowup; the output is O(weeks²)
+# regardless of event count. Weekly buckets via date_trunc (ISO Monday
+# weeks in both engines); week index is exact integer day arithmetic.
+sql_query(
+    "events_retention_cohorts",
+    _COHORT_TEMPLATE.format(WEEKDIFF="datediff(a.wk, f.cohort) DIV 7"),
+    oracle=_COHORT_TEMPLATE.format(WEEKDIFF="datediff('day', f.cohort, a.wk) // 7"),
+)
