@@ -808,3 +808,49 @@ def test_log_only_group_list_path_and_empty_table(spark, tmp_path):
     st2 = read_hudi_table(loc)
     assert all(bf.path and bf.instant_time == tc for bf in st2.files.values())
     assert _read_all(spark, loc) == expect
+
+
+def test_partitioned_mor_distributed_end_to_end(spark, tmp_path):
+    """Distributed twin of the partitioned e2e: DataFrame verbs route
+    records into hive partition dirs, upserts hit the right partition's
+    groups, a new-partition upsert creates a log-only group under its
+    own cat=… dir, and one-task-per-group compaction preserves the
+    snapshot. Layout must match the list path exactly."""
+    from iceberg_metadata_pipeline_spark.catalog.hudi_format import (
+        read_hudi_table,
+    )
+
+    locs = {"list": str(tmp_path / "mp_list"), "df": str(tmp_path / "mp_df")}
+    for loc in locs.values():
+        create_mor_table(loc, "mp", ["cat"], "id", SCHEMA)
+    base = _rows()
+    ups = [{"id": 3, "cat": "b", "score": 33.0},
+           {"id": 50, "cat": "zzz", "score": 5.0}]  # new key, NEW partition
+    dels = [0, 12]
+
+    bulk_insert_mor(locs["list"], base, n_file_groups=2)
+    upsert_mor(locs["list"], ups)
+    delete_mor(locs["list"], dels)
+
+    bulk_insert_mor(
+        locs["df"],
+        spark.createDataFrame([tuple(r.values()) for r in base], SCHEMA),
+        n_file_groups=2,
+    )
+    upsert_mor(locs["df"], spark.createDataFrame([tuple(r.values()) for r in ups], SCHEMA))
+    delete_mor(locs["df"], spark.createDataFrame([(k,) for k in dels], "id long"))
+
+    register(spark)
+    expect = _mor_oracle(base, [("upsert", ups), ("delete", dels)])
+    assert _read_all(spark, locs["df"]) == _read_all(spark, locs["list"]) == expect
+    sl, sd = read_hudi_table(locs["list"]), read_hudi_table(locs["df"])
+    assert sorted(sl.files) == sorted(sd.files)  # identical group layout
+    assert os.path.isdir(os.path.join(locs["df"], "cat=zzz"))
+    assert os.path.exists(
+        os.path.join(locs["df"], "cat=zzz", ".hoodie_partition_metadata")
+    )
+    lo = [k for k, bf in sd.files.items() if not bf.path]
+    assert lo == [("cat=zzz", lo[0][1])]
+    compact_mor(locs["df"], spark=spark)
+    assert _read_all(spark, locs["df"]) == expect
+    assert not read_hudi_table(locs["df"]).has_live_logs()
