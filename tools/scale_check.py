@@ -167,6 +167,57 @@ def measure(spark, only: list[str] | None = None) -> dict:
     return out
 
 
+def measure_mor_write_path(spark) -> dict:
+    """Bespoke probe for the distributed MOR write verbs: the registry
+    query (catalog_hudi_mor_write_dist) runs on `part`, which the sf1
+    fixture deliberately does NOT replicate (it is a dimension), so its
+    registry exponent is warmup noise. This probe drives bulk insert /
+    10% upsert / 5% delete / compact over the REPLICATED orders table
+    at both SFs — the real scaling signal for one-task-per-file-group
+    writes."""
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from iceberg_metadata_pipeline_spark.catalog.hudi_format import (
+        bulk_insert_mor,
+        compact_mor,
+        create_mor_table,
+        delete_mor,
+        upsert_mor,
+    )
+
+    times = {}
+    for sf, d in (("sf0.1", SRC), ("sf1", DST)):
+        orders = spark.read.parquet(os.path.join(d, "orders.parquet")).select(
+            "o_orderkey", "o_custkey", "o_totalprice"
+        )
+        loc = tempfile.mkdtemp(prefix=f"mor-scale-{sf}-") + "/t"
+        create_mor_table(loc, "t", [], "o_orderkey", orders.schema)
+        t0 = time.time()
+        bulk_insert_mor(loc, orders, n_file_groups=16)
+        upsert_mor(
+            loc,
+            orders.where("o_orderkey % 10 = 0").withColumn(
+                "o_totalprice", F.col("o_totalprice") * 2
+            ),
+        )
+        delete_mor(loc, orders.where("o_orderkey % 20 = 1").select("o_orderkey"))
+        compact_mor(loc, spark=spark)
+        times[sf] = time.time() - t0
+    exp = math.log(times["sf1"] / times["sf0.1"]) / math.log(REPLICAS)
+    res = {
+        "sf0.1_s": round(times["sf0.1"], 2),
+        "sf1_s": round(times["sf1"], 2),
+        "exponent": round(exp, 2),
+    }
+    print(
+        f"  mor_write_path_probe: {times['sf0.1']:.2f}s -> "
+        f"{times['sf1']:.2f}s  exp={exp:.2f}"
+    )
+    return res
+
+
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--force", action="store_true")
@@ -183,6 +234,8 @@ def main() -> None:
     generate(spark)
     print("measuring ...")
     results = measure(spark, args.only)
+    if not args.only:
+        results["mor_write_path_probe"] = measure_mor_write_path(spark)
     with open("/tmp/scale_check.json", "w") as fh:
         json.dump(results, fh, indent=1)
     print(json.dumps(results))
