@@ -33,6 +33,7 @@ from pyspark.sql.datasource import (
     DataSource,
     DataSourceReader,
     DataSourceStreamReader,
+    DataSourceStreamWriter,
     DataSourceWriter,
     InputPartition,
     WriterCommitMessage,
@@ -451,6 +452,21 @@ class PyHudiBatchWriter(DataSourceWriter):
             tmp_path=tmp, rows=len(rows), size=os.path.getsize(tmp)
         )
 
+    # extra commit metadata hook (the stream writer stamps its
+    # exactly-once epoch marker through this)
+    _extra_metadata: dict[str, str] = {}
+
+    def _table_exists(self) -> bool:
+        from iceberg_metadata_pipeline_spark.catalog.hudi_format import (
+            read_properties,
+        )
+
+        try:
+            read_properties(self.dest)
+            return True
+        except (FileNotFoundError, KeyError):
+            return False
+
     def commit(self, messages):
         from iceberg_metadata_pipeline_spark.catalog.hudi_format import (
             _base_file_name,
@@ -462,10 +478,13 @@ class PyHudiBatchWriter(DataSourceWriter):
             read_hudi_table,
         )
 
-        if not self._exists:
+        # re-check at commit time: a stream writer instance spans epochs,
+        # and epoch 0 creates the table __init__ did not see
+        exists = self._table_exists()
+        if not exists:
             create_hudi_table(self.dest, os.path.basename(self.dest.rstrip("/")), [])
         prev_fids: list[str] = []
-        if self._exists and self.overwrite:
+        if exists and self.overwrite:
             prev_fids = sorted(
                 fid for (_p, fid) in read_hudi_table(self.dest).files
             )
@@ -501,6 +520,7 @@ class PyHudiBatchWriter(DataSourceWriter):
             ),
             "extraMetadata": {
                 "schema": json.dumps(self.schema.jsonValue()),
+                **self._extra_metadata,
             },
         }
         if prev_fids:
@@ -511,6 +531,50 @@ class PyHudiBatchWriter(DataSourceWriter):
         for m in messages:
             if m is not None and m.tmp_path and os.path.exists(m.tmp_path):
                 os.remove(m.tmp_path)
+
+
+class PyHudiStreamWriter(PyHudiBatchWriter, DataSourceStreamWriter):
+    """``df.writeStream.format("pyhudi")`` — one timeline instant per
+    epoch, EXACTLY-ONCE the way real Hudi's streaming ingest is: the
+    commit's ``extraMetadata`` carries the writer's checkpoint marker
+    (appId + epoch — Hudi's deltastreamer stores its source checkpoint
+    in exactly this slot), and a re-delivered epoch (sink retry after a
+    crash between commit and checkpoint) is detected by replaying the
+    completed instants' markers and skipped. ``option("checkpointAppId",
+    ...)`` names the writer; two queries writing one table need
+    distinct ids."""
+
+    def __init__(self, schema: T.StructType, options, overwrite: bool):
+        super().__init__(schema, options, overwrite)
+        self.app_id = options.get("checkpointAppId", "pyhudi-sink")
+
+    def _last_epoch(self) -> int:
+        from iceberg_metadata_pipeline_spark.catalog.hudi_format import (
+            read_instant_metadata,
+        )
+
+        last = -1
+        for ins in completed_instants(self.dest):
+            em = (read_instant_metadata(self.dest, ins) or {}).get(
+                "extraMetadata"
+            ) or {}
+            if em.get("streamAppId") == self.app_id:
+                last = max(last, int(em.get("streamBatchId", -1)))
+        return last
+
+    def commit(self, messages, batchId: int) -> None:  # noqa: N803
+        if self._table_exists() and int(batchId) <= self._last_epoch():
+            # epoch already committed — drop the replayed files
+            self.abort(messages, batchId)
+            return
+        self._extra_metadata = {
+            "streamAppId": self.app_id,
+            "streamBatchId": str(int(batchId)),
+        }
+        PyHudiBatchWriter.commit(self, messages)
+
+    def abort(self, messages, batchId: int) -> None:  # noqa: N803
+        PyHudiBatchWriter.abort(self, messages)
 
 
 class PyHudiDataSource(DataSource):
@@ -531,6 +595,9 @@ class PyHudiDataSource(DataSource):
 
     def writer(self, schema: T.StructType, overwrite: bool) -> DataSourceWriter:
         return PyHudiBatchWriter(schema, self.options, overwrite)
+
+    def streamWriter(self, schema: T.StructType, overwrite: bool):
+        return PyHudiStreamWriter(schema, self.options, overwrite)
 
     def streamReader(self, schema: T.StructType) -> DataSourceStreamReader:
         return PyHudiStreamReader(schema, self.options)

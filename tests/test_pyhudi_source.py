@@ -247,3 +247,67 @@ def test_batch_writer_refusals(spark, tmp_path):
         spark.range(1).selectExpr("id").write.format("pyhudi").mode(
             "append"
         ).save(part)
+
+
+def test_stream_writer_exactly_once(spark, tmp_path):
+    """writeStream.format('pyhudi'): one timeline instant per epoch;
+    the commit's extraMetadata carries the (appId, epoch) marker and a
+    re-delivered epoch commits nothing (tmp cleaned up); a new epoch
+    advances the watermark."""
+    import os
+    import types
+
+    from iceberg_metadata_pipeline_spark.catalog.hudi_format import (
+        read_hudi_table,
+        read_instant_metadata,
+    )
+    from iceberg_metadata_pipeline_spark.ingest.pyhudi_source import (
+        PyHudiStreamWriter,
+    )
+
+    register(spark)
+    src = str(tmp_path / "src")
+    spark.range(5).selectExpr("id").write.format("pyhudi").mode("append").save(src)
+    dest = str(tmp_path / "sink")
+    q = (
+        spark.readStream.format("pyhudi")
+        .load(src)
+        .writeStream.format("pyhudi")
+        .option("path", dest)
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    assert sorted(
+        r.id for r in spark.read.format("pyhudi").load(dest).collect()
+    ) == list(range(5))
+    ins = completed_instants(dest)
+    em = read_instant_metadata(dest, ins[-1])["extraMetadata"]
+    assert em["streamAppId"] == "pyhudi-sink" and em["streamBatchId"] == "0"
+
+    w = PyHudiStreamWriter(
+        spark.read.format("pyhudi").load(dest).schema, {"path": dest}, False
+    )
+    ghost = str(tmp_path / "_tmp-ghost.parquet")
+    open(ghost, "wb").write(b"x")
+    n_files = len(read_hudi_table(dest).files)
+    w.commit(
+        [types.SimpleNamespace(tmp_path=ghost, rows=99, size=1)], batchId=0
+    )  # duplicate epoch → dropped
+    assert len(read_hudi_table(dest).files) == n_files
+    assert not os.path.exists(ghost)
+
+    # a NEW epoch commits normally
+    import shutil
+
+    d2 = str(tmp_path / "one")
+    spark.createDataFrame([(7,)], "id long").coalesce(1).write.parquet(d2)
+    f2 = next(os.path.join(d2, n) for n in os.listdir(d2) if n.endswith(".parquet"))
+    tmp2 = str(tmp_path / "epoch1.parquet")
+    shutil.copy(f2, tmp2)
+    w.commit(
+        [types.SimpleNamespace(tmp_path=tmp2, rows=1, size=os.path.getsize(tmp2))],
+        batchId=1,
+    )
+    assert spark.read.format("pyhudi").load(dest).count() == 6
