@@ -433,3 +433,85 @@ def test_stream_recovers_from_expired_offset(spark, tmp_path):
     # v1 falls back to the oldest retained version: before == after set,
     # so nothing replays (the gap's additions are acknowledged as lost)
     assert r2.partitions({"v": 1}, {"v": retained[0]}) == []
+
+
+def test_batch_writer_append_overwrite_stream_tail(spark, tmp_path):
+    """df.write.format('pyice') (round 8, completes writer symmetry):
+    tasks write tmp parquet, the driver commits through the sidecar
+    catalog and mirrors the next Iceberg metadata version — appends
+    stack, overwrite replaces, the pyice STREAM tails the writer's
+    versions, and a foreign-written dir refuses."""
+    import os
+
+    import pytest
+
+    from iceberg_metadata_pipeline_spark.catalog.iceberg_format import (
+        list_metadata_versions,
+        read_iceberg_table,
+    )
+
+    register(spark)
+    dest = str(tmp_path / "ice_w")
+    spark.range(10).selectExpr("id").repartition(3).write.format("pyice").mode(
+        "append"
+    ).save(dest)
+    assert sorted(
+        r.id for r in spark.read.format("pyice").load(dest).collect()
+    ) == list(range(10))
+    v1 = list_metadata_versions(dest)[-1]
+
+    spark.range(10, 14).selectExpr("id").write.format("pyice").mode(
+        "append"
+    ).save(dest)
+    assert spark.read.format("pyice").load(dest).count() == 14
+    assert list_metadata_versions(dest)[-1] == v1 + 1
+
+    # the pyice STREAM tails the writer's appended files
+    out = str(tmp_path / "tail")
+    q = (
+        spark.readStream.format("pyice")
+        .load(dest)
+        .writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    assert sorted(r.id for r in spark.read.parquet(out).collect()) == list(range(14))
+
+    spark.range(100, 103).selectExpr("id").write.format("pyice").mode(
+        "overwrite"
+    ).save(dest)
+    assert sorted(
+        r.id for r in spark.read.format("pyice").load(dest).collect()
+    ) == [100, 101, 102]
+    # no tmp litter
+    assert not [
+        f for f in os.listdir(os.path.join(dest, "data")) if f.startswith("_tmp-")
+    ]
+
+    # schema mismatch refuses
+    with pytest.raises(Exception, match="schema"):
+        spark.range(1).selectExpr("id", "'x' AS extra").write.format(
+            "pyice"
+        ).mode("append").save(dest)
+
+    # a foreign-written iceberg dir (no sidecar) refuses the writer
+    from pyspark.sql import types as T
+
+    from iceberg_metadata_pipeline_spark.catalog.iceberg_format import (
+        export_iceberg_table,
+    )
+    from iceberg_metadata_pipeline_spark.catalog.metacat import Catalog
+
+    catalog = Catalog(spark, str(tmp_path / "wh-f"))
+    st = T.StructType([T.StructField("id", T.LongType(), False)])
+    t = catalog.create_table("nyc", "f", st).refresh()
+    t.append_dataframe(spark.range(3).selectExpr("id"))
+    foreign = str(tmp_path / "ice_foreign")
+    export_iceberg_table(t.refresh(), foreign)
+    with pytest.raises(Exception, match="_writer_catalog"):
+        spark.range(1).selectExpr("id").write.format("pyice").mode(
+            "append"
+        ).save(foreign)
