@@ -40,6 +40,7 @@ from pyspark.sql.datasource import (
     DataSource,
     DataSourceReader,
     DataSourceStreamReader,
+    DataSourceStreamWriter,
     DataSourceWriter,
     InputPartition,
     WriterCommitMessage,
@@ -544,6 +545,70 @@ class PyIceBatchWriter(DataSourceWriter):
                 os.remove(m.tmp_path)
 
 
+class PyIceStreamWriter(PyIceBatchWriter, DataSourceStreamWriter):
+    """``df.writeStream.format("pyice")`` — one Iceberg snapshot
+    (metadata version) per epoch, EXACTLY-ONCE via a table-property
+    watermark: every epoch's commit sets
+    ``stream-watermark-<appId> = batchId`` (real Iceberg sinks store
+    the same marker in snapshot summary properties), and a re-delivered
+    epoch is detected against the committed watermark and dropped.
+    ``option("checkpointAppId", ...)`` names the writer."""
+
+    def __init__(self, schema: T.StructType, options, overwrite: bool):
+        super().__init__(schema, options, overwrite)
+        self.app_id = options.get("checkpointAppId", "pyice-sink")
+
+    def commit(self, messages, batchId: int) -> None:  # noqa: N803
+        import os
+        import uuid as _uuid
+
+        from pyspark.sql import SparkSession
+
+        from iceberg_metadata_pipeline_spark.catalog.iceberg_format import (
+            export_iceberg_table,
+        )
+        from iceberg_metadata_pipeline_spark.catalog.metacat import (
+            Catalog,
+            DataFileEntry,
+        )
+
+        spark = SparkSession.getActiveSession()
+        catalog = Catalog(spark, self.shadow)
+        key = f"stream-watermark-{self.app_id}"
+        if catalog.table_exists(self.NS, self.NAME):
+            t = catalog.load_table(self.NS, self.NAME)
+            last = t.properties.get(key)
+            if last is not None and int(batchId) <= int(last):
+                self.abort(messages, batchId)  # re-delivered epoch
+                return
+        else:
+            t = catalog.create_table(self.NS, self.NAME, self.schema)
+        t = t.refresh()
+        entries = []
+        for m in sorted(messages, key=lambda m: m.tmp_path):
+            if not m.tmp_path:
+                continue
+            final = os.path.join(self.data_dir, f"part-{_uuid.uuid4().hex}.parquet")
+            os.rename(m.tmp_path, final)
+            entries.append(
+                DataFileEntry(
+                    path=final,
+                    record_count=m.rows,
+                    file_size_bytes=m.size,
+                    format="PARQUET",
+                )
+            )
+        # watermark travels IN the same commit as the files — crash
+        # between the two could otherwise double-apply the epoch
+        t.append_files(
+            entries, dedupe=False, extra_properties={key: str(int(batchId))}
+        )
+        export_iceberg_table(t.refresh(), self.dest)
+
+    def abort(self, messages, batchId: int) -> None:  # noqa: N803
+        PyIceBatchWriter.abort(self, messages)
+
+
 class PyIceDataSource(DataSource):
     """``spark.dataSource.register(PyIceDataSource)`` → format name
     "pyice" for batch reads and readStream tailing of Iceberg table
@@ -563,6 +628,9 @@ class PyIceDataSource(DataSource):
 
     def writer(self, schema: T.StructType, overwrite: bool) -> DataSourceWriter:
         return PyIceBatchWriter(schema, self.options, overwrite)
+
+    def streamWriter(self, schema: T.StructType, overwrite: bool):
+        return PyIceStreamWriter(schema, self.options, overwrite)
 
     def streamReader(self, schema: T.StructType) -> DataSourceStreamReader:
         return PyIceStreamReader(self.options)

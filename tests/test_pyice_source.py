@@ -515,3 +515,65 @@ def test_batch_writer_append_overwrite_stream_tail(spark, tmp_path):
         spark.range(1).selectExpr("id").write.format("pyice").mode(
             "append"
         ).save(foreign)
+
+
+def test_stream_writer_exactly_once(spark, tmp_path):
+    """writeStream.format('pyice'): one Iceberg snapshot per epoch; the
+    stream-watermark table property travels in the same commit as the
+    files, so a re-delivered epoch drops; a new epoch advances."""
+    import os
+    import types
+
+    import pytest
+
+    from iceberg_metadata_pipeline_spark.catalog.metacat import Catalog
+    from iceberg_metadata_pipeline_spark.ingest.pyice_source import (
+        PyIceStreamWriter,
+    )
+
+    register(spark)
+    src = str(tmp_path / "src")
+    spark.range(6).selectExpr("id").write.format("pyice").mode("append").save(src)
+    dest = str(tmp_path / "sink")
+    q = (
+        spark.readStream.format("pyice")
+        .load(src)
+        .writeStream.format("pyice")
+        .option("path", dest)
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    assert sorted(
+        r.id for r in spark.read.format("pyice").load(dest).collect()
+    ) == list(range(6))
+    shadow = Catalog(spark, os.path.join(dest, "_writer_catalog"))
+    t = shadow.load_table("w", "t")
+    assert t.properties.get("stream-watermark-pyice-sink") == "0"
+
+    w = PyIceStreamWriter(
+        spark.read.format("pyice").load(dest).schema, {"path": dest}, False
+    )
+    ghost = os.path.join(dest, "data", "_tmp-ghost.parquet")
+    open(ghost, "wb").write(b"x")
+    w.commit([types.SimpleNamespace(tmp_path=ghost, rows=9, size=1)], batchId=0)
+    assert not os.path.exists(ghost)  # replayed epoch dropped + cleaned
+    assert spark.read.format("pyice").load(dest).count() == 6
+
+    # a NEW epoch commits and advances the watermark
+    import shutil
+
+    d2 = str(tmp_path / "one")
+    spark.createDataFrame([(7,)], "id long").coalesce(1).write.parquet(d2)
+    f2 = next(os.path.join(d2, n) for n in os.listdir(d2) if n.endswith(".parquet"))
+    tmp2 = os.path.join(dest, "data", "_tmp-e1.parquet")
+    shutil.copy(f2, tmp2)
+    w.commit(
+        [types.SimpleNamespace(tmp_path=tmp2, rows=1, size=os.path.getsize(tmp2))],
+        batchId=1,
+    )
+    assert spark.read.format("pyice").load(dest).count() == 7
+    assert shadow.load_table("w", "t").properties[
+        "stream-watermark-pyice-sink"
+    ] == "1"
