@@ -579,3 +579,53 @@ def test_ks_raw_windows_are_partitioned(spark, sf_dir):
         else:
             # the only permitted unpartitioned window orders by bucket
             assert order_col.startswith("bucket#"), spec
+
+
+def test_kendall_pair_join_is_broadcast_over_cells(spark, sf_dir):
+    """stat_kendall_tau_b's concordance join must be a broadcast
+    nested/hash join over the COLLAPSED cells (≤550 rows per side) —
+    never a shuffle of raw lineitem rows against itself. The raw table
+    appears only below hash aggregates."""
+    from iceberg_metadata_pipeline_spark.queries import REGISTRY, all_queries
+
+    all_queries()  # populate the registry (imports every query module)
+    df = REGISTRY["stat_kendall_tau_b"].fn(spark, sf_dir)
+    plan = plan_of(df)
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+    # the join sides are aggregates of cells, not raw scans: every scan
+    # feeds a HashAggregate before any join
+    assert "SortMergeJoin" not in plan
+
+
+def test_funnel_is_single_aggregate_no_self_join(spark, sf_dir):
+    """events_funnel_conversion: one conditional-min hash aggregate per
+    user then a constant-width reduction — no event-to-event join, no
+    window over the raw stream, no Python in the plan."""
+    from iceberg_metadata_pipeline_spark.queries import REGISTRY, all_queries
+
+    all_queries()
+    df = REGISTRY["events_funnel_conversion"].fn(spark, sf_dir)
+    plan = plan_of(df)
+    # the only join allowed is the 1-row horizon broadcast (CROSS JOIN
+    # over MAX(ts)); an event-to-event self-join would surface as a
+    # SortMergeJoin / shuffle join over the raw stream
+    for bad in ("SortMergeJoin", "ShuffledHashJoin", "CartesianProduct",
+                "windowspecdefinition", "EvalPython"):
+        assert bad not in plan, f"{bad} in funnel plan"
+    assert plan.count("HashAggregate") >= 2  # partial + final per stage
+
+
+def test_retention_join_is_keyed_on_user(spark, sf_dir):
+    """events_retention_cohorts: the first-seen × activity join keys on
+    user_id (co-partitioned equi-join) — no cartesian, no row-pair
+    blowup."""
+    from iceberg_metadata_pipeline_spark.queries import REGISTRY, all_queries
+
+    all_queries()
+    df = REGISTRY["events_retention_cohorts"].fn(spark, sf_dir)
+    plan = plan_of(df)
+    assert "CartesianProduct" not in plan
+    assert "user_id" in plan and (
+        "SortMergeJoin" in plan or "BroadcastHashJoin" in plan
+        or "ShuffledHashJoin" in plan
+    )
