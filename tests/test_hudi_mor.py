@@ -854,3 +854,58 @@ def test_partitioned_mor_distributed_end_to_end(spark, tmp_path):
     compact_mor(locs["df"], spark=spark)
     assert _read_all(spark, locs["df"]) == expect
     assert not read_hudi_table(locs["df"]).has_live_logs()
+
+
+def test_mor_distributed_randomized_sequences_vs_oracle(spark, tmp_path):
+    """Distributed-verb fuzz (round 8): seeded random upsert/delete/
+    compact sequences fed as DATAFRAMES through hudi_mor_dist — one
+    Spark task per file group — read back via the pyhudi snapshot and
+    compared against the same independent dict oracle as the list-path
+    25-seed fuzz. Fewer seeds (Spark jobs cost real seconds), but the
+    op mix includes a new-key upsert into an empty partition slot
+    (log-only group creation) every run."""
+    import random
+
+    register(spark)
+    for seed in range(5):
+        rng = random.Random(9000 + seed)
+        loc = str(tmp_path / f"dfz{seed}")
+        create_mor_table(loc, f"dfz{seed}", [], "id", SCHEMA)
+        base = _rows(rng.randint(5, 30))
+        bulk_insert_mor(
+            loc,
+            spark.createDataFrame([tuple(r.values()) for r in base], SCHEMA),
+            n_file_groups=rng.randint(1, 3),
+        )
+        ops = []
+        for _step in range(rng.randint(2, 4)):
+            kind = rng.choice(["upsert", "delete", "compact"])
+            if kind == "upsert":
+                payload = [
+                    {
+                        "id": rng.randint(0, 40),
+                        "cat": rng.choice(["a", "b", "z"]),
+                        "score": float(rng.randint(0, 99)),
+                    }
+                    for _ in range(rng.randint(1, 5))
+                ]
+                dedup = list({str(r["id"]): r for r in payload}.values())
+                upsert_mor(
+                    loc,
+                    spark.createDataFrame(
+                        [tuple(r.values()) for r in dedup], SCHEMA
+                    ),
+                )
+                ops.append(("upsert", dedup))
+            elif kind == "delete":
+                payload = [rng.randint(0, 40) for _ in range(rng.randint(1, 4))]
+                delete_mor(
+                    loc, spark.createDataFrame([(k,) for k in payload], "id long")
+                )
+                ops.append(("delete", payload))
+            else:
+                if read_hudi_table(loc).has_live_logs():
+                    compact_mor(loc, spark=spark)
+        got = _read_all(spark, loc)
+        expect = _mor_oracle(base, ops)
+        assert got == expect, f"seed {seed}: {got} != {expect}"
