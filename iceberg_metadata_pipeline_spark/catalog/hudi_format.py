@@ -539,9 +539,20 @@ def create_hudi_table(location: str, name: str, partition_fields: list[str]) -> 
 
 
 def _hive_partition_path(partition: dict, fields: list[str]) -> str:
+    """Canonical Hive-style partition path. A null partition value —
+    whether it arrives as Python ``None`` (the in-process list path) or
+    as pandas ``NaN``/``NaT`` (the distributed ``applyInPandas`` path) —
+    renders as Hive's ``__HIVE_DEFAULT_PARTITION__`` token, so BOTH
+    write paths produce the same layout and upsert key routing."""
     if not fields:
         return ""
-    return "/".join(f"{c}={partition.get(c, '__HIVE_DEFAULT_PARTITION__')}" for c in fields)
+    segs = []
+    for c in fields:
+        v = partition.get(c, None)
+        if v is None or v != v:  # None, float NaN, pandas NaT
+            v = "__HIVE_DEFAULT_PARTITION__"
+        segs.append(f"{c}={v}")
+    return "/".join(segs)
 
 
 def export_hudi_table(table, dest: str) -> str:

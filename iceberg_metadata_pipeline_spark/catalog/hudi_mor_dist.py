@@ -56,7 +56,14 @@ def _pdf_to_records(pdf, arrow_schema) -> list[dict]:
             s = s.astype("Int64")
         cols[f.name] = s
     out = pd.DataFrame(cols)
-    return out.astype(object).where(out.notnull(), None).to_dict("records")
+    # NaN in a FLOATING column is a value Spark distinguishes from NULL
+    # — keep it; everything else null-like (pd.NA, NaT, None) becomes a
+    # real None so pa.Table.from_pylist writes SQL NULL.
+    keep = out.notnull()
+    for f in arrow_schema:
+        if pa.types.is_floating(f.type):
+            keep[f.name] = True
+    return out.astype(object).where(keep, None).to_dict("records")
 
 
 def _atomic_write_parquet(table, dest: str) -> int:

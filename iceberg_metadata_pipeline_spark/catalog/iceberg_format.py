@@ -658,6 +658,311 @@ def export_iceberg_table(table: Table, dest: str, format_version: int = 2) -> st
     return meta_path
 
 
+def _write_metadata_version(location: str, metadata: dict) -> str:
+    """Claim the next vN.metadata.json at ``location`` atomically
+    (tmp + rename) and point version-hint at it — HadoopTableOperations
+    naming, shared by export and the direct-commit path."""
+    meta_dir = os.path.join(location, "metadata")
+    os.makedirs(meta_dir, exist_ok=True)
+    existing = glob.glob(os.path.join(meta_dir, "v*.metadata.json"))
+    next_v = 1 + max(
+        (
+            int(m.group(1))
+            for p in existing
+            if (m := re.fullmatch(r"v(\d+)\.metadata\.json", os.path.basename(p)))
+        ),
+        default=0,
+    )
+    meta_path = os.path.join(meta_dir, f"v{next_v}.metadata.json")
+    with open(meta_path + ".tmp", "w") as fh:
+        json.dump(metadata, fh, indent=2)
+    os.replace(meta_path + ".tmp", meta_path)
+    with open(os.path.join(meta_dir, "version-hint.text.tmp"), "w") as fh:
+        fh.write(str(next_v))
+    os.replace(
+        os.path.join(meta_dir, "version-hint.text.tmp"),
+        os.path.join(meta_dir, "version-hint.text"),
+    )
+    return meta_path
+
+
+def create_iceberg_table_dir(
+    dest: str,
+    spark_schema: T.StructType,
+    partition_by: list[str] | None = None,
+    properties: dict | None = None,
+    format_version: int = 2,
+) -> str:
+    """Create an EMPTY Iceberg v2/v3 table directory at ``dest`` (no
+    snapshot) directly — no metacat table, no sidecar. ``partition_by``
+    declares identity partition fields on top-level columns. The
+    returned metadata path is v1; commits stack via
+    ``commit_iceberg_append``."""
+    if format_version not in (2, 3):
+        raise ValueError(f"unsupported format-version {format_version}")
+    ice_schema, last_col = spark_schema_to_iceberg(spark_schema)
+    source_ids = {f["name"]: f["id"] for f in ice_schema["fields"]}
+    for c in partition_by or []:
+        if c not in source_ids:
+            raise ValueError(f"partition column {c!r} not in schema")
+    ice_spec = [
+        {"name": c, "transform": "identity", "source-id": source_ids[c],
+         "field-id": 1000 + i}
+        for i, c in enumerate(partition_by or [])
+    ]
+    metadata = {
+        "format-version": format_version,
+        "table-uuid": str(uuid.uuid4()),
+        "location": os.path.abspath(dest),
+        "last-sequence-number": 0,
+        "last-updated-ms": int(time.time() * 1000),
+        "last-column-id": last_col,
+        "current-schema-id": 0,
+        "schemas": [ice_schema],
+        "default-spec-id": 0,
+        "partition-specs": [{"spec-id": 0, "fields": ice_spec}],
+        "last-partition-id": 999 + len(ice_spec),
+        "default-sort-order-id": 0,
+        "sort-orders": [{"order-id": 0, "fields": []}],
+        "properties": {str(k): str(v) for k, v in (properties or {}).items()},
+        "current-snapshot-id": -1,
+        **({"next-row-id": 0} if format_version >= 3 else {}),
+        "snapshots": [],
+        "snapshot-log": [],
+        "metadata-log": [],
+        "refs": {},
+    }
+    return _write_metadata_version(dest, metadata)
+
+
+def _spec_identity_fields(md: dict) -> list[dict]:
+    """The default spec of a loaded metadata dict as the
+    [{name, source, source_type}] shape the manifest writer takes —
+    identity transforms only; anything else refuses loudly (a direct
+    commit cannot compute bucket/truncate partition values)."""
+    schemas = md.get("schemas") or ([md["schema"]] if "schema" in md else [])
+    cur_id = md.get("current-schema-id", 0)
+    schema_json = next(
+        (s for s in schemas if s.get("schema-id", 0) == cur_id), schemas[0]
+    )
+    by_id = {f["id"]: f for f in schema_json["fields"]}
+    default_spec_id = md.get("default-spec-id", 0)
+    spec_fields = next(
+        (
+            s["fields"]
+            for s in md.get("partition-specs", [])
+            if s.get("spec-id", 0) == default_spec_id
+        ),
+        [],
+    )
+    out = []
+    for pf in spec_fields:
+        if pf.get("transform") != "identity" or pf.get("source-id") not in by_id:
+            raise ValueError(
+                f"direct commit supports identity partition transforms only "
+                f"(spec field {pf.get('name')!r} is {pf.get('transform')!r})"
+            )
+        src = by_id[pf["source-id"]]
+        styp = src["type"] if isinstance(src["type"], str) else "nested"
+        out.append({"name": pf["name"], "source": src["name"], "source_type": styp})
+    return out
+
+
+def commit_iceberg_append(
+    location: str,
+    files: list[DataFileEntry],
+    *,
+    overwrite: bool = False,
+    extra_properties: dict | None = None,
+) -> str:
+    """TRUE manifest-append commit against ANY Iceberg v2/v3 directory —
+    whether this repo's exporter, ``create_iceberg_table_dir``, or a
+    foreign writer produced it. Writes ONE new avro manifest holding
+    only the new files, a new manifest list that re-references the prior
+    snapshot's manifests verbatim (append) or drops them (overwrite),
+    and the next vN.metadata.json — O(churn) per commit, never a
+    rewrite of table history. This replaces the r8 ``_writer_catalog``
+    sidecar: the commit reads the LIVE latest metadata, so appends from
+    different writers stack instead of superseding each other
+    (reference parity: the stock iceberg-spark-runtime commit path the
+    reference relies on, re-expressed jar-free).
+
+    v3 tables mint row lineage: explicit ``first_row_id`` per new file
+    from the table's ``next-row-id``. Returns the new metadata path."""
+    meta_path = _latest_metadata_path(location)
+    with open(meta_path) as fh:
+        md = json.load(fh)
+    fv = md.get("format-version")
+    if fv not in (2, 3):
+        raise ValueError(
+            f"direct commit supports format-version 2/3 (table is {fv!r}); "
+            "rewrite v1 tables via import/export"
+        )
+    spec_fields = _spec_identity_fields(md)
+    schemas = md.get("schemas") or []
+    cur_id = md.get("current-schema-id", 0)
+    schema_json = next(
+        (s for s in schemas if s.get("schema-id", 0) == cur_id), schemas[0]
+    )
+    seq = int(md.get("last-sequence-number", 0)) + 1
+    snapshot_id = uuid.uuid4().int & 0x7FFFFFFFFFFFFFFF
+    now_ms = int(time.time() * 1000)
+    meta_dir = os.path.join(location, "metadata")
+    commit_uuid = str(uuid.uuid4())
+
+    next_row = int(md.get("next-row-id", 0))
+    first_row_of_commit = next_row
+    entries = []
+    for f in files:
+        e = {
+            "status": 1,  # ADDED
+            "snapshot_id": snapshot_id,
+            "sequence_number": seq,
+            "file_sequence_number": seq,
+            "data_file": {
+                "content": 0,
+                "file_path": os.path.abspath(f.path),
+                "file_format": f.format or "PARQUET",
+                "partition": {
+                    pf["name"]: _typed_partition_value(
+                        (f.partition or {}).get(pf["name"]), pf["source_type"]
+                    )
+                    for pf in spec_fields
+                },
+                "record_count": int(f.record_count),
+                "file_size_in_bytes": int(f.file_size_bytes),
+            },
+        }
+        if fv >= 3:
+            fr = f.first_row_id
+            if fr is None:
+                fr = next_row
+                next_row += int(f.record_count)
+            e["data_file"]["first_row_id"] = int(fr)
+        entries.append(e)
+
+    ice_spec = next(
+        s["fields"]
+        for s in md.get("partition-specs", [{"spec-id": 0, "fields": []}])
+        if s.get("spec-id", 0) == md.get("default-spec-id", 0)
+    )
+    manifest_path = os.path.join(meta_dir, f"{commit_uuid}-m0.avro")
+    avro_io.write_container(
+        manifest_path,
+        manifest_entry_schema(spec_fields, fv),
+        entries,
+        extra_meta={
+            "schema": json.dumps(schema_json, separators=(",", ":")).encode(),
+            "schema-id": str(cur_id).encode(),
+            "partition-spec": json.dumps(ice_spec, separators=(",", ":")).encode(),
+            "partition-spec-id": str(md.get("default-spec-id", 0)).encode(),
+            "format-version": str(fv).encode(),
+            "content": b"data",
+        },
+    )
+
+    # manifest list: prior manifests carry over verbatim on append;
+    # overwrite starts the file set fresh from this one manifest
+    prev_snap_id = md.get("current-snapshot-id")
+    if prev_snap_id in (None, -1):
+        prev_snap_id = None
+    carried: list[dict] = []
+    prev_total_rows = 0
+    prev_total_files = 0
+    if prev_snap_id is not None:
+        prev_snap = next(
+            s for s in md["snapshots"] if int(s["snapshot-id"]) == int(prev_snap_id)
+        )
+        prev_total_rows = int(prev_snap.get("summary", {}).get("total-records", 0))
+        prev_total_files = int(
+            prev_snap.get("summary", {}).get("total-data-files", 0)
+        )
+        if not overwrite:
+            mlist = _clean_path(prev_snap["manifest-list"])
+            if not os.path.isabs(mlist):
+                mlist = os.path.join(meta_dir, os.path.basename(mlist))
+            _, _, prev_entries = avro_io.read_container(mlist)
+            # normalize to OUR list schema (foreign lists may carry
+            # extra optional fields; required ones are spec-required)
+            keep = [f2["name"] for f2 in manifest_list_schema(fv)["fields"]]
+            carried = [{k: e.get(k) for k in keep} for e in prev_entries]
+
+    new_rows = sum(int(f.record_count) for f in files)
+    mlist_entry = {
+        "manifest_path": os.path.abspath(manifest_path),
+        "manifest_length": os.path.getsize(manifest_path),
+        "partition_spec_id": md.get("default-spec-id", 0),
+        "content": 0,
+        "sequence_number": seq,
+        "min_sequence_number": seq,
+        "added_snapshot_id": snapshot_id,
+        "added_files_count": len(files),
+        "existing_files_count": 0,
+        "deleted_files_count": 0,
+        "added_rows_count": new_rows,
+        "existing_rows_count": 0,
+        "deleted_rows_count": 0,
+        **({"first_row_id": first_row_of_commit} if fv >= 3 else {}),
+    }
+    mlist_path = os.path.join(meta_dir, f"snap-{snapshot_id}-1-{commit_uuid}.avro")
+    avro_io.write_container(
+        mlist_path,
+        manifest_list_schema(fv),
+        [mlist_entry] + carried,
+        extra_meta={
+            "format-version": str(fv).encode(),
+            "snapshot-id": str(snapshot_id).encode(),
+            "parent-snapshot-id": str(prev_snap_id or "null").encode(),
+            "sequence-number": str(seq).encode(),
+        },
+    )
+
+    op = "overwrite" if overwrite else "append"
+    total_rows = new_rows + (0 if overwrite else prev_total_rows)
+    total_files = len(files) + (0 if overwrite else prev_total_files)
+    snapshot = {
+        "snapshot-id": snapshot_id,
+        **({"parent-snapshot-id": int(prev_snap_id)} if prev_snap_id else {}),
+        "sequence-number": seq,
+        **({"first-row-id": first_row_of_commit} if fv >= 3 else {}),
+        "timestamp-ms": now_ms,
+        "manifest-list": os.path.abspath(mlist_path),
+        "summary": {
+            "operation": op,
+            "added-data-files": str(len(files)),
+            "added-records": str(new_rows),
+            "total-records": str(total_rows),
+            "total-data-files": str(total_files),
+        },
+        "schema-id": cur_id,
+    }
+
+    new_md = dict(md)
+    new_md["last-sequence-number"] = seq
+    new_md["last-updated-ms"] = now_ms
+    new_md["current-snapshot-id"] = snapshot_id
+    new_md["snapshots"] = list(md.get("snapshots", [])) + [snapshot]
+    new_md["snapshot-log"] = list(md.get("snapshot-log", [])) + [
+        {"timestamp-ms": now_ms, "snapshot-id": snapshot_id}
+    ]
+    new_md["metadata-log"] = list(md.get("metadata-log", [])) + [
+        {
+            "timestamp-ms": int(md.get("last-updated-ms", now_ms)),
+            "metadata-file": os.path.abspath(meta_path),
+        }
+    ]
+    refs = dict(md.get("refs", {}))
+    refs["main"] = {"snapshot-id": snapshot_id, "type": "branch"}
+    new_md["refs"] = refs
+    if extra_properties:
+        props = dict(md.get("properties", {}))
+        props.update({str(k): str(v) for k, v in extra_properties.items()})
+        new_md["properties"] = props
+    if fv >= 3:
+        new_md["next-row-id"] = next_row
+    return _write_metadata_version(location, new_md)
+
+
 def _metadata_reachable_paths(meta_path: str) -> set[str]:
     """Every file a metadata version keeps alive: its manifest lists,
     the manifests those lists reference, puffin statistics files, and

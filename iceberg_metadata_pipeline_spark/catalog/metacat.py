@@ -3278,16 +3278,46 @@ def _zvalue_column(df: DataFrame, cols: list[str], bits: int = 16):
     skipping where 2^16 cells already far exceed file counts."""
     if not 1 <= len(cols) <= 3:
         raise ValueError("zorder_by takes 1-3 columns")
+
+    def _numeric_expr(c: str):
+        # Order-preserving numeric view of the column. Strings rank by a
+        # 3-byte prefix (lexicographic clustering, JVM-side — a bare
+        # cast("double") silently NULLs every string and dropped the
+        # dimension from the curve); dates/timestamps via epoch; anything
+        # else non-castable refuses loudly.
+        dt = df.schema[c].dataType
+        if isinstance(dt, T.StringType):
+            col = F.col(c)
+            return (
+                F.ascii(F.substring(col, 1, 1)) * F.lit(65536)
+                + F.ascii(F.substring(col, 2, 1)) * F.lit(256)
+                + F.ascii(F.substring(col, 3, 1))
+            ).cast("double")
+        if isinstance(dt, T.DateType):
+            return F.datediff(F.col(c), F.lit("1970-01-01")).cast("double")
+        if isinstance(dt, T.TimestampType):
+            return F.col(c).cast("double")  # epoch seconds
+        if isinstance(dt, T.BooleanType):
+            return F.col(c).cast("int").cast("double")
+        if isinstance(dt, T.NumericType):
+            return F.col(c).cast("double")
+        raise ValueError(
+            f"zorder_by column {c!r} has non-orderable type "
+            f"{dt.simpleString()} — numeric, string, date, timestamp or "
+            "boolean required"
+        )
+
+    num = {c: _numeric_expr(c) for c in cols}
     stats = df.agg(
-        *[F.min(F.col(c).cast("double")).alias(f"mn_{c}") for c in cols],
-        *[F.max(F.col(c).cast("double")).alias(f"mx_{c}") for c in cols],
+        *[F.min(num[c]).alias(f"mn_{c}") for c in cols],
+        *[F.max(num[c]).alias(f"mx_{c}") for c in cols],
     ).first()
     top = (1 << bits) - 1
     scaled = []
     for c in cols:
         mn, mx = stats[f"mn_{c}"], stats[f"mx_{c}"]
         span = (mx - mn) if mn is not None and mx is not None and mx > mn else 1.0
-        rank = ((F.col(c).cast("double") - F.lit(mn or 0.0)) / F.lit(span) * top).cast(
+        rank = ((num[c] - F.lit(mn or 0.0)) / F.lit(span) * top).cast(
             "long"
         )
         # NULLs sort first (rank 0), out-of-range clamps defensively

@@ -403,29 +403,34 @@ class PyIceStreamReader(DataSourceStreamReader):
 
 @dataclass
 class IceWriteCommit(WriterCommitMessage):
-    tmp_path: str = ""
-    rows: int = 0
-    size: int = 0
+    # files: [(tmp_path, rows, size, partition_json)] — one entry per
+    # (task, partition value); partition_json is '{}' when unpartitioned
+    files: tuple = ()
 
 
 class PyIceBatchWriter(DataSourceWriter):
-    """``df.write.format("pyice")`` — completes write symmetry across
-    all four DataSources. Two-phase commit: tasks write invisible
+    """``df.write.format("pyice")`` — write symmetry across all four
+    DataSources, now a DIRECT Iceberg commit (round 9; drops the r8
+    ``_writer_catalog`` sidecar): tasks write invisible
     ``data/_tmp-*.parquet``; the driver renames them to
-    ``data/part-*.parquet`` and commits through metacat (the repo's
-    table-format core), then mirrors the new snapshot as the next
-    Iceberg metadata version via ``export_iceberg_table`` — so plain
-    Iceberg readers (and the pyice stream) see one appended (or, for
-    overwrite mode, one replaced) snapshot per write. The committing
-    catalog lives at ``<dest>/_writer_catalog`` — writer-private state
-    beside the protocol dirs, exactly the role ``.hoodie`` plays for a
-    Hudi table; Iceberg readers never look at it.
+    ``data/part-*.parquet`` and commits ONE new avro manifest + a
+    manifest list re-referencing the prior snapshot's manifests + the
+    next ``vN.metadata.json`` (``commit_iceberg_append``). Because the
+    commit reads the LIVE latest metadata, the writer works on ANY
+    Iceberg v2/v3 directory — ones this writer created, ones
+    ``export_iceberg_table`` produced, and foreign ones — and appends
+    from different writers STACK instead of superseding each other
+    (the r8 ADVICE staleness trap is gone by construction). Commits are
+    O(churn): only the new files are written to metadata.
 
-    Append after an EXTERNALLY-written metadata version refuses: this
-    writer owns tables it created (the sidecar is the source of truth);
-    mixed-writer tables take the export/import path."""
+    Partitioned tables: identity transforms route inside the write
+    tasks — each task groups rows by partition tuple and writes one
+    file per value, so manifest entries carry typed partition values
+    and stay PRUNABLE. A new table partitions via
+    ``option("partitionBy", "col1,col2")``.
 
-    NS, NAME = "w", "t"
+    Reference parity: the commit protocol the reference delegates to
+    iceberg-spark-runtime (entrypoint-spark.sh:74), jar-free."""
 
     def __init__(self, schema: T.StructType, options, overwrite: bool):
         import os
@@ -434,22 +439,33 @@ class PyIceBatchWriter(DataSourceWriter):
         self.overwrite = overwrite
         self.schema = schema
         self.data_dir = os.path.join(self.dest, "data")
-        self.shadow = os.path.join(self.dest, "_writer_catalog")
-        versions = (
-            list_metadata_versions(self.dest)
-            if os.path.isdir(os.path.join(self.dest, "metadata"))
-            else []
-        )
-        if versions and not os.path.isdir(self.shadow):
-            raise ValueError(
-                "pyice writer: this Iceberg directory was written by "
-                "another engine (no _writer_catalog sidecar) — import it "
-                "(import_iceberg_table) and re-export instead of mixing "
-                "writers"
-            )
+        self.exists = os.path.isdir(os.path.join(self.dest, "metadata"))
+        if self.exists:
+            info = read_iceberg_table(self.dest, decode_dvs=False)
+            if [(f.name, f.dataType) for f in info.schema.fields] != [
+                (f.name, f.dataType) for f in schema.fields
+            ]:
+                raise ValueError(
+                    "pyice writer: dataframe schema does not match the "
+                    f"table ({info.schema.simpleString()}) — evolve the "
+                    "table first or align the dataframe"
+                )
+            # identity partition fields of the default spec, in order
+            self.part_cols = [src for _name, src in info.identity_partition]
+            self.part_names = [name for name, _src in info.identity_partition]
+        else:
+            raw = options.get("partitionBy", "") or ""
+            self.part_cols = [c.strip() for c in raw.split(",") if c.strip()]
+            self.part_names = list(self.part_cols)
+            missing = [c for c in self.part_cols if c not in schema.fieldNames()]
+            if missing:
+                raise ValueError(
+                    f"pyice writer: partitionBy columns {missing} not in schema"
+                )
         os.makedirs(self.data_dir, exist_ok=True)
 
     def write(self, iterator):
+        import json as _json
         import os
         import uuid as _uuid
 
@@ -474,84 +490,104 @@ class PyIceBatchWriter(DataSourceWriter):
                 )
             fields.append(pa.field(f.name, pa_types[s]))
         names = [f.name for f in self.schema.fields]
-        rows = [tuple(r) for r in iterator]
-        if not rows:
-            return IceWriteCommit()
-        cols = {n: [r[i] for r in rows] for i, n in enumerate(names)}
-        tmp = os.path.join(self.data_dir, f"_tmp-{_uuid.uuid4().hex}.parquet")
-        pq.write_table(pa.table(cols, schema=pa.schema(fields)), tmp)
-        return IceWriteCommit(
-            tmp_path=tmp, rows=len(rows), size=os.path.getsize(tmp)
-        )
+        part_idx = [names.index(c) for c in self.part_cols]
+        groups: dict[tuple, list[tuple]] = {}
+        for r in iterator:
+            row = tuple(r)
+            groups.setdefault(tuple(row[i] for i in part_idx), []).append(row)
+        out = []
+        for pv, rows in groups.items():
+            cols = {n: [r[i] for r in rows] for i, n in enumerate(names)}
+            tmp = os.path.join(
+                self.data_dir, f"_tmp-{_uuid.uuid4().hex}.parquet"
+            )
+            pq.write_table(pa.table(cols, schema=pa.schema(fields)), tmp)
+            part = {
+                pn: (None if v is None else str(v))
+                for pn, v in zip(self.part_names, pv)
+            }
+            out.append(
+                (tmp, len(rows), os.path.getsize(tmp), _json.dumps(part))
+            )
+        return IceWriteCommit(files=tuple(out))
 
-    def commit(self, messages):
+    def _gather(self, messages):
+        """Rename every task's tmp files into place and return the
+        DataFileEntry list for the commit (deterministic order)."""
+        import json as _json
         import os
         import uuid as _uuid
 
-        from pyspark.sql import SparkSession
-
-        from iceberg_metadata_pipeline_spark.catalog.iceberg_format import (
-            export_iceberg_table,
-        )
         from iceberg_metadata_pipeline_spark.catalog.metacat import (
-            Catalog,
             DataFileEntry,
         )
 
-        spark = SparkSession.getActiveSession()
-        catalog = Catalog(spark, self.shadow)
-        if catalog.table_exists(self.NS, self.NAME):
-            t = catalog.load_table(self.NS, self.NAME)
-            if [(f.name, f.dataType) for f in t.schema.fields] != [
-                (f.name, f.dataType) for f in self.schema.fields
-            ]:
-                raise ValueError(
-                    "pyice writer: dataframe schema does not match the "
-                    f"table ({t.schema.simpleString()}) — evolve the table "
-                    "first or align the dataframe"
-                )
-        else:
-            t = catalog.create_table(self.NS, self.NAME, self.schema)
-        t = t.refresh()
         entries = []
-        for m in sorted(messages, key=lambda m: m.tmp_path):
-            if not m.tmp_path:
+        flat = []
+        for m in messages:
+            if m is None:
                 continue
-            final = os.path.join(self.data_dir, f"part-{_uuid.uuid4().hex}.parquet")
-            os.rename(m.tmp_path, final)
+            flat.extend(getattr(m, "files", ()) or ())
+        for tmp, rows, size, part_json in sorted(flat):
+            final = os.path.join(
+                self.data_dir, f"part-{_uuid.uuid4().hex}.parquet"
+            )
+            os.rename(tmp, final)
             entries.append(
                 DataFileEntry(
                     path=final,
-                    record_count=m.rows,
-                    file_size_bytes=m.size,
+                    record_count=rows,
+                    file_size_bytes=size,
                     format="PARQUET",
+                    partition={
+                        k: v
+                        for k, v in _json.loads(part_json).items()
+                        if v is not None
+                    },
                 )
             )
-        if self.overwrite and t.current_snapshot is not None:
-            t._commit(
-                "overwrite",
-                entries,
-                removed_paths={f.path for f in t.snapshot_files()},
+        return entries
+
+    def _ensure_table(self):
+        from iceberg_metadata_pipeline_spark.catalog.iceberg_format import (
+            create_iceberg_table_dir,
+        )
+
+        if not self.exists:
+            create_iceberg_table_dir(
+                self.dest, self.schema, partition_by=self.part_cols
             )
-        elif entries:
-            t.append_files(entries, dedupe=False)
-        export_iceberg_table(t.refresh(), self.dest)
+            self.exists = True
+
+    def commit(self, messages):
+        from iceberg_metadata_pipeline_spark.catalog.iceberg_format import (
+            commit_iceberg_append,
+        )
+
+        self._ensure_table()
+        entries = self._gather(messages)
+        if entries or self.overwrite:
+            commit_iceberg_append(
+                self.dest, entries, overwrite=self.overwrite
+            )
 
     def abort(self, messages):
         import os
 
         for m in messages:
-            if m is not None and m.tmp_path and os.path.exists(m.tmp_path):
-                os.remove(m.tmp_path)
+            for tmp, *_rest in getattr(m, "files", ()) or ():
+                if os.path.exists(tmp):
+                    os.remove(tmp)
 
 
 class PyIceStreamWriter(PyIceBatchWriter, DataSourceStreamWriter):
     """``df.writeStream.format("pyice")`` — one Iceberg snapshot
     (metadata version) per epoch, EXACTLY-ONCE via a table-property
     watermark: every epoch's commit sets
-    ``stream-watermark-<appId> = batchId`` (real Iceberg sinks store
-    the same marker in snapshot summary properties), and a re-delivered
-    epoch is detected against the committed watermark and dropped.
+    ``stream-watermark-<appId> = batchId`` IN the same metadata write
+    as the files (real Iceberg sinks store the same marker in snapshot
+    summary properties), and a re-delivered epoch is detected against
+    the committed watermark and dropped.
     ``option("checkpointAppId", ...)`` names the writer."""
 
     def __init__(self, schema: T.StructType, options, overwrite: bool):
@@ -559,51 +595,28 @@ class PyIceStreamWriter(PyIceBatchWriter, DataSourceStreamWriter):
         self.app_id = options.get("checkpointAppId", "pyice-sink")
 
     def commit(self, messages, batchId: int) -> None:  # noqa: N803
+        import json as _json
         import os
-        import uuid as _uuid
-
-        from pyspark.sql import SparkSession
 
         from iceberg_metadata_pipeline_spark.catalog.iceberg_format import (
-            export_iceberg_table,
-        )
-        from iceberg_metadata_pipeline_spark.catalog.metacat import (
-            Catalog,
-            DataFileEntry,
+            _latest_metadata_path,
+            commit_iceberg_append,
         )
 
-        spark = SparkSession.getActiveSession()
-        catalog = Catalog(spark, self.shadow)
         key = f"stream-watermark-{self.app_id}"
-        if catalog.table_exists(self.NS, self.NAME):
-            t = catalog.load_table(self.NS, self.NAME)
-            last = t.properties.get(key)
+        if self.exists or os.path.isdir(os.path.join(self.dest, "metadata")):
+            with open(_latest_metadata_path(self.dest)) as fh:
+                last = _json.load(fh).get("properties", {}).get(key)
             if last is not None and int(batchId) <= int(last):
                 self.abort(messages, batchId)  # re-delivered epoch
                 return
-        else:
-            t = catalog.create_table(self.NS, self.NAME, self.schema)
-        t = t.refresh()
-        entries = []
-        for m in sorted(messages, key=lambda m: m.tmp_path):
-            if not m.tmp_path:
-                continue
-            final = os.path.join(self.data_dir, f"part-{_uuid.uuid4().hex}.parquet")
-            os.rename(m.tmp_path, final)
-            entries.append(
-                DataFileEntry(
-                    path=final,
-                    record_count=m.rows,
-                    file_size_bytes=m.size,
-                    format="PARQUET",
-                )
-            )
+        self._ensure_table()
+        entries = self._gather(messages)
         # watermark travels IN the same commit as the files — crash
         # between the two could otherwise double-apply the epoch
-        t.append_files(
-            entries, dedupe=False, extra_properties={key: str(int(batchId))}
+        commit_iceberg_append(
+            self.dest, entries, extra_properties={key: str(int(batchId))}
         )
-        export_iceberg_table(t.refresh(), self.dest)
 
     def abort(self, messages, batchId: int) -> None:  # noqa: N803
         PyIceBatchWriter.abort(self, messages)

@@ -442,12 +442,6 @@ class RestCatalogServer:
             else:
                 seen_ids.add(fid)
                 if of["name"] != nf["name"]:
-                    if nf["name"] in live_names:
-                        return (
-                            f"rename {of['name']!r} -> {nf['name']!r} "
-                            "collides with an existing column (swap "
-                            "renames need two commits)"
-                        )
                     plan.append(("rename", of["name"], nf["name"]))
                 if of["type"] != nf["type"]:
                     if not isinstance(of["type"], str) or not isinstance(
@@ -461,6 +455,34 @@ class RestCatalogServer:
         for fid, of in old_by_id.items():
             if fid not in seen_ids:
                 plan.append(("drop", of["name"]))
+        # Apply order: drops free names first, then renames, then
+        # promotes, then adds — so drop-then-re-add-same-name (the
+        # standard evolution pyiceberg emits) and rename-into-a-freed-
+        # name both land in one commit.
+        _order = {"drop": 0, "rename": 1, "promote": 2, "add": 3}
+        plan.sort(key=lambda s: _order[s[0]])
+        # Validate the WHOLE plan against a simulated name set before the
+        # first mutation — name collisions surface here, never mid-apply.
+        sim = set(live_names)
+        for step in plan:
+            kind = step[0]
+            if kind == "drop":
+                sim.discard(step[1])
+            elif kind == "rename":
+                if step[2] in sim:
+                    return (
+                        f"rename {step[1]!r} -> {step[2]!r} collides with "
+                        "an existing column (swap renames need two commits)"
+                    )
+                sim.discard(step[1])
+                sim.add(step[2])
+            elif kind == "add":
+                if step[1] in sim:
+                    return (
+                        f"add column {step[1]!r} collides with an existing "
+                        "column"
+                    )
+                sim.add(step[1])
         # validate promotions up front (metacat's _can_promote is the
         # authority); adds/renames/drops were checked above
         for step in plan:

@@ -1510,3 +1510,56 @@ def test_optimize_zorder_multi_column(spark, tmp_path):
     for c in ("x", "y"):
         hit = sum(1 for lo, hi in ranges[c] if lo <= 10 <= hi)
         assert hit <= len(ranges[c]) // 2, f"{c}: {hit}/{len(ranges[c])} files hit"
+
+
+def test_optimize_zorder_string_column_clusters(spark, tmp_path):
+    """ADVICE r8: a string zorder column used to cast to NULL inside
+    _zvalue_column — every row ranked 0 and the dimension silently
+    dropped from the curve. Strings now rank by an order-preserving
+    3-byte prefix, so per-file min/max on the STRING column prunes."""
+    import pyarrow.parquet as pq
+
+    from iceberg_metadata_pipeline_spark.catalog.delta_format import (
+        optimize_delta,
+    )
+
+    catalog = Catalog(spark, str(tmp_path / "wh-zs"))
+    st = T.StructType(
+        [
+            T.StructField("name", T.StringType(), False),
+            T.StructField("n", T.LongType(), False),
+        ]
+    )
+    t = catalog.create_table("nyc", "zs", st).refresh()
+    # 16 distinct leading letters x 256 rows, hash-scrambled
+    t.append_dataframe(
+        spark.sql(
+            "SELECT concat(char(97 + id % 16), '-', lpad(CAST(id AS STRING), 5, '0')) AS name, "
+            "CAST(id / 16 AS LONG) AS n "
+            "FROM RANGE(4096) DISTRIBUTE BY hash(id)"
+        ).repartition(8)
+    )
+    t = t.refresh()
+    dest = str(tmp_path / "delta-zs")
+    export_delta_table(t, dest)
+    v = optimize_delta(
+        spark, dest, target_file_rows=256, small_file_rows=1000,
+        order_by=["name", "n"],
+    )
+    state = read_delta_table(dest, v)
+    files = [
+        p if os.path.isabs(p) else os.path.join(dest, p) for p in state.files
+    ]
+    assert len(files) >= 8
+    spans = []
+    hits = 0
+    for p in files:
+        vals = pq.read_table(p).column("name").to_pylist()
+        lo, hi = min(vals), max(vals)
+        # leading-letter span: 16 letters in the domain; clustered files
+        # must cover a small slice of it
+        spans.append(ord(hi[0]) - ord(lo[0]))
+        if lo <= "g" <= hi:  # point predicate on the string column
+            hits += 1
+    assert sum(spans) / len(spans) < 10, f"string dim not clustered: {spans}"
+    assert hits <= len(files) // 2, f"{hits}/{len(files)} files hit 'g'"

@@ -909,3 +909,59 @@ def test_mor_distributed_randomized_sequences_vs_oracle(spark, tmp_path):
         got = _read_all(spark, loc)
         expect = _mor_oracle(base, ops)
         assert got == expect, f"seed {seed}: {got} != {expect}"
+
+
+def test_distributed_preserves_float_nan_and_null_partitions(spark, tmp_path):
+    """ADVICE r8: (a) a genuine float NaN written through the DataFrame
+    path must stay NaN (Spark distinguishes NaN from NULL; the old
+    _pdf_to_records nulled it); (b) a NULL numeric partition value must
+    render Hive's __HIVE_DEFAULT_PARTITION__ token on BOTH write paths
+    (the distributed path used to render 'col=nan' via pandas)."""
+    import math
+
+    from iceberg_metadata_pipeline_spark.catalog.hudi_format import (
+        read_hudi_table,
+    )
+
+    register(spark)
+    # (a) NaN value column survives the distributed path
+    loc = str(tmp_path / "mor_nan")
+    create_mor_table(loc, "mn", [], "id", SCHEMA)
+    rows = [(1, "a", float("nan")), (2, "b", None), (3, "c", 0.5)]
+    bulk_insert_mor(loc, spark.createDataFrame(rows, SCHEMA), n_file_groups=1)
+    got = {r.id: r.score for r in spark.read.format("pyhudi").load(loc).collect()}
+    assert got[1] is not None and math.isnan(got[1])
+    assert got[3] == 0.5
+    # (b) NULL numeric partition value: both paths, one canonical layout
+    pschema = T.StructType(
+        [
+            T.StructField("id", T.LongType(), False),
+            T.StructField("bucket", T.LongType(), True),  # partition col
+            T.StructField("v", T.StringType(), True),
+        ]
+    )
+    prows = [{"id": 1, "bucket": 10, "v": "x"},
+             {"id": 2, "bucket": None, "v": "y"},
+             {"id": 3, "bucket": None, "v": "z"}]
+    locs = {"list": str(tmp_path / "np_list"), "df": str(tmp_path / "np_df")}
+    for l in locs.values():
+        create_mor_table(l, "np", ["bucket"], "id", pschema)
+    bulk_insert_mor(locs["list"], prows, n_file_groups=1)
+    bulk_insert_mor(
+        locs["df"],
+        spark.createDataFrame([tuple(r.values()) for r in prows], pschema),
+        n_file_groups=1,
+    )
+    # upsert into the null partition routes to the SAME group on both
+    ups = [{"id": 2, "bucket": None, "v": "y2"}]
+    upsert_mor(locs["list"], ups)
+    upsert_mor(locs["df"], spark.createDataFrame([tuple(r.values()) for r in ups], pschema))
+    sl, sd = read_hudi_table(locs["list"]), read_hudi_table(locs["df"])
+    assert sorted(sl.files) == sorted(sd.files)
+    null_dirs = [p for (p, _f) in sd.files if "__HIVE_DEFAULT_PARTITION__" in p]
+    assert null_dirs, "null partition must use the canonical Hive token"
+    assert not any("nan" in p or "None" in p for (p, _f) in sd.files)
+    read = lambda l: sorted(
+        (r.id, r.v) for r in spark.read.format("pyhudi").load(l).collect()
+    )
+    assert read(locs["df"]) == read(locs["list"]) == [(1, "x"), (2, "y2"), (3, "z")]

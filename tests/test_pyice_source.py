@@ -436,11 +436,12 @@ def test_stream_recovers_from_expired_offset(spark, tmp_path):
 
 
 def test_batch_writer_append_overwrite_stream_tail(spark, tmp_path):
-    """df.write.format('pyice') (round 8, completes writer symmetry):
-    tasks write tmp parquet, the driver commits through the sidecar
-    catalog and mirrors the next Iceberg metadata version — appends
+    """df.write.format('pyice') (round 9: direct manifest-append
+    commit, no sidecar): tasks write tmp parquet, the driver commits a
+    new manifest + manifest list + next metadata version — appends
     stack, overwrite replaces, the pyice STREAM tails the writer's
-    versions, and a foreign-written dir refuses."""
+    versions, and a foreign-written dir (the r8 refusal) now ACCEPTS
+    appends that stack with the exporter's snapshot."""
     import os
 
     import pytest
@@ -497,7 +498,10 @@ def test_batch_writer_append_overwrite_stream_tail(spark, tmp_path):
             "pyice"
         ).mode("append").save(dest)
 
-    # a foreign-written iceberg dir (no sidecar) refuses the writer
+    # a foreign-written iceberg dir (exporter output — the r8 refusal):
+    # the direct commit appends a manifest that STACKS with the
+    # exporter's snapshot, and a subsequent exporter-independent append
+    # stacks again (appends from different writers never supersede)
     from pyspark.sql import types as T
 
     from iceberg_metadata_pipeline_spark.catalog.iceberg_format import (
@@ -511,10 +515,19 @@ def test_batch_writer_append_overwrite_stream_tail(spark, tmp_path):
     t.append_dataframe(spark.range(3).selectExpr("id"))
     foreign = str(tmp_path / "ice_foreign")
     export_iceberg_table(t.refresh(), foreign)
-    with pytest.raises(Exception, match="_writer_catalog"):
-        spark.range(1).selectExpr("id").write.format("pyice").mode(
-            "append"
-        ).save(foreign)
+    spark.range(10, 12).selectExpr("id").write.format("pyice").mode(
+        "append"
+    ).save(foreign)
+    spark.range(20, 21).selectExpr("id").write.format("pyice").mode(
+        "append"
+    ).save(foreign)
+    assert sorted(
+        r.id for r in spark.read.format("pyice").load(foreign).collect()
+    ) == [0, 1, 2, 10, 11, 20]
+    info = read_iceberg_table(foreign)
+    # history intact: exporter snapshot + two appends, O(churn) commits
+    assert len(info.metadata["snapshots"]) == 3
+    assert not os.path.isdir(os.path.join(foreign, "_writer_catalog"))
 
 
 def test_stream_writer_exactly_once(spark, tmp_path):
@@ -548,16 +561,26 @@ def test_stream_writer_exactly_once(spark, tmp_path):
     assert sorted(
         r.id for r in spark.read.format("pyice").load(dest).collect()
     ) == list(range(6))
-    shadow = Catalog(spark, os.path.join(dest, "_writer_catalog"))
-    t = shadow.load_table("w", "t")
-    assert t.properties.get("stream-watermark-pyice-sink") == "0"
+
+    def _wm():
+        from iceberg_metadata_pipeline_spark.catalog.iceberg_format import (
+            read_iceberg_table,
+        )
+
+        return read_iceberg_table(dest, decode_dvs=False).metadata[
+            "properties"
+        ].get("stream-watermark-pyice-sink")
+
+    assert _wm() == "0"
 
     w = PyIceStreamWriter(
         spark.read.format("pyice").load(dest).schema, {"path": dest}, False
     )
     ghost = os.path.join(dest, "data", "_tmp-ghost.parquet")
     open(ghost, "wb").write(b"x")
-    w.commit([types.SimpleNamespace(tmp_path=ghost, rows=9, size=1)], batchId=0)
+    w.commit(
+        [types.SimpleNamespace(files=((ghost, 9, 1, "{}"),))], batchId=0
+    )
     assert not os.path.exists(ghost)  # replayed epoch dropped + cleaned
     assert spark.read.format("pyice").load(dest).count() == 6
 
@@ -570,10 +593,71 @@ def test_stream_writer_exactly_once(spark, tmp_path):
     tmp2 = os.path.join(dest, "data", "_tmp-e1.parquet")
     shutil.copy(f2, tmp2)
     w.commit(
-        [types.SimpleNamespace(tmp_path=tmp2, rows=1, size=os.path.getsize(tmp2))],
+        [
+            types.SimpleNamespace(
+                files=((tmp2, 1, os.path.getsize(tmp2), "{}"),)
+            )
+        ],
         batchId=1,
     )
     assert spark.read.format("pyice").load(dest).count() == 7
-    assert shadow.load_table("w", "t").properties[
-        "stream-watermark-pyice-sink"
-    ] == "1"
+    assert _wm() == "1"
+
+
+def test_batch_writer_partitioned(spark, tmp_path):
+    """Round 9 (verdict #3): partitioned pyice writes. A new table
+    partitions via option('partitionBy'); write tasks route rows by
+    partition tuple so each data file holds ONE partition value and its
+    manifest entry carries the typed value — import shows the files
+    prune. Appends to an EXISTING partitioned dir pick the spec up from
+    metadata (no option needed)."""
+    import os
+
+    from iceberg_metadata_pipeline_spark.catalog.iceberg_format import (
+        import_iceberg_table,
+        read_iceberg_table,
+    )
+    from iceberg_metadata_pipeline_spark.catalog.metacat import Catalog
+
+    register(spark)
+    dest = str(tmp_path / "ice_p")
+    df = spark.range(20).selectExpr("id", "CAST(id % 3 AS LONG) AS bucket")
+    df.write.format("pyice").option("partitionBy", "bucket").mode(
+        "append"
+    ).save(dest)
+    # second append WITHOUT the option: spec comes from the metadata
+    spark.createDataFrame([(100, 7)], "id long, bucket long").write.format(
+        "pyice"
+    ).mode("append").save(dest)
+
+    got = sorted(
+        (r.id, r.bucket)
+        for r in spark.read.format("pyice").load(dest).collect()
+    )
+    assert got == sorted(
+        [(i, i % 3) for i in range(20)] + [(100, 7)]
+    )
+    info = read_iceberg_table(dest)
+    # every data file carries exactly one typed partition value
+    assert all(set(f.partition) == {"bucket"} for f in info.files)
+    assert {f.partition["bucket"] for f in info.files} == {"0", "1", "2", "7"}
+    # and the values PRUNE after import: a bucket=7 scan reads 1 file
+    from iceberg_metadata_pipeline_spark.catalog.partitioning import (
+        prune_files_by_partition,
+    )
+
+    catalog = Catalog(spark, str(tmp_path / "wh-p"))
+    t = import_iceberg_table(spark, catalog, dest, "nyc", "ice_p").refresh()
+    pruned = prune_files_by_partition(
+        spark, t.snapshot_files(), t.partition_specs, t._schema_types(),
+        "bucket = 7",
+    )
+    assert len(pruned) == 1 and pruned[0].partition == {"bucket": "7"}
+    # null partition values route to their own file and read back
+    spark.createDataFrame([(200, None)], "id long, bucket long").write.format(
+        "pyice"
+    ).mode("append").save(dest)
+    assert (200, None) in {
+        (r.id, r.bucket)
+        for r in spark.read.format("pyice").load(dest).collect()
+    }

@@ -491,3 +491,87 @@ def test_commit_table_schema_evolution(spark, server):
         )
         == 409
     )
+
+
+def test_commit_table_drop_and_readd_same_name_is_atomic(spark, server):
+    """ADVICE r8 (medium): a commit that drops a column and re-adds the
+    same NAME under a new field id (what pyiceberg emits for a type
+    rewrite) must apply — drops free names before adds. And a plan that
+    cannot apply (add collides with a post-rename live name) must leave
+    the table completely untouched, not half-evolved."""
+    catalog, _, base = server
+    _req(f"{base}/v1/namespaces", "POST", {"namespace": ["at"]})
+    _req(
+        f"{base}/v1/namespaces/at/tables",
+        "POST",
+        {
+            "name": "t",
+            "schema": {
+                "type": "struct",
+                "schema-id": 0,
+                "fields": [
+                    {"id": 1, "name": "id", "required": False, "type": "int"},
+                    {"id": 2, "name": "v", "required": False, "type": "string"},
+                ],
+            },
+        },
+    )
+    url = f"{base}/v1/namespaces/at/tables/t"
+    # drop v (id 2) + add v (id 3, new type) in ONE commit
+    code, _ = _req(
+        url,
+        "POST",
+        {
+            "updates": [
+                {
+                    "action": "add-schema",
+                    "schema": {
+                        "type": "struct",
+                        "schema-id": 1,
+                        "fields": [
+                            {"id": 1, "name": "id", "required": False,
+                             "type": "int"},
+                            {"id": 3, "name": "v", "required": False,
+                             "type": "double"},
+                        ],
+                    },
+                },
+                {"action": "set-current-schema-id", "schema-id": -1},
+            ]
+        },
+    )
+    assert code == 200
+    t = catalog.load_table("at", "t")
+    assert {f.name: f.dataType.simpleString() for f in t.schema.fields} == {
+        "id": "int", "v": "double"
+    }
+    # invalid plan: rename id->key AND add a new column also named key —
+    # must 400 with NOTHING applied (the old bug applied the rename then
+    # raised on the add, leaving the table half-evolved)
+    code = _status_of(
+        url,
+        "POST",
+        {
+            "updates": [
+                {
+                    "action": "add-schema",
+                    "schema": {
+                        "type": "struct",
+                        "schema-id": 2,
+                        "fields": [
+                            {"id": 1, "name": "key", "required": False,
+                             "type": "int"},
+                            {"id": 3, "name": "v", "required": False,
+                             "type": "double"},
+                            {"id": 9, "name": "key", "required": False,
+                             "type": "string"},
+                        ],
+                    },
+                },
+                {"action": "set-current-schema-id", "schema-id": -1},
+            ]
+        },
+    )
+    assert code == 400
+    t = catalog.load_table("at", "t")
+    assert {f.name for f in t.schema.fields} == {"id", "v"}  # untouched
