@@ -218,6 +218,64 @@ def measure_mor_write_path(spark) -> dict:
     return res
 
 
+def measure_mor_targeted_upsert(spark) -> dict:
+    """Round-9 probe for the bloom-pruned key routing (the r8 `weak`):
+    file-group count scales WITH the data (constant file size, the
+    100 TB shape), and the timed operation is a 10-key upsert against
+    the pre-built table. Unpruned routing reads every base file's key
+    column per commit — O(table); bloom-pruned routing reads only the
+    ≤10 candidate files the blooms admit — O(batch). The exponent of
+    the pruned leg should sit near 0, and the probe also reports the
+    unpruned leg at sf1 for the direct same-table comparison."""
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from iceberg_metadata_pipeline_spark.catalog.hudi_mor_dist import (
+        bulk_insert_mor_df,
+        upsert_mor_df,
+    )
+    from iceberg_metadata_pipeline_spark.catalog.hudi_format import (
+        create_mor_table,
+    )
+
+    res: dict = {}
+    times = {}
+    for sf, d, groups in (("sf0.1", SRC, 16), ("sf1", DST, 160)):
+        orders = spark.read.parquet(os.path.join(d, "orders.parquet")).select(
+            "o_orderkey", "o_custkey", "o_totalprice"
+        )
+        loc = tempfile.mkdtemp(prefix=f"mor-tgt-{sf}-") + "/t"
+        create_mor_table(loc, "t", [], "o_orderkey", orders.schema)
+        bulk_insert_mor_df(orders, loc, n_file_groups=groups)
+        batch = orders.orderBy("o_orderkey").limit(10).withColumn(
+            "o_totalprice", F.col("o_totalprice") * 2
+        ).cache()
+        batch.count()
+        t0 = time.time()
+        upsert_mor_df(batch, loc)
+        times[sf] = time.time() - t0
+        if sf == "sf1":
+            t0 = time.time()
+            upsert_mor_df(batch, loc, prune=False)
+            res["sf1_unpruned_s"] = round(time.time() - t0, 2)
+        batch.unpersist()
+    exp = math.log(times["sf1"] / times["sf0.1"]) / math.log(REPLICAS)
+    res.update(
+        {
+            "sf0.1_s": round(times["sf0.1"], 2),
+            "sf1_s": round(times["sf1"], 2),
+            "exponent": round(exp, 2),
+        }
+    )
+    print(
+        f"  mor_targeted_upsert_probe: {times['sf0.1']:.2f}s -> "
+        f"{times['sf1']:.2f}s  exp={exp:.2f}  "
+        f"(sf1 unpruned: {res['sf1_unpruned_s']}s)"
+    )
+    return res
+
+
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--force", action="store_true")
@@ -236,6 +294,7 @@ def main() -> None:
     results = measure(spark, args.only)
     if not args.only:
         results["mor_write_path_probe"] = measure_mor_write_path(spark)
+        results["mor_targeted_upsert_probe"] = measure_mor_targeted_upsert(spark)
     with open("/tmp/scale_check.json", "w") as fh:
         json.dump(results, fh, indent=1)
     print(json.dumps(results))
