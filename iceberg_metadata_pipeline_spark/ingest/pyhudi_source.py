@@ -369,9 +369,9 @@ class PyHudiStreamReader(DataSourceStreamReader, _HudiReadMixin):
 
 @dataclass
 class HudiWriteCommit(WriterCommitMessage):
-    tmp_path: str = ""
-    rows: int = 0
-    size: int = 0
+    # [(tmp_path, rows, size, partition_path)] — one entry per
+    # (task, partition value); partition_path is "" when unpartitioned
+    files: tuple = ()
 
 
 class PyHudiBatchWriter(DataSourceWriter):
@@ -386,9 +386,16 @@ class PyHudiBatchWriter(DataSourceWriter):
     speculative task leaves at most an unreferenced tmp file — the
     timeline is the commit, not the directory listing.
 
-    Bounds (refusals, not silent corruption): unpartitioned COW only —
-    MOR tables take upsert_mor/delete_mor (the log-append protocol),
-    partitioned tables take export_hudi_table/bulk paths."""
+    Partitioned COW tables (round 9): write tasks route rows into hive
+    partition paths via ``_hive_partition_path`` (the same canonical
+    rendering both MOR write paths use, incl. the null token) — one
+    file per (task, partition value), per-partition write stats, and
+    per-partition replace ids on overwrite. A NEW table partitions via
+    ``option("partitionBy", "col1,col2")``; an existing table's
+    partition fields come from its properties.
+
+    Bounds (refusals, not silent corruption): COW only — MOR tables
+    take upsert_mor/delete_mor (the log-append protocol)."""
 
     def __init__(self, schema: T.StructType, options, overwrite: bool):
         self.dest = _local(options["path"])
@@ -409,11 +416,20 @@ class PyHudiBatchWriter(DataSourceWriter):
                     "upsert_mor/delete_mor (log appends), not the COW "
                     "file writer"
                 )
-            if [c for c in props.get("hoodie.table.partition.fields", "").split(",") if c]:
-                raise NotImplementedError(
-                    "pyhudi writer: partitioned tables are not served by "
-                    "this writer — export_hudi_table/bulk_insert_mor lay "
-                    "out partition paths"
+            self.part_fields = [
+                c
+                for c in props.get("hoodie.table.partition.fields", "").split(",")
+                if c
+            ]
+        else:
+            raw = options.get("partitionBy", "") or ""
+            self.part_fields = [c.strip() for c in raw.split(",") if c.strip()]
+            missing = [
+                c for c in self.part_fields if c not in schema.fieldNames()
+            ]
+            if missing:
+                raise ValueError(
+                    f"pyhudi writer: partitionBy columns {missing} not in schema"
                 )
         self._exists = props is not None
         os.makedirs(self.dest, exist_ok=True)
@@ -441,16 +457,27 @@ class PyHudiBatchWriter(DataSourceWriter):
                     f"{f.name}: {s} (flatten/cast upstream)"
                 )
             fields.append(pa.field(f.name, pa_types[s]))
-        names = [f.name for f in self.schema.fields]
-        rows = [tuple(r) for r in iterator]
-        if not rows:
-            return HudiWriteCommit()  # empty task partition
-        cols = {n: [r[i] for r in rows] for i, n in enumerate(names)}
-        tmp = os.path.join(self.dest, f"_tmp-{_uuid.uuid4().hex}.parquet")
-        pq.write_table(pa.table(cols, schema=pa.schema(fields)), tmp)
-        return HudiWriteCommit(
-            tmp_path=tmp, rows=len(rows), size=os.path.getsize(tmp)
+        from iceberg_metadata_pipeline_spark.catalog.hudi_format import (
+            _hive_partition_path,
         )
+
+        names = [f.name for f in self.schema.fields]
+        part_idx = [names.index(c) for c in self.part_fields]
+        groups: dict[str, list[tuple]] = {}
+        for r in iterator:
+            row = tuple(r)
+            ppath = _hive_partition_path(
+                {c: row[i] for c, i in zip(self.part_fields, part_idx)},
+                self.part_fields,
+            )
+            groups.setdefault(ppath, []).append(row)
+        out = []
+        for ppath, rows in groups.items():
+            cols = {n: [r[i] for r in rows] for i, n in enumerate(names)}
+            tmp = os.path.join(self.dest, f"_tmp-{_uuid.uuid4().hex}.parquet")
+            pq.write_table(pa.table(cols, schema=pa.schema(fields)), tmp)
+            out.append((tmp, len(rows), os.path.getsize(tmp), ppath))
+        return HudiWriteCommit(files=tuple(out))
 
     # extra commit metadata hook (the stream writer stamps its
     # exactly-once epoch marker through this)
@@ -482,55 +509,77 @@ class PyHudiBatchWriter(DataSourceWriter):
         # and epoch 0 creates the table __init__ did not see
         exists = self._table_exists()
         if not exists:
-            create_hudi_table(self.dest, os.path.basename(self.dest.rstrip("/")), [])
-        prev_fids: list[str] = []
-        if exists and self.overwrite:
-            prev_fids = sorted(
-                fid for (_p, fid) in read_hudi_table(self.dest).files
+            create_hudi_table(
+                self.dest,
+                os.path.basename(self.dest.rstrip("/")),
+                self.part_fields,
             )
-        action = "replacecommit" if prev_fids else "commit"
+        prev_by_part: dict[str, list[str]] = {}
+        if exists and self.overwrite:
+            for (p, fid) in read_hudi_table(self.dest).files:
+                prev_by_part.setdefault(p, []).append(fid)
+            for v in prev_by_part.values():
+                v.sort()
+        action = "replacecommit" if prev_by_part else "commit"
         t = begin_instant(self.dest, action)
-        _ensure_partition_metadata(self.dest, "", t)
-        stats: list[dict] = []
-        for i, m in enumerate(sorted(messages, key=lambda m: m.tmp_path)):
-            if not m.tmp_path:
+        flat = []
+        for m in messages:
+            if m is None:
                 continue
-            fid = _group_file_id(f"writer#{t}", i)
-            rel = _base_file_name(fid, t)
-            os.rename(m.tmp_path, os.path.join(self.dest, rel))
-            stats.append(
+            flat.extend(getattr(m, "files", ()) or ())
+        stats_by_part: dict[str, list[dict]] = {}
+        seen_parts: set[str] = set()
+        for i, (tmp, rows, size, ppath) in enumerate(sorted(flat)):
+            if ppath not in seen_parts:
+                _ensure_partition_metadata(self.dest, ppath, t)
+                seen_parts.add(ppath)
+            fid = _group_file_id(f"writer#{t}#{ppath}", i)
+            rel = (
+                os.path.join(ppath, _base_file_name(fid, t))
+                if ppath
+                else _base_file_name(fid, t)
+            )
+            os.makedirs(
+                os.path.dirname(os.path.join(self.dest, rel)), exist_ok=True
+            )
+            os.rename(tmp, os.path.join(self.dest, rel))
+            stats_by_part.setdefault(ppath, []).append(
                 {
                     "fileId": fid,
                     "path": rel,
                     "prevCommit": "null",
-                    "numWrites": m.rows,
+                    "numWrites": rows,
                     "numDeletes": 0,
                     "numUpdateWrites": 0,
-                    "numInserts": m.rows,
-                    "totalWriteBytes": m.size,
-                    "fileSizeInBytes": m.size,
-                    "partitionPath": "",
+                    "numInserts": rows,
+                    "totalWriteBytes": size,
+                    "fileSizeInBytes": size,
+                    "partitionPath": ppath,
                 }
             )
+        if not stats_by_part and not self.part_fields:
+            _ensure_partition_metadata(self.dest, "", t)
+            stats_by_part = {"": []}
         md: dict = {
-            "partitionToWriteStats": {"": stats},
+            "partitionToWriteStats": stats_by_part,
             "compacted": False,
             "operationType": (
-                "INSERT_OVERWRITE_TABLE" if prev_fids else "INSERT"
+                "INSERT_OVERWRITE_TABLE" if prev_by_part else "INSERT"
             ),
             "extraMetadata": {
                 "schema": json.dumps(self.schema.jsonValue()),
                 **self._extra_metadata,
             },
         }
-        if prev_fids:
-            md["partitionToReplaceFileIds"] = {"": prev_fids}
+        if prev_by_part:
+            md["partitionToReplaceFileIds"] = prev_by_part
         complete_instant(self.dest, t, action, md)
 
     def abort(self, messages):
         for m in messages:
-            if m is not None and m.tmp_path and os.path.exists(m.tmp_path):
-                os.remove(m.tmp_path)
+            for tmp, *_rest in getattr(m, "files", ()) or ():
+                if os.path.exists(tmp):
+                    os.remove(tmp)
 
 
 class PyHudiStreamWriter(PyHudiBatchWriter, DataSourceStreamWriter):

@@ -215,14 +215,14 @@ def test_batch_writer_append_overwrite_time_travel(spark, tmp_path):
 
 def test_batch_writer_refusals(spark, tmp_path):
     """Writer bounds refuse loudly: MOR tables (log-append protocol
-    owns writes) and partitioned COW tables (no partition-path layout
-    here)."""
+    owns writes) and a partitionBy column missing from the dataframe
+    schema. (Partitioned COW writes themselves are served since round
+    9 — see test_batch_writer_partitioned.)"""
     import pytest
     from pyspark.sql import types as T
 
     from iceberg_metadata_pipeline_spark.catalog.hudi_format import (
         bulk_insert_mor,
-        create_hudi_table,
         create_mor_table,
     )
 
@@ -241,12 +241,68 @@ def test_batch_writer_refusals(spark, tmp_path):
         spark.range(1).selectExpr("id").write.format("pyhudi").mode(
             "append"
         ).save(mor)
-    part = str(tmp_path / "partw")
-    create_hudi_table(part, "partw", ["cat"])
-    with pytest.raises(Exception, match="partitioned"):
-        spark.range(1).selectExpr("id").write.format("pyhudi").mode(
-            "append"
-        ).save(part)
+    with pytest.raises(Exception, match="partitionBy"):
+        spark.range(1).selectExpr("id").write.format("pyhudi").option(
+            "partitionBy", "ghost"
+        ).mode("append").save(str(tmp_path / "ghostw"))
+
+
+def test_batch_writer_partitioned(spark, tmp_path):
+    """Round 9 (verdict #3): partitioned pyhudi COW writes. Write tasks
+    route rows into hive partition dirs (canonical null token included),
+    per-partition write stats land in the commit, appends to an
+    existing partitioned table pick the fields up from properties, and
+    overwrite retires every partition's file groups in one
+    replacecommit."""
+    import os
+
+    from iceberg_metadata_pipeline_spark.catalog.hudi_format import (
+        read_hudi_table,
+    )
+
+    register(spark)
+    dest = str(tmp_path / "hudi_p")
+    df = spark.range(12).selectExpr(
+        "id", "CASE WHEN id % 3 = 2 THEN NULL ELSE concat('c', id % 3) END AS cat"
+    )
+    df.write.format("pyhudi").option("partitionBy", "cat").mode(
+        "append"
+    ).save(dest)
+    # second append WITHOUT the option: fields come from properties
+    spark.createDataFrame([(100, "zz")], "id long, cat string").write.format(
+        "pyhudi"
+    ).mode("append").save(dest)
+
+    got = sorted(
+        (r.id, r.cat) for r in spark.read.format("pyhudi").load(dest).collect()
+    )
+    exp = sorted(
+        [(i, None if i % 3 == 2 else f"c{i % 3}") for i in range(12)]
+        + [(100, "zz")]
+    )
+    assert got == exp
+    st = read_hudi_table(dest)
+    parts = {p for (p, _f) in st.files}
+    assert parts == {
+        "cat=c0", "cat=c1", "cat=__HIVE_DEFAULT_PARTITION__", "cat=zz"
+    }
+    assert os.path.exists(
+        os.path.join(dest, "cat=zz", ".hoodie_partition_metadata")
+    )
+    # overwrite replaces ALL partitions atomically
+    spark.createDataFrame([(7, "c0")], "id long, cat string").write.format(
+        "pyhudi"
+    ).mode("overwrite").save(dest)
+    assert sorted(
+        (r.id, r.cat) for r in spark.read.format("pyhudi").load(dest).collect()
+    ) == [(7, "c0")]
+    # time travel still sees the pre-overwrite snapshot
+    prev = [i.time for i in __import__(
+        "iceberg_metadata_pipeline_spark.catalog.hudi_format",
+        fromlist=["completed_instants"],
+    ).completed_instants(dest)][-2]
+    old = spark.read.format("pyhudi").option("asOfInstant", prev).load(dest)
+    assert old.count() == 13
 
 
 def test_stream_writer_exactly_once(spark, tmp_path):
@@ -293,7 +349,7 @@ def test_stream_writer_exactly_once(spark, tmp_path):
     open(ghost, "wb").write(b"x")
     n_files = len(read_hudi_table(dest).files)
     w.commit(
-        [types.SimpleNamespace(tmp_path=ghost, rows=99, size=1)], batchId=0
+        [types.SimpleNamespace(files=((ghost, 99, 1, ""),))], batchId=0
     )  # duplicate epoch → dropped
     assert len(read_hudi_table(dest).files) == n_files
     assert not os.path.exists(ghost)
@@ -307,7 +363,7 @@ def test_stream_writer_exactly_once(spark, tmp_path):
     tmp2 = str(tmp_path / "epoch1.parquet")
     shutil.copy(f2, tmp2)
     w.commit(
-        [types.SimpleNamespace(tmp_path=tmp2, rows=1, size=os.path.getsize(tmp2))],
+        [types.SimpleNamespace(files=((tmp2, 1, os.path.getsize(tmp2), ""),))],
         batchId=1,
     )
     assert spark.read.format("pyhudi").load(dest).count() == 6
