@@ -147,7 +147,108 @@ def _sentinel_seconds(spark) -> float:
     return round(sorted(runs)[1], 3)
 
 
+def _measure(spark, qs, names, sf_dir) -> dict[str, float]:
+    timings: dict[str, float] = {}
+    for name in names:
+        fn = qs.get(name)
+        if fn is None:
+            continue
+        runs = []
+        for _ in range(3):  # median-of-3: ambient-load noise, not cache
+            t0 = time.perf_counter()  # warmth, dominates variance at this
+            df = fn(spark, sf_dir)  # scale — the median ignores one outlier
+            df.write.format("noop").mode("overwrite").save()
+            runs.append(time.perf_counter() - t0)
+        timings[name] = round(sorted(runs)[1], 3)
+    return timings
+
+
+def _warmup(spark, sf_dir):
+    # session warmup: JVM/codegen spin-up and Hadoop-FS/parquet-footer init
+    # outside the measured window (queries are measured, not cold-start)
+    spark.range(1_000_000).selectExpr("sum(id)").collect()
+    from iceberg_metadata_pipeline_spark.session import load_tables
+
+    tables = load_tables(spark, sf_dir)
+    tables["region"].count()
+    tables["lineitem"].count()  # biggest table: pays listing + footer reads
+
+
+def _isolate(names: list[str]) -> None:
+    """``bench.py --isolate q1,q2``: re-run the named queries alone
+    (fresh session, warmup, sentinel) and merge the timings into
+    BENCH_LOCAL.json under "isolated" — the differential probe the r8
+    verdict hand-built, now self-serve. Cross-round regressions flagged
+    by the main run can be re-adjudicated without a full bench."""
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    from iceberg_metadata_pipeline_spark.session import get_spark
+
+    import __spark_entry__ as entry_mod
+
+    spark = get_spark("bench-isolate")
+    qs = entry_mod.queries()
+    _warmup(spark, sf_dir)
+    sentinel = _sentinel_seconds(spark)
+    timings = _measure(spark, qs, names, sf_dir)
+    local = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "BENCH_LOCAL.json"
+    )
+    payload = {}
+    if os.path.exists(local):
+        try:
+            with open(local) as fh:
+                payload = json.load(fh)
+        except (OSError, json.JSONDecodeError):
+            payload = {}
+    payload.setdefault("isolated", {}).update(timings)
+    payload["isolated_sentinel_sec"] = sentinel
+    with open(local, "w") as fh:
+        json.dump(payload, fh)
+        fh.write("\n")
+    print(json.dumps(
+        {"metric": "isolated_queries", "queries": timings,
+         "sentinel_sec": sentinel},
+        separators=(",", ":"),
+    ))
+
+
+def _cross_round(timings: dict, sentinel: float, local_path: str) -> dict | None:
+    """Compare this run against the PREVIOUS round's committed
+    BENCH_LOCAL.json, sentinel-normalized: only moves outside the band
+    are flagged, so uniform host drift (the r7/r8 false alarm) never
+    reads as a regression."""
+    if not os.path.exists(local_path):
+        return None
+    try:
+        with open(local_path) as fh:
+            prev = json.load(fh)
+    except (OSError, json.JSONDecodeError):
+        return None
+    prev_q = prev.get("queries") or {}
+    prev_s = prev.get("sentinel_sec") or 0
+    if not prev_q or not prev_s or not sentinel:
+        return None
+    band = 1.5
+    flagged = {}
+    for name, cur in timings.items():
+        old = prev_q.get(name)
+        if old is None or old <= 0:
+            continue
+        ratio = round((cur / sentinel) / (old / prev_s), 2)
+        if ratio > band or ratio < 1 / band:
+            flagged[name] = {"prev_s": old, "cur_s": cur, "norm_ratio": ratio}
+    return {
+        "prev_sentinel_sec": prev_s,
+        "band": band,
+        "flagged": flagged,
+        "n_compared": sum(1 for n in timings if n in prev_q),
+    }
+
+
 def main() -> None:
+    if len(sys.argv) >= 3 and sys.argv[1] == "--isolate":
+        _isolate([q.strip() for q in sys.argv[2].split(",") if q.strip()])
+        return
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     m = re.search(r"sf([0-9.]+)", sf_dir)
     sf = float(m.group(1)) if m else None
@@ -159,32 +260,18 @@ def main() -> None:
     spark = get_spark("bench")
     qs = entry_mod.queries()
 
-    # session warmup: JVM/codegen spin-up and Hadoop-FS/parquet-footer init
-    # outside the measured window (queries are measured, not cold-start)
-    spark.range(1_000_000).selectExpr("sum(id)").collect()
-    from iceberg_metadata_pipeline_spark.session import load_tables
-
-    tables = load_tables(spark, sf_dir)
-    tables["region"].count()
-    tables["lineitem"].count()  # biggest table: pays listing + footer reads
+    _warmup(spark, sf_dir)
 
     load_before = os.getloadavg()
     sentinel = _sentinel_seconds(spark)
 
-    timings: dict[str, float] = {}
-    for name in HEADLINE:
-        fn = qs.get(name)
-        if fn is None:
-            continue
-        runs = []
-        for _ in range(3):  # median-of-3: ambient-load noise, not cache
-            t0 = time.perf_counter()  # warmth, dominates variance at this
-            df = fn(spark, sf_dir)  # scale — the median ignores one outlier
-            df.write.format("noop").mode("overwrite").save()
-            runs.append(time.perf_counter() - t0)
-        timings[name] = round(sorted(runs)[1], 3)
+    timings = _measure(spark, qs, HEADLINE, sf_dir)
 
     total = round(sum(timings.values()), 3)
+    local_path = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "BENCH_LOCAL.json"
+    )
+    cross = _cross_round(timings, sentinel, local_path)
     payload = json.dumps(
         {
             "metric": "headline_queries_total_runtime",
@@ -201,6 +288,10 @@ def main() -> None:
             },
             "sentinel_sec": sentinel,
             "total_over_sentinel": round(total / sentinel, 2) if sentinel else None,
+            # sentinel-normalized comparison against the previous round's
+            # committed BENCH_LOCAL.json (VERDICT r8 #5): only moves
+            # beyond the band flag — host drift never reads as regression
+            "cross_round": cross,
         }
     )
     # the driver tail-captures only the LAST ~2000 chars of stdout, so a
@@ -209,8 +300,7 @@ def main() -> None:
     # a final line GUARANTEED to fit the capture window: totals + sentinel
     # + the slowest queries, trimmed until the serialized line is under
     # budget — the driver gets a parseable object every round.
-    with open(os.path.join(os.path.dirname(os.path.abspath(__file__)),
-                           "BENCH_LOCAL.json"), "w") as fh:
+    with open(local_path, "w") as fh:
         fh.write(payload + "\n")
 
     budget = 1800  # under the driver's 2000-char tail, with margin
@@ -229,6 +319,9 @@ def main() -> None:
                 "sentinel_sec": sentinel,
                 "total_over_sentinel": (
                     round(total / sentinel, 2) if sentinel else None
+                ),
+                "cross_round_flagged": (
+                    sorted(cross["flagged"]) if cross else None
                 ),
                 "full": "BENCH_LOCAL.json",
             },

@@ -287,10 +287,17 @@ class RestCatalogServer:
         schema carries are the ones loadTable served, which this server
         derives deterministically via spark_schema_to_iceberg. Partition
         evolution (add-spec + set-default-spec-id, identity transforms)
-        maps onto set_partition_spec. Data commits (add-snapshot,
-        set-snapshot-ref, …) still refuse loudly: those go through the
-        warehouse's own commit path — this catalog will not fork a
-        second commit protocol."""
+        maps onto set_partition_spec.
+
+        Round 9: APPEND snapshot commits (add-snapshot +
+        set-snapshot-ref main) are served — the foreign client wrote
+        its own avro manifest (+ manifest list) under the served
+        metadata location, and the server reads the files ADDED by the
+        new snapshot and commits them through metacat's append
+        (metadata-only, one commit protocol). The re-exported metadata
+        carries a SERVER-assigned snapshot id, like a REST catalog that
+        rewrites commits. Rewrites (delete manifests, DELETED entries,
+        non-append operations) and non-main refs still refuse loudly."""
         if not self.catalog.table_exists(ns, name):
             return h._error(
                 404, f"table {ns}.{name} not found", "NoSuchTableException"
@@ -346,6 +353,8 @@ class RestCatalogServer:
         set_schema_id = None
         new_spec = None
         set_spec_id = None
+        new_snapshot = None
+        set_ref = None
         for u in body.get("updates") or []:
             action = u.get("action")
             if action == "set-properties":
@@ -362,13 +371,17 @@ class RestCatalogServer:
                 new_spec = u.get("spec") or {}
             elif action == "set-default-spec-id":
                 set_spec_id = int(u.get("spec-id", -1))
+            elif action == "add-snapshot":
+                new_snapshot = u.get("snapshot") or {}
+            elif action == "set-snapshot-ref":
+                set_ref = u
             else:
                 return h._error(
                     400,
-                    f"commit update {action!r} is not served: data "
+                    f"commit update {action!r} is not served: rewrite "
                     "commits go through the warehouse's own commit path; "
-                    "this catalog serves metadata-only property and "
-                    "schema/spec-evolution commits",
+                    "this catalog serves metadata-only property, "
+                    "schema/spec-evolution, and APPEND snapshot commits",
                     "CommitNotSupportedException",
                 )
         if (new_schema is None) != (set_schema_id is None):
@@ -397,6 +410,20 @@ class RestCatalogServer:
             err = self._evolve_spec(t, new_spec, set_spec_id)
             if err:
                 return h._error(400, err)
+        if (new_snapshot is None) != (set_ref is None):
+            return h._error(
+                400,
+                "snapshot commits need BOTH add-snapshot and "
+                "set-snapshot-ref in one commit",
+            )
+        if new_snapshot is not None:
+            import os
+
+            err = self._apply_snapshot_append(
+                t, new_snapshot, set_ref, os.path.join(self.mirror_dir, ns, name)
+            )
+            if err:
+                return h._error(400, err)
         sets = {k: v for k, v in pending.items() if v is not None}
         removed = [
             k
@@ -410,6 +437,122 @@ class RestCatalogServer:
             # would serve stale metadata — drop it
             self._exports.pop((ns, name), None)
         return self._load_table(h, ns, name)
+
+    def _apply_snapshot_append(
+        self, t, snapshot: dict, ref: dict, location: str
+    ) -> str | None:
+        """add-snapshot + set-snapshot-ref, APPEND shape: read the
+        client-written manifest list, extract the data files ADDED by
+        the new snapshot (manifests carried over from the parent are
+        skipped by added_snapshot_id), and commit them via metacat's
+        append — metadata-only, no second commit protocol. Everything
+        that is not a pure append refuses with nothing applied. Returns
+        an error string or None."""
+        import os
+
+        from iceberg_metadata_pipeline_spark.catalog import avro_io
+        from iceberg_metadata_pipeline_spark.catalog.iceberg_format import (
+            _identity_spec,
+        )
+        from iceberg_metadata_pipeline_spark.catalog.metacat import (
+            DataFileEntry,
+        )
+
+        if (
+            ref.get("ref-name", "main") != "main"
+            or ref.get("type", "branch") != "branch"
+        ):
+            return "set-snapshot-ref: only the main branch is served"
+        sid = snapshot.get("snapshot-id")
+        if sid is None:
+            return "add-snapshot without snapshot-id"
+        want = ref.get("snapshot-id")
+        if want is not None and int(want) not in (-1, int(sid)):
+            return (
+                "set-snapshot-ref names a different snapshot than "
+                "add-snapshot"
+            )
+        op = (snapshot.get("summary") or {}).get("operation", "append")
+        if op != "append":
+            return (
+                f"snapshot operation {op!r} refused: only append commits "
+                "are served; rewrites go through the warehouse's own "
+                "commit path"
+            )
+        mlist = snapshot.get("manifest-list")
+        if not mlist:
+            return "add-snapshot without manifest-list"
+        mlist = str(mlist).removeprefix("file:")
+        if not os.path.isabs(mlist):
+            mlist = os.path.join(location, "metadata", os.path.basename(mlist))
+        if not os.path.exists(mlist):
+            return (
+                f"manifest list {os.path.basename(mlist)} not found under "
+                "the served metadata location"
+            )
+        _, _, manifests = avro_io.read_container(mlist)
+        spec_fields = _identity_spec(t)
+
+        def _part_str(v, source_type: str):
+            import datetime as _dt
+
+            if source_type == "date" and isinstance(v, int):
+                return (_dt.date(1970, 1, 1) + _dt.timedelta(days=v)).isoformat()
+            if source_type in ("timestamp", "timestamp_ntz") and isinstance(v, int):
+                return str(
+                    _dt.datetime(1970, 1, 1) + _dt.timedelta(microseconds=v)
+                )
+            return str(v)
+
+        entries: list[DataFileEntry] = []
+        for mf in manifests:
+            added_by = mf.get("added_snapshot_id")
+            if added_by is not None and int(added_by) != int(sid):
+                continue  # carried over from the parent snapshot
+            if int(mf.get("content", 0)) != 0:
+                return "delete manifests refused: not an append"
+            mpath = str(mf["manifest_path"]).removeprefix("file:")
+            if not os.path.isabs(mpath):
+                mpath = os.path.join(
+                    location, "metadata", os.path.basename(mpath)
+                )
+            if not os.path.exists(mpath):
+                return (
+                    f"manifest {os.path.basename(mpath)} not found under "
+                    "the served metadata location"
+                )
+            _, _, recs = avro_io.read_container(mpath)
+            for e in recs:
+                status = int(e.get("status", 0))
+                if status == 2:
+                    return "DELETED manifest entries refused: not an append"
+                if status != 1:
+                    continue  # EXISTING rows re-listed from the parent
+                dfd = e["data_file"]
+                if int(dfd.get("content", 0)) != 0:
+                    return "delete files refused: not an append"
+                p = str(dfd["file_path"]).removeprefix("file:")
+                if not os.path.exists(p):
+                    return f"data file {os.path.basename(p)} not found"
+                raw = dfd.get("partition") or {}
+                part = {
+                    pf["name"]: _part_str(raw[pf["name"]], pf["source_type"])
+                    for pf in spec_fields
+                    if raw.get(pf["name"]) is not None
+                }
+                entries.append(
+                    DataFileEntry(
+                        path=p,
+                        record_count=int(dfd["record_count"]),
+                        file_size_bytes=int(dfd["file_size_in_bytes"]),
+                        format=str(dfd.get("file_format", "PARQUET")),
+                        partition=part,
+                    )
+                )
+        if not entries:
+            return "append snapshot adds no data files"
+        t.append_files(entries, dedupe=False)
+        return None
 
     def _evolve_schema(self, t, new_schema: dict) -> str | None:
         """Diff the committed schema against the CURRENT one by field ID
