@@ -178,18 +178,17 @@ def lsh_candidate_pairs(
     hot bucket is the job-killer, and its members are better handled by
     exact-dup on the banded content anyway).
 
-    ``n_hashes`` must be passed by callers that know it: the fallback probe
-    is a driver action that executes the whole upstream signature job once
-    just to read one array length."""
+    ``n_hashes`` is REQUIRED (round 9, closes the r8 trap): the old
+    fallback probed ``first()``, a driver action that executed the whole
+    upstream signature job once just to read one array length."""
     if n_hashes is not None:
         n = n_hashes
     else:
-        probe = sig_df.select(F.size("sig")).first()
-        if probe is None:  # empty corpus → no candidate pairs
-            return sig_df.sparkSession.createDataFrame(
-                [], f"id_a {dict(sig_df.dtypes)[id_col]}, id_b {dict(sig_df.dtypes)[id_col]}"
-            )
-        n = probe[0]
+        raise TypeError(
+            "lsh_candidate_pairs: pass n_hashes explicitly (the caller "
+            "knows its signature width; a driver-side probe would execute "
+            "the whole upstream signature job once just to read it)"
+        )
     rows_per_band = n // n_bands
     bands = sig_df.select(
         F.col(id_col),

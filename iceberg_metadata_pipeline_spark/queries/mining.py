@@ -56,20 +56,36 @@ JOIN part_cnt cb ON p.part_b = cb.pkey
 ORDER BY p.pair_cnt DESC, p.part_a, p.part_b
 """,
 )
-def mining_basket_pair_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+def mining_basket_pair_rules(
+    spark: SparkSession, sf_dir: str, max_basket: int = 500
+) -> DataFrame:
     """Pairwise association rules (A ⇒ B) from order baskets: support =
     co-occurrence count, confidence = support / item frequency. The
     self-join runs inside each order (shuffle on okey; work is quadratic
     in basket size only), then two broadcast-able joins attach the item
     frequencies. Confidence is one exact integer division — bit-equal to
-    the oracle without rounding."""
+    the oracle without rounding.
+
+    ``max_basket`` (round 9, mirrors LSH's ``max_bucket``): baskets with
+    more than ``max_basket`` distinct items are DROPPED before the
+    self-join — a degenerate hot basket of B items contributes B² pairs
+    and becomes a single-key straggler at retail scale, and an
+    "everything bought together" basket carries no association signal.
+    Inert at TPC-H shapes (baskets ≤ ~7), so the oracle rows are
+    unchanged; item frequencies keep counting the dropped baskets (only
+    the quadratic pair stage is guarded)."""
     li = load_tables(spark, sf_dir)["lineitem"]
     items = li.selectExpr(
         "CAST(l_orderkey AS BIGINT) AS okey", "CAST(l_partkey AS BIGINT) AS pkey"
     ).distinct()
     part_cnt = items.groupBy("pkey").agg(F.count(F.lit(1)).alias("cnt"))
-    a = items.alias("a")
-    b = items.alias("b")
+    from pyspark.sql.window import Window
+
+    guarded = items.withColumn(
+        "basket_n", F.count(F.lit(1)).over(Window.partitionBy("okey"))
+    ).filter(F.col("basket_n") <= max_basket).drop("basket_n")
+    a = guarded.alias("a")
+    b = guarded.alias("b")
     pairs = (
         a.join(
             b,
