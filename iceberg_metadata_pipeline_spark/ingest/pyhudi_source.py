@@ -751,5 +751,43 @@ ORDER BY n_regionkey
             .orderBy("n_regionkey")
         )
 
+    @query(
+        "source_pyhudi_writer_partitioned",
+        """
+SELECT n_regionkey, COUNT(*) AS n,
+  CAST(SUM(LENGTH(n_name)) AS BIGINT) AS name_chars
+FROM nation
+GROUP BY n_regionkey
+ORDER BY n_regionkey
+""",
+    )
+    def source_pyhudi_writer_partitioned(spark: SparkSession, sf_dir: str) -> DataFrame:
+        """The PARTITIONED pyhudi writer end-to-end (round 9): nation
+        writes through ``option("partitionBy", "n_regionkey")`` — write
+        tasks route rows into hive partition dirs, per-partition write
+        stats land in one commit — and a second append picks the fields
+        up from table properties. The reader reattaches partition-path
+        values, so the aggregate must match the oracle exactly."""
+        import tempfile as _tf
+
+        register(spark)
+        nation = load_tables(spark, sf_dir)["nation"]
+        dest = _tf.mkdtemp(prefix="hudi-wp-") + "/nation_p"
+        nation.where("n_regionkey < 3").write.format("pyhudi").option(
+            "partitionBy", "n_regionkey"
+        ).mode("append").save(dest)
+        nation.where("n_regionkey >= 3").write.format("pyhudi").mode(
+            "append"
+        ).save(dest)
+        back = spark.read.format("pyhudi").load(dest)
+        return (
+            back.groupBy("n_regionkey")
+            .agg(
+                F.count(F.lit(1)).alias("n"),
+                F.sum(F.length("n_name")).cast("bigint").alias("name_chars"),
+            )
+            .orderBy("n_regionkey")
+        )
+
 
 _declare_queries()

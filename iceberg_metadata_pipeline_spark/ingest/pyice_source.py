@@ -747,5 +747,47 @@ ORDER BY s_nationkey
             .orderBy("s_nationkey")
         )
 
+    @query(
+        "source_pyice_writer_partitioned",
+        """
+SELECT s_nationkey, COUNT(*) AS n,
+  CAST(SUM(CAST(s_acctbal AS DECIMAL(38,6))) AS DOUBLE) AS total_bal
+FROM supplier
+WHERE s_nationkey < 5
+GROUP BY s_nationkey
+ORDER BY s_nationkey
+""",
+    )
+    def source_pyice_writer_partitioned(spark: SparkSession, sf_dir: str) -> DataFrame:
+        """The PARTITIONED pyice writer end-to-end (round 9): supplier
+        rows under nationkey<5 write through
+        ``df.write.format("pyice").option("partitionBy","s_nationkey")``
+        — write tasks route rows per partition value, the direct
+        manifest-append commit records typed identity partition values,
+        and a second append picks the spec up from the live metadata.
+        The read back through pyice must match the oracle exactly."""
+        import tempfile as _tf
+
+        register(spark)
+        supplier = load_tables(spark, sf_dir)["supplier"]
+        dest = _tf.mkdtemp(prefix="ice-wp-") + "/supplier_p"
+        supplier.where("s_nationkey < 3").write.format("pyice").option(
+            "partitionBy", "s_nationkey"
+        ).mode("append").save(dest)
+        supplier.where("s_nationkey IN (3, 4)").write.format("pyice").mode(
+            "append"
+        ).save(dest)
+        back = spark.read.format("pyice").load(dest)
+        return (
+            back.groupBy("s_nationkey")
+            .agg(
+                F.count(F.lit(1)).alias("n"),
+                F.sum(F.col("s_acctbal").cast("decimal(38,6)"))
+                .cast("double")
+                .alias("total_bal"),
+            )
+            .orderBy("s_nationkey")
+        )
+
 
 _declare_queries()

@@ -110,4 +110,19 @@ def test_crossformat_differential(spark, tmp_path, seed):
             t = t.refresh()
             t.rewrite_data_files()
         t = t.refresh()
-        _step_check()
+        truth = _step_check()
+
+    # round-9 extension: the pyice WRITER (direct manifest-append commit)
+    # appends on top of whatever export history the fuzz produced — the
+    # mirror must show exactly truth + the appended rows, proving the
+    # direct commit stacks with arbitrary exporter-written metadata
+    from iceberg_metadata_pipeline_spark.ingest.pyice_source import register
+
+    register(spark)
+    extra = [(900000 + seed, "w", 1.25), (900001 + seed, None, None)]
+    spark.createDataFrame(extra, SCHEMA).write.format("pyice").mode(
+        "append"
+    ).save(ice_dest)
+    assert _iceberg_rows(ice_dest) == sorted(truth + extra), (
+        "pyice writer append diverged from exporter history"
+    )
