@@ -339,9 +339,9 @@ class PyDeltaStreamReader(DataSourceStreamReader, _DeltaReadMixin):
 
 @dataclass
 class DeltaWriteCommit(WriterCommitMessage):
-    tmp_path: str
-    rows: int
-    size: int
+    # [(tmp_path, rows, size, partition_values_json)] — one entry per
+    # (task, partition value); '{}' when unpartitioned
+    files: tuple = ()
 
 
 class PyDeltaBatchWriter(DataSourceWriter):
@@ -353,12 +353,33 @@ class PyDeltaBatchWriter(DataSourceWriter):
     previous live set for overwrite mode) after. A crashed or
     speculative task leaves at most an unreferenced tmp file, never a
     visible row — exactly the atomicity the log gives real Delta
-    writers."""
+    writers.
+
+    Partitioned tables (round 9): write tasks route rows by partition
+    tuple and — per the Delta spec — EXCLUDE partition columns from the
+    data files; values travel only in each add's ``partitionValues``.
+    New tables partition via ``option("partitionBy", "c1,c2")``;
+    existing tables' partition columns come from the log (the old
+    writer silently appended empty partitionValues to a partitioned
+    table, nulling those rows' partition columns on read)."""
 
     def __init__(self, schema: T.StructType, options, overwrite: bool):
         self.dest = _local(options["path"])
         self.overwrite = overwrite
         self.schema = schema
+        if latest_version(self.dest) >= 0:
+            self.part_cols = read_delta_table(self.dest).partition_columns
+        else:
+            raw = options.get("partitionBy", "") or ""
+            self.part_cols = [c.strip() for c in raw.split(",") if c.strip()]
+            missing = [
+                c for c in self.part_cols if c not in schema.fieldNames()
+            ]
+            if missing:
+                raise ValueError(
+                    f"pydelta writer: partitionBy columns {missing} not in "
+                    "schema"
+                )
         os.makedirs(self.dest, exist_ok=True)
 
     def write(self, iterator):
@@ -387,18 +408,41 @@ class PyDeltaBatchWriter(DataSourceWriter):
                 )
             fields.append(pa.field(f.name, pa_types[s]))
         names = [f.name for f in self.schema.fields]
-        rows = [tuple(r) for r in iterator]
-        if not rows:
-            # empty task partition: writing a 0-row file per task would
-            # bloat the table's file count (32 files for a 1-row commit
-            # on local[32]); the log only needs files that hold rows
-            return DeltaWriteCommit(tmp_path="", rows=0, size=0)
-        cols = {n: [r[i] for r in rows] for i, n in enumerate(names)}
-        tmp = os.path.join(self.dest, f"_tmp-{_uuid.uuid4().hex}.parquet")
-        pq.write_table(pa.table(cols, schema=pa.schema(fields)), tmp)
-        return DeltaWriteCommit(
-            tmp_path=tmp, rows=len(rows), size=os.path.getsize(tmp)
-        )
+        part_idx = {c: names.index(c) for c in self.part_cols}
+        # spec: partition columns live in partitionValues, NOT the file
+        data_fields = [f for f in fields if f.name not in part_idx]
+        data_names = [n for n in names if n not in part_idx]
+
+        def _pv(v):
+            if v is None:
+                return None
+            if isinstance(v, bool):
+                return "true" if v else "false"
+            return str(v)
+
+        groups: dict[tuple, list[tuple]] = {}
+        for r in iterator:
+            row = tuple(r)
+            groups.setdefault(
+                tuple(row[part_idx[c]] for c in self.part_cols), []
+            ).append(row)
+        # empty task partition: writing a 0-row file per task would
+        # bloat the table's file count (32 files for a 1-row commit
+        # on local[32]); the log only needs files that hold rows
+        out = []
+        for pv, rows in groups.items():
+            cols = {
+                n: [r[names.index(n)] for r in rows] for n in data_names
+            }
+            tmp = os.path.join(self.dest, f"_tmp-{_uuid.uuid4().hex}.parquet")
+            pq.write_table(
+                pa.table(cols, schema=pa.schema(data_fields)), tmp
+            )
+            pvals = json.dumps(
+                {c: _pv(v) for c, v in zip(self.part_cols, pv)}
+            )
+            out.append((tmp, len(rows), os.path.getsize(tmp), pvals))
+        return DeltaWriteCommit(files=tuple(out))
 
     def commit(self, messages):
         import time as _time
@@ -433,7 +477,7 @@ class PyDeltaBatchWriter(DataSourceWriter):
                         "id": str(_uuid.uuid4()),
                         "format": {"provider": "parquet", "options": {}},
                         "schemaString": json.dumps(self.schema.jsonValue()),
-                        "partitionColumns": [],
+                        "partitionColumns": list(self.part_cols),
                         "configuration": {},
                         "createdTime": now,
                     }
@@ -444,30 +488,41 @@ class PyDeltaBatchWriter(DataSourceWriter):
                 {"remove": {"path": p, "deletionTimestamp": now, "dataChange": True}}
                 for p in read_delta_table(self.dest).files
             )
-        for m in sorted(messages, key=lambda m: m.tmp_path):
-            if not m.tmp_path:
-                continue  # empty task partition — nothing written
-            name = f"part-{_uuid.uuid4().hex}.parquet"
-            os.rename(m.tmp_path, os.path.join(self.dest, name))
-            actions.append(
-                {
-                    "add": {
-                        "path": name,  # relative, per spec's normal layout
-                        "partitionValues": {},
-                        "size": m.size,
-                        "modificationTime": now,
-                        "dataChange": True,
-                        "stats": json.dumps({"numRecords": m.rows}),
-                    }
-                }
-            )
+        actions.extend(self._adds(messages, now, lambda: f"part-{_uuid.uuid4().hex}.parquet"))
         actions.append({"commitInfo": {"timestamp": now, "operation": "WRITE"}})
         write_commit(self.dest, actions)
 
+    def _adds(self, messages, now: int, name_fn) -> list[dict]:
+        """Rename every task's tmp files into place and return the add
+        actions — partitionValues from each file's routed tuple."""
+        out = []
+        flat = []
+        for m in messages:
+            if m is None:
+                continue
+            flat.extend(getattr(m, "files", ()) or ())
+        for tmp, rows, size, pvals in sorted(flat):
+            name = name_fn()
+            os.rename(tmp, os.path.join(self.dest, name))
+            out.append(
+                {
+                    "add": {
+                        "path": name,  # relative, per spec's normal layout
+                        "partitionValues": json.loads(pvals),
+                        "size": size,
+                        "modificationTime": now,
+                        "dataChange": True,
+                        "stats": json.dumps({"numRecords": rows}),
+                    }
+                }
+            )
+        return out
+
     def abort(self, messages):
         for m in messages:
-            if m is not None and os.path.exists(m.tmp_path):
-                os.remove(m.tmp_path)
+            for tmp, *_rest in getattr(m, "files", ()) or ():
+                if os.path.exists(tmp):
+                    os.remove(tmp)
 
 
 class PyDeltaStreamWriter(PyDeltaBatchWriter, DataSourceStreamWriter):
@@ -513,39 +568,27 @@ class PyDeltaStreamWriter(PyDeltaBatchWriter, DataSourceStreamWriter):
                         "id": str(_uuid.uuid4()),
                         "format": {"provider": "parquet", "options": {}},
                         "schemaString": json.dumps(self.schema.jsonValue()),
-                        "partitionColumns": [],
+                        "partitionColumns": list(self.part_cols),
                         "configuration": {},
                         "createdTime": now,
                     }
                 }
             )
         actions.append({"txn": {"appId": self.app_id, "version": int(batchId)}})
-        for m in sorted(messages, key=lambda m: m.tmp_path):
-            if not m.tmp_path:
-                continue  # empty task partition — nothing written
-            name = f"part-{int(batchId):08d}-{_uuid.uuid4().hex[:8]}.parquet"
-            os.rename(m.tmp_path, os.path.join(self.dest, name))
-            actions.append(
-                {
-                    "add": {
-                        "path": name,
-                        "partitionValues": {},
-                        "size": m.size,
-                        "modificationTime": now,
-                        "dataChange": True,
-                        "stats": json.dumps({"numRecords": m.rows}),
-                    }
-                }
+        actions.extend(
+            self._adds(
+                messages,
+                now,
+                lambda: f"part-{int(batchId):08d}-{_uuid.uuid4().hex[:8]}.parquet",
             )
+        )
         actions.append(
             {"commitInfo": {"timestamp": now, "operation": "STREAMING UPDATE"}}
         )
         write_commit(self.dest, actions)
 
     def abort(self, messages, batchId: int) -> None:  # noqa: N803
-        for m in messages:
-            if m is not None and os.path.exists(m.tmp_path):
-                os.remove(m.tmp_path)
+        PyDeltaBatchWriter.abort(self, messages)
 
 
 class PyDeltaDataSource(DataSource):
@@ -631,6 +674,47 @@ ORDER BY n_regionkey
                 F.min("n_name").alias("first_name"),
             )
             .orderBy("n_regionkey")
+        )
+
+    @query(
+        "source_pydelta_writer_partitioned",
+        """
+SELECT c_mktsegment, COUNT(*) AS n,
+  CAST(SUM(CAST(c_acctbal AS DECIMAL(38,6))) AS DOUBLE) AS total_bal
+FROM customer
+GROUP BY c_mktsegment
+ORDER BY c_mktsegment
+""",
+    )
+    def source_pydelta_writer_partitioned(spark: SparkSession, sf_dir: str) -> DataFrame:
+        """The PARTITIONED pydelta writer end-to-end (round 9): customer
+        writes through ``option("partitionBy", "c_mktsegment")`` — write
+        tasks route rows per segment and, per the Delta spec, EXCLUDE
+        the partition column from the data files (values travel in each
+        add's partitionValues); a second append picks the partitioning
+        up from the log. The pydelta reader reattaches the values, so
+        the aggregate must match the oracle exactly."""
+        import tempfile as _tf
+
+        register(spark)
+        customer = load_tables(spark, sf_dir)["customer"]
+        dest = _tf.mkdtemp(prefix="delta-wp-") + "/customer_p"
+        customer.where("c_mktsegment <> 'BUILDING'").write.format(
+            "pydelta"
+        ).option("partitionBy", "c_mktsegment").mode("append").save(dest)
+        customer.where("c_mktsegment = 'BUILDING'").write.format(
+            "pydelta"
+        ).mode("append").save(dest)
+        back = spark.read.format("pydelta").load(dest)
+        return (
+            back.groupBy("c_mktsegment")
+            .agg(
+                F.count(F.lit(1)).alias("n"),
+                F.sum(F.col("c_acctbal").cast("decimal(38,6)"))
+                .cast("double")
+                .alias("total_bal"),
+            )
+            .orderBy("c_mktsegment")
         )
 
 

@@ -215,12 +215,13 @@ def test_stream_writer_exactly_once(spark, tmp_path):
         {"path": dest},
         False,
     )
-    fake = types.SimpleNamespace(tmp_path=str(tmp_path / "ghost.parquet"), rows=99, size=1)
-    open(fake.tmp_path, "wb").write(b"x")
+    ghost = str(tmp_path / "ghost.parquet")
+    open(ghost, "wb").write(b"x")
+    fake = types.SimpleNamespace(files=((ghost, 99, 1, "{}"),))
     w.commit([fake], batchId=0)  # duplicate epoch → dropped
     state2 = read_delta_table(dest)
     assert len(state2.files) == len(state.files)
-    assert not os.path.exists(fake.tmp_path)  # replayed tmp cleaned up
+    assert not os.path.exists(ghost)  # replayed tmp cleaned up
     # a NEW epoch commits normally (the watermark advances)
     sub = spark.createDataFrame([(7,)], "id long")
     d2 = str(tmp_path / "one")
@@ -231,7 +232,7 @@ def test_stream_writer_exactly_once(spark, tmp_path):
     tmp2 = str(tmp_path / "epoch1.parquet")
     shutil.copy(f2, tmp2)
     w.commit(
-        [types.SimpleNamespace(tmp_path=tmp2, rows=1, size=os.path.getsize(tmp2))],
+        [types.SimpleNamespace(files=((tmp2, 1, os.path.getsize(tmp2), "{}"),))],
         batchId=1,
     )
     state3 = read_delta_table(dest)
@@ -309,3 +310,58 @@ def test_add_column_projects_null_for_old_files(spark, tmp_path):
         (r.id, r.tag) for r in spark.read.format("pydelta").load(dest).collect()
     )
     assert got == [(i, None) for i in range(5)]
+
+
+def test_batch_writer_partitioned(spark, tmp_path):
+    """Round 9: partitioned pydelta writes. Data files EXCLUDE the
+    partition column (spec: values live only in partitionValues); the
+    reader reattaches them; appends to an existing partitioned table
+    route by the log's partitionColumns (the old writer silently
+    appended empty partitionValues — those rows' partition columns read
+    back null); overwrite replaces all partitions; null partition
+    values round-trip as JSON null."""
+    import pyarrow.parquet as pq
+
+    from iceberg_metadata_pipeline_spark.catalog.delta_format import (
+        read_delta_table,
+    )
+
+    register(spark)
+    dest = str(tmp_path / "delta_p")
+    df = spark.range(12).selectExpr(
+        "id",
+        "CASE WHEN id % 3 = 2 THEN NULL ELSE concat('s', id % 3) END AS seg",
+    )
+    df.write.format("pydelta").option("partitionBy", "seg").mode(
+        "append"
+    ).save(dest)
+    # the regression: append WITHOUT the option to the partitioned table
+    spark.createDataFrame([(100, "zz")], "id long, seg string").write.format(
+        "pydelta"
+    ).mode("append").save(dest)
+
+    got = sorted(
+        (r.id, r.seg) for r in spark.read.format("pydelta").load(dest).collect()
+    )
+    exp = sorted(
+        [(i, None if i % 3 == 2 else f"s{i % 3}") for i in range(12)]
+        + [(100, "zz")]
+    )
+    assert got == exp
+    state = read_delta_table(dest)
+    assert state.partition_columns == ["seg"]
+    segs = set()
+    for p, a in state.files.items():
+        fp = p if os.path.isabs(p) else os.path.join(dest, p)
+        tb = pq.read_table(fp)
+        assert "seg" not in tb.column_names  # spec: not in the data file
+        segs.add((a.get("partitionValues") or {}).get("seg"))
+    assert segs == {"s0", "s1", None, "zz"}
+    # overwrite replaces every partition atomically
+    spark.createDataFrame([(7, "s0")], "id long, seg string").write.format(
+        "pydelta"
+    ).mode("overwrite").save(dest)
+    assert sorted(
+        (r.id, r.seg)
+        for r in spark.read.format("pydelta").load(dest).collect()
+    ) == [(7, "s0")]
