@@ -368,7 +368,16 @@ class PyDeltaBatchWriter(DataSourceWriter):
         self.overwrite = overwrite
         self.schema = schema
         if latest_version(self.dest) >= 0:
-            self.part_cols = read_delta_table(self.dest).partition_columns
+            state = read_delta_table(self.dest)
+            if [(f.name, f.dataType) for f in state.schema.fields] != [
+                (f.name, f.dataType) for f in schema.fields
+            ]:
+                raise ValueError(
+                    "pydelta writer: dataframe schema does not match the "
+                    f"table ({state.schema.simpleString()}) — evolve the "
+                    "table first or align the dataframe"
+                )
+            self.part_cols = state.partition_columns
         else:
             raw = options.get("partitionBy", "") or ""
             self.part_cols = [c.strip() for c in raw.split(",") if c.strip()]
@@ -390,23 +399,11 @@ class PyDeltaBatchWriter(DataSourceWriter):
 
         # explicit arrow schema: inference would type an all-null task
         # partition's column as null and break the table schema
-        pa_types = {
-            "bigint": pa.int64(), "long": pa.int64(), "int": pa.int32(),
-            "smallint": pa.int16(), "tinyint": pa.int8(),
-            "double": pa.float64(), "float": pa.float32(),
-            "string": pa.string(), "boolean": pa.bool_(),
-            "date": pa.date32(), "binary": pa.binary(),
-            "timestamp": pa.timestamp("us"), "timestamp_ntz": pa.timestamp("us"),
-        }
-        fields = []
-        for f in self.schema.fields:
-            s = f.dataType.simpleString()
-            if s not in pa_types:
-                raise NotImplementedError(
-                    f"pydelta writer: no arrow mapping for column "
-                    f"{f.name}: {s} (flatten/cast upstream)"
-                )
-            fields.append(pa.field(f.name, pa_types[s]))
+        from iceberg_metadata_pipeline_spark.ingest.arrow_types import (
+            arrow_fields,
+        )
+
+        fields = arrow_fields(self.schema, writer="pydelta writer")
         names = [f.name for f in self.schema.fields]
         part_idx = {c: names.index(c) for c in self.part_cols}
         # spec: partition columns live in partitionValues, NOT the file

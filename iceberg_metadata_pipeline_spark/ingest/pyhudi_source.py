@@ -421,6 +421,18 @@ class PyHudiBatchWriter(DataSourceWriter):
                 for c in props.get("hoodie.table.partition.fields", "").split(",")
                 if c
             ]
+            # schema check against the table's committed schema (the
+            # writer stamps it in every commit's extraMetadata; exported
+            # tables carry it too) — mixed-schema appends refuse early
+            committed = self._committed_schema()
+            if committed is not None and [
+                (f.name, f.dataType) for f in committed.fields
+            ] != [(f.name, f.dataType) for f in schema.fields]:
+                raise ValueError(
+                    "pyhudi writer: dataframe schema does not match the "
+                    f"table ({committed.simpleString()}) — evolve the "
+                    "table first or align the dataframe"
+                )
         else:
             raw = options.get("partitionBy", "") or ""
             self.part_fields = [c.strip() for c in raw.split(",") if c.strip()]
@@ -434,29 +446,36 @@ class PyHudiBatchWriter(DataSourceWriter):
         self._exists = props is not None
         os.makedirs(self.dest, exist_ok=True)
 
+    def _committed_schema(self) -> T.StructType | None:
+        """The newest committed schema: the last completed instant whose
+        extraMetadata carries one (our writer and the MOR verbs stamp
+        it). None when no instant declares a schema (e.g. bootstrap
+        exports) — then the footer-derived read schema is authoritative
+        and the check is skipped."""
+        from iceberg_metadata_pipeline_spark.catalog.hudi_format import (
+            read_instant_metadata,
+        )
+
+        for ins in reversed(completed_instants(self.dest)):
+            raw = (
+                (read_instant_metadata(self.dest, ins) or {})
+                .get("extraMetadata") or {}
+            ).get("schema")
+            if raw:
+                return T.StructType.fromJson(json.loads(raw))
+        return None
+
     def write(self, iterator):
         import uuid as _uuid
 
         import pyarrow as pa
         import pyarrow.parquet as pq
 
-        pa_types = {
-            "bigint": pa.int64(), "long": pa.int64(), "int": pa.int32(),
-            "smallint": pa.int16(), "tinyint": pa.int8(),
-            "double": pa.float64(), "float": pa.float32(),
-            "string": pa.string(), "boolean": pa.bool_(),
-            "date": pa.date32(), "binary": pa.binary(),
-            "timestamp": pa.timestamp("us"), "timestamp_ntz": pa.timestamp("us"),
-        }
-        fields = []
-        for f in self.schema.fields:
-            s = f.dataType.simpleString()
-            if s not in pa_types:
-                raise NotImplementedError(
-                    f"pyhudi writer: no arrow mapping for column "
-                    f"{f.name}: {s} (flatten/cast upstream)"
-                )
-            fields.append(pa.field(f.name, pa_types[s]))
+        from iceberg_metadata_pipeline_spark.ingest.arrow_types import (
+            arrow_fields,
+        )
+
+        fields = arrow_fields(self.schema, writer="pyhudi writer")
         from iceberg_metadata_pipeline_spark.catalog.hudi_format import (
             _hive_partition_path,
         )

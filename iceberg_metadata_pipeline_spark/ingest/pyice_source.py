@@ -472,23 +472,11 @@ class PyIceBatchWriter(DataSourceWriter):
         import pyarrow as pa
         import pyarrow.parquet as pq
 
-        pa_types = {
-            "bigint": pa.int64(), "long": pa.int64(), "int": pa.int32(),
-            "smallint": pa.int16(), "tinyint": pa.int8(),
-            "double": pa.float64(), "float": pa.float32(),
-            "string": pa.string(), "boolean": pa.bool_(),
-            "date": pa.date32(), "binary": pa.binary(),
-            "timestamp": pa.timestamp("us"), "timestamp_ntz": pa.timestamp("us"),
-        }
-        fields = []
-        for f in self.schema.fields:
-            s = f.dataType.simpleString()
-            if s not in pa_types:
-                raise NotImplementedError(
-                    f"pyice writer: no arrow mapping for column "
-                    f"{f.name}: {s} (flatten/cast upstream)"
-                )
-            fields.append(pa.field(f.name, pa_types[s]))
+        from iceberg_metadata_pipeline_spark.ingest.arrow_types import (
+            arrow_fields,
+        )
+
+        fields = arrow_fields(self.schema, writer="pyice writer")
         names = [f.name for f in self.schema.fields]
         part_idx = [names.index(c) for c in self.part_cols]
         groups: dict[tuple, list[tuple]] = {}

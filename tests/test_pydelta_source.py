@@ -365,3 +365,24 @@ def test_batch_writer_partitioned(spark, tmp_path):
         (r.id, r.seg)
         for r in spark.read.format("pydelta").load(dest).collect()
     ) == [(7, "s0")]
+
+
+def test_writer_decimal_array_and_schema_check(spark, tmp_path):
+    """Round 9: the shared arrow mapping serves decimal(p,s) and arrays
+    of primitives through the writer, and appending a mismatched
+    dataframe schema to an existing table refuses (the old writer
+    silently committed mixed-schema files)."""
+    register(spark)
+    dest = str(tmp_path / "delta_dec")
+    df = spark.createDataFrame(
+        [(1, __import__("decimal").Decimal("12.34"), [1, 2, 3])],
+        "id long, amount decimal(10,2), xs array<bigint>",
+    )
+    df.write.format("pydelta").mode("append").save(dest)
+    got = spark.read.format("pydelta").load(dest).collect()
+    assert got[0].amount == __import__("decimal").Decimal("12.34")
+    assert list(got[0].xs) == [1, 2, 3]
+    with pytest.raises(Exception, match="schema"):
+        spark.range(1).selectExpr("id", "'x' AS extra").write.format(
+            "pydelta"
+        ).mode("append").save(dest)
