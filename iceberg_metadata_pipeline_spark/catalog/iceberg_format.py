@@ -658,14 +658,9 @@ def export_iceberg_table(table: Table, dest: str, format_version: int = 2) -> st
     return meta_path
 
 
-def _write_metadata_version(location: str, metadata: dict) -> str:
-    """Claim the next vN.metadata.json at ``location`` atomically
-    (tmp + rename) and point version-hint at it — HadoopTableOperations
-    naming, shared by export and the direct-commit path."""
-    meta_dir = os.path.join(location, "metadata")
-    os.makedirs(meta_dir, exist_ok=True)
-    existing = glob.glob(os.path.join(meta_dir, "v*.metadata.json"))
-    next_v = 1 + max(
+def _next_metadata_version(location: str) -> int:
+    existing = glob.glob(os.path.join(location, "metadata", "v*.metadata.json"))
+    return 1 + max(
         (
             int(m.group(1))
             for p in existing
@@ -673,17 +668,54 @@ def _write_metadata_version(location: str, metadata: dict) -> str:
         ),
         default=0,
     )
-    meta_path = os.path.join(meta_dir, f"v{next_v}.metadata.json")
-    with open(meta_path + ".tmp", "w") as fh:
+
+
+def _claim_metadata_version(
+    location: str, metadata: dict, version: int
+) -> str | None:
+    """ATOMICALLY claim v<version>.metadata.json — ``os.link`` fails
+    with FileExistsError if another writer got there first, which is
+    exactly HadoopTableOperations' rename-without-replace commit claim.
+    Returns the path, or None on conflict (caller rebuilds + retries)."""
+    meta_dir = os.path.join(location, "metadata")
+    os.makedirs(meta_dir, exist_ok=True)
+    meta_path = os.path.join(meta_dir, f"v{version}.metadata.json")
+    tmp = meta_path + f".tmp-{uuid.uuid4().hex}"
+    with open(tmp, "w") as fh:
         json.dump(metadata, fh, indent=2)
-    os.replace(meta_path + ".tmp", meta_path)
-    with open(os.path.join(meta_dir, "version-hint.text.tmp"), "w") as fh:
-        fh.write(str(next_v))
-    os.replace(
-        os.path.join(meta_dir, "version-hint.text.tmp"),
-        os.path.join(meta_dir, "version-hint.text"),
-    )
+    try:
+        os.link(tmp, meta_path)
+    except FileExistsError:
+        os.unlink(tmp)
+        return None
+    os.unlink(tmp)
+    # the hint is best-effort and must only ADVANCE: a slower claimant
+    # overwriting a newer hint would point readers (and a committer's
+    # retry) at a stale-but-existing version
+    hint = os.path.join(meta_dir, "version-hint.text")
+    try:
+        with open(hint) as fh:
+            cur = int(fh.read().strip())
+    except (OSError, ValueError):
+        cur = -1
+    if version > cur:
+        tmp_h = f"{hint}.tmp-{version}"
+        with open(tmp_h, "w") as fh:
+            fh.write(str(version))
+        os.replace(tmp_h, hint)
     return meta_path
+
+
+def _write_metadata_version(location: str, metadata: dict) -> str:
+    """Claim the next vN.metadata.json at ``location`` — shared by
+    export and table creation (single-writer paths; the direct commit
+    uses the claim + rebuild-retry loop in commit_iceberg_append)."""
+    while True:
+        p = _claim_metadata_version(
+            location, metadata, _next_metadata_version(location)
+        )
+        if p is not None:
+            return p
 
 
 def create_iceberg_table_dir(
@@ -788,8 +820,49 @@ def commit_iceberg_append(
     reference relies on, re-expressed jar-free).
 
     v3 tables mint row lineage: explicit ``first_row_id`` per new file
-    from the table's ``next-row-id``. Returns the new metadata path."""
-    meta_path = _latest_metadata_path(location)
+    from the table's ``next-row-id``. Returns the new metadata path.
+
+    CONCURRENT writers (round 9): the new metadata version is claimed
+    ATOMICALLY (os.link fails if another commit took the slot); on
+    conflict the whole commit REBUILDS against the new latest metadata
+    and retries — optimistic concurrency, appends never lose each
+    other. Orphaned manifests from lost races are unreferenced and
+    reclaimed by expire."""
+    for _attempt in range(8):
+        p = _try_commit_iceberg_append(
+            location, files, overwrite=overwrite,
+            extra_properties=extra_properties,
+        )
+        if p is not None:
+            return p
+    raise RuntimeError(
+        f"commit conflict at {location} persisted through 8 rebuild "
+        "retries — writer storm?"
+    )
+
+
+def _try_commit_iceberg_append(
+    location: str,
+    files: list[DataFileEntry],
+    *,
+    overwrite: bool = False,
+    extra_properties: dict | None = None,
+) -> str | None:
+    """One build+claim attempt of commit_iceberg_append. None = another
+    writer claimed the version first (caller rebuilds on fresh state).
+
+    The commit BASE comes from the directory LISTING, not the
+    version-hint: mid-race the hint can lag (it is best-effort), and a
+    hinted-but-stale version exists on disk, so trusting it would make
+    every retry rebuild on the same stale base."""
+    base_version = _next_metadata_version(location) - 1
+    meta_path = os.path.join(
+        location, "metadata", f"v{base_version}.metadata.json"
+    )
+    if base_version == 0 or not os.path.exists(meta_path):
+        # metastore-style names (00000-<uuid>.metadata.json): no vN files
+        meta_path = _latest_metadata_path(location)
+        base_version = None
     with open(meta_path) as fh:
         md = json.load(fh)
     fv = md.get("format-version")
@@ -960,7 +1033,13 @@ def commit_iceberg_append(
         new_md["properties"] = props
     if fv >= 3:
         new_md["next-row-id"] = next_row
-    return _write_metadata_version(location, new_md)
+    # atomic claim of the version RIGHT AFTER the base we read — if a
+    # concurrent commit claimed it, rebuild on the new latest (None)
+    claim_v = (
+        base_version + 1 if base_version is not None
+        else _next_metadata_version(location)
+    )
+    return _claim_metadata_version(location, new_md, claim_v)
 
 
 def _metadata_reachable_paths(meta_path: str) -> set[str]:
