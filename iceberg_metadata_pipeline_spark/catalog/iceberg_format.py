@@ -446,6 +446,18 @@ def export_iceberg_table(table: Table, dest: str, format_version: int = 2) -> st
         files = table.snapshot_files(snap["snapshot_id"])
         snapshot_id = int(snap["snapshot_id"])
 
+    # O(churn) fast path (round 9): when dest already mirrors this table
+    # and the change since the last export is a PURE APPEND with the
+    # same schema/spec/properties, commit only the new files through
+    # commit_iceberg_append (one new manifest; prior manifests
+    # re-referenced) instead of rewriting the full state — the shape
+    # that makes the REST catalog's per-loadTable re-export O(new files)
+    # on append-only tables.
+    if format_version == 2 and files:
+        inc = _try_incremental_export(table, dest, files)
+        if inc is not None:
+            return inc
+
     meta_dir = os.path.join(dest, "metadata")
     os.makedirs(meta_dir, exist_ok=True)
     now_ms = int(time.time() * 1000)
@@ -704,6 +716,60 @@ def _claim_metadata_version(
             fh.write(str(version))
         os.replace(tmp_h, hint)
     return meta_path
+
+
+def _try_incremental_export(table: Table, dest: str, files) -> str | None:
+    """Append-only incremental export: returns the new metadata path
+    when it applied, None when the full export must run (first export,
+    non-append change, schema/spec/property drift, v3, or anything else
+    this fast path cannot prove safe)."""
+    if not os.path.isdir(os.path.join(dest, "metadata")):
+        return None
+    try:
+        info = read_iceberg_table(dest, decode_dvs=False)
+    except (OSError, ValueError, KeyError, json.JSONDecodeError):
+        return None
+    md = info.metadata
+    if md.get("format-version") != 2 or info.delete_files:
+        return None
+    if md.get("table-uuid") != table.meta.get("table_uuid"):
+        return None
+    # schema / spec / properties must be unchanged (renames, promotes,
+    # spec evolution, property removal all take the full path)
+    ice_schema, _ = spark_schema_to_iceberg(table.schema)
+    cur_id = md.get("current-schema-id", 0)
+    served = next(
+        (s for s in md.get("schemas", []) if s.get("schema-id", 0) == cur_id),
+        None,
+    )
+    if served != ice_schema:
+        return None
+    spec_fields = _identity_spec(table)
+    try:
+        dest_spec = _spec_identity_fields(md)
+    except ValueError:
+        return None
+    if [(p["name"], p["source"]) for p in dest_spec] != [
+        (p["name"], p["source"]) for p in spec_fields
+    ]:
+        return None
+    want_props = {
+        str(k): str(v) for k, v in table.meta.get("properties", {}).items()
+    }
+    have_props = md.get("properties", {})
+    if any(k not in want_props for k in have_props):
+        return None  # property REMOVAL is inexpressible as an append
+    changed = {k: v for k, v in want_props.items() if have_props.get(k) != v}
+    prior = {os.path.abspath(f.path) for f in info.files}
+    cur = {os.path.abspath(f.path): f for f in files}
+    if not prior.issubset(set(cur)):
+        return None  # files vanished/rewritten: not an append
+    new = [f for p, f in sorted(cur.items()) if p not in prior]
+    if not new and not changed:
+        return info.metadata_path  # nothing moved since the last export
+    return commit_iceberg_append(
+        dest, new, extra_properties=changed or None
+    )
 
 
 def _write_metadata_version(location: str, metadata: dict) -> str:

@@ -346,11 +346,17 @@ def test_export_empty_table(spark, tmp_path):
 
 
 def test_export_versions_monotonically(metacat_table, tmp_path):
-    _, t = metacat_table
+    """Round 9: an UNCHANGED re-export is a no-op (same metadata path —
+    the incremental fast path proves nothing moved); a real change
+    claims the next version."""
+    catalog, t = metacat_table
     dest = str(tmp_path / "ice_vers")
     p1 = export_iceberg_table(t, dest)
     p2 = export_iceberg_table(t, dest)
-    assert p1.endswith("v1.metadata.json") and p2.endswith("v2.metadata.json")
+    assert p1.endswith("v1.metadata.json") and p2 == p1
+    t.set_properties({"touched": "1"})
+    p3 = export_iceberg_table(t.refresh(), dest)
+    assert p3.endswith("v2.metadata.json")
     with open(os.path.join(dest, "metadata", "version-hint.text")) as fh:
         assert fh.read().strip() == "2"
 
@@ -898,9 +904,12 @@ def test_expire_metadata_versions(spark, tmp_path):
     victims = expire_iceberg_metadata(dest, keep_last=1)
     assert sorted(victims) == sorted(preview)
     assert len(_glob.glob(os.path.join(meta_dir, "v*.metadata.json"))) == 1
-    # v3's manifest list + manifest survive; older ones are gone
+    # r9 semantics: v2/v3 were INCREMENTAL commits, so v3's metadata
+    # carries the full snapshot HISTORY — every older manifest list is
+    # still reachable (time travel within one metadata file) and must
+    # survive the expire
     n_avro_after = len(_glob.glob(os.path.join(meta_dir, "*.avro")))
-    assert n_avro_after == 2 and n_avro_before == 6
+    assert n_avro_after == n_avro_before == 6
     # external (fixture/warehouse) data files untouched, current read fine
     info = read_iceberg_table(dest)
     assert all(os.path.exists(f.path) for f in info.files)
@@ -909,3 +918,62 @@ def test_expire_metadata_versions(spark, tmp_path):
     assert expire_iceberg_metadata(dest, keep_last=1) == []
     with pytest.raises(ValueError, match="keep_last"):
         expire_iceberg_metadata(dest, keep_last=0)
+    # a NON-append change takes the full-rewrite path: its metadata
+    # holds ONE fresh snapshot, so after the next expire the older
+    # manifest lists finally become unreachable and are reclaimed
+    t.delete_where("id >= 200")
+    export_iceberg_table(t.refresh(), dest)
+    expire_iceberg_metadata(dest, keep_last=1)
+    assert len(_glob.glob(os.path.join(meta_dir, "*.avro"))) == 2
+    info = read_iceberg_table(dest)
+    assert sum(f.record_count for f in info.files) == 11
+
+
+def test_incremental_export_appends_only_new_manifest(spark, tmp_path):
+    """Round 9: re-exporting after a pure APPEND commits O(churn) — one
+    new manifest holding only the new files, prior manifests
+    re-referenced — while renames/deletes/property-removals fall back
+    to the full rewrite."""
+    from iceberg_metadata_pipeline_spark.catalog import avro_io
+    from iceberg_metadata_pipeline_spark.catalog.iceberg_format import (
+        export_iceberg_table,
+        read_iceberg_table,
+    )
+    from iceberg_metadata_pipeline_spark.catalog.metacat import Catalog
+
+    catalog = Catalog(spark, str(tmp_path / "wh"))
+    st = T.StructType([T.StructField("id", T.LongType(), False)])
+    t = catalog.create_table("nyc", "inc", st).refresh()
+    t.append_dataframe(spark.range(5).coalesce(1))
+    dest = str(tmp_path / "ice-inc")
+    export_iceberg_table(t.refresh(), dest)
+    info1 = read_iceberg_table(dest)
+    n1 = len(info1.files)
+
+    # pure append → incremental: manifest list grows by ONE entry and
+    # the new manifest holds ONLY the new files
+    t = t.refresh()
+    t.append_dataframe(spark.range(5, 8).coalesce(1))
+    export_iceberg_table(t.refresh(), dest)
+    info2 = read_iceberg_table(dest)
+    snap = next(
+        s for s in info2.metadata["snapshots"]
+        if int(s["snapshot-id"]) == info2.snapshot_id
+    )
+    _, _, manifests = avro_io.read_container(snap["manifest-list"])
+    assert len(manifests) == 2  # new + carried, not a rewritten single
+    new_mf = max(manifests, key=lambda m: int(m["sequence_number"]))
+    assert int(new_mf["added_files_count"]) == len(info2.files) - n1
+    assert sum(f.record_count for f in info2.files) == 8
+
+    # idempotent: nothing moved → same metadata path, no new version
+    p_again = export_iceberg_table(t.refresh(), dest)
+    assert p_again == info2.metadata_path
+
+    # a DELETE (non-append) falls back to the full rewrite and rows stay
+    # correct
+    t = t.refresh()
+    t.delete_where("id >= 6")
+    export_iceberg_table(t.refresh(), dest)
+    info3 = read_iceberg_table(dest)
+    assert sum(f.record_count for f in info3.files) == 6
