@@ -378,6 +378,26 @@ class PyDeltaBatchWriter(DataSourceWriter):
                     "table first or align the dataframe"
                 )
             self.part_cols = state.partition_columns
+            # COLUMN-MAPPED ('name' mode) tables are served (round 9):
+            # data files write under PHYSICAL names and partitionValues
+            # key by physical name — exactly what the read paths map
+            # back. Nested mapping still refuses ('id' mode refuses
+            # inside physical_names itself).
+            from iceberg_metadata_pipeline_spark.catalog.delta_format import (
+                _has_nested_mapping,
+                column_mapping_mode,
+                physical_names,
+            )
+
+            self.physical = physical_names(state)
+            if column_mapping_mode(state) != "none" and any(
+                _has_nested_mapping(f.dataType) for f in state.schema.fields
+            ):
+                raise NotImplementedError(
+                    "pydelta writer: NESTED column mapping needs physical "
+                    "nested parquet writes; top-level mapped tables are "
+                    "served, nested ones take the export path"
+                )
         else:
             raw = options.get("partitionBy", "") or ""
             self.part_cols = [c.strip() for c in raw.split(",") if c.strip()]
@@ -389,6 +409,7 @@ class PyDeltaBatchWriter(DataSourceWriter):
                     f"pydelta writer: partitionBy columns {missing} not in "
                     "schema"
                 )
+            self.physical = {f.name: f.name for f in schema.fields}
         os.makedirs(self.dest, exist_ok=True)
 
     def write(self, iterator):
@@ -406,8 +427,15 @@ class PyDeltaBatchWriter(DataSourceWriter):
         fields = arrow_fields(self.schema, writer="pydelta writer")
         names = [f.name for f in self.schema.fields]
         part_idx = {c: names.index(c) for c in self.part_cols}
-        # spec: partition columns live in partitionValues, NOT the file
-        data_fields = [f for f in fields if f.name not in part_idx]
+        # spec: partition columns live in partitionValues, NOT the file;
+        # column-mapped tables store PHYSICAL names in both the files
+        # and the partitionValues keys
+        phys = getattr(self, "physical", None) or {n: n for n in names}
+        data_fields = [
+            pa.field(phys.get(f.name, f.name), f.type)
+            for f in fields
+            if f.name not in part_idx
+        ]
         data_names = [n for n in names if n not in part_idx]
 
         def _pv(v):
@@ -429,14 +457,15 @@ class PyDeltaBatchWriter(DataSourceWriter):
         out = []
         for pv, rows in groups.items():
             cols = {
-                n: [r[names.index(n)] for r in rows] for n in data_names
+                phys.get(n, n): [r[names.index(n)] for r in rows]
+                for n in data_names
             }
             tmp = os.path.join(self.dest, f"_tmp-{_uuid.uuid4().hex}.parquet")
             pq.write_table(
                 pa.table(cols, schema=pa.schema(data_fields)), tmp
             )
             pvals = json.dumps(
-                {c: _pv(v) for c, v in zip(self.part_cols, pv)}
+                {phys.get(c, c): _pv(v) for c, v in zip(self.part_cols, pv)}
             )
             out.append((tmp, len(rows), os.path.getsize(tmp), pvals))
         return DeltaWriteCommit(files=tuple(out))
@@ -452,18 +481,6 @@ class PyDeltaBatchWriter(DataSourceWriter):
         now = int(_time.time() * 1000)
         actions: list[dict] = []
         prev = latest_version(self.dest)
-        if prev >= 0:
-            from iceberg_metadata_pipeline_spark.catalog.delta_format import (
-                column_mapping_mode,
-            )
-
-            if column_mapping_mode(read_delta_table(self.dest)) != "none":
-                raise NotImplementedError(
-                    "pydelta writer: appending to a column-mapping table "
-                    "would need physical-name parquet writes; read paths "
-                    "support mapping, the writer refuses rather than "
-                    "corrupting the layout"
-                )
         if prev < 0:
             actions.append(
                 {"protocol": {"minReaderVersion": 1, "minWriterVersion": 2}}

@@ -637,8 +637,6 @@ def test_column_mapping_rename_is_metadata_only(spark, metacat_table, tmp_path):
 
 
 def test_column_mapping_pydelta_reader_and_writer_guard(spark, metacat_table, tmp_path):
-    import pytest as _pytest
-
     from iceberg_metadata_pipeline_spark.catalog.delta_format import (
         enable_column_mapping,
         rename_delta_column,
@@ -655,12 +653,17 @@ def test_column_mapping_pydelta_reader_and_writer_guard(spark, metacat_table, tm
     got = {r.id: r.label for r in back.collect()}
     assert got[0] == "n0" and got[119] == "n19" and len(got) == 40
 
-    # appending logical-named parquet to a mapped table would corrupt the
-    # physical layout — the writer must refuse
-    with _pytest.raises(Exception, match="column-mapping"):
-        spark.createDataFrame(
-            [(999, "x", 0.0)], "id long, label string, score double"
-        ).write.format("pydelta").mode("append").save(dest)
+    # r9: appends to a 'name'-mapped table are SERVED — the writer
+    # stores PHYSICAL names in the new data file, so the read maps it
+    # back like any other file (the r6 refusal is closed; see
+    # test_pydelta_source.test_writer_serves_column_mapped_tables for
+    # the physical-name assertions)
+    spark.createDataFrame(
+        [(999, "x", 0.0)], "id long, label string, score double"
+    ).write.format("pydelta").mode("append").save(dest)
+    back2 = spark.read.format("pydelta").load(dest)
+    assert back2.count() == 41
+    assert {r.label for r in back2.where("id = 999").collect()} == {"x"}
 
 
 def test_column_mapping_swap_rename_reads_right_columns(spark, metacat_table, tmp_path):

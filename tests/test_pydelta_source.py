@@ -386,3 +386,54 @@ def test_writer_decimal_array_and_schema_check(spark, tmp_path):
         spark.range(1).selectExpr("id", "'x' AS extra").write.format(
             "pydelta"
         ).mode("append").save(dest)
+
+
+def test_writer_serves_column_mapped_tables(spark, tmp_path):
+    """Round 9 (closes the r6 refusal): the pydelta writer appends to
+    'name'-mode column-mapped tables — data files write under PHYSICAL
+    names and partitionValues key by physical name, exactly what both
+    read paths map back. Zero-rewrite RENAME then append round-trips."""
+    import pyarrow.parquet as pq
+
+    from iceberg_metadata_pipeline_spark.catalog.delta_format import (
+        enable_column_mapping,
+        physical_names,
+        read_delta_table,
+        rename_delta_column,
+    )
+
+    register(spark)
+    dest = str(tmp_path / "delta_cm")
+    spark.createDataFrame(
+        [(1, "a", 0.5), (2, "b", 1.5)], "id long, seg string, v double"
+    ).write.format("pydelta").option("partitionBy", "seg").mode(
+        "append"
+    ).save(dest)
+    enable_column_mapping(dest)
+    rename_delta_column(dest, "v", "score")
+
+    # append THROUGH the writer with the renamed logical schema
+    spark.createDataFrame(
+        [(3, "a", 2.5)], "id long, seg string, score double"
+    ).write.format("pydelta").mode("append").save(dest)
+
+    got = sorted(
+        tuple(r) for r in spark.read.format("pydelta").load(dest).collect()
+    )
+    assert got == [(1, "a", 0.5), (2, "b", 1.5), (3, "a", 2.5)]
+    # the NEW data file stores physical names, not logical ones
+    state = read_delta_table(dest)
+    phys = physical_names(state)
+    assert phys["score"] != "score"  # mapping really is indirect
+    newest = max(
+        state.files,
+        key=lambda p: os.path.getmtime(
+            p if os.path.isabs(p) else os.path.join(dest, p)
+        ),
+    )
+    fp = newest if os.path.isabs(newest) else os.path.join(dest, newest)
+    cols = set(pq.read_schema(fp).names)
+    assert phys["score"] in cols and "score" not in cols
+    # partitionValues of the new add key by the PHYSICAL partition name
+    a = state.files[newest]
+    assert set(a["partitionValues"]) == {phys["seg"]}
