@@ -642,6 +642,11 @@ def test_column_mapping_pydelta_reader_and_writer_guard(spark, metacat_table, tm
         rename_delta_column,
     )
 
+    from iceberg_metadata_pipeline_spark.ingest.pydelta_source import (
+        register as _register_pydelta,
+    )
+
+    _register_pydelta(spark)
     _catalog, t = metacat_table
     dest = str(tmp_path / "delta-cm2")
     export_delta_table(t, dest)
