@@ -184,11 +184,20 @@ def attach_ndv_statistics(
 def read_ndv_statistics(meta_path: str) -> dict[int, int]:
     """field-id → NDV from the metadata's statistics files (the blob
     ``ndv`` property — what engines read without deserializing the
-    sketch)."""
+    sketch). Statistics entries are PER-SNAPSHOT: when an entry exists
+    for the current snapshot it wins; otherwise ancestor snapshots'
+    entries serve as the estimate (the Trino posture — a slightly stale
+    NDV beats none), with later entries overriding earlier ones."""
     with open(meta_path) as fh:
         md = json.load(fh)
+    entries = md.get("statistics", [])
+    cur = md.get("current-snapshot-id")
+    if cur is not None:
+        exact = [e for e in entries if e.get("snapshot-id") == cur]
+        if exact:
+            entries = exact
     out: dict[int, int] = {}
-    for entry in md.get("statistics", []):
+    for entry in entries:
         blobs, _ = read_puffin(entry["statistics-path"])
         for bm, _payload in blobs:
             if bm["type"] == "apache-datasketches-theta-v1":

@@ -133,15 +133,27 @@ def test_basket_hot_basket_guard_bounds_pair_work(spark, tmp_path):
         mining_basket_pair_rules,
     )
 
-    res = mining_basket_pair_rules(spark, str(tmp_path), max_basket=500).collect()
-    got = {(r.part_a, r.part_b): r for r in res}
-    # only the (10, 11) pair recurs; NOTHING from the hot basket
-    assert set(got) == {(10, 11)}
-    r = got[(10, 11)]
-    assert r.pair_cnt == 2
-    # frequencies count the hot basket too: item 10 appears in baskets
-    # 1, 2, 3 -> conf = 2/3
-    assert r.conf_a_to_b == 2 / 3 and r.conf_b_to_a == 2 / 3
-    # raising the cap above the hot-basket size brings its pairs back
-    res2 = mining_basket_pair_rules(spark, str(tmp_path), max_basket=1000)
-    assert res2.count() > 1
+    try:
+        res = mining_basket_pair_rules(
+            spark, str(tmp_path), max_basket=500
+        ).collect()
+        got = {(r.part_a, r.part_b): r for r in res}
+        # only the (10, 11) pair recurs; NOTHING from the hot basket
+        assert set(got) == {(10, 11)}
+        r = got[(10, 11)]
+        assert r.pair_cnt == 2
+        # frequencies count the hot basket too: item 10 appears in baskets
+        # 1, 2, 3 -> conf = 2/3
+        assert r.conf_a_to_b == 2 / 3 and r.conf_b_to_a == 2 / 3
+        # raising the cap above the hot-basket size brings its pairs back
+        res2 = mining_basket_pair_rules(spark, str(tmp_path), max_basket=1000)
+        assert res2.count() > 1
+    finally:
+        # load_tables pointed the SESSION-wide 'lineitem' temp view at
+        # the synthetic table and cached it per (session, sf_dir) — drop
+        # this session's cache entries so the next test's load_tables
+        # re-registers its own fixture views instead of keeping ours
+        from iceberg_metadata_pipeline_spark import session as _sess
+
+        for k in [k for k in _sess._TABLE_CACHE if k[0] == id(spark)]:
+            _sess._TABLE_CACHE.pop(k, None)

@@ -160,11 +160,23 @@ def test_statistics_survive_re_export(spark, tmp_path):
     dest = str(tmp_path / "ice3")
     meta_path = export_iceberg_table(t, dest)
     attach_ndv_statistics(spark, t, meta_path, ["x"])
-    meta2 = export_iceberg_table(t, dest)  # same snapshot, next vN
+    meta2 = export_iceberg_table(t, dest)  # same snapshot: no-op (r9)
     md2 = json.load(open(meta2))
     assert len(md2.get("statistics", [])) == 1
     assert read_ndv_statistics(meta2)  # readable through the new version
-    # snapshot moves -> stats for the OLD snapshot are not carried
+    # r9 semantics: an APPEND commits incrementally and RETAINS the old
+    # snapshot's stats entry (it stays attributed to that snapshot-id in
+    # the history); read_ndv_statistics serves it as the ancestor
+    # fallback estimate for the new snapshot
     t.append_dataframe(spark.range(3).selectExpr("id AS x"))
     meta3 = export_iceberg_table(t.refresh(), dest)
-    assert json.load(open(meta3)).get("statistics", []) == []
+    md3 = json.load(open(meta3))
+    assert len(md3.get("statistics", [])) == 1
+    assert md3["statistics"][0]["snapshot-id"] != md3["current-snapshot-id"]
+    assert read_ndv_statistics(meta3)  # ancestor fallback still serves
+    # a NON-append change takes the full-rewrite export, which resets
+    # history and does NOT inherit stale stats (the original contract)
+    t = t.refresh()
+    t.delete_where("x >= 50")
+    meta4 = export_iceberg_table(t.refresh(), dest)
+    assert json.load(open(meta4)).get("statistics", []) == []
