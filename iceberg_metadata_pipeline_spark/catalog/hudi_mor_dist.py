@@ -466,7 +466,11 @@ def _routed_log_write(
     avro_schema = _avro_schema_of(schema)
     state = read_hudi_table(location)
 
-    rows = df.withColumn("__k", F.col(key_field).cast("string"))
+    # persist the keyed batch for the whole write: the candidate probe
+    # and the routing join must see the SAME rows (a non-deterministic
+    # input would otherwise route keys the probe never saw), and the
+    # upstream plan evaluates once instead of twice
+    rows = df.withColumn("__k", F.col(key_field).cast("string")).persist()
     scan_paths = None
     if prune:
         blooms = _load_key_blooms(location)
@@ -585,11 +589,14 @@ def _routed_log_write(
         }
         return pd.DataFrame([{"ppath": ppath, "stat": json.dumps(stat)}])
 
-    stat_rows = (
-        joined.groupBy("ppath", "fid")
-        .applyInPandas(_write_log, _STATS_SCHEMA)
-        .collect()
-    )
+    try:
+        stat_rows = (
+            joined.groupBy("ppath", "fid")
+            .applyInPandas(_write_log, _STATS_SCHEMA)
+            .collect()
+        )
+    finally:
+        rows.unpersist()
     return _complete(location, t, "deltacommit", op, stat_rows)
 
 
