@@ -188,6 +188,61 @@ def stat_chi_square_independence(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "stat_cramers_v",
+    _CHI2_CELLS
+    + """
+SELECT CAST((SELECT COUNT(*) FROM rt) AS BIGINT) AS n_seg,
+       CAST((SELECT COUNT(*) FROM ct) AS BIGINT) AS n_pri,
+       CAST((SELECT tot FROM tt) AS BIGINT) AS n_obs,
+       sqrt(list_reduce(list_sort(list(term)), (a, x) -> a + x)
+            / ((SELECT tot FROM tt)
+               * least((SELECT COUNT(*) FROM rt) - 1,
+                       (SELECT COUNT(*) FROM ct) - 1))) AS cramers_v
+FROM cells
+""",
+)
+def stat_cramers_v(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cramér's V effect size for the segment × priority association:
+    V = sqrt(chi² / (n · min(r−1, c−1))) — the normalized companion the
+    chi-square statistic is usually reported with (chi² alone grows with
+    n; V stays in [0,1]). Same exactness discipline: sorted double fold
+    for chi², one division, one correctly-rounded sqrt — bit-equal
+    cross-engine. Constant work after one hash aggregate."""
+    t = load_tables(spark, sf_dir)
+    joined = t["orders"].join(
+        t["customer"], F.col("o_custkey") == F.col("c_custkey")
+    ).select(F.col("c_mktsegment").alias("seg"), F.col("o_orderpriority").alias("pri"))
+    obs = joined.groupBy("seg", "pri").agg(F.count(F.lit(1)).alias("n"))
+    rt = obs.groupBy("seg").agg(F.sum("n").alias("row_tot"))
+    ct = obs.groupBy("pri").agg(F.sum("n").alias("col_tot"))
+    tt = obs.agg(F.sum("n").alias("tot"))
+    cells = (
+        obs.join(rt, "seg")
+        .join(ct, "pri")
+        .crossJoin(F.broadcast(tt))
+        .selectExpr(
+            "tot",
+            "CAST((n * tot - row_tot * col_tot) AS DOUBLE)"
+            " * CAST((n * tot - row_tot * col_tot) AS DOUBLE)"
+            " / (CAST(tot AS DOUBLE) * CAST(row_tot AS DOUBLE)"
+            "    * CAST(col_tot AS DOUBLE)) AS term",
+        )
+    )
+    n_seg = rt.count()
+    n_pri = ct.count()
+    return cells.agg(
+        F.lit(n_seg).cast("long").alias("n_seg"),
+        F.lit(n_pri).cast("long").alias("n_pri"),
+        F.max("tot").cast("long").alias("n_obs"),
+        F.expr(
+            "sqrt(reduce(array_sort(collect_list(term)),"
+            " CAST(0.0E0 AS DOUBLE), (a, x) -> a + x)"
+            f" / (max(tot) * least({n_seg} - 1, {n_pri} - 1)))"
+        ).alias("cramers_v"),
+    )
+
+
+@query(
     "stat_ks_two_sample",
     """
 WITH s AS (

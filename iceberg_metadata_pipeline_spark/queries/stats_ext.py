@@ -892,3 +892,84 @@ sql_query(
         FOLD="list_reduce(list_sort(list(b.f)), (acc, x) -> acc * x)",
     ),
 )
+
+
+# Nelson-Aalen: the cumulative-hazard companion to Kaplan-Meier — the
+# same risk table (one hash agg per user, one per distinct day, prefix
+# sum for at-risk counts), but H(t) = Σ_{t_i ≤ t} d_i/n_i folds as a
+# sorted double SUM instead of a product. Work is O(distinct days) after
+# the per-user collapse — constant in table size.
+_NA_TEMPLATE = """
+WITH pu AS (
+  SELECT user_id, MIN(ts) AS t0, MAX(ts) AS t1 FROM events GROUP BY user_id
+), hz AS (
+  SELECT MAX(ts) AS h FROM events
+), obs AS (
+  SELECT {DATEDIFF} AS dur,
+         CASE WHEN t1 < h - INTERVAL '7' DAY THEN 1 ELSE 0 END AS ev
+  FROM pu CROSS JOIN hz
+), tot AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n FROM obs
+), risk AS (
+  SELECT dur AS t,
+         CAST(SUM(ev) AS BIGINT) AS d,
+         CAST(COUNT(*) AS BIGINT) AS leaving
+  FROM obs GROUP BY dur
+), at_risk AS (
+  SELECT t, d,
+         n - COALESCE(SUM(leaving) OVER (
+               ORDER BY t ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+             ), 0) AS n_risk
+  FROM risk CROSS JOIN tot
+), fact AS (
+  SELECT t, d, n_risk,
+         CAST(d AS DOUBLE) / CAST(n_risk AS DOUBLE) AS f
+  FROM at_risk
+)
+SELECT a.t AS t_days, CAST(a.d AS BIGINT) AS events,
+       CAST(a.n_risk AS BIGINT) AS at_risk,
+       {FOLD} AS cum_hazard
+FROM fact a JOIN fact b ON b.t <= a.t
+WHERE a.d > 0
+GROUP BY a.t, a.d, a.n_risk
+ORDER BY t_days
+"""
+
+sql_query(
+    "stat_nelson_aalen_hazard",
+    _NA_TEMPLATE.format(
+        DATEDIFF="datediff(CAST(t1 AS DATE), CAST(t0 AS DATE))",
+        FOLD="reduce(array_sort(collect_list(b.f)), CAST(0.0E0 AS DOUBLE),"
+             " (acc, x) -> acc + x)",
+    ),
+    oracle=_NA_TEMPLATE.format(
+        DATEDIFF="datediff('day', CAST(t0 AS DATE), CAST(t1 AS DATE))",
+        FOLD="list_reduce(list_sort(list(b.f)), (acc, x) -> acc + x)",
+    ),
+)
+
+
+# Exact weighted median: collapse to (group, value) with integer weight
+# sums, one prefix-sum window per group over DISTINCT VALUES (not rows),
+# pick the smallest value whose doubled cumulative weight reaches the
+# total — all integer arithmetic until the final cast, so the result is
+# exact on both engines. At 100 TB the window runs over distinct
+# (flag, price) pairs, orders of magnitude below row count.
+sql_query(
+    "agg_weighted_median",
+    """
+WITH pts AS (
+  SELECT l_returnflag AS flag, l_extendedprice AS v,
+         CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS wt
+  FROM lineitem GROUP BY l_returnflag, l_extendedprice
+), c AS (
+  SELECT flag, v,
+         SUM(wt) OVER (PARTITION BY flag ORDER BY v) AS cw,
+         SUM(wt) OVER (PARTITION BY flag) AS tot
+  FROM pts
+)
+SELECT flag, CAST(MIN(v) AS DOUBLE) AS weighted_median,
+       CAST(MIN(tot) AS BIGINT) AS total_weight
+FROM c WHERE 2 * cw >= tot GROUP BY flag ORDER BY flag
+""",
+)

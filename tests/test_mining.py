@@ -157,3 +157,29 @@ def test_basket_hot_basket_guard_bounds_pair_work(spark, tmp_path):
 
         for k in [k for k in _sess._TABLE_CACHE if k[0] == id(spark)]:
             _sess._TABLE_CACHE.pop(k, None)
+
+
+def test_cramers_v_matches_reference(spark, sf_dir, tables):
+    """V = sqrt(chi2 / (n * min(r-1, c-1))) against the same pure-Python
+    contingency reference the chi-square test uses."""
+    from iceberg_metadata_pipeline_spark.queries.mining import stat_cramers_v
+
+    row = stat_cramers_v(spark, sf_dir).collect()[0]
+    joined = (
+        tables["orders"]
+        .join(tables["customer"], tables["orders"].o_custkey == tables["customer"].c_custkey)
+        .select("c_mktsegment", "o_orderpriority")
+        .collect()
+    )
+    obs = Counter((r.c_mktsegment, r.o_orderpriority) for r in joined)
+    rows = Counter(k[0] for k in obs.elements())
+    cols = Counter(k[1] for k in obs.elements())
+    tot = sum(obs.values())
+    chi2 = sum(
+        (n - rows[s] * cols[p] / tot) ** 2 / (rows[s] * cols[p] / tot)
+        for (s, p), n in sorted(obs.items())
+    )
+    v = math.sqrt(chi2 / (tot * min(len(rows) - 1, len(cols) - 1)))
+    assert row.n_obs == tot
+    assert math.isclose(row.cramers_v, v, rel_tol=1e-9), (row.cramers_v, v)
+    assert 0.0 <= row.cramers_v <= 1.0

@@ -121,3 +121,71 @@ def test_autocorr_matches_numpy(spark, sf_dir, tables):
     got = REGISTRY["stat_autocorr_lag1"].fn(spark, sf_dir).collect()[0]
     assert got.n == len(series) - 1
     assert got.r1 == pytest.approx(r_ref, rel=1e-6)
+
+
+def test_nelson_aalen_and_weighted_median_references(spark, sf_dir, tables):
+    """Pure-Python references: H(t) must be the prefix sum of d/n over
+    the Kaplan-Meier risk table, and the weighted median the smallest
+    value whose doubled cumulative weight reaches the group total."""
+    import math
+    from collections import defaultdict
+
+    from iceberg_metadata_pipeline_spark.queries import all_queries
+
+    qs = all_queries()
+    # Nelson-Aalen vs a direct reference over the same spans
+    got = {r.t_days: r for r in qs["stat_nelson_aalen_hazard"](spark, sf_dir).collect()}
+    ev = tables["events"].select("user_id", "ts").collect()
+    span = {}
+    for r in ev:
+        t0, t1 = span.get(r.user_id, (r.ts, r.ts))
+        span[r.user_id] = (min(t0, r.ts), max(t1, r.ts))
+    horizon = max(r.ts for r in ev)
+    import datetime as dt
+
+    obs = [
+        ((t1.date() - t0.date()).days, 1 if t1 < horizon - dt.timedelta(days=7) else 0)
+        for t0, t1 in span.values()
+    ]
+    by_t = defaultdict(lambda: [0, 0])
+    for d_, e in obs:
+        by_t[d_][0] += e
+        by_t[d_][1] += 1
+    n_risk = len(obs)
+    for t in sorted(by_t):
+        d_, leaving = by_t[t]
+        if d_ > 0:
+            assert got[t].at_risk == n_risk
+            assert got[t].events == d_
+        n_risk -= leaving
+    # recompute H the query's way (sorted fold of all terms <= t)
+    n_risk = len(obs)
+    terms = []
+    for t in sorted(by_t):
+        d_, leaving = by_t[t]
+        terms.append((t, d_ / n_risk))
+        n_risk -= leaving
+    for t in sorted(by_t):
+        d_, _ = by_t[t]
+        if d_ > 0:
+            want = math.fsum(f for tt, f in terms if tt <= t)
+            assert math.isclose(got[t].cum_hazard, want, rel_tol=1e-9)
+
+    # weighted median vs a direct reference
+    wm = {r.flag: (r.weighted_median, r.total_weight)
+          for r in qs["agg_weighted_median"](spark, sf_dir).collect()}
+    li = tables["lineitem"].select(
+        "l_returnflag", "l_extendedprice", "l_quantity"
+    ).collect()
+    agg = defaultdict(lambda: defaultdict(int))
+    for r in li:
+        agg[r.l_returnflag][r.l_extendedprice] += int(r.l_quantity)
+    for flag, vals in agg.items():
+        tot = sum(vals.values())
+        cum = 0
+        for v in sorted(vals):
+            cum += vals[v]
+            if 2 * cum >= tot:
+                assert wm[flag][0] == float(v), (flag, wm[flag][0], v)
+                break
+        assert wm[flag][1] == tot
