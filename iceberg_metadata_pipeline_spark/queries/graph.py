@@ -495,3 +495,161 @@ def graph_sssp_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
         .limit(20)
     )
 
+
+
+# --- round 9: degree assortativity, link prediction ---------------------------
+
+_ASSORT_FINAL = """
+  CAST(n_i AS BIGINT) AS n_edges,
+  ( CAST(n_i AS DOUBLE) * CAST(CAST(sxy AS BIGINT) AS DOUBLE)
+    - CAST(CAST(sx AS BIGINT) AS DOUBLE) * CAST(CAST(sy AS BIGINT) AS DOUBLE) )
+  / ( SQRT( CAST(n_i AS DOUBLE) * CAST(CAST(sxx AS BIGINT) AS DOUBLE)
+          - CAST(CAST(sx AS BIGINT) AS DOUBLE) * CAST(CAST(sx AS BIGINT) AS DOUBLE) )
+    * SQRT( CAST(n_i AS DOUBLE) * CAST(CAST(syy AS BIGINT) AS DOUBLE)
+          - CAST(CAST(sy AS BIGINT) AS DOUBLE) * CAST(CAST(sy AS BIGINT) AS DOUBLE) ) )
+    AS assortativity
+"""
+
+
+@query(
+    "graph_degree_assortativity",
+    f"""
+WITH pairs AS (
+  SELECT DISTINCT o_custkey AS cust, l_suppkey + {_SUPP_OFFSET} AS supp
+  FROM orders JOIN lineitem ON l_orderkey = o_orderkey
+),
+edges AS (
+  SELECT cust AS src, supp AS dst FROM pairs
+  UNION ALL
+  SELECT supp AS src, cust AS dst FROM pairs
+),
+deg AS (SELECT src AS node, CAST(COUNT(*) AS BIGINT) AS d FROM edges GROUP BY src),
+m AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n_i,
+    CAST(SUM(CAST(ds.d AS DECIMAL(19,0))) AS DECIMAL(38,0)) AS sx,
+    CAST(SUM(CAST(dd.d AS DECIMAL(19,0))) AS DECIMAL(38,0)) AS sy,
+    CAST(SUM(CAST(ds.d AS DECIMAL(19,0)) * ds.d) AS DECIMAL(38,0)) AS sxx,
+    CAST(SUM(CAST(dd.d AS DECIMAL(19,0)) * dd.d) AS DECIMAL(38,0)) AS syy,
+    CAST(SUM(CAST(ds.d AS DECIMAL(19,0)) * dd.d) AS DECIMAL(38,0)) AS sxy
+  FROM edges e
+  JOIN deg ds ON ds.node = e.src
+  JOIN deg dd ON dd.node = e.dst
+)
+SELECT {_ASSORT_FINAL}
+FROM m
+""",
+)
+def graph_degree_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Degree assortativity of the customer↔supplier graph: Pearson
+    correlation of endpoint degrees over the directed edge list (both
+    directions materialized, so this is the undirected coefficient).
+    Strongly negative here — the bipartite hub structure (high-degree
+    suppliers connect to low-degree customers) — the one-number summary
+    of hub-and-spoke vs peer-to-peer topology. EXACT until the last
+    expression: degrees are integer counts, the five moments accumulate
+    in DECIMAL(38,0), and the final Pearson is identical double text in
+    both engines. Scale: one degree aggregate, two broadcast-able joins
+    (the degree table is O(nodes) ≪ O(edges)), one moments aggregate."""
+    edges = interaction_edges(spark, sf_dir)
+    deg = edges.groupBy(F.col("src").alias("node")).agg(
+        F.count(F.lit(1)).cast("long").alias("d")
+    )
+    ds = deg.select(F.col("node").alias("src"), F.col("d").alias("dx"))
+    dd = deg.select(F.col("node").alias("dst"), F.col("d").alias("dy"))
+    m = (
+        edges.join(F.broadcast(ds), "src")
+        .join(F.broadcast(dd), "dst")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_i"),
+            F.sum(F.expr("CAST(dx AS DECIMAL(19,0))")).cast("decimal(38,0)").alias("sx"),
+            F.sum(F.expr("CAST(dy AS DECIMAL(19,0))")).cast("decimal(38,0)").alias("sy"),
+            F.sum(F.expr("CAST(dx AS DECIMAL(19,0)) * dx")).cast("decimal(38,0)").alias("sxx"),
+            F.sum(F.expr("CAST(dy AS DECIMAL(19,0)) * dy")).cast("decimal(38,0)").alias("syy"),
+            F.sum(F.expr("CAST(dx AS DECIMAL(19,0)) * dy")).cast("decimal(38,0)").alias("sxy"),
+        )
+    )
+    return m.selectExpr(*[s.strip() for s in _ASSORT_FINAL.split(",\n")])
+
+
+_LINKPRED_ORACLE = """
+WITH co AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+edges AS (
+  SELECT a.l_partkey AS p1, b.l_partkey AS p2
+  FROM co a JOIN co b ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+  GROUP BY 1, 2 HAVING COUNT(*) >= 2
+),
+adj AS (
+  SELECT p1 AS a, p2 AS b FROM edges
+  UNION ALL
+  SELECT p2 AS a, p1 AS b FROM edges
+),
+deg AS (SELECT a AS node, CAST(COUNT(*) AS BIGINT) AS d FROM adj GROUP BY a),
+cand AS (
+  SELECT x.a AS u, y.b AS v, CAST(COUNT(*) AS BIGINT) AS common
+  FROM adj x JOIN adj y ON x.b = y.a AND x.a < y.b
+  GROUP BY x.a, y.b
+),
+new_links AS (
+  SELECT c.u, c.v, c.common
+  FROM cand c
+  WHERE NOT EXISTS (SELECT 1 FROM edges e WHERE e.p1 = c.u AND e.p2 = c.v)
+)
+SELECT n.u, n.v, n.common,
+  CAST(n.common AS DOUBLE)
+    / CAST(du.d + dv.d - n.common AS DOUBLE) AS jaccard
+FROM new_links n
+JOIN deg du ON du.node = n.u
+JOIN deg dv ON dv.node = n.v
+ORDER BY n.common DESC, n.u, n.v
+LIMIT 20
+"""
+
+
+@query("graph_link_prediction_jaccard", _LINKPRED_ORACLE)
+def graph_link_prediction_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Triadic link prediction on the part co-purchase graph: for part
+    pairs NOT currently connected, count common neighbors and score by
+    neighborhood Jaccard — the top-20 'you may also bundle' candidates.
+    Shape: symmetrized adjacency (already thresholded/sparsified by
+    copurchase_edges — the quadratic raw pair expansion never
+    materializes), one wedge join (x.b = y.a, u < v), an anti-join
+    against existing edges, two broadcast degree joins. Counting is all
+    integers; the single Jaccard division is identical double text in
+    both engines. At 100 TB the wedge join is bounded by Σ deg² of the
+    SPARSIFIED graph — the same guard as triangle counting — and a
+    degree-cap on hub nodes (the hot-bucket discipline) would bound the
+    worst key."""
+    edges = copurchase_edges(spark, sf_dir, min_weight=2).cache()
+    fwd = edges.select(F.col("p1").alias("a"), F.col("p2").alias("b"))
+    rev = edges.select(F.col("p2").alias("a"), F.col("p1").alias("b"))
+    adj = fwd.unionByName(rev)
+    deg = adj.groupBy(F.col("a").alias("node")).agg(
+        F.count(F.lit(1)).cast("long").alias("d")
+    )
+    x = adj.select(F.col("a").alias("u"), F.col("b").alias("w"))
+    y = adj.select(F.col("a").alias("w"), F.col("b").alias("v"))
+    cand = (
+        x.join(y, "w")
+        .filter(F.col("u") < F.col("v"))
+        .groupBy("u", "v")
+        .agg(F.count(F.lit(1)).cast("long").alias("common"))
+    )
+    new_links = cand.join(
+        edges,
+        (cand["u"] == edges["p1"]) & (cand["v"] == edges["p2"]),
+        "left_anti",
+    )
+    du = deg.select(F.col("node").alias("u"), F.col("d").alias("du"))
+    dv = deg.select(F.col("node").alias("v"), F.col("d").alias("dv"))
+    scored = (
+        new_links.join(F.broadcast(du), "u")
+        .join(F.broadcast(dv), "v")
+        .select(
+            "u", "v", "common",
+            (
+                F.col("common").cast("double")
+                / (F.col("du") + F.col("dv") - F.col("common")).cast("double")
+            ).alias("jaccard"),
+        )
+    )
+    return scored.orderBy(F.col("common").desc(), "u", "v").limit(20)

@@ -674,3 +674,108 @@ sql_query(
     _COHORT_TEMPLATE.format(WEEKDIFF="datediff(a.wk, f.cohort) DIV 7"),
     oracle=_COHORT_TEMPLATE.format(WEEKDIFF="datediff('day', f.cohort, a.wk) // 7"),
 )
+
+
+# Ridge regression (L2-shrunk least squares), closed form for one
+# feature: β_ridge = Sxy_c / (Sxx_c + λ) over mean-centered moments,
+# with the unpenalized OLS slope alongside so the shrinkage is visible.
+# Same scale discipline as ml_ols_normal_equations: ONE exact-decimal
+# aggregate pass builds the moments (split-converted to double), the
+# solve is O(1) double math written with identical expression text in
+# both engines. λ = 1000 is part of the operator contract (≈0.2%
+# shrinkage on the part fixture — small but nonzero by construction).
+_RIDGE_SQL = """
+WITH t AS (
+  SELECT CAST(p_size AS DOUBLE) AS x, CAST(p_retailprice AS DOUBLE) AS y
+  FROM part
+), g AS (
+  SELECT CAST(COUNT(*) AS DOUBLE) AS n,
+    (CAST(CAST(FLOOR(SUM(CAST(x AS DECIMAL(38,12)))) AS BIGINT) AS DOUBLE) + CAST(SUM(CAST(x AS DECIMAL(38,12))) - FLOOR(SUM(CAST(x AS DECIMAL(38,12)))) AS DOUBLE)) AS sx,
+    (CAST(CAST(FLOOR(SUM(CAST(y AS DECIMAL(38,12)))) AS BIGINT) AS DOUBLE) + CAST(SUM(CAST(y AS DECIMAL(38,12))) - FLOOR(SUM(CAST(y AS DECIMAL(38,12)))) AS DOUBLE)) AS sy,
+    (CAST(CAST(FLOOR(SUM(CAST(x * x AS DECIMAL(38,12)))) AS BIGINT) AS DOUBLE) + CAST(SUM(CAST(x * x AS DECIMAL(38,12))) - FLOOR(SUM(CAST(x * x AS DECIMAL(38,12)))) AS DOUBLE)) AS sxx,
+    (CAST(CAST(FLOOR(SUM(CAST(x * y AS DECIMAL(38,12)))) AS BIGINT) AS DOUBLE) + CAST(SUM(CAST(x * y AS DECIMAL(38,12))) - FLOOR(SUM(CAST(x * y AS DECIMAL(38,12)))) AS DOUBLE)) AS sxy
+  FROM t
+)
+SELECT CAST(n AS BIGINT) AS n,
+  (sxy - sx * sy / n) / (sxx - sx * sx / n) AS beta_ols,
+  (sxy - sx * sy / n) / (sxx - sx * sx / n + 1000.0E0) AS beta_ridge,
+  sy / n - ((sxy - sx * sy / n) / (sxx - sx * sx / n + 1000.0E0)) * (sx / n)
+    AS alpha_ridge
+FROM g
+"""
+
+sql_query("ml_ridge_closed_form", _RIDGE_SQL, oracle="same")
+
+
+# RFM segmentation: the classic recency/frequency/monetary quintile
+# grid over purchase events. ONE hash aggregate collapses the stream to
+# per-user (recency, frequency, monetary-cents) — exact integers — then
+# three NTILE(5) windows rank users with a TOTAL order (metric, then
+# user_id) so tile boundaries are deterministic in both engines; the
+# output is the ≤125-cell segment grid with exact counts and cents.
+# Scale: the windows run over USERS (orders of magnitude below events);
+# at 100 TB swap NTILE for width_bucket over approx quantile bounds —
+# same grid, no global sort — the exact-NTILE form is what the oracle
+# can referee.
+_RFM_TEMPLATE = """
+WITH hz AS (
+  SELECT CAST(MAX(ts) AS DATE) AS h FROM events
+), u AS (
+  SELECT user_id,
+         {DATEDIFF} AS recency_days,
+         CAST(COUNT(*) AS BIGINT) AS frequency,
+         CAST(SUM(CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)) AS BIGINT)
+           AS monetary_cents
+  FROM events CROSS JOIN hz
+  WHERE event_type = 'purchase'
+  GROUP BY user_id, h
+), q AS (
+  SELECT user_id, monetary_cents,
+         NTILE(5) OVER (ORDER BY recency_days, user_id) AS r_q,
+         NTILE(5) OVER (ORDER BY frequency DESC, user_id) AS f_q,
+         NTILE(5) OVER (ORDER BY monetary_cents DESC, user_id) AS m_q
+  FROM u
+)
+SELECT r_q, f_q, m_q,
+       CAST(COUNT(*) AS BIGINT) AS n_users,
+       CAST(SUM(monetary_cents) AS BIGINT) AS segment_cents
+FROM q
+GROUP BY r_q, f_q, m_q
+ORDER BY r_q, f_q, m_q
+"""
+
+sql_query(
+    "events_rfm_segmentation",
+    _RFM_TEMPLATE.format(DATEDIFF="datediff(h, CAST(MAX(ts) AS DATE))"),
+    oracle=_RFM_TEMPLATE.format(DATEDIFF="datediff('day', CAST(MAX(ts) AS DATE), h)"),
+)
+
+
+# DAU/MAU stickiness: mean daily actives over monthly actives, per
+# month — the one-number engagement ratio. Two hash aggregates off one
+# distinct (month, day, user) collapse; all counting exact integers;
+# the stickiness division is identical double text. 100 TB: the
+# distinct collapse is the only O(events) term and is map-side
+# combinable; everything downstream is O(days).
+_STICKINESS_SQL = """
+WITH du AS (
+  SELECT DISTINCT CAST(date_trunc('month', ts) AS DATE) AS mon,
+                  CAST(ts AS DATE) AS day, user_id
+  FROM events
+), dau AS (
+  SELECT mon, day, CAST(COUNT(*) AS BIGINT) AS dau FROM du GROUP BY mon, day
+), mau AS (
+  SELECT mon, CAST(COUNT(DISTINCT user_id) AS BIGINT) AS mau FROM du GROUP BY mon
+), d AS (
+  SELECT mon, CAST(SUM(dau) AS BIGINT) AS sum_dau,
+         CAST(COUNT(*) AS BIGINT) AS n_days
+  FROM dau GROUP BY mon
+)
+SELECT d.mon AS month, sum_dau, n_days, mau,
+  CAST(sum_dau AS DOUBLE) / CAST(n_days AS DOUBLE) / CAST(mau AS DOUBLE)
+    AS stickiness
+FROM d JOIN mau ON d.mon = mau.mon
+ORDER BY month
+"""
+
+sql_query("events_stickiness_dau_mau", _STICKINESS_SQL, oracle="same")

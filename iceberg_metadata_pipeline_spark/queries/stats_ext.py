@@ -973,3 +973,201 @@ SELECT flag, CAST(MIN(v) AS DOUBLE) AS weighted_median,
 FROM c WHERE 2 * cw >= tot GROUP BY flag ORDER BY flag
 """,
 )
+
+
+# ---------------------------------------------------------------------------
+# round 9: Jarque-Bera, Brown-Forsythe, multi-lag ACF
+# ---------------------------------------------------------------------------
+
+# Jarque-Bera normality test over lineitem quantity, EXACT until the
+# final constant-size formula: quantity is a small integer, so the data
+# collapses to ≤50 (value, count) cells in one hash aggregate and the
+# four raw moments Σ cnt·v^k are exact integer sums (v⁴ ≤ 6.25e6, the
+# DECIMAL(38,0) accumulators never round). Central moments, skewness,
+# excess kurtosis and JB = n/6·(S² + K²/4) are one fixed double
+# expression written with the IDENTICAL text in both engines; the ^1.5
+# is spelled m2c·SQRT(m2c) because SQRT is IEEE-exact while POWER(x,1.5)
+# may differ by 1 ulp across libms. 100 TB shape: one map-side-
+# combinable aggregate, then O(1) math.
+_JB_SQL = """
+WITH cells AS (
+  SELECT CAST(l_quantity AS BIGINT) AS v, CAST(COUNT(*) AS BIGINT) AS cnt
+  FROM lineitem GROUP BY CAST(l_quantity AS BIGINT)
+), raw AS (
+  SELECT
+    CAST(SUM(cnt) AS BIGINT) AS n_i,
+    CAST(SUM(CAST(cnt AS DECIMAL(19,0)) * v) AS DECIMAL(38,0)) AS m1_i,
+    CAST(SUM(CAST(cnt AS DECIMAL(19,0)) * (v * v)) AS DECIMAL(38,0)) AS m2_i,
+    CAST(SUM(CAST(cnt AS DECIMAL(19,0)) * (v * v * v)) AS DECIMAL(38,0)) AS m3_i,
+    CAST(SUM(CAST(cnt AS DECIMAL(19,0)) * (v * v * v * v)) AS DECIMAL(38,0)) AS m4_i
+  FROM cells
+), d AS (
+  SELECT CAST(n_i AS DOUBLE) AS n,
+         CAST(CAST(m1_i AS BIGINT) AS DOUBLE) AS m1,
+         CAST(CAST(m2_i AS BIGINT) AS DOUBLE) AS m2,
+         CAST(CAST(m3_i AS BIGINT) AS DOUBLE) AS m3,
+         CAST(CAST(m4_i AS BIGINT) AS DOUBLE) AS m4
+  FROM raw
+), c AS (
+  SELECT n,
+    m1 / n AS mean,
+    m2 / n - (m1 / n) * (m1 / n) AS v2,
+    m3 / n - 3.0E0 * (m1 / n) * (m2 / n) + 2.0E0 * (m1 / n) * (m1 / n) * (m1 / n) AS v3,
+    m4 / n - 4.0E0 * (m1 / n) * (m3 / n)
+           + 6.0E0 * (m1 / n) * (m1 / n) * (m2 / n)
+           - 3.0E0 * (m1 / n) * (m1 / n) * (m1 / n) * (m1 / n) AS v4
+  FROM d
+)
+SELECT CAST(n AS BIGINT) AS n,
+       v3 / (v2 * SQRT(v2)) AS skewness,
+       v4 / (v2 * v2) - 3.0E0 AS excess_kurtosis,
+       n / 6.0E0 * ( (v3 / (v2 * SQRT(v2))) * (v3 / (v2 * SQRT(v2)))
+                   + (v4 / (v2 * v2) - 3.0E0) * (v4 / (v2 * v2) - 3.0E0) / 4.0E0 )
+         AS jarque_bera
+FROM c
+"""
+
+sql_query("stat_jarque_bera", _JB_SQL, oracle="same")
+
+
+# Brown-Forsythe test (Levene with median centers) for equal variance of
+# order price across the five market segments — the robust companion to
+# stat_anova_f_oneway. Per-group medians are EXACT integers: price in
+# cents collapses to distinct (segment, cents) cells, a per-segment
+# prefix sum over DISTINCT VALUES picks the smallest value whose doubled
+# cumulative weight reaches the total (the agg_weighted_median rule —
+# no percentile interpolation ambiguity). Deviations are integer DOLLAR
+# units (|cents − med| DIV 100) so Σz and Σz² stay exact BIGINT-range
+# integers through sf10 (Σz² ≈ 5e17 at sf1 < 2⁶³); BIGINT→DOUBLE casts
+# are correctly rounded in both engines. The F statistic over the k=5
+# group moments folds the two unordered-double sums in SORTED order
+# (the ANOVA pattern). Scale: two hash aggregates + one broadcast join
+# of 5 medians; the distinct-cents window is orders of magnitude below
+# row count.
+_BF_TEMPLATE = """
+WITH s AS (
+  SELECT c.c_mktsegment AS seg,
+         CAST(CAST(o.o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents
+  FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+), pv AS (
+  SELECT seg, cents AS v, CAST(COUNT(*) AS BIGINT) AS cnt
+  FROM s GROUP BY seg, cents
+), cum AS (
+  SELECT seg, v,
+         SUM(cnt) OVER (PARTITION BY seg ORDER BY v) AS cw,
+         SUM(cnt) OVER (PARTITION BY seg) AS tot
+  FROM pv
+), med AS (
+  SELECT seg, MIN(v) AS med FROM cum WHERE 2 * cw >= tot GROUP BY seg
+), z AS (
+  SELECT s.seg, ABS(s.cents - m.med) {IDIV} 100 AS zi
+  FROM s JOIN med m ON s.seg = m.seg
+), grp AS (
+  SELECT seg,
+         CAST(COUNT(*) AS BIGINT) AS n_g,
+         CAST(CAST(SUM(CAST(zi AS DECIMAL(38,0))) AS BIGINT) AS DOUBLE) AS s_g,
+         CAST(SUM(CAST(CAST(zi AS DECIMAL(19,0)) * zi AS DECIMAL(38,0))) AS DECIMAL(38,0)) AS q_dec
+  FROM z GROUP BY seg
+), m AS (
+  SELECT
+    CAST(COUNT(*) AS BIGINT) AS k,
+    CAST(SUM(n_g) AS BIGINT) AS n,
+    {SFOLD} AS s_tot,
+    CAST(CAST(SUM(q_dec) AS BIGINT) AS DOUBLE) AS q_tot,
+    {FOLD} AS ss_groups
+  FROM grp
+)
+SELECT k, n,
+  ( (ss_groups - s_tot * s_tot / n) / (k - 1) )
+  / ( (q_tot - ss_groups) / (n - k) ) AS bf_stat
+FROM m
+"""
+
+_BF_FOLD_TERM = "s_g * s_g / CAST(n_g AS DOUBLE)"
+
+sql_query(
+    "stat_brown_forsythe",
+    _BF_TEMPLATE.replace("{IDIV}", "DIV")
+    .replace(
+        "{FOLD}",
+        f"reduce(array_sort(collect_list({_BF_FOLD_TERM})),"
+        " CAST(0.0E0 AS DOUBLE), (a, x) -> a + x)",
+    )
+    .replace(
+        "{SFOLD}",
+        "reduce(array_sort(collect_list(s_g)),"
+        " CAST(0.0E0 AS DOUBLE), (a, x) -> a + x)",
+    ),
+    oracle=_BF_TEMPLATE.replace("{IDIV}", "//")
+    .replace(
+        "{FOLD}",
+        f"list_reduce(list_sort(list({_BF_FOLD_TERM})), (a, x) -> a + x)",
+    )
+    .replace(
+        "{SFOLD}",
+        "list_reduce(list_sort(list(s_g)), (a, x) -> a + x)",
+    ),
+)
+
+
+# Multi-lag autocorrelation function (lags 1–7) of the daily revenue
+# series — the weekly-seasonality profile in one query (the lag-1
+# operator generalized). The raw pass is the same one-hash-aggregate
+# daily collapse; days become integer indexes k (exact date arithmetic
+# against the global min), the 7 lags come from an inline VALUES table,
+# and each lag's Pearson moments fold over ~2.4k pairs — a per-lag
+# constant-cardinality reduction whose double sums fold in SORTED order
+# (bit-identical cross-engine). A pair exists only where both endpoints
+# exist — identical semantics in both engines. Scale: the only O(rows)
+# term is the daily aggregate; everything after is O(days × lags).
+_ACF_MULTI_TEMPLATE = """
+WITH daily AS (
+  SELECT CAST(o_orderdate AS DATE) AS d,
+    {REV} AS rev
+  FROM orders GROUP BY CAST(o_orderdate AS DATE)
+), d0 AS (
+  SELECT MIN(d) AS dmin FROM daily
+), idx AS (
+  SELECT {DATEDIFF} AS k, rev FROM daily CROSS JOIN d0
+), lags AS (
+  SELECT lag FROM (VALUES (1), (2), (3), (4), (5), (6), (7)) AS t(lag)
+), pairs AS (
+  SELECT l.lag AS lag, a.rev AS y, b.rev AS x
+  FROM lags l CROSS JOIN idx a JOIN idx b ON b.k = a.k - l.lag
+), m AS (
+  SELECT lag, CAST(COUNT(*) AS DOUBLE) AS n,
+    {FX} AS sx, {FY} AS sy, {FXX} AS sxx, {FYY} AS syy, {FXY} AS sxy
+  FROM pairs GROUP BY lag
+)
+SELECT lag, CAST(n AS BIGINT) AS n_pairs,
+  (n * sxy - sx * sy)
+  / (SQRT(n * sxx - sx * sx) * SQRT(n * syy - sy * sy)) AS acf
+FROM m
+ORDER BY lag
+"""
+
+
+def _acf_multi(fold):
+    return (
+        _ACF_MULTI_TEMPLATE.replace("{FX}", fold("x"))
+        .replace("{FY}", fold("y"))
+        .replace("{FXX}", fold("x * x"))
+        .replace("{FYY}", fold("y * y"))
+        .replace("{FXY}", fold("x * y"))
+    )
+
+
+sql_query(
+    "stat_acf_multi_lag",
+    _acf_multi(
+        lambda e: f"reduce(array_sort(collect_list({e})),"
+        " CAST(0.0E0 AS DOUBLE), (a, v) -> a + v)"
+    )
+    .replace("{REV}", _d2d("SUM(CAST(o_totalprice AS DECIMAL(38,12)))"))
+    .replace("{DATEDIFF}", "datediff(d, dmin)"),
+    oracle=_acf_multi(
+        lambda e: f"list_reduce(list_sort(list({e})), (a, v) -> a + v)"
+    )
+    .replace("{REV}", _d2d("SUM(CAST(o_totalprice AS DECIMAL(38,12)))"))
+    .replace("{DATEDIFF}", "datediff('day', dmin, d)"),
+)
