@@ -1656,6 +1656,55 @@ def catalog_delta_column_mapping(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "catalog_delta_idmode_roundtrip",
+    """
+SELECT s_nationkey, COUNT(*) AS n,
+  CAST(SUM(CAST(s_acctbal AS DECIMAL(38,6))) AS DOUBLE) AS total_balance
+FROM supplier
+GROUP BY s_nationkey
+ORDER BY s_nationkey
+""",
+)
+def catalog_delta_idmode_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Delta COLUMN MAPPING 'id' MODE end-to-end (round 9, closes the
+    standing refusal): create a creation-time id-mode table whose
+    physical parquet names (col-N) DIVERGE from the logical schema by
+    construction, write the supplier rows through the pydelta writer
+    (which stamps PARQUET:field_id on every column), RENAME s_acctbal →
+    account_balance metadata-only, then read back through the pydelta
+    reader — which resolves each file's columns BY FIELD ID (names are
+    arbitrary under the protocol). The aggregate over the renamed
+    column must equal the raw-fixture oracle. At 100 TB: same
+    metadata-only rename economics as name mode, plus resilience to
+    writers that name parquet columns differently."""
+    import tempfile as _tf
+
+    from iceberg_metadata_pipeline_spark.catalog.delta_format import (
+        create_delta_table,
+        rename_delta_column,
+    )
+    from iceberg_metadata_pipeline_spark.ingest.pydelta_source import register
+
+    supplier = load_tables(spark, sf_dir)["supplier"]
+    dest = _tf.mkdtemp(prefix="delta-idm-")
+    create_delta_table(dest, supplier.schema, column_mapping="id")
+    register(spark)
+    supplier.write.format("pydelta").mode("append").save(dest)
+    rename_delta_column(dest, "s_acctbal", "account_balance")
+    back = spark.read.format("pydelta").load(dest)
+    return (
+        back.groupBy("s_nationkey")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("account_balance").cast("decimal(38,6)"))
+            .cast("double")
+            .alias("total_balance"),
+        )
+        .orderBy("s_nationkey")
+    )
+
+
+@query(
     "catalog_delta_export_import",
     """
 SELECT s_nationkey, COUNT(*) AS n,

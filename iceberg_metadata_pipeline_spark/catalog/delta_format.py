@@ -498,7 +498,15 @@ def optimize_delta(
     if not victims:
         return state.version
 
-    phys = physical_names(state)
+    idmode = column_mapping_mode(state) == "id"
+    if idmode:
+        # packed files must stay id-resolvable: write under the metadata
+        # physicalNames AND stamp parquet.field.id on every column
+        # (Spark's writer emits PARQUET:field_id from alias metadata)
+        check_id_mode_supported(state)
+        ids = column_mapping_ids(state)
+        spark.conf.set("spark.sql.parquet.fieldId.write.enabled", "true")
+    phys = physical_names_meta(state) if idmode else physical_names(state)
     pcols = set(state.partition_columns)
     file_fields = [f for f in state.schema.fields if f.name not in pcols]
     out_dir = os.path.join(location, "optimized")
@@ -522,11 +530,15 @@ def optimize_delta(
         )
         live = _live_rows_dataframe(spark, sub).select(
             # logical → PHYSICAL, recursively: packed files must store
-            # the same (nested) parquet names as the files they replace
+            # the same (nested) parquet names as the files they replace;
+            # id mode additionally stamps the field id via alias metadata
             *[
                 rename_expr(
                     F.col(f.name), f.dataType, physical_type(f.dataType)
-                ).alias(phys[f.name])
+                ).alias(
+                    phys[f.name],
+                    metadata={"parquet.field.id": ids[f.name]} if idmode else None,
+                )
                 for f in file_fields
             ]
         )
@@ -757,10 +769,16 @@ def import_delta_table(
     from iceberg_metadata_pipeline_spark.catalog.metacat import DataFileEntry
 
     state = read_delta_table(location, version)
-    renamed = column_mapping_mode(state) != "none" and any(
-        physical_names(state)[f.name] != f.name
-        or physical_type(f.dataType) != _strip_field_metadata(f.dataType)
-        for f in state.schema.fields
+    # id mode always materializes: parquet names are arbitrary under the
+    # protocol (resolution is by field id), so raw registration can never
+    # be proven safe from the log alone
+    renamed = column_mapping_mode(state) == "id" or (
+        column_mapping_mode(state) != "none"
+        and any(
+            physical_names(state)[f.name] != f.name
+            or physical_type(f.dataType) != _strip_field_metadata(f.dataType)
+            for f in state.schema.fields
+        )
     )
     if renamed or any(a.get("deletionVector") for a in state.files.values()):
         t = catalog.create_table(namespace, name, state.schema).refresh()
@@ -1328,13 +1346,72 @@ def physical_names(state: DeltaTableState) -> dict:
     if mode == "id":
         raise NotImplementedError(
             "delta.columnMapping.mode='id' resolves parquet columns by "
-            "field id, which this reader does not implement — only 'name' "
-            "mode is served; read id-mode tables with a full Delta runtime"
+            "field id — NAME resolution on an id-mode table would silently "
+            "read wrong columns; use the id-aware paths "
+            "(column_mapping_ids/parquet_field_ids, the pydelta reader, "
+            "_live_rows_dataframe), which resolve by field id"
         )
     return {
         f.name: (f.metadata or {}).get("delta.columnMapping.physicalName", f.name)
         for f in state.schema.fields
     }
+
+
+def physical_names_meta(state: DeltaTableState) -> dict:
+    """logical column → metadata ``physicalName`` (identity fallback),
+    WITHOUT the 'id'-mode refusal: id-mode tables still carry
+    physicalNames and key their ``partitionValues`` by them (the spec
+    writes both); only PARQUET column resolution must go through field
+    ids. Use this for partitionValues keys and file-write names; use
+    ``physical_names`` when about to resolve parquet columns by name."""
+    return {
+        f.name: (f.metadata or {}).get("delta.columnMapping.physicalName", f.name)
+        for f in state.schema.fields
+    }
+
+
+def column_mapping_ids(state: DeltaTableState) -> dict:
+    """logical column → ``delta.columnMapping.id`` (top level). Raises
+    on a mapped table whose field lacks an id — a protocol violation."""
+    out = {}
+    for f in state.schema.fields:
+        fid = (f.metadata or {}).get("delta.columnMapping.id")
+        if fid is None:
+            raise ValueError(
+                f"column-mapped table but field {f.name!r} has no "
+                "delta.columnMapping.id — corrupt metadata"
+            )
+        out[f.name] = int(fid)
+    return out
+
+
+def parquet_field_ids(path: str) -> dict:
+    """parquet field id → column name, from the file's arrow schema
+    (PARQUET:field_id field metadata). Empty when the file carries no
+    ids. One footer read — O(files) metadata IO where used."""
+    import pyarrow.parquet as pq
+
+    out = {}
+    for f in pq.ParquetFile(path).schema_arrow:
+        fid = (f.metadata or {}).get(b"PARQUET:field_id")
+        if fid is not None:
+            out[int(fid)] = f.name
+    return out
+
+
+def check_id_mode_supported(state: DeltaTableState) -> None:
+    """The id-mode contract this engine serves: TOP-LEVEL field-id
+    resolution. Nested-mapped id tables (columnMapping metadata below
+    the top level) refuse loudly — resolving nested parquet fields by
+    id needs a schema-tree matcher this reader does not implement."""
+    for f in state.schema.fields:
+        if _has_nested_mapping(f.dataType):
+            raise NotImplementedError(
+                "id-mode table with NESTED column mapping "
+                f"(field {f.name!r}) — only top-level id resolution is "
+                "served; read nested-mapped id tables with a full Delta "
+                "runtime"
+            )
 
 
 def enable_column_mapping(location: str) -> int:
@@ -1390,6 +1467,95 @@ def enable_column_mapping(location: str) -> int:
                 "commitInfo": {
                     "operation": "UPGRADE COLUMN MAPPING",
                     "operationParameters": {"mode": "name"},
+                }
+            },
+        ],
+    )
+
+
+def create_delta_table(
+    location: str,
+    schema: T.StructType,
+    partition_columns: list[str] | None = None,
+    column_mapping: str = "none",
+) -> int:
+    """Create an EMPTY Delta table (commit v0: protocol + metaData).
+
+    ``column_mapping='id'`` creates the table real Delta only allows at
+    creation time: every top-level field gets a stable
+    ``delta.columnMapping.id`` and a physicalName ``col-<id>`` that
+    DIVERGES from the logical name by construction, so readers must
+    resolve parquet columns by field id (files written by the pydelta
+    writer stamp PARQUET:field_id). Nested struct fields refuse under
+    'id' — this engine serves top-level id resolution only
+    (check_id_mode_supported). 'name' mode is also accepted for
+    symmetry; 'none' creates a plain table."""
+    if latest_version(location) >= 0:
+        raise ValueError(f"{location}: Delta table already exists")
+    if column_mapping not in ("none", "name", "id"):
+        raise ValueError(f"unknown column mapping mode {column_mapping!r}")
+    part = list(partition_columns or [])
+    missing = [c for c in part if c not in schema.fieldNames()]
+    if missing:
+        raise ValueError(f"partition columns {missing} not in schema")
+    fields = list(schema.fields)
+    protocol = {"minReaderVersion": 1, "minWriterVersion": 2}
+    conf: dict = {}
+    if column_mapping != "none":
+        def _contains_struct(dt) -> bool:
+            if isinstance(dt, T.StructType):
+                return True
+            if isinstance(dt, T.ArrayType):
+                return _contains_struct(dt.elementType)
+            if isinstance(dt, T.MapType):
+                return _contains_struct(dt.keyType) or _contains_struct(dt.valueType)
+            return False
+
+        if column_mapping == "id" and any(
+            _contains_struct(f.dataType) for f in fields
+        ):
+            raise NotImplementedError(
+                "id-mode creation with struct-bearing columns — nested "
+                "fields would need recursive id mapping, which the id "
+                "read paths refuse; use 'name' mode for nested schemas"
+            )
+        mapped = []
+        for i, f in enumerate(fields, start=1):
+            m = dict(f.metadata or {})
+            m["delta.columnMapping.id"] = i
+            m["delta.columnMapping.physicalName"] = (
+                f"col-{i}" if column_mapping == "id" else f.name
+            )
+            mapped.append(T.StructField(f.name, f.dataType, f.nullable, m))
+        fields = mapped
+        protocol = {"minReaderVersion": 2, "minWriterVersion": 5}
+        conf = {
+            "delta.columnMapping.mode": column_mapping,
+            "delta.columnMapping.maxColumnId": str(len(fields)),
+        }
+    import time as _time
+    import uuid as _uuid
+
+    now = int(_time.time() * 1000)
+    return write_commit(
+        location,
+        [
+            {"protocol": protocol},
+            {
+                "metaData": {
+                    "id": str(_uuid.uuid4()),
+                    "format": {"provider": "parquet", "options": {}},
+                    "schemaString": json.dumps(T.StructType(fields).jsonValue()),
+                    "partitionColumns": part,
+                    "configuration": conf,
+                    "createdTime": now,
+                }
+            },
+            {
+                "commitInfo": {
+                    "timestamp": now,
+                    "operation": "CREATE TABLE",
+                    "operationParameters": {"columnMapping": column_mapping},
                 }
             },
         ],
@@ -1483,24 +1649,55 @@ def _live_rows_dataframe(spark: SparkSession, state: DeltaTableState):
 
     norm = lambda c: F.regexp_replace(c, r"^file:/+", "/")  # noqa: E731
     pcols = set(state.partition_columns)
-    phys = physical_names(state)
+    idmode = column_mapping_mode(state) == "id"
+    if idmode:
+        check_id_mode_supported(state)
+        ids = column_mapping_ids(state)
+    phys = physical_names_meta(state) if idmode else physical_names(state)
     file_fields = [f for f in state.schema.fields if f.name not in pcols]
     abs_of = {
         p: (p if os.path.isabs(p) else os.path.join(state.location, p))
         for p in state.files
     }
     ptypes = {f.name: physical_type(f.dataType) for f in file_fields}
-    data = (
+    if idmode:
+        # field-id resolution, Spark-native: the requested schema names
+        # fields LOGICALLY but carries parquet.field.id metadata, and
+        # fieldId.read matches on the id — parquet column names are
+        # irrelevant, exactly the id-mode contract. A file with no ids
+        # at all would resolve NOTHING and read silent nulls, so every
+        # file is pre-checked (one footer read each — the importer
+        # already pays O(files) footer IO for row counts).
+        for p in abs_of.values():
+            if file_fields and not parquet_field_ids(p):
+                raise ValueError(
+                    f"id-mode table but data file {p} carries no "
+                    "PARQUET:field_id metadata — unreadable by field id"
+                )
+        spark.conf.set("spark.sql.parquet.fieldId.read.enabled", "true")
+        spark.conf.set("spark.sql.parquet.fieldId.read.ignoreMissing", "true")
+        read_schema = T.StructType(
+            [
+                T.StructField(
+                    f.name,
+                    _strip_field_metadata(f.dataType),
+                    f.nullable,
+                    {"parquet.field.id": ids[f.name]},
+                )
+                for f in file_fields
+            ]
+        )
+    else:
         # parquet stores PHYSICAL names (identity unless column mapping),
         # recursively — nested struct fields rename too
-        spark.read.schema(
-            T.StructType(
-                [
-                    T.StructField(phys[f.name], ptypes[f.name], f.nullable)
-                    for f in file_fields
-                ]
-            )
+        read_schema = T.StructType(
+            [
+                T.StructField(phys[f.name], ptypes[f.name], f.nullable)
+                for f in file_fields
+            ]
         )
+    data = (
+        spark.read.schema(read_schema)
         .parquet(*abs_of.values())
         .withColumn("__file", norm(F.col("_metadata.file_path")))
         .withColumn("__pos", F.col("_metadata.row_index"))
@@ -1509,7 +1706,8 @@ def _live_rows_dataframe(spark: SparkSession, state: DeltaTableState):
     # and physical namespaces are independent under the protocol, so a
     # swap rename (a↔b) is legal — one-at-a-time renames would clobber.
     # Nested renames rebuild the struct positionally (rename_expr).
-    if any(
+    # (id mode: the fieldId read already produced logical names.)
+    if not idmode and any(
         phys[f.name] != f.name
         or ptypes[f.name] != _strip_field_metadata(f.dataType)
         for f in file_fields

@@ -103,8 +103,30 @@ class _DeltaReadMixin:
 
     schema: T.StructType
     partition_columns: list[str]
-    # logical -> parquet (physical) name; identity unless column mapping
-    physical: dict
+    # logical -> parquet (physical) name; identity unless column mapping.
+    # None under id-mode column mapping: resolution is per FILE, by
+    # parquet field id (field_ids maps logical -> delta.columnMapping.id)
+    physical: dict | None
+    field_ids: dict | None
+
+    def _resolve_mapping(self, state) -> None:
+        """Set (physical, field_ids) per the table's column-mapping mode:
+        'id' resolves parquet columns by field id (per file, in _rows);
+        'name'/'none' by the static physicalName map."""
+        from iceberg_metadata_pipeline_spark.catalog.delta_format import (
+            check_id_mode_supported,
+            column_mapping_ids,
+            column_mapping_mode,
+            physical_names,
+        )
+
+        if column_mapping_mode(state) == "id":
+            check_id_mode_supported(state)
+            self.physical = None
+            self.field_ids = column_mapping_ids(state)
+        else:
+            self.physical = physical_names(state)
+            self.field_ids = None
 
     def _rows(self, part: DeltaFilePartition):
         import pyarrow.parquet as pq
@@ -129,10 +151,32 @@ class _DeltaReadMixin:
             dead.update(read_dv_from_file(dv_path, int(offset), size))
         pf = pq.ParquetFile(part.path)
         file_cols = set(pf.schema_arrow.names)
+        if self.physical is None:
+            # id mode: THIS file's field ids decide which parquet column
+            # serves each logical field (names are arbitrary under the
+            # protocol); a field id absent from the file means the column
+            # was added after the file was written → nulls, but a file
+            # with no ids at all is a protocol violation → loud refusal
+            fid_to_name = {}
+            for af in pf.schema_arrow:
+                fid = (af.metadata or {}).get(b"PARQUET:field_id")
+                if fid is not None:
+                    fid_to_name[int(fid)] = af.name
+            if file_fields and not fid_to_name:
+                raise ValueError(
+                    f"id-mode table but data file {part.path} carries no "
+                    "PARQUET:field_id metadata — unreadable by field id"
+                )
+            physical = {
+                f.name: fid_to_name.get(self.field_ids[f.name], "\x00absent")
+                for f in file_fields
+            }
+        else:
+            physical = self.physical
         names = [
             n
             for f in file_fields
-            if (n := self.physical.get(f.name, f.name)) in file_cols
+            if (n := physical.get(f.name, f.name)) in file_cols
         ]
         pos = 0
         for batch in pf.iter_batches(columns=names):
@@ -147,7 +191,7 @@ class _DeltaReadMixin:
                     # for its rows (Delta's add-column semantics: no
                     # rewrite, readers project missing columns as null)
                     vals = got.get(
-                        self.physical.get(f.name, f.name),
+                        physical.get(f.name, f.name),
                         [None] * batch.num_rows,
                     )
                     if _has_nested_mapping(f.dataType):
@@ -173,10 +217,9 @@ class PyDeltaBatchReader(DataSourceReader, _DeltaReadMixin):
         self.partition_columns = state.partition_columns
         from iceberg_metadata_pipeline_spark.catalog.delta_format import (
             _decode_dv_descriptor,
-            physical_names,
         )
 
-        self.physical = physical_names(state)
+        self._resolve_mapping(state)
         from iceberg_metadata_pipeline_spark.catalog.delta_format import (
             dv_file_path,
         )
@@ -246,11 +289,7 @@ class PyDeltaStreamReader(DataSourceStreamReader, _DeltaReadMixin):
         state = read_delta_table(self.path)  # schema + partitioning from the log
         self.schema = state.schema
         self.partition_columns = state.partition_columns
-        from iceberg_metadata_pipeline_spark.catalog.delta_format import (
-            physical_names,
-        )
-
-        self.physical = physical_names(state)
+        self._resolve_mapping(state)
 
     def initialOffset(self) -> dict:
         return {"v": -1}
@@ -378,19 +417,25 @@ class PyDeltaBatchWriter(DataSourceWriter):
                     "table first or align the dataframe"
                 )
             self.part_cols = state.partition_columns
-            # COLUMN-MAPPED ('name' mode) tables are served (round 9):
-            # data files write under PHYSICAL names and partitionValues
-            # key by physical name — exactly what the read paths map
-            # back. Nested mapping still refuses ('id' mode refuses
-            # inside physical_names itself).
+            # COLUMN-MAPPED tables are served (round 9): data files
+            # write under PHYSICAL names and partitionValues key by
+            # physical name; mapped tables ('name' AND 'id' mode) also
+            # stamp PARQUET:field_id on every column per the spec —
+            # which is what makes the files id-resolvable. Nested
+            # mapping still refuses.
             from iceberg_metadata_pipeline_spark.catalog.delta_format import (
                 _has_nested_mapping,
+                column_mapping_ids,
                 column_mapping_mode,
-                physical_names,
+                physical_names_meta,
             )
 
-            self.physical = physical_names(state)
-            if column_mapping_mode(state) != "none" and any(
+            self.physical = physical_names_meta(state)
+            mode = column_mapping_mode(state)
+            self.field_ids = (
+                column_mapping_ids(state) if mode != "none" else None
+            )
+            if mode != "none" and any(
                 _has_nested_mapping(f.dataType) for f in state.schema.fields
             ):
                 raise NotImplementedError(
@@ -410,6 +455,7 @@ class PyDeltaBatchWriter(DataSourceWriter):
                     "schema"
                 )
             self.physical = {f.name: f.name for f in schema.fields}
+            self.field_ids = None
         os.makedirs(self.dest, exist_ok=True)
 
     def write(self, iterator):
@@ -431,8 +477,17 @@ class PyDeltaBatchWriter(DataSourceWriter):
         # column-mapped tables store PHYSICAL names in both the files
         # and the partitionValues keys
         phys = getattr(self, "physical", None) or {n: n for n in names}
+        fid = getattr(self, "field_ids", None) or {}
         data_fields = [
-            pa.field(phys.get(f.name, f.name), f.type)
+            pa.field(
+                phys.get(f.name, f.name),
+                f.type,
+                metadata=(
+                    {b"PARQUET:field_id": str(fid[f.name]).encode()}
+                    if f.name in fid
+                    else None
+                ),
+            )
             for f in fields
             if f.name not in part_idx
         ]

@@ -1,0 +1,259 @@
+"""Delta column-mapping 'id' mode (round 9, closes the standing
+refusal): creation-time id tables, field-id-stamped writes, field-id
+resolution on BOTH read paths (pydelta per-file pyarrow map; Spark's
+native parquet.field.id read in _live_rows_dataframe), metadata-only
+renames, OPTIMIZE keeping files id-resolvable, and the loud refusals
+(no-id files, nested-mapped id tables)."""
+
+from __future__ import annotations
+
+import os
+
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+from pyspark.sql import types as T
+
+from iceberg_metadata_pipeline_spark.catalog.delta_format import (
+    check_id_mode_supported,
+    column_mapping_ids,
+    create_delta_table,
+    optimize_delta,
+    parquet_field_ids,
+    physical_names,
+    physical_names_meta,
+    read_delta_table,
+    rename_delta_column,
+    write_commit,
+)
+from iceberg_metadata_pipeline_spark.ingest.pydelta_source import register
+
+SCHEMA = T.StructType(
+    [
+        T.StructField("id", T.LongType(), False),
+        T.StructField("name", T.StringType(), True),
+        T.StructField("score", T.DoubleType(), True),
+    ]
+)
+
+
+@pytest.fixture()
+def id_table(spark, tmp_path):
+    dest = str(tmp_path / "idtable")
+    create_delta_table(dest, SCHEMA, column_mapping="id")
+    register(spark)
+    df = spark.createDataFrame(
+        [(i, f"n{i}", float(i) / 2) for i in range(20)], SCHEMA
+    )
+    df.write.format("pydelta").mode("append").save(dest)
+    return dest
+
+
+def test_create_idmode_assigns_divergent_physical_names(spark, tmp_path):
+    dest = str(tmp_path / "t")
+    create_delta_table(dest, SCHEMA, column_mapping="id")
+    state = read_delta_table(dest)
+    assert column_mapping_ids(state) == {"id": 1, "name": 2, "score": 3}
+    assert physical_names_meta(state) == {
+        "id": "col-1",
+        "name": "col-2",
+        "score": "col-3",
+    }
+    # name-resolution on an id table must refuse
+    with pytest.raises(NotImplementedError, match="field id"):
+        physical_names(state)
+    # double-create refuses
+    with pytest.raises(ValueError, match="already exists"):
+        create_delta_table(dest, SCHEMA, column_mapping="id")
+
+
+def test_idmode_write_stamps_field_ids_and_reads_back(spark, id_table):
+    state = read_delta_table(id_table)
+    assert len(state.files) >= 1
+    for p in state.files:
+        full = os.path.join(id_table, p)
+        ids = parquet_field_ids(full)
+        assert ids == {1: "col-1", 2: "col-2", 3: "col-3"}
+    back = spark.read.format("pydelta").load(id_table)
+    rows = {(r["id"], r["name"], r["score"]) for r in back.collect()}
+    assert rows == {(i, f"n{i}", i / 2) for i in range(20)}
+
+
+def test_idmode_rename_is_metadata_only(spark, id_table):
+    files_before = set(read_delta_table(id_table).files)
+    rename_delta_column(id_table, "score", "points")
+    state = read_delta_table(id_table)
+    assert set(state.files) == files_before  # zero rewrites
+    back = spark.read.format("pydelta").load(id_table)
+    assert "points" in back.columns and "score" not in back.columns
+    assert {r["points"] for r in back.collect()} == {i / 2 for i in range(20)}
+
+
+def test_idmode_scrambled_parquet_names_resolve_by_id(spark, tmp_path):
+    """THE id-mode property: parquet column names are arbitrary — a
+    foreign writer's file with totally different names but correct
+    field ids must read correctly."""
+    dest = str(tmp_path / "t")
+    create_delta_table(dest, SCHEMA, column_mapping="id")
+    sch = pa.schema(
+        [
+            # names deliberately swapped/garbled vs physicalName
+            pa.field("col-3", pa.int64(), metadata={b"PARQUET:field_id": b"1"}),
+            pa.field("zzz", pa.string(), metadata={b"PARQUET:field_id": b"2"}),
+            pa.field("col-1", pa.float64(), metadata={b"PARQUET:field_id": b"3"}),
+        ]
+    )
+    fp = os.path.join(dest, "foreign.parquet")
+    pq.write_table(
+        pa.table({"col-3": [7], "zzz": ["x"], "col-1": [0.5]}, schema=sch), fp
+    )
+    write_commit(
+        dest,
+        [
+            {
+                "add": {
+                    "path": "foreign.parquet",
+                    "partitionValues": {},
+                    "size": os.path.getsize(fp),
+                    "modificationTime": 0,
+                    "dataChange": True,
+                }
+            }
+        ],
+    )
+    register(spark)
+    rows = spark.read.format("pydelta").load(dest).collect()
+    assert [(r["id"], r["name"], r["score"]) for r in rows] == [(7, "x", 0.5)]
+
+
+def test_idmode_file_without_ids_refuses(spark, tmp_path):
+    dest = str(tmp_path / "t")
+    create_delta_table(dest, SCHEMA, column_mapping="id")
+    fp = os.path.join(dest, "noids.parquet")
+    pq.write_table(
+        pa.table({"col-1": [1], "col-2": ["a"], "col-3": [1.0]}), fp
+    )
+    write_commit(
+        dest,
+        [
+            {
+                "add": {
+                    "path": "noids.parquet",
+                    "partitionValues": {},
+                    "size": os.path.getsize(fp),
+                    "modificationTime": 0,
+                    "dataChange": True,
+                }
+            }
+        ],
+    )
+    register(spark)
+    with pytest.raises(Exception, match="PARQUET:field_id"):
+        spark.read.format("pydelta").load(dest).collect()
+
+
+def test_idmode_added_column_projects_null(spark, id_table):
+    """Delta add-column semantics: files written before the column got
+    its id project null — the field id is simply absent from them."""
+    import json
+
+    state = read_delta_table(id_table)
+    new_fields = state.schema.fields + [
+        T.StructField(
+            "extra",
+            T.LongType(),
+            True,
+            {"delta.columnMapping.id": 4, "delta.columnMapping.physicalName": "col-4"},
+        )
+    ]
+    conf = dict(state.metadata["configuration"])
+    conf["delta.columnMapping.maxColumnId"] = "4"
+    md = dict(
+        state.metadata,
+        schemaString=json.dumps(T.StructType(new_fields).jsonValue()),
+        configuration=conf,
+    )
+    write_commit(id_table, [{"metaData": md}, {"commitInfo": {"operation": "ADD COLUMNS"}}])
+    back = spark.read.format("pydelta").load(id_table)
+    rows = back.collect()
+    assert len(rows) == 20
+    assert all(r["extra"] is None for r in rows)
+    assert {r["id"] for r in rows} == set(range(20))
+
+
+def test_idmode_nested_refusals(tmp_path):
+    nested = T.StructType(
+        [
+            T.StructField("id", T.LongType(), False),
+            T.StructField(
+                "s",
+                T.StructType([T.StructField("x", T.LongType(), True)]),
+                True,
+            ),
+        ]
+    )
+    with pytest.raises(NotImplementedError, match="nested|struct"):
+        create_delta_table(str(tmp_path / "t1"), nested, column_mapping="id")
+    # a FOREIGN nested-mapped id table refuses at resolution time
+    mapped_nested = T.StructType(
+        [
+            T.StructField(
+                "s",
+                T.StructType(
+                    [
+                        T.StructField(
+                            "x",
+                            T.LongType(),
+                            True,
+                            {
+                                "delta.columnMapping.id": 2,
+                                "delta.columnMapping.physicalName": "col-2",
+                            },
+                        )
+                    ]
+                ),
+                True,
+                {
+                    "delta.columnMapping.id": 1,
+                    "delta.columnMapping.physicalName": "col-1",
+                },
+            )
+        ]
+    )
+
+    class _FakeState:
+        schema = mapped_nested
+
+    with pytest.raises(NotImplementedError, match="NESTED"):
+        check_id_mode_supported(_FakeState())
+
+
+def test_idmode_optimize_keeps_files_id_resolvable(spark, tmp_path):
+    dest = str(tmp_path / "t")
+    create_delta_table(dest, SCHEMA, column_mapping="id")
+    register(spark)
+    for lo in range(0, 30, 10):
+        spark.createDataFrame(
+            [(i, f"n{i}", float(i)) for i in range(lo, lo + 10)], SCHEMA
+        ).write.format("pydelta").mode("append").save(dest)
+    assert len(read_delta_table(dest).files) >= 3
+    v = optimize_delta(spark, dest, target_file_rows=1000)
+    state = read_delta_table(dest, v)
+    assert len(state.files) == 1
+    packed = next(iter(state.files))
+    ids = parquet_field_ids(os.path.join(dest, packed))
+    assert set(ids) == {1, 2, 3}  # packed file still id-stamped
+    back = spark.read.format("pydelta").load(dest)
+    assert {r["id"] for r in back.collect()} == set(range(30))
+
+
+def test_idmode_import_materializes(spark, tmp_path, id_table):
+    from iceberg_metadata_pipeline_spark.catalog.delta_format import (
+        import_delta_table,
+    )
+    from iceberg_metadata_pipeline_spark.catalog.metacat import Catalog
+
+    catalog = Catalog(spark, str(tmp_path / "wh"))
+    t = import_delta_table(spark, catalog, id_table, "nyc", "from_id")
+    rows = {(r["id"], r["name"], r["score"]) for r in t.scan().collect()}
+    assert rows == {(i, f"n{i}", i / 2) for i in range(20)}
