@@ -127,6 +127,12 @@ HEADLINE = [
     # round-8: distributed MOR write path, cells-collapsed pair stats
     "catalog_hudi_mor_write_dist",
     "stat_kendall_tau_b",
+    # round-9: id-mode Delta round-trip, blocked Jaro-Winkler join,
+    # wedge-join link prediction, from-scratch count-min
+    "catalog_delta_idmode_roundtrip",
+    "join_fuzzy_jaro_winkler",
+    "graph_link_prediction_jaccard",
+    "sketch_countmin_heavy_hitters",
 ]
 
 
