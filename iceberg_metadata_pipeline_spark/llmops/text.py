@@ -499,3 +499,57 @@ FROM scored
 ORDER BY doc_id
 """,
 )
+
+
+# Zipf's-law fit of the corpus token distribution: OLS slope of
+# ln(freq) on ln(rank) over the top-200 tokens — the one-number
+# vocabulary-health check (natural text ≈ −1; templated/synthetic
+# corpora flatten). The O(rows) pass is one token-count hash aggregate;
+# ranking runs over the VOCABULARY (orders of magnitude below token
+# count — at web scale swap in the bucketed prefix rank), the fit over
+# 200 points with SORTED double folds, and ln()'s 1-ulp libm drift is
+# absorbed by ROUND(,9). Deterministic rank tiebreak: (freq DESC, tok).
+_ZIPF_TEMPLATE = """
+WITH tf AS (
+  SELECT tok, CAST(COUNT(*) AS BIGINT) AS freq
+  FROM (SELECT {EXPLODE} AS tok FROM documents) x
+  GROUP BY tok
+), ranked AS (
+  SELECT freq, ROW_NUMBER() OVER (ORDER BY freq DESC, tok) AS r
+  FROM tf
+), top AS (
+  SELECT LN(CAST(r AS DOUBLE)) AS x, LN(CAST(freq AS DOUBLE)) AS y
+  FROM ranked WHERE r <= 200
+), m AS (
+  SELECT CAST(COUNT(*) AS DOUBLE) AS n,
+    {FX} AS sx, {FY} AS sy, {FXX} AS sxx, {FXY} AS sxy
+  FROM top
+)
+SELECT CAST(n AS BIGINT) AS n_terms,
+  ROUND((n * sxy - sx * sy) / (n * sxx - sx * sx), 9) AS zipf_slope
+FROM m
+"""
+
+
+def _zipf(explode_expr: str, fold):
+    return (
+        _ZIPF_TEMPLATE.replace("{EXPLODE}", explode_expr)
+        .replace("{FX}", fold("x"))
+        .replace("{FY}", fold("y"))
+        .replace("{FXX}", fold("x * x"))
+        .replace("{FXY}", fold("x * y"))
+    )
+
+
+sql_query(
+    "text_zipf_fit",
+    _zipf(
+        "explode(split(lower(text), ' '))",
+        lambda e: f"reduce(array_sort(collect_list({e})),"
+        " CAST(0.0E0 AS DOUBLE), (a, v) -> a + v)",
+    ),
+    oracle=_zipf(
+        "unnest(string_split(lower(text), ' '))",
+        lambda e: f"list_reduce(list_sort(list({e})), (a, v) -> a + v)",
+    ),
+)

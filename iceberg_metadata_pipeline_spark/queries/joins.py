@@ -650,3 +650,78 @@ def join_fuzzy_jaro_winkler(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("p_brand")
     )
+
+
+# --- interval-overlap join (both sides intervals), binned ---------------------
+
+_IOV_ORACLE = """
+WITH a AS (
+  SELECT o_orderpriority,
+         datediff('day', DATE '1995-01-01', CAST(o_orderdate AS DATE)) AS lo,
+         datediff('day', DATE '1995-01-01', CAST(o_orderdate AS DATE)) + 6 AS hi
+  FROM orders WHERE o_totalprice > 480000
+), b AS (
+  SELECT datediff('day', DATE '1995-01-01', CAST(l_shipdate AS DATE)) AS lo,
+         datediff('day', DATE '1995-01-01', CAST(l_shipdate AS DATE)) + 13 AS hi
+  FROM lineitem
+)
+SELECT a.o_orderpriority, CAST(COUNT(*) AS BIGINT) AS n_pairs,
+       CAST(SUM(LEAST(a.hi, b.hi) - GREATEST(a.lo, b.lo) + 1) AS BIGINT)
+         AS total_overlap_days
+FROM a JOIN b ON a.lo <= b.hi AND b.lo <= a.hi
+GROUP BY a.o_orderpriority
+ORDER BY a.o_orderpriority
+"""
+
+
+@query("join_interval_overlap_binned", _IOV_ORACLE)
+def join_interval_overlap_binned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INTERVAL × INTERVAL overlap join — the two-sided generalization
+    of join_range_binned (point-in-interval): high-value order windows
+    [orderdate, +6d] against lineitem delivery windows [shipdate, +13d].
+    The naive form is a pure theta join (BroadcastNestedLoopJoin — the
+    O(n·m) scale-killer); the declared plan EXPLODES each interval into
+    the fixed-width bins it covers (W=32 days ≥ either interval length,
+    so ≤ 2 bins per row — a bounded map-side multiplier), equi-joins on
+    the bin, and counts each pair EXACTLY ONCE without a distinct by
+    keeping only the bin that contains the overlap START (GREATEST of
+    the los) — dedup by arithmetic, not by shuffle. Overlap length is
+    exact integer day math. The oracle runs the naive theta join; the
+    binned plan must reproduce it exactly. At 100 TB the bin join
+    shuffles on a dense integer key AQE can split; W tunes the
+    multiplier-vs-selectivity tradeoff."""
+    t = load_tables(spark, sf_dir)
+    w = 32
+    a = (
+        t["orders"]
+        .filter(F.col("o_totalprice") > 480000)
+        .select(
+            "o_orderpriority",
+            F.datediff(F.col("o_orderdate").cast("date"), F.lit("1995-01-01").cast("date")).alias("alo"),
+        )
+        .withColumn("ahi", F.col("alo") + 6)
+        .withColumn("bin", F.explode(F.sequence(F.expr(f"alo DIV {w}"), F.expr(f"ahi DIV {w}"))))
+    )
+    b = (
+        t["lineitem"]
+        .select(
+            F.datediff(F.col("l_shipdate").cast("date"), F.lit("1995-01-01").cast("date")).alias("blo"),
+        )
+        .withColumn("bhi", F.col("blo") + 13)
+        .withColumn("bin", F.explode(F.sequence(F.expr(f"blo DIV {w}"), F.expr(f"bhi DIV {w}"))))
+    )
+    pairs = a.join(b, "bin").filter(
+        (F.col("alo") <= F.col("bhi"))
+        & (F.col("blo") <= F.col("ahi"))
+        & (F.col("bin") == F.expr(f"GREATEST(alo, blo) DIV {w}"))
+    )
+    return (
+        pairs.groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_pairs"),
+            F.sum(
+                F.least("ahi", "bhi") - F.greatest("alo", "blo") + F.lit(1)
+            ).cast("long").alias("total_overlap_days"),
+        )
+        .orderBy("o_orderpriority")
+    )

@@ -194,3 +194,53 @@ def quality_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("pri")
     )
+
+
+# Population Stability Index — THE drift monitor between a baseline and
+# a current period: PSI = Σ_bins (p_i − q_i)·ln(p_i/q_i) over a fixed
+# bin grid. One conditional hash aggregate builds both periods' bin
+# counts in one pass (exact integers); the ≤10 per-bin terms are
+# identical double expressions folded in SORTED order; ln() drifts 1 ulp
+# across libms so the result ROUNDs to 9 decimals (error ~1e-15).
+# Declared smoothing rule: bins empty in EITHER period are skipped (the
+# reported n_bins_used makes the rule visible). 100 TB: one
+# map-combinable pass, O(bins) math.
+_PSI_TEMPLATE = """
+WITH b AS (
+  SELECT CASE WHEN CAST(o_orderdate AS DATE) < DATE '1998-01-01'
+              THEN 0 ELSE 1 END AS per,
+         CAST(LEAST(GREATEST(FLOOR(o_totalprice / 60000.0E0), 0), 9) AS BIGINT)
+           AS bin
+  FROM orders
+), cells AS (
+  SELECT bin,
+         CAST(SUM(CASE WHEN per = 0 THEN 1 ELSE 0 END) AS BIGINT) AS c0,
+         CAST(SUM(CASE WHEN per = 1 THEN 1 ELSE 0 END) AS BIGINT) AS c1
+  FROM b GROUP BY bin
+), tot AS (
+  SELECT CAST(SUM(c0) AS BIGINT) AS n0, CAST(SUM(c1) AS BIGINT) AS n1
+  FROM cells
+), terms AS (
+  SELECT (CAST(c0 AS DOUBLE) / n0 - CAST(c1 AS DOUBLE) / n1)
+         * LN((CAST(c0 AS DOUBLE) / n0) / (CAST(c1 AS DOUBLE) / n1)) AS term
+  FROM cells CROSS JOIN tot
+  WHERE c0 > 0 AND c1 > 0
+)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_bins_used,
+       ROUND({FOLD}, 9) AS psi
+FROM terms
+"""
+
+from iceberg_metadata_pipeline_spark.queries import sql_query  # noqa: E402
+
+sql_query(
+    "quality_psi_drift",
+    _PSI_TEMPLATE.replace(
+        "{FOLD}",
+        "reduce(array_sort(collect_list(term)),"
+        " CAST(0.0E0 AS DOUBLE), (a, x) -> a + x)",
+    ),
+    oracle=_PSI_TEMPLATE.replace(
+        "{FOLD}", "list_reduce(list_sort(list(term)), (a, x) -> a + x)"
+    ),
+)

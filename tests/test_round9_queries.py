@@ -104,3 +104,22 @@ def test_assortativity_is_negative_bipartite_hub(spark, qreg):
     # customers -> strongly disassortative
     assert row["assortativity"] < 0
     assert row["n_edges"] > 0
+
+
+def test_interval_overlap_binned_plan_is_equijoin(spark, qreg):
+    df = qreg["join_interval_overlap_binned"](spark, SF)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastNestedLoopJoin" not in plan  # binned -> equi-join
+    assert "CartesianProduct" not in plan
+
+
+def test_psi_drift_bounds(spark, qreg):
+    row = qreg["quality_psi_drift"](spark, SF).collect()[0]
+    assert row["psi"] >= 0.0  # PSI is nonnegative by Gibbs' inequality
+    assert 1 <= row["n_bins_used"] <= 10
+
+
+def test_zipf_slope_is_negative(spark, qreg):
+    row = qreg["text_zipf_fit"](spark, SF).collect()[0]
+    assert row["zipf_slope"] < 0
+    assert row["n_terms"] > 0
