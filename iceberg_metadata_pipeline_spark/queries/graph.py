@@ -653,3 +653,70 @@ def graph_link_prediction_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame
         )
     )
     return scored.orderBy(F.col("common").desc(), "u", "v").limit(20)
+
+
+# --- bounded k-core peel -------------------------------------------------------
+
+_KCORE_ORACLE = """
+WITH co AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+edges AS (
+  SELECT a.l_partkey AS p1, b.l_partkey AS p2
+  FROM co a JOIN co b ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+  GROUP BY 1, 2 HAVING COUNT(*) >= 2
+),
+adj0 AS (
+  SELECT p1 AS a, p2 AS b FROM edges
+  UNION ALL
+  SELECT p2 AS a, p1 AS b FROM edges
+),
+keep1 AS (
+  SELECT a AS node FROM adj0 GROUP BY a HAVING COUNT(*) >= 3
+),
+adj1 AS (
+  SELECT x.a, x.b FROM adj0 x
+  JOIN keep1 ka ON ka.node = x.a
+  JOIN keep1 kb ON kb.node = x.b
+),
+deg2 AS (
+  SELECT a AS node, CAST(COUNT(*) AS BIGINT) AS deg FROM adj1 GROUP BY a
+)
+SELECT node, deg FROM deg2 WHERE deg >= 3
+ORDER BY deg DESC, node
+LIMIT 20
+"""
+
+
+@query("graph_kcore_peel", _KCORE_ORACLE)
+def graph_kcore_peel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bounded k-core peel (k=3, TWO peel rounds, fixed by contract like
+    the label-propagation rounds): drop nodes of degree < k, recompute
+    degrees on the surviving subgraph, report the top-20 survivors —
+    the dense-community filter that separates hub products from
+    long-tail noise on the co-purchase graph. Each round is one degree
+    aggregate + two semi-join prunes on the SPARSIFIED edge list; all
+    counting exact integers, total-order output tiebreak. At 100 TB
+    run peels to fixpoint with the same per-round plan (rounds are
+    bounded by the degeneracy, typically ≪ 20); the fixed-round form is
+    what the unrolled-CTE oracle can referee exactly."""
+    edges = copurchase_edges(spark, sf_dir, min_weight=2).cache()
+    fwd = edges.select(F.col("p1").alias("a"), F.col("p2").alias("b"))
+    rev = edges.select(F.col("p2").alias("a"), F.col("p1").alias("b"))
+    adj = fwd.unionByName(rev)
+    k = 3
+    keep1 = (
+        adj.groupBy(F.col("a").alias("node"))
+        .agg(F.count(F.lit(1)).alias("d"))
+        .filter(F.col("d") >= k)
+        .select("node")
+    )
+    adj1 = adj.join(
+        F.broadcast(keep1.withColumnRenamed("node", "a")), "a", "left_semi"
+    ).join(F.broadcast(keep1.withColumnRenamed("node", "b")), "b", "left_semi")
+    deg2 = adj1.groupBy(F.col("a").alias("node")).agg(
+        F.count(F.lit(1)).cast("long").alias("deg")
+    )
+    return (
+        deg2.filter(F.col("deg") >= k)
+        .orderBy(F.col("deg").desc(), "node")
+        .limit(20)
+    )

@@ -1171,3 +1171,53 @@ sql_query(
     .replace("{REV}", _d2d("SUM(CAST(o_totalprice AS DECIMAL(38,12)))"))
     .replace("{DATEDIFF}", "datediff('day', dmin, d)"),
 )
+
+
+# Wald–Wolfowitz runs test for randomness of the daily revenue series
+# around its MEDIAN: too few runs = trend/regime persistence, too many =
+# oscillation. EXACT until the final formula: revenue in integer cents,
+# the median over days via the distinct-value prefix rule (the
+# agg_weighted_median shape — no interpolation), signs and run breaks
+# are integer comparisons with a LAG over the ~2.4k-row DAILY AGGREGATE
+# (the accepted post-aggregation shape), and the z statistic is one
+# fixed double expression with identical text in both engines. Ties
+# with the median count as BELOW (documented rule, same in both).
+_RUNS_SQL = """
+WITH daily AS (
+  SELECT CAST(o_orderdate AS DATE) AS d,
+    CAST(SUM(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS DECIMAL(38,0)))
+         AS BIGINT) AS cents
+  FROM orders GROUP BY CAST(o_orderdate AS DATE)
+), pv AS (
+  SELECT cents AS v, CAST(COUNT(*) AS BIGINT) AS cnt FROM daily GROUP BY cents
+), cum AS (
+  SELECT v, SUM(cnt) OVER (ORDER BY v) AS cw, SUM(cnt) OVER () AS tot FROM pv
+), med AS (
+  SELECT MIN(v) AS med FROM cum WHERE 2 * cw >= tot
+), signs AS (
+  SELECT d, CASE WHEN cents > med THEN 1 ELSE 0 END AS s
+  FROM daily CROSS JOIN med
+), breaks AS (
+  SELECT s, CASE WHEN LAG(s) OVER (ORDER BY d) IS NULL THEN 1
+                 WHEN LAG(s) OVER (ORDER BY d) <> s THEN 1 ELSE 0 END AS brk
+  FROM signs
+), agg AS (
+  SELECT CAST(SUM(brk) AS BIGINT) AS runs,
+         CAST(SUM(s) AS BIGINT) AS n1,
+         CAST(COUNT(*) - SUM(s) AS BIGINT) AS n2
+  FROM breaks
+)
+SELECT runs, n1, n2,
+  ( CAST(runs AS DOUBLE)
+    - (2.0E0 * CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE)
+       / (CAST(n1 AS DOUBLE) + CAST(n2 AS DOUBLE)) + 1.0E0) )
+  / SQRT( 2.0E0 * CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE)
+          * (2.0E0 * CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE)
+             - CAST(n1 AS DOUBLE) - CAST(n2 AS DOUBLE))
+        / ( (CAST(n1 AS DOUBLE) + CAST(n2 AS DOUBLE))
+          * (CAST(n1 AS DOUBLE) + CAST(n2 AS DOUBLE))
+          * (CAST(n1 AS DOUBLE) + CAST(n2 AS DOUBLE) - 1.0E0) ) ) AS z
+FROM agg
+"""
+
+sql_query("stat_runs_test", _RUNS_SQL, oracle="same")

@@ -70,6 +70,13 @@ QUERIES = [
     "catalog_hudi_mor_write_dist",
     "stat_kendall_tau_b",
     "stat_kaplan_meier_churn",
+    # r9: collapse-then-pair JW join, wedge-join link prediction,
+    # binned interval-overlap join, count-min cells, id-mode round-trip
+    "join_fuzzy_jaro_winkler",
+    "graph_link_prediction_jaccard",
+    "join_interval_overlap_binned",
+    "sketch_countmin_heavy_hitters",
+    "catalog_delta_idmode_roundtrip",
 ]
 
 
