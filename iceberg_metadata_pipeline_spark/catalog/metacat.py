@@ -656,6 +656,36 @@ class Table:
         }
         return self._commit("overwrite", entries, removed_paths=removed)
 
+    def replace_files(
+        self,
+        added: list[DataFileEntry],
+        removed_paths: set[str],
+        operation: str = "replace",
+    ) -> int:
+        """File-level REPLACE commit: remove ``removed_paths`` from the
+        live set and add ``added`` — the commit shape a foreign engine's
+        rewrite/compaction posts (its data files already on disk; this
+        is metadata-only). Refused when the current snapshot carries
+        row-level DELETE entries: the caller cannot prove the foreign
+        rewrite folded them in, and equality deletes would wrongly apply
+        to the replacement files. Validates every removed path is
+        currently live."""
+        snap = self.current_snapshot
+        if snap is not None and self._resolve_deletes(snap):
+            raise ValueError(
+                "replace_files on a table with live row-level deletes "
+                "refused — compact through rewrite_data_files (which "
+                "folds deletes in) instead"
+            )
+        live = {f.path for f in self.snapshot_files()}
+        missing = sorted(set(removed_paths) - live)
+        if missing:
+            raise ValueError(
+                f"replace_files: {len(missing)} removed path(s) not in the "
+                f"current snapshot (first: {missing[0]})"
+            )
+        return self._commit(operation, added, removed_paths=set(removed_paths))
+
     def _materialize_row_ids(self, df: DataFrame, files: list[DataFileEntry]) -> DataFrame:
         """Resolve each row's stable ``_row_id`` (Iceberg v3 row lineage)
         into a physical ``__row_id`` column and drop the lineage columns —

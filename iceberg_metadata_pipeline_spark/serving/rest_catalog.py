@@ -381,7 +381,8 @@ class RestCatalogServer:
                     f"commit update {action!r} is not served: rewrite "
                     "commits go through the warehouse's own commit path; "
                     "this catalog serves metadata-only property, "
-                    "schema/spec-evolution, and APPEND snapshot commits",
+                    "schema/spec-evolution, and APPEND/REPLACE/OVERWRITE "
+                    "snapshot commits",
                     "CommitNotSupportedException",
                 )
         if (new_schema is None) != (set_schema_id is None):
@@ -473,11 +474,13 @@ class RestCatalogServer:
                 "add-snapshot"
             )
         op = (snapshot.get("summary") or {}).get("operation", "append")
+        if op in ("replace", "overwrite"):
+            return self._apply_snapshot_replace(t, snapshot, location, op)
         if op != "append":
             return (
-                f"snapshot operation {op!r} refused: only append commits "
-                "are served; rewrites go through the warehouse's own "
-                "commit path"
+                f"snapshot operation {op!r} refused: append, replace and "
+                "overwrite commits are served; other shapes go through "
+                "the warehouse's own commit path"
             )
         mlist = snapshot.get("manifest-list")
         if not mlist:
@@ -552,6 +555,104 @@ class RestCatalogServer:
         if not entries:
             return "append snapshot adds no data files"
         t.append_files(entries, dedupe=False)
+        return None
+
+    def _apply_snapshot_replace(
+        self, t, snapshot: dict, location: str, op: str
+    ) -> str | None:
+        """REPLACE/OVERWRITE snapshot commits (round 9): reconstruct the
+        posted snapshot's FULL live file set from its manifest list —
+        robust to both rewrite encodings (DELETED entries in new
+        manifests, or parent manifests simply dropped from the list) —
+        diff it against the table's current live set, and commit the
+        delta through metacat's file-level replace. Row-level delete
+        manifests still refuse (a foreign rewrite can't prove it folded
+        our delete entries in — replace_files enforces the same on the
+        table side). Returns an error string or None."""
+        import os
+
+        from iceberg_metadata_pipeline_spark.catalog import avro_io
+        from iceberg_metadata_pipeline_spark.catalog.iceberg_format import (
+            _identity_spec,
+        )
+        from iceberg_metadata_pipeline_spark.catalog.metacat import (
+            DataFileEntry,
+        )
+
+        mlist = snapshot.get("manifest-list")
+        if not mlist:
+            return "add-snapshot without manifest-list"
+        mlist = str(mlist).removeprefix("file:")
+        if not os.path.isabs(mlist):
+            mlist = os.path.join(location, "metadata", os.path.basename(mlist))
+        if not os.path.exists(mlist):
+            return (
+                f"manifest list {os.path.basename(mlist)} not found under "
+                "the served metadata location"
+            )
+        _, _, manifests = avro_io.read_container(mlist)
+        spec_fields = _identity_spec(t)
+
+        def _part_str(v, source_type: str):
+            import datetime as _dt
+
+            if source_type == "date" and isinstance(v, int):
+                return (_dt.date(1970, 1, 1) + _dt.timedelta(days=v)).isoformat()
+            if source_type in ("timestamp", "timestamp_ntz") and isinstance(v, int):
+                return str(
+                    _dt.datetime(1970, 1, 1) + _dt.timedelta(microseconds=v)
+                )
+            return str(v)
+
+        live: dict[str, DataFileEntry] = {}
+        for mf in manifests:
+            if int(mf.get("content", 0)) != 0:
+                return f"delete manifests refused in a {op} commit"
+            mpath = str(mf["manifest_path"]).removeprefix("file:")
+            if not os.path.isabs(mpath):
+                mpath = os.path.join(
+                    location, "metadata", os.path.basename(mpath)
+                )
+            if not os.path.exists(mpath):
+                return (
+                    f"manifest {os.path.basename(mpath)} not found under "
+                    "the served metadata location"
+                )
+            _, _, recs = avro_io.read_container(mpath)
+            for e in recs:
+                if int(e.get("status", 0)) == 2:
+                    continue  # DELETED: dead in this snapshot
+                dfd = e["data_file"]
+                if int(dfd.get("content", 0)) != 0:
+                    return f"delete files refused in a {op} commit"
+                p = str(dfd["file_path"]).removeprefix("file:")
+                if not os.path.exists(p):
+                    return f"data file {os.path.basename(p)} not found"
+                raw = dfd.get("partition") or {}
+                part = {
+                    pf["name"]: _part_str(raw[pf["name"]], pf["source_type"])
+                    for pf in spec_fields
+                    if raw.get(pf["name"]) is not None
+                }
+                live[p] = DataFileEntry(
+                    path=p,
+                    record_count=int(dfd["record_count"]),
+                    file_size_bytes=int(dfd["file_size_in_bytes"]),
+                    format=str(dfd.get("file_format", "PARQUET")),
+                    partition=part,
+                )
+        current = {f.path for f in t.snapshot_files()}
+        added = [e for p, e in sorted(live.items()) if p not in current]
+        removed = current - set(live)
+        if not removed:
+            return (
+                f"{op} snapshot removes no current files — post it as an "
+                "append"
+            )
+        try:
+            t.replace_files(added, removed, operation=op)
+        except ValueError as exc:
+            return str(exc)
         return None
 
     def _evolve_schema(self, t, new_schema: dict) -> str | None:

@@ -712,9 +712,12 @@ def test_commit_table_append_snapshot(spark, server, tmp_path):
         r.id for r in catalog.load_table("ap", "t").scan().collect()
     ) == [10, 11, 12, 20]
 
-    # non-append refuses with nothing applied
+    # OVERWRITE commit (round 9 extension): the posted manifest list IS
+    # the new live set — files absent from it are removed, new ones
+    # added. Here the foreign rewrite replaces everything with [99].
+    before_sid = int(catalog.load_table("ap", "t").current_snapshot["snapshot_id"])
     sid3, mlist3 = write_commit_files("c3", [99])
-    bad = {
+    ow = {
         "updates": [
             {"action": "add-snapshot", "snapshot": {
                 "snapshot-id": sid3, "manifest-list": mlist3,
@@ -723,10 +726,53 @@ def test_commit_table_append_snapshot(spark, server, tmp_path):
              "type": "branch", "snapshot-id": sid3},
         ],
     }
+    code, _ = _req(url, "POST", ow)
+    assert code == 200
+    t = catalog.load_table("ap", "t")
+    assert sorted(r.id for r in t.scan().collect()) == [99]
+    # history preserved: the pre-overwrite snapshot still time-travels
+    assert sorted(
+        r.id for r in t.scan(snapshot_id=before_sid).collect()
+    ) == [10, 11, 12, 20]
+
+    # a REPLACE that removes no current file refuses (post an append)
+    sid4, mlist4 = write_commit_files("c4", [7], extra_manifest=None)
+    # c4's manifest list omits c3's file -> that WOULD remove it; build a
+    # no-op-removal case by reusing c3's manifest alongside c4's
+    from iceberg_metadata_pipeline_spark.catalog.iceberg_format import (
+        manifest_list_schema as _mls,
+    )
+
+    _, _, prev_rows = avro_io.read_container(mlist3)
+    _, _, new_rows = avro_io.read_container(mlist4)
+    both = os.path.join(meta_dir, "snap-both-c4.avro")
+    avro_io.write_container(both, _mls(), list(prev_rows) + list(new_rows))
+    noop = {
+        "updates": [
+            {"action": "add-snapshot", "snapshot": {
+                "snapshot-id": sid4, "manifest-list": both,
+                "summary": {"operation": "replace"}}},
+            {"action": "set-snapshot-ref", "ref-name": "main",
+             "type": "branch", "snapshot-id": sid4},
+        ],
+    }
+    assert _status_of(url, "POST", noop) == 400
+
+    # unknown snapshot operations still refuse with nothing applied
+    sid5, mlist5 = write_commit_files("c5", [1])
+    bad = {
+        "updates": [
+            {"action": "add-snapshot", "snapshot": {
+                "snapshot-id": sid5, "manifest-list": mlist5,
+                "summary": {"operation": "delete"}}},
+            {"action": "set-snapshot-ref", "ref-name": "main",
+             "type": "branch", "snapshot-id": sid5},
+        ],
+    }
     assert _status_of(url, "POST", bad) == 400
     assert sorted(
         r.id for r in catalog.load_table("ap", "t").scan().collect()
-    ) == [10, 11, 12, 20]
+    ) == [99]
     # add-snapshot without set-snapshot-ref still refuses
     assert _status_of(
         url, "POST",
