@@ -779,3 +779,50 @@ ORDER BY month
 """
 
 sql_query("events_stickiness_dau_mau", _STICKINESS_SQL, oracle="same")
+
+
+# Inter-arrival time percentiles per event type — the cadence profile
+# (bot-vs-human signal, session design input). Gaps are EXACT integer
+# microseconds (epoch-µs differences); per-type median and p90 use the
+# distinct-value prefix rule (smallest v whose cumulative weight
+# reaches 1/2 resp. 9/10 of the total — the agg_weighted_median shape
+# generalized, no interpolation ambiguity). The LAG runs per
+# (user, type) stream with a full ORDER BY tiebreak (t, event_id) so
+# consecutive-event pairing is deterministic in both engines. Scale:
+# one window over each user's own events (co-partitioned by user — the
+# stream never globally sorts), one distinct-gap hash aggregate, and
+# the percentile windows run over DISTINCT gap values per type.
+_INTERARRIVAL_TEMPLATE = """
+WITH ev AS (
+  SELECT event_type, user_id, event_id, {EPOCHUS} AS t FROM events
+), gaps AS (
+  SELECT event_type,
+         t - LAG(t) OVER (
+           PARTITION BY user_id, event_type ORDER BY t, event_id
+         ) AS g
+  FROM ev
+), pv AS (
+  SELECT event_type, g AS v, CAST(COUNT(*) AS BIGINT) AS cnt
+  FROM gaps WHERE g IS NOT NULL GROUP BY event_type, g
+), cum AS (
+  SELECT event_type, v,
+         SUM(cnt) OVER (PARTITION BY event_type ORDER BY v) AS cw,
+         SUM(cnt) OVER (PARTITION BY event_type) AS tot
+  FROM pv
+)
+SELECT event_type,
+       CAST(MIN(tot) AS BIGINT) AS n_gaps,
+       CAST(MIN(CASE WHEN 2 * cw >= tot THEN v END) AS BIGINT) AS median_gap_us,
+       CAST(MIN(CASE WHEN 10 * cw >= 9 * tot THEN v END) AS BIGINT) AS p90_gap_us
+FROM cum
+GROUP BY event_type
+ORDER BY event_type
+"""
+
+sql_query(
+    "events_interarrival_percentiles",
+    _INTERARRIVAL_TEMPLATE.format(
+        EPOCHUS="unix_micros(CAST(ts AS TIMESTAMP))"
+    ),
+    oracle=_INTERARRIVAL_TEMPLATE.format(EPOCHUS="epoch_us(ts)"),
+)

@@ -1221,3 +1221,41 @@ FROM agg
 """
 
 sql_query("stat_runs_test", _RUNS_SQL, oracle="same")
+
+
+# Grubbs-style outlier scan of the daily revenue series: the five days
+# whose deviation from the global mean is largest, with the G statistic
+# (|x − x̄| / s). Revenue collapses to integer THOUSAND-dollar units
+# (exact truncating division from cents — BIGINT moment headroom
+# through sf1000: Σx² ≈ 2e11 at sf1); ranking uses the rationalized
+# integer |n·x − Σx| (no division, no float — the CUSUM trick) with a
+# date tiebreak; only the final G is a double, identical expression
+# text in both engines. One per-day hash aggregate + constant work.
+_GRUBBS_TEMPLATE = """
+WITH daily AS (
+  SELECT CAST(o_orderdate AS DATE) AS d,
+    CAST(CAST(SUM(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100
+                       AS DECIMAL(38,0))) AS BIGINT) {IDIV} 100000 AS BIGINT)
+      AS kd
+  FROM orders GROUP BY CAST(o_orderdate AS DATE)
+), m AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(kd) AS BIGINT) AS s1,
+         CAST(SUM(kd * kd) AS BIGINT) AS q
+  FROM daily
+)
+SELECT d AS day, CAST(kd AS BIGINT) AS revenue_kusd,
+  ABS(CAST(kd AS DOUBLE) - CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE))
+  / SQRT( (CAST(q AS DOUBLE)
+           - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE))
+        / (CAST(n AS DOUBLE) - 1.0E0) ) AS grubbs_g
+FROM daily CROSS JOIN m
+ORDER BY ABS(n * kd - s1) DESC, day
+LIMIT 5
+"""
+
+sql_query(
+    "stat_grubbs_outlier_days",
+    _GRUBBS_TEMPLATE.replace("{IDIV}", "DIV"),
+    oracle=_GRUBBS_TEMPLATE.replace("{IDIV}", "//"),
+)
