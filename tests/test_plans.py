@@ -629,3 +629,40 @@ def test_retention_join_is_keyed_on_user(spark, sf_dir):
         "SortMergeJoin" in plan or "BroadcastHashJoin" in plan
         or "ShuffledHashJoin" in plan
     )
+
+
+def test_jaro_winkler_join_is_blocked_equijoin(spark, sf_dir):
+    """join_fuzzy_jaro_winkler: the cells self-join keys on the blocking
+    tuple (brand, first token) — an equi-join, never a nested loop —
+    and the Python kernel appears once (one BatchEvalPython/ArrowEval
+    over blocked candidates, not per-row fallback)."""
+    from iceberg_metadata_pipeline_spark.queries import REGISTRY, all_queries
+
+    all_queries()
+    df = REGISTRY["join_fuzzy_jaro_winkler"].fn(spark, sf_dir)
+    plan = plan_of(df)
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_link_prediction_wedge_join_no_cartesian(spark, sf_dir):
+    """graph_link_prediction_jaccard: the wedge join keys on the shared
+    neighbor; degree joins broadcast (the degree table is O(nodes))."""
+    from iceberg_metadata_pipeline_spark.queries import REGISTRY, all_queries
+
+    all_queries()
+    df = REGISTRY["graph_link_prediction_jaccard"].fn(spark, sf_dir)
+    plan = plan_of(df)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "BroadcastHashJoin" in plan  # degree joins
+
+
+def test_assortativity_degree_joins_broadcast(spark, sf_dir):
+    from iceberg_metadata_pipeline_spark.queries import REGISTRY, all_queries
+
+    all_queries()
+    df = REGISTRY["graph_degree_assortativity"].fn(spark, sf_dir)
+    plan = plan_of(df)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastHashJoin" in plan
