@@ -296,8 +296,13 @@ class RestCatalogServer:
         new snapshot and commits them through metacat's append
         (metadata-only, one commit protocol). The re-exported metadata
         carries a SERVER-assigned snapshot id, like a REST catalog that
-        rewrites commits. Rewrites (delete manifests, DELETED entries,
-        non-append operations) and non-main refs still refuse loudly."""
+        rewrites commits. Round-9 extensions: REPLACE/OVERWRITE commits
+        apply as a live-set diff through Table.replace_files (refused
+        when the table carries row-level deletes), and append commits
+        whose ref names a NON-main branch stage onto that branch (WAP
+        over REST; assert-ref-snapshot-id checks the named ref's head).
+        Delete manifests/files, tag refs, branch rewrites, and other
+        operations still refuse loudly."""
         if not self.catalog.table_exists(ns, name):
             return h._error(
                 404, f"table {ns}.{name} not found", "NoSuchTableException"
@@ -322,13 +327,18 @@ class RestCatalogServer:
                     )
             elif typ == "assert-ref-snapshot-id":
                 want = req.get("snapshot-id")
-                if (want is None) != (cur_sid is None) or (
-                    want is not None and int(want) != cur_sid
+                ref_name = req.get("ref", "main")
+                if ref_name == "main":
+                    ref_sid = cur_sid
+                else:
+                    r = (t.meta.get("refs") or {}).get(ref_name)
+                    ref_sid = None if r is None else int(r["snapshot_id"])
+                if (want is None) != (ref_sid is None) or (
+                    want is not None and int(want) != ref_sid
                 ):
                     return h._error(
                         409,
-                        f"ref {req.get('ref', 'main')} is at {cur_sid}, "
-                        f"not {want}",
+                        f"ref {ref_name} is at {ref_sid}, not {want}",
                         "CommitFailedException",
                     )
             elif typ == "assert-current-schema-id":
@@ -459,11 +469,12 @@ class RestCatalogServer:
             DataFileEntry,
         )
 
-        if (
-            ref.get("ref-name", "main") != "main"
-            or ref.get("type", "branch") != "branch"
-        ):
-            return "set-snapshot-ref: only the main branch is served"
+        if ref.get("type", "branch") != "branch":
+            return (
+                "set-snapshot-ref: tags cannot receive snapshot commits — "
+                "create tags through the warehouse API"
+            )
+        branch = ref.get("ref-name", "main")
         sid = snapshot.get("snapshot-id")
         if sid is None:
             return "add-snapshot without snapshot-id"
@@ -475,6 +486,11 @@ class RestCatalogServer:
             )
         op = (snapshot.get("summary") or {}).get("operation", "append")
         if op in ("replace", "overwrite"):
+            if branch != "main":
+                return (
+                    f"{op} commits are served on main only — branch "
+                    "rewrites go through the warehouse's own commit path"
+                )
             return self._apply_snapshot_replace(t, snapshot, location, op)
         if op != "append":
             return (
@@ -554,7 +570,12 @@ class RestCatalogServer:
                 )
         if not entries:
             return "append snapshot adds no data files"
-        t.append_files(entries, dedupe=False)
+        # non-main branch refs stage onto that branch's lineage (the
+        # write-audit-publish flow over REST): main scans stay blind to
+        # the commit until publish_branch fast-forwards
+        t.append_files(
+            entries, dedupe=False, branch=None if branch == "main" else branch
+        )
         return None
 
     def _apply_snapshot_replace(

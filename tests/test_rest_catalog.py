@@ -778,3 +778,130 @@ def test_commit_table_append_snapshot(spark, server, tmp_path):
         url, "POST",
         {"updates": [{"action": "add-snapshot", "snapshot": {}}]},
     ) == 400
+
+
+def test_commit_table_branch_append_wap(spark, server, tmp_path):
+    """Round 9 extension: an append commit whose set-snapshot-ref names a
+    NON-main branch stages onto that branch (write-audit-publish over
+    REST): main scans stay blind until publish_branch fast-forwards;
+    assert-ref-snapshot-id checks the NAMED ref's head; tag refs and
+    branch rewrites refuse."""
+    import os
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from iceberg_metadata_pipeline_spark.catalog import avro_io
+    from iceberg_metadata_pipeline_spark.catalog.iceberg_format import (
+        manifest_entry_schema,
+        manifest_list_schema,
+    )
+
+    catalog, srv, base = server
+    _req(f"{base}/v1/namespaces", "POST", {"namespace": ["wb"]})
+    _req(
+        f"{base}/v1/namespaces/wb/tables",
+        "POST",
+        {
+            "name": "t",
+            "schema": {
+                "type": "struct",
+                "schema-id": 0,
+                "fields": [
+                    {"id": 1, "name": "id", "required": False, "type": "long"}
+                ],
+            },
+        },
+    )
+    url = f"{base}/v1/namespaces/wb/tables/t"
+    code, out = _req(url)
+    location = out["metadata"]["location"]
+    meta_dir = os.path.join(location, "metadata")
+
+    def commit_files(tag, ids):
+        data = os.path.join(location, "data", f"{tag}.parquet")
+        os.makedirs(os.path.dirname(data), exist_ok=True)
+        pq.write_table(pa.table({"id": pa.array(ids, pa.int64())}), data)
+        sid = 7000 + hash(tag) % 1000
+        mpath = os.path.join(meta_dir, f"{tag}-m0.avro")
+        avro_io.write_container(
+            mpath,
+            manifest_entry_schema([]),
+            [{
+                "status": 1, "snapshot_id": sid, "sequence_number": 1,
+                "data_file": {
+                    "content": 0, "file_path": data,
+                    "file_format": "PARQUET", "partition": {},
+                    "record_count": len(ids),
+                    "file_size_in_bytes": os.path.getsize(data),
+                },
+            }],
+        )
+        mlist = os.path.join(meta_dir, f"snap-{sid}-{tag}.avro")
+        avro_io.write_container(
+            mlist, manifest_list_schema(),
+            [{
+                "manifest_path": mpath,
+                "manifest_length": os.path.getsize(mpath),
+                "partition_spec_id": 0, "content": 0,
+                "sequence_number": 1, "min_sequence_number": 1,
+                "added_snapshot_id": sid, "added_files_count": 1,
+                "existing_files_count": 0, "deleted_files_count": 0,
+                "added_rows_count": len(ids), "existing_rows_count": 0,
+                "deleted_rows_count": 0,
+            }],
+        )
+        return sid, mlist
+
+    sid, mlist = commit_files("b1", [100, 101])
+    staged = {
+        "requirements": [
+            {"type": "assert-ref-snapshot-id", "ref": "audit",
+             "snapshot-id": None}
+        ],
+        "updates": [
+            {"action": "add-snapshot", "snapshot": {
+                "snapshot-id": sid, "timestamp-ms": 1700000000000,
+                "manifest-list": mlist,
+                "summary": {"operation": "append"}}},
+            {"action": "set-snapshot-ref", "ref-name": "audit",
+             "type": "branch", "snapshot-id": sid},
+        ],
+    }
+    code, _ = _req(url, "POST", staged)
+    assert code == 200
+    t = catalog.load_table("wb", "t")
+    # main is blind to the staged rows; the branch sees them
+    assert t.scan().count() == 0
+    assert sorted(r.id for r in t.scan(ref="audit").collect()) == [100, 101]
+    # stale branch-ref assertion now 409s (the ref moved)
+    assert _status_of(url, "POST", staged) == 409
+    # publish: main fast-forwards to the audited snapshot
+    t.publish_branch("audit")
+    assert sorted(
+        r.id for r in catalog.load_table("wb", "t").scan().collect()
+    ) == [100, 101]
+
+    # tag refs refuse
+    sid2, mlist2 = commit_files("b2", [7])
+    tagc = {
+        "updates": [
+            {"action": "add-snapshot", "snapshot": {
+                "snapshot-id": sid2, "manifest-list": mlist2,
+                "summary": {"operation": "append"}}},
+            {"action": "set-snapshot-ref", "ref-name": "pin",
+             "type": "tag", "snapshot-id": sid2},
+        ],
+    }
+    assert _status_of(url, "POST", tagc) == 400
+    # branch rewrites refuse
+    ow = {
+        "updates": [
+            {"action": "add-snapshot", "snapshot": {
+                "snapshot-id": sid2, "manifest-list": mlist2,
+                "summary": {"operation": "overwrite"}}},
+            {"action": "set-snapshot-ref", "ref-name": "audit",
+             "type": "branch", "snapshot-id": sid2},
+        ],
+    }
+    assert _status_of(url, "POST", ow) == 400
