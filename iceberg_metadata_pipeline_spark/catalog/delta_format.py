@@ -1351,10 +1351,7 @@ def physical_names(state: DeltaTableState) -> dict:
             "(column_mapping_ids/parquet_field_ids, the pydelta reader, "
             "_live_rows_dataframe), which resolve by field id"
         )
-    return {
-        f.name: (f.metadata or {}).get("delta.columnMapping.physicalName", f.name)
-        for f in state.schema.fields
-    }
+    return physical_names_meta(state)
 
 
 def physical_names_meta(state: DeltaTableState) -> dict:
@@ -1385,14 +1382,21 @@ def column_mapping_ids(state: DeltaTableState) -> dict:
     return out
 
 
-def parquet_field_ids(path: str) -> dict:
+def parquet_field_ids(path_or_file) -> dict:
     """parquet field id → column name, from the file's arrow schema
     (PARQUET:field_id field metadata). Empty when the file carries no
-    ids. One footer read — O(files) metadata IO where used."""
+    ids. Accepts a path (one footer read — O(files) metadata IO where
+    used) or an already-open ``pyarrow.parquet.ParquetFile`` so readers
+    holding one don't reopen the footer."""
     import pyarrow.parquet as pq
 
+    pf = (
+        path_or_file
+        if isinstance(path_or_file, pq.ParquetFile)
+        else pq.ParquetFile(path_or_file)
+    )
     out = {}
-    for f in pq.ParquetFile(path).schema_arrow:
+    for f in pf.schema_arrow:
         fid = (f.metadata or {}).get(b"PARQUET:field_id")
         if fid is not None:
             out[int(fid)] = f.name
@@ -1519,19 +1523,42 @@ def create_delta_table(
                 "fields would need recursive id mapping, which the id "
                 "read paths refuse; use 'name' mode for nested schemas"
             )
-        mapped = []
-        for i, f in enumerate(fields, start=1):
-            m = dict(f.metadata or {})
-            m["delta.columnMapping.id"] = i
-            m["delta.columnMapping.physicalName"] = (
-                f"col-{i}" if column_mapping == "id" else f.name
-            )
-            mapped.append(T.StructField(f.name, f.dataType, f.nullable, m))
-        fields = mapped
+        # the protocol assigns ids/physicalNames RECURSIVELY in 'name'
+        # mode (the enable_column_mapping shape — nested fields rename
+        # too; a flat assignment would leave nested renames silently
+        # reading NULL). 'id' mode is flat by the struct refusal above.
+        counter = iter(range(1, 1 << 31))
+
+        def _map_type(dtype):
+            if isinstance(dtype, T.StructType):
+                out = []
+                for f in dtype.fields:
+                    m = dict(f.metadata or {})
+                    i = next(counter)
+                    m["delta.columnMapping.id"] = i
+                    m["delta.columnMapping.physicalName"] = (
+                        f"col-{i}" if column_mapping == "id" else f.name
+                    )
+                    out.append(
+                        T.StructField(f.name, _map_type(f.dataType), f.nullable, m)
+                    )
+                return T.StructType(out)
+            if isinstance(dtype, T.ArrayType):
+                return T.ArrayType(_map_type(dtype.elementType), dtype.containsNull)
+            if isinstance(dtype, T.MapType):
+                return T.MapType(
+                    _map_type(dtype.keyType),
+                    _map_type(dtype.valueType),
+                    dtype.valueContainsNull,
+                )
+            return dtype
+
+        fields = _map_type(T.StructType(fields)).fields
+        n_ids = next(counter) - 1
         protocol = {"minReaderVersion": 2, "minWriterVersion": 5}
         conf = {
             "delta.columnMapping.mode": column_mapping,
-            "delta.columnMapping.maxColumnId": str(len(fields)),
+            "delta.columnMapping.maxColumnId": str(n_ids),
         }
     import time as _time
     import uuid as _uuid
@@ -1674,6 +1701,9 @@ def _live_rows_dataframe(spark: SparkSession, state: DeltaTableState):
                     f"id-mode table but data file {p} carries no "
                     "PARQUET:field_id metadata — unreadable by field id"
                 )
+        # the session posture (session.py) already enables field-id
+        # reads; re-asserted here for externally-built sessions. These
+        # are inert for schemas without parquet.field.id metadata.
         spark.conf.set("spark.sql.parquet.fieldId.read.enabled", "true")
         spark.conf.set("spark.sql.parquet.fieldId.read.ignoreMissing", "true")
         read_schema = T.StructType(

@@ -157,11 +157,11 @@ class _DeltaReadMixin:
             # protocol); a field id absent from the file means the column
             # was added after the file was written → nulls, but a file
             # with no ids at all is a protocol violation → loud refusal
-            fid_to_name = {}
-            for af in pf.schema_arrow:
-                fid = (af.metadata or {}).get(b"PARQUET:field_id")
-                if fid is not None:
-                    fid_to_name[int(fid)] = af.name
+            from iceberg_metadata_pipeline_spark.catalog.delta_format import (
+                parquet_field_ids,
+            )
+
+            fid_to_name = parquet_field_ids(pf)
             if file_fields and not fid_to_name:
                 raise ValueError(
                     f"id-mode table but data file {part.path} carries no "

@@ -534,7 +534,10 @@ def _jaro_winkler_kernel(s1: str, s2: str) -> float:
     if not s1 or not s2:
         return 0.0
     l1, l2 = len(s1), len(s2)
-    match_dist = max(l1, l2) // 2 - 1
+    # clamp: max//2 - 1 is negative for single-char strings, which would
+    # empty the match window and score 'a' vs 'a' as 0.0 where DuckDB
+    # scores 1.0 (review finding; pinned by test)
+    match_dist = max(max(l1, l2) // 2 - 1, 0)
     m1 = [False] * l1
     m2 = [False] * l2
     matches = 0

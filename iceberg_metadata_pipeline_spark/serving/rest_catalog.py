@@ -449,6 +449,93 @@ class RestCatalogServer:
             self._exports.pop((ns, name), None)
         return self._load_table(h, ns, name)
 
+    @staticmethod
+    def _meta_path(location: str, p) -> str:
+        """Normalize a manifest-list/manifest path from a posted commit
+        to the served metadata location ('file:' strip; relative names
+        rejoin under <location>/metadata)."""
+        import os
+
+        p = str(p).removeprefix("file:")
+        if not os.path.isabs(p):
+            p = os.path.join(location, "metadata", os.path.basename(p))
+        return p
+
+    @staticmethod
+    def _part_str(v, source_type: str) -> str:
+        """Render a typed Iceberg partition value as metacat's string
+        form (days→ISO date, micros→timestamp string)."""
+        import datetime as _dt
+
+        if source_type == "date" and isinstance(v, int):
+            return (_dt.date(1970, 1, 1) + _dt.timedelta(days=v)).isoformat()
+        if source_type in ("timestamp", "timestamp_ntz") and isinstance(v, int):
+            return str(_dt.datetime(1970, 1, 1) + _dt.timedelta(microseconds=v))
+        return str(v)
+
+    @classmethod
+    def _entry_from_datafile(cls, dfd: dict, spec_fields) -> "object":
+        """DataFileEntry from a manifest data_file record. Raises
+        ValueError (caller returns the message) for delete-content files
+        and missing data files."""
+        import os
+
+        from iceberg_metadata_pipeline_spark.catalog.metacat import (
+            DataFileEntry,
+        )
+
+        if int(dfd.get("content", 0)) != 0:
+            raise ValueError("delete files refused")
+        p = str(dfd["file_path"]).removeprefix("file:")
+        if not os.path.exists(p):
+            raise ValueError(f"data file {os.path.basename(p)} not found")
+        raw = dfd.get("partition") or {}
+        part = {
+            pf["name"]: cls._part_str(raw[pf["name"]], pf["source_type"])
+            for pf in spec_fields
+            if raw.get(pf["name"]) is not None
+        }
+        return DataFileEntry(
+            path=p,
+            record_count=int(dfd["record_count"]),
+            file_size_bytes=int(dfd["file_size_in_bytes"]),
+            format=str(dfd.get("file_format", "PARQUET")),
+            partition=part,
+        )
+
+    def _read_manifest_list(self, location: str, snapshot: dict):
+        """(manifests, error): resolve + read the posted manifest list."""
+        import os
+
+        from iceberg_metadata_pipeline_spark.catalog import avro_io
+
+        mlist = snapshot.get("manifest-list")
+        if not mlist:
+            return None, "add-snapshot without manifest-list"
+        mlist = self._meta_path(location, mlist)
+        if not os.path.exists(mlist):
+            return None, (
+                f"manifest list {os.path.basename(mlist)} not found under "
+                "the served metadata location"
+            )
+        _, _, manifests = avro_io.read_container(mlist)
+        return manifests, None
+
+    def _read_manifest(self, location: str, mf: dict):
+        """(records, error): resolve + read one manifest from a list row."""
+        import os
+
+        from iceberg_metadata_pipeline_spark.catalog import avro_io
+
+        mpath = self._meta_path(location, mf["manifest_path"])
+        if not os.path.exists(mpath):
+            return None, (
+                f"manifest {os.path.basename(mpath)} not found under "
+                "the served metadata location"
+            )
+        _, _, recs = avro_io.read_container(mpath)
+        return recs, None
+
     def _apply_snapshot_append(
         self, t, snapshot: dict, ref: dict, location: str
     ) -> str | None:
@@ -456,17 +543,13 @@ class RestCatalogServer:
         client-written manifest list, extract the data files ADDED by
         the new snapshot (manifests carried over from the parent are
         skipped by added_snapshot_id), and commit them via metacat's
-        append — metadata-only, no second commit protocol. Everything
-        that is not a pure append refuses with nothing applied. Returns
-        an error string or None."""
-        import os
-
-        from iceberg_metadata_pipeline_spark.catalog import avro_io
+        append — metadata-only, no second commit protocol. A non-main
+        BRANCH ref stages onto that branch (write-audit-publish over
+        REST). REPLACE/OVERWRITE operations route to the live-set-diff
+        path; everything else refuses with nothing applied. Returns an
+        error string or None."""
         from iceberg_metadata_pipeline_spark.catalog.iceberg_format import (
             _identity_spec,
-        )
-        from iceberg_metadata_pipeline_spark.catalog.metacat import (
-            DataFileEntry,
         )
 
         if ref.get("type", "branch") != "branch":
@@ -498,76 +581,32 @@ class RestCatalogServer:
                 "overwrite commits are served; other shapes go through "
                 "the warehouse's own commit path"
             )
-        mlist = snapshot.get("manifest-list")
-        if not mlist:
-            return "add-snapshot without manifest-list"
-        mlist = str(mlist).removeprefix("file:")
-        if not os.path.isabs(mlist):
-            mlist = os.path.join(location, "metadata", os.path.basename(mlist))
-        if not os.path.exists(mlist):
-            return (
-                f"manifest list {os.path.basename(mlist)} not found under "
-                "the served metadata location"
-            )
-        _, _, manifests = avro_io.read_container(mlist)
+        manifests, err = self._read_manifest_list(location, snapshot)
+        if err:
+            return err
         spec_fields = _identity_spec(t)
-
-        def _part_str(v, source_type: str):
-            import datetime as _dt
-
-            if source_type == "date" and isinstance(v, int):
-                return (_dt.date(1970, 1, 1) + _dt.timedelta(days=v)).isoformat()
-            if source_type in ("timestamp", "timestamp_ntz") and isinstance(v, int):
-                return str(
-                    _dt.datetime(1970, 1, 1) + _dt.timedelta(microseconds=v)
-                )
-            return str(v)
-
-        entries: list[DataFileEntry] = []
+        entries = []
         for mf in manifests:
             added_by = mf.get("added_snapshot_id")
             if added_by is not None and int(added_by) != int(sid):
                 continue  # carried over from the parent snapshot
             if int(mf.get("content", 0)) != 0:
                 return "delete manifests refused: not an append"
-            mpath = str(mf["manifest_path"]).removeprefix("file:")
-            if not os.path.isabs(mpath):
-                mpath = os.path.join(
-                    location, "metadata", os.path.basename(mpath)
-                )
-            if not os.path.exists(mpath):
-                return (
-                    f"manifest {os.path.basename(mpath)} not found under "
-                    "the served metadata location"
-                )
-            _, _, recs = avro_io.read_container(mpath)
+            recs, err = self._read_manifest(location, mf)
+            if err:
+                return err
             for e in recs:
                 status = int(e.get("status", 0))
                 if status == 2:
                     return "DELETED manifest entries refused: not an append"
                 if status != 1:
                     continue  # EXISTING rows re-listed from the parent
-                dfd = e["data_file"]
-                if int(dfd.get("content", 0)) != 0:
-                    return "delete files refused: not an append"
-                p = str(dfd["file_path"]).removeprefix("file:")
-                if not os.path.exists(p):
-                    return f"data file {os.path.basename(p)} not found"
-                raw = dfd.get("partition") or {}
-                part = {
-                    pf["name"]: _part_str(raw[pf["name"]], pf["source_type"])
-                    for pf in spec_fields
-                    if raw.get(pf["name"]) is not None
-                }
-                entries.append(
-                    DataFileEntry(
-                        path=p,
-                        record_count=int(dfd["record_count"]),
-                        file_size_bytes=int(dfd["file_size_in_bytes"]),
-                        format=str(dfd.get("file_format", "PARQUET")),
-                        partition=part,
+                try:
+                    entries.append(
+                        self._entry_from_datafile(e["data_file"], spec_fields)
                     )
-                )
+                except ValueError as exc:
+                    return f"{exc}: not an append"
         if not entries:
             return "append snapshot adds no data files"
         # non-main branch refs stage onto that branch's lineage (the
@@ -590,78 +629,29 @@ class RestCatalogServer:
         manifests still refuse (a foreign rewrite can't prove it folded
         our delete entries in — replace_files enforces the same on the
         table side). Returns an error string or None."""
-        import os
-
-        from iceberg_metadata_pipeline_spark.catalog import avro_io
         from iceberg_metadata_pipeline_spark.catalog.iceberg_format import (
             _identity_spec,
         )
-        from iceberg_metadata_pipeline_spark.catalog.metacat import (
-            DataFileEntry,
-        )
 
-        mlist = snapshot.get("manifest-list")
-        if not mlist:
-            return "add-snapshot without manifest-list"
-        mlist = str(mlist).removeprefix("file:")
-        if not os.path.isabs(mlist):
-            mlist = os.path.join(location, "metadata", os.path.basename(mlist))
-        if not os.path.exists(mlist):
-            return (
-                f"manifest list {os.path.basename(mlist)} not found under "
-                "the served metadata location"
-            )
-        _, _, manifests = avro_io.read_container(mlist)
+        manifests, err = self._read_manifest_list(location, snapshot)
+        if err:
+            return err
         spec_fields = _identity_spec(t)
-
-        def _part_str(v, source_type: str):
-            import datetime as _dt
-
-            if source_type == "date" and isinstance(v, int):
-                return (_dt.date(1970, 1, 1) + _dt.timedelta(days=v)).isoformat()
-            if source_type in ("timestamp", "timestamp_ntz") and isinstance(v, int):
-                return str(
-                    _dt.datetime(1970, 1, 1) + _dt.timedelta(microseconds=v)
-                )
-            return str(v)
-
-        live: dict[str, DataFileEntry] = {}
+        live: dict = {}
         for mf in manifests:
             if int(mf.get("content", 0)) != 0:
                 return f"delete manifests refused in a {op} commit"
-            mpath = str(mf["manifest_path"]).removeprefix("file:")
-            if not os.path.isabs(mpath):
-                mpath = os.path.join(
-                    location, "metadata", os.path.basename(mpath)
-                )
-            if not os.path.exists(mpath):
-                return (
-                    f"manifest {os.path.basename(mpath)} not found under "
-                    "the served metadata location"
-                )
-            _, _, recs = avro_io.read_container(mpath)
+            recs, err = self._read_manifest(location, mf)
+            if err:
+                return err
             for e in recs:
                 if int(e.get("status", 0)) == 2:
                     continue  # DELETED: dead in this snapshot
-                dfd = e["data_file"]
-                if int(dfd.get("content", 0)) != 0:
-                    return f"delete files refused in a {op} commit"
-                p = str(dfd["file_path"]).removeprefix("file:")
-                if not os.path.exists(p):
-                    return f"data file {os.path.basename(p)} not found"
-                raw = dfd.get("partition") or {}
-                part = {
-                    pf["name"]: _part_str(raw[pf["name"]], pf["source_type"])
-                    for pf in spec_fields
-                    if raw.get(pf["name"]) is not None
-                }
-                live[p] = DataFileEntry(
-                    path=p,
-                    record_count=int(dfd["record_count"]),
-                    file_size_bytes=int(dfd["file_size_in_bytes"]),
-                    format=str(dfd.get("file_format", "PARQUET")),
-                    partition=part,
-                )
+                try:
+                    entry = self._entry_from_datafile(e["data_file"], spec_fields)
+                except ValueError as exc:
+                    return f"{exc} in a {op} commit"
+                live[entry.path] = entry
         current = {f.path for f in t.snapshot_files()}
         added = [e for p, e in sorted(live.items()) if p not in current]
         removed = current - set(live)

@@ -97,6 +97,13 @@ def get_spark(
         .config("spark.sql.broadcastTimeout", "600")
         .config("spark.sql.parquet.enableVectorizedReader", "true")
         .config("spark.sql.parquet.filterPushdown", "true")
+        # field-id parquet resolution is the SESSION posture (Delta
+        # column-mapping 'id' mode reads/writes): inert unless the
+        # requested schema carries parquet.field.id metadata, and
+        # ignoreMissing gives add-column null semantics on id reads
+        .config("spark.sql.parquet.fieldId.read.enabled", "true")
+        .config("spark.sql.parquet.fieldId.read.ignoreMissing", "true")
+        .config("spark.sql.parquet.fieldId.write.enabled", "true")
         # Python DataSource API (ingest/pydatasource.py) declares
         # pushFilters(); the capability is conf-gated in Spark 4.1
         .config("spark.sql.python.filterPushdown.enabled", "true")

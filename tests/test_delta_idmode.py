@@ -257,3 +257,40 @@ def test_idmode_import_materializes(spark, tmp_path, id_table):
     t = import_delta_table(spark, catalog, id_table, "nyc", "from_id")
     rows = {(r["id"], r["name"], r["score"]) for r in t.scan().collect()}
     assert rows == {(i, f"n{i}", i / 2) for i in range(20)}
+
+
+def test_create_name_mode_maps_nested_fields_recursively(tmp_path):
+    """Review finding: create_delta_table('name') must assign
+    columnMapping ids/physicalNames RECURSIVELY (the protocol applies
+    to every nested field) — a flat assignment made a later nested
+    rename silently read NULL."""
+    nested = T.StructType(
+        [
+            T.StructField("id", T.LongType(), False),
+            T.StructField(
+                "s",
+                T.StructType([T.StructField("x", T.LongType(), True)]),
+                True,
+            ),
+        ]
+    )
+    dest = str(tmp_path / "t")
+    create_delta_table(dest, nested, column_mapping="name")
+    state = read_delta_table(dest)
+    s_field = state.schema["s"]
+    assert "delta.columnMapping.id" in (s_field.metadata or {})
+    inner = s_field.dataType["x"]
+    assert (inner.metadata or {}).get("delta.columnMapping.physicalName") == "x"
+    assert (inner.metadata or {}).get("delta.columnMapping.id") is not None
+    assert state.metadata["configuration"]["delta.columnMapping.maxColumnId"] == "3"
+    # nested rename is metadata-only and physical_type keeps pointing at
+    # the on-disk nested name
+    rename_delta_column(dest, "s.x", "y")
+    state = read_delta_table(dest)
+    from iceberg_metadata_pipeline_spark.catalog.delta_format import (
+        physical_type,
+    )
+
+    pt = physical_type(state.schema["s"].dataType)
+    assert pt.fieldNames() == ["x"]  # logical y -> physical x
+    assert state.schema["s"].dataType.fieldNames() == ["y"]

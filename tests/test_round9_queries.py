@@ -3,6 +3,7 @@ count-min guarantee, link-prediction semantics, RFM determinism."""
 
 from __future__ import annotations
 
+import os
 import random
 
 import duckdb
@@ -13,7 +14,7 @@ from iceberg_metadata_pipeline_spark.queries.extras import (
 )
 from iceberg_metadata_pipeline_spark.queries.joins import _jaro_winkler_kernel
 
-SF = "/root/testdata/sf0.001"
+SF = os.environ.get("SPARK_GRAFT_TEST_SF_DIR", "/root/testdata/sf0.001")
 
 
 def _rand_pairs(n, alpha, lo, hi, seed):
@@ -123,3 +124,16 @@ def test_zipf_slope_is_negative(spark, qreg):
     row = qreg["text_zipf_fit"](spark, SF).collect()[0]
     assert row["zipf_slope"] < 0
     assert row["n_terms"] > 0
+
+
+def test_jaro_winkler_single_char_clamp():
+    # review finding: match window max//2-1 is negative for len-1
+    # strings; unclamped, 'a' vs 'a' scored 0.0 where DuckDB says 1.0
+    import duckdb
+
+    con = duckdb.connect()
+    for a, b in [("a", "a"), ("a", "b"), ("ab", "a"), ("a", "ab")]:
+        want = con.execute(
+            "select jaro_winkler_similarity(?, ?)", [a, b]
+        ).fetchone()[0]
+        assert _jaro_winkler_kernel(a, b) == want, (a, b)
