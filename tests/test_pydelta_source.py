@@ -437,3 +437,43 @@ def test_writer_serves_column_mapped_tables(spark, tmp_path):
     # partitionValues of the new add key by the PHYSICAL partition name
     a = state.files[newest]
     assert set(a["partitionValues"]) == {phys["seg"]}
+
+
+def test_stream_writer_partitioned_routes_per_epoch(spark, tmp_path):
+    """The stream writer inherits the round-9 partitioned routing: an
+    epoch's rows land in per-partition files with spec-correct
+    partitionValues (partition columns EXCLUDED from the data files),
+    and read back with partitions reconstructed."""
+    import pyarrow.parquet as pq
+
+    from iceberg_metadata_pipeline_spark.catalog.delta_format import (
+        read_delta_table,
+    )
+
+    register(spark)
+    src = str(tmp_path / "src")
+    spark.sql(
+        "SELECT id, IF(id % 2 = 0, 'even', 'odd') AS cat FROM RANGE(10)"
+    ).write.format("pydelta").mode("append").save(src)
+    dest = str(tmp_path / "sink")
+    q = (
+        spark.readStream.format("pydelta")
+        .load(src)
+        .writeStream.format("pydelta")
+        .option("path", dest)
+        .option("partitionBy", "cat")
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    state = read_delta_table(dest)
+    assert state.partition_columns == ["cat"]
+    pvals = {a["partitionValues"].get("cat") for a in state.files.values()}
+    assert pvals == {"even", "odd"}
+    for p in state.files:
+        cols = pq.ParquetFile(os.path.join(dest, p)).schema_arrow.names
+        assert "cat" not in cols  # spec: values live in partitionValues
+    back = spark.read.format("pydelta").load(dest)
+    rows = {(r["id"], r["cat"]) for r in back.collect()}
+    assert rows == {(i, "even" if i % 2 == 0 else "odd") for i in range(10)}

@@ -367,3 +367,34 @@ def test_stream_writer_exactly_once(spark, tmp_path):
         batchId=1,
     )
     assert spark.read.format("pyhudi").load(dest).count() == 6
+
+
+def test_stream_writer_partitioned(spark, tmp_path):
+    """Stream writer inherits partitioned COW routing (round 9): epoch
+    rows land under hive partition dirs and read back via pyhudi."""
+    from iceberg_metadata_pipeline_spark.ingest.pyhudi_source import register
+
+    register(spark)
+    src = str(tmp_path / "src")
+    spark.sql(
+        "SELECT id, IF(id % 2 = 0, 'e', 'o') AS cat FROM RANGE(8)"
+    ).write.format("pyhudi").mode("append").save(src)
+    dest = str(tmp_path / "sink")
+    q = (
+        spark.readStream.format("pyhudi")
+        .load(src)
+        .writeStream.format("pyhudi")
+        .option("path", dest)
+        .option("partitionBy", "cat")
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    back = spark.read.format("pyhudi").load(dest)
+    rows = {(r["id"], r["cat"]) for r in back.collect()}
+    assert rows == {(i, "e" if i % 2 == 0 else "o") for i in range(8)}
+    import os as _os
+
+    assert _os.path.isdir(_os.path.join(dest, "cat=e"))
+    assert _os.path.isdir(_os.path.join(dest, "cat=o"))

@@ -722,3 +722,37 @@ def test_concurrent_appends_never_lose_each_other(spark, tmp_path):
     # one snapshot per commit, versions strictly stacked
     assert len(info.metadata["snapshots"]) == n
     assert info.metadata["last-sequence-number"] == n
+
+
+def test_stream_writer_partitioned(spark, tmp_path):
+    """Stream writer inherits partitioned routing (round 9): per-epoch
+    rows land under identity-partition manifest values and read back
+    via pyice with pruning-capable metadata."""
+    from iceberg_metadata_pipeline_spark.ingest.pyice_source import register
+
+    register(spark)
+    src = str(tmp_path / "src")
+    spark.sql(
+        "SELECT id, IF(id % 2 = 0, 'e', 'o') AS cat FROM RANGE(8)"
+    ).write.format("pyice").mode("append").save(src)
+    dest = str(tmp_path / "sink")
+    q = (
+        spark.readStream.format("pyice")
+        .load(src)
+        .writeStream.format("pyice")
+        .option("path", dest)
+        .option("partitionBy", "cat")
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    back = spark.read.format("pyice").load(dest)
+    rows = {(r["id"], r["cat"]) for r in back.collect()}
+    assert rows == {(i, "e" if i % 2 == 0 else "o") for i in range(8)}
+    from iceberg_metadata_pipeline_spark.catalog.iceberg_format import (
+        read_iceberg_table,
+    )
+
+    info = read_iceberg_table(dest)
+    assert {f.partition.get("cat") for f in info.files} == {"e", "o"}
