@@ -553,3 +553,73 @@ sql_query(
         lambda e: f"list_reduce(list_sort(list({e})), (a, v) -> a + v)",
     ),
 )
+
+
+# Heaps'-law fit: vocabulary growth V(N) ≈ K·N^β over the corpus read
+# in doc_id order — the companion diagnostic to text_zipf_fit (β ≈ 0.5
+# for natural text; near-1 means unbounded novel tokens = noise/IDs,
+# near-0 means a closed template vocabulary). EXACT counting: each
+# token's FIRST document (one hash aggregate), per-doc token counts
+# (another), then V and N at ~12 exponentially spaced document-rank
+# checkpoints via a bounded theta join (12 × docs — never rows²). The
+# OLS fit runs over ≤12 (ln N, ln V) points with SORTED folds;
+# ROUND(,9) absorbs ln's libm ulp.
+_HEAPS_TEMPLATE = """
+WITH toks AS (
+  SELECT doc_id, tok FROM (SELECT doc_id, {EXPLODE} AS tok FROM documents) x
+), first_seen AS (
+  SELECT tok, MIN(doc_id) AS fd FROM toks GROUP BY tok
+), per_doc AS (
+  SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS tc FROM toks GROUP BY doc_id
+), ranked AS (
+  SELECT doc_id, ROW_NUMBER() OVER (ORDER BY doc_id) AS rnk FROM per_doc
+), ck AS (
+  SELECT rnk, doc_id FROM ranked
+  WHERE rnk IN (4, 8, 16, 32, 64, 128, 256, 512, 1024, 2048, 4096, 8192)
+), at_n AS (
+  SELECT c.rnk, CAST(SUM(p.tc) AS BIGINT) AS n_tokens
+  FROM ck c JOIN ranked r ON r.rnk <= c.rnk
+  JOIN per_doc p ON p.doc_id = r.doc_id
+  GROUP BY c.rnk
+), at_v AS (
+  SELECT c.rnk, CAST(COUNT(*) AS BIGINT) AS vocab
+  FROM ck c JOIN first_seen f ON f.fd <= c.doc_id
+  GROUP BY c.rnk
+), pts AS (
+  SELECT LN(CAST(n_tokens AS DOUBLE)) AS x, LN(CAST(vocab AS DOUBLE)) AS y
+  FROM at_n JOIN at_v ON at_n.rnk = at_v.rnk
+), m AS (
+  SELECT CAST(COUNT(*) AS DOUBLE) AS n,
+    {FX} AS sx, {FY} AS sy, {FXX} AS sxx, {FXY} AS sxy
+  FROM pts
+)
+SELECT CAST(n AS BIGINT) AS n_checkpoints,
+  ROUND((n * sxy - sx * sy) / (n * sxx - sx * sx), 9) AS heaps_beta,
+  ROUND(EXP((sy - ((n * sxy - sx * sy) / (n * sxx - sx * sx)) * sx) / n), 9)
+    AS heaps_k
+FROM m
+"""
+
+
+def _heaps(explode_expr: str, fold):
+    return (
+        _HEAPS_TEMPLATE.replace("{EXPLODE}", explode_expr)
+        .replace("{FX}", fold("x"))
+        .replace("{FY}", fold("y"))
+        .replace("{FXX}", fold("x * x"))
+        .replace("{FXY}", fold("x * y"))
+    )
+
+
+sql_query(
+    "text_heaps_law_fit",
+    _heaps(
+        "explode(split(lower(text), ' '))",
+        lambda e: f"reduce(array_sort(collect_list({e})),"
+        " CAST(0.0E0 AS DOUBLE), (a, v) -> a + v)",
+    ),
+    oracle=_heaps(
+        "unnest(string_split(lower(text), ' '))",
+        lambda e: f"list_reduce(list_sort(list({e})), (a, v) -> a + v)",
+    ),
+)

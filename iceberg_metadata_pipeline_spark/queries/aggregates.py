@@ -490,3 +490,48 @@ sql_query(
         " (a, x) -> a + x)",
     ),
 )
+
+
+# Shannon entropy + Gini impurity of the order-status distribution per
+# priority — the two split-quality measures every tree learner and
+# label-balance audit uses. One conditional hash aggregate to the
+# (priority, status) cells; p = cnt/tot doubles with identical text;
+# the ≤3 entropy terms fold SORTED; ROUND(,9) absorbs ln's libm ulp
+# (gini is rounded identically for output symmetry).
+_ENTROPY_TEMPLATE = """
+WITH cells AS (
+  SELECT o_orderpriority AS pri, o_orderstatus AS st,
+         CAST(COUNT(*) AS BIGINT) AS cnt
+  FROM orders GROUP BY o_orderpriority, o_orderstatus
+), tot AS (
+  SELECT pri, CAST(SUM(cnt) AS BIGINT) AS n FROM cells GROUP BY pri
+), terms AS (
+  SELECT c.pri,
+    CAST(c.cnt AS DOUBLE) / CAST(t.n AS DOUBLE) AS p
+  FROM cells c JOIN tot t ON c.pri = t.pri
+)
+SELECT pri,
+  ROUND({FOLD}, 9) AS entropy_nats,
+  ROUND(1.0E0 - {FOLDSQ}, 9) AS gini_impurity
+FROM terms
+GROUP BY pri
+ORDER BY pri
+"""
+
+sql_query(
+    "agg_entropy_impurity",
+    _ENTROPY_TEMPLATE.replace(
+        "{FOLD}",
+        "reduce(array_sort(collect_list(-p * LN(p))),"
+        " CAST(0.0E0 AS DOUBLE), (a, x) -> a + x)",
+    ).replace(
+        "{FOLDSQ}",
+        "reduce(array_sort(collect_list(p * p)),"
+        " CAST(0.0E0 AS DOUBLE), (a, x) -> a + x)",
+    ),
+    oracle=_ENTROPY_TEMPLATE.replace(
+        "{FOLD}", "list_reduce(list_sort(list(-p * LN(p))), (a, x) -> a + x)"
+    ).replace(
+        "{FOLDSQ}", "list_reduce(list_sort(list(p * p)), (a, x) -> a + x)"
+    ),
+)

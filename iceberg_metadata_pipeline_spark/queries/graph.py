@@ -720,3 +720,66 @@ def graph_kcore_peel(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("deg").desc(), "node")
         .limit(20)
     )
+
+
+# Degree power-law (CCDF) fit of the interaction graph: OLS slope of
+# ln P(D ≥ d) on ln d over the distinct degree values — the standard
+# scale-free-ness diagnostic (slope ≈ −(α−1)). EXACT until the fit:
+# degrees are counts, the CCDF numerator is a descending prefix sum
+# over DISTINCT degree values (orders of magnitude below node count),
+# and the ≤|distinct degrees| fit points fold in SORTED order;
+# ROUND(,9) absorbs ln's libm ulp.
+_POWERLAW_TEMPLATE = """
+WITH pairs AS (
+  SELECT DISTINCT o_custkey AS cust, l_suppkey + {OFFSET} AS supp
+  FROM orders JOIN lineitem ON l_orderkey = o_orderkey
+),
+edges AS (
+  SELECT cust AS src, supp AS dst FROM pairs
+  UNION ALL
+  SELECT supp AS src, cust AS dst FROM pairs
+),
+deg AS (SELECT src, CAST(COUNT(*) AS BIGINT) AS d FROM edges GROUP BY src),
+dv AS (SELECT d, CAST(COUNT(*) AS BIGINT) AS nd FROM deg GROUP BY d),
+ccdf AS (
+  SELECT d,
+    SUM(nd) OVER (ORDER BY d DESC) AS n_ge,
+    SUM(nd) OVER () AS n_tot
+  FROM dv
+), pts AS (
+  SELECT LN(CAST(d AS DOUBLE)) AS x,
+         LN(CAST(n_ge AS DOUBLE) / CAST(n_tot AS DOUBLE)) AS y
+  FROM ccdf WHERE d > 0
+), m AS (
+  SELECT CAST(COUNT(*) AS DOUBLE) AS n,
+    {FX} AS sx, {FY} AS sy, {FXX} AS sxx, {FXY} AS sxy
+  FROM pts
+)
+SELECT CAST(n AS BIGINT) AS n_degree_values,
+  ROUND((n * sxy - sx * sy) / (n * sxx - sx * sx), 9) AS ccdf_slope
+FROM m
+"""
+
+
+def _powerlaw(fold):
+    return (
+        _POWERLAW_TEMPLATE.replace("{OFFSET}", str(_SUPP_OFFSET))
+        .replace("{FX}", fold("x"))
+        .replace("{FY}", fold("y"))
+        .replace("{FXX}", fold("x * x"))
+        .replace("{FXY}", fold("x * y"))
+    )
+
+
+from iceberg_metadata_pipeline_spark.queries import sql_query  # noqa: E402
+
+sql_query(
+    "graph_degree_powerlaw_fit",
+    _powerlaw(
+        lambda e: f"reduce(array_sort(collect_list({e})),"
+        " CAST(0.0E0 AS DOUBLE), (a, v) -> a + v)"
+    ),
+    oracle=_powerlaw(
+        lambda e: f"list_reduce(list_sort(list({e})), (a, v) -> a + v)"
+    ),
+)
