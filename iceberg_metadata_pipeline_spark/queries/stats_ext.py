@@ -1259,3 +1259,27 @@ sql_query(
     _GRUBBS_TEMPLATE.replace("{IDIV}", "DIV"),
     oracle=_GRUBBS_TEMPLATE.replace("{IDIV}", "//"),
 )
+
+
+# Effect sizes for the two-segment comparison — the magnitude companion
+# to stat_welch_ttest (a significant t with a trivial d is the classic
+# big-data trap): Cohen's d on the pooled SD and Hedges' g (the
+# small-sample bias correction J = 1 − 3/(4·df − 1)). Same ONE
+# exact-decimal moments pass as Welch; the d/g formulas are fixed
+# scalar double expressions with identical text in both engines.
+_EFFECT_FINAL = """
+  CAST(n1 AS BIGINT) AS n1,
+  CAST(n2 AS BIGINT) AS n2,
+  (s1 / n1 - s2 / n2)
+    / SQRT( ( (q1 - s1 * s1 / n1) + (q2 - s2 * s2 / n2) )
+          / (n1 + n2 - 2.0E0) ) AS cohens_d,
+  ( (s1 / n1 - s2 / n2)
+    / SQRT( ( (q1 - s1 * s1 / n1) + (q2 - s2 * s2 / n2) )
+          / (n1 + n2 - 2.0E0) ) )
+  * (1.0E0 - 3.0E0 / (4.0E0 * (n1 + n2 - 2.0E0) - 1.0E0)) AS hedges_g
+"""
+
+sql_query(
+    "stat_effect_sizes",
+    _WELCH_MOMENTS + f"SELECT {_EFFECT_FINAL} FROM m",
+)
