@@ -535,3 +535,32 @@ sql_query(
         "{FOLDSQ}", "list_reduce(list_sort(list(p * p)), (a, x) -> a + x)"
     ),
 )
+
+
+# Coefficient of variation + Fano factor (variance/mean dispersion
+# index) per return flag — the two normalized-dispersion diagnostics
+# (CV compares spread across scales; Fano >1 flags over-dispersion vs
+# Poisson). Quantity collapses to ≤50 integer cells; moments are exact
+# DECIMAL(38,0); the final ratios are identical double text (SQRT is
+# IEEE-exact — no rounding needed anywhere).
+sql_query(
+    "agg_cv_fano_dispersion",
+    """
+WITH cells AS (
+  SELECT l_returnflag AS flag, CAST(l_quantity AS BIGINT) AS v,
+         CAST(COUNT(*) AS BIGINT) AS cnt
+  FROM lineitem GROUP BY l_returnflag, CAST(l_quantity AS BIGINT)
+), m AS (
+  SELECT flag,
+    CAST(SUM(cnt) AS DOUBLE) AS n,
+    CAST(CAST(SUM(CAST(cnt AS DECIMAL(19,0)) * v) AS BIGINT) AS DOUBLE) AS s1,
+    CAST(CAST(SUM(CAST(cnt AS DECIMAL(19,0)) * (v * v)) AS BIGINT) AS DOUBLE) AS s2
+  FROM cells GROUP BY flag
+)
+SELECT flag, CAST(n AS BIGINT) AS n,
+  SQRT((s2 - s1 * s1 / n) / (n - 1.0E0)) / (s1 / n) AS coeff_variation,
+  ((s2 - s1 * s1 / n) / (n - 1.0E0)) / (s1 / n) AS fano_factor
+FROM m
+ORDER BY flag
+""",
+)

@@ -826,3 +826,42 @@ sql_query(
     ),
     oracle=_INTERARRIVAL_TEMPLATE.format(EPOCHUS="epoch_us(ts)"),
 )
+
+
+# Per-user training-feature matrix — the feature-engineering pass a
+# churn/LTV model consumes, as ONE hash aggregate over the event
+# stream (map-side combinable; every feature exact integer or a single
+# identical-text double ratio): event volume, distinct active days,
+# purchase count, spend cents, recency vs the corpus horizon, and
+# events-per-active-day. Bounded deterministic output (user_id < 100).
+_FEATURES_TEMPLATE = """
+WITH hz AS (
+  SELECT CAST(MAX(ts) AS DATE) AS h FROM events
+), u AS (
+  SELECT user_id,
+    CAST(COUNT(*) AS BIGINT) AS n_events,
+    CAST(COUNT(DISTINCT CAST(ts AS DATE)) AS BIGINT) AS active_days,
+    CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT)
+      AS n_purchases,
+    CAST(SUM(CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)) AS BIGINT)
+      AS value_cents,
+    {RECENCY} AS recency_days
+  FROM events CROSS JOIN hz
+  GROUP BY user_id, h
+)
+SELECT user_id, n_events, active_days, n_purchases, value_cents,
+       recency_days,
+       CAST(n_events AS DOUBLE) / CAST(active_days AS DOUBLE)
+         AS events_per_active_day
+FROM u
+WHERE user_id < 100
+ORDER BY user_id
+"""
+
+sql_query(
+    "events_user_feature_matrix",
+    _FEATURES_TEMPLATE.format(RECENCY="datediff(h, CAST(MAX(ts) AS DATE))"),
+    oracle=_FEATURES_TEMPLATE.format(
+        RECENCY="datediff('day', CAST(MAX(ts) AS DATE), h)"
+    ),
+)
