@@ -499,13 +499,20 @@ def optimize_delta(
         return state.version
 
     idmode = column_mapping_mode(state) == "id"
+    saved_write_conf: str | None = None
     if idmode:
         # packed files must stay id-resolvable: write under the metadata
         # physicalNames AND stamp parquet.field.id on every column
-        # (Spark's writer emits PARQUET:field_id from alias metadata)
+        # (Spark's writer emits PARQUET:field_id from alias metadata).
+        # The write is EAGER (every action completes inside this call),
+        # so the conf change is scoped: saved here, restored in the
+        # finally below — optimize never leaks write semantics into a
+        # session it does not own.
         check_id_mode_supported(state)
         ids = column_mapping_ids(state)
-        spark.conf.set("spark.sql.parquet.fieldId.write.enabled", "true")
+        _WRITE_KEY = "spark.sql.parquet.fieldId.write.enabled"
+        saved_write_conf = spark.conf.get(_WRITE_KEY, None)
+        spark.conf.set(_WRITE_KEY, "true")
     phys = physical_names_meta(state) if idmode else physical_names(state)
     pcols = set(state.partition_columns)
     file_fields = [f for f in state.schema.fields if f.name not in pcols]
@@ -515,101 +522,108 @@ def optimize_delta(
     actions: list[dict] = []
     n_before = 0
     n_after = 0
-    for pv, paths in sorted(by_part.items()):
-        group = [p for p in paths if p in victims]
-        if not group:
-            continue
-        sub = DeltaTableState(
-            location=state.location,
-            version=state.version,
-            schema=state.schema,
-            partition_columns=state.partition_columns,
-            files={p: state.files[p] for p in group},
-            metadata=state.metadata,
-            protocol=state.protocol,
-        )
-        live = _live_rows_dataframe(spark, sub).select(
-            # logical → PHYSICAL, recursively: packed files must store
-            # the same (nested) parquet names as the files they replace;
-            # id mode additionally stamps the field id via alias metadata
-            *[
-                rename_expr(
-                    F.col(f.name), f.dataType, physical_type(f.dataType)
-                ).alias(
-                    phys[f.name],
-                    metadata={"parquet.field.id": ids[f.name]} if idmode else None,
-                )
-                for f in file_fields
-            ]
-        )
-        rows = live.count()
-        n_before += rows
-        n_files = max(1, -(-rows // target_file_rows))
-        import hashlib as _hashlib
-
-        tag = f"{now}-{_hashlib.md5(repr(pv).encode()).hexdigest()[:8]}"
-        dest = os.path.join(out_dir, f"pack-{tag}")
-        if order_by and len(order_by) > 1:
-            # OPTIMIZE ... ZORDER BY (a, b[, c]): cluster on the
-            # bit-interleaved curve value (metacat's _zvalue_column — JVM
-            # bitwise expressions in whole-stage codegen, no UDF), so
-            # file min/max ranges prune on EVERY named column, matching
-            # real Delta's multi-column ZORDER
-            from iceberg_metadata_pipeline_spark.catalog.metacat import (
-                _zvalue_column,
-            )
-
-            zcols = [phys.get(c, c) for c in order_by]
-            live = (
-                live.withColumn("__z", _zvalue_column(live, zcols))
-                .repartitionByRange(n_files, "__z")
-                .sortWithinPartitions("__z")
-                .drop("__z")
-            )
-        elif order_by:
-            # single column: plain range clustering (a 1-D z-curve IS the
-            # sort order) — global clustering without a single-task sort
-            key = phys.get(order_by[0], order_by[0])
-            live = live.repartitionByRange(n_files, key).sortWithinPartitions(key)
-        else:
-            live = live.repartition(n_files)
-        live.write.mode("overwrite").parquet(dest)
-        for p in group:
-            rm: dict = {
-                "path": p,
-                "deletionTimestamp": now,
-                "dataChange": False,
-            }
-            if state.files[p].get("deletionVector"):
-                rm["deletionVector"] = state.files[p]["deletionVector"]
-            actions.append({"remove": rm})
-        import glob as _glob
-
-        for fp in sorted(_glob.glob(os.path.join(dest, "*.parquet"))):
-            import pyarrow.parquet as pq
-
-            nrec = pq.read_metadata(fp).num_rows
-            if nrec == 0:
-                os.remove(fp)
+    try:
+        for pv, paths in sorted(by_part.items()):
+            group = [p for p in paths if p in victims]
+            if not group:
                 continue
-            n_after += nrec
-            actions.append(
-                {
-                    "add": {
-                        # relative to the table root: vacuum's referenced-set
-                        # keys on relative paths, and absolute paths read as
-                        # "external" — recording fp verbatim made the packed
-                        # output a VACUUM victim (permanent data loss on the
-                        # standard OPTIMIZE-then-VACUUM sequence)
-                        "path": os.path.relpath(fp, location),
-                        "partitionValues": dict(pv),
-                        "size": os.path.getsize(fp),
-                        "modificationTime": now,
-                        "dataChange": False,
-                        "stats": json.dumps({"numRecords": int(nrec)}),
-                    }
-                }
+            sub = DeltaTableState(
+                location=state.location,
+                version=state.version,
+                schema=state.schema,
+                partition_columns=state.partition_columns,
+                files={p: state.files[p] for p in group},
+                metadata=state.metadata,
+                protocol=state.protocol,
             )
+            live = _live_rows_dataframe(spark, sub).select(
+                # logical → PHYSICAL, recursively: packed files must store
+                # the same (nested) parquet names as the files they replace;
+                # id mode additionally stamps the field id via alias metadata
+                *[
+                    rename_expr(
+                        F.col(f.name), f.dataType, physical_type(f.dataType)
+                    ).alias(
+                        phys[f.name],
+                        metadata={"parquet.field.id": ids[f.name]} if idmode else None,
+                    )
+                    for f in file_fields
+                ]
+            )
+            rows = live.count()
+            n_before += rows
+            n_files = max(1, -(-rows // target_file_rows))
+            import hashlib as _hashlib
+
+            tag = f"{now}-{_hashlib.md5(repr(pv).encode()).hexdigest()[:8]}"
+            dest = os.path.join(out_dir, f"pack-{tag}")
+            if order_by and len(order_by) > 1:
+                # OPTIMIZE ... ZORDER BY (a, b[, c]): cluster on the
+                # bit-interleaved curve value (metacat's _zvalue_column — JVM
+                # bitwise expressions in whole-stage codegen, no UDF), so
+                # file min/max ranges prune on EVERY named column, matching
+                # real Delta's multi-column ZORDER
+                from iceberg_metadata_pipeline_spark.catalog.metacat import (
+                    _zvalue_column,
+                )
+
+                zcols = [phys.get(c, c) for c in order_by]
+                live = (
+                    live.withColumn("__z", _zvalue_column(live, zcols))
+                    .repartitionByRange(n_files, "__z")
+                    .sortWithinPartitions("__z")
+                    .drop("__z")
+                )
+            elif order_by:
+                # single column: plain range clustering (a 1-D z-curve IS the
+                # sort order) — global clustering without a single-task sort
+                key = phys.get(order_by[0], order_by[0])
+                live = live.repartitionByRange(n_files, key).sortWithinPartitions(key)
+            else:
+                live = live.repartition(n_files)
+            live.write.mode("overwrite").parquet(dest)
+            for p in group:
+                rm: dict = {
+                    "path": p,
+                    "deletionTimestamp": now,
+                    "dataChange": False,
+                }
+                if state.files[p].get("deletionVector"):
+                    rm["deletionVector"] = state.files[p]["deletionVector"]
+                actions.append({"remove": rm})
+            import glob as _glob
+
+            for fp in sorted(_glob.glob(os.path.join(dest, "*.parquet"))):
+                import pyarrow.parquet as pq
+
+                nrec = pq.read_metadata(fp).num_rows
+                if nrec == 0:
+                    os.remove(fp)
+                    continue
+                n_after += nrec
+                actions.append(
+                    {
+                        "add": {
+                            # relative to the table root: vacuum's referenced-set
+                            # keys on relative paths, and absolute paths read as
+                            # "external" — recording fp verbatim made the packed
+                            # output a VACUUM victim (permanent data loss on the
+                            # standard OPTIMIZE-then-VACUUM sequence)
+                            "path": os.path.relpath(fp, location),
+                            "partitionValues": dict(pv),
+                            "size": os.path.getsize(fp),
+                            "modificationTime": now,
+                            "dataChange": False,
+                            "stats": json.dumps({"numRecords": int(nrec)}),
+                        }
+                    }
+                )
+    finally:
+        if idmode:
+            if saved_write_conf is None:
+                spark.conf.unset(_WRITE_KEY)
+            else:
+                spark.conf.set(_WRITE_KEY, saved_write_conf)
     if n_after != n_before:
         raise RuntimeError(
             f"OPTIMIZE row-count mismatch: {n_before} live rows in, "
@@ -1701,11 +1715,23 @@ def _live_rows_dataframe(spark: SparkSession, state: DeltaTableState):
                     f"id-mode table but data file {p} carries no "
                     "PARQUET:field_id metadata — unreadable by field id"
                 )
-        # the session posture (session.py) already enables field-id
-        # reads; re-asserted here for externally-built sessions. These
-        # are inert for schemas without parquet.field.id metadata.
-        spark.conf.set("spark.sql.parquet.fieldId.read.enabled", "true")
-        spark.conf.set("spark.sql.parquet.fieldId.read.ignoreMissing", "true")
+        # the session posture (session.py) enables field-id reads. The
+        # returned DataFrame is LAZY, so this function cannot scope a
+        # conf change around the action — and silently mutating an
+        # externally-built session would change parquet semantics for
+        # unrelated jobs sharing it. Verify the posture and refuse
+        # loudly instead.
+        for _k in (
+            "spark.sql.parquet.fieldId.read.enabled",
+            "spark.sql.parquet.fieldId.read.ignoreMissing",
+        ):
+            if str(spark.conf.get(_k, "false")).lower() != "true":
+                raise ValueError(
+                    f"reading a column-mapping 'id' Delta table needs "
+                    f"{_k}=true on the session (set by this package's "
+                    "get_spark; set it on externally-built sessions "
+                    "before reading)"
+                )
         read_schema = T.StructType(
             [
                 T.StructField(

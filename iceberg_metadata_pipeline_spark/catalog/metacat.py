@@ -684,6 +684,19 @@ class Table:
                 f"replace_files: {len(missing)} removed path(s) not in the "
                 f"current snapshot (first: {missing[0]})"
             )
+        # mirror the removed-path validation on the ADD side: a path
+        # already live (and not being removed in this same commit) would
+        # double-register the file and count its rows twice
+        dup = sorted(
+            {e.path for e in added} & (live - set(removed_paths))
+        )
+        if dup:
+            raise ValueError(
+                f"replace_files: {len(dup)} added path(s) already live in "
+                f"the current snapshot (first: {dup[0]}) — a re-add would "
+                "double-count rows; remove the path in the same commit to "
+                "rewrite it"
+            )
         return self._commit(operation, added, removed_paths=set(removed_paths))
 
     def _materialize_row_ids(self, df: DataFrame, files: list[DataFileEntry]) -> DataFrame:

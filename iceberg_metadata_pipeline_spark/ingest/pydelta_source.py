@@ -108,6 +108,9 @@ class _DeltaReadMixin:
     # parquet field id (field_ids maps logical -> delta.columnMapping.id)
     physical: dict | None
     field_ids: dict | None
+    # logical -> physicalName for partitionValues keys — valid in ALL
+    # mapping modes (id mode included; see physical_names_meta)
+    part_phys: dict
 
     def _resolve_mapping(self, state) -> None:
         """Set (physical, field_ids) per the table's column-mapping mode:
@@ -118,8 +121,15 @@ class _DeltaReadMixin:
             column_mapping_ids,
             column_mapping_mode,
             physical_names,
+            physical_names_meta,
         )
 
+        # partitionValues are keyed by physicalName in EVERY mapping
+        # mode (the spec writes physicalNames even under id mode, where
+        # only PARQUET column resolution goes through field ids) — so
+        # partition planning must never touch self.physical, which is
+        # None under id mode
+        self.part_phys = physical_names_meta(state)
         if column_mapping_mode(state) == "id":
             check_id_mode_supported(state)
             self.physical = None
@@ -245,7 +255,7 @@ class PyDeltaBatchReader(DataSourceReader, _DeltaReadMixin):
                 self._abs(p),
                 tuple(
                     _coerce_partition(
-                        (a.get("partitionValues") or {}).get(self.physical.get(c, c)),
+                        (a.get("partitionValues") or {}).get(self.part_phys.get(c, c)),
                         self.schema[c].dataType,
                     )
                     for c in state.partition_columns
@@ -357,7 +367,7 @@ class PyDeltaStreamReader(DataSourceStreamReader, _DeltaReadMixin):
                                 tuple(
                                     _coerce_partition(
                                         (add.get("partitionValues") or {}).get(
-                                            self.physical.get(c, c)
+                                            self.part_phys.get(c, c)
                                         ),
                                         self.schema[c].dataType,
                                     )

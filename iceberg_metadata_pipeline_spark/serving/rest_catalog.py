@@ -656,10 +656,15 @@ class RestCatalogServer:
         added = [e for p, e in sorted(live.items()) if p not in current]
         removed = current - set(live)
         if not removed:
-            return (
-                f"{op} snapshot removes no current files — post it as an "
-                "append"
-            )
+            # a replace/overwrite that deletes nothing is semantically an
+            # append (dynamic-partition overwrite into a new/empty
+            # partition, overwrite of an empty table) — the client chose
+            # its operation name and cannot re-post under another, so
+            # serve it instead of bouncing a legal Iceberg commit
+            if not added:
+                return f"{op} snapshot adds and removes no files"
+            t.append_files(added, dedupe=False)
+            return None
         try:
             t.replace_files(added, removed, operation=op)
         except ValueError as exc:

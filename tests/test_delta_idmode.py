@@ -294,3 +294,46 @@ def test_create_name_mode_maps_nested_fields_recursively(tmp_path):
     pt = physical_type(state.schema["s"].dataType)
     assert pt.fieldNames() == ["x"]  # logical y -> physical x
     assert state.schema["s"].dataType.fieldNames() == ["y"]
+
+
+def test_idmode_partitioned_roundtrip_batch_and_stream(spark, tmp_path):
+    """Advisor finding (r10): partitioned id-mode tables crashed on
+    read — partition planning resolved partitionValues keys through
+    self.physical, which is None under id mode. partitionValues are
+    keyed by physicalName in EVERY mode (the spec writes physicalNames
+    even under id), so planning must go through part_phys."""
+    dest = str(tmp_path / "idpart")
+    create_delta_table(
+        dest, SCHEMA, partition_columns=["name"], column_mapping="id"
+    )
+    register(spark)
+    df = spark.createDataFrame(
+        [(i, f"g{i % 3}", float(i)) for i in range(12)], SCHEMA
+    )
+    df.write.format("pydelta").mode("append").save(dest)
+
+    # batch read: partition column values come back from partitionValues
+    back = spark.read.format("pydelta").load(dest)
+    rows = {(r["id"], r["name"], r["score"]) for r in back.collect()}
+    assert rows == {(i, f"g{i % 3}", float(i)) for i in range(12)}
+
+    # stream read plans the same partitions without touching
+    # self.physical
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+    q = (
+        spark.readStream.format("pydelta")
+        .schema(SCHEMA)
+        .load(dest)
+        .writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        (r["id"], r["name"], r["score"])
+        for r in spark.read.parquet(out).collect()
+    }
+    assert got == rows

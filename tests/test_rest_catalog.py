@@ -735,7 +735,10 @@ def test_commit_table_append_snapshot(spark, server, tmp_path):
         r.id for r in t.scan(snapshot_id=before_sid).collect()
     ) == [10, 11, 12, 20]
 
-    # a REPLACE that removes no current file refuses (post an append)
+    # a REPLACE that removes no current file is semantically an append
+    # (dynamic-partition overwrite into a new partition, overwrite of an
+    # empty table) — served as one, since the client chose its operation
+    # name and cannot re-post under another (advisor finding, r10)
     sid4, mlist4 = write_commit_files("c4", [7], extra_manifest=None)
     # c4's manifest list omits c3's file -> that WOULD remove it; build a
     # no-op-removal case by reusing c3's manifest alongside c4's
@@ -756,7 +759,10 @@ def test_commit_table_append_snapshot(spark, server, tmp_path):
              "type": "branch", "snapshot-id": sid4},
         ],
     }
-    assert _status_of(url, "POST", noop) == 400
+    assert _status_of(url, "POST", noop) == 200
+    assert sorted(
+        r.id for r in catalog.load_table("ap", "t").scan().collect()
+    ) == [7, 99]
 
     # unknown snapshot operations still refuse with nothing applied
     sid5, mlist5 = write_commit_files("c5", [1])
@@ -764,7 +770,7 @@ def test_commit_table_append_snapshot(spark, server, tmp_path):
         "updates": [
             {"action": "add-snapshot", "snapshot": {
                 "snapshot-id": sid5, "manifest-list": mlist5,
-                "summary": {"operation": "delete"}}},
+                "summary": {"operation": "expire"}}},
             {"action": "set-snapshot-ref", "ref-name": "main",
              "type": "branch", "snapshot-id": sid5},
         ],
@@ -772,7 +778,7 @@ def test_commit_table_append_snapshot(spark, server, tmp_path):
     assert _status_of(url, "POST", bad) == 400
     assert sorted(
         r.id for r in catalog.load_table("ap", "t").scan().collect()
-    ) == [99]
+    ) == [7, 99]
     # add-snapshot without set-snapshot-ref still refuses
     assert _status_of(
         url, "POST",
