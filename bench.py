@@ -133,6 +133,10 @@ HEADLINE = [
     "join_fuzzy_jaro_winkler",
     "graph_link_prediction_jaccard",
     "sketch_countmin_heavy_hitters",
+    # round-10 promotions (r9 verdict #7): heaps fit with the bounded
+    # rank window, Brown-Forsythe over the sorted-fold moments pass
+    "text_heaps_law_fit",
+    "stat_brown_forsythe",
 ]
 
 
@@ -220,9 +224,14 @@ def _isolate(names: list[str]) -> None:
 
 def _cross_round(timings: dict, sentinel: float, local_path: str) -> dict | None:
     """Compare this run against the PREVIOUS round's committed
-    BENCH_LOCAL.json, sentinel-normalized: only moves outside the band
-    are flagged, so uniform host drift (the r7/r8 false alarm) never
-    reads as a regression."""
+    BENCH_LOCAL.json. Host drift is normalized by the SUITE'S OWN
+    MEDIAN per-query ratio, not the sentinel: the r9 verdict showed the
+    half-second sentinel is noisier than the signal it corrects (a
+    0.78s→0.49s sentinel swing while raw times held flagged 55/92
+    queries). The median ratio over 90+ queries is a far lower-variance
+    drift estimate, and a genuinely regressed query cannot hide in it
+    (one query barely moves the median). Only per-query ratios outside
+    band × the median drift flag."""
     if not os.path.exists(local_path):
         return None
     try:
@@ -231,23 +240,33 @@ def _cross_round(timings: dict, sentinel: float, local_path: str) -> dict | None
     except (OSError, json.JSONDecodeError):
         return None
     prev_q = prev.get("queries") or {}
-    prev_s = prev.get("sentinel_sec") or 0
-    if not prev_q or not prev_s or not sentinel:
+    if not prev_q:
         return None
+    ratios = {
+        name: cur / prev_q[name]
+        for name, cur in timings.items()
+        if prev_q.get(name) and prev_q[name] > 0 and cur > 0
+    }
+    if len(ratios) < 5:
+        return None  # too few shared queries for a stable median drift
+    ordered = sorted(ratios.values())
+    drift = ordered[len(ordered) // 2]
     band = 1.5
     flagged = {}
-    for name, cur in timings.items():
-        old = prev_q.get(name)
-        if old is None or old <= 0:
-            continue
-        ratio = round((cur / sentinel) / (old / prev_s), 2)
-        if ratio > band or ratio < 1 / band:
-            flagged[name] = {"prev_s": old, "cur_s": cur, "norm_ratio": ratio}
+    for name, r in ratios.items():
+        rel = round(r / drift, 2)
+        if rel > band or rel < 1 / band:
+            flagged[name] = {
+                "prev_s": prev_q[name],
+                "cur_s": timings[name],
+                "norm_ratio": rel,
+            }
     return {
-        "prev_sentinel_sec": prev_s,
+        "prev_sentinel_sec": prev.get("sentinel_sec"),
+        "median_drift": round(drift, 3),
         "band": band,
         "flagged": flagged,
-        "n_compared": sum(1 for n in timings if n in prev_q),
+        "n_compared": len(ratios),
     }
 
 

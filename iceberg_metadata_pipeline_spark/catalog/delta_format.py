@@ -508,7 +508,6 @@ def optimize_delta(
         # so the conf change is scoped: saved here, restored in the
         # finally below — optimize never leaks write semantics into a
         # session it does not own.
-        check_id_mode_supported(state)
         ids = column_mapping_ids(state)
         _WRITE_KEY = "spark.sql.parquet.fieldId.write.enabled"
         saved_write_conf = spark.conf.get(_WRITE_KEY, None)
@@ -550,6 +549,26 @@ def optimize_delta(
                     for f in file_fields
                 ]
             )
+            if idmode and any(
+                _has_nested_mapping(f.dataType) for f in file_fields
+            ):
+                # nested ids can't ride on an alias (metadata is
+                # top-level only) — reconcile to a physical-named schema
+                # whose NESTED fields carry parquet.field.id, so the
+                # fieldId write stamps every level (round 10)
+                live = live.to(
+                    T.StructType(
+                        [
+                            T.StructField(
+                                phys[f.name],
+                                idmode_io_type(f.dataType, physical=True),
+                                True,  # IO schema; .to() refuses n→req
+                                {"parquet.field.id": ids[f.name]},
+                            )
+                            for f in file_fields
+                        ]
+                    )
+                )
             rows = live.count()
             n_before += rows
             n_files = max(1, -(-rows // target_file_rows))
@@ -1346,6 +1365,106 @@ def to_logical_py(v, ltype):
     return v
 
 
+def _cm_id(f: T.StructField) -> int:
+    fid = (f.metadata or {}).get("delta.columnMapping.id")
+    if fid is None:
+        raise ValueError(
+            f"column-mapped field {f.name!r} lacks delta.columnMapping.id "
+            "(protocol violation)"
+        )
+    return int(fid)
+
+
+def idmode_io_type(dtype, *, physical: bool):
+    """Rebuild a (possibly nested) type for id-mode parquet IO (round
+    10 — nested id resolution): every struct field carries
+    ``{"parquet.field.id": <delta.columnMapping.id>}`` so Spark's
+    fieldId read matches — and fieldId write stamps — parquet columns
+    BY ID at every nesting level. ``physical=True`` names fields by
+    their physicalName (the write shape), ``physical=False`` keeps
+    logical names (the read shape: the fieldId read returns requested
+    names, so no post-rename is needed)."""
+    if isinstance(dtype, T.StructType):
+        out = []
+        for f in dtype.fields:
+            name = (
+                (f.metadata or {}).get(
+                    "delta.columnMapping.physicalName", f.name
+                )
+                if physical
+                else f.name
+            )
+            out.append(
+                T.StructField(
+                    name,
+                    idmode_io_type(f.dataType, physical=physical),
+                    # always nullable: this is a parquet IO schema, not
+                    # the table contract — DataFrame.to() refuses a
+                    # nullable→required reconcile, and file-level
+                    # nullability carries no id-mode meaning
+                    True,
+                    {"parquet.field.id": _cm_id(f)},
+                )
+            )
+        return T.StructType(out)
+    if isinstance(dtype, T.ArrayType):
+        return T.ArrayType(
+            idmode_io_type(dtype.elementType, physical=physical),
+            dtype.containsNull,
+        )
+    if isinstance(dtype, T.MapType):
+        return T.MapType(
+            idmode_io_type(dtype.keyType, physical=physical),
+            idmode_io_type(dtype.valueType, physical=physical),
+            dtype.valueContainsNull,
+        )
+    return dtype
+
+
+def to_logical_by_id(v, ltype, arrow_type):
+    """Id-mode twin of ``to_logical_py`` for the pydelta reader (round
+    10): a value decoded by pyarrow under THE FILE'S OWN (arbitrary)
+    nested names converts to logical shape by matching each logical
+    field's ``delta.columnMapping.id`` against the arrow child's
+    ``PARQUET:field_id`` — the schema-tree matcher the id-mode spec
+    requires. A field id absent from the file decodes as None (column
+    added after the file was written)."""
+    if v is None:
+        return None
+    if isinstance(ltype, T.StructType):
+        import pyarrow as pa
+
+        by_id = {}
+        if arrow_type is not None and pa.types.is_struct(arrow_type):
+            for i in range(arrow_type.num_fields):
+                af = arrow_type.field(i)
+                fid = (af.metadata or {}).get(b"PARQUET:field_id")
+                if fid is not None:
+                    by_id[int(fid)] = af
+        out = []
+        for lf in ltype.fields:
+            af = by_id.get(_cm_id(lf))
+            out.append(
+                None
+                if af is None
+                else to_logical_by_id(v.get(af.name), lf.dataType, af.type)
+            )
+        return tuple(out)
+    if isinstance(ltype, T.ArrayType):
+        elem = arrow_type.value_type if arrow_type is not None else None
+        return [to_logical_by_id(x, ltype.elementType, elem) for x in v]
+    if isinstance(ltype, T.MapType):
+        kt = arrow_type.key_type if arrow_type is not None else None
+        vt = arrow_type.item_type if arrow_type is not None else None
+        return {
+            to_logical_by_id(k, ltype.keyType, kt): to_logical_by_id(
+                x, ltype.valueType, vt
+            )
+            for k, x in v.items()
+        }
+    return v
+
+
 def physical_names(state: DeltaTableState) -> dict:
     """logical column → the name actually stored in parquet files and
     ``partitionValues`` keys (top level; nested fields map through
@@ -1415,21 +1534,6 @@ def parquet_field_ids(path_or_file) -> dict:
         if fid is not None:
             out[int(fid)] = f.name
     return out
-
-
-def check_id_mode_supported(state: DeltaTableState) -> None:
-    """The id-mode contract this engine serves: TOP-LEVEL field-id
-    resolution. Nested-mapped id tables (columnMapping metadata below
-    the top level) refuse loudly — resolving nested parquet fields by
-    id needs a schema-tree matcher this reader does not implement."""
-    for f in state.schema.fields:
-        if _has_nested_mapping(f.dataType):
-            raise NotImplementedError(
-                "id-mode table with NESTED column mapping "
-                f"(field {f.name!r}) — only top-level id resolution is "
-                "served; read nested-mapped id tables with a full Delta "
-                "runtime"
-            )
 
 
 def enable_column_mapping(location: str) -> int:
@@ -1504,10 +1608,11 @@ def create_delta_table(
     ``delta.columnMapping.id`` and a physicalName ``col-<id>`` that
     DIVERGES from the logical name by construction, so readers must
     resolve parquet columns by field id (files written by the pydelta
-    writer stamp PARQUET:field_id). Nested struct fields refuse under
-    'id' — this engine serves top-level id resolution only
-    (check_id_mode_supported). 'name' mode is also accepted for
-    symmetry; 'none' creates a plain table."""
+    writer stamp PARQUET:field_id). Nested schemas are served too
+    (round 10): ids/physicalNames assign recursively, and both read
+    paths resolve nested parquet fields by id (idmode_io_type /
+    to_logical_by_id). 'name' mode is also accepted for symmetry;
+    'none' creates a plain table."""
     if latest_version(location) >= 0:
         raise ValueError(f"{location}: Delta table already exists")
     if column_mapping not in ("none", "name", "id"):
@@ -1529,18 +1634,12 @@ def create_delta_table(
                 return _contains_struct(dt.keyType) or _contains_struct(dt.valueType)
             return False
 
-        if column_mapping == "id" and any(
-            _contains_struct(f.dataType) for f in fields
-        ):
-            raise NotImplementedError(
-                "id-mode creation with struct-bearing columns — nested "
-                "fields would need recursive id mapping, which the id "
-                "read paths refuse; use 'name' mode for nested schemas"
-            )
-        # the protocol assigns ids/physicalNames RECURSIVELY in 'name'
-        # mode (the enable_column_mapping shape — nested fields rename
+        # the protocol assigns ids/physicalNames RECURSIVELY in BOTH
+        # modes (the enable_column_mapping shape — nested fields rename
         # too; a flat assignment would leave nested renames silently
-        # reading NULL). 'id' mode is flat by the struct refusal above.
+        # reading NULL). Round 10: 'id' mode accepts nested schemas —
+        # both read paths resolve nested parquet fields by id
+        # (idmode_io_type / to_logical_by_id).
         counter = iter(range(1, 1 << 31))
 
         def _map_type(dtype):
@@ -1692,7 +1791,6 @@ def _live_rows_dataframe(spark: SparkSession, state: DeltaTableState):
     pcols = set(state.partition_columns)
     idmode = column_mapping_mode(state) == "id"
     if idmode:
-        check_id_mode_supported(state)
         ids = column_mapping_ids(state)
     phys = physical_names_meta(state) if idmode else physical_names(state)
     file_fields = [f for f in state.schema.fields if f.name not in pcols]
@@ -1732,11 +1830,14 @@ def _live_rows_dataframe(spark: SparkSession, state: DeltaTableState):
                     "get_spark; set it on externally-built sessions "
                     "before reading)"
                 )
+        # nested id resolution (round 10): idmode_io_type carries
+        # parquet.field.id metadata at EVERY struct level, so the
+        # fieldId read matches nested parquet fields by id too
         read_schema = T.StructType(
             [
                 T.StructField(
                     f.name,
-                    _strip_field_metadata(f.dataType),
+                    idmode_io_type(f.dataType, physical=False),
                     f.nullable,
                     {"parquet.field.id": ids[f.name]},
                 )

@@ -430,18 +430,32 @@ def export_iceberg_table(table: Table, dest: str, format_version: int = 2) -> st
     if format_version not in (2, 3):
         raise ValueError(f"unsupported export format-version {format_version}")
     snap = table.current_snapshot
+    pos_deletes: list[dict] = []
     if snap is None:
         files: list[DataFileEntry] = []
         snapshot_id = None
     else:
-        # refuse to export around pending MOR deletes (module docstring)
+        # POSITION delete entries export natively (content=1 delete
+        # manifests: the v2 spec's own encoding — round 10, required so
+        # the REST mirror stays servable after a row-level delete
+        # commit). Predicate and equality-directory entries keep
+        # refusing: the spec has no encoding for metacat's predicate
+        # shape, and our equality dirs lack the spec's field-id binding.
         deletes = table._resolve_deletes(snap)
-        if deletes:
+        pos_deletes = [d for d in deletes if d["kind"] == "position"]
+        other = [d for d in deletes if d["kind"] != "position"]
+        if other:
             raise ValueError(
-                f"{len(deletes)} unresolved merge-on-read delete entries; run "
-                "rewrite_data_files() (compaction folds deletes into data) "
-                "before export — predicate/key deletes have no Iceberg "
-                "position-delete encoding here"
+                f"{len(other)} unresolved predicate/equality merge-on-read "
+                "delete entries; run rewrite_data_files() (compaction folds "
+                "deletes into data) before export — only POSITION deletes "
+                "have an Iceberg encoding here"
+            )
+        if pos_deletes and format_version >= 3:
+            raise ValueError(
+                "v3 exports position deletes as PUFFIN deletion vectors, "
+                "which this exporter does not mint — export format_version=2 "
+                "or compact first"
             )
         files = table.snapshot_files(snap["snapshot_id"])
         snapshot_id = int(snap["snapshot_id"])
@@ -453,7 +467,10 @@ def export_iceberg_table(table: Table, dest: str, format_version: int = 2) -> st
     # re-referenced) instead of rewriting the full state — the shape
     # that makes the REST catalog's per-loadTable re-export O(new files)
     # on append-only tables.
-    if format_version == 2 and files:
+    # (delete entries disable it: the live FILE set doesn't move on a
+    # delete-mor commit, so the append-diff would serve a stale mirror
+    # missing the deletes)
+    if format_version == 2 and files and not pos_deletes:
         inc = _try_incremental_export(table, dest, files)
         if inc is not None:
             return inc
@@ -537,29 +554,111 @@ def export_iceberg_table(table: Table, dest: str, format_version: int = 2) -> st
         mlist_path = os.path.join(meta_dir, f"snap-{snapshot_id}-1-{commit_uuid}.avro")
         rows = sum(int(f.record_count) for f in files)
         mlist_first_row = {"first_row_id": 0} if format_version >= 3 else {}
+        mlist_entries = [
+            {
+                "manifest_path": os.path.abspath(manifest_path),
+                "manifest_length": os.path.getsize(manifest_path),
+                "partition_spec_id": 0,
+                "content": 0,
+                "sequence_number": seq,
+                "min_sequence_number": min(
+                    (int(f.seq or seq) for f in files), default=seq
+                ),
+                "added_snapshot_id": snapshot_id,
+                "added_files_count": len(files),
+                "existing_files_count": 0,
+                "deleted_files_count": 0,
+                "added_rows_count": rows,
+                "existing_rows_count": 0,
+                "deleted_rows_count": 0,
+                **mlist_first_row,
+            }
+        ]
+        if pos_deletes:
+            # content=1 DELETE manifest holding every live position-delete
+            # file (the v2 spec encoding of metacat's position entries).
+            # Cross-partition delete files carry the UNPARTITIONED spec:
+            # spec-id 0 when the table is unpartitioned, else an extra
+            # empty spec appended to partition-specs below.
+            from iceberg_metadata_pipeline_spark.ingest.discover import (
+                find_parquet_files,
+            )
+
+            import pyarrow.parquet as _pq
+
+            del_spec_id = 0 if not spec_fields else 1
+            del_entries = []
+            for d in pos_deletes:
+                d_seq = int(d.get("seq") or seq)
+                root = d["path"]
+                parts = (
+                    find_parquet_files(root)
+                    if os.path.isdir(root)
+                    else [root]
+                )
+                for p in sorted(parts):
+                    nrec = _pq.read_metadata(p).num_rows
+                    if nrec == 0:
+                        continue
+                    del_entries.append(
+                        {
+                            "status": 1,
+                            "snapshot_id": snapshot_id,
+                            "sequence_number": d_seq,
+                            "file_sequence_number": d_seq,
+                            "data_file": {
+                                "content": 1,  # POSITION DELETES
+                                "file_path": os.path.abspath(p),
+                                "file_format": "PARQUET",
+                                "partition": {},
+                                "record_count": int(nrec),
+                                "file_size_in_bytes": os.path.getsize(p),
+                            },
+                        }
+                    )
+            if del_entries:
+                del_manifest = os.path.join(meta_dir, f"{commit_uuid}-d0.avro")
+                avro_io.write_container(
+                    del_manifest,
+                    manifest_entry_schema([], format_version),
+                    del_entries,
+                    extra_meta={
+                        "schema": json.dumps(
+                            ice_schema, separators=(",", ":")
+                        ).encode(),
+                        "schema-id": b"0",
+                        "partition-spec": b"[]",
+                        "partition-spec-id": str(del_spec_id).encode(),
+                        "format-version": str(format_version).encode(),
+                        "content": b"deletes",
+                    },
+                )
+                seqs = [int(e["sequence_number"]) for e in del_entries]
+                mlist_entries.append(
+                    {
+                        "manifest_path": os.path.abspath(del_manifest),
+                        "manifest_length": os.path.getsize(del_manifest),
+                        "partition_spec_id": del_spec_id,
+                        "content": 1,
+                        "sequence_number": max(seqs),
+                        "min_sequence_number": min(seqs),
+                        "added_snapshot_id": snapshot_id,
+                        "added_files_count": len(del_entries),
+                        "existing_files_count": 0,
+                        "deleted_files_count": 0,
+                        "added_rows_count": sum(
+                            int(e["data_file"]["record_count"])
+                            for e in del_entries
+                        ),
+                        "existing_rows_count": 0,
+                        "deleted_rows_count": 0,
+                        **mlist_first_row,
+                    }
+                )
         avro_io.write_container(
             mlist_path,
             manifest_list_schema(format_version),
-            [
-                {
-                    "manifest_path": os.path.abspath(manifest_path),
-                    "manifest_length": os.path.getsize(manifest_path),
-                    "partition_spec_id": 0,
-                    "content": 0,
-                    "sequence_number": seq,
-                    "min_sequence_number": min(
-                        (int(f.seq or seq) for f in files), default=seq
-                    ),
-                    "added_snapshot_id": snapshot_id,
-                    "added_files_count": len(files),
-                    "existing_files_count": 0,
-                    "deleted_files_count": 0,
-                    "added_rows_count": rows,
-                    "existing_rows_count": 0,
-                    "deleted_rows_count": 0,
-                    **mlist_first_row,
-                }
-            ],
+            mlist_entries,
             extra_meta={
                 "format-version": str(format_version).encode(),
                 "snapshot-id": str(snapshot_id).encode(),
@@ -595,7 +694,12 @@ def export_iceberg_table(table: Table, dest: str, format_version: int = 2) -> st
         "current-schema-id": 0,
         "schemas": [ice_schema],
         "default-spec-id": 0,
-        "partition-specs": [{"spec-id": 0, "fields": ice_spec}],
+        # cross-partition position-delete files carry an extra empty
+        # (unpartitioned) spec on partitioned tables
+        "partition-specs": (
+            [{"spec-id": 0, "fields": ice_spec}]
+            + ([{"spec-id": 1, "fields": []}] if pos_deletes and spec_fields else [])
+        ),
         "last-partition-id": 999 + len(ice_spec),  # field-ids start at 1000
         "default-sort-order-id": 0,
         "sort-orders": [{"order-id": 0, "fields": []}],

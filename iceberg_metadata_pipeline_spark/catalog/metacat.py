@@ -296,10 +296,25 @@ class Table:
             if d["kind"] == "predicate":
                 df = df.filter(~F.coalesce(F.expr(d["expr"]), F.lit(False)))
             elif d["kind"] == "position":
+                # canonical plain-path join on BOTH sides: internal
+                # writers and Spark's _metadata.file_path render local
+                # paths as 'file:/...', foreign engines post the
+                # registered '/...' or 'file:///...' form — all three
+                # must hit the same key (round 10)
                 pos = self.spark.read.parquet(d["path"]).select(
-                    F.col("file_path").alias("__file"), F.col("pos").alias("__pos")
+                    F.regexp_replace(
+                        F.col("file_path").cast("string"), r"^file:/+", "/"
+                    ).alias("__file_n"),
+                    F.col("pos").alias("__pos"),
                 )
-                df = df.join(F.broadcast(pos), ["__file", "__pos"], "left_anti")
+                df = (
+                    df.withColumn(
+                        "__file_n",
+                        F.regexp_replace(F.col("__file"), r"^file:/+", "/"),
+                    )
+                    .join(F.broadcast(pos), ["__file_n", "__pos"], "left_anti")
+                    .drop("__file_n")
+                )
             else:  # equality-delete file
                 keys = self.spark.read.parquet(d["path"]).select(*d["key_cols"])
                 df = df.join(F.broadcast(keys), d["key_cols"], "left_anti")
@@ -666,12 +681,15 @@ class Table:
         live set and add ``added`` — the commit shape a foreign engine's
         rewrite/compaction posts (its data files already on disk; this
         is metadata-only). Refused when the current snapshot carries
-        row-level DELETE entries: the caller cannot prove the foreign
-        rewrite folded them in, and equality deletes would wrongly apply
-        to the replacement files. Validates every removed path is
-        currently live."""
+        row-level DELETE entries AND the commit adds files: the caller
+        cannot prove the foreign rewrite folded them in, and equality
+        deletes would wrongly apply to the replacement files. A PURE
+        REMOVAL (``added=[]``) is served even with live deletes — delete
+        application is an idempotent anti-join, so dropping a file can
+        never resurrect rows. Validates every removed path is currently
+        live."""
         snap = self.current_snapshot
-        if snap is not None and self._resolve_deletes(snap):
+        if added and snap is not None and self._resolve_deletes(snap):
             raise ValueError(
                 "replace_files on a table with live row-level deletes "
                 "refused — compact through rewrite_data_files (which "
@@ -914,9 +932,11 @@ class Table:
         merged = (
             self.spark.read.parquet(*[d["path"] for d in pos_entries])
             .select("file_path", "pos")
-            # stored pairs carry the lineage URI form (file:/...); compare
-            # against plain manifest paths on a normalized copy, but keep
-            # the original column — the scan anti-join matches URI to URI
+            # stored pairs may carry either the lineage URI form
+            # (file:/..., pre-r10 writers) or the plain registered form;
+            # compare against plain manifest paths on a normalized copy —
+            # the scan anti-join normalizes both sides, so either stored
+            # form stays matchable
             .filter(
                 F.regexp_replace("file_path", "^file:/+", "/").isin(list(live_paths))
             )
@@ -1294,10 +1314,70 @@ class Table:
         # in files newer than an old delete are still eligible
         src = self._read_files_with_deletes(candidates, deletes, keep_lineage=True)
         positions = src.filter(F.coalesce(F.expr(condition), F.lit(False))).select(
-            F.col("__file").alias("file_path"), F.col("__pos").alias("pos")
+            # store the canonical plain path (strip the 'file:' scheme
+            # _metadata.file_path renders) — the registered-entry form,
+            # so exported delete files match the exported manifests
+            F.regexp_replace(F.col("__file"), r"^file:/+", "/").alias("file_path"),
+            F.col("__pos").alias("pos"),
         )
         delete_dir = os.path.join(self.location, "deletes", uuid.uuid4().hex[:12])
         positions.write.mode("errorifexists").parquet(delete_dir)
+        has_rows = bool(scan_parquet_footers(delete_dir))
+        return self._commit(
+            "delete-mor",
+            [],
+            added_deletes=(
+                [{"kind": "position", "path": delete_dir}] if has_rows else []
+            ),
+            branch=branch,
+        )
+
+    def add_position_delete_files(
+        self, source_paths: list[str], branch: str | None = None
+    ) -> int:
+        """Register position-delete files written by a FOREIGN engine
+        (Iceberg v2 content=1 delete files: ``file_path``/``pos``
+        columns, optionally a ``row`` struct which is ignored) as ONE
+        merge-on-read delete commit — the REST catalog's row-level
+        DELETE verb (the reference exposes a live catalog any engine
+        writes through: entrypoint-spark.sh:85-92). The rows are
+        rewritten DISTRIBUTED into this table's own ``deletes/`` dir
+        with ``file:`` URI prefixes normalized to the registered path
+        form, after validating that every referenced data file is live
+        in the current snapshot — a delete naming an unknown file is a
+        client bug better refused loudly than committed inert. Both the
+        validation scan and the rewrite are O(deleted rows), the same
+        commit-time cost delete_where_positional pays."""
+        if not source_paths:
+            raise ValueError("add_position_delete_files: no delete files")
+        head = self._branch_head(branch)
+        live = sorted(
+            {f.path for f in self.snapshot_files(snapshot_id=head)}
+        )
+        src = self.spark.read.parquet(*source_paths).select(
+            F.regexp_replace(
+                F.col("file_path").cast("string"), r"^file:/+", "/"
+            ).alias("file_path"),
+            F.col("pos").cast("long").alias("pos"),
+        )
+        live_df = self.spark.createDataFrame(
+            [(p,) for p in live], "file_path string"
+        )
+        bad = (
+            src.join(F.broadcast(live_df), "file_path", "left_anti")
+            .select("file_path")
+            .limit(3)
+            .collect()
+        )
+        if bad:
+            names = sorted({r["file_path"] for r in bad})
+            raise ValueError(
+                "position delete references file(s) not live in the "
+                f"current snapshot (first: {names[0]!r}) — refuse rather "
+                "than commit an inert or stale delete"
+            )
+        delete_dir = os.path.join(self.location, "deletes", uuid.uuid4().hex[:12])
+        src.write.mode("errorifexists").parquet(delete_dir)
         has_rows = bool(scan_parquet_footers(delete_dir))
         return self._commit(
             "delete-mor",
@@ -1738,6 +1818,51 @@ class Table:
             still = [s for s in drop if s["snapshot_id"] in ref_ids]
             drop = [s for s in drop if s["snapshot_id"] not in ref_ids]
             keep = sorted(still + keep, key=lambda s: s["timestamp_ms"])
+        return self._drop_snapshots(keep, drop)
+
+    def remove_snapshots(self, snapshot_ids: list[int]) -> list[str]:
+        """Expire an EXPLICIT snapshot set (the REST spec's
+        ``remove-snapshots`` table update — a foreign client's expire
+        posted through commitTable). Same safety rules as
+        expire_snapshots, but enforced as refusals rather than silent
+        retention: the current snapshot and any ref-protected snapshot
+        cannot be named, and unknown ids refuse with nothing applied.
+        Returns the orphaned file paths, like expire_snapshots."""
+        ids = {int(s) for s in snapshot_ids}
+        if not ids:
+            return []
+        snaps = sorted(self.meta["snapshots"], key=lambda s: s["timestamp_ms"])
+        known = {s["snapshot_id"] for s in snaps}
+        missing = sorted(ids - known)
+        if missing:
+            raise ValueError(
+                f"remove-snapshots: unknown snapshot id(s) {missing[:3]}"
+            )
+        cur = self.meta.get("current_snapshot_id")
+        if cur in ids:
+            raise ValueError(
+                "remove-snapshots: cannot expire the CURRENT snapshot "
+                f"{cur} — expiring the head would corrupt the table"
+            )
+        ref_ids = {r["snapshot_id"] for r in self.meta.get("refs", {}).values()}
+        protected = sorted(ids & ref_ids)
+        if protected:
+            raise ValueError(
+                f"remove-snapshots: snapshot(s) {protected[:3]} are "
+                "protected by a branch or tag ref — drop the ref first"
+            )
+        keep = [s for s in snaps if s["snapshot_id"] not in ids]
+        drop = [s for s in snaps if s["snapshot_id"] in ids]
+        return self._drop_snapshots(keep, drop)
+
+    def _drop_snapshots(self, keep: list[dict], drop: list[dict]) -> list[str]:
+        """Shared expiry tail: checkpoint survivors whose parents are
+        about to disappear (their delta chains must become
+        self-contained, live MOR deletes included), persist the new
+        snapshot list, delete the dropped snapshots' delta files, and
+        return the orphaned data paths (referenced only by dropped
+        snapshots). ``keep``/``drop`` must partition the table's
+        snapshots, timestamp-sorted."""
         # resolve manifests while the full chain is still present
         live_manifests = {s["snapshot_id"]: self._resolve_manifest(s) for s in keep}
         dropped_paths = {f.path for s in drop for f in self._resolve_manifest(s)}

@@ -117,7 +117,6 @@ class _DeltaReadMixin:
         'id' resolves parquet columns by field id (per file, in _rows);
         'name'/'none' by the static physicalName map."""
         from iceberg_metadata_pipeline_spark.catalog.delta_format import (
-            check_id_mode_supported,
             column_mapping_ids,
             column_mapping_mode,
             physical_names,
@@ -131,7 +130,6 @@ class _DeltaReadMixin:
         # None under id mode
         self.part_phys = physical_names_meta(state)
         if column_mapping_mode(state) == "id":
-            check_id_mode_supported(state)
             self.physical = None
             self.field_ids = column_mapping_ids(state)
         else:
@@ -143,6 +141,7 @@ class _DeltaReadMixin:
 
         from iceberg_metadata_pipeline_spark.catalog.delta_format import (
             _has_nested_mapping,
+            to_logical_by_id,
             to_logical_py,
         )
 
@@ -161,26 +160,29 @@ class _DeltaReadMixin:
             dead.update(read_dv_from_file(dv_path, int(offset), size))
         pf = pq.ParquetFile(part.path)
         file_cols = set(pf.schema_arrow.names)
+        arrow_of: dict = {}
         if self.physical is None:
             # id mode: THIS file's field ids decide which parquet column
             # serves each logical field (names are arbitrary under the
-            # protocol); a field id absent from the file means the column
-            # was added after the file was written → nulls, but a file
-            # with no ids at all is a protocol violation → loud refusal
-            from iceberg_metadata_pipeline_spark.catalog.delta_format import (
-                parquet_field_ids,
-            )
-
-            fid_to_name = parquet_field_ids(pf)
-            if file_fields and not fid_to_name:
+            # protocol, at EVERY nesting level — round 10); a field id
+            # absent from the file means the column was added after the
+            # file was written → nulls, but a file with no ids at all is
+            # a protocol violation → loud refusal
+            fid_to_field = {}
+            for af in pf.schema_arrow:
+                fid = (af.metadata or {}).get(b"PARQUET:field_id")
+                if fid is not None:
+                    fid_to_field[int(fid)] = af
+            if file_fields and not fid_to_field:
                 raise ValueError(
                     f"id-mode table but data file {part.path} carries no "
                     "PARQUET:field_id metadata — unreadable by field id"
                 )
-            physical = {
-                f.name: fid_to_name.get(self.field_ids[f.name], "\x00absent")
-                for f in file_fields
-            }
+            physical = {}
+            for f in file_fields:
+                af = fid_to_field.get(self.field_ids[f.name])
+                physical[f.name] = "\x00absent" if af is None else af.name
+                arrow_of[f.name] = None if af is None else af.type
         else:
             physical = self.physical
         names = [
@@ -206,9 +208,20 @@ class _DeltaReadMixin:
                     )
                     if _has_nested_mapping(f.dataType):
                         # struct values decode as dicts keyed by the
-                        # parquet (PHYSICAL) nested names — rebuild to
-                        # logical shape, recursively
-                        vals = [to_logical_py(v, f.dataType) for v in vals]
+                        # FILE'S parquet nested names — rebuild to
+                        # logical shape, recursively: by nested field
+                        # id under id mode (round 10), by physicalName
+                        # under name mode
+                        if self.physical is None:
+                            at = arrow_of.get(f.name)
+                            vals = [
+                                to_logical_by_id(v, f.dataType, at)
+                                for v in vals
+                            ]
+                        else:
+                            vals = [
+                                to_logical_py(v, f.dataType) for v in vals
+                            ]
                     ordered.append(vals)
             for row in zip(*ordered):
                 if pos not in dead:

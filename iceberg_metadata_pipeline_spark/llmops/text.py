@@ -572,7 +572,13 @@ WITH toks AS (
 ), per_doc AS (
   SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS tc FROM toks GROUP BY doc_id
 ), ranked AS (
-  SELECT doc_id, ROW_NUMBER() OVER (ORDER BY doc_id) AS rnk FROM per_doc
+  -- ranks beyond 8192 are never consulted (the largest checkpoint), so
+  -- pre-bound to the 8192 smallest doc_ids with a distributed top-k
+  -- (TakeOrderedAndProject) BEFORE ranking: the window then sorts a
+  -- bounded set in one task instead of every document in the corpus
+  -- (r9 verdict: at 10^9 docs the unbounded window was the job's tail)
+  SELECT doc_id, ROW_NUMBER() OVER (ORDER BY doc_id) AS rnk
+  FROM (SELECT doc_id FROM per_doc ORDER BY doc_id LIMIT 8192) b
 ), ck AS (
   SELECT rnk, doc_id FROM ranked
   WHERE rnk IN (4, 8, 16, 32, 64, 128, 256, 512, 1024, 2048, 4096, 8192)

@@ -66,30 +66,63 @@ def mining_basket_pair_rules(
     frequencies. Confidence is one exact integer division — bit-equal to
     the oracle without rounding.
 
-    ``max_basket`` (round 9, mirrors LSH's ``max_bucket``): baskets with
-    more than ``max_basket`` distinct items are DROPPED before the
-    self-join — a degenerate hot basket of B items contributes B² pairs
-    and becomes a single-key straggler at retail scale, and an
-    "everything bought together" basket carries no association signal.
-    Inert at TPC-H shapes (baskets ≤ ~7), so the oracle rows are
-    unchanged; item frequencies keep counting the dropped baskets (only
-    the quadratic pair stage is guarded)."""
+    ``max_basket`` (round 9 guard, round-10 SALTING — verdict #6): a
+    degenerate hot basket of B items contributes B² pairs and, joined
+    on the bare order key, becomes a single-reducer straggler at retail
+    scale. Over-cap baskets are now TRIANGLE-PARTITIONED instead of
+    dropped: each basket splits into G = ceil(B / max_basket) salt
+    groups by item hash, every item replicates to the G tasks keyed
+    (okey, min(g,h), max(g,h)), and the pair join keys on that triple —
+    each task holds ≤ 2·max_basket items, so per-task work is bounded
+    by 4·max_basket² regardless of basket size, and the G× replication
+    is the textbook all-pairs lower bound. Every pair is produced
+    EXACTLY once (cross-group pairs only in their unique shared task;
+    same-group pairs only on the diagonal), so the result is
+    bit-identical to the unguarded SQL oracle at ANY basket size — the
+    r9 drop-semantics divergence is gone. Normal baskets get G=1 and
+    degenerate to the plain per-order self-join."""
     li = load_tables(spark, sf_dir)["lineitem"]
     items = li.selectExpr(
         "CAST(l_orderkey AS BIGINT) AS okey", "CAST(l_partkey AS BIGINT) AS pkey"
     ).distinct()
     part_cnt = items.groupBy("pkey").agg(F.count(F.lit(1)).alias("cnt"))
-    from pyspark.sql.window import Window
-
-    guarded = items.withColumn(
-        "basket_n", F.count(F.lit(1)).over(Window.partitionBy("okey"))
-    ).filter(F.col("basket_n") <= max_basket).drop("basket_n")
-    a = guarded.alias("a")
-    b = guarded.alias("b")
+    basket_n = items.groupBy("okey").agg(F.count(F.lit(1)).alias("basket_n"))
+    salted = (
+        items.join(basket_n, "okey")
+        .withColumn(
+            "n_groups",
+            F.greatest(
+                F.lit(1),
+                F.ceil(F.col("basket_n") / F.lit(max_basket)).cast("int"),
+            ),
+        )
+        .withColumn("g", F.pmod(F.hash("pkey"), F.col("n_groups")))
+        .withColumn(
+            "h", F.explode(F.sequence(F.lit(0), F.col("n_groups") - 1))
+        )
+        .select(
+            "okey",
+            "pkey",
+            "g",
+            F.least("g", "h").alias("kp"),
+            F.greatest("g", "h").alias("kq"),
+        )
+    )
+    a = salted.alias("a")
+    b = salted.alias("b")
     pairs = (
         a.join(
             b,
-            (F.col("a.okey") == F.col("b.okey")) & (F.col("a.pkey") < F.col("b.pkey")),
+            (F.col("a.okey") == F.col("b.okey"))
+            & (F.col("a.kp") == F.col("b.kp"))
+            & (F.col("a.kq") == F.col("b.kq"))
+            & (F.col("a.pkey") < F.col("b.pkey"))
+            # same-group pairs exist in EVERY task their group joins —
+            # count them only on the diagonal task (kp == kq)
+            & (
+                (F.col("a.g") != F.col("b.g"))
+                | (F.col("a.kp") == F.col("a.kq"))
+            ),
         )
         .groupBy(F.col("a.pkey").alias("part_a"), F.col("b.pkey").alias("part_b"))
         .agg(F.count(F.lit(1)).alias("pair_cnt"))

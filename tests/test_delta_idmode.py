@@ -2,11 +2,12 @@
 refusal): creation-time id tables, field-id-stamped writes, field-id
 resolution on BOTH read paths (pydelta per-file pyarrow map; Spark's
 native parquet.field.id read in _live_rows_dataframe), metadata-only
-renames, OPTIMIZE keeping files id-resolvable, and the loud refusals
-(no-id files, nested-mapped id tables)."""
+renames, OPTIMIZE keeping files id-resolvable, the no-id-file loud
+refusal, and (round 10) NESTED id resolution on both read paths."""
 
 from __future__ import annotations
 
+import json
 import os
 
 import pyarrow as pa
@@ -15,7 +16,6 @@ import pytest
 from pyspark.sql import types as T
 
 from iceberg_metadata_pipeline_spark.catalog.delta_format import (
-    check_id_mode_supported,
     column_mapping_ids,
     create_delta_table,
     optimize_delta,
@@ -181,7 +181,117 @@ def test_idmode_added_column_projects_null(spark, id_table):
     assert {r["id"] for r in rows} == set(range(20))
 
 
-def test_idmode_nested_refusals(tmp_path):
+def test_idmode_nested_scrambled_names_resolve_by_id(spark, tmp_path):
+    """Round 10 (closes the r9 nested narrowing): a nested id-mode
+    table resolves NESTED parquet fields by field id on BOTH read
+    paths, even when the file's nested names are arbitrary — a foreign
+    writer's file with scrambled names at every level but correct
+    nested field ids reads back logically."""
+    nested = T.StructType(
+        [
+            T.StructField("id", T.LongType(), False),
+            T.StructField(
+                "s",
+                T.StructType(
+                    [
+                        T.StructField("x", T.LongType(), True),
+                        T.StructField("y", T.StringType(), True),
+                    ]
+                ),
+                True,
+            ),
+        ]
+    )
+    dest = str(tmp_path / "t")
+    create_delta_table(dest, nested, column_mapping="id")
+    state = read_delta_table(dest)
+    # recursive assignment: nested fields carry ids + col-N names
+    s_field = state.schema["s"]
+    inner_ids = {
+        f.name: int(f.metadata["delta.columnMapping.id"])
+        for f in s_field.dataType.fields
+    }
+    assert set(inner_ids) == {"x", "y"}
+    top_ids = column_mapping_ids(state)
+
+    # FOREIGN writer: scrambled names at both levels, correct ids
+    def fld(name, typ, fid):
+        return pa.field(
+            name, typ, metadata={b"PARQUET:field_id": str(fid).encode()}
+        )
+
+    sch = pa.schema(
+        [
+            fld("zz_9", pa.int64(), top_ids["id"]),
+            fld(
+                "blob",
+                pa.struct(
+                    [
+                        # inner order also scrambled: y before x
+                        fld("q2", pa.string(), inner_ids["y"]),
+                        fld("q1", pa.int64(), inner_ids["x"]),
+                    ]
+                ),
+                top_ids["s"],
+            ),
+        ]
+    )
+    data = os.path.join(dest, "foreign.parquet")
+    pq.write_table(
+        pa.table(
+            {
+                "zz_9": pa.array([1, 2], pa.int64()),
+                "blob": pa.array(
+                    [{"q2": "a", "q1": 10}, {"q2": "b", "q1": 20}],
+                    sch.field("blob").type,
+                ),
+            },
+            schema=sch,
+        ),
+        data,
+    )
+    write_commit(
+        dest,
+        [
+            {
+                "add": {
+                    "path": "foreign.parquet",
+                    "partitionValues": {},
+                    "size": os.path.getsize(data),
+                    "modificationTime": 0,
+                    "dataChange": True,
+                    "stats": json.dumps({"numRecords": 2}),
+                }
+            }
+        ],
+    )
+
+    # path 1: pydelta per-file pyarrow resolution
+    register(spark)
+    back = spark.read.format("pydelta").load(dest)
+    rows = {(r["id"], r["s"]["x"], r["s"]["y"]) for r in back.collect()}
+    assert rows == {(1, 10, "a"), (2, 20, "b")}
+
+    # path 2: Spark-native fieldId read (_live_rows_dataframe)
+    from iceberg_metadata_pipeline_spark.catalog.delta_format import (
+        _live_rows_dataframe,
+    )
+
+    live = _live_rows_dataframe(spark, read_delta_table(dest))
+    rows2 = {(r["id"], r["s"]["x"], r["s"]["y"]) for r in live.collect()}
+    assert rows2 == {(1, 10, "a"), (2, 20, "b")}
+
+    # nested rename is metadata-only and keeps resolving
+    rename_delta_column(dest, "s.x", "xx")
+    back2 = spark.read.format("pydelta").load(dest)
+    rows3 = {(r["id"], r["s"]["xx"], r["s"]["y"]) for r in back2.collect()}
+    assert rows3 == {(1, 10, "a"), (2, 20, "b")}
+
+
+def test_idmode_nested_optimize_keeps_nested_ids(spark, tmp_path):
+    """OPTIMIZE on a nested id table writes packed files whose NESTED
+    parquet fields still carry field ids (fieldId write from nested
+    schema metadata) — and they read back on both paths."""
     nested = T.StructType(
         [
             T.StructField("id", T.LongType(), False),
@@ -192,40 +302,74 @@ def test_idmode_nested_refusals(tmp_path):
             ),
         ]
     )
-    with pytest.raises(NotImplementedError, match="nested|struct"):
-        create_delta_table(str(tmp_path / "t1"), nested, column_mapping="id")
-    # a FOREIGN nested-mapped id table refuses at resolution time
-    mapped_nested = T.StructType(
-        [
-            T.StructField(
-                "s",
-                T.StructType(
-                    [
-                        T.StructField(
-                            "x",
-                            T.LongType(),
-                            True,
-                            {
-                                "delta.columnMapping.id": 2,
-                                "delta.columnMapping.physicalName": "col-2",
-                            },
-                        )
-                    ]
-                ),
-                True,
-                {
-                    "delta.columnMapping.id": 1,
-                    "delta.columnMapping.physicalName": "col-1",
-                },
-            )
-        ]
+    dest = str(tmp_path / "t")
+    create_delta_table(dest, nested, column_mapping="id")
+    state = read_delta_table(dest)
+    top_ids = column_mapping_ids(state)
+    inner_id = int(
+        state.schema["s"].dataType["x"].metadata["delta.columnMapping.id"]
     )
 
-    class _FakeState:
-        schema = mapped_nested
+    def fld(name, typ, fid):
+        return pa.field(
+            name, typ, metadata={b"PARQUET:field_id": str(fid).encode()}
+        )
 
-    with pytest.raises(NotImplementedError, match="NESTED"):
-        check_id_mode_supported(_FakeState())
+    for tag, vals in (("a", [(1, 5)]), ("b", [(2, 6)])):
+        sch = pa.schema(
+            [
+                fld("col-%d" % top_ids["id"], pa.int64(), top_ids["id"]),
+                fld(
+                    "col-%d" % top_ids["s"],
+                    pa.struct([fld("col-%d" % inner_id, pa.int64(), inner_id)]),
+                    top_ids["s"],
+                ),
+            ]
+        )
+        data = os.path.join(dest, f"{tag}.parquet")
+        pq.write_table(
+            pa.table(
+                {
+                    sch.names[0]: pa.array([v[0] for v in vals], pa.int64()),
+                    sch.names[1]: pa.array(
+                        [{("col-%d" % inner_id): v[1]} for v in vals],
+                        sch.field(sch.names[1]).type,
+                    ),
+                },
+                schema=sch,
+            ),
+            data,
+        )
+        write_commit(
+            dest,
+            [
+                {
+                    "add": {
+                        "path": f"{tag}.parquet",
+                        "partitionValues": {},
+                        "size": os.path.getsize(data),
+                        "modificationTime": 0,
+                        "dataChange": True,
+                        "stats": json.dumps({"numRecords": len(vals)}),
+                    }
+                }
+            ],
+        )
+    v = optimize_delta(spark, dest, target_file_rows=1000)
+    state = read_delta_table(dest, v)
+    assert len(state.files) == 1
+    packed = os.path.join(dest, next(iter(state.files)))
+    # the packed file's NESTED field still carries its id
+    sch = pq.ParquetFile(packed).schema_arrow
+    sf = next(f for f in sch if pa.types.is_struct(f.type))
+    inner = sf.type.field(0)
+    assert (inner.metadata or {}).get(b"PARQUET:field_id") == str(
+        inner_id
+    ).encode()
+    register(spark)
+    back = spark.read.format("pydelta").load(dest)
+    rows = {(r["id"], r["s"]["x"]) for r in back.collect()}
+    assert rows == {(1, 5), (2, 6)}
 
 
 def test_idmode_optimize_keeps_files_id_resolvable(spark, tmp_path):

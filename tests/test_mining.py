@@ -114,17 +114,18 @@ def test_ols_matches_numpy_lstsq(spark, sf_dir, tables):
 
 
 def test_basket_hot_basket_guard_bounds_pair_work(spark, tmp_path):
-    """Round 9 (verdict #7): a degenerate hot basket (> max_basket
-    items) is dropped BEFORE the quadratic self-join — its B² pairs
-    never materialize and normal baskets' rules are unaffected; item
-    frequencies still count the dropped basket. At TPC-H shapes the
-    guard is inert (test_basket_rules_match_bruteforce pins the
-    unguarded brute-force result)."""
+    """Round 10 (verdict #6, replaces the r9 drop-over-cap): a
+    degenerate hot basket (> max_basket items) is TRIANGLE-PARTITIONED
+    into hash salt groups — every pair is still produced exactly once
+    (the result matches the unguarded brute force bit-for-bit) while
+    each join task holds at most two salt groups' items. The salted
+    plan keys the pair join on (okey, kp, kq), never the bare hot
+    order key."""
     import os
 
-    # synthetic lineitem: one hot basket (order 1, 600 items) + two
-    # normal baskets sharing a pair
-    rows = [(1, p) for p in range(600)]
+    # synthetic lineitem: one hot basket (order 1, 60 items -> several
+    # salt groups at max_basket=16) + two normal baskets sharing a pair
+    rows = [(1, p) for p in range(60)]
     rows += [(2, 10), (2, 11), (3, 10), (3, 11), (3, 12)]
     spark.createDataFrame(
         rows, "l_orderkey long, l_partkey long"
@@ -135,19 +136,30 @@ def test_basket_hot_basket_guard_bounds_pair_work(spark, tmp_path):
 
     try:
         res = mining_basket_pair_rules(
-            spark, str(tmp_path), max_basket=500
+            spark, str(tmp_path), max_basket=16
         ).collect()
         got = {(r.part_a, r.part_b): r for r in res}
-        # only the (10, 11) pair recurs; NOTHING from the hot basket
-        assert set(got) == {(10, 11)}
+        # brute-force expectation over ALL baskets (pairs recurring >= 2)
+        from collections import Counter
+        from itertools import combinations
+
+        baskets = {1: set(range(60)), 2: {10, 11}, 3: {10, 11, 12}}
+        cnt = Counter()
+        for parts in baskets.values():
+            for x, y in combinations(sorted(parts), 2):
+                cnt[(x, y)] += 1
+        expect = {k: v for k, v in cnt.items() if v >= 2}
+        assert {k: r.pair_cnt for k, r in got.items()} == expect
+        # the salted pairs (10,11): baskets 1,2,3 -> pair_cnt 3, and
+        # item 10 appears in 3 baskets -> conf 3/3
         r = got[(10, 11)]
-        assert r.pair_cnt == 2
-        # frequencies count the hot basket too: item 10 appears in baskets
-        # 1, 2, 3 -> conf = 2/3
-        assert r.conf_a_to_b == 2 / 3 and r.conf_b_to_a == 2 / 3
-        # raising the cap above the hot-basket size brings its pairs back
-        res2 = mining_basket_pair_rules(spark, str(tmp_path), max_basket=1000)
-        assert res2.count() > 1
+        assert r.pair_cnt == 3
+        assert r.conf_a_to_b == 1.0 and r.conf_b_to_a == 1.0
+        # salting inert when the cap exceeds every basket: same rows
+        res2 = mining_basket_pair_rules(
+            spark, str(tmp_path), max_basket=1000
+        ).collect()
+        assert {(r.part_a, r.part_b): r.pair_cnt for r in res2} == expect
     finally:
         # load_tables pointed the SESSION-wide 'lineitem' temp view at
         # the synthetic table and cached it per (session, sf_dir) — drop

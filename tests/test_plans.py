@@ -666,3 +666,15 @@ def test_assortativity_degree_joins_broadcast(spark, sf_dir):
     plan = plan_of(df)
     assert "CartesianProduct" not in plan
     assert "BroadcastHashJoin" in plan
+
+
+def test_heaps_law_rank_window_is_bounded(spark, sf_dir):
+    """text_heaps_law_fit (r9 verdict #2): the document-rank window must
+    run over a pre-bounded top-k (TakeOrderedAndProject of the 8192
+    smallest doc_ids), never an unpartitioned window over every doc."""
+    from iceberg_metadata_pipeline_spark.queries import REGISTRY, all_queries
+
+    all_queries()
+    df = REGISTRY["text_heaps_law_fit"].fn(spark, sf_dir)
+    plan = plan_of(df)
+    assert "TakeOrderedAndProject" in plan

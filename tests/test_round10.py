@@ -1,0 +1,209 @@
+"""Round 10: REST row-level delete machinery at the warehouse + format
+layers — Table.add_position_delete_files (foreign position-delete
+ingestion), Table.remove_snapshots (explicit-set expiry),
+replace_files add-side validation + pure-removal-with-live-deletes,
+and export_iceberg_table's content=1 delete manifests (the v2 spec
+encoding of metacat's position entries)."""
+
+from __future__ import annotations
+
+import os
+
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+from pyspark.sql import types as T
+
+from iceberg_metadata_pipeline_spark.catalog.iceberg_format import (
+    export_iceberg_table,
+    import_iceberg_table,
+    read_iceberg_table,
+)
+from iceberg_metadata_pipeline_spark.catalog.metacat import Catalog
+from iceberg_metadata_pipeline_spark.catalog.partitioning import PartitionField
+
+
+@pytest.fixture()
+def table(spark, tmp_path):
+    cat = Catalog(spark, str(tmp_path / "wh"))
+    t = cat.create_table(
+        "r10", "t", T.StructType([T.StructField("id", T.LongType(), True)])
+    ).refresh()
+    t.append_dataframe(spark.range(4).selectExpr("id").coalesce(1))
+    t.append_dataframe(
+        spark.range(10, 14).selectExpr("id").coalesce(1)
+    )
+    return cat, t
+
+
+def _write_delete(path: str, rows: list[tuple[str, int]]) -> str:
+    pq.write_table(
+        pa.table(
+            {
+                "file_path": pa.array([r[0] for r in rows], pa.string()),
+                "pos": pa.array([r[1] for r in rows], pa.int64()),
+            }
+        ),
+        path,
+    )
+    return path
+
+
+def test_add_position_delete_files_applies_and_validates(spark, table, tmp_path):
+    cat, t = table
+    files = sorted(f.path for f in t.snapshot_files())
+    victim_file = files[0]
+    victims = {int(pq.read_table(victim_file)["id"][i].as_py()) for i in (0, 2)}
+    dp = _write_delete(str(tmp_path / "d.parquet"), [(victim_file, 0), (victim_file, 2)])
+    t.add_position_delete_files([dp])
+    got = sorted(r.id for r in t.scan().collect())
+    assert got == sorted({0, 1, 2, 3, 10, 11, 12, 13} - victims)
+
+    # file: URI form normalizes to the same key
+    other = files[1]
+    v2 = int(pq.read_table(other)["id"][1].as_py())
+    dp2 = _write_delete(str(tmp_path / "d2.parquet"), [("file://" + other, 1)])
+    t.add_position_delete_files([dp2])
+    assert sorted(r.id for r in t.scan().collect()) == sorted(
+        {0, 1, 2, 3, 10, 11, 12, 13} - victims - {v2}
+    )
+
+    # an unknown referenced file refuses with nothing applied
+    before = t.version
+    dp3 = _write_delete(str(tmp_path / "d3.parquet"), [("/nope/gone.parquet", 0)])
+    with pytest.raises(ValueError, match="not live"):
+        t.add_position_delete_files([dp3])
+    assert t.version == before
+    with pytest.raises(ValueError, match="no delete files"):
+        t.add_position_delete_files([])
+
+
+def test_replace_files_add_side_validation(spark, table):
+    """Advisor finding (r10): an added path already live would
+    double-register the file; the add side now validates like the
+    removed side."""
+    cat, t = table
+    entries = t.snapshot_files()
+    with pytest.raises(ValueError, match="already live"):
+        t.replace_files([entries[0]], set())
+    # ...unless the same commit removes it (a rewrite-in-place)
+    t.replace_files([entries[0]], {entries[0].path})
+    assert sorted(r.id for r in t.scan().collect()) == sorted(
+        [0, 1, 2, 3, 10, 11, 12, 13]
+    )
+
+
+def test_replace_files_pure_removal_with_live_deletes(spark, table, tmp_path):
+    """Pure removals are safe under live MOR deletes (idempotent
+    anti-joins can't resurrect rows) — only ADD-carrying replaces
+    refuse."""
+    cat, t = table
+    files = sorted(f.path for f in t.snapshot_files())
+    dp = _write_delete(str(tmp_path / "d.parquet"), [(files[0], 0)])
+    t.add_position_delete_files([dp])
+    survivors = {int(v) for v in pq.read_table(files[1])["id"].to_pylist()}
+    t.replace_files([], {files[0]}, operation="delete")
+    assert {r.id for r in t.scan().collect()} == survivors
+    # adds still refuse while deletes are live
+    entry = next(f for f in t.snapshot_files())
+    with pytest.raises(ValueError, match="row-level deletes"):
+        t.replace_files([entry], {entry.path})
+
+
+def test_remove_snapshots_explicit_set(spark, table):
+    cat, t = table
+    sids = [s["snapshot_id"] for s in t.meta["snapshots"]]
+    cur = t.meta["current_snapshot_id"]
+    with pytest.raises(ValueError, match="CURRENT"):
+        t.remove_snapshots([cur])
+    with pytest.raises(ValueError, match="unknown"):
+        t.remove_snapshots([424242])
+    t.create_tag("keep", sids[0])
+    with pytest.raises(ValueError, match="protected"):
+        t.remove_snapshots([sids[0]])
+    t.drop_ref("keep")
+    old = sids[0]
+    t.remove_snapshots([old])
+    assert old not in {s["snapshot_id"] for s in t.meta["snapshots"]}
+    with pytest.raises(ValueError):
+        t.scan(snapshot_id=old).collect()
+    # survivors self-contained: current scan unchanged
+    assert sorted(r.id for r in t.scan().collect()) == [
+        0, 1, 2, 3, 10, 11, 12, 13,
+    ]
+    assert t.remove_snapshots([]) == []
+
+
+def test_export_position_deletes_roundtrip(spark, table, tmp_path):
+    """Export encodes live position entries as a content=1 manifest the
+    format reader (and pyice) applies; predicate/equality entries keep
+    refusing; v3 refuses (DVs not minted)."""
+    cat, t = table
+    files = sorted(f.path for f in t.snapshot_files())
+    victim = int(pq.read_table(files[0])["id"][3].as_py())
+    dp = _write_delete(str(tmp_path / "d.parquet"), [(files[0], 3)])
+    t.add_position_delete_files([dp])
+    expect = sorted({0, 1, 2, 3, 10, 11, 12, 13} - {victim})
+
+    dest = str(tmp_path / "ice")
+    export_iceberg_table(t, dest)
+    info = read_iceberg_table(dest)
+    assert [d for d in info.delete_files if d.content == 1]
+    # pyice applies the delete manifest
+    from iceberg_metadata_pipeline_spark.ingest.pyice_source import register
+
+    register(spark)
+    back = spark.read.format("pyice").load(dest)
+    assert sorted(r.id for r in back.collect()) == expect
+    # import materializes live rows (deletes folded in)
+    cat2 = Catalog(spark, str(tmp_path / "wh2"))
+    t2 = import_iceberg_table(spark, cat2, dest, "r10", "imported")
+    assert sorted(r.id for r in t2.scan().collect()) == expect
+
+    # v3 export refuses while position deletes are live
+    with pytest.raises(ValueError, match="PUFFIN"):
+        export_iceberg_table(t, str(tmp_path / "ice3"), format_version=3)
+
+    # predicate deletes still refuse v2 export
+    t.delete_where_mor("id = 0")
+    with pytest.raises(ValueError, match="predicate/equality"):
+        export_iceberg_table(t, str(tmp_path / "ice4"))
+
+
+def test_export_position_deletes_partitioned_extra_spec(spark, tmp_path):
+    """Partitioned tables export cross-partition delete files under an
+    extra unpartitioned spec (spec-id 1)."""
+    import json
+
+    cat = Catalog(spark, str(tmp_path / "wh"))
+    t = cat.create_table(
+        "r10",
+        "p",
+        T.StructType(
+            [
+                T.StructField("id", T.LongType(), True),
+                T.StructField("g", T.StringType(), True),
+            ]
+        ),
+        partition_spec=[PartitionField("g", "identity")],
+    ).refresh()
+    t.append_dataframe(
+        spark.sql("SELECT id, IF(id % 2 = 0, 'a', 'b') AS g FROM RANGE(8)")
+    )
+    files = sorted(f.path for f in t.snapshot_files())
+    victim = int(pq.read_table(files[0])["id"][0].as_py())
+    dp = _write_delete(str(tmp_path / "d.parquet"), [(files[0], 0)])
+    t.add_position_delete_files([dp])
+
+    dest = str(tmp_path / "ice")
+    meta_path = export_iceberg_table(t, dest)
+    md = json.load(open(meta_path))
+    assert {s["spec-id"] for s in md["partition-specs"]} == {0, 1}
+    assert md["partition-specs"][1]["fields"] == []
+    info = read_iceberg_table(dest)
+    assert [d for d in info.delete_files if d.content == 1]
+    from iceberg_metadata_pipeline_spark.ingest.pyice_source import register
+
+    register(spark)
+    back = spark.read.format("pyice").load(dest)
+    assert sorted(r.id for r in back.collect()) == sorted(set(range(8)) - {victim})
