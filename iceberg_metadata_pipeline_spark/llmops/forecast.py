@@ -249,3 +249,73 @@ def forecast_holt_winters_seasonal(spark: SparkSession, sf_dir: str) -> DataFram
         F.round("trend", 6).alias("trend"),
         F.round("forecast_next", 6).alias("forecast_next"),
     ).orderBy("event_type")
+
+
+# --- EWMA (round 10): the sequential-fold oracle pattern -------------------
+
+# Exponentially weighted moving average over per-event-type DAILY event
+# counts — and the first SEQUENTIAL recurrence served with a full
+# DuckDB oracle. The trick: y_t = α·x_t + (1−α)·y_{t−1} with y_1 = x_1
+# is exactly a left fold whose initial value is the first element —
+# which is list_reduce's native semantics in DuckDB — over the
+# DAY-ORDERED value list; Spark replays the identical fold with
+# reduce() seeded by element_at(arr, 1). Counts are exact integers and
+# the fold arithmetic is the same expression text in both engines, so
+# every intermediate is bit-identical; no rounding needed.
+#
+# Scale: per-type daily counts are one hash aggregate; each type's fold
+# runs over its bounded day list (calendar-bounded, the ACF posture).
+_EWMA_STEP = "0.3E0 * CAST(x AS DOUBLE) + 0.7E0 * a"
+
+_EWMA_SPARK = f"""
+WITH daily AS (
+  SELECT event_type, CAST(ts AS DATE) AS d,
+         CAST(COUNT(*) AS BIGINT) AS x
+  FROM events GROUP BY event_type, CAST(ts AS DATE)
+), folded AS (
+  SELECT event_type,
+    CAST(COUNT(*) AS BIGINT) AS n_days,
+    transform(array_sort(collect_list(struct(d, x))), e -> e.x) AS xs
+  FROM daily GROUP BY event_type
+)
+SELECT event_type, n_days,
+  reduce(
+    slice(xs, 2, CAST(n_days AS INT) - 1),
+    CAST(element_at(xs, 1) AS DOUBLE),
+    (a, x) -> {_EWMA_STEP}
+  ) AS ewma
+FROM folded
+ORDER BY event_type
+"""
+
+_EWMA_DUCK = f"""
+WITH daily AS (
+  SELECT event_type, CAST(ts AS DATE) AS d,
+         CAST(COUNT(*) AS BIGINT) AS x
+  FROM events GROUP BY event_type, CAST(ts AS DATE)
+), folded AS (
+  SELECT event_type,
+    CAST(COUNT(*) AS BIGINT) AS n_days,
+    list(CAST(x AS DOUBLE) ORDER BY d) AS xs
+  FROM daily GROUP BY event_type
+)
+SELECT event_type, n_days,
+  list_reduce(xs, (a, x) -> {_EWMA_STEP}) AS ewma
+FROM folded
+ORDER BY event_type
+"""
+
+
+@query("forecast_ewma_daily", _EWMA_DUCK)
+def forecast_ewma_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    load_tables(spark, sf_dir)
+    return spark.sql(_EWMA_SPARK)
+
+
+# NOTE (round 10): Holt's linear method was attempted with the same
+# fold-with-first-element-init trick using a STRUCT state, but DuckDB
+# 1.0's list_reduce evaluates later struct fields against a MUTATED
+# accumulator ((a,e) -> {'l': a.l+e.l, 'b': a.b+a.l} over
+# [(10,0),(20,0),(30,0)] returns b=70, correct fold gives 40) — so
+# coupled-state recurrences stay rows-only; single-double states (EWMA
+# above) are exactly reproducible.

@@ -629,3 +629,47 @@ sql_query(
         lambda e: f"list_reduce(list_sort(list({e})), (a, v) -> a + v)",
     ),
 )
+
+
+# Flesch reading ease (round 10): the classic readability score per
+# document from three exact integer counts — words (space split),
+# sentences ([.!?]+ runs, floored at 1), and syllables (vowel-cluster
+# runs, the standard heuristic). The score is one fixed double formula
+# over three bigints (identical text in both engines → bit-identical);
+# the counts are map-only regexp work, no shuffle at any scale.
+_FLESCH_FORMULA = """
+  206.835E0
+  - 1.015E0 * (CAST(words AS DOUBLE) / CAST(sents AS DOUBLE))
+  - 84.6E0 * (CAST(sylls AS DOUBLE) / CAST(words AS DOUBLE))
+"""
+
+_FLESCH_TEMPLATE = f"""
+WITH counts AS (
+  SELECT doc_id,
+    CAST({{WORDS}} AS BIGINT) AS words,
+    CAST(GREATEST({{SENTS}}, 1) AS BIGINT) AS sents,
+    CAST({{SYLLS}} AS BIGINT) AS sylls
+  FROM documents
+)
+SELECT doc_id, words, sents, sylls,
+  {_FLESCH_FORMULA} AS flesch_score
+FROM counts
+WHERE words > 0
+ORDER BY doc_id
+"""
+
+sql_query(
+    "text_flesch_reading_ease",
+    _FLESCH_TEMPLATE.replace("{WORDS}", "size(split(trim(text), ' +'))")
+    .replace("{SENTS}", "size(regexp_extract_all(text, '[.!?]+', 0))")
+    .replace(
+        "{SYLLS}", "size(regexp_extract_all(lower(text), '[aeiouy]+', 0))"
+    ),
+    oracle=_FLESCH_TEMPLATE.replace(
+        "{WORDS}", "len(regexp_split_to_array(trim(text), ' +'))"
+    )
+    .replace("{SENTS}", "len(regexp_extract_all(text, '[.!?]+'))")
+    .replace(
+        "{SYLLS}", "len(regexp_extract_all(lower(text), '[aeiouy]+'))"
+    ),
+)

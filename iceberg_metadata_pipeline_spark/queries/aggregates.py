@@ -564,3 +564,124 @@ FROM m
 ORDER BY flag
 """,
 )
+
+
+# --- exact trimmed + winsorized mean (round 10) -----------------------------
+
+# robust-location staples over order prices, EXACT: k = n DIV 10 copies
+# trimmed (or clamped) from each tail, resolved on per-distinct-value
+# counts + a cumulative count-below — never per-row ranks. The kept-copy
+# count per distinct value is pure integer interval overlap; the kept
+# sum is bigint × decimal (exact); the two means are single divisions
+# with identical text in both engines. The Spark side computes the
+# count-below with the bucketed two-phase prefix (stat_ks_two_sample's
+# shape); the oracle uses the plain global window over distinct values.
+_TWM_TEMPLATE = """
+WITH s AS (
+  SELECT CAST(o_totalprice AS DECIMAL(25,6)) AS v FROM orders
+), pv AS (
+  SELECT v, CAST(COUNT(*) AS BIGINT) AS n_v FROM s GROUP BY v
+), c AS (
+  SELECT v, n_v,
+    COALESCE(SUM(n_v) OVER (
+      ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+    ), 0) AS cb
+  FROM pv
+), tot AS (
+  SELECT CAST(SUM(n_v) AS BIGINT) AS n,
+         CAST(SUM(n_v) {IDIV} 10 AS BIGINT) AS k
+  FROM pv
+), agg AS (
+  SELECT
+    MAX(n) AS n, MAX(k) AS k,
+    SUM(CAST(GREATEST(LEAST(cb + n_v, n - k) - GREATEST(cb + 1, k + 1) + 1,
+                      0) AS DECIMAL(12,0)) * v) AS trim_sum,
+    MIN(CASE WHEN cb + n_v >= k + 1 THEN v END) AS v_low,
+    MIN(CASE WHEN cb + n_v >= n - k THEN v END) AS v_high
+  FROM c CROSS JOIN tot
+)
+SELECT {FINAL}
+FROM agg
+"""
+
+_TWM_FINAL = """CAST(n AS BIGINT) AS n,
+  CAST(k AS BIGINT) AS k_trim,
+  {TS} / (CAST(n AS DOUBLE) - 2.0E0 * CAST(k AS DOUBLE)) AS trimmed_mean,
+  {WS} / CAST(n AS DOUBLE) AS winsorized_mean"""
+
+
+def _twm(idiv: str, d2d) -> str:
+    ts = d2d("trim_sum")
+    ws = d2d(
+        "(trim_sum + CAST(k AS DECIMAL(12,0)) * v_low"
+        " + CAST(k AS DECIMAL(12,0)) * v_high)"
+    )
+    return _TWM_TEMPLATE.replace("{IDIV}", idiv).replace(
+        "{FINAL}", _TWM_FINAL.replace("{TS}", ts).replace("{WS}", ws)
+    )
+
+
+def _twm_d2d(expr: str) -> str:
+    # the stats_ext._d2d split-conversion (floor + fraction) so the
+    # decimal→double rounding is single and identical across engines
+    return (
+        f"(CAST(CAST(FLOOR({expr}) AS BIGINT) AS DOUBLE)"
+        f" + CAST({expr} - FLOOR({expr}) AS DOUBLE))"
+    )
+
+
+@query("agg_trimmed_winsorized_mean", _twm("//", _twm_d2d))
+def agg_trimmed_winsorized_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """See the template comment: exact 10% trimmed + winsorized means,
+    bucketed two-phase prefix on the Spark side."""
+    from pyspark.sql import Window
+
+    t = load_tables(spark, sf_dir)
+    s = t["orders"].selectExpr("CAST(o_totalprice AS DECIMAL(25,6)) AS v")
+    pv = s.groupBy("v").agg(F.count(F.lit(1)).cast("long").alias("n_v"))
+    bounds = pv.agg(
+        F.min(F.col("v").cast("double")).alias("vmin"),
+        F.max(F.col("v").cast("double")).alias("vmax"),
+    )
+    b = pv.crossJoin(F.broadcast(bounds)).withColumn(
+        "bucket",
+        F.expr("width_bucket(CAST(v AS DOUBLE), vmin, vmax + 1.0d, 1024)"),
+    )
+    w_bkt = Window.orderBy("bucket").rowsBetween(Window.unboundedPreceding, -1)
+    offs = (
+        b.groupBy("bucket")
+        .agg(F.sum("n_v").alias("bn"))
+        .select(
+            "bucket",
+            F.coalesce(F.sum("bn").over(w_bkt), F.lit(0)).alias("off"),
+        )
+    )
+    w_in = Window.partitionBy("bucket").orderBy("v")
+    c = b.join(F.broadcast(offs), "bucket").select(
+        "v", "n_v",
+        (F.col("off") + F.sum("n_v").over(w_in) - F.col("n_v")).alias("cb"),
+    )
+    tot = pv.agg(
+        F.sum("n_v").cast("long").alias("n"),
+        F.expr("CAST(SUM(n_v) DIV 10 AS BIGINT)").alias("k"),
+    )
+    agg = c.crossJoin(F.broadcast(tot)).agg(
+        F.max("n").alias("n"),
+        F.max("k").alias("k"),
+        F.sum(
+            F.expr(
+                "CAST(GREATEST(LEAST(cb + n_v, n - k)"
+                " - GREATEST(cb + 1, k + 1) + 1, 0) AS DECIMAL(12,0)) * v"
+            )
+        ).alias("trim_sum"),
+        F.min(F.expr("CASE WHEN cb + n_v >= k + 1 THEN v END")).alias("v_low"),
+        F.min(F.expr("CASE WHEN cb + n_v >= n - k THEN v END")).alias("v_high"),
+    )
+    final = _TWM_FINAL.replace("{TS}", _twm_d2d("trim_sum")).replace(
+        "{WS}",
+        _twm_d2d(
+            "(trim_sum + CAST(k AS DECIMAL(12,0)) * v_low"
+            " + CAST(k AS DECIMAL(12,0)) * v_high)"
+        ),
+    )
+    return agg.selectExpr(*[e.strip() for e in final.split(",\n")])

@@ -783,3 +783,40 @@ sql_query(
         lambda e: f"list_reduce(list_sort(list({e})), (a, v) -> a + v)"
     ),
 )
+
+
+# global transitivity (round 10): 3·triangles / wedges over the same
+# weight-≥2 co-purchase graph as graph_triangle_count — the clustering
+# summary whose numerator and denominator are both exact integers
+# (wedges = Σ d(d−1)/2 over node degrees), so the ratio is one exact
+# division. Same oriented three-way self-join for triangles; degrees
+# are one hash aggregate over both edge endpoints.
+sql_query(
+    "graph_transitivity_ratio",
+    """
+WITH co AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+edges AS (
+  SELECT a.l_partkey AS p1, b.l_partkey AS p2
+  FROM co a JOIN co b ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+  GROUP BY 1, 2 HAVING COUNT(*) >= 2
+),
+deg AS (
+  SELECT node, CAST(COUNT(*) AS BIGINT) AS d
+  FROM (SELECT p1 AS node FROM edges UNION ALL SELECT p2 FROM edges) u
+  GROUP BY node
+),
+wedges AS (
+  SELECT CAST(SUM(d * (d - 1)) AS BIGINT) / 2 AS n_wedges FROM deg
+),
+tri AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n_triangles
+  FROM edges e1
+  JOIN edges e2 ON e1.p2 = e2.p1
+  JOIN edges e3 ON e3.p1 = e1.p1 AND e3.p2 = e2.p2
+)
+SELECT n_triangles, CAST(n_wedges AS BIGINT) AS n_wedges,
+       3.0E0 * CAST(n_triangles AS DOUBLE) / CAST(n_wedges AS DOUBLE)
+         AS transitivity
+FROM tri CROSS JOIN wedges
+""",
+)

@@ -33,6 +33,64 @@ from iceberg_metadata_pipeline_spark.queries import query, sql_query
 from iceberg_metadata_pipeline_spark.session import load_tables
 
 
+def _basket_components(spark: SparkSession, sf_dir: str, max_basket: int):
+    """Shared machinery for the basket-rule queries: (salted pair
+    counts with pair_cnt >= 2, per-item basket frequencies, one-row
+    basket-count DataFrame — LAZY, no action here). See
+    mining_basket_pair_rules for the triangle salting contract."""
+    li = load_tables(spark, sf_dir)["lineitem"]
+    items = li.selectExpr(
+        "CAST(l_orderkey AS BIGINT) AS okey", "CAST(l_partkey AS BIGINT) AS pkey"
+    ).distinct()
+    part_cnt = items.groupBy("pkey").agg(F.count(F.lit(1)).alias("cnt"))
+    basket_n = items.groupBy("okey").agg(F.count(F.lit(1)).alias("basket_n"))
+    n_baskets = basket_n.agg(
+        F.count(F.lit(1)).cast("long").alias("n_baskets")
+    )
+    salted = (
+        items.join(basket_n, "okey")
+        .withColumn(
+            "n_groups",
+            F.greatest(
+                F.lit(1),
+                F.ceil(F.col("basket_n") / F.lit(max_basket)).cast("int"),
+            ),
+        )
+        .withColumn("g", F.pmod(F.hash("pkey"), F.col("n_groups")))
+        .withColumn(
+            "h", F.explode(F.sequence(F.lit(0), F.col("n_groups") - 1))
+        )
+        .select(
+            "okey",
+            "pkey",
+            "g",
+            F.least("g", "h").alias("kp"),
+            F.greatest("g", "h").alias("kq"),
+        )
+    )
+    a = salted.alias("a")
+    b = salted.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.okey") == F.col("b.okey"))
+            & (F.col("a.kp") == F.col("b.kp"))
+            & (F.col("a.kq") == F.col("b.kq"))
+            & (F.col("a.pkey") < F.col("b.pkey"))
+            # same-group pairs exist in EVERY task their group joins —
+            # count them only on the diagonal task (kp == kq)
+            & (
+                (F.col("a.g") != F.col("b.g"))
+                | (F.col("a.kp") == F.col("a.kq"))
+            ),
+        )
+        .groupBy(F.col("a.pkey").alias("part_a"), F.col("b.pkey").alias("part_b"))
+        .agg(F.count(F.lit(1)).alias("pair_cnt"))
+        .filter("pair_cnt >= 2")
+    )
+    return pairs, part_cnt, n_baskets
+
+
 @query(
     "mining_basket_pair_rules",
     """
@@ -81,53 +139,7 @@ def mining_basket_pair_rules(
     bit-identical to the unguarded SQL oracle at ANY basket size — the
     r9 drop-semantics divergence is gone. Normal baskets get G=1 and
     degenerate to the plain per-order self-join."""
-    li = load_tables(spark, sf_dir)["lineitem"]
-    items = li.selectExpr(
-        "CAST(l_orderkey AS BIGINT) AS okey", "CAST(l_partkey AS BIGINT) AS pkey"
-    ).distinct()
-    part_cnt = items.groupBy("pkey").agg(F.count(F.lit(1)).alias("cnt"))
-    basket_n = items.groupBy("okey").agg(F.count(F.lit(1)).alias("basket_n"))
-    salted = (
-        items.join(basket_n, "okey")
-        .withColumn(
-            "n_groups",
-            F.greatest(
-                F.lit(1),
-                F.ceil(F.col("basket_n") / F.lit(max_basket)).cast("int"),
-            ),
-        )
-        .withColumn("g", F.pmod(F.hash("pkey"), F.col("n_groups")))
-        .withColumn(
-            "h", F.explode(F.sequence(F.lit(0), F.col("n_groups") - 1))
-        )
-        .select(
-            "okey",
-            "pkey",
-            "g",
-            F.least("g", "h").alias("kp"),
-            F.greatest("g", "h").alias("kq"),
-        )
-    )
-    a = salted.alias("a")
-    b = salted.alias("b")
-    pairs = (
-        a.join(
-            b,
-            (F.col("a.okey") == F.col("b.okey"))
-            & (F.col("a.kp") == F.col("b.kp"))
-            & (F.col("a.kq") == F.col("b.kq"))
-            & (F.col("a.pkey") < F.col("b.pkey"))
-            # same-group pairs exist in EVERY task their group joins —
-            # count them only on the diagonal task (kp == kq)
-            & (
-                (F.col("a.g") != F.col("b.g"))
-                | (F.col("a.kp") == F.col("a.kq"))
-            ),
-        )
-        .groupBy(F.col("a.pkey").alias("part_a"), F.col("b.pkey").alias("part_b"))
-        .agg(F.count(F.lit(1)).alias("pair_cnt"))
-        .filter("pair_cnt >= 2")
-    )
+    pairs, part_cnt, _nb = _basket_components(spark, sf_dir, max_basket)
     ca = part_cnt.withColumnRenamed("pkey", "part_a").withColumnRenamed("cnt", "cnt_a")
     cb = part_cnt.withColumnRenamed("pkey", "part_b").withColumnRenamed("cnt", "cnt_b")
     return (
@@ -143,6 +155,59 @@ def mining_basket_pair_rules(
             (F.col("pair_cnt").cast("double") / F.col("cnt_b").cast("double")).alias(
                 "conf_b_to_a"
             ),
+        )
+        .orderBy(F.desc("pair_cnt"), "part_a", "part_b")
+    )
+
+
+@query(
+    "mining_basket_lift",
+    """
+WITH items AS (
+  SELECT DISTINCT CAST(l_orderkey AS BIGINT) AS okey, CAST(l_partkey AS BIGINT) AS pkey
+  FROM lineitem
+), part_cnt AS (
+  SELECT pkey, COUNT(*) AS cnt FROM items GROUP BY pkey
+), nb AS (
+  SELECT CAST(COUNT(DISTINCT okey) AS BIGINT) AS n_baskets FROM items
+), pairs AS (
+  SELECT a.pkey AS part_a, b.pkey AS part_b, COUNT(*) AS pair_cnt
+  FROM items a JOIN items b ON a.okey = b.okey AND a.pkey < b.pkey
+  GROUP BY a.pkey, b.pkey
+  HAVING COUNT(*) >= 2
+)
+SELECT p.part_a, p.part_b, p.pair_cnt,
+       CAST(p.pair_cnt AS DOUBLE) * CAST(nb.n_baskets AS DOUBLE)
+         / (CAST(ca.cnt AS DOUBLE) * CAST(cb.cnt AS DOUBLE)) AS lift
+FROM pairs p
+JOIN part_cnt ca ON p.part_a = ca.pkey
+JOIN part_cnt cb ON p.part_b = cb.pkey
+CROSS JOIN nb
+ORDER BY p.pair_cnt DESC, p.part_a, p.part_b
+""",
+)
+def mining_basket_lift(
+    spark: SparkSession, sf_dir: str, max_basket: int = 500
+) -> DataFrame:
+    """Association LIFT per co-purchased pair (round 10): lift =
+    P(A,B) / (P(A)·P(B)) = pair_cnt·N / (cnt_a·cnt_b) — one double
+    formula over three exact integers, same text in both engines. Same
+    triangle-salted pair machinery as mining_basket_pair_rules; the
+    basket count joins in as a broadcast one-row frame (no driver
+    action)."""
+    pairs, part_cnt, n_baskets = _basket_components(spark, sf_dir, max_basket)
+    ca = part_cnt.withColumnRenamed("pkey", "part_a").withColumnRenamed("cnt", "cnt_a")
+    cb = part_cnt.withColumnRenamed("pkey", "part_b").withColumnRenamed("cnt", "cnt_b")
+    return (
+        pairs.join(ca, "part_a")
+        .join(cb, "part_b")
+        .crossJoin(F.broadcast(n_baskets))
+        .selectExpr(
+            "part_a",
+            "part_b",
+            "pair_cnt",
+            "CAST(pair_cnt AS DOUBLE) * CAST(n_baskets AS DOUBLE)"
+            " / (CAST(cnt_a AS DOUBLE) * CAST(cnt_b AS DOUBLE)) AS lift",
         )
         .orderBy(F.desc("pair_cnt"), "part_a", "part_b")
     )

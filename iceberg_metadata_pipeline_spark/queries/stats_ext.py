@@ -1283,3 +1283,253 @@ sql_query(
     "stat_effect_sizes",
     _WELCH_MOMENTS + f"SELECT {_EFFECT_FINAL} FROM m",
 )
+
+
+# --- Bartlett's test (round 10) ----------------------------------------------
+
+# variance homogeneity across the five segments from the SAME one-pass
+# moments as ANOVA: s²_g = (q_g − s_g²/n_g)/(n_g−1) per group, then
+# three 5-element folds (Σ(n−1)s², Σ(n−1)ln s², Σ 1/(n−1)) in SORTED
+# order. ln is libm (can differ in the last ulp across engines), so the
+# statistic rounds to 9 decimals — the heaps/zipf posture.
+_BARTLETT_TEMPLATE = f"""
+WITH s AS (
+  SELECT c.c_mktsegment AS seg, CAST(o.o_totalprice AS DOUBLE) AS v
+  FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+), grp AS (
+  SELECT seg,
+    CAST(COUNT(*) AS BIGINT) AS n_g,
+    {_d2d("SUM(CAST(v AS DECIMAL(38,12)))")} AS s_g,
+    {_d2d("SUM(CAST(v * v AS DECIMAL(38,12)))")} AS q_g
+  FROM s GROUP BY seg
+), terms AS (
+  SELECT n_g,
+    (q_g - s_g * s_g / n_g) / (n_g - 1.0E0) AS var_g
+  FROM grp
+), m AS (
+  SELECT
+    CAST(COUNT(*) AS BIGINT) AS k,
+    CAST(SUM(n_g) AS BIGINT) AS n,
+    {{FOLD_SS}} AS pooled_num,
+    {{FOLD_LN}} AS sum_ln,
+    {{FOLD_INV}} AS sum_inv
+  FROM terms
+)
+SELECT k, n,
+  ROUND(
+    ( (n - k) * LN(pooled_num / (n - k)) - sum_ln )
+    / ( 1.0E0 + (sum_inv - 1.0E0 / (n - k)) / (3.0E0 * (k - 1.0E0)) ),
+    9) AS bartlett_stat
+FROM m
+"""
+
+_B_SS = "(n_g - 1.0E0) * var_g"
+_B_LN = "(n_g - 1.0E0) * LN(var_g)"
+_B_INV = "1.0E0 / (n_g - 1.0E0)"
+
+
+def _bartlett(fold):
+    return (
+        _BARTLETT_TEMPLATE.replace("{FOLD_SS}", fold(_B_SS))
+        .replace("{FOLD_LN}", fold(_B_LN))
+        .replace("{FOLD_INV}", fold(_B_INV))
+    )
+
+
+sql_query(
+    "stat_bartlett_variance",
+    _bartlett(
+        lambda e: f"reduce(array_sort(collect_list({e})),"
+        " CAST(0.0E0 AS DOUBLE), (a, x) -> a + x)"
+    ),
+    oracle=_bartlett(
+        lambda e: f"list_reduce(list_sort(list({e})), (a, x) -> a + x)"
+    ),
+)
+
+
+# --- Kruskal-Wallis H (round 10) ----------------------------------------------
+
+# rank-based one-way test across ALL FIVE segments — the k-group
+# companion to Mann-Whitney, with midrank ties and the tie correction.
+# Rank sums never materialize per row: per (value, segment) counts +
+# the cumulative count below each distinct value give 2·R_g as an exact
+# bigint per group; H is then a fixed formula over k=5 (R_g²/n_g) terms
+# folded in sorted order. The Spark side computes the cumulative count
+# with the bucketed two-phase prefix (stat_ks_two_sample's shape — no
+# unbounded single-task window); the DuckDB oracle uses the plain
+# global window (single-node referee, not the scale plan).
+_KW_EXPRS = [
+    "CAST(k AS BIGINT) AS k",
+    "CAST(n AS BIGINT) AS n",
+    """ROUND(
+    ( 12.0E0 / (CAST(n AS DOUBLE) * CAST(n + 1 AS DOUBLE)) * rsum
+      - 3.0E0 * CAST(n + 1 AS DOUBLE) )
+    / ( 1.0E0 - CAST(ties AS DOUBLE)
+        / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE) * CAST(n AS DOUBLE)
+           - CAST(n AS DOUBLE)) ),
+    9) AS h_stat""",
+]
+_KW_FINAL = ",\n  ".join(_KW_EXPRS)
+
+_KW_RTERM = (
+    "CAST(r2 AS DOUBLE) * CAST(r2 AS DOUBLE)"
+    " / (4.0E0 * CAST(n_g AS DOUBLE))"
+)
+
+_KW_SRC = """
+  SELECT c.c_mktsegment AS seg, CAST(o.o_totalprice AS DOUBLE) AS v
+  FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+"""
+
+
+@query(
+    "stat_kruskal_wallis",
+    f"""
+WITH s AS ({_KW_SRC}),
+pv AS (
+  SELECT v, seg, CAST(COUNT(*) AS BIGINT) AS n_vs FROM s GROUP BY v, seg
+), tv AS (
+  SELECT v, CAST(SUM(n_vs) AS BIGINT) AS n_v FROM pv GROUP BY v
+), c AS (
+  SELECT v, n_v,
+    COALESCE(SUM(n_v) OVER (
+      ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+    ), 0) AS cb
+  FROM tv
+), rg AS (
+  SELECT p.seg,
+    CAST(SUM(p.n_vs * (2 * c.cb + c.n_v + 1)) AS BIGINT) AS r2,
+    CAST(SUM(p.n_vs) AS BIGINT) AS n_g
+  FROM pv p JOIN c ON p.v = c.v
+  GROUP BY p.seg
+), agg AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS k, CAST(SUM(n_g) AS BIGINT) AS n,
+    list_reduce(list_sort(list({_KW_RTERM})), (a, x) -> a + x) AS rsum
+  FROM rg
+), t AS (
+  SELECT CAST(SUM(n_v * n_v * n_v - n_v) AS BIGINT) AS ties FROM c
+)
+SELECT {_KW_FINAL}
+FROM agg CROSS JOIN t
+""",
+)
+def stat_kruskal_wallis(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kruskal-Wallis H across the five market segments (see the
+    registered oracle's docstring comment above): exact-integer 2·R_g
+    rank sums via per-distinct-value counts + bucketed two-phase
+    prefix, sorted fold over the five R²/n terms, tie-corrected H
+    rounded to 9 decimals."""
+    from pyspark.sql import Window
+
+    t = load_tables(spark, sf_dir)
+    s = (
+        t["orders"]
+        .join(t["customer"], F.col("o_custkey") == F.col("c_custkey"))
+        .selectExpr("c_mktsegment AS seg", "CAST(o_totalprice AS DOUBLE) AS v")
+    )
+    pv = s.groupBy("v", "seg").agg(F.count(F.lit(1)).cast("long").alias("n_vs"))
+    tv = pv.groupBy("v").agg(F.sum("n_vs").cast("long").alias("n_v"))
+    bounds = s.agg(F.min("v").alias("vmin"), F.max("v").alias("vmax"))
+    b = tv.crossJoin(F.broadcast(bounds)).withColumn(
+        "bucket", F.expr("width_bucket(v, vmin, vmax + 1.0d, 1024)")
+    )
+    w_bkt = Window.orderBy("bucket").rowsBetween(Window.unboundedPreceding, -1)
+    offs = (
+        b.groupBy("bucket")
+        .agg(F.sum("n_v").alias("bn"))
+        .select(
+            "bucket",
+            F.coalesce(F.sum("bn").over(w_bkt), F.lit(0)).alias("off"),
+        )
+    )
+    w_in = Window.partitionBy("bucket").orderBy("v")
+    c = b.join(F.broadcast(offs), "bucket").select(
+        "v", "n_v",
+        (F.col("off") + F.sum("n_v").over(w_in) - F.col("n_v")).alias("cb"),
+    )
+    rg = (
+        pv.join(c, "v")
+        .groupBy("seg")
+        .agg(
+            F.sum(F.expr("n_vs * (2 * cb + n_v + 1)")).cast("long").alias("r2"),
+            F.sum("n_vs").cast("long").alias("n_g"),
+        )
+    )
+    agg = rg.agg(
+        F.count(F.lit(1)).cast("long").alias("k"),
+        F.sum("n_g").cast("long").alias("n"),
+        F.expr(
+            f"reduce(array_sort(collect_list({_KW_RTERM})),"
+            " CAST(0.0E0 AS DOUBLE), (a, x) -> a + x)"
+        ).alias("rsum"),
+    )
+    ties = c.agg(
+        F.sum(F.expr("n_v * n_v * n_v - n_v")).cast("long").alias("ties")
+    )
+    return agg.crossJoin(F.broadcast(ties)).selectExpr(*_KW_EXPRS)
+
+
+# --- Durbin-Watson (round 10) --------------------------------------------------
+
+# serial correlation of daily-revenue residuals around the OLS trend:
+# the regression-diagnostics staple. Daily totals are exact decimal
+# sums (~2.4k calendar days — the bounded-by-calendar posture
+# stat_acf_multi_lag documents); the OLS fit comes from exact integer /
+# decimal sums; residuals are a fixed double formula per day; and the
+# two order-sensitive sums (Σ(e−e_prev)², Σe²) fold in SORTED order.
+_DW_TEMPLATE = f"""
+WITH daily AS (
+  SELECT o_orderdate AS d,
+    {_d2d("SUM(CAST(o_totalprice AS DECIMAL(38,12)))")} AS y
+  FROM orders GROUP BY o_orderdate
+), idx AS (
+  SELECT y, CAST({{DAYDIFF}} AS BIGINT) AS x FROM daily
+), fit AS (
+  SELECT CAST(COUNT(*) AS DOUBLE) AS n,
+    CAST(SUM(x) AS DOUBLE) AS sx,
+    {_d2d("SUM(CAST(y AS DECIMAL(38,9)))")} AS sy,
+    CAST(SUM(x * x) AS DOUBLE) AS sxx,
+    {_d2d("SUM(CAST(x AS DECIMAL(38,0)) * CAST(y AS DECIMAL(38,9)))")} AS sxy
+  FROM idx
+), resid AS (
+  SELECT x,
+    y - ( (n * sxy - sx * sy) / (n * sxx - sx * sx) ) * x
+      - ( (sy - ((n * sxy - sx * sy) / (n * sxx - sx * sx)) * sx) / n ) AS e
+  FROM idx CROSS JOIN fit
+), lagged AS (
+  SELECT e, LAG(e) OVER (ORDER BY x) AS e_prev FROM resid
+), sums AS (
+  SELECT
+    {{FOLD_NUM}} AS num,
+    {{FOLD_DEN}} AS den,
+    CAST(COUNT(*) AS BIGINT) AS n_days
+  FROM lagged
+)
+SELECT n_days, ROUND(num / den, 9) AS dw_stat FROM sums
+"""
+
+_DW_NUM = "CASE WHEN e_prev IS NULL THEN 0.0E0 ELSE (e - e_prev) * (e - e_prev) END"
+_DW_DEN = "e * e"
+
+
+def _dw(fold, daydiff):
+    return (
+        _DW_TEMPLATE.replace("{FOLD_NUM}", fold(_DW_NUM))
+        .replace("{FOLD_DEN}", fold(_DW_DEN))
+        .replace("{DAYDIFF}", daydiff)
+    )
+
+
+sql_query(
+    "stat_durbin_watson",
+    _dw(
+        lambda e: f"reduce(array_sort(collect_list({e})),"
+        " CAST(0.0E0 AS DOUBLE), (a, x) -> a + x)",
+        "DATEDIFF(CAST(d AS DATE), DATE '1992-01-01')",
+    ),
+    oracle=_dw(
+        lambda e: f"list_reduce(list_sort(list({e})), (a, x) -> a + x)",
+        "DATEDIFF('day', DATE '1992-01-01', CAST(d AS DATE))",
+    ),
+)

@@ -457,3 +457,38 @@ ORDER BY p.user_id, p.purchase_id
 """,
     oracle="same",
 )
+
+
+# bounce rate (round 10): share of 5-minute-gap sessions that contain
+# exactly one event — the engagement-health staple. Reuses the
+# lag-gap-cumsum sessionization (two windows over one (user, time)
+# shuffle); the rate is one exact integer division. At 100 TB the
+# windows stay partitioned by user and the final reduce is one row.
+sql_query(
+    "events_bounce_rate",
+    """
+WITH marked AS (
+  SELECT user_id, event_id, ts,
+         CASE WHEN CAST(ts AS TIMESTAMP) - lag(CAST(ts AS TIMESTAMP))
+                   OVER (PARTITION BY user_id ORDER BY CAST(ts AS TIMESTAMP), event_id)
+                   > INTERVAL 5 MINUTES THEN 1 ELSE 0 END AS new_session
+  FROM events
+),
+sess AS (
+  SELECT user_id,
+         SUM(new_session) OVER (PARTITION BY user_id
+                                ORDER BY CAST(ts AS TIMESTAMP), event_id) AS session_id
+  FROM marked
+),
+per AS (
+  SELECT user_id, session_id, COUNT(*) AS n_events
+  FROM sess GROUP BY user_id, session_id
+)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_sessions,
+       CAST(SUM(CASE WHEN n_events = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_bounces,
+       CAST(SUM(CASE WHEN n_events = 1 THEN 1 ELSE 0 END) AS DOUBLE)
+         / CAST(COUNT(*) AS DOUBLE) AS bounce_rate
+FROM per
+""",
+    oracle="same",
+)

@@ -1,0 +1,282 @@
+"""Round-10 query additions: semantic pins beyond the oracle gate —
+reference implementations in pure Python for the new statistics, the
+EWMA fold contract, exact trimmed/winsorized means, transitivity, lift,
+and Flesch readability."""
+
+from __future__ import annotations
+
+import math
+import os
+
+import pytest
+
+SF = os.environ.get("SPARK_GRAFT_TEST_SF_DIR", "/root/testdata/sf0.001")
+
+
+@pytest.fixture(scope="module")
+def duck():
+    import duckdb
+
+    con = duckdb.connect()
+    for t in ("orders", "customer", "lineitem", "events", "documents"):
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM "
+            f"read_parquet('{SF}/{t}.parquet')"
+        )
+    return con
+
+
+def _two_col(spark, sf_dir=SF):
+    from iceberg_metadata_pipeline_spark.session import load_tables
+
+    t = load_tables(spark, sf_dir)
+    return (
+        t["orders"]
+        .join(t["customer"], t["orders"].o_custkey == t["customer"].c_custkey)
+        .selectExpr("c_mktsegment AS seg", "CAST(o_totalprice AS DOUBLE) AS v")
+        .collect()
+    )
+
+
+def test_kruskal_wallis_matches_scipy_style_reference(spark):
+    from iceberg_metadata_pipeline_spark.queries.stats_ext import (
+        stat_kruskal_wallis,
+    )
+
+    rows = _two_col(spark)
+    groups: dict = {}
+    for r in rows:
+        groups.setdefault(r.seg, []).append(r.v)
+    # midranks over the pooled sample
+    pooled = sorted(v for vs in groups.values() for v in vs)
+    n = len(pooled)
+    # rank map: value -> average rank
+    from collections import Counter
+
+    cnt = Counter(pooled)
+    rank = {}
+    below = 0
+    for v in sorted(cnt):
+        c = cnt[v]
+        rank[v] = below + (c + 1) / 2
+        below += c
+    rsum = 0.0
+    for vs in groups.values():
+        rj = sum(rank[v] for v in vs)
+        rsum += rj * rj / len(vs)
+    ties = sum(c * c * c - c for c in cnt.values())
+    h = (12.0 / (n * (n + 1)) * rsum - 3 * (n + 1)) / (
+        1 - ties / (n**3 - n)
+    )
+    got = stat_kruskal_wallis(spark, SF).collect()[0]
+    assert got["n"] == n and got["k"] == len(groups)
+    assert got["h_stat"] == pytest.approx(h, rel=1e-9)
+
+
+def test_bartlett_matches_reference(spark):
+    from iceberg_metadata_pipeline_spark.queries import REGISTRY, all_queries
+
+    all_queries()
+    rows = _two_col(spark)
+    groups: dict = {}
+    for r in rows:
+        groups.setdefault(r.seg, []).append(r.v)
+    k = len(groups)
+    n = sum(len(v) for v in groups.values())
+    import statistics
+
+    sp_num = sum((len(v) - 1) * statistics.variance(v) for v in groups.values())
+    sp2 = sp_num / (n - k)
+    num = (n - k) * math.log(sp2) - sum(
+        (len(v) - 1) * math.log(statistics.variance(v))
+        for v in groups.values()
+    )
+    den = 1 + (sum(1 / (len(v) - 1) for v in groups.values()) - 1 / (n - k)) / (
+        3 * (k - 1)
+    )
+    got = REGISTRY["stat_bartlett_variance"].fn(spark, SF).collect()[0]
+    assert got["bartlett_stat"] == pytest.approx(num / den, rel=1e-7)
+
+
+def test_durbin_watson_reference(spark):
+    from iceberg_metadata_pipeline_spark.queries import REGISTRY, all_queries
+    from iceberg_metadata_pipeline_spark.session import load_tables
+
+    all_queries()
+    t = load_tables(spark, SF)
+    daily = sorted(
+        (r["d"], float(r["y"]))
+        for r in t["orders"]
+        .selectExpr("o_orderdate AS d", "CAST(o_totalprice AS DOUBLE) AS y")
+        .groupBy("d")
+        .sum("y")
+        .withColumnRenamed("sum(y)", "y")
+        .collect()
+    )
+    xs = list(range(len(daily)))
+    # recompute x as days since 1992-01-01 like the query does
+    import datetime
+
+    base = datetime.date(1992, 1, 1)
+    xs = [(datetime.date.fromisoformat(str(d)[:10]) - base).days for d, _ in daily]
+    ys = [y for _, y in daily]
+    n = len(xs)
+    sx, sy = sum(xs), sum(ys)
+    sxx = sum(x * x for x in xs)
+    sxy = sum(x * y for x, y in zip(xs, ys))
+    slope = (n * sxy - sx * sy) / (n * sxx - sx * sx)
+    intercept = (sy - slope * sx) / n
+    e = [y - slope * x - intercept for x, y in zip(xs, ys)]
+    dw = sum((e[i] - e[i - 1]) ** 2 for i in range(1, n)) / sum(
+        v * v for v in e
+    )
+    got = REGISTRY["stat_durbin_watson"].fn(spark, SF).collect()[0]
+    assert got["n_days"] == n
+    assert got["dw_stat"] == pytest.approx(dw, rel=1e-6)
+
+
+def test_ewma_is_the_recurrence(spark):
+    """forecast_ewma_daily == the day-ordered recurrence y=0.3x+0.7y."""
+    from iceberg_metadata_pipeline_spark.llmops.forecast import (
+        forecast_ewma_daily,
+    )
+    from iceberg_metadata_pipeline_spark.session import load_tables
+
+    t = load_tables(spark, SF)
+    daily = (
+        t["events"]
+        .selectExpr("event_type", "CAST(ts AS DATE) AS d")
+        .groupBy("event_type", "d")
+        .count()
+        .collect()
+    )
+    series: dict = {}
+    for r in daily:
+        series.setdefault(r.event_type, []).append((r.d, r["count"]))
+    got = {r.event_type: r for r in forecast_ewma_daily(spark, SF).collect()}
+    for et, pts in series.items():
+        pts.sort()
+        y = float(pts[0][1])
+        for _, x in pts[1:]:
+            y = 0.3 * x + 0.7 * y
+        assert got[et]["ewma"] == pytest.approx(y, rel=1e-12)
+        assert got[et]["n_days"] == len(pts)
+
+
+def test_trimmed_winsorized_reference(spark):
+    from iceberg_metadata_pipeline_spark.queries.aggregates import (
+        agg_trimmed_winsorized_mean,
+    )
+    from iceberg_metadata_pipeline_spark.session import load_tables
+
+    vals = sorted(
+        float(r[0])
+        for r in load_tables(spark, SF)["orders"]
+        .selectExpr("CAST(o_totalprice AS DOUBLE)")
+        .collect()
+    )
+    n = len(vals)
+    k = n // 10
+    mid = vals[k : n - k]
+    trimmed = sum(mid) / (n - 2 * k)
+    wins = (sum(mid) + k * vals[k] + k * vals[n - k - 1]) / n
+    got = agg_trimmed_winsorized_mean(spark, SF).collect()[0]
+    assert got["n"] == n and got["k_trim"] == k
+    assert got["trimmed_mean"] == pytest.approx(trimmed, rel=1e-9)
+    assert got["winsorized_mean"] == pytest.approx(wins, rel=1e-9)
+
+
+def test_bounce_rate_reference(spark):
+    from iceberg_metadata_pipeline_spark.queries import REGISTRY, all_queries
+    from iceberg_metadata_pipeline_spark.session import load_tables
+
+    all_queries()
+    ev = (
+        load_tables(spark, SF)["events"]
+        .selectExpr("user_id", "CAST(ts AS TIMESTAMP) AS ts", "event_id")
+        .collect()
+    )
+    by_user: dict = {}
+    for r in ev:
+        by_user.setdefault(r.user_id, []).append((r.ts, r.event_id))
+    n_sessions = n_bounce = 0
+    for pts in by_user.values():
+        pts.sort()
+        sizes = []
+        cur = 0
+        prev = None
+        for ts, _ in pts:
+            if prev is not None and (ts - prev).total_seconds() > 300:
+                sizes.append(cur)
+                cur = 0
+            cur += 1
+            prev = ts
+        sizes.append(cur)
+        n_sessions += len(sizes)
+        n_bounce += sum(1 for s in sizes if s == 1)
+    got = REGISTRY["events_bounce_rate"].fn(spark, SF).collect()[0]
+    assert (got["n_sessions"], got["n_bounces"]) == (n_sessions, n_bounce)
+
+
+def test_transitivity_identity(spark):
+    """3·triangles ≤ wedges and the ratio is their exact quotient; the
+    triangle count agrees with graph_triangle_count."""
+    from iceberg_metadata_pipeline_spark.queries import REGISTRY, all_queries
+
+    all_queries()
+    got = REGISTRY["graph_transitivity_ratio"].fn(spark, SF).collect()[0]
+    tri = REGISTRY["graph_triangle_count"].fn(spark, SF).collect()[0]
+    assert got["n_triangles"] == tri["n_triangles"]
+    assert 3 * got["n_triangles"] <= got["n_wedges"]
+    assert got["transitivity"] == pytest.approx(
+        3.0 * got["n_triangles"] / got["n_wedges"], rel=0
+    )
+
+
+def test_lift_consistent_with_confidence(spark):
+    """lift = conf_a_to_b · N / cnt_b — cross-check the two queries."""
+    from iceberg_metadata_pipeline_spark.queries.mining import (
+        mining_basket_lift,
+        mining_basket_pair_rules,
+    )
+    from iceberg_metadata_pipeline_spark.session import load_tables
+
+    li = load_tables(spark, SF)["lineitem"]
+    nb = li.selectExpr("l_orderkey").distinct().count()
+    conf = {
+        (r.part_a, r.part_b): r
+        for r in mining_basket_pair_rules(spark, SF).collect()
+    }
+    lifts = mining_basket_lift(spark, SF).collect()
+    assert len(lifts) == len(conf)
+    for r in lifts:
+        c = conf[(r.part_a, r.part_b)]
+        # conf_b_to_a = pair/cnt_a; lift = pair·N/(cnt_a·cnt_b)
+        cnt_a = c.pair_cnt / c.conf_a_to_b
+        cnt_b = c.pair_cnt / c.conf_b_to_a
+        assert r.lift == pytest.approx(
+            r.pair_cnt * nb / (cnt_a * cnt_b), rel=1e-9
+        )
+
+
+def test_flesch_formula_pinned(spark):
+    from iceberg_metadata_pipeline_spark.queries import REGISTRY, all_queries
+    from iceberg_metadata_pipeline_spark.session import load_tables
+
+    all_queries()
+    rows = REGISTRY["text_flesch_reading_ease"].fn(spark, SF).collect()
+    docs = {
+        r.doc_id: r.text
+        for r in load_tables(spark, SF)["documents"].collect()
+    }
+    import re
+
+    assert rows
+    for r in rows[:25]:
+        text = docs[r.doc_id]
+        words = len(re.split(" +", text.strip()))
+        sents = max(len(re.findall(r"[.!?]+", text)), 1)
+        sylls = len(re.findall(r"[aeiouy]+", text.lower()))
+        assert (r.words, r.sents, r.sylls) == (words, sents, sylls)
+        expect = 206.835 - 1.015 * (words / sents) - 84.6 * (sylls / words)
+        assert r.flesch_score == pytest.approx(expect, rel=1e-12)
