@@ -43,12 +43,15 @@ def _basket_components(spark: SparkSession, sf_dir: str, max_basket: int):
         "CAST(l_orderkey AS BIGINT) AS okey", "CAST(l_partkey AS BIGINT) AS pkey"
     ).distinct()
     part_cnt = items.groupBy("pkey").agg(F.count(F.lit(1)).alias("cnt"))
-    basket_n = items.groupBy("okey").agg(F.count(F.lit(1)).alias("basket_n"))
-    n_baskets = basket_n.agg(
+    n_baskets = items.select("okey").distinct().agg(
         F.count(F.lit(1)).cast("long").alias("n_baskets")
     )
+    from pyspark.sql import Window
+
     salted = (
-        items.join(basket_n, "okey")
+        items.withColumn(
+            "basket_n", F.count(F.lit(1)).over(Window.partitionBy("okey"))
+        )
         .withColumn(
             "n_groups",
             F.greatest(
