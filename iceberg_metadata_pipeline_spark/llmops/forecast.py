@@ -30,20 +30,33 @@ TREND_SCHEMA = (
 
 
 def fit_linear_trend_per_group(hourly: DataFrame) -> DataFrame:
-    """hourly: (event_type, bucket_idx long, y double) → one fitted trend
-    row per event_type with the next-bucket forecast."""
+    """hourly: (event_type, bucket_idx long, y double, y_micro long) →
+    one fitted trend row per event_type with the next-bucket forecast.
+
+    Round 10 — EXACT kernel, full oracle: the least-squares sums run in
+    unbounded Python INTEGERS over (bucket_idx, y·10⁶) — y is an exact
+    decimal(38,6) upstream, so y_micro is lossless — and the only
+    floating-point steps are the final divisions, written in the same
+    operation order the SQL oracle uses (slope = double(num)/double(den·10⁶);
+    intercept = (double(sy)/10⁶ − slope·double(sx))/double(n)). Both
+    engines correctly round each step once → bit-identical, which is
+    what upgraded forecast_trend_per_type from rows-only to a full
+    value oracle while KEEPING the applyInPandas per-group-model
+    pattern."""
     import pandas as pd
 
     def fit(pdf: "pd.DataFrame") -> "pd.DataFrame":
-        pdf = pdf.sort_values("bucket_idx")
-        x = pdf["bucket_idx"].to_numpy(dtype="float64")
-        y = pdf["y"].to_numpy(dtype="float64")
-        n = len(x)
-        mx, my = x.mean(), y.mean()
-        varx = ((x - mx) ** 2).sum()
-        slope = 0.0 if varx == 0.0 else (((x - mx) * (y - my)).sum() / varx)
-        intercept = my - slope * mx
-        nxt = slope * (x.max() + 1) + intercept
+        xs = [int(v) for v in pdf["bucket_idx"]]
+        ys = [int(v) for v in pdf["y_micro"]]
+        n = len(xs)
+        sx = sum(xs)
+        sxx = sum(x * x for x in xs)
+        sy = sum(ys)
+        sxy = sum(x * y for x, y in zip(xs, ys))
+        den = (n * sxx - sx * sx) * 1_000_000
+        slope = 0.0 if den == 0 else float(n * sxy - sx * sy) / float(den)
+        intercept = (float(sy) / 1.0e6 - slope * float(sx)) / float(n)
+        nxt = slope * float(max(xs) + 1) + intercept
         return pd.DataFrame(
             {
                 "event_type": [pdf["event_type"].iloc[0]],
@@ -68,13 +81,62 @@ def hourly_event_values(events: DataFrame) -> DataFrame:
                 (F.unix_timestamp("ts") - F.unix_timestamp(origin)) / 3600
             ).alias("bucket_idx"),
         )
-        .agg(F.sum(F.col("value").cast("decimal(38,6)")).cast("double").alias("y"))
+        .agg(
+            F.sum(F.col("value").cast("decimal(38,6)")).cast("double").alias("y"),
+            # lossless integer form of y (scale-6 decimal × 10⁶) — the
+            # exact-kernel input that makes the trend fit oracle-able
+            (F.sum(F.col("value").cast("decimal(38,6)")) * 1_000_000)
+            .cast("long")
+            .alias("y_micro"),
+        )
     )
 
 
-@query("forecast_trend_per_type", None)  # float sum order → rows-only
+_TREND_ORACLE = """
+WITH hourly AS (
+  SELECT event_type,
+    CAST(FLOOR((epoch(CAST(ts AS TIMESTAMP))
+                - epoch(TIMESTAMP '1995-01-01 00:00:00')) / 3600) AS BIGINT) AS x,
+    CAST(SUM(CAST(value AS DECIMAL(38,6))) * 1000000 AS BIGINT) AS ym
+  FROM events GROUP BY event_type,
+    CAST(FLOOR((epoch(CAST(ts AS TIMESTAMP))
+                - epoch(TIMESTAMP '1995-01-01 00:00:00')) / 3600) AS BIGINT)
+), m AS (
+  SELECT event_type,
+    CAST(COUNT(*) AS BIGINT) AS n,
+    CAST(SUM(x) AS DECIMAL(38,0)) AS sx,
+    CAST(SUM(CAST(x AS DECIMAL(38,0)) * x) AS DECIMAL(38,0)) AS sxx,
+    CAST(SUM(CAST(ym AS DECIMAL(38,0))) AS DECIMAL(38,0)) AS sy,
+    CAST(SUM(CAST(x AS DECIMAL(38,0)) * ym) AS DECIMAL(38,0)) AS sxy,
+    MAX(x) AS mx
+  FROM hourly GROUP BY event_type
+), f AS (
+  SELECT event_type, n,
+    CASE WHEN n * sxx - sx * sx = 0 THEN CAST(0.0E0 AS DOUBLE)
+         ELSE CAST(n * sxy - sx * sy AS DOUBLE)
+            / CAST((n * sxx - sx * sx) * 1000000 AS DOUBLE) END AS slope,
+    sx, sy, mx
+  FROM m
+), g AS (
+  SELECT event_type, n, slope,
+    (CAST(sy AS DOUBLE) / 1.0E6 - slope * CAST(sx AS DOUBLE))
+      / CAST(n AS DOUBLE) AS intercept,
+    mx
+  FROM f
+)
+SELECT event_type, n AS n_points,
+  ROUND(slope, 6) AS slope,
+  ROUND(intercept, 6) AS intercept,
+  ROUND(slope * CAST(mx + 1 AS DOUBLE) + intercept, 6) AS forecast_next
+FROM g ORDER BY event_type
+"""
+
+
+@query("forecast_trend_per_type", _TREND_ORACLE)
 def forecast_trend_per_type(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """events → hourly series per type → per-group least-squares trend."""
+    """events → hourly series per type → per-group least-squares trend
+    (applyInPandas). Round 10: full value oracle — see
+    fit_linear_trend_per_group for the exact-integer kernel contract."""
     events = load_tables(spark, sf_dir)["events"]
     trends = fit_linear_trend_per_group(hourly_event_values(events))
     return trends.select(

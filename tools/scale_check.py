@@ -77,6 +77,12 @@ QUERIES = [
     "join_interval_overlap_binned",
     "sketch_countmin_heavy_hitters",
     "catalog_delta_idmode_roundtrip",
+    # r10: salted basket pairs (+ lift), k-group rank stat over the
+    # bucketed prefix, exact trimmed means, bounded heaps-law window
+    "mining_basket_lift",
+    "stat_kruskal_wallis",
+    "agg_trimmed_winsorized_mean",
+    "text_heaps_law_fit",
 ]
 
 
