@@ -431,25 +431,27 @@ def export_iceberg_table(table: Table, dest: str, format_version: int = 2) -> st
         raise ValueError(f"unsupported export format-version {format_version}")
     snap = table.current_snapshot
     pos_deletes: list[dict] = []
+    eq_deletes: list[dict] = []
     if snap is None:
         files: list[DataFileEntry] = []
         snapshot_id = None
     else:
-        # POSITION delete entries export natively (content=1 delete
-        # manifests: the v2 spec's own encoding — round 10, required so
-        # the REST mirror stays servable after a row-level delete
-        # commit). Predicate and equality-directory entries keep
-        # refusing: the spec has no encoding for metacat's predicate
-        # shape, and our equality dirs lack the spec's field-id binding.
+        # POSITION and EQUALITY delete entries export natively
+        # (content=1/2 files in a delete manifest: the v2 spec's own
+        # encodings — round 10, required so the REST mirror stays
+        # servable after a row-level delete commit). PREDICATE entries
+        # keep refusing: the spec has no encoding for an expression
+        # delete.
         deletes = table._resolve_deletes(snap)
         pos_deletes = [d for d in deletes if d["kind"] == "position"]
-        other = [d for d in deletes if d["kind"] != "position"]
+        eq_deletes = [d for d in deletes if d["kind"] == "equality"]
+        other = [d for d in deletes if d["kind"] not in ("position", "equality")]
         if other:
             raise ValueError(
-                f"{len(other)} unresolved predicate/equality merge-on-read "
-                "delete entries; run rewrite_data_files() (compaction folds "
-                "deletes into data) before export — only POSITION deletes "
-                "have an Iceberg encoding here"
+                f"{len(other)} unresolved PREDICATE merge-on-read delete "
+                "entries; run rewrite_data_files() (compaction folds "
+                "deletes into data) before export — only position/equality "
+                "deletes have an Iceberg encoding"
             )
         if pos_deletes and format_version >= 3:
             raise ValueError(
@@ -470,7 +472,7 @@ def export_iceberg_table(table: Table, dest: str, format_version: int = 2) -> st
     # (delete entries disable it: the live FILE set doesn't move on a
     # delete-mor commit, so the append-diff would serve a stale mirror
     # missing the deletes)
-    if format_version == 2 and files and not pos_deletes:
+    if format_version == 2 and files and not pos_deletes and not eq_deletes:
         inc = _try_incremental_export(table, dest, files)
         if inc is not None:
             return inc
@@ -574,9 +576,11 @@ def export_iceberg_table(table: Table, dest: str, format_version: int = 2) -> st
                 **mlist_first_row,
             }
         ]
-        if pos_deletes:
-            # content=1 DELETE manifest holding every live position-delete
-            # file (the v2 spec encoding of metacat's position entries).
+        if pos_deletes or eq_deletes:
+            # DELETE manifest holding every live position-delete
+            # (content=1) and equality-delete (content=2, with
+            # equality_ids resolved against the exported schema) file —
+            # the v2 spec encodings of metacat's MOR entries.
             # Cross-partition delete files carry the UNPARTITIONED spec:
             # spec-id 0 when the table is unpartitioned, else an extra
             # empty spec appended to partition-specs below.
@@ -588,8 +592,20 @@ def export_iceberg_table(table: Table, dest: str, format_version: int = 2) -> st
 
             del_spec_id = 0 if not spec_fields else 1
             del_entries = []
-            for d in pos_deletes:
+            for d in pos_deletes + eq_deletes:
                 d_seq = int(d.get("seq") or seq)
+                content = 1 if d["kind"] == "position" else 2
+                eq_extra = {}
+                if content == 2:
+                    bad = [c for c in d["key_cols"] if c not in source_ids]
+                    if bad:
+                        raise ValueError(
+                            f"equality delete keys {bad} not in the "
+                            "exported schema"
+                        )
+                    eq_extra = {
+                        "equality_ids": [source_ids[c] for c in d["key_cols"]]
+                    }
                 root = d["path"]
                 parts = (
                     find_parquet_files(root)
@@ -607,12 +623,13 @@ def export_iceberg_table(table: Table, dest: str, format_version: int = 2) -> st
                             "sequence_number": d_seq,
                             "file_sequence_number": d_seq,
                             "data_file": {
-                                "content": 1,  # POSITION DELETES
+                                "content": content,
                                 "file_path": os.path.abspath(p),
                                 "file_format": "PARQUET",
                                 "partition": {},
                                 "record_count": int(nrec),
                                 "file_size_in_bytes": os.path.getsize(p),
+                                **eq_extra,
                             },
                         }
                     )
@@ -698,7 +715,7 @@ def export_iceberg_table(table: Table, dest: str, format_version: int = 2) -> st
         # (unpartitioned) spec on partitioned tables
         "partition-specs": (
             [{"spec-id": 0, "fields": ice_spec}]
-            + ([{"spec-id": 1, "fields": []}] if pos_deletes and spec_fields else [])
+            + ([{"spec-id": 1, "fields": []}] if (pos_deletes or eq_deletes) and spec_fields else [])
         ),
         "last-partition-id": 999 + len(ice_spec),  # field-ids start at 1000
         "default-sort-order-id": 0,

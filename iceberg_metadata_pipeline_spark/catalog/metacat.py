@@ -1335,57 +1335,99 @@ class Table:
     def add_position_delete_files(
         self, source_paths: list[str], branch: str | None = None
     ) -> int:
-        """Register position-delete files written by a FOREIGN engine
-        (Iceberg v2 content=1 delete files: ``file_path``/``pos``
-        columns, optionally a ``row`` struct which is ignored) as ONE
-        merge-on-read delete commit — the REST catalog's row-level
-        DELETE verb (the reference exposes a live catalog any engine
-        writes through: entrypoint-spark.sh:85-92). The rows are
-        rewritten DISTRIBUTED into this table's own ``deletes/`` dir
-        with ``file:`` URI prefixes normalized to the registered path
-        form, after validating that every referenced data file is live
-        in the current snapshot — a delete naming an unknown file is a
-        client bug better refused loudly than committed inert. Both the
-        validation scan and the rewrite are O(deleted rows), the same
-        commit-time cost delete_where_positional pays."""
+        """Register foreign position-delete files as one MOR delete
+        commit — see add_foreign_delete_files."""
         if not source_paths:
             raise ValueError("add_position_delete_files: no delete files")
+        return self.add_foreign_delete_files(source_paths, (), branch=branch)
+
+    def add_foreign_delete_files(
+        self,
+        position_paths: list[str],
+        equality_groups: list[tuple[list[str], list[str]]] = (),
+        branch: str | None = None,
+    ) -> int:
+        """Register delete files written by a FOREIGN engine as ONE
+        atomic merge-on-read delete commit — the REST catalog's
+        row-level DELETE verb (the reference exposes a live catalog any
+        engine writes through: entrypoint-spark.sh:85-92).
+
+        ``position_paths``: Iceberg v2 content=1 files
+        (``file_path``/``pos`` columns; a ``row`` struct is ignored).
+        The rows are rewritten DISTRIBUTED into this table's own
+        ``deletes/`` dir with ``file:`` URI prefixes normalized to the
+        registered path form, after validating that every referenced
+        data file is live in the current snapshot — a delete naming an
+        unknown file is a client bug better refused loudly than
+        committed inert.
+
+        ``equality_groups``: [(key_columns, paths)] for content=2
+        equality-delete files (parquet holding the key columns
+        themselves; one group per distinct equality_ids set). Key
+        columns must exist in the table schema. Rows rewrite into
+        ``deletes/`` under the LOGICAL column names metacat's equality
+        entries key on.
+
+        Every validation runs BEFORE the first write; the commit is one
+        ``delete-mor`` snapshot carrying all entries, so a mixed
+        position+equality client commit stays atomic. Cost is
+        O(deleted rows), the same commit-time price
+        delete_where_positional / delete_where_mor pay."""
+        if not position_paths and not equality_groups:
+            raise ValueError("add_foreign_delete_files: no delete files")
         head = self._branch_head(branch)
-        live = sorted(
-            {f.path for f in self.snapshot_files(snapshot_id=head)}
-        )
-        src = self.spark.read.parquet(*source_paths).select(
-            F.regexp_replace(
-                F.col("file_path").cast("string"), r"^file:/+", "/"
-            ).alias("file_path"),
-            F.col("pos").cast("long").alias("pos"),
-        )
-        live_df = self.spark.createDataFrame(
-            [(p,) for p in live], "file_path string"
-        )
-        bad = (
-            src.join(F.broadcast(live_df), "file_path", "left_anti")
-            .select("file_path")
-            .limit(3)
-            .collect()
-        )
-        if bad:
-            names = sorted({r["file_path"] for r in bad})
-            raise ValueError(
-                "position delete references file(s) not live in the "
-                f"current snapshot (first: {names[0]!r}) — refuse rather "
-                "than commit an inert or stale delete"
+        field_names = set(self.schema.fieldNames())
+        plans = []  # (src_df, entry_template) — validated, not yet written
+        if position_paths:
+            live = sorted(
+                {f.path for f in self.snapshot_files(snapshot_id=head)}
             )
-        delete_dir = os.path.join(self.location, "deletes", uuid.uuid4().hex[:12])
-        src.write.mode("errorifexists").parquet(delete_dir)
-        has_rows = bool(scan_parquet_footers(delete_dir))
+            src = self.spark.read.parquet(*position_paths).select(
+                F.regexp_replace(
+                    F.col("file_path").cast("string"), r"^file:/+", "/"
+                ).alias("file_path"),
+                F.col("pos").cast("long").alias("pos"),
+            )
+            live_df = self.spark.createDataFrame(
+                [(p,) for p in live], "file_path string"
+            )
+            bad = (
+                src.join(F.broadcast(live_df), "file_path", "left_anti")
+                .select("file_path")
+                .limit(3)
+                .collect()
+            )
+            if bad:
+                names = sorted({r["file_path"] for r in bad})
+                raise ValueError(
+                    "position delete references file(s) not live in the "
+                    f"current snapshot (first: {names[0]!r}) — refuse "
+                    "rather than commit an inert or stale delete"
+                )
+            plans.append((src, {"kind": "position"}))
+        for key_cols, paths in equality_groups:
+            missing = [c for c in key_cols if c not in field_names]
+            if missing:
+                raise ValueError(
+                    f"equality delete keys {missing} not in the table "
+                    "schema"
+                )
+            if not paths:
+                raise ValueError("equality delete group with no files")
+            eq_src = self.spark.read.parquet(*paths).select(*key_cols)
+            plans.append(
+                (eq_src, {"kind": "equality", "key_cols": list(key_cols)})
+            )
+        entries = []
+        for src, template in plans:
+            delete_dir = os.path.join(
+                self.location, "deletes", uuid.uuid4().hex[:12]
+            )
+            src.write.mode("errorifexists").parquet(delete_dir)
+            if scan_parquet_footers(delete_dir):
+                entries.append(dict(template, path=delete_dir))
         return self._commit(
-            "delete-mor",
-            [],
-            added_deletes=(
-                [{"kind": "position", "path": delete_dir}] if has_rows else []
-            ),
-            branch=branch,
+            "delete-mor", [], added_deletes=entries, branch=branch
         )
 
     def update_set_mor(

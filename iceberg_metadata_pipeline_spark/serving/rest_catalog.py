@@ -307,9 +307,9 @@ class RestCatalogServer:
         (_apply_snapshot_delete), whole-file deletes onto pure-removal
         replace_files — and snapshot EXPIRY via the spec's
         remove-snapshots update (metacat.remove_snapshots; expired ids
-        404 on later time travel). Equality-delete files, PUFFIN DVs,
-        delete-file removals, tag refs, and branch rewrites still
-        refuse loudly."""
+        404 on later time travel; equality-delete files map onto
+        metacat's equality entries). PUFFIN DVs, delete-file removals,
+        tag refs, and branch rewrites still refuse loudly."""
         if not self.catalog.table_exists(ns, name):
             return h._error(
                 404, f"table {ns}.{name} not found", "NoSuchTableException"
@@ -695,19 +695,22 @@ class RestCatalogServer:
     def _apply_snapshot_delete(self, t, snapshot: dict, location: str) -> str | None:
         """Row-level DELETE snapshot commits (round 10 — the last writer
         verb): a foreign engine's merge-on-read delete posts a content=1
-        manifest of position-delete files (parquet ``file_path``/``pos``),
-        which map onto metacat's MOR position entries through
-        Table.add_position_delete_files; a copy-on-write delete that
-        drops whole files (DELETED data entries / dropped manifests)
-        maps onto a pure-removal replace_files. Equality-delete files,
-        PUFFIN deletion vectors, delete-file REMOVALS (that's a
-        rewrite_position_delete_files maintenance shape) and mixed
-        position+whole-file commits refuse with nothing applied.
+        manifest of position-delete files (parquet ``file_path``/``pos``)
+        and/or equality-delete files (content=2 data_files whose
+        ``equality_ids`` resolve against the served schema), which map
+        onto metacat's MOR entries through
+        Table.add_foreign_delete_files (one atomic commit); a
+        copy-on-write delete that drops whole files (DELETED data
+        entries / dropped manifests) maps onto a pure-removal
+        replace_files. PUFFIN deletion vectors, delete-file REMOVALS
+        (that's a rewrite_position_delete_files maintenance shape) and
+        mixed row-level+whole-file commits refuse with nothing applied.
         Returns an error string or None."""
         import re as _re
 
         from iceberg_metadata_pipeline_spark.catalog.iceberg_format import (
             _identity_spec,
+            spark_schema_to_iceberg,
         )
 
         sid = snapshot.get("snapshot-id")
@@ -715,7 +718,12 @@ class RestCatalogServer:
         if err:
             return err
         spec_fields = _identity_spec(t)
+        id_to_name = {
+            f["id"]: f["name"]
+            for f in spark_schema_to_iceberg(t.schema)[0]["fields"]
+        }
         pos_files: list[str] = []
+        eq_by_ids: dict[tuple, list[str]] = {}
         live: dict = {}
         for mf in manifests:
             if int(mf.get("content", 0)) == 1:
@@ -738,12 +746,6 @@ class RestCatalogServer:
                     if status != 1:
                         continue  # EXISTING: already registered
                     dfd = e["data_file"]
-                    if int(dfd.get("content", 1)) == 2:
-                        return (
-                            "equality-delete files refused in a delete "
-                            "commit — only position deletes map onto this "
-                            "warehouse's MOR entries"
-                        )
                     if str(dfd.get("file_format", "")).upper() == "PUFFIN":
                         return (
                             "PUFFIN deletion vectors refused in a delete "
@@ -753,8 +755,22 @@ class RestCatalogServer:
                     if not os.path.isabs(p):
                         p = os.path.join(location, p)
                     if not os.path.exists(p):
-                        return f"position-delete file {p} does not exist"
-                    pos_files.append(p)
+                        return f"delete file {p} does not exist"
+                    if int(dfd.get("content", 1)) == 2:
+                        ids = tuple(int(i) for i in dfd.get("equality_ids") or ())
+                        if not ids:
+                            return (
+                                "equality-delete file without equality_ids"
+                            )
+                        unknown = [i for i in ids if i not in id_to_name]
+                        if unknown:
+                            return (
+                                f"equality delete references unknown field "
+                                f"ids {unknown}"
+                            )
+                        eq_by_ids.setdefault(ids, []).append(p)
+                    else:
+                        pos_files.append(p)
             else:
                 recs, err = self._read_manifest(location, mf)
                 if err:
@@ -773,16 +789,23 @@ class RestCatalogServer:
         if set(live) - current:
             return "a delete commit cannot add data files"
         removed = current - set(live)
-        if pos_files and removed:
+        row_level = bool(pos_files or eq_by_ids)
+        if row_level and removed:
             return (
-                "mixed delete commit (position-delete files AND whole-file "
+                "mixed delete commit (row-level delete files AND whole-file "
                 "removals) cannot apply atomically here — split the commit"
             )
-        if not pos_files and not removed:
+        if not row_level and not removed:
             return "delete snapshot removes nothing"
         try:
-            if pos_files:
-                t.add_position_delete_files(sorted(set(pos_files)))
+            if row_level:
+                eq_groups = [
+                    ([id_to_name[i] for i in ids], sorted(set(paths)))
+                    for ids, paths in sorted(eq_by_ids.items())
+                ]
+                t.add_foreign_delete_files(
+                    sorted(set(pos_files)), eq_groups
+                )
             else:
                 t.replace_files([], removed, operation="delete")
         except ValueError as exc:

@@ -978,14 +978,17 @@ def test_commit_table_delete_commit(spark, server, tmp_path):
     assert len(data_files) == 2
 
     def post_delete(tag, del_rows, extra_err=None, content=1, fmt="PARQUET",
-                    req_sid=None):
-        """Write a position-delete parquet + content=1 manifest + a
-        manifest list re-referencing the current data manifests, POST it
-        as an op=delete commit, return the HTTP status."""
+                    req_sid=None, eq_ids=None, eq_table=None):
+        """Write a position-delete parquet (or, with eq_table, an
+        equality-delete parquet) + content=1 manifest + a manifest list
+        re-referencing the current data manifests, POST it as an
+        op=delete commit, return the HTTP status."""
         dpath = os.path.join(location, "data", f"{tag}-del.parquet")
         os.makedirs(os.path.dirname(dpath), exist_ok=True)
         pq.write_table(
-            pa.table(
+            eq_table
+            if eq_table is not None
+            else pa.table(
                 {
                     "file_path": pa.array([r[0] for r in del_rows], pa.string()),
                     "pos": pa.array([r[1] for r in del_rows], pa.int64()),
@@ -1010,6 +1013,7 @@ def test_commit_table_delete_commit(spark, server, tmp_path):
                         "partition": {},
                         "record_count": len(del_rows),
                         "file_size_in_bytes": os.path.getsize(dpath),
+                        **({"equality_ids": eq_ids} if eq_ids else {}),
                     },
                 }
             ],
@@ -1087,9 +1091,35 @@ def test_commit_table_delete_commit(spark, server, tmp_path):
     back = spark.read.format("pyice").load(location)
     assert sorted(r.id for r in back.collect()) == expect
 
-    # equality-delete file refuses with nothing applied
+    # equality-delete file WITHOUT equality_ids refuses
     (code, _), _ = post_delete("d2", [(data_files[0], 2)], content=2)
     assert code == 400
+    # ... with unknown field ids refuses
+    (code, _), _ = post_delete(
+        "d2b", [(data_files[0], 2)], content=2, eq_ids=[99]
+    )
+    assert code == 400
+    # a proper equality-delete commit (field id 1 = `id`) is SERVED:
+    # ids 12 and 13 disappear everywhere
+    (code, _), _ = post_delete(
+        "d2c",
+        [],
+        content=2,
+        eq_ids=[1],
+        eq_table=pa.table({"id": pa.array([12, 13], pa.int64())}),
+    )
+    assert code == 200
+    expect = sorted(set(expect) - {12, 13})
+    assert sorted(
+        r.id for r in catalog.load_table("dl", "t").scan().collect()
+    ) == expect
+    # the refreshed mirror now carries a content=2 delete file pyice applies
+    code, _ = _req(url)
+    assert code == 200
+    info2 = read_iceberg_table(location)
+    assert any(d.content == 2 for d in info2.delete_files)
+    back2 = spark.read.format("pyice").load(location)
+    assert sorted(r.id for r in back2.collect()) == expect
     # PUFFIN DV refuses
     (code, _), _ = post_delete("d3", [(data_files[0], 2)], fmt="PUFFIN")
     assert code == 400

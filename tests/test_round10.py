@@ -166,7 +166,7 @@ def test_export_position_deletes_roundtrip(spark, table, tmp_path):
 
     # predicate deletes still refuse v2 export
     t.delete_where_mor("id = 0")
-    with pytest.raises(ValueError, match="predicate/equality"):
+    with pytest.raises(ValueError, match="PREDICATE"):
         export_iceberg_table(t, str(tmp_path / "ice4"))
 
 
@@ -207,3 +207,44 @@ def test_export_position_deletes_partitioned_extra_spec(spark, tmp_path):
     register(spark)
     back = spark.read.format("pyice").load(dest)
     assert sorted(r.id for r in back.collect()) == sorted(set(range(8)) - {victim})
+
+
+def test_add_foreign_equality_deletes_and_export(spark, table, tmp_path):
+    """Round 10 second wave: foreign equality-delete files map onto
+    metacat's equality entries (one atomic commit with any position
+    files), and the export encodes them as content=2 delete files with
+    equality_ids — pyice applies them on read."""
+    cat, t = table
+    # foreign engine writes an equality-delete parquet keyed on id
+    eq = str(tmp_path / "eq.parquet")
+    pq.write_table(pa.table({"id": pa.array([1, 12], pa.int64())}), eq)
+    files = sorted(f.path for f in t.snapshot_files())
+    pos = _write_delete(str(tmp_path / "p.parquet"), [(files[0], 0)])
+    v0 = int(pq.read_table(files[0])["id"][0].as_py())
+    before = t.version
+    t.add_foreign_delete_files([pos], [(["id"], [eq])])
+    assert t.version == before + 1  # ONE commit for both shapes
+    expect = sorted({0, 1, 2, 3, 10, 11, 12, 13} - {1, 12, v0})
+    assert sorted(r.id for r in t.scan().collect()) == expect
+
+    # unknown key column refuses with nothing applied
+    with pytest.raises(ValueError, match="not in the table"):
+        t.add_foreign_delete_files([], [(["ghost"], [eq])])
+
+    # export encodes BOTH delete kinds; pyice round-trips
+    dest = str(tmp_path / "ice")
+    export_iceberg_table(t, dest)
+    info = read_iceberg_table(dest)
+    contents = sorted(d.content for d in info.delete_files)
+    assert 1 in contents and 2 in contents
+    eq_entry = next(d for d in info.delete_files if d.content == 2)
+    assert eq_entry.equality_cols == ["id"]
+    from iceberg_metadata_pipeline_spark.ingest.pyice_source import register
+
+    register(spark)
+    back = spark.read.format("pyice").load(dest)
+    assert sorted(r.id for r in back.collect()) == expect
+    # import materializes the same live rows
+    cat2 = Catalog(spark, str(tmp_path / "wh2"))
+    t2 = import_iceberg_table(spark, cat2, dest, "r10", "imported_eq")
+    assert sorted(r.id for r in t2.scan().collect()) == expect
