@@ -381,3 +381,55 @@ def forecast_ewma_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
 # [(10,0),(20,0),(30,0)] returns b=70, correct fold gives 40) — so
 # coupled-state recurrences stay rows-only; single-double states (EWMA
 # above) are exactly reproducible.
+
+
+# seasonal profile (round 10 wave 3): multiplicative month-of-year
+# indices over order revenue — index_m = mean(monthly revenue of
+# calendar month m) / mean(all monthly revenues). Monthly revenues are
+# exact decimal sums converted once to double; the cross-month double
+# sums (per-calendar-month and overall) fold in SORTED order so the
+# addition order matches the oracle bit-for-bit; the index is a fixed
+# double formula. One hash aggregate per month bucket then a 12-row
+# reduce — map-combinable anywhere.
+_SEASONAL_TEMPLATE = """
+WITH monthly AS (
+  SELECT substring(CAST(o_orderdate AS STRING), 1, 7) AS ym,
+         CAST(substring(CAST(o_orderdate AS STRING), 6, 2) AS INT) AS m,
+         (CAST(CAST(FLOOR(SUM(CAST(o_totalprice AS DECIMAL(38,6)))) AS BIGINT) AS DOUBLE)
+          + CAST(SUM(CAST(o_totalprice AS DECIMAL(38,6)))
+                 - FLOOR(SUM(CAST(o_totalprice AS DECIMAL(38,6)))) AS DOUBLE)) AS rev
+  FROM orders
+  GROUP BY substring(CAST(o_orderdate AS STRING), 1, 7),
+           CAST(substring(CAST(o_orderdate AS STRING), 6, 2) AS INT)
+), per_m AS (
+  SELECT m, CAST(COUNT(*) AS BIGINT) AS n_m, {FOLD_REV} AS s_m
+  FROM monthly GROUP BY m
+), tot AS (
+  SELECT CAST(SUM(n_m) AS BIGINT) AS n_all, {FOLD_SM} AS s_all FROM per_m
+)
+SELECT m AS month, n_m AS n_years,
+  (s_m / CAST(n_m AS DOUBLE)) / (s_all / CAST(n_all AS DOUBLE))
+    AS seasonal_index
+FROM per_m CROSS JOIN tot
+ORDER BY m
+"""
+
+from iceberg_metadata_pipeline_spark.queries import sql_query  # noqa: E402
+
+sql_query(
+    "forecast_seasonal_indices",
+    _SEASONAL_TEMPLATE.replace(
+        "{FOLD_REV}",
+        "reduce(array_sort(collect_list(rev)),"
+        " CAST(0.0E0 AS DOUBLE), (a, x) -> a + x)",
+    ).replace(
+        "{FOLD_SM}",
+        "reduce(array_sort(collect_list(s_m)),"
+        " CAST(0.0E0 AS DOUBLE), (a, x) -> a + x)",
+    ),
+    oracle=_SEASONAL_TEMPLATE.replace(
+        "{FOLD_REV}", "list_reduce(list_sort(list(rev)), (a, x) -> a + x)"
+    ).replace(
+        "{FOLD_SM}", "list_reduce(list_sort(list(s_m)), (a, x) -> a + x)"
+    ),
+)

@@ -685,3 +685,45 @@ def agg_trimmed_winsorized_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
     )
     return agg.selectExpr(*[e.strip() for e in final.split(",\n")])
+
+
+# --- column profiling (round 10 wave 3) --------------------------------------
+
+# the data-profiling staple every warehouse tool ships (null counts,
+# distinct cardinality, min/max per column): one scan per profiled
+# column UNION'd — each branch is a map-combinable aggregate, and
+# Catalyst prunes each branch's scan to its single column. Profiled
+# columns are int/string/date typed so min/max stringify identically
+# across engines (doubles would not).
+sql_query(
+    "quality_column_profile",
+    """
+SELECT 'l_orderkey' AS column_name, COUNT(*) AS n_rows,
+       CAST(SUM(CASE WHEN l_orderkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_nulls,
+       COUNT(DISTINCT l_orderkey) AS n_distinct,
+       CAST(MIN(l_orderkey) AS STRING) AS min_value,
+       CAST(MAX(l_orderkey) AS STRING) AS max_value
+FROM lineitem
+UNION ALL
+SELECT 'l_linenumber' AS column_name, COUNT(*) AS n_rows,
+       CAST(SUM(CASE WHEN l_linenumber IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+       COUNT(DISTINCT l_linenumber),
+       CAST(MIN(l_linenumber) AS STRING), CAST(MAX(l_linenumber) AS STRING)
+FROM lineitem
+UNION ALL
+SELECT 'l_returnflag' AS column_name, COUNT(*) AS n_rows,
+       CAST(SUM(CASE WHEN l_returnflag IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+       COUNT(DISTINCT l_returnflag),
+       CAST(MIN(l_returnflag) AS STRING), CAST(MAX(l_returnflag) AS STRING)
+FROM lineitem
+UNION ALL
+SELECT 'l_shipdate' AS column_name, COUNT(*) AS n_rows,
+       CAST(SUM(CASE WHEN l_shipdate IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+       COUNT(DISTINCT l_shipdate),
+       CAST(MIN(CAST(l_shipdate AS DATE)) AS STRING),
+       CAST(MAX(CAST(l_shipdate AS DATE)) AS STRING)
+FROM lineitem
+ORDER BY column_name
+""",
+    oracle="same",
+)

@@ -1533,3 +1533,80 @@ sql_query(
         "DATEDIFF('day', DATE '1992-01-01', CAST(d AS DATE))",
     ),
 )
+
+
+# --- Friedman test (round 10 wave 3) -----------------------------------------
+
+# non-parametric repeated-measures test: blocks = order months,
+# treatments = the five market segments, response = monthly segment
+# revenue (exact decimal sum). Ranks are computed WITHIN each 5-row
+# block (bounded window partitions — scale-safe at any table size);
+# revenue ties are broken deterministically by segment name (documented
+# — exact-decimal revenues virtually never tie), so the per-treatment
+# rank sums are exact integers and the statistic is one fixed double
+# formula. Shared dialect text → oracle runs the same SQL.
+sql_query(
+    "stat_friedman_test",
+    """
+WITH cell AS (
+  SELECT substring(CAST(o.o_orderdate AS STRING), 1, 7) AS blk,
+         c.c_mktsegment AS seg,
+         SUM(CAST(o.o_totalprice AS DECIMAL(38,6))) AS rev
+  FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+  GROUP BY substring(CAST(o.o_orderdate AS STRING), 1, 7), c.c_mktsegment
+), full_blocks AS (
+  SELECT blk FROM cell GROUP BY blk HAVING COUNT(*) = 5
+), ranked AS (
+  SELECT c.blk, c.seg,
+         RANK() OVER (PARTITION BY c.blk ORDER BY c.rev, c.seg) AS r
+  FROM cell c JOIN full_blocks f ON c.blk = f.blk
+), rsums AS (
+  SELECT seg, CAST(SUM(r) AS BIGINT) AS rj FROM ranked GROUP BY seg
+), m AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS k,
+         CAST(SUM(rj * rj) AS BIGINT) AS rss
+  FROM rsums
+), n AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS nb FROM full_blocks
+)
+SELECT k, nb AS n_blocks,
+  12.0E0 / (CAST(nb AS DOUBLE) * CAST(k AS DOUBLE) * CAST(k + 1 AS DOUBLE))
+    * CAST(rss AS DOUBLE)
+  - 3.0E0 * CAST(nb AS DOUBLE) * CAST(k + 1 AS DOUBLE) AS friedman_chi2
+FROM m CROSS JOIN n
+""",
+    oracle="same",
+)
+
+
+# --- McNemar's test (round 10 wave 3) -----------------------------------------
+
+# paired binary outcomes: did each user 'click' in the first half of
+# the window vs the second half? b = yes→no, c = no→yes; the
+# continuity-corrected statistic (|b−c|−1)²/(b+c) is one double formula
+# over two exact integers. One hash aggregate per user then one global
+# reduce — map-combinable at any scale.
+sql_query(
+    "stat_mcnemar_paired",
+    """
+WITH per_user AS (
+  SELECT user_id,
+    MAX(CASE WHEN event_type = 'click'
+             AND CAST(ts AS DATE) <  DATE '1995-01-16' THEN 1 ELSE 0 END) AS p1,
+    MAX(CASE WHEN event_type = 'click'
+             AND CAST(ts AS DATE) >= DATE '1995-01-16' THEN 1 ELSE 0 END) AS p2
+  FROM events GROUP BY user_id
+), cells AS (
+  SELECT
+    CAST(SUM(CASE WHEN p1 = 1 AND p2 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS b,
+    CAST(SUM(CASE WHEN p1 = 0 AND p2 = 1 THEN 1 ELSE 0 END) AS BIGINT) AS c
+  FROM per_user
+)
+SELECT b, c,
+  (ABS(CAST(b AS DOUBLE) - CAST(c AS DOUBLE)) - 1.0E0)
+  * (ABS(CAST(b AS DOUBLE) - CAST(c AS DOUBLE)) - 1.0E0)
+  / (CAST(b AS DOUBLE) + CAST(c AS DOUBLE)) AS mcnemar_chi2
+FROM cells
+""",
+    oracle="same",
+)

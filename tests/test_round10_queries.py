@@ -280,3 +280,97 @@ def test_flesch_formula_pinned(spark):
         assert (r.words, r.sents, r.sylls) == (words, sents, sylls)
         expect = 206.835 - 1.015 * (words / sents) - 84.6 * (sylls / words)
         assert r.flesch_score == pytest.approx(expect, rel=1e-12)
+
+
+def test_friedman_reference(spark):
+    """Friedman χ² against a pure-Python blocked-rank reimplementation
+    (deterministic seg tiebreak, full 5-segment blocks only)."""
+    from collections import defaultdict
+
+    from iceberg_metadata_pipeline_spark.queries import REGISTRY, all_queries
+    from iceberg_metadata_pipeline_spark.session import load_tables
+
+    all_queries()
+    t = load_tables(spark, SF)
+    rows = (
+        t["orders"]
+        .join(t["customer"], t["orders"].o_custkey == t["customer"].c_custkey)
+        .selectExpr(
+            "substring(CAST(o_orderdate AS STRING), 1, 7) AS blk",
+            "c_mktsegment AS seg",
+            "CAST(o_totalprice AS DECIMAL(38,6)) AS rev",
+        )
+        .groupBy("blk", "seg")
+        .agg({"rev": "sum"})
+        .collect()
+    )
+    cells = defaultdict(dict)
+    for r in rows:
+        cells[r.blk][r.seg] = r["sum(rev)"]
+    full = {b: segs for b, segs in cells.items() if len(segs) == 5}
+    rsum = defaultdict(int)
+    for segs in full.values():
+        ordered = sorted(segs.items(), key=lambda kv: (kv[1], kv[0]))
+        for rank, (seg, _) in enumerate(ordered, start=1):
+            rsum[seg] += rank
+    n, k = len(full), 5
+    chi2 = 12.0 / (n * k * (k + 1)) * sum(v * v for v in rsum.values()) - 3.0 * n * (k + 1)
+    got = REGISTRY["stat_friedman_test"].fn(spark, SF).collect()[0]
+    assert got["n_blocks"] == n and got["k"] == k
+    assert got["friedman_chi2"] == pytest.approx(chi2, rel=1e-9)
+
+
+def test_mcnemar_reference(spark):
+    from iceberg_metadata_pipeline_spark.queries import REGISTRY, all_queries
+    from iceberg_metadata_pipeline_spark.session import load_tables
+
+    all_queries()
+    ev = load_tables(spark, SF)["events"].selectExpr(
+        "user_id", "event_type", "CAST(ts AS DATE) AS d"
+    ).collect()
+    import datetime
+
+    cut = datetime.date(1995, 1, 16)
+    p1, p2 = set(), set()
+    users = set()
+    for r in ev:
+        users.add(r.user_id)
+        if r.event_type == "click":
+            (p1 if r.d < cut else p2).add(r.user_id)
+    b = len([u for u in users if u in p1 and u not in p2])
+    c = len([u for u in users if u not in p1 and u in p2])
+    got = REGISTRY["stat_mcnemar_paired"].fn(spark, SF).collect()[0]
+    assert (got["b"], got["c"]) == (b, c)
+    assert got["mcnemar_chi2"] == pytest.approx(
+        (abs(b - c) - 1) ** 2 / (b + c), rel=1e-12
+    )
+
+
+def test_seasonal_indices_mean_one(spark):
+    """Σ n_m·index_m / Σ n_m == 1 (the multiplicative-index identity)
+    and every month appears once."""
+    from iceberg_metadata_pipeline_spark.queries import REGISTRY, all_queries
+
+    all_queries()
+    rows = REGISTRY["forecast_seasonal_indices"].fn(spark, SF).collect()
+    assert sorted(r.month for r in rows) == list(range(1, 13))
+    wsum = sum(r.n_years * r.seasonal_index for r in rows)
+    total = sum(r.n_years for r in rows)
+    assert wsum / total == pytest.approx(1.0, rel=1e-9)
+
+
+def test_column_profile_reference(spark):
+    from iceberg_metadata_pipeline_spark.queries import REGISTRY, all_queries
+    from iceberg_metadata_pipeline_spark.session import load_tables
+
+    all_queries()
+    got = {
+        r.column_name: r
+        for r in REGISTRY["quality_column_profile"].fn(spark, SF).collect()
+    }
+    li = load_tables(spark, SF)["lineitem"]
+    n = li.count()
+    for col in ("l_orderkey", "l_linenumber", "l_returnflag", "l_shipdate"):
+        r = got[col]
+        assert r.n_rows == n and r.n_nulls == 0
+        assert r.n_distinct == li.select(col).distinct().count()
