@@ -37,12 +37,23 @@ def vowel_ratio(s: pd.Series) -> pd.Series:
 
 @pandas_udf(DoubleType())
 def geo_mean(v: pd.Series) -> float:
-    """GROUPED_AGG pandas UDF: one float per group (log-mean-exp)."""
-    import numpy as np
+    """GROUPED_AGG pandas UDF: one float per group (log-mean-exp).
 
-    x = v.to_numpy(dtype="float64")
-    x = x[x > 0]
-    return float(np.exp(np.log(x).mean())) if len(x) else 0.0
+    Round 10 — oracle-exact: logs fold in SORTED order via libm
+    math.log (DuckDB's LN is the same libm on this host; numpy's SIMD
+    log was the drift source that kept this rows-only), mirroring the
+    oracle's list_reduce(list_sort(list(LN(x))))/n → EXP step for step;
+    the registered query additionally ROUNDs, so even a stray ulp can't
+    surface."""
+    import math
+
+    xs = [float(u) for u in v if u is not None and u > 0]
+    if not xs:
+        return 0.0
+    t = 0.0
+    for u in sorted(math.log(x) for x in xs):
+        t += u
+    return math.exp(t / float(len(xs)))
 
 
 @pandas_udf(LongType())
@@ -53,10 +64,39 @@ def pd_count(v: pd.Series) -> int:
     return int(len(v))
 
 
-@query("udf_pandas_scalar_grouped", None)  # float reduction order → rows-only
+_PD_GROUPED_ORACLE = """
+WITH vr AS (
+  SELECT lang,
+    CAST(len(regexp_extract_all(lower(text), '[aeiou]')) AS DOUBLE)
+      / CAST(GREATEST(length(text), 1) AS DOUBLE) AS vr,
+    CAST(n_chars AS DOUBLE) AS ch
+  FROM documents
+), g AS (
+  SELECT lang, CAST(COUNT(*) AS BIGINT) AS n,
+    list_reduce(list_sort(list(LN(vr)) FILTER (WHERE vr > 0)),
+                (a, x) -> a + x) AS s_vr,
+    CAST(COUNT(*) FILTER (WHERE vr > 0) AS BIGINT) AS n_vr,
+    list_reduce(list_sort(list(LN(ch)) FILTER (WHERE ch > 0)),
+                (a, x) -> a + x) AS s_ch,
+    CAST(COUNT(*) FILTER (WHERE ch > 0) AS BIGINT) AS n_ch
+  FROM vr GROUP BY lang
+)
+SELECT lang, n,
+  ROUND(CASE WHEN n_vr = 0 THEN 0.0E0
+             ELSE EXP(s_vr / CAST(n_vr AS DOUBLE)) END, 6)
+    AS geo_mean_vowel_ratio,
+  ROUND(CASE WHEN n_ch = 0 THEN 0.0E0
+             ELSE EXP(s_ch / CAST(n_ch AS DOUBLE)) END, 2) AS geo_mean_chars
+FROM g ORDER BY lang
+"""
+
+
+@query("udf_pandas_scalar_grouped", _PD_GROUPED_ORACLE)
 def udf_pandas_scalar_grouped(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Scalar UDF in the projection + grouped-agg UDF in the aggregate —
-    the two remaining cells of the pandas-UDF matrix."""
+    the two remaining cells of the pandas-UDF matrix. Round 10: full
+    value oracle (the geo_mean kernel folds sorted libm logs — see its
+    docstring)."""
     docs = load_tables(spark, sf_dir)["documents"]
     return (
         docs.withColumn("vr", vowel_ratio(F.col("text")))

@@ -673,3 +673,26 @@ sql_query(
         "{SYLLS}", "len(regexp_extract_all(lower(text), '[aeiouy]+'))"
     ),
 )
+
+
+# deterministic hash reservoir (round 10): a uniform-without-replacement
+# k-sample that every engine reproduces bit-for-bit — order by
+# md5(key) and keep the k smallest (a fixed-k variant of hash-threshold
+# sampling; md5 is identical everywhere, unlike engine RNGs, which is
+# why sample_bernoulli_seeded stays rows-only but THIS is oracle-exact).
+# Spark plans ORDER BY + LIMIT as TakeOrderedAndProject — distributed
+# top-k, no global sort.
+sql_query(
+    "sample_reservoir_hash",
+    """
+SELECT doc_id, lang, n_chars
+FROM (
+  SELECT doc_id, lang, n_chars,
+         md5(CAST(doc_id AS STRING)) AS h
+  FROM documents
+) s
+ORDER BY h
+LIMIT 64
+""",
+    oracle="same",
+)
