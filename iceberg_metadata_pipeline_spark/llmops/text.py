@@ -696,3 +696,103 @@ LIMIT 64
 """,
     oracle="same",
 )
+
+
+# --- classifier evaluation over the langid heuristic (round 10) -------------
+
+# labeled_lang (fixture ground truth) vs detected_lang (the heuristic)
+# gives a real confusion matrix to evaluate — the ML-eval staple pair:
+# Cohen's kappa (chance-corrected agreement) and a per-class
+# precision/recall/F1 report. Counts are exact integers; kappa
+# rationalizes to ONE division of exact bigints
+# (κ = (N·agree − Σ row·col) / (N² − Σ row·col)), and the per-class
+# metrics are single divisions — bit-identical across engines with no
+# rounding. One hash aggregate over the map-only detector output.
+
+
+def _langid_pred(hits: str, cjk: str) -> str:
+    return f"""
+  SELECT lang AS labeled, {_ARGMAX} AS predicted
+  FROM (
+    SELECT doc_id, lang, {hits}, {cjk} AS cjk_hits
+    FROM (SELECT doc_id, lang, text, {{SPLIT}} AS toks FROM documents) t0
+  ) s
+"""
+
+
+_KAPPA_BODY = """
+, cells AS (
+  SELECT labeled, predicted, CAST(COUNT(*) AS BIGINT) AS n
+  FROM pred GROUP BY labeled, predicted
+), rowt AS (
+  SELECT labeled AS cls, CAST(SUM(n) AS BIGINT) AS row_n FROM cells GROUP BY labeled
+), colt AS (
+  SELECT predicted AS cls, CAST(SUM(n) AS BIGINT) AS col_n FROM cells GROUP BY predicted
+), m AS (
+  SELECT
+    (SELECT CAST(SUM(n) AS BIGINT) FROM cells) AS total,
+    (SELECT COALESCE(CAST(SUM(n) AS BIGINT), 0) FROM cells
+      WHERE labeled = predicted) AS agree,
+    (SELECT CAST(SUM(r.row_n * COALESCE(c.col_n, 0)) AS BIGINT)
+     FROM rowt r LEFT JOIN colt c ON r.cls = c.cls) AS chance
+)
+SELECT total, agree,
+  CAST(total * agree - chance AS DOUBLE)
+    / CAST(total * total - chance AS DOUBLE) AS cohens_kappa
+FROM m
+"""
+
+sql_query(
+    "stat_cohens_kappa_langid",
+    "WITH pred AS ("
+    + _langid_pred(_spark_hits, "regexp_count(text, '[\\\\x{4e00}-\\\\x{9fff}]')")
+    .replace("{SPLIT}", "split(text, ' ')")
+    + ")"
+    + _KAPPA_BODY,
+    oracle="WITH pred AS ("
+    + _langid_pred(
+        _duck_hits, "len(regexp_extract_all(text, '[\\x{4e00}-\\x{9fff}]'))"
+    ).replace("{SPLIT}", "string_split(text, ' ')")
+    + ")"
+    + _KAPPA_BODY,
+)
+
+_REPORT_BODY = """
+, cls AS (
+  SELECT labeled AS cls FROM pred
+  UNION
+  SELECT predicted FROM pred
+), per AS (
+  SELECT c.cls,
+    (SELECT COALESCE(CAST(COUNT(*) AS BIGINT), 0) FROM pred
+      WHERE labeled = c.cls AND predicted = c.cls) AS tp,
+    (SELECT CAST(COUNT(*) AS BIGINT) FROM pred
+      WHERE predicted = c.cls AND labeled <> c.cls) AS fp,
+    (SELECT CAST(COUNT(*) AS BIGINT) FROM pred
+      WHERE labeled = c.cls AND predicted <> c.cls) AS fn
+  FROM cls c
+)
+SELECT cls, tp, fp, fn,
+  CASE WHEN tp + fp = 0 THEN 0.0E0
+       ELSE CAST(tp AS DOUBLE) / CAST(tp + fp AS DOUBLE) END AS precision_,
+  CASE WHEN tp + fn = 0 THEN 0.0E0
+       ELSE CAST(tp AS DOUBLE) / CAST(tp + fn AS DOUBLE) END AS recall_,
+  CASE WHEN 2 * tp + fp + fn = 0 THEN 0.0E0
+       ELSE CAST(2 * tp AS DOUBLE) / CAST(2 * tp + fp + fn AS DOUBLE) END AS f1
+FROM per ORDER BY cls
+"""
+
+sql_query(
+    "ml_classification_report",
+    "WITH pred AS ("
+    + _langid_pred(_spark_hits, "regexp_count(text, '[\\\\x{4e00}-\\\\x{9fff}]')")
+    .replace("{SPLIT}", "split(text, ' ')")
+    + ")"
+    + _REPORT_BODY,
+    oracle="WITH pred AS ("
+    + _langid_pred(
+        _duck_hits, "len(regexp_extract_all(text, '[\\x{4e00}-\\x{9fff}]'))"
+    ).replace("{SPLIT}", "string_split(text, ' ')")
+    + ")"
+    + _REPORT_BODY,
+)

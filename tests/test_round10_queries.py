@@ -374,3 +374,40 @@ def test_column_profile_reference(spark):
         r = got[col]
         assert r.n_rows == n and r.n_nulls == 0
         assert r.n_distinct == li.select(col).distinct().count()
+
+
+def test_kappa_and_report_consistent(spark):
+    """κ and the report derive from the SAME confusion matrix: rebuild
+    it from text_langid_heuristic's output and cross-check both."""
+    from collections import Counter
+
+    from iceberg_metadata_pipeline_spark.queries import REGISTRY, all_queries
+
+    all_queries()
+    pred = [
+        (r.labeled_lang, r.detected_lang)
+        for r in REGISTRY["text_langid_heuristic"].fn(spark, SF).collect()
+    ]
+    n = len(pred)
+    agree = sum(1 for a, b in pred if a == b)
+    rows = Counter(a for a, _ in pred)
+    cols = Counter(b for _, b in pred)
+    chance = sum(rows[c] * cols.get(c, 0) for c in rows)
+    kappa = (n * agree - chance) / (n * n - chance)
+    got = REGISTRY["stat_cohens_kappa_langid"].fn(spark, SF).collect()[0]
+    assert (got.total, got.agree) == (n, agree)
+    assert got.cohens_kappa == pytest.approx(kappa, rel=1e-12)
+
+    rep = {
+        r.cls: r
+        for r in REGISTRY["ml_classification_report"].fn(spark, SF).collect()
+    }
+    for cls, r in rep.items():
+        tp = sum(1 for a, b in pred if a == cls and b == cls)
+        fp = sum(1 for a, b in pred if b == cls and a != cls)
+        fn = sum(1 for a, b in pred if a == cls and b != cls)
+        assert (r.tp, r.fp, r.fn) == (tp, fp, fn)
+        if tp + fp:
+            assert r.precision_ == pytest.approx(tp / (tp + fp), rel=1e-12)
+        if tp + fn:
+            assert r.recall_ == pytest.approx(tp / (tp + fn), rel=1e-12)
