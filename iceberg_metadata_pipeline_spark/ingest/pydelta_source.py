@@ -444,8 +444,11 @@ class PyDeltaBatchWriter(DataSourceWriter):
             # write under PHYSICAL names and partitionValues key by
             # physical name; mapped tables ('name' AND 'id' mode) also
             # stamp PARQUET:field_id on every column per the spec —
-            # which is what makes the files id-resolvable. Nested
-            # mapping still refuses.
+            # which is what makes the files id-resolvable. The WRITER
+            # still refuses nested-mapped tables (its arrow row-path
+            # only maps flat columns; both READ paths serve nested id
+            # tables since r10 — write those through the Spark-side
+            # format layer).
             from iceberg_metadata_pipeline_spark.catalog.delta_format import (
                 _has_nested_mapping,
                 column_mapping_ids,
