@@ -284,3 +284,67 @@ def sketch_countmin_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame
         ).otherwise(F.lit(0)).alias("cms_ok"),
     )
     return checked.orderBy(F.col("exact_n").desc(), "user_id")
+
+
+# --- histogram quantile sketch (round 10) ------------------------------------
+
+# the from-scratch quantile-sketch pattern at its simplest useful form:
+# ONE hash aggregate over 8192 fixed-width integer-cents bins (the
+# shuffle carries CELLS, never rows — the CMS story for quantiles),
+# then bin prefix sums locate the bin holding each target rank and the
+# estimate is that bin's LOWER boundary. Everything is integer
+# arithmetic on exact cents (bin width = ceil(range/8192)), so the
+# sketch is DETERMINISTIC and the oracle checks it value-for-value —
+# no tolerance hedging. Guarantee by construction: the true
+# q-quantile lies in [est, est + width); at 100 TB the bin counts are
+# map-side-combinable and the prefix walk is 8192 rows on one node.
+_HISTQ_SQL = """
+WITH v AS (
+  SELECT CAST(o_totalprice * 100 AS BIGINT) AS cents FROM orders
+), b AS (
+  SELECT CAST(MIN(cents) AS BIGINT) AS lo,
+         CAST(MAX(cents) AS BIGINT) AS hi,
+         CAST(COUNT(*) AS BIGINT) AS n
+  FROM v
+), w AS (
+  SELECT lo, hi, n,
+         CAST((hi - lo + 8192) {IDIV} 8192 AS BIGINT) AS width
+  FROM b
+), cells AS (
+  SELECT CAST((cents - lo) {IDIV} width AS BIGINT) AS bin,
+         CAST(COUNT(*) AS BIGINT) AS c
+  FROM v CROSS JOIN w
+  GROUP BY CAST((cents - lo) {IDIV} width AS BIGINT)
+), pre AS (
+  SELECT bin, c,
+    COALESCE(SUM(c) OVER (ORDER BY bin
+      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS below
+  FROM cells
+), targets AS (
+  SELECT 25 AS pct UNION ALL SELECT 50 UNION ALL SELECT 90 UNION ALL SELECT 99
+), hit AS (
+  SELECT t.pct, MIN(p.bin) AS bin
+  FROM targets t JOIN pre p
+    ON p.below < ((t.pct * (SELECT n FROM w) + 99) {IDIV} 100)
+   AND ((t.pct * (SELECT n FROM w) + 99) {IDIV} 100) <= p.below + p.c
+  GROUP BY t.pct
+)
+SELECT h.pct,
+       CAST(w.lo + h.bin * w.width AS BIGINT) AS est_cents_lo,
+       CAST(w.lo + (h.bin + 1) * w.width AS BIGINT) AS est_cents_hi
+FROM hit h CROSS JOIN w
+ORDER BY h.pct
+"""
+
+
+def _register_histq():
+    from iceberg_metadata_pipeline_spark.queries import sql_query
+
+    sql_query(
+        "sketch_histogram_quantiles",
+        _HISTQ_SQL.replace("{IDIV}", "DIV"),
+        oracle=_HISTQ_SQL.replace("{IDIV}", "//"),
+    )
+
+
+_register_histq()

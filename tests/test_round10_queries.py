@@ -411,3 +411,27 @@ def test_kappa_and_report_consistent(spark):
             assert r.precision_ == pytest.approx(tp / (tp + fp), rel=1e-12)
         if tp + fn:
             assert r.recall_ == pytest.approx(tp / (tp + fn), rel=1e-12)
+
+
+def test_histogram_quantile_guarantee(spark):
+    """The true q-quantile must lie inside the selected bin
+    [est_lo, est_hi) — the sketch's by-construction guarantee."""
+    from iceberg_metadata_pipeline_spark.queries import REGISTRY, all_queries
+    from iceberg_metadata_pipeline_spark.session import load_tables
+
+    all_queries()
+    got = {
+        r.pct: (r.est_cents_lo, r.est_cents_hi)
+        for r in REGISTRY["sketch_histogram_quantiles"].fn(spark, SF).collect()
+    }
+    cents = sorted(
+        int(r[0])
+        for r in load_tables(spark, SF)["orders"]
+        .selectExpr("CAST(o_totalprice * 100 AS BIGINT)")
+        .collect()
+    )
+    n = len(cents)
+    for pct, (lo, hi) in got.items():
+        target = -(-pct * n // 100)  # ceil
+        exact = cents[target - 1]
+        assert lo <= exact < hi, (pct, lo, exact, hi)
