@@ -166,32 +166,102 @@ def agg_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("agg_approx_count_distinct", None)  # HLL sketches are engine-specific → rows-only
+@query(
+    "agg_approx_count_distinct",
+    # checked-oracle pattern (the CMS/HLL-shard posture, round 10 —
+    # formerly rows-only): the HLL sketch value is engine-specific, so
+    # the DECLARED output is the exact count plus a within-tolerance
+    # flag the oracle states as TRUE. The flag exercises the sketch; a
+    # sketch drifting past 3x its rsd reads as a value-level red.
+    """
+SELECT l_returnflag,
+       COUNT(DISTINCT l_orderkey) AS exact_orders,
+       TRUE AS approx_within_tol
+FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag
+""",
+)
 def agg_approx_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     """approx_count_distinct (HyperLogLog++): the 100 TB path for distinct
     counts — fixed-size sketch per group, mergeable map-side, no shuffle of
-    raw values. Exactness is checked separately in tests against the true
-    distinct count (rsd tolerance)."""
+    raw values. Declared output = exact count + the |approx−exact|/exact
+    ≤ 3·rsd guarantee flag (the checked-oracle pattern)."""
     l = load_tables(spark, sf_dir)["lineitem"]
-    return l.groupBy("l_returnflag").agg(
-        F.approx_count_distinct("l_orderkey", 0.02).alias("approx_orders"),
-        F.countDistinct("l_orderkey").alias("exact_orders"),
+    return (
+        l.groupBy("l_returnflag")
+        .agg(
+            F.approx_count_distinct("l_orderkey", 0.02).alias("approx_orders"),
+            F.countDistinct("l_orderkey").alias("exact_orders"),
+        )
+        .selectExpr(
+            "l_returnflag",
+            "exact_orders",
+            "ABS(CAST(approx_orders AS DOUBLE) - CAST(exact_orders AS DOUBLE))"
+            " / CAST(exact_orders AS DOUBLE) <= 0.06 AS approx_within_tol",
+        )
+        .orderBy("l_returnflag")
     )
 
 
-@query("agg_percentile_approx", None)  # t-digest/GK sketches are engine-specific → rows-only
+@query(
+    "agg_percentile_approx",
+    # checked oracle: percentile_approx(accuracy=10000) guarantees rank
+    # error ≤ N/accuracy; the oracle recomputes each approx value's
+    # EXACT rank window and states the containment flags TRUE. The
+    # approximate values themselves stay out of the compared output
+    # (engine-specific sketch), per the declared rows-only→checked
+    # upgrade path.
+    """
+SELECT l_returnflag, COUNT(*) AS n,
+       TRUE AS p50_within, TRUE AS p95_within, TRUE AS p99_within
+FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag
+""",
+)
 def agg_percentile_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
     """approx_percentile: mergeable quantile sketch — the scale path for
-    medians/p99 over 100 TB (exact percentile would global-sort)."""
+    medians/p99 over 100 TB (exact percentile would global-sort).
+    Declared output = per-group row count + three rank-guarantee flags:
+    count(x ≤ approx_q)/n must sit within q ± (1/accuracy + 1/n)."""
     l = load_tables(spark, sf_dir)["lineitem"]
     pcts = F.percentile_approx("l_extendedprice", [0.5, 0.95, 0.99], 10000)
-    # Project the sketch to scalar columns: rows-only checks still canonicalize
-    # result rows, and a raw array column is unhashable there.
-    return l.groupBy("l_returnflag").agg(
+    approx = l.groupBy("l_returnflag").agg(
         pcts[0].alias("p50"),
         pcts[1].alias("p95"),
         pcts[2].alias("p99"),
         F.count(F.lit(1)).alias("n"),
+    )
+    ranks = (
+        l.join(F.broadcast(approx), "l_returnflag")
+        .groupBy("l_returnflag")
+        .agg(
+            F.sum(
+                F.expr("CASE WHEN l_extendedprice <= p50 THEN 1 ELSE 0 END")
+            ).alias("le50"),
+            F.sum(
+                F.expr("CASE WHEN l_extendedprice <= p95 THEN 1 ELSE 0 END")
+            ).alias("le95"),
+            F.sum(
+                F.expr("CASE WHEN l_extendedprice <= p99 THEN 1 ELSE 0 END")
+            ).alias("le99"),
+        )
+    )
+
+    def within(le, q):
+        return (
+            f"ABS(CAST({le} AS DOUBLE) / CAST(n AS DOUBLE) - {q})"
+            f" <= 1.0E0 / 10000.0E0 + 1.0E0 / CAST(n AS DOUBLE)"
+            f" AS {le.replace('le', 'p')}_within"
+        )
+
+    return (
+        approx.join(ranks, "l_returnflag")
+        .selectExpr(
+            "l_returnflag",
+            "n",
+            within("le50", "0.5E0"),
+            within("le95", "0.95E0"),
+            within("le99", "0.99E0"),
+        )
+        .orderBy("l_returnflag")
     )
 
 
