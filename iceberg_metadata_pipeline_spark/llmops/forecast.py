@@ -20,7 +20,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from iceberg_metadata_pipeline_spark.queries import query
+from iceberg_metadata_pipeline_spark.queries import query, sql_query
 from iceberg_metadata_pipeline_spark.session import load_tables
 
 TREND_SCHEMA = (
@@ -414,7 +414,6 @@ FROM per_m CROSS JOIN tot
 ORDER BY m
 """
 
-from iceberg_metadata_pipeline_spark.queries import sql_query  # noqa: E402
 
 sql_query(
     "forecast_seasonal_indices",

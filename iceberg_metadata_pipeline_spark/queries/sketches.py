@@ -26,7 +26,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 
-from iceberg_metadata_pipeline_spark.queries import query
+from iceberg_metadata_pipeline_spark.queries import query, sql_query
 from iceberg_metadata_pipeline_spark.session import load_tables
 
 
@@ -337,14 +337,8 @@ ORDER BY h.pct
 """
 
 
-def _register_histq():
-    from iceberg_metadata_pipeline_spark.queries import sql_query
-
-    sql_query(
-        "sketch_histogram_quantiles",
-        _HISTQ_SQL.replace("{IDIV}", "DIV"),
-        oracle=_HISTQ_SQL.replace("{IDIV}", "//"),
-    )
-
-
-_register_histq()
+sql_query(
+    "sketch_histogram_quantiles",
+    _HISTQ_SQL.replace("{IDIV}", "DIV"),
+    oracle=_HISTQ_SQL.replace("{IDIV}", "//"),
+)
