@@ -300,3 +300,73 @@ FROM (
 ORDER BY doc_id
 """,
 )
+
+
+# --- URL canonicalization (round 10) -----------------------------------------
+
+# the dedup key every web-corpus pipeline needs BEFORE content hashing:
+# lowercase scheme+host, strip the default port and the fragment, drop
+# tracking parameters (utm_*, fbclid, gclid), sort the surviving query
+# parameters. All map-only string/array work (no Python); the fixture
+# synthesizes messy URLs deterministically from (source, doc_id) so
+# differently-messy spellings collapse to one canonical key — the
+# GROUP BY shows the dedup effect. Path case is PRESERVED (paths are
+# case-sensitive; only scheme/host normalize).
+_URL_BUILD = """
+  'HTTPS://' || CASE WHEN doc_id % 2 = 0 THEN upper(source) ELSE source END
+  || '.Example.COM:443/Path/' || CAST(doc_id % 50 AS STRING)
+  || '?b=2&utm_source=x'
+  || CASE WHEN doc_id % 3 = 0 THEN '&a=1' ELSE '&a=1&utm_campaign=y' END
+  || '#frag'
+"""
+
+_URL_CANON_TEMPLATE = """
+WITH raw AS (
+  SELECT doc_id, {URL} AS url FROM documents
+), parts AS (
+  SELECT doc_id, url,
+    lower(regexp_extract(url, '^([a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]*)', 1)) AS sh,
+    regexp_extract(url, '^[a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]*([^?#]*)', 1) AS path,
+    regexp_extract(url, '{QPAT}([^#]*)', 1) AS q
+  FROM raw
+), cleaned AS (
+  SELECT doc_id, url,
+    regexp_replace(regexp_replace(sh, ':443$', ''), ':80$', '') AS sh,
+    path,
+    {JOIN_PARAMS} AS params
+  FROM parts
+), canon AS (
+  SELECT doc_id,
+    sh || path || CASE WHEN params = '' THEN '' ELSE '?' || params END
+      AS canonical_url
+  FROM cleaned
+)
+SELECT canonical_url,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(MIN(doc_id) AS BIGINT) AS survivor_doc
+FROM canon
+GROUP BY canonical_url
+ORDER BY canonical_url
+"""
+
+_TRACKING = (
+    "p LIKE 'utm_%' OR p LIKE 'fbclid=%' OR p LIKE 'gclid=%' OR p = ''"
+)
+
+sql_query(
+    "text_url_canonicalize",
+    _URL_CANON_TEMPLATE.replace("{URL}", _URL_BUILD)
+    .replace("{QPAT}", "\\\\?")  # Spark string-escapes to the regex \?
+    .replace(
+        "{JOIN_PARAMS}",
+        f"array_join(array_sort(filter(split(q, '&'),"
+        f" p -> NOT ({_TRACKING}))), '&')",
+    ),
+    oracle=_URL_CANON_TEMPLATE.replace("{URL}", _URL_BUILD)
+    .replace("{QPAT}", "\\?")  # DuckDB strings pass \? through verbatim
+    .replace(
+        "{JOIN_PARAMS}",
+        f"array_to_string(list_sort(list_filter(string_split(q, '&'),"
+        f" p -> NOT ({_TRACKING}))), '&')",
+    ),
+)

@@ -248,3 +248,28 @@ def test_add_foreign_equality_deletes_and_export(spark, table, tmp_path):
     cat2 = Catalog(spark, str(tmp_path / "wh2"))
     t2 = import_iceberg_table(spark, cat2, dest, "r10", "imported_eq")
     assert sorted(r.id for r in t2.scan().collect()) == expect
+
+
+def test_equality_delete_sequence_semantics_roundtrip(spark, table, tmp_path):
+    """Iceberg's equality rule: a delete applies only to files with
+    STRICTLY LOWER sequence. Rows appended AFTER the equality delete
+    must survive — in metacat scans AND through the export → pyice
+    round-trip (the exported delete entry carries its commit seq)."""
+    cat, t = table
+    eq = str(tmp_path / "eq.parquet")
+    pq.write_table(pa.table({"id": pa.array([2, 777], pa.int64())}), eq)
+    t.add_foreign_delete_files([], [(["id"], [eq])])
+    # id=2 dead; now APPEND a new file that re-introduces id=2 and 777
+    t.append_dataframe(
+        spark.createDataFrame([(2,), (777,)], "id long").coalesce(1)
+    )
+    expect = sorted({0, 1, 3, 10, 11, 12, 13} | {2, 777})
+    assert sorted(r.id for r in t.scan().collect()) == expect
+
+    dest = str(tmp_path / "ice")
+    export_iceberg_table(t, dest)
+    from iceberg_metadata_pipeline_spark.ingest.pyice_source import register
+
+    register(spark)
+    back = spark.read.format("pyice").load(dest)
+    assert sorted(r.id for r in back.collect()) == expect

@@ -435,3 +435,21 @@ def test_histogram_quantile_guarantee(spark):
         target = -(-pct * n // 100)  # ceil
         exact = cents[target - 1]
         assert lo <= exact < hi, (pct, lo, exact, hi)
+
+
+def test_url_canonicalize_semantics(spark):
+    """Canonical keys: lowercase scheme+host, :443 stripped, fragment
+    gone, utm_* dropped, params sorted — and differently-messy
+    spellings COLLAPSE (n_docs > 1 for shared keys)."""
+    from iceberg_metadata_pipeline_spark.queries import REGISTRY, all_queries
+
+    all_queries()
+    rows = REGISTRY["text_url_canonicalize"].fn(spark, SF).collect()
+    assert rows
+    for r in rows:
+        u = r.canonical_url
+        assert u.startswith("https://src")
+        assert ".example.com/Path/" in u
+        assert ":443" not in u and "#" not in u and "utm_" not in u
+        assert u.endswith("?a=1&b=2")  # sorted surviving params
+    assert any(r.n_docs > 1 for r in rows)
