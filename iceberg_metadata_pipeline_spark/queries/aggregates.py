@@ -176,7 +176,7 @@ def agg_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
 SELECT l_returnflag,
        COUNT(DISTINCT l_orderkey) AS exact_orders,
-       TRUE AS approx_within_tol
+       1 AS approx_within_tol
 FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag
 """,
 )
@@ -195,8 +195,10 @@ def agg_approx_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
         .selectExpr(
             "l_returnflag",
             "exact_orders",
-            "ABS(CAST(approx_orders AS DOUBLE) - CAST(exact_orders AS DOUBLE))"
-            " / CAST(exact_orders AS DOUBLE) <= 0.06 AS approx_within_tol",
+            "CAST(ABS(CAST(approx_orders AS DOUBLE)"
+            " - CAST(exact_orders AS DOUBLE))"
+            " / CAST(exact_orders AS DOUBLE) <= 0.06 AS INT)"
+            " AS approx_within_tol",
         )
         .orderBy("l_returnflag")
     )
@@ -212,7 +214,7 @@ def agg_approx_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     # upgrade path.
     """
 SELECT l_returnflag, COUNT(*) AS n,
-       TRUE AS p50_within, TRUE AS p95_within, TRUE AS p99_within
+       1 AS p50_within, 1 AS p95_within, 1 AS p99_within
 FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag
 """,
 )
@@ -247,8 +249,8 @@ def agg_percentile_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     def within(le, q):
         return (
-            f"ABS(CAST({le} AS DOUBLE) / CAST(n AS DOUBLE) - {q})"
-            f" <= 1.0E0 / 10000.0E0 + 1.0E0 / CAST(n AS DOUBLE)"
+            f"CAST(ABS(CAST({le} AS DOUBLE) / CAST(n AS DOUBLE) - {q})"
+            f" <= 1.0E0 / 10000.0E0 + 1.0E0 / CAST(n AS DOUBLE) AS INT)"
             f" AS {le.replace('le', 'p')}_within"
         )
 
