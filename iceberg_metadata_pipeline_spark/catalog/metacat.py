@@ -1361,12 +1361,19 @@ class Table:
         unknown file is a client bug better refused loudly than
         committed inert.
 
-        ``equality_groups``: [(key_columns, paths)] for content=2
-        equality-delete files (parquet holding the key columns
-        themselves; one group per distinct equality_ids set). Key
-        columns must exist in the table schema. Rows rewrite into
-        ``deletes/`` under the LOGICAL column names metacat's equality
-        entries key on.
+        ``equality_groups``: [(key_columns, paths)] or
+        [(key_columns, paths, field_ids)] for content=2 equality-delete
+        files (parquet holding the key columns themselves; one group
+        per distinct equality_ids set). Key columns must exist in the
+        table schema. Per the Iceberg spec a delete file's PARQUET
+        column names are not contractual — when ``field_ids`` are given
+        (the posted equality_ids), each file resolves its columns BY
+        FIELD ID when its footer carries PARQUET:field_id metadata (the
+        id-mode read trick: a requested schema with parquet.field.id
+        metadata under the session's fieldId posture), falling back to
+        name resolution for id-less files; a file matching neither
+        refuses loudly. Rows rewrite into ``deletes/`` under the
+        LOGICAL column names metacat's equality entries key on.
 
         Every validation runs BEFORE the first write; the commit is one
         ``delete-mor`` snapshot carrying all entries, so a mixed
@@ -1405,7 +1412,9 @@ class Table:
                     "rather than commit an inert or stale delete"
                 )
             plans.append((src, {"kind": "position"}))
-        for key_cols, paths in equality_groups:
+        for group in equality_groups:
+            key_cols, paths = group[0], group[1]
+            ids = list(group[2]) if len(group) > 2 and group[2] else None
             missing = [c for c in key_cols if c not in field_names]
             if missing:
                 raise ValueError(
@@ -1414,7 +1423,47 @@ class Table:
                 )
             if not paths:
                 raise ValueError("equality delete group with no files")
-            eq_src = self.spark.read.parquet(*paths).select(*key_cols)
+            from iceberg_metadata_pipeline_spark.catalog.delta_format import (
+                parquet_field_ids,
+            )
+
+            id_schema = T.StructType(
+                [
+                    T.StructField(
+                        c,
+                        self.schema[c].dataType,
+                        True,
+                        {"parquet.field.id": i} if ids else None,
+                    )
+                    for c, i in zip(
+                        key_cols, ids or [None] * len(key_cols)
+                    )
+                ]
+            )
+            parts = []
+            for p in paths:
+                fids = parquet_field_ids(p) if ids else {}
+                if ids and all(i in fids for i in ids):
+                    # scrambled-name file with correct field ids: the
+                    # fieldId read resolves columns by id and returns
+                    # them under the LOGICAL names
+                    parts.append(self.spark.read.schema(id_schema).parquet(p))
+                else:
+                    import pyarrow.parquet as _pq
+
+                    have = set(_pq.ParquetFile(p).schema_arrow.names)
+                    absent = [c for c in key_cols if c not in have]
+                    if absent:
+                        raise ValueError(
+                            f"equality-delete file {p} resolves neither "
+                            f"by field id nor by name (missing {absent})"
+                        )
+                    parts.append(
+                        self.spark.read.parquet(p).select(*key_cols)
+                    )
+            eq_src = parts[0]
+            for extra in parts[1:]:
+                eq_src = eq_src.unionByName(extra)
             plans.append(
                 (eq_src, {"kind": "equality", "key_cols": list(key_cols)})
             )

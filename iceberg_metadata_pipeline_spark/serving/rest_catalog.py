@@ -799,26 +799,19 @@ class RestCatalogServer:
             return "delete snapshot removes nothing"
         try:
             if row_level:
+                # each group carries its equality_ids: files resolve by
+                # FIELD ID when their footers carry ids (names are not
+                # contractual per the spec), by name otherwise; a file
+                # matching neither refuses in add_foreign_delete_files
+                # with nothing applied (ValueError → 400 below)
                 eq_groups = [
-                    ([id_to_name[i] for i in ids], sorted(set(paths)))
+                    (
+                        [id_to_name[i] for i in ids],
+                        sorted(set(paths)),
+                        list(ids),
+                    )
                     for ids, paths in sorted(eq_by_ids.items())
                 ]
-                # equality files must carry the schema-named key columns
-                # (this warehouse's equality entries key by NAME); check
-                # footers up front so a mismatched client file 400s
-                # instead of failing mid-commit
-                import pyarrow.parquet as _pq
-
-                for cols, paths in eq_groups:
-                    for p in paths:
-                        have = set(_pq.ParquetFile(p).schema_arrow.names)
-                        missing = [c for c in cols if c not in have]
-                        if missing:
-                            return (
-                                f"equality-delete file {p} lacks key "
-                                f"column(s) {missing} (columns must be "
-                                "named as in the table schema)"
-                            )
                 t.add_foreign_delete_files(
                     sorted(set(pos_files)), eq_groups
                 )

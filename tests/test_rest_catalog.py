@@ -1134,6 +1134,7 @@ def test_commit_table_delete_commit(spark, server, tmp_path):
     keep_ids = sorted(
         set(int(v) for v in pq.read_table(data_files[0])["id"].to_pylist())
         - {victim}
+        - {12, 13}  # the equality-delete victims, wherever they live
     )
     only0 = os.path.join(meta_dir, "only0-m0.avro")
     avro_io.write_container(

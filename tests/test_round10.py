@@ -273,3 +273,42 @@ def test_equality_delete_sequence_semantics_roundtrip(spark, table, tmp_path):
     register(spark)
     back = spark.read.format("pyice").load(dest)
     assert sorted(r.id for r in back.collect()) == expect
+
+
+def test_equality_delete_scrambled_names_resolve_by_field_id(spark, table, tmp_path):
+    """Round 10 (r11 candidate #4 closed same round): an equality-delete
+    file whose PARQUET column names are arbitrary but whose columns
+    carry the posted equality_ids resolves BY FIELD ID (names are not
+    contractual per the spec); an id-less file still resolves by name;
+    one matching neither refuses with nothing applied."""
+    cat, t = table
+    files = sorted(f.path for f in t.snapshot_files())
+
+    # scrambled-name file with field id 7: delete ids 3 and 13
+    scrambled = str(tmp_path / "weird.parquet")
+    pq.write_table(
+        pa.table(
+            {"zz9": pa.array([3, 13], pa.int64())},
+            schema=pa.schema(
+                [pa.field("zz9", pa.int64(),
+                          metadata={b"PARQUET:field_id": b"7"})]
+            ),
+        ),
+        scrambled,
+    )
+    # id-less name-matching file: delete id 11
+    named = str(tmp_path / "named.parquet")
+    pq.write_table(pa.table({"id": pa.array([11], pa.int64())}), named)
+
+    t.add_foreign_delete_files(
+        [], [(["id"], [scrambled, named], [7])]
+    )
+    assert sorted(r.id for r in t.scan().collect()) == [0, 1, 2, 10, 12]
+
+    # a file resolving neither way refuses BEFORE anything commits
+    neither = str(tmp_path / "neither.parquet")
+    pq.write_table(pa.table({"bogus": pa.array([1], pa.int64())}), neither)
+    before = t.version
+    with pytest.raises(ValueError, match="neither"):
+        t.add_foreign_delete_files([], [(["id"], [neither], [7])])
+    assert t.version == before
