@@ -308,8 +308,9 @@ class RestCatalogServer:
         replace_files — and snapshot EXPIRY via the spec's
         remove-snapshots update (metacat.remove_snapshots; expired ids
         404 on later time travel; equality-delete files map onto
-        metacat's equality entries). PUFFIN DVs, delete-file removals,
-        tag refs, and branch rewrites still refuse loudly."""
+        metacat's equality entries; PUFFIN deletion vectors decode onto
+        the position path). Delete-file removals, tag refs, and branch
+        rewrites still refuse loudly."""
         if not self.catalog.table_exists(ns, name):
             return h._error(
                 404, f"table {ns}.{name} not found", "NoSuchTableException"
@@ -699,12 +700,14 @@ class RestCatalogServer:
         and/or equality-delete files (content=2 data_files whose
         ``equality_ids`` resolve against the served schema), which map
         onto metacat's MOR entries through
-        Table.add_foreign_delete_files (one atomic commit); a
+        Table.add_foreign_delete_files (one atomic commit); PUFFIN
+        deletion vectors decode driver-side (O(deleted rows), the
+        decode_dvs posture) and ride the same position path; a
         copy-on-write delete that drops whole files (DELETED data
         entries / dropped manifests) maps onto a pure-removal
-        replace_files. PUFFIN deletion vectors, delete-file REMOVALS
-        (that's a rewrite_position_delete_files maintenance shape) and
-        mixed row-level+whole-file commits refuse with nothing applied.
+        replace_files. Delete-file REMOVALS (that's a
+        rewrite_position_delete_files maintenance shape) and mixed
+        row-level+whole-file commits refuse with nothing applied.
         Returns an error string or None."""
         import re as _re
 
@@ -723,6 +726,7 @@ class RestCatalogServer:
             for f in spark_schema_to_iceberg(t.schema)[0]["fields"]
         }
         pos_files: list[str] = []
+        dv_pairs: list[tuple[str, int]] = []
         eq_by_ids: dict[tuple, list[str]] = {}
         live: dict = {}
         for mf in manifests:
@@ -746,16 +750,34 @@ class RestCatalogServer:
                     if status != 1:
                         continue  # EXISTING: already registered
                     dfd = e["data_file"]
-                    if str(dfd.get("file_format", "")).upper() == "PUFFIN":
-                        return (
-                            "PUFFIN deletion vectors refused in a delete "
-                            "commit — post plain position-delete parquet"
-                        )
                     p = _re.sub(r"^file:/+", "/", str(dfd["file_path"]))
                     if not os.path.isabs(p):
                         p = os.path.join(location, p)
                     if not os.path.exists(p):
                         return f"delete file {p} does not exist"
+                    if str(dfd.get("file_format", "")).upper() == "PUFFIN":
+                        # v3 deletion vectors (round 10): decode the
+                        # roaring blobs driver-side — O(deleted rows)
+                        # commit metadata, the read_iceberg_table
+                        # decode_dvs posture — and fold the (file, pos)
+                        # pairs into the same position-delete commit
+                        from iceberg_metadata_pipeline_spark.catalog.puffin import (
+                            read_deletion_vectors,
+                        )
+
+                        off = dfd.get("content_offset")
+                        try:
+                            dvs = read_deletion_vectors(
+                                p, None if off is None else int(off)
+                            )
+                        except ValueError as exc:
+                            return str(exc)
+                        for ref, positions in dvs:
+                            ref_n = _re.sub(r"^file:/+", "/", str(ref))
+                            dv_pairs.extend(
+                                (ref_n, int(x)) for x in positions
+                            )
+                        continue
                     if int(dfd.get("content", 1)) == 2:
                         ids = tuple(int(i) for i in dfd.get("equality_ids") or ())
                         if not ids:
@@ -789,6 +811,19 @@ class RestCatalogServer:
         if set(live) - current:
             return "a delete commit cannot add data files"
         removed = current - set(live)
+        if dv_pairs:
+            # decoded DV positions ride the position-delete path: write
+            # them as a parquet the warehouse rewrite validates like any
+            # posted position-delete file
+            import uuid as _uuid
+
+            tmp = os.path.join(
+                location, "data", f"dv-decoded-{_uuid.uuid4().hex[:8]}"
+            )
+            t.spark.createDataFrame(
+                dv_pairs, "file_path string, pos long"
+            ).write.parquet(tmp)
+            pos_files.append(tmp)
         row_level = bool(pos_files or eq_by_ids)
         if row_level and removed:
             return (

@@ -978,24 +978,25 @@ def test_commit_table_delete_commit(spark, server, tmp_path):
     assert len(data_files) == 2
 
     def post_delete(tag, del_rows, extra_err=None, content=1, fmt="PARQUET",
-                    req_sid=None, eq_ids=None, eq_table=None):
+                    req_sid=None, eq_ids=None, eq_table=None, raw_path=None):
         """Write a position-delete parquet (or, with eq_table, an
         equality-delete parquet) + content=1 manifest + a manifest list
         re-referencing the current data manifests, POST it as an
         op=delete commit, return the HTTP status."""
-        dpath = os.path.join(location, "data", f"{tag}-del.parquet")
+        dpath = raw_path or os.path.join(location, "data", f"{tag}-del.parquet")
         os.makedirs(os.path.dirname(dpath), exist_ok=True)
-        pq.write_table(
-            eq_table
-            if eq_table is not None
-            else pa.table(
-                {
-                    "file_path": pa.array([r[0] for r in del_rows], pa.string()),
-                    "pos": pa.array([r[1] for r in del_rows], pa.int64()),
-                }
-            ),
-            dpath,
-        )
+        if raw_path is None:
+            pq.write_table(
+                eq_table
+                if eq_table is not None
+                else pa.table(
+                    {
+                        "file_path": pa.array([r[0] for r in del_rows], pa.string()),
+                        "pos": pa.array([r[1] for r in del_rows], pa.int64()),
+                    }
+                ),
+                dpath,
+            )
         sid = 7000 + hash(tag) % 1000
         mpath = os.path.join(meta_dir, f"{tag}-d0.avro")
         avro_io.write_container(
@@ -1120,9 +1121,25 @@ def test_commit_table_delete_commit(spark, server, tmp_path):
     assert any(d.content == 2 for d in info2.delete_files)
     back2 = spark.read.format("pyice").load(location)
     assert sorted(r.id for r in back2.collect()) == expect
-    # PUFFIN DV refuses
+    # non-puffin bytes posing as PUFFIN refuse (magic mismatch -> 400)
     (code, _), _ = post_delete("d3", [(data_files[0], 2)], fmt="PUFFIN")
     assert code == 400
+    assert sorted(
+        r.id for r in catalog.load_table("dl", "t").scan().collect()
+    ) == expect
+
+    # a REAL v3 deletion vector is SERVED (round 10): a puffin DV
+    # referencing file1 pos 0 drops that row
+    from iceberg_metadata_pipeline_spark.catalog.puffin import (
+        write_deletion_vectors,
+    )
+
+    dvp = os.path.join(location, "data", "dv1.puffin")
+    write_deletion_vectors(dvp, {data_files[1]: [0]})
+    dv_victim = int(pq.read_table(data_files[1])["id"][0].as_py())
+    (code, _), _ = post_delete("d4", [], fmt="PUFFIN", raw_path=dvp)
+    assert code == 200
+    expect = sorted(set(expect) - {dv_victim})
     assert sorted(
         r.id for r in catalog.load_table("dl", "t").scan().collect()
     ) == expect
