@@ -271,6 +271,10 @@ def manifest_entry_schema(
     }
     if format_version >= 3:
         data_file["fields"].append(_opt("first_row_id", "long", 142))
+        # v3 deletion-vector fields: the puffin blob a DV entry pins
+        data_file["fields"].append(_opt("referenced_data_file", "string", 143))
+        data_file["fields"].append(_opt("content_offset", "long", 144))
+        data_file["fields"].append(_opt("content_size_in_bytes", "long", 145))
     return {
         "type": "record",
         "name": "manifest_entry",
@@ -453,12 +457,11 @@ def export_iceberg_table(table: Table, dest: str, format_version: int = 2) -> st
                 "deletes into data) before export — only position/equality "
                 "deletes have an Iceberg encoding"
             )
-        if pos_deletes and format_version >= 3:
-            raise ValueError(
-                "v3 exports position deletes as PUFFIN deletion vectors, "
-                "which this exporter does not mint — export format_version=2 "
-                "or compact first"
-            )
+        # v3 MINTS deletion vectors from position entries (round 10):
+        # the spec requires DVs instead of position-delete parquets in
+        # v3, and write_deletion_vectors produces the puffin — handled
+        # at manifest-writing time below (pos_deletes stay in the list;
+        # the v2 branch writes them as content=1 parquets instead)
         files = table.snapshot_files(snap["snapshot_id"])
         snapshot_id = int(snap["snapshot_id"])
 
@@ -592,7 +595,75 @@ def export_iceberg_table(table: Table, dest: str, format_version: int = 2) -> st
 
             del_spec_id = 0 if not spec_fields else 1
             del_entries = []
-            for d in pos_deletes + eq_deletes:
+            if pos_deletes and format_version >= 3:
+                # v3 MINTS DELETION VECTORS (the spec's only v3 position
+                # encoding): union every position entry's (file, pos)
+                # pairs — O(deleted rows) driver metadata, the
+                # decode_dvs posture — group per referenced data file,
+                # write ONE puffin for the snapshot, and emit one DV
+                # manifest entry per referenced file pinning its blob
+                # via content_offset/referenced_data_file. The merged
+                # entry carries max(seq) (a position pair names an
+                # immutable file, so a higher seq can never over-apply).
+                from iceberg_metadata_pipeline_spark.catalog.puffin import (
+                    write_deletion_vectors,
+                )
+
+                dvs: dict[str, set] = {}
+                max_seq = seq
+                for d in pos_deletes:
+                    max_seq = max(max_seq, int(d.get("seq") or seq))
+                    root = d["path"]
+                    parts = (
+                        find_parquet_files(root)
+                        if os.path.isdir(root)
+                        else [root]
+                    )
+                    for p in sorted(parts):
+                        t_ = _pq.read_table(p, columns=["file_path", "pos"])
+                        for fp, pos in zip(
+                            t_.column("file_path").to_pylist(),
+                            t_.column("pos").to_pylist(),
+                        ):
+                            dvs.setdefault(
+                                re.sub(r"^file:/+", "/", str(fp)), set()
+                            ).add(int(pos))
+                if dvs:
+                    puffin_path = os.path.join(
+                        meta_dir, f"{commit_uuid}-dv.puffin"
+                    )
+                    blob_meta = write_deletion_vectors(
+                        puffin_path,
+                        {k: sorted(v) for k, v in dvs.items()},
+                        snapshot_id=snapshot_id,
+                        seq=max_seq,
+                    )
+                    psize = os.path.getsize(puffin_path)
+                    for ref in sorted(blob_meta):
+                        bm = blob_meta[ref]
+                        del_entries.append(
+                            {
+                                "status": 1,
+                                "snapshot_id": snapshot_id,
+                                "sequence_number": max_seq,
+                                "file_sequence_number": max_seq,
+                                "data_file": {
+                                    "content": 1,
+                                    "file_path": os.path.abspath(puffin_path),
+                                    "file_format": "PUFFIN",
+                                    "partition": {},
+                                    "record_count": int(bm["cardinality"]),
+                                    "file_size_in_bytes": psize,
+                                    "referenced_data_file": ref,
+                                    "content_offset": int(bm["offset"]),
+                                    "content_size_in_bytes": int(bm["length"]),
+                                },
+                            }
+                        )
+                pos_to_encode = []
+            else:
+                pos_to_encode = pos_deletes
+            for d in pos_to_encode + eq_deletes:
                 d_seq = int(d.get("seq") or seq)
                 content = 1 if d["kind"] == "position" else 2
                 eq_extra = {}

@@ -312,3 +312,35 @@ def test_equality_delete_scrambled_names_resolve_by_field_id(spark, table, tmp_p
     with pytest.raises(ValueError, match="neither"):
         t.add_foreign_delete_files([], [(["id"], [neither], [7])])
     assert t.version == before
+
+
+def test_v3_export_mints_deletion_vectors(spark, table, tmp_path):
+    """v3 export of a position-delete table mints PUFFIN deletion
+    vectors (one blob per referenced file, manifest entries pinning
+    content_offset/referenced_data_file) — and the pyice read applies
+    them."""
+    cat, t = table
+    files = sorted(f.path for f in t.snapshot_files())
+    victims = {
+        int(pq.read_table(files[0])["id"][1].as_py()),
+        int(pq.read_table(files[1])["id"][2].as_py()),
+    }
+    dp = _write_delete(
+        str(tmp_path / "d.parquet"), [(files[0], 1), (files[1], 2)]
+    )
+    t.add_position_delete_files([dp])
+    expect = sorted({0, 1, 2, 3, 10, 11, 12, 13} - victims)
+
+    dest = str(tmp_path / "ice3")
+    export_iceberg_table(t, dest, format_version=3)
+    info = read_iceberg_table(dest)
+    dv_entries = [d for d in info.delete_files if d.is_dv]
+    assert len(dv_entries) == 2  # one per referenced data file
+    for d in dv_entries:
+        assert d.content == 1 and d.content_offset is not None
+        assert d.referenced_data_file in files
+    from iceberg_metadata_pipeline_spark.ingest.pyice_source import register
+
+    register(spark)
+    back = spark.read.format("pyice").load(dest)
+    assert sorted(r.id for r in back.collect()) == expect
