@@ -160,9 +160,11 @@ def test_export_position_deletes_roundtrip(spark, table, tmp_path):
     t2 = import_iceberg_table(spark, cat2, dest, "r10", "imported")
     assert sorted(r.id for r in t2.scan().collect()) == expect
 
-    # v3 export refuses while position deletes are live
-    with pytest.raises(ValueError, match="PUFFIN"):
-        export_iceberg_table(t, str(tmp_path / "ice3"), format_version=3)
+    # v3 export now MINTS deletion vectors (see
+    # test_v3_export_mints_deletion_vectors) — sanity: it round-trips
+    export_iceberg_table(t, str(tmp_path / "ice3"), format_version=3)
+    back3 = spark.read.format("pyice").load(str(tmp_path / "ice3"))
+    assert sorted(r.id for r in back3.collect()) == expect
 
     # predicate deletes still refuse v2 export
     t.delete_where_mor("id = 0")
