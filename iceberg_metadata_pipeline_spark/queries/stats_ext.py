@@ -1610,3 +1610,44 @@ FROM cells
 """,
     oracle="same",
 )
+
+
+# --- Cochran's Q (round 10 wave 5) --------------------------------------------
+
+# k related binary samples — the k-group generalization of McNemar
+# (its k=2 case, registered above): did each user click in each of
+# three 10-day thirds of the window? Q = (k−1)[k·ΣC_j² − (ΣC_j)²] /
+# (k·ΣR_i − ΣR_i²) over exact integer column/row totals — one double
+# division. Two hash aggregates (per-user bits, then totals) —
+# map-combinable at any scale.
+sql_query(
+    "stat_cochran_q",
+    """
+WITH per_user AS (
+  SELECT user_id,
+    MAX(CASE WHEN event_type = 'click'
+             AND CAST(ts AS DATE) <  DATE '1995-01-11' THEN 1 ELSE 0 END) AS b1,
+    MAX(CASE WHEN event_type = 'click'
+             AND CAST(ts AS DATE) >= DATE '1995-01-11'
+             AND CAST(ts AS DATE) <  DATE '1995-01-21' THEN 1 ELSE 0 END) AS b2,
+    MAX(CASE WHEN event_type = 'click'
+             AND CAST(ts AS DATE) >= DATE '1995-01-21' THEN 1 ELSE 0 END) AS b3
+  FROM events GROUP BY user_id
+), m AS (
+  SELECT
+    CAST(SUM(b1) AS BIGINT) AS c1,
+    CAST(SUM(b2) AS BIGINT) AS c2,
+    CAST(SUM(b3) AS BIGINT) AS c3,
+    CAST(SUM(b1 + b2 + b3) AS BIGINT) AS sr,
+    CAST(SUM((b1 + b2 + b3) * (b1 + b2 + b3)) AS BIGINT) AS srr,
+    CAST(COUNT(*) AS BIGINT) AS n_users
+  FROM per_user
+)
+SELECT n_users, c1, c2, c3,
+  CAST(2 * (3 * (c1 * c1 + c2 * c2 + c3 * c3)
+            - (c1 + c2 + c3) * (c1 + c2 + c3)) AS DOUBLE)
+    / CAST(3 * sr - srr AS DOUBLE) AS cochran_q
+FROM m
+""",
+    oracle="same",
+)

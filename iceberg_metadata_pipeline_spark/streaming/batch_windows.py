@@ -492,3 +492,48 @@ FROM per
 """,
     oracle="same",
 )
+
+
+# time-to-convert (round 10): per-user first 'view' → first 'purchase'
+# latency, summarized as exact integer-microsecond percentiles via the
+# distinct-value prefix rule (the events_interarrival shape). One
+# per-user conditional-min aggregate (map-combinable), then percentile
+# work over DISTINCT latencies.
+_TTC_TEMPLATE = """
+WITH per_user AS (
+  SELECT user_id,
+    MIN(CASE WHEN event_type = 'view'
+             THEN CAST(ts AS TIMESTAMP) END) AS first_view,
+    MIN(CASE WHEN event_type = 'purchase'
+             THEN CAST(ts AS TIMESTAMP) END) AS first_purchase
+  FROM events GROUP BY user_id
+), lat AS (
+  SELECT CAST({EPOCH_US_P} - {EPOCH_US_V} AS BIGINT) AS us
+  FROM per_user
+  WHERE first_view IS NOT NULL AND first_purchase IS NOT NULL
+    AND first_purchase >= first_view
+), pv AS (
+  SELECT us, CAST(COUNT(*) AS BIGINT) AS n_v FROM lat GROUP BY us
+), c AS (
+  SELECT us, n_v,
+    COALESCE(SUM(n_v) OVER (
+      ORDER BY us ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+    ), 0) AS cb
+  FROM pv
+), tot AS (SELECT CAST(SUM(n_v) AS BIGINT) AS n FROM pv)
+SELECT
+  (SELECT n FROM tot) AS n_converted,
+  CAST(MIN(CASE WHEN cb + n_v >= ((SELECT n FROM tot) + 1) / 2
+                THEN us END) AS BIGINT) AS median_us,
+  CAST(MIN(CASE WHEN 10 * (cb + n_v) >= 9 * (SELECT n FROM tot)
+                THEN us END) AS BIGINT) AS p90_us
+FROM c
+"""
+
+sql_query(
+    "events_time_to_convert",
+    _TTC_TEMPLATE.replace("{EPOCH_US_P}", "unix_micros(first_purchase)")
+    .replace("{EPOCH_US_V}", "unix_micros(first_view)"),
+    oracle=_TTC_TEMPLATE.replace("{EPOCH_US_P}", "epoch_us(first_purchase)")
+    .replace("{EPOCH_US_V}", "epoch_us(first_view)"),
+)

@@ -453,3 +453,58 @@ def test_url_canonicalize_semantics(spark):
         assert ":443" not in u and "#" not in u and "utm_" not in u
         assert u.endswith("?a=1&b=2")  # sorted surviving params
     assert any(r.n_docs > 1 for r in rows)
+
+
+def test_cochran_q_reference(spark):
+    """Cochran's Q against a pure-Python reimplementation; McNemar is
+    its k=2 special case (same machinery family)."""
+    import datetime
+
+    from iceberg_metadata_pipeline_spark.queries import REGISTRY, all_queries
+    from iceberg_metadata_pipeline_spark.session import load_tables
+
+    all_queries()
+    ev = load_tables(spark, SF)["events"].selectExpr(
+        "user_id", "event_type", "CAST(ts AS DATE) AS d"
+    ).collect()
+    cuts = (datetime.date(1995, 1, 11), datetime.date(1995, 1, 21))
+    bits = {}
+    for r in ev:
+        b = bits.setdefault(r.user_id, [0, 0, 0])
+        if r.event_type == "click":
+            j = 0 if r.d < cuts[0] else (1 if r.d < cuts[1] else 2)
+            b[j] = 1
+    cs = [sum(b[j] for b in bits.values()) for j in range(3)]
+    sr = sum(sum(b) for b in bits.values())
+    srr = sum(sum(b) ** 2 for b in bits.values())
+    q = 2 * (3 * sum(c * c for c in cs) - sum(cs) ** 2) / (3 * sr - srr)
+    got = REGISTRY["stat_cochran_q"].fn(spark, SF).collect()[0]
+    assert (got.c1, got.c2, got.c3) == tuple(cs)
+    assert got.cochran_q == pytest.approx(q, rel=1e-12)
+
+
+def test_time_to_convert_reference(spark):
+    from iceberg_metadata_pipeline_spark.queries import REGISTRY, all_queries
+    from iceberg_metadata_pipeline_spark.session import load_tables
+
+    all_queries()
+    ev = load_tables(spark, SF)["events"].selectExpr(
+        "user_id", "event_type", "CAST(ts AS TIMESTAMP) AS ts"
+    ).collect()
+    first = {}
+    for r in ev:
+        if r.event_type in ("view", "purchase"):
+            k = (r.user_id, r.event_type)
+            if k not in first or r.ts < first[k]:
+                first[k] = r.ts
+    lats = sorted(
+        int((first[(u, "purchase")] - first[(u, "view")]).total_seconds() * 1e6)
+        for u in {u for u, t in first if t == "view"}
+        if (u, "purchase") in first
+        and first[(u, "purchase")] >= first[(u, "view")]
+    )
+    n = len(lats)
+    got = REGISTRY["events_time_to_convert"].fn(spark, SF).collect()[0]
+    assert got.n_converted == n
+    assert got.median_us == lats[(n + 1) // 2 - 1]
+    assert got.p90_us == lats[-(-9 * n // 10) - 1]
