@@ -799,3 +799,29 @@ ORDER BY column_name
 """,
     oracle="same",
 )
+
+
+# exact per-group MODE with a deterministic tiebreak (smallest value
+# among the most frequent) — the categorical-summary staple engines
+# hide behind approx sketches. Work is per (group, value) CELL counts
+# (bounded by distinct values, never rows), then one bounded window
+# per group over the cells.
+sql_query(
+    "agg_mode_per_group",
+    """
+SELECT l_returnflag, mode_qty, mode_count
+FROM (
+  SELECT l_returnflag, qty AS mode_qty, n AS mode_count,
+         ROW_NUMBER() OVER (PARTITION BY l_returnflag
+                            ORDER BY n DESC, qty) AS rn
+  FROM (
+    SELECT l_returnflag, CAST(l_quantity AS BIGINT) AS qty,
+           CAST(COUNT(*) AS BIGINT) AS n
+    FROM lineitem GROUP BY l_returnflag, CAST(l_quantity AS BIGINT)
+  ) cells
+) ranked
+WHERE rn = 1
+ORDER BY l_returnflag
+""",
+    oracle="same",
+)
