@@ -796,3 +796,46 @@ sql_query(
     + ")"
     + _REPORT_BODY,
 )
+
+
+# per-document CHARACTER entropy (round 10): the compressibility /
+# gibberish signal quality filters threshold on — Shannon over the
+# doc's character distribution. Counts are exact (one explode +
+# per-(doc, char) cells); the entropy folds -p·ln p in SORTED order
+# and ROUNDs to 9 (ln's libm ulp). Cells are bounded by alphabet ×
+# docs, never characters.
+_CHAR_ENTROPY_TEMPLATE = """
+WITH chars AS (
+  SELECT doc_id, {EXPLODE} AS ch FROM documents
+), cells AS (
+  SELECT doc_id, ch, CAST(COUNT(*) AS BIGINT) AS n
+  FROM chars GROUP BY doc_id, ch
+), tot AS (
+  SELECT doc_id, CAST(SUM(n) AS BIGINT) AS total FROM cells GROUP BY doc_id
+), terms AS (
+  SELECT c.doc_id,
+    -(CAST(c.n AS DOUBLE) / CAST(t.total AS DOUBLE))
+      * LN(CAST(c.n AS DOUBLE) / CAST(t.total AS DOUBLE)) AS term
+  FROM cells c JOIN tot t ON c.doc_id = t.doc_id
+)
+SELECT doc_id,
+  ROUND({FOLD}, 9) AS char_entropy_nats
+FROM terms GROUP BY doc_id
+ORDER BY doc_id
+"""
+
+sql_query(
+    "text_char_entropy",
+    _CHAR_ENTROPY_TEMPLATE.replace(
+        "{EXPLODE}", "explode(split(lower(text), ''))"
+    ).replace(
+        "{FOLD}",
+        "reduce(array_sort(collect_list(term)),"
+        " CAST(0.0E0 AS DOUBLE), (a, x) -> a + x)",
+    ),
+    oracle=_CHAR_ENTROPY_TEMPLATE.replace(
+        "{EXPLODE}", "unnest(string_split_regex(lower(text), ''))"
+    ).replace(
+        "{FOLD}", "list_reduce(list_sort(list(term)), (a, x) -> a + x)"
+    ),
+)

@@ -1651,3 +1651,34 @@ FROM m
 """,
     oracle="same",
 )
+
+
+# --- paired sign test (round 10 wave 6) ----------------------------------------
+
+# non-parametric paired comparison: per user, are there more 'view'
+# than 'click' events? n_plus/n_minus are exact integer counts over one
+# per-user aggregate; the normal-approximation z (continuity-corrected)
+# is a fixed double formula. Completes the paired family
+# (McNemar = binary outcomes, Cochran Q = k samples, sign test =
+# ordinal comparison).
+sql_query(
+    "stat_sign_test_paired",
+    """
+WITH per_user AS (
+  SELECT user_id,
+    CAST(SUM(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS BIGINT) AS v,
+    CAST(SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS BIGINT) AS c
+  FROM events GROUP BY user_id
+), cells AS (
+  SELECT
+    CAST(SUM(CASE WHEN v > c THEN 1 ELSE 0 END) AS BIGINT) AS n_plus,
+    CAST(SUM(CASE WHEN v < c THEN 1 ELSE 0 END) AS BIGINT) AS n_minus
+  FROM per_user
+)
+SELECT n_plus, n_minus,
+  (ABS(CAST(n_plus AS DOUBLE) - CAST(n_minus AS DOUBLE)) - 1.0E0)
+  / SQRT(CAST(n_plus + n_minus AS DOUBLE)) AS sign_z
+FROM cells
+""",
+    oracle="same",
+)
