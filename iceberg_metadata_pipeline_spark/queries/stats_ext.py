@@ -1682,3 +1682,103 @@ FROM cells
 """,
     oracle="same",
 )
+
+
+# --- Wilcoxon signed-rank (round 10 wave 6) -------------------------------------
+
+# the paired-CONTINUOUS member of the family (sign test ignores
+# magnitude; this ranks |d|): per-user d = views − clicks, zeros
+# dropped per the classic procedure, midranks over |d| with the tie
+# correction. 2·W⁺ accumulates as an exact bigint over per-distinct-|d|
+# counts (the Mann-Whitney midrank identity); z is a fixed double
+# formula. The Spark side uses the bucketed two-phase prefix — |d| is
+# a small-integer domain here, but the shape is the scale plan.
+_WSR_EXPRS = [
+    "CAST(n AS BIGINT) AS n",
+    "CAST(w2 AS DOUBLE) / 2.0E0 AS w_plus",
+    """( CAST(w2 AS DOUBLE) / 2.0E0
+    - CAST(n AS DOUBLE) * CAST(n + 1 AS DOUBLE) / 4.0E0 )
+  / SQRT( CAST(n AS DOUBLE) * CAST(n + 1 AS DOUBLE)
+          * CAST(2 * n + 1 AS DOUBLE) / 24.0E0
+        - CAST(ties AS DOUBLE) / 48.0E0 ) AS z""",
+]
+_WSR_FINAL = ",\n  ".join(_WSR_EXPRS)
+
+_WSR_SRC = """
+  SELECT CAST(ABS(d) AS BIGINT) AS ad,
+         CASE WHEN d > 0 THEN 1 ELSE 0 END AS pos
+  FROM (
+    SELECT CAST(SUM(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END)
+             - SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)
+             AS BIGINT) AS d
+    FROM events GROUP BY user_id
+  ) diffs
+  WHERE d <> 0
+"""
+
+
+@query(
+    "stat_wilcoxon_signed_rank",
+    f"""
+WITH s AS ({_WSR_SRC}),
+pv AS (
+  SELECT ad, CAST(COUNT(*) AS BIGINT) AS n_v,
+         CAST(SUM(pos) AS BIGINT) AS p_v
+  FROM s GROUP BY ad
+), c AS (
+  SELECT ad, n_v, p_v,
+    COALESCE(SUM(n_v) OVER (
+      ORDER BY ad ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+    ), 0) AS cb
+  FROM pv
+), agg AS (
+  SELECT
+    CAST(SUM(n_v) AS BIGINT) AS n,
+    CAST(SUM(p_v * (2 * cb + n_v + 1)) AS BIGINT) AS w2,
+    CAST(SUM(n_v * n_v * n_v - n_v) AS BIGINT) AS ties
+  FROM c
+)
+SELECT {_WSR_FINAL}
+FROM agg
+""",
+)
+def stat_wilcoxon_signed_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wilcoxon signed-rank over per-user view−click differences (see
+    the oracle above): exact 2·W⁺ via per-distinct-|d| counts + the
+    bucketed two-phase prefix, tie-corrected normal z."""
+    from pyspark.sql import Window
+
+    load_tables(spark, sf_dir)
+    s = spark.sql(f"SELECT * FROM ({_WSR_SRC})")
+    pv = s.groupBy("ad").agg(
+        F.count(F.lit(1)).cast("long").alias("n_v"),
+        F.sum("pos").cast("long").alias("p_v"),
+    )
+    bounds = s.agg(
+        F.min(F.col("ad").cast("double")).alias("vmin"),
+        F.max(F.col("ad").cast("double")).alias("vmax"),
+    )
+    b = pv.crossJoin(F.broadcast(bounds)).withColumn(
+        "bucket",
+        F.expr("width_bucket(CAST(ad AS DOUBLE), vmin, vmax + 1.0d, 1024)"),
+    )
+    w_bkt = Window.orderBy("bucket").rowsBetween(Window.unboundedPreceding, -1)
+    offs = (
+        b.groupBy("bucket")
+        .agg(F.sum("n_v").alias("bn"))
+        .select(
+            "bucket",
+            F.coalesce(F.sum("bn").over(w_bkt), F.lit(0)).alias("off"),
+        )
+    )
+    w_in = Window.partitionBy("bucket").orderBy("ad")
+    c = b.join(F.broadcast(offs), "bucket").select(
+        "n_v", "p_v",
+        (F.col("off") + F.sum("n_v").over(w_in) - F.col("n_v")).alias("cb"),
+    )
+    agg = c.agg(
+        F.sum("n_v").cast("long").alias("n"),
+        F.sum(F.expr("p_v * (2 * cb + n_v + 1)")).cast("long").alias("w2"),
+        F.sum(F.expr("n_v * n_v * n_v - n_v")).cast("long").alias("ties"),
+    )
+    return agg.selectExpr(*_WSR_EXPRS)

@@ -508,3 +508,41 @@ def test_time_to_convert_reference(spark):
     assert got.n_converted == n
     assert got.median_us == lats[(n + 1) // 2 - 1]
     assert got.p90_us == lats[-(-9 * n // 10) - 1]
+
+
+def test_wilcoxon_signed_rank_reference(spark):
+    from collections import Counter
+
+    from iceberg_metadata_pipeline_spark.queries.stats_ext import (
+        stat_wilcoxon_signed_rank,
+    )
+    from iceberg_metadata_pipeline_spark.session import load_tables
+
+    ev = load_tables(spark, SF)["events"].selectExpr(
+        "user_id", "event_type"
+    ).collect()
+    per = {}
+    for r in ev:
+        d = per.setdefault(r.user_id, [0, 0])
+        if r.event_type == "view":
+            d[0] += 1
+        elif r.event_type == "click":
+            d[1] += 1
+    diffs = [v - c for v, c in per.values() if v != c]
+    ads = sorted(abs(d) for d in diffs)
+    cnt = Counter(ads)
+    rank = {}
+    below = 0
+    for v in sorted(cnt):
+        rank[v] = below + (cnt[v] + 1) / 2
+        below += cnt[v]
+    w_plus = sum(rank[abs(d)] for d in diffs if d > 0)
+    n = len(diffs)
+    ties = sum(c**3 - c for c in cnt.values())
+    z = (w_plus - n * (n + 1) / 4) / (
+        (n * (n + 1) * (2 * n + 1) / 24 - ties / 48) ** 0.5
+    )
+    got = stat_wilcoxon_signed_rank(spark, SF).collect()[0]
+    assert got["n"] == n
+    assert got["w_plus"] == pytest.approx(w_plus, rel=0)
+    assert got["z"] == pytest.approx(z, rel=1e-12)
