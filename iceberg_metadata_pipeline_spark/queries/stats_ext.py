@@ -1782,3 +1782,95 @@ def stat_wilcoxon_signed_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.expr("n_v * n_v * n_v - n_v")).cast("long").alias("ties"),
     )
     return agg.selectExpr(*_WSR_EXPRS)
+
+
+# --- exact AUC-ROC (round 10 wave 6) --------------------------------------------
+
+# the ranking-quality ML-eval staple, EXACT: AUC = (ΣR⁺ − n⁺(n⁺+1)/2)
+# / (n⁺·n⁻) over midranks of the score — the Mann-Whitney U identity,
+# so the same per-distinct-score counts + cumulative-below machinery
+# produces 2·ΣR⁺ as an exact bigint and AUC is one double division.
+# Scorer: the event's exact micro-unit value predicting "is a
+# purchase" — event-grain, both classes populated at every SF.
+_AUC_EXPRS = [
+    "CAST(n_pos AS BIGINT) AS n_pos",
+    "CAST(n_neg AS BIGINT) AS n_neg",
+    """( CAST(r2 AS DOUBLE) / 2.0E0
+    - CAST(n_pos AS DOUBLE) * CAST(n_pos + 1 AS DOUBLE) / 2.0E0 )
+  / (CAST(n_pos AS DOUBLE) * CAST(n_neg AS DOUBLE)) AS auc""",
+]
+_AUC_FINAL = ",\n  ".join(_AUC_EXPRS)
+
+_AUC_SRC = """
+  SELECT CAST(CAST(value AS DECIMAL(38,6)) * 1000000 AS BIGINT) AS score,
+         CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS label
+  FROM events
+"""
+
+
+@query(
+    "ml_auc_roc_exact",
+    f"""
+WITH s AS ({_AUC_SRC}),
+pv AS (
+  SELECT score, CAST(COUNT(*) AS BIGINT) AS n_v,
+         CAST(SUM(label) AS BIGINT) AS p_v
+  FROM s GROUP BY score
+), c AS (
+  SELECT score, n_v, p_v,
+    COALESCE(SUM(n_v) OVER (
+      ORDER BY score ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+    ), 0) AS cb
+  FROM pv
+), agg AS (
+  SELECT
+    CAST(SUM(p_v) AS BIGINT) AS n_pos,
+    CAST(SUM(n_v - p_v) AS BIGINT) AS n_neg,
+    CAST(SUM(p_v * (2 * cb + n_v + 1)) AS BIGINT) AS r2
+  FROM c
+)
+SELECT {_AUC_FINAL}
+FROM agg
+""",
+)
+def ml_auc_roc_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact AUC-ROC via the U identity (oracle above); the Spark side
+    computes the cumulative count-below with the bucketed two-phase
+    prefix — at 10⁹ users no task ever sorts more than one score
+    bucket."""
+    from pyspark.sql import Window
+
+    load_tables(spark, sf_dir)
+    s = spark.sql(f"SELECT * FROM ({_AUC_SRC})")
+    pv = s.groupBy("score").agg(
+        F.count(F.lit(1)).cast("long").alias("n_v"),
+        F.sum("label").cast("long").alias("p_v"),
+    )
+    bounds = s.agg(
+        F.min(F.col("score").cast("double")).alias("vmin"),
+        F.max(F.col("score").cast("double")).alias("vmax"),
+    )
+    b = pv.crossJoin(F.broadcast(bounds)).withColumn(
+        "bucket",
+        F.expr("width_bucket(CAST(score AS DOUBLE), vmin, vmax + 1.0d, 1024)"),
+    )
+    w_bkt = Window.orderBy("bucket").rowsBetween(Window.unboundedPreceding, -1)
+    offs = (
+        b.groupBy("bucket")
+        .agg(F.sum("n_v").alias("bn"))
+        .select(
+            "bucket",
+            F.coalesce(F.sum("bn").over(w_bkt), F.lit(0)).alias("off"),
+        )
+    )
+    w_in = Window.partitionBy("bucket").orderBy("score")
+    c = b.join(F.broadcast(offs), "bucket").select(
+        "n_v", "p_v",
+        (F.col("off") + F.sum("n_v").over(w_in) - F.col("n_v")).alias("cb"),
+    )
+    agg = c.agg(
+        F.sum("p_v").cast("long").alias("n_pos"),
+        F.sum(F.expr("n_v - p_v")).cast("long").alias("n_neg"),
+        F.sum(F.expr("p_v * (2 * cb + n_v + 1)")).cast("long").alias("r2"),
+    )
+    return agg.selectExpr(*_AUC_EXPRS)

@@ -546,3 +546,31 @@ def test_wilcoxon_signed_rank_reference(spark):
     assert got["n"] == n
     assert got["w_plus"] == pytest.approx(w_plus, rel=0)
     assert got["z"] == pytest.approx(z, rel=1e-12)
+
+
+def test_auc_roc_matches_sklearn_style_reference(spark):
+    """Exact AUC vs the probabilistic definition computed directly
+    (P(score⁺ > score⁻) + ½P(=)) in pure Python."""
+    from iceberg_metadata_pipeline_spark.queries.stats_ext import (
+        ml_auc_roc_exact,
+    )
+    from iceberg_metadata_pipeline_spark.session import load_tables
+
+    rows = load_tables(spark, SF)["events"].selectExpr(
+        "CAST(CAST(value AS DECIMAL(38,6)) * 1000000 AS BIGINT) AS score",
+        "CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS label",
+    ).collect()
+    pos = sorted(r.score for r in rows if r.label == 1)
+    neg = sorted(r.score for r in rows if r.label == 0)
+    import bisect
+
+    wins = ties = 0
+    for p_ in pos:
+        lo = bisect.bisect_left(neg, p_)
+        hi = bisect.bisect_right(neg, p_)
+        wins += lo
+        ties += hi - lo
+    auc = (wins + ties / 2) / (len(pos) * len(neg))
+    got = ml_auc_roc_exact(spark, SF).collect()[0]
+    assert (got.n_pos, got.n_neg) == (len(pos), len(neg))
+    assert got.auc == pytest.approx(auc, rel=1e-12)
