@@ -1874,3 +1874,34 @@ def ml_auc_roc_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.expr("p_v * (2 * cb + n_v + 1)")).cast("long").alias("r2"),
     )
     return agg.selectExpr(*_AUC_EXPRS)
+
+
+# --- calibration / reliability bins (round 10 wave 6) ---------------------------
+
+# the companion diagnostic to AUC: bin the score range into 10 equal
+# integer-width bins and report each bin's positive rate — the
+# reliability-diagram table. All integer arithmetic (bin ids via
+# integer division over exact micro-unit scores), one hash aggregate;
+# the rate is one exact division per bin.
+_CALIB_TEMPLATE = f"""
+WITH s AS ({{SRC}}),
+b AS (
+  SELECT CAST(MIN(score) AS BIGINT) AS lo, CAST(MAX(score) AS BIGINT) AS hi
+  FROM s
+), binned AS (
+  SELECT LEAST(CAST((score - lo) * 10 {{IDIV}} (hi - lo + 1) AS BIGINT), 9)
+           AS bin, label
+  FROM s CROSS JOIN b
+)
+SELECT bin,
+  CAST(COUNT(*) AS BIGINT) AS n,
+  CAST(SUM(label) AS BIGINT) AS n_pos,
+  CAST(SUM(label) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS pos_rate
+FROM binned GROUP BY bin ORDER BY bin
+"""
+
+sql_query(
+    "ml_calibration_bins",
+    _CALIB_TEMPLATE.replace("{SRC}", _AUC_SRC).replace("{IDIV}", "DIV"),
+    oracle=_CALIB_TEMPLATE.replace("{SRC}", _AUC_SRC).replace("{IDIV}", "//"),
+)
