@@ -342,3 +342,76 @@ sql_query(
     _HISTQ_SQL.replace("{IDIV}", "DIV"),
     oracle=_HISTQ_SQL.replace("{IDIV}", "//"),
 )
+
+
+# --- from-scratch Bloom membership (round 10) ---------------------------------
+
+# a DISTRIBUTED Bloom filter whose bits both engines can compute
+# IDENTICALLY (k=4 hashes from md5 hex slices — engine-portable, unlike
+# xxhash), so the membership outcome is fully deterministic and the
+# oracle checks it value-for-value: members = distinct order custkeys,
+# probes = every customer. The filter is a DISTINCT set of bit
+# positions (m = 2^16); a probe is "maybe" iff all 4 of its bits are
+# set (an equi-join + count, never a broadcast of raw keys). Declared
+# outputs pin the Bloom contract: false_negatives MUST be 0, and the
+# false-positive count is exact.
+_BLOOM_TEMPLATE = """
+WITH members AS (
+  SELECT DISTINCT CAST(o_custkey AS BIGINT) AS k FROM orders
+), probes AS (
+  -- every customer PLUS a shifted absent-key set, so the probe mix
+  -- exercises both true members and true negatives (the FP path)
+  SELECT CAST(c_custkey AS BIGINT) AS k FROM customer
+  UNION ALL
+  SELECT CAST(c_custkey + 10000000 AS BIGINT) FROM customer
+), member_bits AS (
+  SELECT DISTINCT bit FROM (
+    SELECT {UNNEST} AS bit FROM members
+  ) mb
+), probe_bits AS (
+  SELECT k, {UNNEST} AS bit FROM probes
+), hits AS (
+  SELECT p.k, CAST(COUNT(b.bit) AS BIGINT) AS n_hit
+  FROM probe_bits p LEFT JOIN member_bits b ON p.bit = b.bit
+  GROUP BY p.k
+), verdicts AS (
+  SELECT h.k,
+         CASE WHEN h.n_hit = 4 THEN 1 ELSE 0 END AS maybe,
+         CASE WHEN m.k IS NULL THEN 0 ELSE 1 END AS is_member
+  FROM hits h LEFT JOIN members m ON h.k = m.k
+)
+SELECT
+  CAST(SUM(is_member) AS BIGINT) AS n_members,
+  CAST(COUNT(*) AS BIGINT) AS n_probed,
+  CAST(SUM(maybe) AS BIGINT) AS n_maybe,
+  CAST(SUM(CASE WHEN maybe = 1 AND is_member = 0 THEN 1 ELSE 0 END)
+       AS BIGINT) AS n_false_positive,
+  CAST(SUM(CASE WHEN maybe = 0 AND is_member = 1 THEN 1 ELSE 0 END)
+       AS BIGINT) AS n_false_negative
+FROM verdicts
+"""
+
+_BLOOM_HASH_SPARK = (
+    "explode(array("
+    + ", ".join(
+        f"CAST(conv(substring(md5(CAST(k AS STRING)), {1 + 5 * i}, 5), 16, 10)"
+        " AS BIGINT) % 65536"
+        for i in range(4)
+    )
+    + "))"
+)
+_BLOOM_HASH_DUCK = (
+    "unnest(["
+    + ", ".join(
+        f"CAST(('0x' || substring(md5(CAST(k AS VARCHAR)), {1 + 5 * i}, 5))"
+        "::BIGINT AS BIGINT) % 65536"
+        for i in range(4)
+    )
+    + "])"
+)
+
+sql_query(
+    "sketch_bloom_membership",
+    _BLOOM_TEMPLATE.replace("{UNNEST}", _BLOOM_HASH_SPARK),
+    oracle=_BLOOM_TEMPLATE.replace("{UNNEST}", _BLOOM_HASH_DUCK),
+)

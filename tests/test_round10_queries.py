@@ -574,3 +574,15 @@ def test_auc_roc_matches_sklearn_style_reference(spark):
     got = ml_auc_roc_exact(spark, SF).collect()[0]
     assert (got.n_pos, got.n_neg) == (len(pos), len(neg))
     assert got.auc == pytest.approx(auc, rel=1e-12)
+
+
+def test_bloom_membership_contract(spark):
+    """Bloom contract: NO false negatives, exact FP accounting
+    (n_maybe = n_members + n_false_positive when every member probes)."""
+    from iceberg_metadata_pipeline_spark.queries import REGISTRY, all_queries
+
+    all_queries()
+    r = REGISTRY["sketch_bloom_membership"].fn(spark, SF).collect()[0]
+    assert r.n_false_negative == 0
+    assert r.n_probed == 2 * r.n_members  # members + shifted absents
+    assert r.n_maybe == r.n_members + r.n_false_positive
