@@ -754,3 +754,68 @@ def dedup_semantic_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("list_id")
     )
+
+
+# --- MinHash estimator, exact cross-engine (round 10) ------------------------
+
+# the ACCURACY pin for the minhash family: 64 md5-salted permutations
+# (engine-portable, unlike the production path's xxhash64) make the
+# signature — and therefore the ESTIMATE — bit-identical across
+# engines, so the oracle checks estimate AND exact Jaccard
+# value-for-value on the 190 smallest-doc pairs. est = matched
+# signature slots / 64; exact = |∩|/|∪| via distinct-token joins —
+# both single divisions of exact integers.
+_MINHASH_EST_TEMPLATE = """
+WITH toks AS (
+  SELECT DISTINCT doc_id, tok FROM (
+    SELECT doc_id, {EXPLODE_TOK} AS tok FROM documents WHERE doc_id < 20
+  ) x
+), perms AS ({PERMS}),
+sigs AS (
+  SELECT t.doc_id, p.i,
+         MIN(md5(CAST(p.i AS STRING) || ':' || t.tok)) AS h
+  FROM toks t CROSS JOIN perms p
+  GROUP BY t.doc_id, p.i
+), est AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         CAST(SUM(CASE WHEN a.h = b.h THEN 1 ELSE 0 END) AS BIGINT) AS matches
+  FROM sigs a JOIN sigs b ON a.i = b.i AND a.doc_id < b.doc_id
+  GROUP BY a.doc_id, b.doc_id
+), sizes AS (
+  SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_tok FROM toks GROUP BY doc_id
+), inter AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         CAST(COUNT(*) AS BIGINT) AS n_inter
+  FROM toks a JOIN toks b ON a.tok = b.tok AND a.doc_id < b.doc_id
+  GROUP BY a.doc_id, b.doc_id
+)
+SELECT e.doc_a, e.doc_b,
+  CAST(e.matches AS DOUBLE) / 64.0E0 AS est_jaccard,
+  CAST(COALESCE(i.n_inter, 0) AS DOUBLE)
+    / CAST(sa.n_tok + sb.n_tok - COALESCE(i.n_inter, 0) AS DOUBLE)
+    AS exact_jaccard
+FROM est e
+LEFT JOIN inter i ON e.doc_a = i.doc_a AND e.doc_b = i.doc_b
+JOIN sizes sa ON e.doc_a = sa.doc_id
+JOIN sizes sb ON e.doc_b = sb.doc_id
+ORDER BY e.doc_a, e.doc_b
+"""
+
+def _register_minhash_estimate():
+    from iceberg_metadata_pipeline_spark.queries import sql_query
+
+    sql_query(
+        "sim_minhash_jaccard_estimate",
+        _MINHASH_EST_TEMPLATE.replace(
+            "{EXPLODE_TOK}", "explode(split(lower(text), ' '))"
+        ).replace(
+            "{PERMS}",
+            "SELECT explode(sequence(0, 63)) AS i",
+        ),
+        oracle=_MINHASH_EST_TEMPLATE.replace(
+            "{EXPLODE_TOK}", "unnest(string_split(lower(text), ' '))"
+        ).replace("{PERMS}", "SELECT i FROM range(64) t(i)"),
+    )
+
+
+_register_minhash_estimate()

@@ -586,3 +586,18 @@ def test_bloom_membership_contract(spark):
     assert r.n_false_negative == 0
     assert r.n_probed == 2 * r.n_members  # members + shifted absents
     assert r.n_maybe == r.n_members + r.n_false_positive
+
+
+def test_minhash_estimate_accuracy(spark):
+    """With 64 permutations the estimator's standard error is
+    sqrt(J(1-J)/64) <= 1/16; assert every pair within 4 sigma (0.25)
+    and identical pairs estimate exactly 1."""
+    from iceberg_metadata_pipeline_spark.queries import REGISTRY, all_queries
+
+    all_queries()
+    rows = REGISTRY["sim_minhash_jaccard_estimate"].fn(spark, SF).collect()
+    assert rows
+    for r in rows:
+        assert abs(r.est_jaccard - r.exact_jaccard) <= 0.25, r
+        if r.exact_jaccard == 1.0:
+            assert r.est_jaccard == 1.0
