@@ -819,3 +819,65 @@ def _register_minhash_estimate():
 
 
 _register_minhash_estimate()
+
+
+# --- SimHash, exact cross-engine (round 10) -----------------------------------
+
+# the portable-estimator TRIO closer (bloom membership, minhash
+# estimate, simhash): a 16-bit simhash whose per-token bit votes come
+# from md5 hex digits — deterministic in both engines — so signatures
+# and pairwise Hamming distances oracle-check exactly. sign-of-sum per
+# (doc, bit) over ±1 votes; Hamming via a 16-slot signature join. The
+# production dedup_simhash keeps xxhash64 for speed (rows-only); THIS
+# pins the estimator's semantics value-for-value.
+_SIMHASH_TEMPLATE = """
+WITH toks AS (
+  SELECT DISTINCT doc_id, tok FROM (
+    SELECT doc_id, {EXPLODE_TOK} AS tok FROM documents WHERE doc_id < 20
+  ) x
+), bits AS ({BITS}),
+votes AS (
+  SELECT t.doc_id, b.b,
+    CAST(SUM(CASE WHEN ({HEXDIGIT}) % 2 = 1 THEN 1 ELSE -1 END)
+         AS BIGINT) AS v
+  FROM toks t CROSS JOIN bits b
+  GROUP BY t.doc_id, b.b
+), sig AS (
+  SELECT doc_id, b, CASE WHEN v > 0 THEN 1 ELSE 0 END AS bit
+  FROM votes
+), ham AS (
+  SELECT a.doc_id AS doc_a, c.doc_id AS doc_b,
+    CAST(SUM(CASE WHEN a.bit <> c.bit THEN 1 ELSE 0 END) AS BIGINT)
+      AS hamming
+  FROM sig a JOIN sig c ON a.b = c.b AND a.doc_id < c.doc_id
+  GROUP BY a.doc_id, c.doc_id
+)
+SELECT doc_a, doc_b, hamming FROM ham
+ORDER BY doc_a, doc_b
+"""
+
+def _register_simhash_portable():
+    from iceberg_metadata_pipeline_spark.queries import sql_query
+
+    sql_query(
+        "dedup_simhash_portable",
+        _SIMHASH_TEMPLATE.replace(
+            "{EXPLODE_TOK}", "explode(split(lower(text), ' '))"
+        )
+        .replace("{BITS}", "SELECT explode(sequence(1, 16)) AS b")
+        .replace(
+            "{HEXDIGIT}",
+            "CAST(conv(substring(md5(t.tok), b.b, 1), 16, 10) AS INT)",
+        ),
+        oracle=_SIMHASH_TEMPLATE.replace(
+            "{EXPLODE_TOK}", "unnest(string_split(lower(text), ' '))"
+        )
+        .replace("{BITS}", "SELECT b FROM range(1, 17) t2(b)")
+        .replace(
+            "{HEXDIGIT}",
+            "CAST(('0x' || substring(md5(t.tok), b.b, 1))::BIGINT AS INT)",
+        ),
+    )
+
+
+_register_simhash_portable()

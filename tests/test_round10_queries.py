@@ -601,3 +601,29 @@ def test_minhash_estimate_accuracy(spark):
         assert abs(r.est_jaccard - r.exact_jaccard) <= 0.25, r
         if r.exact_jaccard == 1.0:
             assert r.est_jaccard == 1.0
+
+
+def test_simhash_portable_near_dups_have_low_hamming(spark):
+    """Near-duplicate docs (high exact Jaccard per the minhash query)
+    must sit at LOWER Hamming distance than unrelated pairs on
+    average — the simhash locality property."""
+    from iceberg_metadata_pipeline_spark.queries import REGISTRY, all_queries
+
+    all_queries()
+    ham = {
+        (r.doc_a, r.doc_b): r.hamming
+        for r in REGISTRY["dedup_simhash_portable"].fn(spark, SF).collect()
+    }
+    jac = {
+        (r.doc_a, r.doc_b): r.exact_jaccard
+        for r in REGISTRY["sim_minhash_jaccard_estimate"].fn(spark, SF).collect()
+    }
+    assert set(ham) == set(jac)
+    near = [ham[k] for k, j in jac.items() if j >= 0.8]
+    far = [ham[k] for k, j in jac.items() if j <= 0.2]
+    if near and far:
+        assert sum(near) / len(near) < sum(far) / len(far)
+    # identical docs hash identically
+    for k, j in jac.items():
+        if j == 1.0:
+            assert ham[k] == 0
