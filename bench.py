@@ -137,6 +137,12 @@ HEADLINE = [
     # rank window, Brown-Forsythe over the sorted-fold moments pass
     "text_heaps_law_fit",
     "stat_brown_forsythe",
+    # round-10 second wave: k-group midranks over the bucketed prefix,
+    # triangle-salted lift, cell-grained quantile sketch, exact AUC
+    "stat_kruskal_wallis",
+    "mining_basket_lift",
+    "sketch_histogram_quantiles",
+    "ml_auc_roc_exact",
 ]
 
 
