@@ -597,44 +597,82 @@ def export_iceberg_table(table: Table, dest: str, format_version: int = 2) -> st
             del_entries = []
             if pos_deletes and format_version >= 3:
                 # v3 MINTS DELETION VECTORS (the spec's only v3 position
-                # encoding): union every position entry's (file, pos)
-                # pairs — O(deleted rows) driver metadata, the
-                # decode_dvs posture — group per referenced data file,
-                # write ONE puffin for the snapshot, and emit one DV
-                # manifest entry per referenced file pinning its blob
-                # via content_offset/referenced_data_file. The merged
-                # entry carries max(seq) (a position pair names an
-                # immutable file, so a higher seq can never over-apply).
+                # encoding) DISTRIBUTED (round 11): one Spark job reads
+                # every position-delete parquet, groups by referenced
+                # data file, and serializes each file's roaring-bitmap
+                # DV payload INSIDE its task (encode_dv_payload over the
+                # group) — the driver collects only the O(#referenced
+                # files) finished blob bytes and concatenates the puffin
+                # container, never a position. Flat driver RSS in
+                # deleted-row count (SCALE.md probe); the r10 posture
+                # read every delete parquet with pyarrow on the driver
+                # into Python sets — O(deleted rows) driver memory.
+                # One DV manifest entry per referenced file pins its
+                # blob via content_offset/referenced_data_file. Merged
+                # entries carry max(seq) (positions name immutable
+                # files, so a higher seq can never over-apply).
                 from iceberg_metadata_pipeline_spark.catalog.puffin import (
-                    write_deletion_vectors,
+                    write_dv_puffin,
                 )
 
-                dvs: dict[str, set] = {}
+                del_paths: list[str] = []
                 max_seq = seq
                 for d in pos_deletes:
                     max_seq = max(max_seq, int(d.get("seq") or seq))
                     root = d["path"]
-                    parts = (
+                    del_paths.extend(
                         find_parquet_files(root)
                         if os.path.isdir(root)
                         else [root]
                     )
-                    for p in sorted(parts):
-                        t_ = _pq.read_table(p, columns=["file_path", "pos"])
-                        for fp, pos in zip(
-                            t_.column("file_path").to_pylist(),
-                            t_.column("pos").to_pylist(),
-                        ):
-                            dvs.setdefault(
-                                re.sub(r"^file:/+", "/", str(fp)), set()
-                            ).add(int(pos))
-                if dvs:
+                blob_rows = []
+                if del_paths:
+                    from pyspark.sql import functions as F
+
+                    def _mint_dv(pdf):
+                        import pandas as _pd
+
+                        from iceberg_metadata_pipeline_spark.catalog.puffin import (
+                            encode_dv_payload,
+                        )
+
+                        ps = pdf["pos"].tolist()
+                        return _pd.DataFrame(
+                            {
+                                "file_path": [pdf["file_path"].iloc[0]],
+                                "payload": [encode_dv_payload(ps)],
+                                "cardinality": [len(set(ps))],
+                            }
+                        )
+
+                    blob_rows = (
+                        table.spark.read.parquet(*sorted(set(del_paths)))
+                        .select(
+                            F.regexp_replace(
+                                F.col("file_path").cast("string"),
+                                "^file:/+",
+                                "/",
+                            ).alias("file_path"),
+                            F.col("pos").cast("long").alias("pos"),
+                        )
+                        .groupBy("file_path")
+                        .applyInPandas(
+                            _mint_dv,
+                            "file_path string, payload binary, "
+                            "cardinality long",
+                        )
+                        .collect()
+                    )
+                if blob_rows:
                     puffin_path = os.path.join(
                         meta_dir, f"{commit_uuid}-dv.puffin"
                     )
-                    blob_meta = write_deletion_vectors(
+                    blob_meta = write_dv_puffin(
                         puffin_path,
-                        {k: sorted(v) for k, v in dvs.items()},
+                        [
+                            (r["file_path"], bytes(r["payload"]), r["cardinality"])
+                            for r in blob_rows
+                        ],
                         snapshot_id=snapshot_id,
                         seq=max_seq,
                     )

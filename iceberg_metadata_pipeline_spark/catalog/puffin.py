@@ -80,6 +80,40 @@ def write_puffin(
     return blob_meta, 4 + len(footer) + 12
 
 
+def read_puffin_footer(path: str) -> tuple[list[dict], dict]:
+    """→ (blob_metadata list, file_properties) reading ONLY the magics
+    and the footer (seek-based) — O(footer bytes) regardless of payload
+    size. The scale-side of the split decode: a driver validates blob
+    METADATA here (types, offsets, referenced-data-file properties)
+    while payload bytes are read at their offsets inside tasks."""
+    fsize = os.path.getsize(path)
+    with open(path, "rb") as fh:
+        if fh.read(4) != MAGIC:
+            raise ValueError(f"{path}: not a puffin file (magic mismatch)")
+        fh.seek(fsize - 12)
+        tail = fh.read(12)
+        if tail[-4:] != MAGIC:
+            raise ValueError(f"{path}: not a puffin file (magic mismatch)")
+        if tail[4] & 0x01:
+            raise NotImplementedError(
+                f"{path}: compressed footer payload (flags bit 0) not supported"
+            )
+        (size,) = struct.unpack("<i", tail[:4])
+        payload_end = fsize - 12
+        fh.seek(payload_end - size - 4)
+        blob = fh.read(size + 4)
+    if blob[:4] != MAGIC:
+        raise ValueError(f"{path}: footer start magic mismatch")
+    footer = json.loads(blob[4:])
+    for bm in footer["blobs"]:
+        if bm.get("compression-codec"):
+            raise NotImplementedError(
+                f"{path}: blob compression {bm['compression-codec']!r} "
+                "not supported"
+            )
+    return footer["blobs"], footer.get("properties", {})
+
+
 def read_puffin(path: str) -> tuple[list[tuple[dict, bytes]], dict]:
     """→ ([(blob_metadata, payload_bytes), ...], file_properties)."""
     with open(path, "rb") as fh:
@@ -254,24 +288,49 @@ def write_deletion_vectors(
     puffin). Returns per data file ``{"offset", "length",
     "cardinality"}`` — what the delete manifest entry records in
     ``content_offset`` / ``content_size_in_bytes``."""
-    blobs = []
-    order = sorted(dvs)
-    for data_file in order:
-        positions = sorted(set(dvs[data_file]))
-        blobs.append(
+    return write_dv_puffin(
+        path,
+        [
+            (df, encode_dv_payload(ps), len(set(ps)))
+            for df, ps in sorted(dvs.items())
+        ],
+        snapshot_id=snapshot_id,
+        seq=seq,
+    )
+
+
+def write_dv_puffin(
+    path: str,
+    blobs: list[tuple[str, bytes, int]],
+    snapshot_id: int = 0,
+    seq: int = 0,
+) -> dict[str, dict]:
+    """Concatenate PRE-ENCODED deletion-vector payloads (built inside
+    Spark tasks via ``encode_dv_payload``) into one puffin file. Input:
+    ``[(referenced data file, payload bytes, cardinality)]``. The
+    driver's work here is O(#referenced files) blob bytes — it never
+    sees a position, which is what keeps v3 DV minting flat in deleted
+    rows at export time. Returns the same per-file
+    ``{"offset", "length", "cardinality"}`` map as
+    ``write_deletion_vectors``."""
+    order = [ref for ref, _, _ in sorted(blobs)]
+    blob_meta, _ = write_puffin(
+        path,
+        [
             {
                 "type": "deletion-vector-v1",
                 "fields": [2147483546, 2147483545],  # pos, file_path reserved ids
                 "snapshot-id": snapshot_id,
                 "sequence-number": seq,
-                "payload": encode_dv_payload(positions),
+                "payload": payload,
                 "properties": {
-                    "referenced-data-file": data_file,
-                    "cardinality": str(len(positions)),
+                    "referenced-data-file": ref,
+                    "cardinality": str(int(card)),
                 },
             }
-        )
-    blob_meta, _ = write_puffin(path, blobs)
+            for ref, payload, card in sorted(blobs)
+        ],
+    )
     return {
         df: {
             "offset": bm["offset"],

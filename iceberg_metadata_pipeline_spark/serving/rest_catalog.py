@@ -726,7 +726,7 @@ class RestCatalogServer:
             for f in spark_schema_to_iceberg(t.schema)[0]["fields"]
         }
         pos_files: list[str] = []
-        dv_pairs: list[tuple[str, int]] = []
+        dv_blobs: list[tuple[str, int, int, str]] = []
         eq_by_ids: dict[tuple, list[str]] = {}
         live: dict = {}
         for mf in manifests:
@@ -756,26 +756,55 @@ class RestCatalogServer:
                     if not os.path.exists(p):
                         return f"delete file {p} does not exist"
                     if str(dfd.get("file_format", "")).upper() == "PUFFIN":
-                        # v3 deletion vectors (round 10): decode the
-                        # roaring blobs driver-side — O(deleted rows)
-                        # commit metadata, the read_iceberg_table
-                        # decode_dvs posture — and fold the (file, pos)
-                        # pairs into the same position-delete commit
+                        # v3 deletion vectors, DISTRIBUTED decode
+                        # (round 11): the driver reads ONLY the puffin
+                        # footer (seek-based, O(footer)) to validate
+                        # magic/types/properties and collect blob
+                        # descriptors; the roaring payloads are decoded
+                        # at their byte offsets inside Spark tasks when
+                        # the commit's position parquet is written
+                        # below — driver memory stays O(#blobs), never
+                        # O(deleted positions). The r10 posture decoded
+                        # every blob driver-side into a Python list.
                         from iceberg_metadata_pipeline_spark.catalog.puffin import (
-                            read_deletion_vectors,
+                            read_puffin_footer,
                         )
 
                         off = dfd.get("content_offset")
                         try:
-                            dvs = read_deletion_vectors(
-                                p, None if off is None else int(off)
-                            )
+                            metas, _props = read_puffin_footer(p)
                         except ValueError as exc:
                             return str(exc)
-                        for ref, positions in dvs:
-                            ref_n = _re.sub(r"^file:/+", "/", str(ref))
-                            dv_pairs.extend(
-                                (ref_n, int(x)) for x in positions
+                        matched = False
+                        for bm in metas:
+                            if bm["type"] != "deletion-vector-v1":
+                                continue
+                            if off is not None and int(bm["offset"]) != int(
+                                off
+                            ):
+                                continue
+                            ref = (bm.get("properties") or {}).get(
+                                "referenced-data-file"
+                            )
+                            if ref is None:
+                                return (
+                                    f"{p}: deletion-vector blob at "
+                                    f"{bm['offset']} lacks the "
+                                    "referenced-data-file property"
+                                )
+                            matched = True
+                            dv_blobs.append(
+                                (
+                                    p,
+                                    int(bm["offset"]),
+                                    int(bm["length"]),
+                                    _re.sub(r"^file:/+", "/", str(ref)),
+                                )
+                            )
+                        if off is not None and not matched:
+                            return (
+                                f"{p}: no deletion-vector blob at "
+                                f"offset {off}"
                             )
                         continue
                     if int(dfd.get("content", 1)) == 2:
@@ -811,18 +840,52 @@ class RestCatalogServer:
         if set(live) - current:
             return "a delete commit cannot add data files"
         removed = current - set(live)
-        if dv_pairs:
-            # decoded DV positions ride the position-delete path: write
-            # them as a parquet the warehouse rewrite validates like any
-            # posted position-delete file
+        if dv_blobs:
+            # DV positions ride the position-delete path: decode each
+            # blob INSIDE a Spark task (seek to its offset, CRC-checked
+            # roaring decode) and write the (file_path, pos) parquet
+            # straight from the distributed frame — the warehouse
+            # rewrite then validates it like any posted position-delete
+            # file. One task per blob; the driver never holds positions.
             import uuid as _uuid
 
             tmp = os.path.join(
                 location, "data", f"dv-decoded-{_uuid.uuid4().hex[:8]}"
             )
-            t.spark.createDataFrame(
-                dv_pairs, "file_path string, pos long"
-            ).write.parquet(tmp)
+
+            def _decode_blobs(batches):
+                import pandas as _pd
+
+                from iceberg_metadata_pipeline_spark.catalog.puffin import (
+                    decode_dv_payload,
+                )
+
+                for pdf in batches:
+                    for pp, boff, bln, ref in zip(
+                        pdf["puffin"], pdf["offset"], pdf["length"], pdf["ref"]
+                    ):
+                        with open(pp, "rb") as fh:
+                            fh.seek(int(boff))
+                            payload = fh.read(int(bln))
+                        positions = decode_dv_payload(payload)
+                        yield _pd.DataFrame(
+                            {
+                                "file_path": [ref] * len(positions),
+                                "pos": [int(x) for x in positions],
+                            }
+                        )
+
+            try:
+                (
+                    t.spark.createDataFrame(
+                        dv_blobs, "puffin string, offset long, length long, ref string"
+                    )
+                    .repartition(min(len(dv_blobs), 32))
+                    .mapInPandas(_decode_blobs, "file_path string, pos long")
+                    .write.parquet(tmp)
+                )
+            except Exception as exc:  # CRC/magic decode errors → 400
+                return f"deletion-vector decode failed: {exc}"
             pos_files.append(tmp)
         row_level = bool(pos_files or eq_by_ids)
         if row_level and removed:
