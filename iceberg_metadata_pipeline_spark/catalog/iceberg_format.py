@@ -465,18 +465,18 @@ def export_iceberg_table(table: Table, dest: str, format_version: int = 2) -> st
         files = table.snapshot_files(snap["snapshot_id"])
         snapshot_id = int(snap["snapshot_id"])
 
-    # O(churn) fast path (round 9): when dest already mirrors this table
-    # and the change since the last export is a PURE APPEND with the
-    # same schema/spec/properties, commit only the new files through
-    # commit_iceberg_append (one new manifest; prior manifests
-    # re-referenced) instead of rewriting the full state — the shape
-    # that makes the REST catalog's per-loadTable re-export O(new files)
-    # on append-only tables.
-    # (delete entries disable it: the live FILE set doesn't move on a
-    # delete-mor commit, so the append-diff would serve a stale mirror
-    # missing the deletes)
-    if format_version == 2 and files and not pos_deletes and not eq_deletes:
-        inc = _try_incremental_export(table, dest, files)
+    # O(churn) fast path (round 9, delete-aware since round 11): when
+    # dest already mirrors this table and the change since the last
+    # export is pure CHURN — new data files, new row-level delete
+    # entries, or both, same schema/spec — commit only the diff (one new
+    # data manifest and/or one new delete manifest; prior manifests
+    # re-referenced verbatim) instead of rewriting the full state. This
+    # is what makes the REST catalog's per-loadTable re-export O(churn)
+    # on append-only AND delete-heavy (CDC/GDPR) tables alike.
+    if format_version == 2 and files:
+        inc = _try_incremental_export(
+            table, dest, files, pos_deletes, eq_deletes
+        )
         if inc is not None:
             return inc
 
@@ -948,11 +948,20 @@ def _claim_metadata_version(
     return meta_path
 
 
-def _try_incremental_export(table: Table, dest: str, files) -> str | None:
-    """Append-only incremental export: returns the new metadata path
+def _try_incremental_export(
+    table: Table, dest: str, files, pos_deletes=(), eq_deletes=()
+) -> str | None:
+    """Churn-only incremental export: returns the new metadata path
     when it applied, None when the full export must run (first export,
-    non-append change, schema/spec/property drift, v3, or anything else
-    this fast path cannot prove safe)."""
+    schema/spec/property drift, v3, files vanished/rewritten, delete
+    entries vanished/changed, or anything else this fast path cannot
+    prove safe). Handles PURE APPENDS (round 9: one new data manifest
+    via commit_iceberg_append) and, since round 11, ROW-LEVEL DELETE
+    churn: a delete-mor commit re-exports as ONE new delete manifest
+    (plus a data manifest when files also appended) with the TABLE's
+    own sequence numbers, prior manifests re-referenced verbatim — the
+    REST mirror refresh stays O(churn) on CDC/GDPR delete workloads
+    instead of re-exporting all metadata per delete commit."""
     if not os.path.isdir(os.path.join(dest, "metadata")):
         return None
     try:
@@ -960,8 +969,10 @@ def _try_incremental_export(table: Table, dest: str, files) -> str | None:
     except (OSError, ValueError, KeyError, json.JSONDecodeError):
         return None
     md = info.metadata
-    if md.get("format-version") != 2 or info.delete_files:
+    if md.get("format-version") != 2:
         return None
+    if any(d.is_dv for d in info.delete_files):
+        return None  # a v2 mirror never mints DVs; foreign state → full
     if md.get("table-uuid") != table.meta.get("table_uuid"):
         return None
     # schema / spec / properties must be unchanged (renames, promotes,
@@ -995,11 +1006,317 @@ def _try_incremental_export(table: Table, dest: str, files) -> str | None:
     if not prior.issubset(set(cur)):
         return None  # files vanished/rewritten: not an append
     new = [f for p, f in sorted(cur.items()) if p not in prior]
-    if not new and not changed:
-        return info.metadata_path  # nothing moved since the last export
-    return commit_iceberg_append(
-        dest, new, extra_properties=changed or None
+
+    # row-level delete diff: the mirror's live delete entries must be a
+    # prefix of the table's (same path, content kind, seq, equality
+    # cols) — compaction/purge shrinks the set and takes the full path.
+    # Zero-row parts are skipped on both sides (the full export skips
+    # them too).
+    from iceberg_metadata_pipeline_spark.ingest.discover import (
+        find_parquet_files,
     )
+
+    import pyarrow.parquet as _pq
+
+    table_seq = int(table.meta.get("last_sequence_number", 0)) or 1
+    want_dels: dict[str, tuple] = {}
+    for d in list(pos_deletes) + list(eq_deletes):
+        content = 1 if d["kind"] == "position" else 2
+        cols = (
+            tuple(sorted(d.get("key_cols") or ())) if content == 2 else ()
+        )
+        d_seq = int(d.get("seq") or table_seq)
+        root = d["path"]
+        parts = find_parquet_files(root) if os.path.isdir(root) else [root]
+        for p in sorted(parts):
+            if _pq.read_metadata(p).num_rows == 0:
+                continue
+            want_dels[os.path.abspath(p)] = (content, d_seq, cols)
+    have_dels = {
+        os.path.abspath(df_.path): (
+            int(df_.content),
+            int(df_.seq),
+            tuple(sorted(df_.equality_cols or ())),
+        )
+        for df_ in info.delete_files
+    }
+    for p, sig in have_dels.items():
+        if want_dels.get(p) != sig:
+            return None  # delete entries vanished/changed: full path
+    new_del_parts = sorted(p for p in want_dels if p not in have_dels)
+
+    if not new and not new_del_parts and not changed:
+        return info.metadata_path  # nothing moved since the last export
+    if not have_dels and not new_del_parts:
+        # pure append on a delete-free mirror: the r9 path (optimistic
+        # concurrency via rebuild-retry)
+        return commit_iceberg_append(
+            dest, new, extra_properties=changed or None
+        )
+    return _commit_incremental_row_delta(
+        table,
+        dest,
+        md,
+        new,
+        [(p, *want_dels[p]) for p in new_del_parts],
+        changed,
+        spec_fields,
+        ice_schema,
+    )
+
+
+def _commit_incremental_row_delta(
+    table: Table,
+    dest: str,
+    md: dict,
+    new_files,
+    new_del_parts: list[tuple],
+    changed_props: dict,
+    spec_fields: list[dict],
+    ice_schema: dict,
+) -> str:
+    """One O(churn) mirror commit carrying new data files and/or new
+    row-level delete entries. Unlike ``commit_iceberg_append`` (which
+    stamps mirror-local sequence numbers), entries here carry the
+    TABLE's own sequence numbers — required so equality deletes keep
+    applying only to data files committed strictly before them when
+    appends and deletes interleave between mirror refreshes. Prior
+    manifests are re-referenced verbatim; the snapshot's sequence
+    number is the table's current one."""
+    meta_dir = os.path.join(dest, "metadata")
+    seq = int(table.meta.get("last_sequence_number", 0)) or 1
+    snapshot_id = uuid.uuid4().int & 0x7FFFFFFFFFFFFFFF
+    now_ms = int(time.time() * 1000)
+    commit_uuid = str(uuid.uuid4())
+    source_ids = {f["name"]: f["id"] for f in ice_schema["fields"]}
+    cur_id = md.get("current-schema-id", 0)
+    ice_spec = next(
+        s["fields"]
+        for s in md.get("partition-specs", [{"spec-id": 0, "fields": []}])
+        if s.get("spec-id", 0) == md.get("default-spec-id", 0)
+    )
+
+    new_mlist_entries: list[dict] = []
+    if new_files:
+        manifest_path = os.path.join(meta_dir, f"{commit_uuid}-m0.avro")
+        entries = [
+            {
+                "status": 1,
+                "snapshot_id": snapshot_id,
+                "sequence_number": int(f.seq or seq),
+                "file_sequence_number": int(f.seq or seq),
+                "data_file": {
+                    "content": 0,
+                    "file_path": os.path.abspath(f.path),
+                    "file_format": f.format or "PARQUET",
+                    "partition": {
+                        pf["name"]: _typed_partition_value(
+                            (f.partition or {}).get(pf["name"]),
+                            pf["source_type"],
+                        )
+                        for pf in spec_fields
+                    },
+                    "record_count": int(f.record_count),
+                    "file_size_in_bytes": int(f.file_size_bytes),
+                },
+            }
+            for f in new_files
+        ]
+        avro_io.write_container(
+            manifest_path,
+            manifest_entry_schema(spec_fields, 2),
+            entries,
+            extra_meta={
+                "schema": json.dumps(
+                    ice_schema, separators=(",", ":")
+                ).encode(),
+                "schema-id": str(cur_id).encode(),
+                "partition-spec": json.dumps(
+                    ice_spec, separators=(",", ":")
+                ).encode(),
+                "partition-spec-id": str(
+                    md.get("default-spec-id", 0)
+                ).encode(),
+                "format-version": b"2",
+                "content": b"data",
+            },
+        )
+        seqs = [int(e["sequence_number"]) for e in entries]
+        new_mlist_entries.append(
+            {
+                "manifest_path": os.path.abspath(manifest_path),
+                "manifest_length": os.path.getsize(manifest_path),
+                "partition_spec_id": md.get("default-spec-id", 0),
+                "content": 0,
+                "sequence_number": max(seqs),
+                "min_sequence_number": min(seqs),
+                "added_snapshot_id": snapshot_id,
+                "added_files_count": len(entries),
+                "existing_files_count": 0,
+                "deleted_files_count": 0,
+                "added_rows_count": sum(
+                    int(e["data_file"]["record_count"]) for e in entries
+                ),
+                "existing_rows_count": 0,
+                "deleted_rows_count": 0,
+            }
+        )
+
+    del_spec_id = 0 if not spec_fields else 1
+    if new_del_parts:
+        import pyarrow.parquet as _pq
+
+        del_entries = []
+        for p, content, d_seq, cols in new_del_parts:
+            eq_extra = {}
+            if content == 2:
+                bad = [c for c in cols if c not in source_ids]
+                if bad:
+                    raise ValueError(
+                        f"equality delete keys {bad} not in the exported "
+                        "schema"
+                    )
+                eq_extra = {"equality_ids": [source_ids[c] for c in cols]}
+            del_entries.append(
+                {
+                    "status": 1,
+                    "snapshot_id": snapshot_id,
+                    "sequence_number": int(d_seq),
+                    "file_sequence_number": int(d_seq),
+                    "data_file": {
+                        "content": content,
+                        "file_path": p,
+                        "file_format": "PARQUET",
+                        "partition": {},
+                        "record_count": int(_pq.read_metadata(p).num_rows),
+                        "file_size_in_bytes": os.path.getsize(p),
+                        **eq_extra,
+                    },
+                }
+            )
+        del_manifest = os.path.join(meta_dir, f"{commit_uuid}-d0.avro")
+        avro_io.write_container(
+            del_manifest,
+            manifest_entry_schema([], 2),
+            del_entries,
+            extra_meta={
+                "schema": json.dumps(
+                    ice_schema, separators=(",", ":")
+                ).encode(),
+                "schema-id": str(cur_id).encode(),
+                "partition-spec": b"[]",
+                "partition-spec-id": str(del_spec_id).encode(),
+                "format-version": b"2",
+                "content": b"deletes",
+            },
+        )
+        seqs = [int(e["sequence_number"]) for e in del_entries]
+        new_mlist_entries.append(
+            {
+                "manifest_path": os.path.abspath(del_manifest),
+                "manifest_length": os.path.getsize(del_manifest),
+                "partition_spec_id": del_spec_id,
+                "content": 1,
+                "sequence_number": max(seqs),
+                "min_sequence_number": min(seqs),
+                "added_snapshot_id": snapshot_id,
+                "added_files_count": len(del_entries),
+                "existing_files_count": 0,
+                "deleted_files_count": 0,
+                "added_rows_count": sum(
+                    int(e["data_file"]["record_count"]) for e in del_entries
+                ),
+                "existing_rows_count": 0,
+                "deleted_rows_count": 0,
+            }
+        )
+
+    # carry prior manifests verbatim (normalized to our list schema)
+    carried: list[dict] = []
+    prev_snap_id = md.get("current-snapshot-id")
+    if prev_snap_id in (None, -1):
+        prev_snap_id = None
+    prev_total_rows = prev_total_files = 0
+    if prev_snap_id is not None:
+        prev_snap = next(
+            s
+            for s in md["snapshots"]
+            if int(s["snapshot-id"]) == int(prev_snap_id)
+        )
+        prev_total_rows = int(
+            prev_snap.get("summary", {}).get("total-records", 0)
+        )
+        prev_total_files = int(
+            prev_snap.get("summary", {}).get("total-data-files", 0)
+        )
+        mlist = _clean_path(prev_snap["manifest-list"])
+        if not os.path.isabs(mlist):
+            mlist = os.path.join(meta_dir, os.path.basename(mlist))
+        _, _, prev_entries = avro_io.read_container(mlist)
+        keep = [f2["name"] for f2 in manifest_list_schema(2)["fields"]]
+        carried = [{k: e.get(k) for k in keep} for e in prev_entries]
+
+    mlist_path = os.path.join(
+        meta_dir, f"snap-{snapshot_id}-1-{commit_uuid}.avro"
+    )
+    avro_io.write_container(
+        mlist_path,
+        manifest_list_schema(2),
+        new_mlist_entries + carried,
+        extra_meta={
+            "format-version": b"2",
+            "snapshot-id": str(snapshot_id).encode(),
+            "parent-snapshot-id": str(prev_snap_id or "null").encode(),
+            "sequence-number": str(seq).encode(),
+        },
+    )
+
+    new_rows = sum(int(f.record_count) for f in new_files)
+    snapshot = {
+        "snapshot-id": snapshot_id,
+        **(
+            {"parent-snapshot-id": int(prev_snap_id)} if prev_snap_id else {}
+        ),
+        "sequence-number": seq,
+        "timestamp-ms": now_ms,
+        "manifest-list": os.path.abspath(mlist_path),
+        "summary": {
+            "operation": "overwrite" if new_del_parts else "append",
+            "added-data-files": str(len(new_files)),
+            "added-delete-files": str(len(new_del_parts)),
+            "added-records": str(new_rows),
+            "total-records": str(prev_total_rows + new_rows),
+            "total-data-files": str(prev_total_files + len(new_files)),
+        },
+        "schema-id": cur_id,
+    }
+
+    new_md = dict(md)
+    new_md["last-sequence-number"] = max(
+        seq, int(md.get("last-sequence-number", 0))
+    )
+    new_md["last-updated-ms"] = now_ms
+    new_md["current-snapshot-id"] = snapshot_id
+    new_md["snapshots"] = list(md.get("snapshots", [])) + [snapshot]
+    new_md["snapshot-log"] = list(md.get("snapshot-log", [])) + [
+        {"timestamp-ms": now_ms, "snapshot-id": snapshot_id}
+    ]
+    if new_del_parts and spec_fields and not any(
+        s.get("spec-id") == 1 for s in md.get("partition-specs", [])
+    ):
+        # cross-partition delete files ride an extra empty spec on
+        # partitioned tables (mirrors the full export)
+        new_md["partition-specs"] = list(md.get("partition-specs", [])) + [
+            {"spec-id": 1, "fields": []}
+        ]
+    if changed_props:
+        props = dict(md.get("properties", {}))
+        props.update({str(k): str(v) for k, v in changed_props.items()})
+        new_md["properties"] = props
+    refs = dict(md.get("refs", {}))
+    refs["main"] = {"snapshot-id": snapshot_id, "type": "branch"}
+    new_md["refs"] = refs
+    return _write_metadata_version(dest, new_md)
 
 
 def _write_metadata_version(location: str, metadata: dict) -> str:
