@@ -44,6 +44,7 @@ from __future__ import annotations
 import functools
 import json
 import os
+import re
 import time
 import uuid
 from dataclasses import dataclass, field
@@ -1383,8 +1384,31 @@ class Table:
         if not position_paths and not equality_groups:
             raise ValueError("add_foreign_delete_files: no delete files")
         head = self._branch_head(branch)
-        field_names = set(self.schema.fieldNames())
+        plans = self._plan_foreign_deletes(position_paths, equality_groups, head)
+        entries = []
+        for src, template in plans:
+            delete_dir = os.path.join(
+                self.location, "deletes", uuid.uuid4().hex[:12]
+            )
+            src.write.mode("errorifexists").parquet(delete_dir)
+            if scan_parquet_footers(delete_dir):
+                entries.append(dict(template, path=delete_dir))
+        return self._commit(
+            "delete-mor", [], added_deletes=entries, branch=branch
+        )
+
+    def _plan_foreign_deletes(
+        self,
+        position_paths: list[str],
+        equality_groups,
+        head,
+    ) -> list[tuple]:
+        """Validate foreign delete files and build (source DataFrame,
+        entry template) plans — every validation runs here, BEFORE any
+        write, so callers (add_foreign_delete_files and the maintenance
+        verb replace_delete_files) stay atomic-or-refused."""
         plans = []  # (src_df, entry_template) — validated, not yet written
+        field_names = set(self.schema.fieldNames())
         if position_paths:
             live = sorted(
                 {f.path for f in self.snapshot_files(snapshot_id=head)}
@@ -1467,7 +1491,81 @@ class Table:
             plans.append(
                 (eq_src, {"kind": "equality", "key_cols": list(key_cols)})
             )
-        entries = []
+        return plans
+
+    def replace_delete_files(
+        self,
+        removed_paths: list[str],
+        position_paths: list[str] = (),
+        equality_groups: list[tuple] = (),
+        branch: str | None = None,
+    ) -> int:
+        """Delete-file MAINTENANCE as ONE atomic commit — the shape a
+        foreign engine's ``rewrite_position_delete_files`` / DV
+        consolidation posts through the REST catalog (round 11, the
+        last writer-verb gap): drop the delete files named in
+        ``removed_paths`` from the live MOR set and (optionally)
+        register replacement files in the same snapshot.
+
+        Removals resolve at ENTRY granularity: each removed path must
+        belong to a live position/equality entry, and every part of
+        that entry must be removed together — a maintenance commit that
+        splits an entry (removes some parts, keeps others) refuses with
+        nothing applied, as does a path not live in the delete set.
+        Kept entries carry their original sequence numbers; replacement
+        files validate exactly like add_foreign_delete_files (position
+        refs must be live data files; equality keys must resolve).
+        Scans after the commit pay only the kept+new entries."""
+        from iceberg_metadata_pipeline_spark.ingest.discover import (
+            find_parquet_files,
+        )
+
+        if not removed_paths:
+            raise ValueError("replace_delete_files: nothing to remove")
+        head = self._branch_head(branch)
+        cur = self._select_snapshot(head, None)
+        deletes = self._resolve_deletes(cur) if cur is not None else []
+        removed = {
+            os.path.abspath(re.sub(r"^file:/+", "/", str(p)))
+            for p in removed_paths
+        }
+        kept, dropped = [], []
+        for d in deletes:
+            root = d.get("path")
+            if not root:  # predicate entries have no file to remove
+                kept.append(d)
+                continue
+            parts = {
+                os.path.abspath(p)
+                for p in (
+                    find_parquet_files(root) if os.path.isdir(root) else [root]
+                )
+            }
+            hit = parts & removed
+            if not hit:
+                kept.append(d)
+            elif hit == parts:
+                dropped.append(d)
+                removed -= hit
+            else:
+                raise ValueError(
+                    f"maintenance commit splits delete entry {root!r} "
+                    f"(removes {len(hit)} of {len(parts)} parts) — an "
+                    "entry's files retire together"
+                )
+        if removed:
+            raise ValueError(
+                "removed delete file(s) not live in the current delete "
+                f"set (first: {sorted(removed)[0]!r})"
+            )
+        plans = (
+            self._plan_foreign_deletes(
+                list(position_paths), list(equality_groups), head
+            )
+            if (position_paths or equality_groups)
+            else []
+        )
+        entries = list(kept)
         for src, template in plans:
             delete_dir = os.path.join(
                 self.location, "deletes", uuid.uuid4().hex[:12]
@@ -1476,7 +1574,11 @@ class Table:
             if scan_parquet_footers(delete_dir):
                 entries.append(dict(template, path=delete_dir))
         return self._commit(
-            "delete-mor", [], added_deletes=entries, branch=branch
+            "delete-maintenance",
+            [],
+            added_deletes=entries,
+            clears_deletes=True,
+            branch=branch,
         )
 
     def update_set_mor(

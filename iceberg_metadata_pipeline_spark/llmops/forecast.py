@@ -379,8 +379,71 @@ def forecast_ewma_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
 # 1.0's list_reduce evaluates later struct fields against a MUTATED
 # accumulator ((a,e) -> {'l': a.l+e.l, 'b': a.b+a.l} over
 # [(10,0),(20,0),(30,0)] returns b=70, correct fold gives 40) — so
-# coupled-state recurrences stay rows-only; single-double states (EWMA
-# above) are exactly reproducible.
+# list_reduce cannot carry coupled state. Round 11 closes the gap a
+# different way (below): UNROLL the fixed-horizon recurrence into a
+# generated chain of projection CTEs whose text is IDENTICAL in both
+# engines — every step is the same IEEE double expression evaluated in
+# the same order, so the oracle is exact with no folds involved.
+
+
+def _holt_linear_sql(n: int = 12) -> str:
+    """Holt's linear method (alpha=beta=1/2) over each event type's
+    first ``n`` daily counts, UNROLLED: the coupled recurrence
+        l_t = 0.5*x_t + 0.5*(l_{t-1} + b_{t-1})
+        b_t = 0.5*(l_t - l_{t-1}) + 0.5*b_{t-1}     (l_1=x_1, b_1=x_2-x_1)
+    becomes 2(n-1) chained projection CTEs over a 1-row-per-type pivot.
+    The SAME string runs on Spark and DuckDB (ANSI subset), so every
+    intermediate double is bit-identical — the round-11 answer to the
+    DuckDB list_reduce struct-mutation bug that blocks fold-encoded
+    coupled state.
+
+    Scale: ONE hash aggregate per (type, day) then one per type (the
+    n-day pivot); the CTE chain is pure per-row projection — no
+    shuffles, no windows over rows, bounded by the calendar horizon."""
+    xs = ", ".join(
+        f"MAX(CASE WHEN r = {i} THEN x END) AS x{i}" for i in range(1, n + 1)
+    )
+    ctes = [
+        """daily AS (
+  SELECT event_type, CAST(ts AS DATE) AS d,
+         CAST(COUNT(*) AS DOUBLE) AS x
+  FROM events GROUP BY event_type, CAST(ts AS DATE)
+)""",
+        """ranked AS (
+  SELECT event_type, x,
+         ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY d) AS r
+  FROM daily
+)""",
+        f"""piv AS (
+  SELECT event_type, {xs}
+  FROM ranked WHERE r <= {n} GROUP BY event_type
+)""",
+        "s1 AS (SELECT *, x1 AS l1, x2 - x1 AS b1 FROM piv)",
+    ]
+    for t in range(2, n + 1):
+        p = t - 1
+        src = "s1" if t == 2 else f"t{p}"
+        ctes.append(
+            f"s{t} AS (SELECT *, 0.5E0 * x{t} + 0.5E0 * (l{p} + b{p}) "
+            f"AS l{t} FROM {src})"
+        )
+        ctes.append(
+            f"t{t} AS (SELECT *, 0.5E0 * (l{t} - l{p}) + 0.5E0 * b{p} "
+            f"AS b{t} FROM s{t})"
+        )
+    return (
+        "WITH "
+        + ",\n".join(ctes)
+        + f"""
+SELECT event_type, l{n} AS level, b{n} AS trend,
+       l{n} + b{n} AS forecast_next
+FROM t{n}
+ORDER BY event_type
+"""
+    )
+
+
+sql_query("forecast_holt_linear_daily", _holt_linear_sql())
 
 
 # seasonal profile (round 10 wave 3): multiplicative month-of-year

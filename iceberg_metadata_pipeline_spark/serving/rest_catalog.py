@@ -701,13 +701,16 @@ class RestCatalogServer:
         ``equality_ids`` resolve against the served schema), which map
         onto metacat's MOR entries through
         Table.add_foreign_delete_files (one atomic commit); PUFFIN
-        deletion vectors decode driver-side (O(deleted rows), the
-        decode_dvs posture) and ride the same position path; a
-        copy-on-write delete that drops whole files (DELETED data
+        deletion vectors decode INSIDE Spark tasks (round 11 — the
+        driver reads only the footer) and ride the same position path;
+        a copy-on-write delete that drops whole files (DELETED data
         entries / dropped manifests) maps onto a pure-removal
-        replace_files. Delete-file REMOVALS (that's a
-        rewrite_position_delete_files maintenance shape) and mixed
-        row-level+whole-file commits refuse with nothing applied.
+        replace_files; delete-file REMOVALS (status=2 entries in a
+        delete manifest — the rewrite_position_delete_files /
+        DV-maintenance shape) route with any replacement files through
+        Table.replace_delete_files as ONE delete-maintenance commit
+        (round 11, the last writer-verb gap). Mixed
+        row-level+whole-file commits still refuse with nothing applied.
         Returns an error string or None."""
         import re as _re
 
@@ -728,6 +731,7 @@ class RestCatalogServer:
         pos_files: list[str] = []
         dv_blobs: list[tuple[str, int, int, str]] = []
         eq_by_ids: dict[tuple, list[str]] = {}
+        removed_delete_files: list[str] = []
         live: dict = {}
         for mf in manifests:
             if int(mf.get("content", 0)) == 1:
@@ -742,11 +746,20 @@ class RestCatalogServer:
                 for e in recs:
                     status = int(e.get("status", 0))
                     if status == 2:
-                        return (
-                            "removing delete files is not served — "
-                            "position-delete maintenance runs through the "
-                            "warehouse's rewrite_position_delete_files"
+                        # delete-file REMOVAL (round 11): the shape a
+                        # foreign engine's rewrite_position_delete_files
+                        # / DV-maintenance commit posts. Collect the
+                        # path; the batch routes through metacat's
+                        # replace_delete_files (entry-granular, atomic
+                        # with any replacement files in this commit).
+                        dfd = e["data_file"]
+                        rp = _re.sub(
+                            r"^file:/+", "/", str(dfd["file_path"])
                         )
+                        if not os.path.isabs(rp):
+                            rp = os.path.join(location, rp)
+                        removed_delete_files.append(rp)
+                        continue
                     if status != 1:
                         continue  # EXISTING: already registered
                     dfd = e["data_file"]
@@ -887,7 +900,7 @@ class RestCatalogServer:
             except Exception as exc:  # CRC/magic decode errors → 400
                 return f"deletion-vector decode failed: {exc}"
             pos_files.append(tmp)
-        row_level = bool(pos_files or eq_by_ids)
+        row_level = bool(pos_files or eq_by_ids or removed_delete_files)
         if row_level and removed:
             return (
                 "mixed delete commit (row-level delete files AND whole-file "
@@ -910,9 +923,19 @@ class RestCatalogServer:
                     )
                     for ids, paths in sorted(eq_by_ids.items())
                 ]
-                t.add_foreign_delete_files(
-                    sorted(set(pos_files)), eq_groups
-                )
+                if removed_delete_files:
+                    # maintenance: removals (+ any replacements in this
+                    # commit) apply as ONE atomic delete-maintenance
+                    # snapshot through replace_delete_files
+                    t.replace_delete_files(
+                        sorted(set(removed_delete_files)),
+                        sorted(set(pos_files)),
+                        eq_groups,
+                    )
+                else:
+                    t.add_foreign_delete_files(
+                        sorted(set(pos_files)), eq_groups
+                    )
             else:
                 t.replace_files([], removed, operation="delete")
         except ValueError as exc:

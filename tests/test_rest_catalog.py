@@ -1269,3 +1269,237 @@ def test_commit_table_remove_snapshots(spark, server, tmp_path):
     assert sorted(
         r.id for r in catalog.load_table("ex", "t").scan().collect()
     ) == [1, 2, 3, 4]
+
+
+def test_commit_table_delete_maintenance(spark, server, tmp_path):
+    """Round 11 (verdict item 3, the last writer-verb gap): a foreign
+    engine's rewrite_position_delete_files maintenance commit — DELETE
+    manifest entries with status=2 removing prior delete files, plus a
+    consolidated replacement in the same commit — applies as ONE atomic
+    delete-maintenance snapshot: purged entries gone, scan identical,
+    replay 409s, a removal naming a non-live delete file refuses with
+    nothing applied."""
+    import os
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from iceberg_metadata_pipeline_spark.catalog import avro_io
+    from iceberg_metadata_pipeline_spark.catalog.iceberg_format import (
+        manifest_entry_schema,
+        manifest_list_schema,
+    )
+
+    catalog, srv, base = server
+    _req(f"{base}/v1/namespaces", "POST", {"namespace": ["dm"]})
+    _req(
+        f"{base}/v1/namespaces/dm/tables",
+        "POST",
+        {
+            "name": "t",
+            "schema": {
+                "type": "struct",
+                "schema-id": 0,
+                "fields": [
+                    {"id": 1, "name": "id", "required": False, "type": "long"}
+                ],
+            },
+        },
+    )
+    url = f"{base}/v1/namespaces/dm/tables/t"
+    t = catalog.load_table("dm", "t")
+    t.append_dataframe(
+        spark.createDataFrame([(i,) for i in range(4)], "id long").coalesce(1)
+    )
+    t.append_dataframe(
+        spark.createDataFrame(
+            [(i,) for i in range(10, 14)], "id long"
+        ).coalesce(1)
+    )
+    # two separate position-delete commits through the WAREHOUSE API ->
+    # two live MOR entries (what maintenance will consolidate)
+    files = sorted(f.path for f in t.snapshot_files())
+    victims = set()
+    for i, (f, pos) in enumerate([(files[0], 1), (files[1], 0)]):
+        victims.add(int(pq.read_table(f)["id"][pos].as_py()))
+        dp = str(tmp_path / f"dm-d{i}.parquet")
+        pq.write_table(
+            pa.table(
+                {
+                    "file_path": pa.array([f], pa.string()),
+                    "pos": pa.array([pos], pa.int64()),
+                }
+            ),
+            dp,
+        )
+        t.add_position_delete_files([dp])
+    expect = sorted({0, 1, 2, 3, 10, 11, 12, 13} - victims)
+    assert sorted(r.id for r in t.scan().collect()) == expect
+    assert len(t._resolve_deletes(t.current_snapshot)) == 2
+
+    # refresh the mirror; it serves TWO content=1 delete files
+    code, out = _req(url)
+    assert code == 200
+    location = out["metadata"]["location"]
+    meta_dir = os.path.join(location, "metadata")
+    info = read_iceberg_table(location, decode_dvs=False)
+    old_parts = sorted(d.path for d in info.delete_files)
+    assert len(old_parts) == 2
+    cur_sid = out["metadata"]["current-snapshot-id"]
+    snap = next(
+        s
+        for s in out["metadata"]["snapshots"]
+        if s["snapshot-id"] == cur_sid
+    )
+    _, _, mrows = avro_io.read_container(snap["manifest-list"])
+    data_manifests = [
+        dict(r) for r in mrows if int(r.get("content") or 0) == 0
+    ]
+
+    def post_maintenance(tag, remove_parts, replacement_rows, req_sid=None):
+        sid = 8100 + hash(tag) % 800
+        entries = [
+            {
+                "status": 2,
+                "snapshot_id": sid,
+                "sequence_number": 9,
+                "data_file": {
+                    "content": 1,
+                    "file_path": p,
+                    "file_format": "PARQUET",
+                    "partition": {},
+                    "record_count": 1,
+                    "file_size_in_bytes": 1,
+                },
+            }
+            for p in remove_parts
+        ]
+        if replacement_rows:
+            rp = str(tmp_path / f"{tag}-consolidated.parquet")
+            pq.write_table(
+                pa.table(
+                    {
+                        "file_path": pa.array(
+                            [r[0] for r in replacement_rows], pa.string()
+                        ),
+                        "pos": pa.array(
+                            [r[1] for r in replacement_rows], pa.int64()
+                        ),
+                    }
+                ),
+                rp,
+            )
+            entries.append(
+                {
+                    "status": 1,
+                    "snapshot_id": sid,
+                    "sequence_number": 9,
+                    "data_file": {
+                        "content": 1,
+                        "file_path": rp,
+                        "file_format": "PARQUET",
+                        "partition": {},
+                        "record_count": len(replacement_rows),
+                        "file_size_in_bytes": os.path.getsize(rp),
+                    },
+                }
+            )
+        mpath = os.path.join(meta_dir, f"{tag}-d0.avro")
+        avro_io.write_container(mpath, manifest_entry_schema([]), entries)
+        mlist = os.path.join(meta_dir, f"snap-{sid}-{tag}.avro")
+        avro_io.write_container(
+            mlist,
+            manifest_list_schema(),
+            data_manifests
+            + [
+                {
+                    "manifest_path": mpath,
+                    "manifest_length": os.path.getsize(mpath),
+                    "partition_spec_id": 0,
+                    "content": 1,
+                    "sequence_number": 9,
+                    "min_sequence_number": 9,
+                    "added_snapshot_id": sid,
+                    "added_files_count": 1,
+                    "existing_files_count": 0,
+                    "deleted_files_count": len(remove_parts),
+                    "added_rows_count": len(replacement_rows or ()),
+                    "existing_rows_count": 0,
+                    "deleted_rows_count": len(remove_parts),
+                }
+            ],
+        )
+        commit = {
+            "requirements": [
+                {
+                    "type": "assert-ref-snapshot-id",
+                    "ref": "main",
+                    "snapshot-id": req_sid
+                    if req_sid is not None
+                    else int(
+                        catalog.load_table("dm", "t").current_snapshot[
+                            "snapshot_id"
+                        ]
+                    ),
+                }
+            ],
+            "updates": [
+                {
+                    "action": "add-snapshot",
+                    "snapshot": {
+                        "snapshot-id": sid,
+                        "timestamp-ms": 1700000003000,
+                        "manifest-list": mlist,
+                        "summary": {"operation": "delete"},
+                    },
+                },
+                {
+                    "action": "set-snapshot-ref",
+                    "ref-name": "main",
+                    "type": "branch",
+                    "snapshot-id": sid,
+                },
+            ],
+        }
+        try:
+            return _req(url, "POST", commit), commit
+        except urllib.error.HTTPError as e:
+            return (e.code, None), commit
+
+    # a removal naming a NON-LIVE delete file refuses, nothing applied
+    (code, _), _ = post_maintenance(
+        "mbad", ["/nope/gone-delete.parquet"], []
+    )
+    assert code == 400
+    t = catalog.load_table("dm", "t")
+    assert len(t._resolve_deletes(t.current_snapshot)) == 2
+
+    # the real maintenance shape: remove both entries, add ONE
+    # consolidated replacement covering the same pairs
+    pairs = []
+    for p in old_parts:
+        tt = pq.read_table(p)
+        pairs.extend(
+            zip(tt["file_path"].to_pylist(), tt["pos"].to_pylist())
+        )
+    (code, _), commit = post_maintenance("mok", old_parts, pairs)
+    assert code == 200
+    t = catalog.load_table("dm", "t")
+    live = t._resolve_deletes(t.current_snapshot)
+    assert len(live) == 1  # consolidated
+    assert sorted(r.id for r in t.scan().collect()) == expect  # identical
+    # replaying the same commit against the moved ref -> 409
+    assert _status_of(url, "POST", commit) == 409
+
+    # the refreshed mirror's .delete_files carries ONE entry now
+    code, _ = _req(url)
+    assert code == 200
+    info2 = read_iceberg_table(location, decode_dvs=False)
+    assert len(info2.delete_files) == 1
+    from iceberg_metadata_pipeline_spark.ingest.pyice_source import (
+        register as register_pyice,
+    )
+
+    register_pyice(spark)
+    back = spark.read.format("pyice").load(location)
+    assert sorted(r.id for r in back.collect()) == expect
