@@ -436,6 +436,7 @@ def export_iceberg_table(table: Table, dest: str, format_version: int = 2) -> st
     snap = table.current_snapshot
     pos_deletes: list[dict] = []
     eq_deletes: list[dict] = []
+    predicates: list[dict] = []
     if snap is None:
         files: list[DataFileEntry] = []
         snapshot_id = None
@@ -450,13 +451,53 @@ def export_iceberg_table(table: Table, dest: str, format_version: int = 2) -> st
         pos_deletes = [d for d in deletes if d["kind"] == "position"]
         eq_deletes = [d for d in deletes if d["kind"] == "equality"]
         other = [d for d in deletes if d["kind"] not in ("position", "equality")]
-        if other:
+        predicates = [d for d in other if d["kind"] == "predicate"]
+        unknown = [d for d in other if d["kind"] != "predicate"]
+        if unknown:
             raise ValueError(
-                f"{len(other)} unresolved PREDICATE merge-on-read delete "
-                "entries; run rewrite_data_files() (compaction folds "
-                "deletes into data) before export — only position/equality "
-                "deletes have an Iceberg encoding"
+                f"{len(unknown)} unresolved merge-on-read delete entries of "
+                f"kinds {sorted({d['kind'] for d in unknown})}; run "
+                "rewrite_data_files() before export"
             )
+        if predicates:
+            # PREDICATE entries have no Iceberg spec encoding — an
+            # expression delete is metacat-internal. Instead of refusing
+            # (the r10 posture), MATERIALIZE each one as a
+            # position-delete parquet: run the predicate ONCE,
+            # distributed, over the files it applies to (seq-gated) and
+            # emit the matched (file, pos) pairs — exactly the rows the
+            # expression deletes, now in the spec's own encoding. The
+            # parquet lands under the EXPORT's data dir (the table is
+            # not mutated); v3 exports fold these into minted DVs like
+            # any other position entry.
+            from pyspark.sql import functions as F
+
+            os.makedirs(os.path.join(dest, "data"), exist_ok=True)
+            all_files = table.snapshot_files(snap["snapshot_id"])
+            for d in predicates:
+                applicable = [
+                    f
+                    for f in all_files
+                    if d.get("seq") is None or f.seq < d["seq"]
+                ]
+                if not applicable:
+                    continue
+                src = table._read_files(applicable, with_lineage=True)
+                positions = src.filter(
+                    F.coalesce(F.expr(d["expr"]), F.lit(False))
+                ).select(
+                    F.regexp_replace(
+                        F.col("__file"), r"^file:/+", "/"
+                    ).alias("file_path"),
+                    F.col("__pos").alias("pos"),
+                )
+                out_dir = os.path.join(
+                    dest, "data", "pred-" + uuid.uuid4().hex[:12]
+                )
+                positions.write.mode("errorifexists").parquet(out_dir)
+                pos_deletes.append(
+                    {"kind": "position", "path": out_dir, "seq": d.get("seq")}
+                )
         # v3 MINTS deletion vectors from position entries (round 10):
         # the spec requires DVs instead of position-delete parquets in
         # v3, and write_deletion_vectors produces the puffin — handled
@@ -473,7 +514,9 @@ def export_iceberg_table(table: Table, dest: str, format_version: int = 2) -> st
     # re-referenced verbatim) instead of rewriting the full state. This
     # is what makes the REST catalog's per-loadTable re-export O(churn)
     # on append-only AND delete-heavy (CDC/GDPR) tables alike.
-    if format_version == 2 and files:
+    # (predicate entries disable it: each export materializes them into
+    # fresh uuid-pathed parquets, so the mirror diff can never match)
+    if format_version == 2 and files and not predicates:
         inc = _try_incremental_export(
             table, dest, files, pos_deletes, eq_deletes
         )

@@ -317,12 +317,24 @@ def test_import_into_second_catalog(spark, metacat_table, tmp_path):
     assert not glob.glob(str(tmp_path / "wh2" / "**" / "*.parquet"), recursive=True)
 
 
-def test_export_refuses_pending_mor_deletes(spark, metacat_table, tmp_path):
+def test_export_materializes_pending_mor_deletes(spark, metacat_table, tmp_path):
     _, t = metacat_table
     t.delete_where_mor("id < 5")
-    with pytest.raises(ValueError, match="merge-on-read"):
-        export_iceberg_table(t, str(tmp_path / "nope"))
-    # compaction folds the deletes into data, unblocking export
+    # round 11: a predicate entry MATERIALIZES at export (one
+    # distributed run of the predicate -> position-delete manifest)
+    # instead of refusing
+    dest0 = str(tmp_path / "ice_pred")
+    export_iceberg_table(t, dest0)
+    info0 = read_iceberg_table(dest0)
+    assert [d for d in info0.delete_files if d.content == 1]
+    from iceberg_metadata_pipeline_spark.ingest.pyice_source import register
+
+    register(spark)
+    back0 = spark.read.format("pyice").load(dest0)
+    assert back0.filter("id < 5").count() == 0
+    assert back0.count() == t.scan().count()
+    # compaction folds the deletes into data; the export then carries
+    # no delete manifest at all
     t.rewrite_data_files()
     dest = str(tmp_path / "ice_after_fold")
     export_iceberg_table(t, dest)

@@ -166,10 +166,21 @@ def test_export_position_deletes_roundtrip(spark, table, tmp_path):
     back3 = spark.read.format("pyice").load(str(tmp_path / "ice3"))
     assert sorted(r.id for r in back3.collect()) == expect
 
-    # predicate deletes still refuse v2 export
+    # predicate deletes MATERIALIZE at export (round 11): the predicate
+    # runs once, distributed, and its matched (file, pos) pairs ride a
+    # position-delete manifest — the refusal is gone
     t.delete_where_mor("id = 0")
-    with pytest.raises(ValueError, match="PREDICATE"):
-        export_iceberg_table(t, str(tmp_path / "ice4"))
+    export_iceberg_table(t, str(tmp_path / "ice4"))
+    back4 = spark.read.format("pyice").load(str(tmp_path / "ice4"))
+    assert sorted(r.id for r in back4.collect()) == sorted(
+        set(expect) - {0}
+    )
+    # and v3 folds the materialized predicate into minted DVs
+    export_iceberg_table(t, str(tmp_path / "ice5"), format_version=3)
+    back5 = spark.read.format("pyice").load(str(tmp_path / "ice5"))
+    assert sorted(r.id for r in back5.collect()) == sorted(
+        set(expect) - {0}
+    )
 
 
 def test_export_position_deletes_partitioned_extra_spec(spark, tmp_path):
