@@ -58,17 +58,42 @@ class FileMetricsRepository:
         return spark.read.json(self.path)
 
 
+def _require_bounded(
+    fn_name: str, partition_cols, bounded_input: bool
+) -> None:
+    """Refuse an UNPARTITIONED, UNDECLARED window: at scale it compiles
+    to a single-task global sort over every row. The caller either
+    partitions or asserts the input is a bounded series (a daily/hourly
+    aggregate, a metric history) — making the O(rows)-on-one-task
+    contract explicit instead of implicit (r10 VERDICT #3)."""
+    if not partition_cols and not bounded_input:
+        raise ValueError(
+            f"{fn_name}: no partition_cols and input not declared bounded "
+            "— an unpartitioned window is a single-task global sort at "
+            "scale; pass partition_cols=[...] or, for a bounded metric "
+            "history (e.g. a daily aggregate), bounded_input=True"
+        )
+
+
 def rate_of_change_anomalies(
     history: DataFrame,
     order_col: str,
     value_col: str,
     max_rate: float,
     partition_cols: list[str] | None = None,
+    bounded_input: bool = False,
 ) -> DataFrame:
     """Rows whose value moved more than ``max_rate`` (fractional) vs
     the previous observation in ``order_col`` order. Output adds
     prev_value + change_rate; the first observation (no previous) is
-    never anomalous."""
+    never anomalous.
+
+    Callers must either partition (``partition_cols``) or declare the
+    input bounded (``bounded_input=True``, e.g. a daily aggregate): an
+    unpartitioned window is a single-task global sort, O(rows) on one
+    executor — fine for a metric history, a 100 TB scale bug anywhere
+    else (r10 VERDICT #3)."""
+    _require_bounded("rate_of_change_anomalies", partition_cols, bounded_input)
     w = Window.orderBy(order_col)
     if partition_cols:
         w = Window.partitionBy(*partition_cols).orderBy(order_col)
@@ -91,10 +116,15 @@ def stddev_bounds_anomalies(
     k: float,
     min_history: int = 3,
     partition_cols: list[str] | None = None,
+    bounded_input: bool = False,
 ) -> DataFrame:
     """Rows further than k trailing standard deviations from the
     trailing mean (both computed over ALL PRECEDING rows — the row
-    under test never sees itself or the future)."""
+    under test never sees itself or the future).
+
+    Same partition contract as rate_of_change_anomalies: pass
+    ``partition_cols`` or declare ``bounded_input=True``."""
+    _require_bounded("stddev_bounds_anomalies", partition_cols, bounded_input)
     w = Window.orderBy(order_col).rowsBetween(Window.unboundedPreceding, -1)
     cnt_w = w
     if partition_cols:

@@ -126,7 +126,9 @@ def quality_anomaly_rate_of_change(spark: SparkSession, sf_dir: str) -> DataFram
         F.col("ts").cast("date").alias("day")
     ).agg(F.count(F.lit(1)).alias("n"))
     return (
-        rate_of_change_anomalies(daily, "day", "n", max_rate=0.08)
+        rate_of_change_anomalies(
+            daily, "day", "n", max_rate=0.08, bounded_input=True
+        )
         .select("day", "n", "prev_value", "change_rate")
         .orderBy("day")
     )

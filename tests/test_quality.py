@@ -124,25 +124,33 @@ class TestAnomaly:
 
     def test_rate_of_change(self, spark):
         h = self._history(spark, [100, 102, 98, 60, 61])  # 98→60 = -39%
-        out = rate_of_change_anomalies(h, "seq", "v", max_rate=0.2).collect()
+        out = rate_of_change_anomalies(
+            h, "seq", "v", max_rate=0.2, bounded_input=True
+        ).collect()
         assert [r["seq"] for r in out] == [3]
         assert out[0]["prev_value"] == 98.0
 
     def test_rate_of_change_first_row_never_anomalous(self, spark):
         h = self._history(spark, [1000, 1001])
-        assert rate_of_change_anomalies(h, "seq", "v", max_rate=0.0001).count() == 1
+        assert rate_of_change_anomalies(
+            h, "seq", "v", max_rate=0.0001, bounded_input=True
+        ).count() == 1
 
     def test_stddev_bounds_trailing_only(self, spark):
         # stable history then a spike; the spike is judged against the
         # PRECEDING rows only, so it flags even though including itself
         # would inflate the stddev enough to hide it
         h = self._history(spark, [10, 11, 10, 11, 10, 50])
-        out = stddev_bounds_anomalies(h, "seq", "v", k=3.0).collect()
+        out = stddev_bounds_anomalies(
+            h, "seq", "v", k=3.0, bounded_input=True
+        ).collect()
         assert [r["seq"] for r in out] == [5]
 
     def test_stddev_bounds_min_history(self, spark):
         h = self._history(spark, [10, 500])  # only 1 preceding row
-        assert stddev_bounds_anomalies(h, "seq", "v", k=1.0, min_history=3).count() == 0
+        assert stddev_bounds_anomalies(
+            h, "seq", "v", k=1.0, min_history=3, bounded_input=True
+        ).count() == 0
 
     def test_absolute_bounds(self, spark):
         h = self._history(spark, [5, 50, 500])
@@ -185,5 +193,17 @@ class TestAnomaly:
             )
             repo.save(results, ts=day)
         hist = repo.load(spark).where("constraint = 'size'")
-        out = rate_of_change_anomalies(hist, "ts", "value", max_rate=0.2).collect()
+        out = rate_of_change_anomalies(
+            hist, "ts", "value", max_rate=0.2, bounded_input=True
+        ).collect()
         assert [r["ts"] for r in out] == [4]
+
+    def test_unpartitioned_undeclared_refuses(self, spark):
+        """r10 VERDICT #3: the API no longer silently compiles an
+        unpartitioned global-sort window — callers partition or declare
+        the input bounded."""
+        h = self._history(spark, [1, 2, 3])
+        with pytest.raises(ValueError, match="bounded"):
+            rate_of_change_anomalies(h, "seq", "v", max_rate=0.2)
+        with pytest.raises(ValueError, match="bounded"):
+            stddev_bounds_anomalies(h, "seq", "v", k=3.0)
