@@ -318,7 +318,7 @@ def main() -> None:
         # flags (norm_ratio < 1) are improvements and need none.
         slow = sorted(
             n for n, f in cross["flagged"].items() if f["norm_ratio"] > 1
-        )[:12]
+        )[:20]
         if slow:
             iso = _measure(spark, qs, slow, sf_dir)
             cross["isolated_sentinel_sec"] = _sentinel_seconds(spark)

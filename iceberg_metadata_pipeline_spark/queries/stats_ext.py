@@ -1905,3 +1905,262 @@ sql_query(
     _CALIB_TEMPLATE.replace("{SRC}", _AUC_SRC).replace("{IDIV}", "DIV"),
     oracle=_CALIB_TEMPLATE.replace("{SRC}", _AUC_SRC).replace("{IDIV}", "//"),
 )
+
+
+# --- PR-AUC / average precision, EXACT (round 11) ---------------------------
+
+# the imbalanced-class companion to AUC-ROC: AP = Σ_s (p_v(s)/n_pos) ·
+# TP(s)/PP(s), summed over distinct thresholds s, where TP(s) = positives
+# with score ≥ s and PP(s) = rows with score ≥ s — all exact bigints from
+# per-distinct-score counts + the cumulative-below machinery AUC already
+# uses. The per-threshold double terms fold in SORTED order (bounded by
+# DISTINCT scores, which saturate: 18k at sf0.1 — the trimmed-mean
+# posture), so the sum is bit-identical across engines.
+_PRAUC_TEMPLATE = f"""
+WITH s AS ({_AUC_SRC}),
+pv AS (
+  SELECT score, CAST(COUNT(*) AS BIGINT) AS n_v,
+         CAST(SUM(label) AS BIGINT) AS p_v
+  FROM s GROUP BY score
+), c AS (
+  SELECT score, n_v, p_v,
+    COALESCE(SUM(n_v) OVER (
+      ORDER BY score ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+    ), 0) AS cb,
+    COALESCE(SUM(p_v) OVER (
+      ORDER BY score ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+    ), 0) AS cpb
+  FROM pv
+), tot AS (
+  SELECT CAST(SUM(n_v) AS BIGINT) AS n_all,
+         CAST(SUM(p_v) AS BIGINT) AS n_pos
+  FROM pv
+), terms AS (
+  SELECT
+    CAST(p_v AS DOUBLE) * (CAST(n_pos - cpb AS DOUBLE)
+                           / CAST(n_all - cb AS DOUBLE)) AS term,
+    n_pos
+  FROM c CROSS JOIN tot
+  WHERE p_v > 0
+)
+SELECT
+  (SELECT n_pos FROM tot) AS n_pos,
+  (SELECT n_all - n_pos FROM tot) AS n_neg,
+  {{FOLD}} / CAST((SELECT n_pos FROM tot) AS DOUBLE) AS average_precision
+FROM terms
+"""
+
+@query(
+    "ml_pr_auc_exact",
+    _PRAUC_TEMPLATE.replace(
+        "{FOLD}", "list_reduce(list_sort(list(term)), (a, x) -> a + x)"
+    ),
+)
+def ml_pr_auc_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact average precision (oracle above); the Spark side computes
+    BOTH cumulative-below counts (rows and positives) with the bucketed
+    two-phase prefix AUC uses — no unpartitioned window, no task sorts
+    more than one score bucket."""
+    from pyspark.sql import Window
+
+    load_tables(spark, sf_dir)
+    s = spark.sql(f"SELECT * FROM ({_AUC_SRC})")
+    pv = s.groupBy("score").agg(
+        F.count(F.lit(1)).cast("long").alias("n_v"),
+        F.sum("label").cast("long").alias("p_v"),
+    )
+    bounds = s.agg(
+        F.min(F.col("score").cast("double")).alias("vmin"),
+        F.max(F.col("score").cast("double")).alias("vmax"),
+    )
+    b = pv.crossJoin(F.broadcast(bounds)).withColumn(
+        "bucket",
+        F.expr("width_bucket(CAST(score AS DOUBLE), vmin, vmax + 1.0d, 1024)"),
+    )
+    w_bkt = Window.orderBy("bucket").rowsBetween(Window.unboundedPreceding, -1)
+    offs = (
+        b.groupBy("bucket")
+        .agg(F.sum("n_v").alias("bn"), F.sum("p_v").alias("bp"))
+        .select(
+            "bucket",
+            F.coalesce(F.sum("bn").over(w_bkt), F.lit(0)).alias("off_n"),
+            F.coalesce(F.sum("bp").over(w_bkt), F.lit(0)).alias("off_p"),
+        )
+    )
+    w_in = Window.partitionBy("bucket").orderBy("score")
+    c = b.join(F.broadcast(offs), "bucket").select(
+        "n_v",
+        "p_v",
+        (F.col("off_n") + F.sum("n_v").over(w_in) - F.col("n_v")).alias("cb"),
+        (F.col("off_p") + F.sum("p_v").over(w_in) - F.col("p_v")).alias("cpb"),
+    )
+    tot = pv.agg(
+        F.sum("n_v").cast("long").alias("n_all"),
+        F.sum("p_v").cast("long").alias("n_pos"),
+    )
+    terms = (
+        c.filter(F.col("p_v") > 0)
+        .crossJoin(F.broadcast(tot))
+        .selectExpr(
+            "CAST(p_v AS DOUBLE) * (CAST(n_pos - cpb AS DOUBLE)"
+            " / CAST(n_all - cb AS DOUBLE)) AS term",
+            "n_pos",
+            "n_all",
+        )
+    )
+    return terms.groupBy("n_pos", "n_all").agg(
+        F.expr(
+            "reduce(array_sort(collect_list(term)),"
+            " CAST(0.0E0 AS DOUBLE), (a, x) -> a + x)"
+        ).alias("ap_sum")
+    ).selectExpr(
+        "n_pos",
+        "n_all - n_pos AS n_neg",
+        "ap_sum / CAST(n_pos AS DOUBLE) AS average_precision",
+    )
+
+
+# --- Matthews correlation + balanced accuracy, EXACT (round 11) -------------
+
+# thresholded-classifier diagnostics from one confusion-matrix hash
+# aggregate: predict positive when the exact micro-unit score clears a
+# fixed operating point (35.0, near the score median). MCC's numerator/denominator are exact bigint
+# products converted once; balanced accuracy is two exact divisions —
+# bit-identical, no rank machinery needed.
+_MCC_TEMPLATE = f"""
+WITH s AS ({_AUC_SRC}),
+cm AS (
+  SELECT
+    CAST(SUM(CASE WHEN score >= 35000000 AND label = 1 THEN 1 ELSE 0 END)
+         AS BIGINT) AS tp,
+    CAST(SUM(CASE WHEN score >= 35000000 AND label = 0 THEN 1 ELSE 0 END)
+         AS BIGINT) AS fp,
+    CAST(SUM(CASE WHEN score < 35000000 AND label = 1 THEN 1 ELSE 0 END)
+         AS BIGINT) AS fn,
+    CAST(SUM(CASE WHEN score < 35000000 AND label = 0 THEN 1 ELSE 0 END)
+         AS BIGINT) AS tn
+  FROM s
+)
+SELECT tp, fp, fn, tn,
+  (CAST(tp AS DOUBLE) * CAST(tn AS DOUBLE)
+   - CAST(fp AS DOUBLE) * CAST(fn AS DOUBLE))
+  / SQRT(CAST(tp + fp AS DOUBLE) * CAST(tp + fn AS DOUBLE)
+         * CAST(tn + fp AS DOUBLE) * CAST(tn + fn AS DOUBLE)) AS mcc,
+  0.5E0 * (CAST(tp AS DOUBLE) / CAST(tp + fn AS DOUBLE)
+           + CAST(tn AS DOUBLE) / CAST(tn + fp AS DOUBLE))
+    AS balanced_accuracy
+FROM cm
+"""
+
+sql_query("ml_mcc_balanced_accuracy", _MCC_TEMPLATE)
+
+
+# --- NDCG@10 per user, EXACT (round 11) --------------------------------------
+
+# the retrieval/ranking-eval staple a training-data pipeline runs over
+# interaction logs: within each user, rank events by the exact
+# micro-unit score (md5 tiebreak — both engines produce the SAME total
+# order, so ranks are deterministic), grade relevance from the event
+# type (purchase=2, click/view=1, else 0), and compute
+# DCG@10 / IDCG@10. Each user's ≤10 DCG terms fold in SORTED order so
+# the doubles are bit-identical. Per-user rows ship out (no global
+# double fold); the windows are user-partitioned — the 100 TB shape.
+_NDCG_SRC = """
+  SELECT user_id,
+         CAST(CAST(value AS DECIMAL(38,6)) * 1000000 AS BIGINT) AS score,
+         CASE WHEN event_type = 'purchase' THEN 2
+              WHEN event_type IN ('click', 'view') THEN 1
+              ELSE 0 END AS rel,
+         md5(CAST(event_id AS STRING)) AS tb
+  FROM events
+"""
+
+_NDCG_TEMPLATE = f"""
+WITH s AS ({_NDCG_SRC}),
+ranked AS (
+  SELECT user_id, rel,
+    ROW_NUMBER() OVER (PARTITION BY user_id
+                       ORDER BY score DESC, tb) AS rnk,
+    ROW_NUMBER() OVER (PARTITION BY user_id
+                       ORDER BY rel DESC, score DESC, tb) AS ideal_rnk
+  FROM s
+), dcg AS (
+  SELECT user_id,
+    {{FOLD_DCG}} AS dcg,
+    {{FOLD_IDCG}} AS idcg
+  FROM ranked GROUP BY user_id
+)
+SELECT user_id, dcg, idcg, dcg / idcg AS ndcg
+FROM dcg
+WHERE idcg > 0
+ORDER BY user_id
+"""
+
+
+def _ndcg_fold(engine: str, rank_col: str) -> str:
+    # the ≤10 discount divisors log2(rank+1) as LITERAL doubles: both
+    # engines parse the same decimal literal to the same IEEE double,
+    # where each engine's own LN/libm can differ by an ulp
+    import math
+
+    discounts = " ".join(
+        f"WHEN {rank_col} = {r} THEN {math.log2(r + 1)!r}E0"
+        for r in range(1, 11)
+    )
+    term = (
+        f"CASE WHEN {rank_col} <= 10 THEN CAST(rel AS DOUBLE)"
+        f" / (CASE {discounts} END)"
+        " ELSE NULL END"
+    )
+    if engine == "spark":
+        return (
+            f"reduce(array_sort(collect_list({term})),"
+            " CAST(0.0E0 AS DOUBLE), (a, x) -> a + x)"
+        )
+    return f"list_reduce(list_sort(list({term}) FILTER (WHERE {term} IS NOT NULL)), (a, x) -> a + x)"
+
+
+sql_query(
+    "ml_ndcg_at_10",
+    _NDCG_TEMPLATE.replace("{FOLD_DCG}", _ndcg_fold("spark", "rnk")).replace(
+        "{FOLD_IDCG}", _ndcg_fold("spark", "ideal_rnk")
+    ),
+    oracle=_NDCG_TEMPLATE.replace(
+        "{FOLD_DCG}", _ndcg_fold("duck", "rnk")
+    ).replace("{FOLD_IDCG}", _ndcg_fold("duck", "ideal_rnk")),
+)
+
+
+# --- deterministic k-fold assignment (round 11) ------------------------------
+
+# the train/eval split a training-data pipeline must reproduce across
+# engines and re-runs: fold = md5(doc_id) mod k — no RNG, no seed
+# state, any engine lands every document in the same fold (the
+# sample_reservoir_hash posture applied to splitting). Map-only + one
+# hash aggregate; at 100 TB the fold id is a projection expression
+# inside the scan.
+_KFOLD_TEMPLATE = """
+WITH folds AS (
+  SELECT {HASH} % 5 AS fold, lang, n_chars
+  FROM documents
+)
+SELECT fold,
+  CAST(COUNT(*) AS BIGINT) AS n_docs,
+  CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+  CAST(COUNT(DISTINCT lang) AS BIGINT) AS n_langs
+FROM folds GROUP BY fold ORDER BY fold
+"""
+
+sql_query(
+    "pipeline_kfold_assignment",
+    _KFOLD_TEMPLATE.replace(
+        "{HASH}",
+        "CAST(conv(substring(md5(CAST(doc_id AS STRING)), 1, 8), 16, 10)"
+        " AS BIGINT)",
+    ),
+    oracle=_KFOLD_TEMPLATE.replace(
+        "{HASH}",
+        "CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 8))"
+        "::BIGINT AS BIGINT)",
+    ),
+)
