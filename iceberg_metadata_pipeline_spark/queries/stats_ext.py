@@ -2164,3 +2164,114 @@ sql_query(
         "::BIGINT AS BIGINT)",
     ),
 )
+
+
+# --- Brier score, EXACT (round 11) -------------------------------------------
+
+# probabilistic-forecast calibration in one number: mean (p − label)².
+# The "probability" is the exact micro-unit score normalized by a
+# constant divisor — the same double in both engines — and the sum is
+# purely polynomial (no transcendentals), grouped per distinct score
+# and folded in sorted order: bit-identical.
+_BRIER_TEMPLATE = f"""
+WITH s AS ({_AUC_SRC}),
+pv AS (
+  SELECT score, CAST(COUNT(*) AS BIGINT) AS n_v,
+         CAST(SUM(label) AS BIGINT) AS p_v
+  FROM s GROUP BY score
+), hi AS (
+  SELECT CAST(MAX(score) + 1 AS DOUBLE) AS denom,
+         CAST(SUM(n_v) AS BIGINT) AS n_all
+  FROM pv
+), terms AS (
+  SELECT
+    CAST(p_v AS DOUBLE)
+      * (CAST(score AS DOUBLE) / denom - 1.0E0)
+      * (CAST(score AS DOUBLE) / denom - 1.0E0)
+    + CAST(n_v - p_v AS DOUBLE)
+      * (CAST(score AS DOUBLE) / denom)
+      * (CAST(score AS DOUBLE) / denom) AS term,
+    n_all
+  FROM pv CROSS JOIN hi
+)
+SELECT n_all AS n,
+  {{FOLD}} / CAST(n_all AS DOUBLE) AS brier_score
+FROM terms GROUP BY n_all
+"""
+
+sql_query(
+    "ml_brier_score",
+    _BRIER_TEMPLATE.replace(
+        "{FOLD}",
+        "reduce(array_sort(collect_list(term)),"
+        " CAST(0.0E0 AS DOUBLE), (a, x) -> a + x)",
+    ),
+    oracle=_BRIER_TEMPLATE.replace(
+        "{FOLD}", "list_reduce(list_sort(list(term)), (a, x) -> a + x)"
+    ),
+)
+
+
+# --- MRR + recall@10 per user, EXACT (round 11) -------------------------------
+
+# the retrieval-eval pair next to NDCG: within each user's
+# deterministically ranked events (same md5 tiebreak as ml_ndcg_at_10),
+# the reciprocal rank of the first relevant hit in the top 10 and the
+# fraction of the user's relevant events that made the top 10. Exact
+# rational divisions of integers; per-user rows, user-partitioned
+# windows — no global anything.
+_MRR_TEMPLATE = f"""
+WITH s AS ({_NDCG_SRC}),
+ranked AS (
+  SELECT user_id, rel,
+    ROW_NUMBER() OVER (PARTITION BY user_id
+                       ORDER BY score DESC, tb) AS rnk
+  FROM s
+), per_user AS (
+  SELECT user_id,
+    MIN(CASE WHEN rel > 0 AND rnk <= 10 THEN rnk END) AS first_hit_rank,
+    CAST(SUM(CASE WHEN rel > 0 AND rnk <= 10 THEN 1 ELSE 0 END)
+         AS BIGINT) AS hits_at_10,
+    CAST(SUM(CASE WHEN rel > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_rel
+  FROM ranked GROUP BY user_id
+)
+SELECT user_id, first_hit_rank,
+  COALESCE(1.0E0 / CAST(first_hit_rank AS DOUBLE), 0.0E0) AS rr_at_10,
+  CAST(hits_at_10 AS DOUBLE) / CAST(n_rel AS DOUBLE) AS recall_at_10
+FROM per_user
+WHERE n_rel > 0
+ORDER BY user_id
+"""
+
+sql_query("ml_mrr_recall_at_10", _MRR_TEMPLATE)
+
+
+# --- event-type Markov transition matrix, EXACT (round 11) --------------------
+
+# first-order sequence statistics over the interaction log: per-user
+# consecutive event-type bigrams (deterministic order: ts then
+# event_id) counted into a transition matrix with exact row-normalized
+# probabilities — the sequence-modeling prior a behavioral pipeline
+# feeds. One user-partitioned lag + one hash aggregate.
+_MARKOV_SQL = """
+WITH ordered AS (
+  SELECT user_id, event_type,
+    LAG(event_type) OVER (PARTITION BY user_id
+                          ORDER BY ts, event_id) AS prev_type
+  FROM events
+), pairs AS (
+  SELECT prev_type, event_type AS next_type,
+         CAST(COUNT(*) AS BIGINT) AS n
+  FROM ordered WHERE prev_type IS NOT NULL
+  GROUP BY prev_type, event_type
+), rowt AS (
+  SELECT prev_type, CAST(SUM(n) AS BIGINT) AS row_n FROM pairs
+  GROUP BY prev_type
+)
+SELECT p.prev_type, p.next_type, p.n,
+  CAST(p.n AS DOUBLE) / CAST(r.row_n AS DOUBLE) AS p_transition
+FROM pairs p JOIN rowt r ON p.prev_type = r.prev_type
+ORDER BY p.prev_type, p.next_type
+"""
+
+sql_query("events_markov_transitions", _MARKOV_SQL)

@@ -57,3 +57,160 @@ def test_holt_linear_matches_python_reference(spark):
         assert row["forecast_next"] == pytest.approx(level + trend, rel=1e-12)
         checked += 1
     assert checked >= 3, f"only {checked} event types had a 12-day horizon"
+
+
+def _events(spark):
+    from iceberg_metadata_pipeline_spark.session import load_tables
+
+    return load_tables(spark, SF)["events"].selectExpr(
+        "event_id",
+        "user_id",
+        "ts",
+        "event_type",
+        "CAST(CAST(value AS DECIMAL(38,6)) * 1000000 AS BIGINT) AS score",
+        "CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS label",
+    ).collect()
+
+
+def _run(spark, name):
+    import iceberg_metadata_pipeline_spark.queries.stats_ext  # noqa: F401
+    from iceberg_metadata_pipeline_spark.queries import REGISTRY
+
+    return REGISTRY[name].fn(spark, SF).collect()
+
+
+def test_pr_auc_matches_sklearn_style_reference(spark):
+    rows = _events(spark)
+    # textbook average precision: AP = sum over positives of
+    # precision-at-their-threshold (score-descending, ties grouped)
+    from collections import Counter
+
+    by_score = Counter()
+    pos_by_score = Counter()
+    for r in rows:
+        by_score[r["score"]] += 1
+        pos_by_score[r["score"]] += r["label"]
+    n_pos = sum(pos_by_score.values())
+    tp = fp = 0
+    ap = 0.0
+    for s in sorted(by_score, reverse=True):
+        tp += pos_by_score[s]
+        fp += by_score[s] - pos_by_score[s]
+        if pos_by_score[s]:
+            ap += pos_by_score[s] * (tp / (tp + fp))
+    ap /= n_pos
+    (got,) = _run(spark, "ml_pr_auc_exact")
+    assert got["n_pos"] == n_pos
+    assert got["average_precision"] == pytest.approx(ap, rel=1e-12)
+
+
+def test_mcc_matches_reference(spark):
+    import math
+
+    rows = _events(spark)
+    tp = sum(1 for r in rows if r["score"] >= 35000000 and r["label"] == 1)
+    fp = sum(1 for r in rows if r["score"] >= 35000000 and r["label"] == 0)
+    fn = sum(1 for r in rows if r["score"] < 35000000 and r["label"] == 1)
+    tn = sum(1 for r in rows if r["score"] < 35000000 and r["label"] == 0)
+    mcc = (tp * tn - fp * fn) / math.sqrt(
+        (tp + fp) * (tp + fn) * (tn + fp) * (tn + fn)
+    )
+    (got,) = _run(spark, "ml_mcc_balanced_accuracy")
+    assert (got["tp"], got["fp"], got["fn"], got["tn"]) == (tp, fp, fn, tn)
+    assert got["mcc"] == pytest.approx(mcc, rel=1e-12)
+    assert got["balanced_accuracy"] == pytest.approx(
+        0.5 * (tp / (tp + fn) + tn / (tn + fp)), rel=1e-12
+    )
+
+
+def test_ndcg_matches_reference(spark):
+    import hashlib
+    import math
+
+    rows = _events(spark)
+    rel = {"purchase": 2, "click": 1, "view": 1}
+    per_user: dict = {}
+    for r in rows:
+        tb = hashlib.md5(str(r["event_id"]).encode()).hexdigest()
+        per_user.setdefault(r["user_id"], []).append(
+            (r["score"], tb, rel.get(r["event_type"], 0))
+        )
+    got = {r["user_id"]: r for r in _run(spark, "ml_ndcg_at_10")}
+    checked = 0
+    for uid, evs in per_user.items():
+        ranked = sorted(evs, key=lambda e: (-e[0], e[1]))
+        ideal = sorted(evs, key=lambda e: (-e[2], -e[0], e[1]))
+        dcg = sum(
+            e[2] / math.log2(i + 2) for i, e in enumerate(ranked[:10])
+        )
+        idcg = sum(
+            e[2] / math.log2(i + 2) for i, e in enumerate(ideal[:10])
+        )
+        if idcg == 0:
+            assert uid not in got
+            continue
+        assert got[uid]["ndcg"] == pytest.approx(dcg / idcg, rel=1e-12)
+        checked += 1
+    assert checked >= 5
+
+
+def test_mrr_recall_matches_reference(spark):
+    import hashlib
+
+    rows = _events(spark)
+    rel = {"purchase": 2, "click": 1, "view": 1}
+    per_user: dict = {}
+    for r in rows:
+        tb = hashlib.md5(str(r["event_id"]).encode()).hexdigest()
+        per_user.setdefault(r["user_id"], []).append(
+            (r["score"], tb, rel.get(r["event_type"], 0))
+        )
+    got = {r["user_id"]: r for r in _run(spark, "ml_mrr_recall_at_10")}
+    for uid, evs in per_user.items():
+        ranked = sorted(evs, key=lambda e: (-e[0], e[1]))
+        n_rel = sum(1 for e in evs if e[2] > 0)
+        if n_rel == 0:
+            assert uid not in got
+            continue
+        hits = [i + 1 for i, e in enumerate(ranked[:10]) if e[2] > 0]
+        row = got[uid]
+        assert row["first_hit_rank"] == (hits[0] if hits else None)
+        assert row["rr_at_10"] == pytest.approx(
+            1.0 / hits[0] if hits else 0.0, rel=1e-12
+        )
+        assert row["recall_at_10"] == pytest.approx(
+            len(hits) / n_rel, rel=1e-12
+        )
+
+
+def test_markov_transitions_rows_sum_to_one(spark):
+    rows = _run(spark, "events_markov_transitions")
+    from collections import defaultdict
+
+    by_prev = defaultdict(float)
+    for r in rows:
+        by_prev[r["prev_type"]] += r["p_transition"]
+    assert by_prev and all(
+        v == pytest.approx(1.0, rel=1e-9) for v in by_prev.values()
+    )
+
+
+def test_kfold_assignment_covers_all_docs(spark):
+    from iceberg_metadata_pipeline_spark.session import load_tables
+
+    rows = _run(spark, "pipeline_kfold_assignment")
+    n_docs = load_tables(spark, SF)["documents"].count()
+    assert sorted(r["fold"] for r in rows) == list(range(5))
+    assert sum(r["n_docs"] for r in rows) == n_docs
+
+
+def test_brier_matches_reference(spark):
+    rows = _events(spark)
+    hi = max(r["score"] for r in rows) + 1
+    n = len(rows)
+    brier = (
+        sum((r["score"] / hi - r["label"]) ** 2 for r in rows) / n
+    )
+    (got,) = _run(spark, "ml_brier_score")
+    assert got["n"] == n
+    assert got["brier_score"] == pytest.approx(brier, rel=1e-9)
