@@ -2275,3 +2275,48 @@ ORDER BY p.prev_type, p.next_type
 """
 
 sql_query("events_markov_transitions", _MARKOV_SQL)
+
+
+# --- log loss, EXACT-to-9-decimals (round 11) ---------------------------------
+
+# cross-entropy of the normalized-score "probability" against the
+# purchase label: −mean(y·ln p + (1−y)·ln(1−p)). LN is the one
+# transcendental — each engine's libm can differ in the last ulp
+# (the Bartlett/Durbin-Watson posture), so terms group per distinct
+# score, fold in sorted order, and the statistic ROUNDs to 9 decimals.
+# p is clamped away from {0,1} by the (score+1)/(hi+2) Laplace shift —
+# pure rational arithmetic, identical doubles both engines.
+_LOGLOSS_TEMPLATE = f"""
+WITH s AS ({_AUC_SRC}),
+pv AS (
+  SELECT score, CAST(COUNT(*) AS BIGINT) AS n_v,
+         CAST(SUM(label) AS BIGINT) AS p_v
+  FROM s GROUP BY score
+), hi AS (
+  SELECT CAST(MAX(score) + 2 AS DOUBLE) AS denom,
+         CAST(SUM(n_v) AS BIGINT) AS n_all
+  FROM pv
+), terms AS (
+  SELECT
+    CAST(p_v AS DOUBLE) * LN(CAST(score + 1 AS DOUBLE) / denom)
+    + CAST(n_v - p_v AS DOUBLE)
+        * LN(1.0E0 - CAST(score + 1 AS DOUBLE) / denom) AS term,
+    n_all
+  FROM pv CROSS JOIN hi
+)
+SELECT n_all AS n,
+  ROUND(-({{FOLD}}) / CAST(n_all AS DOUBLE), 9) AS log_loss
+FROM terms GROUP BY n_all
+"""
+
+sql_query(
+    "ml_log_loss",
+    _LOGLOSS_TEMPLATE.replace(
+        "{FOLD}",
+        "reduce(array_sort(collect_list(term)),"
+        " CAST(0.0E0 AS DOUBLE), (a, x) -> a + x)",
+    ),
+    oracle=_LOGLOSS_TEMPLATE.replace(
+        "{FOLD}", "list_reduce(list_sort(list(term)), (a, x) -> a + x)"
+    ),
+)

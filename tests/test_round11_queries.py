@@ -214,3 +214,23 @@ def test_brier_matches_reference(spark):
     (got,) = _run(spark, "ml_brier_score")
     assert got["n"] == n
     assert got["brier_score"] == pytest.approx(brier, rel=1e-9)
+
+
+def test_log_loss_matches_reference(spark):
+    import math
+
+    rows = _events(spark)
+    hi = max(r["score"] for r in rows) + 2
+    n = len(rows)
+    ll = (
+        -sum(
+            math.log((r["score"] + 1) / hi)
+            if r["label"]
+            else math.log(1 - (r["score"] + 1) / hi)
+            for r in rows
+        )
+        / n
+    )
+    (got,) = _run(spark, "ml_log_loss")
+    assert got["n"] == n
+    assert got["log_loss"] == pytest.approx(ll, rel=1e-8)
