@@ -35,6 +35,11 @@ no-deps posture as the HS2 Thrift front in hs2.py):
   layer)
 - ``POST /v1/tables/rename``                  → RenameTableRequest
 - ``POST /v1/namespaces/{ns}/tables/{t}/metrics`` → 204 (report sink)
+- ``POST /v1/namespaces/{ns}/tables/{t}/plan``  → planTableScan
+  (round 11): server-side scan planning — completed file-scan-tasks,
+  stats-pruned by the posted expression filter, per-task
+  delete-file-references into a deduplicated delete-files array,
+  residual filter echoed; snapshot-id time travel honored
 - ``GET/POST /v1/namespaces/{ns}/views`` and
   ``GET/HEAD/DELETE /v1/namespaces/{ns}/views/{v}`` → view lifecycle;
   loadView serves Iceberg view-spec metadata (format-version 1, SQL
@@ -216,6 +221,12 @@ class RestCatalogServer:
                     return self._commit_table(h, ns, name, h._body())
             if len(p) == 5 and p[2] == "tables" and p[4] == "metrics" and method == "POST":
                 return h._send(204)
+            if len(p) == 5 and p[2] == "tables" and p[4] == "plan" and method == "POST":
+                if not self.catalog.table_exists(ns, p[3]):
+                    return h._error(
+                        404, f"table {ns}.{p[3]} not found", "NoSuchTableException"
+                    )
+                return self._plan_table(h, ns, p[3], h._body())
             if len(p) == 3 and p[2] == "views":
                 if method == "GET":
                     return h._send(
@@ -275,6 +286,221 @@ class RestCatalogServer:
             200,
             {"metadata-location": meta_path, "metadata": metadata, "config": {}},
         )
+
+    @staticmethod
+    def _expr_to_sql(expr, terms: set | None = None) -> str:
+        """Iceberg REST expression JSON → a SQL predicate string metacat's
+        stats pruning understands. Supports the literal comparison and
+        logical subset (eq/not-eq/lt/lt-eq/gt/gt-eq/is-null/not-null/in,
+        and/or/not); anything else raises ValueError → 400, nothing
+        planned. Terms are column names (string or reference object);
+        pass ``terms`` to collect every referenced column for schema
+        validation."""
+
+        def term(t) -> str:
+            if isinstance(t, dict):
+                t = t.get("term")
+            if not isinstance(t, str) or not t.replace("_", "").isalnum():
+                raise ValueError(f"unsupported expression term {t!r}")
+            if terms is not None:
+                terms.add(t)
+            return t
+
+        def lit(v) -> str:
+            if isinstance(v, bool):
+                return "TRUE" if v else "FALSE"
+            if isinstance(v, (int, float)):
+                return repr(v)
+            if isinstance(v, str):
+                return "'" + v.replace("'", "''") + "'"
+            raise ValueError(f"unsupported literal {v!r}")
+
+        if not isinstance(expr, dict):
+            raise ValueError(f"unsupported expression {expr!r}")
+        typ = str(expr.get("type", "")).lower()
+        ops = {
+            "eq": "=", "not-eq": "!=", "lt": "<", "lt-eq": "<=",
+            "gt": ">", "gt-eq": ">=",
+        }
+        if typ in ops:
+            return (
+                f"{term(expr.get('term'))} {ops[typ]} "
+                f"{lit(expr.get('value'))}"
+            )
+        if typ == "is-null":
+            return f"{term(expr.get('term'))} IS NULL"
+        if typ == "not-null":
+            return f"{term(expr.get('term'))} IS NOT NULL"
+        if typ == "in":
+            vals = expr.get("values") or []
+            if not vals:
+                raise ValueError("empty IN list")
+            return (
+                f"{term(expr.get('term'))} IN ("
+                + ", ".join(lit(v) for v in vals)
+                + ")"
+            )
+        if typ == "and":
+            l, r = expr.get("left"), expr.get("right")
+            return (
+                f"({RestCatalogServer._expr_to_sql(l, terms)}) AND "
+                f"({RestCatalogServer._expr_to_sql(r, terms)})"
+            )
+        if typ == "or":
+            l, r = expr.get("left"), expr.get("right")
+            return (
+                f"({RestCatalogServer._expr_to_sql(l, terms)}) OR "
+                f"({RestCatalogServer._expr_to_sql(r, terms)})"
+            )
+        if typ == "not":
+            return (
+                "NOT ("
+                + RestCatalogServer._expr_to_sql(expr.get("child"), terms)
+                + ")"
+            )
+        raise ValueError(f"unsupported expression type {typ!r}")
+
+    def _plan_table(self, h, ns: str, name: str, body: dict):
+        """planTableScan (round 11): SERVER-SIDE scan planning — the
+        REST spec verb that lets a thin client skip manifest reading
+        entirely. The server resolves the snapshot's live files, prunes
+        them with the posted filter against manifest min/max stats
+        (metacat's own conservative pruning — false keeps only), and
+        returns completed file-scan-tasks with per-file APPLICABLE
+        delete files (v2 sequence gating) deduplicated through a
+        top-level delete-files array + per-task index references.
+        The filter comes back verbatim as each task's residual-filter
+        (the client re-applies it exactly; pruning here is file-level).
+        Planning is metadata-only — O(manifest entries), zero data IO,
+        the 100 TB posture for a catalog asked to plan by hundreds of
+        engines."""
+        from iceberg_metadata_pipeline_spark.catalog.metacat import (
+            _prune_by_stats,
+        )
+        from iceberg_metadata_pipeline_spark.catalog.partitioning import (
+            split_conjuncts,
+        )
+        from iceberg_metadata_pipeline_spark.ingest.discover import (
+            find_parquet_files,
+        )
+
+        t = self.catalog.load_table(ns, name)
+        snap_id = body.get("snapshot-id")
+        try:
+            files = t.snapshot_files(
+                snapshot_id=None if snap_id is None else int(snap_id)
+            )
+            snap = (
+                t._select_snapshot(int(snap_id), None)
+                if snap_id is not None
+                else t.current_snapshot
+            )
+        except ValueError as e:
+            return h._error(404, str(e), "NoSuchSnapshotException")
+        sql_filter = None
+        if body.get("filter") is not None:
+            refd: set = set()
+            try:
+                sql_filter = self._expr_to_sql(body["filter"], refd)
+            except ValueError as e:
+                return h._error(400, str(e))
+            unknown_cols = sorted(refd - set(t.schema.fieldNames()))
+            if unknown_cols:
+                return h._error(
+                    400,
+                    f"filter references unknown column(s) {unknown_cols}",
+                )
+            for conjunct in split_conjuncts(sql_filter):
+                files = _prune_by_stats(files, conjunct)
+        deletes = t._resolve_deletes(snap) if snap is not None else []
+        # expand delete entries once into spec ContentFile dicts; tasks
+        # reference them by index (shared delete files dedupe)
+        import pyarrow.parquet as _pq
+
+        from iceberg_metadata_pipeline_spark.catalog.iceberg_format import (
+            spark_schema_to_iceberg,
+        )
+
+        name_to_id = {
+            f["name"]: f["id"]
+            for f in spark_schema_to_iceberg(t.schema)[0]["fields"]
+        }
+
+        delete_files: list[dict] = []
+        entry_refs: list[tuple[dict, list[int]]] = []
+        for d in deletes:
+            if d["kind"] == "predicate":
+                return h._error(
+                    409,
+                    "table carries predicate merge-on-read deletes the "
+                    "spec cannot express in a scan plan — compact first",
+                    "CommitFailedException",
+                )
+            root = d["path"]
+            parts = (
+                find_parquet_files(root) if os.path.isdir(root) else [root]
+            )
+            idxs = []
+            for pp in sorted(parts):
+                nrec = _pq.read_metadata(pp).num_rows
+                if nrec == 0:
+                    continue
+                idxs.append(len(delete_files))
+                delete_files.append(
+                    {
+                        "content": (
+                            "position-deletes"
+                            if d["kind"] == "position"
+                            else "equality-deletes"
+                        ),
+                        "file-path": os.path.abspath(pp),
+                        "file-format": "parquet",
+                        "spec-id": 0,
+                        "partition": [],
+                        "record-count": int(nrec),
+                        "file-size-in-bytes": os.path.getsize(pp),
+                        **(
+                            {
+                                "equality-ids": [
+                                    name_to_id[c]
+                                    for c in d.get("key_cols") or []
+                                    if c in name_to_id
+                                ]
+                            }
+                            if d["kind"] == "equality"
+                            else {}
+                        ),
+                    }
+                )
+            entry_refs.append((d, idxs))
+        tasks = []
+        for f in sorted(files, key=lambda f: f.path):
+            refs: list[int] = []
+            for d, idxs in entry_refs:
+                # v2 sequence gating: the entry applies only to files
+                # whose data sequence is strictly lower
+                if d.get("seq") is None or (f.seq or 0) < d["seq"]:
+                    refs.extend(idxs)
+            task = {
+                "data-file": {
+                    "content": "data",
+                    "file-path": os.path.abspath(f.path),
+                    "file-format": (f.format or "PARQUET").lower(),
+                    "spec-id": 0,
+                    "partition": [],
+                    "record-count": int(f.record_count),
+                    "file-size-in-bytes": int(f.file_size_bytes),
+                },
+            }
+            if refs:
+                task["delete-file-references"] = refs
+            if body.get("filter") is not None:
+                task["residual-filter"] = body["filter"]
+            tasks.append(task)
+        out = {"plan-status": "completed", "file-scan-tasks": tasks}
+        if delete_files:
+            out["delete-files"] = delete_files
+        return h._send(200, out)
 
     def _commit_table(self, h, ns: str, name: str, body: dict):
         """commitTable, METADATA-ONLY subset: requirements are checked

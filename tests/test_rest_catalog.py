@@ -1503,3 +1503,109 @@ def test_commit_table_delete_maintenance(spark, server, tmp_path):
     register_pyice(spark)
     back = spark.read.format("pyice").load(location)
     assert sorted(r.id for r in back.collect()) == expect
+
+
+def test_plan_table_scan(spark, server, tmp_path):
+    """Round 11: server-side scan planning (the REST planTableScan
+    verb) — a thin client gets completed file-scan-tasks without
+    reading a manifest: stats-pruned by the posted filter, per-task
+    delete-file references (v2 sequence-gated, deduplicated through
+    the top-level delete-files array), residual filter echoed; bad
+    expressions and unknown columns 400; unknown snapshots 404."""
+    import os
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    catalog, srv, base = server
+    _req(f"{base}/v1/namespaces", "POST", {"namespace": ["pl"]})
+    _req(
+        f"{base}/v1/namespaces/pl/tables",
+        "POST",
+        {
+            "name": "t",
+            "schema": {
+                "type": "struct",
+                "schema-id": 0,
+                "fields": [
+                    {"id": 1, "name": "id", "required": False, "type": "long"}
+                ],
+            },
+        },
+    )
+    t = catalog.load_table("pl", "t")
+    t.append_dataframe(
+        spark.createDataFrame([(i,) for i in range(4)], "id long").coalesce(1)
+    )
+    t.append_dataframe(
+        spark.createDataFrame(
+            [(i,) for i in range(100, 104)], "id long"
+        ).coalesce(1)
+    )
+    url = f"{base}/v1/namespaces/pl/tables/t/plan"
+
+    # unfiltered plan: both files, no deletes
+    code, out = _req(url, "POST", {})
+    assert code == 200 and out["plan-status"] == "completed"
+    assert len(out["file-scan-tasks"]) == 2
+    assert "delete-files" not in out
+    paths = {t_["data-file"]["file-path"] for t_ in out["file-scan-tasks"]}
+    assert paths == {os.path.abspath(f.path) for f in t.snapshot_files()}
+
+    # stats pruning: id >= 100 keeps only the second file; the filter
+    # comes back as the residual
+    flt = {"type": "gt-eq", "term": "id", "value": 100}
+    code, out = _req(url, "POST", {"filter": flt})
+    assert code == 200
+    assert len(out["file-scan-tasks"]) == 1
+    assert out["file-scan-tasks"][0]["residual-filter"] == flt
+
+    # a delete commit attaches per-task delete references, seq-gated:
+    # files appended AFTER the delete carry none
+    files = sorted(f.path for f in t.snapshot_files())
+    dp = str(tmp_path / "pl-d.parquet")
+    pq.write_table(
+        pa.table(
+            {
+                "file_path": pa.array([files[0]], pa.string()),
+                "pos": pa.array([0], pa.int64()),
+            }
+        ),
+        dp,
+    )
+    t.add_position_delete_files([dp])
+    t.append_dataframe(
+        spark.createDataFrame([(200,)], "id long").coalesce(1)
+    )
+    code, out = _req(url, "POST", {})
+    assert code == 200
+    assert len(out["file-scan-tasks"]) == 3
+    assert len(out["delete-files"]) >= 1
+    assert all(
+        d["content"] == "position-deletes" for d in out["delete-files"]
+    )
+    by_path = {
+        t_["data-file"]["file-path"]: t_ for t_ in out["file-scan-tasks"]
+    }
+    new_file = next(
+        p for p in by_path if p not in {os.path.abspath(f) for f in files}
+    )
+    assert "delete-file-references" not in by_path[new_file]  # newer seq
+    old = by_path[os.path.abspath(files[0])]
+    assert old["delete-file-references"] == list(
+        range(len(out["delete-files"]))
+    )[: len(old["delete-file-references"])]
+
+    # time travel: plan an old snapshot id
+    old_sid = t.meta["snapshots"][0]["snapshot_id"]
+    code, out = _req(url, "POST", {"snapshot-id": old_sid})
+    assert code == 200 and len(out["file-scan-tasks"]) == 1
+    assert _status_of(url, "POST", {"snapshot-id": 424242}) == 404
+
+    # refusals: unsupported expression / unknown column
+    assert _status_of(
+        url, "POST", {"filter": {"type": "starts-with", "term": "id"}}
+    ) == 400
+    assert _status_of(
+        url, "POST", {"filter": {"type": "eq", "term": "nope", "value": 1}}
+    ) == 400
