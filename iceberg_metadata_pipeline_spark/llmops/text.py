@@ -839,3 +839,53 @@ sql_query(
         "{FOLD}", "list_reduce(list_sort(list(term)), (a, x) -> a + x)"
     ),
 )
+
+
+# TF-IDF top terms per document (round 11): the corpus-indexing staple
+# with a RATIONAL distinctiveness score — tf · N / df is one exact
+# integer ratio evaluated as a double, so no libm enters and both
+# engines agree bitwise (the ln-idf variant would differ per engine's
+# libm; rank order is identical for a fixed corpus). Tokenize map-only,
+# one (doc,term) hash aggregate, one term df aggregate, top-3 per doc
+# through a doc-partitioned rank (WindowGroupLimit shape — never a
+# global sort).
+_TFIDF_TEMPLATE = """
+WITH toks AS (
+  SELECT doc_id, term FROM ({TOKENS}) x WHERE term <> ''
+), tf AS (
+  SELECT doc_id, term, CAST(COUNT(*) AS BIGINT) AS tf
+  FROM toks GROUP BY doc_id, term
+), df AS (
+  SELECT term, CAST(COUNT(*) AS BIGINT) AS df FROM tf GROUP BY term
+), n AS (
+  SELECT CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs FROM tf
+), scored AS (
+  SELECT tf.doc_id, tf.term, tf.tf, df.df,
+    CAST(tf.tf AS DOUBLE) * CAST(n.n_docs AS DOUBLE)
+      / CAST(df.df AS DOUBLE) AS score,
+    ROW_NUMBER() OVER (PARTITION BY tf.doc_id
+                       ORDER BY CAST(tf.tf AS DOUBLE)
+                                  * CAST(n.n_docs AS DOUBLE)
+                                  / CAST(df.df AS DOUBLE) DESC,
+                                tf.term) AS rnk
+  FROM tf JOIN df ON tf.term = df.term CROSS JOIN n
+)
+SELECT doc_id, term, tf, df, score
+FROM scored WHERE rnk <= 3
+ORDER BY doc_id, score DESC, term
+"""
+
+sql_query(
+    "text_tfidf_top_terms",
+    _TFIDF_TEMPLATE.replace(
+        "{TOKENS}",
+        "SELECT doc_id, explode(split(trim(lower(text)), ' +')) AS term"
+        " FROM documents",
+    ),
+    oracle=_TFIDF_TEMPLATE.replace(
+        "{TOKENS}",
+        "SELECT doc_id,"
+        " unnest(regexp_split_to_array(trim(lower(text)), ' +')) AS term"
+        " FROM documents",
+    ),
+)

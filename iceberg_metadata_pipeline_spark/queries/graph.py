@@ -820,3 +820,53 @@ SELECT n_triangles, CAST(n_wedges AS BIGINT) AS n_wedges,
 FROM tri CROSS JOIN wedges
 """,
 )
+
+
+# degree assortativity (round 11): Pearson correlation of endpoint
+# degrees over the co-purchase edge list — do high-degree parts link to
+# high-degree parts? Every moment is an exact BIGINT sum over directed
+# edges (both directions materialized, so the symmetric undirected
+# formula holds); the coefficient is one double formula at the end.
+# Shape: the same thresholded edge list as transitivity, one degree
+# aggregate, one broadcastable join per endpoint, one moments pass.
+sql_query(
+    "graph_degree_assortativity",
+    """
+WITH co AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+edges AS (
+  SELECT a.l_partkey AS p1, b.l_partkey AS p2
+  FROM co a JOIN co b ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+  GROUP BY 1, 2 HAVING COUNT(*) >= 2
+),
+directed AS (
+  SELECT p1 AS src, p2 AS dst FROM edges
+  UNION ALL
+  SELECT p2 AS src, p1 AS dst FROM edges
+),
+deg AS (
+  SELECT src AS node, CAST(COUNT(*) AS BIGINT) AS d
+  FROM directed GROUP BY src
+),
+m AS (
+  SELECT
+    CAST(COUNT(*) AS BIGINT) AS n_edges,
+    CAST(SUM(ds.d) AS BIGINT) AS sx,
+    CAST(SUM(dd.d) AS BIGINT) AS sy,
+    CAST(SUM(ds.d * dd.d) AS BIGINT) AS sxy,
+    CAST(SUM(ds.d * ds.d) AS BIGINT) AS sxx,
+    CAST(SUM(dd.d * dd.d) AS BIGINT) AS syy
+  FROM directed e
+  JOIN deg ds ON e.src = ds.node
+  JOIN deg dd ON e.dst = dd.node
+)
+SELECT n_edges,
+  (CAST(n_edges AS DOUBLE) * CAST(sxy AS DOUBLE)
+   - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+  / SQRT((CAST(n_edges AS DOUBLE) * CAST(sxx AS DOUBLE)
+          - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+         * (CAST(n_edges AS DOUBLE) * CAST(syy AS DOUBLE)
+            - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)))
+    AS assortativity
+FROM m
+""",
+)
