@@ -2320,3 +2320,106 @@ sql_query(
         "{FOLD}", "list_reduce(list_sort(list(term)), (a, x) -> a + x)"
     ),
 )
+
+
+# --- Theil T inequality index (round 11) --------------------------------------
+
+# the decomposable inequality companion to Gini: T = Σ (x_i/X)·ln(n·x_i/X)
+# over per-customer spend. Spend is exact integer cents; terms collapse
+# per DISTINCT value with an integer multiplicity; ln is the lone
+# transcendental, so terms fold in SORTED order and the index ROUNDs to
+# 9 decimals (the Bartlett posture). One hash aggregate + a bounded
+# distinct-value fold.
+_THEIL_TEMPLATE = """
+WITH spend AS (
+  SELECT o_custkey,
+    CAST(SUM(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS DECIMAL(38,0)))
+         AS BIGINT) AS cents
+  FROM orders GROUP BY o_custkey
+), pv AS (
+  SELECT cents AS x, CAST(COUNT(*) AS BIGINT) AS cnt
+  FROM spend GROUP BY cents
+), tot AS (
+  SELECT CAST(SUM(cnt) AS BIGINT) AS n,
+         CAST(SUM(CAST(x AS DECIMAL(38,0)) * cnt) AS DECIMAL(38,0)) AS total
+  FROM pv
+), terms AS (
+  SELECT
+    CAST(cnt AS DOUBLE)
+      * (CAST(x AS DOUBLE) / CAST(t.total AS DOUBLE))
+      * LN(CAST(t.n AS DOUBLE) * CAST(x AS DOUBLE)
+           / CAST(t.total AS DOUBLE)) AS term,
+    t.n AS n
+  FROM pv CROSS JOIN tot t
+)
+SELECT n, ROUND({FOLD}, 9) AS theil_t
+FROM terms GROUP BY n
+"""
+
+sql_query(
+    "stat_theil_index",
+    _THEIL_TEMPLATE.replace(
+        "{FOLD}",
+        "reduce(array_sort(collect_list(term)),"
+        " CAST(0.0E0 AS DOUBLE), (a, x) -> a + x)",
+    ),
+    oracle=_THEIL_TEMPLATE.replace(
+        "{FOLD}", "list_reduce(list_sort(list(term)), (a, x) -> a + x)"
+    ),
+)
+
+
+# --- gaps & islands over the order calendar (round 11) ------------------------
+
+# the classic islands idiom: consecutive-day runs of order activity via
+# the day-number-minus-row-number constant. Runs over DISTINCT calendar
+# days (bounded by the calendar — ~2.4k rows at any SF, the documented
+# bounded-window posture), all integer arithmetic.
+_ISLANDS_TEMPLATE = """
+WITH days AS (
+  SELECT DISTINCT {DAYNUM} AS dn FROM orders
+), grp AS (
+  SELECT dn, dn - ROW_NUMBER() OVER (ORDER BY dn) AS island
+  FROM days
+)
+SELECT island,
+  CAST(MIN(dn) AS BIGINT) AS start_day,
+  CAST(MAX(dn) AS BIGINT) AS end_day,
+  CAST(COUNT(*) AS BIGINT) AS n_days
+FROM grp GROUP BY island
+HAVING COUNT(*) >= 2
+ORDER BY start_day
+"""
+
+sql_query(
+    "window_gaps_islands",
+    _ISLANDS_TEMPLATE.replace(
+        "{DAYNUM}", "datediff(o_orderdate, DATE '1990-01-01')"
+    ),
+    oracle=_ISLANDS_TEMPLATE.replace(
+        "{DAYNUM}", "datediff('day', DATE '1990-01-01', o_orderdate)"
+    ),
+)
+
+
+# --- correlated LATERAL join (round 11) ---------------------------------------
+
+# the SQL surface feature distinct from a window top-k: a correlated
+# LATERAL subquery with ORDER BY + LIMIT per outer row (top earner per
+# nation). Same text in both engines; Spark decorrelates it to a
+# group-limit shape.
+sql_query(
+    "join_lateral_top1_per_nation",
+    """
+SELECT n.n_name, l.s_name, l.s_acctbal
+FROM nation n
+CROSS JOIN LATERAL (
+  SELECT s_name, s_acctbal
+  FROM supplier s
+  WHERE s.s_nationkey = n.n_nationkey
+  ORDER BY s_acctbal DESC, s_name
+  LIMIT 1
+) l
+ORDER BY n.n_name
+""",
+)
