@@ -822,15 +822,16 @@ FROM tri CROSS JOIN wedges
 )
 
 
-# degree assortativity (round 11): Pearson correlation of endpoint
-# degrees over the co-purchase edge list — do high-degree parts link to
-# high-degree parts? Every moment is an exact BIGINT sum over directed
-# edges (both directions materialized, so the symmetric undirected
-# formula holds); the coefficient is one double formula at the end.
-# Shape: the same thresholded edge list as transitivity, one degree
-# aggregate, one broadcastable join per endpoint, one moments pass.
+# co-purchase assortativity (round 11): the companion to the r9
+# bipartite-graph coefficient, over the THRESHOLDED CO-PURCHASE part
+# graph transitivity uses — do high-degree parts link to high-degree
+# parts? Every moment is an exact BIGINT sum over directed edges (both
+# directions materialized, so the symmetric undirected formula holds);
+# the coefficient is one double formula at the end. Shape: the same
+# edge list as transitivity, one degree aggregate, one broadcastable
+# join per endpoint, one moments pass.
 sql_query(
-    "graph_degree_assortativity",
+    "graph_copurchase_assortativity",
     """
 WITH co AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
 edges AS (
