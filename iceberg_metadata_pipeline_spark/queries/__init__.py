@@ -62,6 +62,8 @@ def sql_query(name: str, spark_sql: str, oracle: str | None = "same"):
 
     fn.__name__ = f"q_{name}"
     fn.__doc__ = spark_sql
+    if name in REGISTRY:  # same guard as @query — last-wins is a silent
+        raise ValueError(f"duplicate query name: {name}")  # clobber (r11)
     REGISTRY[name] = Declared(fn, spark_sql if oracle == "same" else oracle)
     return fn
 

@@ -715,8 +715,12 @@ sql_query("ml_ols_normal_equations", _OLS_SQL, oracle="same")
 # event-to-event self-join, no window over the raw stream — a funnel
 # over 10^12 events is one hash aggregate on user_id plus a constant-
 # width reduction. Conversion ratio = single double division.
+# (round 11: this 4-stage funnel predated batch_windows'
+# events_funnel_conversion and was silently shadowed by it — the
+# duplicate-name guard surfaced the pair; it now lives under its own
+# name and is gated like any other query)
 sql_query(
-    "events_funnel_conversion",
+    "events_funnel_stages",
     """
 WITH stages AS (
   SELECT user_id,

@@ -198,8 +198,12 @@ ORDER BY doc_id, word
 """,
 )
 
+# (round 11: this registration predated the part-based fn_map_family
+# below and was silently shadowed by it — last-wins clobbered it until
+# the duplicate-name guard surfaced the pair; it now lives under its
+# own name and is gated like any other query)
 sql_query(
-    "fn_map_family",
+    "fn_map_lookup_orders",
     """
 SELECT o_orderkey,
        element_at(map('status', o_orderstatus, 'prio', o_orderpriority), 'status') AS status_v,
