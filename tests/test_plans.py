@@ -761,3 +761,65 @@ def test_histogram_quantile_sketch_aggregates_cells(spark, sf_dir):
     )
     assert "HashAggregate" in plan
     assert "CartesianProduct" not in plan
+
+
+def test_tfidf_topk_uses_group_limit(spark, sf_dir):
+    """text_tfidf_top_terms: the per-doc top-3 rank must compile to a
+    WindowGroupLimit (never a full per-partition sort of all terms)."""
+    from iceberg_metadata_pipeline_spark.queries import REGISTRY, all_queries
+
+    all_queries()
+    plan = plan_of(REGISTRY["text_tfidf_top_terms"].fn(spark, sf_dir))
+    assert "WindowGroupLimit" in plan
+
+
+def test_lateral_top1_decorrelates(spark, sf_dir):
+    """join_lateral_top1_per_nation: Spark must decorrelate the LATERAL
+    subquery — no nested-loop per outer row, no cartesian."""
+    from iceberg_metadata_pipeline_spark.queries import REGISTRY, all_queries
+
+    all_queries()
+    plan = plan_of(REGISTRY["join_lateral_top1_per_nation"].fn(spark, sf_dir))
+    assert "CartesianProduct" not in plan
+    assert "WindowGroupLimit" in plan or "BroadcastHashJoin" in plan
+
+
+def test_copurchase_assortativity_no_cartesian(spark, sf_dir):
+    from iceberg_metadata_pipeline_spark.queries import REGISTRY, all_queries
+
+    all_queries()
+    plan = plan_of(
+        REGISTRY["graph_copurchase_assortativity"].fn(spark, sf_dir)
+    )
+    assert "CartesianProduct" not in plan
+
+
+def test_ndcg_windows_are_user_partitioned(spark, sf_dir):
+    """ml_ndcg_at_10 / ml_mrr_recall_at_10: every window must carry a
+    user_id partition spec — no global sort over the event stream."""
+    import re
+
+    from iceberg_metadata_pipeline_spark.queries import REGISTRY, all_queries
+
+    all_queries()
+    for name in ("ml_ndcg_at_10", "ml_mrr_recall_at_10"):
+        plan = simple_plan_of(REGISTRY[name].fn(spark, sf_dir))
+        all_windows = re.findall(r"Window \[.*?\]", plan)
+        assert all_windows, f"{name}: no window found"
+        for w in all_windows:
+            assert "user_id" in w, f"{name}: unpartitioned window: {w[:120]}"
+
+
+def test_pr_auc_uses_bucketed_prefix(spark, sf_dir):
+    """ml_pr_auc_exact: cumulative-below windows partition by bucket
+    (the two-phase prefix) — the only unpartitioned window is the
+    1024-row bucket-offset table."""
+    import re
+
+    from iceberg_metadata_pipeline_spark.queries import REGISTRY, all_queries
+
+    all_queries()
+    plan = simple_plan_of(REGISTRY["ml_pr_auc_exact"].fn(spark, sf_dir))
+    windows = re.findall(r"Window \[.*?\]", plan)
+    assert windows
+    assert any("bucket" in w for w in windows)
