@@ -1,0 +1,300 @@
+"""`pyrest` — Spark 4 Python DataSource that reads an Iceberg table
+THROUGH the REST catalog's server-side scan planning verb
+(serving/rest_catalog.py's ``POST .../tables/{t}/plan``, round 11).
+
+``spark.read.format("pyrest").option("url", base).load("ns.table")``
+never touches a metadata JSON, manifest list, or manifest: the driver
+asks the catalog to PLAN (loadTable only for the schema), gets back
+completed file-scan-tasks with per-task delete-file references, and
+ships one InputPartition per task. Tasks read their data file and
+apply the referenced position/equality delete files with the spec's
+semantics — the thin-engine proof that the plan verb carries
+everything a reader needs.
+
+Contrast with ``pyice`` (reads the table DIRECTORY: metadata → avro
+manifests, full MOR surface incl. puffin DVs): pyrest exercises the
+CATALOG's planning path instead — pruning, sequence gating, and
+delete-file resolution all happen server-side, which is exactly the
+division of labor the REST spec prescribes for hundreds of thin
+engines sharing one catalog at 100 TB (clients get file paths, storage
+serves bytes, the catalog serves only metadata).
+
+Options:
+- ``url``    (required) catalog base, e.g. ``http://127.0.0.1:8181``
+- path / ``table``: ``namespace.table``
+- ``snapshotId`` (optional): plan an older snapshot (time travel)
+- ``filter`` (optional): an Iceberg REST expression as a JSON string,
+  forwarded verbatim — the server stats-prunes files; the residual
+  comes back and is NOT re-applied here (Spark re-filters above the
+  source), so pruning is a pure I/O win, never a semantics change.
+"""
+
+from __future__ import annotations
+
+import json
+from dataclasses import dataclass, field
+
+from pyspark.sql import types as T
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceReader,
+    InputPartition,
+)
+
+
+def _norm(p: str) -> str:
+    import re
+
+    return re.sub(r"^file:/+", "/", p)
+
+
+def _req(url: str, method: str = "GET", body: dict | None = None) -> dict:
+    import urllib.request
+
+    data = None if body is None else json.dumps(body).encode()
+    r = urllib.request.Request(url, data=data, method=method)
+    if data:
+        r.add_header("Content-Type", "application/json")
+    with urllib.request.urlopen(r) as resp:
+        raw = resp.read()
+        return json.loads(raw) if raw else {}
+
+
+@dataclass
+class RestScanTask(InputPartition):
+    path: str
+    # (parquet path,) position-delete files referenced by this task
+    pos_deletes: tuple = ()
+    # (columns tuple, parquet path) equality-delete files
+    eq_deletes: tuple = ()
+
+
+class PyRestReader(DataSourceReader):
+    def __init__(self, options: dict, schema: T.StructType):
+        self.url = options["url"].rstrip("/")
+        ident = options.get("table") or options.get("path")
+        if not ident or "." not in ident:
+            raise ValueError(
+                "pyrest needs load('namespace.table') or option('table')"
+            )
+        self.ns, self.table = ident.split(".", 1)
+        self.snapshot_id = options.get("snapshotid")
+        self.filter_json = options.get("filter")
+        self.names = [f.name for f in schema.fields]
+
+    def partitions(self):
+        body: dict = {}
+        if self.snapshot_id is not None:
+            body["snapshot-id"] = int(self.snapshot_id)
+        if self.filter_json:
+            body["filter"] = json.loads(self.filter_json)
+        plan = _req(
+            f"{self.url}/v1/namespaces/{self.ns}/tables/{self.table}/plan",
+            "POST",
+            body,
+        )
+        if plan.get("plan-status") != "completed":
+            raise ValueError(f"plan not completed: {plan}")
+        dels = plan.get("delete-files") or []
+        parts = []
+        for task in plan.get("file-scan-tasks") or []:
+            pos, eq = [], []
+            for i in task.get("delete-file-references") or []:
+                d = dels[i]
+                if d["content"] == "position-deletes":
+                    pos.append(d["file-path"])
+                else:
+                    eq.append(
+                        (
+                            tuple(self._eq_cols(d)),
+                            d["file-path"],
+                        )
+                    )
+            parts.append(
+                RestScanTask(
+                    path=task["data-file"]["file-path"],
+                    pos_deletes=tuple(pos),
+                    eq_deletes=tuple(eq),
+                )
+            )
+        return parts
+
+    def _eq_cols(self, d: dict) -> list[str]:
+        ids = d.get("equality-ids") or []
+        if not ids:
+            raise ValueError(
+                f"equality-delete file {d.get('file-path')} without ids"
+            )
+        if not hasattr(self, "_id_to_name"):
+            out = _req(
+                f"{self.url}/v1/namespaces/{self.ns}/tables/{self.table}"
+            )
+            md = out["metadata"]
+            schema = next(
+                s
+                for s in md["schemas"]
+                if s.get("schema-id", 0) == md.get("current-schema-id", 0)
+            )
+            self._id_to_name = {f["id"]: f["name"] for f in schema["fields"]}
+        return [self._id_to_name[i] for i in ids]
+
+    def read(self, partition: RestScanTask):
+        import pyarrow.parquet as pq
+
+        me = _norm(partition.path)
+        dead: set[int] = set()
+        for dpath in partition.pos_deletes:
+            t = pq.read_table(dpath, columns=["file_path", "pos"])
+            for fp, pos in zip(
+                t.column("file_path").to_pylist(),
+                t.column("pos").to_pylist(),
+            ):
+                if _norm(str(fp)) == me:
+                    dead.add(int(pos))
+        eq_probe = []
+        for cols, dpath in partition.eq_deletes:
+            t = pq.read_table(dpath, columns=list(cols))
+            rows = set(
+                tuple(t.column(c)[i].as_py() for c in cols)
+                for i in range(t.num_rows)
+            )
+            eq_probe.append((cols, rows))
+
+        pf = pq.ParquetFile(partition.path)
+        file_cols = set(pf.schema_arrow.names)
+        want = [n for n in self.names if n in file_cols]
+        pos = 0
+        for batch in pf.iter_batches(columns=want):
+            got = dict(
+                zip(
+                    batch.schema.names,
+                    (
+                        batch.column(i).to_pylist()
+                        for i in range(batch.num_columns)
+                    ),
+                )
+            )
+            ordered = [
+                got[n] if n in got else [None] * batch.num_rows
+                for n in self.names
+            ]
+            for row in zip(*ordered):
+                if pos in dead:
+                    pos += 1
+                    continue
+                pos += 1
+                if eq_probe:
+                    by_name = dict(zip(self.names, row))
+                    if any(
+                        tuple(by_name[c] for c in cols) in rows
+                        for cols, rows in eq_probe
+                    ):
+                        continue
+                yield row
+
+
+class PyRestDataSource(DataSource):
+    @classmethod
+    def name(cls) -> str:
+        return "pyrest"
+
+    def schema(self):
+        from iceberg_metadata_pipeline_spark.catalog.iceberg_format import (
+            iceberg_schema_to_spark,
+        )
+
+        url = self.options["url"].rstrip("/")
+        ident = self.options.get("table") or self.options.get("path")
+        if not ident or "." not in ident:
+            raise ValueError(
+                "pyrest needs load('namespace.table') or option('table')"
+            )
+        ns, table = ident.split(".", 1)
+        out = _req(f"{url}/v1/namespaces/{ns}/tables/{table}")
+        md = out["metadata"]
+        schema = next(
+            s
+            for s in md["schemas"]
+            if s.get("schema-id", 0) == md.get("current-schema-id", 0)
+        )
+        return iceberg_schema_to_spark(schema)
+
+    def reader(self, schema: T.StructType) -> DataSourceReader:
+        return PyRestReader(dict(self.options), schema)
+
+
+def register(spark) -> None:
+    spark.dataSource.register(PyRestDataSource)
+
+
+def _declare_queries() -> None:
+    from pyspark.sql import DataFrame, SparkSession
+    from pyspark.sql import functions as F
+
+    from iceberg_metadata_pipeline_spark.queries import query
+    from iceberg_metadata_pipeline_spark.session import load_tables
+
+    @query(
+        "source_pyrest_plan_scan",
+        """
+SELECT p_brand, COUNT(*) AS n,
+  CAST(SUM(CAST(p_size AS BIGINT)) AS BIGINT) AS total_size
+FROM part
+GROUP BY p_brand
+ORDER BY p_brand
+""",
+    )
+    def source_pyrest_plan_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+        """Read through the CATALOG's scan-planning verb end-to-end:
+        the part fixture registers metadata-only into a metacat
+        warehouse, a RestCatalogServer fronts it, and the pyrest
+        DataSource plans via POST .../plan (no metadata JSON, no
+        manifests client-side) and scans the returned tasks. Matching
+        the raw-fixture oracle proves loadTable schema + planTableScan
+        tasks + task-side reads carry exactly the table."""
+        import os as _os
+        import tempfile as _tf
+
+        from iceberg_metadata_pipeline_spark.catalog.metacat import (
+            Catalog,
+            scan_parquet_footers,
+        )
+        from iceberg_metadata_pipeline_spark.serving.rest_catalog import (
+            RestCatalogServer,
+        )
+
+        load_tables(spark, sf_dir)
+        register(spark)
+        catalog = Catalog(spark, _tf.mkdtemp(prefix="wh-pyrest-"))
+        catalog.ensure_namespace("nyc")
+        t = catalog.create_table("nyc", "part_rest", spark.table("part").schema)
+        t.append_files(
+            scan_parquet_footers(_os.path.join(sf_dir, "part.parquet"), spark)
+        )
+        srv = RestCatalogServer(
+            catalog, _tf.mkdtemp(prefix="pyrest-mirror-")
+        ).start()
+        try:
+            back = (
+                spark.read.format("pyrest")
+                .option("url", f"http://127.0.0.1:{srv.port}")
+                .load("nyc.part_rest")
+            )
+            out = (
+                back.groupBy("p_brand")
+                .agg(
+                    F.count(F.lit(1)).alias("n"),
+                    F.sum(F.col("p_size").cast("bigint")).alias("total_size"),
+                )
+                .orderBy("p_brand")
+            )
+            # materialize before the server stops (the plan happens at
+            # DataFrame construction; task reads hit storage directly,
+            # but keep the server alive through the action for safety)
+            out = spark.createDataFrame(out.collect(), out.schema)
+        finally:
+            srv.stop()
+        return out
+
+
+_declare_queries()

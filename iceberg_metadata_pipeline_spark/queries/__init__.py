@@ -160,6 +160,7 @@ def _load_all():
     from iceberg_metadata_pipeline_spark.ingest import pydelta_source  # noqa: F401
     from iceberg_metadata_pipeline_spark.ingest import pyhudi_source  # noqa: F401
     from iceberg_metadata_pipeline_spark.ingest import pyice_source  # noqa: F401
+    from iceberg_metadata_pipeline_spark.ingest import pyrest_source  # noqa: F401
     from iceberg_metadata_pipeline_spark.ingest import pywds_source  # noqa: F401
     from iceberg_metadata_pipeline_spark.functions import pandas_udfs  # noqa: F401
 

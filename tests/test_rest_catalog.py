@@ -1609,3 +1609,97 @@ def test_plan_table_scan(spark, server, tmp_path):
     assert _status_of(
         url, "POST", {"filter": {"type": "eq", "term": "nope", "value": 1}}
     ) == 400
+
+
+def test_pyrest_datasource_reads_through_plan(spark, server, tmp_path):
+    """Round 11: the pyrest DataSource is a THIN ENGINE over the plan
+    verb — no metadata JSON, no manifests: loadTable for the schema,
+    planTableScan for tasks, parquet + referenced delete files in each
+    task. Covers MOR deletes, snapshot time travel, and server-side
+    filter pruning."""
+    import json as _json
+    import os
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from iceberg_metadata_pipeline_spark.ingest.pyrest_source import register
+
+    catalog, srv, base = server
+    _req(f"{base}/v1/namespaces", "POST", {"namespace": ["pr"]})
+    _req(
+        f"{base}/v1/namespaces/pr/tables",
+        "POST",
+        {
+            "name": "t",
+            "schema": {
+                "type": "struct",
+                "schema-id": 0,
+                "fields": [
+                    {"id": 1, "name": "id", "required": False, "type": "long"}
+                ],
+            },
+        },
+    )
+    t = catalog.load_table("pr", "t")
+    t.append_dataframe(
+        spark.createDataFrame([(i,) for i in range(4)], "id long").coalesce(1)
+    )
+    t.append_dataframe(
+        spark.createDataFrame(
+            [(i,) for i in range(100, 104)], "id long"
+        ).coalesce(1)
+    )
+    first_sid = t.meta["snapshots"][0]["snapshot_id"]
+    files = sorted(f.path for f in t.snapshot_files())
+    victim = int(pq.read_table(files[0])["id"][1].as_py())
+    dp = str(tmp_path / "pr-d.parquet")
+    pq.write_table(
+        pa.table(
+            {
+                "file_path": pa.array([files[0]], pa.string()),
+                "pos": pa.array([1], pa.int64()),
+            }
+        ),
+        dp,
+    )
+    t.add_position_delete_files([dp])
+    expect = sorted({0, 1, 2, 3, 100, 101, 102, 103} - {victim})
+
+    register(spark)
+    back = (
+        spark.read.format("pyrest").option("url", base).load("pr.t")
+    )
+    assert sorted(r.id for r in back.collect()) == expect
+
+    # time travel plans the pre-delete first snapshot (one file)
+    old = (
+        spark.read.format("pyrest")
+        .option("url", base)
+        .option("snapshotId", str(first_sid))
+        .load("pr.t")
+    )
+    assert sorted(r.id for r in old.collect()) == [0, 1, 2, 3]
+
+    # a server-side filter prunes to one file; Spark's own filter above
+    # the source keeps semantics exact
+    flt = _json.dumps({"type": "gt-eq", "term": "id", "value": 100})
+    pruned = (
+        spark.read.format("pyrest")
+        .option("url", base)
+        .option("filter", flt)
+        .load("pr.t")
+        .filter("id >= 100")
+    )
+    assert sorted(r.id for r in pruned.collect()) == [100, 101, 102, 103]
+
+    # equality deletes referenced through the plan apply too
+    eqp = str(tmp_path / "pr-eq.parquet")
+    pq.write_table(pa.table({"id": pa.array([100], pa.int64())}), eqp)
+    t.add_foreign_delete_files([], [(["id"], [eqp])])
+    back2 = (
+        spark.read.format("pyrest").option("url", base).load("pr.t")
+    )
+    assert sorted(r.id for r in back2.collect()) == sorted(
+        set(expect) - {100}
+    )
