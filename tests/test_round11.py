@@ -187,3 +187,16 @@ def test_incremental_export_compaction_falls_back_to_full(
     assert sorted(r.id for r in back.collect()) == sorted(
         {0, 1, 2, 3, 10, 11, 12, 13} - {victim}
     )
+
+
+def test_incremental_export_noop_with_live_deletes(spark, table, tmp_path):
+    """An UNCHANGED re-export of a delete-carrying table is a no-op
+    (same metadata path — the delete diff proves nothing moved)."""
+    cat, t = table
+    dest = str(tmp_path / "ice")
+    files = sorted(f.path for f in t.snapshot_files())
+    dp = _write_delete(str(tmp_path / "d.parquet"), [(files[0], 0)])
+    t.add_position_delete_files([dp])
+    p1 = export_iceberg_table(t, dest)
+    p2 = export_iceberg_table(t, dest)
+    assert p1 == p2
