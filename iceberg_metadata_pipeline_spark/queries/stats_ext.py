@@ -2423,3 +2423,121 @@ CROSS JOIN LATERAL (
 ORDER BY n.n_name
 """,
 )
+
+
+# --- Pareto 80/20 revenue concentration (round 11) -----------------------------
+
+# "what share of revenue do the top 20% of customers hold" — the
+# concentration audit next to Gini, EXACT: spend in integer cents,
+# distinct-value collapse, and the bottom-(n-k) revenue found by
+# locating the threshold run via cumulative counts (partial tie-runs
+# contribute (k_bot - cum_before) copies of the threshold value —
+# integer arithmetic end to end, one double division at the end).
+_PARETO_SRC = """
+  SELECT o_custkey,
+    CAST(SUM(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS DECIMAL(38,0)))
+         AS BIGINT) AS cents
+  FROM orders GROUP BY o_custkey
+"""
+
+_PARETO_ORACLE = f"""
+WITH spend AS ({_PARETO_SRC}),
+pv AS (
+  SELECT cents AS x, CAST(COUNT(*) AS BIGINT) AS cnt
+  FROM spend GROUP BY cents
+), c AS (
+  SELECT x, cnt,
+    COALESCE(SUM(cnt) OVER (
+      ORDER BY x ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cb,
+    COALESCE(SUM(CAST(x AS DECIMAL(38,0)) * cnt) OVER (
+      ORDER BY x ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+      CAST(0 AS DECIMAL(38,0))) AS rev_below
+  FROM pv
+), tot AS (
+  SELECT CAST(SUM(cnt) AS BIGINT) AS n,
+         CAST(SUM(CAST(x AS DECIMAL(38,0)) * cnt) AS DECIMAL(38,0)) AS total
+  FROM pv
+), thresh AS (
+  SELECT c.x, c.cb, c.rev_below, t.n, t.total,
+         t.n - CAST(CEIL(CAST(t.n AS DOUBLE) / 5.0E0) AS BIGINT) AS k_bot
+  FROM c CROSS JOIN tot t
+  WHERE c.cb < t.n - CAST(CEIL(CAST(t.n AS DOUBLE) / 5.0E0) AS BIGINT)
+    AND t.n - CAST(CEIL(CAST(t.n AS DOUBLE) / 5.0E0) AS BIGINT) <= c.cb + (
+      SELECT p.cnt FROM pv p WHERE p.x = c.x)
+)
+SELECT n, n - k_bot AS top_customers,
+  CAST(total - (rev_below + CAST(k_bot - cb AS DECIMAL(38,0)) * x)
+       AS DOUBLE) / CAST(total AS DOUBLE) AS top20_revenue_share
+FROM thresh
+"""
+
+
+@query("agg_pareto_top20_share", _PARETO_ORACLE)
+def agg_pareto_top20_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-20% revenue concentration (oracle above); the Spark side
+    computes BOTH ascending cumulatives (count and exact-decimal
+    revenue) with the bucketed two-phase prefix over distinct cents —
+    no task sorts more than one value bucket."""
+    from pyspark.sql import Window
+
+    load_tables(spark, sf_dir)
+    pv = (
+        spark.sql(f"SELECT * FROM ({_PARETO_SRC})")
+        .groupBy(F.col("cents").alias("x"))
+        .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+    )
+    bounds = pv.agg(
+        F.min(F.col("x").cast("double")).alias("vmin"),
+        F.max(F.col("x").cast("double")).alias("vmax"),
+    )
+    b = pv.crossJoin(F.broadcast(bounds)).withColumn(
+        "bucket",
+        F.expr("width_bucket(CAST(x AS DOUBLE), vmin, vmax + 1.0d, 1024)"),
+    )
+    w_bkt = Window.orderBy("bucket").rowsBetween(Window.unboundedPreceding, -1)
+    offs = (
+        b.groupBy("bucket")
+        .agg(
+            F.sum("cnt").alias("bn"),
+            F.sum(F.expr("CAST(x AS DECIMAL(38,0)) * cnt")).alias("br"),
+        )
+        .select(
+            "bucket",
+            F.coalesce(F.sum("bn").over(w_bkt), F.lit(0)).alias("off_n"),
+            F.coalesce(
+                F.sum("br").over(w_bkt),
+                F.expr("CAST(0 AS DECIMAL(38,0))"),
+            ).alias("off_r"),
+        )
+    )
+    w_in = Window.partitionBy("bucket").orderBy("x")
+    c = b.join(F.broadcast(offs), "bucket").select(
+        "x",
+        "cnt",
+        (F.col("off_n") + F.sum("cnt").over(w_in) - F.col("cnt")).alias("cb"),
+        (
+            F.col("off_r")
+            + F.sum(F.expr("CAST(x AS DECIMAL(38,0)) * cnt")).over(w_in)
+            - F.expr("CAST(x AS DECIMAL(38,0)) * cnt")
+        ).alias("rev_below"),
+    )
+    tot = pv.agg(
+        F.sum("cnt").cast("long").alias("n"),
+        F.sum(F.expr("CAST(x AS DECIMAL(38,0)) * cnt")).alias("total"),
+    )
+    th = (
+        c.crossJoin(F.broadcast(tot))
+        .withColumn(
+            "k_bot",
+            F.expr(
+                "n - CAST(CEIL(CAST(n AS DOUBLE) / 5.0E0) AS BIGINT)"
+            ),
+        )
+        .filter("cb < k_bot AND k_bot <= cb + cnt")
+    )
+    return th.selectExpr(
+        "n",
+        "n - k_bot AS top_customers",
+        "CAST(total - (rev_below + CAST(k_bot - cb AS DECIMAL(38,0)) * x)"
+        " AS DOUBLE) / CAST(total AS DOUBLE) AS top20_revenue_share",
+    )

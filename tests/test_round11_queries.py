@@ -234,3 +234,34 @@ def test_log_loss_matches_reference(spark):
     (got,) = _run(spark, "ml_log_loss")
     assert got["n"] == n
     assert got["log_loss"] == pytest.approx(ll, rel=1e-8)
+
+
+def test_pareto_top20_matches_reference(spark):
+    from iceberg_metadata_pipeline_spark.session import load_tables
+
+    t = load_tables(spark, SF)
+    spend = sorted(
+        (
+            r["c"]
+            for r in t["orders"]
+            .groupBy("o_custkey")
+            .agg(
+                {"o_totalprice": "sum"}
+            )
+            .selectExpr(
+                "CAST(CAST(`sum(o_totalprice)` AS DECIMAL(18,2)) * 100"
+                " AS BIGINT) AS c"
+            )
+            .collect()
+        ),
+        reverse=True,
+    )
+    # pin semantics with pure Python over exact cents
+    import math
+
+    n = len(spend)
+    k_top = math.ceil(n / 5)
+    share = sum(spend[:k_top]) / sum(spend)
+    (got,) = _run(spark, "agg_pareto_top20_share")
+    assert got["n"] == n and got["top_customers"] == k_top
+    assert got["top20_revenue_share"] == pytest.approx(share, rel=1e-12)
