@@ -481,6 +481,20 @@ class RestCatalogServer:
                 # whose data sequence is strictly lower
                 if d.get("seq") is None or (f.seq or 0) < d["seq"]:
                     refs.extend(idxs)
+            lowers, uppers = {}, {}
+            for col, st in (f.stats or {}).items():
+                fid = name_to_id.get(col)
+                if fid is None or not isinstance(st, (tuple, list)):
+                    continue  # bloom_* bitmaps and dropped columns
+                mn, mx = st
+                if mn is not None:
+                    lowers[str(fid)] = (
+                        mn if isinstance(mn, (int, float, str)) else str(mn)
+                    )
+                if mx is not None:
+                    uppers[str(fid)] = (
+                        mx if isinstance(mx, (int, float, str)) else str(mx)
+                    )
             task = {
                 "data-file": {
                     "content": "data",
@@ -490,6 +504,11 @@ class RestCatalogServer:
                     "partition": [],
                     "record-count": int(f.record_count),
                     "file-size-in-bytes": int(f.file_size_bytes),
+                    # per-column bounds keyed by field id (the spec's
+                    # ContentFile shape) — a thin client can prune its
+                    # own residual range without reading a footer
+                    **({"lower-bounds": lowers} if lowers else {}),
+                    **({"upper-bounds": uppers} if uppers else {}),
                 },
             }
             if refs:
