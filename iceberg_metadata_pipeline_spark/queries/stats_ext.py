@@ -2541,3 +2541,88 @@ def agg_pareto_top20_share(spark: SparkSession, sf_dir: str) -> DataFrame:
         "CAST(total - (rev_below + CAST(k_bot - cb AS DECIMAL(38,0)) * x)"
         " AS DOUBLE) / CAST(total AS DOUBLE) AS top20_revenue_share",
     )
+
+
+# --- linear-interpolation resample (round 11) ----------------------------------
+
+# the time-series gap-filler beyond forward-fill: per event type, a
+# dense day spine with missing days LINEARLY interpolated between the
+# neighboring observed days. Integer day numbers and counts; the
+# interpolation is one rational double expression (identical operand
+# doubles both engines). Leading/trailing gaps (no neighbor on one
+# side) are excluded. Windows are type-partitioned; the spine is
+# calendar-bounded.
+_INTERP_TEMPLATE = """
+WITH daily AS (
+  SELECT event_type, {DAYNUM} AS dn, CAST(COUNT(*) AS BIGINT) AS v
+  FROM events GROUP BY event_type, {DAYNUM}
+), bounds AS (
+  SELECT event_type, MIN(dn) AS mn, MAX(dn) AS mx
+  FROM daily GROUP BY event_type
+), spine AS (
+  SELECT event_type, {SERIES} AS dn FROM bounds
+), joined AS (
+  SELECT s.event_type, s.dn, d.v
+  FROM spine s LEFT JOIN daily d
+    ON s.event_type = d.event_type AND s.dn = d.dn
+), marked AS (
+  SELECT event_type, dn, v,
+    {PREV_D} AS prev_dn,
+    {PREV_V} AS prev_v,
+    {NEXT_D} AS next_dn,
+    {NEXT_V} AS next_v
+  FROM joined
+)
+SELECT event_type, CAST(dn AS BIGINT) AS dn,
+  CASE WHEN v IS NOT NULL THEN CAST(v AS DOUBLE)
+       ELSE CAST(prev_v AS DOUBLE)
+            + (CAST(next_v AS DOUBLE) - CAST(prev_v AS DOUBLE))
+              * (CAST(dn - prev_dn AS DOUBLE)
+                 / CAST(next_dn - prev_dn AS DOUBLE))
+  END AS value,
+  CAST(CASE WHEN v IS NULL THEN 1 ELSE 0 END AS INT) AS interpolated
+FROM marked
+WHERE v IS NOT NULL OR (prev_v IS NOT NULL AND next_v IS NOT NULL)
+ORDER BY event_type, dn
+"""
+
+_W_PREC = (
+    "OVER (PARTITION BY event_type ORDER BY dn "
+    "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)"
+)
+_W_FOLL = (
+    "OVER (PARTITION BY event_type ORDER BY dn "
+    "ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)"
+)
+
+
+def _interp_sql(engine: str) -> str:
+    def agg(fn, expr, window):
+        if engine == "spark":
+            return f"{fn}({expr}) IGNORE NULLS {window}"
+        return f"{fn}({expr} IGNORE NULLS) {window}"
+
+    d_expr = "CASE WHEN v IS NOT NULL THEN dn END"
+    v_expr = "CASE WHEN v IS NOT NULL THEN v END"
+    s = (
+        _INTERP_TEMPLATE.replace(
+            "{PREV_D}", agg("last_value", d_expr, _W_PREC)
+        )
+        .replace("{PREV_V}", agg("last_value", v_expr, _W_PREC))
+        .replace("{NEXT_D}", agg("first_value", d_expr, _W_FOLL))
+        .replace("{NEXT_V}", agg("first_value", v_expr, _W_FOLL))
+    )
+    if engine == "spark":
+        return s.replace(
+            "{DAYNUM}", "datediff(CAST(ts AS DATE), DATE '2020-01-01')"
+        ).replace("{SERIES}", "explode(sequence(mn, mx))")
+    return s.replace(
+        "{DAYNUM}", "datediff('day', DATE '2020-01-01', CAST(ts AS DATE))"
+    ).replace("{SERIES}", "unnest(generate_series(mn, mx))")
+
+
+sql_query(
+    "events_linear_interpolate",
+    _interp_sql("spark"),
+    oracle=_interp_sql("duck"),
+)
