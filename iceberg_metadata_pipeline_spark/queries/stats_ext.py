@@ -2626,3 +2626,79 @@ sql_query(
     _interp_sql("spark"),
     oracle=_interp_sql("duck"),
 )
+
+
+# --- population stability index (round 11) -------------------------------------
+
+# THE drift metric an ML-data pipeline runs between a reference window
+# and a current window: PSI = Σ_bins (p−q)·ln(p/q). Reference = first
+# half of the event calendar, current = second half (split at the
+# midpoint day, an exact integer comparison); 10 integer-width score
+# bins over the global range (the calibration-bins machinery);
+# Laplace +1 smoothing keeps every bin positive. Ten LN terms fold in
+# sorted order and the index ROUNDs to 9 decimals (the libm posture).
+# One scan, one hash aggregate on (bin, half) — map-combinable.
+_PSI_SQL_TEMPLATE = """
+WITH s AS (
+  SELECT CAST(CAST(value AS DECIMAL(38,6)) * 1000000 AS BIGINT) AS score,
+         {DAYNUM} AS dn
+  FROM events
+), meta AS (
+  SELECT CAST(MIN(score) AS BIGINT) AS lo, CAST(MAX(score) AS BIGINT) AS hi,
+         CAST(MIN(dn) + (MAX(dn) - MIN(dn)) {IDIV} 2 AS BIGINT) AS mid
+  FROM s
+), binned AS (
+  SELECT LEAST(CAST((score - lo) * 10 {IDIV} (hi - lo + 1) AS BIGINT), 9)
+           AS bin,
+         CASE WHEN dn <= mid THEN 0 ELSE 1 END AS half
+  FROM s CROSS JOIN meta
+), cells AS (
+  SELECT bin,
+    CAST(SUM(CASE WHEN half = 0 THEN 1 ELSE 0 END) + 1 AS BIGINT) AS n_ref,
+    CAST(SUM(CASE WHEN half = 1 THEN 1 ELSE 0 END) + 1 AS BIGINT) AS n_cur
+  FROM binned GROUP BY bin
+), tot AS (
+  SELECT CAST(SUM(n_ref) AS BIGINT) AS t_ref,
+         CAST(SUM(n_cur) AS BIGINT) AS t_cur
+  FROM cells
+), terms AS (
+  SELECT
+    (CAST(n_ref AS DOUBLE) / CAST(t_ref AS DOUBLE)
+     - CAST(n_cur AS DOUBLE) / CAST(t_cur AS DOUBLE))
+    * LN((CAST(n_ref AS DOUBLE) / CAST(t_ref AS DOUBLE))
+         / (CAST(n_cur AS DOUBLE) / CAST(t_cur AS DOUBLE))) AS term
+  FROM cells CROSS JOIN tot
+)
+SELECT CAST(10 AS BIGINT) AS n_bins, ROUND({FOLD}, 9) AS psi
+FROM terms
+"""
+
+
+def _psi_sql(engine: str) -> str:
+    s = _PSI_SQL_TEMPLATE
+    if engine == "spark":
+        return (
+            s.replace(
+                "{DAYNUM}", "datediff(CAST(ts AS DATE), DATE '2020-01-01')"
+            )
+            .replace("{IDIV}", "DIV")
+            .replace(
+                "{FOLD}",
+                "reduce(array_sort(collect_list(term)),"
+                " CAST(0.0E0 AS DOUBLE), (a, x) -> a + x)",
+            )
+        )
+    return (
+        s.replace(
+            "{DAYNUM}", "datediff('day', DATE '2020-01-01', CAST(ts AS DATE))"
+        )
+        .replace("{IDIV}", "//")
+        .replace(
+            "{FOLD}", "list_reduce(list_sort(list(term)), (a, x) -> a + x)"
+        )
+    )
+
+
+sql_query(
+    "quality_psi_value_drift", _psi_sql("spark"), oracle=_psi_sql("duck")
+)
