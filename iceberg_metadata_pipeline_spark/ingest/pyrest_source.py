@@ -27,6 +27,14 @@ Options:
   forwarded verbatim — the server stats-prunes files; the residual
   comes back and is NOT re-applied here (Spark re-filters above the
   source), so pruning is a pure I/O win, never a semantics change.
+
+Scope bound (loud in docs, conservative in behavior): files written
+BEFORE a column rename read that column as NULL here — the plan
+response carries no per-file name mapping and these parquet files
+carry no field ids, so the thin client cannot resolve old names.
+Read evolution-heavy tables through ``pyice`` (which consults the
+table's own metadata) or the warehouse scan; pyrest targets the
+plan-verb interop path.
 """
 
 from __future__ import annotations
