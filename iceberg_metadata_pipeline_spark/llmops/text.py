@@ -889,3 +889,64 @@ sql_query(
         " FROM documents",
     ),
 )
+
+
+# Jensen-Shannon divergence between one source shard and the rest of
+# the corpus (round 11): THE distributional-drift check a training-data
+# pipeline runs before admitting a new crawl shard — symmetric, bounded
+# [0, ln 2]. Vocabulary = top-512 tokens by pooled count (deterministic
+# tiebreak, TakeOrderedAndProject shape — never a global sort of the
+# vocab); +1 smoothing keeps every cell positive; the ≤1024 LN terms
+# fold in sorted order and the statistic ROUNDs to 9 decimals (the
+# libm posture). One tokenize pass, one (token, side) aggregate.
+_JS_TEMPLATE = """
+WITH toks AS (
+  SELECT CASE WHEN source = 'src0' THEN 0 ELSE 1 END AS side, term
+  FROM ({TOKENS}) x WHERE term <> ''
+), vocab AS (
+  SELECT term FROM (
+    SELECT term, CAST(COUNT(*) AS BIGINT) AS cnt FROM toks GROUP BY term
+  ) t ORDER BY cnt DESC, term LIMIT 512
+), cells AS (
+  SELECT v.term,
+    CAST(SUM(CASE WHEN side = 0 THEN 1 ELSE 0 END) + 1 AS BIGINT) AS n_p,
+    CAST(SUM(CASE WHEN side = 1 THEN 1 ELSE 0 END) + 1 AS BIGINT) AS n_q
+  FROM vocab v LEFT JOIN toks t ON v.term = t.term
+  GROUP BY v.term
+), tot AS (
+  SELECT CAST(SUM(n_p) AS BIGINT) AS t_p, CAST(SUM(n_q) AS BIGINT) AS t_q
+  FROM cells
+), probs AS (
+  SELECT
+    CAST(n_p AS DOUBLE) / CAST(t_p AS DOUBLE) AS p,
+    CAST(n_q AS DOUBLE) / CAST(t_q AS DOUBLE) AS q
+  FROM cells CROSS JOIN tot
+), terms AS (
+  SELECT 0.5E0 * p * LN(p / (0.5E0 * (p + q)))
+       + 0.5E0 * q * LN(q / (0.5E0 * (p + q))) AS term
+  FROM probs
+)
+SELECT CAST(512 AS BIGINT) AS vocab_size, ROUND({FOLD}, 9) AS js_divergence
+FROM terms
+"""
+
+sql_query(
+    "text_js_divergence_sources",
+    _JS_TEMPLATE.replace(
+        "{TOKENS}",
+        "SELECT source,"
+        " explode(split(trim(lower(text)), ' +')) AS term FROM documents",
+    ).replace(
+        "{FOLD}",
+        "reduce(array_sort(collect_list(term)),"
+        " CAST(0.0E0 AS DOUBLE), (a, x) -> a + x)",
+    ),
+    oracle=_JS_TEMPLATE.replace(
+        "{TOKENS}",
+        "SELECT source,"
+        " unnest(regexp_split_to_array(trim(lower(text)), ' +')) AS term"
+        " FROM documents",
+    ).replace(
+        "{FOLD}", "list_reduce(list_sort(list(term)), (a, x) -> a + x)"
+    ),
+)
