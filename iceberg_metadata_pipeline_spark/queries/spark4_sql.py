@@ -412,3 +412,36 @@ def filter_is_distinct_from(spark: SparkSession, sf_dir: str) -> DataFrame:
         ORDER BY o_orderstatus
         """
     )
+
+
+from iceberg_metadata_pipeline_spark.queries import sql_query  # noqa: E402
+
+# try_* arithmetic (round 11): Spark 4's ANSI-mode-safe arithmetic
+# surface — try_divide/try_mod return NULL where the strict operator
+# would raise. The oracle spells the same semantics with guards (DuckDB
+# has no try_ operators) — integer arithmetic, exact.
+sql_query(
+    "fn_try_arithmetic_family",
+    """
+SELECT l_orderkey, l_linenumber,
+  try_divide(CAST(l_quantity AS BIGINT),
+             CAST(l_linenumber - 1 AS BIGINT)) AS qty_per,
+  try_mod(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT),
+          CAST(l_linenumber - 1 AS BIGINT)) AS cents_mod
+FROM lineitem
+WHERE l_orderkey < 200
+ORDER BY l_orderkey, l_linenumber
+""",
+    oracle="""
+SELECT l_orderkey, l_linenumber,
+  CASE WHEN l_linenumber - 1 = 0 THEN NULL
+       ELSE CAST(CAST(l_quantity AS BIGINT) AS DOUBLE)
+            / CAST(l_linenumber - 1 AS DOUBLE) END AS qty_per,
+  CASE WHEN l_linenumber - 1 = 0 THEN NULL
+       ELSE CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+            % CAST(l_linenumber - 1 AS BIGINT) END AS cents_mod
+FROM lineitem
+WHERE l_orderkey < 200
+ORDER BY l_orderkey, l_linenumber
+""",
+)

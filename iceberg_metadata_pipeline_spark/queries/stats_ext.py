@@ -2702,3 +2702,42 @@ def _psi_sql(engine: str) -> str:
 sql_query(
     "quality_psi_value_drift", _psi_sql("spark"), oracle=_psi_sql("duck")
 )
+
+
+# --- maximum drawdown of the daily revenue series (round 11) -------------------
+
+# the finance/monitoring classic: deepest peak-to-trough fall of the
+# day-ordered cumulative-revenue-free series (daily revenue in exact
+# integer cents; running peak via a calendar-bounded day window — the
+# documented bounded-input posture; drawdown ratios are divisions of
+# exact integers, and MAX over doubles is a comparison, not a sum, so
+# no fold ordering matters).
+_DRAWDOWN_TEMPLATE = """
+WITH daily AS (
+  SELECT {DAYNUM} AS dn,
+    CAST(SUM(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100
+                  AS DECIMAL(38,0))) AS BIGINT) AS cents
+  FROM orders GROUP BY {DAYNUM}
+), peaks AS (
+  SELECT dn, cents,
+    MAX(cents) OVER (ORDER BY dn
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+      AS peak
+  FROM daily
+)
+SELECT
+  CAST(COUNT(*) AS BIGINT) AS n_days,
+  MAX(CAST(peak - cents AS DOUBLE) / CAST(peak AS DOUBLE))
+    AS max_drawdown
+FROM peaks
+"""
+
+sql_query(
+    "window_max_drawdown",
+    _DRAWDOWN_TEMPLATE.replace(
+        "{DAYNUM}", "datediff(o_orderdate, DATE '1990-01-01')"
+    ),
+    oracle=_DRAWDOWN_TEMPLATE.replace(
+        "{DAYNUM}", "datediff('day', DATE '1990-01-01', o_orderdate)"
+    ),
+)
