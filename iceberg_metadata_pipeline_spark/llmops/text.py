@@ -950,3 +950,82 @@ sql_query(
         "{FOLD}", "list_reduce(list_sort(list(term)), (a, x) -> a + x)"
     ),
 )
+
+
+# Winnowing document fingerprints (round 11): the MOSS/plagiarism-
+# detection selection rule — hash every k-token shingle, then keep each
+# sliding window's MINIMUM hash (w consecutive shingles) — guarantees
+# any shared substring of length ≥ w+k−1 tokens contributes a shared
+# fingerprint, at ~2/(w+1) the storage of all shingles. Hashes are
+# md5-derived (engine-identical, the portable-estimator posture);
+# windows are doc-partitioned; DISTINCT collapses repeated minima. The
+# fingerprint table is what a corpus-scale near-dup index stores.
+_WINNOW_TEMPLATE = """
+WITH toks AS (
+  SELECT doc_id, term, idx
+  FROM ({TOKENS}) x WHERE term <> ''
+), shingles AS (
+  SELECT doc_id, idx,
+    {HASH} AS h
+  FROM (
+    SELECT doc_id, idx,
+      CONCAT_WS(' ', term,
+        {LEAD1},
+        {LEAD2}) AS sh,
+      {LEAD2} AS last_tok
+    FROM toks
+  ) s
+  WHERE last_tok IS NOT NULL
+), winnowed AS (
+  SELECT DISTINCT doc_id,
+    MIN(h) OVER (PARTITION BY doc_id ORDER BY idx
+                 ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS fp
+  FROM shingles
+)
+SELECT doc_id, fp
+FROM winnowed
+WHERE doc_id < 40
+ORDER BY doc_id, fp
+"""
+
+
+def _winnow_sql(engine: str) -> str:
+    lead1 = "LEAD(term, 1) OVER (PARTITION BY doc_id ORDER BY idx)"
+    lead2 = "LEAD(term, 2) OVER (PARTITION BY doc_id ORDER BY idx)"
+    if engine == "spark":
+        return (
+            _WINNOW_TEMPLATE.replace(
+                "{TOKENS}",
+                "SELECT doc_id, tok.term, tok.idx FROM documents "
+                "LATERAL VIEW posexplode(split(trim(lower(text)), ' +')) "
+                "tok AS idx, term",
+            )
+            .replace(
+                "{HASH}",
+                "CAST(conv(substring(md5(sh), 1, 15), 16, 10) AS BIGINT)",
+            )
+            .replace("{LEAD1}", lead1)
+            .replace("{LEAD2}", lead2)
+        )
+    return (
+        _WINNOW_TEMPLATE.replace(
+            "{TOKENS}",
+            "SELECT doc_id, t.term, t.idx - 1 AS idx FROM documents, "
+            "LATERAL (SELECT unnest(regexp_split_to_array("
+            "trim(lower(text)), ' +')) AS term, generate_subscripts("
+            "regexp_split_to_array(trim(lower(text)), ' +'), 1) AS idx) t",
+        )
+        .replace(
+            "{HASH}",
+            "CAST(('0x' || substring(md5(sh), 1, 15))::BIGINT AS BIGINT)",
+        )
+        .replace("{LEAD1}", lead1)
+        .replace("{LEAD2}", lead2)
+    )
+
+
+sql_query(
+    "text_winnowing_fingerprints",
+    _winnow_sql("spark"),
+    oracle=_winnow_sql("duck"),
+)
