@@ -473,6 +473,11 @@ class RestCatalogServer:
                     }
                 )
             entry_refs.append((d, idxs))
+        from iceberg_metadata_pipeline_spark.catalog.iceberg_format import (
+            _identity_spec,
+        )
+
+        spec_fields_t = _identity_spec(t)
         tasks = []
         for f in sorted(files, key=lambda f: f.path):
             refs: list[int] = []
@@ -495,13 +500,23 @@ class RestCatalogServer:
                     uppers[str(fid)] = (
                         mx if isinstance(mx, (int, float, str)) else str(mx)
                     )
+            # identity partition tuple in the default spec's field order
+            # (files registered before the spec carry nulls — never
+            # pruned, matching metacat's own conservative posture)
+            part_vals = [
+                (f.partition or {}).get(pf["name"]) for pf in spec_fields_t
+            ]
             task = {
                 "data-file": {
                     "content": "data",
                     "file-path": os.path.abspath(f.path),
                     "file-format": (f.format or "PARQUET").lower(),
                     "spec-id": 0,
-                    "partition": [],
+                    "partition": [
+                        v if isinstance(v, (int, float, str, type(None)))
+                        else str(v)
+                        for v in part_vals
+                    ],
                     "record-count": int(f.record_count),
                     "file-size-in-bytes": int(f.file_size_bytes),
                     # per-column bounds keyed by field id (the spec's

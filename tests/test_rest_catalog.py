@@ -1715,3 +1715,36 @@ def test_pyrest_datasource_reads_through_plan(spark, server, tmp_path):
     assert sorted(r.id for r in back2.collect()) == sorted(
         set(expect) - {100}
     )
+
+
+def test_plan_table_partition_tuples(spark, server):
+    """Partitioned tables' plan tasks carry the identity partition
+    tuple in spec field order — a thin client can partition-prune."""
+    from pyspark.sql import types as T
+
+    from iceberg_metadata_pipeline_spark.catalog.partitioning import (
+        PartitionField,
+    )
+
+    catalog, srv, base = server
+    catalog.ensure_namespace("pp")
+    t = catalog.create_table(
+        "pp",
+        "t",
+        T.StructType(
+            [
+                T.StructField("id", T.LongType(), True),
+                T.StructField("g", T.StringType(), True),
+            ]
+        ),
+        partition_spec=[PartitionField("g", "identity")],
+    ).refresh()
+    t.append_dataframe(
+        spark.sql("SELECT id, IF(id % 2 = 0, 'a', 'b') AS g FROM RANGE(8)")
+    )
+    code, out = _req(f"{base}/v1/namespaces/pp/tables/t/plan", "POST", {})
+    assert code == 200
+    parts = sorted(
+        {t_["data-file"]["partition"][0] for t_ in out["file-scan-tasks"]}
+    )
+    assert parts == ["a", "b"]
