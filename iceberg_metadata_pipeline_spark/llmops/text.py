@@ -1029,3 +1029,35 @@ sql_query(
     _winnow_sql("spark"),
     oracle=_winnow_sql("duck"),
 )
+
+
+# Winnowing candidate pairs (round 11): the join that turns the
+# fingerprint table into a near-dup candidate list — documents sharing
+# >= 3 winnowed fingerprints, scored by the shared count. The join
+# keys on the FINGERPRINT (bucketed, never all-pairs: cost is
+# Σ per-fingerprint doc-list², the LSH-band shape); dedup_minhash_lsh
+# remains the probabilistic production path, this is the exact-shingle
+# twin over the winnowed subset.
+_WINNOW_PAIRS_TEMPLATE = """
+WITH fps AS ({FPS}),
+pairs AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         CAST(COUNT(*) AS BIGINT) AS shared
+  FROM fps a JOIN fps b
+    ON a.fp = b.fp AND a.doc_id < b.doc_id
+  GROUP BY a.doc_id, b.doc_id
+)
+SELECT doc_a, doc_b, shared
+FROM pairs WHERE shared >= 3
+ORDER BY doc_a, doc_b
+"""
+
+sql_query(
+    "dedup_winnowing_pairs",
+    _WINNOW_PAIRS_TEMPLATE.replace(
+        "{FPS}", _winnow_sql("spark").replace("ORDER BY doc_id, fp", "")
+    ),
+    oracle=_WINNOW_PAIRS_TEMPLATE.replace(
+        "{FPS}", _winnow_sql("duck").replace("ORDER BY doc_id, fp", "")
+    ),
+)
