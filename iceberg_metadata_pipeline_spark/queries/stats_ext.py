@@ -2741,3 +2741,57 @@ sql_query(
         "{DAYNUM}", "datediff('day', DATE '1990-01-01', o_orderdate)"
     ),
 )
+
+
+# --- Mann-Kendall trend test (round 11) ----------------------------------------
+
+# the standard non-parametric monotone-trend test for a monitoring
+# series: S = Σ_{i<j} sign(x_j − x_i) over the day-ordered daily
+# revenue, with the tie-corrected variance and continuity-corrected z.
+# Exact integers end to end: revenue in cents, S and the tie term are
+# bigint sums over the bounded day×day self-join (calendar² pairs —
+# ~3M at any SF, distributed; DAYS are bounded, rows are not), one
+# double formula at the end. ROUND(,9) on z for the sqrt libm ulp.
+_MK_TEMPLATE = """
+WITH daily AS (
+  SELECT {DAYNUM} AS dn,
+    CAST(SUM(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100
+                  AS DECIMAL(38,0))) AS BIGINT) AS cents
+  FROM orders GROUP BY {DAYNUM}
+), s AS (
+  SELECT
+    CAST(SUM(CASE WHEN b.cents > a.cents THEN 1
+                  WHEN b.cents < a.cents THEN -1 ELSE 0 END)
+         AS BIGINT) AS s_stat,
+    CAST(COUNT(*) AS BIGINT) AS n_pairs
+  FROM daily a JOIN daily b ON b.dn > a.dn
+), ties AS (
+  SELECT CAST(COALESCE(SUM(m * (m - 1) * (2 * m + 5)), 0) AS BIGINT)
+           AS tie_term
+  FROM (
+    SELECT CAST(COUNT(*) AS BIGINT) AS m FROM daily GROUP BY cents
+  ) g WHERE m > 1
+), n AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n_days FROM daily
+)
+SELECT n_days, s_stat,
+  ROUND(
+    (CAST(s_stat AS DOUBLE)
+     - CAST(CASE WHEN s_stat > 0 THEN 1
+                 WHEN s_stat < 0 THEN -1 ELSE 0 END AS DOUBLE))
+    / SQRT((CAST(n_days AS DOUBLE) * CAST(n_days - 1 AS DOUBLE)
+            * CAST(2 * n_days + 5 AS DOUBLE)
+            - CAST(tie_term AS DOUBLE)) / 18.0E0),
+    9) AS mk_z
+FROM s CROSS JOIN ties CROSS JOIN n
+"""
+
+sql_query(
+    "stat_mann_kendall_trend",
+    _MK_TEMPLATE.replace(
+        "{DAYNUM}", "datediff(o_orderdate, DATE '1990-01-01')"
+    ),
+    oracle=_MK_TEMPLATE.replace(
+        "{DAYNUM}", "datediff('day', DATE '1990-01-01', o_orderdate)"
+    ),
+)

@@ -265,3 +265,41 @@ def test_pareto_top20_matches_reference(spark):
     (got,) = _run(spark, "agg_pareto_top20_share")
     assert got["n"] == n and got["top_customers"] == k_top
     assert got["top20_revenue_share"] == pytest.approx(share, rel=1e-12)
+
+
+def test_mann_kendall_matches_reference(spark):
+    from iceberg_metadata_pipeline_spark.session import load_tables
+
+    t = load_tables(spark, SF)
+    rows = (
+        t["orders"]
+        .selectExpr(
+            "datediff(o_orderdate, DATE '1990-01-01') AS dn",
+            "CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)"
+            " AS cents",
+        )
+        .groupBy("dn")
+        .agg({"cents": "sum"})
+        .collect()
+    )
+    series = [v for _, v in sorted((r["dn"], r["sum(cents)"]) for r in rows)]
+    import math
+
+    n = len(series)
+    s = sum(
+        (series[j] > series[i]) - (series[j] < series[i])
+        for i in range(n)
+        for j in range(i + 1, n)
+    )
+    from collections import Counter
+
+    ties = sum(
+        m * (m - 1) * (2 * m + 5)
+        for m in Counter(series).values()
+        if m > 1
+    )
+    var = (n * (n - 1) * (2 * n + 5) - ties) / 18.0
+    z = (s - (1 if s > 0 else -1 if s < 0 else 0)) / math.sqrt(var)
+    (got,) = _run(spark, "stat_mann_kendall_trend")
+    assert got["n_days"] == n and got["s_stat"] == s
+    assert got["mk_z"] == pytest.approx(z, abs=2e-9)
