@@ -495,3 +495,57 @@ sql_query(
         "{FOLD_SM}", "list_reduce(list_sort(list(s_m)), (a, x) -> a + x)"
     ),
 )
+
+
+# Classical MA decomposition, weekday seasonality (round 11): trend =
+# centered 7-day moving average over the daily count series (exact
+# integer sum / 7.0 — one rational double per day), seasonal component
+# = per-weekday mean of the detrended values. Weekday = day-number mod
+# 7 (pure integers, no date-function dialects); the per-weekday means
+# fold in SORTED order (≤ calendar/7 terms each), so every double is
+# bit-identical. The additive-decomposition first step every
+# monitoring pipeline runs before anomaly thresholds.
+_DECOMP_TEMPLATE = """
+WITH daily AS (
+  SELECT {DAYNUM} AS dn, CAST(COUNT(*) AS BIGINT) AS x
+  FROM events GROUP BY {DAYNUM}
+), ma AS (
+  SELECT dn, x,
+    CAST(SUM(x) OVER (ORDER BY dn ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING)
+         AS DOUBLE) / 7.0E0 AS trend,
+    CAST(COUNT(*) OVER (ORDER BY dn ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING)
+         AS BIGINT) AS win_n
+  FROM daily
+), detr AS (
+  SELECT dn % 7 AS weekday, CAST(x AS DOUBLE) - trend AS resid
+  FROM ma WHERE win_n = 7
+)
+SELECT weekday,
+  CAST(COUNT(*) AS BIGINT) AS n_days,
+  {FOLD} / CAST(COUNT(*) AS DOUBLE) AS seasonal
+FROM detr GROUP BY weekday
+ORDER BY weekday
+"""
+
+
+def _decomp_sql(engine: str) -> str:
+    if engine == "spark":
+        return _DECOMP_TEMPLATE.replace(
+            "{DAYNUM}", "datediff(CAST(ts AS DATE), DATE '2020-01-01')"
+        ).replace(
+            "{FOLD}",
+            "reduce(array_sort(collect_list(resid)),"
+            " CAST(0.0E0 AS DOUBLE), (a, x) -> a + x)",
+        )
+    return _DECOMP_TEMPLATE.replace(
+        "{DAYNUM}", "datediff('day', DATE '2020-01-01', CAST(ts AS DATE))"
+    ).replace(
+        "{FOLD}", "list_reduce(list_sort(list(resid)), (a, x) -> a + x)"
+    )
+
+
+sql_query(
+    "forecast_ma_decomposition_daily",
+    _decomp_sql("spark"),
+    oracle=_decomp_sql("duck"),
+)
