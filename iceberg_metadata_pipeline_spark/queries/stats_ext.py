@@ -2795,3 +2795,53 @@ sql_query(
         "{DAYNUM}", "datediff('day', DATE '1990-01-01', o_orderdate)"
     ),
 )
+
+
+# --- MAD robust outlier days (round 11) -----------------------------------------
+
+# the robust companion to z-score monitoring: flag days whose count
+# sits more than 5 median-absolute-deviations from the median. Medians
+# are exact-rational midpoints over the bounded day series (integer
+# inputs; both engines interpolate (a+b)/2 on even counts — identical
+# doubles); no means, no stddev, so one wild day cannot mask itself.
+_MAD_TEMPLATE = """
+WITH daily AS (
+  SELECT {DAYNUM} AS dn, CAST(COUNT(*) AS BIGINT) AS x
+  FROM events GROUP BY {DAYNUM}
+), med AS (
+  SELECT {MEDIAN_X} AS m FROM daily
+), mad AS (
+  SELECT {MEDIAN_DEV} AS mad_v FROM daily CROSS JOIN med
+)
+SELECT dn, x,
+  ABS(CAST(x AS DOUBLE) - m) / mad_v AS robust_score
+FROM daily CROSS JOIN med CROSS JOIN mad
+WHERE ABS(CAST(x AS DOUBLE) - m) > 5.0E0 * mad_v
+ORDER BY dn
+"""
+
+
+def _mad_sql(engine: str) -> str:
+    if engine == "spark":
+        return (
+            _MAD_TEMPLATE.replace(
+                "{DAYNUM}", "datediff(CAST(ts AS DATE), DATE '2020-01-01')"
+            )
+            .replace("{MEDIAN_X}", "percentile(x, 0.5E0)")
+            .replace(
+                "{MEDIAN_DEV}",
+                "percentile(ABS(CAST(x AS DOUBLE) - m), 0.5E0)",
+            )
+        )
+    return (
+        _MAD_TEMPLATE.replace(
+            "{DAYNUM}", "datediff('day', DATE '2020-01-01', CAST(ts AS DATE))"
+        )
+        .replace("{MEDIAN_X}", "median(x)")
+        .replace("{MEDIAN_DEV}", "median(ABS(CAST(x AS DOUBLE) - m))")
+    )
+
+
+sql_query(
+    "events_anomaly_mad_days", _mad_sql("spark"), oracle=_mad_sql("duck")
+)
