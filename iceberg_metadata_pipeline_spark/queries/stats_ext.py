@@ -2845,3 +2845,52 @@ def _mad_sql(engine: str) -> str:
 sql_query(
     "events_anomaly_mad_days", _mad_sql("spark"), oracle=_mad_sql("duck")
 )
+
+
+# --- Lorenz curve deciles (round 11) --------------------------------------------
+
+# the distribution table behind the Gini number: cumulative revenue
+# share at each population decile (customers ordered by spend). Exact
+# integers end to end: the k-th decile boundary locates its threshold
+# run via cumulative counts (the pareto machinery, applied 10×) — here
+# expressed once as a JOIN between decile targets and the
+# distinct-value cumulative table. Output: 10 rows (decile,
+# cum_customers, cum_revenue_share).
+_LORENZ_TEMPLATE = f"""
+WITH spend AS ({_PARETO_SRC}),
+pv AS (
+  SELECT cents AS x, CAST(COUNT(*) AS BIGINT) AS cnt
+  FROM spend GROUP BY cents
+), c AS (
+  SELECT x, cnt,
+    COALESCE(SUM(cnt) OVER (
+      ORDER BY x ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cb,
+    COALESCE(SUM(CAST(x AS DECIMAL(38,0)) * cnt) OVER (
+      ORDER BY x ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+      CAST(0 AS DECIMAL(38,0))) AS rev_below
+  FROM pv
+), tot AS (
+  SELECT CAST(SUM(cnt) AS BIGINT) AS n,
+         CAST(SUM(CAST(x AS DECIMAL(38,0)) * cnt) AS DECIMAL(38,0)) AS total
+  FROM pv
+), deciles AS (
+  SELECT d, CAST(FLOOR(CAST(d AS DOUBLE) * CAST(t.n AS DOUBLE) / 10.0E0)
+                 AS BIGINT) AS k, t.n, t.total
+  FROM ({{DECADE}}) dd CROSS JOIN tot t
+)
+SELECT d.d AS decile, d.k AS cum_customers,
+  CAST(c.rev_below + CAST(d.k - c.cb AS DECIMAL(38,0)) * c.x AS DOUBLE)
+    / CAST(d.total AS DOUBLE) AS cum_revenue_share
+FROM deciles d JOIN c ON c.cb < d.k AND d.k <= c.cb + c.cnt
+ORDER BY d.d
+"""
+
+sql_query(
+    "agg_lorenz_curve_deciles",
+    _LORENZ_TEMPLATE.replace(
+        "{DECADE}", "SELECT explode(sequence(1, 10)) AS d"
+    ),
+    oracle=_LORENZ_TEMPLATE.replace(
+        "{DECADE}", "SELECT unnest(generate_series(1, 10)) AS d"
+    ),
+)
