@@ -150,14 +150,14 @@ class _DeltaReadMixin:
         pcols = set(self.partition_columns)
         file_fields = [f for f in self.schema.fields if f.name not in pcols]
         pvals = dict(zip(self.partition_columns, part.partition_values))
-        dead = set(part.deleted)
+        dead_parts = [part.deleted] if part.deleted else []
         if part.dv_file:
             from iceberg_metadata_pipeline_spark.catalog.delta_format import (
                 read_dv_from_file,
             )
 
             dv_path, offset, size = part.dv_file
-            dead.update(read_dv_from_file(dv_path, int(offset), size))
+            dead_parts.append(read_dv_from_file(dv_path, int(offset), size))
         pf = pq.ParquetFile(part.path)
         file_cols = set(pf.schema_arrow.names)
         arrow_of: dict = {}
@@ -190,43 +190,53 @@ class _DeltaReadMixin:
             for f in file_fields
             if (n := physical.get(f.name, f.name)) in file_cols
         ]
+        # vectorized (round 12): RecordBatch yields — deletion-vector
+        # positions apply as a searchsorted mask, partition columns and
+        # added-after columns fill via O(1) arrays. Only NESTED-mapped
+        # struct columns still rebuild per value (structural rename by
+        # field id / physicalName has no arrow kernel); flat tables and
+        # flat-mapped tables stay columnar end to end.
+        from iceberg_metadata_pipeline_spark.ingest import arrow_scan
+
+        dead_np = arrow_scan.merge_positions(dead_parts)
+        pa_schema = arrow_scan.spark_to_arrow_schema(self.schema)
         pos = 0
         for batch in pf.iter_batches(columns=names):
-            cols = [batch.column(i).to_pylist() for i in range(batch.num_columns)]
-            got = dict(zip(batch.schema.names, cols))
-            ordered = []
-            for f in self.schema.fields:
+            n = batch.num_rows
+            got = dict(zip(batch.schema.names, batch.columns))
+            arrays = []
+            for i, f in enumerate(self.schema.fields):
+                tgt_type = pa_schema.field(i).type
                 if f.name in pcols:
-                    ordered.append([pvals[f.name]] * batch.num_rows)
-                else:
+                    arrays.append(arrow_scan.fill_array(pvals[f.name], n, tgt_type))
+                    continue
+                col = got.get(physical.get(f.name, f.name))
+                if col is None:
                     # columns ADDED after this file was written are null
                     # for its rows (Delta's add-column semantics: no
                     # rewrite, readers project missing columns as null)
-                    vals = got.get(
-                        physical.get(f.name, f.name),
-                        [None] * batch.num_rows,
-                    )
-                    if _has_nested_mapping(f.dataType):
-                        # struct values decode as dicts keyed by the
-                        # FILE'S parquet nested names — rebuild to
-                        # logical shape, recursively: by nested field
-                        # id under id mode (round 10), by physicalName
-                        # under name mode
-                        if self.physical is None:
-                            at = arrow_of.get(f.name)
-                            vals = [
-                                to_logical_by_id(v, f.dataType, at)
-                                for v in vals
-                            ]
-                        else:
-                            vals = [
-                                to_logical_py(v, f.dataType) for v in vals
-                            ]
-                    ordered.append(vals)
-            for row in zip(*ordered):
-                if pos not in dead:
-                    yield row
-                pos += 1
+                    arrays.append(arrow_scan.fill_array(None, n, tgt_type))
+                elif _has_nested_mapping(f.dataType):
+                    # struct values decode as dicts keyed by the FILE'S
+                    # parquet nested names — rebuild to logical shape,
+                    # recursively: by nested field id under id mode
+                    # (round 10), by physicalName under name mode
+                    import pyarrow as pa
+
+                    vals = col.to_pylist()
+                    if self.physical is None:
+                        at = arrow_of.get(f.name)
+                        vals = [to_logical_by_id(v, f.dataType, at) for v in vals]
+                    else:
+                        vals = [to_logical_py(v, f.dataType) for v in vals]
+                    arrays.append(pa.array(vals, type=tgt_type))
+                else:
+                    arrays.append(col)
+            keep = arrow_scan.position_mask(pos, n, dead_np)
+            pos += n
+            out = arrow_scan.finish_batch(arrays, pa_schema, keep)
+            if out is not None:
+                yield out
 
 
 class PyDeltaBatchReader(DataSourceReader, _DeltaReadMixin):

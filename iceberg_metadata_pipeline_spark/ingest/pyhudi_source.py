@@ -163,21 +163,34 @@ class _HudiReadMixin:
             return
         if not part.path:
             return  # log-only group whose logs all filtered out
+        # vectorized (round 12): base-file slices (no logs — the COW /
+        # compacted-MOR common case) yield RecordBatch directly;
+        # partition-path values and added-after columns fill via O(1)
+        # arrays. Log-merge slices above stay record-at-a-time: the
+        # merge itself is key-hash driven over decoded avro records.
+        from iceberg_metadata_pipeline_spark.ingest import arrow_scan
+
+        pa_schema = arrow_scan.spark_to_arrow_schema(self.schema)
         pf = pq.ParquetFile(part.path)
         present = set(pf.schema_arrow.names)
         for batch in pf.iter_batches(
             columns=[c for c in self.file_cols if c in present]
         ):
-            cols = [batch.column(i).to_pylist() for i in range(batch.num_columns)]
-            got = dict(zip(batch.schema.names, cols))
-            ordered = []
-            for f in self.schema.fields:
+            n = batch.num_rows
+            got = dict(zip(batch.schema.names, batch.columns))
+            arrays = []
+            for i, f in enumerate(self.schema.fields):
+                tgt_type = pa_schema.field(i).type
                 if f.name in pvals:
-                    ordered.append([pvals[f.name]] * batch.num_rows)
+                    arrays.append(arrow_scan.fill_array(pvals[f.name], n, tgt_type))
+                elif f.name in got:
+                    arrays.append(got[f.name])
                 else:
                     # files predating an added column project null
-                    ordered.append(got.get(f.name, [None] * batch.num_rows))
-            yield from zip(*ordered)
+                    arrays.append(arrow_scan.fill_array(None, n, tgt_type))
+            out = arrow_scan.finish_batch(arrays, pa_schema)
+            if out is not None:
+                yield out
 
 
 def _resolve_schema(state) -> tuple[T.StructType, list[str], list[str]]:

@@ -24,9 +24,14 @@ Options:
 - path / ``table``: ``namespace.table``
 - ``snapshotId`` (optional): plan an older snapshot (time travel)
 - ``filter`` (optional): an Iceberg REST expression as a JSON string,
-  forwarded verbatim — the server stats-prunes files; the residual
-  comes back and is NOT re-applied here (Spark re-filters above the
-  source), so pruning is a pure I/O win, never a semantics change.
+  forwarded verbatim — the server stats-prunes files (pure I/O win)
+  AND echoes the expression back as each task's ``residual-filter``,
+  which this reader RE-APPLIES row-level inside the task (vectorized
+  arrow-compute mask, SQL three-valued semantics). So
+  ``option('filter', ...)`` alone already returns exactly the
+  filtered rows — no duplicate ``.filter()`` needed (round 12; the
+  r11 doc claimed Spark would re-filter, which only held when the
+  caller repeated the predicate in the query).
 
 Scope bound (loud in docs, conservative in behavior): files written
 BEFORE a column rename read that column as NULL here — the plan
@@ -75,6 +80,60 @@ class RestScanTask(InputPartition):
     pos_deletes: tuple = ()
     # (columns tuple, parquet path) equality-delete files
     eq_deletes: tuple = ()
+    # the task's residual-filter (Iceberg REST expression JSON string,
+    # "" when none) — re-applied row-level inside the task
+    residual: str = ""
+
+
+def _residual_mask(expr: dict, batch, name_idx: dict):
+    """Evaluate an Iceberg REST expression over an arrow RecordBatch →
+    boolean keep array (SQL three-valued logic: null comparisons drop
+    the row at the top level, exactly like a SQL WHERE). Mirrors the
+    grammar the server's ``_expr_to_sql`` accepts — eq/not-eq/lt/lt-eq/
+    gt/gt-eq/is-null/not-null/in, and/or/not — anything else raises
+    (the server would have 400'd the plan first)."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    def col(t):
+        if isinstance(t, dict):
+            t = t.get("term")
+        if t not in name_idx:
+            raise ValueError(f"residual references unknown column {t!r}")
+        return batch.column(name_idx[t])
+
+    typ = str(expr.get("type", "")).lower()
+    ops = {
+        "eq": pc.equal, "not-eq": pc.not_equal, "lt": pc.less,
+        "lt-eq": pc.less_equal, "gt": pc.greater, "gt-eq": pc.greater_equal,
+    }
+    if typ in ops:
+        c = col(expr.get("term"))
+        return ops[typ](c, pa.scalar(expr.get("value")).cast(c.type))
+    if typ == "is-null":
+        return pc.is_null(col(expr.get("term")))
+    if typ == "not-null":
+        return pc.is_valid(col(expr.get("term")))
+    if typ == "in":
+        c = col(expr.get("term"))
+        vals = expr.get("values") or []
+        hit = pc.is_in(c, value_set=pa.array(vals).cast(c.type))
+        # SQL semantics: NULL IN (...) is NULL, not false (matters
+        # under NOT); arrow's is_in returns false for null inputs
+        return pc.if_else(pc.is_valid(c), hit, pa.scalar(None, pa.bool_()))
+    if typ == "and":
+        return pc.and_kleene(
+            _residual_mask(expr["left"], batch, name_idx),
+            _residual_mask(expr["right"], batch, name_idx),
+        )
+    if typ == "or":
+        return pc.or_kleene(
+            _residual_mask(expr["left"], batch, name_idx),
+            _residual_mask(expr["right"], batch, name_idx),
+        )
+    if typ == "not":
+        return pc.invert(_residual_mask(expr["child"], batch, name_idx))
+    raise ValueError(f"unsupported residual expression type {typ!r}")
 
 
 class PyRestReader(DataSourceReader):
@@ -89,6 +148,7 @@ class PyRestReader(DataSourceReader):
         self.snapshot_id = options.get("snapshotid")
         self.filter_json = options.get("filter")
         self.names = [f.name for f in schema.fields]
+        self.spark_schema = schema
 
     def partitions(self):
         body: dict = {}
@@ -123,6 +183,11 @@ class PyRestReader(DataSourceReader):
                     path=task["data-file"]["file-path"],
                     pos_deletes=tuple(pos),
                     eq_deletes=tuple(eq),
+                    residual=(
+                        json.dumps(task["residual-filter"])
+                        if task.get("residual-filter") is not None
+                        else ""
+                    ),
                 )
             )
         return parts
@@ -147,18 +212,19 @@ class PyRestReader(DataSourceReader):
         return [self._id_to_name[i] for i in ids]
 
     def read(self, partition: RestScanTask):
+        """Vectorized (round 12): RecordBatch yields — position deletes
+        apply as a searchsorted mask over the batch's file-row range,
+        equality deletes probe only their key columns (the per-row tuple
+        loop of r11 is gone; the thin client stays columnar)."""
         import pyarrow.parquet as pq
 
+        from iceberg_metadata_pipeline_spark.ingest import arrow_scan
+
         me = _norm(partition.path)
-        dead: set[int] = set()
+        dead_parts = []
         for dpath in partition.pos_deletes:
             t = pq.read_table(dpath, columns=["file_path", "pos"])
-            for fp, pos in zip(
-                t.column("file_path").to_pylist(),
-                t.column("pos").to_pylist(),
-            ):
-                if _norm(str(fp)) == me:
-                    dead.add(int(pos))
+            dead_parts.append(arrow_scan.positions_for_file(t, me, _norm))
         eq_probe = []
         for cols, dpath in partition.eq_deletes:
             t = pq.read_table(dpath, columns=list(cols))
@@ -168,37 +234,48 @@ class PyRestReader(DataSourceReader):
             )
             eq_probe.append((cols, rows))
 
+        dead_np = arrow_scan.merge_positions(dead_parts)
+        pa_schema = arrow_scan.spark_to_arrow_schema(self.spark_schema)
+        eq_cols = {c for cols, _probe in eq_probe for c in cols}
+
         pf = pq.ParquetFile(partition.path)
         file_cols = set(pf.schema_arrow.names)
         want = [n for n in self.names if n in file_cols]
         pos = 0
         for batch in pf.iter_batches(columns=want):
-            got = dict(
-                zip(
-                    batch.schema.names,
-                    (
-                        batch.column(i).to_pylist()
-                        for i in range(batch.num_columns)
-                    ),
-                )
-            )
-            ordered = [
-                got[n] if n in got else [None] * batch.num_rows
-                for n in self.names
+            n = batch.num_rows
+            got = dict(zip(batch.schema.names, batch.columns))
+            arrays = [
+                got[name]
+                if name in got
+                else arrow_scan.fill_array(None, n, pa_schema.field(i).type)
+                for i, name in enumerate(self.names)
             ]
-            for row in zip(*ordered):
-                if pos in dead:
-                    pos += 1
-                    continue
-                pos += 1
-                if eq_probe:
-                    by_name = dict(zip(self.names, row))
-                    if any(
-                        tuple(by_name[c] for c in cols) in rows
-                        for cols, rows in eq_probe
-                    ):
-                        continue
-                yield row
+            keep = arrow_scan.position_mask(pos, n, dead_np)
+            if eq_probe:
+                col_values = {
+                    c: (got[c].to_pylist() if c in got else [None] * n)
+                    for c in eq_cols
+                }
+                keep = arrow_scan.combine_masks(
+                    keep, arrow_scan.eq_delete_mask(col_values, n, eq_probe)
+                )
+            pos += n
+            out = arrow_scan.finish_batch(arrays, pa_schema, keep)
+            if out is not None and partition.residual:
+                # row-level residual: the server's file-level pruning is
+                # conservative (false keeps only); exact semantics land
+                # here, vectorized (nulls drop, SQL WHERE behavior)
+                name_idx = {f.name: i for i, f in enumerate(out.schema)}
+                out = out.filter(
+                    _residual_mask(
+                        json.loads(partition.residual), out, name_idx
+                    )
+                )
+                if out.num_rows == 0:
+                    out = None
+            if out is not None:
+                yield out
 
 
 class PyRestDataSource(DataSource):
