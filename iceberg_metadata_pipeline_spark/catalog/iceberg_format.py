@@ -517,11 +517,17 @@ def export_iceberg_table(table: Table, dest: str, format_version: int = 2) -> st
     # (predicate entries disable it: each export materializes them into
     # fresh uuid-pathed parquets, so the mirror diff can never match)
     if format_version == 2 and files and not predicates:
-        inc = _try_incremental_export(
-            table, dest, files, pos_deletes, eq_deletes
-        )
-        if inc is not None:
-            return inc
+        # up to 3 attempts: a None can mean "fast path inapplicable"
+        # (fall through to full) OR "claim conflict with a concurrent
+        # mirror commit" — the retry re-reads the dest's LATEST
+        # metadata, so a conflicting commit's state is incorporated
+        # instead of superseded (r11 ADVICE: optimistic concurrency)
+        for _attempt in range(3):
+            inc = _try_incremental_export(
+                table, dest, files, pos_deletes, eq_deletes
+            )
+            if inc is not None:
+                return inc
 
     meta_dir = os.path.join(dest, "metadata")
     os.makedirs(meta_dir, exist_ok=True)
@@ -1105,6 +1111,7 @@ def _try_incremental_export(
         changed,
         spec_fields,
         ice_schema,
+        base_meta_path=info.metadata_path,
     )
 
 
@@ -1117,7 +1124,8 @@ def _commit_incremental_row_delta(
     changed_props: dict,
     spec_fields: list[dict],
     ice_schema: dict,
-) -> str:
+    base_meta_path: str | None = None,
+) -> str | None:
     """One O(churn) mirror commit carrying new data files and/or new
     row-level delete entries. Unlike ``commit_iceberg_append`` (which
     stamps mirror-local sequence numbers), entries here carry the
@@ -1359,7 +1367,18 @@ def _commit_incremental_row_delta(
     refs = dict(md.get("refs", {}))
     refs["main"] = {"snapshot-id": snapshot_id, "type": "branch"}
     new_md["refs"] = refs
-    return _write_metadata_version(dest, new_md)
+    if base_meta_path is None:
+        return _write_metadata_version(dest, new_md)
+    # optimistic concurrency (r11 ADVICE): the snapshot above was built
+    # from the metadata at base_meta_path — claim EXACTLY base+1, so a
+    # concurrent mirror commit between read and claim makes this claim
+    # fail instead of superseding the concurrent state with a stale
+    # snapshot at a higher version. None → the caller re-reads the dest
+    # and retries (commit_iceberg_append's rebuild-retry posture).
+    m = re.fullmatch(r"v(\d+)\.metadata\.json", os.path.basename(base_meta_path))
+    if m is None:
+        return _write_metadata_version(dest, new_md)
+    return _claim_metadata_version(dest, new_md, int(m.group(1)) + 1)
 
 
 def _write_metadata_version(location: str, metadata: dict) -> str:

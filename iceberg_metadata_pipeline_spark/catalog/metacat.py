@@ -1488,8 +1488,30 @@ class Table:
             eq_src = parts[0]
             for extra in parts[1:]:
                 eq_src = eq_src.unionByName(extra)
+            # optional 4th element: an explicit sequence anchor — a
+            # maintenance commit rewriting an equality entry 1:1 passes
+            # the REMOVED entry's seq so the replacement keeps applying
+            # only to data files committed strictly before the ORIGINAL
+            # delete (re-anchoring to the maintenance commit would widen
+            # its reach to files appended in between — r11 ADVICE)
+            anchor_seq = group[3] if len(group) > 3 else None
+            if anchor_seq is not None and int(anchor_seq) < 1:
+                raise ValueError(
+                    f"equality delete anchor seq {anchor_seq!r} must be >= 1"
+                )
             plans.append(
-                (eq_src, {"kind": "equality", "key_cols": list(key_cols)})
+                (
+                    eq_src,
+                    {
+                        "kind": "equality",
+                        "key_cols": list(key_cols),
+                        **(
+                            {"seq": int(anchor_seq)}
+                            if anchor_seq is not None
+                            else {}
+                        ),
+                    },
+                )
             )
         return plans
 
@@ -1515,7 +1537,21 @@ class Table:
         Kept entries carry their original sequence numbers; replacement
         files validate exactly like add_foreign_delete_files (position
         refs must be live data files; equality keys must resolve).
-        Scans after the commit pay only the kept+new entries."""
+        Scans after the commit pay only the kept+new entries.
+
+        Sequence semantics of replacements (r11 ADVICE): POSITION
+        replacements are seq-insensitive (positions name immutable
+        files). EQUALITY replacements default to the MAINTENANCE
+        commit's sequence number — which widens their reach to data
+        files appended between the original delete and this commit, so
+        a bare equality rewrite is NOT semantics-preserving. To rewrite
+        an equality entry 1:1, pass a 4-tuple group
+        ``(key_cols, paths, ids_or_None, original_seq)`` — the
+        replacement then anchors to the removed entry's own sequence
+        and applies to exactly the same files. (The REST maintenance
+        verb cannot carry per-entry seqs — the spec's commitTable
+        assigns sequence numbers catalog-side — so equality rewrites
+        posted through REST re-anchor; documented there.)"""
         from iceberg_metadata_pipeline_spark.ingest.discover import (
             find_parquet_files,
         )

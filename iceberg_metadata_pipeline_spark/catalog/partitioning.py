@@ -181,6 +181,38 @@ def split_in_list(expr: str) -> tuple[str, list[str]] | None:
     return (col, lits) if lits else None
 
 
+def strip_outer_parens(expr: str) -> str:
+    """Remove balanced OUTER parentheses from a predicate string
+    (quote-aware): ``(a = 1)`` → ``a = 1``, ``((x > 2))`` → ``x > 2``,
+    but ``(a = 1) OR (b = 2)`` is untouched (the first paren closes
+    mid-string). Needed because ``_expr_to_sql`` parenthesizes AND/OR
+    branches and ``_prune_by_stats``'s comparison regex rejects
+    parenthesized conjuncts — without this, compound filters silently
+    prune nothing (r11 ADVICE)."""
+    s = expr.strip()
+    while s.startswith("(") and s.endswith(")"):
+        depth = 0
+        in_q = False
+        wraps = True
+        for i, c in enumerate(s):
+            if in_q:
+                in_q = c != "'"
+                continue
+            if c == "'":
+                in_q = True
+            elif c == "(":
+                depth += 1
+            elif c == ")":
+                depth -= 1
+                if depth == 0 and i < len(s) - 1:
+                    wraps = False
+                    break
+        if not wraps or depth != 0:
+            break
+        s = s[1:-1].strip()
+    return s
+
+
 def split_conjuncts(expr: str) -> list[str]:
     """Split a filter string into its top-level AND conjuncts so each can
     drive file pruning independently (`a > x AND b = y` prunes on both).

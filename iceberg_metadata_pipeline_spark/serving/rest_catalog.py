@@ -379,6 +379,7 @@ class RestCatalogServer:
         )
         from iceberg_metadata_pipeline_spark.catalog.partitioning import (
             split_conjuncts,
+            strip_outer_parens,
         )
         from iceberg_metadata_pipeline_spark.ingest.discover import (
             find_parquet_files,
@@ -411,7 +412,11 @@ class RestCatalogServer:
                     f"filter references unknown column(s) {unknown_cols}",
                 )
             for conjunct in split_conjuncts(sql_filter):
-                files = _prune_by_stats(files, conjunct)
+                # _expr_to_sql parenthesizes AND branches; the stats
+                # pruner's regex wants bare comparisons — strip balanced
+                # outer parens so compound filters prune on EVERY
+                # conjunct, not just bare single comparisons
+                files = _prune_by_stats(files, strip_outer_parens(conjunct))
         deletes = t._resolve_deletes(snap) if snap is not None else []
         # expand delete entries once into spec ContentFile dicts; tasks
         # reference them by index (shared delete files dedupe)
@@ -436,6 +441,27 @@ class RestCatalogServer:
                     "spec cannot express in a scan plan — compact first",
                     "CommitFailedException",
                 )
+            eq_ids: list[int] = []
+            if d["kind"] == "equality":
+                # refuse, never narrow: a key column that fails to
+                # resolve against the served schema (renamed/dropped)
+                # would otherwise serve a NARROWER equality-ids list and
+                # a thin client would anti-join on fewer columns,
+                # over-deleting rows — mirror the export path's posture
+                # (r11 ADVICE, medium)
+                missing = [
+                    c for c in d.get("key_cols") or [] if c not in name_to_id
+                ]
+                if missing:
+                    return h._error(
+                        409,
+                        f"equality delete keys {missing} do not resolve "
+                        "against the current schema (renamed or dropped "
+                        "column) — the plan cannot express this delete; "
+                        "compact the table first",
+                        "CommitFailedException",
+                    )
+                eq_ids = [name_to_id[c] for c in d.get("key_cols") or []]
             root = d["path"]
             parts = (
                 find_parquet_files(root) if os.path.isdir(root) else [root]
@@ -460,13 +486,7 @@ class RestCatalogServer:
                         "record-count": int(nrec),
                         "file-size-in-bytes": os.path.getsize(pp),
                         **(
-                            {
-                                "equality-ids": [
-                                    name_to_id[c]
-                                    for c in d.get("key_cols") or []
-                                    if c in name_to_id
-                                ]
-                            }
+                            {"equality-ids": eq_ids}
                             if d["kind"] == "equality"
                             else {}
                         ),
@@ -1186,7 +1206,15 @@ class RestCatalogServer:
                 if removed_delete_files:
                     # maintenance: removals (+ any replacements in this
                     # commit) apply as ONE atomic delete-maintenance
-                    # snapshot through replace_delete_files
+                    # snapshot through replace_delete_files. NOTE:
+                    # equality replacements posted through REST anchor
+                    # to THIS maintenance commit's sequence number (the
+                    # spec's commitTable assigns seqs catalog-side, so
+                    # the wire cannot carry the removed entry's seq) —
+                    # a 1:1 equality rewrite through REST therefore
+                    # widens reach to files appended since the original
+                    # delete; the Python API's 4-tuple groups preserve
+                    # the original seq when that matters
                     t.replace_delete_files(
                         sorted(set(removed_delete_files)),
                         sorted(set(pos_files)),

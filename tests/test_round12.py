@@ -223,3 +223,192 @@ def test_vectorized_mor_scan_matches_tuple_semantics(spark, tmp_path):
     )
     got = back.agg(F.count("*").alias("n"), F.sum("v").alias("s")).collect()[0]
     assert (got.n, got.s) == (expect.n, expect.s)
+
+
+def test_strip_outer_parens_unit():
+    from iceberg_metadata_pipeline_spark.catalog.partitioning import (
+        strip_outer_parens,
+    )
+
+    assert strip_outer_parens("(a = 1)") == "a = 1"
+    assert strip_outer_parens("((x > 2))") == "x > 2"
+    assert strip_outer_parens("(a = 1) OR (b = 2)") == "(a = 1) OR (b = 2)"
+    assert strip_outer_parens("a = '(weird)'") == "a = '(weird)'"
+    assert strip_outer_parens("(a = '(x')") == "a = '(x'"
+
+
+def test_plan_compound_and_filter_prunes_both_columns(spark, server):
+    """r11 ADVICE (low): _expr_to_sql parenthesizes AND branches, which
+    made stats pruning inert for every compound filter. With the parens
+    stripped per conjunct, an AND filter prunes on BOTH columns."""
+    catalog, srv, base = server
+    _req(f"{base}/v1/namespaces", "POST", {"namespace": ["pp"]})
+    t = catalog.create_table(
+        "pp", "t", spark.range(1).selectExpr("id AS a", "id AS b").schema
+    )
+    # three files with disjoint (a, b) ranges
+    for lo in (0, 100, 200):
+        t.append_dataframe(
+            spark.range(lo, lo + 10).selectExpr("id AS a", "id AS b")
+            .coalesce(1)
+        )
+    url = f"{base}/v1/namespaces/pp/tables/t/plan"
+    flt = {
+        "type": "and",
+        "left": {"type": "gt-eq", "term": "a", "value": 100},
+        "right": {"type": "lt", "term": "b", "value": 150},
+    }
+    code, out = _req(url, "POST", {"filter": flt})
+    assert code == 200
+    # a >= 100 drops file 1; b < 150 drops file 3 → exactly one task
+    assert len(out["file-scan-tasks"]) == 1
+    fp = out["file-scan-tasks"][0]["data-file"]["file-path"]
+    import pyarrow.parquet as pq
+
+    vals = pq.read_table(fp).column("a").to_pylist()
+    assert min(vals) == 100
+
+
+def test_plan_refuses_unresolvable_equality_keys(spark, server, tmp_path):
+    """r11 ADVICE (medium): planTableScan must REFUSE (409) when an
+    equality-delete key column no longer resolves against the served
+    schema — silently narrowing equality-ids would make a thin client
+    anti-join on fewer columns and over-delete."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    catalog, srv, base = server
+    _req(f"{base}/v1/namespaces", "POST", {"namespace": ["eqk"]})
+    t = catalog.create_table(
+        "eqk", "t", spark.range(1).selectExpr("id", "id AS k").schema
+    )
+    t.append_dataframe(spark.range(5).selectExpr("id", "id AS k").coalesce(1))
+    eqp = str(tmp_path / "eq.parquet")
+    pq.write_table(pa.table({"k": pa.array([2], pa.int64())}), eqp)
+    t.add_foreign_delete_files([], [(["k"], [eqp])])
+    url = f"{base}/v1/namespaces/eqk/tables/t/plan"
+    code, out = _req(url, "POST", {})
+    assert code == 200  # resolvable: plan serves the equality delete
+    assert out["delete-files"][0]["equality-ids"]
+    t.rename_column("k", "k2")
+    import urllib.error
+
+    try:
+        _req(url, "POST", {})
+        raise AssertionError("plan should refuse after key rename")
+    except urllib.error.HTTPError as e:
+        assert e.code == 409
+        assert b"do not resolve" in e.read()
+
+
+def test_incremental_export_occ_retry(spark, tmp_path, monkeypatch):
+    """r11 ADVICE (low): _commit_incremental_row_delta claims EXACTLY
+    base_version+1 — a concurrent mirror commit between read and claim
+    fails the claim and the caller retries from the fresh latest state
+    instead of superseding the concurrent commit with a stale snapshot."""
+    import json as _json
+    import shutil
+
+    from iceberg_metadata_pipeline_spark.catalog import iceberg_format as IF
+
+    catalog = Catalog(spark, str(tmp_path / "wh"))
+    df = spark.range(20).selectExpr("id", "id % 3 AS k")
+    t = catalog.create_table("nyc", "occ", df.schema)
+    t.append_dataframe(df.coalesce(1))
+    dest = str(tmp_path / "ice")
+    IF.export_iceberg_table(t.refresh(), dest)
+
+    # next change: a positional MOR delete → incremental row-delta path
+    # (delete_where_mor would mint a PREDICATE entry, which disables the
+    # incremental path by design)
+    t.delete_where_positional("k = 1")
+
+    real_claim = IF._claim_metadata_version
+    state = {"raced": False}
+
+    def racing_claim(location, metadata, version):
+        if not state["raced"] and location == dest:
+            state["raced"] = True
+            # concurrent writer lands first at the same version
+            latest = IF._latest_metadata_path(dest)
+            with open(latest) as fh:
+                md = _json.load(fh)
+            md["last-updated-ms"] = md.get("last-updated-ms", 0) + 1
+            assert real_claim(dest, md, version) is not None
+        return real_claim(location, metadata, version)
+
+    monkeypatch.setattr(IF, "_claim_metadata_version", racing_claim)
+    out = IF.export_iceberg_table(t.refresh(), dest)
+    assert state["raced"]
+    monkeypatch.undo()
+
+    # the export landed ABOVE the concurrent commit and serves the
+    # post-delete rows exactly
+    from iceberg_metadata_pipeline_spark.ingest.pyice_source import register
+
+    register(spark)
+    got = sorted(
+        r.id for r in spark.read.format("pyice").load(dest).collect()
+    )
+    assert got == [i for i in range(20) if i % 3 != 1]
+
+
+def test_replace_equality_delete_preserves_anchor_seq(spark, tmp_path):
+    """r11 ADVICE (low): a 1:1 equality rewrite passing the removed
+    entry's seq (4-tuple group) applies to exactly the original files;
+    the bare 3-tuple form re-anchors to the maintenance commit and
+    widens reach — both behaviors pinned."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    def build(wh):
+        catalog = Catalog(spark, str(tmp_path / wh))
+        t = catalog.create_table(
+            "nyc", "anch", spark.range(1).selectExpr("id", "id AS k").schema
+        )
+        t.append_dataframe(
+            spark.range(0, 5).selectExpr("id", "id AS k").coalesce(1)
+        )
+        eqp = str(tmp_path / f"{wh}-eq.parquet")
+        pq.write_table(pa.table({"k": pa.array([2], pa.int64())}), eqp)
+        t.add_foreign_delete_files([], [(["k"], [eqp])])
+        orig_seq = next(
+            d["seq"]
+            for d in t._resolve_deletes(t.current_snapshot)
+            if d["kind"] == "equality"
+        )
+        # rows appended AFTER the delete: k=2 here must SURVIVE
+        t.append_dataframe(
+            spark.createDataFrame([(100, 2)], "id long, k long").coalesce(1)
+        )
+        from iceberg_metadata_pipeline_spark.ingest.discover import (
+            find_parquet_files,
+        )
+
+        old_root = next(
+            d["path"]
+            for d in t._resolve_deletes(t.current_snapshot)
+            if d["kind"] == "equality"
+        )
+        import os as _os
+
+        old_path = (
+            find_parquet_files(old_root)
+            if _os.path.isdir(old_root)
+            else [old_root]
+        )
+        eqp2 = str(tmp_path / f"{wh}-eq2.parquet")
+        pq.write_table(pa.table({"k": pa.array([2], pa.int64())}), eqp2)
+        return t, orig_seq, old_path, eqp2
+
+    # anchored rewrite: the later k=2 row survives (exact 1:1 semantics)
+    t, orig_seq, old_path, eqp2 = build("wh-a")
+    t.replace_delete_files(list(old_path), [], [(["k"], [eqp2], None, orig_seq)])
+    got = sorted(r.id for r in t.scan().collect())
+    assert got == [0, 1, 3, 4, 100]
+
+    # bare rewrite re-anchors: the later k=2 row is now deleted too
+    t2, _seq, old_path2, eqp3 = build("wh-b")
+    t2.replace_delete_files(list(old_path2), [], [(["k"], [eqp3])])
+    got2 = sorted(r.id for r in t2.scan().collect())
+    assert got2 == [0, 1, 3, 4]
