@@ -147,6 +147,9 @@ class PyRestReader(DataSourceReader):
         self.ns, self.table = ident.split(".", 1)
         self.snapshot_id = options.get("snapshotid")
         self.filter_json = options.get("filter")
+        # pageSize: ask the server for a PAGED plan (plan-tasks tokens
+        # walked transparently below) — bounds every response to a page
+        self.page_size = int(options.get("pagesize", 0) or 0)
         self.names = [f.name for f in schema.fields]
         self.spark_schema = schema
 
@@ -156,6 +159,8 @@ class PyRestReader(DataSourceReader):
             body["snapshot-id"] = int(self.snapshot_id)
         if self.filter_json:
             body["filter"] = json.loads(self.filter_json)
+        if self.page_size:
+            body["page-size"] = int(self.page_size)
         plan = _req(
             f"{self.url}/v1/namespaces/{self.ns}/tables/{self.table}/plan",
             "POST",
@@ -163,9 +168,27 @@ class PyRestReader(DataSourceReader):
         )
         if plan.get("plan-status") != "completed":
             raise ValueError(f"plan not completed: {plan}")
-        dels = plan.get("delete-files") or []
+        # paged plans (round 12): the first page rides the plan response;
+        # each plan-task token fetches one more page through the spec's
+        # fetchScanTasks verb — client memory grows by the TASK LIST
+        # (O(#files), what any planner holds), but no single response is
+        # bigger than a page
+        parts = self._page_to_parts(plan)
+        for token in plan.get("plan-tasks") or []:
+            page = _req(
+                f"{self.url}/v1/namespaces/{self.ns}/tables/{self.table}/tasks",
+                "POST",
+                {"plan-task": token},
+            )
+            parts.extend(self._page_to_parts(page))
+        return parts
+
+    def _page_to_parts(self, page: dict) -> list:
+        """One plan/fetchScanTasks response page → RestScanTask list
+        (delete-file indices are PAGE-LOCAL per the spec)."""
+        dels = page.get("delete-files") or []
         parts = []
-        for task in plan.get("file-scan-tasks") or []:
+        for task in page.get("file-scan-tasks") or []:
             pos, eq = [], []
             for i in task.get("delete-file-references") or []:
                 d = dels[i]
@@ -363,6 +386,9 @@ ORDER BY p_brand
             back = (
                 spark.read.format("pyrest")
                 .option("url", f"http://127.0.0.1:{srv.port}")
+                # paged plan (r12): the oracle gate now also proves the
+                # fetchScanTasks page walk end-to-end
+                .option("pageSize", "2")
                 .load("nyc.part_rest")
             )
             out = (
