@@ -53,10 +53,14 @@ no-deps posture as the HS2 Thrift front in hs2.py):
   representations, accumulated version history) via
   ``export_iceberg_view`` — idempotent per definition
 
-Scope bound (loud, not silent): ``POST .../tables/{t}`` (commitTable —
-requirements/updates transactions) returns 400 with a message; writes
-go through metacat's own commit path, and a serving front should not
-fork a second commit protocol around it.
+Write verbs: ``POST .../tables/{t}`` (commitTable) serves the
+metadata-only requirement/update subset plus snapshot commits (append/
+replace/overwrite/delete, rounds 9-11). Round 12 adds
+``POST /v1/transactions/commit`` (multi-table transactions: every
+table's requirements validate before the first mutation — stale
+requirement anywhere ⇒ 409, nothing applied) and staged creates
+(``stage-create: true`` on createTable; the table materializes when a
+commit names it with ``assert-create`` — the spec's CTAS handshake).
 
 Scale notes: every response is O(metadata). loadTable re-export is
 cached per snapshot id (an unchanged table serves from disk);
@@ -119,6 +123,9 @@ class RestCatalogServer:
         # (ns, table) -> (snapshot_id, metadata_path) export cache
         self._exports: dict[tuple[str, str], tuple[int | None, str]] = {}
         self._lock = threading.Lock()
+        # (ns, table) -> CreateTableRequest staged by stage-create, not
+        # yet materialized (commits with assert-create consume these)
+        self._staged: dict[tuple[str, str], dict] = {}
         outer = self
 
         class Handler(BaseHTTPRequestHandler):
@@ -196,6 +203,8 @@ class RestCatalogServer:
                 return h._send(
                     200, {"namespace": [ns], "properties": body.get("properties") or {}}
                 )
+        if p == ["transactions", "commit"] and method == "POST":
+            return self._commit_transaction(h, h._body())
         if p == ["tables", "rename"] and method == "POST":
             body = h._body()
             src, dst = body.get("source") or {}, body.get("destination") or {}
@@ -735,25 +744,156 @@ class RestCatalogServer:
         404 on later time travel; equality-delete files map onto
         metacat's equality entries; PUFFIN deletion vectors decode onto
         the position path). Delete-file removals, tag refs, and branch
-        rewrites still refuse loudly."""
-        if not self.catalog.table_exists(ns, name):
+        rewrites still refuse loudly.
+
+        Round 12: STAGED CREATES commit here too — a commit naming a
+        staged identifier with an ``assert-create`` requirement
+        materializes the staged table, then applies the commit's
+        updates on it (the CTAS handshake). Multi-table commits go
+        through ``POST /v1/transactions/commit`` (_commit_transaction),
+        which shares this verb's requirement checks and update plans."""
+        exists = self.catalog.table_exists(ns, name)
+        reqs = body.get("requirements") or []
+        if not exists:
+            wants_create = any(r.get("type") == "assert-create" for r in reqs)
+            if wants_create and (ns, name) in self._staged:
+                err = self._reqs_error(None, reqs)
+                if err:
+                    return h._error(*err)
+                plan = self._parse_update_plan(body)
+                if isinstance(plan, tuple):
+                    return h._error(*plan)
+                err = self._materialize_staged(ns, name)
+                if err:
+                    return h._error(*err)
+                t = self.catalog.load_table(ns, name)
+                err = self._apply_update_plan(t, ns, name, plan)
+                if err:
+                    return h._error(*err)
+                return self._load_table(h, ns, name)
             return h._error(
                 404, f"table {ns}.{name} not found", "NoSuchTableException"
             )
         t = self.catalog.load_table(ns, name)
+        err = self._reqs_error(t, reqs)
+        if err:
+            return h._error(*err)
+        plan = self._parse_update_plan(body)
+        if isinstance(plan, tuple):
+            return h._error(*plan)
+        err = self._apply_update_plan(t, ns, name, plan)
+        if err:
+            return h._error(*err)
+        return self._load_table(h, ns, name)
+
+    def _commit_transaction(self, h, body: dict):
+        """POST /v1/transactions/commit (round 12 — the spec's
+        multi-table transaction): N per-table requirement/update sets,
+        applied atomically-or-refused. Phase 1 resolves every
+        identifier, validates EVERY table's requirements against its
+        current state, and parses EVERY update list (shape errors,
+        unsupported actions, pairing rules) — nothing mutates until the
+        whole transaction has validated, so a stale requirement on
+        table B leaves table A untouched (409, nothing applied).
+        Phase 2 applies per table in request order (staged creates
+        materialize first). Identifiers may repeat; later changes see
+        earlier ones' state, like chained commits in one transaction."""
+        changes = body.get("table-changes") or []
+        if not changes:
+            return h._error(400, "table-changes required")
+        plans = []
+        created_in_txn: set = set()
+        for ch in changes:
+            ident = ch.get("identifier") or {}
+            ns = ".".join(ident.get("namespace") or [])
+            name = ident.get("name")
+            if not ns or not name:
+                return h._error(
+                    400, "each table-change needs identifier.namespace and .name"
+                )
+            reqs = ch.get("requirements") or []
+            exists = (
+                self.catalog.table_exists(ns, name)
+                or (ns, name) in created_in_txn
+            )
+            if not exists:
+                wants_create = any(
+                    r.get("type") == "assert-create" for r in reqs
+                )
+                if not (wants_create and (ns, name) in self._staged):
+                    return h._error(
+                        404,
+                        f"table {ns}.{name} not found (stage-create it "
+                        "first, then commit with assert-create)",
+                        "NoSuchTableException",
+                    )
+                err = self._reqs_error(None, reqs)
+                created_in_txn.add((ns, name))
+            else:
+                err = self._reqs_error(
+                    self.catalog.load_table(ns, name)
+                    if self.catalog.table_exists(ns, name)
+                    else None,
+                    reqs,
+                )
+            if err:
+                return h._error(*err)
+            plan = self._parse_update_plan(ch)
+            if isinstance(plan, tuple):
+                return h._error(*plan)
+            plans.append((ns, name, plan))
+        # phase 2: every requirement + update shape validated — apply.
+        # (An application failure here is a server-state surprise, not a
+        # client error; it surfaces as 500 with the table named so the
+        # partial application is never silent.)
+        for ns, name, plan in plans:
+            if not self.catalog.table_exists(ns, name):
+                err = self._materialize_staged(ns, name)
+                if err:
+                    return h._error(*err)
+            t = self.catalog.load_table(ns, name)
+            err = self._apply_update_plan(t, ns, name, plan)
+            if err:
+                code, msg, typ = err
+                return h._error(
+                    500,
+                    f"transaction partially applied; failed on {ns}.{name}: "
+                    f"{msg}",
+                    "InternalError",
+                )
+        return h._send(204)
+
+    def _reqs_error(self, t, reqs) -> tuple | None:
+        """Validate commit requirements against the table's CURRENT
+        state (t=None → a staged create: assert-create passes, anything
+        else is meaningless there). Returns (code, msg, type) or None.
+        Read-only — shared by commitTable and commitTransaction so the
+        transaction verb can validate everything before mutating
+        anything."""
+        if t is None:
+            for req in reqs:
+                if req.get("type") != "assert-create":
+                    return (
+                        400,
+                        f"requirement {req.get('type')!r} cannot apply to a "
+                        "staged create",
+                        "BadRequestException",
+                    )
+            return None
         snap = t.current_snapshot
         cur_sid = None if snap is None else int(snap["snapshot_id"])
-        for req in body.get("requirements") or []:
+        for req in reqs:
             typ = req.get("type")
             if typ == "assert-create":
-                return h._error(
-                    409, f"table {ns}.{name} already exists",
+                return (
+                    409,
+                    "table already exists",
                     "CommitFailedException",
                 )
             if typ == "assert-table-uuid":
                 have = str(t.meta.get("table_uuid", ""))
                 if str(req.get("uuid", "")) != have:
-                    return h._error(
+                    return (
                         409,
                         f"table uuid mismatch: {req.get('uuid')} != {have}",
                         "CommitFailedException",
@@ -769,7 +909,7 @@ class RestCatalogServer:
                 if (want is None) != (ref_sid is None) or (
                     want is not None and int(want) != ref_sid
                 ):
-                    return h._error(
+                    return (
                         409,
                         f"ref {ref_name} is at {ref_sid}, not {want}",
                         "CommitFailedException",
@@ -777,28 +917,38 @@ class RestCatalogServer:
             elif typ == "assert-current-schema-id":
                 # the export always serves the current schema as id 0
                 if int(req.get("current-schema-id", -1)) != 0:
-                    return h._error(
+                    return (
                         409,
                         "current schema id is 0, not "
                         f"{req.get('current-schema-id')}",
                         "CommitFailedException",
                     )
             else:
-                return h._error(
-                    400, f"unsupported commit requirement {typ!r}",
+                return (
+                    400,
+                    f"unsupported commit requirement {typ!r}",
                     "BadRequestException",
                 )
-        # fold updates IN LIST ORDER into one final per-key state (None =
-        # remove): [set k=v, remove k] must end with k absent, and nothing
-        # mutates the table until every update has validated
-        pending: dict[str, str | None] = {}
-        new_schema = None
-        set_schema_id = None
-        new_spec = None
-        set_spec_id = None
-        new_snapshot = None
-        set_ref = None
-        remove_snap_ids: list[int] = []
+        return None
+
+    def _parse_update_plan(self, body: dict):
+        """Fold the update list IN ORDER into one validated plan dict —
+        [set k=v, remove k] must end with k absent; pairing rules
+        (add-schema + set-current-schema-id, add-spec +
+        set-default-spec-id, add-snapshot + set-snapshot-ref) and
+        unsupported actions refuse HERE, before anything mutates.
+        Returns the plan dict, or an (code, msg, type) error tuple."""
+        pending: dict = {}
+        plan = {
+            "pending": pending,
+            "new_schema": None,
+            "set_schema_id": None,
+            "new_spec": None,
+            "set_spec_id": None,
+            "new_snapshot": None,
+            "set_ref": None,
+            "remove_snap_ids": [],
+        }
         for u in body.get("updates") or []:
             action = u.get("action")
             if action == "set-properties":
@@ -808,21 +958,21 @@ class RestCatalogServer:
                 for k in u.get("removals") or []:
                     pending[str(k)] = None
             elif action == "add-schema":
-                new_schema = u.get("schema") or {}
+                plan["new_schema"] = u.get("schema") or {}
             elif action == "set-current-schema-id":
-                set_schema_id = int(u.get("schema-id", -1))
+                plan["set_schema_id"] = int(u.get("schema-id", -1))
             elif action == "add-spec":
-                new_spec = u.get("spec") or {}
+                plan["new_spec"] = u.get("spec") or {}
             elif action == "set-default-spec-id":
-                set_spec_id = int(u.get("spec-id", -1))
+                plan["set_spec_id"] = int(u.get("spec-id", -1))
             elif action == "add-snapshot":
-                new_snapshot = u.get("snapshot") or {}
+                plan["new_snapshot"] = u.get("snapshot") or {}
             elif action == "set-snapshot-ref":
-                set_ref = u
+                plan["set_ref"] = u
             elif action == "remove-snapshots":
-                remove_snap_ids.extend(u.get("snapshot-ids") or [])
+                plan["remove_snap_ids"].extend(u.get("snapshot-ids") or [])
             else:
-                return h._error(
+                return (
                     400,
                     f"commit update {action!r} is not served: rewrite "
                     "commits go through the warehouse's own commit path; "
@@ -832,53 +982,69 @@ class RestCatalogServer:
                     "DELETE snapshot commits",
                     "CommitNotSupportedException",
                 )
-        if (new_schema is None) != (set_schema_id is None):
-            return h._error(
+        if (plan["new_schema"] is None) != (plan["set_schema_id"] is None):
+            return (
                 400,
                 "schema evolution needs BOTH add-schema and "
                 "set-current-schema-id in one commit",
+                "BadRequestException",
             )
-        if (new_spec is None) != (set_spec_id is None):
-            return h._error(
+        if (plan["new_spec"] is None) != (plan["set_spec_id"] is None):
+            return (
                 400,
                 "partition evolution needs BOTH add-spec and "
                 "set-default-spec-id in one commit",
+                "BadRequestException",
             )
-        if new_schema is not None:
-            if set_schema_id not in (-1, int(new_schema.get("schema-id", -1))):
-                return h._error(
-                    400,
-                    f"set-current-schema-id {set_schema_id} does not name "
-                    "the added schema (-1 = last added)",
-                )
-            err = self._evolve_schema(t, new_schema)
-            if err:
-                return h._error(400, err)
-        if new_spec is not None:
-            err = self._evolve_spec(t, new_spec, set_spec_id)
-            if err:
-                return h._error(400, err)
-        if (new_snapshot is None) != (set_ref is None):
-            return h._error(
+        if plan["new_schema"] is not None and plan["set_schema_id"] not in (
+            -1,
+            int(plan["new_schema"].get("schema-id", -1)),
+        ):
+            return (
+                400,
+                f"set-current-schema-id {plan['set_schema_id']} does not "
+                "name the added schema (-1 = last added)",
+                "BadRequestException",
+            )
+        if (plan["new_snapshot"] is None) != (plan["set_ref"] is None):
+            return (
                 400,
                 "snapshot commits need BOTH add-snapshot and "
                 "set-snapshot-ref in one commit",
+                "BadRequestException",
             )
-        if new_snapshot is not None:
+        return plan
 
+    def _apply_update_plan(self, t, ns: str, name: str, plan: dict) -> tuple | None:
+        """Apply one validated update plan to one table. Returns
+        (code, msg, type) on refusal (from the evolution/snapshot
+        subsystems' own validation) or None on success."""
+        if plan["new_schema"] is not None:
+            err = self._evolve_schema(t, plan["new_schema"])
+            if err:
+                return (400, err, "BadRequestException")
+        if plan["new_spec"] is not None:
+            err = self._evolve_spec(t, plan["new_spec"], plan["set_spec_id"])
+            if err:
+                return (400, err, "BadRequestException")
+        if plan["new_snapshot"] is not None:
             err = self._apply_snapshot_append(
-                t, new_snapshot, set_ref, os.path.join(self.mirror_dir, ns, name)
+                t,
+                plan["new_snapshot"],
+                plan["set_ref"],
+                os.path.join(self.mirror_dir, ns, name),
             )
             if err:
-                return h._error(400, err)
-        if remove_snap_ids:
+                return (400, err, "BadRequestException")
+        if plan["remove_snap_ids"]:
             # expire over REST: the spec's remove-snapshots update maps
             # onto metacat's explicit-set expiry (current/ref-protected
             # snapshots refuse; expired ids 404 on later time travel)
             try:
-                t.remove_snapshots(remove_snap_ids)
+                t.remove_snapshots(plan["remove_snap_ids"])
             except ValueError as exc:
-                return h._error(400, str(exc))
+                return (400, str(exc), "BadRequestException")
+        pending = plan["pending"]
         sets = {k: v for k, v in pending.items() if v is not None}
         removed = [
             k
@@ -891,7 +1057,25 @@ class RestCatalogServer:
             # properties don't move the snapshot id, so the cached export
             # would serve stale metadata — drop it
             self._exports.pop((ns, name), None)
-        return self._load_table(h, ns, name)
+        return None
+
+    def _materialize_staged(self, ns: str, name: str) -> tuple | None:
+        """Create the table a stage-create recorded (called under an
+        assert-create commit). Returns (code, msg, type) or None."""
+        with self._lock:
+            body = self._staged.pop((ns, name), None)
+        if body is None:
+            return (404, f"no staged create for {ns}.{name}", "NoSuchTableException")
+        if self.catalog.table_exists(ns, name):
+            return (
+                409,
+                f"table {ns}.{name} was created since it was staged",
+                "CommitFailedException",
+            )
+        err = self._do_create(ns, body)
+        if err:
+            return err
+        return None
 
     @staticmethod
     def _meta_path(location: str, p) -> str:
@@ -1514,6 +1698,43 @@ class RestCatalogServer:
             return h._error(400, "name and schema required")
         if self.catalog.table_exists(ns, name):
             return h._error(409, f"table {ns}.{name} exists", "AlreadyExistsException")
+        if body.get("stage-create"):
+            # staged CTAS (round 12): validate + remember the request,
+            # create NOTHING — the table materializes when a commit
+            # (commitTable or a transaction table-change) names it with
+            # an assert-create requirement. The response carries the
+            # would-be metadata with NO metadata-location (the spec's
+            # marker that the table is staged, not live).
+            try:
+                iceberg_schema_to_spark(body["schema"])  # validate only
+            except (ValueError, KeyError) as e:
+                return h._error(400, f"invalid schema: {e}")
+            import uuid as _uuid
+
+            with self._lock:
+                self._staged[(ns, name)] = dict(body)
+            return h._send(
+                200,
+                {
+                    "metadata": {
+                        "format-version": 2,
+                        "table-uuid": str(_uuid.uuid4()),
+                        "schemas": [body["schema"]],
+                        "current-schema-id": body["schema"].get("schema-id", 0),
+                        "properties": body.get("properties") or {},
+                    },
+                    "config": {},
+                },
+            )
+        err = self._do_create(ns, body)
+        if err:
+            return h._error(*err)
+        return self._load_table(h, ns, body["name"])
+
+    def _do_create(self, ns: str, body: dict) -> tuple | None:
+        """CreateTableRequest core (shared by direct creates and staged
+        materialization). Returns (code, msg, type) or None."""
+        name = body.get("name")
         schema = iceberg_schema_to_spark(body["schema"])
         self.catalog.ensure_namespace(ns)
         t = self.catalog.create_table(ns, name, schema)
@@ -1531,13 +1752,17 @@ class RestCatalogServer:
                 if f.get("transform") == "identity" and f.get("source-id") in id_to_name
             ]
             if len(ident) != len(fields):
-                return h._error(
+                return (
                     400,
                     "only identity partition transforms are accepted here "
                     f"({len(fields) - len(ident)} non-identity fields refused)",
+                    "BadRequestException",
                 )
             t.refresh().set_partition_spec(ident)
-        return self._load_table(h, ns, name)
+        props = body.get("properties") or {}
+        if props:
+            t.refresh().set_properties({str(k): str(v) for k, v in props.items()})
+        return None
 
     def _load_view(self, h, ns: str, name: str):
 

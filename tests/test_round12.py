@@ -543,3 +543,187 @@ def test_pyrest_paged_read_matches_unpaged(spark, server):
         .load("pg3.t")
     )
     assert sorted(r.id for r in paged.collect()) == list(range(40))
+
+
+def test_transaction_two_table_atomic_commit(spark, server):
+    """POST /v1/transactions/commit: both tables' changes land in one
+    transaction; a stale requirement on table B refuses the WHOLE
+    transaction with table A untouched (requirements all validate
+    before the first mutation)."""
+    import urllib.error
+
+    catalog, srv, base = server
+    _req(f"{base}/v1/namespaces", "POST", {"namespace": ["tx"]})
+    ta = catalog.create_table("tx", "a", spark.range(1).selectExpr("id").schema)
+    tb = catalog.create_table("tx", "b", spark.range(1).selectExpr("id").schema)
+    ta.append_dataframe(spark.range(3).selectExpr("id").coalesce(1))
+    tb.append_dataframe(spark.range(3).selectExpr("id").coalesce(1))
+    sid_a = int(ta.current_snapshot["snapshot_id"])
+    sid_b = int(tb.current_snapshot["snapshot_id"])
+
+    def change(name, sid, k, v):
+        return {
+            "identifier": {"namespace": ["tx"], "name": name},
+            "requirements": [
+                {"type": "assert-ref-snapshot-id", "ref": "main", "snapshot-id": sid}
+            ],
+            "updates": [{"action": "set-properties", "updates": {k: v}}],
+        }
+
+    # happy path: both land
+    code, _ = _req(
+        f"{base}/v1/transactions/commit",
+        "POST",
+        {"table-changes": [change("a", sid_a, "p", "1"), change("b", sid_b, "q", "2")]},
+    )
+    assert code == 204
+    assert catalog.load_table("tx", "a").properties.get("p") == "1"
+    assert catalog.load_table("tx", "b").properties.get("q") == "2"
+
+    # stale requirement on B: 409, A untouched
+    try:
+        _req(
+            f"{base}/v1/transactions/commit",
+            "POST",
+            {
+                "table-changes": [
+                    change("a", sid_a, "p", "CHANGED"),
+                    change("b", 424242, "q", "CHANGED"),
+                ]
+            },
+        )
+        raise AssertionError("stale requirement should 409")
+    except urllib.error.HTTPError as e:
+        assert e.code == 409
+    assert catalog.load_table("tx", "a").properties.get("p") == "1"  # untouched
+    assert catalog.load_table("tx", "b").properties.get("q") == "2"
+
+    # malformed update SHAPE on B also refuses with A untouched
+    bad = {
+        "identifier": {"namespace": ["tx"], "name": "b"},
+        "requirements": [],
+        "updates": [{"action": "add-schema", "schema": {"type": "struct", "fields": []}}],
+    }
+    try:
+        _req(
+            f"{base}/v1/transactions/commit",
+            "POST",
+            {"table-changes": [change("a", sid_a, "p", "CHANGED2"), bad]},
+        )
+        raise AssertionError("unpaired add-schema should 400")
+    except urllib.error.HTTPError as e:
+        assert e.code == 400
+    assert catalog.load_table("tx", "a").properties.get("p") == "1"
+
+
+def test_staged_create_commits_through_transaction(spark, server):
+    """stage-create → commitTransaction with assert-create: the table
+    does not exist until the transaction lands; afterwards loadTable
+    round-trips it with the staged schema + the commit's properties."""
+    import urllib.error
+
+    catalog, srv, base = server
+    _req(f"{base}/v1/namespaces", "POST", {"namespace": ["sc"]})
+    schema = {
+        "type": "struct",
+        "schema-id": 0,
+        "fields": [
+            {"id": 1, "name": "id", "required": False, "type": "long"},
+            {"id": 2, "name": "v", "required": False, "type": "double"},
+        ],
+    }
+    code, staged = _req(
+        f"{base}/v1/namespaces/sc/tables",
+        "POST",
+        {"name": "ctas", "schema": schema, "stage-create": True},
+    )
+    assert code == 200
+    assert "metadata-location" not in staged  # staged, not live
+    assert not catalog.table_exists("sc", "ctas")
+
+    # committing WITHOUT assert-create → 404 (not a live table)
+    try:
+        _req(
+            f"{base}/v1/transactions/commit",
+            "POST",
+            {
+                "table-changes": [
+                    {
+                        "identifier": {"namespace": ["sc"], "name": "ctas"},
+                        "requirements": [],
+                        "updates": [],
+                    }
+                ]
+            },
+        )
+        raise AssertionError("missing assert-create should 404")
+    except urllib.error.HTTPError as e:
+        assert e.code == 404
+
+    code, _ = _req(
+        f"{base}/v1/transactions/commit",
+        "POST",
+        {
+            "table-changes": [
+                {
+                    "identifier": {"namespace": ["sc"], "name": "ctas"},
+                    "requirements": [{"type": "assert-create"}],
+                    "updates": [
+                        {"action": "set-properties", "updates": {"born": "txn"}}
+                    ],
+                }
+            ]
+        },
+    )
+    assert code == 204
+    t = catalog.load_table("sc", "ctas")
+    assert t.properties.get("born") == "txn"
+    assert [f.name for f in t.schema.fields] == ["id", "v"]
+    code, loaded = _req(f"{base}/v1/namespaces/sc/tables/ctas")
+    assert code == 200 and "metadata-location" in loaded
+
+    # assert-create against the NOW-EXISTING table → 409
+    try:
+        _req(
+            f"{base}/v1/transactions/commit",
+            "POST",
+            {
+                "table-changes": [
+                    {
+                        "identifier": {"namespace": ["sc"], "name": "ctas"},
+                        "requirements": [{"type": "assert-create"}],
+                        "updates": [],
+                    }
+                ]
+            },
+        )
+        raise AssertionError("assert-create on existing should 409")
+    except urllib.error.HTTPError as e:
+        assert e.code == 409
+
+
+def test_staged_create_commits_through_commit_table(spark, server):
+    """The single-table CTAS handshake: stage-create, then commitTable
+    on the staged identifier with assert-create materializes it."""
+    catalog, srv, base = server
+    _req(f"{base}/v1/namespaces", "POST", {"namespace": ["sc2"]})
+    schema = {
+        "type": "struct",
+        "schema-id": 0,
+        "fields": [{"id": 1, "name": "id", "required": False, "type": "long"}],
+    }
+    _req(
+        f"{base}/v1/namespaces/sc2/tables",
+        "POST",
+        {"name": "t", "schema": schema, "stage-create": True},
+    )
+    code, out = _req(
+        f"{base}/v1/namespaces/sc2/tables/t",
+        "POST",
+        {
+            "requirements": [{"type": "assert-create"}],
+            "updates": [{"action": "set-properties", "updates": {"k": "v"}}],
+        },
+    )
+    assert code == 200 and "metadata-location" in out
+    assert catalog.load_table("sc2", "t").properties.get("k") == "v"
