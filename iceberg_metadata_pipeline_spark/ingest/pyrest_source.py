@@ -51,7 +51,9 @@ from pyspark.sql import types as T
 from pyspark.sql.datasource import (
     DataSource,
     DataSourceReader,
+    DataSourceWriter,
     InputPartition,
+    WriterCommitMessage,
 )
 
 
@@ -301,6 +303,232 @@ class PyRestReader(DataSourceReader):
                 yield out
 
 
+@dataclass
+class RestWriteCommit(WriterCommitMessage):
+    # [(tmp_path, rows, size)] — parquet task files staged under the
+    # table's data/ dir, invisible until the REST commit names them
+    files: tuple = ()
+
+
+class PyRestBatchWriter(DataSourceWriter):
+    """``df.write.format("pyrest").option("url", base).mode("append")
+    .save("ns.table")`` — the WRITE symmetry of the thin-engine story
+    (round 12; r11 left pyrest read-only): tasks stage invisible
+    ``data/_tmp-*.parquet`` files under the table's served location;
+    the driver renames them into place, writes ONE avro manifest + a
+    one-row manifest list (iceberg_format's own writers), and posts an
+    APPEND snapshot through REST commitTable (add-snapshot +
+    set-snapshot-ref main) guarded by ``assert-ref-snapshot-id``. A 409
+    reply (a concurrent commit moved main between loadTable and the
+    post) RETRIES with the freshly loaded ref — appends are
+    parent-agnostic, so the staged manifest re-posts unchanged and
+    appends from any mix of writers STACK instead of superseding each
+    other (real Iceberg's blind-append retry).
+
+    Scope bounds (loud refusals, not silent corruption): append mode
+    only (overwrite/replace go through the warehouse's own commit
+    path) and unpartitioned tables only (a partitioned table's entries
+    need typed partition tuples this writer does not yet route).
+
+    Reference parity: the commit protocol the reference delegates to
+    iceberg-spark-runtime's REST catalog integration, jar-free."""
+
+    MAX_RETRIES = 5
+
+    def __init__(self, schema: T.StructType, options, overwrite: bool):
+        if overwrite:
+            raise NotImplementedError(
+                "pyrest writer: append only — overwrite/replace commits "
+                "go through the warehouse's own commit path"
+            )
+        self.url = options["url"].rstrip("/")
+        ident = options.get("table") or options.get("path")
+        if not ident or "." not in ident:
+            raise ValueError(
+                "pyrest needs save('namespace.table') or option('table')"
+            )
+        self.ns, self.table = ident.split(".", 1)
+        self.schema = schema
+        out = _req(f"{self.url}/v1/namespaces/{self.ns}/tables/{self.table}")
+        md = out["metadata"]
+        self.location = md["location"]
+        served = next(
+            s
+            for s in md["schemas"]
+            if s.get("schema-id", 0) == md.get("current-schema-id", 0)
+        )
+        from iceberg_metadata_pipeline_spark.catalog.iceberg_format import (
+            iceberg_schema_to_spark,
+        )
+
+        spark_served = iceberg_schema_to_spark(served)
+        if [(f.name, f.dataType) for f in spark_served.fields] != [
+            (f.name, f.dataType) for f in schema.fields
+        ]:
+            raise ValueError(
+                "pyrest writer: dataframe schema does not match the table "
+                f"({spark_served.simpleString()}) — evolve the table first "
+                "or align the dataframe"
+            )
+        spec = next(
+            (
+                s
+                for s in md.get("partition-specs") or []
+                if s.get("spec-id", 0) == md.get("default-spec-id", 0)
+            ),
+            {"fields": []},
+        )
+        if spec.get("fields"):
+            raise NotImplementedError(
+                "pyrest writer: partitioned tables are not served yet — "
+                "write through pyice or the warehouse path"
+            )
+
+    def write(self, iterator):
+        import os
+        import uuid as _uuid
+
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        from iceberg_metadata_pipeline_spark.ingest.arrow_types import (
+            arrow_fields,
+        )
+
+        fields = arrow_fields(self.schema, writer="pyrest writer")
+        names = [f.name for f in self.schema.fields]
+        rows = [tuple(r) for r in iterator]
+        if not rows:
+            return RestWriteCommit(files=())
+        data_dir = os.path.join(_norm(self.location), "data")
+        os.makedirs(data_dir, exist_ok=True)
+        cols = {n: [r[i] for r in rows] for i, n in enumerate(names)}
+        tmp = os.path.join(data_dir, f"_tmp-{_uuid.uuid4().hex}.parquet")
+        pq.write_table(pa.table(cols, schema=pa.schema(fields)), tmp)
+        return RestWriteCommit(
+            files=((tmp, len(rows), os.path.getsize(tmp)),)
+        )
+
+    def commit(self, messages):
+        import os
+        import uuid as _uuid
+
+        from iceberg_metadata_pipeline_spark.catalog import avro_io
+        from iceberg_metadata_pipeline_spark.catalog.iceberg_format import (
+            manifest_entry_schema,
+            manifest_list_schema,
+        )
+
+        staged = []
+        for m in messages:
+            if m is None:
+                continue
+            staged.extend(getattr(m, "files", ()) or ())
+        if not staged:
+            return
+        loc = _norm(self.location)
+        data_dir = os.path.join(loc, "data")
+        meta_dir = os.path.join(loc, "metadata")
+        os.makedirs(meta_dir, exist_ok=True)
+        finals = []
+        for tmp, rows, size in sorted(staged):
+            final = os.path.join(data_dir, f"part-{_uuid.uuid4().hex}.parquet")
+            os.rename(tmp, final)
+            finals.append((final, rows, size))
+        sid = int(_uuid.uuid4().int % (1 << 62))
+        mpath = os.path.join(meta_dir, f"pyrest-{sid}-m0.avro")
+        avro_io.write_container(
+            mpath,
+            manifest_entry_schema([]),
+            [
+                {
+                    "status": 1,
+                    "snapshot_id": sid,
+                    "sequence_number": 1,
+                    "data_file": {
+                        "content": 0,
+                        "file_path": path,
+                        "file_format": "PARQUET",
+                        "partition": {},
+                        "record_count": rows,
+                        "file_size_in_bytes": size,
+                    },
+                }
+                for path, rows, size in finals
+            ],
+        )
+        mlist = os.path.join(meta_dir, f"snap-{sid}-pyrest.avro")
+        avro_io.write_container(
+            mlist,
+            manifest_list_schema(),
+            [
+                {
+                    "manifest_path": mpath,
+                    "manifest_length": os.path.getsize(mpath),
+                    "partition_spec_id": 0,
+                    "content": 0,
+                    "sequence_number": 1,
+                    "min_sequence_number": 1,
+                    "added_snapshot_id": sid,
+                    "added_files_count": len(finals),
+                    "existing_files_count": 0,
+                    "deleted_files_count": 0,
+                    "added_rows_count": sum(r for _p, r, _s in finals),
+                    "existing_rows_count": 0,
+                    "deleted_rows_count": 0,
+                }
+            ],
+        )
+        url = f"{self.url}/v1/namespaces/{self.ns}/tables/{self.table}"
+        import urllib.error
+
+        for attempt in range(self.MAX_RETRIES):
+            cur = _req(url)["metadata"].get("current-snapshot-id")
+            body = {
+                "requirements": [
+                    {
+                        "type": "assert-ref-snapshot-id",
+                        "ref": "main",
+                        "snapshot-id": None if cur in (None, -1) else cur,
+                    }
+                ],
+                "updates": [
+                    {
+                        "action": "add-snapshot",
+                        "snapshot": {
+                            "snapshot-id": sid,
+                            "timestamp-ms": 0,
+                            "manifest-list": mlist,
+                            "summary": {"operation": "append"},
+                        },
+                    },
+                    {
+                        "action": "set-snapshot-ref",
+                        "ref-name": "main",
+                        "type": "branch",
+                        "snapshot-id": sid,
+                    },
+                ],
+            }
+            try:
+                _req(url, "POST", body)
+                return
+            except urllib.error.HTTPError as e:
+                if e.code != 409 or attempt == self.MAX_RETRIES - 1:
+                    raise
+                # 409: a concurrent commit moved main between loadTable
+                # and the post — appends are parent-agnostic, so the
+                # staged manifest re-posts against the fresh ref
+
+    def abort(self, messages):
+        import os
+
+        for m in messages:
+            for tmp, *_rest in getattr(m, "files", ()) or ():
+                if os.path.exists(tmp):
+                    os.remove(tmp)
+
+
 class PyRestDataSource(DataSource):
     @classmethod
     def name(cls) -> str:
@@ -329,6 +557,9 @@ class PyRestDataSource(DataSource):
 
     def reader(self, schema: T.StructType) -> DataSourceReader:
         return PyRestReader(dict(self.options), schema)
+
+    def writer(self, schema: T.StructType, overwrite: bool) -> DataSourceWriter:
+        return PyRestBatchWriter(schema, dict(self.options), overwrite)
 
 
 def register(spark) -> None:
@@ -402,6 +633,70 @@ ORDER BY p_brand
             # materialize before the server stops (the plan happens at
             # DataFrame construction; task reads hit storage directly,
             # but keep the server alive through the action for safety)
+            out = spark.createDataFrame(out.collect(), out.schema)
+        finally:
+            srv.stop()
+        return out
+
+    @query(
+        "source_pyrest_writer_roundtrip",
+        """
+SELECT s_nationkey, COUNT(*) AS n,
+  CAST(SUM(CAST(s_acctbal AS DECIMAL(38,6))) AS DOUBLE) AS total_bal
+FROM supplier
+GROUP BY s_nationkey
+ORDER BY s_nationkey
+""",
+    )
+    def source_pyrest_writer_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+        """The pyrest WRITER end-to-end (round 12): supplier splits into
+        two halves, each written through plain
+        ``df.write.format("pyrest")`` — task files staged under the
+        served location, one avro manifest + manifest list, an APPEND
+        snapshot posted through REST commitTable with the
+        assert-ref-snapshot-id handshake. The two appends STACK (the
+        second posts against the ref the first moved), and the read
+        back through the plan verb must equal the raw-fixture oracle —
+        creating, appending twice, and scanning a catalog table with
+        zero jars, zero local metadata, and standard writer syntax."""
+        import tempfile as _tf
+
+        from iceberg_metadata_pipeline_spark.catalog.metacat import Catalog
+        from iceberg_metadata_pipeline_spark.serving.rest_catalog import (
+            RestCatalogServer,
+        )
+
+        register(spark)
+        supplier = load_tables(spark, sf_dir)["supplier"]
+        catalog = Catalog(spark, _tf.mkdtemp(prefix="wh-pyrest-w-"))
+        catalog.ensure_namespace("nyc")
+        catalog.create_table("nyc", "supplier_w", supplier.schema)
+        srv = RestCatalogServer(
+            catalog, _tf.mkdtemp(prefix="pyrest-w-mirror-")
+        ).start()
+        try:
+            base = f"http://127.0.0.1:{srv.port}"
+            supplier.where("s_nationkey < 12").write.format("pyrest").option(
+                "url", base
+            ).mode("append").save("nyc.supplier_w")
+            supplier.where("s_nationkey >= 12").write.format("pyrest").option(
+                "url", base
+            ).mode("append").save("nyc.supplier_w")
+            back = (
+                spark.read.format("pyrest")
+                .option("url", base)
+                .load("nyc.supplier_w")
+            )
+            out = (
+                back.groupBy("s_nationkey")
+                .agg(
+                    F.count(F.lit(1)).alias("n"),
+                    F.sum(F.col("s_acctbal").cast("decimal(38,6)"))
+                    .cast("double")
+                    .alias("total_bal"),
+                )
+                .orderBy("s_nationkey")
+            )
             out = spark.createDataFrame(out.collect(), out.schema)
         finally:
             srv.stop()

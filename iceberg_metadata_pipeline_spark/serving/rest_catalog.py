@@ -775,7 +775,7 @@ class RestCatalogServer:
                 404, f"table {ns}.{name} not found", "NoSuchTableException"
             )
         t = self.catalog.load_table(ns, name)
-        err = self._reqs_error(t, reqs)
+        err = self._reqs_error(t, reqs, self._served_sid(ns, name, t))
         if err:
             return h._error(*err)
         plan = self._parse_update_plan(body)
@@ -830,12 +830,13 @@ class RestCatalogServer:
                 err = self._reqs_error(None, reqs)
                 created_in_txn.add((ns, name))
             else:
-                err = self._reqs_error(
-                    self.catalog.load_table(ns, name)
-                    if self.catalog.table_exists(ns, name)
-                    else None,
-                    reqs,
-                )
+                if self.catalog.table_exists(ns, name):
+                    t_ch = self.catalog.load_table(ns, name)
+                    err = self._reqs_error(
+                        t_ch, reqs, self._served_sid(ns, name, t_ch)
+                    )
+                else:
+                    err = self._reqs_error(None, reqs)
             if err:
                 return h._error(*err)
             plan = self._parse_update_plan(ch)
@@ -863,13 +864,38 @@ class RestCatalogServer:
                 )
         return h._send(204)
 
-    def _reqs_error(self, t, reqs) -> tuple | None:
+    def _served_sid(self, ns: str, name: str, t) -> int | None:
+        """The current-snapshot-id the MIRROR metadata serves for this
+        table, valid only when the cached export still matches the
+        table's metacat snapshot. Incremental mirror commits mint their
+        own snapshot ids, so the id a thin client read from loadTable
+        differs from metacat's internal one — requirement checks must
+        accept the SERVED id or every second commit from a spec client
+        409-loops (round 12 fix; the r9 wire test sidestepped it by
+        reading catalog internals)."""
+        snap = t.current_snapshot
+        cur = None if snap is None else int(snap["snapshot_id"])
+        with self._lock:
+            entry = self._exports.get((ns, name))
+        if not entry or entry[0] != cur:
+            return None  # no export, or stale vs metacat: unusable
+        try:
+            with open(entry[1]) as fh:
+                sid = json.load(fh).get("current-snapshot-id")
+        except (OSError, ValueError):
+            return None
+        return None if sid in (None, -1) else int(sid)
+
+    def _reqs_error(self, t, reqs, served_sid: int | None = None) -> tuple | None:
         """Validate commit requirements against the table's CURRENT
         state (t=None → a staged create: assert-create passes, anything
         else is meaningless there). Returns (code, msg, type) or None.
         Read-only — shared by commitTable and commitTransaction so the
         transaction verb can validate everything before mutating
-        anything."""
+        anything. ``served_sid``: the mirror's current snapshot id (see
+        _served_sid) — accepted interchangeably with metacat's id for
+        the main ref, because that is the id loadTable actually served
+        the client."""
         if t is None:
             for req in reqs:
                 if req.get("type") != "assert-create":
@@ -906,8 +932,11 @@ class RestCatalogServer:
                 else:
                     r = (t.meta.get("refs") or {}).get(ref_name)
                     ref_sid = None if r is None else int(r["snapshot_id"])
+                ok_ids = {ref_sid}
+                if ref_name == "main" and served_sid is not None:
+                    ok_ids.add(served_sid)
                 if (want is None) != (ref_sid is None) or (
-                    want is not None and int(want) != ref_sid
+                    want is not None and int(want) not in ok_ids
                 ):
                     return (
                         409,

@@ -727,3 +727,65 @@ def test_staged_create_commits_through_commit_table(spark, server):
     )
     assert code == 200 and "metadata-location" in out
     assert catalog.load_table("sc2", "t").properties.get("k") == "v"
+
+
+def test_pyrest_writer_stacks_and_handles_replay(spark, server):
+    """pyrest writer end-to-end at the unit level: two appends STACK
+    (the second posts against the ref the first moved — this is the
+    thin-client second-commit case that used to 409-loop because the
+    mirror serves its own snapshot ids; _served_sid now accepts the
+    id loadTable actually served), a stale replay of an old commit
+    body 409s, and overwrite/partitioned refuse loudly."""
+    import urllib.error
+
+    from iceberg_metadata_pipeline_spark.ingest.pyrest_source import register
+
+    catalog, srv, base = server
+    _req(f"{base}/v1/namespaces", "POST", {"namespace": ["wr"]})
+    df = spark.range(10).selectExpr("id", "CAST(id * 2.5 AS DOUBLE) AS v")
+    catalog.create_table("wr", "t", df.schema)
+    register(spark)
+
+    df.where("id < 5").write.format("pyrest").option("url", base).mode(
+        "append"
+    ).save("wr.t")
+    df.where("id >= 5").write.format("pyrest").option("url", base).mode(
+        "append"
+    ).save("wr.t")
+    back = spark.read.format("pyrest").option("url", base).load("wr.t")
+    assert sorted(r.id for r in back.collect()) == list(range(10))
+
+    # stale replay: re-posting a commit with the OLD served ref id 409s
+    code, loaded = _req(f"{base}/v1/namespaces/wr/tables/t")
+    stale_sid = loaded["metadata"]["current-snapshot-id"]
+    df.limit(1).write.format("pyrest").option("url", base).mode(
+        "append"
+    ).save("wr.t")  # moves the ref
+    try:
+        _req(
+            f"{base}/v1/namespaces/wr/tables/t",
+            "POST",
+            {
+                "requirements": [
+                    {
+                        "type": "assert-ref-snapshot-id",
+                        "ref": "main",
+                        "snapshot-id": 424242,  # neither metacat nor served
+                    }
+                ],
+                "updates": [],
+            },
+        )
+        raise AssertionError("stale ref should 409")
+    except urllib.error.HTTPError as e:
+        assert e.code == 409
+
+    # refusals
+    with pytest.raises(Exception, match="append only"):
+        df.write.format("pyrest").option("url", base).mode(
+            "overwrite"
+        ).save("wr.t")
+    with pytest.raises(Exception, match="does not match the table"):
+        spark.range(3).selectExpr("id AS other").write.format(
+            "pyrest"
+        ).option("url", base).mode("append").save("wr.t")
