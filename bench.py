@@ -45,7 +45,7 @@ HEADLINE = [
     "dedup_minhash_lsh",
     "text_quality_signals",
     "sim_cosine_topk_bruteforce",
-    "sim_cosine_topk_lsh",
+    "sim_cosine_topk_lsh_checked",
     # round-2 additions: MOR row ops, maintenance, pipeline shapes
     "table_update_mor",
     "table_binpack_compaction",
@@ -59,7 +59,7 @@ HEADLINE = [
     "pipeline_pretrain_prep",
     "pipeline_incremental_dedup_index",
     "matview_incremental_refresh",
-    "sim_cosine_topk_pq",
+    "sim_cosine_topk_pq_checked",
     "multimodal_decode_real",
     # round-3 session-2 additions: sketches, substring dedup, fuzzy join,
     # gap-fill resample, header probing

@@ -57,10 +57,7 @@ def test_rows_only_queries_are_documented_exceptions(registry):
         "dedup_simhash",
         "dedup_near_clusters",  # built on minhash-LSH pairs (same rationale)
         "pipeline_incremental_dedup_index",  # minhash family (same rationale)
-        "sim_cosine_topk_lsh",   # ANN approximate by design
-        "sim_cosine_topk_ivf",   # ML-trained quantizer
         "sim_cosine_topk_pandas",  # BLAS vs fold summation order
-        "sim_cosine_topk_pq",    # ANN: quantized + sampled codebook training
         "multimodal_decode",  # python kernels
         "multimodal_frame",
         "multimodal_resize",
