@@ -1052,8 +1052,31 @@ def _try_incremental_export(
     changed = {k: v for k, v in want_props.items() if have_props.get(k) != v}
     prior = {os.path.abspath(f.path) for f in info.files}
     cur = {os.path.abspath(f.path): f for f in files}
-    if not prior.issubset(set(cur)):
-        return None  # files vanished/rewritten: not an append
+    removed = prior - set(cur)
+    if removed:
+        # files vanished: a COMPACTION/REWRITE commit (round 12). When
+        # no row-level deletes are in play on either side, this is
+        # expressible as ONE replace-diff — rewrite only the manifests
+        # that reference removed files (survivors re-listed as EXISTING
+        # with their original sequence numbers), carry untouched
+        # manifests verbatim, add one manifest for the rewrite outputs.
+        # Delete-carrying rewrites keep the conservative full path (the
+        # delete-seq bookkeeping across rewritten manifests is where
+        # correctness bugs live).
+        if info.delete_files or pos_deletes or eq_deletes:
+            return None
+        return _commit_incremental_replace(
+            table,
+            dest,
+            md,
+            cur,
+            prior,
+            removed,
+            changed,
+            spec_fields,
+            ice_schema,
+            base_meta_path=info.metadata_path,
+        )
     new = [f for p, f in sorted(cur.items()) if p not in prior]
 
     # row-level delete diff: the mirror's live delete entries must be a
@@ -1113,6 +1136,259 @@ def _try_incremental_export(
         ice_schema,
         base_meta_path=info.metadata_path,
     )
+
+
+def _commit_incremental_replace(
+    table: Table,
+    dest: str,
+    md: dict,
+    cur: dict,
+    prior: set,
+    removed: set,
+    changed_props: dict,
+    spec_fields: list[dict],
+    ice_schema: dict,
+    base_meta_path: str | None = None,
+) -> str | None:
+    """O(churn) mirror commit for a COMPACTION/REWRITE (round 12; the
+    r11 fallback re-exported ALL metadata): manifests that reference no
+    removed file carry over VERBATIM; each affected manifest rewrites
+    to only its surviving entries (status=EXISTING, original sequence
+    numbers preserved — a rewrite must not change when later deletes
+    apply); rewrite outputs land in one new ADDED manifest. Work is
+    O(files in affected manifests + new files), not O(table metadata).
+    Returns the new metadata path, or None when an entry's effective
+    sequence number cannot be resolved / the version claim loses a race
+    (caller retries from fresh state or falls back to the full export)."""
+    meta_dir = os.path.join(dest, "metadata")
+    fv = 2
+    cur_id = md.get("current-schema-id", 0)
+    prev_snap_id = md.get("current-snapshot-id")
+    if prev_snap_id in (None, -1):
+        return None  # nothing to replace against
+    prev_snap = next(
+        (
+            s
+            for s in md.get("snapshots", [])
+            if int(s["snapshot-id"]) == int(prev_snap_id)
+        ),
+        None,
+    )
+    if prev_snap is None:
+        return None
+    mlist = _clean_path(prev_snap["manifest-list"])
+    if not os.path.isabs(mlist):
+        mlist = os.path.join(meta_dir, os.path.basename(mlist))
+    try:
+        _, _, prev_rows = avro_io.read_container(mlist)
+    except (OSError, ValueError):
+        return None
+    keep_cols = [f2["name"] for f2 in manifest_list_schema(fv)["fields"]]
+
+    snapshot_id = uuid.uuid4().int & 0x7FFFFFFFFFFFFFFF
+    now_ms = int(time.time() * 1000)
+    commit_uuid = str(uuid.uuid4())
+    seq = int(table.meta.get("last_sequence_number", 0)) or 1
+    ice_spec = next(
+        s["fields"]
+        for s in md.get("partition-specs", [{"spec-id": 0, "fields": []}])
+        if s.get("spec-id", 0) == md.get("default-spec-id", 0)
+    )
+    manifest_meta = {
+        "schema": json.dumps(ice_schema, separators=(",", ":")).encode(),
+        "schema-id": str(cur_id).encode(),
+        "partition-spec": json.dumps(ice_spec, separators=(",", ":")).encode(),
+        "partition-spec-id": str(md.get("default-spec-id", 0)).encode(),
+        "format-version": str(fv).encode(),
+        "content": b"data",
+    }
+
+    list_rows: list[dict] = []
+    n_rewritten = 0
+    for i, row in enumerate(prev_rows):
+        mpath = _clean_path(row["manifest_path"])
+        if not os.path.isabs(mpath):
+            mpath = os.path.join(meta_dir, os.path.basename(mpath))
+        if int(row.get("content", 0) or 0) != 0:
+            return None  # delete manifest: guarded by the caller, but be safe
+        try:
+            _, _, entries = avro_io.read_container(mpath)
+        except (OSError, ValueError):
+            return None
+        live = [e for e in entries if int(e.get("status", 0)) != 2]
+        hit = [
+            e
+            for e in live
+            if os.path.abspath(_clean_path(e["data_file"]["file_path"])) in removed
+        ]
+        if not hit:
+            list_rows.append({k: row.get(k) for k in keep_cols})
+            continue
+        n_rewritten += 1
+        survivors = []
+        for e in live:
+            p = os.path.abspath(_clean_path(e["data_file"]["file_path"]))
+            if p in removed:
+                continue
+            eff_seq = e.get("sequence_number")
+            if eff_seq is None:
+                eff_seq = row.get("sequence_number")
+            if eff_seq is None:
+                return None  # cannot prove the survivor's seq: full path
+            survivors.append(
+                {
+                    "status": 0,  # EXISTING: carried through the rewrite
+                    "snapshot_id": e.get("snapshot_id") or snapshot_id,
+                    "sequence_number": int(eff_seq),
+                    "file_sequence_number": int(
+                        e.get("file_sequence_number") or eff_seq
+                    ),
+                    "data_file": e["data_file"],
+                }
+            )
+        if not survivors:
+            continue  # every entry removed: the manifest simply drops
+        new_mpath = os.path.join(meta_dir, f"{commit_uuid}-rw{i}.avro")
+        avro_io.write_container(
+            new_mpath,
+            manifest_entry_schema(spec_fields, fv),
+            survivors,
+            extra_meta=manifest_meta,
+        )
+        seqs = [s["sequence_number"] for s in survivors]
+        list_rows.append(
+            {
+                "manifest_path": os.path.abspath(new_mpath),
+                "manifest_length": os.path.getsize(new_mpath),
+                "partition_spec_id": md.get("default-spec-id", 0),
+                "content": 0,
+                "sequence_number": seq,
+                "min_sequence_number": min(seqs),
+                "added_snapshot_id": snapshot_id,
+                "added_files_count": 0,
+                "existing_files_count": len(survivors),
+                "deleted_files_count": 0,
+                "added_rows_count": 0,
+                "existing_rows_count": sum(
+                    int(s["data_file"].get("record_count") or 0)
+                    for s in survivors
+                ),
+                "deleted_rows_count": 0,
+            }
+        )
+
+    # the rewrite outputs: files in cur the mirror does not know yet
+    new_files = [f for p, f in sorted(cur.items()) if p not in prior]
+    if new_files:
+        entries = [
+            {
+                "status": 1,
+                "snapshot_id": snapshot_id,
+                "sequence_number": int(f.seq or seq),
+                "file_sequence_number": int(f.seq or seq),
+                "data_file": {
+                    "content": 0,
+                    "file_path": os.path.abspath(f.path),
+                    "file_format": f.format or "PARQUET",
+                    "partition": {
+                        pf["name"]: _typed_partition_value(
+                            (f.partition or {}).get(pf["name"]),
+                            pf["source_type"],
+                        )
+                        for pf in spec_fields
+                    },
+                    "record_count": int(f.record_count),
+                    "file_size_in_bytes": int(f.file_size_bytes),
+                },
+            }
+            for f in new_files
+        ]
+        new_mpath = os.path.join(meta_dir, f"{commit_uuid}-m0.avro")
+        avro_io.write_container(
+            new_mpath,
+            manifest_entry_schema(spec_fields, fv),
+            entries,
+            extra_meta=manifest_meta,
+        )
+        seqs = [e["sequence_number"] for e in entries]
+        list_rows.insert(
+            0,
+            {
+                "manifest_path": os.path.abspath(new_mpath),
+                "manifest_length": os.path.getsize(new_mpath),
+                "partition_spec_id": md.get("default-spec-id", 0),
+                "content": 0,
+                "sequence_number": max(seqs),
+                "min_sequence_number": min(seqs),
+                "added_snapshot_id": snapshot_id,
+                "added_files_count": len(entries),
+                "existing_files_count": 0,
+                "deleted_files_count": 0,
+                "added_rows_count": sum(
+                    int(e["data_file"]["record_count"]) for e in entries
+                ),
+                "existing_rows_count": 0,
+                "deleted_rows_count": 0,
+            },
+        )
+
+    mlist_path = os.path.join(
+        meta_dir, f"snap-{snapshot_id}-1-{commit_uuid}.avro"
+    )
+    avro_io.write_container(
+        mlist_path,
+        manifest_list_schema(fv),
+        list_rows,
+        extra_meta={
+            "format-version": str(fv).encode(),
+            "snapshot-id": str(snapshot_id).encode(),
+            "parent-snapshot-id": str(prev_snap_id).encode(),
+            "sequence-number": str(seq).encode(),
+        },
+    )
+    total_rows = sum(int(f.record_count) for f in cur.values())
+    snapshot = {
+        "snapshot-id": snapshot_id,
+        "parent-snapshot-id": int(prev_snap_id),
+        "sequence-number": max(
+            seq, int(md.get("last-sequence-number", 0))
+        ),
+        "timestamp-ms": now_ms,
+        "manifest-list": os.path.abspath(mlist_path),
+        "summary": {
+            "operation": "replace",
+            "deleted-data-files": str(len(removed)),
+            "added-data-files": str(len(new_files)),
+            "total-records": str(total_rows),
+            "total-data-files": str(len(cur)),
+            "rewritten-manifests": str(n_rewritten),
+        },
+        "schema-id": cur_id,
+    }
+    new_md = dict(md)
+    new_md["last-sequence-number"] = max(
+        seq, int(md.get("last-sequence-number", 0))
+    )
+    new_md["last-updated-ms"] = now_ms
+    new_md["current-snapshot-id"] = snapshot_id
+    new_md["snapshots"] = list(md.get("snapshots", [])) + [snapshot]
+    new_md["snapshot-log"] = list(md.get("snapshot-log", [])) + [
+        {"timestamp-ms": now_ms, "snapshot-id": snapshot_id}
+    ]
+    if changed_props:
+        props = dict(md.get("properties", {}))
+        props.update({str(k): str(v) for k, v in changed_props.items()})
+        new_md["properties"] = props
+    refs = dict(md.get("refs", {}))
+    refs["main"] = {"snapshot-id": snapshot_id, "type": "branch"}
+    new_md["refs"] = refs
+    if base_meta_path is not None:
+        m = re.fullmatch(
+            r"v(\d+)\.metadata\.json", os.path.basename(base_meta_path)
+        )
+        if m is not None:
+            return _claim_metadata_version(dest, new_md, int(m.group(1)) + 1)
+    return _write_metadata_version(dest, new_md)
 
 
 def _commit_incremental_row_delta(

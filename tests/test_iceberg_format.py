@@ -930,10 +930,18 @@ def test_expire_metadata_versions(spark, tmp_path):
     assert expire_iceberg_metadata(dest, keep_last=1) == []
     with pytest.raises(ValueError, match="keep_last"):
         expire_iceberg_metadata(dest, keep_last=0)
-    # a NON-append change takes the full-rewrite path: its metadata
+    # r12: a COW delete (removed+added files, no row-level deletes) now
+    # exports as an O(churn) REPLACE-DIFF that RETAINS snapshot history
+    # — older manifest lists stay reachable and survive the expire
+    t.delete_where("id >= 200")
+    export_iceberg_table(t.refresh(), dest)
+    expire_iceberg_metadata(dest, keep_last=1)
+    info_rd = read_iceberg_table(dest)
+    assert sum(f.record_count for f in info_rd.files) == 11  # 200 gone
+    # a SCHEMA change still takes the full-rewrite path: its metadata
     # holds ONE fresh snapshot, so after the next expire the older
     # manifest lists finally become unreachable and are reclaimed
-    t.delete_where("id >= 200")
+    t.refresh().add_column("extra", "bigint")
     export_iceberg_table(t.refresh(), dest)
     expire_iceberg_metadata(dest, keep_last=1)
     assert len(_glob.glob(os.path.join(meta_dir, "*.avro"))) == 2

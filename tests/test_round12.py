@@ -789,3 +789,123 @@ def test_pyrest_writer_stacks_and_handles_replay(spark, server):
         spark.range(3).selectExpr("id AS other").write.format(
             "pyrest"
         ).option("url", base).mode("append").save("wr.t")
+
+
+def test_incremental_export_compaction_replace_diff(spark, tmp_path):
+    """r11 verdict #6: a delete-free compaction exports as ONE
+    replace-diff — untouched manifests carried VERBATIM (same file
+    paths), affected manifests rewritten to their survivors (EXISTING,
+    original sequence numbers), rewrite outputs in one new manifest —
+    instead of a full metadata rewrite. Delete-carrying compactions
+    keep the conservative full path (pinned in test_round11.py)."""
+    import os
+
+    from iceberg_metadata_pipeline_spark.catalog import avro_io
+    from iceberg_metadata_pipeline_spark.catalog.iceberg_format import (
+        export_iceberg_table,
+        read_iceberg_table,
+    )
+    from iceberg_metadata_pipeline_spark.catalog.metacat import DataFileEntry
+    from iceberg_metadata_pipeline_spark.ingest.pyice_source import register
+
+    catalog = Catalog(spark, str(tmp_path / "wh"))
+    t = catalog.create_table("nyc", "cpt", spark.range(1).selectExpr("id").schema)
+    dest = str(tmp_path / "ice")
+    # three incremental appends → three data manifests in the mirror
+    # (append A writes TWO files so the partial-survivor path is hit)
+    t.append_dataframe(
+        spark.range(0, 4).selectExpr("id").repartitionByRange(2, "id")
+    )
+    export_iceberg_table(t.refresh(), dest)
+    t.append_dataframe(spark.range(10, 14).selectExpr("id").coalesce(1))
+    export_iceberg_table(t.refresh(), dest)
+    t.append_dataframe(spark.range(20, 24).selectExpr("id").coalesce(1))
+    export_iceberg_table(t.refresh(), dest)
+
+    def manifests(dest):
+        info = read_iceberg_table(dest, decode_dvs=False)
+        import json as _json
+
+        with open(info.metadata_path) as fh:
+            md = _json.load(fh)
+        snap = next(
+            s
+            for s in md["snapshots"]
+            if int(s["snapshot-id"]) == int(md["current-snapshot-id"])
+        )
+        _, _, rows = avro_io.read_container(snap["manifest-list"])
+        return {r["manifest_path"]: r for r in rows}
+
+    before = manifests(dest)
+    assert len(before) == 3
+
+    # compact: one file of append A + the append-B file → one new file;
+    # the other A file and the append-C manifest are untouched
+    files = {os.path.abspath(f.path): f for f in t.snapshot_files()}
+    a_files = sorted(p for p in files if files[p].record_count == 2)
+    b_file = next(
+        p for p in files if files[p].record_count == 4
+        and sorted(
+            r.id for r in spark.read.parquet(p).collect()
+        )[0] == 10
+    )
+    victims = {a_files[0], b_file}
+    merged = str(tmp_path / "merged")
+    spark.read.parquet(*sorted(victims)).coalesce(1).write.parquet(merged)
+    import glob as _glob
+
+    mfile = _glob.glob(merged + "/*.parquet")[0]
+    import pyarrow.parquet as pq
+
+    t.replace_files(
+        [
+            DataFileEntry(
+                path=mfile,
+                record_count=pq.read_metadata(mfile).num_rows,
+                file_size_bytes=os.path.getsize(mfile),
+                format="PARQUET",
+                partition={},
+            )
+        ],
+        victims,
+        operation="replace",
+    )
+    export_iceberg_table(t.refresh(), dest)
+    after = manifests(dest)
+
+    # the untouched append-C manifest path is carried verbatim
+    untouched_carried = set(before) & set(after)
+    assert untouched_carried, "no manifest carried verbatim"
+    # the partially-affected manifest was rewritten: a survivor entry
+    # exists with status=EXISTING and its ORIGINAL sequence number
+    survivor_path = a_files[1]
+    surv_entries = []
+    for mp in set(after) - set(before):
+        _, _, es = avro_io.read_container(mp)
+        surv_entries.extend(es)
+    surv = [
+        e
+        for e in surv_entries
+        if os.path.abspath(e["data_file"]["file_path"]) == survivor_path
+    ]
+    assert surv and int(surv[0]["status"]) == 0
+    assert int(surv[0]["sequence_number"]) == int(files[survivor_path].seq)
+
+    # the read is exact
+    register(spark)
+    back = spark.read.format("pyice").load(dest)
+    assert sorted(r.id for r in back.collect()) == sorted(
+        list(range(0, 4)) + list(range(10, 14)) + list(range(20, 24))
+    )
+    # and the summary says replace, not a full rewrite
+    info = read_iceberg_table(dest, decode_dvs=False)
+    import json as _json
+
+    with open(info.metadata_path) as fh:
+        md = _json.load(fh)
+    snap = next(
+        s
+        for s in md["snapshots"]
+        if int(s["snapshot-id"]) == int(md["current-snapshot-id"])
+    )
+    assert snap["summary"]["operation"] == "replace"
