@@ -148,6 +148,11 @@ HEADLINE = [
     # list_reduce twin) and the unrolled coupled-state Holt chain
     "forecast_ewma_daily",
     "forecast_holt_linear_daily",
+    # round-12 promotions (r11 VERDICT #7): the thin-engine plan-verb
+    # scan (now paged + residual-applying) and exact PR-AUC over the
+    # bucketed two-phase prefix
+    "source_pyrest_plan_scan",
+    "ml_pr_auc_exact",
 ]
 
 

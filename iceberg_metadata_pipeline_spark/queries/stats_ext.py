@@ -2894,3 +2894,310 @@ sql_query(
         "{DECADE}", "SELECT unnest(generate_series(1, 10)) AS d"
     ),
 )
+
+
+# ---------------------------------------------------------------------------
+# round 12: classifier operating-point + concentration + co-movement
+# ---------------------------------------------------------------------------
+# ml_f1_best_threshold / ml_lift_at_decile complete the threshold-sweep
+# family around AUC/PR-AUC: every statistic is a rational of exact
+# bigint counts (F1 = 2·TP/(PP+P) — the precision/recall harmonic mean
+# collapses to ONE division), so argmax and per-decile values are
+# deterministic across engines. The Spark sides reuse the bucketed
+# two-phase prefix (no task sorts more than one score bucket — the
+# PR-AUC/AUC posture); the oracles use DuckDB's plain windows.
+
+
+def _score_threshold_counts(spark):
+    """Per distinct score: (score, n_v, p_v, cb, cpb) + totals via the
+    bucketed two-phase prefix — cb/cpb = rows/positives STRICTLY BELOW
+    the score, so TP(t)=n_pos−cpb and PP(t)=n_all−cb for threshold t."""
+    from pyspark.sql import Window
+
+    s = spark.sql(f"SELECT * FROM ({_AUC_SRC})")
+    pv = s.groupBy("score").agg(
+        F.count(F.lit(1)).cast("long").alias("n_v"),
+        F.sum("label").cast("long").alias("p_v"),
+    )
+    bounds = s.agg(
+        F.min(F.col("score").cast("double")).alias("vmin"),
+        F.max(F.col("score").cast("double")).alias("vmax"),
+    )
+    b = pv.crossJoin(F.broadcast(bounds)).withColumn(
+        "bucket",
+        F.expr("width_bucket(CAST(score AS DOUBLE), vmin, vmax + 1.0d, 1024)"),
+    )
+    w_bkt = Window.orderBy("bucket").rowsBetween(Window.unboundedPreceding, -1)
+    offs = (
+        b.groupBy("bucket")
+        .agg(F.sum("n_v").alias("bn"), F.sum("p_v").alias("bp"))
+        .select(
+            "bucket",
+            F.coalesce(F.sum("bn").over(w_bkt), F.lit(0)).alias("off_n"),
+            F.coalesce(F.sum("bp").over(w_bkt), F.lit(0)).alias("off_p"),
+        )
+    )
+    w_in = Window.partitionBy("bucket").orderBy("score")
+    c = b.join(F.broadcast(offs), "bucket").select(
+        "score",
+        "n_v",
+        "p_v",
+        (F.col("off_n") + F.sum("n_v").over(w_in) - F.col("n_v")).alias("cb"),
+        (F.col("off_p") + F.sum("p_v").over(w_in) - F.col("p_v")).alias("cpb"),
+    )
+    tot = pv.agg(
+        F.sum("n_v").cast("long").alias("n_all"),
+        F.sum("p_v").cast("long").alias("n_pos"),
+    )
+    return c, tot
+
+
+@query(
+    "ml_f1_best_threshold",
+    f"""
+WITH s AS ({_AUC_SRC}),
+pv AS (
+  SELECT score, CAST(COUNT(*) AS BIGINT) AS n_v,
+         CAST(SUM(label) AS BIGINT) AS p_v
+  FROM s GROUP BY score
+), c AS (
+  SELECT score, n_v, p_v,
+    COALESCE(SUM(n_v) OVER (
+      ORDER BY score ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cb,
+    COALESCE(SUM(p_v) OVER (
+      ORDER BY score ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cpb
+  FROM pv
+), tot AS (
+  SELECT CAST(SUM(n_v) AS BIGINT) AS n_all, CAST(SUM(p_v) AS BIGINT) AS n_pos
+  FROM pv
+), f AS (
+  SELECT score,
+         CAST(n_pos - cpb AS BIGINT) AS tp,
+         CAST(n_all - cb AS BIGINT) AS pp,
+         CAST(2 * (n_pos - cpb) AS DOUBLE)
+           / CAST((n_all - cb) + n_pos AS DOUBLE) AS f1
+  FROM c CROSS JOIN tot
+)
+SELECT score AS best_threshold, tp, pp, ROUND(f1, 9) AS best_f1
+FROM f ORDER BY f1 DESC, score ASC LIMIT 1
+""",
+)
+def ml_f1_best_threshold(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Best-F1 operating point over every distinct score threshold
+    (predict positive when score >= t). F1 collapses to 2·TP/(PP+P) —
+    one division of exact bigints — so the argmax is deterministic;
+    tie-break is the LOWEST threshold (most recall at equal F1)."""
+    load_tables(spark, sf_dir)
+    c, tot = _score_threshold_counts(spark)
+    f = c.crossJoin(F.broadcast(tot)).select(
+        "score",
+        (F.col("n_pos") - F.col("cpb")).cast("long").alias("tp"),
+        (F.col("n_all") - F.col("cb")).cast("long").alias("pp"),
+        (
+            (2 * (F.col("n_pos") - F.col("cpb"))).cast("double")
+            / ((F.col("n_all") - F.col("cb")) + F.col("n_pos")).cast("double")
+        ).alias("f1"),
+    )
+    return (
+        f.orderBy(F.desc("f1"), F.asc("score"))
+        .limit(1)
+        .select(
+            F.col("score").alias("best_threshold"),
+            "tp",
+            "pp",
+            F.round("f1", 9).alias("best_f1"),
+        )
+    )
+
+
+_LIFT_TEMPLATE = f"""
+WITH s AS ({_AUC_SRC}),
+pv AS (
+  SELECT score, CAST(COUNT(*) AS BIGINT) AS n_v,
+         CAST(SUM(label) AS BIGINT) AS p_v
+  FROM s GROUP BY score
+), c AS (
+  SELECT score, n_v, p_v,
+    COALESCE(SUM(n_v) OVER (
+      ORDER BY score ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cb,
+    COALESCE(SUM(p_v) OVER (
+      ORDER BY score ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cpb
+  FROM pv
+), tot AS (
+  SELECT CAST(SUM(n_v) AS BIGINT) AS n_all, CAST(SUM(p_v) AS BIGINT) AS n_pos
+  FROM pv
+), targets AS (
+  SELECT d, CAST(FLOOR((CAST(d AS DOUBLE) * CAST(t.n_all AS DOUBLE) + 9.0E0)
+                       / 10.0E0) AS BIGINT) AS m, t.n_all, t.n_pos
+  FROM ({{DECADE}}) dd CROSS JOIN tot t
+)
+SELECT g.d AS decile, c.score AS threshold,
+  CAST(g.n_all - c.cb AS BIGINT) AS pp,
+  CAST(g.n_pos - c.cpb AS BIGINT) AS tp,
+  ROUND(CAST((g.n_pos - c.cpb) * g.n_all AS DOUBLE)
+        / CAST((g.n_all - c.cb) * g.n_pos AS DOUBLE), 9) AS lift,
+  ROUND(CAST(g.n_pos - c.cpb AS DOUBLE) / CAST(g.n_pos AS DOUBLE), 9)
+    AS capture_rate
+FROM targets g
+JOIN c ON (g.n_all - c.cb) >= g.m AND (g.n_all - c.cb - c.n_v) < g.m
+ORDER BY g.d
+"""
+
+
+@query(
+    "ml_lift_at_decile",
+    _LIFT_TEMPLATE.replace(
+        "{DECADE}", "SELECT unnest(generate_series(1, 10)) AS d"
+    ),
+)
+def ml_lift_at_decile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gain/lift table at count deciles: for decile d the threshold is
+    the smallest score whose predicted-positive population covers
+    ceil(d·n/10) rows (exact threshold-run location — ties take the
+    whole run, deterministically); lift = (TP·n)/(PP·P), a single
+    division of exact bigint products. The Spark side walks the same
+    bucketed two-phase prefix as AUC/PR-AUC."""
+    load_tables(spark, sf_dir)
+    c, tot = _score_threshold_counts(spark)
+    targets = (
+        spark.sql("SELECT explode(sequence(1, 10)) AS d")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "d",
+            F.floor(
+                (F.col("d").cast("double") * F.col("n_all").cast("double") + 9.0)
+                / 10.0
+            ).cast("long").alias("m"),
+            "n_all",
+            "n_pos",
+        )
+    )
+    j = targets.join(
+        F.broadcast(c),
+        ((F.col("n_all") - F.col("cb")) >= F.col("m"))
+        & ((F.col("n_all") - F.col("cb") - F.col("n_v")) < F.col("m")),
+    )
+    return j.select(
+        F.col("d").alias("decile"),
+        F.col("score").alias("threshold"),
+        (F.col("n_all") - F.col("cb")).cast("long").alias("pp"),
+        (F.col("n_pos") - F.col("cpb")).cast("long").alias("tp"),
+        F.round(
+            ((F.col("n_pos") - F.col("cpb")) * F.col("n_all")).cast("double")
+            / ((F.col("n_all") - F.col("cb")) * F.col("n_pos")).cast("double"),
+            9,
+        ).alias("lift"),
+        F.round(
+            (F.col("n_pos") - F.col("cpb")).cast("double")
+            / F.col("n_pos").cast("double"),
+            9,
+        ).alias("capture_rate"),
+    ).orderBy("decile")
+
+
+# Herfindahl-Hirschman concentration of customer revenue within each
+# nation — completes the concentration family (Gini, Pareto share,
+# Lorenz, Theil). Exact: per-customer cents are bigints, squares and
+# totals accumulate in DECIMAL, one double division at the end. 100 TB:
+# two hash aggregates (orders→customer, customer→nation), no windows.
+sql_query(
+    "agg_hhi_concentration",
+    """
+WITH cust AS (
+  SELECT c_nationkey AS nation, o_custkey,
+         CAST(SUM(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT))
+              AS DECIMAL(18,0)) AS cents
+  FROM orders JOIN customer ON o_custkey = c_custkey
+  GROUP BY c_nationkey, o_custkey
+), per AS (
+  SELECT nation,
+         CAST(COUNT(*) AS BIGINT) AS n_customers,
+         CAST(SUM(cents) AS DECIMAL(38,0)) AS total,
+         CAST(SUM(CAST(cents AS DECIMAL(18,0)) * CAST(cents AS DECIMAL(18,0)))
+              AS DECIMAL(38,0)) AS ss
+  FROM cust GROUP BY nation
+)
+SELECT nation, n_customers,
+       ROUND(CAST(ss AS DOUBLE)
+             / (CAST(total AS DOUBLE) * CAST(total AS DOUBLE)) * 10000.0E0,
+             9) AS hhi_x10000
+FROM per ORDER BY nation
+""",
+)
+
+# 30-day rolling Pearson correlation between daily order count and
+# daily revenue — the co-movement window the forecast family lacked.
+# Every windowed sum is DECIMAL-exact (counts and cents are integers);
+# the variance/covariance terms subtract in DECIMAL and only the final
+# correlate divides in double (sqrt is IEEE-correctly-rounded, so the
+# 9-decimal round is engine-stable). The daily collapse is bounded
+# (~2.4k days at any sf), so the RANGE-interval window is the
+# house-approved bounded-series shape; identical SQL text both engines.
+# Squared terms multiply at DECIMAL(19,0): below 19 digits DuckDB does
+# the multiply in int64 storage and overflows on ~1e9 cents values.
+sql_query(
+    "window_rolling_corr_30d",
+    """
+WITH d AS (
+  SELECT CAST(o_orderdate AS DATE) AS day,
+         CAST(COUNT(*) AS BIGINT) AS x,
+         CAST(SUM(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT))
+              AS BIGINT) AS y
+  FROM orders GROUP BY CAST(o_orderdate AS DATE)
+), w AS (
+  SELECT day,
+    CAST(COUNT(*) OVER win AS DECIMAL(4,0)) AS n,
+    CAST(SUM(CAST(x AS DECIMAL(14,0))) OVER win AS DECIMAL(14,0)) AS sx,
+    CAST(SUM(CAST(y AS DECIMAL(17,0))) OVER win AS DECIMAL(17,0)) AS sy,
+    CAST(SUM(CAST(x AS DECIMAL(19,0)) * CAST(x AS DECIMAL(19,0))) OVER win
+         AS DECIMAL(30,0)) AS sxx,
+    CAST(SUM(CAST(y AS DECIMAL(19,0)) * CAST(y AS DECIMAL(19,0))) OVER win
+         AS DECIMAL(36,0)) AS syy,
+    CAST(SUM(CAST(x AS DECIMAL(19,0)) * CAST(y AS DECIMAL(19,0))) OVER win
+         AS DECIMAL(33,0)) AS sxy
+  FROM d
+  WINDOW win AS (ORDER BY day
+                 RANGE BETWEEN INTERVAL '29' DAY PRECEDING AND CURRENT ROW)
+), v AS (
+  SELECT day, n,
+    n * sxy - CAST(sx AS DECIMAL(19,0)) * CAST(sy AS DECIMAL(19,0)) AS cov_num,
+    n * sxx - CAST(sx AS DECIMAL(19,0)) * CAST(sx AS DECIMAL(19,0)) AS vx,
+    n * syy - CAST(sy AS DECIMAL(19,0)) * CAST(sy AS DECIMAL(19,0)) AS vy
+  FROM w
+)
+SELECT day, CAST(n AS INT) AS n_days,
+  ROUND(CAST(cov_num AS DOUBLE)
+        / SQRT(CAST(vx AS DOUBLE) * CAST(vy AS DOUBLE)), 9) AS corr_30d
+FROM v
+WHERE n >= 10 AND vx > 0 AND vy > 0
+ORDER BY day
+""",
+)
+
+# 2x2 funnel association: does clicking associate with purchasing, per
+# user? Exact cell counts, odds ratio = ad/bc (one bigint-ratio
+# division). The chi-square twin tests independence; the odds ratio is
+# the effect SIZE. 100 TB: one user-keyed hash aggregate + one 1-row
+# fold.
+sql_query(
+    "events_odds_ratio_click_purchase",
+    """
+WITH u AS (
+  SELECT user_id,
+    MAX(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS clicked,
+    MAX(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS purchased
+  FROM events GROUP BY user_id
+), cell AS (
+  SELECT
+    CAST(SUM(clicked * purchased) AS BIGINT) AS a,
+    CAST(SUM(clicked * (1 - purchased)) AS BIGINT) AS b,
+    CAST(SUM((1 - clicked) * purchased) AS BIGINT) AS c,
+    CAST(SUM((1 - clicked) * (1 - purchased)) AS BIGINT) AS d
+  FROM u
+)
+SELECT a, b, c, d,
+  ROUND(CAST(a * d AS DOUBLE) / NULLIF(CAST(b * c AS DOUBLE), 0.0E0), 9)
+    AS odds_ratio
+FROM cell
+""",
+)

@@ -174,9 +174,18 @@ def test_statistics_survive_re_export(spark, tmp_path):
     assert len(md3.get("statistics", [])) == 1
     assert md3["statistics"][0]["snapshot-id"] != md3["current-snapshot-id"]
     assert read_ndv_statistics(meta3)  # ancestor fallback still serves
-    # a NON-append change takes the full-rewrite export, which resets
-    # history and does NOT inherit stale stats (the original contract)
+    # r12: a COW delete now exports as an O(churn) replace-diff that
+    # RETAINS history — the ancestor's stats entry survives and keeps
+    # serving as the fallback estimate (same semantics as the append
+    # case above)
     t = t.refresh()
     t.delete_where("x >= 50")
     meta4 = export_iceberg_table(t.refresh(), dest)
-    assert json.load(open(meta4)).get("statistics", []) == []
+    md4 = json.load(open(meta4))
+    assert len(md4.get("statistics", [])) == 1
+    assert read_ndv_statistics(meta4)  # ancestor fallback still serves
+    # a SCHEMA change takes the full-rewrite export, which resets
+    # history and does NOT inherit stale stats (the original contract)
+    t.refresh().add_column("extra_stats_col", "bigint")
+    meta5 = export_iceberg_table(t.refresh(), dest)
+    assert json.load(open(meta5)).get("statistics", []) == []
