@@ -158,6 +158,31 @@ def fill_array(value, n: int, pa_type):
     return pa.repeat(pa.scalar(value, type=pa_type), n)
 
 
+def batches_from_records(records, names, pa_schema, chunk: int = 4096):
+    """Python dict-records (an avro/log-merge decode — inherently
+    per-row) → arrow RecordBatches in ``chunk``-row slabs. The decode
+    stays Python, but the Spark boundary becomes columnar: one arrow
+    IPC write per slab instead of a per-row tuple round trip."""
+    import pyarrow as pa
+
+    buf: list[dict] = []
+
+    def flush():
+        cols = [
+            pa.array([r.get(n) for r in buf], type=pa_schema.field(i).type)
+            for i, n in enumerate(names)
+        ]
+        return pa.RecordBatch.from_arrays(cols, schema=pa_schema)
+
+    for rec in records:
+        buf.append(rec)
+        if len(buf) >= chunk:
+            yield flush()
+            buf.clear()
+    if buf:
+        yield flush()
+
+
 def finish_batch(arrays, pa_schema, keep_mask=None):
     """Ordered arrays (+ optional keep mask) → one RecordBatch cast to
     the target arrow schema. Returns None when every row is masked out

@@ -111,11 +111,20 @@ class _HudiReadMixin:
     file_cols: list[str]  # columns physically in the parquet files
     part_cols: list[str]  # appended from the partition path
 
-    def _ordered(self, rec: dict, pvals: dict):
-        return tuple(
-            pvals[f.name] if f.name in pvals else rec.get(f.name)
-            for f in self.schema.fields
-        )
+    def _record_batches(self, records, pvals):
+        """Merged/decoded dict-records → arrow batches (round 12): the
+        avro decode is inherently per-row Python, but the Spark
+        boundary goes columnar in 4096-row slabs."""
+        from iceberg_metadata_pipeline_spark.ingest import arrow_scan
+
+        pa_schema = arrow_scan.spark_to_arrow_schema(self.schema)
+        names = [f.name for f in self.schema.fields]
+
+        def merged():
+            for rec in records:
+                yield {**rec, **pvals} if pvals else rec
+
+        yield from arrow_scan.batches_from_records(merged(), names, pa_schema)
 
     def _rows(self, part: HudiFilePartition):
         import pyarrow.parquet as pq
@@ -144,22 +153,25 @@ class _HudiReadMixin:
                         "reads"
                     )
                 if bt == BLOCK_AVRO_DATA:
-                    for rec in _decode_data_block(content, h):
-                        yield self._ordered(rec, pvals)
+                    yield from self._record_batches(
+                        _decode_data_block(content, h), pvals
+                    )
             return
         if part.logs:
             from iceberg_metadata_pipeline_spark.catalog.hudi_format import (
                 merge_file_slice,
             )
 
-            for rec in merge_file_slice(
-                part.path or None,
-                list(part.logs),
-                part.key_field,
-                frozenset(part.valid_instants),
-                part.as_of,
-            ):
-                yield self._ordered(rec, pvals)
+            yield from self._record_batches(
+                merge_file_slice(
+                    part.path or None,
+                    list(part.logs),
+                    part.key_field,
+                    frozenset(part.valid_instants),
+                    part.as_of,
+                ),
+                pvals,
+            )
             return
         if not part.path:
             return  # log-only group whose logs all filtered out
