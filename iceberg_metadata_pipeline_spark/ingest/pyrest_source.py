@@ -176,13 +176,16 @@ class PyRestReader(DataSourceReader):
         # (O(#files), what any planner holds), but no single response is
         # bigger than a page
         parts = self._page_to_parts(plan)
-        for token in plan.get("plan-tasks") or []:
+        pending = list(plan.get("plan-tasks") or [])
+        while pending:
+            token = pending.pop(0)
             page = _req(
                 f"{self.url}/v1/namespaces/{self.ns}/tables/{self.table}/tasks",
                 "POST",
                 {"plan-task": token},
             )
             parts.extend(self._page_to_parts(page))
+            pending.extend(page.get("plan-tasks") or [])
         return parts
 
     def _page_to_parts(self, page: dict) -> list:

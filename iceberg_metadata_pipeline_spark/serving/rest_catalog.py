@@ -458,21 +458,23 @@ class RestCatalogServer:
         except _PlanError as e:
             return h._error(e.code, e.msg, e.typ)
         sid = snap.get("snapshot_id") if snap else None
-        tokens = [
-            _encode_plan_task(
-                {
-                    "snapshot-id": sid,
-                    "filter": body.get("filter"),
-                    "offset": off,
-                    "page-size": page,
-                }
-            )
-            for off in range(page, len(files), page)
-        ]
+        # LINKED pagination: each response carries ONE token for the next
+        # page (fetchScanTasks returns its page + the next token), so
+        # EVERY response is O(page) — shipping the whole token list up
+        # front would make the first response O(#files/page) again
         out = {
             "plan-status": "completed",
             "file-scan-tasks": tasks,
-            "plan-tasks": tokens,
+            "plan-tasks": [
+                _encode_plan_task(
+                    {
+                        "snapshot-id": sid,
+                        "filter": body.get("filter"),
+                        "offset": page,
+                        "page-size": page,
+                    }
+                )
+            ],
         }
         if dels:
             out["delete-files"] = dels
@@ -508,6 +510,10 @@ class RestCatalogServer:
         except _PlanError as e:
             return h._error(e.code, e.msg, e.typ)
         out = {"file-scan-tasks": tasks}
+        if offset + page < len(files):
+            out["plan-tasks"] = [
+                _encode_plan_task(dict(spec, offset=offset + page))
+            ]
         if dels:
             out["delete-files"] = dels
         return h._send(200, out)

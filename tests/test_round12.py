@@ -455,8 +455,10 @@ def test_plan_pagination_wire_walk(spark, server, tmp_path):
     code, paged = _req(url, "POST", {"page-size": 2})
     assert code == 200
     assert len(paged["file-scan-tasks"]) == 2
+    # LINKED pagination: each response carries exactly ONE next-token,
+    # so every response is O(page) — incl. the first
     tokens = paged["plan-tasks"]
-    assert len(tokens) == 2  # pages at offsets 2 and 4
+    assert len(tokens) == 1
 
     def resolve(page):
         dels = page.get("delete-files") or []
@@ -475,11 +477,17 @@ def test_plan_pagination_wire_walk(spark, server, tmp_path):
 
     walked = resolve(paged)
     turl = f"{base}/v1/namespaces/pg/tables/t/tasks"
-    for tok in tokens:
-        code, page = _req(turl, "POST", {"plan-task": tok})
+    pending = list(tokens)
+    n_pages = 0
+    while pending:
+        code, page = _req(turl, "POST", {"plan-task": pending.pop(0)})
         assert code == 200
         assert len(page["file-scan-tasks"]) <= 2  # bounded per response
+        assert len(page.get("plan-tasks") or []) <= 1  # linked chain
         walked.extend(resolve(page))
+        pending.extend(page.get("plan-tasks") or [])
+        n_pages += 1
+    assert n_pages == 2  # offsets 2 and 4
     assert walked == resolve(full)
     # the delete reference survives paging on whichever page holds f0's task
     assert any(refs for _p, refs in walked)
@@ -516,6 +524,7 @@ def test_plan_pagination_pins_snapshot(spark, server):
         "POST",
         {"plan-task": paged["plan-tasks"][0]},
     )
+    assert not page2.get("plan-tasks")  # pinned snapshot exhausted
     got = {tk["data-file"]["file-path"] for tk in paged["file-scan-tasks"]}
     got |= {tk["data-file"]["file-path"] for tk in page2["file-scan-tasks"]}
     assert len(got) == 3  # the three planned files, not the fourth
