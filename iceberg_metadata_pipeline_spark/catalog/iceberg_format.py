@@ -1123,7 +1123,14 @@ def _try_incremental_export(
         # pure append on a delete-free mirror: the r9 path (optimistic
         # concurrency via rebuild-retry)
         return commit_iceberg_append(
-            dest, new, extra_properties=changed or None
+            dest,
+            new,
+            extra_properties=changed or None,
+            summary_extra={
+                "metacat-snapshot-id": str(
+                    (table.current_snapshot or {}).get("snapshot_id", "")
+                )
+            },
         )
     return _commit_incremental_row_delta(
         table,
@@ -1357,6 +1364,12 @@ def _commit_incremental_replace(
         "manifest-list": os.path.abspath(mlist_path),
         "summary": {
             "operation": "replace",
+            # served-id mapping: the metacat snapshot this mirror commit
+            # represents — planTableScan resolves loadTable-served ids
+            # through it (time travel + stream tailing over REST)
+            "metacat-snapshot-id": str(
+                (table.current_snapshot or {}).get("snapshot_id", "")
+            ),
             "deleted-data-files": str(len(removed)),
             "added-data-files": str(len(new_files)),
             "total-records": str(total_rows),
@@ -1608,6 +1621,9 @@ def _commit_incremental_row_delta(
         "timestamp-ms": now_ms,
         "manifest-list": os.path.abspath(mlist_path),
         "summary": {
+            "metacat-snapshot-id": str(
+                (table.current_snapshot or {}).get("snapshot_id", "")
+            ),
             "operation": "overwrite" if new_del_parts else "append",
             "added-data-files": str(len(new_files)),
             "added-delete-files": str(len(new_del_parts)),
@@ -1757,6 +1773,7 @@ def commit_iceberg_append(
     *,
     overwrite: bool = False,
     extra_properties: dict | None = None,
+    summary_extra: dict | None = None,
 ) -> str:
     """TRUE manifest-append commit against ANY Iceberg v2/v3 directory —
     whether this repo's exporter, ``create_iceberg_table_dir``, or a
@@ -1782,7 +1799,7 @@ def commit_iceberg_append(
     for _attempt in range(8):
         p = _try_commit_iceberg_append(
             location, files, overwrite=overwrite,
-            extra_properties=extra_properties,
+            extra_properties=extra_properties, summary_extra=summary_extra,
         )
         if p is not None:
             return p
@@ -1798,6 +1815,7 @@ def _try_commit_iceberg_append(
     *,
     overwrite: bool = False,
     extra_properties: dict | None = None,
+    summary_extra: dict | None = None,
 ) -> str | None:
     """One build+claim attempt of commit_iceberg_append. None = another
     writer claimed the version first (caller rebuilds on fresh state).
@@ -1957,6 +1975,7 @@ def _try_commit_iceberg_append(
             "added-records": str(new_rows),
             "total-records": str(total_rows),
             "total-data-files": str(total_files),
+            **{str(k): str(v) for k, v in (summary_extra or {}).items()},
         },
         "schema-id": cur_id,
     }

@@ -51,6 +51,7 @@ from pyspark.sql import types as T
 from pyspark.sql.datasource import (
     DataSource,
     DataSourceReader,
+    DataSourceStreamReader,
     DataSourceWriter,
     InputPartition,
     WriterCommitMessage,
@@ -138,7 +139,83 @@ def _residual_mask(expr: dict, batch, name_idx: dict):
     raise ValueError(f"unsupported residual expression type {typ!r}")
 
 
-class PyRestReader(DataSourceReader):
+class _RestTaskReadMixin:
+    """Shared task-side scan: vectorized parquet read + delete masks +
+    residual filter (used by the batch reader and the stream tailer —
+    needs self.names / self.spark_schema)."""
+
+    names: list
+    spark_schema: T.StructType
+
+    def read(self, partition: RestScanTask):
+        """Vectorized (round 12): RecordBatch yields — position deletes
+        apply as a searchsorted mask over the batch's file-row range,
+        equality deletes probe only their key columns (the per-row tuple
+        loop of r11 is gone; the thin client stays columnar)."""
+        import pyarrow.parquet as pq
+
+        from iceberg_metadata_pipeline_spark.ingest import arrow_scan
+
+        me = _norm(partition.path)
+        dead_parts = []
+        for dpath in partition.pos_deletes:
+            t = pq.read_table(dpath, columns=["file_path", "pos"])
+            dead_parts.append(arrow_scan.positions_for_file(t, me, _norm))
+        eq_probe = []
+        for cols, dpath in partition.eq_deletes:
+            t = pq.read_table(dpath, columns=list(cols))
+            rows = set(
+                tuple(t.column(c)[i].as_py() for c in cols)
+                for i in range(t.num_rows)
+            )
+            eq_probe.append((cols, rows))
+
+        dead_np = arrow_scan.merge_positions(dead_parts)
+        pa_schema = arrow_scan.spark_to_arrow_schema(self.spark_schema)
+        eq_cols = {c for cols, _probe in eq_probe for c in cols}
+
+        pf = pq.ParquetFile(partition.path)
+        file_cols = set(pf.schema_arrow.names)
+        want = [n for n in self.names if n in file_cols]
+        pos = 0
+        for batch in pf.iter_batches(columns=want):
+            n = batch.num_rows
+            got = dict(zip(batch.schema.names, batch.columns))
+            arrays = [
+                got[name]
+                if name in got
+                else arrow_scan.fill_array(None, n, pa_schema.field(i).type)
+                for i, name in enumerate(self.names)
+            ]
+            keep = arrow_scan.position_mask(pos, n, dead_np)
+            if eq_probe:
+                col_values = {
+                    c: (got[c].to_pylist() if c in got else [None] * n)
+                    for c in eq_cols
+                }
+                keep = arrow_scan.combine_masks(
+                    keep, arrow_scan.eq_delete_mask(col_values, n, eq_probe)
+                )
+            pos += n
+            out = arrow_scan.finish_batch(arrays, pa_schema, keep)
+            if out is not None and partition.residual:
+                # row-level residual: the server's file-level pruning is
+                # conservative (false keeps only); exact semantics land
+                # here, vectorized (nulls drop, SQL WHERE behavior)
+                name_idx = {f.name: i for i, f in enumerate(out.schema)}
+                out = out.filter(
+                    _residual_mask(
+                        json.loads(partition.residual), out, name_idx
+                    )
+                )
+                if out.num_rows == 0:
+                    out = None
+            if out is not None:
+                yield out
+
+
+
+class PyRestReader(_RestTaskReadMixin, DataSourceReader):
     def __init__(self, options: dict, schema: T.StructType):
         self.url = options["url"].rstrip("/")
         ident = options.get("table") or options.get("path")
@@ -239,71 +316,89 @@ class PyRestReader(DataSourceReader):
             self._id_to_name = {f["id"]: f["name"] for f in schema["fields"]}
         return [self._id_to_name[i] for i in ids]
 
-    def read(self, partition: RestScanTask):
-        """Vectorized (round 12): RecordBatch yields — position deletes
-        apply as a searchsorted mask over the batch's file-row range,
-        equality deletes probe only their key columns (the per-row tuple
-        loop of r11 is gone; the thin client stays columnar)."""
-        import pyarrow.parquet as pq
 
-        from iceberg_metadata_pipeline_spark.ingest import arrow_scan
 
-        me = _norm(partition.path)
-        dead_parts = []
-        for dpath in partition.pos_deletes:
-            t = pq.read_table(dpath, columns=["file_path", "pos"])
-            dead_parts.append(arrow_scan.positions_for_file(t, me, _norm))
-        eq_probe = []
-        for cols, dpath in partition.eq_deletes:
-            t = pq.read_table(dpath, columns=list(cols))
-            rows = set(
-                tuple(t.column(c)[i].as_py() for c in cols)
-                for i in range(t.num_rows)
+class PyRestStreamReader(_RestTaskReadMixin, DataSourceStreamReader):
+    """Tail APPENDS through the REST catalog (round 12 — the thin
+    engine's streaming leg): the OFFSET is the served current snapshot
+    id from loadTable (monotone along the mirror's snapshot-log; the
+    server resolves served ids to table states via the
+    metacat-snapshot-id summary mapping), and each micro-batch plans
+    BOTH offsets server-side and emits the data files the range ADDED.
+    A range that REMOVES files (overwrite/compaction) or whose new
+    tasks reference delete files refuses loudly unless
+    ``ignoreDeletes`` — the same appends-only contract as the
+    pyice/pydelta/pyhudi stream twins. No metadata JSON, no manifests
+    client-side; planning stays on the catalog."""
+
+    def __init__(self, options: dict, schema: T.StructType):
+        self.url = options["url"].rstrip("/")
+        ident = options.get("table") or options.get("path")
+        if not ident or "." not in ident:
+            raise ValueError(
+                "pyrest needs load('namespace.table') or option('table')"
             )
-            eq_probe.append((cols, rows))
+        self.ns, self.table = ident.split(".", 1)
+        self.ignore_deletes = (
+            str(options.get("ignoredeletes", "false")).lower() == "true"
+        )
+        self.names = [f.name for f in schema.fields]
+        self.spark_schema = schema
 
-        dead_np = arrow_scan.merge_positions(dead_parts)
-        pa_schema = arrow_scan.spark_to_arrow_schema(self.spark_schema)
-        eq_cols = {c for cols, _probe in eq_probe for c in cols}
+    def _current_sid(self):
+        md = _req(f"{self.url}/v1/namespaces/{self.ns}/tables/{self.table}")[
+            "metadata"
+        ]
+        sid = md.get("current-snapshot-id")
+        return None if sid in (None, -1) else int(sid)
 
-        pf = pq.ParquetFile(partition.path)
-        file_cols = set(pf.schema_arrow.names)
-        want = [n for n in self.names if n in file_cols]
-        pos = 0
-        for batch in pf.iter_batches(columns=want):
-            n = batch.num_rows
-            got = dict(zip(batch.schema.names, batch.columns))
-            arrays = [
-                got[name]
-                if name in got
-                else arrow_scan.fill_array(None, n, pa_schema.field(i).type)
-                for i, name in enumerate(self.names)
-            ]
-            keep = arrow_scan.position_mask(pos, n, dead_np)
-            if eq_probe:
-                col_values = {
-                    c: (got[c].to_pylist() if c in got else [None] * n)
-                    for c in eq_cols
-                }
-                keep = arrow_scan.combine_masks(
-                    keep, arrow_scan.eq_delete_mask(col_values, n, eq_probe)
+    def _plan_paths(self, sid: int) -> dict:
+        plan = _req(
+            f"{self.url}/v1/namespaces/{self.ns}/tables/{self.table}/plan",
+            "POST",
+            {"snapshot-id": int(sid)},
+        )
+        out = {}
+        for task in plan.get("file-scan-tasks") or []:
+            out[_norm(task["data-file"]["file-path"])] = task
+        return out
+
+    def initialOffset(self) -> dict:
+        return {"sid": None}
+
+    def latestOffset(self) -> dict:
+        return {"sid": self._current_sid()}
+
+    def partitions(self, start: dict, end: dict):
+        s_sid, e_sid = start.get("sid"), end.get("sid")
+        if e_sid is None or s_sid == e_sid:
+            return []
+        after = self._plan_paths(e_sid)
+        before = self._plan_paths(s_sid) if s_sid is not None else {}
+        vanished = sorted(set(before) - set(after))
+        if vanished and not self.ignore_deletes:
+            raise ValueError(
+                f"pyrest stream: snapshot range removes {len(vanished)} "
+                "file(s) (overwrite/compaction); this source tails "
+                "APPENDS — pass .option('ignoreDeletes','true') to skip "
+                "removals, or re-process the table as a batch"
+            )
+        parts = []
+        for p in sorted(set(after) - set(before)):
+            task = after[p]
+            if task.get("delete-file-references") and not self.ignore_deletes:
+                raise ValueError(
+                    f"pyrest stream: newly added file {p} carries "
+                    "merge-on-read delete references; this source tails "
+                    "APPENDS — pass .option('ignoreDeletes','true') to "
+                    "read it ignoring row-level deletes, or re-process "
+                    "as a batch"
                 )
-            pos += n
-            out = arrow_scan.finish_batch(arrays, pa_schema, keep)
-            if out is not None and partition.residual:
-                # row-level residual: the server's file-level pruning is
-                # conservative (false keeps only); exact semantics land
-                # here, vectorized (nulls drop, SQL WHERE behavior)
-                name_idx = {f.name: i for i, f in enumerate(out.schema)}
-                out = out.filter(
-                    _residual_mask(
-                        json.loads(partition.residual), out, name_idx
-                    )
-                )
-                if out.num_rows == 0:
-                    out = None
-            if out is not None:
-                yield out
+            parts.append(RestScanTask(path=task["data-file"]["file-path"]))
+        return parts
+
+    def commit(self, end: dict) -> None:
+        pass  # offsets live in the streaming checkpoint
 
 
 @dataclass
@@ -564,6 +659,9 @@ class PyRestDataSource(DataSource):
     def writer(self, schema: T.StructType, overwrite: bool) -> DataSourceWriter:
         return PyRestBatchWriter(schema, dict(self.options), overwrite)
 
+    def streamReader(self, schema: T.StructType):
+        return PyRestStreamReader(dict(self.options), schema)
+
 
 def register(spark) -> None:
     spark.dataSource.register(PyRestDataSource)
@@ -705,5 +803,77 @@ ORDER BY s_nationkey
             srv.stop()
         return out
 
+
+    @query(
+        "source_pyrest_stream_tail",
+        """
+SELECT event_type, COUNT(*) AS n,
+  CAST(SUM(CAST(value AS DECIMAL(38,6))) AS DOUBLE) AS total_value
+FROM events
+WHERE event_id % 2 = 0
+GROUP BY event_type
+ORDER BY event_type
+""",
+    )
+    def source_pyrest_stream_tail(spark: SparkSession, sf_dir: str) -> DataFrame:
+        """The pyrest STREAM tailer end-to-end (round 12): the even half
+        of events lands in a catalog table across two append commits; a
+        ``readStream.format("pyrest")`` drains both via availableNow
+        into a parquet sink through the REST catalog only — offsets are
+        served snapshot ids, each micro-batch plans both ends
+        server-side and reads exactly the files the range added. The
+        sink must aggregate identically to the raw fixture (nothing
+        lost, nothing duplicated across the commit boundary)."""
+        import tempfile as _tf
+
+        from iceberg_metadata_pipeline_spark.catalog.metacat import Catalog
+        from iceberg_metadata_pipeline_spark.serving.rest_catalog import (
+            RestCatalogServer,
+        )
+
+        register(spark)
+        events = load_tables(spark, sf_dir)["events"].select(
+            "event_id", "event_type", "value"
+        )
+        catalog = Catalog(spark, _tf.mkdtemp(prefix="wh-pyrest-st-"))
+        catalog.ensure_namespace("nyc")
+        t = catalog.create_table("nyc", "events_rest", events.schema)
+        t.append_dataframe(events.filter("event_id % 4 = 0").coalesce(4))
+        t.refresh()
+        t.append_dataframe(events.filter("event_id % 4 = 2").coalesce(4))
+        srv = RestCatalogServer(
+            catalog, _tf.mkdtemp(prefix="pyrest-st-mirror-")
+        ).start()
+        try:
+            out = _tf.mkdtemp(prefix="pyrest-st-out-") + "/sink"
+            q = (
+                spark.readStream.format("pyrest")
+                .option("url", f"http://127.0.0.1:{srv.port}")
+                .option("table", "nyc.events_rest")
+                .load()
+                .writeStream.format("parquet")
+                .option("path", out)
+                .option(
+                    "checkpointLocation", _tf.mkdtemp(prefix="pyrest-st-ck-")
+                )
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination(180)
+            res = (
+                spark.read.parquet(out)
+                .groupBy("event_type")
+                .agg(
+                    F.count(F.lit(1)).alias("n"),
+                    F.sum(F.col("value").cast("decimal(38,6)"))
+                    .cast("double")
+                    .alias("total_value"),
+                )
+                .orderBy("event_type")
+            )
+            res = spark.createDataFrame(res.collect(), res.schema)
+        finally:
+            srv.stop()
+        return res
 
 _declare_queries()

@@ -534,6 +534,13 @@ class RestCatalogServer:
 
         t = self.catalog.load_table(ns, name)
         snap_id = body.get("snapshot-id")
+        if snap_id is not None:
+            # served-id resolution (round 12): loadTable serves MIRROR
+            # metadata, and incremental mirror commits mint their own
+            # snapshot ids — a spec client time-traveling an id it read
+            # from loadTable must not 404. Each mirror snapshot's summary
+            # carries metacat-snapshot-id; translate before planning.
+            snap_id = self._resolve_served_snapshot(ns, name, int(snap_id))
         try:
             files = t.snapshot_files(
                 snapshot_id=None if snap_id is None else int(snap_id)
@@ -563,6 +570,37 @@ class RestCatalogServer:
                 # conjunct, not just bare single comparisons
                 files = _prune_by_stats(files, strip_outer_parens(conjunct))
         return t, snap, sorted(files, key=lambda f: f.path)
+
+    def _resolve_served_snapshot(self, ns: str, name: str, sid: int) -> int:
+        """A snapshot id the client read from loadTable → the metacat
+        snapshot id that table state corresponds to. Full exports reuse
+        metacat ids (identity); incremental mirror commits mint their
+        own and stamp ``metacat-snapshot-id`` into the snapshot summary
+        (round 12). Unknown ids pass through unchanged — metacat's own
+        lookup raises the 404."""
+        if any(
+            int(sn["snapshot_id"]) == sid
+            for sn in self.catalog.load_table(ns, name).meta.get("snapshots", [])
+        ):
+            return sid  # already a metacat id
+        mirror_meta = os.path.join(self.mirror_dir, ns, name, "metadata")
+        if not os.path.isdir(mirror_meta):
+            return sid
+        from iceberg_metadata_pipeline_spark.catalog.iceberg_format import (
+            _latest_metadata_path,
+        )
+
+        try:
+            with open(_latest_metadata_path(os.path.dirname(mirror_meta))) as fh:
+                md = json.load(fh)
+        except (OSError, ValueError):
+            return sid
+        for sn in md.get("snapshots", []):
+            if int(sn.get("snapshot-id", -1)) == sid:
+                mapped = (sn.get("summary") or {}).get("metacat-snapshot-id")
+                if mapped:
+                    return int(mapped)
+        return sid
 
     def _plan_page(self, t, snap, files, body: dict, offset: int, limit: int):
         """Build file-scan-tasks for ``files[offset:offset+limit]`` plus

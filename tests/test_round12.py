@@ -918,3 +918,74 @@ def test_incremental_export_compaction_replace_diff(spark, tmp_path):
         if int(s["snapshot-id"]) == int(md["current-snapshot-id"])
     )
     assert snap["summary"]["operation"] == "replace"
+
+
+def test_pyrest_stream_tails_appends_and_refuses_removals(spark, server):
+    """The pyrest STREAM tailer: offsets are served snapshot ids, each
+    batch plans both ends server-side and emits only the files the
+    range added; a range that removes files refuses loudly unless
+    ignoreDeletes. Also pins the served-id time travel the tailer
+    rides on (incremental mirror ids resolve via the
+    metacat-snapshot-id summary mapping)."""
+    import tempfile
+
+    from iceberg_metadata_pipeline_spark.ingest.pyrest_source import register
+
+    catalog, srv, base = server
+    _req(f"{base}/v1/namespaces", "POST", {"namespace": ["st"]})
+    df = spark.range(6).selectExpr("id")
+    t = catalog.create_table("st", "tail", df.schema)
+    t.append_dataframe(df.where("id < 3").coalesce(1))
+    # loadTable between commits → the mirror history is incremental
+    _req(f"{base}/v1/namespaces/st/tables/tail")
+    t.append_dataframe(df.where("id >= 3").coalesce(1))
+    register(spark)
+
+    out = tempfile.mkdtemp(prefix="pyrest-tail-") + "/sink"
+    q = (
+        spark.readStream.format("pyrest")
+        .option("url", base)
+        .option("table", "st.tail")
+        .load()
+        .writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", tempfile.mkdtemp(prefix="pyrest-ck-"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    assert sorted(r.id for r in spark.read.parquet(out).collect()) == list(
+        range(6)
+    )
+
+    # a compaction between offsets removes files → the next drain refuses
+    t.rewrite_data_files()
+    ck2 = tempfile.mkdtemp(prefix="pyrest-ck2-")
+    out2 = tempfile.mkdtemp(prefix="pyrest-tail2-") + "/sink"
+    first = (
+        spark.readStream.format("pyrest")
+        .option("url", base)
+        .option("table", "st.tail")
+        .load()
+        .writeStream.format("parquet")
+        .option("path", out2)
+        .option("checkpointLocation", ck2)
+        .trigger(availableNow=True)
+        .start()
+    )
+    first.awaitTermination(120)  # baseline drain of the compacted state
+    t.append_dataframe(spark.range(10, 12).selectExpr("id").coalesce(1))
+    t.rewrite_data_files()  # removes files relative to the checkpoint
+    resumed = (
+        spark.readStream.format("pyrest")
+        .option("url", base)
+        .option("table", "st.tail")
+        .load()
+        .writeStream.format("parquet")
+        .option("path", out2)
+        .option("checkpointLocation", ck2)
+        .trigger(availableNow=True)
+        .start()
+    )
+    with pytest.raises(Exception, match="tails APPENDS"):
+        resumed.awaitTermination(120)
