@@ -132,6 +132,7 @@ def _load_all():
         skyline,
         spark4_sql,
         stats_ext,
+        stats_more,
         tpch,
         tpch_full,
         windows,
