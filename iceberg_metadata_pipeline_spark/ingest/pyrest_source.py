@@ -76,6 +76,24 @@ def _req(url: str, method: str = "GET", body: dict | None = None) -> dict:
         return json.loads(raw) if raw else {}
 
 
+def _plan_req(url: str, ns: str, table: str, body: dict) -> dict:
+    """POST planTableScan and transparently complete the spec's
+    ASYNCHRONOUS handshake: a server configured for async planning
+    answers ``submitted`` + a plan-id, and the client fetches the
+    completed plan via GET .../plan/{plan-id} (the id pins the snapshot
+    at submit time, so the fetched plan ignores concurrent commits).
+    Synchronous servers answer ``completed`` directly and skip the loop."""
+    plan = _req(f"{url}/v1/namespaces/{ns}/tables/{table}/plan", "POST", body)
+    tries = 0
+    while plan.get("plan-status") == "submitted":
+        pid = plan.get("plan-id")
+        if not pid or tries >= 10:
+            raise ValueError(f"plan did not complete: {plan}")
+        tries += 1
+        plan = _req(f"{url}/v1/namespaces/{ns}/tables/{table}/plan/{pid}")
+    return plan
+
+
 @dataclass
 class RestScanTask(InputPartition):
     path: str
@@ -240,11 +258,7 @@ class PyRestReader(_RestTaskReadMixin, DataSourceReader):
             body["filter"] = json.loads(self.filter_json)
         if self.page_size:
             body["page-size"] = int(self.page_size)
-        plan = _req(
-            f"{self.url}/v1/namespaces/{self.ns}/tables/{self.table}/plan",
-            "POST",
-            body,
-        )
+        plan = _plan_req(self.url, self.ns, self.table, body)
         if plan.get("plan-status") != "completed":
             raise ValueError(f"plan not completed: {plan}")
         # paged plans (round 12): the first page rides the plan response;
@@ -353,10 +367,8 @@ class PyRestStreamReader(_RestTaskReadMixin, DataSourceStreamReader):
         return None if sid in (None, -1) else int(sid)
 
     def _plan_paths(self, sid: int) -> dict:
-        plan = _req(
-            f"{self.url}/v1/namespaces/{self.ns}/tables/{self.table}/plan",
-            "POST",
-            {"snapshot-id": int(sid)},
+        plan = _plan_req(
+            self.url, self.ns, self.table, {"snapshot-id": int(sid)}
         )
         out = {}
         for task in plan.get("file-scan-tasks") or []:

@@ -117,9 +117,23 @@ def _decode_plan_task(token: str) -> dict:
 class RestCatalogServer:
     """Spec-shaped REST facade over a metacat Catalog."""
 
-    def __init__(self, catalog, mirror_dir: str, host: str = "127.0.0.1", port: int = 0):
+    def __init__(
+        self,
+        catalog,
+        mirror_dir: str,
+        host: str = "127.0.0.1",
+        port: int = 0,
+        async_planning: bool = False,
+    ):
         self.catalog = catalog
         self.mirror_dir = mirror_dir
+        # async_planning: planTableScan answers "submitted" + plan-id
+        # (the spec's asynchronous planning handshake); clients fetch the
+        # result via GET .../plan/{plan-id}. The plan-id is STATELESS —
+        # it pins the snapshot id at submit time, so the fetched plan is
+        # consistent even if the table advances in between, and there is
+        # nothing server-side to queue, cache, or expire.
+        self.async_planning = bool(async_planning)
         # (ns, table) -> (snapshot_id, metadata_path) export cache
         self._exports: dict[tuple[str, str], tuple[int | None, str]] = {}
         self._lock = threading.Lock()
@@ -277,6 +291,22 @@ class RestCatalogServer:
                         404, f"table {ns}.{p[3]} not found", "NoSuchTableException"
                     )
                 return self._fetch_scan_tasks(h, ns, p[3], h._body())
+            if len(p) == 6 and p[2] == "tables" and p[4] == "plan":
+                # fetchPlanningResult / cancelPlanning (async handshake)
+                if not self.catalog.table_exists(ns, p[3]):
+                    return h._error(
+                        404, f"table {ns}.{p[3]} not found", "NoSuchTableException"
+                    )
+                if method == "GET":
+                    return self._fetch_planning_result(h, ns, p[3], p[5])
+                if method == "DELETE":
+                    # plan-ids are stateless: nothing queued server-side,
+                    # so cancellation always succeeds (the spec's 204)
+                    try:
+                        _decode_plan_task(p[5])
+                    except (ValueError, TypeError):
+                        return h._error(400, "invalid plan-id")
+                    return h._send(204)
             if len(p) == 3 and p[2] == "views":
                 if method == "GET":
                     return h._send(
@@ -437,6 +467,33 @@ class RestCatalogServer:
         re-derives its slice from the pinned snapshot's metadata —
         O(manifest entries) metadata work per page, the standard
         stateless-pagination trade."""
+        if self.async_planning and not body.pop("_fetch", False):
+            # Asynchronous handshake: answer "submitted" with a STATELESS
+            # plan-id that pins the snapshot NOW (a fetch after concurrent
+            # commits must plan the table as of submit time). Filter
+            # validation happens at fetch — statelessness means the plan
+            # actually runs then, and a bad filter surfaces as the same
+            # 400 the synchronous verb would have returned.
+            sid = body.get("snapshot-id")
+            if sid is not None:
+                try:
+                    sid = self._resolve_served_snapshot(ns, name, int(sid))
+                    t = self.catalog.load_table(ns, name)
+                    t._select_snapshot(int(sid), None)
+                except ValueError as e:
+                    return h._error(404, str(e), "NoSuchSnapshotException")
+            else:
+                t = self.catalog.load_table(ns, name)
+                cur = t.current_snapshot
+                sid = cur.get("snapshot_id") if cur else None
+            plan_id = _encode_plan_task(
+                {
+                    "snapshot-id": sid,
+                    "filter": body.get("filter"),
+                    "page-size": int(body.get("page-size") or 0),
+                }
+            )
+            return h._send(202, {"plan-status": "submitted", "plan-id": plan_id})
         try:
             t, snap, files = self._plan_inputs(ns, name, body)
         except _PlanError as e:
@@ -479,6 +536,34 @@ class RestCatalogServer:
         if dels:
             out["delete-files"] = dels
         return h._send(200, out)
+
+    def _fetch_planning_result(self, h, ns: str, name: str, plan_id: str):
+        """fetchPlanningResult: resolve a stateless plan-id from the
+        asynchronous planTableScan handshake into the completed plan.
+        The id pins the snapshot at submit time, so the result is the
+        plan of the table AS OF SUBMISSION regardless of commits in
+        between; a garbled or foreign id is a 400; an id whose snapshot
+        has been expired since is a 404 (same contract as planning the
+        snapshot directly). Planning work happens HERE (statelessness:
+        nothing ran at submit), so filter errors surface here too."""
+        try:
+            spec = _decode_plan_task(plan_id)
+            if "snapshot-id" not in spec or "offset" in spec:
+                raise ValueError("not a plan-id token")
+        except (ValueError, TypeError, KeyError) as e:
+            return h._error(400, f"invalid plan-id: {e}")
+        if spec.get("snapshot-id") is None:
+            # table had no snapshot at submit time: the pinned plan is
+            # empty even if appends landed after submission
+            return h._send(
+                200, {"plan-status": "completed", "file-scan-tasks": []}
+            )
+        body = {"snapshot-id": spec["snapshot-id"], "_fetch": True}
+        if spec.get("filter") is not None:
+            body["filter"] = spec["filter"]
+        if spec.get("page-size"):
+            body["page-size"] = int(spec["page-size"])
+        return self._plan_table(h, ns, name, body)
 
     def _fetch_scan_tasks(self, h, ns: str, name: str, body: dict):
         """fetchScanTasks (round 12): resolve one opaque plan-task token

@@ -1748,3 +1748,132 @@ def test_plan_table_partition_tuples(spark, server):
         {t_["data-file"]["partition"][0] for t_ in out["file-scan-tasks"]}
     )
     assert parts == ["a", "b"]
+
+
+@pytest.fixture()
+def async_server(spark, tmp_path):
+    catalog = Catalog(spark, str(tmp_path / "wh-async"))
+    srv = RestCatalogServer(
+        catalog, str(tmp_path / "mirror-async"), async_planning=True
+    ).start()
+    yield catalog, srv, f"http://127.0.0.1:{srv.port}"
+    srv.stop()
+
+
+def test_async_plan_handshake(spark, async_server):
+    """Round 12: the spec's ASYNCHRONOUS planning handshake — a server
+    configured for async planning answers planTableScan with 202
+    "submitted" + a plan-id; GET .../plan/{plan-id} resolves the
+    completed plan; DELETE cancels (always succeeds: plan-ids are
+    stateless, nothing is queued server-side). The id pins the snapshot
+    at SUBMIT time, so a fetch after concurrent commits plans the table
+    as of submission."""
+    catalog, srv, base = async_server
+    _req(f"{base}/v1/namespaces", "POST", {"namespace": ["ap"]})
+    _req(
+        f"{base}/v1/namespaces/ap/tables",
+        "POST",
+        {"name": "t", "schema": ICE_SCHEMA},
+    )
+    t = catalog.load_table("ap", "t")
+    t.append_dataframe(
+        spark.createDataFrame([(1, "a"), (2, "b")], "id long, cat string")
+        .coalesce(1)
+    )
+    url = f"{base}/v1/namespaces/ap/tables/t/plan"
+
+    code, sub = _req(url, "POST", {})
+    assert code == 202 and sub["plan-status"] == "submitted"
+    pid = sub["plan-id"]
+
+    # concurrent commit between submit and fetch
+    t.append_dataframe(
+        spark.createDataFrame([(3, "c")], "id long, cat string").coalesce(1)
+    )
+
+    code, plan = _req(f"{url}/{pid}")
+    assert code == 200 and plan["plan-status"] == "completed"
+    # pinned at submit: ONE task (the pre-commit file), not two
+    assert len(plan["file-scan-tasks"]) == 1
+
+    # a fresh submit+fetch sees both files
+    _, sub2 = _req(url, "POST", {})
+    _, plan2 = _req(f"{url}/{sub2['plan-id']}")
+    assert len(plan2["file-scan-tasks"]) == 2
+
+    # cancelPlanning: 204 on any well-formed id, 400 on garbage
+    assert _status_of(f"{url}/{pid}", "DELETE") == 204
+    assert _status_of(f"{url}/not-base64!!", "DELETE") == 400
+    assert _status_of(f"{url}/not-base64!!") == 400
+
+    # token confusion is refused both ways: a paged plan's plan-task
+    # token is NOT a plan-id, and a plan-id is NOT a plan-task
+    _, sub3 = _req(url, "POST", {"page-size": 1})
+    _, plan3 = _req(f"{url}/{sub3['plan-id']}")
+    assert plan3.get("plan-tasks"), "paged async plan should page"
+    task_token = plan3["plan-tasks"][0]
+    assert _status_of(f"{url}/{task_token}") == 400
+    assert (
+        _status_of(
+            f"{base}/v1/namespaces/ap/tables/t/tasks",
+            "POST",
+            {"plan-task": sub3["plan-id"]},
+        )
+        == 400
+    )
+
+
+def test_async_plan_empty_table_pin(spark, async_server):
+    """A plan submitted against a snapshot-less table stays EMPTY at
+    fetch even if an append lands in between (the pin is the absence
+    of a snapshot, not 'latest')."""
+    catalog, srv, base = async_server
+    _req(f"{base}/v1/namespaces", "POST", {"namespace": ["ap2"]})
+    _req(
+        f"{base}/v1/namespaces/ap2/tables",
+        "POST",
+        {"name": "t", "schema": ICE_SCHEMA},
+    )
+    url = f"{base}/v1/namespaces/ap2/tables/t/plan"
+    _, sub = _req(url, "POST", {})
+    pid = sub["plan-id"]
+    catalog.load_table("ap2", "t").append_dataframe(
+        spark.createDataFrame([(1, "a")], "id long, cat string").coalesce(1)
+    )
+    code, plan = _req(f"{url}/{pid}")
+    assert code == 200 and plan["file-scan-tasks"] == []
+
+
+def test_pyrest_reads_through_async_server(spark, async_server):
+    """The pyrest client completes the async handshake transparently:
+    the same .read.format('pyrest') call works against a synchronous
+    or an asynchronous server (batch AND the filter option path)."""
+    import json as _json
+
+    from iceberg_metadata_pipeline_spark.ingest.pyrest_source import register
+
+    catalog, srv, base = async_server
+    _req(f"{base}/v1/namespaces", "POST", {"namespace": ["ap3"]})
+    _req(
+        f"{base}/v1/namespaces/ap3/tables",
+        "POST",
+        {"name": "t", "schema": ICE_SCHEMA},
+    )
+    t = catalog.load_table("ap3", "t")
+    t.append_dataframe(
+        spark.createDataFrame(
+            [(i, "x") for i in range(6)], "id long, cat string"
+        ).coalesce(1)
+    )
+    register(spark)
+    back = spark.read.format("pyrest").option("url", base).load("ap3.t")
+    assert sorted(r.id for r in back.collect()) == [0, 1, 2, 3, 4, 5]
+
+    flt = _json.dumps({"type": "gt-eq", "term": "id", "value": 3})
+    filt = (
+        spark.read.format("pyrest")
+        .option("url", base)
+        .option("filter", flt)
+        .load("ap3.t")
+    )
+    assert sorted(r.id for r in filt.collect()) == [3, 4, 5]
