@@ -341,3 +341,438 @@ FROM med
 """
 
 sql_query("stat_hodges_lehmann_daily", _HL_SQL)
+
+
+# ===========================================================================
+# Round-12 continuation, batch 2: retrieval-eval completion + classical
+# tests the existing families point at (same determinism posture).
+# ===========================================================================
+
+
+def _fold(engine: str, term: str) -> str:
+    """Sorted double fold — order-independent, bit-identical (see the
+    logrank/Fisher folds above)."""
+    if engine == "spark":
+        return (
+            f"reduce(array_sort(collect_list({term})),"
+            " CAST(0.0E0 AS DOUBLE), (a, x) -> a + x)"
+        )
+    return f"list_reduce(list_sort(list({term})), (a, x) -> a + x)"
+
+
+# ---------------------------------------------------------------------------
+# MAP@10 — mean-average-precision, the third leg of the retrieval-eval
+# trio next to ml_ndcg_at_10 / ml_mrr_recall_at_10 (same source, same
+# md5 rank tiebreak). AP@10 = sum over hit ranks k<=10 of P@k, divided
+# by min(n_rel, 10). P@k = cum_hits/k is rational with k | 2520
+# (lcm 1..10), so the whole AP numerator folds as ONE integer
+# (cum_hits * 2520/k summed), and the only double is the final
+# division — exact, no fold ordering to pin. User-partitioned windows,
+# per-user output rows: the 100 TB shape.
+# ---------------------------------------------------------------------------
+_NDCG_SRC = """
+  SELECT user_id,
+         CAST(CAST(value AS DECIMAL(38,6)) * 1000000 AS BIGINT) AS score,
+         CASE WHEN event_type = 'purchase' THEN 2
+              WHEN event_type IN ('click', 'view') THEN 1
+              ELSE 0 END AS rel,
+         md5(CAST(event_id AS STRING)) AS tb
+  FROM events
+"""
+
+_MAP_TEMPLATE = f"""
+WITH s AS ({_NDCG_SRC}),
+ranked AS (
+  SELECT user_id, CASE WHEN rel > 0 THEN 1 ELSE 0 END AS hit,
+    ROW_NUMBER() OVER (PARTITION BY user_id
+                       ORDER BY score DESC, tb) AS rnk
+  FROM s
+), pfx AS (
+  SELECT user_id, hit, rnk,
+    SUM(hit) OVER (PARTITION BY user_id ORDER BY rnk
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+      AS cum_hits
+  FROM ranked
+), per_user AS (
+  SELECT user_id,
+    CAST(SUM(CASE WHEN rnk <= 10 AND hit = 1
+             THEN cum_hits * (2520 {{IDIV}} rnk) ELSE 0 END)
+         AS BIGINT) AS ap_num,
+    CAST(SUM(hit) AS BIGINT) AS n_rel
+  FROM pfx GROUP BY user_id
+)
+SELECT user_id, n_rel,
+  CAST(ap_num AS DOUBLE)
+    / (2520.0E0 * CAST(LEAST(n_rel, 10) AS DOUBLE)) AS ap_at_10
+FROM per_user WHERE n_rel > 0 ORDER BY user_id
+"""
+
+sql_query(
+    "ml_map_at_10",
+    _MAP_TEMPLATE.replace("{IDIV}", "DIV"),
+    oracle=_MAP_TEMPLATE.replace("{IDIV}", "//"),
+)
+
+
+# ---------------------------------------------------------------------------
+# Expected calibration error — the scalar on top of ml_calibration_bins
+# (same 10 equal-integer-width bins over the exact micro-unit score).
+# Per bin b: |acc_b - conf_b| * n_b/N = |pos_b*d - s_b| / (d*N) with
+# d = score range width and s_b the bin's integer score sum — the whole
+# ECE numerator is ONE integer SUM of ABS terms; the only double is the
+# final division. One hash aggregate at any scale.
+# ---------------------------------------------------------------------------
+_AUC_SRC = """
+  SELECT CAST(CAST(value AS DECIMAL(38,6)) * 1000000 AS BIGINT) AS score,
+         CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS label
+  FROM events
+"""
+
+_ECE_TEMPLATE = f"""
+WITH s AS ({_AUC_SRC}),
+b AS (
+  SELECT CAST(MIN(score) AS BIGINT) AS lo, CAST(MAX(score) AS BIGINT) AS hi
+  FROM s
+), binned AS (
+  SELECT LEAST(CAST((score - lo) * 10 {{IDIV}} (hi - lo + 1) AS BIGINT), 9)
+           AS bin,
+         label, score - lo AS sc, hi - lo + 1 AS d
+  FROM s CROSS JOIN b
+), per_bin AS (
+  SELECT bin, CAST(COUNT(*) AS BIGINT) AS n_b,
+         CAST(SUM(label) AS BIGINT) AS pos_b,
+         CAST(SUM(sc) AS BIGINT) AS s_b,
+         CAST(MIN(d) AS BIGINT) AS d
+  FROM binned GROUP BY bin
+)
+SELECT CAST(SUM(n_b) AS BIGINT) AS n,
+  CAST(COUNT(*) AS BIGINT) AS n_bins,
+  CAST(SUM(ABS(pos_b * d - s_b)) AS DOUBLE)
+    / (CAST(MIN(d) AS DOUBLE) * CAST(SUM(n_b) AS DOUBLE)) AS ece
+FROM per_bin
+"""
+
+sql_query(
+    "ml_expected_calibration_error",
+    _ECE_TEMPLATE.replace("{IDIV}", "DIV"),
+    oracle=_ECE_TEMPLATE.replace("{IDIV}", "//"),
+)
+
+
+# ---------------------------------------------------------------------------
+# Cochran-Armitage trend test — dose-response on proportions across
+# ORDERED exposure groups (active-day buckets <=24/25-26/27-28/29+,
+# matched to the fixture's 21-30-day activity spread, scores
+# 1..4) vs DAY-ONE conversion (purchased on the first active day —
+# every fixture user eventually does everything over 30 days, so
+# any ever-did-X response is degenerate). z = (N*sr - R*sn) / sqrt(R(N-R)(N*s2n-sn^2)/N)
+# — every term left of the sqrt is an integer aggregate; sqrt is IEEE
+# exactly-rounded and the division's operands are identical doubles, so
+# the result is bit-identical with NO rounding step. One user-keyed
+# hash aggregate then a 4-row collapse: constant-size at any scale.
+# ---------------------------------------------------------------------------
+_CA_TREND_SQL = """
+WITH u AS (
+  SELECT user_id,
+    COUNT(DISTINCT CAST(ts AS DATE)) AS days,
+    CASE WHEN CAST(MIN(CASE WHEN event_type = 'purchase' THEN ts END)
+              AS DATE) = CAST(MIN(ts) AS DATE)
+         THEN 1 ELSE 0 END AS resp
+  FROM events GROUP BY user_id
+), g AS (
+  SELECT CASE WHEN days <= 24 THEN 1 WHEN days <= 26 THEN 2
+              WHEN days <= 28 THEN 3 ELSE 4 END AS s,
+         resp
+  FROM u
+), agg AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n,
+    CAST(SUM(resp) AS BIGINT) AS r,
+    CAST(SUM(s) AS BIGINT) AS sn,
+    CAST(SUM(s * resp) AS BIGINT) AS sr,
+    CAST(SUM(s * s) AS BIGINT) AS s2n
+  FROM g
+)
+SELECT n, r,
+  CAST(n * sr - r * sn AS DOUBLE)
+    / NULLIF(SQRT(CAST(r AS DOUBLE) * CAST(n - r AS DOUBLE)
+                  * CAST(n * s2n - sn * sn AS DOUBLE)
+                  / CAST(n AS DOUBLE)), 0.0E0) AS z_trend
+FROM agg
+"""
+
+sql_query("stat_cochran_armitage_trend", _CA_TREND_SQL)
+
+
+# ---------------------------------------------------------------------------
+# Mood's median test — the nonparametric k-group location test the
+# Kruskal-Wallis family points at: per-region above/at-or-below counts
+# against the GLOBAL median of order revenue (exact cents), chi-square
+# over the 2xk table. The global median uses the distinct-value
+# prefix-sum trick (no global row rank — O(distinct cents) window);
+# cells are integer counts; each cell's (O-E)^2/E is a double of
+# identical integer-derived operands and the 2k-term chi2 folds sorted.
+# ---------------------------------------------------------------------------
+_MOOD_TEMPLATE = """
+WITH v AS (
+  SELECT r.r_name AS grp,
+         CAST(CAST(o.o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS x
+  FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+  JOIN nation n ON c.c_nationkey = n.n_nationkey
+  JOIN region r ON n.n_regionkey = r.r_regionkey
+), dv AS (
+  SELECT x, CAST(COUNT(*) AS BIGINT) AS cnt FROM v GROUP BY x
+), c AS (
+  SELECT x, SUM(cnt) OVER (ORDER BY x) AS cw, SUM(cnt) OVER () AS m
+  FROM dv
+), med AS (
+  SELECT MIN(CASE WHEN 2 * cw >= m THEN x END) AS med FROM c
+), cells AS (
+  SELECT grp,
+    CAST(SUM(CASE WHEN x > med THEN 1 ELSE 0 END) AS BIGINT) AS above,
+    CAST(SUM(CASE WHEN x <= med THEN 1 ELSE 0 END) AS BIGINT) AS below
+  FROM v CROSS JOIN med GROUP BY grp
+), tot AS (
+  SELECT CAST(SUM(above) AS BIGINT) AS ta,
+         CAST(SUM(below) AS BIGINT) AS tb,
+         CAST(SUM(above + below) AS BIGINT) AS n
+  FROM cells
+), terms AS (
+  SELECT grp,
+    (CAST(above AS DOUBLE)
+       - CAST(above + below AS DOUBLE) * CAST(ta AS DOUBLE)
+         / CAST(n AS DOUBLE))
+    * (CAST(above AS DOUBLE)
+       - CAST(above + below AS DOUBLE) * CAST(ta AS DOUBLE)
+         / CAST(n AS DOUBLE))
+    / (CAST(above + below AS DOUBLE) * CAST(ta AS DOUBLE)
+       / CAST(n AS DOUBLE))
+    + (CAST(below AS DOUBLE)
+       - CAST(above + below AS DOUBLE) * CAST(tb AS DOUBLE)
+         / CAST(n AS DOUBLE))
+    * (CAST(below AS DOUBLE)
+       - CAST(above + below AS DOUBLE) * CAST(tb AS DOUBLE)
+         / CAST(n AS DOUBLE))
+    / (CAST(above + below AS DOUBLE) * CAST(tb AS DOUBLE)
+       / CAST(n AS DOUBLE)) AS term
+  FROM cells CROSS JOIN tot
+)
+SELECT CAST(COUNT(*) AS BIGINT) - 1 AS df,
+  {FOLD} AS chi2_mood
+FROM terms
+"""
+
+sql_query(
+    "stat_moods_median",
+    _MOOD_TEMPLATE.replace("{FOLD}", _fold("spark", "term")),
+    oracle=_MOOD_TEMPLATE.replace("{FOLD}", _fold("duck", "term")),
+)
+
+
+# ---------------------------------------------------------------------------
+# Cronbach's alpha — internal-consistency over the user x event-type
+# count matrix (the five fixture event types as "items"). Population
+# variances clear denominators: alpha = k/(k-1) * (1 - sum_i(n*q_i -
+# s_i^2) / (n*q_t - s_t^2)) — every numerator is an integer aggregate;
+# ONE double division at the end. One user-keyed hash aggregate.
+# ---------------------------------------------------------------------------
+def _cron_items() -> str:
+    types = ["view", "click", "purchase", "signup", "error"]
+    cols = ",\n    ".join(
+        f"CAST(SUM(CASE WHEN event_type = '{t}' THEN 1 ELSE 0 END)"
+        f" AS BIGINT) AS x{i + 1}"
+        for i, t in enumerate(types)
+    )
+    return cols
+
+
+_CRONBACH_SQL = f"""
+WITH x AS (
+  SELECT user_id,
+    {_cron_items()}
+  FROM events GROUP BY user_id
+), agg AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n,
+    CAST(SUM(x1) AS BIGINT) AS s1, CAST(SUM(x1 * x1) AS BIGINT) AS q1,
+    CAST(SUM(x2) AS BIGINT) AS s2, CAST(SUM(x2 * x2) AS BIGINT) AS q2,
+    CAST(SUM(x3) AS BIGINT) AS s3, CAST(SUM(x3 * x3) AS BIGINT) AS q3,
+    CAST(SUM(x4) AS BIGINT) AS s4, CAST(SUM(x4 * x4) AS BIGINT) AS q4,
+    CAST(SUM(x5) AS BIGINT) AS s5, CAST(SUM(x5 * x5) AS BIGINT) AS q5,
+    CAST(SUM(x1 + x2 + x3 + x4 + x5) AS BIGINT) AS st,
+    CAST(SUM((x1 + x2 + x3 + x4 + x5) * (x1 + x2 + x3 + x4 + x5))
+         AS BIGINT) AS qt
+  FROM x
+)
+SELECT n,
+  (5.0E0 / 4.0E0)
+    * (1.0E0
+       - CAST((n * q1 - s1 * s1) + (n * q2 - s2 * s2) + (n * q3 - s3 * s3)
+              + (n * q4 - s4 * s4) + (n * q5 - s5 * s5) AS DOUBLE)
+         / CAST(n * qt - st * st AS DOUBLE)) AS cronbach_alpha
+FROM agg
+"""
+
+sql_query("stat_cronbach_alpha", _CRONBACH_SQL)
+
+
+# ---------------------------------------------------------------------------
+# Cross-correlation function — daily view volume vs purchase volume at
+# lags 0..7 (does view traffic LEAD purchases?). Pearson r per lag with
+# every moment an integer aggregate over the O(days) daily collapse;
+# sqrt is exactly-rounded, the division's operands identical doubles —
+# bit-identical, no rounding step. The lag spine joins the collapse to
+# itself shifted: O(days * lags) rows total, constant in table size.
+# ---------------------------------------------------------------------------
+_CCF_TEMPLATE = """
+WITH d AS (
+  SELECT CAST(ts AS DATE) AS day,
+    CAST(SUM(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END)
+         AS BIGINT) AS x,
+    CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+         AS BIGINT) AS y
+  FROM events GROUP BY CAST(ts AS DATE)
+), lags AS (
+  {LAGS}
+), p AS (
+  SELECT l.lag, d1.x AS x, d2.y AS y
+  FROM lags l
+  JOIN d d1 ON 1 = 1
+  JOIN d d2 ON d2.day = {DATEADD}
+), a AS (
+  SELECT lag, CAST(COUNT(*) AS BIGINT) AS n,
+    CAST(SUM(x) AS BIGINT) AS sx, CAST(SUM(y) AS BIGINT) AS sy,
+    CAST(SUM(x * x) AS BIGINT) AS sxx, CAST(SUM(y * y) AS BIGINT) AS syy,
+    CAST(SUM(x * y) AS BIGINT) AS sxy
+  FROM p GROUP BY lag
+)
+SELECT lag, n,
+  CAST(n * sxy - sx * sy AS DOUBLE)
+    / NULLIF(SQRT(CAST(n * sxx - sx * sx AS DOUBLE)
+                  * CAST(n * syy - sy * sy AS DOUBLE)), 0.0E0)
+    AS ccf_view_to_purchase
+FROM a ORDER BY lag
+"""
+
+sql_query(
+    "stat_ccf_view_purchase",
+    _CCF_TEMPLATE.replace(
+        "{LAGS}", "SELECT explode(sequence(0, 7)) AS lag"
+    ).replace("{DATEADD}", "date_add(d1.day, CAST(l.lag AS INT))"),
+    oracle=_CCF_TEMPLATE.replace(
+        "{LAGS}", "SELECT UNNEST(range(0, 8)) AS lag"
+    ).replace("{DATEADD}", "d1.day + CAST(l.lag AS INT)"),
+)
+
+
+# ---------------------------------------------------------------------------
+# Partial autocorrelation (Yule-Walker, lags 1..3) — the model-order
+# diagnostic next to stat_acf_multi_lag, on the daily total-event
+# series. Autocorrelations clear denominators into pure integers:
+# rho_k = (n_k^2*sxy_k - n_k*S(A_k+B_k)... reduced to the standard
+# estimator with the GLOBAL mean: num_k*n^2 and den*n^2 both expand to
+# integer aggregates; then the Durbin-Levinson closed forms
+# phi_11 = r1, phi_22 = (r2-r1^2)/(1-r1^2),
+# phi_33 = (r3 - p21*r2 - p22*r1)/(1 - p21*r1 - p22*r2) with
+# p21 = r1*(1-p22) are double expressions of the two integer ratios —
+# identical text, identical doubles. Day-indexed self-joins over the
+# O(days) collapse.
+# ---------------------------------------------------------------------------
+_PACF_SQL = """
+WITH d0 AS (
+  SELECT CAST(ts AS DATE) AS day, CAST(COUNT(*) AS BIGINT) AS x
+  FROM events GROUP BY CAST(ts AS DATE)
+), d AS (
+  SELECT ROW_NUMBER() OVER (ORDER BY day) AS i, x FROM d0
+), base AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(x) AS BIGINT) AS s,
+         CAST(SUM(x * x) AS BIGINT) AS q
+  FROM d
+), lagk AS (
+  SELECT k,
+    CAST(SUM(a.x * b.x) AS BIGINT) AS sxy,
+    CAST(SUM(a.x) AS BIGINT) AS ha,
+    CAST(SUM(b.x) AS BIGINT) AS hb,
+    CAST(COUNT(*) AS BIGINT) AS nk
+  FROM (SELECT 1 AS k UNION ALL SELECT 2 UNION ALL SELECT 3) ks
+  JOIN d a ON 1 = 1
+  JOIN d b ON b.i = a.i + ks.k
+  GROUP BY k
+), rho AS (
+  SELECT k,
+    CAST(n * n * sxy - n * s * (ha + hb) + (n - k) * s * s AS DOUBLE)
+      / CAST(n * n * q - n * s * s AS DOUBLE) AS r
+  FROM lagk CROSS JOIN base
+), w AS (
+  SELECT
+    MIN(CASE WHEN k = 1 THEN r END) AS r1,
+    MIN(CASE WHEN k = 2 THEN r END) AS r2,
+    MIN(CASE WHEN k = 3 THEN r END) AS r3
+  FROM rho
+)
+SELECT r1, r2, r3,
+  r1 AS pacf_1,
+  (r2 - r1 * r1) / (1.0E0 - r1 * r1) AS pacf_2,
+  (r3 - (r1 * (1.0E0 - (r2 - r1 * r1) / (1.0E0 - r1 * r1))) * r2
+      - ((r2 - r1 * r1) / (1.0E0 - r1 * r1)) * r1)
+    / (1.0E0 - (r1 * (1.0E0 - (r2 - r1 * r1) / (1.0E0 - r1 * r1))) * r1
+             - ((r2 - r1 * r1) / (1.0E0 - r1 * r1)) * r2) AS pacf_3
+FROM w
+"""
+
+sql_query("stat_pacf_yule_walker", _PACF_SQL)
+
+
+# ---------------------------------------------------------------------------
+# Tukey HSD pairwise table — the post-hoc step after stat_anova_f_oneway:
+# all region pairs' mean revenue differences studentized by
+# sqrt(MSW/2 * (1/n_i + 1/n_j)). Group sums stay integer cents; sums of
+# squares accumulate in DECIMAL(38,0) (x*x overflows bigint at sf0.1)
+# and convert once — decimal->double conversion is correctly rounded in
+# both engines (the repo-wide decimal-accumulate posture). Per-group
+# SS fold sorted (k=5 doubles); the pair table is k(k-1)/2 rows off a
+# 5-row collapse.
+# ---------------------------------------------------------------------------
+_TUKEY_TEMPLATE = """
+WITH v AS (
+  SELECT r.r_name AS grp,
+         CAST(CAST(o.o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS x
+  FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+  JOIN nation n ON c.c_nationkey = n.n_nationkey
+  JOIN region r ON n.n_regionkey = r.r_regionkey
+), g AS (
+  SELECT grp, CAST(COUNT(*) AS BIGINT) AS n_g,
+    CAST(SUM(x) AS BIGINT) AS s_g,
+    CAST(SUM(CAST(x AS DECIMAL(19,0)) * x) AS DECIMAL(38,0)) AS q_g
+  FROM v GROUP BY grp
+), ss AS (
+  SELECT CAST(SUM(n_g) AS BIGINT) AS n_all,
+    CAST(COUNT(*) AS BIGINT) AS k,
+    {FOLD} AS ssw
+  FROM g
+), msw AS (
+  SELECT n_all, k, ssw / CAST(n_all - k AS DOUBLE) AS msw FROM ss
+)
+SELECT a.grp AS grp_a, b.grp AS grp_b,
+  a.n_g AS n_a, b.n_g AS n_b,
+  ABS(CAST(a.s_g AS DOUBLE) / CAST(a.n_g AS DOUBLE)
+      - CAST(b.s_g AS DOUBLE) / CAST(b.n_g AS DOUBLE)) / 100.0E0
+    AS mean_diff,
+  ABS(CAST(a.s_g AS DOUBLE) / CAST(a.n_g AS DOUBLE)
+      - CAST(b.s_g AS DOUBLE) / CAST(b.n_g AS DOUBLE))
+    / SQRT(msw / 2.0E0
+           * (1.0E0 / CAST(a.n_g AS DOUBLE)
+              + 1.0E0 / CAST(b.n_g AS DOUBLE))) AS q_stat
+FROM g a JOIN g b ON a.grp < b.grp CROSS JOIN msw
+ORDER BY grp_a, grp_b
+"""
+
+_TUKEY_SS_TERM = (
+    "CAST(q_g AS DOUBLE)"
+    " - CAST(s_g AS DOUBLE) * CAST(s_g AS DOUBLE) / CAST(n_g AS DOUBLE)"
+)
+
+sql_query(
+    "stat_tukey_hsd_pairs",
+    _TUKEY_TEMPLATE.replace("{FOLD}", _fold("spark", _TUKEY_SS_TERM)),
+    oracle=_TUKEY_TEMPLATE.replace("{FOLD}", _fold("duck", _TUKEY_SS_TERM)),
+)

@@ -1,0 +1,173 @@
+"""Round-12 continuation, batch 2: semantic pins for the retrieval-eval
+completion and classical-test queries beyond the oracle gate — each
+re-derived from the raw parquet with an independent pure-Python
+reference (exact fractions for AP@10/ECE/Cronbach, numpy-free PACF)."""
+
+from __future__ import annotations
+
+import os
+from fractions import Fraction
+
+import duckdb
+import pytest
+
+SF = os.environ.get("SPARK_GRAFT_TEST_SF_DIR", "/root/testdata/sf0.01")
+
+
+def _run(spark, name):
+    from iceberg_metadata_pipeline_spark.queries import all_queries
+
+    return all_queries()[name](spark, SF)
+
+
+def _events(cols):
+    con = duckdb.connect()
+    rows = con.execute(
+        f"SELECT {cols} FROM '{SF}/events.parquet'"
+    ).fetchall()
+    con.close()
+    return rows
+
+
+def test_map_at_10_matches_fraction_reference(spark):
+    """AP@10 per user re-derived with exact Fractions over the same
+    md5-tiebroken ranking."""
+    import hashlib
+
+    rows = _events(
+        "user_id, event_id, event_type,"
+        " CAST(CAST(value AS DECIMAL(38,6)) * 1000000 AS BIGINT)"
+    )
+    by_user: dict[int, list] = {}
+    for uid, eid, et, score in rows:
+        rel = 1 if et in ("purchase", "click", "view") else 0
+        tb = hashlib.md5(str(eid).encode()).hexdigest()
+        by_user.setdefault(uid, []).append((-int(score), tb, rel))
+    expect = {}
+    for uid, evs in by_user.items():
+        evs.sort()
+        n_rel = sum(r for _, _, r in evs)
+        if n_rel == 0:
+            continue
+        hits = 0
+        ap = Fraction(0)
+        for k, (_, _, r) in enumerate(evs[:10], start=1):
+            if r:
+                hits += 1
+                ap += Fraction(hits, k)
+        expect[uid] = float(ap / min(n_rel, 10))
+    got = {
+        r.user_id: (r.ap_at_10, r.n_rel)
+        for r in _run(spark, "ml_map_at_10").collect()
+    }
+    assert set(got) == set(expect)
+    for uid, (ap, _n) in got.items():
+        assert ap == pytest.approx(expect[uid], abs=1e-12), uid
+
+
+def test_ece_matches_fraction_reference(spark):
+    rows = _events(
+        "CAST(CAST(value AS DECIMAL(38,6)) * 1000000 AS BIGINT),"
+        " CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END"
+    )
+    scores = [int(s) for s, _ in rows]
+    lo, hi = min(scores), max(scores)
+    d = hi - lo + 1
+    bins: dict[int, list] = {}
+    for s, lab in rows:
+        b = min((int(s) - lo) * 10 // d, 9)
+        bins.setdefault(b, []).append((int(s) - lo, lab))
+    ece = Fraction(0)
+    n_all = len(rows)
+    for b, xs in bins.items():
+        pos = sum(lab for _, lab in xs)
+        ssum = sum(sc for sc, _ in xs)
+        ece += Fraction(abs(pos * d - ssum), d * n_all)
+    out = _run(spark, "ml_expected_calibration_error").collect()[0]
+    assert out.n == n_all and out.n_bins == len(bins)
+    assert out.ece == pytest.approx(float(ece), rel=1e-12)
+
+
+def test_cronbach_alpha_matches_fraction_reference(spark):
+    rows = _events("user_id, event_type")
+    types = ["view", "click", "purchase", "signup", "error"]
+    m: dict[int, list] = {}
+    for uid, et in rows:
+        v = m.setdefault(uid, [0] * 5)
+        v[types.index(et)] += 1
+    n = len(m)
+    num = Fraction(0)
+    for i in range(5):
+        s = sum(v[i] for v in m.values())
+        q = sum(v[i] * v[i] for v in m.values())
+        num += Fraction(n * q - s * s)
+    st = sum(sum(v) for v in m.values())
+    qt = sum(sum(v) ** 2 for v in m.values())
+    alpha = Fraction(5, 4) * (1 - num / (n * qt - st * st))
+    out = _run(spark, "stat_cronbach_alpha").collect()[0]
+    assert out.n == n
+    assert out.cronbach_alpha == pytest.approx(float(alpha), rel=1e-12)
+
+
+def test_pacf_yule_walker_matches_python_reference(spark):
+    con = duckdb.connect()
+    series = [
+        int(c)
+        for (c,) in con.execute(
+            f"SELECT COUNT(*) FROM '{SF}/events.parquet'"
+            " GROUP BY CAST(ts AS DATE) ORDER BY CAST(ts AS DATE)"
+        ).fetchall()
+    ]
+    con.close()
+    n = len(series)
+    mean = sum(series) / n
+    den = sum((x - mean) ** 2 for x in series)
+
+    def rho(k):
+        return (
+            sum(
+                (series[t] - mean) * (series[t + k] - mean)
+                for t in range(n - k)
+            )
+            / den
+        )
+
+    r1, r2, r3 = rho(1), rho(2), rho(3)
+    p22 = (r2 - r1 * r1) / (1 - r1 * r1)
+    p21 = r1 * (1 - p22)
+    p33 = (r3 - p21 * r2 - p22 * r1) / (1 - p21 * r1 - p22 * r2)
+    out = _run(spark, "stat_pacf_yule_walker").collect()[0]
+    assert out.pacf_1 == pytest.approx(r1, rel=1e-9)
+    assert out.pacf_2 == pytest.approx(p22, rel=1e-9)
+    assert out.pacf_3 == pytest.approx(p33, rel=1e-9)
+
+
+def test_cochran_armitage_matches_python_reference(spark):
+    con = duckdb.connect()
+    rows = con.execute(
+        f"""
+        SELECT COUNT(DISTINCT CAST(ts AS DATE)) AS days,
+               CASE WHEN CAST(MIN(CASE WHEN event_type = 'purchase'
+                                  THEN ts END) AS DATE)
+                         = CAST(MIN(ts) AS DATE)
+                    THEN 1 ELSE 0 END
+        FROM '{SF}/events.parquet' GROUP BY user_id
+        """
+    ).fetchall()
+    con.close()
+    import math
+
+    n = len(rows)
+    r = sum(resp for _, resp in rows)
+    sn = sr = s2n = 0
+    for days, resp in rows:
+        s = 1 if days <= 24 else 2 if days <= 26 else 3 if days <= 28 else 4
+        sn += s
+        sr += s * resp
+        s2n += s * s
+    z = (n * sr - r * sn) / math.sqrt(
+        r * (n - r) * (n * s2n - sn * sn) / n
+    )
+    out = _run(spark, "stat_cochran_armitage_trend").collect()[0]
+    assert out.n == n and out.r == r
+    assert out.z_trend == pytest.approx(z, rel=1e-12)
