@@ -225,7 +225,16 @@ def _normalized(col) -> "F.Column":
     n = F.sqrt(
         F.aggregate(F.transform(v, lambda x: x * x), F.lit(0.0), lambda acc, x: acc + x)
     )
-    return F.transform(v, lambda x: x / n)
+    # Bind the norm ONCE via array_repeat + zip_with. Substituting `n`
+    # into a per-element transform lambda re-evaluates the whole-array
+    # aggregate for EVERY element — O(D^2) interpreted work per vector
+    # (HOFs don't codegen and Catalyst doesn't CSE inside them); at
+    # D=64 that made the pair-level exact re-rank ~10x slower than the
+    # rest of the ANN pipeline combined. Arithmetic is unchanged
+    # (same x / n per element, same fold order): bit-identical results.
+    return F.zip_with(
+        F.array_repeat(n, F.size(v)), v, lambda nn, x: x / nn
+    )
 
 
 def ivf_assignments(
