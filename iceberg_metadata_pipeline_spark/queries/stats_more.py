@@ -776,3 +776,131 @@ sql_query(
     _TUKEY_TEMPLATE.replace("{FOLD}", _fold("spark", _TUKEY_SS_TERM)),
     oracle=_TUKEY_TEMPLATE.replace("{FOLD}", _fold("duck", _TUKEY_SS_TERM)),
 )
+
+
+# ---------------------------------------------------------------------------
+# Jonckheere-Terpstra — the ORDERED-alternative k-group test next to
+# stat_kruskal_wallis (is daily revenue monotone in order priority?).
+# JT = sum over group pairs i<j of Mann-Whitney U(i,j); each pair's U
+# comes from the distinct-value prefix trick over the pair's POOLED
+# values (PARTITION BY pair — no global rank), doubled to stay integer
+# under the tie-half convention: 2U = sum_v cj(v)*(2*ci_less(v)+ci(v)).
+# Null mean/variance are closed forms of the group sizes; the only
+# doubles are the final sqrt (exactly rounded) and division. Work:
+# O(pairs * days) rows windowed — bounded by the date range.
+# ---------------------------------------------------------------------------
+_JT_SQL = """
+WITH d AS (
+  SELECT o_orderpriority AS grp,
+         CAST(o_orderdate AS DATE) AS day,
+         CAST(SUM(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT))
+              AS BIGINT) AS x
+  FROM orders GROUP BY o_orderpriority, CAST(o_orderdate AS DATE)
+), grps AS (
+  SELECT DISTINCT grp FROM d
+), pairs AS (
+  SELECT a.grp AS gi, b.grp AS gj FROM grps a JOIN grps b ON a.grp < b.grp
+), pooled AS (
+  SELECT p.gi, p.gj, d.grp, d.x
+  FROM pairs p JOIN d ON d.grp = p.gi OR d.grp = p.gj
+), dv AS (
+  SELECT gi, gj, x,
+    CAST(SUM(CASE WHEN grp = gi THEN 1 ELSE 0 END) AS BIGINT) AS ci,
+    CAST(SUM(CASE WHEN grp = gj THEN 1 ELSE 0 END) AS BIGINT) AS cj
+  FROM pooled GROUP BY gi, gj, x
+), c AS (
+  SELECT gi, gj, ci, cj,
+    COALESCE(SUM(ci) OVER (PARTITION BY gi, gj ORDER BY x
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+      AS ci_less
+  FROM dv
+), jt AS (
+  SELECT CAST(SUM(cj * (2 * ci_less + ci)) AS BIGINT) AS jt2 FROM c
+), sizes AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n_g, grp FROM d GROUP BY grp
+), moments AS (
+  SELECT CAST(SUM(n_g) AS BIGINT) AS n,
+    CAST(SUM(n_g * n_g) AS BIGINT) AS sn2,
+    CAST(SUM(n_g * n_g * (2 * n_g + 3)) AS BIGINT) AS sn23
+  FROM sizes
+)
+SELECT jt2 {IDIV} 2 AS jt_stat, n,
+  CAST(jt2 - (n * n - sn2) {IDIV} 2 AS DOUBLE)
+    / (2.0E0 * SQRT(CAST(n * n * (2 * n + 3) - sn23 AS DOUBLE) / 72.0E0))
+    AS z_jt
+FROM jt CROSS JOIN moments
+"""
+
+sql_query(
+    "stat_jonckheere_terpstra",
+    _JT_SQL.replace("{IDIV}", "DIV"),
+    oracle=_JT_SQL.replace("{IDIV}", "//"),
+)
+
+
+# ---------------------------------------------------------------------------
+# Welch's ANOVA — the unequal-variance completion of stat_anova_f_oneway
+# (which assumes homoscedasticity; Brown-Forsythe tests the variances,
+# Welch fixes the test). Region groups over order revenue cents; group
+# moments are integer/decimal-exact; the weighted mean and the two
+# cross-group sums fold SORTED (k=5 doubles each). F* = A/B and the
+# Welch-Satterthwaite df2 ride out as one row.
+# ---------------------------------------------------------------------------
+_WELCH_TEMPLATE = """
+WITH v AS (
+  SELECT r.r_name AS grp,
+         CAST(CAST(o.o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS x
+  FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+  JOIN nation n ON c.c_nationkey = n.n_nationkey
+  JOIN region r ON n.n_regionkey = r.r_regionkey
+), g AS (
+  SELECT grp, CAST(COUNT(*) AS BIGINT) AS n_g,
+    CAST(SUM(x) AS BIGINT) AS s_g,
+    CAST(SUM(CAST(x AS DECIMAL(19,0)) * x) AS DECIMAL(38,0)) AS q_g
+  FROM v GROUP BY grp
+), w AS (
+  SELECT grp, n_g,
+    CAST(s_g AS DOUBLE) / CAST(n_g AS DOUBLE) AS m_g,
+    CAST(n_g AS DOUBLE)
+      / ((CAST(q_g AS DOUBLE)
+          - CAST(s_g AS DOUBLE) * CAST(s_g AS DOUBLE) / CAST(n_g AS DOUBLE))
+         / CAST(n_g - 1 AS DOUBLE)) AS w_g
+  FROM g
+), tot AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS k,
+    {FOLD_W} AS w_sum,
+    {FOLD_WM} AS wm_sum
+  FROM w
+), terms AS (
+  SELECT w.grp, w.n_g, w.w_g, w.m_g, tot.k, tot.w_sum,
+    w.w_g * (w.m_g - tot.wm_sum / tot.w_sum)
+          * (w.m_g - tot.wm_sum / tot.w_sum) AS a_term,
+    (1.0E0 - w.w_g / tot.w_sum) * (1.0E0 - w.w_g / tot.w_sum)
+      / CAST(w.n_g - 1 AS DOUBLE) AS l_term
+  FROM w CROSS JOIN tot
+), folded AS (
+  SELECT MIN(k) AS k,
+    {FOLD_A} AS a_sum,
+    {FOLD_L} AS lam
+  FROM terms
+)
+SELECT k,
+  (a_sum / CAST(k - 1 AS DOUBLE))
+    / (1.0E0 + (2.0E0 * CAST(k - 2 AS DOUBLE)
+                / (CAST(k AS DOUBLE) * CAST(k AS DOUBLE) - 1.0E0)) * lam)
+    AS f_welch,
+  (CAST(k AS DOUBLE) * CAST(k AS DOUBLE) - 1.0E0) / (3.0E0 * lam) AS df2
+FROM folded
+"""
+
+sql_query(
+    "stat_welch_anova",
+    _WELCH_TEMPLATE.replace("{FOLD_W}", _fold("spark", "w_g"))
+    .replace("{FOLD_WM}", _fold("spark", "w_g * m_g"))
+    .replace("{FOLD_A}", _fold("spark", "a_term"))
+    .replace("{FOLD_L}", _fold("spark", "l_term")),
+    oracle=_WELCH_TEMPLATE.replace("{FOLD_W}", _fold("duck", "w_g"))
+    .replace("{FOLD_WM}", _fold("duck", "w_g * m_g"))
+    .replace("{FOLD_A}", _fold("duck", "a_term"))
+    .replace("{FOLD_L}", _fold("duck", "l_term")),
+)

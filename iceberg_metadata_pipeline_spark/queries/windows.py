@@ -336,3 +336,37 @@ def window_ewma_halflife(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("user_id", "rn")
         .limit(3000)
     )
+
+
+# --- 30-day rolling EXACT median (round 12) ----------------------------------
+
+# the robust companion to window_rolling_corr_30d: an exact rolling
+# median over a RANGE-interval frame. Spark's `percentile` and DuckDB's
+# `quantile_cont` both linearly interpolate over the sorted frame, and
+# over INTEGER cents the midpoint is exactly representable (x.0 or x.5)
+# — probed value-identical before landing. The window runs over the
+# O(days) daily collapse (bounded input, the unpartitioned-window
+# posture documented in stats_ext).
+_ROLL_MED_TEMPLATE = """
+WITH d AS (
+  SELECT CAST(o_orderdate AS DATE) AS day,
+         CAST(SUM(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT))
+              AS BIGINT) AS y
+  FROM orders GROUP BY CAST(o_orderdate AS DATE)
+)
+SELECT day,
+  CAST({MEDIAN} OVER (
+    ORDER BY day RANGE BETWEEN INTERVAL {DAYS29} PRECEDING AND CURRENT ROW
+  ) AS DOUBLE) / 100.0E0 AS rolling_median_rev
+FROM d ORDER BY day
+"""
+
+sql_query(
+    "window_rolling_median_30d",
+    _ROLL_MED_TEMPLATE.replace("{MEDIAN}", "percentile(y, 0.5E0)").replace(
+        "{DAYS29}", "29 DAYS"
+    ),
+    oracle=_ROLL_MED_TEMPLATE.replace("{MEDIAN}", "quantile_cont(y, 0.5)").replace(
+        "{DAYS29}", "29 DAYS"
+    ),
+)

@@ -171,3 +171,81 @@ def test_cochran_armitage_matches_python_reference(spark):
     out = _run(spark, "stat_cochran_armitage_trend").collect()[0]
     assert out.n == n and out.r == r
     assert out.z_trend == pytest.approx(z, rel=1e-12)
+
+
+def test_jonckheere_terpstra_matches_python_reference(spark):
+    con = duckdb.connect()
+    rows = con.execute(
+        f"""
+        SELECT o_orderpriority,
+               CAST(SUM(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100
+                        AS BIGINT)) AS BIGINT)
+        FROM '{SF}/orders.parquet'
+        GROUP BY o_orderpriority, CAST(o_orderdate AS DATE)
+        """
+    ).fetchall()
+    con.close()
+    import math
+    from collections import defaultdict
+
+    groups = defaultdict(list)
+    for g, x in rows:
+        groups[g].append(int(x))
+    keys = sorted(groups)
+    jt2 = 0
+    for i, gi in enumerate(keys):
+        for gj in keys[i + 1 :]:
+            for a in groups[gi]:
+                for b in groups[gj]:
+                    jt2 += 2 if a < b else (1 if a == b else 0)
+    ns = [len(groups[k]) for k in keys]
+    n = sum(ns)
+    mu2 = (n * n - sum(x * x for x in ns)) // 2
+    var = (
+        n * n * (2 * n + 3) - sum(x * x * (2 * x + 3) for x in ns)
+    ) / 72.0
+    z = (jt2 - mu2) / (2.0 * math.sqrt(var))
+    out = _run(spark, "stat_jonckheere_terpstra").collect()[0]
+    assert out.jt_stat == jt2 // 2 and out.n == n
+    assert out.z_jt == pytest.approx(z, rel=1e-12)
+
+
+def test_welch_anova_matches_python_reference(spark):
+    con = duckdb.connect()
+    rows = con.execute(
+        f"""
+        SELECT r.r_name,
+               CAST(CAST(o.o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+        FROM '{SF}/orders.parquet' o
+        JOIN '{SF}/customer.parquet' c ON o.o_custkey = c.c_custkey
+        JOIN '{SF}/nation.parquet' n ON c.c_nationkey = n.n_nationkey
+        JOIN '{SF}/region.parquet' r ON n.n_regionkey = r.r_regionkey
+        """
+    ).fetchall()
+    con.close()
+    from collections import defaultdict
+
+    groups = defaultdict(list)
+    for g, x in rows:
+        groups[g].append(int(x))
+    k = len(groups)
+    w = {}
+    m = {}
+    for g, xs in groups.items():
+        n_g = len(xs)
+        mean = sum(xs) / n_g
+        var = sum((x - mean) ** 2 for x in xs) / (n_g - 1)
+        w[g] = n_g / var
+        m[g] = mean
+    W_ = sum(w.values())
+    mbar = sum(w[g] * m[g] for g in groups) / W_
+    A = sum(w[g] * (m[g] - mbar) ** 2 for g in groups) / (k - 1)
+    lam = sum(
+        (1 - w[g] / W_) ** 2 / (len(groups[g]) - 1) for g in groups
+    )
+    F_ = A / (1 + 2 * (k - 2) / (k * k - 1) * lam)
+    df2 = (k * k - 1) / (3 * lam)
+    out = _run(spark, "stat_welch_anova").collect()[0]
+    assert out.k == k
+    assert out.f_welch == pytest.approx(F_, rel=1e-9)
+    assert out.df2 == pytest.approx(df2, rel=1e-9)
