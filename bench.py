@@ -153,6 +153,11 @@ HEADLINE = [
     # bucketed two-phase prefix
     "source_pyrest_plan_scan",
     "ml_pr_auc_exact",
+    # round-12 continuation: retrieval-trio completion (integer AP@10),
+    # the pair-partitioned prefix JT shape, RANGE-interval exact median
+    "ml_map_at_10",
+    "stat_jonckheere_terpstra",
+    "window_rolling_median_30d",
 ]
 
 

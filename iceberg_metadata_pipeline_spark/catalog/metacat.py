@@ -3429,6 +3429,25 @@ class Catalog:
         with open(self._views_path(), "w") as fh:
             json.dump(views, fh, indent=1)
 
+    def rename_view(
+        self, namespace: str, name: str, dest_ns: str, dest_name: str
+    ) -> None:
+        """Rename a view (optionally across namespaces). The stored SQL
+        moves verbatim — references inside it are NOT rewritten (same
+        posture as table rename: the definition is the user's text)."""
+        views = self._read_views()
+        src, dst = f"{namespace}.{name}", f"{dest_ns}.{dest_name}"
+        if src not in views:
+            raise KeyError(f"no view {src}")
+        if dst in views:
+            raise FileExistsError(f"view {dst} exists")
+        if self.table_exists(dest_ns, dest_name):
+            raise ValueError(f"{dst} is a table")
+        self.ensure_namespace(dest_ns)
+        views[dst] = views.pop(src)
+        with open(self._views_path(), "w") as fh:
+            json.dump(views, fh, indent=1)
+
     def drop_view(self, namespace: str, name: str) -> bool:
         views = self._read_views()
         if views.pop(f"{namespace}.{name}", None) is None:

@@ -413,10 +413,37 @@ class PyRestStreamReader(_RestTaskReadMixin, DataSourceStreamReader):
         pass  # offsets live in the streaming checkpoint
 
 
+def _manifest_part_value(v, source_type: str):
+    """Python row value → the spec-typed manifest representation of an
+    identity partition value (dates as epoch days, timestamps as epoch
+    micros — the Avro appendix encodings manifest_entry_schema types)."""
+    import datetime as _dt
+
+    if v is None:
+        return None
+    if source_type in ("long", "int", "integer", "smallint", "tinyint"):
+        return int(v)
+    if source_type == "boolean":
+        return bool(v)
+    if source_type in ("double", "float"):
+        return float(v)
+    if source_type == "string":
+        return str(v)
+    if source_type == "date":
+        return (v - _dt.date(1970, 1, 1)).days
+    if source_type in ("timestamp", "timestamp_ntz"):
+        naive = v.replace(tzinfo=None) if v.tzinfo else v
+        return (naive - _dt.datetime(1970, 1, 1)) // _dt.timedelta(
+            microseconds=1
+        )
+    raise ValueError(f"unsupported partition source type {source_type!r}")
+
+
 @dataclass
 class RestWriteCommit(WriterCommitMessage):
-    # [(tmp_path, rows, size)] — parquet task files staged under the
-    # table's data/ dir, invisible until the REST commit names them
+    # [(tmp_path, rows, size, partition_dict)] — parquet task files
+    # staged under the table's data/ dir (one per identity partition
+    # value), invisible until the REST commit names them
     files: tuple = ()
 
 
@@ -437,8 +464,11 @@ class PyRestBatchWriter(DataSourceWriter):
 
     Scope bounds (loud refusals, not silent corruption): append mode
     only (overwrite/replace go through the warehouse's own commit
-    path) and unpartitioned tables only (a partitioned table's entries
-    need typed partition tuples this writer does not yet route).
+    path); partitioned tables write when every spec field is an
+    IDENTITY transform (tasks split rows by the source columns and
+    manifests carry spec-typed r102 tuples, so the server's scan
+    planning prunes these appends); bucket/truncate/days transforms
+    refuse — they need writer-side transform evaluation.
 
     Reference parity: the commit protocol the reference delegates to
     iceberg-spark-runtime's REST catalog integration, jar-free."""
@@ -488,10 +518,54 @@ class PyRestBatchWriter(DataSourceWriter):
             ),
             {"fields": []},
         )
-        if spec.get("fields"):
-            raise NotImplementedError(
-                "pyrest writer: partitioned tables are not served yet — "
-                "write through pyice or the warehouse path"
+        # identity-partitioned tables write partitioned (round 12
+        # continuation): each task splits its rows by the identity
+        # source columns and the manifest entries carry spec-typed
+        # partition tuples (r102), so the server's scan planning prunes
+        # these appends exactly like warehouse-written files. Any
+        # non-identity transform still refuses loudly — routing a
+        # bucket/truncate/days tuple needs the transform evaluated
+        # writer-side, which this thin client does not do.
+        self.spec_id = int(md.get("default-spec-id", 0) or 0)
+        self.part_fields: list[dict] = []
+        _ice2src = {
+            "long": "long",
+            "int": "int",
+            "integer": "int",
+            "string": "string",
+            "date": "date",
+            "double": "double",
+            "float": "float",
+            "boolean": "boolean",
+            "timestamptz": "timestamp",
+            "timestamp": "timestamp_ntz",
+        }
+        for pf in spec.get("fields") or []:
+            if pf.get("transform") != "identity":
+                raise NotImplementedError(
+                    "pyrest writer: only identity partition transforms — "
+                    f"{pf.get('transform')!r} needs writer-side transform "
+                    "evaluation; write through pyice or the warehouse path"
+                )
+            src = next(
+                (
+                    f
+                    for f in served.get("fields", [])
+                    if f.get("id") == pf.get("source-id")
+                ),
+                None,
+            )
+            if src is None or str(src.get("type")) not in _ice2src:
+                raise ValueError(
+                    "pyrest writer: partition source column unresolvable "
+                    f"or untyped for manifests: {pf}"
+                )
+            self.part_fields.append(
+                {
+                    "name": pf["name"],
+                    "column": src["name"],
+                    "source_type": _ice2src[str(src["type"])],
+                }
             )
 
     def write(self, iterator):
@@ -512,12 +586,26 @@ class PyRestBatchWriter(DataSourceWriter):
             return RestWriteCommit(files=())
         data_dir = os.path.join(_norm(self.location), "data")
         os.makedirs(data_dir, exist_ok=True)
-        cols = {n: [r[i] for r in rows] for i, n in enumerate(names)}
-        tmp = os.path.join(data_dir, f"_tmp-{_uuid.uuid4().hex}.parquet")
-        pq.write_table(pa.table(cols, schema=pa.schema(fields)), tmp)
-        return RestWriteCommit(
-            files=((tmp, len(rows), os.path.getsize(tmp)),)
-        )
+        # identity partitioning: split the task's rows by the spec's
+        # source columns — one staged file per partition value, its
+        # spec-typed tuple riding the commit message into the manifest
+        part_idx = [names.index(pf["column"]) for pf in self.part_fields]
+        groups: dict[tuple, list] = {}
+        for r in rows:
+            groups.setdefault(tuple(r[i] for i in part_idx), []).append(r)
+        out = []
+        for key, grp in sorted(
+            groups.items(), key=lambda kv: tuple(map(str, kv[0]))
+        ):
+            cols = {n: [r[i] for r in grp] for i, n in enumerate(names)}
+            tmp = os.path.join(data_dir, f"_tmp-{_uuid.uuid4().hex}.parquet")
+            pq.write_table(pa.table(cols, schema=pa.schema(fields)), tmp)
+            part = {
+                pf["name"]: _manifest_part_value(v, pf["source_type"])
+                for pf, v in zip(self.part_fields, key)
+            }
+            out.append((tmp, len(grp), os.path.getsize(tmp), part))
+        return RestWriteCommit(files=tuple(out))
 
     def commit(self, messages):
         import os
@@ -541,15 +629,20 @@ class PyRestBatchWriter(DataSourceWriter):
         meta_dir = os.path.join(loc, "metadata")
         os.makedirs(meta_dir, exist_ok=True)
         finals = []
-        for tmp, rows, size in sorted(staged):
+        for tmp, rows, size, part in sorted(staged, key=lambda t: t[0]):
             final = os.path.join(data_dir, f"part-{_uuid.uuid4().hex}.parquet")
             os.rename(tmp, final)
-            finals.append((final, rows, size))
+            finals.append((final, rows, size, part))
         sid = int(_uuid.uuid4().int % (1 << 62))
         mpath = os.path.join(meta_dir, f"pyrest-{sid}-m0.avro")
         avro_io.write_container(
             mpath,
-            manifest_entry_schema([]),
+            manifest_entry_schema(
+                [
+                    {"name": pf["name"], "source_type": pf["source_type"]}
+                    for pf in self.part_fields
+                ]
+            ),
             [
                 {
                     "status": 1,
@@ -559,12 +652,12 @@ class PyRestBatchWriter(DataSourceWriter):
                         "content": 0,
                         "file_path": path,
                         "file_format": "PARQUET",
-                        "partition": {},
+                        "partition": part,
                         "record_count": rows,
                         "file_size_in_bytes": size,
                     },
                 }
-                for path, rows, size in finals
+                for path, rows, size, part in finals
             ],
         )
         mlist = os.path.join(meta_dir, f"snap-{sid}-pyrest.avro")
@@ -575,7 +668,7 @@ class PyRestBatchWriter(DataSourceWriter):
                 {
                     "manifest_path": mpath,
                     "manifest_length": os.path.getsize(mpath),
-                    "partition_spec_id": 0,
+                    "partition_spec_id": self.spec_id,
                     "content": 0,
                     "sequence_number": 1,
                     "min_sequence_number": 1,
@@ -583,7 +676,7 @@ class PyRestBatchWriter(DataSourceWriter):
                     "added_files_count": len(finals),
                     "existing_files_count": 0,
                     "deleted_files_count": 0,
-                    "added_rows_count": sum(r for _p, r, _s in finals),
+                    "added_rows_count": sum(r for _p, r, _s, _pt in finals),
                     "existing_rows_count": 0,
                     "deleted_rows_count": 0,
                 }

@@ -232,6 +232,8 @@ class RestCatalogServer:
             with self._lock:
                 self._exports.pop((s_ns, s_t), None)
             return h._send(204)
+        if p == ["views", "rename"] and method == "POST":
+            return self._rename_view(h, h._body())
         if len(p) >= 2 and p[0] == "namespaces":
             ns = p[1]
             if len(p) == 2:
@@ -323,6 +325,13 @@ class RestCatalogServer:
             if len(p) == 4 and p[2] == "views":
                 name = p[3]
                 exists = name in self.catalog.list_views(ns)
+                if method == "POST":
+                    # replaceView: commit a new view version
+                    if not exists:
+                        return h._error(
+                            404, f"view {ns}.{name} not found", "NoSuchViewException"
+                        )
+                    return self._replace_view(h, ns, name, h._body())
                 if method in ("GET", "HEAD"):
                     if not exists:
                         return h._error(
@@ -613,6 +622,7 @@ class RestCatalogServer:
             _prune_by_stats,
         )
         from iceberg_metadata_pipeline_spark.catalog.partitioning import (
+            prune_files_by_partition,
             split_conjuncts,
             strip_outer_parens,
         )
@@ -648,12 +658,25 @@ class RestCatalogServer:
                 raise _PlanError(
                     400, f"filter references unknown column(s) {unknown_cols}"
                 )
+            specs = t.partition_specs
+            types = t._schema_types() if specs else {}
             for conjunct in split_conjuncts(sql_filter):
                 # _expr_to_sql parenthesizes AND branches; the stats
                 # pruner's regex wants bare comparisons — strip balanced
                 # outer parens so compound filters prune on EVERY
                 # conjunct, not just bare single comparisons
-                files = _prune_by_stats(files, strip_outer_parens(conjunct))
+                c = strip_outer_parens(conjunct)
+                files = _prune_by_stats(files, c)
+                if specs:
+                    # partition pruning (round-12 continuation): the
+                    # same transform-aware pruner the warehouse scan
+                    # runs — files without partition metadata are
+                    # always kept, so this is pure I/O savings for thin
+                    # clients, never a semantics change (deterministic
+                    # per (snapshot, filter): token replay stays stable)
+                    files = prune_files_by_partition(
+                        self.catalog.spark, files, specs, types, c
+                    )
         return t, snap, sorted(files, key=lambda f: f.path)
 
     def _resolve_served_snapshot(self, ns: str, name: str, sid: int) -> int:
@@ -1259,10 +1282,15 @@ class RestCatalogServer:
         return str(v)
 
     @classmethod
-    def _entry_from_datafile(cls, dfd: dict, spec_fields) -> "object":
+    def _entry_from_datafile(
+        cls, dfd: dict, spec_fields, spec_id: int | None = None
+    ) -> "object":
         """DataFileEntry from a manifest data_file record. Raises
         ValueError (caller returns the message) for delete-content files
-        and missing data files."""
+        and missing data files. ``spec_id`` stamps the table's default
+        spec onto entries that carry a full partition tuple, so the
+        scan/plan partition pruner can act on REST-ingested files (an
+        entry missing any spec value stays unstamped → never pruned)."""
 
         from iceberg_metadata_pipeline_spark.catalog.metacat import (
             DataFileEntry,
@@ -1279,12 +1307,14 @@ class RestCatalogServer:
             for pf in spec_fields
             if raw.get(pf["name"]) is not None
         }
+        full = spec_fields and len(part) == len(spec_fields)
         return DataFileEntry(
             path=p,
             record_count=int(dfd["record_count"]),
             file_size_bytes=int(dfd["file_size_in_bytes"]),
             format=str(dfd.get("file_format", "PARQUET")),
             partition=part,
+            spec_id=spec_id if full else None,
         )
 
     def _read_manifest_list(self, location: str, snapshot: dict):
@@ -1392,7 +1422,10 @@ class RestCatalogServer:
                     continue  # EXISTING rows re-listed from the parent
                 try:
                     entries.append(
-                        self._entry_from_datafile(e["data_file"], spec_fields)
+                        self._entry_from_datafile(
+                            e["data_file"], spec_fields,
+                            t.meta.get("default_spec_id"),
+                        )
                     )
                 except ValueError as exc:
                     return f"{exc}: not an append"
@@ -1437,7 +1470,10 @@ class RestCatalogServer:
                 if int(e.get("status", 0)) == 2:
                     continue  # DELETED: dead in this snapshot
                 try:
-                    entry = self._entry_from_datafile(e["data_file"], spec_fields)
+                    entry = self._entry_from_datafile(
+                        e["data_file"], spec_fields,
+                        t.meta.get("default_spec_id"),
+                    )
                 except ValueError as exc:
                     return f"{exc} in a {op} commit"
                 live[entry.path] = entry
@@ -1611,7 +1647,8 @@ class RestCatalogServer:
                         continue  # DELETED: dead in this snapshot
                     try:
                         entry = self._entry_from_datafile(
-                            e["data_file"], spec_fields
+                            e["data_file"], spec_fields,
+                            t.meta.get("default_spec_id"),
                         )
                     except ValueError as exc:
                         return f"{exc} in a delete commit"
@@ -1954,6 +1991,106 @@ class RestCatalogServer:
         )
         self.catalog.ensure_namespace(ns)
         self.catalog.create_view(ns, name, spark_sql)
+        return self._load_view(h, ns, name)
+
+    def _rename_view(self, h, body: dict):
+        """renameView (round 12): move a view, optionally across
+        namespaces. The served view-uuid stays stable: the mirror's
+        exported metadata directory moves with the view, so the next
+        loadView continues the SAME version history instead of minting
+        a fresh uuid (the spec's rename-preserves-identity posture)."""
+        src, dst = body.get("source") or {}, body.get("destination") or {}
+        s_ns, s_v = ".".join(src.get("namespace") or []), src.get("name")
+        d_ns, d_v = ".".join(dst.get("namespace") or []), dst.get("name")
+        if not s_ns or not s_v or not d_ns or not d_v:
+            return h._error(400, "source and destination required")
+        if s_v not in self.catalog.list_views(s_ns):
+            return h._error(
+                404, f"view {s_ns}.{s_v} not found", "NoSuchViewException"
+            )
+        if d_v in self.catalog.list_views(d_ns):
+            return h._error(
+                409, f"view {d_ns}.{d_v} exists", "AlreadyExistsException"
+            )
+        try:
+            self.catalog.rename_view(s_ns, s_v, d_ns, d_v)
+        except ValueError as e:
+            return h._error(409, str(e), "AlreadyExistsException")
+        old_dir = os.path.join(self.mirror_dir, s_ns, f"__view_{s_v}")
+        new_dir = os.path.join(self.mirror_dir, d_ns, f"__view_{d_v}")
+        if os.path.isdir(old_dir) and not os.path.exists(new_dir):
+            os.makedirs(os.path.dirname(new_dir), exist_ok=True)
+            os.rename(old_dir, new_dir)
+        return h._send(204)
+
+    def _replace_view(self, h, ns: str, name: str, body: dict):
+        """replaceView (round 12): commit a new view version through the
+        spec's UpdateViewRequest. Accepted updates: ``add-view-version``
+        (the new SQL representation) + ``set-current-view-version``
+        (version-id -1 = the version just added — the shape engines
+        emit); ``upsert-view-properties`` / ``assign-uuid`` are
+        tolerated no-ops at this layer. Any OTHER action refuses 400
+        (nothing silently dropped). Requirement ``assert-view-uuid``
+        validates against the served metadata's uuid — stale 409.
+        The new definition replaces the stored SQL; the next loadView
+        re-export appends a version entry (history retained)."""
+        served_uuid = None
+        meta_path = export_iceberg_view(
+            self.catalog, ns, name, os.path.join(self.mirror_dir, ns, f"__view_{name}")
+        )
+        with open(meta_path) as fh:
+            served_uuid = json.load(fh).get("view-uuid")
+        for req in body.get("requirements") or []:
+            typ = req.get("type")
+            if typ == "assert-view-uuid":
+                if req.get("uuid") != served_uuid:
+                    return h._error(
+                        409,
+                        f"view uuid mismatch: expected {req.get('uuid')},"
+                        f" served {served_uuid}",
+                        "CommitFailedException",
+                    )
+            else:
+                return h._error(400, f"unsupported view requirement: {typ}")
+        new_sql = None
+        saw_set_current = False
+        for up in body.get("updates") or []:
+            act = up.get("action")
+            if act == "add-view-version":
+                reps = [
+                    r
+                    for r in (up.get("view-version") or {}).get(
+                        "representations"
+                    )
+                    or []
+                    if r.get("type") == "sql"
+                ]
+                if not reps:
+                    return h._error(
+                        400, "add-view-version needs a sql representation"
+                    )
+                new_sql = next(
+                    (r["sql"] for r in reps if r.get("dialect", "spark") == "spark"),
+                    reps[0]["sql"],
+                )
+            elif act == "set-current-view-version":
+                vid = up.get("view-version-id")
+                if vid != -1:
+                    return h._error(
+                        400,
+                        "only view-version-id -1 (last added) is supported",
+                    )
+                saw_set_current = True
+            elif act in ("upsert-view-properties", "assign-uuid"):
+                pass
+            else:
+                return h._error(400, f"unsupported view update action: {act}")
+        if new_sql is None or not saw_set_current:
+            return h._error(
+                400,
+                "replaceView needs add-view-version + set-current-view-version",
+            )
+        self.catalog.create_view(ns, name, new_sql, replace=True)
         return self._load_view(h, ns, name)
 
     def _register_table(self, h, ns: str, body: dict):

@@ -1877,3 +1877,126 @@ def test_pyrest_reads_through_async_server(spark, async_server):
         .load("ap3.t")
     )
     assert sorted(r.id for r in filt.collect()) == [3, 4, 5]
+
+
+def test_view_rename_and_replace(spark, server):
+    """Round 12: renameView + replaceView. Rename moves the mirror's
+    exported metadata with the view, so the served view-uuid is STABLE
+    across rename (the spec's rename-preserves-identity posture);
+    replace commits a new version through UpdateViewRequest and the
+    version history accumulates under the same uuid. Conflicts refuse:
+    missing source 404, existing destination 409, table-shadowing 409,
+    stale assert-view-uuid 409, unknown update action 400."""
+    catalog, srv, base = server
+    _req(f"{base}/v1/namespaces", "POST", {"namespace": ["vr"]})
+    _req(
+        f"{base}/v1/namespaces/vr/tables",
+        "POST",
+        {"name": "t", "schema": ICE_SCHEMA},
+    )
+    mk = {
+        "name": "v1",
+        "view-version": {
+            "representations": [
+                {"type": "sql", "dialect": "spark", "sql": "SELECT 1 AS a"}
+            ]
+        },
+    }
+    code, out = _req(f"{base}/v1/namespaces/vr/views", "POST", mk)
+    assert code == 200
+    uuid0 = out["metadata"]["view-uuid"]
+
+    # rename within the namespace: uuid survives
+    code, _ = _req(
+        f"{base}/v1/views/rename",
+        "POST",
+        {
+            "source": {"namespace": ["vr"], "name": "v1"},
+            "destination": {"namespace": ["vr"], "name": "v2"},
+        },
+    )
+    assert code == 204
+    assert _status_of(f"{base}/v1/namespaces/vr/views/v1") == 404
+    code, out = _req(f"{base}/v1/namespaces/vr/views/v2")
+    assert code == 200 and out["metadata"]["view-uuid"] == uuid0
+
+    # conflicts
+    assert (
+        _status_of(
+            f"{base}/v1/views/rename",
+            "POST",
+            {
+                "source": {"namespace": ["vr"], "name": "nope"},
+                "destination": {"namespace": ["vr"], "name": "x"},
+            },
+        )
+        == 404
+    )
+    _req(f"{base}/v1/namespaces/vr/views", "POST", dict(mk, name="v3"))
+    assert (
+        _status_of(
+            f"{base}/v1/views/rename",
+            "POST",
+            {
+                "source": {"namespace": ["vr"], "name": "v3"},
+                "destination": {"namespace": ["vr"], "name": "v2"},
+            },
+        )
+        == 409
+    )
+    assert (
+        _status_of(
+            f"{base}/v1/views/rename",
+            "POST",
+            {
+                "source": {"namespace": ["vr"], "name": "v3"},
+                "destination": {"namespace": ["vr"], "name": "t"},
+            },
+        )
+        == 409
+    )
+
+    # replaceView: new SQL, version bumps, uuid stable
+    rep = {
+        "requirements": [{"type": "assert-view-uuid", "uuid": uuid0}],
+        "updates": [
+            {
+                "action": "add-view-version",
+                "view-version": {
+                    "representations": [
+                        {
+                            "type": "sql",
+                            "dialect": "spark",
+                            "sql": "SELECT 2 AS a",
+                        }
+                    ]
+                },
+            },
+            {"action": "set-current-view-version", "view-version-id": -1},
+        ],
+    }
+    code, out = _req(f"{base}/v1/namespaces/vr/views/v2", "POST", rep)
+    assert code == 200
+    md = out["metadata"]
+    assert md["view-uuid"] == uuid0
+    cur = next(
+        v for v in md["versions"] if v["version-id"] == md["current-version-id"]
+    )
+    assert any(
+        r.get("sql") == "SELECT 2 AS a" for r in cur["representations"]
+    )
+    assert len(md["versions"]) >= 2  # history retained
+
+    # stale uuid 409; unknown action 400; missing pieces 400
+    stale = dict(rep, requirements=[{"type": "assert-view-uuid", "uuid": "nope"}])
+    assert _status_of(f"{base}/v1/namespaces/vr/views/v2", "POST", stale) == 409
+    bad = {"updates": [{"action": "remove-view-version", "view-version-id": 1}]}
+    assert _status_of(f"{base}/v1/namespaces/vr/views/v2", "POST", bad) == 400
+    assert (
+        _status_of(
+            f"{base}/v1/namespaces/vr/views/v2",
+            "POST",
+            {"updates": [rep["updates"][0]]},
+        )
+        == 400
+    )

@@ -989,3 +989,118 @@ def test_pyrest_stream_tails_appends_and_refuses_removals(spark, server):
     )
     with pytest.raises(Exception, match="tails APPENDS"):
         resumed.awaitTermination(120)
+
+
+def test_pyrest_writer_partitioned_identity(spark, server):
+    """Round-12 continuation: the pyrest writer routes IDENTITY
+    partition tuples — tasks split rows by the source columns (string
+    + date here, covering the typed manifest encodings), the posted
+    manifest carries spec-typed r102 values, and the server's scan
+    planning prunes the appended files by partition exactly like
+    warehouse-written ones. Non-identity transforms still refuse."""
+    import json as _json
+
+    from pyspark.sql import types as T
+
+    from iceberg_metadata_pipeline_spark.catalog.partitioning import (
+        PartitionField,
+    )
+    from iceberg_metadata_pipeline_spark.ingest.pyrest_source import register
+
+    catalog, srv, base = server
+    catalog.ensure_namespace("wp")
+    catalog.create_table(
+        "wp",
+        "t",
+        T.StructType(
+            [
+                T.StructField("id", T.LongType(), True),
+                T.StructField("g", T.StringType(), True),
+                T.StructField("d", T.DateType(), True),
+            ]
+        ),
+        partition_spec=[
+            PartitionField("g", "identity"),
+            PartitionField("d", "identity"),
+        ],
+    )
+    register(spark)
+    df = spark.sql(
+        "SELECT id, IF(id % 2 = 0, 'a', 'b') AS g,"
+        " IF(id < 4, DATE'2024-01-01', DATE'2024-01-02') AS d"
+        " FROM RANGE(8)"
+    )
+    df.write.format("pyrest").option("url", base).mode("append").save("wp.t")
+
+    back = spark.read.format("pyrest").option("url", base).load("wp.t")
+    assert sorted((r.id, r.g, str(r.d)) for r in back.collect()) == sorted(
+        (r.id, r.g, str(r.d)) for r in df.collect()
+    )
+
+    # the appended files carry partition tuples the server prunes by:
+    # an equality filter on g plans only g='a' files
+    flt = {"type": "eq", "term": "g", "value": "a"}
+    code, out = _req(
+        f"{base}/v1/namespaces/wp/tables/t/plan",
+        "POST",
+        {"filter": flt},
+    )
+    assert code == 200
+    tasks = out["file-scan-tasks"]
+    assert tasks, "plan should return the g='a' files"
+    assert all(t_["data-file"]["partition"][0] == "a" for t_ in tasks)
+    n_all = len(
+        _req(f"{base}/v1/namespaces/wp/tables/t/plan", "POST", {})[1][
+            "file-scan-tasks"
+        ]
+    )
+    assert len(tasks) < n_all, "partition filter should prune files"
+    # metacat's own registry records the tuples (string + ISO date)
+    t = catalog.load_table("wp", "t").refresh()
+    parts = {
+        (f.partition.get("g"), f.partition.get("d"))
+        for f in t.snapshot_files()
+    }
+    assert parts == {
+        ("a", "2024-01-01"),
+        ("a", "2024-01-02"),
+        ("b", "2024-01-01"),
+        ("b", "2024-01-02"),
+    }
+
+    # pyrest-side filtered read composes (residual re-applied in-task)
+    filt = (
+        spark.read.format("pyrest")
+        .option("url", base)
+        .option("filter", _json.dumps(flt))
+        .load("wp.t")
+    )
+    assert sorted(r.id for r in filt.collect()) == [0, 2, 4, 6]
+
+    # a bucket-partitioned table: the mirror export serves only the
+    # IDENTITY projection of the spec (iceberg_format scope bound), so
+    # the thin client sees an empty spec and writes land with no
+    # partition tuple — entries stay unstamped (spec_id None) and are
+    # NEVER partition-pruned: conservative, reads stay exact. (The
+    # writer's non-identity refusal guards the day the server serves
+    # such transforms.)
+    catalog.create_table(
+        "wp",
+        "tb",
+        T.StructType(
+            [
+                T.StructField("id", T.LongType(), True),
+                T.StructField("g", T.StringType(), True),
+            ]
+        ),
+        partition_spec=[PartitionField("g", "bucket[4]")],
+    )
+    spark.sql(
+        "SELECT CAST(1 AS BIGINT) AS id, 'x' AS g"
+    ).write.format("pyrest").option("url", base).mode("append").save("wp.tb")
+    tb = catalog.load_table("wp", "tb").refresh()
+    assert [(f.partition, f.spec_id) for f in tb.snapshot_files()] == [
+        ({}, None)
+    ]
+    back_b = spark.read.format("pyrest").option("url", base).load("wp.tb")
+    assert [(r.id, r.g) for r in back_b.collect()] == [(1, "x")]

@@ -83,6 +83,12 @@ QUERIES = [
     "stat_kruskal_wallis",
     "agg_trimmed_winsorized_mean",
     "text_heaps_law_fit",
+    # r12 continuation: user-partitioned AP@10 windows, distinct-cents
+    # prefix median, pair-partitioned JT prefix, one-agg ECE
+    "ml_map_at_10",
+    "stat_moods_median",
+    "stat_jonckheere_terpstra",
+    "ml_expected_calibration_error",
 ]
 
 
