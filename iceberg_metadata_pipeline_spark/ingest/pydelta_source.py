@@ -44,7 +44,8 @@ from pyspark.sql.datasource import (
     DataSource,
     DataSourceReader,
     DataSourceStreamReader,
-    DataSourceStreamWriter,
+    DataSourceArrowWriter,
+    DataSourceStreamArrowWriter,
     DataSourceWriter,
     InputPartition,
     WriterCommitMessage,
@@ -416,7 +417,7 @@ class DeltaWriteCommit(WriterCommitMessage):
     files: tuple = ()
 
 
-class PyDeltaBatchWriter(DataSourceWriter):
+class PyDeltaBatchWriter(DataSourceArrowWriter):
     """``df.write.format("pydelta")`` — the Delta commit protocol IS the
     two-phase commit: tasks write ``_tmp-<uuid>.parquet`` (invisible —
     Delta readers only see files the log names), the driver-side
@@ -536,29 +537,31 @@ class PyDeltaBatchWriter(DataSourceWriter):
                 return "true" if v else "false"
             return str(v)
 
-        groups: dict[tuple, list[tuple]] = {}
-        for r in iterator:
-            row = tuple(r)
-            groups.setdefault(
-                tuple(row[part_idx[c]] for c in self.part_cols), []
-            ).append(row)
-        # empty task partition: writing a 0-row file per task would
-        # bloat the table's file count (32 files for a 1-row commit
-        # on local[32]); the log only needs files that hold rows
+        # Arrow-native (round-12 continuation): RecordBatches split by
+        # partition tuple columnar-side; empty tasks return no files
+        # (writing a 0-row file per task would bloat the table's file
+        # count — 32 files for a 1-row commit on local[32])
+        from iceberg_metadata_pipeline_spark.ingest.arrow_write import (
+            grouped_arrow_tables,
+        )
+
         out = []
-        for pv, rows in groups.items():
-            cols = {
-                phys.get(n, n): [r[names.index(n)] for r in rows]
-                for n in data_names
-            }
-            tmp = os.path.join(self.dest, f"_tmp-{_uuid.uuid4().hex}.parquet")
-            pq.write_table(
-                pa.table(cols, schema=pa.schema(data_fields)), tmp
+        for pv, table in grouped_arrow_tables(
+            iterator, self.schema, self.part_cols, writer="pydelta writer"
+        ):
+            # spec: partition columns live in partitionValues, NOT the
+            # file; physical (column-mapped) names + field ids go on
+            # the written schema
+            data_tbl = pa.table(
+                [table.column(n) for n in data_names],
+                schema=pa.schema(data_fields),
             )
+            tmp = os.path.join(self.dest, f"_tmp-{_uuid.uuid4().hex}.parquet")
+            pq.write_table(data_tbl, tmp)
             pvals = json.dumps(
                 {phys.get(c, c): _pv(v) for c, v in zip(self.part_cols, pv)}
             )
-            out.append((tmp, len(rows), os.path.getsize(tmp), pvals))
+            out.append((tmp, table.num_rows, os.path.getsize(tmp), pvals))
         return DeltaWriteCommit(files=tuple(out))
 
     def commit(self, messages):
@@ -630,7 +633,7 @@ class PyDeltaBatchWriter(DataSourceWriter):
                     os.remove(tmp)
 
 
-class PyDeltaStreamWriter(PyDeltaBatchWriter, DataSourceStreamWriter):
+class PyDeltaStreamWriter(PyDeltaBatchWriter, DataSourceStreamArrowWriter):
     """``df.writeStream.format("pydelta")`` — one Delta commit per
     epoch, EXACTLY-ONCE via the spec's own ``txn`` mechanism: every
     commit carries ``{"txn": {"appId", "version": batchId}}``, and a

@@ -33,7 +33,8 @@ from pyspark.sql.datasource import (
     DataSource,
     DataSourceReader,
     DataSourceStreamReader,
-    DataSourceStreamWriter,
+    DataSourceArrowWriter,
+    DataSourceStreamArrowWriter,
     DataSourceWriter,
     InputPartition,
     WriterCommitMessage,
@@ -399,7 +400,7 @@ class HudiWriteCommit(WriterCommitMessage):
     files: tuple = ()
 
 
-class PyHudiBatchWriter(DataSourceWriter):
+class PyHudiBatchWriter(DataSourceArrowWriter):
     """``df.write.format("pyhudi")`` over a COPY_ON_WRITE table — the
     same two-phase commit as the pydelta writer, expressed in Hudi's
     protocol: tasks write invisible ``_tmp-*.parquet`` files; the
@@ -491,36 +492,30 @@ class PyHudiBatchWriter(DataSourceWriter):
         return None
 
     def write(self, iterator):
+        """Arrow-native (round-12 continuation): RecordBatches split by
+        hive partition path columnar-side — value columns never
+        round-trip through per-row Python."""
         import uuid as _uuid
 
-        import pyarrow as pa
         import pyarrow.parquet as pq
 
-        from iceberg_metadata_pipeline_spark.ingest.arrow_types import (
-            arrow_fields,
-        )
-
-        fields = arrow_fields(self.schema, writer="pyhudi writer")
         from iceberg_metadata_pipeline_spark.catalog.hudi_format import (
             _hive_partition_path,
         )
+        from iceberg_metadata_pipeline_spark.ingest.arrow_write import (
+            grouped_arrow_tables,
+        )
 
-        names = [f.name for f in self.schema.fields]
-        part_idx = [names.index(c) for c in self.part_fields]
-        groups: dict[str, list[tuple]] = {}
-        for r in iterator:
-            row = tuple(r)
-            ppath = _hive_partition_path(
-                {c: row[i] for c, i in zip(self.part_fields, part_idx)},
-                self.part_fields,
-            )
-            groups.setdefault(ppath, []).append(row)
         out = []
-        for ppath, rows in groups.items():
-            cols = {n: [r[i] for r in rows] for i, n in enumerate(names)}
+        for key, table in grouped_arrow_tables(
+            iterator, self.schema, self.part_fields, writer="pyhudi writer"
+        ):
+            ppath = _hive_partition_path(
+                dict(zip(self.part_fields, key)), self.part_fields
+            )
             tmp = os.path.join(self.dest, f"_tmp-{_uuid.uuid4().hex}.parquet")
-            pq.write_table(pa.table(cols, schema=pa.schema(fields)), tmp)
-            out.append((tmp, len(rows), os.path.getsize(tmp), ppath))
+            pq.write_table(table, tmp)
+            out.append((tmp, table.num_rows, os.path.getsize(tmp), ppath))
         return HudiWriteCommit(files=tuple(out))
 
     # extra commit metadata hook (the stream writer stamps its
@@ -626,7 +621,7 @@ class PyHudiBatchWriter(DataSourceWriter):
                     os.remove(tmp)
 
 
-class PyHudiStreamWriter(PyHudiBatchWriter, DataSourceStreamWriter):
+class PyHudiStreamWriter(PyHudiBatchWriter, DataSourceStreamArrowWriter):
     """``df.writeStream.format("pyhudi")`` — one timeline instant per
     epoch, EXACTLY-ONCE the way real Hudi's streaming ingest is: the
     commit's ``extraMetadata`` carries the writer's checkpoint marker

@@ -51,6 +51,7 @@ from pyspark.sql import types as T
 from pyspark.sql.datasource import (
     DataSource,
     DataSourceReader,
+    DataSourceArrowWriter,
     DataSourceStreamReader,
     DataSourceWriter,
     InputPartition,
@@ -447,7 +448,7 @@ class RestWriteCommit(WriterCommitMessage):
     files: tuple = ()
 
 
-class PyRestBatchWriter(DataSourceWriter):
+class PyRestBatchWriter(DataSourceArrowWriter):
     """``df.write.format("pyrest").option("url", base).mode("append")
     .save("ns.table")`` — the WRITE symmetry of the thin-engine story
     (round 12; r11 left pyrest read-only): tasks stage invisible
@@ -572,39 +573,32 @@ class PyRestBatchWriter(DataSourceWriter):
         import os
         import uuid as _uuid
 
-        import pyarrow as pa
         import pyarrow.parquet as pq
 
-        from iceberg_metadata_pipeline_spark.ingest.arrow_types import (
-            arrow_fields,
+        from iceberg_metadata_pipeline_spark.ingest.arrow_write import (
+            grouped_arrow_tables,
         )
 
-        fields = arrow_fields(self.schema, writer="pyrest writer")
-        names = [f.name for f in self.schema.fields]
-        rows = [tuple(r) for r in iterator]
-        if not rows:
-            return RestWriteCommit(files=())
         data_dir = os.path.join(_norm(self.location), "data")
         os.makedirs(data_dir, exist_ok=True)
-        # identity partitioning: split the task's rows by the spec's
-        # source columns — one staged file per partition value, its
-        # spec-typed tuple riding the commit message into the manifest
-        part_idx = [names.index(pf["column"]) for pf in self.part_fields]
-        groups: dict[tuple, list] = {}
-        for r in rows:
-            groups.setdefault(tuple(r[i] for i in part_idx), []).append(r)
+        # Arrow-native (round-12 continuation): identity partitioning
+        # splits the task's RecordBatches columnar-side — one staged
+        # file per partition value, its spec-typed tuple riding the
+        # commit message into the manifest
         out = []
-        for key, grp in sorted(
-            groups.items(), key=lambda kv: tuple(map(str, kv[0]))
+        for key, table in grouped_arrow_tables(
+            iterator,
+            self.schema,
+            [pf["column"] for pf in self.part_fields],
+            writer="pyrest writer",
         ):
-            cols = {n: [r[i] for r in grp] for i, n in enumerate(names)}
             tmp = os.path.join(data_dir, f"_tmp-{_uuid.uuid4().hex}.parquet")
-            pq.write_table(pa.table(cols, schema=pa.schema(fields)), tmp)
+            pq.write_table(table, tmp)
             part = {
                 pf["name"]: _manifest_part_value(v, pf["source_type"])
                 for pf, v in zip(self.part_fields, key)
             }
-            out.append((tmp, len(grp), os.path.getsize(tmp), part))
+            out.append((tmp, table.num_rows, os.path.getsize(tmp), part))
         return RestWriteCommit(files=tuple(out))
 
     def commit(self, messages):
