@@ -904,3 +904,55 @@ sql_query(
     .replace("{FOLD_A}", _fold("duck", "a_term"))
     .replace("{FOLD_L}", _fold("duck", "l_term")),
 )
+
+
+# ---------------------------------------------------------------------------
+# Moran's I — spatial autocorrelation of per-nation spend under a
+# same-region contiguity weight matrix (w_ij = 1 iff i != j share a
+# region): do high-spend nations cluster within regions? Denominators
+# clear completely: with S = sum x_i, Q = sum x_i^2, and per-region
+# sums s_r = sum_{i in r} x_i, q_r = sum_{i in r} x_i^2,
+#   num*n^2 = n^2*sum_r(s_r^2 - q_r) - 2nS*sum_r(n_r-1)s_r
+#             + S^2*sum_r n_r(n_r-1)
+#   den*n^2 = n*(n*Q - S^2)  and  I = (n/W)*num/den with
+#   W = sum_r n_r(n_r-1) — every term an integer aggregate (cents),
+# ONE double division at the end. Two tiny hash aggregates (nations,
+# regions); constant-size at any table size.
+# ---------------------------------------------------------------------------
+_MORAN_SQL = """
+WITH x AS (
+  SELECT n.n_nationkey AS nk, r.r_regionkey AS rk,
+         CAST(SUM(CAST(CAST(o.o_totalprice AS DECIMAL(18,2)) * 100
+                  AS BIGINT)) AS BIGINT) AS v
+  FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+  JOIN nation n ON c.c_nationkey = n.n_nationkey
+  JOIN region r ON n.n_regionkey = r.r_regionkey
+  GROUP BY n.n_nationkey, r.r_regionkey
+), reg AS (
+  SELECT rk, CAST(COUNT(*) AS BIGINT) AS n_r,
+         CAST(SUM(v) AS BIGINT) AS s_r,
+         CAST(SUM(CAST(v AS DECIMAL(19,0)) * v) AS DECIMAL(38,0)) AS q_r
+  FROM x GROUP BY rk
+), tot AS (
+  SELECT CAST(SUM(n_r) AS BIGINT) AS n,
+    CAST(SUM(s_r) AS BIGINT) AS s,
+    CAST(SUM(q_r) AS DECIMAL(38,0)) AS q,
+    CAST(SUM(n_r * (n_r - 1)) AS BIGINT) AS w,
+    CAST(SUM(CAST(s_r AS DECIMAL(19,0)) * s_r - q_r) AS DECIMAL(38,0))
+      AS cross_r,
+    CAST(SUM((n_r - 1) * s_r) AS BIGINT) AS ws,
+    CAST(SUM(n_r * (n_r - 1)) AS BIGINT) AS nn1
+  FROM reg
+)
+SELECT n, w AS w_pairs,
+  (CAST(n AS DOUBLE) / CAST(w AS DOUBLE))
+    * (CAST(n AS DOUBLE) * CAST(n AS DOUBLE) * CAST(cross_r AS DOUBLE)
+       - 2.0E0 * CAST(n AS DOUBLE) * CAST(s AS DOUBLE) * CAST(ws AS DOUBLE)
+       + CAST(s AS DOUBLE) * CAST(s AS DOUBLE) * CAST(nn1 AS DOUBLE))
+    / (CAST(n AS DOUBLE)
+       * (CAST(n AS DOUBLE) * CAST(q AS DOUBLE)
+          - CAST(s AS DOUBLE) * CAST(s AS DOUBLE))) AS morans_i
+FROM tot
+"""
+
+sql_query("geo_morans_i_region_spend", _MORAN_SQL)

@@ -249,3 +249,43 @@ def test_welch_anova_matches_python_reference(spark):
     assert out.k == k
     assert out.f_welch == pytest.approx(F_, rel=1e-9)
     assert out.df2 == pytest.approx(df2, rel=1e-9)
+
+
+def test_morans_i_matches_textbook_double_sum(spark):
+    """The denominator-cleared closed form equals the textbook
+    I = (n/W) * sum_ij w_ij (x_i-m)(x_j-m) / sum_i (x_i-m)^2 with
+    w_ij = 1 iff i != j share a region."""
+    con = duckdb.connect()
+    rows = con.execute(
+        f"""
+        SELECT n.n_nationkey, r.r_regionkey,
+               CAST(SUM(CAST(CAST(o.o_totalprice AS DECIMAL(18,2)) * 100
+                        AS BIGINT)) AS BIGINT)
+        FROM '{SF}/orders.parquet' o
+        JOIN '{SF}/customer.parquet' c ON o.o_custkey = c.c_custkey
+        JOIN '{SF}/nation.parquet' n ON c.c_nationkey = n.n_nationkey
+        JOIN '{SF}/region.parquet' r ON n.n_regionkey = r.r_regionkey
+        GROUP BY n.n_nationkey, r.r_regionkey
+        """
+    ).fetchall()
+    con.close()
+    xs = [(rk, int(v)) for _nk, rk, v in rows]
+    n = len(xs)
+    m = sum(v for _r, v in xs) / n
+    num = sum(
+        (vi - m) * (vj - m)
+        for i, (ri, vi) in enumerate(xs)
+        for j, (rj, vj) in enumerate(xs)
+        if i != j and ri == rj
+    )
+    den = sum((v - m) ** 2 for _r, v in xs)
+    W = sum(
+        1
+        for i, (ri, _vi) in enumerate(xs)
+        for j, (rj, _vj) in enumerate(xs)
+        if i != j and ri == rj
+    )
+    expect = (n / W) * num / den
+    out = _run(spark, "geo_morans_i_region_spend").collect()[0]
+    assert out.n == n and out.w_pairs == W
+    assert out.morans_i == pytest.approx(expect, rel=1e-9)
