@@ -23,7 +23,7 @@ tables.
 
 from __future__ import annotations
 
-from iceberg_metadata_pipeline_spark.queries import sql_query
+from iceberg_metadata_pipeline_spark.queries import query, sql_query
 
 # ---------------------------------------------------------------------------
 # Two-group log-rank test over time-to-first-purchase
@@ -956,3 +956,114 @@ FROM tot
 """
 
 sql_query("geo_morans_i_region_spend", _MORAN_SQL)
+
+
+# ---------------------------------------------------------------------------
+# KS score-separation statistic — the credit-scoring companion to
+# ml_auc_roc_exact: max over thresholds of |TPR - FPR|, i.e. the KS
+# distance between the positive and negative score distributions.
+# Per distinct score the candidate is ONE integer
+# |cum_pos*N_neg - cum_neg*N_pos|; the max and its threshold are
+# integer argmax (ties -> smallest score) — the only double is the
+# final division. Spark computes the cumulative counts with the
+# bucketed two-phase prefix (no unpartitioned window); the DuckDB
+# oracle uses a plain window over distinct scores.
+# ---------------------------------------------------------------------------
+_KS_ORACLE = f"""
+WITH s AS ({{SRC}}),
+pv AS (
+  SELECT score, CAST(COUNT(*) AS BIGINT) AS n_v,
+         CAST(SUM(label) AS BIGINT) AS p_v
+  FROM s GROUP BY score
+), c AS (
+  SELECT score,
+    SUM(n_v) OVER (ORDER BY score) AS cum_n,
+    SUM(p_v) OVER (ORDER BY score) AS cum_p
+  FROM pv
+), tot AS (
+  SELECT CAST(SUM(n_v) AS BIGINT) AS n_all,
+         CAST(SUM(p_v) AS BIGINT) AS n_pos
+  FROM pv
+), k AS (
+  SELECT score, n_pos, n_all,
+    ABS(cum_p * (n_all - n_pos) - (cum_n - cum_p) * n_pos) AS num
+  FROM c CROSS JOIN tot
+), m AS (
+  SELECT n_pos, n_all, MAX(num) AS mx FROM k GROUP BY n_pos, n_all
+)
+SELECT m.n_pos, m.n_all - m.n_pos AS n_neg,
+  CAST(m.mx AS DOUBLE)
+    / (CAST(m.n_pos AS DOUBLE) * CAST(m.n_all - m.n_pos AS DOUBLE)) AS ks,
+  CAST(MIN(CASE WHEN k.num = m.mx THEN k.score END) AS BIGINT)
+    AS ks_threshold
+FROM m JOIN k ON k.n_pos = m.n_pos
+GROUP BY m.n_pos, m.n_all, m.mx
+"""
+
+
+@query("ml_ks_statistic", _KS_ORACLE.replace("{SRC}", _AUC_SRC))
+def ml_ks_statistic(spark, sf_dir):
+    """Spark side of the KS statistic: cumulative pos/neg counts per
+    distinct score via the bucketed two-phase prefix (the
+    ml_pr_auc_exact shape — no task sorts more than one score bucket),
+    then an integer argmax."""
+    from pyspark.sql import functions as F
+    from pyspark.sql import Window
+
+    from iceberg_metadata_pipeline_spark.session import load_tables
+
+    load_tables(spark, sf_dir)
+    s = spark.sql(f"SELECT * FROM ({_AUC_SRC})")
+    pv = s.groupBy("score").agg(
+        F.count(F.lit(1)).cast("long").alias("n_v"),
+        F.sum("label").cast("long").alias("p_v"),
+    )
+    bounds = s.agg(
+        F.min(F.col("score").cast("double")).alias("vmin"),
+        F.max(F.col("score").cast("double")).alias("vmax"),
+    )
+    b = pv.crossJoin(F.broadcast(bounds)).withColumn(
+        "bucket",
+        F.expr("width_bucket(CAST(score AS DOUBLE), vmin, vmax + 1.0d, 1024)"),
+    )
+    w_bkt = Window.orderBy("bucket").rowsBetween(Window.unboundedPreceding, -1)
+    offs = (
+        b.groupBy("bucket")
+        .agg(F.sum("n_v").alias("bn"), F.sum("p_v").alias("bp"))
+        .select(
+            "bucket",
+            F.coalesce(F.sum("bn").over(w_bkt), F.lit(0)).alias("off_n"),
+            F.coalesce(F.sum("bp").over(w_bkt), F.lit(0)).alias("off_p"),
+        )
+    )
+    w_in = Window.partitionBy("bucket").orderBy("score")
+    c = b.join(F.broadcast(offs), "bucket").select(
+        "score",
+        (F.col("off_n") + F.sum("n_v").over(w_in)).alias("cum_n"),
+        (F.col("off_p") + F.sum("p_v").over(w_in)).alias("cum_p"),
+    )
+    tot = pv.agg(
+        F.sum("n_v").cast("long").alias("n_all"),
+        F.sum("p_v").cast("long").alias("n_pos"),
+    )
+    k = c.crossJoin(F.broadcast(tot)).selectExpr(
+        "score", "n_pos", "n_all",
+        "ABS(cum_p * (n_all - n_pos) - (cum_n - cum_p) * n_pos) AS num",
+    )
+    m = k.groupBy("n_pos", "n_all").agg(F.max("num").alias("mx"))
+    return (
+        k.join(F.broadcast(m), ["n_pos", "n_all"])
+        .groupBy("n_pos", "n_all", "mx")
+        .agg(
+            F.min(
+                F.when(F.col("num") == F.col("mx"), F.col("score"))
+            ).cast("long").alias("ks_threshold")
+        )
+        .selectExpr(
+            "n_pos",
+            "n_all - n_pos AS n_neg",
+            "CAST(mx AS DOUBLE) / (CAST(n_pos AS DOUBLE)"
+            " * CAST(n_all - n_pos AS DOUBLE)) AS ks",
+            "ks_threshold",
+        )
+    )
