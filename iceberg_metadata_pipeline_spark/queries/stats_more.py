@@ -1067,3 +1067,42 @@ def ml_ks_statistic(spark, sf_dir):
             "ks_threshold",
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Per-state dwell time — the duration companion to
+# events_markov_transitions: how long does a user sit in each event
+# state before the NEXT event? LEAD over user-partitioned windows
+# (the 100 TB shape); durations in exact epoch MICROS (both engines'
+# integer epoch extraction), one hash aggregate; the average is one
+# division of integers.
+# ---------------------------------------------------------------------------
+_DWELL_TEMPLATE = """
+WITH e AS (
+  SELECT user_id, event_type, ts,
+    LEAD(ts) OVER (PARTITION BY user_id
+                   ORDER BY ts, event_id) AS nxt
+  FROM events
+)
+SELECT event_type,
+  CAST(COUNT(nxt) AS BIGINT) AS n_followed,
+  CAST(SUM(CASE WHEN nxt IS NOT NULL
+           THEN {EUS_NXT} - {EUS_TS} END) AS BIGINT)
+    AS total_dwell_us,
+  CAST(SUM(CASE WHEN nxt IS NOT NULL
+           THEN {EUS_NXT} - {EUS_TS} END) AS DOUBLE)
+    / 1000000.0E0 / CAST(COUNT(nxt) AS DOUBLE) AS avg_dwell_s
+FROM e GROUP BY event_type ORDER BY event_type
+"""
+
+sql_query(
+    "events_dwell_time_by_state",
+    # ts is TIMESTAMP_NTZ in the restored fixture view; the session tz
+    # is pinned UTC so the cast is value-preserving
+    _DWELL_TEMPLATE.replace(
+        "{EUS_NXT}", "unix_micros(CAST(nxt AS TIMESTAMP))"
+    ).replace("{EUS_TS}", "unix_micros(CAST(ts AS TIMESTAMP))"),
+    oracle=_DWELL_TEMPLATE.replace("{EUS_NXT}", "epoch_us(nxt)").replace(
+        "{EUS_TS}", "epoch_us(ts)"
+    ),
+)

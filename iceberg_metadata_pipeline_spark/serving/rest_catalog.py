@@ -124,9 +124,16 @@ class RestCatalogServer:
         host: str = "127.0.0.1",
         port: int = 0,
         async_planning: bool = False,
+        auth_secret: str | None = None,
     ):
         self.catalog = catalog
         self.mirror_dir = mirror_dir
+        # auth_secret: when set, every verb except POST /v1/oauth/tokens
+        # requires a bearer token minted by that endpoint. Tokens are
+        # STATELESS — base64(client_id:hmac(secret, client_id)) — so
+        # validation recomputes the signature; nothing is stored and a
+        # server restart invalidates nothing.
+        self.auth_secret = auth_secret
         # async_planning: planTableScan answers "submitted" + plan-id
         # (the spec's asynchronous planning handshake); clients fetch the
         # result via GET .../plan/{plan-id}. The plan-id is STATELESS —
@@ -196,6 +203,20 @@ class RestCatalogServer:
         if not p or p[0] != "v1":
             return h._error(404, f"unknown path {h.path}", "NoSuchPathException")
         p = p[1:]
+        if p == ["oauth", "tokens"] and method == "POST":
+            # client_credentials token endpoint (the REST spec's
+            # catalog-hosted OAuth flow). Exempt from auth: it IS the
+            # auth entry point.
+            return self._oauth_tokens(h)
+        if self.auth_secret is not None and not self._authorized(h):
+            # spec OAuthError shape, not IcebergErrorResponse
+            return h._send(
+                401,
+                {
+                    "error": "invalid_token",
+                    "error_description": "missing or invalid bearer token",
+                },
+            )
         if p == ["config"] and method == "GET":
             return h._send(200, {"defaults": {}, "overrides": {}})
         if p == ["namespaces"]:
@@ -1992,6 +2013,89 @@ class RestCatalogServer:
         self.catalog.ensure_namespace(ns)
         self.catalog.create_view(ns, name, spark_sql)
         return self._load_view(h, ns, name)
+
+    def _mint_token(self, client_id: str) -> str:
+        import base64
+        import hashlib
+        import hmac as _hmac
+
+        sig = _hmac.new(
+            (self.auth_secret or "").encode(),
+            client_id.encode(),
+            hashlib.sha256,
+        ).hexdigest()
+        return base64.urlsafe_b64encode(
+            f"{client_id}:{sig}".encode()
+        ).decode()
+
+    def _authorized(self, h) -> bool:
+        import base64
+
+        auth = h.headers.get("Authorization") or ""
+        if not auth.startswith("Bearer "):
+            return False
+        try:
+            raw = base64.urlsafe_b64decode(
+                auth[len("Bearer ") :].encode()
+            ).decode()
+            client_id, _sig = raw.rsplit(":", 1)
+        except Exception:  # noqa: BLE001 — any malformed token is a 401
+            return False
+        import hmac as _hmac
+
+        return _hmac.compare_digest(
+            auth[len("Bearer ") :], self._mint_token(client_id)
+        )
+
+    def _oauth_tokens(self, h):
+        """POST /v1/oauth/tokens (client_credentials): accepts the
+        spec's form-encoded body (or JSON), checks the client secret
+        when the server enforces auth, and returns a STATELESS bearer
+        token. With no auth_secret configured the endpoint still mints
+        tokens (clients that always do the handshake keep working) and
+        no verb checks them."""
+        from urllib.parse import parse_qs
+
+        n = int(h.headers.get("Content-Length") or 0)
+        raw = h.rfile.read(n).decode() if n else ""
+        ctype = (h.headers.get("Content-Type") or "").split(";")[0].strip()
+        if ctype == "application/json":
+            try:
+                form = {k: [str(v)] for k, v in json.loads(raw or "{}").items()}
+            except ValueError:
+                return h._send(
+                    400, {"error": "invalid_request",
+                          "error_description": "malformed JSON body"}
+                )
+        else:
+            form = parse_qs(raw)
+        grant = (form.get("grant_type") or [""])[0]
+        if grant != "client_credentials":
+            return h._send(
+                400,
+                {
+                    "error": "unsupported_grant_type",
+                    "error_description": f"grant_type {grant!r} not supported",
+                },
+            )
+        client_id = (form.get("client_id") or ["client"])[0]
+        secret = (form.get("client_secret") or [""])[0]
+        if self.auth_secret is not None and secret != self.auth_secret:
+            return h._send(
+                401,
+                {
+                    "error": "invalid_client",
+                    "error_description": "bad client credentials",
+                },
+            )
+        return h._send(
+            200,
+            {
+                "access_token": self._mint_token(client_id),
+                "token_type": "bearer",
+                "expires_in": 3600,
+            },
+        )
 
     def _rename_view(self, h, body: dict):
         """renameView (round 12): move a view, optionally across

@@ -2000,3 +2000,102 @@ def test_view_rename_and_replace(spark, server):
         )
         == 400
     )
+
+
+def test_oauth_tokens_and_enforcement(spark, tmp_path):
+    """Round 12: the catalog-hosted OAuth flow. An auth-enforcing
+    server 401s every verb without a bearer token (OAuthError shape),
+    mints STATELESS client_credentials tokens (form-encoded AND JSON
+    bodies), accepts them on any verb, and rejects bad secrets,
+    garbled tokens, and non-client_credentials grants. A server
+    without auth_secret still mints tokens but enforces nothing."""
+    import urllib.error
+    import urllib.request
+
+    catalog = Catalog(spark, str(tmp_path / "wh-auth"))
+    srv = RestCatalogServer(
+        catalog, str(tmp_path / "mirror-auth"), auth_secret="s3cret"
+    ).start()
+    base = f"http://127.0.0.1:{srv.port}"
+    try:
+        # unauthenticated: 401 with the OAuthError shape
+        try:
+            _req(f"{base}/v1/config")
+            raise AssertionError("should 401")
+        except urllib.error.HTTPError as e:
+            assert e.code == 401
+            assert json.loads(e.read())["error"] == "invalid_token"
+
+        # bad secret refused
+        def tok(body, ctype="application/x-www-form-urlencoded"):
+            r = urllib.request.Request(
+                f"{base}/v1/oauth/tokens",
+                data=body.encode() if isinstance(body, str) else body,
+                method="POST",
+            )
+            r.add_header("Content-Type", ctype)
+            with urllib.request.urlopen(r) as resp:
+                return resp.status, json.loads(resp.read())
+
+        try:
+            tok("grant_type=client_credentials&client_secret=nope")
+            raise AssertionError("bad secret should 401")
+        except urllib.error.HTTPError as e:
+            assert e.code == 401
+            assert json.loads(e.read())["error"] == "invalid_client"
+        try:
+            tok("grant_type=password&client_secret=s3cret")
+            raise AssertionError("bad grant should 400")
+        except urllib.error.HTTPError as e:
+            assert e.code == 400
+
+        # form-encoded and JSON both mint; tokens authorize any verb
+        _, out = tok(
+            "grant_type=client_credentials&client_id=me&client_secret=s3cret"
+        )
+        assert out["token_type"] == "bearer"
+        token = out["access_token"]
+        _, out2 = tok(
+            json.dumps(
+                {
+                    "grant_type": "client_credentials",
+                    "client_id": "me",
+                    "client_secret": "s3cret",
+                }
+            ),
+            ctype="application/json",
+        )
+        assert out2["access_token"] == token  # stateless: same id, same token
+
+        r = urllib.request.Request(f"{base}/v1/config")
+        r.add_header("Authorization", f"Bearer {token}")
+        with urllib.request.urlopen(r) as resp:
+            assert resp.status == 200
+
+        # garbled token 401
+        r = urllib.request.Request(f"{base}/v1/config")
+        r.add_header("Authorization", "Bearer not-a-token")
+        try:
+            urllib.request.urlopen(r)
+            raise AssertionError("garbled token should 401")
+        except urllib.error.HTTPError as e:
+            assert e.code == 401
+    finally:
+        srv.stop()
+
+    # no-auth server: open verbs, token endpoint still mints
+    srv2 = RestCatalogServer(catalog, str(tmp_path / "mirror-noauth")).start()
+    base2 = f"http://127.0.0.1:{srv2.port}"
+    try:
+        code, _ = _req(f"{base2}/v1/config")
+        assert code == 200
+        r = urllib.request.Request(
+            f"{base2}/v1/oauth/tokens",
+            data=b"grant_type=client_credentials",
+            method="POST",
+        )
+        r.add_header("Content-Type", "application/x-www-form-urlencoded")
+        with urllib.request.urlopen(r) as resp:
+            assert json.loads(resp.read())["token_type"] == "bearer"
+    finally:
+        srv2.stop()
