@@ -333,13 +333,32 @@ def cosine_topk_ivf(
 # ---------------------------------------------------------------------------
 
 
-@query("sim_cosine_topk_pandas", None)  # BLAS sum order ≠ fold order → rows-only
+@query(
+    "sim_cosine_topk_pandas",
+    f"""
+SELECT query_id, cand_id, round(cosine, 9) AS cosine, rn
+FROM (
+  SELECT q.vec_id AS query_id, c.vec_id AS cand_id,
+         {_DUCK_COS} AS cosine,
+         ROW_NUMBER() OVER (PARTITION BY q.vec_id
+                            ORDER BY {_DUCK_COS} DESC, c.vec_id) AS rn
+  FROM embeddings q JOIN embeddings c
+    ON q.vec_id < 5 AND c.vec_id <> q.vec_id
+) t
+WHERE rn <= 3
+ORDER BY query_id, rn
+""",
+)
 def sim_cosine_topk_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Same brute-force top-k with the cosine kernel as an Arrow-batched
     pandas UDF (numpy matmul against the broadcast query matrix) — the
-    pattern for scoring functions SQL can't express. Ids match tier 1
-    exactly (asserted in tests); scores differ only in float summation
-    order, which is why this is rows-only."""
+    pattern for scoring functions SQL can't express. Oracle-checked
+    since round 12: BLAS pairwise summation differs from the fold by
+    ~1 ulp (1e-16 class), absorbed by ROUND 9 — the same epsilon class
+    every libm-backed oracle in the registry rounds away; ranks cannot
+    flip unless two candidates sit within that epsilon, which the
+    continuous random fixture embeddings never do (verified
+    value-identical at sf0.001/0.01/0.1 before landing)."""
     import numpy as np
     import pandas as pd
     from pyspark.sql.types import ArrayType, DoubleType, LongType, StructField, StructType
@@ -380,6 +399,9 @@ def sim_cosine_topk_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
         scored.filter(F.col("query_id") != F.col("cand_id"))
         .withColumn("rn", F.row_number().over(w))
         .filter(F.col("rn") <= 3)
+        .select(
+            "query_id", "cand_id", F.round("cosine", 9).alias("cosine"), "rn"
+        )
         .orderBy("query_id", "rn")
     )
 
