@@ -128,6 +128,7 @@ def get_spark(
     return spark
 
 
+_CURRENT_VIEW_SF: dict = {}
 _TABLE_CACHE: dict[tuple[int, str], dict] = {}
 
 # Runtime-settable tuning applied to sessions that did not come from
@@ -183,6 +184,17 @@ def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, "object"]:
     key = (id(spark), sf_dir)
     cached = _TABLE_CACHE.get(key)
     if cached is not None:
+        # The DataFrame cache is per (session, sf_dir) but the temp-VIEW
+        # namespace is session-GLOBAL: if another sf_dir registered the
+        # views since, a bare cache hit would leave `spark.sql` queries
+        # reading the WRONG scale while the returned DataFrames read the
+        # right one (seen as cross-test contamination in the full pytest
+        # run). Re-point the views from the cached DataFrames — no
+        # schema re-inference, just view registration.
+        if _CURRENT_VIEW_SF.get(id(spark)) != sf_dir:
+            for name, df in cached.items():
+                df.createOrReplaceTempView(name)
+            _CURRENT_VIEW_SF[id(spark)] = sf_dir
         return cached
 
     _tune_session(spark)
@@ -198,4 +210,5 @@ def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, "object"]:
         df.createOrReplaceTempView(name)
         out[name] = df
     _TABLE_CACHE[key] = out
+    _CURRENT_VIEW_SF[id(spark)] = sf_dir
     return out

@@ -123,6 +123,13 @@ def test_no_cartesian_products_in_declared_surface(spark, sf_dir):
         "text_edit_distance",        # bounded all-pairs (<15 ids)
         "sim_cosine_topk_bruteforce",  # scored scan: query side broadcast
         "sim_cosine_topk_pandas",
+        "stat_tukey_hsd_pairs",      # k(k-1)/2 pairs off a 5-row collapse
+        "stat_jonckheere_terpstra",  # group-pair spine over a 5-row collapse
+        "stat_ccf_view_purchase",    # lag spine x O(days) collapse
+        "stat_pacf_yule_walker",     # 3-lag spine x O(days) collapse
+        "stat_moods_median",         # 5-row cells x 1-row totals
+        "stat_welch_anova",          # 5-row group stats x 1-row folds
+        "geo_morans_i_region_spend",  # 1-row moment collapses
     }
     for name, decl in REGISTRY.items():
         if name in allowed_cartesian or name.startswith(("multimodal", "catalog", "table_", "ingest")):

@@ -289,3 +289,22 @@ def test_morans_i_matches_textbook_double_sum(spark):
     out = _run(spark, "geo_morans_i_region_spend").collect()[0]
     assert out.n == n and out.w_pairs == W
     assert out.morans_i == pytest.approx(expect, rel=1e-9)
+
+
+def test_load_tables_cache_repoints_views_across_sf(spark):
+    """Regression (round 12): load_tables caches DataFrames per
+    (session, sf_dir) but temp views are session-global — a cache hit
+    after ANOTHER sf registered must re-point the views, or spark.sql
+    reads the wrong scale while the returned DataFrames read the right
+    one (the cross-test contamination seen in the full suite)."""
+    from iceberg_metadata_pipeline_spark.session import load_tables
+
+    a, b = "/root/testdata/sf0.001", "/root/testdata/sf0.01"
+    na = load_tables(spark, a)["orders"].count()
+    nb = load_tables(spark, b)["orders"].count()
+    assert na != nb
+    # cache hit for `a` must re-point the session views at `a`
+    load_tables(spark, a)
+    assert spark.sql("SELECT COUNT(*) c FROM orders").collect()[0].c == na
+    load_tables(spark, b)
+    assert spark.sql("SELECT COUNT(*) c FROM orders").collect()[0].c == nb
