@@ -1106,3 +1106,106 @@ sql_query(
         "{EUS_TS}", "epoch_us(ts)"
     ),
 )
+
+
+# ---------------------------------------------------------------------------
+# Page's trend test — the ordered-alternative REPEATED-MEASURES test
+# next to stat_friedman_test (blocks = days, treatments = the five
+# event types under their declared alphabetical ordering, measure =
+# that day's event count). Within-block midranks double to stay
+# integer (2*mid = 2*rank_min + cnt_eq - 1 via one block-partitioned
+# window + an equality count); blocks missing a treatment are dropped
+# (complete-block design); L2 = sum s_j * 2mid is ONE integer
+# aggregate; null moments are closed forms of (b, k); ties-uncorrected
+# variance, documented. O(days x types) rows end to end.
+# ---------------------------------------------------------------------------
+_PAGE_SQL = """
+WITH cell0 AS (
+  SELECT CAST(ts AS DATE) AS day, event_type,
+         CAST(COUNT(*) AS BIGINT) AS v
+  FROM events GROUP BY CAST(ts AS DATE), event_type
+), cell AS (
+  -- Page's test assumes COMPLETE blocks: keep only days observing all
+  -- five treatments (incomplete days would silently shrink k)
+  SELECT day, event_type, v FROM cell0
+  WHERE day IN (
+    SELECT day FROM cell0 GROUP BY day
+    HAVING COUNT(DISTINCT event_type) = 5
+  )
+), ranked AS (
+  SELECT day, event_type, v,
+    RANK() OVER (PARTITION BY day ORDER BY v) AS rmin,
+    CAST(COUNT(*) OVER (PARTITION BY day, v) AS BIGINT) AS ceq
+  FROM cell
+), scored AS (
+  SELECT day,
+    CASE event_type WHEN 'click' THEN 1 WHEN 'error' THEN 2
+         WHEN 'purchase' THEN 3 WHEN 'signup' THEN 4 ELSE 5 END AS s,
+    2 * rmin + ceq - 1 AS mid2
+  FROM ranked
+), agg AS (
+  SELECT CAST(COUNT(DISTINCT day) AS BIGINT) AS b,
+    CAST(MAX(s) AS BIGINT) AS k,
+    CAST(SUM(s * mid2) AS BIGINT) AS l2
+  FROM scored
+)
+SELECT b, k, l2 {IDIV} 2 AS page_l,
+  CAST(l2 - b * k * (k + 1) * (k + 1) {IDIV} 2 AS DOUBLE)
+    / (2.0E0 * SQRT(
+        CAST(b AS DOUBLE)
+        * CAST((k * k * k - k) AS DOUBLE) * CAST((k * k * k - k) AS DOUBLE)
+        / (144.0E0 * CAST(k - 1 AS DOUBLE)))) AS z_page
+FROM agg
+"""
+
+sql_query(
+    "stat_page_trend",
+    _PAGE_SQL.replace("{IDIV}", "DIV"),
+    oracle=_PAGE_SQL.replace("{IDIV}", "//"),
+)
+
+
+# ---------------------------------------------------------------------------
+# Cuzick's trend test — Wilcoxon-type trend across ORDERED groups
+# (priority 1..5 scores over the daily-revenue collapse): GLOBAL
+# midranks via the distinct-value prefix trick (no row-level rank),
+# doubled to stay integer; T2 = sum l * 2mid, E[T2] = (N+1) * sum(n*l),
+# Var(T) = (N+1)/12 * (N*sum(n*l^2) - (sum(n*l))^2) — ties-uncorrected,
+# documented (exact-cents ties are measure-zero). O(days x groups).
+# ---------------------------------------------------------------------------
+_CUZICK_SQL = """
+WITH d AS (
+  SELECT CAST(SUBSTRING(o_orderpriority, 1, 1) AS BIGINT) AS l,
+         CAST(o_orderdate AS DATE) AS day,
+         CAST(SUM(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT))
+              AS BIGINT) AS x
+  FROM orders GROUP BY o_orderpriority, CAST(o_orderdate AS DATE)
+), dv AS (
+  SELECT x, CAST(COUNT(*) AS BIGINT) AS cnt,
+         CAST(SUM(l) AS BIGINT) AS lsum
+  FROM d GROUP BY x
+), c AS (
+  SELECT x, cnt, lsum,
+    COALESCE(SUM(cnt) OVER (ORDER BY x
+        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS below
+  FROM dv
+), t AS (
+  SELECT CAST(SUM(lsum * (2 * below + cnt + 1)) AS BIGINT) AS t2 FROM c
+), g AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n,
+    CAST(SUM(l) AS BIGINT) AS nl,
+    CAST(SUM(l * l) AS BIGINT) AS nl2
+  FROM d
+)
+SELECT n, t2 {IDIV} 2 AS t_cuzick,
+  CAST(t2 - (n + 1) * nl AS DOUBLE)
+    / (2.0E0 * SQRT(CAST(n + 1 AS DOUBLE) / 12.0E0
+                    * CAST(n * nl2 - nl * nl AS DOUBLE))) AS z_cuzick
+FROM t CROSS JOIN g
+"""
+
+sql_query(
+    "stat_cuzick_trend",
+    _CUZICK_SQL.replace("{IDIV}", "DIV"),
+    oracle=_CUZICK_SQL.replace("{IDIV}", "//"),
+)

@@ -308,3 +308,70 @@ def test_load_tables_cache_repoints_views_across_sf(spark):
     assert spark.sql("SELECT COUNT(*) c FROM orders").collect()[0].c == na
     load_tables(spark, b)
     assert spark.sql("SELECT COUNT(*) c FROM orders").collect()[0].c == nb
+
+
+def test_page_trend_matches_python_reference(spark):
+    con = duckdb.connect()
+    rows = con.execute(
+        f"""
+        SELECT CAST(ts AS DATE), event_type, COUNT(*)
+        FROM '{SF}/events.parquet'
+        GROUP BY CAST(ts AS DATE), event_type
+        """
+    ).fetchall()
+    con.close()
+    import math
+    from collections import defaultdict
+
+    types = ["click", "error", "purchase", "signup", "view"]
+    by_day = defaultdict(dict)
+    for day, et, v in rows:
+        by_day[day][et] = int(v)
+    blocks = {d: m for d, m in by_day.items() if len(m) == 5}
+    b, k = len(blocks), 5
+    L = 0.0
+    for m in blocks.values():
+        vals = sorted(m.values())
+        for et, v in m.items():
+            lo = sum(1 for x in vals if x < v)
+            eq = sum(1 for x in vals if x == v)
+            mid = lo + (eq + 1) / 2
+            L += (types.index(et) + 1) * mid
+    mu = b * k * (k + 1) ** 2 / 4
+    sd = math.sqrt(b * (k**3 - k) ** 2 / (144 * (k - 1)))
+    out = _run(spark, "stat_page_trend").collect()[0]
+    assert out.b == b and out.k == k
+    assert out.z_page == pytest.approx((L - mu) / sd, rel=1e-9)
+
+
+def test_cuzick_trend_matches_python_reference(spark):
+    con = duckdb.connect()
+    rows = con.execute(
+        f"""
+        SELECT CAST(SUBSTRING(o_orderpriority, 1, 1) AS BIGINT),
+               CAST(SUM(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100
+                        AS BIGINT)) AS BIGINT)
+        FROM '{SF}/orders.parquet'
+        GROUP BY o_orderpriority, CAST(o_orderdate AS DATE)
+        """
+    ).fetchall()
+    con.close()
+    import math
+
+    data = [(int(l), int(x)) for l, x in rows]
+    xs = sorted(x for _l, x in data)
+    n = len(data)
+
+    def midrank(v):
+        lo = sum(1 for x in xs if x < v)
+        eq = sum(1 for x in xs if x == v)
+        return lo + (eq + 1) / 2
+
+    T = sum(l * midrank(x) for l, x in data)
+    nl = sum(l for l, _x in data)
+    nl2 = sum(l * l for l, _x in data)
+    ET = (n + 1) * nl / 2
+    var = (n + 1) / 12 * (n * nl2 - nl * nl)
+    out = _run(spark, "stat_cuzick_trend").collect()[0]
+    assert out.n == n
+    assert out.z_cuzick == pytest.approx((T - ET) / math.sqrt(var), rel=1e-9)
