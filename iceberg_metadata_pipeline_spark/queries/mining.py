@@ -39,9 +39,18 @@ def _basket_components(spark: SparkSession, sf_dir: str, max_basket: int):
     basket-count DataFrame — LAZY, no action here). See
     mining_basket_pair_rules for the triangle salting contract."""
     li = load_tables(spark, sf_dir)["lineitem"]
+    # The (okey, pkey) distinct set feeds FIVE consumers across the two
+    # basket queries (both self-join branches, per-item frequencies, the
+    # basket count) and Catalyst cannot CSE across DataFrame references:
+    # the un-cached plan scanned lineitem and re-ran the distinct
+    # aggregate once per consumer (5 scans in the before-plan). Caching
+    # the collapsed proxy — O(distinct basket items), two bigints per
+    # row, orders of magnitude under the raw table — is the guide-§8
+    # "decide with small rows" shape: heavy input is read once, every
+    # downstream decision runs over the cached proxy.
     items = li.selectExpr(
         "CAST(l_orderkey AS BIGINT) AS okey", "CAST(l_partkey AS BIGINT) AS pkey"
-    ).distinct()
+    ).distinct().cache()
     part_cnt = items.groupBy("pkey").agg(F.count(F.lit(1)).alias("cnt"))
     n_baskets = items.select("okey").distinct().agg(
         F.count(F.lit(1)).cast("long").alias("n_baskets")
@@ -70,6 +79,9 @@ def _basket_components(spark: SparkSession, sf_dir: str, max_basket: int):
             F.least("g", "h").alias("kp"),
             F.greatest("g", "h").alias("kq"),
         )
+        # both self-join branches read this; without the cache the whole
+        # window+explode subtree (and another items recompute) ran twice
+        .cache()
     )
     a = salted.alias("a")
     b = salted.alias("b")
