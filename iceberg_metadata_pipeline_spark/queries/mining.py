@@ -273,7 +273,10 @@ def stat_chi_square_independence(spark: SparkSession, sf_dir: str) -> DataFrame:
     joined = t["orders"].join(
         t["customer"], F.col("o_custkey") == F.col("c_custkey")
     ).select(F.col("c_mktsegment").alias("seg"), F.col("o_orderpriority").alias("pri"))
-    obs = joined.groupBy("seg", "pri").agg(F.count(F.lit(1)).alias("n"))
+    # obs (the ≤25-cell contingency table) feeds six consumers (row/col/
+    # grand totals, the cell terms, and two count() actions); cached so
+    # the orders⋈customer join runs once instead of per consumer
+    obs = joined.groupBy("seg", "pri").agg(F.count(F.lit(1)).alias("n")).cache()
     rt = obs.groupBy("seg").agg(F.sum("n").alias("row_tot"))
     ct = obs.groupBy("pri").agg(F.sum("n").alias("col_tot"))
     tt = obs.agg(F.sum("n").alias("tot"))
@@ -325,7 +328,8 @@ def stat_cramers_v(spark: SparkSession, sf_dir: str) -> DataFrame:
     joined = t["orders"].join(
         t["customer"], F.col("o_custkey") == F.col("c_custkey")
     ).select(F.col("c_mktsegment").alias("seg"), F.col("o_orderpriority").alias("pri"))
-    obs = joined.groupBy("seg", "pri").agg(F.count(F.lit(1)).alias("n"))
+    # cached for the same six-consumer reason as the chi-square query
+    obs = joined.groupBy("seg", "pri").agg(F.count(F.lit(1)).alias("n")).cache()
     rt = obs.groupBy("seg").agg(F.sum("n").alias("row_tot"))
     ct = obs.groupBy("pri").agg(F.sum("n").alias("col_tot"))
     tt = obs.agg(F.sum("n").alias("tot"))
@@ -409,6 +413,10 @@ def stat_ks_two_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     from pyspark.sql import Window
 
+    # NOT cached (optimization r12, measured): 3 consumers of a bare
+    # scan+join — a cache of the collapse serialized subtrees that
+    # previously overlapped in one job and cost ~0.5 s net at sf0.1
+    # (contrast stat_kruskal_wallis, 9 consumers, where it wins 2×)
     tot = s.agg(
         F.sum("g").cast("long").alias("n1"),
         (F.count(F.lit(1)) - F.sum("g")).cast("long").alias("n2"),

@@ -232,6 +232,11 @@ def stat_mann_whitney_u(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window
 
     s = _two_group(spark, sf_dir)
+    # NOT cached (optimization r12, measured): the shared subtree here
+    # is a bare scan+join with only 3 consumers; a cache of the collapse
+    # serialized subtrees that previously overlapped inside one job and
+    # cost ~0.5 s net at sf0.1 (contrast stat_kruskal_wallis, 9
+    # consumers, where the same cache wins 2×).
     tot = s.agg(
         F.sum("g").cast("long").alias("n1"),
         (F.count(F.lit(1)) - F.sum("g")).cast("long").alias("n2"),
@@ -1428,9 +1433,14 @@ def stat_kruskal_wallis(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(t["customer"], F.col("o_custkey") == F.col("c_custkey"))
         .selectExpr("c_mktsegment AS seg", "CAST(o_totalprice AS DOUBLE) AS v")
     )
-    pv = s.groupBy("v", "seg").agg(F.count(F.lit(1)).cast("long").alias("n_vs"))
+    # one raw pass: the (value, segment) collapse is cached and totals/
+    # bounds derive from it (the un-cached plan re-ran the
+    # orders⋈customer join once per consumer — 9 scans before)
+    pv = s.groupBy("v", "seg").agg(
+        F.count(F.lit(1)).cast("long").alias("n_vs")
+    ).cache()
     tv = pv.groupBy("v").agg(F.sum("n_vs").cast("long").alias("n_v"))
-    bounds = s.agg(F.min("v").alias("vmin"), F.max("v").alias("vmax"))
+    bounds = pv.agg(F.min("v").alias("vmin"), F.max("v").alias("vmax"))
     b = tv.crossJoin(F.broadcast(bounds)).withColumn(
         "bucket", F.expr("width_bucket(v, vmin, vmax + 1.0d, 1024)")
     )
@@ -1444,10 +1454,12 @@ def stat_kruskal_wallis(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     w_in = Window.partitionBy("bucket").orderBy("v")
+    # cached: both the per-segment rank sums and the tie correction
+    # read this distinct-value cumulative frame
     c = b.join(F.broadcast(offs), "bucket").select(
         "v", "n_v",
         (F.col("off") + F.sum("n_v").over(w_in) - F.col("n_v")).alias("cb"),
-    )
+    ).cache()
     rg = (
         pv.join(c, "v")
         .groupBy("seg")
@@ -1842,6 +1854,8 @@ def ml_auc_roc_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     load_tables(spark, sf_dir)
     s = spark.sql(f"SELECT * FROM ({_AUC_SRC})")
+    # NOT cached (optimization r12, measured): only 2 consumers of a
+    # bare events scan — a cache cost more than the rescan at sf0.1
     pv = s.groupBy("score").agg(
         F.count(F.lit(1)).cast("long").alias("n_v"),
         F.sum("label").cast("long").alias("p_v"),
@@ -1965,6 +1979,7 @@ def ml_pr_auc_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     load_tables(spark, sf_dir)
     s = spark.sql(f"SELECT * FROM ({_AUC_SRC})")
+    # NOT cached (optimization r12, measured): see ml_auc_roc_exact
     pv = s.groupBy("score").agg(
         F.count(F.lit(1)).cast("long").alias("n_v"),
         F.sum("label").cast("long").alias("p_v"),
