@@ -691,12 +691,23 @@ def sim_cosine_topk_lsh_checked(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(cv, "cand_id")
         .withColumn("cos2", dot / (norm(F.col("qv2")) * norm(F.col("cv2"))))
     )
-    bad = recheck.filter(
-        (F.abs(F.col("cosine") - F.col("cos2")) > 1e-9)
-        | (F.col("query_id") == F.col("cand_id"))
-    ).count()
-    n_ann = ann.count()
-    flag = F.lit(1 if (bad == 0 and n_ann > 0) else 0).alias("lsh_scores_ok")
+    # ONE action computes both integrity numbers (optimization r12): the
+    # id joins are unique-key inner joins over ids that always resolve,
+    # so recheck has exactly ann's row count — counting it alongside the
+    # bad-row sum replaces two driver actions that each re-executed the
+    # whole LSH pipeline (no cache) with a single pass
+    chk = recheck.agg(
+        F.count(F.lit(1)).alias("n_ann"),
+        F.sum(
+            (
+                (F.abs(F.col("cosine") - F.col("cos2")) > 1e-9)
+                | (F.col("query_id") == F.col("cand_id"))
+            ).cast("int")
+        ).alias("bad"),
+    ).first()
+    flag = F.lit(
+        1 if ((chk["bad"] or 0) == 0 and chk["n_ann"] > 0) else 0
+    ).alias("lsh_scores_ok")
     exact = cosine_topk_bruteforce(emb, q5, k=3)
     return (
         exact.select(
