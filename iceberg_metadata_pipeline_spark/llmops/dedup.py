@@ -663,6 +663,10 @@ def duplicated_span_stats(
     with_toks = df.select(
         F.col(id_col), toks.alias("__t"), F.size(toks).alias("__nt")
     ).where(F.col("__nt") >= n)
+    # cached (optimization r12): the exploded span-hash set feeds BOTH
+    # the corpus-wide frequency aggregate and the per-doc dup join, and
+    # the n-gram construction (interpreted slice/concat per span) is the
+    # expensive part — without the cache it ran twice
     spans = with_toks.select(
         F.col(id_col),
         F.explode(
@@ -671,7 +675,7 @@ def duplicated_span_stats(
                 f"i -> xxhash64(concat_ws(' ', slice(__t, i, {n}))))"
             )
         ).alias("gram_hash"),
-    )
+    ).cache()
     dup_grams = (
         spans.groupBy("gram_hash")
         .agg(F.count(F.lit(1)).alias("occ"))
