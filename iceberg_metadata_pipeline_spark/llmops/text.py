@@ -349,31 +349,43 @@ ORDER BY doc_id, chunk_id
 # map-side; the model is two hash aggregations (shuffle O(distinct
 # bigrams), not O(tokens)); scoring joins the bigram stream to the model
 # on the bigram key — a shuffle join whose build side is the model.
-sql_query(
-    "text_bigram_lm_score",
-    """
-WITH big AS (
-  SELECT doc_id, t[i] AS w1, t[i + 1] AS w2
-  FROM (
-    SELECT doc_id, t, explode(sequence(0, size(t) - 2)) AS i
-    FROM (SELECT doc_id, split(text, ' ') AS t FROM documents) s
-    WHERE size(t) >= 2
-  ) e
-),
-c2 AS (SELECT w1, w2, COUNT(*) AS n2 FROM big GROUP BY w1, w2),
-c1 AS (SELECT w1, COUNT(*) AS n1 FROM big GROUP BY w1),
-v AS (SELECT COUNT(DISTINCT w1) AS vocab FROM big)
+def _register_bigram_lm():
+    """Spark side restructured (optimization r12): the exploded bigram
+    stream feeds FOUR consumers (c2, c1, the vocab count, and the
+    scoring join), and the tokenize+explode subtree is the expensive
+    part — the pure-SQL form re-ran it once per consumer. The stream is
+    cached once and exposed as a temp view; every CTE below reads the
+    cache. Counts, joins, and the decimal-summed probability are
+    textually identical to the oracle's — results unchanged."""
+    from iceberg_metadata_pipeline_spark.queries import query
+    from iceberg_metadata_pipeline_spark.session import load_tables
+
+    big_sql = """
+SELECT doc_id, t[i] AS w1, t[i + 1] AS w2
+FROM (
+  SELECT doc_id, t, explode(sequence(0, size(t) - 2)) AS i
+  FROM (SELECT doc_id, split(text, ' ') AS t FROM documents) s
+  WHERE size(t) >= 2
+) e
+"""
+    score_sql = """
+WITH c2 AS (SELECT w1, w2, COUNT(*) AS n2 FROM __bigram_lm_big GROUP BY w1, w2),
+c1 AS (SELECT w1, COUNT(*) AS n1 FROM __bigram_lm_big GROUP BY w1),
+v AS (SELECT COUNT(DISTINCT w1) AS vocab FROM __bigram_lm_big)
 SELECT b.doc_id, COUNT(*) AS n_bigrams,
   round(CAST(SUM(CAST(CAST(c2.n2 + 1 AS DOUBLE) / CAST(c1.n1 + v.vocab AS DOUBLE)
                      AS DECIMAL(38,18))) AS DOUBLE) / COUNT(*), 12) AS avg_condprob
-FROM big b
+FROM __bigram_lm_big b
 JOIN c2 ON b.w1 = c2.w1 AND b.w2 = c2.w2
 JOIN c1 ON b.w1 = c1.w1
 CROSS JOIN v
 GROUP BY b.doc_id
 ORDER BY b.doc_id
-""",
-    oracle="""
+"""
+
+    @query(
+        "text_bigram_lm_score",
+        """
 WITH big AS (
   SELECT doc_id, t[i] AS w1, t[i + 1] AS w2
   FROM (
@@ -395,7 +407,17 @@ CROSS JOIN v
 GROUP BY b.doc_id
 ORDER BY b.doc_id
 """,
-)
+    )
+    def text_bigram_lm_score(spark, sf_dir):
+        load_tables(spark, sf_dir)
+        big = spark.sql(big_sql).cache()
+        big.createOrReplaceTempView("__bigram_lm_big")
+        return spark.sql(score_sql)
+
+
+_register_bigram_lm()
+
+
 
 
 # n-gram novelty: the fraction of a document's distinct 3-gram shingles
