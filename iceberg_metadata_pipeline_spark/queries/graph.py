@@ -81,8 +81,10 @@ def pagerank_fixed_point(edges: DataFrame, iterations: int = 3) -> DataFrame:
     # partition ONCE on src; every iteration's join reuses this layout
     edges = edges.repartition(n_shuffle, "src")
     deg = edges.groupBy("src").agg(F.count("*").alias("outdeg"))
-    contrib_src = edges.join(deg, "src")  # (src, dst, outdeg), still src-partitioned
-    contrib_src.cache().count()
+    # lazy cache (optimization r12): the first iteration's job
+    # materializes it; the old eager .count() was one extra job whose
+    # only effect was paying the fill earlier
+    contrib_src = edges.join(deg, "src").cache()  # (src, dst, outdeg), src-partitioned
 
     ranks = (
         edges.select(F.col("src").alias("node"))
