@@ -832,8 +832,13 @@ ORDER BY p_brand
             )
             # materialize before the server stops (the plan happens at
             # DataFrame construction; task reads hit storage directly,
-            # but keep the server alive through the action for safety)
-            out = spark.createDataFrame(out.collect(), out.schema)
+            # but keep the server alive through the action for safety).
+            # persist + count barrier, NOT collect+createDataFrame
+            # (optimization r12, the r11 review note): the result stays
+            # distributed — the driver never holds the rows, so the
+            # pattern no longer silently scales with result size
+            out = out.persist()
+            out.count()
         finally:
             srv.stop()
         return out
@@ -897,7 +902,8 @@ ORDER BY s_nationkey
                 )
                 .orderBy("s_nationkey")
             )
-            out = spark.createDataFrame(out.collect(), out.schema)
+            out = out.persist()  # count barrier; see source_pyrest_plan_scan
+            out.count()
         finally:
             srv.stop()
         return out
@@ -970,7 +976,8 @@ ORDER BY event_type
                 )
                 .orderBy("event_type")
             )
-            res = spark.createDataFrame(res.collect(), res.schema)
+            res = res.persist()  # count barrier; see source_pyrest_plan_scan
+            res.count()
         finally:
             srv.stop()
         return res
