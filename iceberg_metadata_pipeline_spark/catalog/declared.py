@@ -648,8 +648,30 @@ def table_binpack_compaction(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = load_tables(spark, sf_dir)["orders"]
     catalog = Catalog(spark, tempfile.mkdtemp(prefix="warehouse-binpack-"))
     t = catalog.create_table("nyc", "orders_bp", orders.schema)
+    # One partitioned write materializes all four %4 splits in a single
+    # scan+write job (optimization r12, guide §8 "one pass"); the table
+    # still accumulates FOUR append commits / four snapshots of small
+    # files — the state binpack exists to fix — via metadata-only
+    # append_files per split (partitionBy drops __b from the data files,
+    # so each split holds exactly the rows the old per-append filter
+    # selected, with the table's own schema).
+    from iceberg_metadata_pipeline_spark.catalog.metacat import (
+        scan_parquet_footers,
+    )
+
+    staging = tempfile.mkdtemp(prefix="binpack-splits-")
+    (
+        orders.withColumn("__b", F.pmod(F.col("o_orderkey"), F.lit(4)))
+        .write.partitionBy("__b")
+        .parquet(staging, mode="overwrite")
+    )
+    import os as _os
+
     for i in range(4):
-        t.append_dataframe(orders.filter(F.col("o_orderkey") % 4 == i))
+        t.append_files(
+            scan_parquet_footers(_os.path.join(staging, f"__b={i}"), spark),
+            dedupe=False,
+        )
     n_before = len(t.snapshot_files())
     assert n_before >= 4
     t.rewrite_small_files()
