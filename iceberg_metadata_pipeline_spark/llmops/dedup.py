@@ -264,13 +264,19 @@ def lsh_candidate_pairs(
             )
         ).alias("band_idx", "band_hash"),
     )
+    # cached (optimization r12): the bucket self-join broadcasts one
+    # side, so WITHOUT the cache the whole signature+banding subtree
+    # (the minhash kernel, the explode, the bucket-size window's
+    # shuffle+sort) executed twice — once per join branch (verified in
+    # the plan: two MapInArrow + Window chains). The cached frame is
+    # O(docs × bands) of three small columns.
     sized = bands.withColumn(
         "bucket_n", F.count(F.lit(1)).over(
             __import__("pyspark.sql.window", fromlist=["Window"]).Window.partitionBy(
                 "band_idx", "band_hash"
             )
         ),
-    ).filter(F.col("bucket_n") <= max_bucket)
+    ).filter(F.col("bucket_n") <= max_bucket).cache()
     a = sized.select(F.col("band_idx"), F.col("band_hash"), F.col(id_col).alias("id_a"))
     b = sized.select(F.col("band_idx"), F.col("band_hash"), F.col(id_col).alias("id_b"))
     return (
