@@ -244,6 +244,34 @@ def write_container(
 ) -> None:
     """Write an Avro OCF. ``extra_meta`` carries Iceberg's manifest keys
     ("schema", "partition-spec", "format-version", ...)."""
+    body = io.BytesIO()
+    for rec in records:
+        write_datum(body, schema, rec)
+    frame_container(
+        path,
+        schema,
+        len(records),
+        body.getvalue(),
+        codec=codec,
+        extra_meta=extra_meta,
+        sync=sync,
+    )
+
+
+def frame_container(
+    path: str,
+    schema: Any,
+    count: int,
+    raw_body: bytes,
+    *,
+    codec: str = "deflate",
+    extra_meta: dict[str, bytes] | None = None,
+    sync: bytes | None = None,
+) -> None:
+    """OCF framing around pre-encoded record bodies: header + one data
+    block + sync. Shared by the per-record writer above and the
+    vectorized encoder (ingest/avro_vector.py) so both produce
+    byte-identical containers."""
     if codec not in ("null", "deflate"):
         raise ValueError(f"unsupported codec {codec!r}")
     # deterministic sync marker by default (derived from path) so repeated
@@ -260,10 +288,7 @@ def write_container(
     }
     meta.update(extra_meta or {})
 
-    body = io.BytesIO()
-    for rec in records:
-        write_datum(body, schema, rec)
-    payload = body.getvalue()
+    payload = raw_body
     if codec == "deflate":
         # spec: raw deflate stream, no zlib header/checksum (wbits=-15)
         comp = zlib.compressobj(9, zlib.DEFLATED, -15)
@@ -272,8 +297,8 @@ def write_container(
     out.write(MAGIC)
     write_datum(out, _META_SCHEMA, meta)
     out.write(sync)
-    if records:
-        write_long(out, len(records))
+    if count:
+        write_long(out, count)
         write_bytes(out, payload)
         out.write(sync)
     tmp = path + ".tmp"

@@ -1026,6 +1026,67 @@ def _decode_data_block(content: bytes, headers: dict[int, str]) -> list[dict]:
     return recs
 
 
+def _encode_data_block_arrow(batch, avro_schema: dict) -> bytes | None:
+    """Vectorized twin of :func:`_encode_data_block` (optimization r13):
+    one column-wise avro encode over the Arrow batch + a numpy
+    interleave of the 4-byte big-endian record-length prefixes.
+    Byte-identical output (pinned in tests/test_round13_opt.py); returns
+    None when the schema falls outside the flat vectorized subset (the
+    caller then uses the per-record reference path). NaN doubles stay
+    VALUES here — the MOR serde's pinned semantics."""
+    import struct
+
+    import numpy as np
+
+    from iceberg_metadata_pipeline_spark.ingest import avro_vector
+
+    plan = avro_vector.compile_plan(avro_schema)
+    if plan is None:
+        return None
+    body, lens = avro_vector.encode_batch(plan, batch, nan_as_null=False)
+    n = len(lens)
+    head = struct.pack(">II", 1, n)
+    if n == 0:
+        return head
+    # interleave [>I length][record body] without a per-record loop
+    out = np.empty(4 * n + len(body), np.uint8)
+    rec_off = np.zeros(n + 1, np.int64)
+    np.cumsum(lens + 4, out=rec_off[1:])
+    len_be = lens.astype(">u4").view(np.uint8).reshape(n, 4)
+    out[rec_off[:-1, None] + np.arange(4)] = len_be
+    src_off = np.zeros(n + 1, np.int64)
+    np.cumsum(lens, out=src_off[1:])
+    idx = np.arange(len(body), dtype=np.int64) + np.repeat(
+        rec_off[:-1] + 4 - src_off[:-1], lens
+    )
+    out[idx] = np.frombuffer(body, np.uint8)
+    return head + out.tobytes()
+
+
+def _decode_data_block_arrow(content: bytes, headers: dict[int, str]):
+    """Vectorized twin of :func:`_decode_data_block`: the 4-byte length
+    prefixes give every record start for free, so the whole block
+    decodes as one Arrow batch (no structural scan, no per-record
+    dicts). Returns None when the schema is outside the flat subset."""
+    import json as _json
+    import struct
+
+    from iceberg_metadata_pipeline_spark.ingest import avro_vector
+
+    schema = _json.loads(headers[HEADER_SCHEMA])
+    plan = avro_vector.compile_plan(schema)
+    if plan is None:
+        return None
+    _ver, count = struct.unpack_from(">II", content, 0)
+    starts = [0] * count
+    pos = 8
+    unpack = struct.unpack_from
+    for i in range(count):
+        starts[i] = pos + 4
+        pos += 4 + unpack(">I", content, pos)[0]
+    return avro_vector.decode_batch(plan, content, count, record_starts=starts)
+
+
 def _encode_delete_block(keys: list[str]) -> bytes:
     import io
     import struct
@@ -1092,7 +1153,13 @@ def merge_file_slice(
             ):
                 continue
             if bt == BLOCK_AVRO_DATA:
-                for rec in _decode_data_block(content, h):
+                batch = _decode_data_block_arrow(content, h)
+                recs = (
+                    batch.to_pylist()
+                    if batch is not None
+                    else _decode_data_block(content, h)
+                )
+                for rec in recs:
                     rows[str(rec[key_field])] = rec
             elif bt == BLOCK_DELETE:
                 for k in _decode_delete_block(content):
@@ -1111,7 +1178,7 @@ def merge_file_slice(
 
 _SPARK_TO_ARROW_NAME = {
     "long": "int64", "integer": "int32", "double": "float64",
-    "float": "float32", "string": "string", "boolean": "bool",
+    "float": "float32", "string": "string", "boolean": "bool_",
     "binary": "binary",
 }
 
@@ -1254,8 +1321,13 @@ def _key_index(state: HudiTableState) -> dict[str, tuple[str, str]]:
         for lg in state.log_files.get(key, []):
             for bt, h, content in read_log_blocks(lg.path):
                 if bt == BLOCK_AVRO_DATA and h.get(HEADER_INSTANT_TIME) in state.valid_instants:
-                    for rec in _decode_data_block(content, h):
-                        idx[str(rec[key_field])] = key
+                    batch = _decode_data_block_arrow(content, h)
+                    if batch is not None:
+                        for v in batch.column(key_field).to_pylist():
+                            idx[str(v)] = key
+                    else:
+                        for rec in _decode_data_block(content, h):
+                            idx[str(rec[key_field])] = key
     return idx
 
 

@@ -66,6 +66,29 @@ def _pdf_to_records(pdf, arrow_schema) -> list[dict]:
     return out.astype(object).where(keep, None).to_dict("records")
 
 
+def _pdf_to_batch(pdf, arrow_schema):
+    """Vectorized twin of :func:`_pdf_to_records` → one Arrow batch with
+    the identical null/NaN semantics: integer columns restored from the
+    NaN-float upcast (null where NaN), FLOATING NaN kept as a VALUE (not
+    null), everything else null where pandas is null-like."""
+    import numpy as np
+    import pyarrow as pa
+
+    arrays = []
+    for f in arrow_schema:
+        s = pdf[f.name]
+        if pa.types.is_integer(f.type):
+            arrays.append(pa.Array.from_pandas(s.astype("Int64"), type=f.type))
+        elif pa.types.is_floating(f.type):
+            # .to_numpy keeps NaN as a value; from a plain float ndarray
+            # pyarrow does NOT treat NaN as null
+            np_dtype = np.float64 if f.type == pa.float64() else np.float32
+            arrays.append(pa.array(s.to_numpy(dtype=np_dtype), type=f.type))
+        else:
+            arrays.append(pa.Array.from_pandas(s, type=f.type))
+    return pa.RecordBatch.from_arrays(arrays, [f.name for f in arrow_schema])
+
+
 def _bloom_hash_pair(key: str) -> tuple[int, int]:
     """One md5 per key → (h1, h2) for Kirsch–Mitzenmacher double
     hashing: position_i = (h1 + i*h2) mod bits. Probe side computes the
@@ -392,6 +415,7 @@ def _key_index_df(
             BLOCK_AVRO_DATA,
             HEADER_INSTANT_TIME,
             _decode_data_block,
+            _decode_data_block_arrow,
             read_log_blocks,
         )
 
@@ -402,10 +426,17 @@ def _key_index_df(
                 if r.is_log:
                     for bt, h, content in read_log_blocks(r.path):
                         if bt == BLOCK_AVRO_DATA and h.get(HEADER_INSTANT_TIME) in vset:
-                            keys.extend(
-                                str(rec[key_field])
-                                for rec in _decode_data_block(content, h)
-                            )
+                            batch = _decode_data_block_arrow(content, h)
+                            if batch is not None:
+                                keys.extend(
+                                    str(v)
+                                    for v in batch.column(key_field).to_pylist()
+                                )
+                            else:
+                                keys.extend(
+                                    str(rec[key_field])
+                                    for rec in _decode_data_block(content, h)
+                                )
                 else:
                     import pyarrow.parquet as pq
 
@@ -612,18 +643,26 @@ def upsert_mor_df(df: DataFrame, location: str, prune: bool = True) -> str:
             HEADER_SCHEMA,
             _arrow_schema_of,
             _encode_data_block,
+            _encode_data_block_arrow,
         )
 
         arrow_schema = _arrow_schema_of(sch)
-        recs = _pdf_to_records(pdf, arrow_schema)
+        n = len(pdf)
+        content = _encode_data_block_arrow(
+            _pdf_to_batch(pdf, arrow_schema), avro_schema
+        )
+        if content is None:  # schema outside the flat vectorized subset
+            content = _encode_data_block(
+                _pdf_to_records(pdf, arrow_schema), avro_schema
+            )
         return (
             3,  # BLOCK_AVRO_DATA
             {
                 HEADER_INSTANT_TIME: t,
                 HEADER_SCHEMA: json.dumps(avro_schema, separators=(",", ":")),
             },
-            _encode_data_block(recs, avro_schema),
-            len(recs),
+            content,
+            n,
             0,
         )
 

@@ -138,87 +138,81 @@ def avro_schema_to_spark(schema: dict) -> T.StructType:
 
 
 def write_avro(df: DataFrame, path: str) -> int:
-    """Write ``df`` as part-files under ``path``; returns file count."""
-    import pandas as pd
+    """Write ``df`` as part-files under ``path``; returns file count.
 
+    Optimization r13 (guide §4.2): the per-row ``itertuples`` encode loop
+    (one dict + per-value datetime arithmetic per record, then the
+    byte-at-a-time reference codec) became a column-wise numpy encoder
+    over Arrow batches (ingest/avro_vector.py). Same bytes on disk —
+    the vectorized encoder is pinned byte-identical to
+    ``avro_io.write_datum`` — so readers and golden-format tests are
+    unaffected."""
     os.makedirs(path, exist_ok=True)
     # overwrite semantics: a previous wider write would otherwise leave
     # stale high-numbered part files that read_avro would pick back up
     for stale in _glob.glob(os.path.join(path, "part-*.avro")):
         os.remove(stale)
     schema = spark_schema_to_avro(df.schema)
-    logical = {f.name: f.dataType.simpleString() for f in df.schema.fields}
+
+    from iceberg_metadata_pipeline_spark.ingest import avro_vector
+
+    plan = avro_vector.compile_plan(schema)
+    if plan is None:  # defensive: spark_schema_to_avro only emits flat types
+        raise ValueError(f"write_avro: schema outside the flat subset: {schema}")
 
     def run(batches):
+        import pyarrow as pa
         from pyspark import TaskContext
 
         pid = TaskContext.get().partitionId()
-        records = []
-        for pdf in batches:
-            for row in pdf.itertuples(index=False):
-                rec = {}
-                for name, v in zip(pdf.columns, row):
-                    if v is None or (isinstance(v, float) and v != v) or v is pd.NaT:
-                        rec[name] = None
-                    elif logical[name] == "date":
-                        d = v.date() if hasattr(v, "date") and not isinstance(v, datetime.date) else v
-                        rec[name] = (d - _EPOCH_DATE).days
-                    elif logical[name] in ("timestamp", "timestamp_ntz"):
-                        ts = v.to_pydatetime() if hasattr(v, "to_pydatetime") else v
-                        # timedelta floor-division is exact integer micros;
-                        # float total_seconds() has ~0.4 µs ulp at 2024-era
-                        # epochs and truncation would corrupt ~1% of values
-                        rec[name] = (ts - _EPOCH_TS) // datetime.timedelta(
-                            microseconds=1
-                        )
-                    elif isinstance(v, (bool,)):
-                        rec[name] = bool(v)
-                    elif hasattr(v, "item"):  # numpy scalar → python
-                        rec[name] = v.item()
-                    else:
-                        rec[name] = v
-                records.append(rec)
-        avro_io.write_container(
-            os.path.join(path, f"part-{pid:05d}.avro"), schema, records
+        bodies, count = [], 0
+        for batch in batches:
+            body, _ = avro_vector.encode_batch(plan, batch)
+            bodies.append(body)
+            count += batch.num_rows
+        avro_vector.write_ocf(
+            os.path.join(path, f"part-{pid:05d}.avro"), schema, bodies, count
         )
-        yield pd.DataFrame({"n": [len(records)]})
+        yield pa.RecordBatch.from_arrays([pa.array([count], pa.int64())], ["n"])
 
-    df.mapInPandas(run, "n long").count()
+    df.mapInArrow(run, "n long").count()
     return len(_glob.glob(os.path.join(path, "part-*.avro")))
 
 
 def read_avro(spark: SparkSession, path: str) -> DataFrame:
     """Distributed read of a directory of OCF files → DataFrame. Schema
     comes from the first file's embedded header (schema-on-file, the avro
-    contract); every task decodes one file."""
-    import pandas as pd
+    contract); every task decodes one file.
 
+    Optimization r13 (guide §4.2): each file decodes through the
+    vectorized codec (ingest/avro_vector.py) straight into Arrow record
+    batches — no per-record dicts, no per-value datetime arithmetic.
+    Schemas outside the flat subset fall back to the reference
+    per-record decoder (same yielded values either way)."""
     files = sorted(_glob.glob(os.path.join(path, "*.avro")))
     if not files:
         raise FileNotFoundError(f"no .avro files under {path}")
-    schema, _, _ = avro_io.read_container(files[0])
+    schema, _, _ = avro_io.read_container(files[0], header_only=True)
     spark_schema = avro_schema_to_spark(schema)
     logical = {f["name"]: _branch(f["type"])[1] for f in schema["fields"]}
     names = [f["name"] for f in schema["fields"]]
 
     def run(batches):
-        for pdf in batches:
-            for fpath in pdf["path"]:
+        import pyarrow as pa
+
+        from iceberg_metadata_pipeline_spark.ingest import avro_vector
+
+        for batch in batches:
+            for fpath in batch.column(0).to_pylist():
                 local = fpath[len("file:") :] if fpath.startswith("file:") else fpath
                 check_schema_match(schema, local)
-                _, _, records = avro_io.read_container(local)
-                cols: dict[str, list] = {n: [] for n in names}
-                for rec in records:
-                    for n in names:
-                        v = rec.get(n)
-                        if v is not None and logical[n] == "date":
-                            v = _EPOCH_DATE + datetime.timedelta(days=v)
-                        elif v is not None and logical[n] == "timestamp-micros":
-                            v = _EPOCH_TS + datetime.timedelta(microseconds=v)
-                        elif v is not None and logical[n] == "timestamp-millis":
-                            v = _EPOCH_TS + datetime.timedelta(milliseconds=v)
-                        cols[n].append(v)
-                yield pd.DataFrame(cols, columns=names)
+                try:
+                    _, _, decoded = avro_vector.read_ocf_arrow(local)
+                except ValueError:
+                    decoded = _records_to_arrow_batch(
+                        avro_io.read_container(local)[2], names, logical
+                    )
+                yield decoded
 
     paths = (
         spark.read.format("binaryFile")
@@ -227,7 +221,32 @@ def read_avro(spark: SparkSession, path: str) -> DataFrame:
         .select("path")
     )
     # one task per file: each file is one self-describing decode unit
-    return paths.repartition(len(files)).mapInPandas(run, spark_schema)
+    return paths.repartition(len(files)).mapInArrow(run, spark_schema)
+
+
+def _records_to_arrow_batch(records: list[dict], names: list[str], logical: dict):
+    """Reference-decoder fallback: decoded record dicts → one Arrow
+    batch with the same logical-type rendering as the vectorized path."""
+    import pyarrow as pa
+
+    arrays = []
+    for n in names:
+        vals = [rec.get(n) for rec in records]
+        lt = logical[n]
+        if lt == "date":
+            arrays.append(pa.array(vals, pa.date32()))
+        elif lt == "timestamp-micros":
+            arrays.append(pa.array(vals, pa.timestamp("us")))
+        elif lt == "timestamp-millis":
+            arrays.append(
+                pa.array(
+                    [None if v is None else v * 1000 for v in vals],
+                    pa.timestamp("us"),
+                )
+            )
+        else:
+            arrays.append(pa.array(vals))
+    return pa.RecordBatch.from_arrays(arrays, names)
 
 
 @query(

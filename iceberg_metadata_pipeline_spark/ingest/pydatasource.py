@@ -46,10 +46,12 @@ from dataclasses import dataclass
 
 from pyspark.sql.datasource import (
     DataSource,
+    DataSourceArrowWriter,
     DataSourceReader,
+    DataSourceStreamArrowWriter,
     DataSourceStreamReader,
-    DataSourceStreamWriter,
-    DataSourceWriter,
+    DataSourceStreamWriter,  # noqa: F401 — kept for API parity/reference
+    DataSourceWriter,  # noqa: F401
     EqualTo,
     GreaterThan,
     GreaterThanOrEqual,
@@ -158,15 +160,54 @@ def _compile_filter(f):
     return None
 
 
+_ARROW_COMPARATORS = {
+    EqualTo: "equal",
+    GreaterThan: "greater",
+    GreaterThanOrEqual: "greater_equal",
+    LessThan: "less",
+    LessThanOrEqual: "less_equal",
+}
+
+
+def _compile_filter_arrow(f):
+    """The SAME filter shapes as :func:`_compile_filter`, vectorized:
+    pushed Filter → (batch → boolean mask) over decoded Arrow batches.
+    Null comparisons yield null, which the caller fills to False — the
+    row drops, identical to the record-predicate semantics."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    if isinstance(f, IsNull) and len(f.attribute) == 1:
+        col = f.attribute[0]
+        return lambda b: pc.is_null(b.column(col))
+    if isinstance(f, IsNotNull) and len(f.attribute) == 1:
+        col = f.attribute[0]
+        return lambda b: pc.is_valid(b.column(col))
+    if isinstance(f, In) and len(f.attribute) == 1:
+        col = f.attribute[0]
+        vals = list(f.value)
+        return lambda b: pc.is_in(b.column(col), value_set=pa.array(vals))
+    for ftype, op in _ARROW_COMPARATORS.items():
+        if type(f) is ftype and len(f.attribute) == 1:
+            col, x = f.attribute[0], f.value
+            return lambda b, op=op, col=col, x=x: getattr(pc, op)(
+                b.column(col), x
+            )
+    return None
+
+
 @dataclass
 class AvroFilePartition(InputPartition):
     path: str
 
 
 class PyAvroBatchReader(DataSourceReader):
-    """One InputPartition per OCF file; simple filters applied inside
-    the decode loop (avro records are plain dicts — the predicate runs
-    before tuple materialization)."""
+    """One InputPartition per OCF file. Each file decodes through the
+    vectorized Arrow codec (ingest/avro_vector.py, optimization r13) and
+    is yielded as one Arrow record batch; pushed filters apply as
+    vectorized masks before the batch crosses to the JVM. Files with
+    schemas outside the flat subset fall back to the per-record
+    reference decoder with the equivalent row predicates."""
 
     def __init__(self, options):
         self.path = _local(options["path"])
@@ -174,36 +215,56 @@ class PyAvroBatchReader(DataSourceReader):
         if not files:
             raise FileNotFoundError(f"no .avro files under {self.path}")
         self.files = files
-        schema, _, _ = avro_io.read_container(files[0])
+        schema, _, _ = avro_io.read_container(files[0], header_only=True)
         self.avro_schema = schema
         self.names = [f["name"] for f in schema["fields"]]
         self.logical = {f["name"]: _branch(f["type"])[1] for f in schema["fields"]}
         self.predicates: list = []
+        self.arrow_predicates: list = []
 
     def pushFilters(self, filters):
         rest = []
         for f in filters:
             pred = _compile_filter(f)
-            if pred is None:
+            apred = _compile_filter_arrow(f)
+            if pred is None or apred is None:
                 rest.append(f)  # same object by reference, per contract
             else:
                 self.predicates.append(pred)
+                self.arrow_predicates.append(apred)
         return rest
 
-    def partitions(self):
-        return [AvroFilePartition(p) for p in self.files]
-
     def read(self, partition: AvroFilePartition):
+        from iceberg_metadata_pipeline_spark.ingest import avro_vector
         from iceberg_metadata_pipeline_spark.ingest.avro_source import (
             check_schema_match,
         )
 
         check_schema_match(self.avro_schema, partition.path)
+        try:
+            _, _, batch = avro_vector.read_ocf_arrow(partition.path)
+        except ValueError:
+            yield from self._read_rows(partition)
+            return
+        if self.arrow_predicates:
+            import pyarrow.compute as pc
+
+            mask = None
+            for apred in self.arrow_predicates:
+                m = apred(batch)
+                mask = m if mask is None else pc.and_kleene(mask, m)
+            batch = batch.filter(pc.fill_null(mask, False))
+        yield batch
+
+    def _read_rows(self, partition: AvroFilePartition):
         _, _, records = avro_io.read_container(partition.path)
         preds = self.predicates
         for rec in records:
             if all(p(rec) for p in preds):
                 yield _decode_record(rec, self.names, self.logical)
+
+    def partitions(self):
+        return [AvroFilePartition(p) for p in self.files]
 
 
 @dataclass
@@ -212,31 +273,38 @@ class AvroCommit(WriterCommitMessage):
     rows: int
 
 
-class PyAvroBatchWriter(DataSourceWriter):
+class PyAvroBatchWriter(DataSourceArrowWriter):
     """Two-phase commit: tasks write ``_tmp-<uuid>.avro``; only the
     driver-side ``commit`` publishes them as ``part-NNNNN.avro`` (and,
     for overwrite mode, removes prior part files) — a failed or
-    speculative task can never leave a visible partial file."""
+    speculative task can never leave a visible partial file.
+
+    Arrow-native (optimization r13): tasks receive Arrow record batches
+    and encode them column-wise (ingest/avro_vector.py) — byte-identical
+    container output to the previous per-Row ``write_datum`` loop."""
 
     def __init__(self, schema: StructType, options, overwrite: bool):
         self.dest = _local(options["path"])
         self.overwrite = overwrite
         self.avro_schema = spark_schema_to_avro(schema)
-        self.simple = {f.name: f.dataType.simpleString() for f in schema.fields}
-        self.names = [f.name for f in schema.fields]
         os.makedirs(self.dest, exist_ok=True)
 
     def write(self, iterator):
-        records = [
-            {
-                n: _encode_value(row[i], self.simple[n])
-                for i, n in enumerate(self.names)
-            }
-            for row in iterator
-        ]
+        from iceberg_metadata_pipeline_spark.ingest import avro_vector
+
+        plan = avro_vector.compile_plan(self.avro_schema)
+        if plan is None:  # spark_schema_to_avro only emits the flat subset
+            raise ValueError(
+                f"pyavro writer: unsupported schema {self.avro_schema}"
+            )
+        bodies, count = [], 0
+        for batch in iterator:
+            body, _ = avro_vector.encode_batch(plan, batch)
+            bodies.append(body)
+            count += batch.num_rows
         tmp = os.path.join(self.dest, f"_tmp-{uuid.uuid4().hex}.avro")
-        avro_io.write_container(tmp, self.avro_schema, records)
-        return AvroCommit(tmp_path=tmp, rows=len(records))
+        avro_vector.write_ocf(tmp, self.avro_schema, bodies, count)
+        return AvroCommit(tmp_path=tmp, rows=count)
 
     def commit(self, messages):
         if self.overwrite:
@@ -300,6 +368,16 @@ class PyAvroStreamReader(DataSourceStreamReader):
         return [AvroFilePartition(p) for p in files]
 
     def read(self, partition: AvroFilePartition):
+        from iceberg_metadata_pipeline_spark.ingest import avro_vector
+
+        try:
+            _, _, batch = avro_vector.read_ocf_arrow(partition.path)
+            # column order per the DECLARED schema (the batch reader gets
+            # this from check_schema_match; a stream has no first-file)
+            yield batch.select(self.names)
+            return
+        except (ValueError, KeyError):
+            pass
         _, _, records = avro_io.read_container(partition.path)
         for rec in records:
             yield _decode_record(rec, self.names, self.logical)
@@ -308,30 +386,34 @@ class PyAvroStreamReader(DataSourceStreamReader):
         pass  # offsets live in the query checkpoint; nothing to retire
 
 
-class PyAvroStreamWriter(DataSourceStreamWriter):
+class PyAvroStreamWriter(DataSourceStreamArrowWriter):
     """Streaming sink: per-epoch two-phase commit. Tasks write
     ``_tmp-*``; ``commit(batchId)`` publishes ``part-<epoch>-NNNNN.avro``
     — names stay sort-monotone, so a pyavro stream reader can tail the
-    output of a pyavro stream writer."""
+    output of a pyavro stream writer. Arrow-native like the batch
+    writer (optimization r13)."""
 
     def __init__(self, schema: StructType, options, overwrite: bool):
         self.dest = _local(options["path"])
         self.avro_schema = spark_schema_to_avro(schema)
-        self.simple = {f.name: f.dataType.simpleString() for f in schema.fields}
-        self.names = [f.name for f in schema.fields]
         os.makedirs(self.dest, exist_ok=True)
 
     def write(self, iterator):
-        records = [
-            {
-                n: _encode_value(row[i], self.simple[n])
-                for i, n in enumerate(self.names)
-            }
-            for row in iterator
-        ]
+        from iceberg_metadata_pipeline_spark.ingest import avro_vector
+
+        plan = avro_vector.compile_plan(self.avro_schema)
+        if plan is None:
+            raise ValueError(
+                f"pyavro stream writer: unsupported schema {self.avro_schema}"
+            )
+        bodies, count = [], 0
+        for batch in iterator:
+            body, _ = avro_vector.encode_batch(plan, batch)
+            bodies.append(body)
+            count += batch.num_rows
         tmp = os.path.join(self.dest, f"_tmp-{uuid.uuid4().hex}.avro")
-        avro_io.write_container(tmp, self.avro_schema, records)
-        return AvroCommit(tmp_path=tmp, rows=len(records))
+        avro_vector.write_ocf(tmp, self.avro_schema, bodies, count)
+        return AvroCommit(tmp_path=tmp, rows=count)
 
     def commit(self, messages, batchId: int) -> None:
         for i, m in enumerate(sorted(messages, key=lambda m: m.tmp_path)):

@@ -127,6 +127,30 @@ class _HudiReadMixin:
 
         yield from arrow_scan.batches_from_records(merged(), names, pa_schema)
 
+    def _decoded_block_batches(self, batch, pvals):
+        """A vectorized-decoded log-block batch → the declared schema:
+        partition-path values fill via O(1) arrays, missing
+        added-after-write columns project null (same projection rules
+        as the parquet path below)."""
+        from iceberg_metadata_pipeline_spark.ingest import arrow_scan
+
+        pa_schema = arrow_scan.spark_to_arrow_schema(self.schema)
+        n = batch.num_rows
+        got = dict(zip(batch.schema.names, batch.columns))
+        arrays = []
+        for i, f in enumerate(self.schema.fields):
+            tgt_type = pa_schema.field(i).type
+            if f.name in pvals:
+                arrays.append(arrow_scan.fill_array(pvals[f.name], n, tgt_type))
+            elif f.name in got:
+                col = got[f.name]
+                arrays.append(col if col.type == tgt_type else col.cast(tgt_type))
+            else:
+                arrays.append(arrow_scan.fill_array(None, n, tgt_type))
+        out = arrow_scan.finish_batch(arrays, pa_schema)
+        if out is not None:
+            yield out
+
     def _rows(self, part: HudiFilePartition):
         import pyarrow.parquet as pq
 
@@ -137,6 +161,7 @@ class _HudiReadMixin:
                 BLOCK_DELETE,
                 HEADER_INSTANT_TIME,
                 _decode_data_block,
+                _decode_data_block_arrow,
                 read_log_blocks,
             )
 
@@ -154,9 +179,13 @@ class _HudiReadMixin:
                         "reads"
                     )
                 if bt == BLOCK_AVRO_DATA:
-                    yield from self._record_batches(
-                        _decode_data_block(content, h), pvals
-                    )
+                    decoded = _decode_data_block_arrow(content, h)
+                    if decoded is not None:
+                        yield from self._decoded_block_batches(decoded, pvals)
+                    else:
+                        yield from self._record_batches(
+                            _decode_data_block(content, h), pvals
+                        )
             return
         if part.logs:
             from iceberg_metadata_pipeline_spark.catalog.hudi_format import (

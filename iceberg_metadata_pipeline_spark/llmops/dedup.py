@@ -194,17 +194,27 @@ def minhash_signatures_from_arrays(
             mins = np.zeros((n, n_hashes), dtype=np.int64)
             empty = offs[:-1] == offs[1:]
             if len(vals):
-                # empty segments would index past the end (reduceat takes
-                # segment STARTS); clip them — their output is masked null
-                starts = np.minimum(offs[:-1], len(vals) - 1)
+                # reduceat takes segment STARTS, so an empty trailing
+                # segment's start (== len(vals)) must stay valid WITHOUT
+                # clipping: clipping it to len(vals)-1 silently shortened
+                # the PRECEDING row's segment by one value (r12 advisor
+                # finding). Instead append one sentinel row >= m to the
+                # product matrix — unclipped starts then index the
+                # sentinel, which can never win a min and whose own
+                # (empty-row) output is masked null below.
+                starts = offs[:-1]
                 # chunk the hash axis so the (values × hashes) product
                 # matrix stays ~128 MB regardless of batch shape
                 step = max(1, min(n_hashes, (16 << 20) // len(vals)))
                 for j in range(0, n_hashes, step):
-                    prod = (
-                        vals[:, None] * a_np[None, j : j + step]
-                        + b_np[None, j : j + step]
-                    ) % m
+                    w = len(a_np[j : j + step])
+                    prod = np.empty((len(vals) + 1, w), dtype=np.int64)
+                    np.multiply(
+                        vals[:, None], a_np[None, j : j + step], out=prod[:-1]
+                    )
+                    prod[:-1] += b_np[None, j : j + step]
+                    prod[:-1] %= m
+                    prod[-1] = m  # sentinel: >= every value of prod % m
                     mins[:, j : j + step] = np.minimum.reduceat(
                         prod, starts, axis=0
                     )

@@ -52,6 +52,47 @@ def test_minhash_numpy_kernel_matches_groupby_variant(spark):
     assert all(len(s) == 32 for s in arr.values())
 
 
+def test_minhash_kernel_multishingle_before_trailing_empty(spark):
+    """r12 advisor (medium): a multi-shingle doc IMMEDIATELY BEFORE an
+    empty/null shingle list in the same Arrow batch — the old clipped
+    reduceat starts shortened the preceding row's segment by one value,
+    silently dropping its last shingle from the min. Pin the sentinel
+    fix: the doc's signature must equal the same doc's signature computed
+    alone, for every arrangement (trailing empty, trailing null, interior
+    empty), under coalesce(1) so the rows share one batch."""
+    from iceberg_metadata_pipeline_spark.llmops.dedup import (
+        minhash_signatures_from_arrays,
+    )
+
+    sh = "array<string>"
+    base = [(1, ["aa bb cc", "bb cc dd", "cc dd ee"])]
+    arrangements = [
+        base + [(2, [])],  # trailing empty
+        base + [(2, None)],  # trailing null
+        base + [(2, []), (3, ["zz yy xx"])],  # interior empty
+    ]
+    alone = {
+        r["doc_id"]: list(r["sig"])
+        for r in minhash_signatures_from_arrays(
+            spark.createDataFrame(base, f"doc_id long, shingles {sh}").coalesce(1),
+            "doc_id",
+            n_hashes=32,
+        ).collect()
+    }
+    for rows in arrangements:
+        df = spark.createDataFrame(
+            rows, f"doc_id long, shingles {sh}"
+        ).coalesce(1)
+        got = {
+            r["doc_id"]: r["sig"]
+            for r in minhash_signatures_from_arrays(
+                df, "doc_id", n_hashes=32
+            ).collect()
+        }
+        assert list(got[1]) == alone[1], f"arrangement {rows} corrupted doc 1"
+        assert got[2] is None or all(v is None for v in got[2])
+
+
 def test_minhash_kernel_single_token_doc(spark):
     """A 1-token doc has exactly one shingle; the kernel's reduceat path
     must not merge it into a neighbor segment."""
