@@ -178,7 +178,16 @@ def _sentinel_seconds(spark) -> float:
     return round(sorted(runs)[1], 3)
 
 
-def _measure(spark, qs, names, sf_dir) -> dict[str, float]:
+def _measure(
+    spark, qs, names, sf_dir, first_run: dict[str, float] | None = None
+) -> dict[str, float]:
+    """Median-of-3 noop-sink timings. ``first_run`` (r12 verdict #2,
+    additions-only): queries that cache an intermediate leave the cache
+    in the session, so reps 2-3 re-run warm and the median reports the
+    steady-state time; rep 1 is the COLD path (cache built from parquet
+    in-run). Both numbers are recorded — the median keeps the committed
+    cross-round comparison methodology, first_run_sec is the honest
+    cold-start quote for cache-carrying queries."""
     timings: dict[str, float] = {}
     for name in names:
         fn = qs.get(name)
@@ -191,6 +200,8 @@ def _measure(spark, qs, names, sf_dir) -> dict[str, float]:
             df.write.format("noop").mode("overwrite").save()
             runs.append(time.perf_counter() - t0)
         timings[name] = round(sorted(runs)[1], 3)
+        if first_run is not None:
+            first_run[name] = round(runs[0], 3)
     return timings
 
 
@@ -220,7 +231,8 @@ def _isolate(names: list[str]) -> None:
     qs = entry_mod.queries()
     _warmup(spark, sf_dir)
     sentinel = _sentinel_seconds(spark)
-    timings = _measure(spark, qs, names, sf_dir)
+    first_run: dict[str, float] = {}
+    timings = _measure(spark, qs, names, sf_dir, first_run=first_run)
     local = os.path.join(
         os.path.dirname(os.path.abspath(__file__)), "BENCH_LOCAL.json"
     )
@@ -232,6 +244,7 @@ def _isolate(names: list[str]) -> None:
         except (OSError, json.JSONDecodeError):
             payload = {}
     payload.setdefault("isolated", {}).update(timings)
+    payload.setdefault("isolated_first_run", {}).update(first_run)
     payload["isolated_sentinel_sec"] = sentinel
     with open(local, "w") as fh:
         json.dump(payload, fh)
@@ -311,7 +324,8 @@ def main() -> None:
     load_before = os.getloadavg()
     sentinel = _sentinel_seconds(spark)
 
-    timings = _measure(spark, qs, HEADLINE, sf_dir)
+    first_run: dict[str, float] = {}
+    timings = _measure(spark, qs, HEADLINE, sf_dir, first_run=first_run)
 
     total = round(sum(timings.values()), 3)
     local_path = os.path.join(
@@ -349,6 +363,10 @@ def main() -> None:
             "value": total,
             "unit": "sec",
             "queries": timings,
+            # cold-path truth per query (r12 verdict #2, additions-only):
+            # rep 1 of the median-of-3 — for queries that cache an
+            # intermediate the median is steady-state-warm, this is not
+            "first_run_sec": first_run,
             "sf": sf,
             # host-noise context (VERDICT r6 #8): loadavg around the run
             # and a fixed pure-JVM sentinel; compare totals ACROSS rounds

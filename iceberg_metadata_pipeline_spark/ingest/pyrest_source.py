@@ -836,7 +836,13 @@ ORDER BY p_brand
             # persist + count barrier, NOT collect+createDataFrame
             # (optimization r12, the r11 review note): the result stays
             # distributed — the driver never holds the rows, so the
-            # pattern no longer silently scales with result size
+            # pattern no longer silently scales with result size.
+            # LOCAL-MODE ASSUMPTION (r12 advisor): on a real cluster a
+            # cached partition lost after srv.stop() would recompute
+            # lineage against the stopped server and fail loudly; a
+            # cluster deployment would keep the catalog service running
+            # for the query's lifetime (the reference's posture) or
+            # checkpoint() to durable storage instead
             out = out.persist()
             out.count()
         finally:

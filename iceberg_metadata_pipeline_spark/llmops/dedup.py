@@ -146,35 +146,73 @@ def minhash_signatures_from_arrays(
     sh_arr_df: DataFrame, id_col: str, n_hashes: int = 64, seed: int = 42
 ) -> DataFrame:
     """(id, sig array<long>) — still a pure narrow map (no explode, no
-    shuffle), split across the boundary where each side is fastest
-    (optimization r12, guide §4.2): the JVM hashes each shingle once
-    (``xxhash64 mod p`` — the hash FAMILY stays JVM-side, so signatures
-    remain bit-identical to :func:`minhash_signatures`), and the n
-    permute-min folds run as one vectorized numpy kernel over the Arrow
-    list buffers instead of n interpreted ``array_min(transform(...))``
-    passes (~34 ns per interpreted element-op before; the HOF path cost
-    ~1.1 s for 2500 docs × 64 hashes at sf0.1, the kernel ~0.3 s).
-    Arithmetic is exact int64 both sides: h < 2^31, a < 2^31 ⇒
-    h·a + b < 2^62 — no overflow, and numpy ``%`` equals Spark ``pmod``
-    on non-negative operands."""
+    shuffle). The whole per-shingle pipeline runs inside ONE mapInArrow
+    kernel (optimization r12 moved the n permute-min folds out of n
+    interpreted ``array_min(transform(...))`` passes; optimization r13
+    moved the per-shingle hash out of the interpreted JVM
+    ``transform(xxhash64(s))`` pass too): shingle STRINGS cross the
+    Arrow boundary as one contiguous buffer + offsets, a vectorized
+    bit-exact XXH64 (llmops/xxh64_vector.py, Spark's seed 42) hashes
+    every shingle, and ``minimum.reduceat`` folds the n permutations.
+    The hash FAMILY is unchanged — ``xxhash64(shingle) mod p`` — so
+    signatures remain bit-identical to :func:`minhash_signatures`
+    (pinned in tests/test_round12_opt.py and test_round13_opt.py).
+    Arithmetic is exact int64: h < 2^31, a < 2^31 ⇒ h·a + b < 2^62 —
+    no overflow, and numpy ``%`` equals Spark ``pmod`` on non-negative
+    operands."""
     import numpy as np
     import pyarrow as pa
+
+    from iceberg_metadata_pipeline_spark.llmops.xxh64_vector import xxh64
 
     params = _hash_params(n_hashes, seed)
     a_np = np.array([a for a, _ in params], dtype=np.int64)
     b_np = np.array([b for _, b in params], dtype=np.int64)
     m = _MERSENNE31
 
-    hashed = sh_arr_df.select(
-        F.col(id_col),
-        F.transform(
-            "shingles", lambda s: F.pmod(F.xxhash64(s), F.lit(_MERSENNE31))
-        ).alias("_h"),
-    )
+    hashed = sh_arr_df.select(F.col(id_col), F.col("shingles"))
     id_field = hashed.schema[id_col]
     out_schema = (
         f"{id_field.name} {id_field.dataType.simpleString()}, sig array<bigint>"
     )
+
+    def _hash_strings(child: pa.Array) -> np.ndarray:
+        """xxhash64(utf8 bytes, seed 42) mod p for every string of the
+        (null-free) child array — matrix-padded vectorized XXH64."""
+        if child.null_count:
+            raise ValueError("minhash kernel: null shingle string")
+        width = 8 if child.type in (pa.large_string(), pa.large_binary()) else 4
+        odt = np.int64 if width == 8 else np.int32
+        n_str = len(child)
+        soffs = np.frombuffer(child.buffers()[1], dtype=odt)[
+            child.offset : child.offset + n_str + 1
+        ].astype(np.int64)
+        data = np.frombuffer(child.buffers()[2] or b"", dtype=np.uint8)
+        lens = np.diff(soffs)
+        if n_str == 0:
+            return np.empty(0, np.int64)
+        wid = int(lens.max()) + 32
+        # bound the padded matrix at ~64 MB per hashing slab
+        step = max(1, (64 << 20) // wid)
+        out = np.empty(n_str, np.uint64)
+        for j in range(0, n_str, step):
+            sl = slice(j, min(j + step, n_str))
+            ls = lens[sl]
+            k = len(ls)
+            mat = np.zeros((k, wid), np.uint8)
+            total = int(ls.sum())
+            if total:
+                src0 = soffs[sl.start]
+                flat = np.arange(total, dtype=np.int64) + np.repeat(
+                    np.arange(k, dtype=np.int64) * wid
+                    - (np.cumsum(ls) - ls)
+                    , ls,
+                )
+                mat.reshape(-1)[flat] = data[src0 : soffs[sl.stop]]
+            out[sl] = xxh64(mat, ls, seed=42)
+        # Spark: pmod(xxhash64(s) AS signed long, p) — reinterpret, then
+        # numpy % (sign of divisor) equals pmod for positive p
+        return out.astype(np.int64) % m
 
     def _sign(batches):
         for batch in batches:
@@ -187,9 +225,8 @@ def minhash_signatures_from_arrays(
                 lst = lst.combine_chunks()
             offs = np.asarray(lst.offsets).astype(np.int64)
             # rebase to the slice window so reduceat's implicit final
-            # segment ends exactly at the last list's end (np.asarray on
-            # the child raises on nulls — loud, never a silent float cast)
-            vals = np.asarray(lst.values)[offs[0] : offs[-1]]
+            # segment ends exactly at the last list's end
+            vals = _hash_strings(lst.values.slice(offs[0], offs[-1] - offs[0]))
             offs = offs - offs[0]
             mins = np.zeros((n, n_hashes), dtype=np.int64)
             empty = offs[:-1] == offs[1:]
@@ -280,6 +317,13 @@ def lsh_candidate_pairs(
     # shuffle+sort) executed twice — once per join branch (verified in
     # the plan: two MapInArrow + Window chains). The cached frame is
     # O(docs × bands) of three small columns.
+    # Cache lifetime (r12 advisor): SESSION-SCOPED BY DESIGN — the
+    # query builder returns a lazy DataFrame, so there is no post-final-
+    # action point to unpersist from inside it. Spark's CacheManager
+    # dedupes by logical plan, so re-running the same query reuses ONE
+    # entry (no per-invocation growth); distinct queries' entries age
+    # out under storage-memory LRU eviction. This note covers the same
+    # pattern in mining.py, stats_ext.py, text.py and dedup.py below.
     sized = bands.withColumn(
         "bucket_n", F.count(F.lit(1)).over(
             __import__("pyspark.sql.window", fromlist=["Window"]).Window.partitionBy(

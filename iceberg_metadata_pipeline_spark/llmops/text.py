@@ -368,14 +368,23 @@ FROM (
   WHERE size(t) >= 2
 ) e
 """
+    # view-name hygiene (optimization r13, r12 advisor): the view name is
+    # unique per invocation, so concurrent invocations in one session
+    # can never rebind each other's view. The view is NOT dropped —
+    # dropTempView CASCADES an uncache of the underlying plan (measured:
+    # it also strips InMemoryTableScan from already-analyzed consumers),
+    # and the templated-SQL {df} form was measured to BYPASS the cache
+    # entirely (plan lost all 8 InMemoryTableScans). A view entry is
+    # O(bytes) catalog metadata; the DATA cache never duplicates because
+    # CacheManager dedupes by logical plan across invocations.
     score_sql = """
-WITH c2 AS (SELECT w1, w2, COUNT(*) AS n2 FROM __bigram_lm_big GROUP BY w1, w2),
-c1 AS (SELECT w1, COUNT(*) AS n1 FROM __bigram_lm_big GROUP BY w1),
-v AS (SELECT COUNT(DISTINCT w1) AS vocab FROM __bigram_lm_big)
+WITH c2 AS (SELECT w1, w2, COUNT(*) AS n2 FROM {view} GROUP BY w1, w2),
+c1 AS (SELECT w1, COUNT(*) AS n1 FROM {view} GROUP BY w1),
+v AS (SELECT COUNT(DISTINCT w1) AS vocab FROM {view})
 SELECT b.doc_id, COUNT(*) AS n_bigrams,
   round(CAST(SUM(CAST(CAST(c2.n2 + 1 AS DOUBLE) / CAST(c1.n1 + v.vocab AS DOUBLE)
                      AS DECIMAL(38,18))) AS DOUBLE) / COUNT(*), 12) AS avg_condprob
-FROM __bigram_lm_big b
+FROM {view} b
 JOIN c2 ON b.w1 = c2.w1 AND b.w2 = c2.w2
 JOIN c1 ON b.w1 = c1.w1
 CROSS JOIN v
@@ -409,10 +418,13 @@ ORDER BY b.doc_id
 """,
     )
     def text_bigram_lm_score(spark, sf_dir):
+        import uuid as _uuid
+
         load_tables(spark, sf_dir)
         big = spark.sql(big_sql).cache()
-        big.createOrReplaceTempView("__bigram_lm_big")
-        return spark.sql(score_sql)
+        name = f"__bigram_lm_big_{_uuid.uuid4().hex}"
+        big.createOrReplaceTempView(name)
+        return spark.sql(score_sql.format(view=name))
 
 
 _register_bigram_lm()

@@ -242,6 +242,14 @@ def copurchase_edges(
     co = t["lineitem"].select("l_orderkey", "l_partkey").distinct()
     if sample_mod:
         co = co.filter(F.col("l_orderkey") % sample_mod == 0)
+    # cached (optimization r13, the r12 mining.py pattern): the pair
+    # self-join broadcasts one side, and a broadcast branch cannot reuse
+    # the other branch's shuffle — WITHOUT the cache the scan+distinct
+    # subtree executed twice per derivation (measured 4.0 → 2.5 s warm,
+    # 6.8 → 4.2 s cold at sf0.1). The proxy is O(distinct (order, part))
+    # of two bigints — the §8 "decide with small rows" shape; session-
+    # scoped, plan-deduped across the co-purchase query family.
+    co = co.cache()
     a = co.select(F.col("l_orderkey").alias("k"), F.col("l_partkey").alias("p1"))
     b = co.select(F.col("l_orderkey").alias("k"), F.col("l_partkey").alias("p2"))
     return (

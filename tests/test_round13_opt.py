@@ -321,8 +321,11 @@ def test_hudi_data_block_arrow_serde_byte_identical():
 
 
 def test_minhash_kernel_no_regression_after_sentinel_fix(spark):
-    """The sentinel-row fix must keep ordinary batches identical (spot
-    pin on top of the r12 parity suite, which also runs)."""
+    """The kernel (which now hashes shingle strings with the vectorized
+    XXH64 instead of the JVM transform) must stay bit-identical to the
+    JVM xxhash64-based groupBy variant — including unicode shingles,
+    multi-space runs (empty tokens), and >32-byte shingles that hit the
+    XXH64 lane loop."""
     from iceberg_metadata_pipeline_spark.llmops.dedup import (
         minhash_signatures,
         minhash_signatures_from_arrays,
@@ -330,10 +333,16 @@ def test_minhash_kernel_no_regression_after_sentinel_fix(spark):
         shingles,
     )
 
-    docs = spark.createDataFrame(
-        [(i, f"token{i} token{i+1} token{i+2} token{i%3}") for i in range(40)],
-        "doc_id long, text string",
-    )
+    rows = [
+        (i, f"token{i} token{i+1} token{i+2} token{i%3}") for i in range(40)
+    ]
+    rows += [
+        (100, "ünïcode nämes ärê hären tökens ß∂ƒ"),
+        (101, "a  b   c double  spaces"),
+        (102, "supercalifragilisticexpialidocious" * 3 + " long tokens here"),
+        (103, "xy"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
     arr = {
         r["doc_id"]: list(r["sig"])
         for r in minhash_signatures_from_arrays(

@@ -1,4 +1,5 @@
-"""Dump .explain("formatted") for headline queries to plans/r12/.
+"""Dump .explain("formatted") for headline queries to plans/<round>/
+(round from $SPARK_GRAFT_PLANS_ROUND, default r13).
 
 Usage:
     python tools/dump_plans.py before            # all headliners
@@ -28,7 +29,7 @@ def main() -> None:
     out_dir = os.path.join(
         os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
         "plans",
-        "r12",
+        os.environ.get("SPARK_GRAFT_PLANS_ROUND", "r13"),
     )
     os.makedirs(out_dir, exist_ok=True)
 
